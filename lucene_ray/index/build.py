@@ -1,0 +1,487 @@
+"""The index-build driver: Ray Data pipelines from Parquet corpus to segments.
+
+Two pipeline shapes over the same stages (SURVEY §3.1 restatement):
+
+``mode="shuffle"`` (the north-star shape):
+    fragment descriptors -> map_batches(AnalyzerStage actor pool)
+        -> postings rows (segpart, term, docid, tf)
+    -> groupby(segpart).map_groups(segment build)        # THE all-to-all
+    -> per-segment encoded files + metrics
+  The shuffle key is ``segpart`` — a *uniform* key (contiguous docid ranges),
+  not the Zipfian ``term``: term skew is absorbed inside each partition's
+  vectorized Arrow sort instead of the exchange, which eliminates hot-key
+  skew by construction (SURVEY §4 skew row).  Hot-term *salting* is therefore
+  unnecessary in the build; the merge path k-way-merges pre-sorted runs.
+
+``mode="fused"`` (zero-shuffle scale path):
+    one task per segment reads its own row-group range, analyzes, sorts and
+    encodes locally — the DWPT analogue (a thread-private in-RAM segment,
+    reference index/DocumentsWriterPerThread.java:406-512).  Embarrassingly
+    parallel; preferred at 100 TB because postings triples (~1-2x raw text)
+    never cross the object store.
+
+Both modes:
+- docIDs are deterministic: global docID = (row-group order in the sorted
+  file list) x (row order within the group); segments are unions of whole
+  row groups, so ``doc_base`` is a prefix sum (LeafReaderContext docBase
+  semantics).
+- writes are atomic + resumable at segment granularity: a rerun skips
+  segments whose lineage signature matches (manifest.segment_is_complete).
+- a separate cheap pass (no tokenization) writes the stored-fields tables
+  (docid, repo, path, commit, lang, sha256) — the per-row content sha256
+  invariant column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..analysis.analyzers import make_analyzer
+from ..smallfloat import int_to_byte4_array
+from . import manifest as mf
+from .segment import build_segment
+
+DEFAULT_DOCS_PER_SEGMENT = 65536
+
+
+# --- planning (driver-side, metadata only) -------------------------------
+
+def plan_segments(
+    corpus_paths: list[str] | str,
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+) -> list[dict]:
+    """Enumerate parquet row groups (metadata-only) in deterministic sorted
+    file order and pack consecutive groups into segment descriptors."""
+    if isinstance(corpus_paths, str):
+        corpus_paths = [corpus_paths]
+    files: list[str] = []
+    for p in corpus_paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    files.sort()
+    frags: list[tuple[str, int, int]] = []  # (path, row_group, nrows)
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        for rg in range(md.num_row_groups):
+            frags.append((path, rg, md.row_group(rg).num_rows))
+
+    segments: list[dict] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_rows = 0
+    doc_base = 0
+    for frag in frags:
+        cur.append(frag)
+        cur_rows += frag[2]
+        if cur_rows >= docs_per_segment:
+            segments.append(_seg_descriptor(len(segments), cur, doc_base))
+            doc_base += cur_rows
+            cur, cur_rows = [], 0
+    if cur:
+        segments.append(_seg_descriptor(len(segments), cur, doc_base))
+    return segments
+
+
+def _seg_descriptor(seg_id: int, frags: list[tuple[str, int, int]], doc_base: int) -> dict:
+    sig = hashlib.sha256(
+        json.dumps([(os.path.basename(p), rg, n) for p, rg, n in frags]).encode()
+    ).hexdigest()[:16]
+    return {
+        "seg_id": seg_id,
+        "name": f"seg_{seg_id:06d}",
+        "fragments": [list(f) for f in frags],
+        "doc_base": doc_base,
+        "max_doc": sum(f[2] for f in frags),
+        "lineage": {
+            "signature": sig,
+            "inputs": [{"path": p, "row_group": rg, "rows": n} for p, rg, n in frags],
+        },
+    }
+
+
+def _read_fragment(path: str, row_group: int, columns: list[str] | None) -> pa.Table:
+    return pq.ParquetFile(path).read_row_group(row_group, columns=columns)
+
+
+# --- analysis stage (stateful actor) -------------------------------------
+
+class AnalyzerStage:
+    """Actor-pool stage: fragment descriptor batch -> postings rows.
+
+    The analyzer (DFA tables, lowercase table) is built ONCE per actor in
+    ``__init__`` (reference Analyzer reuse strategy, SURVEY §2.2); each
+    ``__call__`` processes one row-group descriptor and emits the exploded
+    (segpart, term, docid, tf) Arrow table, zero-copy into the object store.
+    """
+
+    def __init__(self, analyzer: str = "standard", content_column: str = "content"):
+        self.analyzer = make_analyzer(analyzer)
+        self.content_column = content_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_tables = []
+        for row in batch.to_pylist():
+            out_tables.append(self.analyze_fragment(row))
+        return pa.concat_tables(out_tables) if out_tables else _empty_postings()
+
+    def analyze_fragment(self, desc: dict) -> pa.Table:
+        tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
+        texts = tbl.column(self.content_column).to_pylist()
+        local_base = desc["local_base"]  # local docid of first row in segment
+        terms: list[list[str]] = []
+        tfs: list[list[int]] = []
+        docids: list[np.ndarray] = []
+        analyze = self.analyzer.analyze
+        for i, text in enumerate(texts):
+            t, f, _length = analyze(text or "")
+            if t:
+                terms.append(t)
+                tfs.append(f)
+                docids.append(np.full(len(t), local_base + i, dtype=np.int32))
+        if not terms:
+            return _empty_postings()
+        flat_terms = [t for ts in terms for t in ts]
+        flat_tfs = np.concatenate([np.asarray(f, dtype=np.int32) for f in tfs])
+        flat_docs = np.concatenate(docids)
+        n = len(flat_terms)
+        return pa.table(
+            {
+                "segpart": pa.array(np.full(n, desc["seg_id"], dtype=np.int32)),
+                "term": pa.array(flat_terms, type=pa.large_string()),
+                "docid": pa.array(flat_docs),
+                "tf": pa.array(flat_tfs),
+            }
+        )
+
+
+def _empty_postings() -> pa.Table:
+    return pa.table(
+        {
+            "segpart": pa.array([], type=pa.int32()),
+            "term": pa.array([], type=pa.large_string()),
+            "docid": pa.array([], type=pa.int32()),
+            "tf": pa.array([], type=pa.int32()),
+        }
+    )
+
+
+# --- stored-fields / sha256 pass -----------------------------------------
+
+class DocTableStage:
+    """Cheap pass (no tokenization): stored-fields table + sha256 invariant."""
+
+    def __init__(self, content_column: str, meta_columns: list[str], docs_dir: str):
+        self.content_column = content_column
+        self.meta_columns = meta_columns
+        self.docs_dir = docs_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for desc in batch.to_pylist():
+            tbl = _read_fragment(
+                desc["path"], desc["row_group"], self.meta_columns + [self.content_column]
+            )
+            shas = [
+                hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in tbl.column(self.content_column).to_pylist()
+            ]
+            n = len(tbl)
+            docids = np.arange(desc["local_base"], desc["local_base"] + n, dtype=np.int32)
+            out = tbl.select(self.meta_columns)
+            out = out.add_column(0, "docid", pa.array(docids))
+            out = out.append_column("sha256", pa.array(shas))
+            path = os.path.join(
+                self.docs_dir, f"seg_{desc['seg_id']:06d}", f"rg_{desc['frag_ord']:06d}.parquet"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(out, path)
+            rows.append({"seg_id": desc["seg_id"], "rows": n})
+        return pa.Table.from_pylist(rows) if rows else pa.table({"seg_id": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+
+
+# --- segment build (post-shuffle / fused) --------------------------------
+
+def _build_segment_from_postings(
+    terms, docids, tfs, seg: dict, index_dir: str
+) -> dict:
+    lengths = np.bincount(
+        np.asarray(docids, dtype=np.int64),
+        weights=np.asarray(tfs, dtype=np.int64),
+        minlength=seg["max_doc"],
+    ).astype(np.int64)
+    norms = int_to_byte4_array(lengths)
+    seg_dir = os.path.join(index_dir, seg["name"])
+    meta = {
+        "name": seg["name"],
+        "max_doc": seg["max_doc"],
+        "doc_base": seg["doc_base"],
+        "lineage": seg["lineage"],
+    }
+    t0 = time.time()
+    metrics = build_segment(terms, docids, tfs, norms, None, seg_dir, meta)
+    metrics["encode_sec"] = round(time.time() - t0, 3)
+    return metrics
+
+
+def _fragments_with_local_base(seg: dict) -> list[dict]:
+    out = []
+    local = 0
+    for ord_, (path, rg, n) in enumerate(seg["fragments"]):
+        out.append(
+            {
+                "seg_id": seg["seg_id"],
+                "frag_ord": ord_,
+                "path": path,
+                "row_group": rg,
+                "rows": n,
+                "local_base": local,
+            }
+        )
+        local += n
+    return out
+
+
+class FusedSegmentBuilder:
+    """One call = one whole segment: read -> analyze -> encode -> write."""
+
+    def __init__(self, index_dir: str, analyzer: str, content_column: str, segs_by_id: dict):
+        self.index_dir = index_dir
+        self.stage = AnalyzerStage(analyzer, content_column)
+        self.segs_by_id = segs_by_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for desc in batch.to_pylist():
+            seg = self.segs_by_id[desc["seg_id"]]
+            parts = [
+                self.stage.analyze_fragment(frag) for frag in _fragments_with_local_base(seg)
+            ]
+            post = pa.concat_tables(parts)
+            metrics = _build_segment_from_postings(
+                post.column("term"),
+                post.column("docid").to_numpy(),
+                post.column("tf").to_numpy(),
+                seg,
+                self.index_dir,
+            )
+            rows.append({"seg_id": seg["seg_id"], "metrics": json.dumps(metrics)})
+        return pa.Table.from_pylist(rows)
+
+
+def build_index_local(
+    corpus_paths: list[str] | str,
+    index_dir: str,
+    analyzer: str = "standard",
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    content_column: str = "content",
+    meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    write_doc_tables: bool = True,
+    resume: bool = True,
+) -> dict:
+    """In-process build (no Ray): same stages, serial loop.  Used by unit
+    tests and tiny fixtures; the Ray pipeline (build_index) is the real path."""
+    t_start = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    segments = plan_segments(corpus_paths, docs_per_segment)
+    builder = FusedSegmentBuilder(
+        index_dir, analyzer, content_column, {s["seg_id"]: s for s in segments}
+    )
+    doc_stage = DocTableStage(
+        content_column, list(meta_columns), os.path.join(index_dir, "docs")
+    )
+    skipped = []
+    for seg in segments:
+        seg_dir = os.path.join(index_dir, seg["name"])
+        if resume and mf.segment_is_complete(seg_dir, seg["lineage"]["signature"]):
+            skipped.append(seg)
+            continue
+        builder(pa.Table.from_pylist([{"seg_id": seg["seg_id"]}]))
+        if write_doc_tables:
+            doc_stage(pa.Table.from_pylist(_fragments_with_local_base(seg)))
+    gen = (mf.latest_generation(index_dir) or 0) + 1
+    seg_entries = []
+    for seg in segments:
+        seg_dir = os.path.join(index_dir, seg["name"])
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            meta = json.load(f)
+        seg_entries.append(
+            {
+                "name": seg["name"],
+                "dir": seg_dir,
+                "doc_base": seg["doc_base"],
+                "max_doc": seg["max_doc"],
+                "stats": meta["stats"],
+                "metrics": meta.get("metrics", {}),
+                "lineage": meta.get("lineage", seg["lineage"]),
+                "docs_dir": os.path.join(index_dir, "docs", seg["name"]),
+            }
+        )
+    manifest = {
+        "generation": gen,
+        "analyzer": analyzer,
+        "mode": "local",
+        "docs_per_segment": docs_per_segment,
+        "segments": seg_entries,
+        "built_sec": round(time.time() - t_start, 3),
+        "skipped_segments": [s["name"] for s in skipped],
+    }
+    mf.write_manifest(index_dir, manifest)
+    return manifest
+
+
+# --- the driver ----------------------------------------------------------
+
+def build_index(
+    corpus_paths: list[str] | str,
+    index_dir: str,
+    analyzer: str = "standard",
+    docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+    mode: str = "fused",
+    content_column: str = "content",
+    meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
+    concurrency: int | None = None,
+    write_doc_tables: bool = True,
+    resume: bool = True,
+) -> dict:
+    """Run the full build; returns the committed manifest dict.
+
+    Must be called with Ray already initialised (or lets Ray Data
+    auto-init).  Never calls ray.init()/shutdown() itself.
+    """
+    import ray.data as rd
+
+    t_start = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    segments = plan_segments(corpus_paths, docs_per_segment)
+
+    todo = []
+    skipped = []
+    for seg in segments:
+        seg_dir = os.path.join(index_dir, seg["name"])
+        if resume and mf.segment_is_complete(seg_dir, seg["lineage"]["signature"]):
+            skipped.append(seg)
+        else:
+            todo.append(seg)
+
+    segs_by_id = {s["seg_id"]: s for s in segments}
+    metrics_by_seg: dict[int, dict] = {}
+
+    if todo:
+        if mode == "fused":
+            ds = rd.from_items([{"seg_id": s["seg_id"]} for s in todo])
+            out = ds.map_batches(
+                FusedSegmentBuilder,
+                fn_constructor_kwargs=dict(
+                    index_dir=index_dir,
+                    analyzer=analyzer,
+                    content_column=content_column,
+                    segs_by_id=segs_by_id,
+                ),
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            for row in out.take_all():
+                metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
+        elif mode == "shuffle":
+            frag_rows = [f for s in todo for f in _fragments_with_local_base(s)]
+            ds = rd.from_items(frag_rows)
+            post = ds.map_batches(
+                AnalyzerStage,
+                fn_constructor_kwargs=dict(analyzer=analyzer, content_column=content_column),
+                batch_size=4,
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+
+            def build_group(group: pa.Table) -> pa.Table:
+                seg_id = int(group.column("segpart")[0].as_py())
+                seg = segs_by_id[seg_id]
+                metrics = _build_segment_from_postings(
+                    group.column("term"),
+                    group.column("docid").to_numpy(),
+                    group.column("tf").to_numpy(),
+                    seg,
+                    index_dir,
+                )
+                return pa.Table.from_pylist(
+                    [{"seg_id": seg_id, "metrics": json.dumps(metrics)}]
+                )
+
+            out = post.groupby("segpart").map_groups(build_group, batch_format="pyarrow")
+            for row in out.take_all():
+                metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+
+        # segments with zero postings never appear in the grouped output
+        for seg in todo:
+            if seg["seg_id"] not in metrics_by_seg:
+                metrics_by_seg[seg["seg_id"]] = _build_segment_from_postings(
+                    pa.array([], type=pa.large_string()),
+                    np.empty(0, dtype=np.int32),
+                    np.empty(0, dtype=np.int32),
+                    seg,
+                    index_dir,
+                )
+
+    if write_doc_tables and todo:
+        docs_dir = os.path.join(index_dir, "docs")
+        frag_rows = [f for s in todo for f in _fragments_with_local_base(s)]
+        rd.from_items(frag_rows).map_batches(
+            DocTableStage,
+            fn_constructor_kwargs=dict(
+                content_column=content_column,
+                meta_columns=list(meta_columns),
+                docs_dir=docs_dir,
+            ),
+            batch_size=8,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        ).materialize()
+
+    # commit: assemble the manifest from per-segment meta.json (stats were
+    # written by the build tasks; skipped segments keep their prior entry)
+    gen = (mf.latest_generation(index_dir) or 0) + 1
+    seg_entries = []
+    for seg in segments:
+        seg_dir = os.path.join(index_dir, seg["name"])
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            meta = json.load(f)
+        seg_entries.append(
+            {
+                "name": seg["name"],
+                "dir": seg_dir,
+                "doc_base": seg["doc_base"],
+                "max_doc": seg["max_doc"],
+                "stats": meta["stats"],
+                "metrics": meta.get("metrics", {}),
+                "lineage": meta.get("lineage", seg["lineage"]),
+                "docs_dir": os.path.join(index_dir, "docs", seg["name"]),
+            }
+        )
+    manifest = {
+        "generation": gen,
+        "analyzer": analyzer,
+        "mode": mode,
+        "docs_per_segment": docs_per_segment,
+        "segments": seg_entries,
+        "built_sec": round(time.time() - t_start, 3),
+        "skipped_segments": [s["name"] for s in skipped],
+    }
+    mf.write_manifest(index_dir, manifest)
+    return manifest

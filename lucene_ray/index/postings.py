@@ -1,0 +1,354 @@
+"""Posting-list block codec: FOR bit-packing, skip metadata, impacts.
+
+Semantic contract (reference citations into /root/reference/lucene/core/src/
+java/org/apache/lucene/):
+
+- 256-doc blocks of delta-encoded docIDs + term freqs, bit-packed at a
+  per-block width (codecs/lucene104/ForUtil.java:26-80 BLOCK_SIZE=256,
+  Lucene104PostingsWriter.java:389-538).  The byte layout here is our own
+  (numpy little-endian bit matrix); only decoded values and skip/impact
+  semantics must match, per SURVEY §1.3.
+- Per-block skip entry: last docID + byte offsets (level-0 skip,
+  Lucene104PostingsFormat.java:152-226).
+- Per-block competitive impacts: the Pareto skyline of (freq, norm) pairs,
+  freq strictly increasing with unsigned-byte norm
+  (codecs/CompetitiveImpactAccumulator.java:26-123).
+- Singleton pulsing: docFreq==1 terms store (docID, freq) inline in the term
+  table and have no blocks (Lucene104PostingsFormat.java:138-141).
+
+All encode paths are vectorized over the whole segment (no per-term Python
+loop): see ``encode_postings``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 256  # ForUtil.java:34
+
+
+def pack_bits(values: np.ndarray, width: int) -> np.ndarray:
+    """Pack non-negative ints < 2**width into a uint8 buffer (LSB-first rows).
+
+    Layout: a (n, width) bit matrix, row-major, bit b of row i = bit b of
+    values[i]; flattened then packbits(bitorder='little').  Width 0 -> empty.
+    """
+    if width == 0:
+        return np.empty(0, dtype=np.uint8)
+    n = len(values)
+    v = values.astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little")
+
+
+def unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_bits -> int64 array of length n."""
+    if width == 0:
+        return np.zeros(n, dtype=np.int64)
+    bits = np.unpackbits(buf, count=n * width, bitorder="little")
+    bits = bits.reshape(n, width).astype(np.int64)
+    weights = (1 << np.arange(width, dtype=np.int64))
+    return bits @ weights
+
+
+def _bit_width(values: np.ndarray) -> np.ndarray:
+    """Element-wise number of bits needed (0 for value 0)."""
+    out = np.zeros(len(values), dtype=np.int32)
+    nz = values > 0
+    out[nz] = np.floor(np.log2(values[nz].astype(np.float64))).astype(np.int32) + 1
+    return out
+
+
+@dataclass
+class EncodedPostings:
+    """Columnar encoded postings for one segment (one field).
+
+    Per-term arrays are aligned with the sorted unique term list (not stored
+    here; see segment.py).
+    """
+
+    # per term
+    doc_freq: np.ndarray  # int32
+    total_term_freq: np.ndarray  # int64
+    block_start: np.ndarray  # int64 index into block arrays
+    block_count: np.ndarray  # int32
+    singleton_doc: np.ndarray  # int32, -1 if df != 1
+    singleton_freq: np.ndarray  # int32
+    max_freq: np.ndarray  # int32 global max freq per term
+    min_norm_at_max: np.ndarray  # uint8 — norm of global top impact (see impacts)
+    term_imp_start: np.ndarray  # int64 into term-level impact arrays
+    term_imp_count: np.ndarray  # int32
+    # per block
+    block_last_doc: np.ndarray  # int32
+    block_len: np.ndarray  # int32 number of postings in block
+    block_doc_bits: np.ndarray  # uint8
+    block_freq_bits: np.ndarray  # uint8
+    block_doc_off: np.ndarray  # int64 byte offset into packed_docs
+    block_freq_off: np.ndarray  # int64
+    block_imp_start: np.ndarray  # int64 into block impact arrays
+    block_imp_count: np.ndarray  # int32
+    # impact pools
+    imp_freq: np.ndarray  # int32
+    imp_norm: np.ndarray  # uint8
+    term_imp_freq: np.ndarray  # int32  (whole-term skyline)
+    term_imp_norm: np.ndarray  # uint8
+    # packed buffers
+    packed_docs: np.ndarray  # uint8
+    packed_freqs: np.ndarray  # uint8
+
+    def arrays(self) -> dict[str, np.ndarray]:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}
+
+    @classmethod
+    def from_arrays(cls, d: dict[str, np.ndarray]) -> "EncodedPostings":
+        return cls(**{k: d[k] for k in cls.__dataclass_fields__})
+
+
+def _segmented_skyline(keys: np.ndarray, norms: np.ndarray, freqs: np.ndarray):
+    """Competitive (freq, norm) skylines for many groups at once.
+
+    For each group id in ``keys`` (non-decreasing), with per-entry (norm,
+    freq), computes the skyline per CompetitiveImpactAccumulator
+    .getCompetitiveFreqNormPairs: scan norms in ascending unsigned order,
+    keep pairs whose max-freq strictly exceeds every lower norm's max-freq.
+
+    Returns (group_of_kept, kept_freq, kept_norm) sorted by (group, norm).
+    """
+    if len(keys) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(np.int32), e.astype(np.uint8)
+    # max freq per (group, norm)
+    order = np.lexsort((freqs, norms, keys))
+    k, n, f = keys[order], norms[order], freqs[order]
+    # last entry of each (group, norm) run has the max freq (sorted by freq)
+    boundary = np.ones(len(k), dtype=bool)
+    boundary[:-1] = (k[1:] != k[:-1]) | (n[1:] != n[:-1])
+    k, n, f = k[boundary], n[boundary], f[boundary]
+    # segmented running max over norm-ascending entries within each group
+    group_start = np.ones(len(k), dtype=bool)
+    group_start[1:] = k[1:] != k[:-1]
+    # segmented cummax: lift each group into its own monotonic band
+    band = np.cumsum(group_start.astype(np.int64)) << 33
+    cummax = np.maximum.accumulate(f.astype(np.int64) + band) - band
+    prev_cummax = np.empty_like(cummax)
+    prev_cummax[0] = -1
+    prev_cummax[1:] = cummax[:-1]
+    prev_cummax[group_start] = -1
+    keep = f.astype(np.int64) > prev_cummax
+    return k[keep], f[keep].astype(np.int32), n[keep].astype(np.uint8)
+
+
+def encode_postings(
+    term_ids: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    n_terms: int,
+) -> EncodedPostings:
+    """Encode a fully term/doc-sorted postings run for one segment.
+
+    ``term_ids`` must be non-decreasing; ``docids`` strictly increasing within
+    each term (enforced, mirroring Lucene104PostingsWriter.java:265-267).
+    ``norms`` is the per-doc uint8 norm array (indexed by local docid).
+    """
+    m = len(term_ids)
+    docids = docids.astype(np.int64)
+    tfs = tfs.astype(np.int64)
+
+    # term run boundaries
+    df = np.bincount(term_ids, minlength=n_terms).astype(np.int64)
+    term_start = np.concatenate(([0], np.cumsum(df)))[:-1]
+    ttf = np.add.reduceat(tfs, term_start) if m else np.zeros(n_terms, dtype=np.int64)
+    ttf = np.where(df > 0, ttf, 0)
+
+    # deltas (prev docid, -1 at term starts)
+    prev = np.empty(m, dtype=np.int64)
+    if m:
+        prev[0] = -1
+        prev[1:] = docids[:-1]
+        prev[term_start[df > 0]] = -1
+        deltas = docids - prev - 1  # >= 0
+        if (deltas < 0).any():
+            raise ValueError("docids out of order within term")
+    else:
+        deltas = docids
+
+    # singleton pulsing
+    singleton = df == 1
+    singleton_doc = np.full(n_terms, -1, dtype=np.int32)
+    singleton_freq = np.zeros(n_terms, dtype=np.int32)
+    if m:
+        s_idx = term_start[singleton]
+        singleton_doc[singleton] = docids[s_idx].astype(np.int32)
+        singleton_freq[singleton] = tfs[s_idx].astype(np.int32)
+
+    # postings that go into blocks (df >= 2)
+    in_blocks = np.repeat(~singleton, df)
+    b_tids = term_ids[in_blocks]
+    b_docs = docids[in_blocks]
+    b_tfs = tfs[in_blocks]
+    b_deltas = deltas[in_blocks]
+    mb = len(b_tids)
+
+    bdf = np.where(singleton, 0, df)
+    b_term_start = np.concatenate(([0], np.cumsum(bdf)))[:-1]
+    # index within term, block-of-term
+    idx_in_term = np.arange(mb, dtype=np.int64) - np.repeat(b_term_start, bdf)
+    blk_of_term = idx_in_term // BLOCK_SIZE
+    blocks_per_term = ((bdf + BLOCK_SIZE - 1) // BLOCK_SIZE).astype(np.int64)
+    block_start = np.concatenate(([0], np.cumsum(blocks_per_term)))[:-1]
+    n_blocks = int(blocks_per_term.sum())
+    blk_id = np.repeat(block_start, bdf) + blk_of_term  # per posting
+
+    # per-block boundaries
+    if mb:
+        pstart = np.ones(mb, dtype=bool)
+        pstart[1:] = blk_id[1:] != blk_id[:-1]
+        blk_first = np.flatnonzero(pstart)
+        block_len = np.diff(np.concatenate((blk_first, [mb]))).astype(np.int32)
+        block_last_doc = b_docs[np.concatenate((blk_first[1:] - 1, [mb - 1]))].astype(np.int32)
+    else:
+        blk_first = np.empty(0, dtype=np.int64)
+        block_len = np.empty(0, dtype=np.int32)
+        block_last_doc = np.empty(0, dtype=np.int32)
+
+    # per-block widths
+    if mb:
+        dmax = np.maximum.reduceat(b_deltas, blk_first)
+        fmax_blk = np.maximum.reduceat(b_tfs - 1, blk_first)
+        doc_bits = _bit_width(dmax).astype(np.uint8)
+        freq_bits = _bit_width(fmax_blk).astype(np.uint8)
+    else:
+        doc_bits = np.empty(0, dtype=np.uint8)
+        freq_bits = np.empty(0, dtype=np.uint8)
+
+    # pack: group blocks by width, pack each group's postings contiguously,
+    # then reassemble in block order
+    def pack_all(values: np.ndarray, widths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # byte length of each block
+        blens = ((block_len.astype(np.int64) * widths.astype(np.int64)) + 7) // 8
+        offs = np.concatenate(([0], np.cumsum(blens)))
+        buf = np.zeros(int(offs[-1]), dtype=np.uint8)
+        for w in np.unique(widths):
+            if w == 0:
+                continue
+            sel = np.flatnonzero(widths == w)
+            for bi in sel:
+                s = blk_first[bi]
+                e = s + block_len[bi]
+                packed = pack_bits(values[s:e], int(w))
+                buf[offs[bi] : offs[bi] + len(packed)] = packed
+        return buf, offs[:-1]
+
+    packed_docs, block_doc_off = pack_all(b_deltas, doc_bits)
+    packed_freqs, block_freq_off = pack_all(b_tfs - 1, freq_bits)
+
+    # impacts: per block and whole-term skylines
+    if mb:
+        p_norms = norms[b_docs].astype(np.uint8)
+        gk, gf, gn = _segmented_skyline(blk_id, p_norms, b_tfs.astype(np.int64))
+        block_imp_count = np.bincount(gk, minlength=n_blocks).astype(np.int32)
+        block_imp_start = np.concatenate(([0], np.cumsum(block_imp_count)))[:-1]
+        tk, tf_imp, tn = _segmented_skyline(b_tids, p_norms, b_tfs.astype(np.int64))
+        term_imp_count = np.bincount(tk, minlength=n_terms).astype(np.int32)
+        term_imp_start = np.concatenate(([0], np.cumsum(term_imp_count)))[:-1]
+    else:
+        gf = np.empty(0, dtype=np.int32)
+        gn = np.empty(0, dtype=np.uint8)
+        tf_imp = np.empty(0, dtype=np.int32)
+        tn = np.empty(0, dtype=np.uint8)
+        block_imp_count = np.empty(0, dtype=np.int32)
+        block_imp_start = np.empty(0, dtype=np.int64)
+        term_imp_count = np.zeros(n_terms, dtype=np.int32)
+        term_imp_start = np.zeros(n_terms, dtype=np.int64)
+
+    # singleton terms: their whole-term impact is the single (freq, norm)
+    if singleton.any():
+        s_ids = np.flatnonzero(singleton)
+        s_freq = singleton_freq[s_ids]
+        s_norm = norms[singleton_doc[s_ids]].astype(np.uint8)
+        # merge into the term-level impact pools (rebuild pools including them)
+        all_tids = np.concatenate((np.repeat(np.arange(n_terms), term_imp_count), s_ids))
+        all_f = np.concatenate((tf_imp, s_freq.astype(np.int32)))
+        all_n = np.concatenate((tn, s_norm))
+        order = np.argsort(all_tids, kind="stable")
+        tk2, tf2, tn2 = _segmented_skyline(
+            all_tids[order], all_n[order], all_f[order].astype(np.int64)
+        )
+        term_imp_count = np.bincount(tk2, minlength=n_terms).astype(np.int32)
+        term_imp_start = np.concatenate(([0], np.cumsum(term_imp_count)))[:-1]
+        tf_imp, tn = tf2, tn2
+
+    max_freq = np.zeros(n_terms, dtype=np.int32)
+    min_norm_at_max = np.zeros(n_terms, dtype=np.uint8)
+    if len(tf_imp):
+        last = term_imp_start + term_imp_count - 1
+        has = term_imp_count > 0
+        max_freq[has] = tf_imp[last[has]]
+        min_norm_at_max[has] = tn[last[has]]
+
+    return EncodedPostings(
+        doc_freq=df.astype(np.int32),
+        total_term_freq=ttf.astype(np.int64),
+        block_start=block_start.astype(np.int64),
+        block_count=blocks_per_term.astype(np.int32),
+        singleton_doc=singleton_doc,
+        singleton_freq=singleton_freq,
+        max_freq=max_freq,
+        min_norm_at_max=min_norm_at_max,
+        term_imp_start=term_imp_start.astype(np.int64),
+        term_imp_count=term_imp_count,
+        block_last_doc=block_last_doc,
+        block_len=block_len,
+        block_doc_bits=doc_bits,
+        block_freq_bits=freq_bits,
+        block_doc_off=block_doc_off.astype(np.int64),
+        block_freq_off=block_freq_off.astype(np.int64),
+        block_imp_start=block_imp_start.astype(np.int64),
+        block_imp_count=block_imp_count,
+        imp_freq=gf.astype(np.int32),
+        imp_norm=gn.astype(np.uint8),
+        term_imp_freq=tf_imp.astype(np.int32),
+        term_imp_norm=tn.astype(np.uint8),
+        packed_docs=packed_docs,
+        packed_freqs=packed_freqs,
+    )
+
+
+def decode_block(enc: EncodedPostings, block_idx: int, prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block -> (docids int64, freqs int64)."""
+    n = int(enc.block_len[block_idx])
+    w = int(enc.block_doc_bits[block_idx])
+    off = int(enc.block_doc_off[block_idx])
+    nbytes = (n * w + 7) // 8
+    deltas = unpack_bits(enc.packed_docs[off : off + nbytes], n, w)
+    docids = np.cumsum(deltas + 1) + prev_last_doc
+    fw = int(enc.block_freq_bits[block_idx])
+    foff = int(enc.block_freq_off[block_idx])
+    fbytes = (n * fw + 7) // 8
+    freqs = unpack_bits(enc.packed_freqs[foff : foff + fbytes], n, fw) + 1
+    return docids, freqs
+
+
+def decode_term(enc: EncodedPostings, term_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole posting list -> (docids, freqs); includes singletons."""
+    if enc.doc_freq[term_id] == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if enc.singleton_doc[term_id] >= 0:
+        return (
+            np.array([enc.singleton_doc[term_id]], dtype=np.int64),
+            np.array([enc.singleton_freq[term_id]], dtype=np.int64),
+        )
+    bs = int(enc.block_start[term_id])
+    bc = int(enc.block_count[term_id])
+    docs_out, freqs_out = [], []
+    prev = -1
+    for b in range(bs, bs + bc):
+        d, f = decode_block(enc, b, prev)
+        prev = int(d[-1])
+        docs_out.append(d)
+        freqs_out.append(f)
+    return np.concatenate(docs_out), np.concatenate(freqs_out)

@@ -1,0 +1,195 @@
+"""Segment build + SegmentReader.
+
+A segment is one immutable mini-index (reference: index/SegmentInfo.java,
+SegmentReader.java) produced by one partition of the build pipeline:
+
+    seg_<name>/
+      terms_bytes.npy, terms_offsets.npy   sorted UTF-8 term dictionary
+      <per-term & per-block codec arrays>.npy   (see postings.EncodedPostings)
+      norms.npy                            uint8 per local docid
+      docs.parquet                         stored-fields table (docid, repo,
+                                           path, commit, lang, sha256)
+      meta.json                            maxDoc, docBase, partial stats,
+                                           lineage + metrics (north rule)
+
+Terms are sorted in UTF-8 byte order == unicode codepoint order, matching
+Lucene's unsigned-byte term order (SURVEY §2.8).  docIDs are segment-local
+dense ints; global docID = meta["doc_base"] + local (LeafReaderContext
+docBase semantics).
+
+Write is atomic: build into ``<dir>.tmp-<token>`` then rename, so a retried
+task overwrites rather than duplicates (SURVEY §4 fault-tolerance row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import postings as codec
+
+NO_MORE_DOCS = 2**31 - 1
+
+
+def build_segment(
+    terms: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    doc_table: pa.Table | None,
+    seg_dir: str,
+    meta: dict,
+) -> dict:
+    """Encode and atomically write one segment.
+
+    ``terms`` is an object/str numpy array (or pyarrow StringArray) aligned
+    with ``docids``/``tfs`` (one row per (term, doc) posting, ANY order —
+    sorted here).  ``norms`` is uint8[max_doc].  ``meta`` must contain
+    ``max_doc`` and ``doc_base``.
+    Returns the metrics dict written into meta.json.
+    """
+    if not isinstance(terms, pa.Array) and not isinstance(terms, pa.ChunkedArray):
+        terms = pa.array(terms, type=pa.large_string())
+    tbl = pa.table(
+        {
+            "term": terms,
+            "docid": pa.array(np.asarray(docids, dtype=np.int32)),
+            "tf": pa.array(np.asarray(tfs, dtype=np.int32)),
+        }
+    )
+    # THE per-partition sort (FreqProxTermsWriter.flush analogue,
+    # FreqProxTermsWriter.java:83-135): term order = UTF-8 byte order.
+    tbl = tbl.sort_by([("term", "ascending"), ("docid", "ascending")])
+    term_col = tbl.column("term").combine_chunks()
+    dict_arr = pc.dictionary_encode(term_col)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    term_ids = dict_arr.indices.to_numpy().astype(np.int64)
+    uniq = dict_arr.dictionary  # sorted unique terms (column was sorted)
+    n_terms = len(uniq)
+
+    enc = codec.encode_postings(
+        term_ids,
+        tbl.column("docid").to_numpy(),
+        tbl.column("tf").to_numpy(),
+        norms,
+        n_terms,
+    )
+
+    tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        # term dictionary as bytes + offsets (bisect-able without
+        # materializing Python strings)
+        buf = pc.cast(uniq, pa.large_binary())
+        offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64)[
+            buf.offset : buf.offset + len(buf) + 1
+        ].copy()
+        data = np.frombuffer(buf.buffers()[2], dtype=np.uint8).copy()
+        np.save(os.path.join(tmp, "terms_offsets.npy"), offsets)
+        np.save(os.path.join(tmp, "terms_bytes.npy"), data)
+        for name, arr in enc.arrays().items():
+            np.save(os.path.join(tmp, f"{name}.npy"), arr)
+        np.save(os.path.join(tmp, "norms.npy"), norms.astype(np.uint8))
+        if doc_table is not None:
+            pq.write_table(doc_table, os.path.join(tmp, "docs.parquet"))
+
+        n_postings = len(term_ids)
+        metrics = {
+            "n_terms": int(n_terms),
+            "n_postings": int(n_postings),
+            "n_blocks": int(len(enc.block_last_doc)),
+            "packed_doc_bytes": int(enc.packed_docs.nbytes),
+            "packed_freq_bytes": int(enc.packed_freqs.nbytes),
+            "sum_total_term_freq": int(enc.total_term_freq.sum()),
+            "sum_doc_freq": int(enc.doc_freq.sum()),
+            "doc_count": int((norms > 0).sum()),
+        }
+        full_meta = dict(meta)
+        full_meta["metrics"] = metrics
+        full_meta["stats"] = {
+            "max_doc": int(meta["max_doc"]),
+            "doc_count": metrics["doc_count"],
+            "sum_total_term_freq": metrics["sum_total_term_freq"],
+            "sum_doc_freq": metrics["sum_doc_freq"],
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(full_meta, f, indent=1)
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
+        os.replace(tmp, seg_dir)
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+    return metrics
+
+
+class SegmentReader:
+    """Opens one segment's arrays (memory-mapped) and serves term lookups,
+    postings cursors and norms.  Held inside query actors (SURVEY §2.1
+    Segment reader row)."""
+
+    def __init__(self, seg_dir: str, mmap: bool = True):
+        self.dir = seg_dir
+        mm = "r" if mmap else None
+        self.term_offsets = np.load(os.path.join(seg_dir, "terms_offsets.npy"), mmap_mode=mm)
+        self.term_bytes = np.load(os.path.join(seg_dir, "terms_bytes.npy"), mmap_mode=mm)
+        arrays = {}
+        for name in codec.EncodedPostings.__dataclass_fields__:
+            arrays[name] = np.load(os.path.join(seg_dir, f"{name}.npy"), mmap_mode=mm)
+        self.enc = codec.EncodedPostings.from_arrays(arrays)
+        self.norms = np.load(os.path.join(seg_dir, "norms.npy"), mmap_mode=mm)
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.max_doc = int(self.meta["max_doc"])
+        self.doc_base = int(self.meta["doc_base"])
+        self.n_terms = len(self.term_offsets) - 1
+
+    # --- term dictionary -------------------------------------------------
+    def _term_at(self, i: int) -> bytes:
+        return self.term_bytes[self.term_offsets[i] : self.term_offsets[i + 1]].tobytes()
+
+    def term_id(self, term: str) -> int | None:
+        """Binary search in UTF-8 byte order; None if absent."""
+        key = term.encode("utf-8")
+        lo, hi = 0, self.n_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._term_at(mid) < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self.n_terms and self._term_at(lo) == key:
+            return lo
+        return None
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(doc_freq, total_term_freq); (0, 0) if absent."""
+        tid = self.term_id(term)
+        if tid is None:
+            return 0, 0
+        return int(self.enc.doc_freq[tid]), int(self.enc.total_term_freq[tid])
+
+    def term_string(self, tid: int) -> str:
+        return self._term_at(tid).decode("utf-8")
+
+    def cursor(self, term: str | int):
+        from ..search.scorers import PostingsCursor  # cycle-free at runtime
+
+        tid = self.term_id(term) if isinstance(term, str) else term
+        if tid is None:
+            return None
+        return PostingsCursor(self, int(tid))
+
+    def docs_table(self) -> pa.Table:
+        return pq.read_table(os.path.join(self.dir, "docs.parquet"))
+
+    def collection_partials(self) -> dict:
+        return self.meta["stats"]

@@ -1,0 +1,85 @@
+"""Top-k collection and merging.
+
+- ``TopKCollector``: k-heap with lower-docID-wins tie-break and
+  ``minCompetitiveScore = nextUp(top)`` once the hit count passes the
+  threshold (reference search/TopScoreDocCollector.java:94-172,
+  DocScoreEncoder packed-long ordering :31-41; default threshold 1000,
+  IndexSearcher.java:100).
+- ``merge_top_docs``: per-segment top-k merged by (score desc, segment ord
+  asc, docID asc) (TopDocs.merge, TopDocs.java:35-37,112-113).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+F32 = np.float32
+INF_THRESHOLD = math.inf
+
+
+class TopKCollector:
+    """Collects (docid, float32 score) for ONE segment."""
+
+    def __init__(self, k: int, total_hits_threshold: float = 1000):
+        self.k = k
+        self.threshold = total_hits_threshold
+        self.total_hits = 0
+        # min-heap of (score, -docid): root = weakest hit
+        self.heap: list[tuple[float, int]] = []
+        self.min_competitive: np.float32 = F32(0)
+        self._dirty = False
+
+    def collect(self, docid: int, score: np.float32) -> None:
+        self.total_hits += 1
+        item = (float(score), -docid)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, item)
+            self._dirty = True
+        elif item > self.heap[0]:
+            heapq.heapreplace(self.heap, item)
+            self._dirty = True
+
+    def competitive_score(self) -> np.float32 | None:
+        """Returns an updated minCompetitiveScore, or None if unchanged.
+
+        Pruning is legal only once the queue is full and the total hit count
+        reached the threshold; the bound excludes score ties (later docs lose
+        ties within a segment anyway).
+        """
+        if not self._dirty:
+            return None
+        self._dirty = False
+        if len(self.heap) == self.k and self.total_hits >= self.threshold:
+            top = F32(self.heap[0][0])
+            nxt = np.nextafter(top, F32(np.inf), dtype=F32)
+            if nxt > self.min_competitive:
+                self.min_competitive = nxt
+                return nxt
+        return None
+
+    def top_docs(self) -> list[tuple[int, np.float32]]:
+        """[(docid, score)] sorted by (score desc, docid asc)."""
+        items = sorted(self.heap, key=lambda t: (-t[0], t[1]))
+        return [(-neg, F32(s)) for s, neg in items]
+
+
+def merge_top_docs(
+    per_segment: list[list[tuple[int, np.float32]]],
+    k: int,
+    doc_bases: list[int] | None = None,
+) -> list[tuple[int, np.float32]]:
+    """Merge per-segment top-k lists -> global top-k of (global docid, score).
+
+    ``per_segment`` must be in manifest segment order (segment ordinal is the
+    tie-break, SURVEY §7.5 "query reduce" row).
+    """
+    rows = []
+    for ord_, hits in enumerate(per_segment):
+        base = doc_bases[ord_] if doc_bases else 0
+        for docid, score in hits:
+            rows.append((-float(score), ord_, docid, base + docid))
+    rows.sort()
+    return [(gdoc, F32(-negs)) for negs, _ord, _d, gdoc in rows[:k]]

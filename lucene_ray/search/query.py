@@ -1,0 +1,247 @@
+"""Query tree + per-segment scorer planning (the BooleanWeight analogue).
+
+Supported query surface (SURVEY §2.7 "in scope" rows): TermQuery,
+BooleanQuery (SHOULD / MUST / FILTER / MUST_NOT, minimumNumberShouldMatch),
+ConstantScoreQuery, BoostQuery, MatchAllDocsQuery.  Scorer selection follows
+BooleanScorerSupplier: scoring SHOULD disjunctions -> WANDScorer; MUST/FILTER
+-> conjunction; MUST_NOT -> exclusion (reference
+search/BooleanScorerSupplier.java:288-554, BooleanQuery.java rewrite).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bm25 import BM25Similarity, CollectionStatistics, TermStatistics
+from .scorers import (
+    NO_MORE_DOCS,
+    ConjunctionScorer,
+    ConstantScoreScorer,
+    ImpactsDISI,
+    MatchAllScorer,
+    ReqExclScorer,
+    ReqOptSumScorer,
+    Scorer,
+    TermScorer,
+    WANDScorer,
+)
+
+SHOULD, MUST, MUST_NOT, FILTER = "SHOULD", "MUST", "MUST_NOT", "FILTER"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    query: "Query"
+
+
+@dataclass(frozen=True)
+class BoostQuery:
+    query: "Query"
+    boost: float
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: "Query"
+    occur: str
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    clauses: tuple[BooleanClause, ...]
+    min_should_match: int = 0
+
+
+Query = TermQuery | MatchAllDocsQuery | ConstantScoreQuery | BoostQuery | BooleanQuery
+
+
+def bool_query(
+    should=(), must=(), must_not=(), filter=(), min_should_match: int = 0
+) -> BooleanQuery:
+    cl = [BooleanClause(q, SHOULD) for q in should]
+    cl += [BooleanClause(q, MUST) for q in must]
+    cl += [BooleanClause(q, MUST_NOT) for q in must_not]
+    cl += [BooleanClause(q, FILTER) for q in filter]
+    return BooleanQuery(tuple(cl), min_should_match)
+
+
+def collect_terms(q: Query) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return collect_terms(q.query)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= collect_terms(c.query)
+        return out
+    return set()
+
+
+@dataclass
+class Weight:
+    """Query-wide state: per-term BM25 scorers built from index-wide stats
+    (TermQuery.TermWeight ctor, TermQuery.java:60-95)."""
+
+    collection_stats: CollectionStatistics
+    term_stats: dict[str, TermStatistics]
+    similarity: BM25Similarity = field(default_factory=BM25Similarity)
+    _sim_cache: dict = field(default_factory=dict)
+
+    def sim_scorer(self, term: str, boost: float):
+        key = (term, float(boost))
+        s = self._sim_cache.get(key)
+        if s is None:
+            ts = self.term_stats[term]
+            s = self.similarity.scorer(boost, self.collection_stats, ts)
+            self._sim_cache[key] = s
+        return s
+
+
+class _NoMatchScorer(Scorer):
+    def __init__(self):
+        self.doc = NO_MORE_DOCS
+
+    def cost(self) -> int:
+        return 0
+
+    def advance(self, target: int) -> int:
+        self.doc = NO_MORE_DOCS
+        return self.doc
+
+    def score(self):
+        return np.float32(0)
+
+    def get_max_score(self, up_to):
+        return np.float32(0)
+
+
+def build_scorer(
+    q: Query,
+    weight: Weight,
+    reader,
+    boost: float = 1.0,
+    score_mode: str = "TOP_SCORES",
+    top_level: bool = False,
+) -> Scorer | None:
+    """Per-segment scorer tree; None = query matches nothing in this segment.
+
+    ``top_level`` enables single-term impacts pruning (ImpactsDISI wrap),
+    mirroring ScorerSupplier.setTopLevelScoringClause.
+    """
+    if isinstance(q, TermQuery):
+        ts = weight.term_stats.get(q.term)
+        if ts is None or ts.doc_freq == 0:
+            return None
+        cursor = reader.cursor(q.term)
+        if cursor is None:
+            return None
+        scorer = TermScorer(cursor, weight.sim_scorer(q.term, boost), reader.norms)
+        if top_level and score_mode == "TOP_SCORES":
+            return ImpactsDISI(scorer)
+        return scorer
+
+    if isinstance(q, MatchAllDocsQuery):
+        return MatchAllScorer(reader.max_doc, boost)
+
+    if isinstance(q, BoostQuery):
+        return build_scorer(q.query, weight, reader, boost * q.boost, score_mode, top_level)
+
+    if isinstance(q, ConstantScoreQuery):
+        inner = build_scorer(q.query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
+        if inner is None:
+            return None
+        return ConstantScoreScorer(inner, boost)
+
+    if isinstance(q, BooleanQuery):
+        return _boolean_scorer(q, weight, reader, boost, score_mode, top_level)
+
+    raise TypeError(f"unsupported query: {q!r}")
+
+
+def _boolean_scorer(
+    q: BooleanQuery, weight: Weight, reader, boost: float, score_mode: str, top_level: bool
+) -> Scorer | None:
+    shoulds, musts, must_nots, filters = [], [], [], []
+    for c in q.clauses:
+        if c.occur == SHOULD:
+            s = build_scorer(c.query, weight, reader, boost, score_mode)
+            if s is not None:
+                shoulds.append(s)
+        elif c.occur == MUST:
+            s = build_scorer(c.query, weight, reader, boost, score_mode)
+            if s is None:
+                return None
+            musts.append(s)
+        elif c.occur == FILTER:
+            s = build_scorer(c.query, weight, reader, 1.0, "COMPLETE_NO_SCORES")
+            if s is None:
+                return None
+            filters.append(s)
+        elif c.occur == MUST_NOT:
+            s = build_scorer(c.query, weight, reader, 1.0, "COMPLETE_NO_SCORES")
+            if s is not None:
+                must_nots.append(s)
+
+    msm = q.min_should_match
+    if not shoulds and msm > 0:
+        return None
+    if not shoulds and not musts and not filters:
+        return None  # pure MUST_NOT is non-matching (BooleanQuery semantics)
+    if shoulds and len(shoulds) < msm:
+        return None
+
+    # SHOULD side
+    opt: Scorer | None = None
+    if len(shoulds) == 1:
+        opt = shoulds[0]
+    elif len(shoulds) > 1:
+        opt = WANDScorer(shoulds, msm, score_mode)
+
+    # required side
+    required = musts + filters
+    positive: Scorer | None
+    if required:
+        if opt is not None and msm > 0:
+            required = required + [opt]
+            scoring = musts + [opt]
+            positive = ConjunctionScorer(required, scoring)
+        elif opt is not None:
+            if musts:
+                conj = ConjunctionScorer(required, musts)
+                positive = ReqOptSumScorer(conj, opt)
+            else:
+                # filters only + optional scoring side: optional drives scoring
+                positive = ConjunctionScorer(required + [opt], [opt])
+        else:
+            if not musts:
+                # filter-only query: constant zero scores? give constant 0
+                positive = ConjunctionScorer(required, [])
+            else:
+                positive = ConjunctionScorer(required, musts)
+    else:
+        if opt is None:
+            return None
+        if isinstance(opt, TermScorer) and top_level and score_mode == "TOP_SCORES":
+            opt = ImpactsDISI(opt)
+        positive = opt
+
+    if must_nots:
+        if len(must_nots) == 1:
+            excl = must_nots[0]
+        else:
+            excl = WANDScorer(must_nots, 0, "COMPLETE_NO_SCORES")
+        positive = ReqExclScorer(positive, excl)
+    return positive

@@ -1,0 +1,218 @@
+"""IndexSearcher: stats phase + per-segment top-k + merge.
+
+Mirrors the reference flow (search/IndexSearcher.java:612-850): build
+index-wide CollectionStatistics/TermStatistics once per query, score each
+segment independently with dynamic pruning, reduce with TopDocs.merge
+tie-break (score desc, segment ordinal asc, docID asc).
+
+Two execution modes:
+- in-process (used by tests / oracle comparisons),
+- ``DistributedSearcher``: a pool of Ray actors each owning a slice of
+  segments (the IndexSearcher leaf-slice analogue, :106-108) — the actor
+  holds open SegmentReaders (mmap) across queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.manifest import collection_stats_from, read_manifest
+from ..index.segment import SegmentReader
+from .bm25 import BM25Similarity, CollectionStatistics, TermStatistics
+from .collector import TopKCollector, merge_top_docs
+from .query import Query, Weight, build_scorer, collect_terms
+from .scorers import NO_MORE_DOCS
+
+DEFAULT_TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:100
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, generation: int | None = None, mmap: bool = True):
+        self.manifest = read_manifest(index_dir, generation)
+        self.readers = [
+            SegmentReader(seg["dir"], mmap=mmap) for seg in self.manifest["segments"]
+        ]
+        cs = collection_stats_from(self.manifest)
+        self.collection_stats = CollectionStatistics(
+            max_doc=cs["max_doc"],
+            doc_count=cs["doc_count"],
+            sum_total_term_freq=cs["sum_total_term_freq"],
+            sum_doc_freq=cs["sum_doc_freq"],
+        )
+        self.similarity = BM25Similarity()
+
+    def term_statistics(self, terms: set[str]) -> dict[str, TermStatistics]:
+        """TermStates.build analogue: sum df/ttf across segments."""
+        out = {}
+        for t in sorted(terms):
+            df = ttf = 0
+            for r in self.readers:
+                d, f = r.term_stats(t)
+                df += d
+                ttf += f
+            out[t] = TermStatistics(t, df, ttf)
+        return out
+
+    def make_weight(self, query: Query) -> Weight:
+        terms = collect_terms(query)
+        return Weight(
+            collection_stats=self.collection_stats,
+            term_stats=self.term_statistics(terms),
+            similarity=self.similarity,
+        )
+
+    def search(
+        self,
+        query: Query,
+        k: int,
+        total_hits_threshold: float = DEFAULT_TOTAL_HITS_THRESHOLD,
+        score_mode: str = "TOP_SCORES",
+    ) -> list[tuple[int, np.float32]]:
+        """Top-k as [(global docid, float32 score)].
+
+        ``score_mode="COMPLETE"`` (with threshold=inf) disables all pruning —
+        the exhaustive arm of the CheckHits.checkTopScores differential
+        (SURVEY §5.3).
+        """
+        weight = self.make_weight(query)
+        per_segment = []
+        for reader in self.readers:
+            per_segment.append(
+                search_segment(reader, query, weight, k, total_hits_threshold, score_mode)
+            )
+        doc_bases = [seg["doc_base"] for seg in self.manifest["segments"]]
+        return merge_top_docs(per_segment, k, doc_bases)
+
+    def count(self, query: Query) -> int:
+        """Exhaustive match count (non-scoring)."""
+        weight = self.make_weight(query)
+        total = 0
+        for reader in self.readers:
+            scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
+            if scorer is None:
+                continue
+            doc = scorer.advance(0)
+            while doc != NO_MORE_DOCS:
+                total += 1
+                doc = scorer.next_doc()
+        return total
+
+
+def search_segment(
+    reader: SegmentReader,
+    query: Query,
+    weight: Weight,
+    k: int,
+    total_hits_threshold: float,
+    score_mode: str,
+) -> list[tuple[int, np.float32]]:
+    scorer = build_scorer(query, weight, reader, 1.0, score_mode, top_level=True)
+    if scorer is None:
+        return []
+    collector = TopKCollector(k, total_hits_threshold)
+    doc = scorer.advance(0)
+    while doc != NO_MORE_DOCS:
+        collector.collect(doc, scorer.score())
+        if score_mode == "TOP_SCORES":
+            mc = collector.competitive_score()
+            if mc is not None:
+                scorer.set_min_competitive_score(mc)
+        doc = scorer.next_doc()
+    return collector.top_docs()
+
+
+# --- distributed search over Ray actors ---------------------------------
+
+class SegmentSearchWorker:
+    """Owns a contiguous slice of segments; created once, reused per query
+    (stateful actor: open mmaps + term dictionaries, SURVEY §7.3)."""
+
+    def __init__(self, seg_dirs: list[str], seg_ords: list[int]):
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+        self.ords = seg_ords
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        out = {}
+        for t in terms:
+            df = ttf = 0
+            for r in self.readers:
+                d, f = r.term_stats(t)
+                df += d
+                ttf += f
+            out[t] = (df, ttf)
+        return out
+
+    def search(
+        self,
+        query: Query,
+        weight_stats: dict,
+        k: int,
+        total_hits_threshold: float,
+        score_mode: str,
+    ) -> list[tuple[int, list[tuple[int, float]]]]:
+        weight = Weight(
+            collection_stats=CollectionStatistics(**weight_stats["collection"]),
+            term_stats={
+                t: TermStatistics(t, df, ttf)
+                for t, (df, ttf) in weight_stats["terms"].items()
+            },
+        )
+        out = []
+        for ord_, reader in zip(self.ords, self.readers):
+            hits = search_segment(reader, query, weight, k, total_hits_threshold, score_mode)
+            out.append((ord_, [(d, float(s)) for d, s in hits]))
+        return out
+
+
+class DistributedSearcher:
+    """Query coordinator: phase A gather term stats, phase B broadcast the
+    query to the actor pool, phase C TopDocs.merge (SURVEY §3.2)."""
+
+    def __init__(self, index_dir: str, num_workers: int = 4, generation: int | None = None):
+        import ray
+
+        self.manifest = read_manifest(index_dir, generation)
+        segs = self.manifest["segments"]
+        cs = collection_stats_from(self.manifest)
+        self.collection_stats = cs
+        self.doc_bases = [s["doc_base"] for s in segs]
+        n = min(num_workers, max(1, len(segs)))
+        Worker = ray.remote(SegmentSearchWorker)
+        self.workers = []
+        for i in range(n):
+            dirs = [s["dir"] for j, s in enumerate(segs) if j % n == i]
+            ords = [j for j in range(len(segs)) if j % n == i]
+            if dirs:
+                self.workers.append(Worker.remote(dirs, ords))
+
+    def search(
+        self,
+        query: Query,
+        k: int,
+        total_hits_threshold: float = DEFAULT_TOTAL_HITS_THRESHOLD,
+        score_mode: str = "TOP_SCORES",
+    ) -> list[tuple[int, np.float32]]:
+        import ray
+
+        terms = sorted(collect_terms(query))
+        stats_parts = ray.get([w.term_stats.remote(terms) for w in self.workers])
+        term_stats = {t: [0, 0] for t in terms}
+        for part in stats_parts:
+            for t, (df, ttf) in part.items():
+                term_stats[t][0] += df
+                term_stats[t][1] += ttf
+        weight_stats = {
+            "collection": self.collection_stats,
+            "terms": {t: tuple(v) for t, v in term_stats.items()},
+        }
+        results = ray.get(
+            [
+                w.search.remote(query, weight_stats, k, total_hits_threshold, score_mode)
+                for w in self.workers
+            ]
+        )
+        per_segment: list[list[tuple[int, np.float32]]] = [[] for _ in self.doc_bases]
+        for part in results:
+            for ord_, hits in part:
+                per_segment[ord_] = [(d, np.float32(s)) for d, s in hits]
+        return merge_top_docs(per_segment, k, self.doc_bases)
