@@ -340,6 +340,21 @@ def build_index_local(
     return manifest
 
 
+def _resolve_concurrency(concurrency: int | None, n_tasks: int) -> int | tuple[int, int]:
+    """Ray Data requires explicit ``concurrency`` for callable-class stages.
+    Default: an autoscaling pool bounded by cluster CPUs and the task count."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    cap = max(1, min(cpus or (os.cpu_count() or 4), max(1, n_tasks)))
+    return (1, cap) if cap > 1 else 1
+
+
 # --- the driver ----------------------------------------------------------
 
 def build_index(
@@ -390,7 +405,7 @@ def build_index(
                 ),
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=concurrency,
+                concurrency=_resolve_concurrency(concurrency, len(todo)),
                 num_cpus=1,
             )
             for row in out.take_all():
@@ -403,7 +418,7 @@ def build_index(
                 fn_constructor_kwargs=dict(analyzer=analyzer, content_column=content_column),
                 batch_size=4,
                 batch_format="pyarrow",
-                concurrency=concurrency,
+                concurrency=_resolve_concurrency(concurrency, len(frag_rows)),
                 num_cpus=1,
             )
 
@@ -450,7 +465,7 @@ def build_index(
             ),
             batch_size=8,
             batch_format="pyarrow",
-            concurrency=concurrency,
+            concurrency=_resolve_concurrency(concurrency, len(frag_rows)),
             num_cpus=1,
         ).materialize()
 

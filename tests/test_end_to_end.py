@@ -1,0 +1,133 @@
+"""End-to-end build + differential pruned-vs-exhaustive-vs-brute-force over
+the synthetic corpus (FIXTURES F3 acceptance + CheckHits.checkTopScores
+pattern, SURVEY §5.3), plus the per-row sha256 invariant."""
+
+import hashlib
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.search.oracle import brute_force_topk
+from lucene_ray.search.query import BoostQuery, TermQuery, bool_query
+from lucene_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    corpus_dir = str(root / "corpus")
+    os.makedirs(corpus_dir)
+    tbl = generate_corpus(600, seed=11)
+    pq.write_table(tbl, corpus_dir + "/part-0000.parquet", row_group_size=97)
+    index_dir = str(root / "index")
+    build_index_local(corpus_dir, index_dir, docs_per_segment=150)
+    return tbl, IndexSearcher(index_dir)
+
+
+def _query_set(searcher):
+    """Hot / mid / rare / absent terms + disjunctions (FIXTURES F3 mix)."""
+    qs = []
+    hot = ["import", "return", "the", "def", "public", "func"]
+    mid = ["dize", "bisane", "gabavaza", "wesu"]
+    absent = ["zzzznope", "qqqq"]
+    for t in hot + mid + absent:
+        qs.append(TermQuery(t))
+    qs.append(bool_query(should=[TermQuery("import"), TermQuery("return")]))
+    qs.append(bool_query(should=[TermQuery(t) for t in hot[:5]]))
+    qs.append(bool_query(should=[TermQuery("the"), TermQuery("dize"), TermQuery("zzzznope")]))
+    qs.append(
+        bool_query(
+            should=[BoostQuery(TermQuery("import"), 2.5), TermQuery("def"),
+                    BoostQuery(TermQuery("return"), 0.5)]
+        )
+    )
+    qs.append(bool_query(should=[TermQuery(t) for t in hot[:4]], min_should_match=2))
+    qs.append(bool_query(must=[TermQuery("import")], filter=[TermQuery("def")]))
+    qs.append(bool_query(must=[TermQuery("import")], must_not=[TermQuery("def")]))
+    qs.append(bool_query(should=[TermQuery("import"), TermQuery("dize")],
+                         must=[TermQuery("return")]))
+    return qs
+
+
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_differential_complete_vs_pruned_vs_brute(built, k):
+    _, searcher = built
+    for q in _query_set(searcher):
+        pruned = searcher.search(q, k)  # TOP_SCORES, threshold 1000
+        aggressive = searcher.search(q, k, total_hits_threshold=1)
+        complete = searcher.search(q, k, total_hits_threshold=math.inf,
+                                   score_mode="COMPLETE")
+        brute = brute_force_topk(searcher, q, k)
+        assert pruned == complete, q
+        assert aggressive == complete, q
+        p = [(d, float(s)) for d, s in pruned]
+        b = [(d, float(s)) for d, s in brute]
+        assert [d for d, _ in p] == [d for d, _ in b], q
+        assert np.allclose([s for _, s in p], [s for _, s in b], rtol=1e-6), q
+
+
+def test_count_matches_brute(built):
+    _, searcher = built
+    for q in _query_set(searcher)[:8]:
+        brute = brute_force_topk(searcher, q, 10**6)
+        assert searcher.count(q) == len(brute), q
+
+
+def test_sha256_invariant(built):
+    """Per-row content sha256 equality: stored doc tables vs source
+    (BASELINE.json input_hint invariant)."""
+    tbl, searcher = built
+    src_sha = [
+        hashlib.sha256(c.as_py().encode("utf-8")).hexdigest() for c in tbl.column("content")
+    ]
+    seen = 0
+    for seg in searcher.manifest["segments"]:
+        docs_dir = seg["docs_dir"]
+        assert os.path.isdir(docs_dir), docs_dir
+        parts = sorted(os.listdir(docs_dir))
+        for p in parts:
+            dt = pq.read_table(os.path.join(docs_dir, p))
+            for docid, sha in zip(dt.column("docid").to_pylist(), dt.column("sha256").to_pylist()):
+                gdoc = seg["doc_base"] + docid
+                assert sha == src_sha[gdoc]
+                seen += 1
+    assert seen == len(src_sha)
+
+
+def test_collection_stats_match_reanalysis(built):
+    tbl, searcher = built
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+
+    an = StandardAnalyzer()
+    total_tokens = sum(len(an.tokens(c.as_py())) for c in tbl.column("content"))
+    # norms quantize doc length, but sum_total_term_freq is exact
+    assert searcher.collection_stats.sum_total_term_freq == total_tokens
+    assert searcher.collection_stats.max_doc == 600
+
+
+def test_resume_skips_complete_segments(built, tmp_path):
+    """FIXTURES F7: rerun over a partially-built index only rebuilds the
+    missing segments and yields an identical manifest content."""
+    tbl, searcher = built
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    pq.write_table(tbl, corpus_dir + "/part-0000.parquet", row_group_size=97)
+    index_dir = str(tmp_path / "index")
+    m1 = build_index_local(corpus_dir, index_dir, docs_per_segment=150)
+    assert m1["skipped_segments"] == []
+    # kill one segment, rerun
+    victim = m1["segments"][1]
+    shutil.rmtree(victim["dir"])
+    m2 = build_index_local(corpus_dir, index_dir, docs_per_segment=150)
+    assert len(m2["skipped_segments"]) == len(m1["segments"]) - 1
+    assert [s["stats"] for s in m2["segments"]] == [s["stats"] for s in m1["segments"]]
+    s2 = IndexSearcher(index_dir)
+    r1 = searcher.search(TermQuery("import"), 10)
+    r2 = s2.search(TermQuery("import"), 10)
+    assert r1 == r2

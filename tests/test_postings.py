@@ -1,0 +1,169 @@
+"""Postings codec round-trip + advance + impacts properties (FIXTURES F5;
+reference BasePostingsFormatTestCase pattern)."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index import postings as P
+from lucene_ray.index.segment import SegmentReader, build_segment
+from lucene_ray.search.scorers import NO_MORE_DOCS, PostingsCursor
+
+
+def make_postings(rng, n_terms, max_doc, df_choices):
+    rows_t, rows_d, rows_f = [], [], []
+    for t in range(n_terms):
+        df = min(int(df_choices[t % len(df_choices)]), max_doc)
+        docs = np.sort(rng.choice(max_doc, size=df, replace=False))
+        tfs = rng.integers(1, 2**17, size=df)
+        if t % 5 == 0:
+            tfs[:] = 1  # all-ones freq path
+        if t % 7 == 0 and df > 3:
+            tfs[df // 2] = 2**17 + 5  # outlier freq
+        rows_t.append(np.full(df, t))
+        rows_d.append(docs)
+        rows_f.append(tfs)
+    return (
+        np.concatenate(rows_t),
+        np.concatenate(rows_d),
+        np.concatenate(rows_f),
+    )
+
+
+@pytest.fixture(scope="module")
+def encoded():
+    rng = np.random.default_rng(1234)
+    max_doc = 20000
+    df_choices = [1, 2, 255, 256, 257, 300, 8191, 8192, 8193, 15000]
+    tid, did, tf = make_postings(rng, 40, max_doc, df_choices)
+    norms = rng.integers(1, 255, size=max_doc).astype(np.uint8)
+    enc = P.encode_postings(tid, did, tf, norms, 40)
+    return enc, tid, did, tf, norms
+
+
+def test_roundtrip_all_terms(encoded):
+    enc, tid, did, tf, _ = encoded
+    for t in range(40):
+        mask = tid == t
+        d, f = P.decode_term(enc, t)
+        assert np.array_equal(d, did[mask])
+        assert np.array_equal(f, tf[mask])
+        assert enc.doc_freq[t] == mask.sum()
+        assert enc.total_term_freq[t] == tf[mask].sum()
+
+
+def test_dense_block_widths(encoded):
+    # dense consecutive docids pack at width 0 (delta-1 == 0)
+    tid = np.zeros(512, dtype=np.int64)
+    did = np.arange(512)
+    tf = np.ones(512, dtype=np.int64)
+    norms = np.full(512, 30, dtype=np.uint8)
+    enc = P.encode_postings(tid, did, tf, norms, 1)
+    assert enc.block_doc_bits.tolist() == [0, 0]
+    assert enc.block_freq_bits.tolist() == [0, 0]
+    assert enc.packed_docs.nbytes == 0
+    d, f = P.decode_term(enc, 0)
+    assert np.array_equal(d, did) and np.array_equal(f, tf)
+
+
+def test_pack_unpack_bits():
+    rng = np.random.default_rng(0)
+    for w in [0, 1, 3, 7, 8, 13, 17, 31]:
+        n = 256
+        vals = rng.integers(0, 2**w if w else 1, size=n)
+        buf = P.pack_bits(vals, w)
+        assert len(buf) == (n * w + 7) // 8
+        out = P.unpack_bits(buf, n, w)
+        assert np.array_equal(out, vals)
+
+
+def _cursor_for(enc, norms, tid_):
+    class FakeReader:
+        pass
+
+    r = FakeReader()
+    r.enc = enc
+    r.norms = norms
+    return PostingsCursor(r, tid_)
+
+
+def test_advance_equals_linear_scan(encoded):
+    enc, tid, did, tf, norms = encoded
+    rng = np.random.default_rng(99)
+    for t in [0, 1, 3, 6, 7, 8, 9, 20, 39]:
+        mask = tid == t
+        docs = did[mask]
+        freqs = tf[mask]
+        targets = np.sort(rng.integers(0, 20100, size=200))
+        cur = _cursor_for(enc, norms, t)
+        for target in targets:
+            got = cur.advance(int(target))
+            idx = np.searchsorted(docs, target)
+            expect = int(docs[idx]) if idx < len(docs) else NO_MORE_DOCS
+            assert got == expect, (t, target)
+            if got != NO_MORE_DOCS:
+                assert cur.freq == freqs[idx]
+            if got == NO_MORE_DOCS:
+                break
+
+
+def test_next_doc_iteration(encoded):
+    enc, tid, did, tf, norms = encoded
+    for t in [0, 5, 8, 39]:
+        mask = tid == t
+        cur = _cursor_for(enc, norms, t)
+        seen_d, seen_f = [], []
+        d = cur.next_doc()
+        while d != NO_MORE_DOCS:
+            seen_d.append(d)
+            seen_f.append(cur.freq)
+            d = cur.next_doc()
+        assert np.array_equal(seen_d, did[mask])
+        assert np.array_equal(seen_f, tf[mask])
+
+
+def test_impacts_are_upper_bounds(encoded):
+    """Every block's true postings must be dominated by its impact skyline
+    (pruning legality, SURVEY §7.5 known-hard list)."""
+    enc, tid, did, tf, norms = encoded
+    from lucene_ray.search.bm25 import BM25Similarity, CollectionStatistics, TermStatistics
+
+    sim = BM25Similarity()
+    cs = CollectionStatistics(20000, 20000, 10**7, 10**6)
+    for t in range(0, 40, 3):
+        if enc.singleton_doc[t] >= 0 or enc.doc_freq[t] == 0:
+            continue
+        scorer = sim.scorer(1.0, cs, TermStatistics("x", int(enc.doc_freq[t]), 1))
+        bs, bc = int(enc.block_start[t]), int(enc.block_count[t])
+        prev = -1
+        for b in range(bs, bs + bc):
+            d, f = P.decode_block(enc, b, prev)
+            prev = int(d[-1])
+            true_max = scorer.score_bulk(f, norms[d]).max()
+            s, c = int(enc.block_imp_start[b]), int(enc.block_imp_count[b])
+            imp_max = scorer.score_bulk(
+                enc.imp_freq[s : s + c].astype(np.int64), enc.imp_norm[s : s + c]
+            ).max()
+            assert imp_max >= true_max
+
+
+def test_segment_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    tid, did, tf = make_postings(rng, 10, 1000, [1, 5, 300])
+    order = np.lexsort((did, tid))
+    terms_str = np.array([f"term{int(t):03d}" for t in tid], dtype=object)
+    norms = rng.integers(1, 200, size=1000).astype(np.uint8)
+    seg_dir = str(tmp_path / "seg_000000")
+    build_segment(
+        terms_str, did.astype(np.int32), tf.astype(np.int32), norms, None, seg_dir,
+        {"name": "seg_000000", "max_doc": 1000, "doc_base": 0, "lineage": {"signature": "x"}},
+    )
+    r = SegmentReader(seg_dir)
+    assert r.n_terms == 10
+    for t in range(10):
+        name = f"term{t:03d}"
+        assert r.term_id(name) == t
+        df, ttf = r.term_stats(name)
+        mask = tid == t
+        assert df == mask.sum() and ttf == tf[mask].sum()
+    assert r.term_id("nope") is None
+    assert np.array_equal(np.asarray(r.norms), norms)
