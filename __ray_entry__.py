@@ -1,44 +1,471 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() pipelines, oracle_sql() oracles.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in lucene_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query families (SURVEY.md §2 + the training-data-pipeline operators):
+
+- fulltext index pipelines (lucene_ray.pipelines.fulltext): every answer is
+  read back from the *encoded* segmented index built by the Ray Data build
+  pipeline, so an oracle match certifies tokenization, postings round-trip,
+  SmallFloat norms, collection stats, float32 BM25 and WAND pruning.
+- dedup operators (lucene_ray.ops.dedup): exact, MinHash+LSH, SimHash,
+  n-gram Jaccard — hash constants chosen for exact DuckDB parity.
+- text analysis (lucene_ray.ops.text): token/quality stats, language ID,
+  fingerprints.
+- similarity search (lucene_ray.ops.ann): brute-force + IVF cosine top-k,
+  embedding near-dup pairs.
+- multimodal plumbing (lucene_ray.ops.multimodal): binary payload +
+  actor-pool decode stage (deterministic stub kernel).
+
+The oracle SQL mirrors each pipeline exactly (same tokenizer regex, same
+integer hash arithmetic, same tie-breaks); float comparisons are avoided in
+oracle-checked outputs — ranks and integer statistics only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+from lucene_ray.ops.util import (
+    LSH_ROWS_PER_BAND,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BASE_MOD,
+    MINHASH_P,
+    NUM_MINHASH,
+    TOKEN_PATTERN,
+)
+from lucene_ray.pipelines import fulltext as ft
+from lucene_ray.smallfloat import LENGTH_TABLE
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks)
+"""
+
+_LT_VALUES = ", ".join(f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256))
+_LT = f"lt(nb, L) AS (VALUES {_LT_VALUES})"
+
+_SHINGLES = """
+starts AS (
+  SELECT doc_id, ts, unnest(range(greatest(len(ts) - 2, 1))) AS i
+  FROM toks WHERE len(ts) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS shingle
+  FROM starts
+)
+"""
+
+_A_LIST = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_B_LIST = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+_MINHASH = f"""
+base AS (
+  SELECT doc_id, (md5_number_lower(shingle) % {MINHASH_BASE_MOD})::BIGINT AS b
+  FROM sh
+),
+perm AS (
+  SELECT doc_id, p.i::BIGINT AS i,
+         min((({_A_LIST})[p.i + 1]::BIGINT * b + ({_B_LIST})[p.i + 1]::BIGINT)
+             % {MINHASH_P})::BIGINT AS sig
+  FROM base, (SELECT unnest(range({NUM_MINHASH})) AS i) p
+  GROUP BY doc_id, p.i
+)
+"""
+
+_QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS))
+_DISJ_VALUES = ", ".join(
+    f"({qi}, '{t}')" for qi, terms in enumerate(ft.DISJUNCTIONS) for t in terms
+)
+
+# BM25 over the same quantized document lengths the index stores:
+# dlq = LENGTH_TABLE[intToByte4(dl)]; idf = ln(1+(N-df+0.5)/(df+0.5));
+# score = idf * (1 - 1/(1 + tf/(k1*((1-b) + b*dlq/avgdl)))) with k1=1.2 b=0.75.
+_BM25_COMMON = f"""
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
+def _lang_sql() -> str:
+    from lucene_ray.ops.text import LANG_WORDS
+
+    langs = sorted(LANG_WORDS)
+    count_cols = ",\n  ".join(
+        "len(list_filter(ts, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_WORDS[lang])
+        + f"], x)))::BIGINT AS c_{lang}"
+        for lang in langs
+    )
+    # alphabetically-first max wins ties
+    branches = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(f"c_{lang} >= c_{o}" for o in langs if o > lang)
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH {_TOKS},
+counted AS (SELECT doc_id, {count_cols} FROM toks)
+SELECT doc_id, {", ".join(f"c_{lang}" for lang in langs)}, {case} AS lang_pred
+FROM counted
+"""
+
+
+def _quality_sql() -> str:
+    from lucene_ray.ops.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH {_TOKS}
+SELECT t.doc_id,
+       len(ts)::BIGINT AS n_tokens,
+       length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+       len(list_filter(ts, x -> list_contains([{stop_list}], x)))::BIGINT AS n_stop,
+       len(string_split(d.text, ' '))::BIGINT AS n_ws_tokens,
+       (CASE WHEN len(ts) >= 10
+              AND len(list_filter(ts, x -> list_contains([{stop_list}], x))) * 50
+                  <= len(ts) * 45
+             THEN 1 ELSE 0 END)::BIGINT AS is_quality
+FROM toks t JOIN documents d USING (doc_id)
+"""
+
+
+def _bool_counts_sql() -> str:
+    parts = []
+    for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
+        ca = f"SELECT doc_id FROM tf WHERE tok = '{a}'"
+        cb = f"SELECT doc_id FROM tf WHERE tok = '{b}'"
+        if op == "and":
+            sub = f"{ca} INTERSECT {cb}"
+        elif op == "or":
+            sub = f"{ca} UNION {cb}"
+        else:
+            sub = f"{ca} EXCEPT {cb}"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, (SELECT count(*) FROM ({sub}) s{qid})::BIGINT AS cnt"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _ann_brute(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.brute_topk(_embs(sf_dir), q, k=10)
+
+
+def _ann_ivf(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    # nprobe = all partitions -> exact (oracle-checked); lower nprobe is the
+    # approximate scale path exercised in tests/test_ops_ann.py
+    return ann.ivf_topk(_embs(sf_dir), q, k=10, nprobe=10)
+
+
+def _near_dup(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    return ann.near_dup_pairs(_embs(sf_dir), tau=0.95)
+
+
+def _distributed_bm25(sf_dir: str):
+    import pyarrow as pa
+
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import DistributedSearcher
+
+    idx = ft.ensure_index(sf_dir)
+    searcher = DistributedSearcher(idx, num_workers=2)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(ft.QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), 10)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.ops import dedup, multimodal, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- fulltext index pipelines (the flagship) ---
+        "ft_term_stats": ft.term_stats_all,
+        "ft_term_postings": ft.term_postings,
+        "ft_doc_norms": ft.doc_norms,
+        "ft_collection_stats": ft.collection_stats,
+        "ft_top_terms": ft.top_terms,
+        "ft_bm25_topk": ft.bm25_topk,
+        "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
+        "ft_bool_counts": ft.bool_counts,
+        "ft_bm25_topk_distributed": _distributed_bm25,
+        # --- text analysis ---
+        "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
+        "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
+        "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
+        "tx_fingerprints": lambda sf: text.fingerprints(_docs(sf)),
+        # --- dedup ---
+        "dd_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "dd_minhash_sigs": lambda sf: dedup.minhash_signatures(_docs(sf)),
+        "dd_lsh_pairs": lambda sf: dedup.lsh_candidate_pairs(_docs(sf), max_group=10**6),
+        "dd_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf), min_jaccard_pct=20, max_group=10**6
+        ),
+        "dd_simhash": lambda sf: dedup.simhash(_docs(sf)),
+        # --- similarity search ---
+        "ann_brute_topk": _ann_brute,
+        "ann_ivf_topk": _ann_ivf,
+        "ann_near_dup_pairs": _near_dup,
+        # --- multimodal plumbing ---
+        "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
+    }
 
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qterms_in = ", ".join(f"'{t}'" for t in ft.QUERY_TERMS)
+    return {
+        "ft_term_stats": f"""
+WITH {_TOKS}
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tf GROUP BY tok
+""",
+        "ft_term_postings": f"""
+WITH {_TOKS}
+SELECT tok AS term, doc_id, tf FROM tf WHERE tok IN ({qterms_in})
+""",
+        "ft_doc_norms": f"""
+WITH {_TOKS}, {_LT}
+SELECT d.doc_id,
+       (SELECT max(nb) FROM lt WHERE lt.L <= d.dl)::BIGINT AS norm_byte,
+       (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS dl_quantized
+FROM dl d
+""",
+        "ft_collection_stats": f"""
+WITH {_TOKS}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+       count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+       coalesce(sum(dl), 0)::BIGINT AS sum_total_term_freq,
+       (SELECT count(*) FROM tf)::BIGINT AS sum_doc_freq
+FROM dl
+""",
+        "ft_top_terms": f"""
+WITH {_TOKS},
+ts AS (
+  SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+  FROM tf GROUP BY tok
+)
+SELECT term, doc_freq, total_term_freq FROM ts
+ORDER BY total_term_freq DESC, term ASC LIMIT 25
+""",
+        "ft_bm25_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+""",
+        "ft_bm25_disjunction_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_DISJ_VALUES}),
+{_BM25_COMMON}
+""",
+        "ft_bool_counts": _bool_counts_sql(),
+        "ft_bm25_topk_distributed": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+""",
+        "tx_token_stats": f"""
+WITH {_TOKS},
+u AS (
+  SELECT doc_id, count(*)::BIGINT AS n_unique, max(tf)::BIGINT AS max_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+       coalesce(u.n_unique, 0)::BIGINT AS n_unique,
+       coalesce(u.max_tf, 0)::BIGINT AS max_tf,
+       length(d.text)::BIGINT AS n_chars
+FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
+""",
+        "tx_quality_stats": _quality_sql(),
+        "tx_lang_id": _lang_sql(),
+        "tx_fingerprints": f"""
+WITH {_TOKS}
+SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks
+""",
+        "dd_exact": """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
+""",
+        "dd_minhash_sigs": f"""
+WITH {_TOKS}, {_SHINGLES}, {_MINHASH}
+SELECT doc_id, i, sig FROM perm
+""",
+        "dd_lsh_pairs": f"""
+WITH {_TOKS}, {_SHINGLES}, {_MINHASH},
+bands AS (
+  SELECT doc_id, (i // {LSH_ROWS_PER_BAND})::BIGINT AS band,
+         string_agg(sig::VARCHAR, '_' ORDER BY i) AS key
+  FROM perm GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+        "dd_ngram_jaccard": f"""
+WITH {_TOKS}, {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db_, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id)
+SELECT da::BIGINT AS doc_a, db_::BIGINT AS doc_b, inter,
+       (sa.sz + sb.sz - inter)::BIGINT AS union_sz
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db_
+WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
+""",
+        "dd_simhash": f"""
+WITH {_TOKS},
+bits AS (
+  SELECT doc_id, p.b::BIGINT AS b,
+         sum(CASE WHEN (md5_number_lower(tok) >> p.b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf, (SELECT unnest(range(64)) AS b) p
+  GROUP BY doc_id, p.b
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "ann_brute_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+""",
+        "ann_ivf_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+""",
+        "ann_near_dup_pairs": """
+SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        "mm_decode_stats": """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       (128 + md5_number_lower(text) % 896)::BIGINT AS width,
+       (128 + md5_number_upper(text) % 896)::BIGINT AS height,
+       3::BIGINT AS channels,
+       md5_number_lower(text || '|feat')::UBIGINT AS feat
+FROM documents
+""",
+    }
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
+def entry() -> Any:
+    """Flagship: build the segmented index over sf0.001 documents with the
+    Ray Data pipeline, then answer the reference query set (single-term +
+    WAND disjunctions) from the encoded postings."""
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    single = ft.bm25_topk(sf_dir).to_pandas()
+    single["family"] = "term"
+    disj = ft.bm25_disjunction_topk(sf_dir).to_pandas()
+    disj["family"] = "wand"
+    return pd.concat([single, disj], ignore_index=True)

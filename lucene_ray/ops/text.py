@@ -1,0 +1,178 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Each operator is a pure batch transform (``Dataset.map_batches`` with
+``batch_format="pyarrow"``) over a documents table ``(doc_id, text, ...)``;
+string kernels run vectorized in polars (zero-copy from Arrow).  Every
+output column is an integer, string, or deterministically-derived value so
+the DuckDB oracle comparisons in ``__ray_entry__.py`` are exact.
+
+Operators:
+- ``token_stats``      token / unique / char counts, max term frequency
+- ``quality_stats``    quality-scoring signals (alpha ratio ingredients,
+                       stopword counts, whitespace token counts) as integers
+- ``lang_id``          n-gram/stopword-list language heuristic
+- ``fingerprints``     md5 document fingerprint of the normalized token
+                       stream (rolling-hash analogue, collision-free in
+                       practice and SQL-checkable)
+
+At 100 TB these all stay embarrassingly parallel: no shuffle, zero-copy
+Arrow in/out, polars kernels release the GIL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow as pa
+
+from .util import TOKEN_PATTERN
+
+# Small per-language stopword lists for the heuristic language ID.  Counting
+# is by token occurrence (with multiplicity).  Tie-break: alphabetically
+# first language code wins (mirrored exactly in the oracle SQL CASE).
+LANG_WORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "in", "to", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "une", "dans"],
+}
+
+EN_STOPWORDS = LANG_WORDS["en"]
+
+
+def _tok_expr() -> pl.Expr:
+    return pl.col("text").str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_unique, max_tf, n_chars) — all int64."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df.select(
+        pl.col("doc_id"),
+        _tok_expr().alias("ts"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+    )
+    tf = (
+        toks.select("doc_id", "ts")
+        .explode("ts")
+        .drop_nulls("ts")
+        .group_by("doc_id", "ts")
+        .len()
+        .group_by("doc_id")
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_unique"),
+            pl.col("len").max().cast(pl.Int64).alias("max_tf"),
+        )
+    )
+    out = (
+        toks.select(
+            "doc_id",
+            pl.col("ts").list.len().cast(pl.Int64).alias("n_tokens"),
+            "n_chars",
+        )
+        .join(tf, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_unique").fill_null(0),
+            pl.col("max_tf").fill_null(0),
+        )
+        .select("doc_id", "n_tokens", "n_unique", "max_tf", "n_chars")
+        .sort("doc_id")
+    )
+    return out.to_arrow()
+
+
+def quality_stats_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality signals per doc.
+
+    ``n_alpha``: count of ASCII letters; ``n_stop``: occurrences of English
+    stopwords; ``n_ws_tokens``: single-space split count; ``is_quality``:
+    integer-threshold flag (>= 10 tokens and stopword count * 50 <= token
+    count * 45 — i.e. stopword ratio <= 90%).
+    """
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.select(
+        pl.col("doc_id"),
+        _tok_expr().alias("ts"),
+        pl.col("text").str.count_matches("[a-zA-Z]").cast(pl.Int64).alias("n_alpha"),
+        pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_ws_tokens"),
+    ).with_columns(
+        pl.col("ts").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("ts")
+        .list.eval(pl.element().is_in(EN_STOPWORDS))
+        .list.sum()
+        .cast(pl.Int64)
+        .alias("n_stop"),
+    )
+    out = out.with_columns(
+        ((pl.col("n_tokens") >= 10) & (pl.col("n_stop") * 50 <= pl.col("n_tokens") * 45))
+        .cast(pl.Int64)
+        .alias("is_quality")
+    )
+    return (
+        out.select("doc_id", "n_tokens", "n_alpha", "n_stop", "n_ws_tokens", "is_quality")
+        .sort("doc_id")
+        .to_arrow()
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, c_de, c_en, c_es, c_fr, lang_pred)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.select(pl.col("doc_id"), _tok_expr().alias("ts"))
+    for lang in sorted(LANG_WORDS):
+        out = out.with_columns(
+            pl.col("ts")
+            .list.eval(pl.element().is_in(LANG_WORDS[lang]))
+            .list.sum()
+            .cast(pl.Int64)
+            .alias(f"c_{lang}")
+        )
+    langs = sorted(LANG_WORDS)
+    pred = pl.lit(langs[-1])
+    # alphabetically-first max: fold from the end so earlier langs win ties
+    for lang in reversed(langs[:-1]):
+        others = [f"c_{o}" for o in langs if o > lang]
+        cond = pl.all_horizontal([pl.col(f"c_{lang}") >= pl.col(o) for o in others])
+        pred = pl.when(cond).then(pl.lit(lang)).otherwise(pred)
+    out = out.with_columns(pred.alias("lang_pred"))
+    return (
+        out.select("doc_id", *[f"c_{lang}" for lang in langs], "lang_pred")
+        .sort("doc_id")
+        .to_arrow()
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): md5 hex of the space-joined normalized token stream."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    norm = df.select(
+        pl.col("doc_id"), _tok_expr().list.join(" ").alias("norm_text")
+    )
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm["norm_text"].to_list()]
+    return pa.table(
+        {
+            "doc_id": norm["doc_id"].to_arrow(),
+            "fp": pa.array(fps, type=pa.string()),
+        }
+    )
+
+
+def _map(ds, fn, **kw):
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def token_stats(ds):
+    return _map(ds, token_stats_batch)
+
+
+def quality_stats(ds):
+    return _map(ds, quality_stats_batch)
+
+
+def lang_id(ds):
+    return _map(ds, lang_id_batch)
+
+
+def fingerprints(ds):
+    return _map(ds, fingerprint_batch)

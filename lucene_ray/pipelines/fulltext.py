@@ -1,0 +1,270 @@
+"""Index-backed fulltext query pipelines over a driver testdata directory.
+
+These are the oracle-checked entry points: each builds (or reuses) a real
+segmented index over ``<sf_dir>/documents.parquet`` (content column
+``text``) with the StandardAnalyzer, then answers from the *encoded*
+segments — so a DuckDB match here certifies the whole chain: tokenization,
+postings encode/decode round-trip, norms/SmallFloat quantization,
+CollectionStatistics partial+final aggregation, float32 BM25 and the
+WAND/impacts pruned query path.
+
+The index cache lives under /tmp (one per sf_dir), built by the Ray Data
+pipeline in lucene_ray.index.build (fused mode: embarrassingly parallel,
+no shuffle).  docs_per_segment is set small so even the 500-doc driver
+tables exercise multi-segment search, doc_base remapping and the
+TopDocs.merge tie-break.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..index import manifest as mf
+from ..index.build import build_index
+from ..index.postings import decode_term
+from ..index.segment import SegmentReader
+from ..search.query import TermQuery, bool_query
+from ..search.searcher import IndexSearcher
+from ..smallfloat import LENGTH_TABLE
+
+DOCS_PER_SEGMENT = 200
+
+# Fixed query vocabulary for the driver correctness gate (terms present in
+# the synthetic documents tables at every sf).
+QUERY_TERMS = ["spark", "join", "merge", "window", "customer", "hash", "stream", "vector"]
+DISJUNCTIONS = [
+    ["spark", "join"],
+    ["merge", "window", "customer"],
+    ["hash", "stream"],
+    ["vector", "dup", "batch"],
+]
+BOOL_COUNTS = [
+    ("and", "spark", "join"),
+    ("or", "spark", "join"),
+    ("and_not", "merge", "window"),
+    ("and", "customer", "vector"),
+]
+
+
+def index_dir_for(sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT) -> str:
+    slug = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        "/tmp", "lucene_ray_idx", f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{docs_per_segment}"
+    )
+
+
+def ensure_index(sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT) -> str:
+    """Build the index over documents.parquet once per sf_dir (resumable —
+    a rerun over an existing index skips all complete segments)."""
+    idx = index_dir_for(sf_dir, docs_per_segment)
+    src = os.path.join(sf_dir, "documents.parquet")
+    if mf.latest_generation(idx) is None:
+        build_index(
+            src,
+            idx,
+            analyzer="standard",
+            docs_per_segment=docs_per_segment,
+            mode="fused",
+            content_column="text",
+            meta_columns=("doc_id", "lang", "source"),
+        )
+    return idx
+
+
+def _segment_dirs(idx: str) -> list[dict]:
+    man = mf.read_manifest(idx)
+    return [
+        {"dir": s["dir"], "doc_base": s["doc_base"]} for s in man["segments"]
+    ]
+
+
+# --- term-level dumps (Ray pipelines over the segment list) ---------------
+
+def _seg_term_stats(batch: pa.Table) -> pa.Table:
+    tables = []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        terms = [r.term_string(i) for i in range(r.n_terms)]
+        tables.append(
+            pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "df": pa.array(np.asarray(r.enc.doc_freq, dtype=np.int64)),
+                    "ttf": pa.array(np.asarray(r.enc.total_term_freq, dtype=np.int64)),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def term_stats_all(sf_dir: str):
+    """(term, doc_freq, total_term_freq) summed across segments."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    ds = rd.from_items(_segment_dirs(idx))
+    agg = ds.map_batches(_seg_term_stats, batch_format="pyarrow").groupby("term").sum(
+        ["df", "ttf"]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.column("term"),
+                "doc_freq": b.column("sum(df)"),
+                "total_term_freq": b.column("sum(ttf)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _seg_postings(batch: pa.Table, terms: list[str]) -> pa.Table:
+    out_t, out_d, out_f = [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        base = row["doc_base"]
+        for t in terms:
+            tid = r.term_id(t)
+            if tid is None:
+                continue
+            docs, freqs = decode_term(r.enc, tid)
+            out_t.extend([t] * len(docs))
+            out_d.extend((docs + base).tolist())
+            out_f.extend(freqs.tolist())
+    return pa.table(
+        {
+            "term": pa.array(out_t, pa.string()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "tf": pa.array(out_f, pa.int64()),
+        }
+    )
+
+
+def term_postings(sf_dir: str, terms: list[str] | None = None):
+    """Decoded posting lists (term, doc_id, tf) for the query vocabulary."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    ds = rd.from_items(_segment_dirs(idx))
+    return ds.map_batches(
+        _seg_postings,
+        batch_format="pyarrow",
+        fn_kwargs={"terms": terms or QUERY_TERMS},
+    )
+
+
+def _seg_norms(batch: pa.Table) -> pa.Table:
+    tables = []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        norms = np.asarray(r.norms, dtype=np.int64)
+        docs = row["doc_base"] + np.arange(r.max_doc, dtype=np.int64)
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(docs),
+                    "norm_byte": pa.array(norms),
+                    "dl_quantized": pa.array(
+                        LENGTH_TABLE.astype(np.int64)[norms]
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def doc_norms(sf_dir: str):
+    """(doc_id, norm_byte, dl_quantized): the SmallFloat norm pipeline."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    return rd.from_items(_segment_dirs(idx)).map_batches(
+        _seg_norms, batch_format="pyarrow"
+    )
+
+
+def collection_stats(sf_dir: str) -> pa.Table:
+    """Single-row index-wide stats (partial-per-segment + final sum)."""
+    idx = ensure_index(sf_dir)
+    cs = mf.collection_stats_from(mf.read_manifest(idx))
+    return pa.table(
+        {
+            "max_doc": pa.array([cs["max_doc"]], pa.int64()),
+            "doc_count": pa.array([cs["doc_count"]], pa.int64()),
+            "sum_total_term_freq": pa.array([cs["sum_total_term_freq"]], pa.int64()),
+            "sum_doc_freq": pa.array([cs["sum_doc_freq"]], pa.int64()),
+        }
+    )
+
+
+def top_terms(sf_dir: str, k: int = 25) -> pa.Table:
+    """Top-k terms by total_term_freq (tie: term asc) from the term dict."""
+    tbl = pa.Table.from_pandas(term_stats_all(sf_dir).to_pandas())
+    df = tbl.to_pandas().sort_values(
+        ["total_term_freq", "term"], ascending=[False, True]
+    ).head(k)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+# --- search entry points --------------------------------------------------
+
+def bm25_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORES") -> pa.Table:
+    """Single-term BM25 top-k per query: (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), k, score_mode=score_mode)
+        for rnk, (doc, _score) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def bm25_disjunction_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORES") -> pa.Table:
+    """Boolean SHOULD (WAND-pruned) top-k per query: (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, terms in enumerate(DISJUNCTIONS):
+        q = bool_query(should=[TermQuery(t) for t in terms])
+        hits = searcher.search(q, k, score_mode=score_mode)
+        for rnk, (doc, _score) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def bool_counts(sf_dir: str) -> pa.Table:
+    """Exhaustive boolean match counts: (qid, cnt)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, cnts = [], []
+    for qid, (op, a, b) in enumerate(BOOL_COUNTS):
+        if op == "and":
+            q = bool_query(must=[TermQuery(a), TermQuery(b)])
+        elif op == "or":
+            q = bool_query(should=[TermQuery(a), TermQuery(b)])
+        else:  # and_not
+            q = bool_query(must=[TermQuery(a)], must_not=[TermQuery(b)])
+        qids.append(qid)
+        cnts.append(searcher.count(q))
+    return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
