@@ -83,7 +83,9 @@ def ensure_corpus(
     """Generate (or reuse) the cached corpus for a scale factor; returns the
     directory of parquet files."""
     n_docs = corpus_sizes_for_sf(sf)
-    out_dir = out_dir or f"/tmp/lucene_ray_corpus/sf{sf}_seed{seed}_n{n_docs}"
+    out_dir = out_dir or (
+        f"/tmp/lucene_ray_corpus/sf{sf}_seed{seed}_n{n_docs}_rg{row_group_size}"
+    )
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
