@@ -229,6 +229,37 @@ def _near_dup(sf_dir: str):
     return ann.near_dup_pairs(_embs(sf_dir), tau=0.95)
 
 
+def _merged_bm25(sf_dir: str):
+    """BM25 over an index that went through tiered force-merge: many tiny
+    segments -> 1.  Results must equal the unmerged oracle rank-identically
+    (SegmentMerger invariant: impacts/skips rebuilt, docIDs preserved)."""
+    import pyarrow as pa
+
+    from lucene_ray.index import manifest as mfst
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    idx = ft.ensure_index(sf_dir, docs_per_segment=64)
+    if len(mfst.read_manifest(idx)["segments"]) > 1:
+        force_merge(idx, max_segments=1)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(ft.QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), 10)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def _distributed_bm25(sf_dir: str):
     import pyarrow as pa
 
@@ -267,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
         "ft_bool_counts": ft.bool_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
+        "ft_bm25_topk_merged": _merged_bm25,
         # --- text analysis ---
         "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
@@ -340,6 +372,11 @@ q(qid, term) AS (VALUES {_DISJ_VALUES}),
 {_BM25_COMMON}
 """,
         "ft_bool_counts": _bool_counts_sql(),
+        "ft_bm25_topk_merged": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+""",
         "ft_bm25_topk_distributed": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),

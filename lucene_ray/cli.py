@@ -1,0 +1,147 @@
+"""CLI entry points (reference demo/IndexFiles.java:130-148, SearchFiles.java).
+
+    python -m lucene_ray.cli build  --corpus DIR [--index DIR] [--mode fused]
+                                    [--docs-per-segment N] [--analyzer standard]
+    python -m lucene_ray.cli search --index DIR --query "t1 t2 ..." [-k 10]
+                                    [--op should|must] [--workers N]
+    python -m lucene_ray.cli merge  --index DIR [--max-segments 1]
+    python -m lucene_ray.cli stats  --index DIR
+
+These own a Ray session (ray.init/shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _init_ray()
+    from .index.build import build_index
+
+    manifest = build_index(
+        args.corpus,
+        args.index,
+        analyzer=args.analyzer,
+        docs_per_segment=args.docs_per_segment,
+        mode=args.mode,
+        content_column=args.content_column,
+        resume=not args.no_resume,
+    )
+    n_docs = sum(s["max_doc"] for s in manifest["segments"])
+    print(
+        json.dumps(
+            {
+                "generation": manifest["generation"],
+                "segments": len(manifest["segments"]),
+                "docs": n_docs,
+                "built_sec": manifest["built_sec"],
+                "skipped_segments": len(manifest.get("skipped_segments", [])),
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_search(args) -> int:
+    ray = _init_ray()
+    from .analysis.analyzers import make_analyzer
+    from .search.query import TermQuery, bool_query
+    from .search.searcher import DistributedSearcher, IndexSearcher
+
+    analyzer = make_analyzer(args.analyzer)
+    terms = [analyzer.normalize(t) for t in args.query.split()]
+    if len(terms) == 1:
+        q = TermQuery(terms[0])
+    elif args.op == "must":
+        q = bool_query(must=[TermQuery(t) for t in terms])
+    else:
+        q = bool_query(should=[TermQuery(t) for t in terms])
+    if args.workers > 0:
+        searcher = DistributedSearcher(args.index, num_workers=args.workers)
+    else:
+        searcher = IndexSearcher(args.index)
+    hits = searcher.search(q, args.k)
+    for rank, (doc, score) in enumerate(hits, start=1):
+        print(f"{rank}\t{doc}\t{float(score):.6f}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    ray = _init_ray()
+    from .index.merge import force_merge, maybe_merge
+
+    if args.max_segments:
+        man = force_merge(args.index, max_segments=args.max_segments)
+    else:
+        man = maybe_merge(args.index)
+    print(
+        json.dumps(
+            {"generation": man["generation"], "segments": len(man["segments"])}
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .index.manifest import collection_stats_from, read_manifest
+
+    man = read_manifest(args.index)
+    out = collection_stats_from(man)
+    out["segments"] = len(man["segments"])
+    out["generation"] = man["generation"]
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--mode", default="fused", choices=["fused", "shuffle"])
+    b.add_argument("--docs-per-segment", type=int, default=65536)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--content-column", default="content")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--op", default="should", choices=["should", "must"])
+    s.add_argument("--workers", type=int, default=0)
+    s.add_argument("--analyzer", default="standard")
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--max-segments", type=int, default=0)
+    m.set_defaults(fn=cmd_merge)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

