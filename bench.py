@@ -141,6 +141,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["index_build"] = round(build["sec"], 3)
     extras["index_build"] = {k: v for k, v in build.items() if k not in ("sec", "idx_dir")}
 
+    from lucene_ray.index.merge import force_merge
+
+    t0 = time.time()
+    force_merge(build["idx_dir"], max_segments=16)
+    queries["force_merge"] = round(time.time() - t0, 3)
+
     q = _bench_queries(build["idx_dir"], num_workers=min(8, num_cpus))
     queries["query_latency"] = round(q.pop("sec"), 3)
     extras["query_latency"] = q

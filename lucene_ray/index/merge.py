@@ -162,23 +162,12 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
         norms[local : local + r.max_doc] = np.asarray(r.norms)
-        # decode every posting of this segment
-        tid_rows: list[np.ndarray] = []
-        doc_rows: list[np.ndarray] = []
-        tf_rows: list[np.ndarray] = []
-        for tid in range(r.n_terms):
-            docs, freqs = codec.decode_term(r.enc, tid)
-            tid_rows.append(np.full(len(docs), tid, dtype=np.int64))
-            doc_rows.append(docs + shift)
-            tf_rows.append(freqs)
-        if tid_rows:
-            tids = np.concatenate(tid_rows)
-            terms = pa.array(
-                [r.term_string(t) for t in range(r.n_terms)], type=pa.large_string()
-            ).take(pa.array(tids))
-            all_terms.append(terms)
-            all_docs.append(np.concatenate(doc_rows))
-            all_tfs.append(np.concatenate(tf_rows))
+        # whole-segment vectorized decode (singleton tail emitted wholesale)
+        tids, docs, freqs = codec.decode_all(r.enc)
+        if len(tids):
+            all_terms.append(r.terms_array().take(pa.array(tids)))
+            all_docs.append(docs + shift)
+            all_tfs.append(freqs)
         local += r.max_doc
 
     terms = (

@@ -333,6 +333,34 @@ def decode_block(enc: EncodedPostings, block_idx: int, prev_last_doc: int) -> tu
     return docids, freqs
 
 
+def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a whole segment -> (term_ids, docids, freqs), term-major order.
+
+    Used by the merge path.  Singleton terms (the huge tail in code corpora)
+    are emitted wholesale from the per-term arrays — no per-term Python work;
+    only blocked terms loop, and per *block*, not per posting.
+    """
+    n_terms = len(enc.doc_freq)
+    sing = enc.singleton_doc >= 0
+    sing_tids = np.nonzero(sing)[0].astype(np.int64)
+    out_tids = [sing_tids]
+    out_docs = [enc.singleton_doc[sing_tids].astype(np.int64)]
+    out_tfs = [enc.singleton_freq[sing_tids].astype(np.int64)]
+
+    blocked = np.nonzero(~sing & (enc.doc_freq > 0))[0]
+    for tid in blocked:
+        docs, freqs = decode_term(enc, int(tid))
+        out_tids.append(np.full(len(docs), tid, dtype=np.int64))
+        out_docs.append(docs)
+        out_tfs.append(freqs)
+    tids = np.concatenate(out_tids) if out_tids else np.empty(0, dtype=np.int64)
+    docs = np.concatenate(out_docs) if out_docs else np.empty(0, dtype=np.int64)
+    tfs = np.concatenate(out_tfs) if out_tfs else np.empty(0, dtype=np.int64)
+    order = np.argsort(tids, kind="stable")  # term-major; docids stay sorted per term
+    _ = n_terms
+    return tids[order], docs[order], tfs[order]
+
+
 def decode_term(enc: EncodedPostings, term_id: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a whole posting list -> (docids, freqs); includes singletons."""
     if enc.doc_freq[term_id] == 0:

@@ -180,6 +180,16 @@ class SegmentReader:
     def term_string(self, tid: int) -> str:
         return self._term_at(tid).decode("utf-8")
 
+    def terms_array(self) -> pa.Array:
+        """The whole sorted term dictionary as a zero-copy Arrow array."""
+        offsets = np.ascontiguousarray(self.term_offsets, dtype=np.int64)
+        data = np.ascontiguousarray(self.term_bytes, dtype=np.uint8)
+        return pa.Array.from_buffers(
+            pa.large_utf8(),
+            self.n_terms,
+            [None, pa.py_buffer(offsets), pa.py_buffer(data)],
+        )
+
     def cursor(self, term: str | int):
         from ..search.scorers import PostingsCursor  # cycle-free at runtime
 

@@ -61,8 +61,12 @@ class TopKCollector:
         return None
 
     def top_docs(self) -> list[tuple[int, np.float32]]:
-        """[(docid, score)] sorted by (score desc, docid asc)."""
-        items = sorted(self.heap, key=lambda t: (-t[0], t[1]))
+        """[(docid, score)] sorted by (score desc, docid asc).
+
+        heap items are (score, -docid); docid-ascending on equal score
+        means sorting the NEGATED docid descending.
+        """
+        items = sorted(self.heap, key=lambda t: (-t[0], -t[1]))
         return [(-neg, F32(s)) for s, neg in items]
 
 

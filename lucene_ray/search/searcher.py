@@ -25,6 +25,83 @@ from .scorers import NO_MORE_DOCS
 
 DEFAULT_TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:100
 
+# Dense bulk scoring is used for pure-SHOULD disjunctions (and single terms)
+# on segments up to this many docs — the BooleanScorer/TermScorer
+# nextDocsAndScores analogue (reference search/TermScorer.java:134-167 bulk
+# block scoring; search/MaxScoreBulkScorer.java dense windows).  Beyond it,
+# the block-max WAND scorer takes over (pruning beats brute force there).
+BULK_MAX_DOC = 1 << 17
+
+
+def _leaf_term(q: Query, boost: float = 1.0):
+    """(term, boost) for a (possibly boost-wrapped) TermQuery leaf, else None.
+    Nested BooleanQuery is NOT a leaf: its score is float32-cast before the
+    outer sum, so flattening it would change float32 results."""
+    from .query import BoostQuery, TermQuery
+
+    if isinstance(q, TermQuery):
+        return (q.term, boost)
+    if isinstance(q, BoostQuery):
+        return _leaf_term(q.query, boost * q.boost)
+    return None
+
+
+def _flatten_should_terms(q: Query):
+    """([(term, boost)], min_should_match) if ``q`` is a single term or a
+    pure-SHOULD disjunction of term leaves, else None."""
+    from .query import SHOULD, BooleanQuery
+
+    leaf = _leaf_term(q)
+    if leaf is not None:
+        return [leaf], 0
+    if isinstance(q, BooleanQuery):
+        out = []
+        for c in q.clauses:
+            if c.occur != SHOULD:
+                return None
+            sub = _leaf_term(c.query)
+            if sub is None:
+                return None
+            out.append(sub)
+        return (out, q.min_should_match) if out else None
+    return None
+
+
+def _bulk_search_segment(reader, terms_boosts, min_should_match, weight, k):
+    """Exact dense top-k: float64 accumulator of float32 clause scores,
+    final cast to float32 (the WANDScorer double-accumulator shape), ties
+    broken (score desc, docid asc) like TopScoreDocCollector."""
+    from ..index.postings import decode_term
+
+    max_doc = reader.max_doc
+    acc = None
+    counts = None
+    norms = np.asarray(reader.norms)
+    for term, boost in terms_boosts:
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        docs, freqs = decode_term(reader.enc, tid)
+        scores = weight.sim_scorer(term, boost).score_bulk(freqs, norms[docs])
+        if acc is None:
+            acc = np.zeros(max_doc, dtype=np.float64)
+            counts = np.zeros(max_doc, dtype=np.int32)
+        acc[docs] += scores.astype(np.float64)
+        counts[docs] += 1
+    if acc is None:
+        return []
+    mask = counts >= max(min_should_match, 1)
+    cand = np.nonzero(mask)[0]
+    if len(cand) == 0:
+        return []
+    sc = acc[cand].astype(np.float32)
+    if len(cand) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]  # k-th best score, negated
+        keep = -sc <= kth  # everything scoring >= the k-th (ties included)
+        cand, sc = cand[keep], sc[keep]
+    order = np.lexsort((cand, -sc))[:k]
+    return [(int(cand[i]), np.float32(sc[i])) for i in order]
+
 
 class IndexSearcher:
     def __init__(self, index_dir: str, generation: int | None = None, mmap: bool = True):
@@ -105,7 +182,12 @@ def search_segment(
     k: int,
     total_hits_threshold: float,
     score_mode: str,
+    allow_bulk: bool = True,
 ) -> list[tuple[int, np.float32]]:
+    if allow_bulk and score_mode == "TOP_SCORES" and reader.max_doc <= BULK_MAX_DOC:
+        flat = _flatten_should_terms(query)
+        if flat is not None:
+            return _bulk_search_segment(reader, flat[0], flat[1], weight, k)
     scorer = build_scorer(query, weight, reader, 1.0, score_mode, top_level=True)
     if scorer is None:
         return []
@@ -184,6 +266,11 @@ class DistributedSearcher:
             ords = [j for j in range(len(segs)) if j % n == i]
             if dirs:
                 self.workers.append(Worker.remote(dirs, ords))
+        # per-term (df, ttf) cache: the index is immutable, so term stats
+        # never change — caching drops the phase-A RPC round for repeated
+        # terms (TermStates is rebuilt per query in the reference only
+        # because its readers are cheap in-process)
+        self._term_stats_cache: dict[str, tuple[int, int]] = {}
 
     def search(
         self,
@@ -195,15 +282,19 @@ class DistributedSearcher:
         import ray
 
         terms = sorted(collect_terms(query))
-        stats_parts = ray.get([w.term_stats.remote(terms) for w in self.workers])
-        term_stats = {t: [0, 0] for t in terms}
-        for part in stats_parts:
-            for t, (df, ttf) in part.items():
-                term_stats[t][0] += df
-                term_stats[t][1] += ttf
+        missing = [t for t in terms if t not in self._term_stats_cache]
+        if missing:
+            stats_parts = ray.get([w.term_stats.remote(missing) for w in self.workers])
+            agg = {t: [0, 0] for t in missing}
+            for part in stats_parts:
+                for t, (df, ttf) in part.items():
+                    agg[t][0] += df
+                    agg[t][1] += ttf
+            for t, v in agg.items():
+                self._term_stats_cache[t] = (v[0], v[1])
         weight_stats = {
             "collection": self.collection_stats,
-            "terms": {t: tuple(v) for t, v in term_stats.items()},
+            "terms": {t: self._term_stats_cache[t] for t in terms},
         }
         results = ray.get(
             [
