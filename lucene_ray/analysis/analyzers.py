@@ -66,6 +66,84 @@ class StandardAnalyzer:
         cps = np.frombuffer(term.encode("utf-32-le"), dtype="<u4")
         return self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
 
+    def analyze_batch(self, texts: list[str]):
+        """Vectorized whole-batch analysis.
+
+        Returns ``(uniq_terms, term_ids, doc_ids, tfs, lengths)`` where
+        ``uniq_terms`` is the batch vocabulary sorted in UTF-8 byte order
+        (list[str]), ``(term_ids, doc_ids, tfs)`` are aligned postings rows
+        (int64, doc-local tf aggregated), and ``lengths[i]`` is doc i's
+        surviving token count (the FieldInvertState length for the norm).
+
+        No per-token Python objects: one codepoint array for the batch,
+        one batch scan, lowercase via table lookup, term dedup via
+        per-length void views, tf via a single np.unique over packed
+        (doc, term) keys.
+        """
+        if not texts:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        joined = "\n".join(t or "" for t in texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        doc_lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+        # doc i occupies [doc_off[i], doc_off[i] + len_i); +1 for the '\n'
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens + 1)))[:-1]
+
+        starts, ends = scanner.scan_spans_batch(cps, self.max_token_length)
+        n_tok = len(starts)
+        lengths = np.zeros(len(texts), dtype=np.int64)
+        if n_tok == 0:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
+        doc_ids = np.searchsorted(doc_off, starts, side="right") - 1
+
+        low = self.tables.lower[cps]
+        tok_lens = ends - starts
+        gids = np.zeros(n_tok, dtype=np.int64)
+        vocab: list[str] = []
+        base = 0
+        for L in np.unique(tok_lens):
+            sel = np.flatnonzero(tok_lens == L)
+            mat = low[starts[sel, None] + np.arange(L)[None, :]]
+            mat = np.ascontiguousarray(mat.astype("<u4"))
+            view = mat.view(f"V{int(L) * 4}").ravel()
+            uniq, inv = np.unique(view, return_inverse=True)
+            gids[sel] = base + inv
+            ubytes = uniq.tobytes()
+            step = int(L) * 4
+            vocab.extend(
+                ubytes[i : i + step].decode("utf-32-le")
+                for i in range(0, len(ubytes), step)
+            )
+            base += len(uniq)
+
+        if self.stop_words:
+            keep_term = np.array([t not in self.stop_words for t in vocab])
+            keep = keep_term[gids]
+            starts, doc_ids, gids = starts[keep], doc_ids[keep], gids[keep]
+            if len(gids) == 0:
+                return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
+            used = np.unique(gids)  # compact the vocab to surviving terms
+            compact = np.full(len(vocab), -1, dtype=np.int64)
+            compact[used] = np.arange(len(used), dtype=np.int64)
+            vocab = [vocab[i] for i in used.tolist()]
+            gids = compact[gids]
+
+        lengths = np.bincount(doc_ids, minlength=len(texts)).astype(np.int64)
+
+        # vocabulary in UTF-8 byte order + remap of per-token ids
+        enc = [t.encode("utf-8") for t in vocab]
+        order = sorted(range(len(vocab)), key=enc.__getitem__)
+        remap = np.empty(len(vocab), dtype=np.int64)
+        remap[np.asarray(order, dtype=np.int64)] = np.arange(len(vocab), dtype=np.int64)
+        sorted_vocab = [vocab[i] for i in order]
+        tids = remap[gids]
+
+        # tf per (doc, term): one unique over packed keys
+        keys = doc_ids * np.int64(len(vocab)) + tids
+        ukeys, counts = np.unique(keys, return_counts=True)
+        out_docs = (ukeys // len(vocab)).astype(np.int64)
+        out_tids = (ukeys % len(vocab)).astype(np.int64)
+        return sorted_vocab, out_tids, out_docs, counts.astype(np.int64), lengths
+
 
 class SimpleCodeAnalyzer:
     """ASCII identifier tokenizer with exact SQL-oracle parity.

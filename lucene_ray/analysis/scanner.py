@@ -210,6 +210,81 @@ def text_slice(text: str, cps: np.ndarray, s: int, e: int) -> str:
     return text[s:e]
 
 
+def scan_spans_batch(
+    cps: np.ndarray, max_token_length: int = 255
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch tokenization: (starts, ends) codepoint spans, in
+    document order, token types dropped (the index keeps only terms).
+
+    Same semantics as ``scan_spans`` (differentially tested), but the common
+    case — simple ASCII-identifier segments under the 255-unit cap — is
+    emitted as whole numpy arrays with no per-token Python work; only
+    complex segments (CJK/emoji/joiners) and over-long runs take the exact
+    DFA / window loop.
+    """
+    t = tables()
+    n = len(cps)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    classes = t.cmap[cps]
+    nb = ~t.breaker_class[classes]
+    if not nb.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d = np.diff(nb.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if nb[0]:
+        starts = np.concatenate(([0], starts))
+    if nb[-1]:
+        ends = np.concatenate((ends, [n]))
+
+    simple = t.simple_class[classes]
+    # NB: bool->int32 cumsum is ~10x faster than bool->int64 in numpy
+    nonsimple_cum = np.concatenate(([0], np.cumsum(~simple, dtype=np.int32)))
+    nonext_cum = np.concatenate(([0], np.cumsum(classes != t.cls_extnumlet, dtype=np.int32)))
+
+    all_simple = nonsimple_cum[ends] == nonsimple_cum[starts]
+    short = (ends - starts) <= max_token_length
+    has_nonext = nonext_cum[ends] > nonext_cum[starts]
+    fast = all_simple & short
+    keep = fast & has_nonext  # pure-'_' runs are skipped
+    out_starts = [starts[keep]]
+    out_ends = [ends[keep]]
+
+    slow_idx = np.flatnonzero(~fast)
+    if len(slow_idx):
+        slow_s: list[int] = []
+        slow_e: list[int] = []
+        for i in slow_idx.tolist():
+            s, e = int(starts[i]), int(ends[i])
+            if all_simple[i]:  # simple but over-long: 255-unit window split
+                p = s
+                while p < e:
+                    q = min(p + max_token_length, e)
+                    if nonext_cum[q] > nonext_cum[p]:
+                        slow_s.append(p)
+                        slow_e.append(q)
+                    p = q
+            else:
+                seg_cps = cps[s:e]
+                seg_u16 = np.concatenate(
+                    ([0], np.cumsum(1 + (seg_cps >= 0x10000), dtype=np.int64))
+                )
+                seg_out: list[tuple[int, int, int]] = []
+                _scan_segment_dfa(seg_cps, classes[s:e], seg_u16, max_token_length, seg_out)
+                for a, b, _tt in seg_out:
+                    slow_s.append(s + a)
+                    slow_e.append(s + b)
+        if slow_s:
+            out_starts.append(np.asarray(slow_s, dtype=np.int64))
+            out_ends.append(np.asarray(slow_e, dtype=np.int64))
+
+    ss = np.concatenate(out_starts)
+    ee = np.concatenate(out_ends)
+    order = np.argsort(ss, kind="stable")
+    return ss[order], ee[order]
+
+
 def scan_spans(cps: np.ndarray, max_token_length: int = 255) -> list[tuple[int, int, int]]:
     """Tokenize a codepoint array; returns (start_cp, end_cp, type) spans.
 
@@ -240,12 +315,12 @@ def scan_spans(cps: np.ndarray, max_token_length: int = 255) -> list[tuple[int, 
     simple = t.simple_class[classes]
     ext_cls = t.cls_extnumlet
     # prefix sums for O(1) per-segment checks
-    simple_cum = np.concatenate(([0], np.cumsum(~simple)))
-    nonext_cum = np.concatenate(([0], np.cumsum(classes != ext_cls)))
-    alpha_cum = np.concatenate(([0], np.cumsum(classes == t.cls_aletter)))
+    simple_cum = np.concatenate(([0], np.cumsum(~simple, dtype=np.int64)))
+    nonext_cum = np.concatenate(([0], np.cumsum(classes != ext_cls, dtype=np.int64)))
+    alpha_cum = np.concatenate(([0], np.cumsum(classes == t.cls_aletter, dtype=np.int64)))
     astral = cps >= 0x10000
     if astral.any():
-        u16_cum = np.concatenate(([0], np.cumsum(1 + astral.astype(np.int64))))
+        u16_cum = np.concatenate(([0], np.cumsum(1 + astral, dtype=np.int64)))
     else:
         u16_cum = None  # all BMP: u16 index == cp index
 

@@ -142,32 +142,36 @@ class AnalyzerStage:
             out_tables.append(self.analyze_fragment(row))
         return pa.concat_tables(out_tables) if out_tables else _empty_postings()
 
-    def analyze_fragment(self, desc: dict) -> pa.Table:
+    def analyze_fragment_ids(self, desc: dict) -> dict:
+        """Vectorized fragment analysis -> dictionary-encoded postings.
+
+        Returns {vocab (UTF-8-byte-sorted list[str]), tids, docids
+        (segment-local), tfs, lengths (per fragment row)}.
+        """
         tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
         texts = tbl.column(self.content_column).to_pylist()
-        local_base = desc["local_base"]  # local docid of first row in segment
-        terms: list[list[str]] = []
-        tfs: list[list[int]] = []
-        docids: list[np.ndarray] = []
-        analyze = self.analyzer.analyze
-        for i, text in enumerate(texts):
-            t, f, _length = analyze(text or "")
-            if t:
-                terms.append(t)
-                tfs.append(f)
-                docids.append(np.full(len(t), local_base + i, dtype=np.int32))
-        if not terms:
+        vocab, tids, docs, tfs, lengths = self.analyzer.analyze_batch(texts)
+        return {
+            "vocab": vocab,
+            "tids": tids,
+            "docids": docs + desc["local_base"],
+            "tfs": tfs,
+            "lengths": lengths,
+            "n_rows": len(texts),
+        }
+
+    def analyze_fragment(self, desc: dict) -> pa.Table:
+        r = self.analyze_fragment_ids(desc)
+        if not r["vocab"]:
             return _empty_postings()
-        flat_terms = [t for ts in terms for t in ts]
-        flat_tfs = np.concatenate([np.asarray(f, dtype=np.int32) for f in tfs])
-        flat_docs = np.concatenate(docids)
-        n = len(flat_terms)
+        terms = pa.array(r["vocab"], type=pa.large_string()).take(pa.array(r["tids"]))
+        n = len(r["tids"])
         return pa.table(
             {
                 "segpart": pa.array(np.full(n, desc["seg_id"], dtype=np.int32)),
-                "term": pa.array(flat_terms, type=pa.large_string()),
-                "docid": pa.array(flat_docs),
-                "tf": pa.array(flat_tfs),
+                "term": terms,
+                "docid": pa.array(r["docids"].astype(np.int32)),
+                "tf": pa.array(r["tfs"].astype(np.int32)),
             }
         )
 
@@ -260,28 +264,72 @@ def _fragments_with_local_base(seg: dict) -> list[dict]:
 
 
 class FusedSegmentBuilder:
-    """One call = one whole segment: read -> analyze -> encode -> write."""
+    """One call = one whole segment: read -> analyze -> encode -> write.
+
+    Stays dictionary-encoded end to end: fragment vocabularies are merged
+    (python set union over ~10^4 strings), per-fragment term ids remapped
+    with one dict lookup pass, rows integer-lexsorted and handed straight
+    to the block encoder — no Arrow string sort, no per-token objects.
+    """
 
     def __init__(self, index_dir: str, analyzer: str, content_column: str, segs_by_id: dict):
         self.index_dir = index_dir
         self.stage = AnalyzerStage(analyzer, content_column)
         self.segs_by_id = segs_by_id
 
+    def build_one(self, seg: dict) -> dict:
+        from .segment import build_segment_from_ids
+
+        frags = [
+            self.stage.analyze_fragment_ids(frag)
+            for frag in _fragments_with_local_base(seg)
+        ]
+        vocab_set: set[str] = set()
+        for fr in frags:
+            vocab_set.update(fr["vocab"])
+        vocab = sorted(vocab_set, key=lambda s: s.encode("utf-8"))
+        gid = {t: i for i, t in enumerate(vocab)}
+
+        tid_parts, doc_parts, tf_parts, len_parts = [], [], [], []
+        for fr in frags:
+            if fr["vocab"]:
+                remap = np.array([gid[t] for t in fr["vocab"]], dtype=np.int64)
+                tid_parts.append(remap[fr["tids"]])
+                doc_parts.append(fr["docids"])
+                tf_parts.append(fr["tfs"])
+            len_parts.append(fr["lengths"])
+        lengths = np.concatenate(len_parts) if len_parts else np.zeros(seg["max_doc"], np.int64)
+        norms = int_to_byte4_array(lengths)
+        tids = np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
+        docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
+        tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+
+        seg_dir = os.path.join(self.index_dir, seg["name"])
+        meta = {
+            "name": seg["name"],
+            "max_doc": seg["max_doc"],
+            "doc_base": seg["doc_base"],
+            "lineage": seg["lineage"],
+        }
+        t0 = time.time()
+        metrics = build_segment_from_ids(
+            pa.array(vocab, type=pa.large_string()),
+            tids,
+            docs.astype(np.int32),
+            tfs.astype(np.int32),
+            norms,
+            None,
+            seg_dir,
+            meta,
+        )
+        metrics["encode_sec"] = round(time.time() - t0, 3)
+        return metrics
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for desc in batch.to_pylist():
             seg = self.segs_by_id[desc["seg_id"]]
-            parts = [
-                self.stage.analyze_fragment(frag) for frag in _fragments_with_local_base(seg)
-            ]
-            post = pa.concat_tables(parts)
-            metrics = _build_segment_from_postings(
-                post.column("term"),
-                post.column("docid").to_numpy(),
-                post.column("tf").to_numpy(),
-                seg,
-                self.index_dir,
-            )
+            metrics = self.build_one(seg)
             rows.append({"seg_id": seg["seg_id"], "metrics": json.dumps(metrics)})
         return pa.Table.from_pylist(rows)
 

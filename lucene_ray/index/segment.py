@@ -47,7 +47,7 @@ def build_segment(
     seg_dir: str,
     meta: dict,
 ) -> dict:
-    """Encode and atomically write one segment.
+    """Encode and atomically write one segment from STRING term rows.
 
     ``terms`` is an object/str numpy array (or pyarrow StringArray) aligned
     with ``docids``/``tfs`` (one row per (term, doc) posting, ANY order —
@@ -73,15 +73,45 @@ def build_segment(
         dict_arr = dict_arr.combine_chunks()
     term_ids = dict_arr.indices.to_numpy().astype(np.int64)
     uniq = dict_arr.dictionary  # sorted unique terms (column was sorted)
-    n_terms = len(uniq)
-
-    enc = codec.encode_postings(
+    return build_segment_from_ids(
+        uniq,
         term_ids,
         tbl.column("docid").to_numpy(),
         tbl.column("tf").to_numpy(),
         norms,
-        n_terms,
+        doc_table,
+        seg_dir,
+        meta,
+        presorted=True,
     )
+
+
+def build_segment_from_ids(
+    uniq: pa.Array,
+    term_ids: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    doc_table: pa.Table | None,
+    seg_dir: str,
+    meta: dict,
+    presorted: bool = False,
+) -> dict:
+    """Encode and atomically write one segment from dictionary-encoded rows.
+
+    ``uniq`` must already be sorted in UTF-8 byte order and ``term_ids``
+    index into it; the row sort is a pure integer lexsort — the fast path
+    the vectorized analyzer feeds directly.
+    """
+    term_ids = np.asarray(term_ids, dtype=np.int64)
+    docids = np.asarray(docids)
+    tfs = np.asarray(tfs)
+    if not presorted:
+        order = np.lexsort((docids, term_ids))
+        term_ids, docids, tfs = term_ids[order], docids[order], tfs[order]
+    n_terms = len(uniq)
+
+    enc = codec.encode_postings(term_ids, docids, tfs, norms, n_terms)
 
     tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
