@@ -284,8 +284,14 @@ def _distributed_bm25(sf_dir: str):
     )
 
 
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import dedup, multimodal, text
+    from lucene_ray.ops import dedup, events, multimodal, text
 
     return {
         # --- fulltext index pipelines (the flagship) ---
@@ -318,6 +324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
+        # --- event-table operators (windowed agg / sessions / as-of join) ---
+        "ev_windowed_counts": lambda sf: events.windowed_counts(_events(sf)),
+        "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
+        "ev_asof_last_login": lambda sf: events.asof_last_login(_events(sf)),
     }
 
 
@@ -477,6 +487,29 @@ FROM ranked WHERE rnk <= 10
 SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        "ev_windowed_counts": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY event_type, window_start
+""",
+        "ev_sessionize": """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM e GROUP BY user_id
+""",
+        "ev_asof_last_login": """
+SELECT p.event_id,
+       coalesce((SELECT epoch_us(max(l.ts)) FROM events l
+                 WHERE l.user_id = p.user_id AND l.event_type = 'login'
+                   AND l.ts <= p.ts), -1)::BIGINT AS last_login_us
+FROM events p WHERE p.event_type = 'purchase'
 """,
         "mm_decode_stats": """
 SELECT doc_id,

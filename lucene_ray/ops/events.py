@@ -1,0 +1,116 @@
+"""Event-table operators: windowed aggregation, sessionization, as-of join.
+
+The reference engine is snapshot-batch (no streaming), so these are the
+batch formulations a training-data pipeline actually runs over event logs:
+
+- ``windowed_counts``: tumbling-window aggregate as a two-level
+  aggregation — per-batch PARTIAL combine inside ``map_batches`` (each
+  batch collapses to at most #windows x #types rows), then a small
+  ``groupby().sum`` final.  The shuffle moves pre-aggregated partials,
+  not events: the canonical partial+final pattern at 100 TB.
+- ``sessionize``: per-user session windows (gap-based) via
+  ``groupby(user_id).map_groups`` — the partition key IS the session
+  scope, so each group sorts its own events locally; no global sort.
+- ``asof_last_login``: per-event as-of join (latest 'login' <= purchase
+  ts, same user) via the same per-user grouping + ``np.searchsorted``;
+  an as-of join keyed and sorted inside each partition.
+
+Money amounts are compared as integer cents (floor(v*100 + 0.5), the
+same double expression the oracle SQL uses) so driver value-hashes are
+exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SESSION_GAP_MIN = 30
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _windowed_partial(batch: pa.Table) -> pa.Table:
+    df = batch.select(["ts", "event_type", "value"]).to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    df["cents"] = _cents(df["value"].to_numpy())
+    g = (
+        df.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+    )
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def windowed_counts(ds):
+    """Tumbling 1-hour windows per event_type: (event_type, window_start,
+    n_events, sum_cents)."""
+    partials = ds.map_batches(_windowed_partial, batch_format="pyarrow")
+    final = partials.groupby(["event_type", "window_start"]).sum(
+        ["n_events", "sum_cents"]
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": b.column("window_start"),
+                "n_events": b.column("sum(n_events)"),
+                "sum_cents": b.column("sum(sum_cents)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sessionize_group(group: pa.Table) -> pa.Table:
+    df = group.select(["user_id", "ts", "event_id"]).to_pandas()
+    df = df.sort_values(["ts", "event_id"])
+    gaps = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    return pa.table(
+        {
+            "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+            "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
+            "n_events": pa.array([len(df)], pa.int64()),
+        }
+    )
+
+
+def sessionize(ds):
+    """(user_id, n_sessions, n_events) with 30-minute gap sessions."""
+    return ds.groupby("user_id").map_groups(_sessionize_group, batch_format="pyarrow")
+
+
+def _asof_group(group: pa.Table) -> pa.Table:
+    df = group.select(["user_id", "event_id", "event_type", "ts"]).to_pandas()
+    logins = df.loc[df["event_type"] == "login", "ts"].sort_values().to_numpy()
+    buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    if len(buys) == 0:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "last_login_us": pa.array([], pa.int64()),
+            }
+        )
+    # integer epoch-us with -1 for "no prior login": NULL-free output so
+    # driver value-hashes are exact (NaT != NaT would poison comparisons)
+    if len(logins) == 0:
+        last_us = np.full(len(buys), -1, dtype=np.int64)
+    else:
+        idx = np.searchsorted(logins, buys["ts"].to_numpy(), side="right") - 1
+        login_us = logins.astype("datetime64[us]").astype(np.int64)
+        last_us = np.where(idx >= 0, login_us[np.maximum(idx, 0)], np.int64(-1))
+    return pa.table(
+        {
+            "event_id": pa.array(buys["event_id"].to_numpy(), pa.int64()),
+            "last_login_us": pa.array(last_us, pa.int64()),
+        }
+    )
+
+
+def asof_last_login(ds):
+    """As-of join: for each 'purchase', the latest same-user 'login' with
+    ts <= purchase ts, as epoch microseconds (-1 if none)."""
+    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")

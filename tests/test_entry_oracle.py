@@ -25,7 +25,7 @@ ORACLES = entry_mod.oracle_sql()
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         c.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
