@@ -96,6 +96,16 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    ray = _init_ray()
+    from .index.check import check_index
+
+    report = check_index(args.index, raise_on_error=False)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0 if report["ok"] else 1
+
+
 def cmd_stats(args) -> int:
     from .index.manifest import collection_stats_from, read_manifest
 
@@ -138,6 +148,10 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    ck = sub.add_parser("check")
+    ck.add_argument("--index", required=True)
+    ck.set_defaults(fn=cmd_check)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,71 @@
+"""CheckIndex validator: clean indexes pass; corrupted structures are caught."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.check import CheckIndexError, check_index, check_segment
+from lucene_ray.index.merge import force_merge
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("chk_corpus")
+    pq.write_table(generate_corpus(400, seed=31), str(d / "c.parquet"), row_group_size=64)
+    out = str(tmp_path_factory.mktemp("chk_idx"))
+    build_index_local(str(d), out, docs_per_segment=64)
+    return out
+
+
+def test_clean_index_passes(idx, ray_session):
+    report = check_index(idx, use_ray=True)
+    assert report["ok"] and report["segments"] == 7 and report["n_postings"] > 0
+
+
+def test_merged_index_passes(idx, ray_session):
+    force_merge(idx, max_segments=2)
+    report = check_index(idx, use_ray=False)
+    assert report["ok"] and report["segments"] == 2
+
+
+def test_corruption_detected(idx, tmp_path):
+    import os
+    import shutil
+
+    from lucene_ray.index import manifest as mf
+
+    man = mf.read_manifest(idx)
+    src = man["segments"][0]["dir"]
+    bad = str(tmp_path / "bad_seg")
+    shutil.copytree(src, bad)
+    # flip a norm byte -> "norm != quantized length" must fire
+    norms = np.load(os.path.join(bad, "norms.npy"))
+    norms[0] = 255 if norms[0] != 255 else 1
+    np.save(os.path.join(bad, "norms.npy"), norms)
+    with pytest.raises(CheckIndexError):
+        check_segment(bad)
+    rep = check_segment(bad, raise_on_error=False)
+    assert rep["errors"]
+
+
+def test_corrupt_postings_detected(idx, tmp_path):
+    import os
+    import shutil
+
+    from lucene_ray.index import manifest as mf
+
+    man = mf.read_manifest(idx)
+    src = man["segments"][0]["dir"]
+    bad = str(tmp_path / "bad_seg2")
+    shutil.copytree(src, bad)
+    # inflate a doc_freq -> decoded-count mismatch must fire
+    df = np.load(os.path.join(bad, "doc_freq.npy"))
+    df[0] += 1
+    np.save(os.path.join(bad, "doc_freq.npy"), df)
+    with pytest.raises(CheckIndexError):
+        check_segment(bad)
