@@ -171,6 +171,69 @@ FROM toks t JOIN documents d USING (doc_id)
 """
 
 
+def _phrase_match_sql() -> str:
+    """Per-phrase (qid, doc_id, pf) via consecutive-position checks."""
+    parts = []
+    for qid, words in enumerate(ft.PHRASES):
+        n = len(words)
+        conds = " AND ".join(f"ts[i + {k + 1}] = '{w}'" for k, w in enumerate(words))
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS pf "
+            f"FROM s WHERE i + {n} <= len(ts) AND {conds} GROUP BY doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "ph AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
+def _phrase_counts_sql() -> str:
+    return f"""
+WITH {_TOKS},
+{_phrase_match_sql()}
+SELECT qid, doc_id, pf AS phrase_freq FROM ph
+"""
+
+
+def _phrase_topk_sql() -> str:
+    # idf = sum over phrase terms (duplicates counted) of the BM25 idf
+    idf_cases = []
+    for qid, words in enumerate(ft.PHRASES):
+        terms_sum = " + ".join(
+            f"(SELECT ln(1 + (st.doc_count - tdf.df + 0.5) / (tdf.df + 0.5)) "
+            f"FROM tdf WHERE tok = '{w}')"
+            for w in words
+        )
+        idf_cases.append(f"WHEN {qid} THEN {terms_sum}")
+    idf_expr = "CASE qid " + " ".join(idf_cases) + " ELSE 0 END"
+    return f"""
+WITH {_TOKS}, {_LT},
+{_phrase_match_sql()},
+tdf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+st AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+scored AS (
+  SELECT ph.qid, ph.doc_id,
+         ({idf_expr})
+           * (1 - 1 / (1 + ph.pf / (1.2 * ((1 - 0.75) + 0.75 * q.ql
+              / (st.sum_ttf * 1.0 / st.doc_count))))) AS score
+  FROM ph JOIN dlq q ON q.doc_id = ph.doc_id CROSS JOIN st
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -305,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_counts": ft.bool_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
+        "ft_phrase_counts": ft.phrase_counts,
+        "ft_phrase_topk": ft.phrase_topk,
         # --- text analysis ---
         "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
@@ -382,6 +447,8 @@ q(qid, term) AS (VALUES {_DISJ_VALUES}),
 {_BM25_COMMON}
 """,
         "ft_bool_counts": _bool_counts_sql(),
+        "ft_phrase_counts": _phrase_counts_sql(),
+        "ft_phrase_topk": _phrase_topk_sql(),
         "ft_bm25_topk_merged": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),

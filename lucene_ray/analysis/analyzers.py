@@ -80,8 +80,43 @@ class StandardAnalyzer:
         per-length void views, tf via a single np.unique over packed
         (doc, term) keys.
         """
+        vocab, gids, doc_ids, _pos, lengths, n_docs = self._batch_token_stream(texts)
+        if not vocab:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
+        keys = doc_ids * np.int64(len(vocab)) + gids
+        ukeys, counts = np.unique(keys, return_counts=True)
+        out_docs = (ukeys // len(vocab)).astype(np.int64)
+        out_tids = (ukeys % len(vocab)).astype(np.int64)
+        return vocab, out_tids, out_docs, counts.astype(np.int64), lengths
+
+    def analyze_batch_positions(self, texts: list[str]):
+        """Like ``analyze_batch`` but also returns per-occurrence positions.
+
+        Returns ``(vocab, term_ids, doc_ids, tfs, lengths, pos_flat)``:
+        rows are SORTED by (term_id, doc_id); ``pos_flat`` concatenates each
+        row's ascending position list (``tfs`` gives the per-row counts, so
+        offsets are a prefix sum).  Positions are token ordinals BEFORE any
+        stop filtering (Lucene position-increment-gap semantics).
+        """
+        vocab, gids, doc_ids, pos, lengths, _ = self._batch_token_stream(texts)
+        if not vocab:
+            e = np.empty(0, np.int64)
+            return [], e, e, e, lengths, e
+        order = np.lexsort((doc_ids, gids))  # stable: in-doc pos order kept
+        g, d, p = gids[order], doc_ids[order], pos[order]
+        boundary = np.empty(len(g), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        row_idx = np.flatnonzero(boundary)
+        tfs = np.diff(np.concatenate((row_idx, [len(g)]))).astype(np.int64)
+        return vocab, g[row_idx], d[row_idx], tfs, lengths, p.astype(np.int64)
+
+    def _batch_token_stream(self, texts: list[str]):
+        """Shared core: (vocab sorted, per-token sorted-vocab ids, doc ids,
+        positions, per-doc surviving lengths, n_docs); tokens in doc order."""
         if not texts:
-            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+            e = np.empty(0, np.int64)
+            return [], e, e, e, np.empty(0, np.int64), 0
         joined = "\n".join(t or "" for t in texts)
         cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         doc_lens = np.array([len(t or "") for t in texts], dtype=np.int64)
@@ -91,9 +126,18 @@ class StandardAnalyzer:
         starts, ends = scanner.scan_spans_batch(cps, self.max_token_length)
         n_tok = len(starts)
         lengths = np.zeros(len(texts), dtype=np.int64)
+        e = np.empty(0, np.int64)
         if n_tok == 0:
-            return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
+            return [], e, e, e, lengths, len(texts)
         doc_ids = np.searchsorted(doc_off, starts, side="right") - 1
+        # position = token ordinal within its doc (scan order is doc order)
+        run_start = np.empty(n_tok, dtype=np.int64)
+        first = np.empty(n_tok, dtype=bool)
+        first[0] = True
+        first[1:] = doc_ids[1:] != doc_ids[:-1]
+        run_start[first] = np.flatnonzero(first)
+        np.maximum.accumulate(np.where(first, run_start, 0), out=run_start)
+        positions = np.arange(n_tok, dtype=np.int64) - run_start
 
         low = self.tables.lower[cps]
         tok_lens = ends - starts
@@ -118,9 +162,9 @@ class StandardAnalyzer:
         if self.stop_words:
             keep_term = np.array([t not in self.stop_words for t in vocab])
             keep = keep_term[gids]
-            starts, doc_ids, gids = starts[keep], doc_ids[keep], gids[keep]
+            doc_ids, gids, positions = doc_ids[keep], gids[keep], positions[keep]
             if len(gids) == 0:
-                return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
+                return [], e, e, e, lengths, len(texts)
             used = np.unique(gids)  # compact the vocab to surviving terms
             compact = np.full(len(vocab), -1, dtype=np.int64)
             compact[used] = np.arange(len(used), dtype=np.int64)
@@ -130,19 +174,13 @@ class StandardAnalyzer:
         lengths = np.bincount(doc_ids, minlength=len(texts)).astype(np.int64)
 
         # vocabulary in UTF-8 byte order + remap of per-token ids
-        enc = [t.encode("utf-8") for t in vocab]
-        order = sorted(range(len(vocab)), key=enc.__getitem__)
+        encd = [t.encode("utf-8") for t in vocab]
+        order = sorted(range(len(vocab)), key=encd.__getitem__)
         remap = np.empty(len(vocab), dtype=np.int64)
         remap[np.asarray(order, dtype=np.int64)] = np.arange(len(vocab), dtype=np.int64)
         sorted_vocab = [vocab[i] for i in order]
         tids = remap[gids]
-
-        # tf per (doc, term): one unique over packed keys
-        keys = doc_ids * np.int64(len(vocab)) + tids
-        ukeys, counts = np.unique(keys, return_counts=True)
-        out_docs = (ukeys // len(vocab)).astype(np.int64)
-        out_tids = (ukeys % len(vocab)).astype(np.int64)
-        return sorted_vocab, out_tids, out_docs, counts.astype(np.int64), lengths
+        return sorted_vocab, tids, doc_ids, positions, lengths, len(texts)
 
 
 class SimpleCodeAnalyzer:

@@ -132,9 +132,15 @@ class AnalyzerStage:
     (segpart, term, docid, tf) Arrow table, zero-copy into the object store.
     """
 
-    def __init__(self, analyzer: str = "standard", content_column: str = "content"):
+    def __init__(
+        self,
+        analyzer: str = "standard",
+        content_column: str = "content",
+        index_options: str = "docs_freqs",
+    ):
         self.analyzer = make_analyzer(analyzer)
         self.content_column = content_column
+        self.index_options = index_options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_tables = []
@@ -150,13 +156,18 @@ class AnalyzerStage:
         """
         tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
         texts = tbl.column(self.content_column).to_pylist()
-        vocab, tids, docs, tfs, lengths = self.analyzer.analyze_batch(texts)
+        if self.index_options == "positions":
+            vocab, tids, docs, tfs, lengths, pos = self.analyzer.analyze_batch_positions(texts)
+        else:
+            vocab, tids, docs, tfs, lengths = self.analyzer.analyze_batch(texts)
+            pos = None
         return {
             "vocab": vocab,
             "tids": tids,
             "docids": docs + desc["local_base"],
             "tfs": tfs,
             "lengths": lengths,
+            "positions": pos,
             "n_rows": len(texts),
         }
 
@@ -263,6 +274,21 @@ def _fragments_with_local_base(seg: dict) -> list[dict]:
     return out
 
 
+def _gather_row_slices(flat: np.ndarray, row_lens: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Reorder a ragged array (rows of lengths ``row_lens`` concatenated in
+    ``flat``) by the row permutation ``order`` — fully vectorized."""
+    row_lens = np.asarray(row_lens, dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(row_lens)))
+    starts = off[order]
+    lens = row_lens[order]
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    new_off = np.concatenate(([0], np.cumsum(lens[:-1])))
+    within = np.arange(total, dtype=np.int64) - np.repeat(new_off, lens)
+    return flat[np.repeat(starts, lens) + within]
+
+
 class FusedSegmentBuilder:
     """One call = one whole segment: read -> analyze -> encode -> write.
 
@@ -272,10 +298,18 @@ class FusedSegmentBuilder:
     to the block encoder — no Arrow string sort, no per-token objects.
     """
 
-    def __init__(self, index_dir: str, analyzer: str, content_column: str, segs_by_id: dict):
+    def __init__(
+        self,
+        index_dir: str,
+        analyzer: str,
+        content_column: str,
+        segs_by_id: dict,
+        index_options: str = "docs_freqs",
+    ):
         self.index_dir = index_dir
-        self.stage = AnalyzerStage(analyzer, content_column)
+        self.stage = AnalyzerStage(analyzer, content_column, index_options)
         self.segs_by_id = segs_by_id
+        self.index_options = index_options
 
     def build_one(self, seg: dict) -> dict:
         from .segment import build_segment_from_ids
@@ -289,14 +323,17 @@ class FusedSegmentBuilder:
             vocab_set.update(fr["vocab"])
         vocab = sorted(vocab_set, key=lambda s: s.encode("utf-8"))
         gid = {t: i for i, t in enumerate(vocab)}
+        with_pos = self.index_options == "positions"
 
-        tid_parts, doc_parts, tf_parts, len_parts = [], [], [], []
+        tid_parts, doc_parts, tf_parts, len_parts, pos_parts = [], [], [], [], []
         for fr in frags:
             if fr["vocab"]:
                 remap = np.array([gid[t] for t in fr["vocab"]], dtype=np.int64)
                 tid_parts.append(remap[fr["tids"]])
                 doc_parts.append(fr["docids"])
                 tf_parts.append(fr["tfs"])
+                if with_pos:
+                    pos_parts.append(fr["positions"])
             len_parts.append(fr["lengths"])
         lengths = np.concatenate(len_parts) if len_parts else np.zeros(seg["max_doc"], np.int64)
         norms = int_to_byte4_array(lengths)
@@ -304,12 +341,23 @@ class FusedSegmentBuilder:
         docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
         tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
 
+        positions = None
+        presorted = False
+        if with_pos and len(tids):
+            # global row sort + gather of each row's position slice
+            pos_flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+            order = np.lexsort((docs, tids))
+            positions = _gather_row_slices(pos_flat, tfs, order)
+            tids, docs, tfs = tids[order], docs[order], tfs[order]
+            presorted = True
+
         seg_dir = os.path.join(self.index_dir, seg["name"])
         meta = {
             "name": seg["name"],
             "max_doc": seg["max_doc"],
             "doc_base": seg["doc_base"],
             "lineage": seg["lineage"],
+            "index_options": self.index_options,
         }
         t0 = time.time()
         metrics = build_segment_from_ids(
@@ -321,6 +369,8 @@ class FusedSegmentBuilder:
             None,
             seg_dir,
             meta,
+            presorted=presorted,
+            positions=positions,
         )
         metrics["encode_sec"] = round(time.time() - t0, 3)
         return metrics
@@ -343,6 +393,7 @@ def build_index_local(
     meta_columns: tuple[str, ...] = ("repo", "path", "commit", "lang"),
     write_doc_tables: bool = True,
     resume: bool = True,
+    index_options: str = "docs_freqs",
 ) -> dict:
     """In-process build (no Ray): same stages, serial loop.  Used by unit
     tests and tiny fixtures; the Ray pipeline (build_index) is the real path."""
@@ -350,7 +401,8 @@ def build_index_local(
     os.makedirs(index_dir, exist_ok=True)
     segments = plan_segments(corpus_paths, docs_per_segment)
     builder = FusedSegmentBuilder(
-        index_dir, analyzer, content_column, {s["seg_id"]: s for s in segments}
+        index_dir, analyzer, content_column, {s["seg_id"]: s for s in segments},
+        index_options=index_options,
     )
     doc_stage = DocTableStage(
         content_column, list(meta_columns), os.path.join(index_dir, "docs")
@@ -418,12 +470,19 @@ def _resolve_concurrency(concurrency: int | None, n_tasks: int) -> int | tuple[i
 # the analyzer-table module singletons, not actor state)
 
 def _fused_build_task(
-    batch: pa.Table, index_dir: str, analyzer: str, content_column: str, segs_ref
+    batch: pa.Table,
+    index_dir: str,
+    analyzer: str,
+    content_column: str,
+    segs_ref,
+    index_options: str = "docs_freqs",
 ) -> pa.Table:
     import ray
 
     segs_by_id = ray.get(segs_ref) if not isinstance(segs_ref, dict) else segs_ref
-    builder = FusedSegmentBuilder(index_dir, analyzer, content_column, segs_by_id)
+    builder = FusedSegmentBuilder(
+        index_dir, analyzer, content_column, segs_by_id, index_options=index_options
+    )
     return builder(batch)
 
 
@@ -446,6 +505,7 @@ def build_index(
     concurrency: int | None = None,
     write_doc_tables: bool = True,
     resume: bool = True,
+    index_options: str = "docs_freqs",
 ) -> dict:
     """Run the full build; returns the committed manifest dict.
 
@@ -493,6 +553,7 @@ def build_index(
                     analyzer=analyzer,
                     content_column=content_column,
                     segs_ref=segs_ref,
+                    index_options=index_options,
                 ),
                 batch_size=1,
                 batch_format="pyarrow",

@@ -96,17 +96,26 @@ def build_segment_from_ids(
     seg_dir: str,
     meta: dict,
     presorted: bool = False,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Encode and atomically write one segment from dictionary-encoded rows.
 
     ``uniq`` must already be sorted in UTF-8 byte order and ``term_ids``
     index into it; the row sort is a pure integer lexsort — the fast path
     the vectorized analyzer feeds directly.
+
+    ``positions`` (optional, IndexOptions DOCS_AND_FREQS_AND_POSITIONS):
+    flat int array of each row's ascending position list, aligned with the
+    PRESORTED row order (requires ``presorted=True``); per-row offsets are
+    the prefix sum of ``tfs``.  Stored as delta-friendly raw int32 (the
+    reference bit-packs prox deltas, Lucene104PostingsFormat positions
+    blocks; value equality is what matters for phrase semantics).
     """
     term_ids = np.asarray(term_ids, dtype=np.int64)
     docids = np.asarray(docids)
     tfs = np.asarray(tfs)
     if not presorted:
+        assert positions is None, "positions require presorted rows"
         order = np.lexsort((docids, term_ids))
         term_ids, docids, tfs = term_ids[order], docids[order], tfs[order]
     n_terms = len(uniq)
@@ -128,6 +137,17 @@ def build_segment_from_ids(
         for name, arr in enc.arrays().items():
             np.save(os.path.join(tmp, f"{name}.npy"), arr)
         np.save(os.path.join(tmp, "norms.npy"), norms.astype(np.uint8))
+        if positions is not None:
+            np.save(os.path.join(tmp, "pos_data.npy"), np.asarray(positions, dtype=np.int32))
+            # row index of each term's first posting (for position lookup)
+            row_start = np.concatenate(
+                ([0], np.cumsum(enc.doc_freq, dtype=np.int64))
+            )
+            np.save(os.path.join(tmp, "pos_row_start.npy"), row_start)
+            np.save(
+                os.path.join(tmp, "pos_off.npy"),
+                np.concatenate(([0], np.cumsum(tfs, dtype=np.int64))),
+            )
         if doc_table is not None:
             pq.write_table(doc_table, os.path.join(tmp, "docs.parquet"))
 
@@ -176,6 +196,12 @@ class SegmentReader:
             arrays[name] = np.load(os.path.join(seg_dir, f"{name}.npy"), mmap_mode=mm)
         self.enc = codec.EncodedPostings.from_arrays(arrays)
         self.norms = np.load(os.path.join(seg_dir, "norms.npy"), mmap_mode=mm)
+        pos_path = os.path.join(seg_dir, "pos_data.npy")
+        self.has_positions = os.path.exists(pos_path)
+        if self.has_positions:
+            self.pos_data = np.load(pos_path, mmap_mode=mm)
+            self.pos_row_start = np.load(os.path.join(seg_dir, "pos_row_start.npy"), mmap_mode=mm)
+            self.pos_off = np.load(os.path.join(seg_dir, "pos_off.npy"), mmap_mode=mm)
         with open(os.path.join(seg_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.max_doc = int(self.meta["max_doc"])
@@ -227,6 +253,18 @@ class SegmentReader:
         if tid is None:
             return None
         return PostingsCursor(self, int(tid))
+
+    def term_positions(self, tid: int) -> list[np.ndarray]:
+        """Per-posting ascending position arrays for one term (row order ==
+        docid order, matching decode_term)."""
+        if not self.has_positions:
+            raise ValueError("segment was built without positions")
+        r0 = int(self.pos_row_start[tid])
+        r1 = int(self.pos_row_start[tid + 1])
+        return [
+            np.asarray(self.pos_data[self.pos_off[r] : self.pos_off[r + 1]])
+            for r in range(r0, r1)
+        ]
 
     def docs_table(self) -> pa.Table:
         return pq.read_table(os.path.join(self.dir, "docs.parquet"))

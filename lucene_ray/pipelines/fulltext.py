@@ -50,17 +50,26 @@ BOOL_COUNTS = [
 ]
 
 
-def index_dir_for(sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT) -> str:
+def index_dir_for(
+    sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT, index_options: str = "docs_freqs"
+) -> str:
     slug = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    suffix = "" if index_options == "docs_freqs" else f"-{index_options}"
     return os.path.join(
-        "/tmp", "lucene_ray_idx", f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{docs_per_segment}"
+        "/tmp",
+        "lucene_ray_idx",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{docs_per_segment}{suffix}",
     )
 
 
-def ensure_index(sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT) -> str:
+def ensure_index(
+    sf_dir: str,
+    docs_per_segment: int = DOCS_PER_SEGMENT,
+    index_options: str = "docs_freqs",
+) -> str:
     """Build the index over documents.parquet once per sf_dir (resumable —
     a rerun over an existing index skips all complete segments)."""
-    idx = index_dir_for(sf_dir, docs_per_segment)
+    idx = index_dir_for(sf_dir, docs_per_segment, index_options)
     src = os.path.join(sf_dir, "documents.parquet")
     if mf.latest_generation(idx) is None:
         build_index(
@@ -71,6 +80,7 @@ def ensure_index(sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT) -> str:
             mode="fused",
             content_column="text",
             meta_columns=("doc_id", "lang", "source"),
+            index_options=index_options,
         )
     return idx
 
@@ -249,6 +259,59 @@ def bm25_disjunction_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORE
             "qid": pa.array(qids, pa.int64()),
             "rnk": pa.array(rnks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+PHRASES = [
+    ["batch", "batch"],
+    ["join", "order"],
+    ["the", "customer"],
+    ["window", "window", "window"],
+    ["spark", "group", "query"],
+]
+
+
+def phrase_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact-phrase BM25 top-k over a positions index: (qid, rnk, doc_id)."""
+    from ..search.query import PhraseQuery
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, words in enumerate(PHRASES):
+        hits = searcher.search(PhraseQuery(tuple(words)), k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def phrase_counts(sf_dir: str) -> pa.Table:
+    """(qid, doc_id, phrase_freq) for every match of each phrase."""
+    from ..search.searcher import phrase_matches_segment
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, docs, freqs = [], [], []
+    for qid, words in enumerate(PHRASES):
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            d, f = phrase_matches_segment(reader, tuple(words))
+            qids.extend([qid] * len(d))
+            docs.extend((d + seg["doc_base"]).tolist())
+            freqs.extend(f.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "phrase_freq": pa.array(freqs, pa.int64()),
         }
     )
 

@@ -53,6 +53,19 @@ class BoostQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Exact phrase (slop=0): terms at consecutive positions.
+
+    Reference: search/PhraseQuery.java + ExactPhraseMatcher; scoring uses
+    the phrase frequency with a SimScorer whose idf is the SUM of the
+    terms' idfs (BM25Similarity.scorer with a TermStatistics array).
+    Requires an index built with index_options="positions".
+    """
+
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -64,7 +77,7 @@ class BooleanQuery:
     min_should_match: int = 0
 
 
-Query = TermQuery | MatchAllDocsQuery | ConstantScoreQuery | BoostQuery | BooleanQuery
+Query = TermQuery | MatchAllDocsQuery | ConstantScoreQuery | BoostQuery | BooleanQuery | PhraseQuery
 
 
 def bool_query(
@@ -80,6 +93,8 @@ def bool_query(
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
     if isinstance(q, BooleanQuery):
@@ -106,6 +121,17 @@ class Weight:
         if s is None:
             ts = self.term_stats[term]
             s = self.similarity.scorer(boost, self.collection_stats, ts)
+            self._sim_cache[key] = s
+        return s
+
+    def phrase_sim_scorer(self, terms: tuple[str, ...], boost: float):
+        """Phrase SimScorer: idf = float32 cast of the double sum of the
+        terms' idfs (PhraseWeight -> BM25Similarity.scorer(ts...))."""
+        key = (terms, float(boost))
+        s = self._sim_cache.get(key)
+        if s is None:
+            ts = [self.term_stats[t] for t in terms]
+            s = self.similarity.scorer(boost, self.collection_stats, *ts)
             self._sim_cache[key] = s
         return s
 

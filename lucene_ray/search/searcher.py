@@ -162,8 +162,15 @@ class IndexSearcher:
 
     def count(self, query: Query) -> int:
         """Exhaustive match count (non-scoring)."""
+        from .query import PhraseQuery
+
         weight = self.make_weight(query)
         total = 0
+        if isinstance(query, PhraseQuery):
+            for reader in self.readers:
+                docs, _ = phrase_matches_segment(reader, query.terms)
+                total += len(docs)
+            return total
         for reader in self.readers:
             scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
             if scorer is None:
@@ -175,6 +182,59 @@ class IndexSearcher:
         return total
 
 
+def phrase_matches_segment(reader, terms: tuple[str, ...]):
+    """(local docids, phrase freqs) of exact consecutive-position matches
+    (ExactPhraseMatcher semantics, slop=0)."""
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("phrase queries need an index built with index_options='positions'")
+    postings = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        postings.append((tid, docs))
+    # docid intersection, then per-doc consecutive-position check
+    common = postings[0][1]
+    for _, docs in postings[1:]:
+        common = common[np.isin(common, docs)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_lists = []  # per term: dict local_doc -> positions
+    for tid, docs in postings:
+        plist = reader.term_positions(tid)
+        idx = {int(d): p for d, p in zip(docs, plist)}
+        pos_lists.append(idx)
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        cand = pos_lists[0][d]
+        for i in range(1, len(terms)):
+            cand = cand[np.isin(cand + i, pos_lists[i][d])]
+            if len(cand) == 0:
+                break
+        if len(cand):
+            out_docs.append(d)
+            out_freqs.append(len(cand))
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
+def _phrase_search_segment(reader, query, weight: Weight, k: int):
+    docs, freqs = phrase_matches_segment(reader, query.terms)
+    if len(docs) == 0:
+        return []
+    sim = weight.phrase_sim_scorer(query.terms, 1.0)
+    norms = np.asarray(reader.norms)[docs]
+    sc = sim.score_bulk(freqs, norms)
+    if len(docs) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        docs, sc = docs[keep], sc[keep]
+    order = np.lexsort((docs, -sc))[:k]
+    return [(int(docs[i]), np.float32(sc[i])) for i in order]
+
+
 def search_segment(
     reader: SegmentReader,
     query: Query,
@@ -184,6 +244,10 @@ def search_segment(
     score_mode: str,
     allow_bulk: bool = True,
 ) -> list[tuple[int, np.float32]]:
+    from .query import PhraseQuery
+
+    if isinstance(query, PhraseQuery):
+        return _phrase_search_segment(reader, query, weight, k)
     if allow_bulk and score_mode == "TOP_SCORES" and reader.max_doc <= BULK_MAX_DOC:
         flat = _flatten_should_terms(query)
         if flat is not None:

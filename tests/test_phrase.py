@@ -1,0 +1,74 @@
+"""Positions index + PhraseQuery: matcher semantics and brute-force parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.analyzers import make_analyzer
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.manifest import read_manifest
+from lucene_ray.search.query import PhraseQuery
+from lucene_ray.search.searcher import IndexSearcher, phrase_matches_segment
+
+
+@pytest.fixture(scope="module")
+def pos_idx(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("ph_corpus")
+    pq.write_table(generate_corpus(300, seed=17), str(d / "c.parquet"), row_group_size=64)
+    out = str(tmp_path_factory.mktemp("ph_idx"))
+    build_index_local(str(d), out, docs_per_segment=64, index_options="positions")
+    return out
+
+
+def _brute_phrase(texts, words):
+    """Oracle: per doc, count of i with tokens[i:i+n] == words."""
+    a = make_analyzer("standard")
+    n = len(words)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = a.tokens(t)
+        c = sum(1 for j in range(len(toks) - n + 1) if toks[j : j + n] == list(words))
+        if c:
+            out[i] = c
+    return out
+
+
+def test_phrase_matches_brute(pos_idx):
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    for words in (("def", "return"), ("return", "return"), ("import", "def", "return")):
+        expected = _brute_phrase(texts, words)
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, f = phrase_matches_segment(reader, words)
+            for dd, ff in zip(d, f):
+                got[int(dd) + seg["doc_base"]] = int(ff)
+        assert got == expected, words
+
+
+def test_phrase_search_scoring(pos_idx):
+    s = IndexSearcher(pos_idx)
+    q = PhraseQuery(("def", "return"))
+    hits = s.search(q, 10)
+    assert hits and all(isinstance(sc, np.float32) for _, sc in hits)
+    scores = [float(sc) for _, sc in hits]
+    assert scores == sorted(scores, reverse=True)
+    assert s.count(q) >= len(hits)
+
+
+def test_phrase_requires_positions(tmp_path):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(generate_corpus(50, seed=18), str(d / "c.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=64)  # no positions
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError, match="positions"):
+        s.search(PhraseQuery(("def", "return")), 5)
