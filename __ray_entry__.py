@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk_merged": _merged_bm25,
         "ft_phrase_counts": ft.phrase_counts,
         "ft_phrase_topk": ft.phrase_topk,
+        # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
+        "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
         "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
@@ -449,6 +451,25 @@ q(qid, term) AS (VALUES {_DISJ_VALUES}),
         "ft_bool_counts": _bool_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),
+        "ft_code_term_stats": r"""
+WITH runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS run
+  FROM documents
+),
+subs AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+           lower(regexp_replace(run, '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+           '[ _]+')) AS tok
+  FROM runs
+),
+tf2 AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM subs WHERE tok != '' GROUP BY doc_id, tok
+)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tf2 GROUP BY tok
+""",
         "ft_bm25_topk_merged": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),

@@ -217,10 +217,71 @@ class SimpleCodeAnalyzer:
     def normalize(self, term: str) -> str:
         return term.lower()
 
+    def analyze_batch(self, texts: list[str]):
+        """Generic (per-doc loop) batch interface so non-vectorized
+        analyzers plug into the same build pipeline (SURVEY §2.9 custom-
+        Analyzer hook).  Same contract as StandardAnalyzer.analyze_batch."""
+        per_doc = []
+        vocab_set: set[str] = set()
+        lengths = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            terms, tfs, ln = self.analyze(t or "")
+            lengths[i] = ln
+            per_doc.append((terms, tfs))
+            vocab_set.update(terms)
+        vocab = sorted(vocab_set, key=lambda s: s.encode("utf-8"))
+        gid = {t: j for j, t in enumerate(vocab)}
+        out_t, out_d, out_f = [], [], []
+        for i, (terms, tfs) in enumerate(per_doc):
+            for t, f in zip(terms, tfs):
+                out_t.append(gid[t])
+                out_d.append(i)
+                out_f.append(f)
+        return (
+            vocab,
+            np.asarray(out_t, dtype=np.int64),
+            np.asarray(out_d, dtype=np.int64),
+            np.asarray(out_f, dtype=np.int64),
+            lengths,
+        )
+
+
+class CodeAnalyzer(SimpleCodeAnalyzer):
+    """Code-aware analyzer: WordDelimiterGraphFilter-lite.
+
+    Splits identifiers on camelCase boundaries and underscores BEFORE
+    lowercasing (reference extension surface: analysis-common
+    miscellaneous/WordDelimiterGraphFilter.java — the camelCase/snake_case
+    "code-token" candidate called out in SURVEY §2.2).  Semantics are kept
+    RE2-expressible for exact DuckDB-oracle parity:
+
+        regexp_replace(tok, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')
+        -> lower -> split on [ _]+
+
+    over raw ``[A-Za-z0-9_]+`` runs of the ORIGINAL (case-preserved) text.
+    """
+
+    _RUN = re.compile(r"[A-Za-z0-9_]+")
+    _CAMEL = re.compile(r"([a-z0-9])([A-Z])")
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for run in self._RUN.findall(text or ""):
+            split = self._CAMEL.sub(r"\1 \2", run).lower()
+            for part in re.split(r"[ _]+", split):
+                if part and len(part) <= self.max_token_length:
+                    if not self.stop_words or part not in self.stop_words:
+                        out.append(part)
+        return out
+
+    def normalize(self, term: str) -> str:
+        return term.lower()
+
 
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
+    "code": CodeAnalyzer,
 }
 
 

@@ -137,10 +137,12 @@ class AnalyzerStage:
         analyzer: str = "standard",
         content_column: str = "content",
         index_options: str = "docs_freqs",
+        term_salt: int = 1,
     ):
         self.analyzer = make_analyzer(analyzer)
         self.content_column = content_column
         self.index_options = index_options
+        self.term_salt = term_salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_tables = []
@@ -177,14 +179,20 @@ class AnalyzerStage:
             return _empty_postings()
         terms = pa.array(r["vocab"], type=pa.large_string()).take(pa.array(r["tids"]))
         n = len(r["tids"])
-        return pa.table(
-            {
-                "segpart": pa.array(np.full(n, desc["seg_id"], dtype=np.int32)),
-                "term": terms,
-                "docid": pa.array(r["docids"].astype(np.int32)),
-                "tf": pa.array(r["tfs"].astype(np.int32)),
-            }
-        )
+        cols = {
+            "segpart": pa.array(np.full(n, desc["seg_id"], dtype=np.int32)),
+            "term": terms,
+            "docid": pa.array(r["docids"].astype(np.int32)),
+            "tf": pa.array(r["tfs"].astype(np.int32)),
+        }
+        if self.term_salt > 1:
+            # order-preserving term-range bucket from the first UTF-8 byte
+            fb = np.array(
+                [t.encode("utf-8")[0] if t else 0 for t in r["vocab"]], dtype=np.int64
+            )
+            buckets = fb * self.term_salt // 256
+            cols["salt"] = pa.array(buckets[r["tids"]].astype(np.int32))
+        return pa.table(cols)
 
 
 def _empty_postings() -> pa.Table:
@@ -506,8 +514,12 @@ def build_index(
     write_doc_tables: bool = True,
     resume: bool = True,
     index_options: str = "docs_freqs",
+    term_salt: int = 1,
 ) -> dict:
     """Run the full build; returns the committed manifest dict.
+
+    ``term_salt`` > 1 (shuffle mode only) salts the exchange key with an
+    order-preserving term-range bucket so a hot partition's sort fans out.
 
     Must be called with Ray already initialised (or lets Ray Data
     auto-init).  Never calls ray.init()/shutdown() itself.
@@ -566,30 +578,116 @@ def build_index(
             ds = rd.from_items(frag_rows)
             post = ds.map_batches(
                 AnalyzerStage,
-                fn_constructor_kwargs=dict(analyzer=analyzer, content_column=content_column),
+                fn_constructor_kwargs=dict(
+                    analyzer=analyzer,
+                    content_column=content_column,
+                    term_salt=term_salt,
+                ),
                 batch_size=4,
                 batch_format="pyarrow",
                 concurrency=_resolve_concurrency(concurrency, len(frag_rows)),
                 num_cpus=1,
             )
 
-            def build_group(group: pa.Table) -> pa.Table:
-                seg_id = int(group.column("segpart")[0].as_py())
-                seg = segs_by_id[seg_id]
-                metrics = _build_segment_from_postings(
-                    group.column("term"),
-                    group.column("docid").to_numpy(),
-                    group.column("tf").to_numpy(),
-                    seg,
-                    index_dir,
-                )
-                return pa.Table.from_pylist(
-                    [{"seg_id": seg_id, "metrics": json.dumps(metrics)}]
-                )
+            if term_salt <= 1:
 
-            out = post.groupby("segpart").map_groups(build_group, batch_format="pyarrow")
-            for row in out.take_all():
-                metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
+                def build_group(group: pa.Table) -> pa.Table:
+                    seg_id = int(group.column("segpart")[0].as_py())
+                    seg = segs_by_id[seg_id]
+                    metrics = _build_segment_from_postings(
+                        group.column("term"),
+                        group.column("docid").to_numpy(),
+                        group.column("tf").to_numpy(),
+                        seg,
+                        index_dir,
+                    )
+                    return pa.Table.from_pylist(
+                        [{"seg_id": seg_id, "metrics": json.dumps(metrics)}]
+                    )
+
+                out = post.groupby("segpart").map_groups(build_group, batch_format="pyarrow")
+                for row in out.take_all():
+                    metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
+            else:
+                # SALTED exchange: key = (segpart, term-RANGE bucket).  A hot
+                # segment's sort fans out over `term_salt` groups; buckets are
+                # contiguous UTF-8 ranges (first byte), so the finalize step
+                # CONCATENATES the sorted runs in bucket order — term order is
+                # preserved, no re-sort (SURVEY §4 skew row: range-salting so
+                # concatenation preserves order).  Production would sample the
+                # term distribution for balanced boundaries, like sort does.
+                runs_dir = os.path.join(index_dir, ".runs")
+
+                def build_run(group: pa.Table) -> pa.Table:
+                    seg_id = int(group.column("segpart")[0].as_py())
+                    salt = int(group.column("salt")[0].as_py())
+                    seg = segs_by_id[seg_id]
+                    tbl = pa.table(
+                        {
+                            "term": group.column("term"),
+                            "docid": group.column("docid"),
+                            "tf": group.column("tf"),
+                        }
+                    ).sort_by([("term", "ascending"), ("docid", "ascending")])
+                    lengths = np.bincount(
+                        group.column("docid").to_numpy(),
+                        weights=group.column("tf").to_numpy(),
+                        minlength=seg["max_doc"],
+                    ).astype(np.int64)
+                    d = os.path.join(runs_dir, seg["name"])
+                    os.makedirs(d, exist_ok=True)
+                    pq.write_table(tbl, os.path.join(d, f"bucket_{salt:04d}.parquet"))
+                    np.save(os.path.join(d, f"lengths_{salt:04d}.npy"), lengths)
+                    return pa.Table.from_pylist([{"seg_id": seg_id, "salt": salt}])
+
+                post.groupby(["segpart", "salt"]).map_groups(
+                    build_run, batch_format="pyarrow"
+                ).materialize()
+
+                def finalize(batch: pa.Table) -> pa.Table:
+                    rows = []
+                    for r in batch.to_pylist():
+                        seg = segs_by_id[r["seg_id"]]
+                        d = os.path.join(runs_dir, seg["name"])
+                        buckets = sorted(
+                            f for f in os.listdir(d) if f.startswith("bucket_")
+                        )
+                        tbls = [pq.read_table(os.path.join(d, f)) for f in buckets]
+                        tbl = pa.concat_tables(tbls)  # bucket order == term order
+                        lengths = np.zeros(seg["max_doc"], dtype=np.int64)
+                        for f in sorted(
+                            f for f in os.listdir(d) if f.startswith("lengths_")
+                        ):
+                            lengths += np.load(os.path.join(d, f))
+                        from .segment import build_segment
+
+                        metrics = build_segment(
+                            tbl.column("term"),
+                            tbl.column("docid").to_numpy(),
+                            tbl.column("tf").to_numpy(),
+                            int_to_byte4_array(lengths),
+                            None,
+                            os.path.join(index_dir, seg["name"]),
+                            {
+                                "name": seg["name"],
+                                "max_doc": seg["max_doc"],
+                                "doc_base": seg["doc_base"],
+                                "lineage": seg["lineage"],
+                            },
+                        )
+                        rows.append(
+                            {"seg_id": seg["seg_id"], "metrics": json.dumps(metrics)}
+                        )
+                    return pa.Table.from_pylist(rows)
+
+                out = rd.from_items([{"seg_id": s["seg_id"]} for s in todo]).map_batches(
+                    finalize, batch_size=1, batch_format="pyarrow", num_cpus=1
+                )
+                for row in out.take_all():
+                    metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
+                import shutil as _shutil
+
+                _shutil.rmtree(runs_dir, ignore_errors=True)
         else:
             raise ValueError(f"unknown mode: {mode}")
 

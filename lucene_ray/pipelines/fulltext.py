@@ -51,10 +51,15 @@ BOOL_COUNTS = [
 
 
 def index_dir_for(
-    sf_dir: str, docs_per_segment: int = DOCS_PER_SEGMENT, index_options: str = "docs_freqs"
+    sf_dir: str,
+    docs_per_segment: int = DOCS_PER_SEGMENT,
+    index_options: str = "docs_freqs",
+    analyzer: str = "standard",
 ) -> str:
     slug = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
     suffix = "" if index_options == "docs_freqs" else f"-{index_options}"
+    if analyzer != "standard":
+        suffix += f"-{analyzer}"
     return os.path.join(
         "/tmp",
         "lucene_ray_idx",
@@ -66,16 +71,17 @@ def ensure_index(
     sf_dir: str,
     docs_per_segment: int = DOCS_PER_SEGMENT,
     index_options: str = "docs_freqs",
+    analyzer: str = "standard",
 ) -> str:
     """Build the index over documents.parquet once per sf_dir (resumable —
     a rerun over an existing index skips all complete segments)."""
-    idx = index_dir_for(sf_dir, docs_per_segment, index_options)
+    idx = index_dir_for(sf_dir, docs_per_segment, index_options, analyzer)
     src = os.path.join(sf_dir, "documents.parquet")
     if mf.latest_generation(idx) is None:
         build_index(
             src,
             idx,
-            analyzer="standard",
+            analyzer=analyzer,
             docs_per_segment=docs_per_segment,
             mode="fused",
             content_column="text",
@@ -111,11 +117,11 @@ def _seg_term_stats(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(tables)
 
 
-def term_stats_all(sf_dir: str):
+def term_stats_all(sf_dir: str, analyzer: str = "standard"):
     """(term, doc_freq, total_term_freq) summed across segments."""
     import ray.data as rd
 
-    idx = ensure_index(sf_dir)
+    idx = ensure_index(sf_dir, analyzer=analyzer)
     ds = rd.from_items(_segment_dirs(idx))
     agg = ds.map_batches(_seg_term_stats, batch_format="pyarrow").groupby("term").sum(
         ["df", "ttf"]
