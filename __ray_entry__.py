@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), min_jaccard_pct=20, max_group=10**6
         ),
         "dd_simhash": lambda sf: dedup.simhash(_docs(sf)),
+        "dd_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
+            _docs(sf), max_group=10**6
+        ),
         # --- similarity search ---
         "ann_brute_topk": _ann_brute,
         "ann_ivf_topk": _ann_ivf,
@@ -489,7 +492,9 @@ u AS (
 SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
        coalesce(u.n_unique, 0)::BIGINT AS n_unique,
        coalesce(u.max_tf, 0)::BIGINT AS max_tf,
-       length(d.text)::BIGINT AS n_chars
+       length(d.text)::BIGINT AS n_chars,
+       len(regexp_extract_all(d.text,
+           ' ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+'))::BIGINT AS n_bpe_tokens
 FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
 """,
         "tx_quality_stats": _quality_sql(),
@@ -542,6 +547,36 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS simhash
 FROM bits GROUP BY doc_id
+""",
+        "dd_simhash_pairs": f"""
+WITH {_TOKS},
+bits AS (
+  SELECT doc_id, p.b::BIGINT AS b,
+         sum(CASE WHEN (md5_number_lower(tok) >> p.b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf, (SELECT unnest(range(64)) AS b) p
+  GROUP BY doc_id, p.b
+),
+sigs AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, q.b::BIGINT AS b,
+         ((simhash >> (16 * q.b)::BIGINT) & 65535)::BIGINT AS bval
+  FROM sigs, (SELECT unnest(range(4)) AS b) q
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, bb.doc_id AS db_
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.bval = bb.bval AND a.doc_id < bb.doc_id
+)
+SELECT da::BIGINT AS doc_a, db_::BIGINT AS doc_b,
+       bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+FROM cand
+JOIN sigs sa ON sa.doc_id = da
+JOIN sigs sb ON sb.doc_id = db_
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
 """,
         "ann_brute_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

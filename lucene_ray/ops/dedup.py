@@ -177,6 +177,67 @@ def simhash(ds):
     return ds.map_batches(_simhash_batch, batch_format="pyarrow")
 
 
+def simhash_near_pairs(ds, n_bands: int = 4, band_bits: int = 16, max_dist: int = 8,
+                       max_group: int = 1000):
+    """Near-dup pairs by banded SimHash: candidates share one 16-bit band,
+    verified by hamming(sig_a, sig_b) <= max_dist.
+
+    Returns (doc_a, doc_b, hamming) — all integers.  The signature lookup
+    for verification is broadcast via ray.put (bytes per doc); at full
+    scale it becomes a join keyed on doc_id.
+    """
+    import ray
+
+    sigs_ds = simhash(ds)
+    sig_tbl = sigs_ds.to_pandas()  # (doc_id, simhash): small
+    sig_map = dict(zip(sig_tbl["doc_id"].tolist(), sig_tbl["simhash"].tolist()))
+    sig_ref = ray.put(sig_map)
+    mask = (1 << band_bits) - 1
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        s = batch.column("simhash").to_numpy().astype(np.uint64)
+        out_d, out_b, out_v = [], [], []
+        for b in range(n_bands):
+            out_d.extend(d.tolist())
+            out_b.extend([b] * len(d))
+            out_v.extend(((s >> np.uint64(band_bits * b)) & np.uint64(mask)).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "bval": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs_ds.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["b", "bval"])
+        .map_groups(lambda g: _emit_pairs(g, max_group), batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+    )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sig_ref)
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        ham = np.array(
+            [bin(int(sm[x]) ^ int(sm[y])).count("1") for x, y in zip(a, b)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_dist
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
+
+
 # --- n-gram Jaccard -------------------------------------------------------
 
 def _shingle_rows_batch(batch: pa.Table, n: int) -> pa.Table:

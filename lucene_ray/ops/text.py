@@ -45,13 +45,19 @@ def _tok_expr() -> pl.Expr:
     return pl.col("text").str.to_lowercase().str.extract_all(TOKEN_PATTERN)
 
 
+# GPT2-ish byte-pair pre-tokenizer shape, restricted to RE2/rust-regex
+# common syntax (no lookarounds) so polars and DuckDB agree exactly
+BPE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_tokens, n_unique, max_tf, n_chars) — all int64."""
+    """(doc_id, n_tokens, n_unique, max_tf, n_chars, n_bpe_tokens) — int64."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     toks = df.select(
         pl.col("doc_id"),
         _tok_expr().alias("ts"),
         pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("text").str.count_matches(BPE_PATTERN).cast(pl.Int64).alias("n_bpe_tokens"),
     )
     tf = (
         toks.select("doc_id", "ts")
@@ -70,13 +76,14 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
             "doc_id",
             pl.col("ts").list.len().cast(pl.Int64).alias("n_tokens"),
             "n_chars",
+            "n_bpe_tokens",
         )
         .join(tf, on="doc_id", how="left")
         .with_columns(
             pl.col("n_unique").fill_null(0),
             pl.col("max_tf").fill_null(0),
         )
-        .select("doc_id", "n_tokens", "n_unique", "max_tf", "n_chars")
+        .select("doc_id", "n_tokens", "n_unique", "max_tf", "n_chars", "n_bpe_tokens")
         .sort("doc_id")
     )
     return out.to_arrow()
