@@ -147,36 +147,60 @@ def plan_force_merge(manifest: dict, max_segments: int = 1) -> list[list[int]]:
 
 
 def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dict:
-    """Decode -> shift -> concat -> re-encode one merged segment."""
+    """Decode -> shift -> concat -> re-encode one merged segment.
+
+    Fully integer path: the merged vocabulary is the sorted union of the
+    input term dictionaries (small), per-segment ids are remapped with one
+    vectorized ``pc.index_in`` each, and the row sort is an integer
+    lexsort — no string sort of the posting rows.  Position lists (if all
+    inputs carry them) ride along via a vectorized ragged gather.
+    """
+    import pyarrow.compute as pc
+
+    from .build import _gather_row_slices
+    from .segment import build_segment_from_ids
+
     t0 = time.time()
     readers = [SegmentReader(e["dir"]) for e in seg_entries]
     new_base = seg_entries[0]["doc_base"]
     max_doc = sum(int(e["max_doc"]) for e in seg_entries)
+    with_pos = all(r.has_positions for r in readers)
 
-    all_terms: list[pa.Array] = []
+    # merged vocabulary: sorted union of the per-segment dictionaries
+    vocab_parts = [r.terms_array() for r in readers]
+    merged_vocab = pc.unique(pa.concat_arrays(vocab_parts))
+    merged_vocab = merged_vocab.take(pc.sort_indices(merged_vocab))
+
+    all_tids: list[np.ndarray] = []
     all_docs: list[np.ndarray] = []
     all_tfs: list[np.ndarray] = []
+    all_pos: list[np.ndarray] = []
     norms = np.zeros(max_doc, dtype=np.uint8)
     local = 0
-    for e, r in zip(seg_entries, readers):
+    for e, r, vp in zip(seg_entries, readers, vocab_parts):
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
         norms[local : local + r.max_doc] = np.asarray(r.norms)
-        # whole-segment vectorized decode (singleton tail emitted wholesale)
         tids, docs, freqs = codec.decode_all(r.enc)
         if len(tids):
-            all_terms.append(r.terms_array().take(pa.array(tids)))
+            remap = pc.index_in(vp, value_set=merged_vocab).to_numpy().astype(np.int64)
+            all_tids.append(remap[tids])
             all_docs.append(docs + shift)
             all_tfs.append(freqs)
+            if with_pos:
+                # decode_all row order == stored position row order
+                all_pos.append(np.asarray(r.pos_data))
         local += r.max_doc
 
-    terms = (
-        pa.concat_arrays(all_terms)
-        if all_terms
-        else pa.array([], type=pa.large_string())
-    )
+    tids = np.concatenate(all_tids) if all_tids else np.empty(0, dtype=np.int64)
     docs = np.concatenate(all_docs) if all_docs else np.empty(0, dtype=np.int64)
     tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, dtype=np.int64)
+    positions = None
+    order = np.lexsort((docs, tids)) if len(tids) else np.empty(0, dtype=np.int64)
+    if with_pos and len(tids):
+        pos_flat = np.concatenate(all_pos)
+        positions = _gather_row_slices(pos_flat, tfs, order)
+    tids, docs, tfs = tids[order], docs[order], tfs[order]
 
     seg_dir = os.path.join(out_dir, name)
     meta = {
@@ -191,7 +215,18 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
             ],
         },
     }
-    metrics = build_segment(terms, docs, tfs, norms, None, seg_dir, meta)
+    metrics = build_segment_from_ids(
+        merged_vocab,
+        tids,
+        docs.astype(np.int32),
+        tfs.astype(np.int32),
+        norms,
+        None,
+        seg_dir,
+        meta,
+        presorted=True,
+        positions=positions,
+    )
     metrics["merge_sec"] = round(time.time() - t0, 3)
     metrics["merged_from"] = [e["name"] for e in seg_entries]
 

@@ -61,6 +61,19 @@ def test_phrase_search_scoring(pos_idx):
     assert s.count(q) >= len(hits)
 
 
+def test_phrase_survives_merge(pos_idx, ray_session):
+    from lucene_ray.index.merge import force_merge
+
+    s = IndexSearcher(pos_idx)
+    qs = [PhraseQuery(("def", "return")), PhraseQuery(("return", "return"))]
+    before = [[(d, float(sc)) for d, sc in s.search(q, 10)] for q in qs]
+    man = force_merge(pos_idx, max_segments=1)
+    assert len(man["segments"]) == 1
+    s2 = IndexSearcher(pos_idx)
+    after = [[(d, float(sc)) for d, sc in s2.search(q, 10)] for q in qs]
+    assert before == after and any(before)
+
+
 def test_phrase_requires_positions(tmp_path):
     import pyarrow.parquet as pq
 
