@@ -37,6 +37,7 @@ def cmd_build(args) -> int:
         mode=args.mode,
         content_column=args.content_column,
         resume=not args.no_resume,
+        index_options=args.index_options,
     )
     n_docs = sum(s["max_doc"] for s in manifest["segments"])
     print(
@@ -62,7 +63,11 @@ def cmd_search(args) -> int:
 
     analyzer = make_analyzer(args.analyzer)
     terms = [analyzer.normalize(t) for t in args.query.split()]
-    if len(terms) == 1:
+    if args.phrase:
+        from .search.query import PhraseQuery
+
+        q = PhraseQuery(tuple(terms))
+    elif len(terms) == 1:
         q = TermQuery(terms[0])
     elif args.op == "must":
         q = bool_query(must=[TermQuery(t) for t in terms])
@@ -129,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--analyzer", default="standard")
     b.add_argument("--content-column", default="content")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--index-options", default="docs_freqs",
+                   choices=["docs_freqs", "positions"])
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
@@ -136,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--op", default="should", choices=["should", "must"])
+    s.add_argument("--phrase", action="store_true",
+                   help="exact phrase (requires an index built with positions)")
     s.add_argument("--workers", type=int, default=0)
     s.add_argument("--analyzer", default="standard")
     s.set_defaults(fn=cmd_search)
