@@ -169,6 +169,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ann.brute_topk(rd.read_parquet(emb_path), qv, k=10)
         queries["ann_brute"] = round(time.time() - t0, 3)
 
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev_path):
+        from lucene_ray.ops import events as ev_ops
+
+        t0 = time.time()
+        ev_ops.windowed_counts(rd.read_parquet(ev_path)).materialize()
+        ev_ops.sessionize(rd.read_parquet(ev_path)).materialize()
+        queries["events_windows"] = round(time.time() - t0, 3)
+
     shutil.rmtree(build["idx_dir"], ignore_errors=True)
     return {
         "metric": "index-build throughput + BM25 top-10 latency + data-pipeline ops",
