@@ -234,6 +234,29 @@ SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """
 
 
+def _clean_corpus_sql() -> str:
+    from lucene_ray.ops.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH {_TOKS},
+q AS (
+  SELECT t.doc_id, d.text,
+         (CASE WHEN len(ts) >= 10
+                AND len(list_filter(ts, x -> list_contains([{stop_list}], x))) * 50
+                    <= len(ts) * 45
+               THEN 1 ELSE 0 END) AS is_quality
+  FROM toks t JOIN documents d USING (doc_id)
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_quality,
+       (SELECT count(*) FROM (
+          SELECT min(doc_id) FROM q WHERE is_quality = 1 GROUP BY text
+        ) s)::BIGINT AS n_kept
+FROM q WHERE is_quality = 1
+"""
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -347,6 +370,17 @@ def _distributed_bm25(sf_dir: str):
     )
 
 
+def _clean_corpus(sf_dir: str):
+    import hashlib as _h
+
+    from lucene_ray.ops.clean import clean_corpus
+
+    out = os.path.join(
+        "/tmp", "lucene_ray_clean", _h.sha256(sf_dir.encode()).hexdigest()[:10]
+    )
+    return clean_corpus(_docs(sf_dir), out_dir=out)
+
+
 def _events(sf_dir: str):
     import ray.data as rd
 
@@ -394,6 +428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
+        # --- full cleaning pipeline (quality -> dedup -> partitioned sink) ---
+        "pl_clean_corpus": _clean_corpus,
         # --- event-table operators (windowed agg / sessions / as-of join) ---
         "ev_windowed_counts": lambda sf: events.windowed_counts(_events(sf)),
         "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
@@ -611,6 +647,7 @@ SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """,
+        "pl_clean_corpus": _clean_corpus_sql(),
         "ev_windowed_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events,

@@ -79,10 +79,12 @@ def ensure_corpus(
     seed: int = 42,
     n_files: int = 8,
     row_group_size: int = 2048,
+    n_docs: int | None = None,
 ) -> str:
     """Generate (or reuse) the cached corpus for a scale factor; returns the
-    directory of parquet files."""
-    n_docs = corpus_sizes_for_sf(sf)
+    directory of parquet files.  ``n_docs`` overrides the sf-derived size
+    (stress runs)."""
+    n_docs = n_docs if n_docs is not None else corpus_sizes_for_sf(sf)
     out_dir = out_dir or (
         f"/tmp/lucene_ray_corpus/sf{sf}_seed{seed}_n{n_docs}_rg{row_group_size}"
     )

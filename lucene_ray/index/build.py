@@ -41,7 +41,6 @@ import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..analysis.analyzers import make_analyzer

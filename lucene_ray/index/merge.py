@@ -44,7 +44,7 @@ import pyarrow as pa
 
 from . import manifest as mf
 from . import postings as codec
-from .segment import SegmentReader, build_segment
+from .segment import SegmentReader
 
 # reference defaults, TieredMergePolicy.java:77-83
 SEGS_PER_TIER = 8.0

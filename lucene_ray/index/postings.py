@@ -236,7 +236,19 @@ def encode_postings(
             if w == 0:
                 continue
             sel = np.flatnonzero(widths == w)
-            for bi in sel:
+            full = sel[block_len[sel] == BLOCK_SIZE]
+            if len(full):
+                # all full blocks of this width at once: (k, 256) gather ->
+                # (k, 256*w) bit matrix -> per-row packbits (32*w bytes/row)
+                idx = blk_first[full][:, None] + np.arange(BLOCK_SIZE)
+                mat = values[idx].astype(np.uint64)
+                shifts = np.arange(int(w), dtype=np.uint64)
+                bits = ((mat[:, :, None] >> shifts) & 1).astype(np.uint8)
+                rows = np.packbits(bits.reshape(len(full), -1), axis=1, bitorder="little")
+                row_bytes = rows.shape[1]
+                dest = offs[full][:, None] + np.arange(row_bytes)
+                buf[dest.ravel()] = rows.ravel()
+            for bi in sel[block_len[sel] != BLOCK_SIZE]:
                 s = blk_first[bi]
                 e = s + block_len[bi]
                 packed = pack_bits(values[s:e], int(w))
