@@ -93,13 +93,14 @@ def bench_index_build(sf: float, num_cpus: int) -> dict:
 
 
 def _bench_queries(idx_dir: str, num_workers: int) -> dict:
+    """p50/p99 for BOTH execution modes: in-process (the per-node,
+    Lucene-comparable number) and the DistributedSearcher actor service."""
     import numpy as np
 
     from lucene_ray.corpus import KEYWORDS
     from lucene_ray.search.query import TermQuery, bool_query
-    from lucene_ray.search.searcher import DistributedSearcher
+    from lucene_ray.search.searcher import DistributedSearcher, IndexSearcher
 
-    searcher = DistributedSearcher(idx_dir, num_workers=num_workers)
     kws = sorted({w for ws in KEYWORDS.values() for w in ws})
     singles = [TermQuery(w) for w in kws]
     rng = np.random.default_rng(7)
@@ -109,23 +110,27 @@ def _bench_queries(idx_dir: str, num_workers: int) -> dict:
         for _ in range(8)
     ]
     queries = singles + disjs
-    # warmup (actor init, mmap page-in)
-    for q in queries[:4]:
-        searcher.search(q, 10)
-    lats = []
-    t0 = time.time()
-    for q in queries:
-        t = time.time()
-        searcher.search(q, 10)
-        lats.append(time.time() - t)
-    total = time.time() - t0
-    lats_ms = np.sort(np.array(lats) * 1000)
-    return {
-        "sec": total,
-        "n_queries": len(queries),
-        "p50_ms": round(float(np.percentile(lats_ms, 50)), 2),
-        "p99_ms": round(float(np.percentile(lats_ms, 99)), 2),
-    }
+
+    out: dict = {"n_queries": len(queries)}
+    total = 0.0
+    for label, searcher in [
+        ("local", IndexSearcher(idx_dir)),
+        ("service", DistributedSearcher(idx_dir, num_workers=num_workers)),
+    ]:
+        for q in queries[:6]:  # warmup: mmap page-in / actor init
+            searcher.search(q, 10)
+        lats = []
+        t0 = time.time()
+        for q in queries:
+            t = time.time()
+            searcher.search(q, 10)
+            lats.append(time.time() - t)
+        total += time.time() - t0
+        lats_ms = np.sort(np.array(lats) * 1000)
+        out[f"p50_ms_{label}"] = round(float(np.percentile(lats_ms, 50)), 2)
+        out[f"p99_ms_{label}"] = round(float(np.percentile(lats_ms, 99)), 2)
+    out["sec"] = total
+    return out
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
@@ -144,7 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from lucene_ray.index.merge import force_merge
 
     t0 = time.time()
-    force_merge(build["idx_dir"], max_segments=16)
+    force_merge(build["idx_dir"], max_segments=8)
     queries["force_merge"] = round(time.time() - t0, 3)
 
     q = _bench_queries(build["idx_dir"], num_workers=min(8, num_cpus))

@@ -186,9 +186,13 @@ class SegmentReader:
     postings cursors and norms.  Held inside query actors (SURVEY §2.1
     Segment reader row)."""
 
-    def __init__(self, seg_dir: str, mmap: bool = True):
+    def __init__(self, seg_dir: str, mmap: bool = True, decode_cache: int = 256):
         self.dir = seg_dir
         mm = "r" if mmap else None
+        # hot-term decoded-postings LRU (Lucene leans on the OS page cache +
+        # branch-free decode; we amortize the Python block loop instead)
+        self._decode_cache_size = decode_cache
+        self._decode_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.term_offsets = np.load(os.path.join(seg_dir, "terms_offsets.npy"), mmap_mode=mm)
         self.term_bytes = np.load(os.path.join(seg_dir, "terms_bytes.npy"), mmap_mode=mm)
         arrays = {}
@@ -253,6 +257,17 @@ class SegmentReader:
         if tid is None:
             return None
         return PostingsCursor(self, int(tid))
+
+    def decode_term_cached(self, tid: int):
+        """(docids, freqs) with a small per-reader LRU for hot terms."""
+        hit = self._decode_cache.get(tid)
+        if hit is not None:
+            return hit
+        out = codec.decode_term(self.enc, tid)
+        if len(self._decode_cache) >= self._decode_cache_size:
+            self._decode_cache.pop(next(iter(self._decode_cache)))
+        self._decode_cache[tid] = out
+        return out
 
     def term_positions(self, tid: int) -> list[np.ndarray]:
         """Per-posting ascending position arrays for one term (row order ==

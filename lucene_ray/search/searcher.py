@@ -71,8 +71,6 @@ def _bulk_search_segment(reader, terms_boosts, min_should_match, weight, k):
     """Exact dense top-k: float64 accumulator of float32 clause scores,
     final cast to float32 (the WANDScorer double-accumulator shape), ties
     broken (score desc, docid asc) like TopScoreDocCollector."""
-    from ..index.postings import decode_term
-
     max_doc = reader.max_doc
     acc = None
     counts = None
@@ -81,7 +79,7 @@ def _bulk_search_segment(reader, terms_boosts, min_should_match, weight, k):
         tid = reader.term_id(term)
         if tid is None:
             continue
-        docs, freqs = decode_term(reader.enc, tid)
+        docs, freqs = reader.decode_term_cached(tid)
         scores = weight.sim_scorer(term, boost).score_bulk(freqs, norms[docs])
         if acc is None:
             acc = np.zeros(max_doc, dtype=np.float64)
