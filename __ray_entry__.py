@@ -90,6 +90,11 @@ _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS)
 _DISJ_VALUES = ", ".join(
     f"({qi}, '{t}')" for qi, terms in enumerate(ft.DISJUNCTIONS) for t in terms
 )
+_BOOSTED_VALUES = ", ".join(
+    f"({qi}, '{t}', {b})"
+    for qi, clauses in enumerate(ft.BOOSTED_DISJUNCTIONS)
+    for t, b in clauses
+)
 
 # BM25 over the same quantized document lengths the index stores:
 # dlq = LENGTH_TABLE[intToByte4(dl)]; idf = ln(1+(N-df+0.5)/(df+0.5));
@@ -399,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_top_terms": ft.top_terms,
         "ft_bm25_topk": ft.bm25_topk,
         "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
+        "ft_bm25_boosted_topk": ft.bm25_boosted_topk,
         "ft_bool_counts": ft.bool_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
@@ -486,6 +492,43 @@ q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_DISJ_VALUES}),
 {_BM25_COMMON}
+""",
+        "ft_bm25_boosted_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, boost) AS (VALUES {_BOOSTED_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.boost FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+-- rank on the float32-cast score: the engine scores in float32, so docs
+-- that TIE in float32 (engine breaks by doc_id) must also tie here
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_bool_counts": _bool_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),

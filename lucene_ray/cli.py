@@ -111,6 +111,19 @@ def cmd_check(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_ingest(args) -> int:
+    ray = _init_ray()
+    from .sources.ingest import ingest
+
+    cmap = None
+    if args.map:
+        cmap = dict(kv.split("=", 1) for kv in args.map.split(","))
+    out = ingest(args.src, args.out, fmt=args.format, column_map=cmap)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .index.manifest import collection_stats_from, read_manifest
 
@@ -161,6 +174,13 @@ def main(argv: list[str] | None = None) -> int:
     ck = sub.add_parser("check")
     ck.add_argument("--index", required=True)
     ck.set_defaults(fn=cmd_check)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("--src", required=True)
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--format", default=None, choices=[None, "jsonl", "csv", "parquet"])
+    ig.add_argument("--map", default=None, help="src=dst[,src=dst...] column renames")
+    ig.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -42,6 +42,12 @@ DISJUNCTIONS = [
     ["hash", "stream"],
     ["vector", "dup", "batch"],
 ]
+BOOSTED_DISJUNCTIONS = [
+    [("spark", 2.0), ("join", 1.0)],
+    [("merge", 0.5), ("window", 3.0), ("hash", 1.0)],
+    [("customer", 1.5), ("vector", 1.5), ("stream", 0.25)],
+]
+
 BOOL_COUNTS = [
     ("and", "spark", "join"),
     ("or", "spark", "join"),
@@ -318,6 +324,29 @@ def phrase_counts(sf_dir: str) -> pa.Table:
             "qid": pa.array(qids, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
             "phrase_freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
+def bm25_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Boosted SHOULD disjunctions (BoostQuery per clause): (qid, rnk, doc_id)."""
+    from ..search.query import BoostQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, clauses in enumerate(BOOSTED_DISJUNCTIONS):
+        q = bool_query(should=[BoostQuery(TermQuery(t), b) for t, b in clauses])
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
         }
     )
 

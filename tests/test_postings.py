@@ -167,3 +167,21 @@ def test_segment_file_roundtrip(tmp_path):
         assert df == mask.sum() and ttf == tf[mask].sum()
     assert r.term_id("nope") is None
     assert np.array_equal(np.asarray(r.norms), norms)
+
+
+def test_full_for_blocks_roundtrip():
+    """Multi-full-FOR-block terms exercise the batched pack path."""
+    import numpy as np
+
+    from lucene_ray.index import postings as codec
+
+    rng = np.random.default_rng(5)
+    for n_docs, space in [(1000, 4000), (2000, 3000), (300, 100000)]:
+        docs = np.sort(rng.choice(space, size=n_docs, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 50, size=n_docs).astype(np.int64)
+        tids = np.zeros(n_docs, dtype=np.int64)
+        norms = np.full(space, 7, dtype=np.uint8)
+        enc = codec.encode_postings(tids, docs, tfs, norms, 1)
+        d2, f2 = codec.decode_term(enc, 0)
+        np.testing.assert_array_equal(d2, docs)
+        np.testing.assert_array_equal(f2, tfs)
