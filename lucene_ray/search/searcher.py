@@ -28,9 +28,15 @@ DEFAULT_TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:100
 # Dense bulk scoring is used for pure-SHOULD disjunctions (and single terms)
 # on segments up to this many docs — the BooleanScorer/TermScorer
 # nextDocsAndScores analogue (reference search/TermScorer.java:134-167 bulk
-# block scoring; search/MaxScoreBulkScorer.java dense windows).  Beyond it,
-# the block-max WAND scorer takes over (pruning beats brute force there).
-BULK_MAX_DOC = 1 << 17
+# block scoring; search/MaxScoreBulkScorer.java dense windows).  The gate is
+# a MEMORY bound (float64 acc + int32 counts = 12B/doc => 48MB at 4M docs,
+# fine inside a query actor), not a speed crossover: in this Python engine
+# the vectorized dense scan beats the per-doc WAND loop at every feasible
+# segment size — block-max pruning only wins for compiled per-doc scorers
+# like the reference's.  WAND remains the COMPLETE-mode verification arm
+# and the fallback above the gate (where a windowed dense scorer with
+# per-window impact bounds would be the next step).
+BULK_MAX_DOC = 1 << 22
 
 
 def _leaf_term(q: Query, boost: float = 1.0):
