@@ -239,6 +239,126 @@ def _phrase_search_segment(reader, query, weight: Weight, k: int):
     return [(int(docs[i]), np.float32(sc[i])) for i in order]
 
 
+def _windowed_bulk_search_segment(
+    reader, terms_boosts, min_should_match, weight, k, window: int = 1 << 20
+):
+    """Exact top-k for pure-SHOULD queries on segments ABOVE the dense gate:
+    fixed-size doc windows, dense float64 accumulation per window, windows
+    whose summed per-term impact bound cannot beat the current k-th score
+    are SKIPPED without decoding (MaxScoreBulkScorer dense-window analogue,
+    reference search/MaxScoreBulkScorer.java:28 INNER_WINDOW; bounds from
+    the CompetitiveImpactAccumulator skylines, MaxScoreCache.java:74-89).
+
+    Later windows hold strictly larger docids, so an equal-score candidate
+    there loses the (score desc, docid asc) tie — skipping on bound <= kth
+    is exact.
+    """
+    from ..index.postings import decode_block
+
+    enc = reader.enc
+    norms = np.asarray(reader.norms)
+    max_doc = reader.max_doc
+
+    terms = []
+    for term, boost in terms_boosts:
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        sim = weight.sim_scorer(term, boost)
+        bs, bc = int(enc.block_start[tid]), int(enc.block_count[tid])
+        sd = int(enc.singleton_doc[tid])
+        if sd >= 0:
+            terms.append(
+                {"sim": sim, "sing": (sd, int(enc.singleton_freq[tid])), "bs": 0,
+                 "bc": 0, "last": None, "bmax": None}
+            )
+            continue
+        last = np.asarray(enc.block_last_doc[bs : bs + bc], dtype=np.int64)
+        # per-block max score from the impact skylines (valid upper bound:
+        # every (freq, norm) in the block is dominated by a skyline pair)
+        i0 = int(enc.block_imp_start[bs])
+        i1 = int(enc.block_imp_start[bs + bc - 1] + enc.block_imp_count[bs + bc - 1])
+        pair_scores = sim.score_bulk(
+            np.asarray(enc.imp_freq[i0:i1], dtype=np.int64),
+            np.asarray(enc.imp_norm[i0:i1], dtype=np.int64),
+        )
+        starts = np.asarray(enc.block_imp_start[bs : bs + bc], dtype=np.int64) - i0
+        bmax = np.maximum.reduceat(pair_scores, starts)
+        terms.append({"sim": sim, "sing": None, "bs": bs, "bc": bc, "last": last, "bmax": bmax})
+    if not terms:
+        return []
+
+    out_docs: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    kth = -np.inf
+    have = 0
+    for w0 in range(0, max_doc, window):
+        w1 = min(w0 + window, max_doc)
+        # upper bound for this window
+        bound = 0.0
+        spans = []
+        for t in terms:
+            if t["sing"] is not None:
+                sd, sf = t["sing"]
+                if w0 <= sd < w1:
+                    bound += float(t["sim"].score(sf, int(norms[sd])))
+                spans.append(None)
+                continue
+            last = t["last"]
+            lo = int(np.searchsorted(last, w0))  # first block with last_doc >= w0
+            hi = int(np.searchsorted(last, w1 - 1)) + 1  # blocks starting <= w1-1
+            hi = min(hi, t["bc"])
+            spans.append((lo, hi))
+            if lo < hi:
+                bound += float(t["bmax"][lo:hi].max())
+        if have >= k and bound <= kth:
+            continue
+        acc = np.zeros(w1 - w0, dtype=np.float64)
+        counts = np.zeros(w1 - w0, dtype=np.int32)
+        for t, span in zip(terms, spans):
+            if t["sing"] is not None:
+                sd, sf = t["sing"]
+                if w0 <= sd < w1:
+                    acc[sd - w0] += float(t["sim"].score(sf, int(norms[sd])))
+                    counts[sd - w0] += 1
+                continue
+            lo, hi = span
+            if lo >= hi:
+                continue
+            bs = t["bs"]
+            for b in range(bs + lo, bs + hi):
+                prev = int(t["last"][b - bs - 1]) if b > bs else -1
+                docs, freqs = decode_block(enc, b, prev)
+                m = (docs >= w0) & (docs < w1)
+                if not m.any():
+                    continue
+                d = docs[m]
+                sc = t["sim"].score_bulk(freqs[m], norms[d])
+                acc[d - w0] += sc.astype(np.float64)
+                counts[d - w0] += 1
+        mask = counts >= max(min_should_match, 1)
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            continue
+        sc32 = acc[cand].astype(np.float32)
+        if len(cand) > k:
+            kth_local = np.partition(-sc32, k - 1)[k - 1]
+            keep = -sc32 <= kth_local
+            cand, sc32 = cand[keep], sc32[keep]
+        out_docs.append(cand + w0)
+        out_scores.append(sc32)
+        have += len(cand)
+        if have >= k:
+            all_sc = np.concatenate(out_scores)
+            kth = float(-np.partition(-all_sc, k - 1)[k - 1]) if len(all_sc) >= k else -np.inf
+    if not out_docs:
+        return []
+    docs = np.concatenate(out_docs)
+    scores = np.concatenate(out_scores)
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+
 def search_segment(
     reader: SegmentReader,
     query: Query,
@@ -252,10 +372,12 @@ def search_segment(
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
-    if allow_bulk and score_mode == "TOP_SCORES" and reader.max_doc <= BULK_MAX_DOC:
+    if allow_bulk and score_mode == "TOP_SCORES":
         flat = _flatten_should_terms(query)
         if flat is not None:
-            return _bulk_search_segment(reader, flat[0], flat[1], weight, k)
+            if reader.max_doc <= BULK_MAX_DOC:
+                return _bulk_search_segment(reader, flat[0], flat[1], weight, k)
+            return _windowed_bulk_search_segment(reader, flat[0], flat[1], weight, k)
     scorer = build_scorer(query, weight, reader, 1.0, score_mode, top_level=True)
     if scorer is None:
         return []
