@@ -142,7 +142,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     extras: dict = {}
 
+    # min-of-2: the host VM is noisy-neighbor prone (observed 4x swings)
     build = bench_index_build(sf, num_cpus)
+    second = bench_index_build(sf, num_cpus)
+    if second["sec"] < build["sec"]:
+        shutil.rmtree(build["idx_dir"], ignore_errors=True)
+        build = second
+    else:
+        shutil.rmtree(second["idx_dir"], ignore_errors=True)
     queries["index_build"] = round(build["sec"], 3)
     extras["index_build"] = {k: v for k, v in build.items() if k not in ("sec", "idx_dir")}
 
@@ -195,7 +202,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _child_build(sf: float, num_cpus: int, repeats: int = 2) -> None:
+def _child_build(sf: float, num_cpus: int, repeats: int = 3) -> None:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
@@ -224,9 +231,9 @@ def run_scaling(sf_dir: str) -> dict:
 
     ensure_corpus(sf, row_group_size=512)  # pre-generate: not build throughput
     results = {}
-    for n in (2, 8, 32):
+    for n, reps in ((2, 3), (8, 3), (32, 2)):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_child", str(sf), str(n)],
+            [sys.executable, os.path.abspath(__file__), "--_child", str(sf), str(n), str(reps)],
             capture_output=True,
             text=True,
             check=False,
@@ -261,7 +268,8 @@ def run_scaling(sf_dir: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--_child":
-        _child_build(float(sys.argv[2]), int(sys.argv[3]))
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+        _child_build(float(sys.argv[2]), int(sys.argv[3]), reps)
         return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
