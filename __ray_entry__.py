@@ -314,6 +314,20 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(_embs(sf_dir), q, k=10, nprobe=10)
 
 
+def _ann_kmeans_ivf(sf_dir: str):
+    """Learned-centroid IVF (distributed mini-batch k-means, the iterative
+    broadcast+partial-reduce pattern).  nprobe = ALL cells makes the
+    result exactly brute force, so the brute-force SQL oracle applies even
+    though k-means itself is not SQL-expressible; partial probing is
+    exercised in tests/test_ops_semantics.py."""
+    from lucene_ray.ops import ann
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = ann.load_queries(path, ANN_QUERY_IDS)
+    cents = ann.kmeans(_embs(sf_dir), k=8, iters=3)
+    return ann.ivf_topk_kmeans(_embs(sf_dir), q, cents, k=10, nprobe=8)
+
+
 def _near_dup(sf_dir: str):
     from lucene_ray.ops import ann
 
@@ -431,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": _ann_brute,
         "ann_ivf_topk": _ann_ivf,
+        "ann_kmeans_ivf": _ann_kmeans_ivf,
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
@@ -672,6 +687,20 @@ SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_i
 FROM ranked WHERE rnk <= 10
 """,
         "ann_ivf_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+""",
+        "ann_kmeans_ivf": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
 sims AS (
   SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s

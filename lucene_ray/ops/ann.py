@@ -153,6 +153,91 @@ def ivf_topk(ds, queries, k: int = 10, nprobe: int = 10, label_col: str = "label
     return _finish_topk(cands, k)
 
 
+def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarray:
+    """Distributed k-means (the iterative-algorithm pattern): per iteration,
+    centroids are broadcast once via ``ray.put`` and each ``map_batches``
+    task emits PARTIAL per-cluster (sum, count); the driver reduces the
+    tiny partials and updates.  Deterministic init: the first k vectors by
+    id order.  Returns float64 centroids [k, dim]."""
+    import ray
+
+    init_ids = None
+
+    def _first_k(batch: pa.Table) -> pa.Table:
+        return batch.sort_by(id_col).slice(0, k)
+
+    seed_tbl = (
+        ds.map_batches(_first_k, batch_format="pyarrow").to_pandas().sort_values(id_col).head(k)
+    )
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
+    )
+    _ = init_ids
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            emb = _emb_matrix(batch)
+            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            rows = []
+            for j in np.unique(assign):
+                sel = emb[assign == j]
+                rows.append(
+                    {"cluster": int(j), "vsum": sel.sum(axis=0).tolist(), "n": len(sel)}
+                )
+            return pa.Table.from_pylist(rows)
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for j, g in parts.groupby("cluster"):
+            total = np.sum([np.asarray(v) for v in g["vsum"]], axis=0)
+            n = int(g["n"].sum())
+            if n:
+                new[int(j)] = total / n
+        cents = new
+    return cents
+
+
+def ivf_topk_kmeans(
+    ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4
+) -> pa.Table:
+    """IVF cosine top-k over LEARNED (k-means) coarse centroids: each query
+    probes its nprobe closest centroids; rows assigned to other cells are
+    pruned inside each batch task (no shuffle).  nprobe == len(centroids)
+    degenerates to exact brute force."""
+    import ray
+
+    q_ids, q_mat, q_norm = queries
+    cn = np.linalg.norm(centroids, axis=1)
+    csim = (q_mat @ centroids.T) / (np.linalg.norm(q_mat, axis=1)[:, None] * cn[None, :])
+    probe = {
+        int(qid): set(np.argsort(-csim[i])[:nprobe].tolist())
+        for i, qid in enumerate(q_ids)
+    }
+    q_ref = ray.put(queries)
+    c_ref = ray.put((centroids, probe))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        cents, pr = ray.get(c_ref)
+        emb = _emb_matrix(batch)
+        d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        full = _topk_candidates(batch, q_ref, k)
+        if len(full) == 0:
+            return full
+        cell_of = dict(zip(batch.column("vec_id").to_numpy().tolist(), cell.tolist()))
+        qs = full.column("query_id").to_numpy()
+        ns = full.column("neighbor_id").to_numpy()
+        keep = np.array([cell_of[n] in pr[int(q)] for q, n in zip(qs, ns)], dtype=bool)
+        return full.filter(pa.array(keep))
+
+    cands = ds.map_batches(_cand, batch_format="pyarrow")
+    return _finish_topk(cands, k)
+
+
 def near_dup_pairs(ds, tau: float = 0.95, id_col: str = "vec_id") -> pa.Table:
     """All pairs (doc_a < doc_b) with cosine similarity >= tau."""
     import ray

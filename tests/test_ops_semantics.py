@@ -74,6 +74,28 @@ def test_simhash_pairs_find_planted(planted_docs):
     assert found >= 3  # near-dups usually land within 10 bits
 
 
+def test_kmeans_ivf(ray_session):
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    q = ann.load_queries(path, [0, 1, 2, 3, 4])
+    cents = ann.kmeans(rd.read_parquet(path), k=8, iters=3)
+    assert cents.shape == (8, 64) and np.isfinite(cents).all()
+    # centroids must actually move from the seed vectors (iterations ran)
+    seed = ann.kmeans(rd.read_parquet(path), k=8, iters=0)
+    assert not np.allclose(cents, seed)
+    # full probe == exact brute force
+    brute = ann.brute_topk(rd.read_parquet(path), q, k=10).to_pandas()
+    full = ann.ivf_topk_kmeans(rd.read_parquet(path), q, cents, k=10, nprobe=8).to_pandas()
+    assert full.equals(brute)
+    # partial probe: decent recall on learned cells
+    part = ann.ivf_topk_kmeans(rd.read_parquet(path), q, cents, k=10, nprobe=3).to_pandas()
+    truth = {qid: set(g["neighbor_id"]) for qid, g in brute.groupby("query_id")}
+    got = {qid: set(g["neighbor_id"]) for qid, g in part.groupby("query_id")}
+    recalls = [len(truth[qid] & got.get(qid, set())) / 10 for qid in truth]
+    assert np.mean(recalls) >= 0.3
+
+
 def test_ivf_partial_probe_recall(ray_session):
     import ray.data as rd
 
