@@ -365,6 +365,49 @@ def _merged_bm25(sf_dir: str):
     )
 
 
+def _salted_bm25(sf_dir: str):
+    """BM25 over an index built through the SALTED shuffle exchange
+    (mode='shuffle', term_salt=4: key = (segpart, term-range bucket)) —
+    must be rank-identical to the fused-build oracle."""
+    import hashlib as _h
+    import os as _os
+
+    import pyarrow as pa
+
+    from lucene_ray.index import manifest as mfst
+    from lucene_ray.index.build import build_index
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    slug = _h.sha256(_os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    idx = _os.path.join("/tmp", "lucene_ray_idx", f"salted-{slug}")
+    if mfst.latest_generation(idx) is None:
+        build_index(
+            _os.path.join(sf_dir, "documents.parquet"),
+            idx,
+            docs_per_segment=128,
+            mode="shuffle",
+            term_salt=4,
+            content_column="text",
+            meta_columns=("doc_id", "lang", "source"),
+        )
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(ft.QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), 10)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def _distributed_bm25(sf_dir: str):
     import pyarrow as pa
 
@@ -422,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_counts": ft.bool_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
+        "ft_bm25_topk_salted": _salted_bm25,
         "ft_phrase_counts": ft.phrase_counts,
         "ft_phrase_topk": ft.phrase_topk,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
@@ -568,6 +612,11 @@ SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_
 FROM tf2 GROUP BY tok
 """,
         "ft_bm25_topk_merged": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+""",
+        "ft_bm25_topk_salted": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 {_BM25_COMMON}

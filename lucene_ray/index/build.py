@@ -30,6 +30,8 @@ Both modes:
 - a separate cheap pass (no tokenization) writes the stored-fields tables
   (docid, repo, path, commit, lang, sha256) — the per-row content sha256
   invariant column.
+- ``index_options="positions"`` (phrase support) is implemented on the
+  fused path; shuffle-mode rows do not carry positions yet.
 """
 
 from __future__ import annotations

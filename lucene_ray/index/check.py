@@ -99,6 +99,22 @@ def check_segment(seg_dir: str, raise_on_error: bool = True) -> dict:
                     _chk(dominated, f"{name}: term {tid} block {b} impact does not cover (f={f}, n={nb})", errors, raise_on_error)
                 pos += n
 
+    # 3b. positions (when present): per-posting lists ascending, in range,
+    # and count == tf (IndexOptions DOCS_AND_FREQS_AND_POSITIONS)
+    if getattr(r, "has_positions", False):
+        pos_off = np.asarray(r.pos_off)
+        row = 0
+        for tid in range(r.n_terms):
+            docs, freqs = codec.decode_term(enc, tid)
+            for i in range(len(docs)):
+                p = np.asarray(r.pos_data[pos_off[row] : pos_off[row + 1]])
+                _chk(len(p) == int(freqs[i]), f"{name}: term {tid} posting {i} pos count != tf", errors, raise_on_error)
+                if len(p):
+                    _chk(bool((np.diff(p) > 0).all()) if len(p) > 1 else True, f"{name}: term {tid} posting {i} positions not ascending", errors, raise_on_error)
+                    _chk(int(p[0]) >= 0, f"{name}: term {tid} posting {i} negative position", errors, raise_on_error)
+                row += 1
+        _chk(row == len(pos_off) - 1, f"{name}: position row count mismatch", errors, raise_on_error)
+
     # 4. norms are quantized token counts
     for d in range(r.max_doc):
         nb = int(norms[d])

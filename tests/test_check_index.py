@@ -69,3 +69,33 @@ def test_corrupt_postings_detected(idx, tmp_path):
     np.save(os.path.join(bad, "doc_freq.npy"), df)
     with pytest.raises(CheckIndexError):
         check_segment(bad)
+
+
+def test_positions_validated(tmp_path, ray_session):
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index import manifest as mf2
+    from lucene_ray.index.build import build_index_local
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(generate_corpus(100, seed=51), str(d / "c.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=128, index_options="positions")
+    assert check_index(idx, use_ray=False)["ok"]
+    # corrupt a position -> descending within a posting
+    seg = mf2.read_manifest(idx)["segments"][0]["dir"]
+    bad = str(tmp_path / "badp")
+    shutil.copytree(seg, bad)
+    p = np.load(os.path.join(bad, "pos_data.npy"))
+    off = np.load(os.path.join(bad, "pos_off.npy"))
+    row = next(i for i in range(len(off) - 1) if off[i + 1] - off[i] >= 2)
+    p[off[row]], p[off[row] + 1] = p[off[row] + 1], p[off[row]]
+    np.save(os.path.join(bad, "pos_data.npy"), p)
+    rep = check_segment(bad, raise_on_error=False)
+    assert any("positions not ascending" in e or "pos count" in e for e in rep["errors"])
