@@ -30,8 +30,9 @@ Both modes:
 - a separate cheap pass (no tokenization) writes the stored-fields tables
   (docid, repo, path, commit, lang, sha256) — the per-row content sha256
   invariant column.
-- ``index_options="positions"`` (phrase support) is implemented on the
-  fused path; shuffle-mode rows do not carry positions yet.
+- ``index_options="positions"`` (phrase support) works in both modes: the
+  fused path carries flat per-row position arrays; shuffle-mode rows carry
+  an Arrow list<int32> column through the exchange (salted runs included).
 """
 
 from __future__ import annotations
@@ -149,7 +150,11 @@ class AnalyzerStage:
         out_tables = []
         for row in batch.to_pylist():
             out_tables.append(self.analyze_fragment(row))
-        return pa.concat_tables(out_tables) if out_tables else _empty_postings()
+        return (
+            pa.concat_tables(out_tables)
+            if out_tables
+            else _empty_postings(self.index_options == "positions")
+        )
 
     def analyze_fragment_ids(self, desc: dict) -> dict:
         """Vectorized fragment analysis -> dictionary-encoded postings.
@@ -177,7 +182,7 @@ class AnalyzerStage:
     def analyze_fragment(self, desc: dict) -> pa.Table:
         r = self.analyze_fragment_ids(desc)
         if not r["vocab"]:
-            return _empty_postings()
+            return _empty_postings(self.index_options == "positions")
         terms = pa.array(r["vocab"], type=pa.large_string()).take(pa.array(r["tids"]))
         n = len(r["tids"])
         cols = {
@@ -186,6 +191,13 @@ class AnalyzerStage:
             "docid": pa.array(r["docids"].astype(np.int32)),
             "tf": pa.array(r["tfs"].astype(np.int32)),
         }
+        if r["positions"] is not None:
+            # per-row position list rides the exchange as an Arrow list column
+            offsets = np.concatenate(([0], np.cumsum(r["tfs"], dtype=np.int64)))
+            cols["pos"] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(r["positions"].astype(np.int32)),
+            )
         if self.term_salt > 1:
             # order-preserving term-range bucket from the first UTF-8 byte
             fb = np.array(
@@ -196,15 +208,16 @@ class AnalyzerStage:
         return pa.table(cols)
 
 
-def _empty_postings() -> pa.Table:
-    return pa.table(
-        {
-            "segpart": pa.array([], type=pa.int32()),
-            "term": pa.array([], type=pa.large_string()),
-            "docid": pa.array([], type=pa.int32()),
-            "tf": pa.array([], type=pa.int32()),
-        }
-    )
+def _empty_postings(with_pos: bool = False) -> pa.Table:
+    cols = {
+        "segpart": pa.array([], type=pa.int32()),
+        "term": pa.array([], type=pa.large_string()),
+        "docid": pa.array([], type=pa.int32()),
+        "tf": pa.array([], type=pa.int32()),
+    }
+    if with_pos:
+        cols["pos"] = pa.array([], type=pa.large_list(pa.int32()))
+    return pa.table(cols)
 
 
 # --- stored-fields / sha256 pass -----------------------------------------
@@ -242,6 +255,55 @@ class DocTableStage:
 
 
 # --- segment build (post-shuffle / fused) --------------------------------
+
+def _build_segment_from_rows(tbl: pa.Table, seg: dict, index_dir: str) -> dict:
+    """Shuffle-side segment build from a postings row table (term, docid,
+    tf[, pos list]) in ANY row order; handles the positions list column."""
+    import pyarrow.compute as pc
+
+    from .segment import build_segment_from_ids
+
+    has_pos = "pos" in tbl.column_names
+    cols = ["term", "docid", "tf"] + (["pos"] if has_pos else [])
+    tbl = tbl.select(cols).sort_by([("term", "ascending"), ("docid", "ascending")])
+    term_col = tbl.column("term").combine_chunks()
+    dict_arr = pc.dictionary_encode(term_col)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    tids = dict_arr.indices.to_numpy().astype(np.int64)
+    uniq = dict_arr.dictionary  # first-occurrence order == sorted order
+    docids = tbl.column("docid").to_numpy()
+    tfs = tbl.column("tf").to_numpy()
+    lengths = np.bincount(
+        docids.astype(np.int64), weights=tfs.astype(np.int64), minlength=seg["max_doc"]
+    ).astype(np.int64)
+    positions = None
+    if has_pos:
+        pos_col = tbl.column("pos").combine_chunks()
+        positions = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    seg_dir = os.path.join(index_dir, seg["name"])
+    meta = {
+        "name": seg["name"],
+        "max_doc": seg["max_doc"],
+        "doc_base": seg["doc_base"],
+        "lineage": seg["lineage"],
+    }
+    t0 = time.time()
+    metrics = build_segment_from_ids(
+        uniq,
+        tids,
+        docids,
+        tfs,
+        int_to_byte4_array(lengths),
+        None,
+        seg_dir,
+        meta,
+        presorted=True,
+        positions=positions,
+    )
+    metrics["encode_sec"] = round(time.time() - t0, 3)
+    return metrics
+
 
 def _build_segment_from_postings(
     terms, docids, tfs, seg: dict, index_dir: str
@@ -582,6 +644,7 @@ def build_index(
                 fn_constructor_kwargs=dict(
                     analyzer=analyzer,
                     content_column=content_column,
+                    index_options=index_options,
                     term_salt=term_salt,
                 ),
                 batch_size=4,
@@ -595,13 +658,7 @@ def build_index(
                 def build_group(group: pa.Table) -> pa.Table:
                     seg_id = int(group.column("segpart")[0].as_py())
                     seg = segs_by_id[seg_id]
-                    metrics = _build_segment_from_postings(
-                        group.column("term"),
-                        group.column("docid").to_numpy(),
-                        group.column("tf").to_numpy(),
-                        seg,
-                        index_dir,
-                    )
+                    metrics = _build_segment_from_rows(group, seg, index_dir)
                     return pa.Table.from_pylist(
                         [{"seg_id": seg_id, "metrics": json.dumps(metrics)}]
                     )
@@ -623,13 +680,12 @@ def build_index(
                     seg_id = int(group.column("segpart")[0].as_py())
                     salt = int(group.column("salt")[0].as_py())
                     seg = segs_by_id[seg_id]
-                    tbl = pa.table(
-                        {
-                            "term": group.column("term"),
-                            "docid": group.column("docid"),
-                            "tf": group.column("tf"),
-                        }
-                    ).sort_by([("term", "ascending"), ("docid", "ascending")])
+                    run_cols = ["term", "docid", "tf"] + (
+                        ["pos"] if "pos" in group.column_names else []
+                    )
+                    tbl = group.select(run_cols).sort_by(
+                        [("term", "ascending"), ("docid", "ascending")]
+                    )
                     lengths = np.bincount(
                         group.column("docid").to_numpy(),
                         weights=group.column("tf").to_numpy(),
@@ -655,27 +711,7 @@ def build_index(
                         )
                         tbls = [pq.read_table(os.path.join(d, f)) for f in buckets]
                         tbl = pa.concat_tables(tbls)  # bucket order == term order
-                        lengths = np.zeros(seg["max_doc"], dtype=np.int64)
-                        for f in sorted(
-                            f for f in os.listdir(d) if f.startswith("lengths_")
-                        ):
-                            lengths += np.load(os.path.join(d, f))
-                        from .segment import build_segment
-
-                        metrics = build_segment(
-                            tbl.column("term"),
-                            tbl.column("docid").to_numpy(),
-                            tbl.column("tf").to_numpy(),
-                            int_to_byte4_array(lengths),
-                            None,
-                            os.path.join(index_dir, seg["name"]),
-                            {
-                                "name": seg["name"],
-                                "max_doc": seg["max_doc"],
-                                "doc_base": seg["doc_base"],
-                                "lineage": seg["lineage"],
-                            },
-                        )
+                        metrics = _build_segment_from_rows(tbl, seg, index_dir)
                         rows.append(
                             {"seg_id": seg["seg_id"], "metrics": json.dumps(metrics)}
                         )

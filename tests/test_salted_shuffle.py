@@ -45,3 +45,29 @@ def test_salted_shuffle_matches_fused(ray_session, corpus, tmp_path):
                 write_doc_tables=False, resume=False)
     assert check_index(salted, raise_on_error=False, use_ray=False)["ok"]
     assert _results(fused) == _results(salted)
+
+
+def test_positions_cross_mode(ray_session, corpus, tmp_path):
+    """Phrase results identical across fused / shuffle / salted-shuffle
+    positions builds (the list column rides the exchange)."""
+    import uuid
+
+    from lucene_ray.search.query import PhraseQuery
+
+    phrases = [("def", "return"), ("return", "return")]
+    results = {}
+    for label, kw in [
+        ("fused", dict(mode="fused")),
+        ("shuffle", dict(mode="shuffle")),
+        ("salted", dict(mode="shuffle", term_salt=4)),
+    ]:
+        idx = str(tmp_path / f"p-{label}-{uuid.uuid4().hex[:6]}")
+        build_index(corpus, idx, docs_per_segment=128, index_options="positions",
+                    write_doc_tables=False, resume=False, **kw)
+        assert check_index(idx, raise_on_error=False, use_ray=False)["ok"], label
+        s = IndexSearcher(idx)
+        results[label] = [
+            [(d, float(sc)) for d, sc in s.search(PhraseQuery(p), 10)] for p in phrases
+        ]
+    assert results["shuffle"] == results["fused"] == results["salted"]
+    assert any(any(r) for r in results["fused"])
