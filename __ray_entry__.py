@@ -262,6 +262,37 @@ FROM q WHERE is_quality = 1
 """
 
 
+def _prefix_sql() -> str:
+    parts = []
+    for qid, p in enumerate(ft.PREFIXES):
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE tok LIKE '{p}%')::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM (SELECT DISTINCT doc_id FROM tok WHERE tok LIKE '{p}%') d{qid}"
+            f") r{qid} WHERE rn <= 10"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
+def _range_counts_sql() -> str:
+    parts = []
+    for qid, (lo, hi) in enumerate(ft.TERM_RANGES):
+        conds = []
+        if lo is not None:
+            conds.append(f"tok >= '{lo}'")
+        if hi is not None:
+            conds.append(f"tok < '{hi}'")
+        where = " AND ".join(conds) or "TRUE"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE {where})::BIGINT AS cnt"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -463,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
         "ft_bm25_boosted_topk": ft.bm25_boosted_topk,
         "ft_bool_counts": ft.bool_counts,
+        "ft_prefix_matches": ft.prefix_matches,
+        "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
         "ft_bm25_topk_salted": _salted_bm25,
@@ -590,6 +623,8 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_bool_counts": _bool_counts_sql(),
+        "ft_prefix_matches": _prefix_sql(),
+        "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),
         "ft_code_term_stats": r"""

@@ -230,6 +230,23 @@ class SegmentReader:
             return lo
         return None
 
+    def _bisect_left(self, key: bytes) -> int:
+        lo, hi = 0, self.n_terms
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._term_at(mid) < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def term_id_range(self, lower: bytes | None, upper: bytes | None) -> range:
+        """Term ids with lower <= term < upper (UTF-8 byte order); None ends
+        are open.  Serves PrefixQuery/TermRangeQuery rewrites."""
+        lo = 0 if lower is None else self._bisect_left(lower)
+        hi = self.n_terms if upper is None else self._bisect_left(upper)
+        return range(lo, hi)
+
     def term_stats(self, term: str) -> tuple[int, int]:
         """(doc_freq, total_term_freq); (0, 0) if absent."""
         tid = self.term_id(term)

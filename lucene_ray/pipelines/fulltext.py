@@ -351,6 +351,52 @@ def bm25_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+PREFIXES = ["sp", "wi", "c", "ba", "jo"]
+TERM_RANGES = [("a", "d"), ("m", "s"), ("s", None), (None, "h")]
+
+
+def prefix_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """Constant-score prefix queries: (qid, cnt, top-k doc ids as rnk rows).
+
+    Returned rows: (qid, rnk, doc_id) for the k lowest matching docids plus
+    rnk=0 rows carrying the total count in doc_id — all integers.
+    """
+    from ..search.query import PrefixQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, p in enumerate(PREFIXES):
+        q = PrefixQuery(p)
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+def range_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
+    from ..search.query import TermRangeQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, cnts = [], []
+    for qid, (lo, hi) in enumerate(TERM_RANGES):
+        qids.append(qid)
+        cnts.append(searcher.count(TermRangeQuery(lo, hi)))
+    return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
+
+
 def bool_counts(sf_dir: str) -> pa.Table:
     """Exhaustive boolean match counts: (qid, cnt)."""
     idx = ensure_index(sf_dir)

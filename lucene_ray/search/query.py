@@ -66,6 +66,26 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class PrefixQuery:
+    """All terms starting with ``prefix`` (reference search/PrefixQuery.java),
+    evaluated with the CONSTANT_SCORE rewrite (MultiTermQuery.java): matches
+    = union of the term range's postings, score = boost for every match,
+    ties broken by docID — the classic multi-term rewrite."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    """Terms in [lower, upper) by UTF-8 byte order (search/TermRangeQuery
+    .java), CONSTANT_SCORE rewrite like PrefixQuery.  ``lower=None`` /
+    ``upper=None`` leave that end open."""
+
+    lower: str | None
+    upper: str | None
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -77,7 +97,16 @@ class BooleanQuery:
     min_should_match: int = 0
 
 
-Query = TermQuery | MatchAllDocsQuery | ConstantScoreQuery | BoostQuery | BooleanQuery | PhraseQuery
+Query = (
+    TermQuery
+    | MatchAllDocsQuery
+    | ConstantScoreQuery
+    | BoostQuery
+    | BooleanQuery
+    | PhraseQuery
+    | PrefixQuery
+    | TermRangeQuery
+)
 
 
 def bool_query(
@@ -95,6 +124,8 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, (PrefixQuery, TermRangeQuery)):
+        return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
     if isinstance(q, BooleanQuery):

@@ -166,7 +166,7 @@ class IndexSearcher:
 
     def count(self, query: Query) -> int:
         """Exhaustive match count (non-scoring)."""
-        from .query import PhraseQuery
+        from .query import PhraseQuery, PrefixQuery, TermRangeQuery
 
         weight = self.make_weight(query)
         total = 0
@@ -174,6 +174,10 @@ class IndexSearcher:
             for reader in self.readers:
                 docs, _ = phrase_matches_segment(reader, query.terms)
                 total += len(docs)
+            return total
+        if isinstance(query, (PrefixQuery, TermRangeQuery)):
+            for reader in self.readers:
+                total += len(_multi_term_matches(reader, query))
             return total
         for reader in self.readers:
             scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
@@ -222,6 +226,28 @@ def phrase_matches_segment(reader, terms: tuple[str, ...]):
             out_docs.append(d)
             out_freqs.append(len(cand))
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
+def _multi_term_matches(reader, query) -> np.ndarray:
+    """Sorted local docids matching a Prefix/TermRange query (union of the
+    term-id range's postings — the CONSTANT_SCORE multi-term rewrite)."""
+    from .query import PrefixQuery
+
+    if isinstance(query, PrefixQuery):
+        lo = query.prefix.encode("utf-8")
+        hi = lo + b"\xff\xff\xff\xff"  # > any UTF-8 continuation
+    else:
+        lo = query.lower.encode("utf-8") if query.lower is not None else None
+        hi = query.upper.encode("utf-8") if query.upper is not None else None
+    tids = reader.term_id_range(lo, hi)
+    if len(tids) == 0:
+        return np.empty(0, dtype=np.int64)
+    max_doc = reader.max_doc
+    mask = np.zeros(max_doc, dtype=bool)
+    for tid in tids:
+        docs, _ = reader.decode_term_cached(tid)
+        mask[docs] = True
+    return np.nonzero(mask)[0]
 
 
 def _phrase_search_segment(reader, query, weight: Weight, k: int):
@@ -368,10 +394,14 @@ def search_segment(
     score_mode: str,
     allow_bulk: bool = True,
 ) -> list[tuple[int, np.float32]]:
-    from .query import PhraseQuery
+    from .query import PhraseQuery, PrefixQuery, TermRangeQuery
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
+    if isinstance(query, (PrefixQuery, TermRangeQuery)):
+        docs = _multi_term_matches(reader, query)
+        # constant score 1.0; ties by docID => top-k = k smallest docids
+        return [(int(d), np.float32(1.0)) for d in docs[:k]]
     if allow_bulk and score_mode == "TOP_SCORES":
         flat = _flatten_should_terms(query)
         if flat is not None:
