@@ -277,6 +277,40 @@ def _prefix_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _wildcard_sql() -> str:
+    # fnmatch * -> SQL %, ? -> _ (term alphabet [a-z0-9_] has no literal
+    # LIKE metacharacters except '_', which we escape)
+    parts = []
+    for qid, p in enumerate(ft.WILDCARDS):
+        like = p.replace("_", "\\_").replace("*", "%").replace("?", "_")
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE tok LIKE '{like}' ESCAPE '\\')::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM (SELECT DISTINCT doc_id FROM tok WHERE tok LIKE '{like}' ESCAPE '\\') w{qid}"
+            f") rw{qid} WHERE rn <= 10"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
+def _fuzzy_sql() -> str:
+    parts = []
+    for qid, (t, me) in enumerate(ft.FUZZY_QUERIES):
+        pred = f"levenshtein(tok, '{t}') <= {me}"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE {pred})::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM (SELECT DISTINCT doc_id FROM tok WHERE {pred}) f{qid}"
+            f") rf{qid} WHERE rn <= 10"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
 def _range_counts_sql() -> str:
     parts = []
     for qid, (lo, hi) in enumerate(ft.TERM_RANGES):
@@ -495,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_boosted_topk": ft.bm25_boosted_topk,
         "ft_bool_counts": ft.bool_counts,
         "ft_prefix_matches": ft.prefix_matches,
+        "ft_wildcard_matches": ft.wildcard_matches,
+        "ft_fuzzy_matches": ft.fuzzy_matches,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
@@ -624,6 +660,8 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """,
         "ft_bool_counts": _bool_counts_sql(),
         "ft_prefix_matches": _prefix_sql(),
+        "ft_wildcard_matches": _wildcard_sql(),
+        "ft_fuzzy_matches": _fuzzy_sql(),
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),

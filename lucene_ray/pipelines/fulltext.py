@@ -397,6 +397,64 @@ def range_counts(sf_dir: str) -> pa.Table:
     return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
 
 
+WILDCARDS = ["s*k", "w?ndow", "*tor", "b*", "?a??"]
+
+
+def wildcard_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """Wildcard queries (constant score): count row (rnk 0) + lowest-k
+    matching docids per pattern — same shape as prefix_matches."""
+    from ..search.query import WildcardQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, p in enumerate(WILDCARDS):
+        q = WildcardQuery(p)
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
+FUZZY_QUERIES = [("spark", 1), ("merg", 1), ("windo", 2), ("customer", 2)]
+
+
+def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """Fuzzy queries (plain Levenshtein, constant score): count row (rnk 0)
+    + lowest-k matching docids per query."""
+    from ..search.query import FuzzyQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (t, me) in enumerate(FUZZY_QUERIES):
+        q = FuzzyQuery(t, me)
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def bool_counts(sf_dir: str) -> pa.Table:
     """Exhaustive boolean match counts: (qid, cnt)."""
     idx = ensure_index(sf_dir)

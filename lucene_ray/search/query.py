@@ -76,6 +76,29 @@ class PrefixQuery:
 
 
 @dataclass(frozen=True)
+class WildcardQuery:
+    """``*`` (any run) / ``?`` (any one char) wildcard over terms
+    (reference search/WildcardQuery.java), CONSTANT_SCORE rewrite.  The
+    literal prefix before the first wildcard bounds the dictionary scan
+    (the automaton-intersection analogue for the common leading-literal
+    case)."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Terms within ``max_edits`` plain-Levenshtein edits of ``term``
+    (reference search/FuzzyQuery.java; deviation: no transposition edits —
+    DuckDB's levenshtein() is the oracle — and CONSTANT_SCORE rewrite
+    instead of the blended-freq scoring rewrite).  The edit distance runs
+    as one vectorized DP over the whole segment dictionary."""
+
+    term: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
 class TermRangeQuery:
     """Terms in [lower, upper) by UTF-8 byte order (search/TermRangeQuery
     .java), CONSTANT_SCORE rewrite like PrefixQuery.  ``lower=None`` /
@@ -106,6 +129,8 @@ Query = (
     | PhraseQuery
     | PrefixQuery
     | TermRangeQuery
+    | WildcardQuery
+    | FuzzyQuery
 )
 
 
@@ -124,7 +149,7 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, (PrefixQuery, TermRangeQuery)):
+    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)

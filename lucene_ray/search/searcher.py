@@ -166,7 +166,7 @@ class IndexSearcher:
 
     def count(self, query: Query) -> int:
         """Exhaustive match count (non-scoring)."""
-        from .query import PhraseQuery, PrefixQuery, TermRangeQuery
+        from .query import FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery
 
         weight = self.make_weight(query)
         total = 0
@@ -175,7 +175,7 @@ class IndexSearcher:
                 docs, _ = phrase_matches_segment(reader, query.terms)
                 total += len(docs)
             return total
-        if isinstance(query, (PrefixQuery, TermRangeQuery)):
+        if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
             for reader in self.readers:
                 total += len(_multi_term_matches(reader, query))
             return total
@@ -229,25 +229,74 @@ def phrase_matches_segment(reader, terms: tuple[str, ...]):
 
 
 def _multi_term_matches(reader, query) -> np.ndarray:
-    """Sorted local docids matching a Prefix/TermRange query (union of the
-    term-id range's postings — the CONSTANT_SCORE multi-term rewrite)."""
-    from .query import PrefixQuery
+    """Sorted local docids matching a Prefix/TermRange/Wildcard query
+    (union of the matched terms' postings — CONSTANT_SCORE rewrite)."""
+    import fnmatch
+    import re
 
+    from .query import FuzzyQuery, PrefixQuery, WildcardQuery
+
+    term_filter = None
+    if isinstance(query, FuzzyQuery):
+        tids = _fuzzy_term_ids(reader, query.term, query.max_edits)
+        return _union_postings(reader, tids)
     if isinstance(query, PrefixQuery):
         lo = query.prefix.encode("utf-8")
         hi = lo + b"\xff\xff\xff\xff"  # > any UTF-8 continuation
+    elif isinstance(query, WildcardQuery):
+        # literal prefix before the first wildcard bounds the dict scan
+        m = re.search(r"[*?]", query.pattern)
+        lit = query.pattern[: m.start()] if m else query.pattern
+        lo = lit.encode("utf-8")
+        hi = lo + b"\xff\xff\xff\xff"
+        rx = re.compile(fnmatch.translate(query.pattern))
+        term_filter = lambda t: rx.match(t) is not None  # noqa: E731
     else:
         lo = query.lower.encode("utf-8") if query.lower is not None else None
         hi = query.upper.encode("utf-8") if query.upper is not None else None
     tids = reader.term_id_range(lo, hi)
+    if term_filter is not None:
+        tids = [t for t in tids if term_filter(reader.term_string(t))]
+    return _union_postings(reader, tids)
+
+
+def _union_postings(reader, tids) -> np.ndarray:
     if len(tids) == 0:
         return np.empty(0, dtype=np.int64)
-    max_doc = reader.max_doc
-    mask = np.zeros(max_doc, dtype=bool)
+    mask = np.zeros(reader.max_doc, dtype=bool)
     for tid in tids:
         docs, _ = reader.decode_term_cached(tid)
         mask[docs] = True
     return np.nonzero(mask)[0]
+
+
+def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
+    """Term ids within plain-Levenshtein ``max_edits`` of ``term``: ONE
+    vectorized DP over the whole dictionary (row per query char, numpy ops
+    over all terms at once)."""
+    offs = np.asarray(reader.term_offsets, dtype=np.int64)
+    data = np.asarray(reader.term_bytes, dtype=np.uint8)
+    n = reader.n_terms
+    lens = (offs[1:] - offs[:1] * 0 - offs[:-1]).astype(np.int64)
+    L = int(lens.max()) if n else 0
+    # ragged gather into a padded (n, L) byte matrix
+    idx = offs[:-1, None] + np.arange(L)[None, :]
+    idx = np.minimum(idx, len(data) - 1)
+    mat = data[idx].astype(np.int32)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    q = np.frombuffer(term.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
+    for i, qc in enumerate(q, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, L + 1):
+            cost = (mat[:, j - 1] != qc).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1), prev[:, j - 1] + cost
+            )
+        prev = cur
+    dist = prev[np.arange(n), lens]
+    return np.nonzero(dist <= max_edits)[0].tolist()
 
 
 def _phrase_search_segment(reader, query, weight: Weight, k: int):
@@ -394,11 +443,11 @@ def search_segment(
     score_mode: str,
     allow_bulk: bool = True,
 ) -> list[tuple[int, np.float32]]:
-    from .query import PhraseQuery, PrefixQuery, TermRangeQuery
+    from .query import FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
-    if isinstance(query, (PrefixQuery, TermRangeQuery)):
+    if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
         docs = _multi_term_matches(reader, query)
         # constant score 1.0; ties by docID => top-k = k smallest docids
         return [(int(d), np.float32(1.0)) for d in docs[:k]]
