@@ -295,6 +295,50 @@ def _wildcard_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _dismax_sql() -> str:
+    dm_values = ", ".join(
+        f"({qi}, '{t}', {tb})"
+        for qi, (terms, tb) in enumerate(ft.DISMAX_QUERIES)
+        for t in terms
+    )
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, tb) AS (VALUES {dm_values}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.tb FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id, p.tb,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, max(score) + any_value(tb) * (sum(score) - max(score)) AS score
+  FROM clause GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _fuzzy_sql() -> str:
     parts = []
     for qid, (t, me) in enumerate(ft.FUZZY_QUERIES):
@@ -531,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_matches": ft.prefix_matches,
         "ft_wildcard_matches": ft.wildcard_matches,
         "ft_fuzzy_matches": ft.fuzzy_matches,
+        "ft_dismax_topk": ft.dismax_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
@@ -662,6 +707,7 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
         "ft_prefix_matches": _prefix_sql(),
         "ft_wildcard_matches": _wildcard_sql(),
         "ft_fuzzy_matches": _fuzzy_sql(),
+        "ft_dismax_topk": _dismax_sql(),
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),

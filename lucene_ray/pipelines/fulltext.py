@@ -455,6 +455,35 @@ def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+DISMAX_QUERIES = [
+    (["spark", "join"], 0.0),
+    (["merge", "window", "customer"], 0.3),
+    (["hash", "stream", "vector"], 1.0),
+]
+
+
+def dismax_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """DisjunctionMax top-k: (qid, rnk, doc_id)."""
+    from ..search.query import DisjunctionMaxQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (terms, tb) in enumerate(DISMAX_QUERIES):
+        q = DisjunctionMaxQuery(tuple(TermQuery(t) for t in terms), tb)
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def bool_counts(sf_dir: str) -> pa.Table:
     """Exhaustive boolean match counts: (qid, cnt)."""
     idx = ensure_index(sf_dir)

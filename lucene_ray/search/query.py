@@ -99,6 +99,17 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """score = max(clause scores) + tie_breaker * (sum - max), computed in
+    double and cast to float32 (reference search/DisjunctionMaxQuery.java,
+    DisjunctionMaxScorer).  Clauses must be term leaves (possibly boosted)
+    in this engine."""
+
+    queries: tuple["Query", ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
 class TermRangeQuery:
     """Terms in [lower, upper) by UTF-8 byte order (search/TermRangeQuery
     .java), CONSTANT_SCORE rewrite like PrefixQuery.  ``lower=None`` /
@@ -131,6 +142,7 @@ Query = (
     | TermRangeQuery
     | WildcardQuery
     | FuzzyQuery
+    | DisjunctionMaxQuery
 )
 
 
@@ -153,6 +165,11 @@ def collect_terms(q: Query) -> set[str]:
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out: set[str] = set()
+        for sub in q.queries:
+            out |= collect_terms(sub)
+        return out
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in q.clauses:

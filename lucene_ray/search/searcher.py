@@ -299,6 +299,41 @@ def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
     return np.nonzero(dist <= max_edits)[0].tolist()
 
 
+def _dismax_search_segment(reader, query, weight: Weight, k: int):
+    """Dense DisjunctionMax: per-doc max and sum of clause scores in
+    float64, score = f32(max + tie_breaker * (sum - max)); ties by docid
+    (DisjunctionMaxScorer double-accumulator shape)."""
+    max_doc = reader.max_doc
+    norms = np.asarray(reader.norms)
+    mx = np.full(max_doc, -np.inf, dtype=np.float64)
+    sm = np.zeros(max_doc, dtype=np.float64)
+    matched = np.zeros(max_doc, dtype=bool)
+    for sub in query.queries:
+        leaf = _leaf_term(sub)
+        if leaf is None:
+            raise TypeError("DisjunctionMaxQuery clauses must be (boosted) terms")
+        term, boost = leaf
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        docs, freqs = reader.decode_term_cached(tid)
+        sc = weight.sim_scorer(term, boost).score_bulk(freqs, norms[docs]).astype(np.float64)
+        np.maximum.at(mx, docs, sc)
+        sm[docs] += sc
+        matched[docs] = True
+    cand = np.nonzero(matched)[0]
+    if len(cand) == 0:
+        return []
+    tb = float(query.tie_breaker)
+    sc = (mx[cand] + tb * (sm[cand] - mx[cand])).astype(np.float32)
+    if len(cand) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        cand, sc = cand[keep], sc[keep]
+    order = np.lexsort((cand, -sc))[:k]
+    return [(int(cand[i]), np.float32(sc[i])) for i in order]
+
+
 def _phrase_search_segment(reader, query, weight: Weight, k: int):
     docs, freqs = phrase_matches_segment(reader, query.terms)
     if len(docs) == 0:
@@ -443,7 +478,14 @@ def search_segment(
     score_mode: str,
     allow_bulk: bool = True,
 ) -> list[tuple[int, np.float32]]:
-    from .query import FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery
+    from .query import (
+        DisjunctionMaxQuery,
+        FuzzyQuery,
+        PhraseQuery,
+        PrefixQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
@@ -451,6 +493,8 @@ def search_segment(
         docs = _multi_term_matches(reader, query)
         # constant score 1.0; ties by docID => top-k = k smallest docids
         return [(int(d), np.float32(1.0)) for d in docs[:k]]
+    if isinstance(query, DisjunctionMaxQuery):
+        return _dismax_search_segment(reader, query, weight, k)
     if allow_bulk and score_mode == "TOP_SCORES":
         flat = _flatten_should_terms(query)
         if flat is not None:
