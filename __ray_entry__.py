@@ -339,6 +339,22 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _regexp_sql() -> str:
+    parts = []
+    for qid, p in enumerate(ft.REGEXPS):
+        pred = f"regexp_full_match(tok, '{p}')"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE {pred})::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM (SELECT DISTINCT doc_id FROM tok WHERE {pred}) x{qid}"
+            f") rx{qid} WHERE rn <= 10"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
 def _fuzzy_sql() -> str:
     parts = []
     for qid, (t, me) in enumerate(ft.FUZZY_QUERIES):
@@ -576,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard_matches": ft.wildcard_matches,
         "ft_fuzzy_matches": ft.fuzzy_matches,
         "ft_dismax_topk": ft.dismax_topk,
+        "ft_regexp_matches": ft.regexp_matches,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_distributed": _distributed_bm25,
         "ft_bm25_topk_merged": _merged_bm25,
@@ -708,6 +725,7 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
         "ft_wildcard_matches": _wildcard_sql(),
         "ft_fuzzy_matches": _fuzzy_sql(),
         "ft_dismax_topk": _dismax_sql(),
+        "ft_regexp_matches": _regexp_sql(),
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),

@@ -484,6 +484,34 @@ def dismax_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+REGEXPS = ["s.*k", "[bw].ndow|batch", "(jo|me).*", "[a-d].+r"]
+
+
+def regexp_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """Regexp queries (constant score): count row (rnk 0) + lowest-k docids."""
+    from ..search.query import RegexpQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, p in enumerate(REGEXPS):
+        q = RegexpQuery(p)
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def bool_counts(sf_dir: str) -> pa.Table:
     """Exhaustive boolean match counts: (qid, cnt)."""
     idx = ensure_index(sf_dir)

@@ -99,6 +99,16 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class RegexpQuery:
+    """Terms fully matching ``pattern`` (reference search/RegexpQuery.java;
+    our matcher is Python re over the dictionary scan instead of an
+    automaton intersection — keep patterns RE2-compatible so the DuckDB
+    regexp_full_match oracle agrees).  CONSTANT_SCORE rewrite."""
+
+    pattern: str
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """score = max(clause scores) + tie_breaker * (sum - max), computed in
     double and cast to float32 (reference search/DisjunctionMaxQuery.java,
@@ -142,6 +152,7 @@ Query = (
     | TermRangeQuery
     | WildcardQuery
     | FuzzyQuery
+    | RegexpQuery
     | DisjunctionMaxQuery
 )
 
@@ -161,7 +172,7 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
+    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)

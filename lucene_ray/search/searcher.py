@@ -166,7 +166,14 @@ class IndexSearcher:
 
     def count(self, query: Query) -> int:
         """Exhaustive match count (non-scoring)."""
-        from .query import FuzzyQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery
+        from .query import (
+            FuzzyQuery,
+            PhraseQuery,
+            PrefixQuery,
+            RegexpQuery,
+            TermRangeQuery,
+            WildcardQuery,
+        )
 
         weight = self.make_weight(query)
         total = 0
@@ -175,7 +182,7 @@ class IndexSearcher:
                 docs, _ = phrase_matches_segment(reader, query.terms)
                 total += len(docs)
             return total
-        if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
+        if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
             for reader in self.readers:
                 total += len(_multi_term_matches(reader, query))
             return total
@@ -234,13 +241,17 @@ def _multi_term_matches(reader, query) -> np.ndarray:
     import fnmatch
     import re
 
-    from .query import FuzzyQuery, PrefixQuery, WildcardQuery
+    from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
 
     term_filter = None
     if isinstance(query, FuzzyQuery):
         tids = _fuzzy_term_ids(reader, query.term, query.max_edits)
         return _union_postings(reader, tids)
-    if isinstance(query, PrefixQuery):
+    if isinstance(query, RegexpQuery):
+        rx = re.compile(query.pattern)
+        lo, hi = None, None
+        term_filter = lambda t: rx.fullmatch(t) is not None  # noqa: E731
+    elif isinstance(query, PrefixQuery):
         lo = query.prefix.encode("utf-8")
         hi = lo + b"\xff\xff\xff\xff"  # > any UTF-8 continuation
     elif isinstance(query, WildcardQuery):
@@ -483,13 +494,14 @@ def search_segment(
         FuzzyQuery,
         PhraseQuery,
         PrefixQuery,
+        RegexpQuery,
         TermRangeQuery,
         WildcardQuery,
     )
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
-    if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
+    if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
         docs = _multi_term_matches(reader, query)
         # constant score 1.0; ties by docID => top-k = k smallest docids
         return [(int(d), np.float32(1.0)) for d in docs[:k]]
