@@ -557,6 +557,16 @@ def _fused_build_task(
     return builder(batch)
 
 
+def _analyze_task(
+    batch: pa.Table,
+    analyzer: str,
+    content_column: str,
+    index_options: str = "docs_freqs",
+    term_salt: int = 1,
+) -> pa.Table:
+    return AnalyzerStage(analyzer, content_column, index_options, term_salt)(batch)
+
+
 def _doc_table_task(
     batch: pa.Table, content_column: str, meta_columns: list[str], docs_dir: str
 ) -> pa.Table:
@@ -639,9 +649,12 @@ def build_index(
         elif mode == "shuffle":
             frag_rows = [f for s in todo for f in _fragments_with_local_base(s)]
             ds = rd.from_items(frag_rows)
+            # stateless tasks (same rationale as the fused path: analyzer
+            # tables are module singletons, so tasks get actor-style reuse
+            # without a fresh pool spin-up per build)
             post = ds.map_batches(
-                AnalyzerStage,
-                fn_constructor_kwargs=dict(
+                _analyze_task,
+                fn_kwargs=dict(
                     analyzer=analyzer,
                     content_column=content_column,
                     index_options=index_options,
@@ -649,7 +662,6 @@ def build_index(
                 ),
                 batch_size=4,
                 batch_format="pyarrow",
-                concurrency=_resolve_concurrency(concurrency, len(frag_rows)),
                 num_cpus=1,
             )
 
