@@ -63,7 +63,14 @@ def cmd_search(args) -> int:
 
     analyzer = make_analyzer(args.analyzer)
     terms = [analyzer.normalize(t) for t in args.query.split()]
-    if args.phrase:
+    if args.parse:
+        from .search.parser import parse_query
+
+        q = parse_query(args.query, analyzer)
+        if q is None:
+            print("empty query", file=sys.stderr)
+            return 2
+    elif args.phrase:
         from .search.query import PhraseQuery
 
         q = PhraseQuery(tuple(terms))
@@ -158,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--op", default="should", choices=["should", "must"])
     s.add_argument("--phrase", action="store_true",
                    help="exact phrase (requires an index built with positions)")
+    s.add_argument("--parse", action="store_true",
+                   help='query syntax: +must -not "phrase" pre* w?ld fuzzy~1 /rege.x/ [a TO b]')
     s.add_argument("--workers", type=int, default=0)
     s.add_argument("--analyzer", default="standard")
     s.set_defaults(fn=cmd_search)

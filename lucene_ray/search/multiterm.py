@@ -1,0 +1,122 @@
+"""Multi-term and phrase MATCHERS shared by the top-level fast paths and
+the boolean-clause scorer plumbing (kept import-cycle-free: query.py and
+searcher.py both import from here)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def phrase_matches_segment(reader, terms: tuple[str, ...]):
+    """(local docids, phrase freqs) of exact consecutive-position matches
+    (ExactPhraseMatcher semantics, slop=0)."""
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("phrase queries need an index built with index_options='positions'")
+    postings = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        postings.append((tid, docs))
+    # docid intersection, then per-doc consecutive-position check
+    common = postings[0][1]
+    for _, docs in postings[1:]:
+        common = common[np.isin(common, docs)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_lists = []  # per term: dict local_doc -> positions
+    for tid, docs in postings:
+        plist = reader.term_positions(tid)
+        idx = {int(d): p for d, p in zip(docs, plist)}
+        pos_lists.append(idx)
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        cand = pos_lists[0][d]
+        for i in range(1, len(terms)):
+            cand = cand[np.isin(cand + i, pos_lists[i][d])]
+            if len(cand) == 0:
+                break
+        if len(cand):
+            out_docs.append(d)
+            out_freqs.append(len(cand))
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
+def _multi_term_matches(reader, query) -> np.ndarray:
+    """Sorted local docids matching a Prefix/TermRange/Wildcard query
+    (union of the matched terms' postings — CONSTANT_SCORE rewrite)."""
+    import fnmatch
+    import re
+
+    from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+
+    term_filter = None
+    if isinstance(query, FuzzyQuery):
+        tids = _fuzzy_term_ids(reader, query.term, query.max_edits)
+        return _union_postings(reader, tids)
+    if isinstance(query, RegexpQuery):
+        rx = re.compile(query.pattern)
+        lo, hi = None, None
+        term_filter = lambda t: rx.fullmatch(t) is not None  # noqa: E731
+    elif isinstance(query, PrefixQuery):
+        lo = query.prefix.encode("utf-8")
+        hi = lo + b"\xff\xff\xff\xff"  # > any UTF-8 continuation
+    elif isinstance(query, WildcardQuery):
+        # literal prefix before the first wildcard bounds the dict scan
+        m = re.search(r"[*?]", query.pattern)
+        lit = query.pattern[: m.start()] if m else query.pattern
+        lo = lit.encode("utf-8")
+        hi = lo + b"\xff\xff\xff\xff"
+        rx = re.compile(fnmatch.translate(query.pattern))
+        term_filter = lambda t: rx.match(t) is not None  # noqa: E731
+    else:
+        lo = query.lower.encode("utf-8") if query.lower is not None else None
+        hi = query.upper.encode("utf-8") if query.upper is not None else None
+    tids = reader.term_id_range(lo, hi)
+    if term_filter is not None:
+        tids = [t for t in tids if term_filter(reader.term_string(t))]
+    return _union_postings(reader, tids)
+
+
+def _union_postings(reader, tids) -> np.ndarray:
+    if len(tids) == 0:
+        return np.empty(0, dtype=np.int64)
+    mask = np.zeros(reader.max_doc, dtype=bool)
+    for tid in tids:
+        docs, _ = reader.decode_term_cached(tid)
+        mask[docs] = True
+    return np.nonzero(mask)[0]
+
+
+def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
+    """Term ids within plain-Levenshtein ``max_edits`` of ``term``: ONE
+    vectorized DP over the whole dictionary (row per query char, numpy ops
+    over all terms at once)."""
+    offs = np.asarray(reader.term_offsets, dtype=np.int64)
+    data = np.asarray(reader.term_bytes, dtype=np.uint8)
+    n = reader.n_terms
+    lens = (offs[1:] - offs[:1] * 0 - offs[:-1]).astype(np.int64)
+    L = int(lens.max()) if n else 0
+    # ragged gather into a padded (n, L) byte matrix
+    idx = offs[:-1, None] + np.arange(L)[None, :]
+    idx = np.minimum(idx, len(data) - 1)
+    mat = data[idx].astype(np.int32)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    q = np.frombuffer(term.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
+    for i, qc in enumerate(q, 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, L + 1):
+            cost = (mat[:, j - 1] != qc).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1), prev[:, j - 1] + cost
+            )
+        prev = cur
+    dist = prev[np.arange(n), lens]
+    return np.nonzero(dist <= max_edits)[0].tolist()
+
+

@@ -278,6 +278,26 @@ def build_scorer(
     if isinstance(q, BooleanQuery):
         return _boolean_scorer(q, weight, reader, boost, score_mode, top_level)
 
+    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+        from .multiterm import _multi_term_matches
+        from .scorers import PrecomputedScorer
+
+        docs = _multi_term_matches(reader, q)
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, PhraseQuery):
+        from .multiterm import phrase_matches_segment
+        from .scorers import PrecomputedScorer
+
+        docs, freqs = phrase_matches_segment(reader, q.terms)
+        if len(docs) == 0:
+            return None
+        sim = weight.phrase_sim_scorer(q.terms, boost)
+        scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
+        return PrecomputedScorer(docs, scores)
+
     raise TypeError(f"unsupported query: {q!r}")
 
 

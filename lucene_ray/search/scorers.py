@@ -840,3 +840,54 @@ class MatchAllScorer(Scorer):
 
     def get_max_score(self, up_to: int) -> np.float32:
         return self._score
+
+
+class PrecomputedScorer(Scorer):
+    """Scorer over a precomputed sorted (docids, scores) pair — backs
+    multi-term rewrites (prefix/wildcard/fuzzy/regexp/range) and phrase
+    scorers when they appear as BOOLEAN CLAUSES rather than top-level
+    queries.  ``get_max_score`` returns the global max of the remaining
+    tail (a valid upper bound for WAND)."""
+
+    def __init__(self, docids, scores):
+        import numpy as np
+
+        self.docids = np.asarray(docids, dtype=np.int64)
+        self.scores = np.asarray(scores, dtype=np.float32)
+        self._i = -1
+        self.doc = -1
+        # suffix max for tail upper bounds
+        if len(self.scores):
+            self._suffix_max = np.maximum.accumulate(self.scores[::-1])[::-1]
+        else:
+            self._suffix_max = self.scores
+
+    def cost(self) -> int:
+        return len(self.docids)
+
+    def next_doc(self) -> int:
+        self._i += 1
+        self.doc = int(self.docids[self._i]) if self._i < len(self.docids) else NO_MORE_DOCS
+        return self.doc
+
+    def advance(self, target: int) -> int:
+        import numpy as np
+
+        i = int(np.searchsorted(self.docids, target, side="left"))
+        self._i = i
+        self.doc = int(self.docids[i]) if i < len(self.docids) else NO_MORE_DOCS
+        return self.doc
+
+    def score(self):
+        import numpy as np
+
+        return np.float32(self.scores[self._i])
+
+    def get_max_score(self, up_to):
+        import numpy as np
+
+        if self._i < 0:
+            return np.float32(self._suffix_max[0]) if len(self._suffix_max) else np.float32(0)
+        if self._i >= len(self._suffix_max):
+            return np.float32(0)
+        return np.float32(self._suffix_max[self._i])

@@ -1,0 +1,93 @@
+"""Query-string parser + composite-clause scoring (multi-term and phrase
+queries used as boolean CLAUSES through PrecomputedScorer)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.analyzers import make_analyzer
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.search.parser import parse_query
+from lucene_ray.search.query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    bool_query,
+)
+from lucene_ray.search.searcher import IndexSearcher
+
+A = make_analyzer("standard")
+
+
+def test_parse_shapes():
+    assert parse_query("spark", A) == TermQuery("spark")
+    q = parse_query('+Spark -join "batch batch" wind* w?ndow merge~1 term~ /s.*k/ [a TO b]', A)
+    assert isinstance(q, BooleanQuery)
+    by_occur = {}
+    for c in q.clauses:
+        by_occur.setdefault(c.occur, []).append(c.query)
+    assert by_occur["MUST"] == [TermQuery("spark")]  # normalized lowercase
+    assert by_occur["MUST_NOT"] == [TermQuery("join")]
+    shoulds = by_occur["SHOULD"]
+    assert PhraseQuery(("batch", "batch")) in shoulds
+    assert PrefixQuery("wind") in shoulds
+    assert WildcardQuery("w?ndow") in shoulds
+    assert FuzzyQuery("merge", 1) in shoulds
+    assert FuzzyQuery("term", 2) in shoulds
+    assert RegexpQuery("s.*k") in shoulds
+    assert TermRangeQuery("a", "b") in shoulds
+    assert parse_query("   ", A) is None
+    assert parse_query("[a TO *]", A) == TermRangeQuery("a", None)
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("parser_corpus")
+    pq.write_table(generate_corpus(300, seed=71), str(d / "c.parquet"), row_group_size=64)
+    out = str(tmp_path_factory.mktemp("parser_idx"))
+    build_index_local(str(d), out, docs_per_segment=64, index_options="positions")
+    return out
+
+
+def test_composite_clause_scoring(idx):
+    s = IndexSearcher(idx)
+    # phrase as MUST + prefix as SHOULD + term as MUST_NOT, via the parser
+    q = parse_query('+"def return" de* -class', A)
+    hits = s.search(q, 10)
+    cnt = s.count(q)
+    # brute check: must-phrase docs minus must_not docs
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.search.multiterm import phrase_matches_segment
+
+    man = read_manifest(idx)
+    expected = set()
+    for r, seg in zip(s.readers, man["segments"]):
+        ph, _ = phrase_matches_segment(r, ("def", "return"))
+        tid = r.term_id("class")
+        not_docs = set(r.decode_term_cached(tid)[0].tolist()) if tid is not None else set()
+        expected |= {int(d) + seg["doc_base"] for d in ph if int(d) not in not_docs}
+    assert cnt == len(expected)
+    assert all(doc in expected for doc, _ in hits)
+    # the SHOULD prefix must add score to matching docs: a doc matching the
+    # prefix outscores the same-phrase-freq doc without it only via ranking;
+    # at minimum scores are finite positive
+    assert all(np.isfinite(float(sc)) and float(sc) > 0 for _, sc in hits)
+
+
+def test_multi_term_clause_equivalence(idx):
+    s = IndexSearcher(idx)
+    # prefix as a FILTER clause == prefix alone intersected with match-all
+    direct = s.count(PrefixQuery("de"))
+    filtered = s.count(bool_query(must=[TermQuery("def")], filter=[PrefixQuery("de")]))
+    term_only = s.count(TermQuery("def"))
+    assert filtered <= min(direct, term_only)
+    assert filtered > 0
