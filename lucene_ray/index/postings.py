@@ -228,31 +228,46 @@ def encode_postings(
     # pack: group blocks by width, pack each group's postings contiguously,
     # then reassemble in block order
     def pack_all(values: np.ndarray, widths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        # byte length of each block
+        """Pack every block in ONE vectorized pass per distinct width.
+
+        For width w, every value j of block i owns bits
+        ``[block_bit_off[i] + j*w, ... + w)`` of a global (byte-padded per
+        block) bit vector; a single scatter + np.packbits produces the
+        whole byte stream — no per-block Python loop (merges re-encode
+        millions of small tail blocks, where the loop dominated).
+        """
         blens = ((block_len.astype(np.int64) * widths.astype(np.int64)) + 7) // 8
         offs = np.concatenate(([0], np.cumsum(blens)))
         buf = np.zeros(int(offs[-1]), dtype=np.uint8)
         for w in np.unique(widths):
             if w == 0:
                 continue
+            w = int(w)
             sel = np.flatnonzero(widths == w)
-            full = sel[block_len[sel] == BLOCK_SIZE]
-            if len(full):
-                # all full blocks of this width at once: (k, 256) gather ->
-                # (k, 256*w) bit matrix -> per-row packbits (32*w bytes/row)
-                idx = blk_first[full][:, None] + np.arange(BLOCK_SIZE)
-                mat = values[idx].astype(np.uint64)
-                shifts = np.arange(int(w), dtype=np.uint64)
-                bits = ((mat[:, :, None] >> shifts) & 1).astype(np.uint8)
-                rows = np.packbits(bits.reshape(len(full), -1), axis=1, bitorder="little")
-                row_bytes = rows.shape[1]
-                dest = offs[full][:, None] + np.arange(row_bytes)
-                buf[dest.ravel()] = rows.ravel()
-            for bi in sel[block_len[sel] != BLOCK_SIZE]:
-                s = blk_first[bi]
-                e = s + block_len[bi]
-                packed = pack_bits(values[s:e], int(w))
-                buf[offs[bi] : offs[bi] + len(packed)] = packed
+            lens = block_len[sel].astype(np.int64)
+            n_vals = int(lens.sum())
+            # value index per (block, j): ragged ranges
+            val_base = np.repeat(blk_first[sel].astype(np.int64), lens)
+            new_off = np.concatenate(([0], np.cumsum(lens[:-1])))
+            within = np.arange(n_vals, dtype=np.int64) - np.repeat(new_off, lens)
+            vals = values[val_base + within].astype(np.uint64)
+            # bit matrix (n_vals, w), then scatter into the padded bit vector
+            shifts = np.arange(w, dtype=np.uint64)
+            bits = ((vals[:, None] >> shifts) & 1).astype(np.uint8)
+            total_bits = int(blens[sel].sum()) * 8
+            bitvec = np.zeros(total_bits, dtype=np.uint8)
+            # remap per-block byte regions to a compact local bit space
+            local_byte_off = np.concatenate(([0], np.cumsum(blens[sel])))[:-1]
+            local_bit_start = np.repeat(local_byte_off * 8, lens) + within * w
+            pos = (local_bit_start[:, None] + shifts.astype(np.int64)).ravel()
+            bitvec[pos] = bits.ravel()
+            packed = np.packbits(bitvec, bitorder="little")
+            # scatter the contiguous local bytes back to global offsets
+            dest = np.repeat(offs[sel], blens[sel]) + (
+                np.arange(int(blens[sel].sum()), dtype=np.int64)
+                - np.repeat(local_byte_off, blens[sel])
+            )
+            buf[dest] = packed
         return buf, offs[:-1]
 
     packed_docs, block_doc_off = pack_all(b_deltas, doc_bits)
@@ -345,31 +360,94 @@ def decode_block(enc: EncodedPostings, block_idx: int, prev_last_doc: int) -> tu
     return docids, freqs
 
 
+def _ragged_within(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _unpack_all_blocks(
+    packed: np.ndarray, widths: np.ndarray, lens: np.ndarray, offs: np.ndarray
+) -> np.ndarray:
+    """Unpack every block in one vectorized pass per distinct width.
+
+    Returns the concatenated per-block values in block order (the inverse
+    of pack_all's layout).
+    """
+    val_off = np.concatenate(([0], np.cumsum(lens)))
+    out = np.zeros(int(val_off[-1]), dtype=np.int64)
+    packed = np.asarray(packed)
+    for w in np.unique(widths):
+        w = int(w)
+        sel = np.flatnonzero(widths == w)
+        slens = lens[sel]
+        gpos = np.repeat(val_off[sel], slens) + _ragged_within(slens)
+        if w == 0:
+            out[gpos] = 0
+            continue
+        blens = (slens * w + 7) // 8
+        byte_idx = np.repeat(offs[sel], blens) + _ragged_within(blens)
+        bits = np.unpackbits(packed[byte_idx], bitorder="little")
+        local_byte_off = np.concatenate(([0], np.cumsum(blens[:-1])))
+        local_bit_start = np.repeat(local_byte_off * 8, slens) + _ragged_within(slens) * w
+        idx = local_bit_start[:, None] + np.arange(w)
+        weights = (1 << np.arange(w, dtype=np.int64))
+        out[gpos] = bits[idx].astype(np.int64) @ weights
+    return out
+
+
 def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a whole segment -> (term_ids, docids, freqs), term-major order.
 
-    Used by the merge path.  Singleton terms (the huge tail in code corpora)
-    are emitted wholesale from the per-term arrays — no per-term Python work;
-    only blocked terms loop, and per *block*, not per posting.
+    Fully vectorized (merge-path hot spot): singletons emitted wholesale,
+    every block unpacked in one pass per distinct bit width, docids
+    recovered with a per-term segmented cumsum — no per-term/per-block
+    Python loops.
     """
-    n_terms = len(enc.doc_freq)
     sing = enc.singleton_doc >= 0
     sing_tids = np.nonzero(sing)[0].astype(np.int64)
-    out_tids = [sing_tids]
-    out_docs = [enc.singleton_doc[sing_tids].astype(np.int64)]
-    out_tfs = [enc.singleton_freq[sing_tids].astype(np.int64)]
+    s_docs = enc.singleton_doc[sing_tids].astype(np.int64)
+    s_tfs = enc.singleton_freq[sing_tids].astype(np.int64)
 
-    blocked = np.nonzero(~sing & (enc.doc_freq > 0))[0]
-    for tid in blocked:
-        docs, freqs = decode_term(enc, int(tid))
-        out_tids.append(np.full(len(docs), tid, dtype=np.int64))
-        out_docs.append(docs)
-        out_tfs.append(freqs)
-    tids = np.concatenate(out_tids) if out_tids else np.empty(0, dtype=np.int64)
-    docs = np.concatenate(out_docs) if out_docs else np.empty(0, dtype=np.int64)
-    tfs = np.concatenate(out_tfs) if out_tfs else np.empty(0, dtype=np.int64)
-    order = np.argsort(tids, kind="stable")  # term-major; docids stay sorted per term
-    _ = n_terms
+    blocked = np.nonzero(~sing & (enc.doc_freq > 0))[0].astype(np.int64)
+    if len(blocked) == 0:
+        order = np.argsort(sing_tids, kind="stable")
+        return sing_tids[order], s_docs[order], s_tfs[order]
+
+    bl = np.asarray(enc.block_len, dtype=np.int64)
+    deltas = _unpack_all_blocks(
+        enc.packed_docs,
+        np.asarray(enc.block_doc_bits, dtype=np.int64),
+        bl,
+        np.asarray(enc.block_doc_off, dtype=np.int64),
+    )
+    tfs_b = (
+        _unpack_all_blocks(
+            enc.packed_freqs,
+            np.asarray(enc.block_freq_bits, dtype=np.int64),
+            bl,
+            np.asarray(enc.block_freq_off, dtype=np.int64),
+        )
+        + 1
+    )
+    # docids: per-term segmented cumsum of (delta + 1) starting at -1; a
+    # term's blocks are contiguous in block order, so value order is right
+    val_off = np.concatenate(([0], np.cumsum(bl)))
+    t_counts = enc.doc_freq[blocked].astype(np.int64)
+    t_first_val = val_off[np.asarray(enc.block_start, dtype=np.int64)[blocked]]
+    inc = deltas + 1
+    cum = np.cumsum(inc)
+    base = cum[t_first_val] - inc[t_first_val]
+    docs_b = cum - np.repeat(base, t_counts) - 1
+    tids_b = np.repeat(blocked, t_counts)
+
+    tids = np.concatenate((sing_tids, tids_b))
+    docs = np.concatenate((s_docs, docs_b))
+    tfs = np.concatenate((s_tfs, tfs_b))
+    order = np.argsort(tids, kind="stable")  # term-major; docids sorted per term
     return tids[order], docs[order], tfs[order]
 
 
