@@ -185,3 +185,35 @@ def test_full_for_blocks_roundtrip():
         d2, f2 = codec.decode_term(enc, 0)
         np.testing.assert_array_equal(d2, docs)
         np.testing.assert_array_equal(f2, tfs)
+
+
+def test_decode_all_matches_per_term(tmp_path):
+    """The vectorized whole-segment decode must equal per-term decode on a
+    real written segment (positions variant included)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.index.postings import decode_all, decode_term
+    from lucene_ray.index.segment import SegmentReader
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(generate_corpus(200, seed=81), str(d / "c.parquet"), row_group_size=64)
+    for opts in ("docs_freqs", "positions"):
+        idx = str(tmp_path / f"idx_{opts}")
+        build_index_local(str(d), idx, docs_per_segment=64, index_options=opts)
+        for seg in read_manifest(idx)["segments"]:
+            r = SegmentReader(seg["dir"])
+            tids, docs, tfs = decode_all(r.enc)
+            pos = 0
+            for tid in range(r.n_terms):
+                dd, ff = decode_term(r.enc, tid)
+                n = len(dd)
+                assert np.array_equal(docs[pos : pos + n], dd)
+                assert np.array_equal(tfs[pos : pos + n], ff)
+                assert (tids[pos : pos + n] == tid).all()
+                pos += n
+            assert pos == len(tids)
