@@ -91,3 +91,18 @@ def test_multi_term_clause_equivalence(idx):
     term_only = s.count(TermQuery("def"))
     assert filtered <= min(direct, term_only)
     assert filtered > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_parser_never_crashes(text):
+    q = parse_query(text, A)
+    assert q is None or isinstance(
+        q,
+        (BooleanQuery, TermQuery, PhraseQuery, PrefixQuery, WildcardQuery,
+         FuzzyQuery, RegexpQuery, TermRangeQuery),
+    )
