@@ -215,12 +215,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _child_build(sf: float, num_cpus: int, repeats: int = 3) -> None:
+def _child_build(sf: float, num_cpus: int, repeats: int = 1) -> None:
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    # honest N-core simulation: ray.init(num_cpus=N) only caps TASK slots —
+    # pyarrow/numpy worker threads would otherwise use every host core, so
+    # small-N children run faster than N cores can (deflating the measured
+    # scaling ratio).  Cap per-worker internal threading to 1 (each task
+    # already is the parallelism unit).
+    os.environ["OMP_NUM_THREADS"] = "1"
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(1)
+    _pa.set_io_thread_count(2)
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        runtime_env={"env_vars": {"OMP_NUM_THREADS": "1", "POLARS_MAX_THREADS": "1"}},
+    )
     best = None
-    for _ in range(repeats):  # min-of-N: the host VM is noisy-neighbor prone
+    for _ in range(repeats):
         out = bench_index_build(sf, num_cpus)
         shutil.rmtree(out.pop("idx_dir"), ignore_errors=True)
         if best is None or out["sec"] < best["sec"]:
@@ -243,10 +258,10 @@ def run_scaling(sf_dir: str) -> dict:
     from lucene_ray.corpus import ensure_corpus
 
     ensure_corpus(sf, row_group_size=512)  # pre-generate: not build throughput
-    results = {}
-    for n, reps in ((2, 3), (8, 3), (32, 2)):
+
+    def run_child(n: int) -> dict:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_child", str(sf), str(n), str(reps)],
+            [sys.executable, os.path.abspath(__file__), "--_child", str(sf), str(n), "1"],
             capture_output=True,
             text=True,
             check=False,
@@ -256,9 +271,30 @@ def run_scaling(sf_dir: str) -> dict:
         )
         if line is None:
             raise RuntimeError(f"child {n} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
-        results[n] = json.loads(line[len("CHILD_RESULT ") :])
+        return json.loads(line[len("CHILD_RESULT ") :])
+
+    # INTERLEAVED repeats (2,8), (2,8), (2,8): both levels sample the same
+    # noise environment, then medians — robust to asymmetric noisy-host
+    # windows that bias the ratio either way
+    samples: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    for _ in range(3):
+        samples[2].append(run_child(2))
+        samples[8].append(run_child(8))
+    for _ in range(2):
+        samples[32].append(run_child(32))
+
+    def median_run(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["sec"])[len(runs) // 2]
+
+    results = {n: median_run(rs) for n, rs in samples.items()}
     t2, t8, t32 = results[2]["sec"], results[8]["sec"], results[32]["sec"]
-    eff_2_8 = (t2 / t8) / 4.0
+    # efficiency from PAIRED ratios: each (T2_i, T8_i) pair ran back to
+    # back in the same noise window, so their ratio cancels common-mode
+    # host load; the median pair-ratio is the robust estimate
+    pair_ratios = sorted(
+        a["sec"] / b["sec"] for a, b in zip(samples[2], samples[8])
+    )
+    eff_2_8 = pair_ratios[len(pair_ratios) // 2] / 4.0
     eff_8_32 = (t8 / t32) / 4.0
     return {
         "metric": "index-build scaling efficiency N vs 4N CPUs (fresh sessions)",
