@@ -165,6 +165,32 @@ class IndexSearcher:
         doc_bases = [seg["doc_base"] for seg in self.manifest["segments"]]
         return merge_top_docs(per_segment, k, doc_bases)
 
+    def search_after(
+        self,
+        query: Query,
+        k: int,
+        after: tuple[float, int] | None,
+    ) -> list[tuple[int, np.float32]]:
+        """Pagination (IndexSearcher.searchAfter analogue): the next k hits
+        strictly after ``after = (score, global docid)`` in (score desc,
+        docid asc) order.  Implemented as over-fetch + filter: exact
+        because our per-segment paths return ties deterministically."""
+        if after is None:
+            return self.search(query, k)
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        # fetch enough to cover everything at/above the after-score
+        fetch = k
+        while True:
+            fetch = fetch * 4 + len(self.readers) * k
+            hits = self.search(query, fetch)
+            worse = [
+                (d, s)
+                for d, s in hits
+                if (s < a_score) or (s == a_score and d > a_doc)
+            ]
+            if len(worse) >= k or len(hits) < fetch:
+                return worse[:k]
+
     def count(self, query: Query) -> int:
         """Exhaustive match count (non-scoring)."""
         from .query import (

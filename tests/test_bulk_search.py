@@ -90,3 +90,22 @@ def test_bulk_used_in_searcher(idx):
         assert [(d, np.float32(sc)) for d, sc in top] == [
             (d, np.float32(sc)) for d, sc in exhaustive
         ]
+
+
+def test_search_after_pagination(idx):
+    s = IndexSearcher(idx)
+    for q in [TermQuery("def"), bool_query(should=[TermQuery("def"), TermQuery("import")])]:
+        total = s.count(q)
+        full = s.search(q, total, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert len(full) == total
+        pages = []
+        after = None
+        while True:
+            page = s.search_after(q, 7, after)
+            if not page:
+                break
+            pages.extend(page)
+            after = (float(page[-1][1]), page[-1][0])
+        got = [(d, np.float32(sc)) for d, sc in pages]
+        want = [(d, np.float32(sc)) for d, sc in full]
+        assert got == want
