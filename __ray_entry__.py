@@ -387,6 +387,38 @@ def _range_counts_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _rolling_fp_sql() -> str:
+    from lucene_ray.ops.text import ROLL_B, ROLL_P
+
+    powers = []
+    acc = 1
+    for j in range(512):
+        powers.append(f"({j}, {acc})")
+        acc = (acc * ROLL_B) % ROLL_P
+    pw = ", ".join(powers)
+    return f"""
+WITH {_TOKS},
+tokpos AS (
+  SELECT doc_id, ts, least(len(ts), 512)::BIGINT AS n,
+         unnest(range(least(len(ts), 512))) AS i
+  FROM toks WHERE len(ts) > 0
+),
+vals AS (
+  SELECT doc_id, n, i,
+         (md5_number_lower(ts[i + 1]) % 2147483648)::BIGINT AS v
+  FROM tokpos
+),
+pw(j, p) AS (VALUES {pw}),
+summed AS (
+  SELECT v.doc_id, sum((v.v * pw.p) % {ROLL_P}) AS s
+  FROM vals v JOIN pw ON pw.j = v.n - 1 - v.i
+  GROUP BY v.doc_id
+)
+SELECT t.doc_id, coalesce(s % {ROLL_P}, 0)::BIGINT AS roll_fp
+FROM toks t LEFT JOIN summed USING (doc_id)
+"""
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -606,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
         "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
         "tx_fingerprints": lambda sf: text.fingerprints(_docs(sf)),
+        "tx_rolling_fingerprints": lambda sf: text.rolling_fingerprints(_docs(sf)),
         # --- dedup ---
         "dd_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dd_minhash_sigs": lambda sf: dedup.minhash_signatures(_docs(sf)),
@@ -783,6 +816,7 @@ FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
 WITH {_TOKS}
 SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks
 """,
+        "tx_rolling_fingerprints": _rolling_fp_sql(),
         "dd_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
 """,

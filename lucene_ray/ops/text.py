@@ -165,6 +165,49 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Polynomial rolling-hash fingerprint over the normalized token stream:
+# h = sum_i v_i * B^(n-1-i) mod P with v_i = md5_u64(token) % 2^31.
+# All arithmetic stays below 2^62, so DuckDB BIGINT (with a HUGEINT sum)
+# reproduces it exactly; appending a token is h*B + v (a true rolling hash).
+ROLL_B = 1000003
+ROLL_P = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint_batch(batch: pa.Table, max_len: int = 512) -> pa.Table:
+    """(doc_id, roll_fp): polynomial token-stream hash (int64)."""
+    import numpy as np
+
+    from .util import md5_u64, tokenize
+
+    # precomputed B powers mod P (shared with the oracle SQL VALUES table)
+    powers = np.empty(max_len, dtype=np.uint64)
+    acc = 1
+    for j in range(max_len):
+        powers[j] = acc
+        acc = (acc * ROLL_B) % ROLL_P
+    ids, fps = [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = tokenize(text)[:max_len]
+        n = len(toks)
+        if n == 0:
+            h = 0
+        else:
+            v = np.array([md5_u64(t) % (1 << 31) for t in toks], dtype=np.uint64)
+            prods = (v * powers[:n][::-1]) % np.uint64(ROLL_P)
+            h = int(prods.sum() % np.uint64(ROLL_P))
+        ids.append(doc_id)
+        fps.append(h)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "roll_fp": pa.array(fps, pa.int64())}
+    )
+
+
+def rolling_fingerprints(ds):
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+
 def _map(ds, fn, **kw):
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
 
