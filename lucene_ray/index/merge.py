@@ -156,6 +156,7 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
     inputs carry them) ride along via a vectorized ragged gather.
     """
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from .build import _gather_row_slices
     from .segment import build_segment_from_ids
@@ -230,17 +231,25 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
     metrics["merge_sec"] = round(time.time() - t0, 3)
     metrics["merged_from"] = [e["name"] for e in seg_entries]
 
-    # stored-fields doc tables: copy fragments into the merged docs dir
+    # stored-fields doc tables: rewrite fragments into the merged docs dir
+    # with docids shifted to the merged segment's local space, so the
+    # doc_base + docid invariant survives any number of merge levels
+    # (reference SegmentMerger.mergeFields rewrites stored fields too).
     docs_out = None
     for e in seg_entries:
         src = e.get("docs_dir")
         if src and os.path.isdir(src):
-            docs_out = docs_out or os.path.join(
-                os.path.dirname(os.path.dirname(src)), name
-            )
+            # src is index_dir/docs/<old>; the merged table lives beside it
+            # at index_dir/docs/<name> (must match the manifest docs_dir).
+            docs_out = docs_out or os.path.join(os.path.dirname(src), name)
             os.makedirs(docs_out, exist_ok=True)
+            shift = int(e["doc_base"]) - new_base
             for f in sorted(os.listdir(src)):
-                shutil.copy2(os.path.join(src, f), os.path.join(docs_out, f"{e['name']}-{f}"))
+                tbl = pq.read_table(os.path.join(src, f))
+                i = tbl.schema.get_field_index("docid")
+                shifted = pc.add(tbl.column("docid"), shift).cast(pa.int32())
+                tbl = tbl.set_column(i, "docid", shifted)
+                pq.write_table(tbl, os.path.join(docs_out, f"{e['name']}-{f}"))
     return metrics
 
 

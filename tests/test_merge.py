@@ -121,6 +121,52 @@ def test_score_prefers_uniform():
     assert score_candidate([100, 100, 100]) < score_candidate([280, 10, 10])
 
 
+def test_merge_preserves_stored_fields(tmp_path, ray_session):
+    """Merged segments must keep readable stored-fields tables at the
+    manifest docs_dir with docids in the MERGED segment's local space
+    (doc_base + docid invariant), across two merge levels; the postings
+    dir must not be polluted with parquet fragments."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    tbl = generate_corpus(300, seed=17)
+    pq.write_table(tbl, str(d / "corpus.parquet"), row_group_size=25)
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=25)
+    src_sha = [
+        hashlib.sha256(c.as_py().encode("utf-8")).hexdigest()
+        for c in tbl.column("content")
+    ]
+
+    def check_invariant():
+        man = mf.read_manifest(idx)
+        seen = 0
+        for seg in man["segments"]:
+            docs_dir = seg["docs_dir"]
+            assert os.path.isdir(docs_dir), docs_dir
+            for p in sorted(os.listdir(docs_dir)):
+                dt = pq.read_table(os.path.join(docs_dir, p))
+                for docid, sha in zip(
+                    dt.column("docid").to_pylist(), dt.column("sha256").to_pylist()
+                ):
+                    assert sha == src_sha[seg["doc_base"] + docid]
+                    seen += 1
+            # postings dir holds only codec files, never stored-field parquet
+            assert not [
+                f for f in os.listdir(seg["dir"]) if f.endswith(".parquet")
+            ], seg["dir"]
+        assert seen == len(src_sha)
+
+    force_merge(idx, max_segments=3)
+    check_invariant()
+    force_merge(idx, max_segments=1)  # second-level merge of merged segments
+    check_invariant()
+
+
 def test_gc_and_generations(small_index, ray_session):
     # after force_merge in the earlier test: old segments unreferenced once
     # generations are pruned
