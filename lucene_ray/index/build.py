@@ -40,7 +40,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -686,7 +688,12 @@ def build_index(
                 # preserved, no re-sort (SURVEY §4 skew row: range-salting so
                 # concatenation preserves order).  Production would sample the
                 # term distribution for balanced boundaries, like sort does.
-                runs_dir = os.path.join(index_dir, ".runs")
+                # fresh run-id subdir per build invocation: stale buckets left
+                # by a previous killed run (possibly with a different
+                # term_salt or schema) must never be concatenated in
+                base_runs_dir = os.path.join(index_dir, ".runs")
+                shutil.rmtree(base_runs_dir, ignore_errors=True)
+                runs_dir = os.path.join(base_runs_dir, uuid.uuid4().hex[:12])
 
                 def build_run(group: pa.Table) -> pa.Table:
                     seg_id = int(group.column("segpart")[0].as_py())
@@ -698,15 +705,9 @@ def build_index(
                     tbl = group.select(run_cols).sort_by(
                         [("term", "ascending"), ("docid", "ascending")]
                     )
-                    lengths = np.bincount(
-                        group.column("docid").to_numpy(),
-                        weights=group.column("tf").to_numpy(),
-                        minlength=seg["max_doc"],
-                    ).astype(np.int64)
                     d = os.path.join(runs_dir, seg["name"])
                     os.makedirs(d, exist_ok=True)
                     pq.write_table(tbl, os.path.join(d, f"bucket_{salt:04d}.parquet"))
-                    np.save(os.path.join(d, f"lengths_{salt:04d}.npy"), lengths)
                     return pa.Table.from_pylist([{"seg_id": seg_id, "salt": salt}])
 
                 post.groupby(["segpart", "salt"]).map_groups(
@@ -721,6 +722,8 @@ def build_index(
                         buckets = sorted(
                             f for f in os.listdir(d) if f.startswith("bucket_")
                         )
+                        # each salt value writes at most one bucket this run
+                        assert len(buckets) <= term_salt, (d, buckets)
                         tbls = [pq.read_table(os.path.join(d, f)) for f in buckets]
                         tbl = pa.concat_tables(tbls)  # bucket order == term order
                         metrics = _build_segment_from_rows(tbl, seg, index_dir)
@@ -734,9 +737,7 @@ def build_index(
                 )
                 for row in out.take_all():
                     metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
-                import shutil as _shutil
-
-                _shutil.rmtree(runs_dir, ignore_errors=True)
+                shutil.rmtree(base_runs_dir, ignore_errors=True)
         else:
             raise ValueError(f"unknown mode: {mode}")
 

@@ -3,18 +3,27 @@
 - ``brute_topk``: exact cosine top-k.  The query matrix is broadcast ONCE
   via ``ray.put``; each ``map_batches`` task computes a float64 matmul over
   its Arrow batch (zero-copy into numpy) and emits only its local top-k
-  candidates per query, so the reduce side sees k * num_blocks rows, never
-  the full corpus.  Final reduce is a gather-k (tiny).
-- ``ivf_topk``: IVF-style variant — deterministic coarse centroids (mean
-  embedding per ``label``), probe the ``nprobe`` closest centroids per
-  query and keep only rows in those partitions.  With nprobe = #labels it
-  is exactly brute force (the oracle-checked configuration); lower nprobe
-  trades recall for a proportional scan reduction — the scale path (the
-  pruning happens inside each batch task against the broadcast centroid
-  table, no shuffle).
-- ``near_dup_pairs``: embedding-cosine near-duplicate pairs (sim >= tau).
-  Small-side broadcast of the full normalized matrix; at 100 TB this
-  becomes LSH bucketing (random hyperplanes) + per-bucket pair scan.
+  candidates per query (keeping score TIES at the k-th position so the
+  global (sim desc, neighbor_id asc) reduce is deterministic), so the
+  reduce side sees ~k * num_blocks rows, never the full corpus.
+- ``ivf_topk`` / ``ivf_topk_kmeans``: IVF variants — rows are pruned to the
+  probed cells BEFORE the matmul (true inverted-file semantics: candidates
+  come only from probed partitions; the scanned-row count per batch is the
+  union of rows any query probes).  With nprobe = #cells this is exactly
+  brute force (the oracle-checked configuration); lower nprobe trades
+  recall for a proportional scan reduction.  Each batch emits one sentinel
+  stats row (query_id = -1) carrying (scanned, total) so callers can
+  report the realized scan fraction without a second pass.
+- ``near_dup_pairs``: embedding-cosine near-duplicate pairs (sim >= tau)
+  via random-hyperplane LSH banding: signature bits from a broadcast
+  (dim x L*b) hyperplane matrix, band keys -> groupby(band, key) buckets,
+  exact cosine verify INSIDE each bucket, distinct-pair reduce.  The
+  embedding table is never materialized on the driver and no all-pairs
+  matmul runs; recall is 1 - (1 - p^b)^L with p = 1 - theta/pi (Charikar
+  SimHash bound) — at tau=0.95, b=4, L=8 the miss probability per true
+  pair is ~2e-4, and planted near-dups (sim >= 0.99) are found w.p.
+  ~1 - 1e-8.  Partitioning assumption: no single bucket holds a large
+  fraction of the corpus (hot buckets are capped with logged drops).
 
 Cosine is computed in float64 with the plain ``dot / (|a| * |b|)`` formula
 to mirror DuckDB's ``list_cosine_similarity`` for the oracle comparisons.
@@ -47,22 +56,27 @@ def load_queries(parquet_path: str, query_ids: list[int], id_col: str = "vec_id"
     return tbl.column(id_col).to_numpy(), mat, np.linalg.norm(mat, axis=1)
 
 
-def _topk_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
-    import ray
+def _keep_topk_ties(cand_sims: np.ndarray, k: int) -> np.ndarray:
+    """Boolean keep-mask of the k best sims INCLUDING ties at the k-th score
+    (the kth/keep pattern from searcher._bulk_search_segment): per-block
+    pruning must never drop one side of a tie that the deterministic global
+    (sim desc, neighbor_id asc) reduce would order differently."""
+    if len(cand_sims) <= k:
+        return np.ones(len(cand_sims), dtype=bool)
+    kth = np.partition(-cand_sims, k - 1)[k - 1]
+    return -cand_sims <= kth
 
-    q_ids, q_mat, q_norm = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
-    emb = _emb_matrix(batch)
-    ids = batch.column(id_col).to_numpy()
-    norms = np.linalg.norm(emb, axis=1)
-    sims = (emb @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+
+def _emit_candidates(q_ids, ids, sims, k: int) -> pa.Table:
+    """Per-query local top-k (ties kept) from a dense (rows x queries) sim
+    matrix; -inf sims (masked / unprobed) never emit."""
     out_q, out_id, out_sim = [], [], []
     for j, qid in enumerate(q_ids):
         col = sims[:, j]
-        mask = ids != qid
+        mask = (ids != qid) & np.isfinite(col)
         cand_ids, cand_sims = ids[mask], col[mask]
-        if len(cand_ids) > k:
-            part = np.argpartition(-cand_sims, k)[:k]
-            cand_ids, cand_sims = cand_ids[part], cand_sims[part]
+        keep = _keep_topk_ties(cand_sims, k)
+        cand_ids, cand_sims = cand_ids[keep], cand_sims[keep]
         out_q.extend([int(qid)] * len(cand_ids))
         out_id.extend(cand_ids.tolist())
         out_sim.extend(cand_sims.tolist())
@@ -75,16 +89,34 @@ def _topk_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> 
     )
 
 
-def _finish_topk(cands_ds, k: int) -> pa.Table:
-    df = cands_ds.to_pandas()  # k * num_blocks rows — small by construction
+def _topk_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
+    import ray
+
+    q_ids, q_mat, q_norm = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+    emb = _emb_matrix(batch)
+    ids = batch.column(id_col).to_numpy()
+    norms = np.linalg.norm(emb, axis=1)
+    sims = (emb @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+    return _emit_candidates(q_ids, ids, sims, k)
+
+
+def _finish_topk(cands_ds, k: int, return_stats: bool = False):
+    df = cands_ds.to_pandas()  # ~k * num_blocks rows — small by construction
+    stats_rows = df[df["query_id"] < 0]
+    stats = {
+        "scanned_rows": int(stats_rows["neighbor_id"].sum()),
+        "total_rows": int(stats_rows["sim"].sum()),
+    }
+    df = df[df["query_id"] >= 0]
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     df["rnk"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rnk"] <= k][["query_id", "rnk", "neighbor_id"]].reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False).cast(
+    tbl = pa.Table.from_pandas(df, preserve_index=False).cast(
         pa.schema(
             [("query_id", pa.int64()), ("rnk", pa.int64()), ("neighbor_id", pa.int64())]
         )
     )
+    return (tbl, stats) if return_stats else tbl
 
 
 def brute_topk(ds, queries, k: int = 10) -> pa.Table:
@@ -101,8 +133,63 @@ def brute_topk(ds, queries, k: int = 10) -> pa.Table:
     return _finish_topk(cands, k)
 
 
-def ivf_topk(ds, queries, k: int = 10, nprobe: int = 10, label_col: str = "label") -> pa.Table:
-    """IVF cosine top-k: probe the nprobe closest label-partitions per query."""
+def _stats_row(scanned: int, total: int) -> pa.Table:
+    """Sentinel per-batch scan accounting (query_id = -1), filtered and
+    summed in _finish_topk."""
+    return pa.table(
+        {
+            "query_id": pa.array([-1], pa.int64()),
+            "neighbor_id": pa.array([scanned], pa.int64()),
+            "sim": pa.array([float(total)], pa.float64()),
+        }
+    )
+
+
+def _probed_candidates(batch, q_ref, probe_ref, cell_fn, k: int, id_col: str):
+    """Shared IVF batch kernel: prune rows to probed cells FIRST, matmul
+    only the union of probed rows, mask (row, query) combos whose cell the
+    query did not probe to -inf, then per-query top-k."""
+    import ray
+
+    q_ids, q_mat, q_norm = ray.get(q_ref)
+    probe_sets = ray.get(probe_ref)  # {qid: set(cell)}
+    cell = cell_fn(batch)  # per-row cell id, int array
+    ids = batch.column(id_col).to_numpy()
+
+    ncells = int(cell.max()) + 1 if len(cell) else 0
+    nq = len(q_ids)
+    pmat = np.zeros((max(ncells, 1), nq), dtype=bool)
+    for j, qid in enumerate(q_ids):
+        for c in probe_sets[int(qid)]:
+            if c < pmat.shape[0]:
+                pmat[c, j] = True
+    allowed = pmat[cell, :] if len(cell) else np.zeros((0, nq), dtype=bool)
+    rows_any = allowed.any(axis=1)
+    scanned = int(rows_any.sum())
+    if scanned == 0:
+        return _stats_row(0, len(batch))
+
+    sub = np.nonzero(rows_any)[0]
+    emb = _emb_matrix(batch.take(pa.array(sub)))
+    nrm = np.linalg.norm(emb, axis=1)
+    sims = (emb @ q_mat.T) / (nrm[:, None] * q_norm[None, :])
+    sims[~allowed[sub]] = -np.inf
+    out = _emit_candidates(q_ids, ids[sub], sims, k)
+    return pa.concat_tables([out, _stats_row(scanned, len(batch))])
+
+
+def ivf_topk(
+    ds,
+    queries,
+    k: int = 10,
+    nprobe: int = 10,
+    label_col: str = "label",
+    return_stats: bool = False,
+):
+    """IVF cosine top-k over the pre-assigned ``label`` partitions: each
+    query probes its nprobe closest label-centroids (mean embedding per
+    label, computed with a partial-aggregate pass); batch rows OUTSIDE the
+    probed cells are pruned before any scoring."""
     import ray
 
     def _partials(batch: pa.Table) -> pa.Table:
@@ -136,21 +223,24 @@ def ivf_topk(ds, queries, k: int = 10, nprobe: int = 10, label_col: str = "label
     q_ref = ray.put(queries)
     probe_ref = ray.put(probe)
 
-    def _probe_candidates(batch: pa.Table) -> pa.Table:
-        pr = ray.get(probe_ref)
-        labs = batch.column(label_col).to_numpy()
-        ids = batch.column("vec_id").to_numpy()
-        lab_of = dict(zip(ids.tolist(), labs.tolist()))
-        full = _topk_candidates(batch, q_ref, k)
-        if len(full) == 0:
-            return full
-        qs = full.column("query_id").to_numpy()
-        ns = full.column("neighbor_id").to_numpy()
-        keep = np.array([lab_of[n] in pr[int(q)] for q, n in zip(qs, ns)], dtype=bool)
-        return full.filter(pa.array(keep))
+    def _cell_fn(batch: pa.Table) -> np.ndarray:
+        return batch.column(label_col).to_numpy().astype(np.int64)
 
-    cands = ds.map_batches(_probe_candidates, batch_format="pyarrow")
-    return _finish_topk(cands, k)
+    def _cand(batch: pa.Table) -> pa.Table:
+        return _probed_candidates(batch, q_ref, probe_ref, _cell_fn, k, "vec_id")
+
+    cands = ds.map_batches(_cand, batch_format="pyarrow")
+    return _finish_topk(cands, k, return_stats)
+
+
+def _sq_dists(emb: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(N, k) squared distances via |x|^2 - 2 x.c + |c|^2 — never the
+    (N, k, dim) broadcast intermediate."""
+    return (
+        (emb * emb).sum(axis=1)[:, None]
+        - 2.0 * (emb @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
 
 
 def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarray:
@@ -161,8 +251,6 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarra
     id order.  Returns float64 centroids [k, dim]."""
     import ray
 
-    init_ids = None
-
     def _first_k(batch: pa.Table) -> pa.Table:
         return batch.sort_by(id_col).slice(0, k)
 
@@ -172,7 +260,6 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarra
     cents = np.stack(
         [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
     )
-    _ = init_ids
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -180,8 +267,7 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarra
         def _partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
             emb = _emb_matrix(batch)
-            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _sq_dists(emb, c).argmin(axis=1)
             rows = []
             for j in np.unique(assign):
                 sel = emb[assign == j]
@@ -202,12 +288,17 @@ def kmeans(ds, k: int = 16, iters: int = 5, id_col: str = "vec_id") -> np.ndarra
 
 
 def ivf_topk_kmeans(
-    ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4
-) -> pa.Table:
+    ds,
+    queries,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    return_stats: bool = False,
+):
     """IVF cosine top-k over LEARNED (k-means) coarse centroids: each query
     probes its nprobe closest centroids; rows assigned to other cells are
-    pruned inside each batch task (no shuffle).  nprobe == len(centroids)
-    degenerates to exact brute force."""
+    pruned inside each batch task BEFORE scoring (no shuffle).
+    nprobe == len(centroids) degenerates to exact brute force."""
     import ray
 
     q_ids, q_mat, q_norm = queries
@@ -218,53 +309,112 @@ def ivf_topk_kmeans(
         for i, qid in enumerate(q_ids)
     }
     q_ref = ray.put(queries)
-    c_ref = ray.put((centroids, probe))
+    probe_ref = ray.put(probe)
+    c_ref = ray.put(centroids)
+
+    def _cell_fn(batch: pa.Table) -> np.ndarray:
+        cents = ray.get(c_ref)
+        emb = _emb_matrix(batch)
+        return _sq_dists(emb, cents).argmin(axis=1)
 
     def _cand(batch: pa.Table) -> pa.Table:
-        cents, pr = ray.get(c_ref)
-        emb = _emb_matrix(batch)
-        d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        cell = d2.argmin(axis=1)
-        full = _topk_candidates(batch, q_ref, k)
-        if len(full) == 0:
-            return full
-        cell_of = dict(zip(batch.column("vec_id").to_numpy().tolist(), cell.tolist()))
-        qs = full.column("query_id").to_numpy()
-        ns = full.column("neighbor_id").to_numpy()
-        keep = np.array([cell_of[n] in pr[int(q)] for q, n in zip(qs, ns)], dtype=bool)
-        return full.filter(pa.array(keep))
+        import ray  # noqa: F811 — re-import inside the serialized closure
+
+        return _probed_candidates(batch, q_ref, probe_ref, _cell_fn, k, "vec_id")
 
     cands = ds.map_batches(_cand, batch_format="pyarrow")
-    return _finish_topk(cands, k)
+    return _finish_topk(cands, k, return_stats)
 
 
-def near_dup_pairs(ds, tau: float = 0.95, id_col: str = "vec_id") -> pa.Table:
-    """All pairs (doc_a < doc_b) with cosine similarity >= tau."""
+# --- hyperplane-LSH near-duplicate pairs ---------------------------------
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 0x5EED) -> np.ndarray:
+    """Deterministic random hyperplane matrix (dim x nbits)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits))
+
+
+def near_dup_pairs(
+    ds,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    bands: int = 8,
+    band_bits: int = 4,
+    max_bucket: int = 2000,
+    seed: int = 0x5EED,
+) -> pa.Table:
+    """All pairs (doc_a < doc_b) with cosine similarity >= tau, found via
+    random-hyperplane LSH banding (module docstring: recall bound, bucket
+    cap).  The embedding column rides through the band shuffle (bands x
+    data amplification) instead of any driver-side materialization."""
     import ray
+    import ray.data  # noqa: F401
 
-    full = pa.Table.from_pandas(ds.to_pandas())  # broadcast side
-    mat = _emb_matrix(full)
-    ids = full.column(id_col).to_numpy()
-    ref = ray.put((ids, mat, np.linalg.norm(mat, axis=1)))
+    h_ref = None
+    nbits = bands * band_bits
+    weights = (1 << np.arange(band_bits, dtype=np.int64))[::-1]
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat, all_nrm = ray.get(ref)
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        nonlocal h_ref
         emb = _emb_matrix(batch)
-        bids = batch.column(id_col).to_numpy()
-        bn = np.linalg.norm(emb, axis=1)
-        sims = (emb @ all_mat.T) / (bn[:, None] * all_nrm[None, :])
+        H = ray.get(h_ref)
+        bits = (emb @ H) > 0  # (n, nbits)
+        tabs = []
+        base = batch.select([id_col, "embedding"])
+        for r in range(bands):
+            key = bits[:, r * band_bits : (r + 1) * band_bits].astype(np.int64) @ weights
+            t = base.append_column(
+                "band", pa.array(np.full(len(batch), r, dtype=np.int32))
+            ).append_column("bkey", pa.array(key))
+            tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    # probe dim from the first row only (schema-level; no materialization)
+    first = ds.limit(1).take_all()
+    if not first:
+        return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+    dim = len(first[0]["embedding"])
+    h_ref = ray.put(_hyperplanes(dim, nbits, seed))
+
+    banded = ds.map_batches(_band_rows, batch_format="pyarrow")
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2:
+            return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+        if n > max_bucket:
+            print(
+                f"near_dup_pairs: hot bucket capped {n} -> {max_bucket} "
+                f"(band={group.column('band')[0].as_py()}, key={group.column('bkey')[0].as_py()})"
+            )
+            group = group.sort_by(id_col).slice(0, max_bucket)
+            n = max_bucket
+        emb = _emb_matrix(group)
+        ids = group.column(id_col).to_numpy()
+        nrm = np.linalg.norm(emb, axis=1)
+        sims = (emb @ emb.T) / (nrm[:, None] * nrm[None, :])
         ai, bj = np.nonzero(sims >= tau)
-        keep = bids[ai] < all_ids[bj]
+        keep = ids[ai] < ids[bj]
         return pa.table(
             {
-                "doc_a": pa.array(bids[ai][keep], pa.int64()),
-                "doc_b": pa.array(all_ids[bj][keep], pa.int64()),
+                "doc_a": pa.array(ids[ai][keep], pa.int64()),
+                "doc_b": pa.array(ids[bj][keep], pa.int64()),
             }
         )
 
+    pairs = banded.groupby(["band", "bkey"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+
+    # distinct (a pair can collide in several bands): shuffle-side dedupe,
+    # then the RESULT (pairs only) is small enough to sort on the driver
+    def _first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(_first, batch_format="pyarrow")
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    out = ds.map_batches(_pairs, batch_format="pyarrow").to_pandas()
+    out = uniq.to_pandas()
     if out.empty:
         return schema.empty_table()
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+    return pa.Table.from_pandas(out[["doc_a", "doc_b"]], preserve_index=False).cast(schema)

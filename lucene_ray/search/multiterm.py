@@ -94,18 +94,27 @@ def _union_postings(reader, tids) -> np.ndarray:
 def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
     """Term ids within plain-Levenshtein ``max_edits`` of ``term``: ONE
     vectorized DP over the whole dictionary (row per query char, numpy ops
-    over all terms at once)."""
-    offs = np.asarray(reader.term_offsets, dtype=np.int64)
-    data = np.asarray(reader.term_bytes, dtype=np.uint8)
-    n = reader.n_terms
-    lens = (offs[1:] - offs[:1] * 0 - offs[:-1]).astype(np.int64)
+    over all terms at once).
+
+    The DP runs over CODEPOINTS, not UTF-8 bytes (reference FuzzyQuery's
+    Levenshtein automaton is codepoint-based, search/FuzzyQuery.java; the
+    DuckDB levenshtein() oracle is character-based too) — a substituted
+    multi-byte character must count as ONE edit."""
+    import pyarrow.compute as pc
+
+    terms = reader.terms_array()
+    n = len(terms)
+    if n == 0:
+        return []
+    lens = pc.utf8_length(terms).to_numpy().astype(np.int64)
     L = int(lens.max()) if n else 0
-    # ragged gather into a padded (n, L) byte matrix
-    idx = offs[:-1, None] + np.arange(L)[None, :]
-    idx = np.minimum(idx, len(data) - 1)
-    mat = data[idx].astype(np.int32)
+    if L == 0:
+        return np.nonzero(np.full(n, len(term)) <= max_edits)[0].tolist()
+    # padded (n, L) codepoint matrix: numpy 'U' dtype is fixed-width UTF-32
+    u = np.asarray(terms.to_pylist(), dtype=f"U{L}")
+    mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
     mat[np.arange(L)[None, :] >= lens[:, None]] = -1
-    q = np.frombuffer(term.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+    q = np.array([ord(c) for c in term], dtype=np.int32)
     prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
     for i, qc in enumerate(q, 1):
         cur = np.empty_like(prev)

@@ -298,7 +298,56 @@ def build_scorer(
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
 
+    if isinstance(q, DisjunctionMaxQuery):
+        from .scorers import PrecomputedScorer
+
+        docs, scores = dismax_dense_matches(q, weight, reader, boost)
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, scores)
+
     raise TypeError(f"unsupported query: {q!r}")
+
+
+def dismax_dense_matches(
+    q: DisjunctionMaxQuery, weight: Weight, reader, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (docid, score) matches of a DisjunctionMaxQuery in one segment:
+    per-doc max and sum of clause scores in float64, score =
+    f32(max + tie_breaker * (sum - max)) (DisjunctionMaxScorer
+    double-accumulator shape, search/DisjunctionMaxScorer.java)."""
+
+    def leaf(sub: Query, b: float):
+        if isinstance(sub, TermQuery):
+            return (sub.term, b)
+        if isinstance(sub, BoostQuery):
+            return leaf(sub.query, b * sub.boost)
+        return None
+
+    max_doc = reader.max_doc
+    norms = np.asarray(reader.norms)
+    mx = np.full(max_doc, -np.inf, dtype=np.float64)
+    sm = np.zeros(max_doc, dtype=np.float64)
+    matched = np.zeros(max_doc, dtype=bool)
+    for sub in q.queries:
+        lf = leaf(sub, boost)
+        if lf is None:
+            raise TypeError("DisjunctionMaxQuery clauses must be (boosted) terms")
+        term, b = lf
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        docs, freqs = reader.decode_term_cached(tid)
+        sc = weight.sim_scorer(term, b).score_bulk(freqs, norms[docs]).astype(np.float64)
+        np.maximum.at(mx, docs, sc)
+        sm[docs] += sc
+        matched[docs] = True
+    cand = np.nonzero(matched)[0]
+    if len(cand) == 0:
+        return cand, np.empty(0, dtype=np.float32)
+    tb = float(q.tie_breaker)
+    sc = (mx[cand] + tb * (sm[cand] - mx[cand])).astype(np.float32)
+    return cand, sc
 
 
 def _boolean_scorer(

@@ -225,32 +225,13 @@ class IndexSearcher:
 
 
 def _dismax_search_segment(reader, query, weight: Weight, k: int):
-    """Dense DisjunctionMax: per-doc max and sum of clause scores in
-    float64, score = f32(max + tie_breaker * (sum - max)); ties by docid
-    (DisjunctionMaxScorer double-accumulator shape)."""
-    max_doc = reader.max_doc
-    norms = np.asarray(reader.norms)
-    mx = np.full(max_doc, -np.inf, dtype=np.float64)
-    sm = np.zeros(max_doc, dtype=np.float64)
-    matched = np.zeros(max_doc, dtype=bool)
-    for sub in query.queries:
-        leaf = _leaf_term(sub)
-        if leaf is None:
-            raise TypeError("DisjunctionMaxQuery clauses must be (boosted) terms")
-        term, boost = leaf
-        tid = reader.term_id(term)
-        if tid is None:
-            continue
-        docs, freqs = reader.decode_term_cached(tid)
-        sc = weight.sim_scorer(term, boost).score_bulk(freqs, norms[docs]).astype(np.float64)
-        np.maximum.at(mx, docs, sc)
-        sm[docs] += sc
-        matched[docs] = True
-    cand = np.nonzero(matched)[0]
+    """Dense DisjunctionMax top-k via the shared dismax kernel
+    (query.dismax_dense_matches); ties by docid."""
+    from .query import dismax_dense_matches
+
+    cand, sc = dismax_dense_matches(query, weight, reader)
     if len(cand) == 0:
         return []
-    tb = float(query.tie_breaker)
-    sc = (mx[cand] + tb * (sm[cand] - mx[cand])).astype(np.float32)
     if len(cand) > k:
         kth = np.partition(-sc, k - 1)[k - 1]
         keep = -sc <= kth
@@ -419,7 +400,9 @@ def search_segment(
         docs = _multi_term_matches(reader, query)
         # constant score 1.0; ties by docID => top-k = k smallest docids
         return [(int(d), np.float32(1.0)) for d in docs[:k]]
-    if isinstance(query, DisjunctionMaxQuery):
+    if isinstance(query, DisjunctionMaxQuery) and score_mode == "TOP_SCORES":
+        # COMPLETE mode falls through to build_scorer's PrecomputedScorer
+        # path so the differential test exercises an independent code path
         return _dismax_search_segment(reader, query, weight, k)
     if allow_bulk and score_mode == "TOP_SCORES":
         flat = _flatten_should_terms(query)

@@ -109,3 +109,30 @@ def test_search_after_pagination(idx):
         got = [(d, np.float32(sc)) for d, sc in pages]
         want = [(d, np.float32(sc)) for d, sc in full]
         assert got == want
+
+
+def test_dismax_scorer_paths(idx):
+    """DisjunctionMaxQuery: dense TOP_SCORES path vs build_scorer COMPLETE
+    path (independent code), count(), and nesting as a boolean clause."""
+    from lucene_ray.search.query import DisjunctionMaxQuery
+
+    s = IndexSearcher(idx)
+    for tb in (0.0, 0.3, 1.0):
+        q = DisjunctionMaxQuery(
+            (TermQuery("def"), BoostQuery(TermQuery("import"), 1.7), TermQuery("class")),
+            tie_breaker=tb,
+        )
+        top = s.search(q, 10)
+        complete = s.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(sc)) for d, sc in top] == [
+            (d, np.float32(sc)) for d, sc in complete
+        ]
+        # count() goes through build_scorer — must not raise and must equal
+        # the number of docs matching any clause
+        n = s.count(q)
+        union = s.count(bool_query(should=[TermQuery("def"), TermQuery("import"), TermQuery("class")]))
+        assert n == union > 0
+        # dismax nested inside a BooleanQuery
+        nested = bool_query(must=[q, TermQuery("return")])
+        got = s.search(nested, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert s.count(nested) > 0 and len(got) > 0

@@ -113,3 +113,59 @@ def test_ivf_partial_probe_recall(ray_session):
     # and full probing is exact
     full = ann.ivf_topk(rd.read_parquet(path), q, k=10, nprobe=10).to_pandas()
     assert full.equals(brute)
+
+
+def test_ivf_scan_reduction(ray_session):
+    """IVF must prune rows BEFORE scoring: scanned rows scale with
+    nprobe/ncells (VERDICT r1 item 2)."""
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    q = ann.load_queries(path, [0, 1, 2, 3, 4])
+    _, full_stats = ann.ivf_topk(
+        rd.read_parquet(path), q, k=10, nprobe=10, return_stats=True
+    )
+    assert full_stats["scanned_rows"] == full_stats["total_rows"] > 0
+    _, part_stats = ann.ivf_topk(
+        rd.read_parquet(path), q, k=10, nprobe=2, return_stats=True
+    )
+    # 5 queries x 2 probes: the probed union must be well under the corpus
+    frac = part_stats["scanned_rows"] / part_stats["total_rows"]
+    assert frac < 0.95, frac
+    # kmeans variant prunes too
+    cents = ann.kmeans(rd.read_parquet(path), k=8, iters=2)
+    _, ks = ann.ivf_topk_kmeans(
+        rd.read_parquet(path), q, cents, k=10, nprobe=1, return_stats=True
+    )
+    assert 0 < ks["scanned_rows"] < ks["total_rows"]
+
+
+def test_near_dup_pairs_lsh_recall(ray_session):
+    """Planted embedding near-dups must be found by the hyperplane-LSH
+    banding path, and the result must equal the numpy all-pairs truth."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 32))
+    # plant 6 near-dup pairs: tiny perturbations of rows 0..5
+    planted = base[:6] + 0.01 * rng.standard_normal((6, 32))
+    mat = np.vstack([base, planted])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    # float32 round-trip like the parquet tables so truth matches exactly
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = n @ n.T
+    iu, ju = np.triu_indices(len(m), 1)
+    truth = {(int(a), int(b)) for a, b in zip(iu[s[iu, ju] >= 0.95], ju[s[iu, ju] >= 0.95])}
+    assert len(truth) >= 6  # all planted pairs are above tau
+
+    got = ann.near_dup_pairs(rd.from_arrow(tbl).repartition(4), tau=0.95)
+    got_pairs = set(map(tuple, got.to_pandas()[["doc_a", "doc_b"]].values))
+    assert got_pairs == truth
