@@ -146,20 +146,38 @@ def plan_force_merge(manifest: dict, max_segments: int = 1) -> list[list[int]]:
     return [r for r in runs if len(r) > 1]
 
 
-def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dict:
-    """Decode -> shift -> concat -> re-encode one merged segment.
+DEFAULT_SECTION_POSTINGS = 8 * 1024 * 1024
 
-    Fully integer path: the merged vocabulary is the sorted union of the
-    input term dictionaries (small), per-segment ids are remapped with one
-    vectorized ``pc.index_in`` each, and the row sort is an integer
-    lexsort — no string sort of the posting rows.  Position lists (if all
-    inputs carry them) ride along via a vectorized ragged gather.
+
+def merge_segments_task(
+    seg_entries: list[dict],
+    out_dir: str,
+    name: str,
+    section_postings: int = DEFAULT_SECTION_POSTINGS,
+) -> dict:
+    """STREAMING sectioned merge: decode -> shift -> re-encode one merged
+    segment in bounded term-range sections.
+
+    The merged vocabulary (sorted union of the input dictionaries, RAM-
+    resident — postings dominate bytes by ~2 orders of magnitude) is split
+    at term boundaries into sections of <= ``section_postings`` decoded
+    postings; each section decodes only its term range from every input
+    (``codec.decode_range`` — contiguous block/byte slices), remaps ids
+    with the per-input monotone ``pc.index_in`` map, stable-sorts by merged
+    term id (inputs are doc-base ordered, so within-term doc order is
+    preserved without a lexsort), re-encodes, and APPENDS to a
+    ``StreamingSegmentWriter``.  Peak memory ~ one section, regardless of
+    segment size — the reference streams merges the same way
+    (index/SegmentMerger.java:120-160 iterator-based mergeTerms,
+    DocIDMerger.java:32-122 sequential-base path; impacts/skips rebuilt).
+    A single pathological term larger than the budget gets a section of
+    its own (terms never split).
     """
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from .build import _gather_row_slices
-    from .segment import build_segment_from_ids
+    from .segment import StreamingSegmentWriter
 
     t0 = time.time()
     readers = [SegmentReader(e["dir"]) for e in seg_entries]
@@ -171,39 +189,27 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
     vocab_parts = [r.terms_array() for r in readers]
     merged_vocab = pc.unique(pa.concat_arrays(vocab_parts))
     merged_vocab = merged_vocab.take(pc.sort_indices(merged_vocab))
+    n_merged = len(merged_vocab)
 
-    all_tids: list[np.ndarray] = []
-    all_docs: list[np.ndarray] = []
-    all_tfs: list[np.ndarray] = []
-    all_pos: list[np.ndarray] = []
     norms = np.zeros(max_doc, dtype=np.uint8)
+    shifts: list[int] = []
+    remaps: list[np.ndarray] = []
     local = 0
     for e, r, vp in zip(seg_entries, readers, vocab_parts):
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
         norms[local : local + r.max_doc] = np.asarray(r.norms)
-        tids, docs, freqs = codec.decode_all(r.enc)
-        if len(tids):
-            remap = pc.index_in(vp, value_set=merged_vocab).to_numpy().astype(np.int64)
-            all_tids.append(remap[tids])
-            all_docs.append(docs + shift)
-            all_tfs.append(freqs)
-            if with_pos:
-                # decode_all row order == stored position row order
-                all_pos.append(np.asarray(r.pos_data))
+        shifts.append(shift)
+        # strictly increasing: input dict is a sorted subset of the merged
+        remaps.append(pc.index_in(vp, value_set=merged_vocab).to_numpy().astype(np.int64))
         local += r.max_doc
 
-    tids = np.concatenate(all_tids) if all_tids else np.empty(0, dtype=np.int64)
-    docs = np.concatenate(all_docs) if all_docs else np.empty(0, dtype=np.int64)
-    tfs = np.concatenate(all_tfs) if all_tfs else np.empty(0, dtype=np.int64)
-    positions = None
-    order = np.lexsort((docs, tids)) if len(tids) else np.empty(0, dtype=np.int64)
-    if with_pos and len(tids):
-        pos_flat = np.concatenate(all_pos)
-        positions = _gather_row_slices(pos_flat, tfs, order)
-    tids, docs, tfs = tids[order], docs[order], tfs[order]
+    # section boundaries from the merged per-term posting totals
+    tot = np.zeros(n_merged, dtype=np.int64)
+    for r, remap in zip(readers, remaps):
+        np.add.at(tot, remap, r.enc.doc_freq.astype(np.int64))
+    cum = np.cumsum(tot)
 
-    seg_dir = os.path.join(out_dir, name)
     meta = {
         "name": name,
         "max_doc": max_doc,
@@ -216,20 +222,63 @@ def merge_segments_task(seg_entries: list[dict], out_dir: str, name: str) -> dic
             ],
         },
     }
-    metrics = build_segment_from_ids(
-        merged_vocab,
-        tids,
-        docs.astype(np.int32),
-        tfs.astype(np.int32),
-        norms,
-        None,
-        seg_dir,
-        meta,
-        presorted=True,
-        positions=positions,
-    )
+    seg_dir = os.path.join(out_dir, name)
+    writer = StreamingSegmentWriter(seg_dir, merged_vocab, norms, meta, with_pos)
+    try:
+        lo = 0
+        while lo < n_merged:
+            base = int(cum[lo - 1]) if lo else 0
+            hi = int(np.searchsorted(cum, base + section_postings, side="right"))
+            hi = max(hi, lo + 1)
+            hi = min(hi, n_merged)
+
+            sec_tids: list[np.ndarray] = []
+            sec_docs: list[np.ndarray] = []
+            sec_tfs: list[np.ndarray] = []
+            sec_pos: list[np.ndarray] = []
+            for r, remap, shift in zip(readers, remaps, shifts):
+                a = int(np.searchsorted(remap, lo, side="left"))
+                b = int(np.searchsorted(remap, hi, side="left"))
+                if a == b:
+                    continue
+                tids, docs, freqs = codec.decode_range(r.enc, a, b)
+                if not len(tids):
+                    continue
+                sec_tids.append(remap[tids])
+                sec_docs.append(docs + shift)
+                sec_tfs.append(freqs)
+                if with_pos:
+                    # decode_range row order == stored position row order
+                    r0, r1 = int(r.pos_row_start[a]), int(r.pos_row_start[b])
+                    sec_pos.append(
+                        np.asarray(r.pos_data[r.pos_off[r0] : r.pos_off[r1]])
+                    )
+
+            tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
+            docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
+            tfs = np.concatenate(sec_tfs) if sec_tfs else np.empty(0, dtype=np.int64)
+            # inputs are appended in doc_base order, so a STABLE sort on the
+            # term id alone leaves docids ascending within each term
+            order = np.argsort(tids, kind="stable")
+            positions = None
+            if with_pos:
+                pos_flat = (
+                    np.concatenate(sec_pos) if sec_pos else np.empty(0, dtype=np.int32)
+                )
+                positions = _gather_row_slices(pos_flat, tfs, order)
+            tids, docs, tfs = tids[order] - lo, docs[order], tfs[order]
+            enc = codec.encode_postings(
+                tids, docs.astype(np.int64), tfs.astype(np.int64), norms, hi - lo
+            )
+            writer.append_section(enc, row_tfs=tfs, positions=positions)
+            lo = hi
+        metrics = writer.finalize()
+    except BaseException:
+        writer.abort()
+        raise
     metrics["merge_sec"] = round(time.time() - t0, 3)
     metrics["merged_from"] = [e["name"] for e in seg_entries]
+    metrics["section_postings"] = int(section_postings)
 
     # stored-fields doc tables: rewrite fragments into the merged docs dir
     # with docids shifted to the merged segment's local space, so the

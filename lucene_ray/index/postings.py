@@ -409,37 +409,47 @@ def _unpack_all_blocks(
     return out
 
 
-def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode a whole segment -> (term_ids, docids, freqs), term-major order.
+def decode_range(
+    enc: EncodedPostings, t_lo: int, t_hi: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the postings of terms [t_lo, t_hi) -> (term_ids, docids,
+    freqs), term-major order, term ids ABSOLUTE.
 
-    Fully vectorized (merge-path hot spot): singletons emitted wholesale,
-    every block unpacked in one pass per distinct bit width, docids
-    recovered with a per-term segmented cumsum — no per-term/per-block
-    Python loops.
+    The sectioned-merge primitive: a term's blocks are contiguous in block
+    order and packed bytes, so a term range touches one contiguous slice
+    of every per-block array — memory is bounded by the range's postings,
+    never the segment (reference SegmentMerger.java:120-160 streams the
+    same way via iterators).  Fully vectorized: singletons emitted
+    wholesale, blocks unpacked in one pass per distinct bit width, docids
+    recovered with a per-term segmented cumsum.
     """
-    sing = enc.singleton_doc >= 0
-    sing_tids = np.nonzero(sing)[0].astype(np.int64)
+    rng = np.arange(t_lo, t_hi, dtype=np.int64)
+    sing_mask = enc.singleton_doc[rng] >= 0
+    sing_tids = rng[sing_mask]
     s_docs = enc.singleton_doc[sing_tids].astype(np.int64)
     s_tfs = enc.singleton_freq[sing_tids].astype(np.int64)
 
-    blocked = np.nonzero(~sing & (enc.doc_freq > 0))[0].astype(np.int64)
+    blocked = rng[~sing_mask & (enc.doc_freq[rng] > 0)]
     if len(blocked) == 0:
         order = np.argsort(sing_tids, kind="stable")
         return sing_tids[order], s_docs[order], s_tfs[order]
 
-    bl = np.asarray(enc.block_len, dtype=np.int64)
+    block_start = np.asarray(enc.block_start, dtype=np.int64)
+    b_lo = int(block_start[blocked[0]])
+    b_hi = int(block_start[blocked[-1]] + enc.block_count[blocked[-1]])
+    bl = np.asarray(enc.block_len[b_lo:b_hi], dtype=np.int64)
     deltas = _unpack_all_blocks(
         enc.packed_docs,
-        np.asarray(enc.block_doc_bits, dtype=np.int64),
+        np.asarray(enc.block_doc_bits[b_lo:b_hi], dtype=np.int64),
         bl,
-        np.asarray(enc.block_doc_off, dtype=np.int64),
+        np.asarray(enc.block_doc_off[b_lo:b_hi], dtype=np.int64),
     )
     tfs_b = (
         _unpack_all_blocks(
             enc.packed_freqs,
-            np.asarray(enc.block_freq_bits, dtype=np.int64),
+            np.asarray(enc.block_freq_bits[b_lo:b_hi], dtype=np.int64),
             bl,
-            np.asarray(enc.block_freq_off, dtype=np.int64),
+            np.asarray(enc.block_freq_off[b_lo:b_hi], dtype=np.int64),
         )
         + 1
     )
@@ -447,7 +457,7 @@ def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray
     # term's blocks are contiguous in block order, so value order is right
     val_off = np.concatenate(([0], np.cumsum(bl)))
     t_counts = enc.doc_freq[blocked].astype(np.int64)
-    t_first_val = val_off[np.asarray(enc.block_start, dtype=np.int64)[blocked]]
+    t_first_val = val_off[block_start[blocked] - b_lo]
     inc = deltas + 1
     cum = np.cumsum(inc)
     base = cum[t_first_val] - inc[t_first_val]
@@ -459,6 +469,11 @@ def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray
     tfs = np.concatenate((s_tfs, tfs_b))
     order = np.argsort(tids, kind="stable")  # term-major; docids sorted per term
     return tids[order], docs[order], tfs[order]
+
+
+def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a whole segment -> (term_ids, docids, freqs), term-major order."""
+    return decode_range(enc, 0, len(enc.doc_freq))
 
 
 def decode_term(enc: EncodedPostings, term_id: int) -> tuple[np.ndarray, np.ndarray]:

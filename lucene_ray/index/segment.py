@@ -181,6 +181,226 @@ def build_segment_from_ids(
     return metrics
 
 
+class NpyAppender:
+    """Append-only .npy writer: a fixed 128-byte rewritable header, then raw
+    little-endian chunks; the final shape is patched in on close.  Lets the
+    sectioned merge stream arbitrarily large arrays to disk with O(chunk)
+    memory (np.save would need the whole array)."""
+
+    _MAGIC = b"\x93NUMPY\x01\x00"
+
+    def __init__(self, path: str, dtype):
+        self.dtype = np.dtype(dtype)
+        self.n = 0
+        self.f = open(path, "wb")
+        self.f.write(self._header(0))
+
+    def _header(self, n: int) -> bytes:
+        d = "{'descr': '%s', 'fortran_order': False, 'shape': (%d,), }" % (
+            self.dtype.str,
+            n,
+        )
+        hlen = 128 - len(self._MAGIC) - 2
+        pad = hlen - len(d) - 1
+        assert pad >= 0, "header overflow"
+        import struct
+
+        return self._MAGIC + struct.pack("<H", hlen) + (d + " " * pad + "\n").encode("latin1")
+
+    def append(self, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr, dtype=self.dtype)
+        self.f.write(arr.tobytes())
+        self.n += len(arr)
+
+    def close(self) -> None:
+        self.f.flush()
+        self.f.seek(0)
+        self.f.write(self._header(self.n))
+        self.f.close()
+
+
+class StreamingSegmentWriter:
+    """Incremental segment writer for the sectioned merge: encoded term-range
+    sections are APPENDED with running offset rebasing (block_start,
+    byte offsets, impact-pool starts), so peak memory is one section, not
+    the segment (SegmentMerger streams the same way; our on-disk layout is
+    identical to build_segment_from_ids's).
+
+    Contract: sections arrive in term order and never split a term; the
+    vocabulary and norms are known up front (term METADATA is RAM-resident
+    by design — postings dominate bytes by ~2 orders of magnitude)."""
+
+    _APPEND_DTYPES = {
+        "doc_freq": np.int32,
+        "total_term_freq": np.int64,
+        "block_start": np.int64,
+        "block_count": np.int32,
+        "singleton_doc": np.int32,
+        "singleton_freq": np.int32,
+        "max_freq": np.int32,
+        "min_norm_at_max": np.uint8,
+        "term_imp_start": np.int64,
+        "term_imp_count": np.int32,
+        "block_last_doc": np.int32,
+        "block_len": np.int32,
+        "block_doc_bits": np.uint8,
+        "block_freq_bits": np.uint8,
+        "block_doc_off": np.int64,
+        "block_freq_off": np.int64,
+        "block_imp_start": np.int64,
+        "block_imp_count": np.int32,
+        "imp_freq": np.int32,
+        "imp_norm": np.uint8,
+        "term_imp_freq": np.int32,
+        "term_imp_norm": np.uint8,
+        "packed_docs": np.uint8,
+        "packed_freqs": np.uint8,
+    }
+
+    def __init__(
+        self,
+        seg_dir: str,
+        vocab: pa.Array,
+        norms: np.ndarray,
+        meta: dict,
+        with_positions: bool = False,
+    ):
+        self.seg_dir = seg_dir
+        self.tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.tmp, exist_ok=True)
+        self.norms = np.asarray(norms, dtype=np.uint8)
+        self.meta = meta
+        self.with_positions = with_positions
+        self.n_terms = len(vocab)
+
+        buf = pc.cast(vocab, pa.large_binary())
+        if len(vocab):
+            offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64)[
+                buf.offset : buf.offset + len(buf) + 1
+            ].copy()
+            data = np.frombuffer(buf.buffers()[2], dtype=np.uint8).copy()
+        else:
+            offsets = np.zeros(1, dtype=np.int64)
+            data = np.empty(0, dtype=np.uint8)
+        np.save(os.path.join(self.tmp, "terms_offsets.npy"), offsets)
+        np.save(os.path.join(self.tmp, "terms_bytes.npy"), data)
+
+        self.w = {
+            name: NpyAppender(os.path.join(self.tmp, f"{name}.npy"), dt)
+            for name, dt in self._APPEND_DTYPES.items()
+        }
+        if with_positions:
+            self.w["pos_data"] = NpyAppender(os.path.join(self.tmp, "pos_data.npy"), np.int32)
+            self.w["pos_row_start"] = NpyAppender(
+                os.path.join(self.tmp, "pos_row_start.npy"), np.int64
+            )
+            self.w["pos_off"] = NpyAppender(os.path.join(self.tmp, "pos_off.npy"), np.int64)
+            self.w["pos_row_start"].append(np.zeros(1, dtype=np.int64))
+            self.w["pos_off"].append(np.zeros(1, dtype=np.int64))
+
+        # running bases for the rebased offset arrays / accumulated metrics
+        self._blocks = 0
+        self._doc_bytes = 0
+        self._freq_bytes = 0
+        self._imp = 0
+        self._term_imp = 0
+        self._rows = 0
+        self._pos_vals = 0
+        self._terms_written = 0
+        self._n_postings = 0
+        self._sum_ttf = 0
+        self._sum_df = 0
+
+    def append_section(
+        self,
+        enc: "codec.EncodedPostings",
+        row_tfs: np.ndarray | None = None,
+        positions: np.ndarray | None = None,
+    ) -> None:
+        """Append one encoded term-range section (term ids 0-based within
+        the section).  ``row_tfs``/``positions`` (sorted row order) are
+        required iff the writer carries positions."""
+        w = self.w
+        w["doc_freq"].append(enc.doc_freq)
+        w["total_term_freq"].append(enc.total_term_freq)
+        w["block_start"].append(enc.block_start + self._blocks)
+        w["block_count"].append(enc.block_count)
+        w["singleton_doc"].append(enc.singleton_doc)
+        w["singleton_freq"].append(enc.singleton_freq)
+        w["max_freq"].append(enc.max_freq)
+        w["min_norm_at_max"].append(enc.min_norm_at_max)
+        w["term_imp_start"].append(enc.term_imp_start + self._term_imp)
+        w["term_imp_count"].append(enc.term_imp_count)
+        w["block_last_doc"].append(enc.block_last_doc)
+        w["block_len"].append(enc.block_len)
+        w["block_doc_bits"].append(enc.block_doc_bits)
+        w["block_freq_bits"].append(enc.block_freq_bits)
+        w["block_doc_off"].append(enc.block_doc_off + self._doc_bytes)
+        w["block_freq_off"].append(enc.block_freq_off + self._freq_bytes)
+        w["block_imp_start"].append(enc.block_imp_start + self._imp)
+        w["block_imp_count"].append(enc.block_imp_count)
+        w["imp_freq"].append(enc.imp_freq)
+        w["imp_norm"].append(enc.imp_norm)
+        w["term_imp_freq"].append(enc.term_imp_freq)
+        w["term_imp_norm"].append(enc.term_imp_norm)
+        w["packed_docs"].append(enc.packed_docs)
+        w["packed_freqs"].append(enc.packed_freqs)
+
+        n_rows = int(enc.doc_freq.sum())
+        if self.with_positions:
+            assert positions is not None and row_tfs is not None
+            w["pos_data"].append(positions)
+            df = enc.doc_freq.astype(np.int64)
+            w["pos_row_start"].append(np.cumsum(df) + self._rows)
+            w["pos_off"].append(np.cumsum(row_tfs.astype(np.int64)) + self._pos_vals)
+            self._pos_vals += int(row_tfs.sum())
+
+        self._blocks += len(enc.block_last_doc)
+        self._doc_bytes += int(enc.packed_docs.nbytes)
+        self._freq_bytes += int(enc.packed_freqs.nbytes)
+        self._imp += len(enc.imp_freq)
+        self._term_imp += len(enc.term_imp_freq)
+        self._rows += n_rows
+        self._terms_written += len(enc.doc_freq)
+        self._n_postings += n_rows
+        self._sum_ttf += int(enc.total_term_freq.sum())
+        self._sum_df += int(enc.doc_freq.sum())
+
+    def finalize(self) -> dict:
+        assert self._terms_written == self.n_terms, (self._terms_written, self.n_terms)
+        for a in self.w.values():
+            a.close()
+        np.save(os.path.join(self.tmp, "norms.npy"), self.norms)
+        metrics = {
+            "n_terms": int(self.n_terms),
+            "n_postings": int(self._n_postings),
+            "n_blocks": int(self._blocks),
+            "packed_doc_bytes": int(self._doc_bytes),
+            "packed_freq_bytes": int(self._freq_bytes),
+            "sum_total_term_freq": int(self._sum_ttf),
+            "sum_doc_freq": int(self._sum_df),
+            "doc_count": int((self.norms > 0).sum()),
+        }
+        full_meta = dict(self.meta)
+        full_meta["metrics"] = metrics
+        full_meta["stats"] = {
+            "max_doc": int(self.meta["max_doc"]),
+            "doc_count": metrics["doc_count"],
+            "sum_total_term_freq": metrics["sum_total_term_freq"],
+            "sum_doc_freq": metrics["sum_doc_freq"],
+        }
+        with open(os.path.join(self.tmp, "meta.json"), "w") as f:
+            json.dump(full_meta, f, indent=1)
+        if os.path.exists(self.seg_dir):
+            shutil.rmtree(self.seg_dir)
+        os.replace(self.tmp, self.seg_dir)
+        return metrics
+
+    def abort(self) -> None:
+        if os.path.exists(self.tmp):
+            shutil.rmtree(self.tmp)
+
+
 class SegmentReader:
     """Opens one segment's arrays (memory-mapped) and serves term lookups,
     postings cursors and norms.  Held inside query actors (SURVEY §2.1
