@@ -192,6 +192,25 @@ def _phrase_match_sql() -> str:
     )
 
 
+def _phrase_sloppy_sql() -> str:
+    """2-term sloppy phrase pair counts: |pb - pa - 1| <= slop (the
+    window-distance oracle for search/multiterm.sloppy_phrase_matches_
+    segment)."""
+    parts = []
+    for qid, (w1, w2, slop) in enumerate(ft.SLOPPY_PHRASES):
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, pa.doc_id, count(*)::BIGINT AS sloppy_freq "
+            f"FROM p pa JOIN p pb USING (doc_id) "
+            f"WHERE pa.tok = '{w1}' AND pb.tok = '{w2}' "
+            f"AND abs(pb.i - pa.i - 1) <= {slop} GROUP BY pa.doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "sp AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _phrase_counts_sql() -> str:
     return f"""
 WITH {_TOKS},
@@ -631,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk_salted": _salted_bm25,
         "ft_phrase_counts": ft.phrase_counts,
         "ft_phrase_topk": ft.phrase_topk,
+        "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -762,6 +782,11 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": _phrase_counts_sql(),
         "ft_phrase_topk": _phrase_topk_sql(),
+        "ft_phrase_sloppy": f"""
+WITH {_TOKS},
+{_phrase_sloppy_sql()}
+SELECT qid, doc_id, sloppy_freq FROM sp
+""",
         "ft_code_term_stats": r"""
 WITH runs AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS run

@@ -45,6 +45,44 @@ def phrase_matches_segment(reader, terms: tuple[str, ...]):
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
 
+def sloppy_phrase_matches_segment(reader, t1: str, t2: str, slop: int):
+    """(local docids, sloppy freqs) for a 2-term sloppy phrase: freq = the
+    number of position pairs (pa, pb) with |pb - pa - 1| <= slop.
+
+    For two terms this match SET equals the reference SloppyPhraseMatcher
+    (a reversed adjacent pair has displacement 2, so it matches at
+    slop >= 2); the pair-count freq is our documented deviation from the
+    reference's 1/(1+dist) match weights (integer freq keeps the DuckDB
+    oracle exact).  Per common doc, the pair count is two binary searches
+    per position (searchsorted window [pa+1-slop, pa+1+slop]).
+    """
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("phrase queries need an index built with index_options='positions'")
+    tid1, tid2 = reader.term_id(t1), reader.term_id(t2)
+    if tid1 is None or tid2 is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs1, _ = decode_term(reader.enc, tid1)
+    docs2, _ = decode_term(reader.enc, tid2)
+    common = docs1[np.isin(docs1, docs2)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos1 = {int(d): p for d, p in zip(docs1, reader.term_positions(tid1))}
+    pos2 = {int(d): p for d, p in zip(docs2, reader.term_positions(tid2))}
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        a = pos1[d]
+        b = pos2[d]  # ascending (positions are stored sorted)
+        lo = np.searchsorted(b, a + 1 - slop, side="left")
+        hi = np.searchsorted(b, a + 1 + slop, side="right")
+        n_pairs = int((hi - lo).sum())
+        if n_pairs:
+            out_docs.append(d)
+            out_freqs.append(n_pairs)
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
 def _multi_term_matches(reader, query) -> np.ndarray:
     """Sorted local docids matching a Prefix/TermRange/Wildcard query
     (union of the matched terms' postings — CONSTANT_SCORE rewrite)."""

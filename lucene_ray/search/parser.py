@@ -5,6 +5,7 @@ subset, queryparser/simple/SimpleQueryParser.java):
     spark join            -> SHOULD spark, SHOULD join
     +spark -join          -> MUST spark, MUST_NOT join
     "batch batch"         -> PhraseQuery (needs a positions index)
+    "join order"~2        -> sloppy PhraseQuery (2-term, slop=2)
     wind*                 -> PrefixQuery; w?nd*w -> WildcardQuery
     merge~1               -> FuzzyQuery(max_edits=1); term~ -> max_edits=2
     /s.*k/                -> RegexpQuery
@@ -37,7 +38,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<mod>[+-]?)
     (?:
-        "(?P<phrase>[^"]*)"
+        "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
       | /(?P<regex>[^/]*)/
       | \[(?P<rlo>\S+)\s+TO\s+(?P<rhi>\S+)\]
       | (?P<word>[^\s"/\[\]]+)
@@ -60,7 +61,12 @@ def parse_query(text: str, analyzer) -> Query | None:
             )
             if not words:
                 continue
-            q: Query = TermQuery(words[0]) if len(words) == 1 else PhraseQuery(words)
+            slop = int(m.group("slop")) if m.group("slop") else 0
+            q: Query = (
+                TermQuery(words[0])
+                if len(words) == 1
+                else PhraseQuery(words, slop=slop)
+            )
         elif m.group("regex") is not None:
             q = RegexpQuery(m.group("regex"))
         elif m.group("rlo") is not None:

@@ -54,15 +54,25 @@ class BoostQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
-    """Exact phrase (slop=0): terms at consecutive positions.
+    """Phrase query: terms at consecutive positions (slop=0) or within
+    ``slop`` total displacement (slop>0).
 
-    Reference: search/PhraseQuery.java + ExactPhraseMatcher; scoring uses
-    the phrase frequency with a SimScorer whose idf is the SUM of the
-    terms' idfs (BM25Similarity.scorer with a TermStatistics array).
-    Requires an index built with index_options="positions".
+    Reference: search/PhraseQuery.java + ExactPhraseMatcher /
+    SloppyPhraseMatcher.java; scoring uses the phrase frequency with a
+    SimScorer whose idf is the SUM of the terms' idfs
+    (BM25Similarity.scorer with a TermStatistics array).  Requires an
+    index built with index_options="positions".
+
+    Sloppy deviation (documented): supported for TWO-term phrases, where
+    a doc matches iff positions (pa, pb) exist with |pb - pa - 1| <= slop
+    — exactly the reference's 2-term sloppy matcher (a reversed pair
+    costs 2, SloppyPhraseMatcher.java); the sloppy frequency is the COUNT
+    of satisfying pairs (integer, oracle-exact) rather than the
+    reference's sum of 1/(1+dist) match weights.
     """
 
     terms: tuple[str, ...]
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -288,10 +298,19 @@ def build_scorer(
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
     if isinstance(q, PhraseQuery):
-        from .multiterm import phrase_matches_segment
+        from .multiterm import phrase_matches_segment, sloppy_phrase_matches_segment
         from .scorers import PrecomputedScorer
 
-        docs, freqs = phrase_matches_segment(reader, q.terms)
+        if q.slop > 0:
+            if len(q.terms) != 2:
+                raise NotImplementedError(
+                    "sloppy phrases are supported for exactly two terms"
+                )
+            docs, freqs = sloppy_phrase_matches_segment(
+                reader, q.terms[0], q.terms[1], q.slop
+            )
+        else:
+            docs, freqs = phrase_matches_segment(reader, q.terms)
         if len(docs) == 0:
             return None
         sim = weight.phrase_sim_scorer(q.terms, boost)

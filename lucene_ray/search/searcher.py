@@ -206,7 +206,14 @@ class IndexSearcher:
         total = 0
         if isinstance(query, PhraseQuery):
             for reader in self.readers:
-                docs, _ = phrase_matches_segment(reader, query.terms)
+                if query.slop > 0:
+                    from .multiterm import sloppy_phrase_matches_segment
+
+                    docs, _ = sloppy_phrase_matches_segment(
+                        reader, query.terms[0], query.terms[1], query.slop
+                    )
+                else:
+                    docs, _ = phrase_matches_segment(reader, query.terms)
                 total += len(docs)
             return total
         if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
@@ -241,7 +248,16 @@ def _dismax_search_segment(reader, query, weight: Weight, k: int):
 
 
 def _phrase_search_segment(reader, query, weight: Weight, k: int):
-    docs, freqs = phrase_matches_segment(reader, query.terms)
+    if getattr(query, "slop", 0) > 0:
+        from .multiterm import sloppy_phrase_matches_segment
+
+        if len(query.terms) != 2:
+            raise NotImplementedError("sloppy phrases are supported for exactly two terms")
+        docs, freqs = sloppy_phrase_matches_segment(
+            reader, query.terms[0], query.terms[1], query.slop
+        )
+    else:
+        docs, freqs = phrase_matches_segment(reader, query.terms)
     if len(docs) == 0:
         return []
     sim = weight.phrase_sim_scorer(query.terms, 1.0)

@@ -85,3 +85,57 @@ def test_phrase_requires_positions(tmp_path):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="positions"):
         s.search(PhraseQuery(("def", "return")), 5)
+
+
+def _brute_sloppy(texts, w1, w2, slop):
+    """Oracle: per doc, count of position pairs |pb - pa - 1| <= slop."""
+    a = make_analyzer("standard")
+    out = {}
+    for i, t in enumerate(texts):
+        toks = a.tokens(t)
+        pa_ = [p for p, w in enumerate(toks) if w == w1]
+        pb_ = [p for p, w in enumerate(toks) if w == w2]
+        c = sum(1 for x in pa_ for y in pb_ if abs(y - x - 1) <= slop)
+        if c:
+            out[i] = c
+    return out
+
+
+def test_sloppy_phrase_matches_brute(pos_idx):
+    from lucene_ray.search.multiterm import sloppy_phrase_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    for w1, w2, slop in (
+        ("def", "return", 1),
+        ("return", "return", 2),
+        ("import", "def", 3),
+        ("def", "def", 0),
+    ):
+        expected = _brute_sloppy(texts, w1, w2, slop)
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, f = sloppy_phrase_matches_segment(reader, w1, w2, slop)
+            for dd, ff in zip(d, f):
+                got[int(dd) + seg["doc_base"]] = int(ff)
+        assert got == expected, (w1, w2, slop)
+
+
+def test_sloppy_phrase_query_and_parser(pos_idx):
+    from lucene_ray.search.parser import parse_query
+
+    a = make_analyzer("standard")
+    s = IndexSearcher(pos_idx)
+    q = parse_query('"def return"~2', a)
+    assert isinstance(q, PhraseQuery) and q.slop == 2
+    hits = s.search(q, 10)
+    assert hits, "sloppy phrase should match in the synthetic corpus"
+    # exact (slop=0) is a subset of sloppy matches and count() agrees
+    n_exact = s.count(PhraseQuery(("def", "return")))
+    n_sloppy = s.count(q)
+    assert n_sloppy >= n_exact > 0
+    # reversed adjacency matches at slop=2 (reference transposition cost)
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    brute = _brute_sloppy(texts, "def", "return", 2)
+    assert n_sloppy == len(brute)
