@@ -87,6 +87,10 @@ perm AS (
 """
 
 _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS))
+_FILTERED_VALUES = ", ".join(
+    f"({i}, '{t}', '{fld}', '{val}')"
+    for i, (t, fld, val) in enumerate(ft.FILTERED_QUERIES)
+)
 _DISJ_VALUES = ", ".join(
     f"({qi}, '{t}')" for qi, terms in enumerate(ft.DISJUNCTIONS) for t in terms
 )
@@ -651,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_counts": ft.phrase_counts,
         "ft_phrase_topk": ft.phrase_topk,
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
+        "ft_filtered_topk": ft.filtered_topk,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -786,6 +791,49 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 WITH {_TOKS},
 {_phrase_sloppy_sql()}
 SELECT qid, doc_id, sloppy_freq FROM sp
+""",
+        "ft_filtered_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, fld, val) AS (VALUES {_FILTERED_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+-- BM25 stats and scores are UNFILTERED (BooleanWeight: filters never
+-- contribute); the metadata filter only masks candidates before ranking
+filtered AS (
+  SELECT c.qid, c.doc_id, c.score
+  FROM clause c
+  JOIN q ON q.qid = c.qid
+  JOIN documents doc ON doc.doc_id = c.doc_id
+  WHERE (q.fld = 'lang' AND doc.lang = q.val)
+     OR (q.fld = 'source' AND doc.source = q.val)
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_code_term_stats": r"""
 WITH runs AS (

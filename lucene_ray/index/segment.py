@@ -521,5 +521,42 @@ class SegmentReader:
     def docs_table(self) -> pa.Table:
         return pq.read_table(os.path.join(self.dir, "docs.parquet"))
 
+    def stored_column(self, field: str) -> pa.Array:
+        """One stored-fields column aligned with LOCAL docids (cached).
+
+        The pragmatic doc-values analogue (reference index/DocValuesType
+        .java): per-segment columnar metadata served from the stored-field
+        parquet (docs.parquet inside the segment, or the index-level
+        docs/<name>/ fragment dir), sorted by docid — query-time filters
+        mask against it (search/PointRangeQuery.java semantics for the
+        equality case).
+        """
+        cache = getattr(self, "_stored_cols", None)
+        if cache is None:
+            cache = self._stored_cols = {}
+        if field in cache:
+            return cache[field]
+        inline = os.path.join(self.dir, "docs.parquet")
+        name = os.path.basename(self.dir)
+        frag_dir = os.path.join(os.path.dirname(self.dir), "docs", name)
+        if os.path.exists(inline):
+            tbl = pq.read_table(inline, columns=["docid", field])
+        elif os.path.isdir(frag_dir):
+            parts = [
+                pq.read_table(os.path.join(frag_dir, f), columns=["docid", field])
+                for f in sorted(os.listdir(frag_dir))
+            ]
+            tbl = pa.concat_tables(parts)
+        else:
+            raise FileNotFoundError(f"no stored fields for segment {self.dir}")
+        tbl = tbl.sort_by("docid")
+        if len(tbl) != self.max_doc:
+            raise ValueError(
+                f"stored fields cover {len(tbl)} of {self.max_doc} docs in {name}"
+            )
+        col = tbl.column(field).combine_chunks()
+        cache[field] = col
+        return col
+
     def collection_partials(self) -> dict:
         return self.meta["stats"]

@@ -346,6 +346,43 @@ def phrase_counts(sf_dir: str) -> pa.Table:
     )
 
 
+FILTERED_QUERIES = [
+    ("spark", "lang", "en"),
+    ("join", "lang", "de"),
+    ("merge", "lang", "zh"),
+    ("query", "source", "src3"),
+    ("window", "source", "src7"),
+]
+
+
+def filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k restricted by a stored-metadata FILTER clause
+    (qid, rnk, doc_id): scores are identical to the unfiltered query
+    (filters never contribute to BM25 — BooleanWeight semantics), ranking
+    runs among docs whose ``lang``/``source`` matches."""
+    from ..search.query import StoredFieldFilter
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (term, field, value) in enumerate(FILTERED_QUERIES):
+        q = bool_query(
+            must=[TermQuery(term)], filter=[StoredFieldFilter(field, value)]
+        )
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 SLOPPY_PHRASES = [
     ("join", "order", 1),
     ("the", "customer", 2),

@@ -140,6 +140,21 @@ class TermRangeQuery:
 
 
 @dataclass(frozen=True)
+class StoredFieldFilter:
+    """Constant-score match on a stored metadata column (``lang``,
+    ``source``, ...) — the pragmatic doc-values filter (reference
+    index/DocValuesType.java + search/PointRangeQuery.java equality case,
+    declared SURVEY §0 deviation: columnar parquet metadata instead of a
+    BKD tree).  Typically composed as a FILTER clause:
+    ``bool_query(must=[TermQuery(t)], filter=[StoredFieldFilter("lang",
+    "en")])`` — scores stay identical to the unfiltered query (filters
+    never contribute to BM25, BooleanWeight semantics)."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -164,6 +179,7 @@ Query = (
     | FuzzyQuery
     | RegexpQuery
     | DisjunctionMaxQuery
+    | StoredFieldFilter
 )
 
 
@@ -182,7 +198,8 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
-    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
+                      RegexpQuery, StoredFieldFilter)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -316,6 +333,17 @@ def build_scorer(
         sim = weight.phrase_sim_scorer(q.terms, boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, StoredFieldFilter):
+        import pyarrow.compute as pc
+
+        from .scorers import PrecomputedScorer
+
+        col = reader.stored_column(q.field)
+        docs = np.nonzero(pc.equal(col, q.value).to_numpy(zero_copy_only=False))[0]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
     if isinstance(q, DisjunctionMaxQuery):
         from .scorers import PrecomputedScorer

@@ -131,3 +131,29 @@ def test_resume_skips_complete_segments(built, tmp_path):
     r1 = searcher.search(TermQuery("import"), 10)
     r2 = s2.search(TermQuery("import"), 10)
     assert r1 == r2
+
+
+def test_stored_field_filter(built):
+    """FILTER on a stored metadata column: matches restricted, scores
+    IDENTICAL to the unfiltered query (filters never contribute to BM25)."""
+    from lucene_ray.search.query import StoredFieldFilter, bool_query
+
+    tbl, searcher = built
+    langs = tbl.column("lang").to_pylist() if "lang" in tbl.column_names else None
+    if langs is None:
+        import pytest
+
+        pytest.skip("corpus has no lang column")
+    term = "def"
+    value = langs[0]
+    unfiltered = dict(searcher.search(TermQuery(term), 10**6,
+                                      total_hits_threshold=np.inf, score_mode="COMPLETE"))
+    q = bool_query(must=[TermQuery(term)], filter=[StoredFieldFilter("lang", value)])
+    hits = searcher.search(q, 10**6, total_hits_threshold=np.inf, score_mode="COMPLETE")
+    assert hits
+    for doc, score in hits:
+        assert langs[doc] == value
+        assert np.float32(score) == np.float32(unfiltered[doc])
+    expected = {d for d, s in unfiltered.items() if langs[d] == value}
+    assert {d for d, _ in hits} == expected
+    assert searcher.count(q) == len(expected)
