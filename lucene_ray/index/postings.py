@@ -95,6 +95,12 @@ class EncodedPostings:
     imp_norm: np.ndarray  # uint8
     term_imp_freq: np.ndarray  # int32  (whole-term skyline)
     term_imp_norm: np.ndarray  # uint8
+    # PFoR exception pools for freq blocks (PForUtil.java:29,51-121: up to
+    # 7 patched exceptions per block, byte-sized high parts)
+    block_exc_start: np.ndarray  # int64 into exc pools
+    block_exc_count: np.ndarray  # int32
+    exc_pos: np.ndarray  # uint8 — value index within the block
+    exc_high: np.ndarray  # uint8 — bits above the block width
     # packed buffers
     packed_docs: np.ndarray  # uint8
     packed_freqs: np.ndarray  # uint8
@@ -149,6 +155,65 @@ def _segmented_skyline(keys: np.ndarray, norms: np.ndarray, freqs: np.ndarray):
     prev_cummax[group_start] = -1
     keep = f.astype(np.int64) > prev_cummax
     return k[keep], f[keep].astype(np.int32), n[keep].astype(np.uint8)
+
+
+MAX_EXCEPTIONS = 7  # PForUtil.java:29 MAX_EXCEPTIONS
+MAX_HIGH_BITS = 8  # exception high parts are byte-sized (PForUtil.java:51-121)
+
+
+def _pfor_select(
+    values: np.ndarray, blk_first: np.ndarray, block_len: np.ndarray
+):
+    """Per-block patched-FOR width selection for one value stream.
+
+    For each block choose the bit width w minimizing
+    ``ceil(len*w/8) + 2 * #exceptions`` subject to the reference limits
+    (<= MAX_EXCEPTIONS patched values, high parts <= MAX_HIGH_BITS bits).
+    Fully vectorized: a (n_blocks, 34) width histogram + suffix counts,
+    then an argmin over candidate widths.
+
+    Returns (widths uint8[n_blocks], masked_values, exc_start int64,
+    exc_count int32, exc_pos uint8 pool, exc_high uint8 pool).
+    """
+    n_blocks = len(blk_first)
+    m = len(values)
+    if m == 0:
+        e8 = np.empty(0, dtype=np.uint8)
+        return (
+            np.empty(0, dtype=np.uint8),
+            values,
+            np.zeros(n_blocks, dtype=np.int64),
+            np.zeros(n_blocks, dtype=np.int32),
+            e8,
+            e8,
+        )
+    w_val = _bit_width(values)  # int32 per value, <= 33 for our freq/delta range
+    blk_of = np.repeat(np.arange(n_blocks, dtype=np.int64), block_len)
+    hist = np.zeros((n_blocks, 35), dtype=np.int32)
+    np.add.at(hist, (blk_of, w_val), 1)
+    # suffix[b, w] = #values with width >= w; count_gt[b, w] = width > w
+    suffix = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]
+    count_gt = suffix[:, 1:34]  # candidate widths w = 0..32
+    wmax = np.maximum.reduceat(w_val, blk_first).astype(np.int32)
+    ws = np.arange(33, dtype=np.int64)[None, :]
+    cost = (block_len[:, None].astype(np.int64) * ws + 7) // 8 + 2 * count_gt
+    valid = (
+        (count_gt <= MAX_EXCEPTIONS)
+        & (ws >= (wmax[:, None] - MAX_HIGH_BITS))
+        & (ws <= wmax[:, None])
+    )
+    cost = np.where(valid, cost, 1 << 40)
+    w_sel = cost.argmin(axis=1).astype(np.uint8)  # ties -> smallest width
+
+    w_rep = w_sel[blk_of].astype(np.int32)
+    is_exc = w_val > w_rep
+    exc_count = np.bincount(blk_of[is_exc], minlength=n_blocks).astype(np.int32)
+    exc_start = np.concatenate(([0], np.cumsum(exc_count, dtype=np.int64)))[:-1]
+    idx_in_block = np.arange(m, dtype=np.int64) - np.repeat(blk_first, block_len)
+    exc_pos = idx_in_block[is_exc].astype(np.uint8)
+    exc_high = (values[is_exc] >> w_rep[is_exc]).astype(np.uint8)
+    masked = values & ((np.int64(1) << w_rep.astype(np.int64)) - 1)
+    return w_sel, masked, exc_start, exc_count, exc_pos, exc_high
 
 
 def encode_postings(
@@ -225,15 +290,28 @@ def encode_postings(
         block_len = np.empty(0, dtype=np.int32)
         block_last_doc = np.empty(0, dtype=np.int32)
 
-    # per-block widths
+    # per-block widths: docs at width-of-max FOR; freqs via patched FOR
+    # (PForUtil semantics — freq streams are Zipfian, one hot value per
+    # block would otherwise inflate the whole block's width)
     if mb:
         dmax = np.maximum.reduceat(b_deltas, blk_first)
-        fmax_blk = np.maximum.reduceat(b_tfs - 1, blk_first)
         doc_bits = _bit_width(dmax).astype(np.uint8)
-        freq_bits = _bit_width(fmax_blk).astype(np.uint8)
+        (
+            freq_bits,
+            freq_masked,
+            exc_start,
+            exc_count,
+            exc_pos,
+            exc_high,
+        ) = _pfor_select(b_tfs - 1, blk_first, block_len.astype(np.int64))
     else:
         doc_bits = np.empty(0, dtype=np.uint8)
         freq_bits = np.empty(0, dtype=np.uint8)
+        freq_masked = b_tfs
+        exc_start = np.empty(0, dtype=np.int64)
+        exc_count = np.empty(0, dtype=np.int32)
+        exc_pos = np.empty(0, dtype=np.uint8)
+        exc_high = np.empty(0, dtype=np.uint8)
 
     # pack: group blocks by width, pack each group's postings contiguously,
     # then reassemble in block order
@@ -281,7 +359,7 @@ def encode_postings(
         return buf, offs[:-1]
 
     packed_docs, block_doc_off = pack_all(b_deltas, doc_bits)
-    packed_freqs, block_freq_off = pack_all(b_tfs - 1, freq_bits)
+    packed_freqs, block_freq_off = pack_all(freq_masked, freq_bits)
 
     # impacts: per block and whole-term skylines
     if mb:
@@ -350,6 +428,10 @@ def encode_postings(
         imp_norm=gn.astype(np.uint8),
         term_imp_freq=tf_imp.astype(np.int32),
         term_imp_norm=tn.astype(np.uint8),
+        block_exc_start=exc_start.astype(np.int64),
+        block_exc_count=exc_count.astype(np.int32),
+        exc_pos=exc_pos,
+        exc_high=exc_high,
         packed_docs=packed_docs,
         packed_freqs=packed_freqs,
     )
@@ -366,8 +448,13 @@ def decode_block(enc: EncodedPostings, block_idx: int, prev_last_doc: int) -> tu
     fw = int(enc.block_freq_bits[block_idx])
     foff = int(enc.block_freq_off[block_idx])
     fbytes = (n * fw + 7) // 8
-    freqs = unpack_bits(enc.packed_freqs[foff : foff + fbytes], n, fw) + 1
-    return docids, freqs
+    raw = unpack_bits(enc.packed_freqs[foff : foff + fbytes], n, fw)
+    ec = int(enc.block_exc_count[block_idx])
+    if ec:
+        es = int(enc.block_exc_start[block_idx])
+        pos = np.asarray(enc.exc_pos[es : es + ec], dtype=np.int64)
+        raw[pos] |= np.asarray(enc.exc_high[es : es + ec], dtype=np.int64) << fw
+    return docids, raw + 1
 
 
 def _ragged_within(lens: np.ndarray) -> np.ndarray:
@@ -444,15 +531,26 @@ def decode_range(
         bl,
         np.asarray(enc.block_doc_off[b_lo:b_hi], dtype=np.int64),
     )
-    tfs_b = (
-        _unpack_all_blocks(
-            enc.packed_freqs,
-            np.asarray(enc.block_freq_bits[b_lo:b_hi], dtype=np.int64),
-            bl,
-            np.asarray(enc.block_freq_off[b_lo:b_hi], dtype=np.int64),
-        )
-        + 1
+    raw_f = _unpack_all_blocks(
+        enc.packed_freqs,
+        np.asarray(enc.block_freq_bits[b_lo:b_hi], dtype=np.int64),
+        bl,
+        np.asarray(enc.block_freq_off[b_lo:b_hi], dtype=np.int64),
     )
+    # patch PFoR freq exceptions for this block range (pools contiguous)
+    ec = np.asarray(enc.block_exc_count[b_lo:b_hi], dtype=np.int64)
+    n_exc = int(ec.sum())
+    if n_exc:
+        es0 = int(enc.block_exc_start[b_lo])
+        pos = np.asarray(enc.exc_pos[es0 : es0 + n_exc], dtype=np.int64)
+        high = np.asarray(enc.exc_high[es0 : es0 + n_exc], dtype=np.int64)
+        voff = np.concatenate(([0], np.cumsum(bl)))[:-1]
+        gpos = np.repeat(voff, ec) + pos
+        shifts = np.repeat(
+            np.asarray(enc.block_freq_bits[b_lo:b_hi], dtype=np.int64), ec
+        )
+        raw_f[gpos] |= high << shifts
+    tfs_b = raw_f + 1
     # docids: per-term segmented cumsum of (delta + 1) starting at -1; a
     # term's blocks are contiguous in block order, so value order is right
     val_off = np.concatenate(([0], np.cumsum(bl)))

@@ -158,6 +158,7 @@ def build_segment_from_ids(
             "n_blocks": int(len(enc.block_last_doc)),
             "packed_doc_bytes": int(enc.packed_docs.nbytes),
             "packed_freq_bytes": int(enc.packed_freqs.nbytes),
+            "freq_exception_bytes": int(enc.exc_pos.nbytes + enc.exc_high.nbytes),
             "sum_total_term_freq": int(enc.total_term_freq.sum()),
             "sum_doc_freq": int(enc.doc_freq.sum()),
             "doc_count": int((norms > 0).sum()),
@@ -253,6 +254,10 @@ class StreamingSegmentWriter:
         "imp_norm": np.uint8,
         "term_imp_freq": np.int32,
         "term_imp_norm": np.uint8,
+        "block_exc_start": np.int64,
+        "block_exc_count": np.int32,
+        "exc_pos": np.uint8,
+        "exc_high": np.uint8,
         "packed_docs": np.uint8,
         "packed_freqs": np.uint8,
     }
@@ -304,6 +309,7 @@ class StreamingSegmentWriter:
         self._freq_bytes = 0
         self._imp = 0
         self._term_imp = 0
+        self._freq_exc = 0
         self._rows = 0
         self._pos_vals = 0
         self._terms_written = 0
@@ -343,6 +349,10 @@ class StreamingSegmentWriter:
         w["imp_norm"].append(enc.imp_norm)
         w["term_imp_freq"].append(enc.term_imp_freq)
         w["term_imp_norm"].append(enc.term_imp_norm)
+        w["block_exc_start"].append(enc.block_exc_start + self._freq_exc)
+        w["block_exc_count"].append(enc.block_exc_count)
+        w["exc_pos"].append(enc.exc_pos)
+        w["exc_high"].append(enc.exc_high)
         w["packed_docs"].append(enc.packed_docs)
         w["packed_freqs"].append(enc.packed_freqs)
 
@@ -360,6 +370,7 @@ class StreamingSegmentWriter:
         self._freq_bytes += int(enc.packed_freqs.nbytes)
         self._imp += len(enc.imp_freq)
         self._term_imp += len(enc.term_imp_freq)
+        self._freq_exc += len(enc.exc_pos)
         self._rows += n_rows
         self._terms_written += len(enc.doc_freq)
         self._n_postings += n_rows
@@ -377,6 +388,7 @@ class StreamingSegmentWriter:
             "n_blocks": int(self._blocks),
             "packed_doc_bytes": int(self._doc_bytes),
             "packed_freq_bytes": int(self._freq_bytes),
+            "freq_exception_bytes": int(2 * self._freq_exc),
             "sum_total_term_freq": int(self._sum_ttf),
             "sum_doc_freq": int(self._sum_df),
             "doc_count": int((self.norms > 0).sum()),
@@ -417,7 +429,21 @@ class SegmentReader:
         self.term_bytes = np.load(os.path.join(seg_dir, "terms_bytes.npy"), mmap_mode=mm)
         arrays = {}
         for name in codec.EncodedPostings.__dataclass_fields__:
-            arrays[name] = np.load(os.path.join(seg_dir, f"{name}.npy"), mmap_mode=mm)
+            path = os.path.join(seg_dir, f"{name}.npy")
+            if not os.path.exists(path) and name in (
+                "block_exc_start", "block_exc_count", "exc_pos", "exc_high"
+            ):
+                # pre-PFoR segment: no freq exceptions anywhere
+                n_blk = len(arrays["block_last_doc"])
+                arrays[name] = (
+                    np.zeros(n_blk, dtype=np.int64)
+                    if name == "block_exc_start"
+                    else np.zeros(n_blk, dtype=np.int32)
+                    if name == "block_exc_count"
+                    else np.empty(0, dtype=np.uint8)
+                )
+                continue
+            arrays[name] = np.load(path, mmap_mode=mm)
         self.enc = codec.EncodedPostings.from_arrays(arrays)
         self.norms = np.load(os.path.join(seg_dir, "norms.npy"), mmap_mode=mm)
         pos_path = os.path.join(seg_dir, "pos_data.npy")

@@ -217,3 +217,71 @@ def test_decode_all_matches_per_term(tmp_path):
                 assert (tids[pos : pos + n] == tid).all()
                 pos += n
             assert pos == len(tids)
+
+
+def test_pfor_freq_exceptions_roundtrip():
+    """Patched-FOR freq blocks: a few hot freqs per block must be patched
+    as exceptions (<= 7/block, byte high parts) instead of inflating the
+    whole block's width; decode paths (block + range) stay exact."""
+    from lucene_ray.index.postings import (
+        MAX_EXCEPTIONS,
+        decode_all,
+        decode_term,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(31)
+    n_docs = 2000
+    # one term, 2000 postings: freqs mostly 1-3, ~1% hot (up to 2^14)
+    docs = np.arange(n_docs, dtype=np.int64)
+    tfs = rng.integers(1, 4, n_docs).astype(np.int64)
+    hot = rng.choice(n_docs, size=20, replace=False)
+    tfs[hot] = rng.integers(1 << 10, 1 << 14, size=20)
+    tids = np.zeros(n_docs, dtype=np.int64)
+    norms = np.full(n_docs, 37, dtype=np.uint8)
+
+    enc = encode_postings(tids, docs, tfs, norms, 1)
+    assert enc.block_exc_count.sum() > 0, "hot freqs must be patched"
+    assert enc.block_exc_count.max() <= MAX_EXCEPTIONS
+    d, f = decode_term(enc, 0)
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, tfs)
+    t2, d2, f2 = decode_all(enc)
+    np.testing.assert_array_equal(f2, tfs)
+
+    # PFoR must beat width-of-max bytes on this distribution: the hot
+    # blocks would otherwise pack ALL values at 14 bits
+    exc_bytes = enc.exc_pos.nbytes + enc.exc_high.nbytes
+    width_of_max_bytes = 0
+    start = 0
+    for bl in enc.block_len:
+        w = int(np.max(tfs[start : start + bl] - 1)).bit_length()
+        width_of_max_bytes += (int(bl) * w + 7) // 8
+        start += bl
+    assert enc.packed_freqs.nbytes + exc_bytes < width_of_max_bytes
+
+
+def test_pfor_cursor_and_impacts_unaffected():
+    """The scorer cursor path (decode_block) must see patched freqs."""
+    from lucene_ray.index.segment import SegmentReader
+    from tests.util import index_from_token_docs
+    import tempfile
+
+    rng = np.random.default_rng(33)
+    docs = []
+    for i in range(600):
+        toks = ["common"] * int(rng.integers(1, 4))
+        if i % 97 == 0:
+            toks = ["common"] * 3000  # hot tf in one doc
+        docs.append(toks)
+    idx = tempfile.mkdtemp()
+    index_from_token_docs(docs, idx)
+    r = SegmentReader(idx + "/seg_000000")
+    tid = r.term_id("common")
+    cur = r.cursor(tid)
+    total = 0
+    doc = cur.advance(0)
+    while doc != 2**31 - 1:
+        total += cur.freq
+        doc = cur.next_doc()
+    assert total == sum(len(d) for d in docs)
