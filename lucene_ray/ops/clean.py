@@ -32,9 +32,11 @@ N_OUTPUT_BUCKETS = 16
 
 
 def _quality_filter(batch: pa.Table) -> pa.Table:
+    from .util import strip_schema_metadata
+
     q = quality_stats_batch(batch)
     mask = pc.equal(q.column("is_quality"), 1)
-    return batch.filter(mask)
+    return strip_schema_metadata(batch.filter(mask))
 
 
 def _fp_append(batch: pa.Table) -> pa.Table:
@@ -54,6 +56,9 @@ def _keep_min_doc(group: pa.Table) -> pa.Table:
 def clean_corpus(ds, out_dir: str | None = None) -> pa.Table:
     """(n_docs, n_quality, n_kept) summary; optionally writes the cleaned
     corpus as bucket-partitioned parquet under ``out_dir``."""
+    from .util import strip_schema_metadata
+
+    ds = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
     n_docs = ds.count()
     quality = ds.map_batches(_quality_filter, batch_format="pyarrow")
     n_quality = int(quality.count())

@@ -42,7 +42,7 @@ def _windowed_partial(batch: pa.Table) -> pa.Table:
         .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
     )
     g["n_events"] = g["n_events"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def windowed_counts(ds):
@@ -80,7 +80,10 @@ def _sessionize_group(group: pa.Table) -> pa.Table:
 
 def sessionize(ds):
     """(user_id, n_sessions, n_events) with 30-minute gap sessions."""
-    return ds.groupby("user_id").map_groups(_sessionize_group, batch_format="pyarrow")
+    from .util import strip_schema_metadata
+
+    clean = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return clean.groupby("user_id").map_groups(_sessionize_group, batch_format="pyarrow")
 
 
 def _asof_group(group: pa.Table) -> pa.Table:
@@ -113,4 +116,7 @@ def _asof_group(group: pa.Table) -> pa.Table:
 def asof_last_login(ds):
     """As-of join: for each 'purchase', the latest same-user 'login' with
     ts <= purchase ts, as epoch microseconds (-1 if none)."""
-    return ds.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")
+    from .util import strip_schema_metadata
+
+    clean = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return clean.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")

@@ -93,3 +93,13 @@ def minhash_signature(shingles: list[str]) -> np.ndarray:
     a = np.array(MINHASH_A, dtype=np.uint64)[:, None]
     b = np.array(MINHASH_B, dtype=np.uint64)[:, None]
     return ((a * base[None, :] + b) % np.uint64(MINHASH_P)).min(axis=1)
+
+
+def strip_schema_metadata(batch):
+    """Drop Arrow schema metadata (pandas round-trip blobs make schemas
+    unhashable, so every Ray groupby reduce logs "Failed to hash the
+    schemas" — stripping at the pipeline head silences it and lets Ray
+    dedupe block schemas)."""
+    if batch.schema.metadata:
+        return batch.replace_schema_metadata(None)
+    return batch
