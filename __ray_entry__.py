@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_topk": ft.phrase_topk,
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         "ft_filtered_topk": ft.filtered_topk,
+        "ft_delete_search": ft.delete_search_topk,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -832,6 +833,46 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_delete_search": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+-- live-docs semantics: stats/scores computed over the FULL corpus
+-- (deletes don't change them until a merge), deleted docs just drop out
+live AS (
+  SELECT c.qid, c.doc_id, c.score
+  FROM clause c JOIN documents doc ON doc.doc_id = c.doc_id
+  WHERE doc.lang != '{ft.DELETE_LANG}'
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM live
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

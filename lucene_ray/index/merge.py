@@ -191,18 +191,40 @@ def merge_segments_task(
     merged_vocab = merged_vocab.take(pc.sort_indices(merged_vocab))
     n_merged = len(merged_vocab)
 
-    norms = np.zeros(max_doc, dtype=np.uint8)
+    # live-docs expunge (deletes.py): deleted rows are dropped and the
+    # surviving docids renumbered dense, reference SegmentMerger semantics
+    lives: list[np.ndarray | None] = []
+    live_prefix: list[np.ndarray | None] = []
+    live_bases: list[int] = []
     shifts: list[int] = []
     remaps: list[np.ndarray] = []
+    norm_parts: list[np.ndarray] = []
     local = 0
+    live_local = 0
     for e, r, vp in zip(seg_entries, readers, vocab_parts):
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
-        norms[local : local + r.max_doc] = np.asarray(r.norms)
+        lp = e.get("livedocs")
+        live = np.load(lp) if lp else None
+        lives.append(live)
+        if live is None:
+            live_prefix.append(None)
+            norm_parts.append(np.asarray(r.norms))
+            n_live = r.max_doc
+        else:
+            live_prefix.append(np.cumsum(live, dtype=np.int64) - 1)
+            norm_parts.append(np.asarray(r.norms)[live])
+            n_live = int(live.sum())
+        live_bases.append(live_local)
         shifts.append(shift)
         # strictly increasing: input dict is a sorted subset of the merged
         remaps.append(pc.index_in(vp, value_set=merged_vocab).to_numpy().astype(np.int64))
         local += r.max_doc
+        live_local += n_live
+    max_doc = live_local
+    norms = (
+        np.concatenate(norm_parts) if norm_parts else np.zeros(0, dtype=np.uint8)
+    )
 
     # section boundaries from the merged per-term posting totals
     tot = np.zeros(n_merged, dtype=np.int64)
@@ -236,7 +258,9 @@ def merge_segments_task(
             sec_docs: list[np.ndarray] = []
             sec_tfs: list[np.ndarray] = []
             sec_pos: list[np.ndarray] = []
-            for r, remap, shift in zip(readers, remaps, shifts):
+            for r, remap, live, lpfx, lbase in zip(
+                readers, remaps, lives, live_prefix, live_bases
+            ):
                 a = int(np.searchsorted(remap, lo, side="left"))
                 b = int(np.searchsorted(remap, hi, side="left"))
                 if a == b:
@@ -244,15 +268,28 @@ def merge_segments_task(
                 tids, docs, freqs = codec.decode_range(r.enc, a, b)
                 if not len(tids):
                     continue
-                sec_tids.append(remap[tids])
-                sec_docs.append(docs + shift)
-                sec_tfs.append(freqs)
                 if with_pos:
                     # decode_range row order == stored position row order
                     r0, r1 = int(r.pos_row_start[a]), int(r.pos_row_start[b])
-                    sec_pos.append(
-                        np.asarray(r.pos_data[r.pos_off[r0] : r.pos_off[r1]])
+                    pos_slice = np.asarray(
+                        r.pos_data[r.pos_off[r0] : r.pos_off[r1]]
                     )
+                if live is not None:
+                    keep = live[docs]
+                    if with_pos:
+                        kept_rows = np.nonzero(keep)[0]
+                        pos_slice = _gather_row_slices(pos_slice, freqs, kept_rows)
+                    tids, freqs = tids[keep], freqs[keep]
+                    docs = lpfx[docs[keep]] + lbase
+                    if not len(tids):
+                        continue
+                else:
+                    docs = docs + lbase
+                sec_tids.append(remap[tids])
+                sec_docs.append(docs)
+                sec_tfs.append(freqs)
+                if with_pos:
+                    sec_pos.append(pos_slice)
 
             tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
             docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
@@ -285,19 +322,24 @@ def merge_segments_task(
     # doc_base + docid invariant survives any number of merge levels
     # (reference SegmentMerger.mergeFields rewrites stored fields too).
     docs_out = None
-    for e in seg_entries:
+    for e, live, lpfx, lbase in zip(seg_entries, lives, live_prefix, live_bases):
         src = e.get("docs_dir")
         if src and os.path.isdir(src):
             # src is index_dir/docs/<old>; the merged table lives beside it
             # at index_dir/docs/<name> (must match the manifest docs_dir).
             docs_out = docs_out or os.path.join(os.path.dirname(src), name)
             os.makedirs(docs_out, exist_ok=True)
-            shift = int(e["doc_base"]) - new_base
             for f in sorted(os.listdir(src)):
                 tbl = pq.read_table(os.path.join(src, f))
+                old_ids = tbl.column("docid").to_numpy()
+                if live is not None:
+                    keep = live[old_ids]
+                    tbl = tbl.filter(pa.array(keep))
+                    new_ids = lpfx[old_ids[keep]] + lbase
+                else:
+                    new_ids = old_ids.astype(np.int64) + lbase
                 i = tbl.schema.get_field_index("docid")
-                shifted = pc.add(tbl.column("docid"), shift).cast(pa.int32())
-                tbl = tbl.set_column(i, "docid", shifted)
+                tbl = tbl.set_column(i, "docid", pa.array(new_ids.astype(np.int32)))
                 pq.write_table(tbl, os.path.join(docs_out, f"{e['name']}-{f}"))
     return metrics
 
@@ -332,13 +374,20 @@ def _apply_merges(index_dir: str, manifest: dict, plans: list[list[int]]) -> dic
                     "name": name,
                     "dir": seg_dir,
                     "doc_base": segs[ordinals[0]]["doc_base"],
-                    "max_doc": sum(segs[j]["max_doc"] for j in ordinals),
+                    # meta max_doc = LIVE docs after delete expunge
+                    "max_doc": meta["max_doc"],
                     "stats": meta["stats"],
                     "metrics": meta.get("metrics", {}),
                     "lineage": meta.get("lineage", {}),
                     "docs_dir": os.path.join(index_dir, "docs", name),
                 }
             )
+    # re-chain doc_bases: merged segments shrink when deletes are expunged,
+    # so every downstream base shifts (global docid = base + local)
+    base = 0
+    for e in new_entries:
+        e["doc_base"] = base
+        base += int(e["max_doc"])
     new_manifest = dict(manifest)
     new_manifest["generation"] = gen
     new_manifest["segments"] = new_entries

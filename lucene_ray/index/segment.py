@@ -457,6 +457,9 @@ class SegmentReader:
         self.max_doc = int(self.meta["max_doc"])
         self.doc_base = int(self.meta["doc_base"])
         self.n_terms = len(self.term_offsets) - 1
+        # live-docs mask (None = all live); set by the searcher from the
+        # manifest entry (deletes.py), masked at COLLECTION time
+        self.live: np.ndarray | None = None
 
     # --- term dictionary -------------------------------------------------
     def _term_at(self, i: int) -> bytes:

@@ -383,6 +383,43 @@ def filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+DELETE_LANG = "de"
+
+
+def delete_search_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k AFTER deleting every ``lang = 'de'`` doc via live-docs
+    (qid, rnk, doc_id): per reference semantics, collection/term stats
+    still count the deleted docs (no merge ran), so surviving docs keep
+    their exact scores and ranking simply skips deleted candidates.
+    Runs against a manifest-level snapshot CLONE of the cached index —
+    segment data is shared, livedocs/generations land in the clone."""
+    import shutil
+
+    from ..index.deletes import clone_for_deletes, delete_by_query
+    from ..search.query import StoredFieldFilter
+
+    idx = ensure_index(sf_dir)
+    clone = idx.rstrip("/") + "-delq"
+    shutil.rmtree(clone, ignore_errors=True)
+    clone_for_deletes(idx, clone)
+    delete_by_query(clone, StoredFieldFilter("lang", DELETE_LANG))
+    searcher = IndexSearcher(clone)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 SLOPPY_PHRASES = [
     ("join", "order", 1),
     ("the", "customer", 2),

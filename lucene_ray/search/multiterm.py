@@ -32,6 +32,8 @@ def phrase_matches_segment(reader, terms: tuple[str, ...]):
         plist = reader.term_positions(tid)
         idx = {int(d): p for d, p in zip(docs, plist)}
         pos_lists.append(idx)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
     out_docs, out_freqs = [], []
     for d in common.tolist():
         cand = pos_lists[0][d]
@@ -68,6 +70,8 @@ def sloppy_phrase_matches_segment(reader, t1: str, t2: str, slop: int):
     common = docs1[np.isin(docs1, docs2)]
     if len(common) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
     pos1 = {int(d): p for d, p in zip(docs1, reader.term_positions(tid1))}
     pos2 = {int(d): p for d, p in zip(docs2, reader.term_positions(tid2))}
     out_docs, out_freqs = [], []
@@ -126,6 +130,8 @@ def _union_postings(reader, tids) -> np.ndarray:
     for tid in tids:
         docs, _ = reader.decode_term_cached(tid)
         mask[docs] = True
+    if getattr(reader, "live", None) is not None:
+        mask &= reader.live
     return np.nonzero(mask)[0]
 
 

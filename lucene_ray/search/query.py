@@ -340,7 +340,10 @@ def build_scorer(
         from .scorers import PrecomputedScorer
 
         col = reader.stored_column(q.field)
-        docs = np.nonzero(pc.equal(col, q.value).to_numpy(zero_copy_only=False))[0]
+        m = pc.equal(col, q.value).to_numpy(zero_copy_only=False)
+        if getattr(reader, "live", None) is not None:
+            m = m & reader.live
+        docs = np.nonzero(m)[0]
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
@@ -389,6 +392,8 @@ def dismax_dense_matches(
         np.maximum.at(mx, docs, sc)
         sm[docs] += sc
         matched[docs] = True
+    if getattr(reader, "live", None) is not None:
+        matched &= reader.live
     cand = np.nonzero(matched)[0]
     if len(cand) == 0:
         return cand, np.empty(0, dtype=np.float32)

@@ -96,6 +96,8 @@ def _bulk_search_segment(reader, terms_boosts, min_should_match, weight, k):
     if acc is None:
         return []
     mask = counts >= max(min_should_match, 1)
+    if reader.live is not None:
+        mask &= reader.live
     cand = np.nonzero(mask)[0]
     if len(cand) == 0:
         return []
@@ -114,6 +116,10 @@ class IndexSearcher:
         self.readers = [
             SegmentReader(seg["dir"], mmap=mmap) for seg in self.manifest["segments"]
         ]
+        for reader, seg in zip(self.readers, self.manifest["segments"]):
+            lp = seg.get("livedocs")
+            if lp:
+                reader.live = np.load(lp)
         cs = collection_stats_from(self.manifest)
         self.collection_stats = CollectionStatistics(
             max_doc=cs["max_doc"],
@@ -224,9 +230,11 @@ class IndexSearcher:
             scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
             if scorer is None:
                 continue
+            live = reader.live
             doc = scorer.advance(0)
             while doc != NO_MORE_DOCS:
-                total += 1
+                if live is None or live[doc]:
+                    total += 1
                 doc = scorer.next_doc()
         return total
 
@@ -369,6 +377,8 @@ def _windowed_bulk_search_segment(
                 acc[d - w0] += sc.astype(np.float64)
                 counts[d - w0] += 1
         mask = counts >= max(min_should_match, 1)
+        if reader.live is not None:
+            mask &= reader.live[w0:w1]
         cand = np.nonzero(mask)[0]
         if len(cand) == 0:
             continue
@@ -430,9 +440,11 @@ def search_segment(
     if scorer is None:
         return []
     collector = TopKCollector(k, total_hits_threshold)
+    live = reader.live
     doc = scorer.advance(0)
     while doc != NO_MORE_DOCS:
-        collector.collect(doc, scorer.score())
+        if live is None or live[doc]:
+            collector.collect(doc, scorer.score())
         if score_mode == "TOP_SCORES":
             mc = collector.competitive_score()
             if mc is not None:
