@@ -87,6 +87,9 @@ perm AS (
 """
 
 _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS))
+_MF_VALUES = ", ".join(
+    f"({i}, '{t}', '{lv}')" for i, (t, lv) in enumerate(ft.MULTIFIELD_QUERIES)
+)
 _FILTERED_VALUES = ", ".join(
     f"({i}, '{t}', '{fld}', '{val}')"
     for i, (t, fld, val) in enumerate(ft.FILTERED_QUERIES)
@@ -657,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
+        "ft_multifield_topk": ft.multifield_topk,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -873,6 +877,51 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM live
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_multifield_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, lv) AS (VALUES {_MF_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+-- per-FIELD stats for the keyword lang field: every doc is 1 token long
+lstats AS (
+  SELECT count(*)::BIGINT AS doc_count, count(*)::BIGINT AS sum_ttf FROM documents
+),
+ldf AS (SELECT lang, count(*)::BIGINT AS df FROM documents GROUP BY lang),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.lv FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count)))))
+         + ln(1 + (ls.doc_count - ldf.df + 0.5) / (ldf.df + 0.5))
+           * (1 - 1 / (1 + 1 / (1.2 * ((1 - 0.75) + 0.75
+              * (SELECT max(L) FROM lt WHERE lt.L <= 1)
+              / (ls.sum_ttf * 1.0 / ls.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  JOIN documents doc ON doc.doc_id = p.doc_id AND doc.lang = p.lv
+  JOIN ldf ON ldf.lang = p.lv
+  CROSS JOIN stats s
+  CROSS JOIN lstats ls
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM clause
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

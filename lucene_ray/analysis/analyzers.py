@@ -278,10 +278,51 @@ class CodeAnalyzer(SimpleCodeAnalyzer):
         return term.lower()
 
 
+class KeywordAnalyzer:
+    """Whole-value-as-one-token analyzer (reference
+    analysis/core/KeywordAnalyzer.java): no tokenization, no case folding —
+    the field for exact-match metadata like ``lang`` / ``source`` / ids.
+    Every non-empty doc has length 1 (norm = intToByte4(1))."""
+
+    def __init__(self, **_kw):
+        pass
+
+    def tokens(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def analyze(self, text: str) -> tuple[list[str], list[int], int]:
+        return ([text], [1], 1) if text else ([], [], 0)
+
+    def normalize(self, term: str) -> str:
+        return term
+
+    def analyze_batch(self, texts: list[str]):
+        vocab = sorted({t for t in texts if t}, key=lambda s: s.encode("utf-8"))
+        gid = {t: i for i, t in enumerate(vocab)}
+        doc_ids, tids = [], []
+        for i, t in enumerate(texts):
+            if t:
+                doc_ids.append(i)
+                tids.append(gid[t])
+        lengths = np.array([1 if t else 0 for t in texts], dtype=np.int64)
+        return (
+            vocab,
+            np.asarray(tids, dtype=np.int64),
+            np.asarray(doc_ids, dtype=np.int64),
+            np.ones(len(tids), dtype=np.int64),
+            lengths,
+        )
+
+    def analyze_batch_positions(self, texts: list[str]):
+        vocab, tids, docs, tfs, lengths = self.analyze_batch(texts)
+        return vocab, tids, docs, tfs, lengths, np.zeros(len(tids), dtype=np.int64)
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
     "code": CodeAnalyzer,
+    "keyword": KeywordAnalyzer,
 }
 
 

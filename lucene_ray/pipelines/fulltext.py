@@ -383,6 +383,63 @@ def filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+MULTIFIELD_QUERIES = [
+    ("spark", "en"),
+    ("join", "fr"),
+    ("merge", "zh"),
+    ("query", "es"),
+    ("window", "de"),
+]
+
+
+def ensure_multifield_index(sf_dir: str) -> str:
+    """text (standard analyzer) + lang (keyword analyzer) sub-indexes over
+    documents.parquet, one shared docid space (index/multifield.py)."""
+    from ..index.multifield import FieldSpec, build_multi_field_index
+
+    idx = index_dir_for(sf_dir) + "-mf"
+    src = os.path.join(sf_dir, "documents.parquet")
+    if any(
+        mf.latest_generation(os.path.join(idx, f)) is None for f in ("text", "lang")
+    ):
+        build_multi_field_index(
+            src,
+            idx,
+            [
+                FieldSpec("text", "text", "standard"),
+                FieldSpec("lang", "lang", "keyword"),
+            ],
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return idx
+
+
+def multifield_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Cross-field conjunction top-k (qid, rnk, doc_id): score =
+    BM25_text(term) + BM25_lang(value), each clause with ITS field's
+    statistics (FieldInfos per-field stats semantics)."""
+    from ..index.multifield import FieldedClause, MultiFieldSearcher
+
+    ms = MultiFieldSearcher(ensure_multifield_index(sf_dir))
+    qids, rnks, docs = [], [], []
+    for qid, (term, lang) in enumerate(MULTIFIELD_QUERIES):
+        clauses = [
+            FieldedClause("text", TermQuery(term), "MUST"),
+            FieldedClause("lang", TermQuery(lang), "MUST"),
+        ]
+        for rnk, (doc, _s) in enumerate(ms.search(clauses, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 DELETE_LANG = "de"
 
 

@@ -426,7 +426,18 @@ def _boolean_scorer(
             if s is not None:
                 must_nots.append(s)
 
-    msm = q.min_should_match
+    return combine_clause_scorers(
+        shoulds, musts, must_nots, filters, q.min_should_match, score_mode, top_level
+    )
+
+
+def combine_clause_scorers(
+    shoulds, musts, must_nots, filters, msm, score_mode, top_level=False
+) -> Scorer | None:
+    """BooleanScorerSupplier combination over ALREADY-BUILT clause scorers
+    (shared by the single-index boolean planner and the multi-field
+    searcher, whose clauses come from different per-field indexes over the
+    same docid space)."""
     if not shoulds and msm > 0:
         return None
     if not shoulds and not musts and not filters:
