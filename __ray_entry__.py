@@ -199,6 +199,25 @@ def _phrase_match_sql() -> str:
     )
 
 
+def _multi_phrase_sql() -> str:
+    """Per-position alternatives: ts[i+k] IN (alts_k) consecutive checks."""
+    parts = []
+    for qid, slots in enumerate(ft.MULTI_PHRASES):
+        n = len(slots)
+        conds = " AND ".join(
+            "ts[i + {}] IN ({})".format(k + 1, ", ".join(f"'{w}'" for w in alts))
+            for k, alts in enumerate(slots)
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS pf "
+            f"FROM s WHERE i + {n} <= len(ts) AND {conds} GROUP BY doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "mph AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _phrase_sloppy_sql() -> str:
     """2-term sloppy phrase pair counts: |pb - pa - 1| <= slop (the
     window-distance oracle for search/multiterm.sloppy_phrase_matches_
@@ -658,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_counts": ft.phrase_counts,
         "ft_phrase_topk": ft.phrase_topk,
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
+        "ft_multi_phrase_counts": ft.multi_phrase_counts,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
@@ -796,6 +816,11 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 WITH {_TOKS},
 {_phrase_sloppy_sql()}
 SELECT qid, doc_id, sloppy_freq FROM sp
+""",
+        "ft_multi_phrase_counts": f"""
+WITH {_TOKS},
+{_multi_phrase_sql()}
+SELECT qid, doc_id, pf AS phrase_freq FROM mph
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

@@ -440,6 +440,38 @@ def multifield_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+MULTI_PHRASES = [
+    (("the", "a"), ("customer", "supplier")),
+    (("join", "merge"), ("order", "group")),
+    (("batch", "window"), ("batch", "query")),
+    (("spark",), ("group", "query"), ("query", "by")),
+]
+
+
+def multi_phrase_counts(sf_dir: str) -> pa.Table:
+    """(qid, doc_id, phrase_freq) for MultiPhraseQueries: slot i matches
+    any of its alternative terms at position start+i (union postings,
+    search/MultiPhraseQuery.java semantics)."""
+    from ..search.multiterm import multi_phrase_matches_segment
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, docs, freqs = [], [], []
+    for qid, slots in enumerate(MULTI_PHRASES):
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            d, f = multi_phrase_matches_segment(reader, slots)
+            qids.extend([qid] * len(d))
+            docs.extend((d + seg["doc_base"]).tolist())
+            freqs.extend(f.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "phrase_freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
 DELETE_LANG = "de"
 
 

@@ -47,6 +47,56 @@ def phrase_matches_segment(reader, terms: tuple[str, ...]):
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
 
+def multi_phrase_matches_segment(reader, slots: tuple[tuple[str, ...], ...]):
+    """(local docids, phrase freqs) for a MultiPhraseQuery: slot i matches
+    ANY of its alternative terms at position start+i (reference
+    search/MultiPhraseQuery.java + the union postings enum — per-slot
+    positions are the UNION of the alternatives' position lists).
+
+    A slot with NO term present in the segment kills the match (same as a
+    missing term in the exact matcher).
+    """
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("phrase queries need an index built with index_options='positions'")
+    # per slot: union docids + per-doc union positions
+    slot_docs: list[np.ndarray] = []
+    slot_pos: list[dict[int, np.ndarray]] = []
+    for alts in slots:
+        per_doc: dict[int, list[np.ndarray]] = {}
+        for t in alts:
+            tid = reader.term_id(t)
+            if tid is None:
+                continue
+            docs, _ = decode_term(reader.enc, tid)
+            for d, p in zip(docs, reader.term_positions(tid)):
+                per_doc.setdefault(int(d), []).append(np.asarray(p))
+        if not per_doc:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        merged = {
+            d: np.unique(np.concatenate(ps)) for d, ps in per_doc.items()
+        }
+        slot_docs.append(np.array(sorted(merged), dtype=np.int64))
+        slot_pos.append(merged)
+    common = slot_docs[0]
+    for docs in slot_docs[1:]:
+        common = common[np.isin(common, docs)]
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        cand = slot_pos[0][d]
+        for i in range(1, len(slots)):
+            cand = cand[np.isin(cand + i, slot_pos[i][d])]
+            if len(cand) == 0:
+                break
+        if len(cand):
+            out_docs.append(d)
+            out_freqs.append(len(cand))
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
 def sloppy_phrase_matches_segment(reader, t1: str, t2: str, slop: int):
     """(local docids, sloppy freqs) for a 2-term sloppy phrase: freq = the
     number of position pairs (pa, pb) with |pb - pa - 1| <= slop.

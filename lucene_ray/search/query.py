@@ -140,6 +140,17 @@ class TermRangeQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase with per-position ALTERNATIVES: slot i matches any of its
+    terms at position start+i (reference search/MultiPhraseQuery.java;
+    union postings per slot).  Scored like PhraseQuery with idf = sum over
+    ALL alternative terms' idfs (the MultiPhraseWeight TermStatistics
+    array) and tf = the phrase frequency."""
+
+    slots: tuple[tuple[str, ...], ...]
+
+
+@dataclass(frozen=True)
 class StoredFieldFilter:
     """Constant-score match on a stored metadata column (``lang``,
     ``source``, ...) — the pragmatic doc-values filter (reference
@@ -180,6 +191,7 @@ Query = (
     | RegexpQuery
     | DisjunctionMaxQuery
     | StoredFieldFilter
+    | MultiPhraseQuery
 )
 
 
@@ -198,6 +210,8 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, StoredFieldFilter)):
         return set()  # constant-score rewrite needs no term statistics
@@ -331,6 +345,18 @@ def build_scorer(
         if len(docs) == 0:
             return None
         sim = weight.phrase_sim_scorer(q.terms, boost)
+        scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
+        return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, MultiPhraseQuery):
+        from .multiterm import multi_phrase_matches_segment
+        from .scorers import PrecomputedScorer
+
+        docs, freqs = multi_phrase_matches_segment(reader, q.slots)
+        if len(docs) == 0:
+            return None
+        flat = tuple(t for alts in q.slots for t in alts)
+        sim = weight.phrase_sim_scorer(flat, boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
 

@@ -201,6 +201,7 @@ class IndexSearcher:
         """Exhaustive match count (non-scoring)."""
         from .query import (
             FuzzyQuery,
+            MultiPhraseQuery,
             PhraseQuery,
             PrefixQuery,
             RegexpQuery,
@@ -210,6 +211,13 @@ class IndexSearcher:
 
         weight = self.make_weight(query)
         total = 0
+        if isinstance(query, MultiPhraseQuery):
+            from .multiterm import multi_phrase_matches_segment
+
+            for reader in self.readers:
+                docs, _ = multi_phrase_matches_segment(reader, query.slots)
+                total += len(docs)
+            return total
         if isinstance(query, PhraseQuery):
             for reader in self.readers:
                 if query.slop > 0:
@@ -253,6 +261,23 @@ def _dismax_search_segment(reader, query, weight: Weight, k: int):
         cand, sc = cand[keep], sc[keep]
     order = np.lexsort((cand, -sc))[:k]
     return [(int(cand[i]), np.float32(sc[i])) for i in order]
+
+
+def _multi_phrase_search_segment(reader, query, weight: Weight, k: int):
+    from .multiterm import multi_phrase_matches_segment
+
+    docs, freqs = multi_phrase_matches_segment(reader, query.slots)
+    if len(docs) == 0:
+        return []
+    flat = tuple(t for alts in query.slots for t in alts)
+    sim = weight.phrase_sim_scorer(flat, 1.0)
+    sc = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
+    if len(docs) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        docs, sc = docs[keep], sc[keep]
+    order = np.lexsort((docs, -sc))[:k]
+    return [(int(docs[i]), np.float32(sc[i])) for i in order]
 
 
 def _phrase_search_segment(reader, query, weight: Weight, k: int):
@@ -413,6 +438,7 @@ def search_segment(
     from .query import (
         DisjunctionMaxQuery,
         FuzzyQuery,
+        MultiPhraseQuery,
         PhraseQuery,
         PrefixQuery,
         RegexpQuery,
@@ -422,6 +448,8 @@ def search_segment(
 
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
+    if isinstance(query, MultiPhraseQuery):
+        return _multi_phrase_search_segment(reader, query, weight, k)
     if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
         docs = _multi_term_matches(reader, query)
         # constant score 1.0; ties by docID => top-k = k smallest docids

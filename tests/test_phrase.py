@@ -139,3 +139,34 @@ def test_sloppy_phrase_query_and_parser(pos_idx):
     texts = generate_corpus(300, seed=17).column("content").to_pylist()
     brute = _brute_sloppy(texts, "def", "return", 2)
     assert n_sloppy == len(brute)
+
+
+def test_multi_phrase_matches_brute(pos_idx):
+    from lucene_ray.search.multiterm import multi_phrase_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    a = make_analyzer("standard")
+    for slots in (
+        (("def", "import"), ("return", "def")),
+        (("return",), ("return", "import")),
+        (("def",), ("x", "y", "return"), ("import", "def")),
+    ):
+        expected = {}
+        n = len(slots)
+        for i, t in enumerate(texts):
+            toks = a.tokens(t)
+            c = sum(
+                1
+                for j in range(len(toks) - n + 1)
+                if all(toks[j + k] in slots[k] for k in range(n))
+            )
+            if c:
+                expected[i] = c
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, f = multi_phrase_matches_segment(reader, slots)
+            for dd, ff in zip(d, f):
+                got[int(dd) + seg["doc_base"]] = int(ff)
+        assert got == expected, slots
