@@ -164,10 +164,23 @@ class IndexSearcher:
         """
         weight = self.make_weight(query)
         per_segment = []
+        # cross-segment min-competitive carry (MaxScoreAccumulator.java:
+        # 23-41): once k hits exist, their k-th score floors every later
+        # segment's pruning — ties lose to earlier segments, so exact
+        floor = -np.inf
+        scores_so_far: list[float] = []
         for reader in self.readers:
-            per_segment.append(
-                search_segment(reader, query, weight, k, total_hits_threshold, score_mode)
+            hits = search_segment(
+                reader, query, weight, k, total_hits_threshold, score_mode,
+                floor=floor,
             )
+            per_segment.append(hits)
+            if score_mode == "TOP_SCORES":
+                scores_so_far.extend(float(s) for _, s in hits)
+                if len(scores_so_far) >= k:
+                    scores_so_far.sort(reverse=True)
+                    del scores_so_far[k:]
+                    floor = max(floor, scores_so_far[k - 1])
         doc_bases = [seg["doc_base"] for seg in self.manifest["segments"]]
         return merge_top_docs(per_segment, k, doc_bases)
 
@@ -305,7 +318,8 @@ def _phrase_search_segment(reader, query, weight: Weight, k: int):
 
 
 def _windowed_bulk_search_segment(
-    reader, terms_boosts, min_should_match, weight, k, window: int = 1 << 20
+    reader, terms_boosts, min_should_match, weight, k, window: int = 1 << 20,
+    floor: float = -np.inf,
 ):
     """Exact top-k for pure-SHOULD queries on segments ABOVE the dense gate:
     fixed-size doc windows, dense float64 accumulation per window, windows
@@ -355,7 +369,11 @@ def _windowed_bulk_search_segment(
 
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
-    kth = -np.inf
+    # ``floor`` carries the GLOBAL k-th score from earlier segments (the
+    # MaxScoreAccumulator analogue, search/MaxScoreAccumulator.java:23-41):
+    # a window whose bound cannot beat it is skipped even before this
+    # segment has k local hits — exact, because later segments lose ties.
+    kth = float(floor)
     have = 0
     for w0 in range(0, max_doc, window):
         w1 = min(w0 + window, max_doc)
@@ -376,7 +394,7 @@ def _windowed_bulk_search_segment(
             spans.append((lo, hi))
             if lo < hi:
                 bound += float(t["bmax"][lo:hi].max())
-        if have >= k and bound <= kth:
+        if (have >= k or kth > -np.inf) and bound <= kth:
             continue
         acc = np.zeros(w1 - w0, dtype=np.float64)
         counts = np.zeros(w1 - w0, dtype=np.int32)
@@ -417,7 +435,8 @@ def _windowed_bulk_search_segment(
         have += len(cand)
         if have >= k:
             all_sc = np.concatenate(out_scores)
-            kth = float(-np.partition(-all_sc, k - 1)[k - 1]) if len(all_sc) >= k else -np.inf
+            if len(all_sc) >= k:
+                kth = max(kth, float(-np.partition(-all_sc, k - 1)[k - 1]))
     if not out_docs:
         return []
     docs = np.concatenate(out_docs)
@@ -434,6 +453,7 @@ def search_segment(
     total_hits_threshold: float,
     score_mode: str,
     allow_bulk: bool = True,
+    floor: float = -np.inf,
 ) -> list[tuple[int, np.float32]]:
     from .query import (
         DisjunctionMaxQuery,
@@ -463,11 +483,17 @@ def search_segment(
         if flat is not None:
             if reader.max_doc <= BULK_MAX_DOC:
                 return _bulk_search_segment(reader, flat[0], flat[1], weight, k)
-            return _windowed_bulk_search_segment(reader, flat[0], flat[1], weight, k)
+            return _windowed_bulk_search_segment(
+                reader, flat[0], flat[1], weight, k, floor=floor
+            )
     scorer = build_scorer(query, weight, reader, 1.0, score_mode, top_level=True)
     if scorer is None:
         return []
     collector = TopKCollector(k, total_hits_threshold)
+    if floor > -np.inf and score_mode == "TOP_SCORES":
+        mc = np.nextafter(np.float32(floor), np.float32(np.inf), dtype=np.float32)
+        collector.min_competitive = mc
+        scorer.set_min_competitive_score(mc)
     live = reader.live
     doc = scorer.advance(0)
     while doc != NO_MORE_DOCS:
