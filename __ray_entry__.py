@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_filtered_topk": ft.filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
+        "ft_classic_topk": ft.classic_topk,
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -947,6 +948,36 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM clause
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_classic_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+-- ClassicSimilarity: (ln((N+1)/(df+1)) + 1) * sqrt(tf) / sqrt(quantized dl)
+scored AS (
+  SELECT p.qid, p.doc_id,
+         (ln((s.doc_count + 1) / (df.df + 1.0)) + 1) * sqrt(p.tf)
+           / sqrt(greatest(d.ql, 1)) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

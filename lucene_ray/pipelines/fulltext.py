@@ -440,6 +440,29 @@ def multifield_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def classic_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """TF-IDF (ClassicSimilarity) top-k per query term: (qid, rnk, doc_id).
+    Same index, pluggable similarity — the SimScorer seam (SURVEY §2.9)."""
+    from ..search.similarities import ClassicSimilarity
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx, similarity=ClassicSimilarity())
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(QUERY_TERMS):
+        hits = searcher.search(TermQuery(term), k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 MULTI_PHRASES = [
     (("the", "a"), ("customer", "supplier")),
     (("join", "merge"), ("order", "group")),

@@ -111,7 +111,13 @@ def _bulk_search_segment(reader, terms_boosts, min_should_match, weight, k):
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, generation: int | None = None, mmap: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        generation: int | None = None,
+        mmap: bool = True,
+        similarity=None,
+    ):
         self.manifest = read_manifest(index_dir, generation)
         self.readers = [
             SegmentReader(seg["dir"], mmap=mmap) for seg in self.manifest["segments"]
@@ -127,7 +133,7 @@ class IndexSearcher:
             sum_total_term_freq=cs["sum_total_term_freq"],
             sum_doc_freq=cs["sum_doc_freq"],
         )
-        self.similarity = BM25Similarity()
+        self.similarity = similarity if similarity is not None else BM25Similarity()
 
     def term_statistics(self, terms: set[str]) -> dict[str, TermStatistics]:
         """TermStates.build analogue: sum df/ttf across segments."""

@@ -1,0 +1,91 @@
+"""Pluggable similarities beyond BM25 (the SimScorer protocol seam).
+
+- ``ClassicSimilarity``: the TF-IDF scoring of reference
+  similarities/ClassicSimilarity.java + TFIDFSimilarity.java:
+  idf = log((docCount+1)/(docFreq+1)) + 1, tf = sqrt(freq),
+  lengthNorm = 1/sqrt(dl) over the SmallFloat-quantized length table;
+  score = boost * idf * tf * lengthNorm, float32-cast like the reference.
+- ``BooleanSimilarity``: score = boost for every match
+  (similarities/BooleanSimilarity.java).
+
+Both are monotone non-decreasing in freq and non-increasing in encoded
+length, so the impact-skyline pruning machinery (CompetitiveImpact
+skylines -> max_score) stays valid unchanged.
+
+Use: ``IndexSearcher(idx, similarity=ClassicSimilarity())``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..smallfloat import LENGTH_TABLE
+from .bm25 import CollectionStatistics, TermStatistics
+
+F32 = np.float32
+
+
+class _TableScorer:
+    """SimScorer over a per-norm-byte factor table: score = f32(weight *
+    tf(freq) * table[norm]), evaluated in DOUBLE with one final float32
+    cast (documented deviation from the reference's intermediate float
+    casts — it makes the DuckDB double-expression oracle bit-exact via a
+    single ::FLOAT cast)."""
+
+    def __init__(self, weight: float, table: np.ndarray, tf_fn):
+        self.weight = float(weight)
+        self.table = table.astype(np.float64)
+        self._tf = tf_fn
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        return F32(self.weight * float(self._tf(float(freq))) * self.table[norm_byte & 0xFF])
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        return (
+            self.weight * self._tf(freqs.astype(np.float64)) * self.table[norm_bytes]
+        ).astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return self.score(freq, norm_byte)
+
+
+class ClassicSimilarity:
+    """TF-IDF (ClassicSimilarity.java: idf :58-62, tf :70-73;
+    TFIDFSimilarity.java lengthNorm over the norm table)."""
+
+    @staticmethod
+    def idf(doc_freq: int, doc_count: int) -> float:
+        return float(np.log((doc_count + 1) / float(doc_freq + 1)) + 1.0)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _TableScorer:
+        idf = float(
+            np.sum(
+                [
+                    np.log((collection_stats.doc_count + 1) / float(ts.doc_freq + 1))
+                    + 1.0
+                    for ts in term_stats
+                ]
+            )
+        )
+        # lengthNorm[b] = 1/sqrt(quantized length); length 0 -> norm 0
+        lt = LENGTH_TABLE.astype(np.float64)
+        table = np.where(lt > 0, 1.0 / np.sqrt(np.maximum(lt, 1)), 0.0)
+        return _TableScorer(float(boost) * float(idf), table, np.sqrt)
+
+
+class BooleanSimilarity:
+    """score = boost for every match (BooleanSimilarity.java)."""
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _TableScorer:
+        table = np.ones(256, dtype=np.float64)
+        return _TableScorer(float(boost), table, lambda f: np.ones_like(f, dtype=np.float64))

@@ -157,3 +157,26 @@ def test_stored_field_filter(built):
     expected = {d for d, s in unfiltered.items() if langs[d] == value}
     assert {d for d, _ in hits} == expected
     assert searcher.count(q) == len(expected)
+
+
+def test_classic_similarity_pruned_equals_complete(built):
+    """Pluggable similarity: the TOP_SCORES pruned path must equal COMPLETE
+    under ClassicSimilarity too (the impact machinery is similarity-
+    generic), and scores must match the TF-IDF formula."""
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import BooleanSimilarity, ClassicSimilarity
+
+    _, searcher = built
+    idx = searcher.manifest["segments"][0]["dir"]
+    root = os.path.dirname(idx)
+    cs = IndexSearcher(root, similarity=ClassicSimilarity())
+    for q in _query_set(cs)[:6]:
+        pruned = cs.search(q, 10)
+        complete = cs.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(s)) for d, s in pruned] == [
+            (d, np.float32(s)) for d, s in complete
+        ], q
+    # boolean similarity: every match scores the boost
+    bs = IndexSearcher(root, similarity=BooleanSimilarity())
+    hits = bs.search(TermQuery("def"), 20)
+    assert hits and all(np.float32(s) == np.float32(1.0) for _, s in hits)
