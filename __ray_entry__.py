@@ -686,6 +686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
         "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
+        "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
+        "tx_stratified_sample": lambda sf: text.stratified_sample(
+            _docs(sf), {"en": 50, "de": 25, "fr": 10}
+        ),
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
         "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
         "tx_fingerprints": lambda sf: text.fingerprints(_docs(sf)),
@@ -712,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pl_clean_corpus": _clean_corpus,
         # --- event-table operators (windowed agg / sessions / as-of join) ---
         "ev_windowed_counts": lambda sf: events.windowed_counts(_events(sf)),
+        "ev_hopping_counts": lambda sf: events.hopping_counts(_events(sf)),
         "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
         "ev_asof_last_login": lambda sf: events.asof_last_login(_events(sf)),
     }
@@ -1015,6 +1020,20 @@ WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 {_BM25_COMMON}
 """,
+        "tx_scrub_pii": """
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(coalesce(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(coalesce(text, ''), '\b\d{9,}\b'))::BIGINT AS n_longnum,
+       md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '\b\d{9,}\b', '<NUM>', 'g')) AS clean_sha
+FROM documents
+""",
+        "tx_stratified_sample": """
+SELECT doc_id, lang
+FROM documents
+WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
+      < (CASE lang WHEN 'de' THEN 25 WHEN 'en' THEN 50 WHEN 'fr' THEN 10 ELSE 0 END)
+""",
         "tx_token_stats": f"""
 WITH {_TOKS},
 u AS (
@@ -1159,6 +1178,21 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """,
         "pl_clean_corpus": _clean_corpus_sql(),
+        "ev_hopping_counts": """
+WITH hops AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         floor(value * 100.0 + 0.5)::BIGINT AS cents
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
+         floor(value * 100.0 + 0.5)::BIGINT
+  FROM events
+)
+SELECT event_type, window_start, count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS sum_cents
+FROM hops GROUP BY event_type, window_start
+""",
         "ev_windowed_counts": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events,

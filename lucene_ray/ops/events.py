@@ -120,3 +120,54 @@ def asof_last_login(ds):
 
     clean = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
     return clean.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")
+
+
+HOP_WINDOW_MIN = 60
+HOP_STEP_MIN = 30
+
+
+def _hopping_partial(batch: pa.Table) -> pa.Table:
+    """Hopping (sliding) 60-min windows every 30 min: each event lands in
+    window_size/hop = 2 windows; the batch collapses to per-(type, window)
+    partials BEFORE the shuffle, exactly like the tumbling partial."""
+    df = batch.select(["ts", "event_type", "value"]).to_pandas()
+    df["cents"] = _cents(df["value"].to_numpy())
+    parts = []
+    for k in range(HOP_WINDOW_MIN // HOP_STEP_MIN):
+        d = df.copy()
+        d["window_start"] = (
+            d["ts"] - pd.Timedelta(minutes=k * HOP_STEP_MIN)
+        ).dt.floor(f"{HOP_WINDOW_MIN}min") + pd.Timedelta(minutes=k * HOP_STEP_MIN)
+        parts.append(d)
+    allp = pd.concat(parts, ignore_index=True)
+    g = (
+        allp.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+    )
+    g["n_events"] = g["n_events"].astype(np.int64)
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+
+def hopping_counts(ds):
+    """Hopping 60-min windows at 30-min steps per event_type:
+    (event_type, window_start, n_events, sum_cents); every event is
+    counted in exactly window/hop = 2 overlapping windows."""
+    from .util import strip_schema_metadata
+
+    partials = ds.map_batches(strip_schema_metadata, batch_format="pyarrow").map_batches(
+        _hopping_partial, batch_format="pyarrow"
+    )
+    final = partials.groupby(["event_type", "window_start"]).sum(
+        ["n_events", "sum_cents"]
+    )
+    return final.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": b.column("window_start"),
+                "n_events": b.column("sum(n_events)"),
+                "sum_cents": b.column("sum(sum_cents)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

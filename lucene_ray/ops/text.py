@@ -226,3 +226,82 @@ def lang_id(ds):
 
 def fingerprints(ds):
     return _map(ds, fingerprint_batch)
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+# RE2/rust-regex-common patterns (no lookarounds) so polars and the DuckDB
+# oracle agree byte-for-byte; replacement ORDER matters and is mirrored.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def scrub_pii_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_email, n_ipv4, n_longnum, clean_sha): counts of scrubbed
+    spans + md5 of the scrubbed text (applied in PII_PATTERNS order).
+    Vectorized: polars count_matches/replace_all, DuckDB md5."""
+    from .dedup import _duck
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    exprs = [pl.col("doc_id")]
+    clean = pl.col("text").fill_null("")
+    for name, pat, repl in PII_PATTERNS:
+        exprs.append(clean.str.count_matches(pat).cast(pl.Int64).alias(f"n_{name}"))
+    for name, pat, repl in PII_PATTERNS:
+        clean = clean.str.replace_all(pat, repl)
+    exprs.append(clean.alias("clean"))
+    out = df.select(exprs)
+    sub = out.select(["doc_id", "clean"])  # noqa: F841 — DuckDB replacement scan
+    sha = _duck().execute("select doc_id, md5(clean) clean_sha from sub").arrow()
+    tbl = out.drop("clean").to_arrow()
+    return tbl.append_column("clean_sha", sha.column("clean_sha")).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_email", pa.int64()),
+                ("n_ipv4", pa.int64()),
+                ("n_longnum", pa.int64()),
+                ("clean_sha", pa.string()),
+            ]
+        )
+    )
+
+
+def scrub_pii(ds):
+    return _map(ds, scrub_pii_batch)
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+SAMPLE_SALT = "graft"
+
+
+def stratified_sample_batch(batch: pa.Table, pct_by_group: dict, group_col: str) -> pa.Table:
+    """Hash-gated per-group sampling: keep doc iff
+    ``md5_number_lower(salt || doc_id) % 100 < pct[group]`` — deterministic,
+    shuffle-free, exactly reproducible in SQL (the per-stratum downsampling
+    step of a training-data mix)."""
+    from .dedup import _duck
+
+    sub = batch  # noqa: F841 — DuckDB replacement scan
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(p)}" for g, p in sorted(pct_by_group.items())
+    )
+    q = (
+        f"select doc_id, {group_col} from sub "
+        f"where md5_number_lower('{SAMPLE_SALT}' || cast(doc_id as varchar)) % 100 "
+        f"< (case {group_col} {cases} else 0 end) order by doc_id"
+    )
+    return _duck().execute(q).arrow()
+
+
+def stratified_sample(ds, pct_by_group: dict, group_col: str = "lang"):
+    """Sampled (doc_id, group) rows at per-group percentages."""
+    return ds.map_batches(
+        stratified_sample_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"pct_by_group": pct_by_group, "group_col": group_col},
+    )

@@ -169,3 +169,62 @@ def test_near_dup_pairs_lsh_recall(ray_session):
     got = ann.near_dup_pairs(rd.from_arrow(tbl).repartition(4), tau=0.95)
     got_pairs = set(map(tuple, got.to_pandas()[["doc_a", "doc_b"]].values))
     assert got_pairs == truth
+
+
+def test_scrub_pii_planted():
+    from lucene_ray.ops import text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["mail a.b@x.io twice c@d.org ip 10.0.0.1 card 1234567890123", "clean"]
+            ),
+        }
+    )
+    r = t and text.scrub_pii_batch(t).to_pylist()
+    assert r[0]["n_email"] == 2 and r[0]["n_ipv4"] == 1 and r[0]["n_longnum"] == 1
+    assert r[1]["n_email"] == r[1]["n_ipv4"] == r[1]["n_longnum"] == 0
+    # scrubbed text actually changed vs unscrubbed md5
+    import hashlib
+
+    assert r[0]["clean_sha"] != hashlib.md5(t.column("text")[0].as_py().encode()).hexdigest()
+    assert r[1]["clean_sha"] == hashlib.md5(b"clean").hexdigest()
+
+
+def test_stratified_sample_deterministic_rates():
+    from lucene_ray.ops import text
+
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array((["en", "de", "fr", "zz"] * (n // 4))),
+        }
+    )
+    a = text.stratified_sample_batch(t, {"en": 50, "de": 10, "fr": 100}, "lang")
+    b = text.stratified_sample_batch(t, {"en": 50, "de": 10, "fr": 100}, "lang")
+    assert a.equals(b)  # deterministic
+    import collections
+
+    c = collections.Counter(a.column("lang").to_pylist())
+    assert c["fr"] == n // 4          # 100%
+    assert "zz" not in c              # unlisted group -> 0
+    assert abs(c["en"] / (n / 4) - 0.5) < 0.1
+    assert abs(c["de"] / (n / 4) - 0.1) < 0.06
+
+
+def test_hopping_counts_double_cover(ray_session):
+    import ray.data as rd
+
+    from lucene_ray.ops import events
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    tot_events = ds.count()
+    hop = events.hopping_counts(ds).to_pandas()
+    # every event is counted in exactly window/hop = 2 windows
+    assert hop["n_events"].sum() == 2 * tot_events
+    tum = events.windowed_counts(
+        rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ).to_pandas()
+    assert tum["n_events"].sum() == tot_events
