@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
+        "ft_facet_counts": lambda sf: ft.facet_counts(sf),
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
@@ -985,6 +986,14 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_facet_counts": f"""
+WITH {_TOKS},
+q(qid, term) AS (VALUES {_QTERMS_VALUES})
+SELECT q.qid, d.lang AS value, count(*)::BIGINT AS n
+FROM q JOIN tf ON tf.tok = q.term
+JOIN documents d ON d.doc_id = tf.doc_id
+GROUP BY q.qid, d.lang
 """,
         "ft_code_term_stats": r"""
 WITH runs AS (

@@ -764,3 +764,70 @@ def bool_counts(sf_dir: str) -> pa.Table:
         qids.append(qid)
         cnts.append(searcher.count(q))
     return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
+
+
+# --- facet counts (lucene/facet module analogue) --------------------------
+
+def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table:
+    """Per-segment PARTIAL facet counts: for each query term, the number of
+    matching docs per stored-field value (reference facet/
+    FastTaxonomyFacetCounts semantics over our stored-column doc values).
+    The shuffle sees only (qid, value, n) partials — never doc lists."""
+    import pyarrow.compute as pc
+
+    qids, vals, ns = [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        col = r.stored_column(field)
+        for qid, t in enumerate(terms):
+            tid = r.term_id(t)
+            if tid is None:
+                continue
+            docs, _ = decode_term(r.enc, tid)
+            if r.live is not None:
+                docs = docs[r.live[docs]]
+            if not len(docs):
+                continue
+            vc = pc.value_counts(col.take(pa.array(docs)))
+            for item in vc.to_pylist():
+                qids.append(qid)
+                vals.append(item["values"])
+                ns.append(item["counts"])
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "value": pa.array(vals, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def facet_counts(sf_dir: str, field: str = "lang"):
+    """(qid, value, n): matching-doc counts per stored-field value for each
+    query term — partial per segment, summed in one small groupby."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    ds = rd.from_items(_segment_dirs(idx))
+    partials = ds.map_batches(
+        _seg_facet_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"terms": QUERY_TERMS, "field": field},
+    )
+    final = partials.groupby(["qid", "value"]).sum("n")
+    return final.map_batches(
+        lambda b: pa.table(
+            {
+                "qid": b.column("qid"),
+                "value": b.column("value"),
+                "n": pc_cast_i64(b.column("sum(n)")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pc_cast_i64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
