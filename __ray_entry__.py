@@ -516,6 +516,23 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(_embs(sf_dir), q, k=10, nprobe=10)
 
 
+def _ann_ivf_persisted(sf_dir: str):
+    """PERSISTED IVF: kmeans + cell-partitioned parquet index on disk,
+    query reads only the probed cell partitions (storage-level pruning).
+    nprobe = ALL cells -> exact, so the brute-force SQL oracle applies;
+    the scan reduction at nprobe < all is exercised in tests."""
+    import glob
+
+    from lucene_ray.ops import ann
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = ann.load_queries(path, ANN_QUERY_IDS)
+    idx = os.path.join("/tmp", "lucene_ray_ivf", os.path.basename(sf_dir.rstrip("/")))
+    if not glob.glob(os.path.join(idx, "cell=*")):
+        ann.build_ivf_index(_embs(sf_dir), idx, k=8, iters=3)
+    return ann.ivf_index_topk(idx, q, k=10, nprobe=8)
+
+
 def _ann_kmeans_ivf(sf_dir: str):
     """Learned-centroid IVF (distributed mini-batch k-means, the iterative
     broadcast+partial-reduce pattern).  nprobe = ALL cells makes the
@@ -710,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _ann_brute,
         "ann_ivf_topk": _ann_ivf,
         "ann_kmeans_ivf": _ann_kmeans_ivf,
+        "ann_ivf_persisted": _ann_ivf_persisted,
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
@@ -1168,6 +1186,20 @@ SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_i
 FROM ranked WHERE rnk <= 10
 """,
         "ann_kmeans_ivf": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+""",
+        "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
 sims AS (
   SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s

@@ -228,3 +228,26 @@ def test_hopping_counts_double_cover(ray_session):
         rd.read_parquet("/root/testdata/sf0.001/events.parquet")
     ).to_pandas()
     assert tum["n_events"].sum() == tot_events
+
+
+def test_persisted_ivf_index(ray_session, tmp_path):
+    """Persisted IVF: cell-partitioned parquet + centroid sidecar; full
+    probe == brute force; partial probe reads ONLY the probed partitions
+    from storage (scanned == total of what was read, < corpus)."""
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    q = ann.load_queries(path, [0, 1, 2, 3, 4])
+    idx = str(tmp_path / "ivf")
+    info = ann.build_ivf_index(rd.read_parquet(path), idx, k=8, iters=3)
+    assert info["k"] == 8
+    import os
+
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > 1  # actually partitioned
+    full = ann.ivf_index_topk(idx, q, k=10, nprobe=8).to_pandas()
+    brute = ann.brute_topk(rd.read_parquet(path), q, k=10).to_pandas()
+    assert full.equals(brute)
+    _, st = ann.ivf_index_topk(idx, q, k=10, nprobe=1, return_stats=True)
+    n_total = rd.read_parquet(path).count()
+    assert 0 < st["total_rows"] < n_total  # storage-level partition pruning
