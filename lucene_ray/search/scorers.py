@@ -712,15 +712,33 @@ class ConjunctionScorer(Scorer):
 
     Two-phase aware: drives on approximations, then verifies ``matches()``
     on every clause (ConjunctionDISI semantics).
+
+    BLOCK-MAX pruning (reference search/BlockMaxConjunctionScorer.java:
+    60-118): once a minCompetitiveScore is set, an agreed candidate is
+    scored only if the SUM of the scoring clauses' block-level max scores
+    (MaxScoreCache via advance_shallow) can reach it; otherwise the whole
+    block window [doc, up_to] is skipped without scoring.  Clauses that
+    expose no block structure fall back to their whole-tail bound.
     """
 
     def __init__(self, required: list[Scorer], scoring: list[Scorer]):
         self.required = sorted(required, key=lambda s: s.cost())
         self.scoring = scoring
         self.doc = -1
+        self.min_competitive = F32(0)
 
     def cost(self) -> int:
         return self.required[0].cost()
+
+    def _block_bound(self, doc: int) -> tuple[float, int]:
+        """(float64 upper bound for [doc, up_to], up_to)."""
+        up_to = NO_MORE_DOCS
+        for s in self.scoring:
+            shallow = getattr(s, "advance_shallow", None)
+            if shallow is not None:
+                up_to = min(up_to, shallow(doc))
+        bound = sum(float(s.get_max_score(up_to)) for s in self.scoring)
+        return sum_upper_bound(bound, max(len(self.scoring), 1)), up_to
 
     def advance(self, target: int) -> int:
         doc = self.required[0].approx_advance(target)
@@ -736,6 +754,12 @@ class ConjunctionScorer(Scorer):
                     agreed = False
                     break
             if agreed:
+                if self.min_competitive > 0 and self.scoring:
+                    bound, up_to = self._block_bound(doc)
+                    if F32(bound) < self.min_competitive:
+                        # nothing in [doc, up_to] can compete: skip the block
+                        doc = self.required[0].approx_advance(up_to + 1)
+                        continue
                 if all(s.matches() for s in self.required):
                     self.doc = doc
                     return doc
@@ -747,6 +771,7 @@ class ConjunctionScorer(Scorer):
         return F32(sum(float(s.score()) for s in self.scoring))
 
     def set_min_competitive_score(self, min_score: np.float32) -> None:
+        self.min_competitive = F32(min_score)
         # propagate only when a single scoring clause exists (safe)
         if len(self.scoring) == 1:
             self.scoring[0].set_min_competitive_score(min_score)

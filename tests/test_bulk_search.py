@@ -136,3 +136,23 @@ def test_dismax_scorer_paths(idx):
         nested = bool_query(must=[q, TermQuery("return")])
         got = s.search(nested, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
         assert s.count(nested) > 0 and len(got) > 0
+
+
+def test_block_max_conjunction_pruning(idx):
+    """Conjunctions with an aggressive threshold (pruning active from the
+    first k hits) must still equal the exhaustive COMPLETE arm — the
+    BlockMaxConjunctionScorer skip logic is exact."""
+    s = IndexSearcher(idx)
+    conj_queries = [
+        bool_query(must=[TermQuery("def"), TermQuery("return")]),
+        bool_query(must=[TermQuery("def"), TermQuery("import"), TermQuery("return")]),
+        bool_query(must=[BoostQuery(TermQuery("def"), 3.0), TermQuery("class")]),
+        bool_query(must=[TermQuery("def")], filter=[TermQuery("return")]),
+    ]
+    for q in conj_queries:
+        for k in (3, 10):
+            aggressive = s.search(q, k, total_hits_threshold=1)
+            complete = s.search(q, k, total_hits_threshold=np.inf, score_mode="COMPLETE")
+            assert [(d, np.float32(sc)) for d, sc in aggressive] == [
+                (d, np.float32(sc)) for d, sc in complete
+            ], (q, k)
