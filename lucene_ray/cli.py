@@ -142,6 +142,31 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .analysis.analyzers import make_analyzer
+    from .index.deletes import delete_by_key, delete_by_query, live_doc_count
+    from .search.parser import parse_query
+
+    if args.field:
+        man = delete_by_key(args.index, args.field, args.values.split(","))
+    else:
+        q = parse_query(args.query, make_analyzer(args.analyzer))
+        if q is None:
+            print(json.dumps({"error": "empty query"}))
+            return 1
+        man = delete_by_query(args.index, q)
+    print(
+        json.dumps(
+            {
+                "generation": man["generation"],
+                "live_docs": live_doc_count(man),
+                "deleted": sum(int(s.get("del_count", 0)) for s in man["segments"]),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lucene_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -183,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
     ck = sub.add_parser("check")
     ck.add_argument("--index", required=True)
     ck.set_defaults(fn=cmd_check)
+
+    dl = sub.add_parser("delete", help="live-docs delete by query or stored-field key")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--query", default=None, help="query-string syntax (see search --parse)")
+    dl.add_argument("--field", default=None, help="stored field for delete-by-key")
+    dl.add_argument("--values", default="", help="comma-separated key values")
+    dl.add_argument("--analyzer", default="standard")
+    dl.set_defaults(fn=cmd_delete)
 
     ig = sub.add_parser("ingest")
     ig.add_argument("--src", required=True)
