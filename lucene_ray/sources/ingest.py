@@ -92,10 +92,22 @@ def ingest(
     os.makedirs(out_dir, exist_ok=True)
 
     def _task(batch: pa.Table) -> pa.Table:
-        rows = [
-            convert_file(r["path"], out_dir, fmt, column_map, row_group_size)
-            for r in batch.to_pylist()
-        ]
+        rows = []
+        for r in batch.to_pylist():
+            # per-FILE error isolation: a malformed source becomes an error
+            # row instead of killing the whole ingestion (the bad-record
+            # quarantine every at-scale pipeline needs)
+            try:
+                res = convert_file(r["path"], out_dir, fmt, column_map, row_group_size)
+                res["error"] = ""
+            except Exception as e:  # noqa: BLE001 — quarantine, don't crash
+                res = {
+                    "file": r["path"],
+                    "rows": 0,
+                    "skipped": False,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            rows.append(res)
         return pa.Table.from_pylist(rows)
 
     out = (
@@ -103,8 +115,12 @@ def ingest(
         .map_batches(_task, batch_size=1, batch_format="pyarrow", num_cpus=1)
         .take_all()
     )
+    errors = [
+        {"file": r["file"], "error": r["error"]} for r in out if r["error"]
+    ]
     return {
         "files": len(out),
         "rows": sum(r["rows"] for r in out),
         "skipped": sum(1 for r in out if r["skipped"]),
+        "errors": errors,
     }

@@ -43,10 +43,10 @@ def test_ingest_build_search(tmp_path, ray_session):
     _write_sources(src, rows)
     out = tmp_path / "corpus"
     rep = ingest(str(src), str(out), column_map={"body": "content"})
-    assert rep == {"files": 2, "rows": 60, "skipped": 0}
+    assert rep == {"files": 2, "rows": 60, "skipped": 0, "errors": []}
     # idempotent rerun
     rep2 = ingest(str(src), str(out), column_map={"body": "content"})
-    assert rep2["skipped"] == 2
+    assert rep2["skipped"] == 2 and rep2["errors"] == []
 
     idx = tmp_path / "idx"
     build_index_local(str(out), str(idx), docs_per_segment=32)
@@ -68,3 +68,22 @@ def test_convert_file_format_detect(tmp_path):
 
     s = pq.read_schema(str(out / "a.parquet"))
     assert "content" in s.names and "body" not in s.names
+
+
+def test_ingest_quarantines_bad_files(tmp_path, ray_session):
+    """A malformed source file becomes an error row; good files convert."""
+    import json
+
+    from lucene_ray.sources.ingest import ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "good.jsonl").write_text(
+        "\n".join(json.dumps({"content": f"doc {i}", "repo": "r"}) for i in range(5))
+    )
+    (src / "bad.jsonl").write_text('{"content": "ok"}\n{broken json!!\n')
+    out = str(tmp_path / "out")
+    res = ingest(str(src), out)
+    assert res["files"] == 2
+    assert res["rows"] == 5
+    assert len(res["errors"]) == 1 and "bad" in res["errors"][0]["file"]
