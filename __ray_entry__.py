@@ -731,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
+        "mm_resize_stats": lambda sf: multimodal.resize_stats(_docs(sf)),
+        "mm_frame_samples": lambda sf: multimodal.frame_samples(_docs(sf)),
         # --- full cleaning pipeline (quality -> dedup -> partitioned sink) ---
         "pl_clean_corpus": _clean_corpus,
         # --- event-table operators (windowed agg / sessions / as-of join) ---
@@ -1265,6 +1267,29 @@ SELECT doc_id,
        3::BIGINT AS channels,
        md5_number_lower(text || '|feat')::UBIGINT AS feat
 FROM documents
+""",
+        "mm_resize_stats": """
+WITH d AS (
+  SELECT doc_id,
+         (128 + md5_number_lower(text) % 896)::BIGINT AS w,
+         (128 + md5_number_upper(text) % 896)::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN w <= h THEN 224 ELSE (w * 224) // h END)::BIGINT AS width,
+       (CASE WHEN w <= h THEN (h * 224) // w ELSE 224 END)::BIGINT AS height,
+       md5_number_lower(text || '|resize224')::UBIGINT AS resized_fp
+FROM d JOIN documents USING (doc_id)
+""",
+        "mm_frame_samples": """
+WITH n AS (
+  SELECT doc_id, text,
+         (1 + (md5_number_lower(text) % 16) // 4)::BIGINT AS n_frames
+  FROM documents
+)
+SELECT doc_id, k AS frame,
+       md5_number_lower(text || '|frame' || k)::UBIGINT AS frame_fp
+FROM n, unnest(range(n_frames)) AS t(k)
 """,
     }
 

@@ -89,3 +89,93 @@ def decode_stats(ds, concurrency: int | tuple[int, int] = (1, 4), batch_size: in
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class FakeResizer:
+    """STUB resize stage (actor pool): a real one holds a torchvision /
+    PIL transform built once in __init__ and emits resized bytes; the fake
+    derives the output payload + dims deterministically so the plumbing
+    (schema, batch size, actor signature, output layout) is testable.
+
+    Aspect-preserving contract: the SHORT side becomes ``target``, the
+    long side scales by the same ratio (floor), like
+    torchvision.transforms.Resize(target).
+    """
+
+    def __init__(self, target: int = 224):
+        self.target = target
+        self.decoder = FakeImageDecoder(target)  # per-actor, once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_w, out_h, out_fp = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            w, h, _c, _f = self.decoder.decode(payload or b"")
+            if w <= h:
+                nw, nh = self.target, (h * self.target) // w
+            else:
+                nw, nh = (w * self.target) // h, self.target
+            out_w.append(int(nw))
+            out_h.append(int(nh))
+            out_fp.append(md5_u64((payload or b"") + f"|resize{self.target}".encode()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+                "resized_fp": pa.array(np.array(out_fp, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+def resize_stats(ds, target: int = 224, concurrency=(1, 4), batch_size: int = 64):
+    """payload -> aspect-preserving resized dims + output fingerprint."""
+    return attach_payload(ds).map_batches(
+        FakeResizer,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FakeFrameSampler:
+    """STUB video frame-sampling stage: a real one holds an ffmpeg/decord
+    handle per actor and emits one row per sampled frame; the fake derives
+    a deterministic frame count (1..16 from the payload hash) and
+    per-frame fingerprints.  Output is EXPLODED (flat_map shape): one row
+    per (doc, frame) — exactly how frames feed a downstream embedding
+    stage."""
+
+    def __init__(self, fps_divisor: int = 4):
+        self.fps_divisor = fps_divisor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, fps_ = [], [], []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            p = payload or b""
+            n = 1 + (md5_u64(p) % 16) // self.fps_divisor
+            for k in range(int(n)):
+                ids.append(doc_id)
+                frames.append(k)
+                fps_.append(md5_u64(p + f"|frame{k}".encode()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int64()),
+                "frame_fp": pa.array(np.array(fps_, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+def frame_samples(ds, concurrency=(1, 4), batch_size: int = 32):
+    """payload -> one row per sampled frame (doc_id, frame, frame_fp)."""
+    return attach_payload(ds).map_batches(
+        FakeFrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
