@@ -225,3 +225,47 @@ def test_sectioned_merge_bounded_memory_equivalence(tmp_path, ray_session):
 
     report = check_segment(str(tmp_path / "m_small"))
     assert not report.get("errors"), report
+
+
+def test_merge_abort_leaves_index_intact(tmp_path, ray_session, monkeypatch):
+    """A merge task dying mid-stream must leave no partial segment (atomic
+    tmp-dir + rename) and the pre-merge generation fully queryable."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index import merge as mg
+    from lucene_ray.index import segment as sg
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(generate_corpus(200, seed=29), str(d / "c.parquet"), row_group_size=25)
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=25)
+    before, _ = _results(idx)
+    man0 = mf.read_manifest(idx)
+
+    calls = {"n": 0}
+    orig = sg.StreamingSegmentWriter.append_section
+
+    def dying_append(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated task death")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(sg.StreamingSegmentWriter, "append_section", dying_append)
+    entries = man0["segments"][:4]
+    with pytest.raises(RuntimeError):
+        mg.merge_segments_task(entries, idx, "seg_dead", section_postings=200)
+    monkeypatch.setattr(sg.StreamingSegmentWriter, "append_section", orig)
+
+    # no partial segment dir or tmp leftovers
+    import os
+
+    leftovers = [f for f in os.listdir(idx) if "seg_dead" in f]
+    assert leftovers == [], leftovers
+    # index unchanged and queryable; a retry then succeeds
+    assert mf.read_manifest(idx) == man0
+    after, _ = _results(idx)
+    assert after == before
+    m = mg.merge_segments_task(entries, idx, "seg_dead", section_postings=200)
+    assert m["n_postings"] == sum(s["metrics"]["n_postings"] for s in entries)

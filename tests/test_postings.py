@@ -285,3 +285,65 @@ def test_pfor_cursor_and_impacts_unaffected():
         total += cur.freq
         doc = cur.next_doc()
     assert total == sum(len(d) for d in docs)
+
+
+def test_decode_range_equals_decode_all_random():
+    """Property: decode_range over any [a, b) slices exactly what
+    decode_all yields for those terms (the sectioned-merge contract)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_ray.index.postings import decode_all, decode_range, encode_postings
+
+    rng = np.random.default_rng(77)
+    n_terms = 40
+    rows = []
+    for t in range(n_terms):
+        df = int(rng.integers(1, 60))
+        docs = np.sort(rng.choice(3000, size=df, replace=False))
+        for d in docs:
+            rows.append((t, int(d), int(rng.integers(1, 2000))))
+    rows.sort()
+    tids = np.array([r[0] for r in rows], dtype=np.int64)
+    docs = np.array([r[1] for r in rows], dtype=np.int64)
+    tfs = np.array([r[2] for r in rows], dtype=np.int64)
+    norms = rng.integers(1, 255, 3000).astype(np.uint8)
+    enc = encode_postings(tids, docs, tfs, norms, n_terms)
+    t_all, d_all, f_all = decode_all(enc)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, n_terms), st.integers(0, n_terms))
+    def check(a, b):
+        a, b = min(a, b), max(a, b)
+        tr, dr, fr = decode_range(enc, a, b)
+        sel = (t_all >= a) & (t_all < b)
+        np.testing.assert_array_equal(tr, t_all[sel])
+        np.testing.assert_array_equal(dr, d_all[sel])
+        np.testing.assert_array_equal(fr, f_all[sel])
+
+    check()
+
+
+def test_pfor_roundtrip_property():
+    """Property: arbitrary positive freq streams round-trip through the
+    patched-FOR encode/decode exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_ray.index.postings import decode_term, encode_postings
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(1, 1 << 30), min_size=1, max_size=600),
+        st.randoms(use_true_random=False),
+    )
+    def check(freqs, _r):
+        n = len(freqs)
+        docs = np.arange(n, dtype=np.int64)
+        tfs = np.asarray(freqs, dtype=np.int64)
+        tids = np.zeros(n, dtype=np.int64)
+        norms = np.full(n, 17, dtype=np.uint8)
+        enc = encode_postings(tids, docs, tfs, norms, 1)
+        d, f = decode_term(enc, 0)
+        np.testing.assert_array_equal(d, docs)
+        np.testing.assert_array_equal(f, tfs)
+
+    check()
