@@ -519,8 +519,17 @@ class SegmentSearchWorker:
     """Owns a contiguous slice of segments; created once, reused per query
     (stateful actor: open mmaps + term dictionaries, SURVEY §7.3)."""
 
-    def __init__(self, seg_dirs: list[str], seg_ords: list[int]):
+    def __init__(
+        self,
+        seg_dirs: list[str],
+        seg_ords: list[int],
+        livedocs: list[str | None] | None = None,
+    ):
         self.readers = [SegmentReader(d) for d in seg_dirs]
+        if livedocs:
+            for reader, lp in zip(self.readers, livedocs):
+                if lp:
+                    reader.live = np.load(lp)
         self.ords = seg_ords
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -572,10 +581,12 @@ class DistributedSearcher:
         Worker = ray.remote(SegmentSearchWorker)
         self.workers = []
         for i in range(n):
-            dirs = [s["dir"] for j, s in enumerate(segs) if j % n == i]
-            ords = [j for j in range(len(segs)) if j % n == i]
+            mine = [(j, s) for j, s in enumerate(segs) if j % n == i]
+            dirs = [s["dir"] for _, s in mine]
+            ords = [j for j, _ in mine]
+            lives = [s.get("livedocs") for _, s in mine]
             if dirs:
-                self.workers.append(Worker.remote(dirs, ords))
+                self.workers.append(Worker.remote(dirs, ords, lives))
         # per-term (df, ttf) cache: the index is immutable, so term stats
         # never change — caching drops the phase-A RPC round for repeated
         # terms (TermStates is rebuilt per query in the reference only

@@ -202,3 +202,21 @@ def test_add_documents_plain(idx):
     assert live_doc_count(man) == n0 + 1
     s = IndexSearcher(out)
     assert s.count(TermQuery("added_function")) == 1
+
+
+def test_distributed_searcher_masks_deletes(idx, ray_session):
+    from lucene_ray.search.searcher import DistributedSearcher
+
+    out, _tbl = idx
+    delete_by_query(out, TermQuery("return"))
+    local = IndexSearcher(out)
+    deleted = _deleted_set(local)
+    ds = DistributedSearcher(out, num_workers=2)
+    for q in (TermQuery("def"),
+              bool_query(should=[TermQuery("def"), TermQuery("import")])):
+        hits = ds.search(q, 400, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert hits and not ({d for d, _ in hits} & deleted)
+        want = local.search(q, 400, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(s)) for d, s in hits] == [
+            (d, np.float32(s)) for d, s in want
+        ]
