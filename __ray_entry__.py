@@ -90,6 +90,10 @@ _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS)
 _MF_VALUES = ", ".join(
     f"({i}, '{t}', '{lv}')" for i, (t, lv) in enumerate(ft.MULTIFIELD_QUERIES)
 )
+_RANGEF_VALUES = ", ".join(
+    f"({i}, '{t}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
+    for i, (t, lo, hi) in enumerate(ft.RANGE_FILTERED_QUERIES)
+)
 _FILTERED_VALUES = ", ".join(
     f"({i}, '{t}', '{fld}', '{val}')"
     for i, (t, fld, val) in enumerate(ft.FILTERED_QUERIES)
@@ -696,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         "ft_multi_phrase_counts": ft.multi_phrase_counts,
         "ft_filtered_topk": ft.filtered_topk,
+        "ft_range_filtered_topk": ft.range_filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
@@ -1014,6 +1019,48 @@ SELECT q.qid, d.lang AS value, count(*)::BIGINT AS n
 FROM q JOIN tf ON tf.tok = q.term
 JOIN documents d ON d.doc_id = tf.doc_id
 GROUP BY q.qid, d.lang
+""",
+        "ft_range_filtered_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, lo, hi) AS (VALUES {_RANGEF_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+-- lower inclusive, upper EXCLUSIVE, NULL = open (PointRangeQuery 1-dim)
+filtered AS (
+  SELECT c.qid, c.doc_id, c.score
+  FROM clause c
+  JOIN q ON q.qid = c.qid
+  JOIN documents doc ON doc.doc_id = c.doc_id
+  WHERE (q.lo IS NULL OR doc.n_chars >= q.lo)
+    AND (q.hi IS NULL OR doc.n_chars < q.hi)
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_code_term_stats": r"""
 WITH runs AS (

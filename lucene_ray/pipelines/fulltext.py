@@ -91,7 +91,7 @@ def ensure_index(
             docs_per_segment=docs_per_segment,
             mode="fused",
             content_column="text",
-            meta_columns=("doc_id", "lang", "source"),
+            meta_columns=("doc_id", "lang", "source", "n_chars"),
             index_options=index_options,
         )
     return idx
@@ -342,6 +342,41 @@ def phrase_counts(sf_dir: str) -> pa.Table:
             "qid": pa.array(qids, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
             "phrase_freq": pa.array(freqs, pa.int64()),
+        }
+    )
+
+
+RANGE_FILTERED_QUERIES = [
+    ("spark", 100, 400),
+    ("join", None, 300),
+    ("merge", 250, None),
+    ("window", 150, 350),
+]
+
+
+def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k restricted by a NUMERIC stored-column range filter
+    (qid, rnk, doc_id): n_chars in [lo, hi) — the PointRangeQuery-analogue
+    FILTER clause; scores identical to the unfiltered query."""
+    from ..search.query import StoredFieldRange
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (term, lo, hi) in enumerate(RANGE_FILTERED_QUERIES):
+        q = bool_query(
+            must=[TermQuery(term)], filter=[StoredFieldRange("n_chars", lo, hi)]
+        )
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
         }
     )
 

@@ -166,6 +166,19 @@ class StoredFieldFilter:
 
 
 @dataclass(frozen=True)
+class StoredFieldRange:
+    """Constant-score NUMERIC RANGE match on a stored metadata column —
+    the PointRangeQuery analogue over the columnar stored fields
+    (search/PointRangeQuery.java semantics for one dimension: lower
+    inclusive, upper EXCLUSIVE; None = open end).  Compose as a FILTER
+    clause like StoredFieldFilter."""
+
+    field: str
+    lower: float | int | None
+    upper: float | int | None
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -191,6 +204,7 @@ Query = (
     | RegexpQuery
     | DisjunctionMaxQuery
     | StoredFieldFilter
+    | StoredFieldRange
     | MultiPhraseQuery
 )
 
@@ -213,7 +227,7 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, MultiPhraseQuery):
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
-                      RegexpQuery, StoredFieldFilter)):
+                      RegexpQuery, StoredFieldFilter, StoredFieldRange)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -359,6 +373,24 @@ def build_scorer(
         sim = weight.phrase_sim_scorer(flat, boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, StoredFieldRange):
+        import pyarrow.compute as pc
+
+        from .scorers import PrecomputedScorer
+
+        col = reader.stored_column(q.field)
+        m = np.ones(len(col), dtype=bool)
+        if q.lower is not None:
+            m &= pc.greater_equal(col, q.lower).to_numpy(zero_copy_only=False)
+        if q.upper is not None:
+            m &= pc.less(col, q.upper).to_numpy(zero_copy_only=False)
+        if getattr(reader, "live", None) is not None:
+            m = m & reader.live
+        docs = np.nonzero(m)[0]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
     if isinstance(q, StoredFieldFilter):
         import pyarrow.compute as pc

@@ -180,3 +180,50 @@ def test_classic_similarity_pruned_equals_complete(built):
     bs = IndexSearcher(root, similarity=BooleanSimilarity())
     hits = bs.search(TermQuery("def"), 20)
     assert hits and all(np.float32(s) == np.float32(1.0) for _, s in hits)
+
+
+def test_stored_field_range_filter(built):
+    """Numeric range FILTER (PointRangeQuery analogue): lower inclusive /
+    upper exclusive over a stored int column, scores unchanged."""
+    from lucene_ray.search.query import StoredFieldRange, bool_query
+
+    tbl, searcher = built
+    if "content" not in tbl.column_names:
+        import pytest
+
+        pytest.skip("corpus shape")
+    lens = [len(c.as_py()) for c in tbl.column("content")]
+    # index stores no n_chars — use a range over lang? use doc-level repo?
+    # The generate_corpus index stores (repo, path, commit, lang); range
+    # filters need a numeric column, so run this against a temp index with
+    # n_chars stored.
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.searcher import IndexSearcher
+
+    t2 = tbl.append_column("n_chars", pa.array([len(c.as_py()) for c in tbl.column("content")], pa.int64()))
+    d = tempfile.mkdtemp()
+    pq.write_table(t2, d + "/c.parquet", row_group_size=50)
+    idx = tempfile.mkdtemp() + "/i"
+    build_index_local(d, idx, docs_per_segment=50,
+                      meta_columns=("repo", "lang", "n_chars"))
+    s = IndexSearcher(idx)
+    lo, hi = 150, 400
+    unfiltered = dict(s.search(TermQuery("def"), 10**6,
+                               total_hits_threshold=np.inf, score_mode="COMPLETE"))
+    q = bool_query(must=[TermQuery("def")],
+                   filter=[StoredFieldRange("n_chars", lo, hi)])
+    hits = s.search(q, 10**6, total_hits_threshold=np.inf, score_mode="COMPLETE")
+    expected = {d_ for d_ in unfiltered if lo <= lens[d_] < hi}
+    assert {d_ for d_, _ in hits} == expected and hits
+    for d_, sc in hits:
+        assert np.float32(sc) == np.float32(unfiltered[d_])
+    # open ends
+    q2 = bool_query(must=[TermQuery("def")],
+                    filter=[StoredFieldRange("n_chars", None, hi)])
+    hits2 = s.search(q2, 10**6, total_hits_threshold=np.inf, score_mode="COMPLETE")
+    assert {d_ for d_, _ in hits2} == {d_ for d_ in unfiltered if lens[d_] < hi}
