@@ -56,13 +56,20 @@ BOOL_COUNTS = [
 ]
 
 
+# stored-field layout version: bump when meta_columns / segment schema
+# changes so stale /tmp caches can never be picked up by a newer build
+INDEX_LAYOUT_V = 2
+
+
 def index_dir_for(
     sf_dir: str,
     docs_per_segment: int = DOCS_PER_SEGMENT,
     index_options: str = "docs_freqs",
     analyzer: str = "standard",
 ) -> str:
-    slug = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    slug = hashlib.sha256(
+        (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
+    ).hexdigest()[:12]
     suffix = "" if index_options == "docs_freqs" else f"-{index_options}"
     if analyzer != "standard":
         suffix += f"-{analyzer}"
