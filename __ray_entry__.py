@@ -222,6 +222,29 @@ def _multi_phrase_sql() -> str:
     )
 
 
+def _proximity_sql() -> str:
+    """Unordered within-window co-occurrence: k-way positions join with
+    greatest - least + 1 <= W (Intervals.unordered maxwidth analogue)."""
+    parts = []
+    for qid, (terms, w) in enumerate(ft.PROXIMITY_QUERIES):
+        aliases = [f"p{i}" for i in range(len(terms))]
+        froms = ", ".join(f"p {a}" for a in aliases)
+        conds = " AND ".join(
+            [f"{a}.doc_id = p0.doc_id" for a in aliases[1:]]
+            + [f"{a}.tok = '{t}'" for a, t in zip(aliases, terms)]
+        )
+        g = ", ".join(f"{a}.i" for a in aliases)
+        parts.append(
+            f"SELECT DISTINCT {qid}::BIGINT AS qid, p0.doc_id FROM {froms} "
+            f"WHERE {conds} AND greatest({g}) - least({g}) + 1 <= {w}"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "prox AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _phrase_sloppy_sql() -> str:
     """2-term sloppy phrase pair counts: |pb - pa - 1| <= slop (the
     window-distance oracle for search/multiterm.sloppy_phrase_matches_
@@ -699,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_topk": ft.phrase_topk,
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         "ft_multi_phrase_counts": ft.multi_phrase_counts,
+        "ft_proximity_matches": ft.proximity_matches,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_range_filtered_topk": ft.range_filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
@@ -853,6 +877,11 @@ SELECT qid, doc_id, sloppy_freq FROM sp
 WITH {_TOKS},
 {_multi_phrase_sql()}
 SELECT qid, doc_id, pf AS phrase_freq FROM mph
+""",
+        "ft_proximity_matches": f"""
+WITH {_TOKS},
+{_proximity_sql()}
+SELECT qid, doc_id FROM prox
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

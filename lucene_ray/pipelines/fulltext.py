@@ -808,6 +808,36 @@ def bool_counts(sf_dir: str) -> pa.Table:
     return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
 
 
+PROXIMITY_QUERIES = [
+    (("spark", "join"), 6),
+    (("merge", "window", "customer"), 12),
+    (("hash", "stream"), 8),
+    (("the", "customer", "spark"), 10),
+]
+
+
+def proximity_matches(sf_dir: str) -> pa.Table:
+    """(qid, doc_id) docs where ALL the query's terms co-occur inside a
+    window of W consecutive token positions, any order (reference
+    queries/intervals Intervals.unordered().maxwidth() analogue)."""
+    from ..search.multiterm import proximity_matches_segment
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, docs = [], []
+    for qid, (terms, w) in enumerate(PROXIMITY_QUERIES):
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            d, _n = proximity_matches_segment(reader, terms, w)
+            qids.extend([qid] * len(d))
+            docs.extend((d + seg["doc_base"]).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # --- facet counts (lucene/facet module analogue) --------------------------
 
 def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table:

@@ -223,3 +223,73 @@ def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
     return np.nonzero(dist <= max_edits)[0].tolist()
 
 
+
+
+def proximity_matches_segment(reader, terms: tuple[str, ...], window: int):
+    """(local docids, n_windows) for an UNORDERED proximity query: a doc
+    matches where some span of ``window`` consecutive positions contains
+    ALL the (distinct) terms, in any order — the reference intervals
+    family (queries/intervals/Intervals.java unordered() + maxwidth()).
+
+    n_windows counts the distinct minimal covering windows (classic
+    smallest-window-over-k-lists sweep, O(total positions) per doc after
+    the merge): for each rightmost position, the tightest span covering
+    one position of every term; counted when its width <= window.
+    """
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("proximity queries need an index built with index_options='positions'")
+    terms = tuple(dict.fromkeys(terms))  # distinct, order kept
+    k = len(terms)
+    per_term_docs = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        per_term_docs.append((tid, docs))
+    common = per_term_docs[0][1]
+    for _, docs in per_term_docs[1:]:
+        common = common[np.isin(common, docs)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    pos_maps = []
+    for tid, docs in per_term_docs:
+        pos_maps.append({int(d): p for d, p in zip(docs, reader.term_positions(tid))})
+    out_docs, out_n = [], []
+    for d in common.tolist():
+        # merge all (position, slot) events, sweep with per-slot counts
+        events = np.concatenate(
+            [np.stack([np.asarray(pos_maps[i][d]), np.full(len(pos_maps[i][d]), i)], axis=1)
+             for i in range(k)]
+        )
+        events = events[np.argsort(events[:, 0], kind="stable")]
+        pos, slot = events[:, 0], events[:, 1]
+        counts = np.zeros(k, dtype=np.int64)
+        have = 0
+        left = 0
+        n_win = 0
+        for right in range(len(pos)):
+            s = slot[right]
+            counts[s] += 1
+            if counts[s] == 1:
+                have += 1
+            if have < k:
+                continue
+            # shrink to the minimal covering window ending at `right`
+            while counts[slot[left]] > 1:
+                counts[slot[left]] -= 1
+                left += 1
+            if pos[right] - pos[left] + 1 <= window:
+                n_win += 1
+            # drop the left edge so the next minimal window is distinct
+            counts[slot[left]] -= 1
+            have -= 1
+            left += 1
+        if n_win:
+            out_docs.append(d)
+            out_n.append(n_win)
+    return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)

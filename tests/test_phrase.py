@@ -170,3 +170,33 @@ def test_multi_phrase_matches_brute(pos_idx):
             for dd, ff in zip(d, f):
                 got[int(dd) + seg["doc_base"]] = int(ff)
         assert got == expected, slots
+
+
+def test_proximity_matches_brute(pos_idx):
+    """Unordered window co-occurrence vs brute enumeration."""
+    from lucene_ray.search.multiterm import proximity_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    a = make_analyzer("standard")
+    for terms, w in ((("def", "return"), 5), (("def", "import", "return"), 12)):
+        expected = set()
+        for i, t in enumerate(texts):
+            toks = a.tokens(t)
+            pos = {term: [p for p, x in enumerate(toks) if x == term] for term in terms}
+            if any(not v for v in pos.values()):
+                continue
+            found = False
+            for start in range(len(toks)):
+                if all(any(start <= p < start + w for p in pos[term]) for term in terms):
+                    found = True
+                    break
+            if found:
+                expected.add(i)
+        got = set()
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, n = proximity_matches_segment(reader, terms, w)
+            assert (n >= 1).all()
+            got.update((d + seg["doc_base"]).tolist())
+        assert got == expected, (terms, w)
