@@ -233,18 +233,23 @@ def encode_postings(
     docids = docids.astype(np.int64)
     tfs = tfs.astype(np.int64)
 
-    # term run boundaries
+    # term run boundaries.  Zero-df terms are legal (delete-expunge merges
+    # keep the dictionary slot); their term_start equals the NEXT term's
+    # start — or m for a trailing one, which reduceat cannot take — so the
+    # ttf reduction runs over nonzero-df starts only.
     df = np.bincount(term_ids, minlength=n_terms).astype(np.int64)
     term_start = np.concatenate(([0], np.cumsum(df)))[:-1]
-    ttf = np.add.reduceat(tfs, term_start) if m else np.zeros(n_terms, dtype=np.int64)
-    ttf = np.where(df > 0, ttf, 0)
+    ttf = np.zeros(n_terms, dtype=np.int64)
+    nz = df > 0
+    if m and nz.any():
+        ttf[nz] = np.add.reduceat(tfs, term_start[nz])
 
     # deltas (prev docid, -1 at term starts)
     prev = np.empty(m, dtype=np.int64)
     if m:
         prev[0] = -1
         prev[1:] = docids[:-1]
-        prev[term_start[df > 0]] = -1
+        prev[term_start[nz]] = -1
         deltas = docids - prev - 1  # >= 0
         if (deltas < 0).any():
             raise ValueError("docids out of order within term")

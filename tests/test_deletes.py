@@ -220,3 +220,53 @@ def test_distributed_searcher_masks_deletes(idx, ray_session):
         assert [(d, np.float32(s)) for d, s in hits] == [
             (d, np.float32(s)) for d, s in want
         ]
+
+
+def test_full_lifecycle_chain(idx, ray_session):
+    """build -> delete -> natural merge -> add -> update -> delete again ->
+    force merge: counts and searchability stay coherent at every step."""
+    out, tbl = idx
+    langs = sorted(set(tbl.column("lang").to_pylist()))
+
+    man = delete_by_query(out, StoredFieldFilter("lang", langs[0]))
+    n1 = live_doc_count(man)
+    assert n1 < 300
+
+    man = force_merge(out, max_segments=4)
+    assert live_doc_count(man) == n1  # expunge preserves live count
+
+    rows = pa.table(
+        {
+            "repo": pa.array(["rx"] * 3),
+            "path": pa.array([f"px/{i}.py" for i in range(3)]),
+            "commit": pa.array(["cx"] * 3),
+            "lang": pa.array(["nl"] * 3),
+            "content": pa.array([f"lifecycle token{i} shared_lifecycle" for i in range(3)]),
+        }
+    )
+    man = add_documents(out, rows, content_column="content")
+    assert live_doc_count(man) == n1 + 3
+    s = IndexSearcher(out)
+    assert s.count(TermQuery("shared_lifecycle")) == 3
+
+    upd = pa.table(
+        {
+            "repo": pa.array(["rx"]),
+            "path": pa.array(["px/1.py"]),
+            "commit": pa.array(["cy"]),
+            "lang": pa.array(["nl"]),
+            "content": pa.array(["replaced_lifecycle only"]),
+        }
+    )
+    man = update_documents(out, "path", upd, content_column="content")
+    s = IndexSearcher(out)
+    assert s.count(TermQuery("shared_lifecycle")) == 2
+    assert s.count(TermQuery("replaced_lifecycle")) == 1
+
+    man = delete_by_query(out, TermQuery("shared_lifecycle"))
+    man = force_merge(out, max_segments=1)
+    s = IndexSearcher(out)
+    assert s.count(TermQuery("shared_lifecycle")) == 0
+    assert s.count(TermQuery("replaced_lifecycle")) == 1
+    assert len(man["segments"]) == 1
+    assert live_doc_count(man) == s.collection_stats.max_doc

@@ -347,3 +347,28 @@ def test_pfor_roundtrip_property():
         np.testing.assert_array_equal(f, tfs)
 
     check()
+
+
+def test_encode_with_trailing_zero_df_terms():
+    """Delete-expunge merges can leave dictionary terms with NO postings,
+    including at the END of the vocabulary — encode must handle them
+    (regression: out-of-bounds reduceat)."""
+    from lucene_ray.index.postings import decode_all, decode_term, encode_postings
+
+    tids = np.array([1, 1, 3], dtype=np.int64)  # terms 0, 2, 4, 5 have df=0
+    docs = np.array([0, 5, 2], dtype=np.int64)
+    tfs = np.array([2, 1, 7], dtype=np.int64)
+    norms = np.full(10, 13, dtype=np.uint8)
+    enc = encode_postings(tids, docs, tfs, norms, 6)
+    np.testing.assert_array_equal(enc.doc_freq, [0, 2, 0, 1, 0, 0])
+    np.testing.assert_array_equal(enc.total_term_freq, [0, 3, 0, 7, 0, 0])
+    d, f = decode_term(enc, 1)
+    np.testing.assert_array_equal(d, [0, 5])
+    d, f = decode_term(enc, 5)
+    assert len(d) == 0
+    t, d, f = decode_all(enc)
+    np.testing.assert_array_equal(t, tids)
+    # all-empty vocabulary edge
+    e0 = encode_postings(np.empty(0, np.int64), np.empty(0, np.int64),
+                         np.empty(0, np.int64), norms, 4)
+    np.testing.assert_array_equal(e0.doc_freq, [0, 0, 0, 0])
