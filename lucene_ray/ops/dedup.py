@@ -493,8 +493,3 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_jaccard_pct: int = 20, max_group: in
 
     return inter.map_batches(finish, batch_format="pyarrow")
 
-
-# --- groupby(shingle) pair emission uses _emit_pairs above ----------------
-
-def _group_doc_ids(group: pa.Table) -> np.ndarray:
-    return group.column("doc_id").to_numpy()
