@@ -245,6 +245,32 @@ def _proximity_sql() -> str:
     )
 
 
+def _ordered_proximity_sql() -> str:
+    """Ordered chains: count DISTINCT first-term positions p0 admitting an
+    increasing chain p0 < p1 < ... within the window (equivalent to the
+    engine's greedy-chain check: greedy minimizes the chain end)."""
+    parts = []
+    for qid, (terms, w) in enumerate(ft.PROXIMITY_QUERIES):
+        aliases = [f"p{i}" for i in range(len(terms))]
+        froms = ", ".join(f"p {a}" for a in aliases)
+        conds = (
+            [f"{a}.doc_id = p0.doc_id" for a in aliases[1:]]
+            + [f"{a}.tok = '{t}'" for a, t in zip(aliases, terms)]
+            + [f"{aliases[i]}.i < {aliases[i+1]}.i" for i in range(len(terms) - 1)]
+            + [f"{aliases[-1]}.i - p0.i + 1 <= {w}"]
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, p0.doc_id, "
+            f"count(DISTINCT p0.i)::BIGINT AS n_starts "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY p0.doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "oprox AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _phrase_sloppy_sql() -> str:
     """2-term sloppy phrase pair counts: |pb - pa - 1| <= slop (the
     window-distance oracle for search/multiterm.sloppy_phrase_matches_
@@ -723,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_sloppy": ft.phrase_sloppy_counts,
         "ft_multi_phrase_counts": ft.multi_phrase_counts,
         "ft_proximity_matches": ft.proximity_matches,
+        "ft_ordered_proximity": ft.ordered_proximity_matches,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_range_filtered_topk": ft.range_filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
@@ -882,6 +909,11 @@ SELECT qid, doc_id, pf AS phrase_freq FROM mph
 WITH {_TOKS},
 {_proximity_sql()}
 SELECT qid, doc_id FROM prox
+""",
+        "ft_ordered_proximity": f"""
+WITH {_TOKS},
+{_ordered_proximity_sql()}
+SELECT qid, doc_id, n_starts FROM oprox
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

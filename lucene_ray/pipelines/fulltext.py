@@ -838,6 +838,30 @@ def proximity_matches(sf_dir: str) -> pa.Table:
     )
 
 
+def ordered_proximity_matches(sf_dir: str) -> pa.Table:
+    """(qid, doc_id, n_starts): in-ORDER within-window chains (reference
+    Intervals.ordered().maxwidth()); n_starts = first-term positions that
+    begin a valid chain."""
+    from ..search.multiterm import ordered_proximity_matches_segment
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, docs, ns = [], [], []
+    for qid, (terms, w) in enumerate(PROXIMITY_QUERIES):
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            d, n = ordered_proximity_matches_segment(reader, terms, w)
+            qids.extend([qid] * len(d))
+            docs.extend((d + seg["doc_base"]).tolist())
+            ns.extend(n.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_starts": pa.array(ns, pa.int64()),
+        }
+    )
+
+
 # --- facet counts (lucene/facet module analogue) --------------------------
 
 def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table:

@@ -293,3 +293,55 @@ def proximity_matches_segment(reader, terms: tuple[str, ...], window: int):
             out_docs.append(d)
             out_n.append(n_win)
     return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)
+
+
+def ordered_proximity_matches_segment(reader, terms: tuple[str, ...], window: int):
+    """(local docids, n_starts) for an ORDERED proximity query: the terms
+    must appear in the given order, the whole chain within ``window``
+    consecutive positions (queries/intervals Intervals.ordered() +
+    maxwidth() analogue).
+
+    n_starts counts the positions of the FIRST term that begin a valid
+    chain.  Exactness: the greedy chain (each next term at its earliest
+    position after the previous) minimizes the span end, so "greedy chain
+    fits" == "some chain fits" — and the greedy chain is computed fully
+    vectorized with one searchsorted per term.
+    """
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("proximity queries need an index built with index_options='positions'")
+    per_term = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        per_term.append((tid, docs))
+    common = per_term[0][1]
+    for _, docs in per_term[1:]:
+        common = common[np.isin(common, docs)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    pos_maps = [
+        {int(d): p for d, p in zip(docs, reader.term_positions(tid))}
+        for tid, docs in per_term
+    ]
+    out_docs, out_n = [], []
+    for d in common.tolist():
+        ends = np.asarray(pos_maps[0][d])  # chain front per start
+        starts = ends
+        ok = np.ones(len(ends), dtype=bool)
+        for i in range(1, len(terms)):
+            nxt = np.asarray(pos_maps[i][d])
+            idx = np.searchsorted(nxt, ends + 1, side="left")
+            ok &= idx < len(nxt)
+            idx = np.minimum(idx, len(nxt) - 1)
+            ends = nxt[idx]
+        n = int((ok & (ends - starts + 1 <= window)).sum())
+        if n:
+            out_docs.append(d)
+            out_n.append(n)
+    return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)

@@ -200,3 +200,39 @@ def test_proximity_matches_brute(pos_idx):
             assert (n >= 1).all()
             got.update((d + seg["doc_base"]).tolist())
         assert got == expected, (terms, w)
+
+
+def test_ordered_proximity_matches_brute(pos_idx):
+    from lucene_ray.search.multiterm import ordered_proximity_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    a = make_analyzer("standard")
+    for terms, w in ((("def", "return"), 6), (("import", "def", "return"), 15)):
+        expected = {}
+        for i, t in enumerate(texts):
+            toks = a.tokens(t)
+            pos = {term: [p for p, x in enumerate(toks) if x == term] for term in terms}
+            if any(not v for v in pos.values()):
+                continue
+            n = 0
+            for p0 in pos[terms[0]]:
+                # any increasing chain within the window?
+                def ok(level, prev):
+                    if level == len(terms):
+                        return True
+                    return any(
+                        p > prev and p - p0 + 1 <= w and ok(level + 1, p)
+                        for p in pos[terms[level]]
+                    )
+                if ok(1, p0):
+                    n += 1
+            if n:
+                expected[i] = n
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, n = ordered_proximity_matches_segment(reader, terms, w)
+            for dd, nn in zip(d, n):
+                got[int(dd) + seg["doc_base"]] = int(nn)
+        assert got == expected, (terms, w)
