@@ -158,13 +158,16 @@ class AnalyzerStage:
             else _empty_postings(self.index_options == "positions")
         )
 
-    def analyze_fragment_ids(self, desc: dict) -> dict:
+    def analyze_fragment_ids(self, desc: dict, tbl: pa.Table | None = None) -> dict:
         """Vectorized fragment analysis -> dictionary-encoded postings.
 
         Returns {vocab (UTF-8-byte-sorted list[str]), tids, docids
-        (segment-local), tfs, lengths (per fragment row)}.
+        (segment-local), tfs, lengths (per fragment row)}.  ``tbl`` lets a
+        caller that already read the fragment (fused doc-table path) skip
+        the second read.
         """
-        tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
+        if tbl is None:
+            tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
         texts = tbl.column(self.content_column).to_pylist()
         if self.index_options == "positions":
             vocab, tids, docs, tfs, lengths, pos = self.analyzer.analyze_batch_positions(texts)
@@ -247,22 +250,36 @@ class DocTableStage:
             tbl = _read_fragment(
                 desc["path"], desc["row_group"], self.meta_columns + [self.content_column]
             )
-            shas = [
-                hashlib.sha256((t or "").encode("utf-8")).hexdigest()
-                for t in tbl.column(self.content_column).to_pylist()
-            ]
-            n = len(tbl)
-            docids = np.arange(desc["local_base"], desc["local_base"] + n, dtype=np.int32)
-            out = tbl.select(self.meta_columns)
-            out = out.add_column(0, "docid", pa.array(docids))
-            out = out.append_column("sha256", pa.array(shas))
-            path = os.path.join(
-                self.docs_dir, f"seg_{desc['seg_id']:06d}", f"rg_{desc['frag_ord']:06d}.parquet"
+            _write_doc_fragment(
+                tbl, desc, self.meta_columns, self.content_column, self.docs_dir
             )
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(out, path)
-            rows.append({"seg_id": desc["seg_id"], "rows": n})
+            rows.append({"seg_id": desc["seg_id"], "rows": len(tbl)})
         return pa.Table.from_pylist(rows) if rows else pa.table({"seg_id": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+
+
+def _write_doc_fragment(
+    tbl: pa.Table,
+    desc: dict,
+    meta_columns: list[str],
+    content_column: str,
+    docs_dir: str,
+) -> None:
+    """Write one stored-fields fragment (docid, meta..., sha256) — shared
+    by the standalone doc-table pass and the fused build path."""
+    shas = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+        for t in tbl.column(content_column).to_pylist()
+    ]
+    n = len(tbl)
+    docids = np.arange(desc["local_base"], desc["local_base"] + n, dtype=np.int32)
+    out = tbl.select(meta_columns)
+    out = out.add_column(0, "docid", pa.array(docids))
+    out = out.append_column("sha256", pa.array(shas))
+    path = os.path.join(
+        docs_dir, f"seg_{desc['seg_id']:06d}", f"rg_{desc['frag_ord']:06d}.parquet"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(out, path)
 
 
 # --- segment build (post-shuffle / fused) --------------------------------
@@ -393,19 +410,45 @@ class FusedSegmentBuilder:
         content_column: str,
         segs_by_id: dict,
         index_options: str = "docs_freqs",
+        meta_columns: list[str] | None = None,
+        write_doc_tables: bool = False,
     ):
         self.index_dir = index_dir
         self.stage = AnalyzerStage(analyzer, content_column, index_options)
         self.segs_by_id = segs_by_id
         self.index_options = index_options
+        self.meta_columns = list(meta_columns or [])
+        self.write_doc_tables = write_doc_tables
+        self.content_column = content_column
 
     def build_one(self, seg: dict) -> dict:
         from .segment import build_segment_from_ids
 
-        frags = [
-            self.stage.analyze_fragment_ids(frag)
-            for frag in _fragments_with_local_base(seg)
-        ]
+        # ONE read per fragment: the same table feeds the analyzer AND the
+        # stored-fields writer (the old standalone doc-table pass re-read
+        # the whole corpus — a full second scan at 100 TB)
+        frags = []
+        for frag in _fragments_with_local_base(seg):
+            if self.write_doc_tables:
+                tbl = _read_fragment(
+                    frag["path"],
+                    frag["row_group"],
+                    self.meta_columns + [self.content_column],
+                )
+                _write_doc_fragment(
+                    tbl,
+                    frag,
+                    self.meta_columns,
+                    self.content_column,
+                    os.path.join(self.index_dir, "docs"),
+                )
+                frags.append(
+                    self.stage.analyze_fragment_ids(
+                        frag, tbl.select([self.content_column])
+                    )
+                )
+            else:
+                frags.append(self.stage.analyze_fragment_ids(frag))
         vocab_set: set[str] = set()
         for fr in frags:
             vocab_set.update(fr["vocab"])
@@ -564,12 +607,20 @@ def _fused_build_task(
     content_column: str,
     segs_ref,
     index_options: str = "docs_freqs",
+    meta_columns: list[str] | None = None,
+    write_doc_tables: bool = False,
 ) -> pa.Table:
     import ray
 
     segs_by_id = ray.get(segs_ref) if not isinstance(segs_ref, dict) else segs_ref
     builder = FusedSegmentBuilder(
-        index_dir, analyzer, content_column, segs_by_id, index_options=index_options
+        index_dir,
+        analyzer,
+        content_column,
+        segs_by_id,
+        index_options=index_options,
+        meta_columns=meta_columns,
+        write_doc_tables=write_doc_tables,
     )
     return builder(batch)
 
@@ -656,6 +707,8 @@ def build_index(
                     content_column=content_column,
                     segs_ref=segs_ref,
                     index_options=index_options,
+                    meta_columns=list(meta_columns),
+                    write_doc_tables=write_doc_tables,
                 ),
                 batch_size=1,
                 batch_format="pyarrow",
@@ -774,7 +827,7 @@ def build_index(
                     index_dir,
                 )
 
-    if write_doc_tables and todo:
+    if write_doc_tables and todo and mode != "fused":
         docs_dir = os.path.join(index_dir, "docs")
         frag_rows = [f for s in todo for f in _fragments_with_local_base(s)]
         rd.from_items(frag_rows).map_batches(
