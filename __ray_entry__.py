@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
+        "ft_combined_field_topk": ft.combined_field_topk,
         "ft_facet_counts": lambda sf: ft.facet_counts(sf),
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
@@ -1120,6 +1121,54 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_combined_field_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+-- title = first {ft.TITLE_TOKENS} tokens; blended BM25F virtual field:
+-- tf' = tf_text + {ft.TITLE_WEIGHT}*tf_title, dl' = dlq_text + {ft.TITLE_WEIGHT}*dlq_title
+ttf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts[1 : {ft.TITLE_TOKENS}]) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+dlb AS (
+  SELECT t.doc_id,
+         (SELECT max(L) FROM lt WHERE lt.L <= len(ts))
+           + {ft.TITLE_WEIGHT} * (SELECT max(L) FROM lt WHERE lt.L <= least(len(ts), {ft.TITLE_TOKENS}))
+           AS dlc
+  FROM toks t
+),
+stats AS (
+  SELECT (SELECT count(*) FROM dl WHERE dl > 0)::BIGINT AS doc_count,
+         (SELECT sum(dlc) FROM dlb) AS sum_dlc
+),
+blended AS (
+  SELECT q.qid, d.doc_id,
+         coalesce(tf.tf, 0) + {ft.TITLE_WEIGHT} * coalesce(tt.tf, 0) AS tfc
+  FROM q
+  CROSS JOIN documents d
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = q.term
+  LEFT JOIN ttf tt ON tt.doc_id = d.doc_id AND tt.tok = q.term
+),
+matches AS (SELECT * FROM blended WHERE tfc > 0),
+dfq AS (SELECT qid, count(*)::BIGINT AS df FROM matches GROUP BY qid),
+scored AS (
+  SELECT m.qid, m.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + m.tfc / (1.2 * ((1 - 0.75) + 0.75 * b.dlc
+              / (s.sum_dlc * 1.0 / s.doc_count))))) AS score
+  FROM matches m
+  JOIN dfq ON dfq.qid = m.qid
+  JOIN dlb b ON b.doc_id = m.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

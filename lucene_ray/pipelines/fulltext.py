@@ -927,3 +927,131 @@ def pc_cast_i64(col):
     import pyarrow.compute as pc
 
     return pc.cast(col, pa.int64())
+
+
+# --- CombinedFieldQuery / BM25F (sandbox/CombinedFieldQuery.java) ---------
+
+TITLE_WEIGHT = 2.0
+TITLE_TOKENS = 5
+
+
+def ensure_titled_corpus(sf_dir: str) -> str:
+    """documents.parquet + a derived ``title`` column (first TITLE_TOKENS
+    tokens) — the two-text-field corpus CombinedField needs; derivation is
+    SQL-reproducible (array_to_string(ts[1:5], ' '))."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    out_dir = index_dir_for(sf_dir) + "-titled-src"
+    out = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(out):
+        os.makedirs(out_dir, exist_ok=True)
+        df = pl.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        df = df.with_columns(
+            pl.col("text")
+            .fill_null("")
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9_]+")
+            .list.slice(0, TITLE_TOKENS)
+            .list.join(" ")
+            .alias("title")
+        )
+        tmp = out + ".tmp"
+        pq.write_table(df.to_arrow(), tmp, row_group_size=200)
+        os.replace(tmp, out)
+    return out_dir
+
+
+def ensure_combined_index(sf_dir: str) -> str:
+    from ..index.multifield import FieldSpec, build_multi_field_index
+
+    src_dir = ensure_titled_corpus(sf_dir)
+    idx = index_dir_for(sf_dir) + "-combined"
+    if any(
+        mf.latest_generation(os.path.join(idx, f)) is None for f in ("text", "title")
+    ):
+        build_multi_field_index(
+            os.path.join(src_dir, "documents.parquet"),
+            idx,
+            [
+                FieldSpec("text", "text", "standard"),
+                FieldSpec("title", "title", "standard"),
+            ],
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return idx
+
+
+def combined_field_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25F-style CombinedField top-k (qid, rnk, doc_id): fields are
+    blended into ONE virtual field (reference sandbox/
+    CombinedFieldQuery.java + the SimpleBM25F model): per doc,
+    tf' = tf_text + TITLE_WEIGHT * tf_title and dl' = dlq_text +
+    TITLE_WEIGHT * dlq_title (quantized lengths); idf from the blended
+    df (docs matching in ANY field); k1/b = 1.2/0.75.  Evaluated dense in
+    double per segment, f32 cast at the end (the ::FLOAT oracle
+    discipline)."""
+    from ..index.multifield import MultiFieldSearcher
+
+    idx = ensure_combined_index(sf_dir)
+    ms = MultiFieldSearcher(idx, fields=["text", "title"])
+    text_s = ms.searchers["text"]
+    title_s = ms.searchers["title"]
+    n_docs = text_s.collection_stats.max_doc
+    doc_count = text_s.collection_stats.doc_count
+    lt = LENGTH_TABLE.astype(np.float64)
+
+    # blended per-doc lengths (same for every query): dl' per segment
+    dl_parts = []
+    for rt, rl in zip(text_s.readers, title_s.readers):
+        dl_parts.append(
+            lt[np.asarray(rt.norms)] + TITLE_WEIGHT * lt[np.asarray(rl.norms)]
+        )
+    avgdl = float(sum(float(p.sum()) for p in dl_parts)) / doc_count
+
+    qids, rnks, docs_out = [], [], []
+    for qid, term in enumerate(QUERY_TERMS):
+        # blended tf + df
+        scores_parts = []
+        tf_total = []
+        for seg_ord, (rt, rl) in enumerate(zip(text_s.readers, title_s.readers)):
+            tfc = np.zeros(rt.max_doc, dtype=np.float64)
+            for reader, w in ((rt, 1.0), (rl, TITLE_WEIGHT)):
+                tid = reader.term_id(term)
+                if tid is None:
+                    continue
+                d, f = reader.decode_term_cached(tid)
+                tfc[d] += w * f
+            tf_total.append(tfc)
+        df_c = int(sum(int((t > 0).sum()) for t in tf_total))
+        if df_c == 0:
+            continue
+        idf = np.log(1.0 + (doc_count - df_c + 0.5) / (df_c + 0.5))
+        base = 0
+        cand_rows = []
+        for seg_ord, tfc in enumerate(tf_total):
+            dl = dl_parts[seg_ord]
+            m = tfc > 0
+            if m.any():
+                sc = idf * (
+                    1.0
+                    - 1.0
+                    / (1.0 + tfc[m] / (1.2 * ((1 - 0.75) + 0.75 * dl[m] / avgdl)))
+                )
+                ids = np.nonzero(m)[0] + base
+                cand_rows.append((ids, sc.astype(np.float32)))
+            base += tf_total[seg_ord].shape[0]
+        ids = np.concatenate([r[0] for r in cand_rows])
+        sc = np.concatenate([r[1] for r in cand_rows])
+        order = np.lexsort((ids, -sc))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs_out.append(int(ids[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs_out, pa.int64()),
+        }
+    )
