@@ -246,69 +246,91 @@ def merge_segments_task(
     }
     seg_dir = os.path.join(out_dir, name)
     writer = StreamingSegmentWriter(seg_dir, merged_vocab, norms, meta, with_pos)
-    try:
-        lo = 0
-        while lo < n_merged:
-            base = int(cum[lo - 1]) if lo else 0
-            hi = int(np.searchsorted(cum, base + section_postings, side="right"))
-            hi = max(hi, lo + 1)
-            hi = min(hi, n_merged)
 
-            sec_tids: list[np.ndarray] = []
-            sec_docs: list[np.ndarray] = []
-            sec_tfs: list[np.ndarray] = []
-            sec_pos: list[np.ndarray] = []
-            for r, remap, live, lpfx, lbase in zip(
-                readers, remaps, lives, live_prefix, live_bases
-            ):
-                a = int(np.searchsorted(remap, lo, side="left"))
-                b = int(np.searchsorted(remap, hi, side="left"))
-                if a == b:
-                    continue
-                tids, docs, freqs = codec.decode_range(r.enc, a, b)
+    # section boundaries up front (term-aligned, <= section_postings each)
+    bounds: list[tuple[int, int]] = []
+    lo = 0
+    while lo < n_merged:
+        base = int(cum[lo - 1]) if lo else 0
+        hi = int(np.searchsorted(cum, base + section_postings, side="right"))
+        hi = max(hi, lo + 1)
+        hi = min(hi, n_merged)
+        bounds.append((lo, hi))
+        lo = hi
+
+    def _prepare(lo: int, hi: int):
+        """Gather + remap + sort + encode one section (runs in the
+        prefetch thread — numpy/Arrow kernels release the GIL, so the
+        NEXT section's decode overlaps the CURRENT section's disk append;
+        two sections in flight bound the memory)."""
+        sec_tids: list[np.ndarray] = []
+        sec_docs: list[np.ndarray] = []
+        sec_tfs: list[np.ndarray] = []
+        sec_pos: list[np.ndarray] = []
+        for r, remap, live, lpfx, lbase in zip(
+            readers, remaps, lives, live_prefix, live_bases
+        ):
+            a = int(np.searchsorted(remap, lo, side="left"))
+            b = int(np.searchsorted(remap, hi, side="left"))
+            if a == b:
+                continue
+            tids, docs, freqs = codec.decode_range(r.enc, a, b)
+            if not len(tids):
+                continue
+            if with_pos:
+                # decode_range row order == stored position row order
+                r0, r1 = int(r.pos_row_start[a]), int(r.pos_row_start[b])
+                pos_slice = np.asarray(
+                    r.pos_data[r.pos_off[r0] : r.pos_off[r1]]
+                )
+            if live is not None:
+                keep = live[docs]
+                if with_pos:
+                    kept_rows = np.nonzero(keep)[0]
+                    pos_slice = _gather_row_slices(pos_slice, freqs, kept_rows)
+                tids, freqs = tids[keep], freqs[keep]
+                docs = lpfx[docs[keep]] + lbase
                 if not len(tids):
                     continue
-                if with_pos:
-                    # decode_range row order == stored position row order
-                    r0, r1 = int(r.pos_row_start[a]), int(r.pos_row_start[b])
-                    pos_slice = np.asarray(
-                        r.pos_data[r.pos_off[r0] : r.pos_off[r1]]
-                    )
-                if live is not None:
-                    keep = live[docs]
-                    if with_pos:
-                        kept_rows = np.nonzero(keep)[0]
-                        pos_slice = _gather_row_slices(pos_slice, freqs, kept_rows)
-                    tids, freqs = tids[keep], freqs[keep]
-                    docs = lpfx[docs[keep]] + lbase
-                    if not len(tids):
-                        continue
-                else:
-                    docs = docs + lbase
-                sec_tids.append(remap[tids])
-                sec_docs.append(docs)
-                sec_tfs.append(freqs)
-                if with_pos:
-                    sec_pos.append(pos_slice)
-
-            tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
-            docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
-            tfs = np.concatenate(sec_tfs) if sec_tfs else np.empty(0, dtype=np.int64)
-            # inputs are appended in doc_base order, so a STABLE sort on the
-            # term id alone leaves docids ascending within each term
-            order = np.argsort(tids, kind="stable")
-            positions = None
+            else:
+                docs = docs + lbase
+            sec_tids.append(remap[tids])
+            sec_docs.append(docs)
+            sec_tfs.append(freqs)
             if with_pos:
-                pos_flat = (
-                    np.concatenate(sec_pos) if sec_pos else np.empty(0, dtype=np.int32)
-                )
-                positions = _gather_row_slices(pos_flat, tfs, order)
-            tids, docs, tfs = tids[order] - lo, docs[order], tfs[order]
-            enc = codec.encode_postings(
-                tids, docs.astype(np.int64), tfs.astype(np.int64), norms, hi - lo
+                sec_pos.append(pos_slice)
+
+        tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
+        docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
+        tfs = np.concatenate(sec_tfs) if sec_tfs else np.empty(0, dtype=np.int64)
+        # inputs are appended in doc_base order, so a STABLE sort on the
+        # term id alone leaves docids ascending within each term
+        order = np.argsort(tids, kind="stable")
+        positions = None
+        if with_pos:
+            pos_flat = (
+                np.concatenate(sec_pos) if sec_pos else np.empty(0, dtype=np.int32)
             )
-            writer.append_section(enc, row_tfs=tfs, positions=positions)
-            lo = hi
+            positions = _gather_row_slices(pos_flat, tfs, order)
+        tids, docs, tfs = tids[order] - lo, docs[order], tfs[order]
+        enc = codec.encode_postings(
+            tids, docs.astype(np.int64), tfs.astype(np.int64), norms, hi - lo
+        )
+        return enc, tfs, positions
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_prepare, *bounds[0]) if bounds else None
+            for i in range(len(bounds)):
+                enc, tfs, positions = fut.result()
+                fut = (
+                    pool.submit(_prepare, *bounds[i + 1])
+                    if i + 1 < len(bounds)
+                    else None
+                )
+                writer.append_section(enc, row_tfs=tfs, positions=positions)
         metrics = writer.finalize()
     except BaseException:
         writer.abort()
