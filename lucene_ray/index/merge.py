@@ -11,15 +11,17 @@ global docID — which keeps ranking bit-reproducible across merges, a
 property the differential tests rely on.  (Lucene itself renumbers docIDs
 on merge; LogMergePolicy is likewise adjacent-only.)
 
-Merge task: decode every term's postings from the input segments
-(k-way merge degenerates to concat because input docid ranges are
-disjoint and ordered — reference DocIDMerger.java:32-122 sequential-base
-path), shift docids to the new segment-local space, concatenate norms,
-and re-encode through the normal segment writer — impacts and skip data
-are REBUILT from scratch exactly like SegmentMerger (SegmentMerger.java:
-120-160, "impacts/skips rebuilt").  Stored-field doc tables are moved by
-reference (parquet fragment files are copied into the new segment's docs
-dir).
+Merge task: STREAMING sectioned execution — the merged vocabulary is cut
+at term boundaries into <= section_postings-posting sections; each
+section decodes its term range from every input (contiguous block/byte
+slices), shifts docids (k-way merge degenerates to concat because input
+docid ranges are disjoint and ordered — reference DocIDMerger.java:32-122
+sequential-base path), re-encodes, and appends to a
+StreamingSegmentWriter.  Impacts and skip data are REBUILT from scratch
+exactly like SegmentMerger (SegmentMerger.java:120-160); live-docs are
+EXPUNGED with dense renumbering; stored-field tables are rewritten with
+merged-local docids.  A prefetch thread prepares section i+1 while
+section i appends (two sections in flight).
 
 Commit: a new manifest generation listing the post-merge segment set;
 old segment dirs are garbage-collected only when no manifest generation
@@ -27,9 +29,10 @@ references them (``gc_unreferenced``), mirroring IndexFileDeleter
 refcounting.
 
 Scale: one Ray task per planned merge (ConcurrentMergeScheduler analogue;
-merges are independent).  Max merged segment size caps task memory —
-at the reference default 5GB a task peaks ~2.5x that decoded; for larger
-targets the same k-way merge can stream term-range by term-range.
+merges are independent).  Peak task memory ~ 2 decoded sections
+(DEFAULT_SECTION_POSTINGS = 8M postings each) + the RAM-resident merged
+vocabulary metadata, INDEPENDENT of segment size — the 5GB reference
+max-segment policy is safe at any target.
 """
 
 from __future__ import annotations
