@@ -90,6 +90,10 @@ _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS)
 _MF_VALUES = ", ".join(
     f"({i}, '{t}', '{lv}')" for i, (t, lv) in enumerate(ft.MULTIFIELD_QUERIES)
 )
+_SORTED_VALUES = ", ".join(
+    f"({i}, '{t}', '{fld}', '{d}')"
+    for i, (t, fld, d) in enumerate(ft.SORTED_QUERIES)
+)
 _RANGEF_VALUES = ", ".join(
     f"({i}, '{t}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
     for i, (t, lo, hi) in enumerate(ft.RANGE_FILTERED_QUERIES)
@@ -756,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
         "ft_combined_field_topk": ft.combined_field_topk,
+        "ft_sort_by_field": ft.sort_by_field_topk,
         "ft_facet_counts": lambda sf: ft.facet_counts(sf),
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
@@ -1169,6 +1174,24 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
   FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_sort_by_field": f"""
+WITH {_TOKS},
+q(qid, term, fld, dir) AS (VALUES {_SORTED_VALUES}),
+m AS (
+  SELECT q.qid, q.fld, q.dir, tf.doc_id,
+         (CASE q.fld WHEN 'n_chars' THEN d.n_chars ELSE d.doc_id END)::BIGINT AS v
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY (CASE WHEN dir = 'desc' THEN -v ELSE v END), doc_id
+         ) AS rnk
+  FROM m
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

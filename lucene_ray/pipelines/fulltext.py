@@ -1055,3 +1055,64 @@ def combined_field_topk(sf_dir: str, k: int = 10) -> pa.Table:
             "doc_id": pa.array(docs_out, pa.int64()),
         }
     )
+
+
+SORTED_QUERIES = [
+    ("spark", "n_chars", "desc"),
+    ("join", "n_chars", "asc"),
+    ("merge", "doc_id", "desc"),
+]
+
+
+def sort_by_field_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k matching docs ordered by a STORED FIELD instead of score
+    (qid, rnk, doc_id) — the Sort/SortField analogue over the columnar
+    stored fields (search/Sort.java + SortField.java; our doc-values are
+    the per-segment parquet metadata columns).  Tie-break: doc_id asc.
+    Per segment only the matching docs' column values are gathered and a
+    partial top-k (ties kept) is emitted; the reduce sees k * segments
+    rows."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, out_docs = [], [], []
+    for qid, (term, field, direction) in enumerate(SORTED_QUERIES):
+        rows = []  # (value, global_doc)
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            tid = reader.term_id(term)
+            if tid is None:
+                continue
+            docs, _ = reader.decode_term_cached(tid)
+            if reader.live is not None:
+                docs = docs[reader.live[docs]]
+            if not len(docs):
+                continue
+            vals = (
+                reader.stored_column(field)
+                .take(pa.array(docs))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            gdocs = docs + seg["doc_base"]
+            # per-segment partial top-k with ties kept at the k-th value
+            key = -vals if direction == "desc" else vals
+            if len(key) > k:
+                kth = np.partition(key, k - 1)[k - 1]
+                keep = key <= kth
+                key, gdocs = key[keep], gdocs[keep]
+            rows.append((key, gdocs))
+        if not rows:
+            continue
+        key = np.concatenate([r[0] for r in rows])
+        gdocs = np.concatenate([r[1] for r in rows])
+        order = np.lexsort((gdocs, key))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out_docs.append(int(gdocs[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        }
+    )
