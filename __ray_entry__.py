@@ -590,6 +590,13 @@ def _ann_ivf_persisted(sf_dir: str):
     return ann.ivf_index_topk(idx, q, k=10, nprobe=8)
 
 
+def _ann_hnsw(sf_dir: str):
+    from lucene_ray.ops import ann, hnsw
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return hnsw.hnsw_topk(_embs(sf_dir), q, k=10, partitions=4)
+
+
 def _ann_kmeans_ivf(sf_dir: str):
     """Learned-centroid IVF (distributed mini-batch k-means, the iterative
     broadcast+partial-reduce pattern).  nprobe = ALL cells makes the
@@ -790,6 +797,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "ann_kmeans_ivf": _ann_kmeans_ivf,
         "ann_ivf_persisted": _ann_ivf_persisted,
+        # approximate (HNSW) — deliberately NO oracle_sql entry: the driver
+        # records the weaker rows-only check; recall >= 0.9 vs exact brute
+        # force is pinned in tests/test_ops_semantics.py
+        "ann_hnsw_topk": _ann_hnsw,
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal plumbing ---
         "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),

@@ -251,3 +251,37 @@ def test_persisted_ivf_index(ray_session, tmp_path):
     _, st = ann.ivf_index_topk(idx, q, k=10, nprobe=1, return_stats=True)
     n_total = rd.read_parquet(path).count()
     assert 0 < st["total_rows"] < n_total  # storage-level partition pruning
+
+
+def test_hnsw_recall_and_determinism(ray_session):
+    """Per-partition HNSW graphs: recall@10 >= 0.9 vs exact brute force on
+    a 2000-vector synthetic set, and builds are deterministic."""
+    import ray.data as rd
+
+    from lucene_ray.ops import hnsw
+
+    rng = np.random.default_rng(123)
+    n, dim = 2000, 32
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    qids = list(range(10))
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    qmat = m[qids]
+    queries = (np.array(qids), qmat, np.linalg.norm(qmat, axis=1))
+
+    got1 = hnsw.hnsw_topk(rd.from_arrow(tbl).repartition(4), queries,
+                          k=10, partitions=4).to_pandas()
+    got2 = hnsw.hnsw_topk(rd.from_arrow(tbl).repartition(4), queries,
+                          k=10, partitions=4).to_pandas()
+    assert got1.equals(got2)  # deterministic build + search
+
+    brute = ann.brute_topk(rd.from_arrow(tbl), queries, k=10).to_pandas()
+    truth = {q: set(g["neighbor_id"]) for q, g in brute.groupby("query_id")}
+    got = {q: set(g["neighbor_id"]) for q, g in got1.groupby("query_id")}
+    recalls = [len(truth[q] & got.get(q, set())) / 10 for q in truth]
+    assert np.mean(recalls) >= 0.9, recalls
