@@ -45,9 +45,10 @@ def test_query_matches_oracle(name, con, ray_session):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(QUERIES) - set(ORACLES))
-    # all current entries are SQL-expressible; keep this exact so a new
-    # rows-only entry is a conscious decision
-    assert missing == []
+    # keep this exact so a new rows-only entry is a CONSCIOUS decision;
+    # ann_hnsw_topk is approximate by nature (no SQL equivalent) and its
+    # recall is pinned in test_ops_semantics.test_hnsw_recall_and_determinism
+    assert missing == ["ann_hnsw_topk"]
 
 
 def test_entry_returns_stable_frame(ray_session):
