@@ -715,6 +715,100 @@ def _distributed_bm25(sf_dir: str):
     )
 
 
+def _concat_family(parts, col: str = "family"):
+    """Combine several small FINAL results (top-k / count tables) into one
+    driver-checkable frame with a discriminator column.  Only ever applied
+    to already-reduced outputs (k*queries rows), never to bulk data."""
+    import pandas as pd
+
+    dfs = []
+    for label, r in parts:
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        df = df.copy()
+        df[col] = label
+        dfs.append(df)
+    return pd.concat(dfs, ignore_index=True)
+
+
+def _bm25_variants(sf_dir: str):
+    """One driver entry certifying all three execution paths against the
+    same oracle: actor-pool distributed search, tiered force-merged index,
+    and the salted-shuffle-built index (each must be rank-identical)."""
+    return _concat_family(
+        [
+            ("distributed", _distributed_bm25(sf_dir)),
+            ("merged", _merged_bm25(sf_dir)),
+            ("salted", _salted_bm25(sf_dir)),
+        ],
+        col="variant",
+    )
+
+
+def _ann_variants(sf_dir: str):
+    """Brute-force / fixed-grid IVF / learned k-means IVF cosine top-k in
+    one entry (all exact at nprobe=all, so one brute-force oracle covers
+    the three scoring paths)."""
+    return _concat_family(
+        [
+            ("brute", _ann_brute(sf_dir)),
+            ("ivf", _ann_ivf(sf_dir)),
+            ("kmeans_ivf", _ann_kmeans_ivf(sf_dir)),
+        ],
+        col="variant",
+    )
+
+
+def _multiterm_matches(sf_dir: str):
+    """Prefix + wildcard + regexp expansion matches in one entry (the
+    MultiTermQuery family; fuzzy keeps its own entry for the
+    Damerau-Levenshtein oracle)."""
+    return _concat_family(
+        [
+            ("prefix", ft.prefix_matches(sf_dir)),
+            ("wildcard", ft.wildcard_matches(sf_dir)),
+            ("regexp", ft.regexp_matches(sf_dir)),
+        ]
+    )
+
+
+def _phrase_family_counts(sf_dir: str):
+    """Exact phrase + multi-phrase (synonym positions) + sloppy phrase
+    counts in one entry; freq column unified across the family."""
+    import pandas as pd
+
+    exact = ft.phrase_counts(sf_dir).to_pandas().rename(columns={"phrase_freq": "freq"})
+    multi = (
+        ft.multi_phrase_counts(sf_dir).to_pandas().rename(columns={"phrase_freq": "freq"})
+    )
+    sloppy = (
+        ft.phrase_sloppy_counts(sf_dir).to_pandas().rename(columns={"sloppy_freq": "freq"})
+    )
+    return _concat_family([("exact", exact), ("multi", multi), ("sloppy", sloppy)])
+
+
+def _proximity_family(sf_dir: str):
+    """Unordered (interval sweep) + ordered (greedy chain) proximity in one
+    entry; unordered rows carry n_starts = -1 (match count is ordered-only)."""
+    un = ft.proximity_matches(sf_dir).to_pandas()
+    un["n_starts"] = -1
+    return _concat_family(
+        [("unordered", un), ("ordered", ft.ordered_proximity_matches(sf_dir))]
+    )
+
+
+def _ev_window_counts(sf_dir: str):
+    """Tumbling + hopping window aggregates in one entry."""
+    from lucene_ray.ops import events
+
+    return _concat_family(
+        [
+            ("tumbling", events.windowed_counts(_events(sf_dir))),
+            ("hopping", events.hopping_counts(_events(sf_dir))),
+        ],
+        col="kind",
+    )
+
+
 def _clean_corpus(sf_dir: str):
     import hashlib as _h
 
@@ -746,21 +840,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
         "ft_bm25_boosted_topk": ft.bm25_boosted_topk,
         "ft_bool_counts": ft.bool_counts,
-        "ft_prefix_matches": ft.prefix_matches,
-        "ft_wildcard_matches": ft.wildcard_matches,
+        "ft_multiterm_matches": _multiterm_matches,
         "ft_fuzzy_matches": ft.fuzzy_matches,
         "ft_dismax_topk": ft.dismax_topk,
-        "ft_regexp_matches": ft.regexp_matches,
         "ft_range_counts": ft.range_counts,
-        "ft_bm25_topk_distributed": _distributed_bm25,
-        "ft_bm25_topk_merged": _merged_bm25,
-        "ft_bm25_topk_salted": _salted_bm25,
-        "ft_phrase_counts": ft.phrase_counts,
+        "ft_bm25_topk_variants": _bm25_variants,
+        "ft_phrase_counts": _phrase_family_counts,
         "ft_phrase_topk": ft.phrase_topk,
-        "ft_phrase_sloppy": ft.phrase_sloppy_counts,
-        "ft_multi_phrase_counts": ft.multi_phrase_counts,
-        "ft_proximity_matches": ft.proximity_matches,
-        "ft_ordered_proximity": ft.ordered_proximity_matches,
+        "ft_proximity_matches": _proximity_family,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_range_filtered_topk": ft.range_filtered_topk,
         "ft_delete_search": ft.delete_search_topk,
@@ -779,8 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
         "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
-        "tx_fingerprints": lambda sf: text.fingerprints(_docs(sf)),
-        "tx_rolling_fingerprints": lambda sf: text.rolling_fingerprints(_docs(sf)),
+        "tx_fingerprints": lambda sf: text.fingerprints_combined(_docs(sf)),
         # --- dedup ---
         "dd_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dd_minhash_sigs": lambda sf: dedup.minhash_signatures(_docs(sf)),
@@ -793,24 +879,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), max_group=10**6
         ),
         # --- similarity search ---
-        "ann_brute_topk": _ann_brute,
-        "ann_ivf_topk": _ann_ivf,
-        "ann_kmeans_ivf": _ann_kmeans_ivf,
+        "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
         # approximate (HNSW) — deliberately NO oracle_sql entry: the driver
         # records the weaker rows-only check; recall >= 0.9 vs exact brute
         # force is pinned in tests/test_ops_semantics.py
         "ann_hnsw_topk": _ann_hnsw,
         "ann_near_dup_pairs": _near_dup,
-        # --- multimodal plumbing ---
-        "mm_decode_stats": lambda sf: multimodal.decode_stats(_docs(sf)),
-        "mm_resize_stats": lambda sf: multimodal.resize_stats(_docs(sf)),
+        # --- multimodal: REAL BMP/PNG header decode + resize, one pass ---
+        "mm_image_stats": lambda sf: multimodal.image_stats(_docs(sf)),
         "mm_frame_samples": lambda sf: multimodal.frame_samples(_docs(sf)),
         # --- full cleaning pipeline (quality -> dedup -> partitioned sink) ---
         "pl_clean_corpus": _clean_corpus,
         # --- event-table operators (windowed agg / sessions / as-of join) ---
-        "ev_windowed_counts": lambda sf: events.windowed_counts(_events(sf)),
-        "ev_hopping_counts": lambda sf: events.hopping_counts(_events(sf)),
+        "ev_window_counts": _ev_window_counts,
         "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
         "ev_asof_last_login": lambda sf: events.asof_last_login(_events(sf)),
     }
@@ -904,33 +986,31 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_bool_counts": _bool_counts_sql(),
-        "ft_prefix_matches": _prefix_sql(),
-        "ft_wildcard_matches": _wildcard_sql(),
+        "ft_multiterm_matches": f"""
+SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
+UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
+UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
+""",
         "ft_fuzzy_matches": _fuzzy_sql(),
         "ft_dismax_topk": _dismax_sql(),
-        "ft_regexp_matches": _regexp_sql(),
         "ft_range_counts": _range_counts_sql(),
-        "ft_phrase_counts": _phrase_counts_sql(),
+        "ft_phrase_counts": f"""
+SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq
+FROM ({_phrase_counts_sql()})
+UNION ALL
+SELECT 'multi', qid, doc_id, pf FROM (WITH {_TOKS}, {_multi_phrase_sql()}
+  SELECT qid, doc_id, pf FROM mph)
+UNION ALL
+SELECT 'sloppy', qid, doc_id, sloppy_freq FROM (WITH {_TOKS}, {_phrase_sloppy_sql()}
+  SELECT qid, doc_id, sloppy_freq FROM sp)
+""",
         "ft_phrase_topk": _phrase_topk_sql(),
-        "ft_phrase_sloppy": f"""
-WITH {_TOKS},
-{_phrase_sloppy_sql()}
-SELECT qid, doc_id, sloppy_freq FROM sp
-""",
-        "ft_multi_phrase_counts": f"""
-WITH {_TOKS},
-{_multi_phrase_sql()}
-SELECT qid, doc_id, pf AS phrase_freq FROM mph
-""",
         "ft_proximity_matches": f"""
-WITH {_TOKS},
-{_proximity_sql()}
-SELECT qid, doc_id FROM prox
-""",
-        "ft_ordered_proximity": f"""
-WITH {_TOKS},
-{_ordered_proximity_sql()}
-SELECT qid, doc_id, n_starts FROM oprox
+SELECT 'unordered' AS family, qid, doc_id, -1::BIGINT AS n_starts
+FROM (WITH {_TOKS}, {_proximity_sql()} SELECT qid, doc_id FROM prox)
+UNION ALL
+SELECT 'ordered', qid, doc_id, n_starts
+FROM (WITH {_TOKS}, {_ordered_proximity_sql()} SELECT qid, doc_id, n_starts FROM oprox)
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},
@@ -1225,20 +1305,12 @@ tf2 AS (
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tf2 GROUP BY tok
 """,
-        "ft_bm25_topk_merged": f"""
-WITH {_TOKS}, {_LT},
+        "ft_bm25_topk_variants": f"""
+SELECT v.variant, b.*
+FROM (WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
-{_BM25_COMMON}
-""",
-        "ft_bm25_topk_salted": f"""
-WITH {_TOKS}, {_LT},
-q(qid, term) AS (VALUES {_QTERMS_VALUES}),
-{_BM25_COMMON}
-""",
-        "ft_bm25_topk_distributed": f"""
-WITH {_TOKS}, {_LT},
-q(qid, term) AS (VALUES {_QTERMS_VALUES}),
-{_BM25_COMMON}
+{_BM25_COMMON}) b
+CROSS JOIN (VALUES ('distributed'), ('merged'), ('salted')) v(variant)
 """,
         "tx_scrub_pii": """
 SELECT doc_id,
@@ -1271,10 +1343,11 @@ FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
         "tx_quality_stats": _quality_sql(),
         "tx_lang_id": _lang_sql(),
         "tx_fingerprints": f"""
-WITH {_TOKS}
-SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks
+SELECT a.doc_id, a.fp, b.roll_fp
+FROM (WITH {_TOKS}
+      SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks) a
+JOIN ({_rolling_fp_sql()}) b USING (doc_id)
 """,
-        "tx_rolling_fingerprints": _rolling_fp_sql(),
         "dd_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
 """,
@@ -1350,7 +1423,9 @@ JOIN sigs sa ON sa.doc_id = da
 JOIN sigs sb ON sb.doc_id = db_
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
 """,
-        "ann_brute_topk": """
+        "ann_topk_variants": """
+SELECT v.variant, b.*
+FROM (
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
 sims AS (
   SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
@@ -1363,34 +1438,8 @@ ranked AS (
 )
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
-""",
-        "ann_ivf_topk": """
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
-sims AS (
-  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
-  FROM q, embeddings e WHERE e.vec_id != q.qid
-),
-ranked AS (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
-  FROM sims
-)
-SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
-FROM ranked WHERE rnk <= 10
-""",
-        "ann_kmeans_ivf": """
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
-sims AS (
-  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
-  FROM q, embeddings e WHERE e.vec_id != q.qid
-),
-ranked AS (
-  SELECT qid, vec_id,
-         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
-  FROM sims
-)
-SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
-FROM ranked WHERE rnk <= 10
+) b
+CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf')) v(variant)
 """,
         "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
@@ -1412,8 +1461,14 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """,
         "pl_clean_corpus": _clean_corpus_sql(),
-        "ev_hopping_counts": """
-WITH hops AS (
+        "ev_window_counts": """
+SELECT 'tumbling' AS kind, event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS sum_cents
+FROM events GROUP BY event_type, window_start
+UNION ALL
+SELECT 'hopping', event_type, window_start, count(*)::BIGINT, sum(cents)::BIGINT
+FROM (
   SELECT event_type, date_trunc('hour', ts) AS window_start,
          floor(value * 100.0 + 0.5)::BIGINT AS cents
   FROM events
@@ -1422,16 +1477,7 @@ WITH hops AS (
          date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
          floor(value * 100.0 + 0.5)::BIGINT
   FROM events
-)
-SELECT event_type, window_start, count(*)::BIGINT AS n_events,
-       sum(cents)::BIGINT AS sum_cents
-FROM hops GROUP BY event_type, window_start
-""",
-        "ev_windowed_counts": """
-SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*)::BIGINT AS n_events,
-       sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS sum_cents
-FROM events GROUP BY event_type, window_start
+) hops GROUP BY event_type, window_start
 """,
         "ev_sessionize": """
 WITH e AS (
@@ -1450,27 +1496,28 @@ SELECT p.event_id,
                    AND l.ts <= p.ts), -1)::BIGINT AS last_login_us
 FROM events p WHERE p.event_type = 'purchase'
 """,
-        "mm_decode_stats": """
+        # mm_image_stats verifies the REAL BMP/PNG encode->header-parse round
+        # trip: the Ray side parses width/height/channels from actual binary
+        # headers (struct-packed, CRC-checked for PNG); the oracle recomputes
+        # the dimension derivation + header size (54B BMP / 33B PNG prefix)
+        "mm_image_stats": """
 SELECT doc_id,
-       strlen(text)::BIGINT AS n_bytes,
+       (CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END) AS format,
+       (strlen(text) + CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 33 END)::BIGINT AS n_bytes,
        (128 + md5_number_lower(text) % 896)::BIGINT AS width,
        (128 + md5_number_upper(text) % 896)::BIGINT AS height,
        3::BIGINT AS channels,
-       md5_number_lower(text || '|feat')::UBIGINT AS feat
-FROM documents
-""",
-        "mm_resize_stats": """
-WITH d AS (
-  SELECT doc_id,
-         (128 + md5_number_lower(text) % 896)::BIGINT AS w,
-         (128 + md5_number_upper(text) % 896)::BIGINT AS h
-  FROM documents
-)
-SELECT doc_id,
-       (CASE WHEN w <= h THEN 224 ELSE (w * 224) // h END)::BIGINT AS width,
-       (CASE WHEN w <= h THEN (h * 224) // w ELSE 224 END)::BIGINT AS height,
+       md5_number_lower(text || '|feat')::UBIGINT AS feat,
+       (CASE WHEN (128 + md5_number_lower(text) % 896) <= (128 + md5_number_upper(text) % 896)
+             THEN 224
+             ELSE ((128 + md5_number_lower(text) % 896) * 224) // (128 + md5_number_upper(text) % 896)
+        END)::BIGINT AS rs_width,
+       (CASE WHEN (128 + md5_number_lower(text) % 896) <= (128 + md5_number_upper(text) % 896)
+             THEN ((128 + md5_number_upper(text) % 896) * 224) // (128 + md5_number_lower(text) % 896)
+             ELSE 224
+        END)::BIGINT AS rs_height,
        md5_number_lower(text || '|resize224')::UBIGINT AS resized_fp
-FROM d JOIN documents USING (doc_id)
+FROM documents
 """,
         "mm_frame_samples": """
 WITH n AS (

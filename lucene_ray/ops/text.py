@@ -228,6 +228,18 @@ def fingerprints(ds):
     return _map(ds, fingerprint_batch)
 
 
+def fingerprints_combined(ds):
+    """(doc_id, fp, roll_fp) in ONE pass: md5 fingerprint + polynomial
+    rolling hash computed from the same batch (both per-doc, row-aligned)."""
+
+    def _both(batch: pa.Table) -> pa.Table:
+        a = fingerprint_batch(batch)
+        b = rolling_fingerprint_batch(batch)
+        return a.append_column("roll_fp", b.column("roll_fp"))
+
+    return _map(ds, _both)
+
+
 # --- PII scrubbing --------------------------------------------------------
 
 # RE2/rust-regex-common patterns (no lookarounds) so polars and the DuckDB

@@ -43,6 +43,14 @@ def test_query_matches_oracle(name, con, ray_session):
     assert not problems, problems
 
 
+def test_queries_fit_driver_cap():
+    # the driver checks at most the FIRST 50 queries() entries
+    # (CORRECTNESS_r02 had 50 rows for 60 entries — the tail was silently
+    # unverified); keep the registry at <= 50 so EVERY entry gets a row
+    assert len(QUERIES) <= 50, f"{len(QUERIES)} entries exceed the 50-entry driver cap"
+    assert set(ORACLES) <= set(QUERIES)
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(QUERIES) - set(ORACLES))
     # keep this exact so a new rows-only entry is a CONSCIOUS decision;
