@@ -591,10 +591,18 @@ def _ann_ivf_persisted(sf_dir: str):
 
 
 def _ann_hnsw(sf_dir: str):
+    """PERSISTED HNSW (the Lucene99HnswVectorsWriter build/query split):
+    per-partition graphs are built ONCE and written as part=K/graph.npz;
+    every query loads the persisted graphs — zero graph construction on
+    the query path (tests/test_hnsw.py proves the second query answers
+    with the source data deleted)."""
     from lucene_ray.ops import ann, hnsw
 
     q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
-    return hnsw.hnsw_topk(_embs(sf_dir), q, k=10, partitions=4)
+    idx = os.path.join("/tmp", "lucene_ray_hnsw", os.path.basename(sf_dir.rstrip("/")))
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        hnsw.build_hnsw_index(_embs(sf_dir), idx, partitions=4)
+    return hnsw.hnsw_index_topk(idx, q, k=10)
 
 
 def _ann_kmeans_ivf(sf_dir: str):
