@@ -276,16 +276,20 @@ def _ordered_proximity_sql() -> str:
 
 
 def _phrase_sloppy_sql() -> str:
-    """2-term sloppy phrase pair counts: |pb - pa - 1| <= slop (the
-    window-distance oracle for search/multiterm.sloppy_phrase_matches_
-    segment)."""
+    """k-term sloppy phrase tuple counts: greatest(p_i - i) - least(p_i - i)
+    <= slop (the match-width oracle for search/multiterm.
+    sloppy_phrase_matches_segment; for 2 terms this is |pb - pa - 1| <=
+    slop)."""
     parts = []
-    for qid, (w1, w2, slop) in enumerate(ft.SLOPPY_PHRASES):
+    for qid, (terms, slop) in enumerate(ft.SLOPPY_PHRASES):
+        joins = " ".join(f"JOIN p p{i} USING (doc_id)" for i in range(1, len(terms)))
+        toks = " AND ".join(f"p{i}.tok = '{t}'" for i, t in enumerate(terms))
+        shifted = ", ".join(f"p{i}.i - {i}" for i in range(len(terms)))
         parts.append(
-            f"SELECT {qid}::BIGINT AS qid, pa.doc_id, count(*)::BIGINT AS sloppy_freq "
-            f"FROM p pa JOIN p pb USING (doc_id) "
-            f"WHERE pa.tok = '{w1}' AND pb.tok = '{w2}' "
-            f"AND abs(pb.i - pa.i - 1) <= {slop} GROUP BY pa.doc_id"
+            f"SELECT {qid}::BIGINT AS qid, p0.doc_id, count(*)::BIGINT AS sloppy_freq "
+            f"FROM p p0 {joins} "
+            f"WHERE {toks} "
+            f"AND greatest({shifted}) - least({shifted}) <= {slop} GROUP BY p0.doc_id"
         )
     return (
         "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"

@@ -97,43 +97,64 @@ def multi_phrase_matches_segment(reader, slots: tuple[tuple[str, ...], ...]):
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
 
-def sloppy_phrase_matches_segment(reader, t1: str, t2: str, slop: int):
-    """(local docids, sloppy freqs) for a 2-term sloppy phrase: freq = the
-    number of position pairs (pa, pb) with |pb - pa - 1| <= slop.
+def sloppy_phrase_matches_segment(reader, terms: tuple[str, ...], slop: int):
+    """(local docids, sloppy freqs) for a k-term sloppy phrase: a position
+    tuple (p_0..p_{k-1}), p_i from term i's position list, MATCHES when the
+    shifted positions s_i = p_i - i span a range max(s) - min(s) <= slop
+    (the reference SloppyPhraseMatcher match width: PhrasePositions keeps
+    ``pos - offset`` and a match needs end - start <= slop,
+    search/SloppyPhraseMatcher.java — a reversed adjacent pair has width 2,
+    so it matches at slop >= 2).  freq = the COUNT of matching tuples; the
+    integer tuple count is our documented deviation from the reference's
+    sum of 1/(1+width) match weights (it keeps the DuckDB oracle exact).
 
-    For two terms this match SET equals the reference SloppyPhraseMatcher
-    (a reversed adjacent pair has displacement 2, so it matches at
-    slop >= 2); the pair-count freq is our documented deviation from the
-    reference's 1/(1+dist) match weights (integer freq keeps the DuckDB
-    oracle exact).  Per common doc, the pair count is two binary searches
-    per position (searchsorted window [pa+1-slop, pa+1+slop]).
+    Counting is vectorized per doc: each matching tuple is counted once at
+    its minimum shifted value m via inclusion-exclusion —
+    ``prod_i |s_i ∩ [m, m+slop]| - prod_i |s_i ∩ (m, m+slop]|`` summed
+    over the union of candidate minima (two searchsorted per term per doc,
+    no k-nested loop).
+
+    Repeated terms are allowed but counted under the tuple semantics
+    (p_i == p_j admitted for the repeated term) — a second documented
+    deviation: the reference devotes most of SloppyPhraseMatcher to
+    forcing repeat occurrences onto DISTINCT positions.
     """
     from ..index.postings import decode_term
 
     if not reader.has_positions:
         raise ValueError("phrase queries need an index built with index_options='positions'")
-    tid1, tid2 = reader.term_id(t1), reader.term_id(t2)
-    if tid1 is None or tid2 is None:
+    if len(terms) < 2:
+        raise ValueError("sloppy phrases need at least two terms")
+    tids = [reader.term_id(t) for t in terms]
+    if any(t is None for t in tids):
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    docs1, _ = decode_term(reader.enc, tid1)
-    docs2, _ = decode_term(reader.enc, tid2)
-    common = docs1[np.isin(docs1, docs2)]
+    doc_lists = [decode_term(reader.enc, tid)[0] for tid in tids]
+    common = doc_lists[0]
+    for dl in doc_lists[1:]:
+        common = common[np.isin(common, dl)]
     if len(common) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     if getattr(reader, "live", None) is not None:
         common = common[reader.live[common]]
-    pos1 = {int(d): p for d, p in zip(docs1, reader.term_positions(tid1))}
-    pos2 = {int(d): p for d, p in zip(docs2, reader.term_positions(tid2))}
+    pos_maps = [
+        {int(d): p for d, p in zip(dl, reader.term_positions(tid))}
+        for tid, dl in zip(tids, doc_lists)
+    ]
     out_docs, out_freqs = [], []
     for d in common.tolist():
-        a = pos1[d]
-        b = pos2[d]  # ascending (positions are stored sorted)
-        lo = np.searchsorted(b, a + 1 - slop, side="left")
-        hi = np.searchsorted(b, a + 1 + slop, side="right")
-        n_pairs = int((hi - lo).sum())
-        if n_pairs:
+        # shifted position lists stay sorted (constant per-term shift)
+        shifted = [pm[d].astype(np.int64) - i for i, pm in enumerate(pos_maps)]
+        m = np.unique(np.concatenate(shifted))
+        incl = np.ones(len(m), np.int64)
+        excl = np.ones(len(m), np.int64)
+        for s in shifted:
+            hi = np.searchsorted(s, m + slop, side="right")
+            incl *= hi - np.searchsorted(s, m, side="left")
+            excl *= hi - np.searchsorted(s, m, side="right")
+        n_tuples = int((incl - excl).sum())
+        if n_tuples:
             out_docs.append(d)
-            out_freqs.append(n_pairs)
+            out_freqs.append(n_tuples)
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
 
 

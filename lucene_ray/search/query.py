@@ -347,13 +347,7 @@ def build_scorer(
         from .scorers import PrecomputedScorer
 
         if q.slop > 0:
-            if len(q.terms) != 2:
-                raise NotImplementedError(
-                    "sloppy phrases are supported for exactly two terms"
-                )
-            docs, freqs = sloppy_phrase_matches_segment(
-                reader, q.terms[0], q.terms[1], q.slop
-            )
+            docs, freqs = sloppy_phrase_matches_segment(reader, q.terms, q.slop)
         else:
             docs, freqs = phrase_matches_segment(reader, q.terms)
         if len(docs) == 0:

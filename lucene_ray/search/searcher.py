@@ -243,7 +243,7 @@ class IndexSearcher:
                     from .multiterm import sloppy_phrase_matches_segment
 
                     docs, _ = sloppy_phrase_matches_segment(
-                        reader, query.terms[0], query.terms[1], query.slop
+                        reader, query.terms, query.slop
                     )
                 else:
                     docs, _ = phrase_matches_segment(reader, query.terms)
@@ -303,11 +303,7 @@ def _phrase_search_segment(reader, query, weight: Weight, k: int):
     if getattr(query, "slop", 0) > 0:
         from .multiterm import sloppy_phrase_matches_segment
 
-        if len(query.terms) != 2:
-            raise NotImplementedError("sloppy phrases are supported for exactly two terms")
-        docs, freqs = sloppy_phrase_matches_segment(
-            reader, query.terms[0], query.terms[1], query.slop
-        )
+        docs, freqs = sloppy_phrase_matches_segment(reader, query.terms, query.slop)
     else:
         docs, freqs = phrase_matches_segment(reader, query.terms)
     if len(docs) == 0:

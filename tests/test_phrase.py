@@ -116,7 +116,7 @@ def test_sloppy_phrase_matches_brute(pos_idx):
         expected = _brute_sloppy(texts, w1, w2, slop)
         got = {}
         for reader, seg in zip(s.readers, man["segments"]):
-            d, f = sloppy_phrase_matches_segment(reader, w1, w2, slop)
+            d, f = sloppy_phrase_matches_segment(reader, (w1, w2), slop)
             for dd, ff in zip(d, f):
                 got[int(dd) + seg["doc_base"]] = int(ff)
         assert got == expected, (w1, w2, slop)
@@ -236,3 +236,73 @@ def test_ordered_proximity_matches_brute(pos_idx):
             for dd, nn in zip(d, n):
                 got[int(dd) + seg["doc_base"]] = int(nn)
         assert got == expected, (terms, w)
+
+
+def _brute_sloppy_k(texts, terms, slop):
+    """Oracle: per doc, count of k-tuples with max(p_i - i) - min(p_i - i)
+    <= slop (itertools.product brute force over the position lists)."""
+    import itertools
+
+    a = make_analyzer("standard")
+    out = {}
+    for i, t in enumerate(texts):
+        toks = a.tokens(t)
+        lists = [[p - j for p, w in enumerate(toks) if w == term] for j, term in enumerate(terms)]
+        if any(not l for l in lists):
+            continue
+        c = sum(1 for tup in itertools.product(*lists) if max(tup) - min(tup) <= slop)
+        if c:
+            out[i] = c
+    return out
+
+
+def test_sloppy_phrase_k_terms_brute(pos_idx):
+    """k >= 3 term sloppy phrases (SloppyPhraseMatcher generalization):
+    vectorized inclusion-exclusion tuple count == itertools brute force."""
+    from lucene_ray.search.multiterm import sloppy_phrase_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    for terms, slop in (
+        (("def", "x", "return"), 4),
+        (("import", "def", "return"), 8),
+        (("def", "return", "import", "x"), 10),
+        (("def", "x", "return"), 0),
+    ):
+        expected = _brute_sloppy_k(texts, terms, slop)
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, f = sloppy_phrase_matches_segment(reader, terms, slop)
+            for dd, ff in zip(d, f):
+                got[int(dd) + seg["doc_base"]] = int(ff)
+        assert got == expected, (terms, slop)
+
+
+def test_sloppy_k_reduces_to_pairs(pos_idx):
+    """k=2 path of the generalized matcher == the legacy pair-count rule."""
+    from lucene_ray.search.multiterm import sloppy_phrase_matches_segment
+
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    s = IndexSearcher(pos_idx)
+    man = read_manifest(pos_idx)
+    for w1, w2, slop in (("def", "return", 1), ("return", "return", 2)):
+        expected = _brute_sloppy(texts, w1, w2, slop)
+        got = {}
+        for reader, seg in zip(s.readers, man["segments"]):
+            d, f = sloppy_phrase_matches_segment(reader, (w1, w2), slop)
+            for dd, ff in zip(d, f):
+                got[int(dd) + seg["doc_base"]] = int(ff)
+        assert got == expected, (w1, w2, slop)
+
+
+def test_sloppy_phrase_query_3_terms(pos_idx):
+    """3-term sloppy PhraseQuery end-to-end through IndexSearcher.search
+    (the former NotImplementedError path, VERDICT r2 item 6)."""
+    s = IndexSearcher(pos_idx)
+    q = PhraseQuery(("import", "def", "return"), slop=6)
+    hits = s.search(q, 10)
+    texts = generate_corpus(300, seed=17).column("content").to_pylist()
+    brute = _brute_sloppy_k(texts, ("import", "def", "return"), 6)
+    assert s.count(q) == len(brute)
+    assert hits and all(isinstance(sc, np.float32) for _, sc in hits)
