@@ -464,7 +464,7 @@ def _regexp_sql() -> str:
 def _fuzzy_sql() -> str:
     parts = []
     for qid, (t, me) in enumerate(ft.FUZZY_QUERIES):
-        pred = f"levenshtein(tok, '{t}') <= {me}"
+        pred = f"damerau_levenshtein(tok, '{t}') <= {me}"
         parts.append(
             f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
             f"(SELECT count(DISTINCT doc_id) FROM tok WHERE {pred})::BIGINT AS doc_id "

@@ -726,12 +726,21 @@ def wildcard_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
-FUZZY_QUERIES = [("spark", 1), ("merg", 1), ("windo", 2), ("customer", 2)]
+FUZZY_QUERIES = [
+    ("spark", 1),
+    ("merg", 1),
+    ("windo", 2),
+    ("customer", 2),
+    # adjacent transpositions are ONE edit (FuzzyQuery.java default):
+    # "saprk"~1 must reach "spark", "wnidow"~1 must reach "window"
+    ("saprk", 1),
+    ("wnidow", 1),
+]
 
 
 def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
-    """Fuzzy queries (plain Levenshtein, constant score): count row (rnk 0)
-    + lowest-k matching docids per query."""
+    """Fuzzy queries (Damerau-Levenshtein with transpositions, constant
+    score): count row (rnk 0) + lowest-k matching docids per query."""
     from ..search.query import FuzzyQuery
 
     idx = ensure_index(sf_dir)

@@ -168,7 +168,9 @@ def _multi_term_matches(reader, query) -> np.ndarray:
 
     term_filter = None
     if isinstance(query, FuzzyQuery):
-        tids = _fuzzy_term_ids(reader, query.term, query.max_edits)
+        tids = _fuzzy_term_ids(
+            reader, query.term, query.max_edits, query.transpositions
+        )
         return _union_postings(reader, tids)
     if isinstance(query, RegexpQuery):
         rx = re.compile(query.pattern)
@@ -206,15 +208,24 @@ def _union_postings(reader, tids) -> np.ndarray:
     return np.nonzero(mask)[0]
 
 
-def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
-    """Term ids within plain-Levenshtein ``max_edits`` of ``term``: ONE
-    vectorized DP over the whole dictionary (row per query char, numpy ops
-    over all terms at once).
+def _fuzzy_term_ids(
+    reader, term: str, max_edits: int, transpositions: bool = True
+) -> list[int]:
+    """Term ids within ``max_edits`` edits of ``term``: ONE vectorized DP
+    over the whole dictionary (row per query char, numpy ops over all
+    terms at once).
 
-    The DP runs over CODEPOINTS, not UTF-8 bytes (reference FuzzyQuery's
-    Levenshtein automaton is codepoint-based, search/FuzzyQuery.java; the
-    DuckDB levenshtein() oracle is character-based too) — a substituted
-    multi-byte character must count as ONE edit."""
+    With ``transpositions`` (the reference FuzzyQuery DEFAULT,
+    search/FuzzyQuery.java:66 ``defaultTranspositions = true``) the edit
+    distance is full Damerau-Levenshtein — an adjacent swap ("hte"→"the")
+    is ONE edit — matching DuckDB's damerau_levenshtein() oracle exactly;
+    without it, plain Levenshtein (the pre-r3 behavior, still the
+    reference's transpositions=false mode).
+
+    Both DPs run over CODEPOINTS, not UTF-8 bytes (the reference's
+    Levenshtein automaton is codepoint-based; the DuckDB oracles are
+    character-based too) — a substituted multi-byte character must count
+    as ONE edit."""
     import pyarrow.compute as pc
 
     terms = reader.terms_array()
@@ -230,6 +241,15 @@ def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
     mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
     mat[np.arange(L)[None, :] >= lens[:, None]] = -1
     q = np.array([ord(c) for c in term], dtype=np.int32)
+    if transpositions:
+        # a term within e edits always satisfies |len - m| <= e: length
+        # pre-filter bounds the O(m·L) full-history DL matrix to the
+        # candidate slice of the dictionary
+        cand = np.nonzero(np.abs(lens - len(q)) <= max_edits)[0]
+        if len(cand) == 0:
+            return []
+        dist = _damerau_dp(mat[cand], lens[cand], q)
+        return cand[dist <= max_edits].tolist()
     prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
     for i, qc in enumerate(q, 1):
         cur = np.empty_like(prev)
@@ -242,6 +262,45 @@ def _fuzzy_term_ids(reader, term: str, max_edits: int) -> list[int]:
         prev = cur
     dist = prev[np.arange(n), lens]
     return np.nonzero(dist <= max_edits)[0].tolist()
+
+
+def _damerau_dp(mat: np.ndarray, lens: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Full (unrestricted) Damerau-Levenshtein distance of query ``q``
+    against every padded dictionary row of ``mat`` at once — the
+    Wagner-Lowrance DP with the transposition recurrence
+    ``d[k-1][l-1] + (i-k-1) + 1 + (j-l-1)``, vectorized over terms.
+
+    ``D[r, c, t]`` holds d[i][j] for i = r-1, j = c-1 (r = 0 / c = 0 are
+    the maxdist sentinels); the full history is kept because the
+    transposition term reaches back to arbitrary (k, l)."""
+    n, L = mat.shape
+    m = len(q)
+    maxdist = np.int32(m + L + 1)
+    ar = np.arange(n)
+    D = np.full((m + 2, L + 2, n), maxdist, dtype=np.int32)
+    D[1, 1:, :] = np.arange(L + 1, dtype=np.int32)[:, None]  # d[0][j] = j
+    D[1:, 1, :] = np.arange(m + 1, dtype=np.int32)[:, None]  # d[i][0] = i
+    for i in range(1, m + 1):
+        qc = q[i - 1]
+        # da state entering row i: last row i' < i whose query char equals
+        # the term char (shared across the row, depends only on q)
+        Kmat = np.zeros((n, L), np.int32)
+        for ip in range(1, i):
+            Kmat[mat == q[ip - 1]] = ip
+        db = np.zeros(n, np.int32)
+        for j in range(1, L + 1):
+            cost = (mat[:, j - 1] != qc).astype(np.int32)
+            k = Kmat[:, j - 1]
+            l = db
+            sub = D[i, j] + cost  # d[i-1][j-1] + cost
+            ins = D[i + 1, j] + 1  # d[i][j-1] + 1
+            dele = D[i, j + 1] + 1  # d[i-1][j] + 1
+            trans = D[k, l, ar] + (i - k - 1) + 1 + (j - l - 1)
+            D[i + 1, j + 1] = np.minimum(
+                np.minimum(sub, ins), np.minimum(dele, trans)
+            )
+            db = np.where(cost == 0, np.int32(j), db)
+    return D[m + 1, lens + 1, ar]
 
 
 

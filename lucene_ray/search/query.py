@@ -98,14 +98,17 @@ class WildcardQuery:
 
 @dataclass(frozen=True)
 class FuzzyQuery:
-    """Terms within ``max_edits`` plain-Levenshtein edits of ``term``
-    (reference search/FuzzyQuery.java; deviation: no transposition edits —
-    DuckDB's levenshtein() is the oracle — and CONSTANT_SCORE rewrite
-    instead of the blended-freq scoring rewrite).  The edit distance runs
+    """Terms within ``max_edits`` edits of ``term`` (reference
+    search/FuzzyQuery.java).  ``transpositions=True`` is the reference
+    default (FuzzyQuery.java:66): an adjacent swap counts as ONE edit
+    (full Damerau-Levenshtein, DuckDB damerau_levenshtein() oracle);
+    False gives plain Levenshtein.  Deviation: CONSTANT_SCORE rewrite
+    instead of the blended-freq scoring rewrite.  The edit distance runs
     as one vectorized DP over the whole segment dictionary."""
 
     term: str
     max_edits: int = 2
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)

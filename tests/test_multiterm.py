@@ -39,3 +39,92 @@ def test_fuzzy_ascii_distances(tmp_path):
     assert got == {"merge", "merges", "marge", "emerge"}
     got2 = {terms[t] for t in _fuzzy_term_ids(r, "merge", 2)}
     assert got2 == {"merge", "merges", "marge", "emerge", "purge"}
+
+
+def test_fuzzy_transpositions(tmp_path):
+    """Adjacent swaps are ONE edit with transpositions=True (the reference
+    FuzzyQuery default): "hte"~1 -> "the"; plain Levenshtein needs 2."""
+    vocab = sorted(["the", "then", "ten", "he", "tea", "eth"])
+    r = _reader(tmp_path, vocab)
+    terms = r.terms_array().to_pylist()
+    dl1 = {terms[t] for t in _fuzzy_term_ids(r, "hte", 1, transpositions=True)}
+    assert "the" in dl1
+    lev1 = {terms[t] for t in _fuzzy_term_ids(r, "hte", 1, transpositions=False)}
+    assert "the" not in lev1
+
+
+def test_fuzzy_damerau_duckdb_differential(tmp_path):
+    """Full-DL DP == DuckDB damerau_levenshtein over an ASCII stress
+    vocabulary (includes the unrestricted-DL case 'ca'~'abc' = 2 where OSA
+    gives 3).  ASCII only: DuckDB's distance functions are BYTE-based,
+    ours codepoint-based — they agree exactly on ASCII (the testdata
+    corpus), see test_fuzzy_damerau_codepoints for the multibyte pin."""
+    import duckdb
+
+    vocab = sorted(
+        {
+            "abc", "ca", "ac", "cba", "bac", "acb", "abcd", "acbd", "badc",
+            "spark", "saprk", "spakr", "psark", "sprk", "sparkk", "park",
+            "window", "wnidow", "widnow", "winodw", "windwo", "indow",
+            "merge", "mrege", "emrge", "megre", "mereg",
+            "a", "b", "ab", "ba", "aabb", "bbaa", "abab", "baba",
+        }
+    )
+    r = _reader(tmp_path, vocab)
+    terms = r.terms_array().to_pylist()
+    con = duckdb.connect()
+    for q in ("abc", "ca", "spark", "saprk", "window", "wnidow", "merge",
+              "ab", "ba", "aabb"):
+        for me in (1, 2):
+            got = {terms[t] for t in _fuzzy_term_ids(r, q, me, transpositions=True)}
+            want = {
+                t for t in vocab
+                if con.execute(
+                    "select damerau_levenshtein(?, ?) <= ?", [t, q, me]
+                ).fetchone()[0]
+            }
+            assert got == want, (q, me, got ^ want)
+    con.close()
+
+
+def _dl_ref(a: str, b: str) -> int:
+    """Pure-Python full Damerau-Levenshtein (Wagner-Lowrance) reference."""
+    da: dict[str, int] = {}
+    m, n = len(a), len(b)
+    maxd = m + n
+    d = [[maxd] * (n + 2) for _ in range(m + 2)]
+    for i in range(m + 1):
+        d[i + 1][1] = i
+    for j in range(n + 1):
+        d[1][j + 1] = j
+    for i in range(1, m + 1):
+        db = 0
+        for j in range(1, n + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[m + 1][n + 1]
+
+
+def test_fuzzy_damerau_codepoints(tmp_path):
+    """Multibyte terms: transposing two NON-ASCII codepoints is one edit
+    (codepoint DP; DuckDB would count byte edits here)."""
+    vocab = sorted(["café", "caéf", "cfaé", "éafc", "cafe"])
+    r = _reader(tmp_path, vocab)
+    terms = r.terms_array().to_pylist()
+    for me in (1, 2):
+        got = {terms[t] for t in _fuzzy_term_ids(r, "café", me, transpositions=True)}
+        want = {t for t in vocab if _dl_ref(t, "café") <= me}
+        assert got == want, (me, got ^ want)
+    assert _dl_ref("caéf", "café") == 1  # é<->f swap is ONE edit
