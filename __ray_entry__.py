@@ -94,6 +94,9 @@ _SORTED_VALUES = ", ".join(
     f"({i}, '{t}', '{fld}', '{d}')"
     for i, (t, fld, d) in enumerate(ft.SORTED_QUERIES)
 )
+_ISORT_VALUES = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(ft.INDEX_SORTED_QUERIES)
+)
 _RANGEF_VALUES = ", ".join(
     f"({i}, '{t}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
     for i, (t, lo, hi) in enumerate(ft.RANGE_FILTERED_QUERIES)
@@ -867,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_classic_topk": ft.classic_topk,
         "ft_combined_field_topk": ft.combined_field_topk,
         "ft_sort_by_field": ft.sort_by_field_topk,
+        # index-time sort (IndexWriterConfig.setIndexSort analogue):
+        # early-terminating per-segment top-k over a docid-order == sort-order
+        # index (reference index/Sorter.java + TopFieldCollector)
+        "ft_index_sorted_topk": ft.index_sorted_topk,
         "ft_facet_counts": lambda sf: ft.facet_counts(sf),
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
@@ -1293,6 +1300,22 @@ ranked AS (
          row_number() OVER (
            PARTITION BY qid
            ORDER BY (CASE WHEN dir = 'desc' THEN -v ELSE v END), doc_id
+         ) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_index_sorted_topk": f"""
+WITH {_TOKS},
+q(qid, term) AS (VALUES {_ISORT_VALUES}),
+m AS (
+  SELECT q.qid, tf.doc_id, d.n_chars
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY n_chars DESC, doc_id
          ) AS rnk
   FROM m
 )

@@ -412,6 +412,7 @@ class FusedSegmentBuilder:
         index_options: str = "docs_freqs",
         meta_columns: list[str] | None = None,
         write_doc_tables: bool = False,
+        index_sort: tuple[str, str] | None = None,
     ):
         self.index_dir = index_dir
         self.stage = AnalyzerStage(analyzer, content_column, index_options)
@@ -420,6 +421,9 @@ class FusedSegmentBuilder:
         self.meta_columns = list(meta_columns or [])
         self.write_doc_tables = write_doc_tables
         self.content_column = content_column
+        if index_sort is not None and not write_doc_tables:
+            raise ValueError("index_sort needs write_doc_tables (the sort field is a stored field)")
+        self.index_sort = tuple(index_sort) if index_sort else None
 
     def build_one(self, seg: dict) -> dict:
         from .segment import build_segment_from_ids
@@ -428,6 +432,7 @@ class FusedSegmentBuilder:
         # stored-fields writer (the old standalone doc-table pass re-read
         # the whole corpus — a full second scan at 100 TB)
         frags = []
+        doc_tbls = []  # buffered only for index_sort (needs the permutation)
         for frag in _fragments_with_local_base(seg):
             if self.write_doc_tables:
                 tbl = _read_fragment(
@@ -435,13 +440,16 @@ class FusedSegmentBuilder:
                     frag["row_group"],
                     self.meta_columns + [self.content_column],
                 )
-                _write_doc_fragment(
-                    tbl,
-                    frag,
-                    self.meta_columns,
-                    self.content_column,
-                    os.path.join(self.index_dir, "docs"),
-                )
+                if self.index_sort is not None:
+                    doc_tbls.append(tbl)
+                else:
+                    _write_doc_fragment(
+                        tbl,
+                        frag,
+                        self.meta_columns,
+                        self.content_column,
+                        os.path.join(self.index_dir, "docs"),
+                    )
                 frags.append(
                     self.stage.analyze_fragment_ids(
                         frag, tbl.select([self.content_column])
@@ -467,10 +475,14 @@ class FusedSegmentBuilder:
                     pos_parts.append(fr["positions"])
             len_parts.append(fr["lengths"])
         lengths = np.concatenate(len_parts) if len_parts else np.zeros(seg["max_doc"], np.int64)
-        norms = int_to_byte4_array(lengths)
         tids = np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
         docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
         tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+
+        sort_meta = None
+        if self.index_sort is not None:
+            docs, lengths, sort_meta = self._apply_index_sort(seg, doc_tbls, docs, lengths)
+        norms = int_to_byte4_array(lengths)
 
         positions = None
         presorted = False
@@ -490,6 +502,8 @@ class FusedSegmentBuilder:
             "lineage": seg["lineage"],
             "index_options": self.index_options,
         }
+        if sort_meta is not None:
+            meta["index_sort"] = sort_meta
         t0 = time.time()
         metrics = build_segment_from_ids(
             pa.array(vocab, type=pa.large_string()),
@@ -505,6 +519,35 @@ class FusedSegmentBuilder:
         )
         metrics["encode_sec"] = round(time.time() - t0, 3)
         return metrics
+
+    def _apply_index_sort(
+        self, seg: dict, doc_tbls: list[pa.Table], docs: np.ndarray, lengths: np.ndarray
+    ):
+        """Index-time sort (reference index/Sorter.java +
+        IndexWriterConfig.setIndexSort): within the segment, docids are
+        remapped so docid order == (sort field, ties by arrival order) —
+        the stable sortMap.  Postings docids are rewritten through
+        old2new (and re-flush-sorted downstream), norms/doc lengths and
+        the stored-fields table ride the same permutation.  The buffered
+        doc tables are bounded by docs_per_segment, the same bound the
+        analyzer output already carries."""
+        field, direction = self.index_sort
+        combined = pa.concat_tables(doc_tbls)
+        vals = combined.column(field).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = -vals if direction == "desc" else vals
+        new_order = np.argsort(key, kind="stable")  # old local ids, new docid order
+        max_doc = seg["max_doc"]
+        old2new = np.empty(max_doc, np.int64)
+        old2new[new_order] = np.arange(max_doc, dtype=np.int64)
+        sorted_tbl = combined.take(pa.array(new_order))
+        _write_doc_fragment(
+            sorted_tbl,
+            {"seg_id": seg["seg_id"], "frag_ord": 0, "local_base": 0},
+            self.meta_columns,
+            self.content_column,
+            os.path.join(self.index_dir, "docs"),
+        )
+        return old2new[docs], lengths[new_order], [field, direction]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
@@ -609,6 +652,7 @@ def _fused_build_task(
     index_options: str = "docs_freqs",
     meta_columns: list[str] | None = None,
     write_doc_tables: bool = False,
+    index_sort: tuple[str, str] | None = None,
 ) -> pa.Table:
     import ray
 
@@ -621,6 +665,7 @@ def _fused_build_task(
         index_options=index_options,
         meta_columns=meta_columns,
         write_doc_tables=write_doc_tables,
+        index_sort=index_sort,
     )
     return builder(batch)
 
@@ -656,8 +701,14 @@ def build_index(
     resume: bool = True,
     index_options: str = "docs_freqs",
     term_salt: int = 1,
+    index_sort: tuple[str, str] | None = None,
 ) -> dict:
     """Run the full build; returns the committed manifest dict.
+
+    ``index_sort=(field, "asc"|"desc")`` sorts each segment's docids by a
+    stored meta column at flush (reference index/Sorter.java /
+    IndexWriterConfig.setIndexSort) — fused mode only; enables
+    early-terminating sort-field top-k when the query sort matches.
 
     ``term_salt`` > 1 (shuffle mode only) salts the exchange key with an
     order-preserving term-range bucket so a hot partition's sort fans out.
@@ -709,6 +760,7 @@ def build_index(
                     index_options=index_options,
                     meta_columns=list(meta_columns),
                     write_doc_tables=write_doc_tables,
+                    index_sort=index_sort,
                 ),
                 batch_size=1,
                 batch_format="pyarrow",

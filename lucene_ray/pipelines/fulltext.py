@@ -66,6 +66,7 @@ def index_dir_for(
     docs_per_segment: int = DOCS_PER_SEGMENT,
     index_options: str = "docs_freqs",
     analyzer: str = "standard",
+    index_sort: tuple[str, str] | None = None,
 ) -> str:
     slug = hashlib.sha256(
         (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
@@ -73,6 +74,8 @@ def index_dir_for(
     suffix = "" if index_options == "docs_freqs" else f"-{index_options}"
     if analyzer != "standard":
         suffix += f"-{analyzer}"
+    if index_sort is not None:
+        suffix += f"-sorted-{index_sort[0]}-{index_sort[1]}"
     return os.path.join(
         "/tmp",
         "lucene_ray_idx",
@@ -85,10 +88,11 @@ def ensure_index(
     docs_per_segment: int = DOCS_PER_SEGMENT,
     index_options: str = "docs_freqs",
     analyzer: str = "standard",
+    index_sort: tuple[str, str] | None = None,
 ) -> str:
     """Build the index over documents.parquet once per sf_dir (resumable —
     a rerun over an existing index skips all complete segments)."""
-    idx = index_dir_for(sf_dir, docs_per_segment, index_options, analyzer)
+    idx = index_dir_for(sf_dir, docs_per_segment, index_options, analyzer, index_sort)
     src = os.path.join(sf_dir, "documents.parquet")
     if mf.latest_generation(idx) is None:
         build_index(
@@ -100,6 +104,7 @@ def ensure_index(
             content_column="text",
             meta_columns=("doc_id", "lang", "source", "n_chars"),
             index_options=index_options,
+            index_sort=index_sort,
         )
     return idx
 
@@ -1164,6 +1169,98 @@ SORTED_QUERIES = [
     ("join", "n_chars", "asc"),
     ("merge", "doc_id", "desc"),
 ]
+
+
+INDEX_SORT = ("n_chars", "desc")
+INDEX_SORTED_QUERIES = ["spark", "join", "merge", "window"]
+
+
+def _seg_index_sorted_topk(batch: pa.Table, terms: list[str], k: int) -> pa.Table:
+    """EARLY-TERMINATING per-segment sort-field top-k over an index-time-
+    sorted index (reference TopFieldCollector canEarlyTerminate +
+    index/Sorter.java): docid order == sort order, so the first k live
+    matches of the postings cursor ARE the segment's top-k — the cursor
+    stops there, decoding only the blocks it touched.  Emits the stored
+    doc_id (docids were remapped by the sort) + the sort key + docs_visited
+    so callers can report visited << df."""
+    from ..search.scorers import NO_MORE_DOCS, PostingsCursor
+
+    qids, keys, ids, visited_col, df_col = [], [], [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        assert r.meta.get("index_sort") == list(INDEX_SORT), (
+            "early termination needs the index sorted by the query sort"
+        )
+        vals = r.stored_column(INDEX_SORT[0])
+        stored_ids = r.stored_column("doc_id")
+        for qid, term in enumerate(terms):
+            tid = r.term_id(term)
+            if tid is None:
+                continue
+            cur = PostingsCursor(r, tid)
+            hit_local = []
+            visited = 0
+            doc = cur.next_doc()
+            while doc != NO_MORE_DOCS and len(hit_local) < k:
+                visited += 1
+                if r.live is None or r.live[doc]:
+                    hit_local.append(doc)
+                doc = cur.next_doc()
+            for d in hit_local:
+                qids.append(qid)
+                keys.append(int(vals[d].as_py()))
+                ids.append(int(stored_ids[d].as_py()))
+                visited_col.append(visited)
+                df_col.append(cur.df)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "visited": pa.array(visited_col, pa.int64()),
+            "df": pa.array(df_col, pa.int64()),
+        }
+    )
+
+
+def index_sorted_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k matching docs by n_chars DESC over an index-SORTED index
+    (IndexWriterConfig.setIndexSort analogue): per segment the postings
+    cursor early-terminates after k matches (docid order == sort order);
+    the reduce merges <= k * segments candidates by (key desc, doc_id
+    asc).  Result (qid, rnk, doc_id) uses the STORED doc_id column — the
+    internal docids were remapped by the sort."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir, index_sort=INDEX_SORT)
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_index_sorted_topk,
+            batch_format="pyarrow",
+            fn_kwargs={"terms": INDEX_SORTED_QUERIES, "k": k},
+        )
+        .to_pandas()  # <= k * segments * queries candidate rows
+    )
+    qids, rnks, out = [], [], []
+    for qid in range(len(INDEX_SORTED_QUERIES)):
+        sub = parts[parts["qid"] == qid]
+        if not len(sub):
+            continue
+        key = -sub["key"].to_numpy()  # desc
+        ids = sub["doc_id"].to_numpy()
+        order = np.lexsort((ids, key))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out.append(int(ids[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out, pa.int64()),
+        }
+    )
 
 
 def _seg_sort_field_partials(batch: pa.Table, queries: list, k: int) -> pa.Table:
