@@ -217,6 +217,52 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def _triad_worker(n_iters: int, mb: int, barrier, out_q) -> None:
+    """One STREAM-triad worker: a = b + s*c over a `mb`-MB working set.
+    Arrays are allocated in-process (private pages) so N workers stress
+    the shared memory bus the same way N Ray build tasks do.  The barrier
+    makes all workers hit the bus CONCURRENTLY — without it, staggered
+    spawn lets late workers run on an idle bus and inflates the sum."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8 // 3  # three float64 arrays totalling ~mb MB
+    b = np.ones(n)
+    c = np.full(n, 2.0)
+    a = np.empty(n)
+    np.add(np.multiply(c, 3.0, out=a), b, out=a)  # warm pages
+    barrier.wait()
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    # triad moves 3 arrays per iteration (read b, read c, write a)
+    out_q.put(3 * n * 8 * n_iters / dt / 1e9)
+
+
+def _triad_control(workers: int, n_iters: int = 12, mb: int = 384) -> float:
+    """Aggregate GB/s of `workers` concurrent STREAM triads — the
+    memory-bandwidth-bound control for the scaling measurement.  If the
+    control itself stops scaling N->4N, the host's shared memory bus (not
+    the engine) is the ceiling; a real 4N-node cluster brings 4N memory
+    subsystems.  (VERDICT r2 #8: measure the bus claim per run.)"""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    barrier = ctx.Barrier(workers)
+    procs = [
+        ctx.Process(target=_triad_worker, args=(n_iters, mb, barrier, q))
+        for _ in range(workers)
+    ]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return sum(rates)
+
+
 def _child_build(sf: float, num_cpus: int, repeats: int = 1) -> None:
     import ray
 
@@ -298,6 +344,13 @@ def run_scaling(sf_dir: str) -> dict:
     )
     eff_2_8 = pair_ratios[len(pair_ratios) // 2] / 4.0
     eff_8_32 = (t8 / t32) / 4.0
+
+    # memory-bandwidth control: same noise window, same worker counts.
+    # ctrl_eff says how much a PERFECTLY bandwidth-bound job can scale on
+    # this box; eff normalized by it isolates the engine from the bus.
+    bw = {n: max(_triad_control(n), _triad_control(n)) for n in (2, 8, 32)}
+    ctrl_eff_2_8 = (bw[8] / bw[2]) / 4.0
+    ctrl_eff_8_32 = (bw[32] / bw[8]) / 4.0
     return {
         "metric": "index-build scaling efficiency N vs 4N CPUs (fresh sessions)",
         "value": round(eff_2_8, 3),
@@ -314,6 +367,12 @@ def run_scaling(sf_dir: str) -> dict:
         "throughput_files_per_sec": {
             str(n): results[n]["files_per_sec"] for n in (2, 8, 32)
         },
+        "control_triad_gbps": {str(n): round(bw[n], 2) for n in (2, 8, 32)},
+        "control_efficiency_2_to_8": round(ctrl_eff_2_8, 3),
+        "control_efficiency_8_to_32": round(ctrl_eff_8_32, 3),
+        "normalized_efficiency_8_to_32": round(
+            min(eff_8_32 / ctrl_eff_8_32, 1.0) if ctrl_eff_8_32 else 0.0, 3
+        ),
     }
 
 
