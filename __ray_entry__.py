@@ -97,6 +97,12 @@ _SORTED_VALUES = ", ".join(
 _ISORT_VALUES = ", ".join(
     f"({i}, '{t}')" for i, t in enumerate(ft.INDEX_SORTED_QUERIES)
 )
+_PBOX_VALUES = ", ".join(
+    "({}, '{}', {}, {}, {}, {})".format(
+        i, t, *("NULL" if v is None else v for v in (clo, chi, dlo, dhi))
+    )
+    for i, (t, clo, chi, dlo, dhi) in enumerate(ft.POINT_BOX_QUERIES)
+)
 _RANGEF_VALUES = ", ".join(
     f"({i}, '{t}', {lo if lo is not None else 'NULL'}, {hi if hi is not None else 'NULL'})"
     for i, (t, lo, hi) in enumerate(ft.RANGE_FILTERED_QUERIES)
@@ -172,6 +178,35 @@ WITH {_TOKS},
 counted AS (SELECT doc_id, {count_cols} FROM toks)
 SELECT doc_id, {", ".join(f"c_{lang}" for lang in langs)}, {case} AS lang_pred
 FROM counted
+"""
+
+
+def _doc_stats_sql() -> str:
+    """token_stats + quality_stats columns in one per-doc table (matches
+    ops/text.doc_stats_batch)."""
+    from lucene_ray.ops.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH {_TOKS},
+u AS (
+  SELECT doc_id, count(*)::BIGINT AS n_unique, max(tf)::BIGINT AS max_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+       coalesce(u.n_unique, 0)::BIGINT AS n_unique,
+       coalesce(u.max_tf, 0)::BIGINT AS max_tf,
+       length(d.text)::BIGINT AS n_chars,
+       len(regexp_extract_all(d.text,
+           ' ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+'))::BIGINT AS n_bpe_tokens,
+       length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+       len(list_filter(ts, x -> list_contains([{stop_list}], x)))::BIGINT AS n_stop,
+       len(string_split(d.text, ' '))::BIGINT AS n_ws_tokens,
+       (CASE WHEN len(ts) >= 10
+              AND len(list_filter(ts, x -> list_contains([{stop_list}], x))) * 50
+                  <= len(ts) * 45
+             THEN 1 ELSE 0 END)::BIGINT AS is_quality
+FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
 """
 
 
@@ -865,6 +900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_proximity_matches": _proximity_family,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_range_filtered_topk": ft.range_filtered_topk,
+        # 2-dim BKD point tree (util/bkd BKDWriter/BKDReader analogue):
+        # per-segment persisted block k-d tree, box filter clause
+        "ft_point_box_topk": ft.point_box_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
@@ -878,12 +916,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
-        "tx_token_stats": lambda sf: text.token_stats(_docs(sf)),
+        # token_stats + quality_stats fused into one entry (one tokenizer
+        # pass; frees driver-cap slots for ft_point_box/ft_parsed entries)
+        "tx_doc_stats": lambda sf: text.doc_stats(_docs(sf)),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         "tx_stratified_sample": lambda sf: text.stratified_sample(
             _docs(sf), {"en": 50, "de": 25, "fr": 10}
         ),
-        "tx_quality_stats": lambda sf: text.quality_stats(_docs(sf)),
         "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
         "tx_fingerprints": lambda sf: text.fingerprints_combined(_docs(sf)),
         # --- dedup ---
@@ -1239,6 +1278,50 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
+        "ft_point_box_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, clo, chi, dlo, dhi) AS (VALUES {_PBOX_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+-- 2-dim box: per dimension lower inclusive, upper EXCLUSIVE, NULL = open
+filtered AS (
+  SELECT c.qid, c.doc_id, c.score
+  FROM clause c
+  JOIN q ON q.qid = c.qid
+  JOIN documents doc ON doc.doc_id = c.doc_id
+  WHERE (q.clo IS NULL OR doc.n_chars >= q.clo)
+    AND (q.chi IS NULL OR doc.n_chars < q.chi)
+    AND (q.dlo IS NULL OR doc.doc_id >= q.dlo)
+    AND (q.dhi IS NULL OR doc.doc_id < q.dhi)
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
         "ft_combined_field_topk": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
@@ -1361,21 +1444,7 @@ FROM documents
 WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
       < (CASE lang WHEN 'de' THEN 25 WHEN 'en' THEN 50 WHEN 'fr' THEN 10 ELSE 0 END)
 """,
-        "tx_token_stats": f"""
-WITH {_TOKS},
-u AS (
-  SELECT doc_id, count(*)::BIGINT AS n_unique, max(tf)::BIGINT AS max_tf
-  FROM tf GROUP BY doc_id
-)
-SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
-       coalesce(u.n_unique, 0)::BIGINT AS n_unique,
-       coalesce(u.max_tf, 0)::BIGINT AS max_tf,
-       length(d.text)::BIGINT AS n_chars,
-       len(regexp_extract_all(d.text,
-           ' ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+'))::BIGINT AS n_bpe_tokens
-FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
-""",
-        "tx_quality_stats": _quality_sql(),
+        "tx_doc_stats": _doc_stats_sql(),
         "tx_lang_id": _lang_sql(),
         "tx_fingerprints": f"""
 SELECT a.doc_id, a.fp, b.roll_fp

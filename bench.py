@@ -182,11 +182,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             lambda: dedup.lsh_candidate_pairs(rd.read_parquet(docs_path)).materialize()
         )
 
-        def _text():
-            text.token_stats(rd.read_parquet(docs_path)).materialize()
-            text.quality_stats(rd.read_parquet(docs_path)).materialize()
-
-        queries["text_stats"] = timed_min2(_text)
+        # fused token+quality stats: one read, one tokenizer pass
+        queries["text_stats"] = timed_min2(
+            lambda: text.doc_stats(rd.read_parquet(docs_path)).materialize()
+        )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):

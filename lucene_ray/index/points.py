@@ -1,0 +1,230 @@
+"""BKD-style multi-dimensional point index.
+
+Reference: lucene/core/src/java/org/apache/lucene/util/bkd/BKDWriter.java
+(recursive widest-dimension median split, leaf blocks of points) and
+BKDReader.java (intersect with CELL_INSIDE / CELL_CROSSES / CELL_OUTSIDE
+pruning); surfaced through search/PointRangeQuery.java.
+
+Per segment, a block k-d tree over ``ndim`` int64 point columns taken
+from the stored fields:
+
+- build: recursive split on the dimension with the widest value range,
+  at the median (np.argpartition — O(n) per level), until a subtree holds
+  <= leaf_size points.  Points are PERMUTED so every subtree occupies a
+  contiguous slice of the value/docid arrays (BKDWriter writes leaves in
+  the same nested order) — that makes CELL_INSIDE collection a pure
+  slice, zero value comparisons.
+- serialize: one ``points-<name>.npz`` per segment holding the sorted
+  value matrix, the aligned LOCAL docids, and the node arrays
+  (start/end/child indices + per-node bounds) in DFS preorder.
+- intersect(lows, highs): iterative stack traversal; a node fully
+  outside the box is skipped with its whole subtree, a node fully inside
+  contributes its contiguous docid slice wholesale, a crossing leaf is
+  masked vectorized.  Bounds are lower-INCLUSIVE / upper-EXCLUSIVE
+  (None = open), matching StoredFieldRange / PointRangeQuery's
+  [lower, upper) convention used elsewhere in this repo.
+
+The tree is built from stored-field columns AFTER the segment exists
+(like the HNSW artifact) rather than inside the indexing chain — same
+data, same per-segment granularity, resumable independently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+LEAF_SIZE = 512
+
+I64_MIN = np.iinfo(np.int64).min
+I64_MAX = np.iinfo(np.int64).max
+
+
+def build_point_tree(values: np.ndarray, leaf_size: int = LEAF_SIZE) -> dict:
+    """Build the tree over ``values`` (n, ndim) int64.
+
+    Returns dict of arrays: ``perm`` (tree order -> original row), node
+    arrays ``start end left right`` (left/right = -1 for leaves) and
+    bounds ``mins maxs`` (n_nodes, ndim), all in DFS preorder.
+    """
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    n, ndim = values.shape
+    perm = np.arange(n, dtype=np.int64)
+    starts, ends, lefts, rights, mins, maxs = [], [], [], [], [], []
+
+    # stack of (start, end, parent_slot): parent_slot is the index in
+    # `lefts`/`rights` to patch with this node's id once allocated
+    stack = [(0, n, -1, False)]
+    while stack:
+        start, end, parent, is_right = stack.pop()
+        node = len(starts)
+        if parent >= 0:
+            (rights if is_right else lefts)[parent] = node
+        sub = values[perm[start:end]]
+        starts.append(start)
+        ends.append(end)
+        lefts.append(-1)
+        rights.append(-1)
+        lo = sub.min(axis=0) if len(sub) else np.zeros(ndim, np.int64)
+        hi = sub.max(axis=0) if len(sub) else np.zeros(ndim, np.int64)
+        mins.append(lo)
+        maxs.append(hi)
+        if end - start <= leaf_size:
+            continue
+        split_dim = int(np.argmax(hi - lo))
+        mid = (end - start) // 2
+        # partition the subrange by the split dimension's median
+        order = np.argpartition(sub[:, split_dim], mid)
+        perm[start:end] = perm[start:end][order]
+        # push right first so left is visited next (DFS preorder)
+        stack.append((start + mid, end, node, True))
+        stack.append((start, start + mid, node, False))
+
+    return {
+        "perm": perm,
+        "start": np.asarray(starts, np.int64),
+        "end": np.asarray(ends, np.int64),
+        "left": np.asarray(lefts, np.int64),
+        "right": np.asarray(rights, np.int64),
+        "mins": np.asarray(mins, np.int64).reshape(len(starts), ndim),
+        "maxs": np.asarray(maxs, np.int64).reshape(len(starts), ndim),
+    }
+
+
+class PointTree:
+    """In-memory reader for one segment's point tree."""
+
+    def __init__(
+        self,
+        values: np.ndarray,
+        docids: np.ndarray,
+        nodes: dict,
+    ):
+        self.values = values  # (n, ndim), TREE order
+        self.docids = docids  # (n,), LOCAL docids aligned with values
+        self.nodes = nodes
+
+    @classmethod
+    def build(cls, values: np.ndarray, docids: np.ndarray, leaf_size: int = LEAF_SIZE):
+        t = build_point_tree(values, leaf_size)
+        perm = t.pop("perm")
+        return cls(
+            np.ascontiguousarray(values[perm], dtype=np.int64),
+            np.asarray(docids, np.int64)[perm],
+            t,
+        )
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp.npz"  # savez won't append .npz again
+        np.savez_compressed(tmp, values=self.values, docids=self.docids, **self.nodes)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "PointTree":
+        z = np.load(path)
+        nodes = {k: z[k] for k in ("start", "end", "left", "right", "mins", "maxs")}
+        return cls(z["values"], z["docids"], nodes)
+
+    def intersect(
+        self,
+        lows: tuple[int | None, ...],
+        highs: tuple[int | None, ...],
+    ) -> tuple[np.ndarray, dict]:
+        """LOCAL docids inside the box [low, high) per dimension (None =
+        open).  Returns (sorted unique docids, traversal stats) — the
+        stats prove the pruning (BKDReader.intersect's three cell cases).
+        """
+        nd = self.values.shape[1]
+        lo = np.array([I64_MIN if v is None else v for v in lows], np.int64)
+        # upper EXCLUSIVE -> inclusive bound for the cell comparison
+        hi = np.array([I64_MAX if v is None else v - 1 for v in highs], np.int64)
+        start, end = self.nodes["start"], self.nodes["end"]
+        left, right = self.nodes["left"], self.nodes["right"]
+        mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+
+        out: list[np.ndarray] = []
+        stats = {"nodes_visited": 0, "points_scanned": 0, "points_bulk": 0}
+        stack = [0] if len(start) else []
+        while stack:
+            node = stack.pop()
+            stats["nodes_visited"] += 1
+            nmin, nmax = mins[node], maxs[node]
+            if (nmin > hi).any() or (nmax < lo).any():
+                continue  # CELL_OUTSIDE_QUERY: whole subtree skipped
+            s, e = start[node], end[node]
+            if (nmin >= lo).all() and (nmax <= hi).all():
+                # CELL_INSIDE_QUERY: contiguous slice, zero comparisons
+                out.append(self.docids[s:e])
+                stats["points_bulk"] += int(e - s)
+                continue
+            if left[node] < 0:  # crossing leaf: vectorized mask
+                vals = self.values[s:e]
+                m = ((vals >= lo) & (vals <= hi)).all(axis=1)
+                stats["points_scanned"] += int(e - s)
+                if m.any():
+                    out.append(self.docids[s:e][m])
+                continue
+            stack.append(int(right[node]))
+            stack.append(int(left[node]))
+
+        if not out:
+            return np.empty(0, np.int64), stats
+        docs = np.concatenate(out)
+        docs.sort()
+        return docs, stats
+
+
+def point_file(seg_dir: str, name: str) -> str:
+    return os.path.join(seg_dir, f"points-{name}.npz")
+
+
+def build_segment_points(
+    seg_dir: str, fields: tuple[str, ...], leaf_size: int = LEAF_SIZE
+) -> str:
+    """Build + persist one segment's point tree from its stored-field
+    columns (idempotent: returns the existing file when present)."""
+    from .segment import SegmentReader
+
+    name = "_".join(fields)
+    path = point_file(seg_dir, name)
+    if os.path.exists(path):
+        return path
+    r = SegmentReader(seg_dir)
+    cols = [
+        r.stored_column(f).to_numpy(zero_copy_only=False).astype(np.int64)
+        for f in fields
+    ]
+    values = np.stack(cols, axis=1)
+    tree = PointTree.build(values, np.arange(r.max_doc, dtype=np.int64), leaf_size)
+    tree.save(path)
+    return path
+
+
+def build_point_index(
+    index_dir: str, fields: tuple[str, ...], leaf_size: int = LEAF_SIZE
+) -> list[str]:
+    """Persist a point tree for every segment (Ray map_batches over the
+    segment list; each task builds one tree from segment-local columns —
+    no data crosses the exchange).  Resumable per segment."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from . import manifest as mf
+
+    man = mf.read_manifest(index_dir)
+    dirs = [s["dir"] for s in man["segments"]]
+    todo = [d for d in dirs if not os.path.exists(point_file(d, "_".join(fields)))]
+    if todo:
+
+        def _build(batch: pa.Table) -> pa.Table:
+            paths = [
+                build_segment_points(d, fields, leaf_size)
+                for d in batch.column("dir").to_pylist()
+            ]
+            return pa.table({"path": pa.array(paths, pa.large_string())})
+
+        rd.from_items([{"dir": d} for d in todo]).map_batches(
+            _build, batch_format="pyarrow", batch_size=1
+        ).materialize()
+    return [point_file(d, "_".join(fields)) for d in dirs]

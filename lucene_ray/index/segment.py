@@ -587,5 +587,20 @@ class SegmentReader:
         cache[field] = col
         return col
 
+    def point_tree(self, fields: tuple[str, ...]):
+        """Persisted BKD-style point tree for these fields, or None when
+        the artifact hasn't been built (index.points.build_point_index).
+        Cached per reader like stored columns."""
+        from .points import PointTree, point_file
+
+        cache = getattr(self, "_point_trees", None)
+        if cache is None:
+            cache = self._point_trees = {}
+        key = tuple(fields)
+        if key not in cache:
+            path = point_file(self.dir, "_".join(fields))
+            cache[key] = PointTree.load(path) if os.path.exists(path) else None
+        return cache[key]
+
     def collection_partials(self) -> dict:
         return self.meta["stats"]

@@ -89,6 +89,57 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
     return out.to_arrow()
 
 
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """token_stats + quality_stats fused: ONE tokenizer pass feeds both
+    column families (doc_id, n_tokens, n_unique, max_tf, n_chars,
+    n_bpe_tokens, n_alpha, n_stop, n_ws_tokens, is_quality)."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df.select(
+        pl.col("doc_id"),
+        _tok_expr().alias("ts"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("text").str.count_matches(BPE_PATTERN).cast(pl.Int64).alias("n_bpe_tokens"),
+        pl.col("text").str.count_matches("[a-zA-Z]").cast(pl.Int64).alias("n_alpha"),
+        pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_ws_tokens"),
+    )
+    tf = (
+        toks.select("doc_id", "ts")
+        .explode("ts")
+        .drop_nulls("ts")
+        .group_by("doc_id", "ts")
+        .len()
+        .group_by("doc_id")
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_unique"),
+            pl.col("len").max().cast(pl.Int64).alias("max_tf"),
+        )
+    )
+    out = (
+        toks.with_columns(
+            pl.col("ts").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("ts")
+            .list.eval(pl.element().is_in(EN_STOPWORDS))
+            .list.sum()
+            .cast(pl.Int64)
+            .alias("n_stop"),
+        )
+        .join(tf, on="doc_id", how="left")
+        .with_columns(
+            pl.col("n_unique").fill_null(0),
+            pl.col("max_tf").fill_null(0),
+            ((pl.col("n_tokens") >= 10) & (pl.col("n_stop") * 50 <= pl.col("n_tokens") * 45))
+            .cast(pl.Int64)
+            .alias("is_quality"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_unique", "max_tf", "n_chars", "n_bpe_tokens",
+            "n_alpha", "n_stop", "n_ws_tokens", "is_quality",
+        )
+        .sort("doc_id")
+    )
+    return out.to_arrow()
+
+
 def quality_stats_batch(batch: pa.Table) -> pa.Table:
     """Integer quality signals per doc.
 
@@ -218,6 +269,10 @@ def token_stats(ds):
 
 def quality_stats(ds):
     return _map(ds, quality_stats_batch)
+
+
+def doc_stats(ds):
+    return _map(ds, doc_stats_batch)
 
 
 def lang_id(ds):

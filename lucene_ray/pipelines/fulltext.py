@@ -442,6 +442,52 @@ def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+POINT_FIELDS = ("n_chars", "doc_id")
+# (term, n_chars_lo, n_chars_hi, doc_id_lo, doc_id_hi) — [lo, hi) per dim
+POINT_BOX_QUERIES = [
+    ("spark", 100, 400, None, 400),
+    ("join", None, 300, 100, None),
+    ("merge", 250, None, None, 450),
+    ("window", 150, 350, 50, 480),
+]
+
+
+def point_box_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k restricted by a 2-DIM point BOX filter (qid, rnk,
+    doc_id): n_chars x doc_id boxes answered from the per-segment
+    BKD-style point tree (util/bkd/BKDReader.intersect pruning:
+    fully-inside subtrees contribute contiguous docid slices with zero
+    comparisons), composed as a FILTER clause so BM25 scores are
+    untouched.  Trees are persisted artifacts (build once per segment,
+    resumable); the search fans out over the SegmentSearchWorker actor
+    pool."""
+    from ..index.points import build_point_index
+    from ..search.query import PointBoxQuery
+    from ..search.searcher import DistributedSearcher
+
+    idx = ensure_index(sf_dir)
+    build_point_index(idx, POINT_FIELDS)
+    searcher = DistributedSearcher(idx, num_workers=4)
+    qids, rnks, docs = [], [], []
+    for qid, (term, clo, chi, dlo, dhi) in enumerate(POINT_BOX_QUERIES):
+        q = bool_query(
+            must=[TermQuery(term)],
+            filter=[PointBoxQuery(POINT_FIELDS, (clo, dlo), (chi, dhi))],
+        )
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 FILTERED_QUERIES = [
     ("spark", "lang", "en"),
     ("join", "lang", "de"),

@@ -182,6 +182,21 @@ class StoredFieldRange:
 
 
 @dataclass(frozen=True)
+class PointBoxQuery:
+    """Constant-score multi-dimensional BOX match against the per-segment
+    BKD-style point tree (reference search/PointRangeQuery.java over
+    util/bkd/BKDReader.intersect): per dimension lower INCLUSIVE, upper
+    EXCLUSIVE, None = open end.  Compose as a FILTER clause.  Falls back
+    to a stored-column scan when a segment has no persisted tree (same
+    semantics, no pruning) — build trees with
+    index.points.build_point_index."""
+
+    fields: tuple[str, ...]
+    lows: tuple[int | None, ...]
+    highs: tuple[int | None, ...]
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -208,6 +223,7 @@ Query = (
     | DisjunctionMaxQuery
     | StoredFieldFilter
     | StoredFieldRange
+    | PointBoxQuery
     | MultiPhraseQuery
 )
 
@@ -230,7 +246,8 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, MultiPhraseQuery):
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
-                      RegexpQuery, StoredFieldFilter, StoredFieldRange)):
+                      RegexpQuery, StoredFieldFilter, StoredFieldRange,
+                      PointBoxQuery)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -385,6 +402,28 @@ def build_scorer(
         if getattr(reader, "live", None) is not None:
             m = m & reader.live
         docs = np.nonzero(m)[0]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, PointBoxQuery):
+        from .scorers import PrecomputedScorer
+
+        tree = reader.point_tree(q.fields)
+        if tree is not None:
+            docs, _stats = tree.intersect(q.lows, q.highs)
+        else:
+            # fallback: stored-column scan (identical [lo, hi) semantics)
+            m = np.ones(reader.max_doc, dtype=bool)
+            for f, lo, hi in zip(q.fields, q.lows, q.highs):
+                col = reader.stored_column(f).to_numpy(zero_copy_only=False)
+                if lo is not None:
+                    m &= col >= lo
+                if hi is not None:
+                    m &= col < hi
+            docs = np.nonzero(m)[0]
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[np.asarray(reader.live, dtype=bool)[docs]]
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))

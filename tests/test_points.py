@@ -1,0 +1,91 @@
+"""BKD-style point tree (index/points.py): brute-force differential,
+CELL_INSIDE/OUTSIDE pruning evidence, persisted-artifact idempotence, and
+tree-vs-fallback scorer equivalence."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.points import LEAF_SIZE, PointTree, build_point_index, point_file
+
+
+@pytest.fixture(scope="module")
+def tree_and_vals():
+    rng = np.random.default_rng(123)
+    vals = rng.integers(0, 5000, size=(50_000, 2)).astype(np.int64)
+    return PointTree.build(vals, np.arange(len(vals), dtype=np.int64), leaf_size=256), vals
+
+
+def test_intersect_matches_brute_force(tree_and_vals):
+    tree, vals = tree_and_vals
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        lo = [int(rng.integers(0, 5000)) if rng.random() > 0.25 else None for _ in range(2)]
+        hi = [int(rng.integers(0, 5001)) if rng.random() > 0.25 else None for _ in range(2)]
+        got, _ = tree.intersect(tuple(lo), tuple(hi))
+        m = np.ones(len(vals), bool)
+        for d in range(2):
+            if lo[d] is not None:
+                m &= vals[:, d] >= lo[d]
+            if hi[d] is not None:
+                m &= vals[:, d] < hi[d]
+        assert np.array_equal(got, np.nonzero(m)[0])
+
+
+def test_pruning_is_real(tree_and_vals):
+    tree, vals = tree_and_vals
+    # narrow box: almost everything must be pruned without a value compare
+    _, stats = tree.intersect((10, 10), (50, 50))
+    assert stats["points_scanned"] < len(vals) // 10
+    # open box: the root is CELL_INSIDE -> one node, zero comparisons
+    docs, stats = tree.intersect((None, None), (None, None))
+    assert len(docs) == len(vals)
+    assert stats == {"nodes_visited": 1, "points_scanned": 0, "points_bulk": len(vals)}
+    # half-open box on one dim: bulk >> scanned (inside subtrees collected
+    # wholesale, only boundary leaves compare values)
+    _, stats = tree.intersect((2500, None), (None, None))
+    assert stats["points_bulk"] > stats["points_scanned"]
+
+
+def test_subtree_contiguity_invariant(tree_and_vals):
+    tree, _ = tree_and_vals
+    n = tree.nodes
+    for node in range(len(n["start"])):
+        l, r = n["left"][node], n["right"][node]
+        if l >= 0:
+            # children partition the parent's contiguous slice
+            assert n["start"][l] == n["start"][node]
+            assert n["end"][l] == n["start"][r]
+            assert n["end"][r] == n["end"][node]
+
+
+def test_persisted_index_and_scorer_equivalence(ray_session):
+    from lucene_ray.pipelines import fulltext as ft
+    from lucene_ray.search.query import PointBoxQuery, TermQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    idx = ft.ensure_index(sf)
+    paths = build_point_index(idx, ft.POINT_FIELDS)
+    assert paths and all(os.path.exists(p) for p in paths)
+    mtimes = [os.path.getmtime(p) for p in paths]
+    # idempotent: a rebuild call touches nothing
+    build_point_index(idx, ft.POINT_FIELDS)
+    assert [os.path.getmtime(p) for p in paths] == mtimes
+
+    searcher = IndexSearcher(idx)
+    box = PointBoxQuery(ft.POINT_FIELDS, (150, 50), (350, 480))
+    q = bool_query(must=[TermQuery("window")], filter=[box])
+    with_tree = searcher.search(q, 10)
+
+    # drop the trees from the readers -> fallback stored-column scan
+    for r in searcher.readers:
+        r._point_trees = {tuple(ft.POINT_FIELDS): None}
+    without_tree = searcher.search(q, 10)
+    assert [(d, float(s)) for d, s in with_tree] == [
+        (d, float(s)) for d, s in without_tree
+    ]
+    assert len(with_tree) > 0
