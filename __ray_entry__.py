@@ -903,6 +903,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-dim BKD point tree (util/bkd BKDWriter/BKDReader analogue):
         # per-segment persisted block k-d tree, box filter clause
         "ft_point_box_topk": ft.point_box_topk,
+        # classic query parser end-to-end (queryparser/classic semantics:
+        # grouping, AND/OR/NOT promotion, ^boosts, [a TO b] ranges)
+        "ft_parsed_topk": ft.parsed_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
@@ -1275,6 +1278,83 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM filtered
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        "ft_parsed_topk": f"""
+WITH {_TOKS}, {_LT},
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+-- per-(doc, term) BM25 for every term any parsed query scores
+sc AS (
+  SELECT tf.doc_id, tf.tok,
+         ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + tf.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS s
+  FROM tf
+  JOIN (SELECT tok, count(*)::BIGINT AS df FROM tf
+        WHERE tok IN ('spark', 'join', 'merge', 'window', 'scan')
+        GROUP BY tok) df ON df.tok = tf.tok
+  JOIN dlq d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.tok IN ('spark', 'join', 'merge', 'window', 'scan')
+),
+p AS (
+  SELECT doc_id,
+         max(CASE WHEN tok = 'spark'  THEN s END) AS s_spark,
+         max(CASE WHEN tok = 'join'   THEN s END) AS s_join,
+         max(CASE WHEN tok = 'merge'  THEN s END) AS s_merge,
+         max(CASE WHEN tok = 'window' THEN s END) AS s_window,
+         max(CASE WHEN tok = 'scan'   THEN s END) AS s_scan
+  FROM sc GROUP BY doc_id
+),
+-- q0: (spark OR join) AND merge -> ((spark join) MUST, merge MUST)
+q0 AS (
+  SELECT 0 AS qid, doc_id,
+         coalesce(s_spark, 0) + coalesce(s_join, 0) + s_merge AS score
+  FROM p WHERE (s_spark IS NOT NULL OR s_join IS NOT NULL)
+          AND s_merge IS NOT NULL
+),
+-- q1: spark AND NOT join
+q1 AS (
+  SELECT 1 AS qid, doc_id, s_spark AS score
+  FROM p WHERE s_spark IS NOT NULL AND s_join IS NULL
+),
+-- q2: +window -merge scan
+q2 AS (
+  SELECT 2 AS qid, doc_id, s_window + coalesce(s_scan, 0) AS score
+  FROM p WHERE s_window IS NOT NULL AND s_merge IS NULL
+),
+-- q3: spark^2 OR join^0.5
+q3 AS (
+  SELECT 3 AS qid, doc_id,
+         coalesce(2 * s_spark, 0) + coalesce(0.5 * s_join, 0) AS score
+  FROM p WHERE s_spark IS NOT NULL OR s_join IS NOT NULL
+),
+-- q4: wind* AND [scan TO spark] -> two constant-score MUSTs; every match
+-- scores the same, so ranking degenerates to doc_id order
+q4 AS (
+  SELECT DISTINCT 4 AS qid, t1.doc_id, 0.0 AS score
+  FROM tok t1
+  WHERE t1.tok LIKE 'wind%'
+    AND EXISTS (SELECT 1 FROM tok t2 WHERE t2.doc_id = t1.doc_id
+                 AND t2.tok >= 'scan' AND t2.tok <= 'spark')
+),
+u AS (
+  SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
+  UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM u
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

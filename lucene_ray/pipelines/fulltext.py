@@ -442,6 +442,48 @@ def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# classic query-parser strings exercised end-to-end (grouping, AND/OR/NOT,
+# +/- modifiers, ^boosts, prefix + inclusive term range); every construct
+# here is SQL-expressible so the oracle can replicate scoring exactly
+PARSED_QUERIES = [
+    "(spark OR join) AND merge",
+    "spark AND NOT join",
+    "+window -merge scan",
+    "spark^2 OR join^0.5",
+    "wind* AND [scan TO spark]",
+]
+
+
+def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k for CLASSIC-parsed query strings (qid, rnk, doc_id):
+    each string runs through parse_classic (reference
+    queryparser/classic/QueryParser.jj semantics — addClause conjunction
+    promotion, boosts as BoostQuery, constant-score multi-term atoms) and
+    then the ordinary distributed search path."""
+    from ..analysis.analyzers import make_analyzer
+    from ..search.parser import parse_classic
+    from ..search.searcher import DistributedSearcher
+
+    idx = ensure_index(sf_dir)
+    searcher = DistributedSearcher(idx, num_workers=4)
+    analyzer = make_analyzer("standard")
+    qids, rnks, docs = [], [], []
+    for qid, s in enumerate(PARSED_QUERIES):
+        q = parse_classic(s, analyzer)
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 POINT_FIELDS = ("n_chars", "doc_id")
 # (term, n_chars_lo, n_chars_hi, doc_id_lo, doc_id_hi) — [lo, hi) per dim
 POINT_BOX_QUERIES = [

@@ -190,6 +190,12 @@ def _multi_term_matches(reader, query) -> np.ndarray:
     else:
         lo = query.lower.encode("utf-8") if query.lower is not None else None
         hi = query.upper.encode("utf-8") if query.upper is not None else None
+        # term_id_range is [lo, hi): shift an excluded lower / included
+        # upper past the exact term (b"\x00" is the smallest suffix)
+        if lo is not None and not getattr(query, "include_lower", True):
+            lo += b"\x00"
+        if hi is not None and getattr(query, "include_upper", False):
+            hi += b"\x00"
     tids = reader.term_id_range(lo, hi)
     if term_filter is not None:
         tids = [t for t in tids if term_filter(reader.term_string(t))]

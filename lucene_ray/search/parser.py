@@ -20,10 +20,12 @@ BooleanQuery of the clauses.  Terms are normalized through the analyzer
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 from .query import (
     BooleanClause,
     BooleanQuery,
+    BoostQuery,
     FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
@@ -91,3 +93,187 @@ def parse_query(text: str, analyzer) -> Query | None:
     if len(clauses) == 1 and clauses[0].occur == "SHOULD":
         return clauses[0].query
     return BooleanQuery(tuple(clauses))
+
+
+# ---------------------------------------------------------------------------
+# Classic query parser (reference queryparser/classic/QueryParser.jj):
+# parentheses grouping, AND / OR / NOT (also && / || / !), +/- modifiers,
+# ^boost on any atom, inclusive [a TO b] / exclusive {a TO b} ranges, plus
+# every atom the simple parser supports.  Conjunction handling replicates
+# QueryParserBase.addClause with default operator OR: AND promotes the
+# PREVIOUS clause from SHOULD to MUST and makes the current clause MUST —
+# so "a OR b AND c" parses to (a +b +c), the classic parser's documented
+# behavior, not a precedence tree.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str
+    val: object = None
+
+
+_CLASSIC_LEX = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+  | /(?P<regex>[^/]*)/
+  | (?P<rlb>[\[{])(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)(?P<rrb>[\]}])
+  | (?P<word>[^\s()^"]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex_classic(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    pos = 0
+    while pos < len(text):
+        m = _CLASSIC_LEX.match(text, pos)
+        if m is None:  # unlexable char (stray bracket/quote): skip it
+            pos += 1
+            continue
+        pos = m.end()
+        if m.group("ws"):
+            continue
+        for kind in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
+            if m.group(kind):
+                toks.append(_Tok(kind))
+                break
+        else:
+            if m.group("boost"):
+                toks.append(_Tok("boost", float(m.group("bval"))))
+            elif m.group("phrase") is not None:
+                toks.append(
+                    _Tok("phrase", (m.group("phrase"), int(m.group("slop") or 0)))
+                )
+            elif m.group("regex") is not None:
+                toks.append(_Tok("regex", m.group("regex")))
+            elif m.group("rlo") is not None:
+                toks.append(
+                    _Tok(
+                        "range",
+                        (
+                            m.group("rlo"),
+                            m.group("rhi"),
+                            m.group("rlb") == "[",  # include_lower
+                            m.group("rrb") == "]",  # include_upper
+                        ),
+                    )
+                )
+            else:
+                toks.append(_Tok("word", m.group("word")))
+    return toks
+
+
+def _word_query(word: str, analyzer) -> Query:
+    """Classify a bare word atom (shared with the simple parser rules)."""
+    fz = _FUZZY_RE.match(word)
+    if fz and "*" not in word and "?" not in word:
+        edits = int(fz.group("edits")) if fz.group("edits") else 2
+        return FuzzyQuery(analyzer.normalize(fz.group("body")), edits)
+    if word.endswith("*") and "*" not in word[:-1] and "?" not in word:
+        return PrefixQuery(analyzer.normalize(word[:-1]))
+    if "*" in word or "?" in word:
+        return WildcardQuery(analyzer.normalize(word))
+    return TermQuery(analyzer.normalize(word))
+
+
+def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]:
+    """Parse clauses until RPAREN/end; returns (query, index past group)."""
+    clauses: list[BooleanClause] = []
+    conj: str | None = None
+    mod: str | None = None
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "rparen":
+            i += 1
+            break
+        if t.kind == "and":
+            conj = "AND"
+            i += 1
+            continue
+        if t.kind == "or":
+            conj = "OR"
+            i += 1
+            continue
+        if t.kind in ("not", "minus"):
+            mod = "MUST_NOT"
+            i += 1
+            continue
+        if t.kind == "plus":
+            mod = "MUST"
+            i += 1
+            continue
+        if t.kind == "boost":  # stray boost with no preceding atom
+            i += 1
+            continue
+
+        # --- atom ---
+        q: Query | None
+        if t.kind == "lparen":
+            q, i = _parse_group(toks, i + 1, analyzer)
+        elif t.kind == "phrase":
+            raw, slop = t.val
+            words = tuple(analyzer.normalize(w) for w in raw.split() if w)
+            q = (
+                None
+                if not words
+                else TermQuery(words[0])
+                if len(words) == 1
+                else PhraseQuery(words, slop=slop)
+            )
+            i += 1
+        elif t.kind == "regex":
+            q = RegexpQuery(t.val)
+            i += 1
+        elif t.kind == "range":
+            lo, hi, inc_lo, inc_hi = t.val
+            lo = analyzer.normalize(lo)
+            hi = analyzer.normalize(hi)
+            q = TermRangeQuery(
+                None if lo == "*" else lo,
+                None if hi == "*" else hi,
+                include_lower=inc_lo,
+                include_upper=inc_hi,
+            )
+            i += 1
+        else:  # word
+            q = _word_query(t.val, analyzer)
+            i += 1
+
+        if i < len(toks) and toks[i].kind == "boost" and q is not None:
+            q = BoostQuery(q, float(toks[i].val))
+            i += 1
+
+        if q is None:  # empty group / empty phrase
+            conj = None
+            mod = None
+            continue
+
+        # QueryParserBase.addClause (default operator OR)
+        if conj == "AND" and clauses and clauses[-1].occur == "SHOULD":
+            clauses[-1] = BooleanClause(clauses[-1].query, "MUST")
+        occur = mod if mod else ("MUST" if conj == "AND" else "SHOULD")
+        clauses.append(BooleanClause(q, occur))
+        conj = None
+        mod = None
+
+    if not clauses:
+        return None, i
+    if len(clauses) == 1 and clauses[0].occur == "SHOULD":
+        return clauses[0].query, i
+    return BooleanQuery(tuple(clauses)), i
+
+
+def parse_classic(text: str, analyzer) -> Query | None:
+    """Classic-QueryParser-style parse; None for empty/blank input."""
+    q, _ = _parse_group(_lex_classic(text), 0, analyzer)
+    return q

@@ -134,12 +134,17 @@ class DisjunctionMaxQuery:
 
 @dataclass(frozen=True)
 class TermRangeQuery:
-    """Terms in [lower, upper) by UTF-8 byte order (search/TermRangeQuery
-    .java), CONSTANT_SCORE rewrite like PrefixQuery.  ``lower=None`` /
-    ``upper=None`` leave that end open."""
+    """Terms between ``lower`` and ``upper`` by UTF-8 byte order
+    (search/TermRangeQuery.java), CONSTANT_SCORE rewrite like PrefixQuery.
+    ``lower=None`` / ``upper=None`` leave that end open.  Default bounds
+    are [lower, upper); the include flags give the classic parser's
+    ``[a TO b]`` (both inclusive) / ``{a TO b}`` (both exclusive) exactly
+    via byte-order tricks (an excluded bound is shifted by b"\\x00")."""
 
     lower: str | None
     upper: str | None
+    include_lower: bool = True
+    include_upper: bool = False
 
 
 @dataclass(frozen=True)

@@ -106,3 +106,79 @@ def test_parser_never_crashes(text):
         (BooleanQuery, TermQuery, PhraseQuery, PrefixQuery, WildcardQuery,
          FuzzyQuery, RegexpQuery, TermRangeQuery),
     )
+
+
+# --- classic parser (queryparser/classic analogue) -----------------------
+
+from lucene_ray.search.parser import parse_classic
+from lucene_ray.search.query import BooleanClause, BoostQuery
+
+
+def test_classic_shapes():
+    q = parse_classic("(spark OR join) AND merge", A)
+    assert q == BooleanQuery((
+        BooleanClause(BooleanQuery((
+            BooleanClause(TermQuery("spark"), "SHOULD"),
+            BooleanClause(TermQuery("join"), "SHOULD"),
+        )), "MUST"),
+        BooleanClause(TermQuery("merge"), "MUST"),
+    ))
+    # the classic addClause quirk: OR then AND promotes the middle clause
+    q = parse_classic("a OR b AND c", A)
+    assert [c.occur for c in q.clauses] == ["SHOULD", "MUST", "MUST"]
+    assert parse_classic("spark AND NOT join", A) == BooleanQuery((
+        BooleanClause(TermQuery("spark"), "MUST"),
+        BooleanClause(TermQuery("join"), "MUST_NOT"),
+    ))
+    assert parse_classic("spark^2", A) == BoostQuery(TermQuery("spark"), 2.0)
+    assert parse_classic("{a TO b}", A) == TermRangeQuery(
+        "a", "b", include_lower=False, include_upper=False
+    )
+    assert parse_classic("[a TO b]", A) == TermRangeQuery(
+        "a", "b", include_lower=True, include_upper=True
+    )
+    assert parse_classic("", A) is None
+    assert parse_classic("( )", A) is None
+    assert parse_classic("a && b || !c", A) == parse_classic("a AND b OR NOT c", A)
+
+
+def test_classic_end_to_end_equals_programmatic(idx):
+    s = IndexSearcher(idx)
+    parsed = parse_classic("(def OR return) AND class", A)
+    manual = bool_query(
+        must=[
+            BooleanQuery((
+                BooleanClause(TermQuery("def"), "SHOULD"),
+                BooleanClause(TermQuery("return"), "SHOULD"),
+            )),
+            TermQuery("class"),
+        ]
+    )
+    hp = s.search(parsed, 10)
+    hm = s.search(manual, 10)
+    assert [(d, float(sc)) for d, sc in hp] == [(d, float(sc)) for d, sc in hm]
+    assert len(hp) > 0
+
+
+def test_range_inclusivity_byte_trick(idx):
+    s = IndexSearcher(idx)
+    # [def TO def] matches exactly the term; {def TO deg} excludes "def"
+    # unless another term sits strictly between
+    inc = s.count(TermRangeQuery("def", "def", True, True))
+    assert inc == s.count(TermQuery("def")) > 0
+    exc_lo = s.count(TermRangeQuery("def", "deg", False, False))
+    half = s.count(TermRangeQuery("def", "deg", True, False))
+    assert half >= inc and exc_lo <= half - 0  # def excluded from exc_lo
+    # exc_lo must not count docs that ONLY contain "def"
+    assert exc_lo < half or inc == 0
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_classic_parser_never_crashes(text):
+    q = parse_classic(text, A)
+    assert q is None or isinstance(
+        q,
+        (BooleanQuery, BoostQuery, TermQuery, PhraseQuery, PrefixQuery,
+         WildcardQuery, FuzzyQuery, RegexpQuery, TermRangeQuery),
+    )
