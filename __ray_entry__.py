@@ -633,18 +633,14 @@ def _ann_ivf_persisted(sf_dir: str):
 
 
 def _ann_hnsw(sf_dir: str):
-    """PERSISTED HNSW (the Lucene99HnswVectorsWriter build/query split):
-    per-partition graphs are built ONCE and written as part=K/graph.npz;
-    every query loads the persisted graphs — zero graph construction on
-    the query path (tests/test_hnsw.py proves the second query answers
-    with the source data deleted)."""
-    from lucene_ray.ops import ann, hnsw
-
-    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
-    idx = os.path.join("/tmp", "lucene_ray_hnsw", os.path.basename(sf_dir.rstrip("/")))
-    if not os.path.exists(os.path.join(idx, "meta.json")):
-        hnsw.build_hnsw_index(_embs(sf_dir), idx, partitions=4)
-    return hnsw.hnsw_index_topk(idx, q, k=10)
+    """INDEX-INTEGRATED KnnFloatVectorQuery: per-SEGMENT persisted HNSW
+    graphs (index/vectors.py — the Lucene99HnswVectorsWriter shape, one
+    graph per segment keyed on local docids) searched through the
+    ordinary distributed search path with the TopDocs merge.  Zero graph
+    construction on the query path; the standalone hash-partitioned
+    vector index (ops/hnsw.build_hnsw_index) remains the pure-vector-
+    table variant and keeps its own tests (tests/test_hnsw.py)."""
+    return ft.knn_index_topk(sf_dir, ANN_QUERY_IDS, k=10)
 
 
 def _ann_kmeans_ivf(sf_dir: str):

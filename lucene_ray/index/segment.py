@@ -602,5 +602,25 @@ class SegmentReader:
             cache[key] = PointTree.load(path) if os.path.exists(path) else None
         return cache[key]
 
+    def vector_index(self, field: str):
+        """Persisted per-segment HNSW graph for a vector field, or None
+        when absent (index.vectors.build_vector_index writes it).  Cached
+        per reader — in the SegmentSearchWorker actor pool the graph is
+        loaded once and reused across queries."""
+        from ..ops.hnsw import HnswGraph
+        from .vectors import vector_file
+
+        cache = getattr(self, "_vector_graphs", None)
+        if cache is None:
+            cache = self._vector_graphs = {}
+        if field not in cache:
+            path = vector_file(self.dir, field)
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    cache[field] = HnswGraph.from_npz_bytes(f.read())
+            else:
+                cache[field] = None
+        return cache[field]
+
     def collection_partials(self) -> dict:
         return self.meta["stats"]

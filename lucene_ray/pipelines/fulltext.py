@@ -442,6 +442,48 @@ def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def knn_index_topk(sf_dir: str, query_ids: list[int], k: int = 10) -> pa.Table:
+    """INDEX-INTEGRATED KnnFloatVectorQuery (query_id, rnk, neighbor_id):
+    per-segment persisted HNSW graphs (index/vectors.py, the
+    Lucene99HnswVectorsWriter shape) searched through the ordinary
+    DistributedSearcher — each SegmentSearchWorker actor loads its
+    segments' graphs once and beam-searches per query; the TopDocs merge
+    keeps the global k.  Self-matches excluded (the query vectors are
+    rows of the same table)."""
+    from ..index.vectors import build_vector_index
+    from ..ops.ann import load_queries
+    from ..search.query import KnnFloatVectorQuery
+    from ..search.searcher import DistributedSearcher
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    idx = ensure_index(sf_dir)
+    build_vector_index(idx, emb)
+    searcher = DistributedSearcher(idx, num_workers=4)
+    q_ids, q_mat, _ = load_queries(emb, query_ids)
+    qids, rnks, nbrs = [], [], []
+    for j, qid in enumerate(q_ids):
+        hits = searcher.search(
+            KnnFloatVectorQuery("embedding", tuple(map(float, q_mat[j])), k + 1), k + 1
+        )
+        rnk = 0
+        for doc, _s in hits:
+            if doc == int(qid):
+                continue
+            rnk += 1
+            if rnk > k:
+                break
+            qids.append(int(qid))
+            rnks.append(rnk)
+            nbrs.append(doc)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "neighbor_id": pa.array(nbrs, pa.int64()),
+        }
+    )
+
+
 # classic query-parser strings exercised end-to-end (grouping, AND/OR/NOT,
 # +/- modifiers, ^boosts, prefix + inclusive term range); every construct
 # here is SQL-expressible so the oracle can replicate scoring exactly

@@ -187,6 +187,23 @@ class StoredFieldRange:
 
 
 @dataclass(frozen=True)
+class KnnFloatVectorQuery:
+    """Approximate k-nearest-neighbor by cosine over the per-SEGMENT
+    persisted HNSW graphs (reference search/KnnFloatVectorQuery.java over
+    codecs/lucene99 per-segment graphs): each segment's graph returns its
+    local top-k with cosine scores, the ordinary TopDocs merge keeps the
+    global k.  Build graphs with index.vectors.build_vector_index.
+    Deviation (documented): live-docs filtering is applied AFTER the beam
+    search (the reference threads an acceptDocs bitset through it), so a
+    heavily-deleted segment can return < k hits."""
+
+    field: str
+    vector: tuple[float, ...]
+    k: int
+    ef_search: int = 64
+
+
+@dataclass(frozen=True)
 class PointBoxQuery:
     """Constant-score multi-dimensional BOX match against the per-segment
     BKD-style point tree (reference search/PointRangeQuery.java over
@@ -229,6 +246,7 @@ Query = (
     | StoredFieldFilter
     | StoredFieldRange
     | PointBoxQuery
+    | KnnFloatVectorQuery
     | MultiPhraseQuery
 )
 
@@ -252,7 +270,7 @@ def collect_terms(q: Query) -> set[str]:
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, StoredFieldFilter, StoredFieldRange,
-                      PointBoxQuery)):
+                      PointBoxQuery, KnnFloatVectorQuery)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -410,6 +428,25 @@ def build_scorer(
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, KnnFloatVectorQuery):
+        from .scorers import PrecomputedScorer
+
+        graph = reader.vector_index(q.field)
+        if graph is None or not len(graph.ids):
+            return None
+        hits = graph.search(
+            np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search
+        )
+        if getattr(reader, "live", None) is not None:
+            live = np.asarray(reader.live, dtype=bool)
+            hits = [(d, s) for d, s in hits if live[d]]
+        if not hits:
+            return None
+        hits.sort()  # PrecomputedScorer wants ascending docids
+        docs = np.array([d for d, _ in hits], np.int64)
+        scores = np.array([s * boost for _, s in hits], np.float32)
+        return PrecomputedScorer(docs, scores)
 
     if isinstance(q, PointBoxQuery):
         from .scorers import PrecomputedScorer

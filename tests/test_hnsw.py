@@ -99,3 +99,63 @@ def test_persisted_recall_vs_brute(ray_session, corpus, tmp_path_factory):
     mine = {q: set(g["neighbor_id"]) for q, g in got.groupby("query_id")}
     recalls = [len(truth[q] & mine.get(q, set())) / 10 for q in truth]
     assert np.mean(recalls) >= 0.9, recalls
+
+
+# --- index-integrated KnnFloatVectorQuery (index/vectors.py) --------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_topk(qid: int, k: int = 10) -> list[int]:
+    e = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    ids = e.column("vec_id").to_numpy()
+    mat = np.stack(e.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float32)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qv = mat[list(ids).index(qid)]
+    sims = mat @ qv
+    return [int(ids[i]) for i in np.argsort(-sims) if int(ids[i]) != qid][:k]
+
+
+def test_knn_index_integrated_recall_and_no_rebuild(ray_session):
+    from lucene_ray.index import manifest as mf
+    from lucene_ray.index.vectors import vector_file
+    from lucene_ray.pipelines import fulltext as ft
+
+    t = ft.knn_index_topk(SF, [0, 1, 2], k=10).to_pandas()
+    idx = ft.ensure_index(SF)
+    files = [
+        vector_file(s["dir"], "embedding")
+        for s in mf.read_manifest(idx)["segments"]
+    ]
+    assert files and all(os.path.exists(f) for f in files)
+    mtimes = [os.path.getmtime(f) for f in files]
+    recalls = [
+        len(set(t[t.query_id == q].neighbor_id) & set(_brute_topk(q))) / 10
+        for q in (0, 1, 2)
+    ]
+    assert min(recalls) >= 0.9
+    # second run: graphs answered from the artifacts, zero construction
+    ft.knn_index_topk(SF, [0], k=5)
+    assert [os.path.getmtime(f) for f in files] == mtimes
+
+
+def test_knn_respects_deletes(ray_session, tmp_path):
+    from lucene_ray.index.deletes import clone_for_deletes, delete_by_key
+    from lucene_ray.pipelines import fulltext as ft
+    from lucene_ray.search.query import KnnFloatVectorQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    src = ft.ensure_index(SF)
+    t = ft.knn_index_topk(SF, [0], k=5).to_pandas()
+    victim = int(t[t.query_id == 0].iloc[0].neighbor_id)
+
+    clone = str(tmp_path / "knn_clone")
+    clone_for_deletes(src, clone)
+    delete_by_key(clone, "doc_id", [victim])
+    s = IndexSearcher(clone)
+    q_ids, q_mat, _ = ann.load_queries(os.path.join(SF, "embeddings.parquet"), [0])
+    hits = s.search(
+        KnnFloatVectorQuery("embedding", tuple(map(float, q_mat[0])), 6), 6
+    )
+    assert victim not in [d for d, _ in hits]
+    assert len(hits) > 0
