@@ -563,6 +563,46 @@ FROM toks t LEFT JOIN summed USING (doc_id)
 """
 
 
+def _boosted_sql() -> str:
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, boost) AS (VALUES {_BOOSTED_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.boost FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+-- rank on the float32-cast score: the engine scores in float32, so docs
+-- that TIE in float32 (engine breaks by doc_id) must also tie here
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -785,6 +825,8 @@ def _bm25_variants(sf_dir: str):
             ("distributed", _distributed_bm25(sf_dir)),
             ("merged", _merged_bm25(sf_dir)),
             ("salted", _salted_bm25(sf_dir)),
+            ("disjunction", ft.bm25_disjunction_topk(sf_dir)),
+            ("boosted", ft.bm25_boosted_topk(sf_dir)),
         ],
         col="variant",
     )
@@ -805,16 +847,80 @@ def _ann_variants(sf_dir: str):
 
 
 def _multiterm_matches(sf_dir: str):
-    """Prefix + wildcard + regexp expansion matches in one entry (the
-    MultiTermQuery family; fuzzy keeps its own entry for the
-    Damerau-Levenshtein oracle)."""
+    """Prefix + wildcard + regexp + fuzzy expansion matches in one entry
+    (the whole MultiTermQuery family; fuzzy's part of the oracle is the
+    DuckDB damerau_levenshtein differential)."""
     return _concat_family(
         [
             ("prefix", ft.prefix_matches(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
+            ("fuzzy", ft.fuzzy_matches(sf_dir)),
         ]
     )
+
+
+def _sort_family(sf_dir: str):
+    """SortField top-k (full scan, partial per-segment top-k) + index-time
+    sorted early-terminating top-k in one entry (search/Sort.java and
+    index/Sorter.java analogues; both (qid, rnk, doc_id)-shaped)."""
+    return _concat_family(
+        [
+            ("stored", ft.sort_by_field_topk(sf_dir)),
+            ("index_sorted", ft.index_sorted_topk(sf_dir)),
+        ]
+    )
+
+
+def _dd_signatures(sf_dir: str):
+    """MinHash signature matrix + SimHash 64-bit signatures in one entry:
+    (method, doc_id, i, sig) with sig as uint64 (simhash rows carry i=0)."""
+    import pandas as pd
+
+    from lucene_ray.ops import dedup
+
+    mh = dedup.minhash_signatures(_docs(sf_dir)).to_pandas()
+    mh["method"] = "minhash"
+    mh["sig"] = mh["sig"].astype("uint64")
+    sh = dedup.simhash(_docs(sf_dir)).to_pandas()
+    sh = sh.rename(columns={"simhash": "sig"})
+    sh["sig"] = sh["sig"].astype("uint64")
+    sh["i"] = 0
+    sh["method"] = "simhash"
+    # concat on pre-cast uint64 columns (int64+uint64 would promote to
+    # float64 and shred the high bits)
+    out = pd.concat([mh, sh], ignore_index=True)
+    out["sig"] = out["sig"].astype("uint64")
+    out["i"] = out["i"].astype("int64")
+    return out[["method", "doc_id", "i", "sig"]]
+
+
+def _dd_near_pairs(sf_dir: str):
+    """LSH-banded MinHash candidates + SimHash near pairs + n-gram Jaccard
+    pairs in one entry: (method, doc_a, doc_b, m1, m2) where m1/m2 are the
+    method's own integers (lsh: -1/-1, simhash: hamming/-1, ngram:
+    intersection/union sizes)."""
+    import pandas as pd
+
+    from lucene_ray.ops import dedup
+
+    lsh = dedup.lsh_candidate_pairs(_docs(sf_dir), max_group=10**6).to_pandas()
+    lsh["m1"] = -1
+    lsh["m2"] = -1
+    lsh["method"] = "lsh"
+    sh = dedup.simhash_near_pairs(_docs(sf_dir), max_group=10**6).to_pandas()
+    sh = sh.rename(columns={"hamming": "m1"})
+    sh["m2"] = -1
+    sh["method"] = "simhash"
+    ng = dedup.ngram_jaccard_pairs(
+        _docs(sf_dir), min_jaccard_pct=20, max_group=10**6
+    ).to_pandas()
+    ng = ng.rename(columns={"inter": "m1", "union_sz": "m2"})
+    ng["method"] = "ngram"
+    out = pd.concat([lsh, sh, ng], ignore_index=True)
+    for c in ("doc_a", "doc_b", "m1", "m2"):
+        out[c] = out[c].astype("int64")
+    return out[["method", "doc_a", "doc_b", "m1", "m2"]]
 
 
 def _phrase_family_counts(sf_dir: str):
@@ -883,11 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_collection_stats": ft.collection_stats,
         "ft_top_terms": ft.top_terms,
         "ft_bm25_topk": ft.bm25_topk,
-        "ft_bm25_disjunction_topk": ft.bm25_disjunction_topk,
-        "ft_bm25_boosted_topk": ft.bm25_boosted_topk,
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
-        "ft_fuzzy_matches": ft.fuzzy_matches,
         "ft_dismax_topk": ft.dismax_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
@@ -906,35 +1009,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multifield_topk": ft.multifield_topk,
         "ft_classic_topk": ft.classic_topk,
         "ft_combined_field_topk": ft.combined_field_topk,
-        "ft_sort_by_field": ft.sort_by_field_topk,
-        # index-time sort (IndexWriterConfig.setIndexSort analogue):
-        # early-terminating per-segment top-k over a docid-order == sort-order
-        # index (reference index/Sorter.java + TopFieldCollector)
-        "ft_index_sorted_topk": ft.index_sorted_topk,
+        # SortField top-k + index-time-sorted early-terminating top-k
+        # (search/Sort.java + index/Sorter.java) as one family entry
+        "ft_sort_family": _sort_family,
         "ft_facet_counts": lambda sf: ft.facet_counts(sf),
         # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
         "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
-        # token_stats + quality_stats fused into one entry (one tokenizer
-        # pass; frees driver-cap slots for ft_point_box/ft_parsed entries)
-        "tx_doc_stats": lambda sf: text.doc_stats(_docs(sf)),
+        # token_stats + quality_stats + lang-ID + fingerprints fused into
+        # one per-doc profile (single read pass; frees driver-cap slots)
+        "tx_doc_stats": lambda sf: text.doc_profile(_docs(sf)),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         "tx_stratified_sample": lambda sf: text.stratified_sample(
             _docs(sf), {"en": 50, "de": 25, "fr": 10}
         ),
-        "tx_lang_id": lambda sf: text.lang_id(_docs(sf)),
-        "tx_fingerprints": lambda sf: text.fingerprints_combined(_docs(sf)),
         # --- dedup ---
         "dd_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
-        "dd_minhash_sigs": lambda sf: dedup.minhash_signatures(_docs(sf)),
-        "dd_lsh_pairs": lambda sf: dedup.lsh_candidate_pairs(_docs(sf), max_group=10**6),
-        "dd_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
-            _docs(sf), min_jaccard_pct=20, max_group=10**6
-        ),
-        "dd_simhash": lambda sf: dedup.simhash(_docs(sf)),
-        "dd_simhash_pairs": lambda sf: dedup.simhash_near_pairs(
-            _docs(sf), max_group=10**6
-        ),
+        # MinHash + SimHash signatures in one family entry
+        "dd_signatures": _dd_signatures,
+        # LSH-band / SimHash-band / n-gram-Jaccard near-pair family
+        "dd_near_pairs": _dd_near_pairs,
         # --- similarity search ---
         "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
@@ -1000,55 +1094,13 @@ WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 {_BM25_COMMON}
 """,
-        "ft_bm25_disjunction_topk": f"""
-WITH {_TOKS}, {_LT},
-q(qid, term) AS (VALUES {_DISJ_VALUES}),
-{_BM25_COMMON}
-""",
-        "ft_bm25_boosted_topk": f"""
-WITH {_TOKS}, {_LT},
-q(qid, term, boost) AS (VALUES {_BOOSTED_VALUES}),
-dlq AS (
-  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
-),
-stats AS (
-  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
-         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
-  FROM dl
-),
-posting AS (
-  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.boost FROM q JOIN tf ON tf.tok = q.term
-),
-df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
-clause AS (
-  SELECT p.qid, p.doc_id,
-         p.boost * ln(1 + (s.doc_count - df.df + 0.5) / (df.df + 0.5))
-           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
-              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
-  FROM posting p
-  JOIN df ON df.qid = p.qid AND df.term = p.term
-  JOIN dlq d ON d.doc_id = p.doc_id
-  CROSS JOIN stats s
-),
-scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
--- rank on the float32-cast score: the engine scores in float32, so docs
--- that TIE in float32 (engine breaks by doc_id) must also tie here
-ranked AS (
-  SELECT qid, doc_id,
-         row_number() OVER (
-           PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id
-         ) AS rnk
-  FROM scored
-)
-SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
-""",
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""
 SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
+UNION ALL SELECT 'fuzzy', * FROM ({_fuzzy_sql()})
 """,
-        "ft_fuzzy_matches": _fuzzy_sql(),
         "ft_dismax_topk": _dismax_sql(),
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": f"""
@@ -1446,7 +1498,8 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
-        "ft_sort_by_field": f"""
+        "ft_sort_family": f"""
+SELECT 'stored' AS family, s.* FROM (
 WITH {_TOKS},
 q(qid, term, fld, dir) AS (VALUES {_SORTED_VALUES}),
 m AS (
@@ -1463,8 +1516,8 @@ ranked AS (
   FROM m
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
-""",
-        "ft_index_sorted_topk": f"""
+) s
+UNION ALL SELECT 'index_sorted', i.* FROM (
 WITH {_TOKS},
 q(qid, term) AS (VALUES {_ISORT_VALUES}),
 m AS (
@@ -1479,6 +1532,7 @@ ranked AS (
   FROM m
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) i
 """,
         "ft_code_term_stats": r"""
 WITH runs AS (
@@ -1505,6 +1559,13 @@ FROM (WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 {_BM25_COMMON}) b
 CROSS JOIN (VALUES ('distributed'), ('merged'), ('salted')) v(variant)
+UNION ALL
+SELECT 'disjunction', b.*
+FROM (WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_DISJ_VALUES}),
+{_BM25_COMMON}) b
+UNION ALL
+SELECT 'boosted', b.* FROM ({_boosted_sql()}) b
 """,
         "tx_scrub_pii": """
 SELECT doc_id,
@@ -1520,48 +1581,29 @@ FROM documents
 WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
       < (CASE lang WHEN 'de' THEN 25 WHEN 'en' THEN 50 WHEN 'fr' THEN 10 ELSE 0 END)
 """,
-        "tx_doc_stats": _doc_stats_sql(),
-        "tx_lang_id": _lang_sql(),
-        "tx_fingerprints": f"""
-SELECT a.doc_id, a.fp, b.roll_fp
-FROM (WITH {_TOKS}
-      SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks) a
-JOIN ({_rolling_fp_sql()}) b USING (doc_id)
+        # per-doc profile: token/quality stats + lang-ID + fingerprints
+        # joined on doc_id (mirrors ops/text.doc_profile's fused pass)
+        "tx_doc_stats": f"""
+SELECT s.*, l.* EXCLUDE (doc_id), f.fp, f.roll_fp
+FROM ({_doc_stats_sql()}) s
+JOIN ({_lang_sql()}) l USING (doc_id)
+JOIN (SELECT a.doc_id, a.fp, b.roll_fp
+      FROM (WITH {_TOKS}
+            SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks) a
+      JOIN ({_rolling_fp_sql()}) b USING (doc_id)) f USING (doc_id)
 """,
         "dd_exact": """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
 """,
-        "dd_minhash_sigs": f"""
+        "dd_signatures": f"""
+SELECT 'minhash' AS method, doc_id, i::BIGINT AS i, sig::UBIGINT AS sig
+FROM (
 WITH {_TOKS}, {_SHINGLES}, {_MINHASH}
 SELECT doc_id, i, sig FROM perm
-""",
-        "dd_lsh_pairs": f"""
-WITH {_TOKS}, {_SHINGLES}, {_MINHASH},
-bands AS (
-  SELECT doc_id, (i // {LSH_ROWS_PER_BAND})::BIGINT AS band,
-         string_agg(sig::VARCHAR, '_' ORDER BY i) AS key
-  FROM perm GROUP BY doc_id, band
 )
-SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-""",
-        "dd_ngram_jaccard": f"""
-WITH {_TOKS}, {_SHINGLES},
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db_, count(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id)
-SELECT da::BIGINT AS doc_a, db_::BIGINT AS doc_b, inter,
-       (sa.sz + sb.sz - inter)::BIGINT AS union_sz
-FROM inter
-JOIN sizes sa ON sa.doc_id = da
-JOIN sizes sb ON sb.doc_id = db_
-WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
-""",
-        "dd_simhash": f"""
+UNION ALL
+SELECT 'simhash', doc_id, 0::BIGINT, simhash::UBIGINT
+FROM (
 WITH {_TOKS},
 bits AS (
   SELECT doc_id, p.b::BIGINT AS b,
@@ -1572,8 +1614,24 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS simhash
 FROM bits GROUP BY doc_id
+)
 """,
-        "dd_simhash_pairs": f"""
+        "dd_near_pairs": f"""
+SELECT 'lsh' AS method, doc_a, doc_b, -1::BIGINT AS m1, -1::BIGINT AS m2
+FROM (
+WITH {_TOKS}, {_SHINGLES}, {_MINHASH},
+bands AS (
+  SELECT doc_id, (i // {LSH_ROWS_PER_BAND})::BIGINT AS band,
+         string_agg(sig::VARCHAR, '_' ORDER BY i) AS key
+  FROM perm GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+UNION ALL
+SELECT 'simhash', doc_a, doc_b, hamming, -1::BIGINT
+FROM (
 WITH {_TOKS},
 bits AS (
   SELECT doc_id, p.b::BIGINT AS b,
@@ -1602,6 +1660,24 @@ FROM cand
 JOIN sigs sa ON sa.doc_id = da
 JOIN sigs sb ON sb.doc_id = db_
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8
+)
+UNION ALL
+SELECT 'ngram', doc_a, doc_b, inter, union_sz
+FROM (
+WITH {_TOKS}, {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db_, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id)
+SELECT da::BIGINT AS doc_a, db_::BIGINT AS doc_b, inter,
+       (sa.sz + sb.sz - inter)::BIGINT AS union_sz
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db_
+WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
+)
 """,
         "ann_topk_variants": """
 SELECT v.variant, b.*

@@ -295,6 +295,26 @@ def fingerprints_combined(ds):
     return _map(ds, _both)
 
 
+def doc_profile(ds):
+    """token/quality stats + language-ID + both fingerprints as ONE per-doc
+    table in a single read pass (one map_batches stage, no shuffle): the
+    doc_stats columns plus (c_<lang>..., lang_pred, fp, roll_fp)."""
+
+    def _all(batch: pa.Table) -> pa.Table:
+        stats = doc_stats_batch(batch).sort_by("doc_id")
+        lang = lang_id_batch(batch).sort_by("doc_id")
+        fp = fingerprint_batch(batch).sort_by("doc_id")
+        roll = rolling_fingerprint_batch(batch).sort_by("doc_id")
+        out = stats
+        for extra in (lang, fp, roll):
+            for name in extra.column_names:
+                if name != "doc_id":
+                    out = out.append_column(name, extra.column(name))
+        return out
+
+    return _map(ds, _all)
+
+
 # --- PII scrubbing --------------------------------------------------------
 
 # RE2/rust-regex-common patterns (no lookarounds) so polars and the DuckDB
