@@ -119,6 +119,11 @@ _BOOSTED_VALUES = ", ".join(
     for qi, clauses in enumerate(ft.BOOSTED_DISJUNCTIONS)
     for t, b in clauses
 )
+_SYN_VALUES = ", ".join(
+    f"({qi}, '{t}', {b})"
+    for qi, (terms, boosts) in enumerate(ft.SYNONYM_QUERIES)
+    for t, b in zip(terms, boosts)
+)
 
 # BM25 over the same quantized document lengths the index stores:
 # dlq = LENGTH_TABLE[intToByte4(dl)]; idf = ln(1+(N-df+0.5)/(df+0.5));
@@ -992,6 +997,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
         "ft_dismax_topk": ft.dismax_topk,
+        # SynonymQuery: blended pseudo-term stats (df=max, ttf=sum) over
+        # boosted member terms, freq = sum(boost*tf)
+        "ft_synonym_topk": ft.synonym_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1093,6 +1101,47 @@ ORDER BY total_term_freq DESC, term ASC LIMIT 25
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 {_BM25_COMMON}
+""",
+        # SynonymQuery blended scoring (SynonymQuery.java): ONE idf from the
+        # blended df=max(term df); freq = sum(boost*tf); terms with df=0
+        # drop out of both naturally
+        "ft_synonym_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, boost) AS (VALUES {_SYN_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, q.term, q.boost, tf.doc_id, tf.tf FROM q JOIN tf ON tf.tok = q.term
+),
+tstat AS (
+  SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term
+),
+blend AS (SELECT qid, max(df)::BIGINT AS df FROM tstat GROUP BY qid),
+freqs AS (
+  SELECT qid, doc_id, sum(boost * tf) AS freq FROM posting GROUP BY qid, doc_id
+),
+scored AS (
+  SELECT f.qid, f.doc_id,
+         ln(1 + (s.doc_count - b.df + 0.5) / (b.df + 0.5))
+           * (1 - 1 / (1 + f.freq / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM freqs f
+  JOIN blend b ON b.qid = f.qid
+  JOIN dlq d ON d.doc_id = f.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""

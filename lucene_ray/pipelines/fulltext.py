@@ -305,6 +305,40 @@ def bm25_disjunction_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORE
     )
 
 
+# (terms, boosts): boosts are exact binary fractions so the float32 freq
+# sum in the engine equals the oracle's double sum bit-for-bit
+SYNONYM_QUERIES = [
+    (("join", "merge"), (1.0, 0.5)),
+    (("spark", "stream"), (1.0, 1.0)),
+    (("customer", "order"), (1.0, 0.25)),
+    (("window", "batch"), (0.5, 1.0)),
+    (("vector", "hash", "stream"), (1.0, 0.5, 0.25)),
+]
+
+
+def synonym_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """SynonymQuery blended-stats top-k (search/SynonymQuery.java): one
+    pseudo-term with df=max, ttf=sum, per-doc freq=sum(boost*tf)."""
+    from ..search.query import SynonymQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (terms, boosts) in enumerate(SYNONYM_QUERIES):
+        hits = searcher.search(SynonymQuery(terms, boosts), k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 PHRASES = [
     ["batch", "batch"],
     ["join", "order"],

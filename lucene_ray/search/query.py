@@ -159,6 +159,25 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class SynonymQuery:
+    """Terms that are synonyms of one another, scored as ONE pseudo-term:
+    blended df = max(per-term df), blended ttf = sum(per-term ttf), and
+    per-doc freq = sum(boost_i * tf_i) fed to a single SimScorer.
+
+    Reference: search/SynonymQuery.java:205-231 (blended TermStatistics —
+    docFreq max, totalTermFreq sum over terms with df > 0) and :610-700
+    (SynonymScorer.freq() sums FreqBoostTermScorer boost*freq).  Boosts
+    must be in (0, 1] like the reference builder enforces."""
+
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
+
+    def term_boosts(self) -> tuple[tuple[str, float], ...]:
+        bs = self.boosts or tuple(1.0 for _ in self.terms)
+        return tuple(zip(self.terms, bs))
+
+
+@dataclass(frozen=True)
 class StoredFieldFilter:
     """Constant-score match on a stored metadata column (``lang``,
     ``source``, ...) — the pragmatic doc-values filter (reference
@@ -274,6 +293,8 @@ def collect_terms(q: Query) -> set[str]:
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
+    if isinstance(q, SynonymQuery):
+        return set(q.terms)
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
         for sub in q.queries:
@@ -303,6 +324,24 @@ class Weight:
         if s is None:
             ts = self.term_stats[term]
             s = self.similarity.scorer(boost, self.collection_stats, ts)
+            self._sim_cache[key] = s
+        return s
+
+    def synonym_sim_scorer(self, terms: tuple[str, ...], boost: float):
+        """Single SimScorer over blended pseudo-term stats: df = max df,
+        ttf = sum ttf over terms with df > 0 (SynonymQuery.java:205-231)."""
+        key = ("synonym", terms, float(boost))
+        s = self._sim_cache.get(key)
+        if s is None:
+            df = 0
+            ttf = 0
+            for t in terms:
+                ts = self.term_stats[t]
+                if ts.doc_freq > 0:
+                    df = max(df, ts.doc_freq)
+                    ttf += ts.total_term_freq
+            blended = TermStatistics("synonym pseudo-term", df, ttf)
+            s = self.similarity.scorer(boost, self.collection_stats, blended)
             self._sim_cache[key] = s
         return s
 

@@ -266,6 +266,33 @@ class IndexSearcher:
         return total
 
 
+def _synonym_search_segment(reader, query, weight: Weight, k: int):
+    """Dense SynonymScorer analogue: per-doc freq = sum(boost * tf) over
+    the member terms (float32 — boosts restricted to exact binary fractions
+    keep the sum bit-stable), scored once by the blended SimScorer
+    (SynonymQuery.java SynonymScorer.freq())."""
+    freq = np.zeros(reader.max_doc, dtype=np.float32)
+    for term, boost in query.term_boosts():
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        docs, tfs = reader.decode_term_cached(tid)
+        freq[docs] += np.float32(boost) * tfs.astype(np.float32)
+    if reader.live is not None:
+        freq[~reader.live] = 0
+    cand = np.nonzero(freq)[0]
+    if len(cand) == 0:
+        return []
+    sim = weight.synonym_sim_scorer(query.terms, 1.0)
+    sc = sim.score_bulk(freq[cand], np.asarray(reader.norms)[cand])
+    if len(cand) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        cand, sc = cand[keep], sc[keep]
+    order = np.lexsort((cand, -sc))[:k]
+    return [(int(cand[i]), np.float32(sc[i])) for i in order]
+
+
 def _dismax_search_segment(reader, query, weight: Weight, k: int):
     """Dense DisjunctionMax top-k via the shared dismax kernel
     (query.dismax_dense_matches); ties by docid."""
@@ -464,10 +491,13 @@ def search_segment(
         PhraseQuery,
         PrefixQuery,
         RegexpQuery,
+        SynonymQuery,
         TermRangeQuery,
         WildcardQuery,
     )
 
+    if isinstance(query, SynonymQuery):
+        return _synonym_search_segment(reader, query, weight, k)
     if isinstance(query, PhraseQuery):
         return _phrase_search_segment(reader, query, weight, k)
     if isinstance(query, MultiPhraseQuery):
