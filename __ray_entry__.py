@@ -1000,6 +1000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SynonymQuery: blended pseudo-term stats (df=max, ttf=sum) over
         # boosted member terms, freq = sum(boost*tf)
         "ft_synonym_topk": ft.synonym_topk,
+        # lucene/suggest analogue: weighted prefix completion from the
+        # term dictionary (doc-freq weights, dictionary range scan only)
+        "ft_suggest_prefix": ft.suggest_prefix,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1142,6 +1145,22 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        # suggester: completions = dictionary terms under the prefix,
+        # weight = doc freq, ties broken term-ascending
+        "ft_suggest_prefix": f"""
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.PREFIXES))}),
+ranked AS (
+  SELECT q.qid, ts.term, ts.weight,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY ts.weight DESC, ts.term
+         ) AS rnk
+  FROM q JOIN ts ON ts.term LIKE q.p || '%'
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
 """,
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""

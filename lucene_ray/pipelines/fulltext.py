@@ -821,6 +821,53 @@ def bm25_boosted_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 PREFIXES = ["sp", "wi", "c", "ba", "jo"]
+
+
+def suggest_prefix(sf_dir: str, n: int = 10) -> pa.Table:
+    """Weighted prefix completion (lucene/suggest WFSTCompletionLookup +
+    HighFrequencyDictionary analogue): top-N dictionary terms under each
+    prefix by (doc_freq DESC, term ASC), summed across segments.
+    (qid, rnk, term, weight)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    idx = ensure_index(sf_dir)
+    prefixes = PREFIXES
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, terms, ws = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            q, t, w = suggest.segment_completions(r, prefixes)
+            qids += q
+            terms += t
+            ws += w
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "weight": pa.array(ws, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(_seg, batch_format="pyarrow")
+    agg = ds.groupby(["qid", "term"]).sum("weight")
+    agg = agg.map_batches(
+        lambda b: suggest.partial_topn(
+            b.rename_columns(["qid", "term", "weight"]), n
+        ),
+        batch_format="pyarrow",
+    )
+    # final merge: <= n * num_blocks rows per prefix
+    df = agg.to_pandas()
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
 TERM_RANGES = [("a", "d"), ("m", "s"), ("s", None), (None, "h")]
 
 

@@ -79,6 +79,36 @@ def test_synonym_with_dead_member_equals_term_query(idx):
     assert [(d, float(s)) for d, s in syn] == [(d, float(s)) for d, s in single]
 
 
+def test_suggester_matches_brute(idx):
+    """Completion = (weight DESC, term ASC) over dictionary terms under the
+    prefix, weight = cross-segment doc freq (WFSTCompletionLookup +
+    HighFrequencyDictionary semantics)."""
+    from collections import Counter
+
+    from lucene_ray.search.suggest import segment_completions
+
+    searcher = IndexSearcher(idx)
+    # brute: full dictionary union across segments
+    weights: Counter = Counter()
+    for reader in searcher.readers:
+        for tid in range(reader.n_terms):
+            weights[reader.term_string(tid)] += int(
+                np.asarray(reader.enc.doc_freq)[tid]
+            )
+    for prefix in ["de", "re", "c", "zz"]:
+        want = sorted(
+            ((t, w) for t, w in weights.items() if t.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got: Counter = Counter()
+        for reader in searcher.readers:
+            q, t, w = segment_completions(reader, [prefix])
+            for term, wt in zip(t, w):
+                got[term] += wt
+        got_sorted = sorted(got.items(), key=lambda x: (-x[1], x[0]))[:10]
+        assert got_sorted == want, prefix
+
+
 def test_synonym_blend_differs_from_disjunction(idx):
     """Blended scoring is NOT a SHOULD disjunction: one idf on the summed
     freq vs a sum of per-term scores."""
