@@ -119,6 +119,9 @@ _BOOSTED_VALUES = ", ".join(
     for qi, clauses in enumerate(ft.BOOSTED_DISJUNCTIONS)
     for t, b in clauses
 )
+_GROUPED_VALUES = ", ".join(
+    f"({qi}, '{t}')" for qi, terms in enumerate(ft.GROUPED_QUERIES) for t in terms
+)
 _SYN_VALUES = ", ".join(
     f"({qi}, '{t}', {b})"
     for qi, (terms, boosts) in enumerate(ft.SYNONYM_QUERIES)
@@ -1003,6 +1006,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lucene/suggest analogue: weighted prefix completion from the
         # term dictionary (doc-freq weights, dictionary range scan only)
         "ft_suggest_prefix": ft.suggest_prefix,
+        # lucene/grouping analogue: top groups by best hit, top docs per
+        # group (two-pass collectors as one distributed pass + reduce)
+        "ft_grouped_topk": ft.grouped_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1145,6 +1151,60 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        # grouping: groups ranked by their best hit (float32 score desc,
+        # head doc asc), docs within a group by (score desc, doc asc)
+        "ft_grouped_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_GROUPED_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+gs AS (
+  SELECT s.qid, d.{ft.GROUP_FIELD} AS grp, s.doc_id, s.score::FLOAT AS fscore
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+within AS (
+  SELECT qid, grp, doc_id,
+         row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, doc_id) AS rnk
+  FROM gs
+),
+heads AS (
+  SELECT qid, grp, fscore, doc_id FROM (
+    SELECT qid, grp, fscore, doc_id,
+           row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, doc_id) AS hr
+    FROM gs) h WHERE hr = 1
+),
+granks AS (
+  SELECT qid, grp,
+         row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, doc_id) AS grp_rnk
+  FROM heads
+)
+SELECT w.qid::BIGINT AS qid, g.grp_rnk::BIGINT AS grp_rnk, w.grp,
+       w.rnk::BIGINT AS rnk, w.doc_id
+FROM within w JOIN granks g ON g.qid = w.qid AND g.grp = w.grp
+WHERE g.grp_rnk <= {ft.N_GROUPS} AND w.rnk <= {ft.K_IN_GROUP}
 """,
         # suggester: completions = dictionary terms under the prefix,
         # weight = doc freq, ties broken term-ascending

@@ -305,6 +305,132 @@ def bm25_disjunction_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORE
     )
 
 
+# grouping (lucene/grouping two-pass collectors): group docs by a stored
+# field, rank groups by their best hit, keep top docs per group
+GROUP_FIELD = "source"
+N_GROUPS = 5
+K_IN_GROUP = 3
+GROUPED_QUERIES = [
+    ("spark",),
+    ("join",),
+    ("window", "batch"),
+    ("stream", "vector"),
+]
+
+
+def _seg_grouped_partials(
+    batch: pa.Table, queries: list, field: str, k: int, weight_stats: dict
+) -> pa.Table:
+    """Per-segment pass: score every match (dense COMPLETE semantics),
+    attach the group key from the stored column, keep top-k per (query,
+    group).  The FirstPass/TopGroups collector state, as one vectorized
+    stage (reference grouping/FirstPassGroupingCollector.java)."""
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import TermQuery, Weight, bool_query
+
+    weight = Weight(
+        collection_stats=CollectionStatistics(**weight_stats["collection"]),
+        term_stats={
+            t: TermStatistics(t, df, ttf)
+            for t, (df, ttf) in weight_stats["terms"].items()
+        },
+    )
+    out_qid, out_grp, out_doc, out_score = [], [], [], []
+    for row in batch.to_pylist():
+        reader = SegmentReader(row["dir"])
+        doc_base = row["doc_base"]
+        groups = reader.stored_column(field).to_numpy(zero_copy_only=False)
+        for qid, terms in enumerate(queries):
+            q = (
+                TermQuery(terms[0])
+                if len(terms) == 1
+                else bool_query(should=[TermQuery(t) for t in terms])
+            )
+            docs, scores = _clause_scores(q, weight, reader, 1.0)
+            if reader.live is not None and len(docs):
+                m = reader.live[docs]
+                docs, scores = docs[m], scores[m]
+            if len(docs) == 0:
+                continue
+            sc64 = scores.astype(np.float64)
+            g = groups[docs]
+            for grp in np.unique(g):
+                sel = g == grp
+                d, s = docs[sel], sc64[sel]
+                order = np.lexsort((d, -s))[:k]
+                for i in order:
+                    out_qid.append(qid)
+                    out_grp.append(str(grp))
+                    out_doc.append(int(d[i]) + doc_base)
+                    out_score.append(float(s[i]))
+    return pa.table(
+        {
+            "qid": pa.array(out_qid, pa.int64()),
+            "grp": pa.array(out_grp, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "score": pa.array(out_score, pa.float64()),
+        }
+    )
+
+
+def grouped_topk(sf_dir: str) -> pa.Table:
+    """Top-N_GROUPS groups per query ranked by best hit (score desc, head
+    doc asc), top-K_IN_GROUP docs within each group: (qid, grp_rnk, grp,
+    rnk, doc_id).  Two-pass grouping collapsed into one distributed pass:
+    per-segment per-group top-k partials -> Ray groupby reduce -> tiny
+    driver group-ranking step (bounded by n_queries * n_groups * k)."""
+    import pandas as pd
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    terms = sorted({t for q in GROUPED_QUERIES for t in q})
+    stats = searcher.term_statistics(set(terms))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {t: (stats[t].doc_freq, stats[t].total_term_freq) for t in terms},
+    }
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(
+        lambda b: _seg_grouped_partials(
+            b, GROUPED_QUERIES, GROUP_FIELD, K_IN_GROUP, weight_stats
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _reduce_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).head(
+            K_IN_GROUP
+        )
+        return df
+
+    part = (
+        ds.groupby(["qid", "grp"])
+        .map_groups(_reduce_group, batch_format="pandas")
+        .to_pandas()
+    )
+    # group heads: best (score desc, doc asc) row per (qid, grp)
+    part = part.sort_values(["qid", "grp", "score", "doc_id"],
+                            ascending=[True, True, False, True])
+    heads = part.groupby(["qid", "grp"], sort=False).first().reset_index()
+    heads = heads.sort_values(["qid", "score", "doc_id"],
+                              ascending=[True, False, True])
+    heads["grp_rnk"] = heads.groupby("qid").cumcount() + 1
+    heads = heads[heads["grp_rnk"] <= N_GROUPS][["qid", "grp", "grp_rnk"]]
+    out = part.merge(heads, on=["qid", "grp"], how="inner")
+    out["rnk"] = out.groupby(["qid", "grp"]).cumcount() + 1
+    out = out.sort_values(["qid", "grp_rnk", "rnk"])
+    return pa.Table.from_pandas(
+        out[["qid", "grp_rnk", "grp", "rnk", "doc_id"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 # (terms, boosts): boosts are exact binary fractions so the float32 freq
 # sum in the engine equals the oracle's double sum bit-for-bit
 SYNONYM_QUERIES = [

@@ -109,6 +109,27 @@ def test_suggester_matches_brute(idx):
         assert got_sorted == want, prefix
 
 
+def test_grouped_topk_invariants(ray_session):
+    """Grouping structure: grp_rnk dense 1..N per qid, rnk dense 1..k per
+    (qid, grp), and every doc really belongs to its claimed group."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines import fulltext as ft
+
+    sf = "/root/testdata/sf0.001"
+    out = ft.grouped_topk(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", ft.GROUP_FIELD])
+    src = dict(zip(docs["doc_id"].to_pylist(), docs[ft.GROUP_FIELD].to_pylist()))
+    for qid, g in out.groupby("qid"):
+        granks = sorted(g["grp_rnk"].unique())
+        assert granks == list(range(1, len(granks) + 1))
+        assert len(granks) <= ft.N_GROUPS
+        for (_, grp), rows in g.groupby(["grp_rnk", "grp"]):
+            assert sorted(rows["rnk"]) == list(range(1, len(rows) + 1))
+            assert len(rows) <= ft.K_IN_GROUP
+            assert all(src[d] == grp for d in rows["doc_id"])
+
+
 def test_synonym_blend_differs_from_disjunction(idx):
     """Blended scoring is NOT a SHOULD disjunction: one idf on the summed
     freq vs a sum of per-term scores."""
