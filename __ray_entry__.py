@@ -119,6 +119,14 @@ _BOOSTED_VALUES = ", ".join(
     for qi, clauses in enumerate(ft.BOOSTED_DISJUNCTIONS)
     for t, b in clauses
 )
+_JOIN_VALUES = ", ".join(
+    f"({qi}, '{t}')" for qi, terms in enumerate(ft.JOIN_QUERIES) for t in terms
+)
+_FSQ_VALUES = ", ".join(
+    f"({qi}, '{t}')"
+    for qi, terms in enumerate(ft.FUNCTION_SCORE_QUERIES)
+    for t in terms
+)
 _GROUPED_VALUES = ", ".join(
     f"({qi}, '{t}')" for qi, terms in enumerate(ft.GROUPED_QUERIES) for t in terms
 )
@@ -1009,6 +1017,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lucene/grouping analogue: top groups by best hit, top docs per
         # group (two-pass collectors as one distributed pass + reduce)
         "ft_grouped_topk": ft.grouped_topk,
+        # queries/function FunctionScoreQuery: score * ln(1 + n_chars)
+        "ft_function_score_topk": ft.function_score_topk,
+        # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
+        "ft_join_topk": ft.join_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1149,6 +1161,92 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
   FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        # JoinUtil ScoreMode.Max: join value's best float32 from-score
+        # becomes every to-side doc's score; ties by doc_id
+        "ft_join_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_JOIN_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+vals AS (
+  SELECT s.qid, d.{ft.JOIN_FIELD} AS v, max(s.score::FLOAT) AS jscore
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY s.qid, d.{ft.JOIN_FIELD}
+),
+to_side AS (
+  SELECT v.qid, dd.doc_id, v.jscore
+  FROM vals v JOIN documents dd ON dd.{ft.JOIN_FIELD} = v.v
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY jscore DESC, doc_id) AS rnk
+  FROM to_side
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        # FunctionScoreQuery: float32 inner BM25 score times ln(1+n_chars)
+        # in double, float32 cast for ranking
+        "ft_function_score_topk": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_FSQ_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+fs AS (
+  SELECT s.qid, s.doc_id,
+         (s.score::FLOAT * ln(1 + d.{ft.FUNCTION_SCORE_FIELD}))::FLOAT AS fscore
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, doc_id) AS rnk
+  FROM fs
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,

@@ -431,6 +431,187 @@ def grouped_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# query-time join (lucene/join JoinUtil.createJoinQuery, ScoreMode.Max):
+# fromQuery matches aggregate a per-join-value max score; the to side
+# matches every doc sharing the value, scored by that aggregate
+JOIN_QUERIES = [
+    ("spark",),
+    ("join", "merge"),
+    ("customer",),
+    ("vector", "stream"),
+]
+JOIN_FIELD = "source"
+
+
+def _seg_join_from(batch: pa.Table, queries: list, field: str, weight_stats: dict) -> pa.Table:
+    """Phase 1: per-segment (qid, join_value, max float32 from-score)."""
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import TermQuery, Weight, bool_query
+
+    weight = Weight(
+        collection_stats=CollectionStatistics(**weight_stats["collection"]),
+        term_stats={
+            t: TermStatistics(t, df, ttf)
+            for t, (df, ttf) in weight_stats["terms"].items()
+        },
+    )
+    out_qid, out_val, out_score = [], [], []
+    for row in batch.to_pylist():
+        reader = SegmentReader(row["dir"])
+        vals = reader.stored_column(field).to_numpy(zero_copy_only=False)
+        for qid, terms in enumerate(queries):
+            q = (
+                TermQuery(terms[0])
+                if len(terms) == 1
+                else bool_query(should=[TermQuery(t) for t in terms])
+            )
+            docs, scores = _clause_scores(q, weight, reader, 1.0)
+            if reader.live is not None and len(docs):
+                m = reader.live[docs]
+                docs, scores = docs[m], scores[m]
+            if len(docs) == 0:
+                continue
+            v = vals[docs]
+            for val in np.unique(v):
+                out_qid.append(qid)
+                out_val.append(str(val))
+                out_score.append(float(scores[v == val].max()))
+    return pa.table(
+        {
+            "qid": pa.array(out_qid, pa.int64()),
+            "val": pa.array(out_val, pa.string()),
+            "score": pa.array(out_score, pa.float64()),
+        }
+    )
+
+
+def join_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """JoinUtil analogue: (qid, rnk, doc_id) of to-side docs scored by the
+    max from-score of their join value.  Phase 1 partial-aggregates per
+    segment and reduces per (qid, value); phase 2 broadcasts the small
+    value->score side and scans to-side segments for per-segment top-k."""
+    import ray
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    terms = sorted({t for q in JOIN_QUERIES for t in q})
+    stats = searcher.term_statistics(set(terms))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {t: (stats[t].doc_freq, stats[t].total_term_freq) for t in terms},
+    }
+    segs = _segment_dirs(idx)
+    part = (
+        rd.from_items(segs)
+        .map_batches(
+            lambda b: _seg_join_from(b, JOIN_QUERIES, JOIN_FIELD, weight_stats),
+            batch_format="pyarrow",
+        )
+        .groupby(["qid", "val"])
+        .max("score")
+        .to_pandas()
+    )
+    # value->score maps are join-key-bounded (not corpus-bounded): ship once
+    joined: dict[int, dict[str, float]] = {}
+    for _, r in part.iterrows():
+        joined.setdefault(int(r["qid"]), {})[r["val"]] = float(r["max(score)"])
+    joined_ref = ray.put(joined)
+
+    def _seg_to_side(batch: pa.Table) -> pa.Table:
+        jmap = ray.get(joined_ref)
+        out_qid, out_doc, out_score = [], [], []
+        for row in batch.to_pylist():
+            reader = SegmentReader(row["dir"])
+            doc_base = row["doc_base"]
+            vals = reader.stored_column(JOIN_FIELD).to_numpy(zero_copy_only=False)
+            live = reader.live
+            # factorize once: the python lookup walks UNIQUE join values
+            # (key-bounded), the per-doc expansion is a numpy gather
+            uniq, inv = np.unique(vals, return_inverse=True)
+            for qid, vmap in jmap.items():
+                uscore = np.array(
+                    [vmap.get(u, np.nan) for u in uniq], dtype=np.float64
+                )
+                sc = uscore[inv]
+                mask = ~np.isnan(sc)
+                if live is not None:
+                    mask &= live
+                docs = np.nonzero(mask)[0]
+                if len(docs) == 0:
+                    continue
+                s = sc[docs]
+                order = np.lexsort((docs, -s))[:k]
+                for i in order:
+                    out_qid.append(qid)
+                    out_doc.append(int(docs[i]) + doc_base)
+                    out_score.append(float(s[i]))
+        return pa.table(
+            {
+                "qid": pa.array(out_qid, pa.int64()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    cand = (
+        rd.from_items(segs)
+        .map_batches(_seg_to_side, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    cand = cand.groupby("qid", sort=True).head(k)
+    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        cand[["qid", "rnk", "doc_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+FUNCTION_SCORE_QUERIES = [
+    ("spark",),
+    ("join", "order"),
+    ("window",),
+    ("customer", "hash"),
+]
+FUNCTION_SCORE_FIELD = "n_chars"
+
+
+def function_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """FunctionScoreQuery top-k: BM25 score boosted by ln(1 + n_chars)
+    (queries/function boostByValue over a long-field DoubleValuesSource)."""
+    from ..search.query import FunctionScoreQuery, TermQuery, bool_query
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, terms in enumerate(FUNCTION_SCORE_QUERIES):
+        inner = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else bool_query(should=[TermQuery(t) for t in terms])
+        )
+        q = FunctionScoreQuery(inner, FUNCTION_SCORE_FIELD)
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # (terms, boosts): boosts are exact binary fractions so the float32 freq
 # sum in the engine equals the oracle's double sum bit-for-bit
 SYNONYM_QUERIES = [

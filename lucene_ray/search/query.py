@@ -178,6 +178,20 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class FunctionScoreQuery:
+    """Replace the inner query's score with a function of it and a stored
+    numeric field: score' = float32(double(score) * ln(1 + field_value)).
+
+    Reference: queries/function/FunctionScoreQuery.java (boostByValue —
+    DoubleValuesSource product evaluated in double, cast to float) with
+    DoubleValuesSource.fromLongField over the columnar stored field (the
+    NumericDocValues analogue)."""
+
+    query: "Query"
+    field: str
+
+
+@dataclass(frozen=True)
 class StoredFieldFilter:
     """Constant-score match on a stored metadata column (``lang``,
     ``source``, ...) — the pragmatic doc-values filter (reference
@@ -295,6 +309,8 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.query)
     if isinstance(q, SynonymQuery):
         return set(q.terms)
+    if isinstance(q, FunctionScoreQuery):
+        return collect_terms(q.query)
     if isinstance(q, DisjunctionMaxQuery):
         out: set[str] = set()
         for sub in q.queries:

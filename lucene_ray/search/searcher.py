@@ -266,6 +266,30 @@ class IndexSearcher:
         return total
 
 
+def _function_score_search_segment(reader, query, weight: Weight, k: int):
+    """FunctionScoreQuery: inner dense COMPLETE scores remapped by the
+    DoubleValuesSource product (double math, float32 cast —
+    queries/function/FunctionScoreQuery.java boostByValue)."""
+    from .oracle import _clause_scores
+
+    docs, scores = _clause_scores(query.query, weight, reader, 1.0)
+    if reader.live is not None and len(docs):
+        m = reader.live[docs]
+        docs, scores = docs[m], scores[m]
+    if len(docs) == 0:
+        return []
+    v = reader.stored_column(query.field).to_numpy(zero_copy_only=False)[docs]
+    sc = (scores.astype(np.float64) * np.log(1.0 + v.astype(np.float64))).astype(
+        np.float32
+    )
+    if len(docs) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        docs, sc = docs[keep], sc[keep]
+    order = np.lexsort((docs, -sc))[:k]
+    return [(int(docs[i]), np.float32(sc[i])) for i in order]
+
+
 def _synonym_search_segment(reader, query, weight: Weight, k: int):
     """Dense SynonymScorer analogue: per-doc freq = sum(boost * tf) over
     the member terms (float32 — boosts restricted to exact binary fractions
@@ -486,6 +510,7 @@ def search_segment(
 ) -> list[tuple[int, np.float32]]:
     from .query import (
         DisjunctionMaxQuery,
+        FunctionScoreQuery,
         FuzzyQuery,
         MultiPhraseQuery,
         PhraseQuery,
@@ -496,6 +521,8 @@ def search_segment(
         WildcardQuery,
     )
 
+    if isinstance(query, FunctionScoreQuery):
+        return _function_score_search_segment(reader, query, weight, k)
     if isinstance(query, SynonymQuery):
         return _synonym_search_segment(reader, query, weight, k)
     if isinstance(query, PhraseQuery):

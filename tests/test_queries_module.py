@@ -130,6 +130,49 @@ def test_grouped_topk_invariants(ray_session):
             assert all(src[d] == grp for d in rows["doc_id"])
 
 
+def test_function_score_reorders_by_field(ray_session):
+    """ln(1+n_chars) boosting must produce a different permutation than
+    plain BM25 for at least one query (and identical doc SETS only when
+    the candidate pool is k-sized)."""
+    from lucene_ray.pipelines import fulltext as ft
+
+    sf = "/root/testdata/sf0.001"
+    fs = ft.function_score_topk(sf).to_pandas()
+    plain = ft.bm25_topk(sf).to_pandas()
+    # qid 0 is the same single term in both registries ("spark")
+    a = fs[fs.qid == 0].sort_values("rnk")["doc_id"].tolist()
+    b = plain[plain.qid == 0].sort_values("rnk")["doc_id"].tolist()
+    assert a != b
+
+
+def test_join_topk_docs_share_from_source(ray_session):
+    """Every to-side hit's join value must be a value some from-match has
+    (JoinUtil: the to-side query is a TermsQuery over collected values)."""
+    import duckdb
+
+    from lucene_ray.pipelines import fulltext as ft
+
+    sf = "/root/testdata/sf0.001"
+    out = ft.join_topk(sf).to_pandas()
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, {ft.JOIN_FIELD} AS v, lower(text) AS t "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    vmap = dict(zip(docs.doc_id, docs.v))
+    for qid, terms in enumerate(ft.JOIN_QUERIES):
+        import re
+
+        from_vals = {
+            vmap[r.doc_id]
+            for r in docs.itertuples()
+            if any(re.search(rf"\b{t}\b", r.t) for t in terms)
+        }
+        got = out[out.qid == qid]
+        assert len(got) > 0
+        assert all(vmap[d] in from_vals for d in got["doc_id"])
+
+
 def test_synonym_blend_differs_from_disjunction(idx):
     """Blended scoring is NOT a SHOULD disjunction: one idf on the summed
     freq vs a sum of per-term scores."""
