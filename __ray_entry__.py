@@ -876,6 +876,18 @@ def _multiterm_matches(sf_dir: str):
     )
 
 
+def _term_postings_family(sf_dir: str):
+    """Inverted postings dump + per-doc term-vector (forward index) dump in
+    one entry: identical (term, doc_id, tf) semantics read through two
+    different index structures."""
+    return _concat_family(
+        [
+            ("postings", ft.term_postings(sf_dir)),
+            ("vectors", ft.term_vectors_dump(sf_dir)),
+        ]
+    )
+
+
 def _sort_family(sf_dir: str):
     """SortField top-k (full scan, partial per-segment top-k) + index-time
     sorted early-terminating top-k in one entry (search/Sort.java and
@@ -1000,7 +1012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- fulltext index pipelines (the flagship) ---
         "ft_term_stats": ft.term_stats_all,
-        "ft_term_postings": ft.term_postings,
+        # inverted postings + term-vector forward index (one oracle both
+        # ways certifies the TermVectorsWriter-analogue artifact)
+        "ft_term_postings": _term_postings_family,
         "ft_doc_norms": ft.doc_norms,
         "ft_collection_stats": ft.collection_stats,
         "ft_top_terms": ft.top_terms,
@@ -1021,6 +1035,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_function_score_topk": ft.function_score_topk,
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
         "ft_join_topk": ft.join_topk,
+        # queries/mlt MoreLikeThis: seed term vector -> tf*idf term
+        # selection -> SHOULD disjunction, seed excluded
+        "ft_mlt_topk": ft.mlt_topk,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1092,7 +1109,11 @@ FROM tf GROUP BY tok
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}
-SELECT tok AS term, doc_id, tf FROM tf WHERE tok IN ({qterms_in})
+SELECT 'postings' AS family, tok AS term, doc_id, tf
+FROM tf WHERE tok IN ({qterms_in})
+UNION ALL
+SELECT 'vectors', tok, doc_id, tf
+FROM tf WHERE doc_id IN ({", ".join(str(d) for d in ft.TV_SAMPLE_DOCS)})
 """,
         "ft_doc_norms": f"""
 WITH {_TOKS}, {_LT}
@@ -1208,6 +1229,64 @@ ranked AS (
   FROM to_side
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+""",
+        # MoreLikeThis: seed's term vector -> tf*(ln((N+1)/(df+1))+1) term
+        # selection (top 10, ties term-asc) -> BM25 SHOULD disjunction,
+        # seed doc excluded from the hits
+        "ft_mlt_topk": f"""
+WITH {_TOKS}, {_LT},
+seeds(sid, sdoc) AS (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(ft.MLT_SEEDS))}),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+seedterms AS (
+  SELECT s.sid, t.tok,
+         t.tf * (ln((st.doc_count + 1.0) / (d.df + 1.0)) + 1.0) AS mscore
+  FROM seeds s
+  JOIN tf t ON t.doc_id = s.sdoc
+  JOIN dfs d ON d.tok = t.tok
+  CROSS JOIN stats st
+  WHERE t.tf >= {ft.MLT_MIN_TF} AND d.df >= {ft.MLT_MIN_DF}
+),
+q AS (
+  SELECT sid AS qid, tok AS term FROM (
+    SELECT sid, tok,
+           row_number() OVER (PARTITION BY sid ORDER BY mscore DESC, tok) AS r
+    FROM seedterms) z
+  WHERE r <= {ft.MLT_MAX_TERMS}
+),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+excl AS (
+  SELECT sc.qid, sc.doc_id, sc.score
+  FROM scored sc JOIN seeds s ON s.sid = sc.qid
+  WHERE sc.doc_id != s.sdoc
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM excl
+)
+SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         # FunctionScoreQuery: float32 inner BM25 score times ln(1+n_chars)
         # in double, float32 cast for ranking

@@ -413,8 +413,10 @@ class FusedSegmentBuilder:
         meta_columns: list[str] | None = None,
         write_doc_tables: bool = False,
         index_sort: tuple[str, str] | None = None,
+        term_vectors: bool = False,
     ):
         self.index_dir = index_dir
+        self.term_vectors = term_vectors
         self.stage = AnalyzerStage(analyzer, content_column, index_options)
         self.segs_by_id = segs_by_id
         self.index_options = index_options
@@ -516,6 +518,7 @@ class FusedSegmentBuilder:
             meta,
             presorted=presorted,
             positions=positions,
+            term_vectors=self.term_vectors,
         )
         metrics["encode_sec"] = round(time.time() - t0, 3)
         return metrics
@@ -568,6 +571,7 @@ def build_index_local(
     write_doc_tables: bool = True,
     resume: bool = True,
     index_options: str = "docs_freqs",
+    term_vectors: bool = False,
 ) -> dict:
     """In-process build (no Ray): same stages, serial loop.  Used by unit
     tests and tiny fixtures; the Ray pipeline (build_index) is the real path."""
@@ -576,7 +580,7 @@ def build_index_local(
     segments = plan_segments(corpus_paths, docs_per_segment)
     builder = FusedSegmentBuilder(
         index_dir, analyzer, content_column, {s["seg_id"]: s for s in segments},
-        index_options=index_options,
+        index_options=index_options, term_vectors=term_vectors,
     )
     doc_stage = DocTableStage(
         content_column, list(meta_columns), os.path.join(index_dir, "docs")
@@ -653,6 +657,7 @@ def _fused_build_task(
     meta_columns: list[str] | None = None,
     write_doc_tables: bool = False,
     index_sort: tuple[str, str] | None = None,
+    term_vectors: bool = False,
 ) -> pa.Table:
     import ray
 
@@ -666,6 +671,7 @@ def _fused_build_task(
         meta_columns=meta_columns,
         write_doc_tables=write_doc_tables,
         index_sort=index_sort,
+        term_vectors=term_vectors,
     )
     return builder(batch)
 
@@ -702,6 +708,7 @@ def build_index(
     index_options: str = "docs_freqs",
     term_salt: int = 1,
     index_sort: tuple[str, str] | None = None,
+    term_vectors: bool = False,
 ) -> dict:
     """Run the full build; returns the committed manifest dict.
 
@@ -761,6 +768,7 @@ def build_index(
                     meta_columns=list(meta_columns),
                     write_doc_tables=write_doc_tables,
                     index_sort=index_sort,
+                    term_vectors=term_vectors,
                 ),
                 batch_size=1,
                 batch_format="pyarrow",

@@ -97,6 +97,7 @@ def build_segment_from_ids(
     meta: dict,
     presorted: bool = False,
     positions: np.ndarray | None = None,
+    term_vectors: bool = False,
 ) -> dict:
     """Encode and atomically write one segment from dictionary-encoded rows.
 
@@ -137,6 +138,20 @@ def build_segment_from_ids(
         for name, arr in enc.arrays().items():
             np.save(os.path.join(tmp, f"{name}.npy"), arr)
         np.save(os.path.join(tmp, "norms.npy"), norms.astype(np.uint8))
+        if term_vectors:
+            # forward index (TermVectorsWriter analogue,
+            # codecs/lucene90/compressing/Lucene90CompressingTermVectorsWriter.java):
+            # per-doc (tid, tf) rows as CSR over local docids — the same
+            # flush rows transposed by one integer lexsort
+            tv_order = np.lexsort((term_ids, docids))
+            np.save(os.path.join(tmp, "tv_tid.npy"), term_ids[tv_order].astype(np.int64))
+            np.save(os.path.join(tmp, "tv_tf.npy"), np.asarray(tfs)[tv_order].astype(np.int32))
+            np.save(
+                os.path.join(tmp, "tv_row_start.npy"),
+                np.searchsorted(
+                    np.asarray(docids)[tv_order], np.arange(int(meta["max_doc"]) + 1)
+                ).astype(np.int64),
+            )
         if positions is not None:
             np.save(os.path.join(tmp, "pos_data.npy"), np.asarray(positions, dtype=np.int32))
             # row index of each term's first posting (for position lookup)
@@ -452,6 +467,12 @@ class SegmentReader:
             self.pos_data = np.load(pos_path, mmap_mode=mm)
             self.pos_row_start = np.load(os.path.join(seg_dir, "pos_row_start.npy"), mmap_mode=mm)
             self.pos_off = np.load(os.path.join(seg_dir, "pos_off.npy"), mmap_mode=mm)
+        tv_path = os.path.join(seg_dir, "tv_row_start.npy")
+        self.has_term_vectors = os.path.exists(tv_path)
+        if self.has_term_vectors:
+            self.tv_row_start = np.load(tv_path, mmap_mode=mm)
+            self.tv_tid = np.load(os.path.join(seg_dir, "tv_tid.npy"), mmap_mode=mm)
+            self.tv_tf = np.load(os.path.join(seg_dir, "tv_tf.npy"), mmap_mode=mm)
         with open(os.path.join(seg_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.max_doc = int(self.meta["max_doc"])
@@ -534,6 +555,15 @@ class SegmentReader:
             self._decode_cache.pop(next(iter(self._decode_cache)))
         self._decode_cache[tid] = out
         return out
+
+    def term_vector(self, local_doc: int) -> tuple[np.ndarray, np.ndarray]:
+        """(tids, tfs) of one doc from the forward index
+        (IndexReader.getTermVector analogue); tids ascend."""
+        if not self.has_term_vectors:
+            raise ValueError("segment was built without term_vectors")
+        lo = int(self.tv_row_start[local_doc])
+        hi = int(self.tv_row_start[local_doc + 1])
+        return np.asarray(self.tv_tid[lo:hi]), np.asarray(self.tv_tf[lo:hi])
 
     def term_positions(self, tid: int) -> list[np.ndarray]:
         """Per-posting ascending position arrays for one term (row order ==

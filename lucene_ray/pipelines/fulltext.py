@@ -67,6 +67,7 @@ def index_dir_for(
     index_options: str = "docs_freqs",
     analyzer: str = "standard",
     index_sort: tuple[str, str] | None = None,
+    term_vectors: bool = False,
 ) -> str:
     slug = hashlib.sha256(
         (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
@@ -76,6 +77,8 @@ def index_dir_for(
         suffix += f"-{analyzer}"
     if index_sort is not None:
         suffix += f"-sorted-{index_sort[0]}-{index_sort[1]}"
+    if term_vectors:
+        suffix += "-tv"
     return os.path.join(
         "/tmp",
         "lucene_ray_idx",
@@ -89,10 +92,13 @@ def ensure_index(
     index_options: str = "docs_freqs",
     analyzer: str = "standard",
     index_sort: tuple[str, str] | None = None,
+    term_vectors: bool = False,
 ) -> str:
     """Build the index over documents.parquet once per sf_dir (resumable —
     a rerun over an existing index skips all complete segments)."""
-    idx = index_dir_for(sf_dir, docs_per_segment, index_options, analyzer, index_sort)
+    idx = index_dir_for(
+        sf_dir, docs_per_segment, index_options, analyzer, index_sort, term_vectors
+    )
     src = os.path.join(sf_dir, "documents.parquet")
     if mf.latest_generation(idx) is None:
         build_index(
@@ -105,6 +111,7 @@ def ensure_index(
             meta_columns=("doc_id", "lang", "source", "n_chars"),
             index_options=index_options,
             index_sort=index_sort,
+            term_vectors=term_vectors,
         )
     return idx
 
@@ -188,6 +195,104 @@ def term_postings(sf_dir: str, terms: list[str] | None = None):
         _seg_postings,
         batch_format="pyarrow",
         fn_kwargs={"terms": terms or QUERY_TERMS},
+    )
+
+
+TV_SAMPLE_DOCS = [0, 3, 17, 42, 99, 123, 250, 311]
+
+
+def term_vectors_dump(sf_dir: str, doc_ids: list[int] | None = None):
+    """(term, doc_id, tf) straight from the per-doc forward index
+    (IndexReader.getTermVector analogue) for the sample docs — must agree
+    row-for-row with the inverted postings."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir, term_vectors=True)
+    sample = doc_ids or TV_SAMPLE_DOCS
+
+    def _seg_tv(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_f = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            base = row["doc_base"]
+            for gdoc in sample:
+                local = gdoc - base
+                if not (0 <= local < r.max_doc):
+                    continue
+                tids, tfs = r.term_vector(local)
+                for tid, tf in zip(tids, tfs):
+                    out_t.append(r.term_string(int(tid)))
+                    out_d.append(gdoc)
+                    out_f.append(int(tf))
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "tf": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx))
+    return ds.map_batches(_seg_tv, batch_format="pyarrow")
+
+
+# MoreLikeThis (queries/mlt/MoreLikeThis.java): interesting terms come
+# from the seed's TERM VECTOR, scored tf * ClassicSimilarity idf
+MLT_SEEDS = [0, 7, 42, 123]
+MLT_MIN_TF = 2
+MLT_MIN_DF = 2
+MLT_MAX_TERMS = 10
+
+
+def mlt_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """More-like-this: top-k docs for each seed doc (seed excluded).
+    Term selection: tf >= MLT_MIN_TF, df >= MLT_MIN_DF, score =
+    tf * (ln((docCount+1)/(df+1)) + 1), top MLT_MAX_TERMS by (score desc,
+    term asc); the selected terms run as a SHOULD disjunction."""
+    from ..search.query import TermQuery, bool_query
+
+    idx = ensure_index(sf_dir, term_vectors=True)
+    searcher = IndexSearcher(idx)
+    dc = searcher.collection_stats.doc_count
+    sids, rnks, docs = [], [], []
+    for sid, seed in enumerate(MLT_SEEDS):
+        reader = None
+        for r, s in zip(searcher.readers, searcher.manifest["segments"]):
+            if s["doc_base"] <= seed < s["doc_base"] + r.max_doc:
+                reader, base = r, s["doc_base"]
+                break
+        if reader is None:
+            continue
+        tids, tfs = reader.term_vector(seed - base)
+        terms = [reader.term_string(int(t)) for t in tids]
+        stats = searcher.term_statistics(set(terms))
+        cand = []
+        for t, tf in zip(terms, tfs):
+            df = stats[t].doc_freq
+            if tf >= MLT_MIN_TF and df >= MLT_MIN_DF:
+                cand.append((float(tf) * (np.log((dc + 1.0) / (df + 1.0)) + 1.0), t))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        sel = [t for _, t in cand[:MLT_MAX_TERMS]]
+        if not sel:
+            continue
+        q = bool_query(should=[TermQuery(t) for t in sel])
+        hits = searcher.search(q, k + 1)
+        rnk = 0
+        for doc, _s in hits:
+            if doc == seed:
+                continue
+            rnk += 1
+            if rnk > k:
+                break
+            sids.append(sid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "sid": pa.array(sids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
     )
 
 

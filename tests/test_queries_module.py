@@ -173,6 +173,46 @@ def test_join_topk_docs_share_from_source(ray_session):
         assert all(vmap[d] in from_vals for d in got["doc_id"])
 
 
+def test_term_vectors_transpose_inverted_index(tmp_path):
+    """The forward index must be the exact transpose of the postings:
+    gathering (tid, tf) per doc from term vectors == decoding every term's
+    postings (TermVectorsReader vs PostingsEnum equivalence)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "tvc"
+    d.mkdir()
+    pq.write_table(generate_corpus(300, seed=9), str(d / "c.parquet"), row_group_size=50)
+    out = str(tmp_path / "tvidx")
+    build_index_local(str(d), out, docs_per_segment=100, term_vectors=True)
+    from lucene_ray.index.manifest import read_manifest
+
+    man = read_manifest(out)
+    for seg in man["segments"]:
+        r = SegmentReader(seg["dir"])
+        assert r.has_term_vectors
+        # transpose from inverted side
+        from collections import defaultdict
+
+        fwd = defaultdict(list)
+        for tid in range(r.n_terms):
+            docs, tfs = decode_term(r.enc, tid)
+            for doc, tf in zip(docs, tfs):
+                fwd[int(doc)].append((tid, int(tf)))
+        for doc in range(r.max_doc):
+            tids, tfs = r.term_vector(doc)
+            assert list(zip(tids.tolist(), tfs.tolist())) == sorted(fwd[doc])
+
+
+def test_mlt_excludes_seed_and_ranks(ray_session):
+    from lucene_ray.pipelines import fulltext as ft
+
+    out = ft.mlt_topk("/root/testdata/sf0.001").to_pandas()
+    for sid, g in out.groupby("sid"):
+        seed = ft.MLT_SEEDS[sid]
+        assert seed not in set(g["doc_id"])
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+
+
 def test_synonym_blend_differs_from_disjunction(idx):
     """Blended scoring is NOT a SHOULD disjunction: one idf on the summed
     freq vs a sum of per-term scores."""
