@@ -619,6 +619,48 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _percolate_sql() -> str:
+    """Monitor/percolator oracle: per registered query, aggregate stats of
+    the matching doc set (same tokenizer CTE, membership/phrase preds)."""
+    from lucene_ray.ops.monitor import MONITOR_QUERIES
+
+    parts = []
+    for qid, q in enumerate(MONITOR_QUERIES):
+        kind = q[0]
+        if kind == "term":
+            pred = f"list_contains(ts, '{q[1]}')"
+        elif kind == "and":
+            pred = " AND ".join(f"list_contains(ts, '{t}')" for t in q[1])
+        elif kind == "or":
+            pred = "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in q[1]) + ")"
+        elif kind == "and_not":
+            pred = " AND ".join(
+                [f"list_contains(ts, '{t}')" for t in q[1]]
+                + [f"NOT list_contains(ts, '{t}')" for t in q[2]]
+            )
+        elif kind == "phrase":
+            a, b = q[1]
+            pred = (
+                f"doc_id IN (SELECT doc_id FROM s WHERE i + 2 <= len(ts)"
+                f" AND ts[i + 1] = '{a}' AND ts[i + 2] = '{b}')"
+            )
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid,"
+            f" count(*) FILTER (WHERE {pred})::BIGINT AS n_matches,"
+            f" coalesce(sum(doc_id) FILTER (WHERE {pred}), 0)::BIGINT AS sum_doc,"
+            f" coalesce(min(doc_id) FILTER (WHERE {pred}), -1)::BIGINT AS min_doc,"
+            f" coalesce(max(doc_id) FILTER (WHERE {pred}), -1)::BIGINT AS max_doc"
+            f" FROM toks"
+        )
+    return (
+        f"WITH {_TOKS},\n"
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0)\n"
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _bool_counts_sql() -> str:
     parts = []
     for qid, (op, a, b) in enumerate(ft.BOOL_COUNTS):
@@ -1007,7 +1049,7 @@ def _events(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_ray.ops import dedup, events, multimodal, text
+    from lucene_ray.ops import dedup, events, monitor, multimodal, text
 
     return {
         # --- fulltext index pipelines (the flagship) ---
@@ -1038,6 +1080,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries/mlt MoreLikeThis: seed term vector -> tf*idf term
         # selection -> SHOULD disjunction, seed excluded
         "ft_mlt_topk": ft.mlt_topk,
+        # lucene/monitor percolator: registered queries broadcast, the
+        # corpus STREAMS through matchers (inverted dataflow)
+        "ft_percolate_counts": lambda sf: monitor.percolate_counts(_docs(sf)),
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1288,6 +1333,7 @@ ranked AS (
 )
 SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
+        "ft_percolate_counts": _percolate_sql(),
         # FunctionScoreQuery: float32 inner BM25 score times ln(1+n_chars)
         # in double, float32 cast for ranking
         "ft_function_score_topk": f"""

@@ -213,6 +213,29 @@ def test_mlt_excludes_seed_and_ranks(ray_session):
         assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
 
 
+def test_percolator_planted_docs(ray_session):
+    """Monitor semantics on a planted corpus: phrase adjacency (not mere
+    co-occurrence), AND conjunction, NOT exclusion."""
+    import ray.data as rd
+
+    from lucene_ray.ops.monitor import percolate_counts
+
+    rows = [
+        {"doc_id": 0, "text": "the customer sent a note"},      # phrase hit
+        {"doc_id": 1, "text": "customer the backwards words"},  # no phrase
+        {"doc_id": 2, "text": "join order join order"},         # AND hit
+        {"doc_id": 3, "text": "join only no second term"},      # no AND
+        {"doc_id": 4, "text": "vector stream hash"},            # NOT kills it
+        {"doc_id": 5, "text": "vector alone"},                  # and_not hit? needs vector AND stream
+        {"doc_id": 6, "text": "vector stream clean"},           # and_not hit
+    ]
+    out = percolate_counts(rd.from_items(rows)).to_pandas().set_index("qid")
+    assert out.loc[1, "n_matches"] == 1 and out.loc[1, "sum_doc"] == 2
+    assert out.loc[2, "n_matches"] == 1 and out.loc[2, "min_doc"] == 6
+    assert out.loc[3, "n_matches"] == 1 and out.loc[3, "sum_doc"] == 0
+    assert out.loc[3, "min_doc"] == 0 and out.loc[3, "max_doc"] == 0
+
+
 def test_synonym_blend_differs_from_disjunction(idx):
     """Blended scoring is NOT a SHOULD disjunction: one idf on the summed
     freq vs a sum of per-term scores."""
