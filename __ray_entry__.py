@@ -1083,6 +1083,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lucene/monitor percolator: registered queries broadcast, the
         # corpus STREAMS through matchers (inverted dataflow)
         "ft_percolate_counts": lambda sf: monitor.percolate_counts(_docs(sf)),
+        # lucene/highlighter analogue: best W-token passage per top doc,
+        # integer (n_uniq, n_hits, earliest) scoring over the positions
+        # index (BreakIterator-passage deviation documented in the module)
+        "ft_highlight_passages": ft.highlight_passages,
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
@@ -1093,6 +1097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2-dim BKD point tree (util/bkd BKDWriter/BKDReader analogue):
         # per-segment persisted block k-d tree, box filter clause
         "ft_point_box_topk": ft.point_box_topk,
+        # LatLonPoint distance query analogue: BKD radius traversal,
+        # integer squared distances, sorted nearest-first
+        "ft_point_distance": ft.point_distance_topk,
         # classic query parser end-to-end (queryparser/classic semantics:
         # grouping, AND/OR/NOT promotion, ^boosts, [a TO b] ranges)
         "ft_parsed_topk": ft.parsed_topk,
@@ -1333,7 +1340,80 @@ ranked AS (
 )
 SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
+        "ft_point_distance": f"""
+WITH q(qid, cx, cy, r2) AS (VALUES {", ".join(f"({i}, {cx}, {cy}, {r2})" for i, (cx, cy, r2) in enumerate(ft.POINT_DISTANCE_QUERIES))}),
+d2 AS (
+  SELECT q.qid, d.doc_id,
+         ((d.n_chars - q.cx) * (d.n_chars - q.cx)
+          + (d.doc_id - q.cy) * (d.doc_id - q.cy))::BIGINT AS dist2,
+         q.r2
+  FROM q, documents d
+),
+ranked AS (
+  SELECT qid, doc_id, dist2,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk
+  FROM d2 WHERE dist2 <= r2
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id, dist2
+FROM ranked WHERE rnk <= 10
+""",
         "ft_percolate_counts": _percolate_sql(),
+        # highlighter: window anchored at a match position, scored by
+        # (distinct terms, total hits, earliest start) — all integers
+        "ft_highlight_passages": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_DISJ_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+top AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+    FROM scored) z WHERE rnk <= {ft.HIGHLIGHT_K}
+),
+s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),
+mp AS (
+  SELECT q.qid, s.doc_id, s.i AS p, s.ts[s.i + 1] AS tok
+  FROM s JOIN q ON s.ts[s.i + 1] = q.term
+),
+mpt AS (SELECT mp.* FROM mp JOIN top ON top.qid = mp.qid AND top.doc_id = mp.doc_id),
+win AS (
+  SELECT a.qid, a.doc_id, a.p AS pstart,
+         count(*)::BIGINT AS n_hits, count(DISTINCT b.tok)::BIGINT AS n_uniq
+  FROM mpt a JOIN mpt b ON b.qid = a.qid AND b.doc_id = a.doc_id
+       AND b.p >= a.p AND b.p < a.p + {ft.HIGHLIGHT_WINDOW}
+  GROUP BY a.qid, a.doc_id, a.p
+),
+best AS (
+  SELECT qid, doc_id, pstart, n_hits, n_uniq,
+         row_number() OVER (
+           PARTITION BY qid, doc_id ORDER BY n_uniq DESC, n_hits DESC, pstart
+         ) AS r
+  FROM win
+)
+SELECT qid::BIGINT AS qid, doc_id, pstart, n_hits, n_uniq FROM best WHERE r = 1
+""",
         # FunctionScoreQuery: float32 inner BM25 score times ln(1+n_chars)
         # in double, float32 cast for ranking
         "ft_function_score_topk": f"""

@@ -175,6 +175,73 @@ class PointTree:
         return docs, stats
 
 
+def _dist2_bounds(nmin, nmax, center):
+    """(min, max) squared euclidean distance from `center` to any point in
+    the box [nmin, nmax] — integer math throughout."""
+    below = np.maximum(nmin - center, 0)
+    above = np.maximum(center - nmax, 0)
+    gap = np.maximum(below, above).astype(object)  # python ints: no overflow
+    dmin = int(np.sum(gap * gap))
+    far = np.maximum(np.abs(center - nmin), np.abs(nmax - center)).astype(object)
+    dmax = int(np.sum(far * far))
+    return dmin, dmax
+
+
+def _intersect_distance(
+    self, center: tuple[int, ...], r2: int
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Distance traversal over the same tree (reference
+    document/LatLonPointDistanceQuery via BKD intersect: cells are skipped
+    when their closest corner is outside the radius, bulk-collected when
+    their farthest corner is inside).
+    (local docids, squared distances, stats) of points with
+    ||p - center||^2 <= r2, integer-exact."""
+    c = np.asarray(center, np.int64)
+    start, end = self.nodes["start"], self.nodes["end"]
+    left, right = self.nodes["left"], self.nodes["right"]
+    mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    stats = {"nodes_visited": 0, "points_scanned": 0, "points_bulk": 0}
+
+    def _d2(vals: np.ndarray) -> np.ndarray:
+        diff = vals.astype(np.int64) - c
+        return np.sum(diff * diff, axis=1)
+
+    stack = [0] if len(start) else []
+    while stack:
+        node = stack.pop()
+        stats["nodes_visited"] += 1
+        dmin, dmax = _dist2_bounds(mins[node], maxs[node], c)
+        if dmin > r2:
+            continue  # cell entirely outside the radius
+        s, e = start[node], end[node]
+        if dmax <= r2:
+            out_d.append(self.docids[s:e])
+            out_s.append(_d2(self.values[s:e]))
+            stats["points_bulk"] += int(e - s)
+            continue
+        if left[node] < 0:
+            d2 = _d2(self.values[s:e])
+            m = d2 <= r2
+            stats["points_scanned"] += int(e - s)
+            if m.any():
+                out_d.append(self.docids[s:e][m])
+                out_s.append(d2[m])
+            continue
+        stack.append(int(right[node]))
+        stack.append(int(left[node]))
+    if not out_d:
+        return np.empty(0, np.int64), np.empty(0, np.int64), stats
+    docs = np.concatenate(out_d)
+    d2 = np.concatenate(out_s)
+    order = np.argsort(docs)
+    return docs[order], d2[order], stats
+
+
+PointTree.intersect_distance = _intersect_distance
+
+
 def point_file(seg_dir: str, name: str) -> str:
     return os.path.join(seg_dir, f"points-{name}.npz")
 

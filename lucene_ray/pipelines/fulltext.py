@@ -536,6 +536,94 @@ def grouped_topk(sf_dir: str) -> pa.Table:
     )
 
 
+# highlighter (lucene/highlighter UnifiedHighlighter analogue): best
+# passage per (query, top doc) = the fixed-width token window anchored at
+# a match position maximizing (distinct query terms, total occurrences,
+# earliest start).  Deviation documented: BreakIterator sentence passages
+# are replaced by W-token windows so scoring stays integer-exact; offsets
+# come from the POSITIONS index, not stored-field re-analysis
+# (highlighter/uhighlight/FieldHighlighter.java passage formation,
+# PassageScorer.java term weighting).
+HIGHLIGHT_WINDOW = 8
+HIGHLIGHT_K = 5
+
+
+def _seg_highlight(batch: pa.Table, window: int) -> pa.Table:
+    out = {"qid": [], "doc_id": [], "pstart": [], "n_hits": [], "n_uniq": []}
+    readers: dict[str, SegmentReader] = {}
+    for row in batch.to_pylist():
+        reader = readers.setdefault(row["dir"], SegmentReader(row["dir"]))
+        local = row["doc_id"] - row["doc_base"]
+        pos_term: list[tuple[np.ndarray, int]] = []
+        for ti, t in enumerate(row["terms"]):
+            tid = reader.term_id(t)
+            if tid is None:
+                continue
+            docs_arr, _ = reader.decode_term_cached(tid)
+            j = int(np.searchsorted(docs_arr, local))
+            if j < len(docs_arr) and docs_arr[j] == local:
+                pos_term.append((reader.term_positions(tid)[j], ti))
+        if not pos_term:
+            continue
+        allp = np.sort(np.concatenate([p for p, _ in pos_term]))
+        best = None
+        for p in allp:
+            hi = p + window
+            n_hits = int(
+                np.searchsorted(allp, hi, side="left")
+                - np.searchsorted(allp, p, side="left")
+            )
+            n_uniq = sum(
+                1
+                for pp, _ in pos_term
+                if np.searchsorted(pp, hi, side="left")
+                > np.searchsorted(pp, p, side="left")
+            )
+            key = (-n_uniq, -n_hits, int(p))
+            if best is None or key < best[0]:
+                best = (key, int(p), n_hits, n_uniq)
+        out["qid"].append(row["qid"])
+        out["doc_id"].append(row["doc_id"])
+        out["pstart"].append(best[1])
+        out["n_hits"].append(best[2])
+        out["n_uniq"].append(best[3])
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def highlight_passages(sf_dir: str, k: int = HIGHLIGHT_K) -> pa.Table:
+    """(qid, doc_id, pstart, n_hits, n_uniq): best passage for each of the
+    query's top-k BM25 docs.  Search is the ordinary distributed machinery;
+    highlighting fans out per segment over the (k*queries)-bounded doc
+    list."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    items = []
+    segs = searcher.manifest["segments"]
+    for qid, terms in enumerate(DISJUNCTIONS):
+        hits = searcher.search(
+            bool_query(should=[TermQuery(t) for t in terms]), k
+        )
+        for doc, _s in hits:
+            for r, s in zip(searcher.readers, segs):
+                if s["doc_base"] <= doc < s["doc_base"] + r.max_doc:
+                    items.append(
+                        {
+                            "dir": s["dir"],
+                            "doc_base": s["doc_base"],
+                            "qid": qid,
+                            "doc_id": doc,
+                            "terms": list(terms),
+                        }
+                    )
+                    break
+    ds = rd.from_items(items).map_batches(
+        lambda b: _seg_highlight(b, HIGHLIGHT_WINDOW), batch_format="pyarrow"
+    )
+    return ds.to_pandas().sort_values(["qid", "doc_id"]).reset_index(drop=True)
+
+
 # query-time join (lucene/join JoinUtil.createJoinQuery, ScoreMode.Max):
 # fromQuery matches aggregate a per-join-value max score; the to side
 # matches every doc sharing the value, scored by that aggregate
@@ -1015,6 +1103,58 @@ def point_box_topk(sf_dir: str, k: int = 10) -> pa.Table:
             "rnk": pa.array(rnks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
         }
+    )
+
+
+# point distance queries (document/LatLonPointDistanceQuery analogue over
+# the 2-dim BKD tree): center (n_chars, doc_id), squared radius — integer
+# math end to end, results sorted by distance
+POINT_DISTANCE_QUERIES = [
+    (300, 250, 10000),
+    (100, 50, 40000),
+    (500, 400, 22500),
+    (200, 0, 62500),
+]
+
+
+def point_distance_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(qid, rnk, doc_id, dist2): nearest docs inside each radius, by the
+    BKD distance traversal (cells skipped when their closest corner is
+    beyond r, bulk-taken when their farthest corner is inside)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index(idx, POINT_FIELDS)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        out = {"qid": [], "doc_id": [], "dist2": []}
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "_".join(POINT_FIELDS)))
+            for qid, (cx, cy, r2) in enumerate(POINT_DISTANCE_QUERIES):
+                docs, d2, _stats = tree.intersect_distance((cx, cy), r2)
+                # per-segment partial top-k by (dist, docid)
+                if len(docs) > k:
+                    order = np.lexsort((docs, d2))[:k]
+                    docs, d2 = docs[order], d2[order]
+                out["qid"].extend([qid] * len(docs))
+                out["doc_id"].extend((docs + row["doc_base"]).tolist())
+                out["dist2"].extend(d2.tolist())
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+    cand = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cand = cand.sort_values(["qid", "dist2", "doc_id"])
+    cand = cand.groupby("qid", sort=True).head(k)
+    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        cand[["qid", "rnk", "doc_id", "dist2"]].reset_index(drop=True),
+        preserve_index=False,
     )
 
 

@@ -89,3 +89,28 @@ def test_persisted_index_and_scorer_equivalence(ray_session):
         (d, float(s)) for d, s in without_tree
     ]
     assert len(with_tree) > 0
+
+
+@pytest.mark.parametrize(
+    "center,r2",
+    [((2500, 2500), 1_000_000), ((0, 0), 4_000_000), ((4900, 100), 250_000)],
+)
+def test_distance_matches_brute_force(tree_and_vals, center, r2):
+    """intersect_distance == the full integer scan, values and order."""
+    tree, vals = tree_and_vals
+    docs, d2, stats = tree.intersect_distance(center, r2)
+    diff = vals.astype(np.int64) - np.asarray(center, np.int64)
+    bd = (diff * diff).sum(axis=1)
+    want = np.nonzero(bd <= r2)[0]
+    assert docs.tolist() == sorted(want.tolist())
+    assert d2.tolist() == bd[docs].tolist()
+
+
+def test_distance_pruning_is_real(tree_and_vals):
+    """A small radius must SKIP most cells (points_scanned+bulk << n) and
+    a bulk-take region must appear for a radius covering the space."""
+    tree, vals = tree_and_vals
+    _, _, tight = tree.intersect_distance((2500, 2500), 10_000)
+    assert tight["points_scanned"] + tight["points_bulk"] < len(vals) * 0.05
+    _, _, wide = tree.intersect_distance((2500, 2500), 5000**2 * 2)
+    assert wide["points_bulk"] > 0.9 * len(vals)
