@@ -133,6 +133,30 @@ def _bench_queries(idx_dir: str, num_workers: int) -> dict:
     return out
 
 
+def _host_health_probe() -> dict:
+    """Fresh-page-fault bandwidth probe, run before and after the bench.
+
+    The sandbox VM shows intermittent host-level stalls where first-touch
+    page faults on newly allocated anonymous memory drop from >10 GB/s to
+    <0.1 GB/s for minutes at a time (measured 2026-08-17: the same r2 code
+    that recorded a 17.8s bench scored 75.4s in a degraded window, with
+    an identical 400MB fresh-allocation op swinging 49s -> 0.03s minutes
+    apart).  Build/merge allocate large transient buffers per section, so
+    they are hit ~10x while in-place compute is barely affected.  Recording
+    the probe alongside every bench makes a degraded-window run
+    distinguishable from a code regression in BENCH_r{N}.json.
+    """
+    import numpy as np
+
+    n = 64 * 1024 * 1024 // 8  # 512 MB of float64, freshly faulted
+    t0 = time.perf_counter()
+    a = np.zeros(n)
+    a[:: 4096 // 8] = 1.0  # touch every page
+    dt = time.perf_counter() - t0
+    del a
+    return {"fresh_alloc_gbps": round(n * 8 / dt / 1e9, 2)}
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray.data as rd
 
@@ -140,7 +164,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = _sf_from_dir(sf_dir)
     queries: dict[str, float] = {}
-    extras: dict = {}
+    extras: dict = {"host_control_pre": _host_health_probe()}
 
     # min-of-2: the host VM is noisy-neighbor prone (observed 4x swings)
     build = bench_index_build(sf, num_cpus)
@@ -205,6 +229,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["events_windows"] = timed_min2(_events)
 
     shutil.rmtree(build["idx_dir"], ignore_errors=True)
+    extras["host_control_post"] = _host_health_probe()
     return {
         "metric": "index-build throughput + BM25 top-10 latency + data-pipeline ops",
         "value": round(sum(queries.values()), 3),
