@@ -25,6 +25,15 @@ from __future__ import annotations
 
 import json
 import os
+
+# children (Ray workers, scaling subprocesses) read these at libc startup;
+# the in-process equivalent is lucene_ray._tune_malloc (see its docstring)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 28))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 28))
+# pre-fault the plasma store at ray.init (outside the timed region): block
+# transfers otherwise take first-touch /dev/shm faults, which this host's
+# hypervisor intermittently makes ~100x slower (BASELINE.md host-variance)
+os.environ.setdefault("RAY_preallocate_plasma", "1")
 import shutil
 import subprocess
 import sys
@@ -304,6 +313,7 @@ def _child_build(sf: float, num_cpus: int, repeats: int = 1) -> None:
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
+        object_store_memory=8 * 1024**3,
         runtime_env={"env_vars": {"OMP_NUM_THREADS": "1", "POLARS_MAX_THREADS": "1"}},
     )
     best = None
@@ -415,7 +425,14 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            # bounded so RAY_preallocate_plasma's init-time pre-fault stays
+            # cheap; sf0.1 peak block footprint is well under this
+            object_store_memory=8 * 1024**3,
+        )
     out = run_bench(sf_dir, num_cpus)
     print(json.dumps(out))
     ray.shutdown()

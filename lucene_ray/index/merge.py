@@ -149,7 +149,16 @@ def plan_force_merge(manifest: dict, max_segments: int = 1) -> list[list[int]]:
     return [r for r in runs if len(r) > 1]
 
 
-DEFAULT_SECTION_POSTINGS = 8 * 1024 * 1024
+# 1M postings/section: per-section temporaries (~50MB) stay inside the
+# malloc arena (lucene_ray._tune_malloc) and are REUSED by every later
+# section, so a merge task pays first-touch page faults once instead of
+# per-section — measured 4-4.5x faster per task in fresh worker processes
+# on this host (13-19s vs 60-78s for a 1.8M-posting 25-way merge in a
+# degraded-fault window; equal or better in quiet windows).  Fixed
+# per-section overhead (per-reader searchsorted + decode-range slices +
+# one writer append) is microseconds, so even a 5GB segment (~1.3e9
+# postings -> ~1300 sections) stays append-bound.
+DEFAULT_SECTION_POSTINGS = 1024 * 1024
 
 
 def merge_segments_task(
@@ -188,11 +197,23 @@ def merge_segments_task(
     max_doc = sum(int(e["max_doc"]) for e in seg_entries)
     with_pos = all(r.has_positions for r in readers)
 
-    # merged vocabulary: sorted union of the per-segment dictionaries
+    # merged vocabulary: sorted union of the per-segment dictionaries.
+    # ONE dictionary_encode over the concatenation yields both the unique
+    # set and every input's mapping into it (first-appearance codes), then
+    # a single sort permutation of the dictionary turns those codes into
+    # sorted-vocab ids — ~9x faster than per-input hash joins (index_in)
+    # and allocation-light, which matters on hosts where fresh page faults
+    # stall (see BASELINE.md host-variance note).
     vocab_parts = [r.terms_array() for r in readers]
-    merged_vocab = pc.unique(pa.concat_arrays(vocab_parts))
-    merged_vocab = merged_vocab.take(pc.sort_indices(merged_vocab))
+    _cat = pa.concat_arrays(vocab_parts)
+    _de = pc.dictionary_encode(_cat)
+    _dict = _de.dictionary
+    _perm = pc.sort_indices(_dict)
+    merged_vocab = _dict.take(_perm)
     n_merged = len(merged_vocab)
+    _rank = np.empty(len(_dict), dtype=np.int64)
+    _rank[_perm.to_numpy()] = np.arange(len(_dict), dtype=np.int64)
+    _codes = _rank[_de.indices.to_numpy()]
 
     # live-docs expunge (deletes.py): deleted rows are dropped and the
     # surviving docids renumbered dense, reference SegmentMerger semantics
@@ -204,6 +225,7 @@ def merge_segments_task(
     norm_parts: list[np.ndarray] = []
     local = 0
     live_local = 0
+    _voff = 0
     for e, r, vp in zip(seg_entries, readers, vocab_parts):
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
@@ -221,7 +243,8 @@ def merge_segments_task(
         live_bases.append(live_local)
         shifts.append(shift)
         # strictly increasing: input dict is a sorted subset of the merged
-        remaps.append(pc.index_in(vp, value_set=merged_vocab).to_numpy().astype(np.int64))
+        remaps.append(_codes[_voff : _voff + len(vp)])
+        _voff += len(vp)
         local += r.max_doc
         live_local += n_live
     max_doc = live_local
@@ -232,7 +255,9 @@ def merge_segments_task(
     # section boundaries from the merged per-term posting totals
     tot = np.zeros(n_merged, dtype=np.int64)
     for r, remap in zip(readers, remaps):
-        np.add.at(tot, remap, r.enc.doc_freq.astype(np.int64))
+        tot += np.bincount(remap, weights=r.enc.doc_freq, minlength=n_merged).astype(
+            np.int64
+        )
     cum = np.cumsum(tot)
 
     meta = {
