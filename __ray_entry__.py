@@ -965,6 +965,18 @@ def _dd_signatures(sf_dir: str):
     return out[["method", "doc_id", "i", "sig"]]
 
 
+def _term_stats_family(sf_dir: str):
+    """Standard- and code-analyzer (term, doc_freq, total_term_freq) stats
+    as one analyzer-tagged family (same schema, two indexes)."""
+    import pandas as pd
+
+    std = ft.term_stats_all(sf_dir).to_pandas()
+    std.insert(0, "analyzer", "standard")
+    code = ft.term_stats_all(sf_dir, analyzer="code").to_pandas()
+    code.insert(0, "analyzer", "code")
+    return pd.concat([std, code], ignore_index=True)
+
+
 def _dd_near_pairs(sf_dir: str):
     """LSH-banded MinHash candidates + SimHash near pairs + n-gram Jaccard
     pairs in one entry: (method, doc_a, doc_b, m1, m2) where m1/m2 are the
@@ -1053,7 +1065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- fulltext index pipelines (the flagship) ---
-        "ft_term_stats": ft.term_stats_all,
+        # standard + code analyzer (WordDelimiter-lite camelCase/snake_case
+        # split) term stats as one analyzer-tagged family entry
+        "ft_term_stats": _term_stats_family,
         # inverted postings + term-vector forward index (one oracle both
         # ways certifies the TermVectorsWriter-analogue artifact)
         "ft_term_postings": _term_postings_family,
@@ -1111,8 +1125,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (search/Sort.java + index/Sorter.java) as one family entry
         "ft_sort_family": _sort_family,
         "ft_facet_counts": lambda sf: ft.facet_counts(sf),
-        # code-aware analyzer (WordDelimiter-lite camelCase/snake_case split)
-        "ft_code_term_stats": lambda sf: ft.term_stats_all(sf, analyzer="code"),
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
         # one per-doc profile (single read pass; frees driver-cap slots)
@@ -1127,6 +1139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_signatures": _dd_signatures,
         # LSH-band / SimHash-band / n-gram-Jaccard near-pair family
         "dd_near_pairs": _dd_near_pairs,
+        # connected components over the verified near-dup pairs: distributed
+        # min-label propagation, every round a Ray Data shuffle
+        "dd_duplicate_clusters": lambda sf: dedup.duplicate_clusters(_docs(sf)),
         # --- similarity search ---
         "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
@@ -1155,9 +1170,31 @@ def oracle_sql() -> dict[str, str]:
     qterms_in = ", ".join(f"'{t}'" for t in ft.QUERY_TERMS)
     return {
         "ft_term_stats": f"""
+SELECT 'standard' AS analyzer, s.* FROM (
 WITH {_TOKS}
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tf GROUP BY tok
+) s
+UNION ALL
+SELECT 'code', c.* FROM (
+WITH runs AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS run
+  FROM documents
+),
+subs AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+           lower(regexp_replace(run, '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),
+           '[ _]+')) AS tok
+  FROM runs
+),
+tf2 AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM subs WHERE tok != '' GROUP BY doc_id, tok
+)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tf2 GROUP BY tok
+) c
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}
@@ -1965,24 +2002,34 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) i
 """,
-        "ft_code_term_stats": r"""
-WITH runs AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS run
-  FROM documents
+        "dd_duplicate_clusters": f"""
+WITH RECURSIVE {_TOKS}, {_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db_, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 ),
-subs AS (
-  SELECT doc_id,
-         unnest(string_split_regex(
-           lower(regexp_replace(run, '([a-z0-9])([A-Z])', '\1 \2', 'g')),
-           '[ _]+')) AS tok
-  FROM runs
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT da, db_ FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db_
+  WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
 ),
-tf2 AS (
-  SELECT doc_id, tok, count(*)::BIGINT AS tf
-  FROM subs WHERE tok != '' GROUP BY doc_id, tok
-)
-SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
-FROM tf2 GROUP BY tok
+edges AS (
+  SELECT da AS a, db_ AS b FROM pairs
+  UNION ALL SELECT db_, da FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT node::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM lab
 """,
         "ft_bm25_topk_variants": f"""
 SELECT v.variant, b.*

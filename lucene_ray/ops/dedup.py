@@ -493,3 +493,136 @@ def ngram_jaccard_pairs(ds, n: int = 3, min_jaccard_pct: int = 20, max_group: in
 
     return inter.map_batches(finish, batch_format="pyarrow")
 
+
+
+def _propagate_group(g: pa.Table) -> pa.Table:
+    """One node's group: its current label row(s) + its out-edges.
+    Emits (node=dst, label=src_label) candidates for every neighbor plus
+    the node's own (node, label)."""
+    labels = g.column("label").to_numpy()
+    lbl = int(labels[labels >= 0].min())
+    dsts = g.column("dst").to_numpy()
+    dsts = dsts[dsts >= 0]
+    node = int(g.column("key")[0].as_py())
+    out_nodes = np.concatenate((dsts, [node]))
+    return pa.table(
+        {
+            "node": pa.array(out_nodes, pa.int64()),
+            "label": pa.array(np.full(len(out_nodes), lbl), pa.int64()),
+        }
+    )
+
+
+def duplicate_clusters(
+    ds,
+    n: int = 3,
+    min_jaccard_pct: int = 20,
+    max_group: int = 200,
+    max_rounds: int = 32,
+):
+    """Duplicate clusters: connected components over verified near-dup pairs.
+
+    Edges are ``ngram_jaccard_pairs`` (exact Jaccard >= pct, banded shingle
+    shuffle, hot-shingle cap); components come from distributed min-label
+    propagation, every round expressed as Ray Data shuffles — no driver-side
+    graph:
+
+      1. groupby(node) over (current labels UNION out-edges) attaches each
+         node's label to its out-edges, emitting (dst, src_label) candidates;
+      2. groupby(node).min over candidates+labels yields the new labels.
+
+    Convergence is detected by the monotone label sum (min-propagation only
+    ever lowers labels), one tiny aggregate per round.  Near-dup components
+    are near-cliques — members share most shingles, so almost every pair is
+    an edge — giving 2-3 rounds in practice; a long-chain adversarial graph
+    would need O(diameter) rounds (switch to large-star/small-star
+    contraction [Kiveris et al., "Connected Components in MapReduce and
+    Beyond"] if that shape ever matters).  The edge set is pairs only
+    (docs with at least one near-dup), orders of magnitude smaller than the
+    corpus at 100TB scale.
+
+    Returns (doc_id, cluster_id, cluster_size): one row per doc that has at
+    least one near-duplicate, cluster_id = min doc_id of its component.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    pairs = ngram_jaccard_pairs(
+        ds, n=n, min_jaccard_pct=min_jaccard_pct, max_group=max_group
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate((a, b)), pa.int64()),
+                "dst": pa.array(np.concatenate((b, a)), pa.int64()),
+                # -1 marks an edge row in the unioned groupby below
+                "label": pa.array(np.full(2 * len(a), -1), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("key").to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(nodes, pa.int64()),
+                "dst": pa.array(np.full(len(nodes), -1), pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.groupby("key")
+        .aggregate(Min("dst"))
+        .map_batches(
+            lambda b: init_labels(b.select(["key"])), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_rounds):
+        cand = (
+            labels.union(edges)
+            .groupby("key")
+            .map_groups(_propagate_group, batch_format="pyarrow")
+        )
+        new_labels = (
+            cand.groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "key": b.column("node"),
+                        "dst": pa.array(
+                            np.full(len(b), -1), pa.int64()
+                        ),
+                        "label": b.column("min(label)"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        new_sum = new_labels.aggregate(Sum("label"))["sum(label)"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def sized(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": g.column("key"),
+                "cluster_id": g.column("label"),
+                "cluster_size": pa.array(
+                    np.full(len(g), len(g)), pa.int64()
+                ),
+            }
+        )
+
+    return labels.groupby("label").map_groups(sized, batch_format="pyarrow")

@@ -285,3 +285,41 @@ def test_hnsw_recall_and_determinism(ray_session):
     got = {q: set(g["neighbor_id"]) for q, g in got1.groupby("query_id")}
     recalls = [len(truth[q] & got.get(q, set())) / 10 for q in truth]
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_duplicate_clusters_transitive_chain(ray_session):
+    """A~B and B~C but A!~C must still land in ONE component (the label
+    needs >= 2 propagation rounds to cross the chain)."""
+    import ray.data as rd
+
+    base = [f"w{i}" for i in range(12)]
+    a = " ".join(base)
+    # B shares 8/12 words with A and 8/12 with C; A and C share only 4
+    b = " ".join(base[4:] + [f"x{i}" for i in range(4)])
+    c = " ".join(base[8:] + [f"x{i}" for i in range(8)])
+    other = "entirely different words nothing shared with the chain docs"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": a},
+            {"doc_id": 2, "text": b},
+            {"doc_id": 3, "text": c},
+            {"doc_id": 9, "text": other},
+        ]
+    )
+    pairs = dedup.ngram_jaccard_pairs(ds, min_jaccard_pct=20, max_group=10**6).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got, got
+
+    out = dedup.duplicate_clusters(ds).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert set(out["cluster_id"]) == {1}
+    assert list(out["cluster_size"]) == [3, 3, 3]
+
+
+def test_duplicate_clusters_planted(planted_docs, ray_session):
+    ds, texts = planted_docs
+    out = dedup.duplicate_clusters(ds).to_pandas()
+    by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
+    for i in range(5):
+        assert by_doc.get(40 + i) == by_doc.get(i) == i
+    assert by_doc.get(45) == by_doc.get(10) == 10
