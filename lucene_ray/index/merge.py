@@ -346,6 +346,54 @@ def merge_segments_task(
         )
         return enc, tfs, positions
 
+    def _merge_term_vectors() -> None:
+        """Carry the per-doc CSR forward index through the merge: term ids
+        remap via the merged-vocab codes, docs concatenate in doc_base
+        order (= merged-local order), deleted docs drop.  No transpose is
+        needed — tv is already doc-major — and the fill is chunked
+        (~4M rows) through memmapped outputs, so memory stays bounded
+        like the postings sections (reference
+        Lucene90CompressingTermVectorsWriter.merge streams the same way).
+        Only runs when EVERY input has term vectors."""
+        CHUNK = 4 * 1024 * 1024
+        lens_parts: list[np.ndarray] = []
+        total = 0
+        for r, live in zip(readers, lives):
+            lens = np.diff(np.asarray(r.tv_row_start)).astype(np.int64)
+            if live is not None:
+                lens = lens[live]
+            lens_parts.append(lens)
+            total += int(lens.sum())
+        tvt, tvf, tvrs = writer.term_vector_sink(total, max_doc)
+        all_lens = np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64)
+        tvrs[0] = 0
+        np.cumsum(all_lens, out=tvrs[1:])
+        off = 0
+        for r, remap, live in zip(readers, remaps, lives):
+            rs = np.asarray(r.tv_row_start)
+            n_in = len(rs) - 1
+            lens_full = np.diff(rs)
+            doc_lo = 0
+            while doc_lo < n_in:
+                doc_hi = int(
+                    np.searchsorted(rs, int(rs[doc_lo]) + CHUNK, side="left")
+                )
+                doc_hi = min(max(doc_hi, doc_lo + 1), n_in)
+                tid = np.asarray(r.tv_tid[rs[doc_lo] : rs[doc_hi]])
+                tf = np.asarray(r.tv_tf[rs[doc_lo] : rs[doc_hi]])
+                lens = lens_full[doc_lo:doc_hi]
+                if live is not None:
+                    kept = np.nonzero(live[doc_lo:doc_hi])[0]
+                    tid = _gather_row_slices(tid, lens, kept)
+                    tf = _gather_row_slices(tf, lens, kept)
+                n = len(tid)
+                tvt[off : off + n] = remap[tid]
+                tvf[off : off + n] = tf
+                off += n
+                doc_lo = doc_hi
+        assert off == total, (off, total)
+        del tvt, tvf, tvrs  # flush memmaps
+
     try:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -359,6 +407,8 @@ def merge_segments_task(
                     else None
                 )
                 writer.append_section(enc, row_tfs=tfs, positions=positions)
+        if all(r.has_term_vectors for r in readers):
+            _merge_term_vectors()
         metrics = writer.finalize()
     except BaseException:
         writer.abort()

@@ -392,6 +392,36 @@ class StreamingSegmentWriter:
         self._sum_ttf += int(enc.total_term_freq.sum())
         self._sum_df += int(enc.doc_freq.sum())
 
+    def term_vector_sink(
+        self, total_rows: int, max_doc: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Open memmapped term-vector arrays in the tmp dir for incremental
+        fill (merge carry-through: the caller streams remapped CSR chunks
+        in merged-doc order, bounding memory to one chunk).  Layout matches
+        build_segment_from_ids's flush-time tv files, so SegmentReader
+        serves merged and flushed segments identically."""
+        from numpy.lib.format import open_memmap
+
+        tid = open_memmap(
+            os.path.join(self.tmp, "tv_tid.npy"),
+            mode="w+",
+            dtype=np.int64,
+            shape=(int(total_rows),),
+        )
+        tf = open_memmap(
+            os.path.join(self.tmp, "tv_tf.npy"),
+            mode="w+",
+            dtype=np.int32,
+            shape=(int(total_rows),),
+        )
+        rs = open_memmap(
+            os.path.join(self.tmp, "tv_row_start.npy"),
+            mode="w+",
+            dtype=np.int64,
+            shape=(int(max_doc) + 1,),
+        )
+        return tid, tf, rs
+
     def finalize(self) -> dict:
         assert self._terms_written == self.n_terms, (self._terms_written, self.n_terms)
         for a in self.w.values():

@@ -247,3 +247,47 @@ def test_synonym_blend_differs_from_disjunction(idx):
         bool_query(should=[TermQuery("def"), TermQuery("import")]), 10
     )
     assert [float(s) for _, s in syn] != [float(s) for _, s in disj]
+
+
+def test_term_vectors_survive_merge_with_deletes(tmp_path):
+    """Merge carry-through: tv of the merged segment must equal the tv of
+    the surviving docs pre-merge, compared as TERM STRINGS (term ids are
+    remapped into the merged dictionary), in merged-doc order."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.deletes import delete_by_query
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.index.merge import force_merge
+
+    d = tmp_path / "tvc2"
+    d.mkdir()
+    pq.write_table(generate_corpus(400, seed=11), str(d / "c.parquet"), row_group_size=50)
+    out = str(tmp_path / "tvidx2")
+    build_index_local(str(d), out, docs_per_segment=80, term_vectors=True)
+
+    # expected: per-doc term-string vectors of survivors, pre-merge order
+    man = read_manifest(out)
+    searcher = IndexSearcher(out)
+    hits = searcher.search(TermQuery("package"), 10**6)
+    delete_by_query(out, TermQuery("package"))
+    deleted = {int(d) for d, _ in hits}
+    expected = []
+    for seg in read_manifest(out)["segments"]:
+        r = SegmentReader(seg["dir"])
+        terms = r.terms_array().to_pylist()
+        for doc in range(r.max_doc):
+            if seg["doc_base"] + doc in deleted:
+                continue
+            tids, tfs = r.term_vector(doc)
+            expected.append(sorted((terms[t], int(f)) for t, f in zip(tids, tfs)))
+
+    man2 = force_merge(out, max_segments=1)
+    assert len(man2["segments"]) == 1
+    r = SegmentReader(man2["segments"][0]["dir"])
+    assert r.has_term_vectors
+    terms = r.terms_array().to_pylist()
+    assert r.max_doc == len(expected) and len(expected) < 400
+    for doc in range(r.max_doc):
+        tids, tfs = r.term_vector(doc)
+        got = sorted((terms[t], int(f)) for t, f in zip(tids, tfs))
+        assert got == expected[doc], f"doc {doc}"
