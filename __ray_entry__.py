@@ -1119,7 +1119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_parsed_topk": ft.parsed_topk,
         "ft_delete_search": ft.delete_search_topk,
         "ft_multifield_topk": ft.multifield_topk,
-        "ft_classic_topk": ft.classic_topk,
+        # Classic TF-IDF + Boolean + LMDirichlet over the same index: the
+        # pluggable-similarity (SimScorer) seam as one family entry
+        "ft_similarity_topk": ft.similarity_topk,
         "ft_combined_field_topk": ft.combined_field_topk,
         # SortField top-k + index-time-sorted early-terminating top-k
         # (search/Sort.java + index/Sorter.java) as one family entry
@@ -1717,7 +1719,8 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
-        "ft_classic_topk": f"""
+        "ft_similarity_topk": f"""
+SELECT 'classic' AS sim, r.* FROM (
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 dlq AS (
@@ -1746,6 +1749,51 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- BooleanSimilarity: constant score -> rank by doc_id
+SELECT 'boolean', r.* FROM (
+WITH {_TOKS},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+ranked AS (
+  SELECT q.qid, tf.doc_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY tf.doc_id) AS rnk
+  FROM q JOIN tf ON tf.tok = q.term
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- LMDirichlet (mu=2000, p=(ttf+1)/(sumTtf+1)):
+--   max(0, ln(1 + tf/(mu*p)) + ln(mu/(ql+mu)))
+SELECT 'lmdirichlet', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (SELECT coalesce(sum(dl), 0)::BIGINT AS sum_ttf FROM dl),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+ttf AS (SELECT qid, term, sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           ln(1 + p.tf / (2000.0 * (t.ttf + 1.0) / (s.sum_ttf + 1.0)))
+             + ln(2000.0 / (d.ql + 2000.0)),
+           0.0) AS score
+  FROM posting p
+  JOIN ttf t ON t.qid = p.qid AND t.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         "ft_facet_counts": f"""
 WITH {_TOKS},

@@ -1257,8 +1257,12 @@ def classic_topk(sf_dir: str, k: int = 10) -> pa.Table:
     Same index, pluggable similarity — the SimScorer seam (SURVEY §2.9)."""
     from ..search.similarities import ClassicSimilarity
 
+    return _sim_topk(sf_dir, ClassicSimilarity(), k)
+
+
+def _sim_topk(sf_dir: str, sim, k: int) -> pa.Table:
     idx = ensure_index(sf_dir)
-    searcher = IndexSearcher(idx, similarity=ClassicSimilarity())
+    searcher = IndexSearcher(idx, similarity=sim)
     qids, rnks, docs = [], [], []
     for qid, term in enumerate(QUERY_TERMS):
         hits = searcher.search(TermQuery(term), k)
@@ -1273,6 +1277,29 @@ def classic_topk(sf_dir: str, k: int = 10) -> pa.Table:
             "doc_id": pa.array(docs, pa.int64()),
         }
     )
+
+
+def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(sim, qid, rnk, doc_id) across the pluggable similarities — Classic
+    TF-IDF, Boolean, and LMDirichlet — over the SAME index: the SimScorer
+    seam (SURVEY §2.9; reference similarities/ module)."""
+    from ..search.similarities import (
+        BooleanSimilarity,
+        ClassicSimilarity,
+        LMDirichletSimilarity,
+    )
+
+    parts = []
+    for name, sim in (
+        ("classic", ClassicSimilarity()),
+        ("boolean", BooleanSimilarity()),
+        ("lmdirichlet", LMDirichletSimilarity()),
+    ):
+        t = _sim_topk(sf_dir, sim, k)
+        parts.append(
+            t.add_column(0, "sim", pa.array([name] * len(t), pa.string()))
+        )
+    return pa.concat_tables(parts)
 
 
 MULTI_PHRASES = [

@@ -89,3 +89,55 @@ class BooleanSimilarity:
     ) -> _TableScorer:
         table = np.ones(256, dtype=np.float64)
         return _TableScorer(float(boost), table, lambda f: np.ones_like(f, dtype=np.float64))
+
+
+class _LMDirichletScorer:
+    """SimScorer for LMDirichlet: score = f32(max(0, boost * (ln(1 +
+    freq/(mu*p)) + ln(mu/(dl+mu))))) with dl the SmallFloat-quantized
+    length — double evaluation, one final float32 cast (same documented
+    deviation as _TableScorer)."""
+
+    def __init__(self, boost: float, mu: float, p_coll: float):
+        self.boost = float(boost)
+        self.mu = float(mu)
+        self.p = float(p_coll)
+        lt = LENGTH_TABLE.astype(np.float64)
+        self._len_term = np.log(self.mu / (lt + self.mu))
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        s = self.boost * (
+            np.log1p(float(freq) / (self.mu * self.p))
+            + self._len_term[norm_byte & 0xFF]
+        )
+        return F32(max(s, 0.0))
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        s = self.boost * (
+            np.log1p(freqs.astype(np.float64) / (self.mu * self.p))
+            + self._len_term[norm_bytes]
+        )
+        return np.maximum(s, 0.0).astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return self.score(freq, norm_byte)
+
+
+class LMDirichletSimilarity:
+    """Bayesian smoothing with Dirichlet priors
+    (similarities/LMDirichletSimilarity.java:60-72, mu default 2000;
+    LMSimilarity.DefaultCollectionModel: p(t|C) = (ttf+1)/(sumTtf+1)).
+    Non-decreasing in freq and non-increasing in doc length (after the
+    0-clamp), so the impact-skyline pruning stays valid unchanged."""
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _LMDirichletScorer:
+        ttf = sum(ts.total_term_freq for ts in term_stats)
+        p = (ttf + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
+        return _LMDirichletScorer(boost, self.mu, p)

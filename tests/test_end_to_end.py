@@ -227,3 +227,48 @@ def test_stored_field_range_filter(built):
                     filter=[StoredFieldRange("n_chars", None, hi)])
     hits2 = s.search(q2, 10**6, total_hits_threshold=np.inf, score_mode="COMPLETE")
     assert {d_ for d_, _ in hits2} == {d_ for d_ in unfiltered if lens[d_] < hi}
+
+
+def test_lmdirichlet_pruned_equals_complete_and_formula(built):
+    """LMDirichlet through the same impact machinery: TOP_SCORES == COMPLETE,
+    and the top hit's score matches the closed-form double-eval formula."""
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import LMDirichletSimilarity
+
+    _, searcher = built
+    root = os.path.dirname(searcher.manifest["segments"][0]["dir"])
+    lm = IndexSearcher(root, similarity=LMDirichletSimilarity())
+    for q in _query_set(lm)[:6]:
+        pruned = lm.search(q, 10)
+        complete = lm.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(s)) for d, s in pruned] == [
+            (d, np.float32(s)) for d, s in complete
+        ], q
+    # formula spot check on the top TermQuery hit
+    from lucene_ray.index.postings import decode_term
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    term = "def"
+    hits = lm.search(TermQuery(term), 3)
+    assert hits
+    cstats = lm.collection_stats
+    tstats = lm.term_statistics({term})[term]
+    p = (tstats.total_term_freq + 1.0) / (cstats.sum_total_term_freq + 1.0)
+    doc, score = hits[0]
+    # locate the doc's tf and norm
+    for seg in lm.manifest["segments"]:
+        r = SegmentReader(seg["dir"])
+        lo = seg["doc_base"]
+        if lo <= doc < lo + r.max_doc:
+            tid = r.term_id(term)
+            docs, tfs = decode_term(r.enc, tid)
+            tf = int(tfs[list(docs).index(doc - lo)])
+            ql = float(LENGTH_TABLE[int(r.norms[doc - lo])])
+            expect = np.float32(
+                max(np.log1p(tf / (2000.0 * p)) + np.log(2000.0 / (ql + 2000.0)), 0.0)
+            )
+            assert np.float32(score) == expect
+            break
+    else:
+        raise AssertionError("hit doc not found in any segment")
