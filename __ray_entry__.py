@@ -1797,11 +1797,27 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """,
         "ft_facet_counts": f"""
 WITH {_TOKS},
-q(qid, term) AS (VALUES {_QTERMS_VALUES})
-SELECT q.qid, d.lang AS value, count(*)::BIGINT AS n
-FROM q JOIN tf ON tf.tok = q.term
-JOIN documents d ON d.doc_id = tf.doc_id
-GROUP BY q.qid, d.lang
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+m AS (
+  SELECT q.qid, d.lang, d.source, d.n_chars
+  FROM q JOIN tf ON tf.tok = q.term
+  JOIN documents d ON d.doc_id = tf.doc_id
+)
+SELECT 'lang' AS facet, qid, lang AS value, count(*)::BIGINT AS n
+FROM m GROUP BY qid, lang
+UNION ALL
+SELECT 'source', qid, source, count(*)::BIGINT FROM m GROUP BY qid, source
+UNION ALL
+SELECT 'n_chars_range', qid,
+       CASE WHEN n_chars < 100 THEN '[0,100)'
+            WHEN n_chars < 200 THEN '[100,200)'
+            WHEN n_chars < 400 THEN '[200,400)'
+            ELSE '[400,inf)' END,
+       count(*)::BIGINT
+FROM m WHERE n_chars >= 0 GROUP BY 2, 3
+UNION ALL
+SELECT 'drilldown_lang', qid, lang, count(*)::BIGINT
+FROM m WHERE n_chars >= 100 AND n_chars < 400 GROUP BY qid, lang
 """,
         "ft_range_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

@@ -1660,17 +1660,54 @@ def ordered_proximity_matches(sf_dir: str):
 
 # --- facet counts (lucene/facet module analogue) --------------------------
 
-def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table:
-    """Per-segment PARTIAL facet counts: for each query term, the number of
-    matching docs per stored-field value (reference facet/
-    FastTaxonomyFacetCounts semantics over our stored-column doc values).
-    The shuffle sees only (qid, value, n) partials — never doc lists."""
+# LongRangeFacetCounts buckets over n_chars (facet/range/LongRange.java:
+# min inclusive, max exclusive) + the DrillDownQuery drill range
+FACET_RANGES = [(0, 100), (100, 200), (200, 400), (400, 1 << 62)]
+DRILL_RANGE = (100, 400)
+
+
+def _range_labels(vals, ranges) -> tuple:
+    """Bucket int values into range labels '[lo,hi)' ('inf' for the open
+    top); values outside every range get None (Lucene counts only docs
+    inside some range)."""
+    import numpy as np
+
+    edges = np.array([r[0] for r in ranges] + [ranges[-1][1]], dtype=np.int64)
+    idx = np.searchsorted(edges, vals, side="right") - 1
+    ok = (idx >= 0) & (idx < len(ranges))
+    labels = [
+        f"[{lo},{'inf' if hi >= 1 << 62 else hi})" for lo, hi in ranges
+    ]
+    return idx, ok, labels
+
+
+def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
+    """Per-segment PARTIAL facet counts for the facet FAMILY: for each
+    query term, matching-doc counts per (a) string facet value ('lang',
+    'source' — reference facet/ FastTaxonomyFacetCounts over our
+    stored-column doc values), (b) numeric range bucket over n_chars
+    (facet/range/LongRangeFacetCounts), and (c) lang counts after
+    drilling into the n_chars DRILL_RANGE (DrillDownQuery: base query +
+    dimension filter).  One postings decode per term feeds all four
+    facets; the shuffle sees only (facet, qid, value, n) partials —
+    never doc lists."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    qids, vals, ns = [], [], []
+    facets, qids, vals, ns = [], [], [], []
+
+    def emit(facet: str, qid: int, arr: pa.Array) -> None:
+        for item in pc.value_counts(arr).to_pylist():
+            facets.append(facet)
+            qids.append(qid)
+            vals.append(str(item["values"]))
+            ns.append(item["counts"])
+
     for row in batch.to_pylist():
         r = SegmentReader(row["dir"])
-        col = r.stored_column(field)
+        lang = r.stored_column("lang")
+        source = r.stored_column("source")
+        nchars = r.stored_column("n_chars").to_numpy()
         for qid, t in enumerate(terms):
             tid = r.term_id(t)
             if tid is None:
@@ -1680,13 +1717,25 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table
                 docs = docs[r.live[docs]]
             if not len(docs):
                 continue
-            vc = pc.value_counts(col.take(pa.array(docs)))
-            for item in vc.to_pylist():
-                qids.append(qid)
-                vals.append(item["values"])
-                ns.append(item["counts"])
+            take = pa.array(docs)
+            emit("lang", qid, lang.take(take))
+            emit("source", qid, source.take(take))
+            nc = nchars[docs]
+            idx, ok, labels = _range_labels(nc, FACET_RANGES)
+            if ok.any():
+                cnt = np.bincount(idx[ok], minlength=len(labels))
+                for i, lab in enumerate(labels):
+                    if cnt[i]:
+                        facets.append("n_chars_range")
+                        qids.append(qid)
+                        vals.append(lab)
+                        ns.append(int(cnt[i]))
+            drill = (nc >= DRILL_RANGE[0]) & (nc < DRILL_RANGE[1])
+            if drill.any():
+                emit("drilldown_lang", qid, lang.take(pa.array(docs[drill])))
     return pa.table(
         {
+            "facet": pa.array(facets, pa.string()),
             "qid": pa.array(qids, pa.int64()),
             "value": pa.array(vals, pa.string()),
             "n": pa.array(ns, pa.int64()),
@@ -1694,9 +1743,10 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str], field: str) -> pa.Table
     )
 
 
-def facet_counts(sf_dir: str, field: str = "lang"):
-    """(qid, value, n): matching-doc counts per stored-field value for each
-    query term — partial per segment, summed in one small groupby."""
+def facet_counts(sf_dir: str):
+    """(facet, qid, value, n): the facet family — string facets, numeric
+    range buckets, and drill-down counts per query term — partial per
+    segment, summed in one small groupby."""
     import ray.data as rd
 
     idx = ensure_index(sf_dir)
@@ -1704,12 +1754,13 @@ def facet_counts(sf_dir: str, field: str = "lang"):
     partials = ds.map_batches(
         _seg_facet_counts,
         batch_format="pyarrow",
-        fn_kwargs={"terms": QUERY_TERMS, "field": field},
+        fn_kwargs={"terms": QUERY_TERMS},
     )
-    final = partials.groupby(["qid", "value"]).sum("n")
+    final = partials.groupby(["facet", "qid", "value"]).sum("n")
     return final.map_batches(
         lambda b: pa.table(
             {
+                "facet": b.column("facet"),
                 "qid": b.column("qid"),
                 "value": b.column("value"),
                 "n": pc_cast_i64(b.column("sum(n)")),
