@@ -1083,7 +1083,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym_topk": ft.synonym_topk,
         # lucene/suggest analogue: weighted prefix completion from the
         # term dictionary (doc-freq weights, dictionary range scan only)
-        "ft_suggest_prefix": ft.suggest_prefix,
+        # lucene/suggest family: weighted prefix completion + the
+        # DirectSpellChecker candidate scan (both (qid, rnk, term, weight))
+        "ft_suggest_family": lambda sf: _concat_family(
+            [
+                ("prefix", ft.suggest_prefix(sf)),
+                ("spell", ft.spell_suggest(sf)),
+            ],
+            col="method",
+        ),
         # lucene/grouping analogue: top groups by best hit, top docs per
         # group (two-pass collectors as one distributed pass + reduce)
         "ft_grouped_topk": ft.grouped_topk,
@@ -1550,7 +1558,8 @@ WHERE g.grp_rnk <= {ft.N_GROUPS} AND w.rnk <= {ft.K_IN_GROUP}
 """,
         # suggester: completions = dictionary terms under the prefix,
         # weight = doc freq, ties broken term-ascending
-        "ft_suggest_prefix": f"""
+        "ft_suggest_family": f"""
+SELECT r.*, 'prefix' AS method FROM (
 WITH {_TOKS},
 ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
 q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.PREFIXES))}),
@@ -1563,6 +1572,28 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+SELECT r.*, 'spell' FROM (
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
+q(qid, misspelled) AS (VALUES {", ".join(f"({i}, '{m}')" for i, m in enumerate(ft.SPELL_QUERIES))}),
+cand AS (
+  SELECT q.qid, ts.term, ts.weight,
+         damerau_levenshtein(ts.term, q.misspelled)::BIGINT AS d
+  FROM q JOIN ts ON abs(len(ts.term) - len(q.misspelled)) <= {ft.SPELL_MAX_EDITS}
+  WHERE damerau_levenshtein(ts.term, q.misspelled) BETWEEN 1 AND {ft.SPELL_MAX_EDITS}
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY d, weight DESC, term
+         ) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
+) r
 """,
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""

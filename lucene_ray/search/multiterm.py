@@ -256,6 +256,37 @@ def _fuzzy_term_ids(
             return []
         dist = _damerau_dp(mat[cand], lens[cand], q)
         return cand[dist <= max_edits].tolist()
+    return _fuzzy_plain(mat, lens, q, n, L, max_edits)
+
+
+def fuzzy_term_dists(reader, term: str, max_edits: int):
+    """(term_ids, distances) of dictionary terms within ``max_edits``
+    Damerau-Levenshtein edits — the DirectSpellChecker candidate scan
+    (suggest/spell/DirectSpellChecker.java) reuses the FuzzyQuery DP."""
+    import pyarrow.compute as pc
+
+    terms = reader.terms_array()
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = pc.utf8_length(terms).to_numpy().astype(np.int64)
+    L = int(lens.max()) if n else 0
+    q = np.array([ord(c) for c in term], dtype=np.int32)
+    if L == 0:
+        ids = np.nonzero(np.full(n, len(q)) <= max_edits)[0]
+        return ids, np.full(len(ids), len(q), np.int64)
+    u = np.asarray(terms.to_pylist(), dtype=f"U{L}")
+    mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    cand = np.nonzero(np.abs(lens - len(q)) <= max_edits)[0]
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    dist = _damerau_dp(mat[cand], lens[cand], q)
+    keep = dist <= max_edits
+    return cand[keep], dist[keep].astype(np.int64)
+
+
+def _fuzzy_plain(mat, lens, q, n, L, max_edits):
     prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
     for i, qc in enumerate(q, 1):
         cur = np.empty_like(prev)

@@ -291,3 +291,13 @@ def test_term_vectors_survive_merge_with_deletes(tmp_path):
         tids, tfs = r.term_vector(doc)
         got = sorted((terms[t], int(f)) for t, f in zip(tids, tfs))
         assert got == expected[doc], f"doc {doc}"
+
+
+def test_spell_suggest_corrects_transpositions(ray_session):
+    from lucene_ray.pipelines import fulltext as ft
+
+    out = ft.spell_suggest("/root/testdata/sf0.001").to_pandas()
+    top = out[out.rnk == 1].set_index("qid")["term"].to_dict()
+    expect = {0: "customer", 1: "filter", 2: "window", 3: "spark", 4: "stream"}
+    for qid, term in expect.items():
+        assert top.get(qid) == term, (qid, top)
