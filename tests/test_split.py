@@ -1,0 +1,70 @@
+"""MultiPassIndexSplitter analogue: round-robin/seq splits, standalone
+compacted parts, exact content-union with the source."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.manifest import read_manifest
+from lucene_ray.index.segment import SegmentReader
+from lucene_ray.index.split import split_index
+from lucene_ray.search.query import TermQuery
+from lucene_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def src(tmp_path_factory):
+    root = tmp_path_factory.mktemp("split")
+    d = root / "corpus"
+    d.mkdir()
+    pq.write_table(generate_corpus(300, seed=7), str(d / "c.parquet"), row_group_size=50)
+    out = str(root / "src")
+    build_index_local(str(d), out, docs_per_segment=70)
+    return out
+
+
+def _doc_shas(idx):
+    """content sha per doc, from the stored-field tables."""
+    out = []
+    for seg in read_manifest(idx)["segments"]:
+        r = SegmentReader(seg["dir"])
+        col = r.stored_column("sha256")
+        live = r.live
+        for doc in range(r.max_doc):
+            if live is None or live[doc]:
+                out.append(col[doc].as_py())
+    return out
+
+
+@pytest.mark.parametrize("mode", ["round_robin", "seq"])
+def test_split_parts_union_source(src, tmp_path, mode):
+    outs = [str(tmp_path / f"{mode}{i}") for i in range(3)]
+    mans = split_index(src, outs, mode=mode)
+    sizes = [sum(int(s["max_doc"]) for s in m["segments"]) for m in mans]
+    assert sum(sizes) == 300
+    assert max(sizes) - min(sizes) <= 3  # balanced
+    # content union == source, no overlap
+    all_shas = sorted(sha for o in outs for sha in _doc_shas(o))
+    assert all_shas == sorted(_doc_shas(src))
+    # each part is a standalone, searchable, compacted index
+    total = 0
+    for o in outs:
+        man = read_manifest(o)
+        assert len(man["segments"]) == 1
+        s = IndexSearcher(o)
+        total += s.count(TermQuery("package"))
+    assert total == IndexSearcher(src).count(TermQuery("package"))
+
+
+def test_split_uncompacted_keeps_masks(src, tmp_path):
+    outs = [str(tmp_path / f"nc{i}") for i in range(2)]
+    mans = split_index(src, outs, compact=False)
+    for part, (o, man) in enumerate(zip(outs, mans)):
+        for seg in man["segments"]:
+            live = np.load(seg["livedocs"])
+            gids = int(seg["doc_base"]) + np.arange(len(live))
+            assert ((gids[live] % 2) == part).all()
