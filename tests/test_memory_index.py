@@ -1,0 +1,96 @@
+"""MemoryIndex (lucene/memory analogue): in-RAM single-doc segment must be
+score-identical to the same document indexed on disk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.memory import MemoryIndex
+from lucene_ray.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    bool_query,
+)
+from lucene_ray.search.searcher import IndexSearcher
+
+TEXT = "the quick brown fox jumps over the lazy dog quick quick fox"
+
+
+@pytest.fixture(scope="module")
+def disk_idx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mem_corpus")
+    tbl = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["p"],
+            "commit": ["c"],
+            "lang": ["en"],
+            "content": [TEXT],
+        }
+    )
+    pq.write_table(tbl, str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("mem_idx"))
+    build_index_local(str(d), out, docs_per_segment=10, index_options="positions")
+    return out
+
+
+QUERIES = [
+    TermQuery("quick"),
+    TermQuery("dog"),
+    TermQuery("missing"),
+    bool_query(should=[TermQuery("fox"), TermQuery("lazy")]),
+    bool_query(must=[TermQuery("fox")], must_not=[TermQuery("missing")]),
+    BoostQuery(TermQuery("quick"), 2.5),
+    PhraseQuery(("quick", "brown", "fox")),
+    PhraseQuery(("brown", "quick")),      # absent order
+    PhraseQuery(("lazy", "dog")),
+    PrefixQuery("qu"),
+    FuzzyQuery("quik", 1),
+]
+
+
+def test_memory_scores_equal_disk(disk_idx):
+    mi = MemoryIndex(TEXT)
+    searcher = IndexSearcher(disk_idx)
+    for q in QUERIES:
+        hits = searcher.search(q, 1, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        want = float(hits[0][1]) if hits else 0.0
+        got = mi.search(q)
+        assert np.float32(got) == np.float32(want), q
+
+
+def test_memory_matches_predicate():
+    mi = MemoryIndex(TEXT)
+    assert mi.matches(PhraseQuery(("quick", "brown", "fox")))
+    assert not mi.matches(PhraseQuery(("fox", "brown")))
+    assert mi.matches(bool_query(must=[TermQuery("dog")]))
+    assert not mi.matches(TermQuery("zebra"))
+
+
+def test_memory_percolation_loop():
+    """The MemoryIndex percolation shape: registered queries x documents."""
+    registered = {
+        "q_fox_phrase": PhraseQuery(("brown", "fox")),
+        "q_lazy": TermQuery("lazy"),
+        "q_both": bool_query(must=[TermQuery("cat"), TermQuery("dog")]),
+    }
+    docs = {
+        1: TEXT,
+        2: "a cat and a dog live here",
+        3: "nothing relevant at all",
+    }
+    got = {
+        (d, name)
+        for d, text in docs.items()
+        for name, q in registered.items()
+        if MemoryIndex(text).matches(q)
+    }
+    assert got == {(1, "q_fox_phrase"), (1, "q_lazy"), (2, "q_both")}
