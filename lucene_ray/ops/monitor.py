@@ -138,3 +138,98 @@ def percolate_counts(ds, queries: list[tuple] | None = None) -> pa.Table:
     # zero-match queries keep sentinel min/max; normalize to -1
     part.loc[part["n_matches"] == 0, ["min_doc", "max_doc"]] = -1
     return pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False)
+
+
+def compile_query(spec: tuple):
+    """Registered-query spec -> first-class Query object (the exact path)."""
+    from ..search.query import PhraseQuery, TermQuery, bool_query
+
+    kind = spec[0]
+    if kind == "term":
+        return TermQuery(spec[1])
+    if kind == "and":
+        return bool_query(must=[TermQuery(t) for t in spec[1]])
+    if kind == "or":
+        return bool_query(should=[TermQuery(t) for t in spec[1]])
+    if kind == "and_not":
+        return bool_query(
+            must=[TermQuery(t) for t in spec[1]],
+            must_not=[TermQuery(t) for t in spec[2]],
+        )
+    if kind == "phrase":
+        return PhraseQuery(tuple(spec[1]))
+    raise ValueError(f"unknown query spec {spec!r}")
+
+
+class ExactPercolator:
+    """Actor-pool percolation stage for ARBITRARY Query objects: each actor
+    compiles the registered queries once (__init__), then every document in
+    a batch is indexed into a MemoryIndex and evaluated exactly — the
+    reference Monitor.match shape (each doc batch goes into a one-doc
+    memory index, monitor/Monitor.java + memory/MemoryIndex.java).  The
+    vectorized match_batch above is the bulk fast path; this is the
+    fallback for query types it cannot express (fuzzy, intervals, nested
+    boolean trees...).  Emits the same partial shape, so the same reduce
+    applies."""
+
+    def __init__(self, queries: list[tuple] | None = None):
+        specs = queries if queries is not None else MONITOR_QUERIES
+        self.compiled = [compile_query(s) for s in specs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..index.memory import MemoryIndex
+
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = {qid: [] for qid in range(len(self.compiled))}
+        for doc_id, text in zip(doc_ids, texts):
+            mi = MemoryIndex(text or "")
+            for qid, q in enumerate(self.compiled):
+                if mi.matches(q):
+                    rows[qid].append(doc_id)
+        qids, n, s, lo, hi = [], [], [], [], []
+        for qid, docs in rows.items():
+            qids.append(qid)
+            n.append(len(docs))
+            s.append(sum(docs))
+            lo.append(min(docs) if docs else (1 << 62))
+            hi.append(max(docs) if docs else -(1 << 62))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "n_matches": pa.array(n, pa.int64()),
+                "sum_doc": pa.array(s, pa.int64()),
+                "min_doc": pa.array(lo, pa.int64()),
+                "max_doc": pa.array(hi, pa.int64()),
+            }
+        )
+
+
+def percolate_counts_exact(ds, queries: list[tuple] | None = None) -> pa.Table:
+    """percolate_counts via the MemoryIndex exact path (actor pool)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    part = (
+        ds.map_batches(
+            ExactPercolator,
+            fn_constructor_kwargs={"queries": queries},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=256,
+        )
+        .groupby("qid")
+        .aggregate(
+            Sum("n_matches"), Sum("sum_doc"), Min("min_doc"), Max("max_doc")
+        )
+        .to_pandas()
+    )
+    part = part.rename(
+        columns={
+            "sum(n_matches)": "n_matches",
+            "sum(sum_doc)": "sum_doc",
+            "min(min_doc)": "min_doc",
+            "max(max_doc)": "max_doc",
+        }
+    ).sort_values("qid")
+    part.loc[part["n_matches"] == 0, ["min_doc", "max_doc"]] = -1
+    return pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False)

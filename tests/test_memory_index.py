@@ -94,3 +94,18 @@ def test_memory_percolation_loop():
         if MemoryIndex(text).matches(q)
     }
     assert got == {(1, "q_fox_phrase"), (1, "q_lazy"), (2, "q_both")}
+
+
+def test_exact_percolator_equals_vectorized(ray_session):
+    """Cross-validation of BOTH percolation paths: the MemoryIndex exact
+    actor-pool stage must reduce to the same (qid, n, sum, min, max)
+    partials as the vectorized polars matchers on the same query set."""
+    import ray.data as rd
+
+    from lucene_ray.ops import monitor
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    vec = monitor.percolate_counts(ds).to_pandas()
+    ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = monitor.percolate_counts_exact(ds2).to_pandas()
+    assert vec.to_dict("records") == exact.to_dict("records")
