@@ -1312,22 +1312,36 @@ clause AS (
   JOIN dlq d ON d.doc_id = p.doc_id
   CROSS JOIN stats s
 ),
-scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+scored AS (SELECT qid, doc_id, sum(score)::FLOAT AS s32 FROM clause GROUP BY qid, doc_id),
+-- f32 from-scores are exact integers on the 2^-40 grid: TOTAL/AVG become
+-- order-independent integer sums (mirrors pipelines/fulltext.py)
 vals AS (
-  SELECT s.qid, d.{ft.JOIN_FIELD} AS v, max(s.score::FLOAT) AS jscore
+  SELECT s.qid, d.{ft.JOIN_FIELD} AS v,
+         max(s.s32) AS max_s, min(s.s32) AS min_s,
+         sum((s.s32::DOUBLE * 1099511627776.0)::BIGINT)::BIGINT AS sum_i,
+         count(*)::BIGINT AS cnt
   FROM scored s JOIN documents d ON d.doc_id = s.doc_id
   GROUP BY s.qid, d.{ft.JOIN_FIELD}
 ),
+modes AS (
+  SELECT 'max' AS mode, qid, v, max_s::DOUBLE AS jscore FROM vals
+  UNION ALL SELECT 'min', qid, v, min_s::DOUBLE FROM vals
+  UNION ALL SELECT 'total', qid, v, sum_i::DOUBLE FROM vals
+  UNION ALL SELECT 'avg', qid, v, sum_i::DOUBLE / cnt::DOUBLE FROM vals
+),
 to_side AS (
-  SELECT v.qid, dd.doc_id, v.jscore
-  FROM vals v JOIN documents dd ON dd.{ft.JOIN_FIELD} = v.v
+  SELECT m.mode, m.qid, dd.doc_id, m.jscore
+  FROM modes m JOIN documents dd ON dd.{ft.JOIN_FIELD} = m.v
 ),
 ranked AS (
-  SELECT qid, doc_id,
-         row_number() OVER (PARTITION BY qid ORDER BY jscore DESC, doc_id) AS rnk
+  SELECT mode, qid, doc_id,
+         row_number() OVER (
+           PARTITION BY mode, qid ORDER BY jscore DESC, doc_id
+         ) AS rnk
   FROM to_side
 )
-SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+SELECT mode, qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id
+FROM ranked WHERE rnk <= 10
 """,
         # MoreLikeThis: seed's term vector -> tf*(ln((N+1)/(df+1))+1) term
         # selection (top 10, ties term-asc) -> BM25 SHOULD disjunction,

@@ -636,8 +636,17 @@ JOIN_QUERIES = [
 JOIN_FIELD = "source"
 
 
+# float32 from-scores convert exactly to integers on the 2^-40 dyadic grid
+# (any f32 with magnitude >= 2^-16 has ulp >= 2^-39), making SUM and AVG
+# order-independent — groupby combine order and DuckDB aggregation order
+# cannot perturb the TOTAL/AVG score modes
+JOIN_SCORE_SCALE = float(1 << 40)
+
+
 def _seg_join_from(batch: pa.Table, queries: list, field: str, weight_stats: dict) -> pa.Table:
-    """Phase 1: per-segment (qid, join_value, max float32 from-score)."""
+    """Phase 1: per-segment per-(qid, join_value) from-score PARTIALS
+    carrying every JoinUtil score mode at once: max/min of the float32
+    scores plus the exact integer-surrogate sum and match count."""
     from ..search.bm25 import CollectionStatistics, TermStatistics
     from ..search.oracle import _clause_scores
     from ..search.query import TermQuery, Weight, bool_query
@@ -649,7 +658,7 @@ def _seg_join_from(batch: pa.Table, queries: list, field: str, weight_stats: dic
             for t, (df, ttf) in weight_stats["terms"].items()
         },
     )
-    out_qid, out_val, out_score = [], [], []
+    out = {k: [] for k in ("qid", "val", "max_s", "min_s", "sum_i", "cnt")}
     for row in batch.to_pylist():
         reader = SegmentReader(row["dir"])
         vals = reader.stored_column(field).to_numpy(zero_copy_only=False)
@@ -665,27 +674,48 @@ def _seg_join_from(batch: pa.Table, queries: list, field: str, weight_stats: dic
                 docs, scores = docs[m], scores[m]
             if len(docs) == 0:
                 continue
+            s32 = scores.astype(np.float32)
+            scaled = s32.astype(np.float64) * JOIN_SCORE_SCALE
+            s_int = np.round(scaled).astype(np.int64)
+            if not np.array_equal(s_int.astype(np.float64), scaled):
+                raise ValueError("from-score outside the exact 2^-40 grid")
             v = vals[docs]
             for val in np.unique(v):
-                out_qid.append(qid)
-                out_val.append(str(val))
-                out_score.append(float(scores[v == val].max()))
+                m = v == val
+                out["qid"].append(qid)
+                out["val"].append(str(val))
+                out["max_s"].append(float(s32[m].max()))
+                out["min_s"].append(float(s32[m].min()))
+                out["sum_i"].append(int(s_int[m].sum()))
+                out["cnt"].append(int(m.sum()))
     return pa.table(
         {
-            "qid": pa.array(out_qid, pa.int64()),
-            "val": pa.array(out_val, pa.string()),
-            "score": pa.array(out_score, pa.float64()),
+            "qid": pa.array(out["qid"], pa.int64()),
+            "val": pa.array(out["val"], pa.string()),
+            "max_s": pa.array(out["max_s"], pa.float64()),
+            "min_s": pa.array(out["min_s"], pa.float64()),
+            "sum_i": pa.array(out["sum_i"], pa.int64()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
         }
     )
 
 
+JOIN_SCORE_MODES = ("max", "total", "avg", "min")
+
+
 def join_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    """JoinUtil analogue: (qid, rnk, doc_id) of to-side docs scored by the
-    max from-score of their join value.  Phase 1 partial-aggregates per
-    segment and reduces per (qid, value); phase 2 broadcasts the small
-    value->score side and scans to-side segments for per-segment top-k."""
+    """JoinUtil analogue across ALL score modes (join/JoinUtil.java
+    ScoreMode.Max/Total/Avg/Min): (mode, qid, rnk, doc_id) of to-side docs
+    scored by the mode's aggregate of their join value's from-scores.
+    Phase 1 partial-aggregates per segment — one pass carries every mode's
+    partial — and reduces per (qid, value); phase 2 broadcasts the small
+    value->score side and scans to-side segments for per-segment top-k.
+    TOTAL/AVG use the exact 2^-40 integer-surrogate sum, so combine order
+    can't perturb ranks; AVG's double division of the same ints is
+    bit-identical in numpy and the DuckDB oracle."""
     import ray
     import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
 
     idx = ensure_index(sf_dir)
     searcher = IndexSearcher(idx)
@@ -708,18 +738,24 @@ def join_topk(sf_dir: str, k: int = 10) -> pa.Table:
             batch_format="pyarrow",
         )
         .groupby(["qid", "val"])
-        .max("score")
+        .aggregate(Max("max_s"), Min("min_s"), Sum("sum_i"), Sum("cnt"))
         .to_pandas()
     )
     # value->score maps are join-key-bounded (not corpus-bounded): ship once
-    joined: dict[int, dict[str, float]] = {}
+    joined: dict[str, dict[int, dict[str, float]]] = {m: {} for m in JOIN_SCORE_MODES}
     for _, r in part.iterrows():
-        joined.setdefault(int(r["qid"]), {})[r["val"]] = float(r["max(score)"])
+        qid = int(r["qid"])
+        joined["max"].setdefault(qid, {})[r["val"]] = float(r["max(max_s)"])
+        joined["min"].setdefault(qid, {})[r["val"]] = float(r["min(min_s)"])
+        joined["total"].setdefault(qid, {})[r["val"]] = float(r["sum(sum_i)"])
+        joined["avg"].setdefault(qid, {})[r["val"]] = float(r["sum(sum_i)"]) / float(
+            r["sum(cnt)"]
+        )
     joined_ref = ray.put(joined)
 
     def _seg_to_side(batch: pa.Table) -> pa.Table:
-        jmap = ray.get(joined_ref)
-        out_qid, out_doc, out_score = [], [], []
+        jmaps = ray.get(joined_ref)
+        out_mode, out_qid, out_doc, out_score = [], [], [], []
         for row in batch.to_pylist():
             reader = SegmentReader(row["dir"])
             doc_base = row["doc_base"]
@@ -728,43 +764,47 @@ def join_topk(sf_dir: str, k: int = 10) -> pa.Table:
             # factorize once: the python lookup walks UNIQUE join values
             # (key-bounded), the per-doc expansion is a numpy gather
             uniq, inv = np.unique(vals, return_inverse=True)
-            for qid, vmap in jmap.items():
-                uscore = np.array(
-                    [vmap.get(u, np.nan) for u in uniq], dtype=np.float64
-                )
-                sc = uscore[inv]
-                mask = ~np.isnan(sc)
-                if live is not None:
-                    mask &= live
-                docs = np.nonzero(mask)[0]
-                if len(docs) == 0:
-                    continue
-                s = sc[docs]
-                order = np.lexsort((docs, -s))[:k]
-                for i in order:
-                    out_qid.append(qid)
-                    out_doc.append(int(docs[i]) + doc_base)
-                    out_score.append(float(s[i]))
+            for mode, jmap in jmaps.items():
+                for qid, vmap in jmap.items():
+                    uscore = np.array(
+                        [vmap.get(u, np.nan) for u in uniq], dtype=np.float64
+                    )
+                    sc = uscore[inv]
+                    mask = ~np.isnan(sc)
+                    if live is not None:
+                        mask &= live
+                    docs = np.nonzero(mask)[0]
+                    if len(docs) == 0:
+                        continue
+                    s = sc[docs]
+                    order = np.lexsort((docs, -s))[:k]
+                    for i in order:
+                        out_mode.append(mode)
+                        out_qid.append(qid)
+                        out_doc.append(int(docs[i]) + doc_base)
+                        out_score.append(float(s[i]))
         return pa.table(
             {
+                "mode": pa.array(out_mode, pa.string()),
                 "qid": pa.array(out_qid, pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "score": pa.array(out_score, pa.float64()),
             }
         )
 
-    import pandas as pd
-
     cand = (
         rd.from_items(segs)
         .map_batches(_seg_to_side, batch_format="pyarrow")
         .to_pandas()
     )
-    cand = cand.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
-    cand = cand.groupby("qid", sort=True).head(k)
-    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    cand = cand.sort_values(
+        ["mode", "qid", "score", "doc_id"], ascending=[True, True, False, True]
+    )
+    cand = cand.groupby(["mode", "qid"], sort=True).head(k)
+    cand["rnk"] = cand.groupby(["mode", "qid"]).cumcount() + 1
     return pa.Table.from_pandas(
-        cand[["qid", "rnk", "doc_id"]].reset_index(drop=True), preserve_index=False
+        cand[["mode", "qid", "rnk", "doc_id"]].reset_index(drop=True),
+        preserve_index=False,
     )
 
 
