@@ -121,6 +121,56 @@ def check_segment(seg_dir: str, raise_on_error: bool = True) -> dict:
         _chk(int_to_byte4(byte4_to_int(nb)) == nb, f"{name}: norm byte {nb} not a fixed point", errors, raise_on_error)
         _chk(nb == int_to_byte4(int(tf_per_doc[d])), f"{name}: doc {d} norm != quantized length", errors, raise_on_error)
 
+    # 3c. term vectors (when present): the forward index must be the exact
+    # transpose of the postings — same (doc, term, tf) triples both ways
+    # (CheckIndex.testTermVectors crosschecks against postings the same way)
+    if getattr(r, "has_term_vectors", False):
+        tv_rs = np.asarray(r.tv_row_start)
+        _chk(len(tv_rs) == r.max_doc + 1, f"{name}: tv_row_start length", errors, raise_on_error)
+        _chk(bool((np.diff(tv_rs) >= 0).all()), f"{name}: tv_row_start not monotonic", errors, raise_on_error)
+        fwd_docs = np.repeat(np.arange(r.max_doc, dtype=np.int64), np.diff(tv_rs))
+        fwd = np.stack(
+            [np.asarray(r.tv_tid, dtype=np.int64), fwd_docs,
+             np.asarray(r.tv_tf, dtype=np.int64)], axis=1
+        )
+        inv_rows = []
+        for tid in range(r.n_terms):
+            docs, freqs = codec.decode_term(enc, tid)
+            if len(docs):
+                inv_rows.append(
+                    np.stack([np.full(len(docs), tid, dtype=np.int64),
+                              docs.astype(np.int64), freqs.astype(np.int64)], axis=1)
+                )
+        inv = np.concatenate(inv_rows) if inv_rows else np.zeros((0, 3), np.int64)
+        fwd_sorted = fwd[np.lexsort((fwd[:, 1], fwd[:, 0]))]
+        _chk(fwd_sorted.shape == inv.shape and bool((fwd_sorted == inv).all()),
+             f"{name}: term vectors are not the postings transpose", errors, raise_on_error)
+        # within each doc, tv term ids ascending (CSR row sorted)
+        for d in range(r.max_doc):
+            row = np.asarray(r.tv_tid[tv_rs[d]:tv_rs[d + 1]])
+            if len(row) > 1:
+                _chk(bool((np.diff(row) > 0).all()), f"{name}: doc {d} tv tids not ascending", errors, raise_on_error)
+
+    # 3d. BKD point tree (when present): every leaf doc inside its cell
+    # bounds, cells inside their parents, all docs covered exactly once
+    import glob as _glob
+    import os as _os
+
+    for ppath in sorted(_glob.glob(_os.path.join(seg_dir, "points-*.npz"))):
+        from .points import check_points
+
+        for e in check_points(ppath, max_doc=r.max_doc):
+            _chk(False, f"{name}: {_os.path.basename(ppath)}: {e}", errors, raise_on_error)
+
+    # 3e. index-time sort invariant (when declared): the sort key column is
+    # monotone in docid order (index/Sorter.java contract)
+    sort_meta = r.meta.get("index_sort")
+    if sort_meta:
+        field, direction = sort_meta
+        col = r.stored_column(field).to_numpy(zero_copy_only=False).astype(np.int64)
+        mono = (col[1:] <= col[:-1]) if direction == "desc" else (col[1:] >= col[:-1])
+        _chk(bool(mono.all()), f"{name}: index_sort({field},{direction}) violated", errors, raise_on_error)
+
     # 5. stats
     st = r.collection_partials()
     _chk(st["sum_total_term_freq"] == sum_ttf, f"{name}: stats sum_ttf mismatch", errors, raise_on_error)

@@ -295,3 +295,49 @@ def build_point_index(
             _build, batch_format="pyarrow", batch_size=1
         ).materialize()
     return [point_file(d, "_".join(fields)) for d in dirs]
+
+
+def check_points(path: str, max_doc: int | None = None) -> list[str]:
+    """CheckIndex.testPoints analogue for one persisted tree: verify node
+    bounds are TIGHT over their value ranges, children exactly partition
+    their parent, leaves tile [0, n) disjointly, and docids are unique and
+    in range.  Returns human-readable violations (empty = clean)."""
+    t = PointTree.load(path)
+    errors: list[str] = []
+    n = len(t.docids)
+    start, end = t.nodes["start"], t.nodes["end"]
+    left, right = t.nodes["left"], t.nodes["right"]
+    mins, maxs = t.nodes["mins"], t.nodes["maxs"]
+    leaf_cover = np.zeros(n, dtype=np.int32)
+    for i in range(len(start)):
+        s, e = int(start[i]), int(end[i])
+        if not (0 <= s <= e <= n):
+            errors.append(f"node {i} range [{s},{e}) outside [0,{n})")
+            continue
+        sub = t.values[s:e]
+        if len(sub):
+            if not (sub.min(axis=0) == mins[i]).all() or not (
+                sub.max(axis=0) == maxs[i]
+            ).all():
+                errors.append(f"node {i} bounds not tight")
+        li, ri = int(left[i]), int(right[i])
+        if (li == -1) != (ri == -1):
+            errors.append(f"node {i} has exactly one child")
+        elif li == -1:
+            leaf_cover[s:e] += 1
+        else:
+            if not (
+                int(start[li]) == s
+                and int(end[li]) == int(start[ri])
+                and int(end[ri]) == e
+            ):
+                errors.append(f"node {i} children do not partition it")
+    if not (leaf_cover == 1).all():
+        errors.append("leaves do not tile the value rows exactly once")
+    if len(np.unique(t.docids)) != n:
+        errors.append("duplicate docids in the tree")
+    if max_doc is not None and n and (
+        int(t.docids.min()) < 0 or int(t.docids.max()) >= max_doc
+    ):
+        errors.append("docid out of [0, max_doc)")
+    return errors

@@ -99,3 +99,52 @@ def test_positions_validated(tmp_path, ray_session):
     np.save(os.path.join(bad, "pos_data.npy"), p)
     rep = check_segment(bad, raise_on_error=False)
     assert any("positions not ascending" in e or "pos count" in e for e in rep["errors"])
+
+
+def test_term_vectors_and_sort_validated(tmp_path, ray_session):
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index import manifest as mf2
+    from lucene_ray.index.build import build_index_local
+
+    d = tmp_path / "c2"
+    d.mkdir()
+    pq.write_table(generate_corpus(120, seed=52), str(d / "c.parquet"))
+    idx = str(tmp_path / "idx2")
+    build_index_local(str(d), idx, docs_per_segment=128, term_vectors=True)
+    assert check_index(idx, use_ray=False)["ok"]
+    # corrupt one tv tf -> transpose mismatch
+    seg = mf2.read_manifest(idx)["segments"][0]["dir"]
+    bad = str(tmp_path / "badtv")
+    shutil.copytree(seg, bad)
+    tf = np.load(os.path.join(bad, "tv_tf.npy"))
+    tf[0] += 1
+    np.save(os.path.join(bad, "tv_tf.npy"), tf)
+    rep = check_segment(bad, raise_on_error=False)
+    assert any("transpose" in e for e in rep["errors"])
+
+
+def test_points_tree_validated(tmp_path, ray_session):
+    import numpy as np
+
+    from lucene_ray.index.points import PointTree, check_points
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10**6, size=(500, 2))
+    tree = PointTree.build(vals, np.arange(500))
+    path = str(tmp_path / "points-xy.npz")
+    tree.save(path)
+    assert check_points(path, max_doc=500) == []
+    # tamper a bound -> not tight
+    z = dict(np.load(path))
+    z["maxs"][0][0] += 1
+    np.savez_compressed(str(tmp_path / "bad.tmp"), **z)
+    import os as _os
+
+    _os.replace(str(tmp_path / "bad.tmp.npz"), path)
+    assert any("not tight" in e for e in check_points(path, max_doc=500))
