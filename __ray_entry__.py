@@ -208,6 +208,19 @@ WITH {_TOKS},
 u AS (
   SELECT doc_id, count(*)::BIGINT AS n_unique, max(tf)::BIGINT AS max_tf
   FROM tf GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS i FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS c
+  FROM ex a JOIN ex b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2, 3
+),
+rep AS (
+  SELECT doc_id, max(c)::BIGINT AS max_bigram_tf,
+         sum(c - 1)::BIGINT AS dup_bigram_extra
+  FROM big GROUP BY doc_id
 )
 SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
        coalesce(u.n_unique, 0)::BIGINT AS n_unique,
@@ -221,8 +234,11 @@ SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
        (CASE WHEN len(ts) >= 10
               AND len(list_filter(ts, x -> list_contains([{stop_list}], x))) * 50
                   <= len(ts) * 45
-             THEN 1 ELSE 0 END)::BIGINT AS is_quality
+             THEN 1 ELSE 0 END)::BIGINT AS is_quality,
+       coalesce(r.max_bigram_tf, 0)::BIGINT AS max_bigram_tf,
+       coalesce(r.dup_bigram_extra, 0)::BIGINT AS dup_bigram_extra
 FROM toks t JOIN documents d USING (doc_id) LEFT JOIN u USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
 """
 
 

@@ -90,9 +90,14 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
-    """token_stats + quality_stats fused: ONE tokenizer pass feeds both
-    column families (doc_id, n_tokens, n_unique, max_tf, n_chars,
-    n_bpe_tokens, n_alpha, n_stop, n_ws_tokens, is_quality)."""
+    """token_stats + quality_stats + repetition signals fused: ONE tokenizer
+    pass feeds every column family (doc_id, n_tokens, n_unique, max_tf,
+    n_chars, n_bpe_tokens, n_alpha, n_stop, n_ws_tokens, is_quality,
+    max_bigram_tf, dup_bigram_extra).  The repetition columns are the
+    integer cores of the Gopher duplicate-n-gram quality rules (Rae et al.
+    2021 §A1.1): max_bigram_tf = the most repeated 2-gram's count,
+    dup_bigram_extra = sum over 2-grams of (count-1), i.e. how many bigram
+    occurrences are duplicates."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
     toks = df.select(
         pl.col("doc_id"),
@@ -114,6 +119,21 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
             pl.col("len").max().cast(pl.Int64).alias("max_tf"),
         )
     )
+    # repetition: bigram counts via one explode + shift-within-doc
+    big = (
+        toks.select("doc_id", "ts")
+        .explode("ts")
+        .drop_nulls("ts")
+        .with_columns(pl.col("ts").shift(-1).over("doc_id").alias("nxt"))
+        .drop_nulls("nxt")
+        .group_by("doc_id", "ts", "nxt")
+        .len()
+        .group_by("doc_id")
+        .agg(
+            pl.col("len").max().cast(pl.Int64).alias("max_bigram_tf"),
+            (pl.col("len") - 1).sum().cast(pl.Int64).alias("dup_bigram_extra"),
+        )
+    )
     out = (
         toks.with_columns(
             pl.col("ts").list.len().cast(pl.Int64).alias("n_tokens"),
@@ -124,9 +144,12 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
             .alias("n_stop"),
         )
         .join(tf, on="doc_id", how="left")
+        .join(big, on="doc_id", how="left")
         .with_columns(
             pl.col("n_unique").fill_null(0),
             pl.col("max_tf").fill_null(0),
+            pl.col("max_bigram_tf").fill_null(0),
+            pl.col("dup_bigram_extra").fill_null(0),
             ((pl.col("n_tokens") >= 10) & (pl.col("n_stop") * 50 <= pl.col("n_tokens") * 45))
             .cast(pl.Int64)
             .alias("is_quality"),
@@ -134,6 +157,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
         .select(
             "doc_id", "n_tokens", "n_unique", "max_tf", "n_chars", "n_bpe_tokens",
             "n_alpha", "n_stop", "n_ws_tokens", "is_quality",
+            "max_bigram_tf", "dup_bigram_extra",
         )
         .sort("doc_id")
     )
