@@ -512,3 +512,163 @@ def ivf_index_topk(
 
     cands = ds.map_batches(_cand, batch_format="pyarrow")
     return _finish_topk(cands, k, return_stats)
+
+
+# --- Product Quantization (compressed-domain ANN) --------------------------
+
+
+def pq_train(ds, m: int = 8, k_codes: int = 16, iters: int = 8) -> np.ndarray:
+    """Train PQ codebooks [m, k_codes, dim/m] (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    L2-normalized vector into m subspaces and k-means each subspace.
+
+    Reuses the distributed k-means pattern per subspace: per iteration the
+    codebooks broadcast via ray.put and map_batches emits tiny per-code
+    (sum, count) partials — every subspace's partials ride ONE pass over
+    the data, so training is m-independent in scan count.  Deterministic
+    init: the first k_codes vectors by id order."""
+    import ray
+
+    def _first_k(batch: pa.Table) -> pa.Table:
+        return batch.sort_by("vec_id").slice(0, k_codes)
+
+    seed = (
+        ds.map_batches(_first_k, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k_codes)
+    )
+    seed_m = np.stack([np.asarray(v, dtype=np.float64) for v in seed["embedding"]])
+    seed_m /= np.maximum(np.linalg.norm(seed_m, axis=1, keepdims=True), 1e-30)
+    dim = seed_m.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = seed_m.reshape(k_codes, m, sub).transpose(1, 0, 2).copy()  # (m,k,sub)
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            b = ray.get(ref)
+            emb = _emb_matrix(batch).astype(np.float64)
+            emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+            parts = emb.reshape(len(emb), m, sub)
+            rows = []
+            for s in range(m):
+                d = _sq_dists(parts[:, s, :], b[s])
+                assign = d.argmin(axis=1)
+                for j in np.unique(assign):
+                    sel = parts[assign == j, s, :]
+                    rows.append(
+                        {
+                            "s": int(s),
+                            "code": int(j),
+                            "vsum": sel.sum(axis=0).tolist(),
+                            "n": len(sel),
+                        }
+                    )
+            return pa.Table.from_pylist(rows)
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        new = books.copy()
+        for (s, j), g in parts.groupby(["s", "code"]):
+            total = np.sum([np.asarray(v) for v in g["vsum"]], axis=0)
+            n = int(g["n"].sum())
+            if n:
+                new[int(s)][int(j)] = total / n
+        books = new
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray):
+    """Encode every vector to m uint8 codes (nearest codeword per
+    subspace): 64 floats -> m bytes, a 32x storage cut at m=8 — the
+    compressed representation 100TB of embeddings actually ships around.
+    Returns a Dataset of (vec_id, codes list<uint8>)."""
+    import ray
+
+    m, _k, sub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        emb = _emb_matrix(batch).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        parts = emb.reshape(len(emb), m, sub)
+        codes = np.empty((len(emb), m), dtype=np.uint8)
+        for s in range(m):
+            codes[:, s] = _sq_dists(parts[:, s, :], b[s]).argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(_enc, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, queries, codebooks: np.ndarray, k: int = 10) -> pa.Table:
+    """ADC top-k over PQ codes: per query, an (m, k_codes) lookup table of
+    subspace dot products against the codebooks; each batch's scores are
+    pure table gathers + sums over the uint8 codes — the scan never touches
+    a float vector.  ``queries`` is the load_queries triple.  Approximate
+    by construction (quantization error); recall vs brute cosine is pinned
+    in tests."""
+    import ray
+
+    m, k_codes, sub = codebooks.shape
+    q_ids, q_mat, _q_norms = queries
+    qm = np.asarray(q_mat, dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    # tables[q, s, c] = <q_sub_s, codeword_c_s>
+    tables = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), codebooks)
+    t_ref = ray.put((np.asarray(q_ids), tables))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        qi, t = ray.get(t_ref)
+        ids = batch.column("vec_id").to_numpy()
+        flat = np.asarray(batch.column("codes").combine_chunks().values)
+        codes = flat.reshape(len(ids), m).astype(np.int64)
+        # sims[i, q] = sum_s t[q, s, codes[i, s]]
+        sims = np.zeros((len(ids), t.shape[0]))
+        for s in range(m):
+            sims += t[:, s, :][:, codes[:, s]].T
+        return _emit_candidates(qi, ids, sims, k)
+
+    cands = codes_ds.map_batches(_scan, batch_format="pyarrow")
+    return _finish_topk(cands, k)
+
+
+def pq_topk_rerank(
+    ds, codes_ds, queries, codebooks: np.ndarray, k: int = 10, shortlist: int = 50
+) -> pa.Table:
+    """ADC shortlist + exact re-rank (the +R of IVFADC+R, Jégou et al.
+    2011 §V): the compressed scan nominates ``shortlist`` candidates per
+    query, then ONE pass over the raw vectors rescores only nominated ids
+    with exact cosine — at scale the rescore is an id-filtered fetch of
+    shortlist*queries rows, not a second full scan of floats."""
+    import ray
+
+    short = pq_topk(codes_ds, queries, codebooks, k=shortlist).to_pandas()
+    by_q = {
+        int(q): set(g["neighbor_id"].tolist()) for q, g in short.groupby("query_id")
+    }
+    q_ids, q_mat, q_norms = queries
+    s_ref = ray.put((by_q, np.asarray(q_ids), q_mat, q_norms))
+
+    def _rescore(batch: pa.Table) -> pa.Table:
+        bq, qi, qm, qn = ray.get(s_ref)
+        emb = _emb_matrix(batch)
+        ids = batch.column("vec_id").to_numpy()
+        norms = np.linalg.norm(emb, axis=1)
+        sims = (emb @ qm.T) / (norms[:, None] * qn[None, :])
+        # mask out ids not nominated for that query
+        for j, q in enumerate(qi):
+            keep = np.isin(ids, list(bq.get(int(q), ())))
+            sims[~keep, j] = -np.inf
+        return _emit_candidates(qi, ids, sims, k)
+
+    cands = ds.map_batches(_rescore, batch_format="pyarrow")
+    return _finish_topk(cands, k)

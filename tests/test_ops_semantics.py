@@ -323,3 +323,42 @@ def test_duplicate_clusters_planted(planted_docs, ray_session):
     for i in range(5):
         assert by_doc.get(40 + i) == by_doc.get(i) == i
     assert by_doc.get(45) == by_doc.get(10) == 10
+
+
+def test_pq_adc_recall_and_determinism(ray_session):
+    """Product quantization: 64 floats -> 8 uint8 codes, ADC top-k recall
+    vs exact brute cosine must stay high on the bench embeddings, and the
+    whole train/encode/query chain must be deterministic."""
+    import ray.data as rd
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    qs = ann.load_queries(emb, [1, 2, 3, 4])
+
+    def run():
+        books = ann.pq_train(rd.read_parquet(emb), m=8, k_codes=256, iters=8)
+        codes = ann.pq_encode(rd.read_parquet(emb), books).materialize()
+        adc = ann.pq_topk(codes, qs, books, k=10).to_pandas()
+        rr = ann.pq_topk_rerank(
+            rd.read_parquet(emb), codes, qs, books, k=10, shortlist=50
+        ).to_pandas()
+        return books, adc, rr
+
+    books1, adc1, rr1 = run()
+    books2, adc2, rr2 = run()
+    assert np.array_equal(books1, books2)
+    assert adc1.equals(adc2) and rr1.equals(rr2)
+
+    brute = ann.brute_topk(rd.read_parquet(emb), qs, k=10).to_pandas()
+
+    def recall(got):
+        rs = []
+        for qid in [1, 2, 3, 4]:
+            want = set(brute[brute.query_id == qid]["neighbor_id"])
+            have = set(got[got.query_id == qid]["neighbor_id"])
+            rs.append(len(want & have) / len(want))
+        return np.mean(rs), rs
+
+    adc_r, adc_detail = recall(adc1)
+    assert adc_r >= 0.6, adc_detail  # pure 32x-compressed scan
+    rr_r, rr_detail = recall(rr1)
+    assert rr_r == 1.0, rr_detail  # ADC shortlist + exact re-rank
