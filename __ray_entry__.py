@@ -319,6 +319,77 @@ def _proximity_sql() -> str:
     )
 
 
+def _containing_sql() -> str:
+    """Intervals.containing / notContaining: MINIMAL covering windows
+    ((l, r) covers all terms, but neither (l+1, r) nor (l, r-1) does —
+    exactly the sweep's minimal-interval set), width-filtered, then kept by
+    [non-]containment of the filter term."""
+    parts = []
+    for qid, (terms, w, f, neg) in enumerate(ft.CONTAINING_QUERIES):
+        tin = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
+
+        def cover(lo: str, hi: str) -> str:
+            return " AND ".join(
+                f"EXISTS (SELECT 1 FROM p x WHERE x.doc_id = a.doc_id "
+                f"AND x.tok = '{t}' AND x.i BETWEEN {lo} AND {hi})"
+                for t in dict.fromkeys(terms)
+            )
+
+        exist = "NOT EXISTS" if neg else "EXISTS"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n FROM ("
+            f"  SELECT a.doc_id, a.i AS l, b.i AS r FROM p a, p b"
+            f"  WHERE b.doc_id = a.doc_id AND a.tok IN ({tin}) AND b.tok IN ({tin})"
+            f"    AND b.i >= a.i AND b.i - a.i + 1 <= {w}"
+            f"    AND {cover('a.i', 'b.i')}"
+            f"    AND NOT ({cover('a.i + 1', 'b.i')})"
+            f"    AND NOT ({cover('a.i', 'b.i - 1')})"
+            f") wnd WHERE {exist} (SELECT 1 FROM p f WHERE f.doc_id = wnd.doc_id "
+            f"AND f.tok = '{f}' AND f.i BETWEEN wnd.l AND wnd.r) "
+            f"GROUP BY doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "cprox AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
+def _or_proximity_sql() -> str:
+    """Unordered minimal windows where each SLOT is a term disjunction
+    (Intervals.unordered over Intervals.or): coverage per slot = any
+    alternative present in the window."""
+    parts = []
+    for qid, (slots, w) in enumerate(ft.OR_PROXIMITY_QUERIES):
+        all_terms = ", ".join(
+            f"'{t}'" for t in dict.fromkeys(t for s in slots for t in s)
+        )
+
+        def cover(lo: str, hi: str) -> str:
+            return " AND ".join(
+                "EXISTS (SELECT 1 FROM p x WHERE x.doc_id = a.doc_id "
+                f"AND x.tok IN ({', '.join(chr(39) + t + chr(39) for t in s)}) "
+                f"AND x.i BETWEEN {lo} AND {hi})"
+                for s in slots
+            )
+
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n FROM ("
+            f"  SELECT a.doc_id, a.i AS l, b.i AS r FROM p a, p b"
+            f"  WHERE b.doc_id = a.doc_id AND a.tok IN ({all_terms}) AND b.tok IN ({all_terms})"
+            f"    AND b.i >= a.i AND b.i - a.i + 1 <= {w}"
+            f"    AND {cover('a.i', 'b.i')}"
+            f"    AND NOT ({cover('a.i + 1', 'b.i')})"
+            f"    AND NOT ({cover('a.i', 'b.i - 1')})"
+            f") wnd GROUP BY doc_id"
+        )
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "orprox AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _ordered_proximity_sql() -> str:
     """Ordered chains: count DISTINCT first-term positions p0 admitting an
     increasing chain p0 < p1 < ... within the window (equivalent to the
@@ -1037,12 +1108,23 @@ def _phrase_family_counts(sf_dir: str):
 
 
 def _proximity_family(sf_dir: str):
-    """Unordered (interval sweep) + ordered (greedy chain) proximity in one
-    entry; unordered rows carry n_starts = -1 (match count is ordered-only)."""
+    """The intervals family in one entry: unordered (minimal-window sweep),
+    ordered (greedy chain), containing/notContaining (windows filtered by
+    third-term containment) and or-slot sources; unordered rows carry
+    n_starts = -1 (its count is boolean-match only)."""
     un = ft.proximity_matches(sf_dir).to_pandas()
     un["n_starts"] = -1
+    cont = ft.containing_proximity_matches(sf_dir).to_pandas()
+    cont = cont.rename(columns={"n": "n_starts"})
+    disj = ft.or_proximity_matches(sf_dir).to_pandas()
+    disj = disj.rename(columns={"n": "n_starts"})
     return _concat_family(
-        [("unordered", un), ("ordered", ft.ordered_proximity_matches(sf_dir))]
+        [
+            ("unordered", un),
+            ("ordered", ft.ordered_proximity_matches(sf_dir)),
+            ("containing", cont),
+            ("or", disj),
+        ]
     )
 
 
@@ -1651,6 +1733,12 @@ FROM (WITH {_TOKS}, {_proximity_sql()} SELECT qid, doc_id FROM prox)
 UNION ALL
 SELECT 'ordered', qid, doc_id, n_starts
 FROM (WITH {_TOKS}, {_ordered_proximity_sql()} SELECT qid, doc_id, n_starts FROM oprox)
+UNION ALL
+SELECT 'containing', qid, doc_id, n
+FROM (WITH {_TOKS}, {_containing_sql()} SELECT qid, doc_id, n FROM cprox)
+UNION ALL
+SELECT 'or', qid, doc_id, n
+FROM (WITH {_TOKS}, {_or_proximity_sql()} SELECT qid, doc_id, n FROM orprox)
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

@@ -943,6 +943,15 @@ def _seg_positional_matches(
                 d, n = mt.ordered_proximity_matches_segment(
                     r, tuple(payload[0]), payload[1]
                 )
+            elif kind == "containing_proximity":
+                terms, w, f, neg = payload
+                d, n = mt.containing_proximity_matches_segment(
+                    r, tuple(terms), w, f, negate=neg
+                )
+            elif kind == "or_proximity":
+                d, n = mt.or_proximity_matches_segment(
+                    r, tuple(tuple(s) for s in payload[0]), payload[1]
+                )
             else:  # pragma: no cover
                 raise ValueError(kind)
             qids.extend([qid] * len(d))
@@ -1741,6 +1750,35 @@ PROXIMITY_QUERIES = [
     (("hash", "stream"), 8),
     (("the", "customer", "spark"), 10),
 ]
+
+# (source terms, window, filter term, negate) — Intervals.containing /
+# notContaining over unordered()+maxwidth() sources
+CONTAINING_QUERIES = [
+    (("spark", "join"), 8, "order", False),
+    (("spark", "join"), 8, "order", True),
+    (("merge", "customer"), 10, "the", False),
+    (("hash", "stream"), 9, "row", True),
+]
+
+# (slots of alternatives, window) — Intervals.unordered over Intervals.or
+OR_PROXIMITY_QUERIES = [
+    ((("spark", "merge"), ("customer",)), 7),
+    ((("join", "order"), ("window", "batch")), 6),
+    ((("hash",), ("stream", "vector"), ("row",)), 12),
+]
+
+
+def containing_proximity_matches(sf_dir: str):
+    """(qid, doc_id, n) for Intervals.containing/notContaining — minimal
+    unordered windows filtered by containment of a third term."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, CONTAINING_QUERIES, "containing_proximity", "n")
+
+
+def or_proximity_matches(sf_dir: str):
+    """(qid, doc_id, n) for unordered proximity with OR-slot sources."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, OR_PROXIMITY_QUERIES, "or_proximity", "n")
 
 
 def proximity_matches(sf_dir: str):

@@ -378,38 +378,52 @@ def proximity_matches_segment(reader, terms: tuple[str, ...], window: int):
         pos_maps.append({int(d): p for d, p in zip(docs, reader.term_positions(tid))})
     out_docs, out_n = [], []
     for d in common.tolist():
-        # merge all (position, slot) events, sweep with per-slot counts
-        events = np.concatenate(
-            [np.stack([np.asarray(pos_maps[i][d]), np.full(len(pos_maps[i][d]), i)], axis=1)
-             for i in range(k)]
-        )
-        events = events[np.argsort(events[:, 0], kind="stable")]
-        pos, slot = events[:, 0], events[:, 1]
-        counts = np.zeros(k, dtype=np.int64)
-        have = 0
-        left = 0
-        n_win = 0
-        for right in range(len(pos)):
-            s = slot[right]
-            counts[s] += 1
-            if counts[s] == 1:
-                have += 1
-            if have < k:
-                continue
-            # shrink to the minimal covering window ending at `right`
-            while counts[slot[left]] > 1:
-                counts[slot[left]] -= 1
-                left += 1
-            if pos[right] - pos[left] + 1 <= window:
-                n_win += 1
-            # drop the left edge so the next minimal window is distinct
-            counts[slot[left]] -= 1
-            have -= 1
-            left += 1
-        if n_win:
+        wins = _sweep_minimal_windows([pos_maps[i][d] for i in range(k)], window)
+        if len(wins):
             out_docs.append(d)
-            out_n.append(n_win)
+            out_n.append(len(wins))
     return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)
+
+
+def _sweep_minimal_windows(pos_lists: list, window: int) -> np.ndarray:
+    """Minimal covering windows over k position lists (one doc): the
+    classic smallest-window sweep.  Returns (n, 2) [left_pos, right_pos]
+    pairs with width <= window — exactly the MINIMAL interval set of
+    Vigna's semantics (no returned window contains another), which is what
+    the reference's IntervalIterators stream (queries/intervals)."""
+    k = len(pos_lists)
+    events = np.concatenate(
+        [
+            np.stack(
+                [np.asarray(pl), np.full(len(pl), i)], axis=1
+            )
+            for i, pl in enumerate(pos_lists)
+        ]
+    )
+    events = events[np.argsort(events[:, 0], kind="stable")]
+    pos, slot = events[:, 0], events[:, 1]
+    counts = np.zeros(k, dtype=np.int64)
+    have = 0
+    left = 0
+    wins = []
+    for right in range(len(pos)):
+        s = slot[right]
+        counts[s] += 1
+        if counts[s] == 1:
+            have += 1
+        if have < k:
+            continue
+        # shrink to the minimal covering window ending at `right`
+        while counts[slot[left]] > 1:
+            counts[slot[left]] -= 1
+            left += 1
+        if pos[right] - pos[left] + 1 <= window:
+            wins.append((int(pos[left]), int(pos[right])))
+        # drop the left edge so the next minimal window is distinct
+        counts[slot[left]] -= 1
+        have -= 1
+        left += 1
+    return np.asarray(wins, np.int64).reshape(-1, 2)
 
 
 def ordered_proximity_matches_segment(reader, terms: tuple[str, ...], window: int):
@@ -461,4 +475,99 @@ def ordered_proximity_matches_segment(reader, terms: tuple[str, ...], window: in
         if n:
             out_docs.append(d)
             out_n.append(n)
+    return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)
+
+
+def _term_pos_map(reader, term: str):
+    """{local docid: ascending positions} for one term; None if absent."""
+    from ..index.postings import decode_term
+
+    tid = reader.term_id(term)
+    if tid is None:
+        return None
+    docs, _ = decode_term(reader.enc, tid)
+    return {int(d): p for d, p in zip(docs, reader.term_positions(tid))}
+
+
+def containing_proximity_matches_segment(
+    reader, terms: tuple[str, ...], window: int, filter_term: str, negate: bool = False
+):
+    """(local docids, n) for Intervals.containing / notContaining: the
+    minimal unordered covering windows of ``terms`` (width <= window) that
+    DO (or with ``negate``, do NOT) contain an occurrence of
+    ``filter_term`` (queries/intervals/Intervals.java containing() /
+    notContaining() over unordered()+maxwidth() sources).  n counts the
+    surviving minimal windows per doc."""
+    if not reader.has_positions:
+        raise ValueError("proximity queries need an index built with index_options='positions'")
+    terms = tuple(dict.fromkeys(terms))
+    maps = [_term_pos_map(reader, t) for t in terms]
+    if any(m is None for m in maps):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    fmap = _term_pos_map(reader, filter_term) or {}
+    common = None
+    for m in maps:
+        ks = np.fromiter(m.keys(), np.int64)
+        common = ks if common is None else common[np.isin(common, ks)]
+    if common is None or len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    common = np.sort(common)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    out_docs, out_n = [], []
+    for d in common.tolist():
+        wins = _sweep_minimal_windows([m[d] for m in maps], window)
+        if not len(wins):
+            continue
+        fpos = np.asarray(fmap.get(d, np.empty(0, np.int64)))
+        if len(fpos):
+            # window [l, r] contains f iff some f position in [l, r]
+            idx = np.searchsorted(fpos, wins[:, 0], side="left")
+            has = (idx < len(fpos)) & (fpos[np.minimum(idx, len(fpos) - 1)] <= wins[:, 1])
+        else:
+            has = np.zeros(len(wins), dtype=bool)
+        n = int((~has).sum() if negate else has.sum())
+        if n:
+            out_docs.append(d)
+            out_n.append(n)
+    return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)
+
+
+def or_proximity_matches_segment(reader, slots: tuple, window: int):
+    """(local docids, n_windows) for unordered proximity where each SLOT is
+    a DISJUNCTION of terms (Intervals.unordered over Intervals.or sources):
+    slot i's positions are the merged positions of its alternatives."""
+    if not reader.has_positions:
+        raise ValueError("proximity queries need an index built with index_options='positions'")
+    slot_maps = []
+    for alts in slots:
+        merged: dict[int, list] = {}
+        found = False
+        for t in dict.fromkeys(alts):
+            m = _term_pos_map(reader, t)
+            if m is None:
+                continue
+            found = True
+            for d, p in m.items():
+                merged.setdefault(d, []).append(p)
+        if not found:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        slot_maps.append(
+            {d: np.unique(np.concatenate(ps)) for d, ps in merged.items()}
+        )
+    common = None
+    for m in slot_maps:
+        ks = np.fromiter(m.keys(), np.int64) if m else np.empty(0, np.int64)
+        common = ks if common is None else common[np.isin(common, ks)]
+    if common is None or len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    common = np.sort(common)
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    out_docs, out_n = [], []
+    for d in common.tolist():
+        wins = _sweep_minimal_windows([m[d] for m in slot_maps], window)
+        if len(wins):
+            out_docs.append(d)
+            out_n.append(len(wins))
     return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)

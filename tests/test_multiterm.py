@@ -128,3 +128,79 @@ def test_fuzzy_damerau_codepoints(tmp_path):
         want = {t for t in vocab if _dl_ref(t, "café") <= me}
         assert got == want, (me, got ^ want)
     assert _dl_ref("caéf", "café") == 1  # é<->f swap is ONE edit
+
+
+def test_containing_and_or_proximity_brute(tmp_path):
+    """Brute differential for the new interval operators: enumerate minimal
+    windows naively per doc and compare counts."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.multiterm import (
+        containing_proximity_matches_segment,
+        or_proximity_matches_segment,
+    )
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(generate_corpus(60, seed=21), str(d / "c.parquet"))
+    out = str(tmp_path / "idx")
+    build_index_local(str(d), out, docs_per_segment=256, index_options="positions")
+    seg = read_manifest(out)["segments"][0]
+    r = SegmentReader(seg["dir"])
+
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    an = make_analyzer("standard")
+    texts = pq.read_table(str(d / "c.parquet")).column("content").to_pylist()
+
+    def minimal_windows(toks, slots):
+        pos = {i: [p for p, t in enumerate(toks) if t in s] for i, s in enumerate(slots)}
+        if any(not v for v in pos.values()):
+            return []
+        wins = []
+        n = len(toks)
+        for l in range(n):
+            for rr in range(l, n):
+                if all(any(l <= p <= rr for p in ps) for ps in pos.values()):
+                    inner1 = all(any(l + 1 <= p <= rr for p in ps) for ps in pos.values())
+                    inner2 = all(any(l <= p <= rr - 1 for p in ps) for ps in pos.values())
+                    if not inner1 and not inner2:
+                        wins.append((l, rr))
+        return wins
+
+    # containing
+    terms, w, f, neg = ("def", "import"), 8, "return", False
+    got_d, got_n = containing_proximity_matches_segment(r, terms, w, f, negate=neg)
+    got = dict(zip(got_d.tolist(), got_n.tolist()))
+    want = {}
+    for doc, text in enumerate(texts):
+        toks = an.tokens(text)
+        wins = [
+            (l, rr)
+            for l, rr in minimal_windows(toks, [{t} for t in terms])
+            if rr - l + 1 <= w
+        ]
+        c = sum(1 for l, rr in wins if any(l <= p <= rr for p, t in enumerate(toks) if t == f))
+        if c:
+            want[doc] = c
+    assert got == want
+
+    # or-slots
+    slots = (("def", "class"), ("import",))
+    got_d, got_n = or_proximity_matches_segment(r, slots, 7)
+    got = dict(zip(got_d.tolist(), got_n.tolist()))
+    want = {}
+    for doc, text in enumerate(texts):
+        toks = an.tokens(text)
+        wins = [
+            (l, rr)
+            for l, rr in minimal_windows(toks, [set(s) for s in slots])
+            if rr - l + 1 <= 7
+        ]
+        if wins:
+            want[doc] = len(wins)
+    assert got == want
