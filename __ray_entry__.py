@@ -486,6 +486,69 @@ SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """
 
 
+def _training_mix_sql() -> str:
+    """The composed pipeline, mirrored stage for stage: lang gate ->
+    quality + repetition gate -> exact dedup -> near-dup components over
+    THE SURVIVOR SET ONLY -> representatives."""
+    from lucene_ray.ops.text import EN_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH RECURSIVE {_TOKS},
+stopc AS (
+  SELECT t.doc_id, len(ts)::BIGINT AS n_tokens,
+         len(list_filter(ts, x -> list_contains([{stop_list}], x)))::BIGINT AS n_stop
+  FROM toks t
+),
+exx AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS i FROM toks),
+bigg AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2, count(*)::BIGINT AS c
+  FROM exx a JOIN exx b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2, 3
+),
+repp AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_tf FROM bigg GROUP BY doc_id),
+gated AS (
+  SELECT d.doc_id, d.text, d.lang, s.n_tokens
+  FROM documents d JOIN stopc s USING (doc_id) LEFT JOIN repp r USING (doc_id)
+  WHERE d.lang IN ('en', 'de') AND s.n_tokens >= 10
+    AND s.n_stop * 50 <= s.n_tokens * 45
+    AND coalesce(r.max_bigram_tf, 0) <= 4
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+sdocs AS (SELECT g.* FROM gated g JOIN surv USING (doc_id)),
+sstarts AS (
+  SELECT t.doc_id, t.ts, unnest(range(greatest(len(t.ts) - 2, 1))) AS i
+  FROM toks t JOIN surv USING (doc_id) WHERE len(t.ts) > 0
+),
+ssh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 3], ' ') AS shingle
+  FROM sstarts
+),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db_, count(*)::BIGINT AS inter
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ssh GROUP BY doc_id),
+pairs AS (
+  SELECT da, db_ FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db_
+  WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
+),
+edges AS (SELECT da AS a, db_ AS b FROM pairs UNION ALL SELECT db_, da FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r2.lbl FROM reach r2 JOIN edges e ON e.a = r2.node
+),
+lab AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)
+SELECT s.doc_id, s.lang, s.n_tokens FROM sdocs s
+WHERE s.doc_id NOT IN (SELECT node FROM lab WHERE node != cid)
+"""
+
+
 def _clean_corpus_sql() -> str:
     from lucene_ray.ops.text import EN_STOPWORDS
 
@@ -1044,9 +1107,13 @@ def _dd_signatures(sf_dir: str):
     sh["sig"] = sh["sig"].astype("uint64")
     sh["i"] = 0
     sh["method"] = "simhash"
+    ex = dedup.exact_survivor_signatures(_docs(sf_dir)).to_pandas()
+    ex["sig"] = ex["sig"].astype("uint64")
+    ex["i"] = 0
+    ex["method"] = "exact"
     # concat on pre-cast uint64 columns (int64+uint64 would promote to
     # float64 and shred the high bits)
-    out = pd.concat([mh, sh], ignore_index=True)
+    out = pd.concat([mh, sh, ex], ignore_index=True)
     out["sig"] = out["sig"].astype("uint64")
     out["i"] = out["i"].astype("int64")
     return out[["method", "doc_id", "i", "sig"]]
@@ -1152,6 +1219,12 @@ def _clean_corpus(sf_dir: str):
     return clean_corpus(_docs(sf_dir), out_dir=out)
 
 
+def _training_mix(sf_dir: str):
+    from lucene_ray.ops.clean import training_mix
+
+    return training_mix(_docs(sf_dir))
+
+
 def _events(sf_dir: str):
     import ray.data as rd
 
@@ -1242,8 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), {"en": 50, "de": 25, "fr": 10}
         ),
         # --- dedup ---
-        "dd_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
-        # MinHash + SimHash signatures in one family entry
+        # MinHash + SimHash + exact-survivor signatures in one family entry
         "dd_signatures": _dd_signatures,
         # LSH-band / SimHash-band / n-gram-Jaccard near-pair family
         "dd_near_pairs": _dd_near_pairs,
@@ -1263,6 +1335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_frame_samples": lambda sf: multimodal.frame_samples(_docs(sf)),
         # --- full cleaning pipeline (quality -> dedup -> partitioned sink) ---
         "pl_clean_corpus": _clean_corpus,
+        # the composed LLM training-data pipeline: lang gate -> quality +
+        # repetition gate -> exact dedup -> near-dup cluster collapse
+        "pl_training_mix": _training_mix,
         # --- event-table operators (windowed agg / sessions / as-of join) ---
         "ev_window_counts": _ev_window_counts,
         "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
@@ -2283,10 +2358,11 @@ JOIN (SELECT a.doc_id, a.fp, b.roll_fp
             SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks) a
       JOIN ({_rolling_fp_sql()}) b USING (doc_id)) f USING (doc_id)
 """,
-        "dd_exact": """
-SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
-""",
         "dd_signatures": f"""
+SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,
+       (md5_number_lower(coalesce(text, '')) % 9223372036854775808)::UBIGINT AS sig
+FROM documents GROUP BY text, 4
+UNION ALL
 SELECT 'minhash' AS method, doc_id, i::BIGINT AS i, sig::UBIGINT AS sig
 FROM (
 WITH {_TOKS}, {_SHINGLES}, {_MINHASH}
@@ -2408,6 +2484,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """,
         "pl_clean_corpus": _clean_corpus_sql(),
+        "pl_training_mix": _training_mix_sql(),
         "ev_window_counts": """
 SELECT 'tumbling' AS kind, event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events,

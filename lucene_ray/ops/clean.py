@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -101,3 +103,68 @@ def clean_corpus(ds, out_dir: str | None = None) -> pa.Table:
             "n_kept": pa.array([int(n_kept)], pa.int64()),
         }
     )
+
+
+def training_mix(ds):
+    """The composed LLM training-data pipeline over the documents table:
+
+        read -> language gate (lang in {en, de})
+             -> quality gate  (is_quality == 1 AND max_bigram_tf <= 4,
+                               the stopword + repetition rules from the
+                               single-pass doc profile)
+             -> exact dedup   (min doc_id per identical text, full rows
+                               riding the fingerprint groupby)
+             -> near-dup collapse (connected components over verified
+                               n-gram-Jaccard pairs AMONG THE SURVIVORS;
+                               each cluster keeps its min-doc_id
+                               representative)
+             -> final mix     (doc_id, lang, n_tokens)
+
+    Every stage is a Ray Data transform: the gates are vectorized
+    map_batches masks, the dedups shuffle fingerprints/shingles (never
+    full text to the driver), and the near-dup drop set — doc_ids that
+    lost their cluster — is cluster-bounded and ships once via ray.put.
+    """
+    import ray
+
+    from .dedup import duplicate_clusters
+    from .text import doc_stats_batch
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        from .util import strip_schema_metadata
+
+        s = doc_stats_batch(batch)
+        import polars as pl
+
+        left = pl.from_arrow(batch.select(["doc_id", "text", "lang"]))
+        stats = pl.from_arrow(
+            s.select(["doc_id", "n_tokens", "is_quality", "max_bigram_tf"])
+        )
+        j = left.join(stats, on="doc_id", how="inner").filter(
+            pl.col("lang").is_in(["en", "de"])
+            & (pl.col("is_quality") == 1)
+            & (pl.col("max_bigram_tf") <= 4)
+        )
+        return strip_schema_metadata(
+            j.select(["doc_id", "text", "lang", "n_tokens"]).to_arrow()
+        )
+
+    gated = ds.map_batches(_gate, batch_format="pyarrow")
+    fps = gated.map_batches(_fp_append, batch_format="pyarrow")
+    survivors = fps.groupby("fp").map_groups(
+        _keep_min_doc, batch_format="pyarrow"
+    ).materialize()
+
+    clusters = duplicate_clusters(survivors).to_pandas()
+    dropped = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+    )
+    drop_ref = ray.put(dropped)
+
+    def _collapse(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy()
+        keep = ~np.isin(ids, list(d)) if d else np.ones(len(ids), dtype=bool)
+        return batch.filter(pa.array(keep)).select(["doc_id", "lang", "n_tokens"])
+
+    return survivors.map_batches(_collapse, batch_format="pyarrow")

@@ -626,3 +626,35 @@ def duplicate_clusters(
         )
 
     return labels.groupby("label").map_groups(sized, batch_format="pyarrow")
+
+
+def _exact_sig_batch(batch: pa.Table) -> pa.Table:
+    sub = batch.select(["doc_id", "text"])  # noqa: F841 — replacement scan
+    # % 2^63 keeps the signature inside int64 (Ray groupby's arrow<->pandas
+    # round trip overflows on true uint64 values); the oracle masks the
+    # same way, and a 63-bit content hash loses nothing for dedup
+    return (
+        _duck()
+        .execute(
+            "select doc_id, (md5_number_lower(coalesce(text, ''))"
+            " % 9223372036854775808)::BIGINT sig from sub"
+        )
+        .arrow()
+    )
+
+
+def exact_survivor_signatures(ds):
+    """(doc_id, sig) of exact-dedup SURVIVORS with sig = the 63-bit
+    md5_number_lower(text): exact dedup IS signature dedup at (near) full
+    hash width, so it rides the dd_signatures family as method='exact'."""
+    sigs = ds.map_batches(_exact_sig_batch, batch_format="pyarrow")
+    kept = sigs.groupby("sig").min("doc_id")
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b.column("min(doc_id)"), pa.int64()),
+                "sig": pc.cast(b.column("sig"), pa.uint64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
