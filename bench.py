@@ -142,6 +142,14 @@ def _bench_queries(idx_dir: str, num_workers: int) -> dict:
     return out
 
 
+def _read_cpu_stat() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except OSError:
+        return None
+
+
 def _host_health_probe() -> dict:
     """Fresh-page-fault bandwidth probe, run before and after the bench.
 
@@ -163,7 +171,26 @@ def _host_health_probe() -> dict:
     a[:: 4096 // 8] = 1.0  # touch every page
     dt = time.perf_counter() - t0
     del a
-    return {"fresh_alloc_gbps": round(n * 8 / dt / 1e9, 2)}
+    out = {"fresh_alloc_gbps": round(n * 8 / dt / 1e9, 2)}
+    # hypervisor CPU steal (the second degradation mode on this host):
+    # fixed single-thread compute that takes ~25ms unstolen, plus the
+    # /proc/stat steal-tick share over the same wall interval
+    try:
+        with open("/proc/stat") as f:
+            before = [int(x) for x in f.readline().split()[1:]]
+        b = np.ones(1_000_000)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            np.multiply(b, 1.000001, out=b)
+        out["cpu_spin_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        with open("/proc/stat") as f:
+            after = [int(x) for x in f.readline().split()[1:]]
+        d = [a_ - b_ for a_, b_ in zip(after, before)]
+        total = sum(d)
+        out["steal_pct"] = round(100.0 * d[7] / total, 1) if total else 0.0
+    except OSError:
+        pass
+    return out
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
@@ -174,6 +201,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     sf = _sf_from_dir(sf_dir)
     queries: dict[str, float] = {}
     extras: dict = {"host_control_pre": _host_health_probe()}
+    _stat0 = _read_cpu_stat()
 
     # min-of-2: the host VM is noisy-neighbor prone (observed 4x swings)
     build = bench_index_build(sf, num_cpus)
@@ -239,6 +267,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     shutil.rmtree(build["idx_dir"], ignore_errors=True)
     extras["host_control_post"] = _host_health_probe()
+    _stat1 = _read_cpu_stat()
+    if _stat0 and _stat1:
+        d = [a - b for a, b in zip(_stat1, _stat0)]
+        total = sum(d)
+        # aggregate hypervisor steal over the WHOLE bench run — point
+        # probes miss the bursts that actually inflate the numbers
+        extras["run_steal_pct"] = round(100.0 * d[7] / total, 1) if total else 0.0
     return {
         "metric": "index-build throughput + BM25 top-10 latency + data-pipeline ops",
         "value": round(sum(queries.values()), 3),
