@@ -556,7 +556,9 @@ class FusedSegmentBuilder:
         rows = []
         for desc in batch.to_pylist():
             seg = self.segs_by_id[desc["seg_id"]]
+            t0 = time.time()
             metrics = self.build_one(seg)
+            metrics["task_sec"] = round(time.time() - t0, 3)
             rows.append({"seg_id": seg["seg_id"], "metrics": json.dumps(metrics)})
         return pa.Table.from_pylist(rows)
 
