@@ -118,6 +118,34 @@ def cmd_check(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_sync(args) -> int:
+    from .index.replicate import sync
+
+    stats = sync(args.src, args.dst)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_split(args) -> int:
+    ray = _init_ray()
+    from .index.split import split_index
+
+    outs = [p for p in args.out.split(",") if p]
+    mans = split_index(args.index, outs, mode=args.mode, compact=not args.no_compact)
+    print(
+        json.dumps(
+            {
+                "parts": [
+                    {"dir": o, "docs": sum(int(s["max_doc"]) for s in m["segments"])}
+                    for o, m in zip(outs, mans)
+                ]
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_ingest(args) -> int:
     ray = _init_ray()
     from .sources.ingest import ingest
@@ -216,6 +244,18 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--values", default="", help="comma-separated key values")
     dl.add_argument("--analyzer", default="standard")
     dl.set_defaults(fn=cmd_delete)
+
+    sy = sub.add_parser("sync", help="incremental replica sync (replicator analogue)")
+    sy.add_argument("--src", required=True)
+    sy.add_argument("--dst", required=True)
+    sy.set_defaults(fn=cmd_sync)
+
+    sp = sub.add_parser("split", help="partition an index into N standalone parts")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True, help="comma-separated output dirs")
+    sp.add_argument("--mode", default="round_robin", choices=["round_robin", "seq"])
+    sp.add_argument("--no-compact", action="store_true")
+    sp.set_defaults(fn=cmd_split)
 
     ig = sub.add_parser("ingest")
     ig.add_argument("--src", required=True)

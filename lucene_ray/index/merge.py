@@ -458,7 +458,11 @@ def _apply_merges(index_dir: str, manifest: dict, plans: list[list[int]]) -> dic
 
     segs = manifest["segments"]
     gen = manifest["generation"] + 1
-    total_cpus = int(ray.cluster_resources().get("CPU", 8))
+    total_cpus = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized()
+        else (os.cpu_count() or 8)
+    )
     max_threads = max(1, min(4, total_cpus // 8))
     task = ray.remote(num_cpus=max(1, total_cpus // max_threads))(
         merge_segments_task
@@ -523,6 +527,22 @@ def maybe_merge(index_dir: str) -> dict:
 def force_merge(index_dir: str, max_segments: int = 1) -> dict:
     manifest = mf.read_manifest(index_dir)
     plans = plan_force_merge(manifest, max_segments)
+    if not plans:
+        return manifest
+    return _apply_merges(index_dir, manifest, plans)
+
+
+def expunge_deletes(index_dir: str) -> dict:
+    """Rewrite every segment that carries deletes as a singleton 'merge'
+    (IndexWriter.forceMergeDeletes analogue): live docs renumber dense,
+    masks disappear, doc_bases re-chain.  Segments without deletes are
+    untouched."""
+    manifest = mf.read_manifest(index_dir)
+    plans = [
+        [i]
+        for i, s in enumerate(manifest["segments"])
+        if s.get("livedocs") and int(s.get("del_count", 0)) > 0
+    ]
     if not plans:
         return manifest
     return _apply_merges(index_dir, manifest, plans)

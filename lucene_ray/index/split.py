@@ -23,7 +23,7 @@ import os
 import numpy as np
 
 from . import manifest as mf
-from .merge import force_merge, gc_unreferenced, prune_generations
+from .merge import expunge_deletes, force_merge, gc_unreferenced, prune_generations
 from .replicate import sync
 
 
@@ -81,6 +81,9 @@ def split_index(
         mf.write_manifest(out, new_man)
         if compact:
             new_man = force_merge(out, max_segments=1)
+            # a part that is already a single segment skips force_merge's
+            # planner; its foreign docs still need physical expunging
+            new_man = expunge_deletes(out)
             prune_generations(out, keep=1)
             gc_unreferenced(out)
         manifests.append(new_man)
