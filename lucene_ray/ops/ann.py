@@ -672,3 +672,186 @@ def pq_topk_rerank(
 
     cands = ds.map_batches(_rescore, batch_format="pyarrow")
     return _finish_topk(cands, k)
+
+
+# --- IVF-PQ (IVFADC): coarse cells + residual PQ codes, persisted ----------
+
+
+def build_ivfpq_index(
+    ds,
+    out_dir: str,
+    k_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 256,
+    iters: int = 6,
+) -> dict:
+    """Persisted IVFADC index (Jégou et al. 2011 §IV): coarse k-means
+    cells; within each cell, vectors are stored ONLY as m uint8 PQ codes
+    of their RESIDUAL (normalized vector - centroid), parquet-partitioned
+    by cell with centroids + codebooks as npy sidecars.
+
+    The billion-scale layout: a query reads nprobe/k_cells of the corpus
+    from storage (partition pruning at the read) and what it reads is
+    32x-compressed codes, never raw floats.  Codebooks train on residuals
+    pooled across cells — one scan per k-means iteration, same distributed
+    partial pattern as pq_train."""
+    import os
+    import shutil
+
+    import ray
+
+    cents = kmeans(ds, k=k_cells, iters=iters)
+    # normalized centroids of normalized vectors keep residual magnitudes
+    # comparable across cells
+    c_ref = ray.put(cents)
+
+    def _resid(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _emb_matrix(batch).astype(np.float64)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-30)
+        cell = _sq_dists(emb, c).argmin(axis=1).astype(np.int32)
+        res = emb - c[cell]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cell_id": pa.array(cell),
+                "residual": pa.array(list(res), pa.list_(pa.float64())),
+            }
+        )
+
+    resid = ds.map_batches(_resid, batch_format="pyarrow").materialize()
+
+    # train PQ codebooks on the residual stream (same partial pattern)
+    def _first_k(batch: pa.Table) -> pa.Table:
+        return batch.sort_by("vec_id").slice(0, k_codes)
+
+    seed = (
+        resid.map_batches(_first_k, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(k_codes)
+    )
+    seed_m = np.stack([np.asarray(v, dtype=np.float64) for v in seed["residual"]])
+    dim = seed_m.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = seed_m.reshape(k_codes, m, sub).transpose(1, 0, 2).copy()
+    for _ in range(iters):
+        b_ref = ray.put(books)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            b = ray.get(b_ref)
+            res = _emb_matrix(batch, col="residual")
+            parts = res.reshape(len(res), m, sub)
+            rows = []
+            for s in range(m):
+                assign = _sq_dists(parts[:, s, :], b[s]).argmin(axis=1)
+                for j in np.unique(assign):
+                    sel = parts[assign == j, s, :]
+                    rows.append(
+                        {"s": int(s), "code": int(j), "vsum": sel.sum(axis=0).tolist(), "n": len(sel)}
+                    )
+            return pa.Table.from_pylist(rows)
+
+        parts = resid.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        new = books.copy()
+        for (s, j), g in parts.groupby(["s", "code"]):
+            total = np.sum([np.asarray(v) for v in g["vsum"]], axis=0)
+            n = int(g["n"].sum())
+            if n:
+                new[int(s)][int(j)] = total / n
+        books = new
+
+    b_ref = ray.put(books)
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        res = _emb_matrix(batch, col="residual")
+        parts = res.reshape(len(res), m, sub)
+        codes = np.empty((len(res), m), dtype=np.uint8)
+        for s in range(m):
+            codes[:, s] = _sq_dists(parts[:, s, :], b[s]).argmin(axis=1)
+        cell = batch.column("cell_id")
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cell_id": cell,
+                "cell": cell,  # partition dir (dropped from file data)
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    resid.map_batches(_encode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    np.save(os.path.join(out_dir, "codebooks.npy"), books)
+    return {"out_dir": out_dir, "k_cells": int(k_cells), "m": int(m), "dim": int(dim)}
+
+
+def ivfpq_index_topk(
+    index_dir: str,
+    queries,
+    k: int = 10,
+    nprobe: int = 4,
+    return_stats: bool = False,
+):
+    """ADC top-k over the persisted IVF-PQ index: per query, probe the
+    nprobe nearest cells; READ only those cells' partitions; score codes
+    with per-(query, cell) residual lookup tables — sim(q, x) ~ <q, c> +
+    <q, r_x> where the second term is m table gathers.  Returns
+    (query_id, rnk, neighbor_id) [+ scan stats]."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, k_codes, sub = books.shape
+    q_ids, q_mat, _ = queries
+    qm = np.asarray(q_mat, dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    # probe the nprobe nearest cells per query (same rule as ivf_index_topk)
+    d2 = _sq_dists(qm, cents)
+    probes = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_sets = {int(q): set(map(int, probes[j])) for j, q in enumerate(q_ids)}
+    base = np.einsum("qd,cd->qc", qm, cents)  # <q, c> per (query, cell)
+    tables = np.einsum("qsd,scd->qsc", qm.reshape(len(qm), m, sub), books)
+    ref = ray.put((np.asarray(q_ids), probe_sets, base, tables))
+
+    import glob
+
+    wanted = sorted({c for s in probe_sets.values() for c in s})
+    paths = [
+        f
+        for c in wanted
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return _finish_topk(
+            rd.from_items([]), k, return_stats=return_stats
+        )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        qi, psets, bs, t = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        cell = batch.column("cell_id").to_numpy()
+        flat = np.asarray(batch.column("codes").combine_chunks().values)
+        codes = flat.reshape(len(ids), m).astype(np.int64)
+        sims = np.zeros((len(ids), len(qi)))
+        for s in range(m):
+            sims += t[:, s, :][:, codes[:, s]].T
+        sims += bs[:, cell].T  # + <q, centroid_of_row>
+        # mask rows in cells the query did not probe
+        for j, q in enumerate(qi):
+            allowed = np.isin(cell, list(psets[int(q)]))
+            sims[~allowed, j] = -np.inf
+        out = _emit_candidates(qi, ids, sims, k)
+        return pa.concat_tables([out, _stats_row(len(ids), len(ids))])
+
+    cands = rd.read_parquet(paths).map_batches(_scan, batch_format="pyarrow")
+    return _finish_topk(cands, k, return_stats=return_stats)

@@ -362,3 +362,35 @@ def test_pq_adc_recall_and_determinism(ray_session):
     assert adc_r >= 0.6, adc_detail  # pure 32x-compressed scan
     rr_r, rr_detail = recall(rr1)
     assert rr_r == 1.0, rr_detail  # ADC shortlist + exact re-rank
+
+
+def test_ivfpq_index_recall_and_pruning(ray_session, tmp_path):
+    """IVFADC: persisted coarse-cell + residual-PQ-code index; the query
+    reads only probed partitions and scores only codes.  Recall vs brute
+    must stay high at full probe (quantization-only error) and the scan
+    must shrink with nprobe."""
+    import ray.data as rd
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "ivfpq")
+    info = ann.build_ivfpq_index(
+        rd.read_parquet(emb), out, k_cells=8, m=8, k_codes=64, iters=6
+    )
+    assert info["k_cells"] == 8
+    qs = ann.load_queries(emb, [1, 2, 3, 4])
+    brute = ann.brute_topk(rd.read_parquet(emb), qs, k=10).to_pandas()
+
+    got_full, stats_full = ann.ivfpq_index_topk(out, qs, k=10, nprobe=8, return_stats=True)
+    got_full = got_full.to_pandas()
+    rec = []
+    for q in [1, 2, 3, 4]:
+        w = set(brute[brute.query_id == q]["neighbor_id"])
+        h = set(got_full[got_full.query_id == q]["neighbor_id"])
+        rec.append(len(w & h) / len(w))
+    assert np.mean(rec) >= 0.5, rec  # 32x-compressed codes, full probe
+
+    got_p, stats_p = ann.ivfpq_index_topk(out, qs, k=10, nprobe=2, return_stats=True)
+    assert stats_p["scanned_rows"] < stats_full["scanned_rows"]
+    # determinism
+    again, _ = ann.ivfpq_index_topk(out, qs, k=10, nprobe=2, return_stats=True)
+    assert got_p.to_pandas().equals(again.to_pandas())
