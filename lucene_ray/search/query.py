@@ -179,16 +179,22 @@ class SynonymQuery:
 
 @dataclass(frozen=True)
 class FunctionScoreQuery:
-    """Replace the inner query's score with a function of it and a stored
-    numeric field: score' = float32(double(score) * ln(1 + field_value)).
+    """Replace the inner query's score with a function of it and stored
+    numeric fields.  Default form: score' = float32(double(score) *
+    ln(1 + field_value)) — FunctionScoreQuery.boostByValue.  With
+    ``expression`` set, score' = float32(expr(_score, fields...)) — the
+    lucene/expressions surface (JavascriptCompiler analogue,
+    search/expressions.py): the compiled expression reads ``_score`` plus
+    any stored numeric fields it names, vectorized per segment.
 
-    Reference: queries/function/FunctionScoreQuery.java (boostByValue —
-    DoubleValuesSource product evaluated in double, cast to float) with
+    Reference: queries/function/FunctionScoreQuery.java (DoubleValuesSource
+    evaluated in double, cast to float) with
     DoubleValuesSource.fromLongField over the columnar stored field (the
-    NumericDocValues analogue)."""
+    NumericDocValues analogue); expressions/js/JavascriptCompiler.java."""
 
     query: "Query"
-    field: str
+    field: str = ""
+    expression: str = ""
 
 
 @dataclass(frozen=True)

@@ -278,10 +278,25 @@ def _function_score_search_segment(reader, query, weight: Weight, k: int):
         docs, scores = docs[m], scores[m]
     if len(docs) == 0:
         return []
-    v = reader.stored_column(query.field).to_numpy(zero_copy_only=False)[docs]
-    sc = (scores.astype(np.float64) * np.log(1.0 + v.astype(np.float64))).astype(
-        np.float32
-    )
+    if getattr(query, "expression", ""):
+        from .expressions import compile_expression
+
+        expr = compile_expression(query.expression)
+        bindings = {"_score": scores.astype(np.float64)}
+        for name in expr.variables:
+            if name == "_score":
+                continue
+            bindings[name] = (
+                reader.stored_column(name)
+                .to_numpy(zero_copy_only=False)[docs]
+                .astype(np.float64)
+            )
+        sc = expr.evaluate(bindings).astype(np.float32)
+    else:
+        v = reader.stored_column(query.field).to_numpy(zero_copy_only=False)[docs]
+        sc = (
+            scores.astype(np.float64) * np.log(1.0 + v.astype(np.float64))
+        ).astype(np.float32)
     if len(docs) > k:
         kth = np.partition(-sc, k - 1)[k - 1]
         keep = -sc <= kth
