@@ -341,3 +341,152 @@ def check_points(path: str, max_doc: int | None = None) -> list[str]:
     ):
         errors.append("docid out of [0, max_doc)")
     return errors
+
+
+# --- polygon queries (LatLonPointInPolygonQuery + Polygon2D analogue) -----
+
+
+def point_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Even-odd (ray casting) point-in-polygon, vectorized over ``pts``
+    (n, 2) against ``poly`` (m, 2) int vertices (auto-closed).  Points ON
+    an edge count as INSIDE (matching the reference's GeoUtils orient/
+    on-boundary contract closely enough for integer grids; the brute
+    differential uses this same function, and the SQL/brute crosschecks
+    evaluate containment identically)."""
+    pts = np.asarray(pts, np.int64)
+    poly = np.asarray(poly, np.int64)
+    if not np.array_equal(poly[0], poly[-1]):
+        poly = np.vstack([poly, poly[:1]])
+    x, y = pts[:, 0][:, None].astype(np.float64), pts[:, 1][:, None].astype(np.float64)
+    x1, y1 = poly[:-1, 0][None, :], poly[:-1, 1][None, :]
+    x2, y2 = poly[1:, 0][None, :], poly[1:, 1][None, :]
+    # boundary: collinear AND within the segment bbox (integer-exact)
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on_seg = (
+        (cross == 0)
+        & (np.minimum(x1, x2) <= x)
+        & (x <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= y)
+        & (y <= np.maximum(y1, y2))
+    ).any(axis=1)
+    # crossing count for a ray going in +x, half-open vertex rule
+    cond = (y1 <= y) != (y2 <= y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+    crossings = (cond & (x < xint)).sum(axis=1)
+    return on_seg | (crossings % 2 == 1)
+
+
+def _segments_intersect_rect(poly: np.ndarray, lo, hi) -> bool:
+    """True if any polygon edge intersects the axis-aligned rect [lo, hi]
+    (boundary touching counts)."""
+    poly = np.asarray(poly, np.float64)
+    if not np.array_equal(poly[0], poly[-1]):
+        poly = np.vstack([poly, poly[:1]])
+    p1, p2 = poly[:-1], poly[1:]
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    # quick reject: edge bbox vs rect
+    emin = np.minimum(p1, p2)
+    emax = np.maximum(p1, p2)
+    cand = ~((emax < lo).any(axis=1) | (emin > hi).any(axis=1))
+    if not cand.any():
+        return False
+    corners = np.array(
+        [[lo[0], lo[1]], [hi[0], lo[1]], [hi[0], hi[1]], [lo[0], hi[1]]]
+    )
+    rect_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+
+    def seg_int(a1, a2, b1, b2) -> np.ndarray:
+        def orient(p, q, r1, r2):
+            return (q[..., 0] - p[..., 0]) * (r2 - p[..., 1]) - (
+                q[..., 1] - p[..., 1]
+            ) * (r1 - p[..., 0])
+
+        d1 = orient(a1, a2, b1[0], b1[1])
+        d2 = orient(a1, a2, b2[0], b2[1])
+        d3 = (b2[0] - b1[0]) * (a1[:, 1] - b1[1]) - (b2[1] - b1[1]) * (
+            a1[:, 0] - b1[0]
+        )
+        d4 = (b2[0] - b1[0]) * (a2[:, 1] - b1[1]) - (b2[1] - b1[1]) * (
+            a2[:, 0] - b1[0]
+        )
+        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        # collinear-touch cases: endpoint on the other segment's bbox line
+        touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
+        bbox_overlap = ~(
+            (np.maximum(a1[:, 0], a2[:, 0]) < min(b1[0], b2[0]))
+            | (np.minimum(a1[:, 0], a2[:, 0]) > max(b1[0], b2[0]))
+            | (np.maximum(a1[:, 1], a2[:, 1]) < min(b1[1], b2[1]))
+            | (np.minimum(a1[:, 1], a2[:, 1]) > max(b1[1], b2[1]))
+        )
+        return proper | (touch & bbox_overlap)
+
+    a1, a2 = p1[cand], p2[cand]
+    for b1, b2 in rect_edges:
+        if seg_int(a1, a2, b1, b2).any():
+            return True
+    return False
+
+
+def _relate_rect_polygon(lo, hi, poly: np.ndarray) -> str:
+    """'inside' (rect fully within polygon), 'outside', or 'crosses' —
+    the Polygon2D.relate contract the BKD traversal needs."""
+    corners = np.array(
+        [[lo[0], lo[1]], [hi[0], lo[1]], [hi[0], hi[1]], [lo[0], hi[1]]],
+        np.int64,
+    )
+    inside = point_in_polygon(corners, poly)
+    if _segments_intersect_rect(poly, lo, hi):
+        return "crosses"
+    # polygon strictly inside the rect (no edge touches the boundary but
+    # vertices are in): the cell still contains both in- and out-points
+    pv = np.asarray(poly, np.int64)
+    if (
+        (pv[:, 0] >= lo[0])
+        & (pv[:, 0] <= hi[0])
+        & (pv[:, 1] >= lo[1])
+        & (pv[:, 1] <= hi[1])
+    ).any():
+        return "crosses"
+    # no contact at all: all-in or all-out by any corner
+    return "inside" if bool(inside.all()) else "outside"
+
+
+def _intersect_polygon(self, poly) -> tuple[np.ndarray, dict]:
+    """Polygon traversal (document/LatLonPointInPolygonQuery via BKD
+    intersect + Polygon2D.relate): cells fully inside the polygon are
+    bulk-collected with ZERO point tests, disjoint cells are skipped,
+    crossing cells recurse; leaf points get the vectorized ray cast.
+    Returns (sorted local docids, stats)."""
+    poly = np.asarray(poly, np.int64)
+    start, end = self.nodes["start"], self.nodes["end"]
+    left, right = self.nodes["left"], self.nodes["right"]
+    mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+    out: list[np.ndarray] = []
+    stats = {"nodes_visited": 0, "points_scanned": 0, "points_bulk": 0}
+    stack = [0] if len(start) else []
+    while stack:
+        node = stack.pop()
+        stats["nodes_visited"] += 1
+        rel = _relate_rect_polygon(mins[node], maxs[node], poly)
+        if rel == "outside":
+            continue
+        s, e = int(start[node]), int(end[node])
+        if rel == "inside":
+            out.append(self.docids[s:e])
+            stats["points_bulk"] += e - s
+            continue
+        if left[node] < 0:
+            m = point_in_polygon(self.values[s:e], poly)
+            stats["points_scanned"] += e - s
+            if m.any():
+                out.append(self.docids[s:e][m])
+            continue
+        stack.append(int(right[node]))
+        stack.append(int(left[node]))
+    docs = np.concatenate(out) if out else np.empty(0, np.int64)
+    return np.sort(docs), stats
+
+
+PointTree.intersect_polygon = _intersect_polygon

@@ -114,3 +114,38 @@ def test_distance_pruning_is_real(tree_and_vals):
     assert tight["points_scanned"] + tight["points_bulk"] < len(vals) * 0.05
     _, _, wide = tree.intersect_distance((2500, 2500), 5000**2 * 2)
     assert wide["points_bulk"] > 0.9 * len(vals)
+
+
+def test_polygon_query_brute_differential():
+    """BKD polygon traversal == per-point ray cast over everything, on a
+    non-convex polygon; inside cells must be bulk-collected."""
+    import numpy as np
+
+    from lucene_ray.index.points import PointTree, point_in_polygon
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1000, size=(4000, 2))
+    tree = PointTree.build(vals, np.arange(4000), leaf_size=64)
+    # non-convex "arrow" polygon
+    poly = np.array(
+        [[100, 100], [800, 100], [800, 800], [450, 450], [100, 800]], np.int64
+    )
+    got, stats = tree.intersect_polygon(poly)
+    want = np.sort(np.nonzero(point_in_polygon(vals, poly))[0])
+    assert np.array_equal(got, want)
+    assert len(want) > 100
+    assert stats["points_bulk"] > 0           # inside cells bulk-taken
+    assert stats["points_scanned"] < 4000     # pruning really happened
+
+
+def test_polygon_boundary_and_degenerate():
+    import numpy as np
+
+    from lucene_ray.index.points import point_in_polygon
+
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.int64)
+    pts = np.array(
+        [[5, 5], [0, 0], [10, 5], [5, 10], [11, 5], [-1, -1], [10, 10]], np.int64
+    )
+    got = point_in_polygon(pts, sq).tolist()
+    assert got == [True, True, True, True, False, False, True]
