@@ -80,7 +80,7 @@ class StandardAnalyzer:
         per-length void views, tf via a single np.unique over packed
         (doc, term) keys.
         """
-        vocab, gids, doc_ids, _pos, lengths, n_docs = self._batch_token_stream(texts)
+        vocab, gids, doc_ids, _pos, lengths, n_docs, _os, _oe = self._batch_token_stream(texts)
         if not vocab:
             return [], np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), lengths
         keys = doc_ids * np.int64(len(vocab)) + gids
@@ -98,7 +98,7 @@ class StandardAnalyzer:
         offsets are a prefix sum).  Positions are token ordinals BEFORE any
         stop filtering (Lucene position-increment-gap semantics).
         """
-        vocab, gids, doc_ids, pos, lengths, _ = self._batch_token_stream(texts)
+        vocab, gids, doc_ids, pos, lengths, _, _os, _oe = self._batch_token_stream(texts)
         if not vocab:
             e = np.empty(0, np.int64)
             return [], e, e, e, lengths, e
@@ -111,12 +111,47 @@ class StandardAnalyzer:
         tfs = np.diff(np.concatenate((row_idx, [len(g)]))).astype(np.int64)
         return vocab, g[row_idx], d[row_idx], tfs, lengths, p.astype(np.int64)
 
+    def analyze_batch_offsets(self, texts: list[str]):
+        """``analyze_batch_positions`` + per-occurrence doc-relative CHAR
+        offsets (IndexOptions DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+        reference OffsetAttribute: startOffset/endOffset of each token).
+
+        Returns ``(vocab, term_ids, doc_ids, tfs, lengths, pos_flat,
+        off_start_flat, off_end_flat)`` — the two offset streams are
+        aligned 1:1 with ``pos_flat`` (same row structure, same prefix-sum
+        offsets from ``tfs``)."""
+        vocab, gids, doc_ids, pos, lengths, _, off_s, off_e = (
+            self._batch_token_stream(texts)
+        )
+        if not vocab:
+            e = np.empty(0, np.int64)
+            return [], e, e, e, lengths, e, e, e
+        order = np.lexsort((doc_ids, gids))
+        g, d, p = gids[order], doc_ids[order], pos[order]
+        os_, oe_ = off_s[order], off_e[order]
+        boundary = np.empty(len(g), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        row_idx = np.flatnonzero(boundary)
+        tfs = np.diff(np.concatenate((row_idx, [len(g)]))).astype(np.int64)
+        return (
+            vocab,
+            g[row_idx],
+            d[row_idx],
+            tfs,
+            lengths,
+            p.astype(np.int64),
+            os_.astype(np.int64),
+            oe_.astype(np.int64),
+        )
+
     def _batch_token_stream(self, texts: list[str]):
         """Shared core: (vocab sorted, per-token sorted-vocab ids, doc ids,
-        positions, per-doc surviving lengths, n_docs); tokens in doc order."""
+        positions, per-doc surviving lengths, n_docs, doc-relative start
+        offsets, end offsets); tokens in doc order."""
         if not texts:
             e = np.empty(0, np.int64)
-            return [], e, e, e, np.empty(0, np.int64), 0
+            return [], e, e, e, np.empty(0, np.int64), 0, e, e
         joined = "\n".join(t or "" for t in texts)
         cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
         doc_lens = np.array([len(t or "") for t in texts], dtype=np.int64)
@@ -128,7 +163,7 @@ class StandardAnalyzer:
         lengths = np.zeros(len(texts), dtype=np.int64)
         e = np.empty(0, np.int64)
         if n_tok == 0:
-            return [], e, e, e, lengths, len(texts)
+            return [], e, e, e, lengths, len(texts), e, e
         doc_ids = np.searchsorted(doc_off, starts, side="right") - 1
         # position = token ordinal within its doc (scan order is doc order)
         run_start = np.empty(n_tok, dtype=np.int64)
@@ -159,12 +194,18 @@ class StandardAnalyzer:
             )
             base += len(uniq)
 
+        # doc-relative char offsets per occurrence (offsets ride the same
+        # arrays positions do; IndexOptions ..._AND_OFFSETS analogue)
+        off_s = starts - doc_off[doc_ids]
+        off_e = ends - doc_off[doc_ids]
+
         if self.stop_words:
             keep_term = np.array([t not in self.stop_words for t in vocab])
             keep = keep_term[gids]
             doc_ids, gids, positions = doc_ids[keep], gids[keep], positions[keep]
+            off_s, off_e = off_s[keep], off_e[keep]
             if len(gids) == 0:
-                return [], e, e, e, lengths, len(texts)
+                return [], e, e, e, lengths, len(texts), e, e
             used = np.unique(gids)  # compact the vocab to surviving terms
             compact = np.full(len(vocab), -1, dtype=np.int64)
             compact[used] = np.arange(len(used), dtype=np.int64)
@@ -180,7 +221,7 @@ class StandardAnalyzer:
         remap[np.asarray(order, dtype=np.int64)] = np.arange(len(vocab), dtype=np.int64)
         sorted_vocab = [vocab[i] for i in order]
         tids = remap[gids]
-        return sorted_vocab, tids, doc_ids, positions, lengths, len(texts)
+        return sorted_vocab, tids, doc_ids, positions, lengths, len(texts), off_s, off_e
 
 
 class SimpleCodeAnalyzer:

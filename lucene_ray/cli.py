@@ -208,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--content-column", default="content")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--index-options", default="docs_freqs",
-                   choices=["docs_freqs", "positions"])
+                   choices=["docs_freqs", "positions", "offsets"])
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")

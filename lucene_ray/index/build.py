@@ -169,7 +169,12 @@ class AnalyzerStage:
         if tbl is None:
             tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
         texts = tbl.column(self.content_column).to_pylist()
-        if self.index_options == "positions":
+        off_s = off_e = None
+        if self.index_options == "offsets":
+            (
+                vocab, tids, docs, tfs, lengths, pos, off_s, off_e,
+            ) = self.analyzer.analyze_batch_offsets(texts)
+        elif self.index_options == "positions":
             vocab, tids, docs, tfs, lengths, pos = self.analyzer.analyze_batch_positions(texts)
         else:
             vocab, tids, docs, tfs, lengths = self.analyzer.analyze_batch(texts)
@@ -181,6 +186,8 @@ class AnalyzerStage:
             "tfs": tfs,
             "lengths": lengths,
             "positions": pos,
+            "off_s": off_s,
+            "off_e": off_e,
             "n_rows": len(texts),
         }
 
@@ -464,9 +471,11 @@ class FusedSegmentBuilder:
             vocab_set.update(fr["vocab"])
         vocab = sorted(vocab_set, key=lambda s: s.encode("utf-8"))
         gid = {t: i for i, t in enumerate(vocab)}
-        with_pos = self.index_options == "positions"
+        with_off = self.index_options == "offsets"
+        with_pos = self.index_options == "positions" or with_off
 
         tid_parts, doc_parts, tf_parts, len_parts, pos_parts = [], [], [], [], []
+        offs_parts, offe_parts = [], []
         for fr in frags:
             if fr["vocab"]:
                 remap = np.array([gid[t] for t in fr["vocab"]], dtype=np.int64)
@@ -475,6 +484,9 @@ class FusedSegmentBuilder:
                 tf_parts.append(fr["tfs"])
                 if with_pos:
                     pos_parts.append(fr["positions"])
+                if with_off:
+                    offs_parts.append(fr["off_s"])
+                    offe_parts.append(fr["off_e"])
             len_parts.append(fr["lengths"])
         lengths = np.concatenate(len_parts) if len_parts else np.zeros(seg["max_doc"], np.int64)
         tids = np.concatenate(tid_parts) if tid_parts else np.empty(0, np.int64)
@@ -487,12 +499,21 @@ class FusedSegmentBuilder:
         norms = int_to_byte4_array(lengths)
 
         positions = None
+        offsets = None
         presorted = False
         if with_pos and len(tids):
-            # global row sort + gather of each row's position slice
+            # global row sort + gather of each row's position slice (the
+            # offset streams are 1:1 with positions and ride the same gather)
             pos_flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
             order = np.lexsort((docs, tids))
             positions = _gather_row_slices(pos_flat, tfs, order)
+            if with_off:
+                offs_flat = np.concatenate(offs_parts) if offs_parts else np.empty(0, np.int64)
+                offe_flat = np.concatenate(offe_parts) if offe_parts else np.empty(0, np.int64)
+                offsets = (
+                    _gather_row_slices(offs_flat, tfs, order),
+                    _gather_row_slices(offe_flat, tfs, order),
+                )
             tids, docs, tfs = tids[order], docs[order], tfs[order]
             presorted = True
 
@@ -518,6 +539,7 @@ class FusedSegmentBuilder:
             meta,
             presorted=presorted,
             positions=positions,
+            offsets=offsets,
             term_vectors=self.term_vectors,
         )
         metrics["encode_sec"] = round(time.time() - t0, 3)
@@ -779,6 +801,12 @@ def build_index(
             for row in out.take_all():
                 metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
         elif mode == "shuffle":
+            if index_options == "offsets":
+                raise NotImplementedError(
+                    "index_options='offsets' is fused-mode only (the offset "
+                    "streams ride the fused per-segment sort; the shuffle "
+                    "exchange would need two more per-row list columns)"
+                )
             frag_rows = [f for s in todo for f in _fragments_with_local_base(s)]
             ds = rd.from_items(frag_rows)
             # stateless tasks (same rationale as the fused path: analyzer

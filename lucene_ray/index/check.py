@@ -121,6 +121,21 @@ def check_segment(seg_dir: str, raise_on_error: bool = True) -> dict:
         _chk(int_to_byte4(byte4_to_int(nb)) == nb, f"{name}: norm byte {nb} not a fixed point", errors, raise_on_error)
         _chk(nb == int_to_byte4(int(tf_per_doc[d])), f"{name}: doc {d} norm != quantized length", errors, raise_on_error)
 
+    # 3b2. offsets (when present): aligned 1:1 with positions, start < end,
+    # ascending starts within each posting (CheckIndex.checkFields offset
+    # rules: startOffset monotone, endOffset >= startOffset)
+    if getattr(r, "has_offsets", False):
+        _chk(getattr(r, "has_positions", False), f"{name}: offsets without positions", errors, raise_on_error)
+        os_, oe_ = np.asarray(r.off_start), np.asarray(r.off_end)
+        _chk(len(os_) == len(np.asarray(r.pos_data)), f"{name}: offset stream length != positions", errors, raise_on_error)
+        _chk(bool((oe_ > os_).all()) if len(os_) else True, f"{name}: end offset <= start offset", errors, raise_on_error)
+        _chk(bool((os_ >= 0).all()) if len(os_) else True, f"{name}: negative start offset", errors, raise_on_error)
+        pos_off = np.asarray(r.pos_off)
+        for row in range(len(pos_off) - 1):
+            s = os_[pos_off[row] : pos_off[row + 1]]
+            if len(s) > 1:
+                _chk(bool((np.diff(s) > 0).all()), f"{name}: row {row} start offsets not ascending", errors, raise_on_error)
+
     # 3c. term vectors (when present): the forward index must be the exact
     # transpose of the postings — same (doc, term, tf) triples both ways
     # (CheckIndex.testTermVectors crosschecks against postings the same way)

@@ -97,6 +97,7 @@ def build_segment_from_ids(
     meta: dict,
     presorted: bool = False,
     positions: np.ndarray | None = None,
+    offsets: tuple[np.ndarray, np.ndarray] | None = None,
     term_vectors: bool = False,
 ) -> dict:
     """Encode and atomically write one segment from dictionary-encoded rows.
@@ -129,11 +130,11 @@ def build_segment_from_ids(
         # term dictionary as bytes + offsets (bisect-able without
         # materializing Python strings)
         buf = pc.cast(uniq, pa.large_binary())
-        offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64)[
+        dict_offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64)[
             buf.offset : buf.offset + len(buf) + 1
         ].copy()
         data = np.frombuffer(buf.buffers()[2], dtype=np.uint8).copy()
-        np.save(os.path.join(tmp, "terms_offsets.npy"), offsets)
+        np.save(os.path.join(tmp, "terms_offsets.npy"), dict_offsets)
         np.save(os.path.join(tmp, "terms_bytes.npy"), data)
         for name, arr in enc.arrays().items():
             np.save(os.path.join(tmp, f"{name}.npy"), arr)
@@ -163,6 +164,17 @@ def build_segment_from_ids(
                 os.path.join(tmp, "pos_off.npy"),
                 np.concatenate(([0], np.cumsum(tfs, dtype=np.int64))),
             )
+            if offsets is not None:
+                # per-occurrence char offsets, 1:1 with pos_data (IndexOptions
+                # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS; OffsetAttribute)
+                np.save(
+                    os.path.join(tmp, "off_start.npy"),
+                    np.asarray(offsets[0], dtype=np.int32),
+                )
+                np.save(
+                    os.path.join(tmp, "off_end.npy"),
+                    np.asarray(offsets[1], dtype=np.int32),
+                )
         if doc_table is not None:
             pq.write_table(doc_table, os.path.join(tmp, "docs.parquet"))
 
@@ -497,6 +509,11 @@ class SegmentReader:
             self.pos_data = np.load(pos_path, mmap_mode=mm)
             self.pos_row_start = np.load(os.path.join(seg_dir, "pos_row_start.npy"), mmap_mode=mm)
             self.pos_off = np.load(os.path.join(seg_dir, "pos_off.npy"), mmap_mode=mm)
+        off_path = os.path.join(seg_dir, "off_start.npy")
+        self.has_offsets = os.path.exists(off_path)
+        if self.has_offsets:
+            self.off_start = np.load(off_path, mmap_mode=mm)
+            self.off_end = np.load(os.path.join(seg_dir, "off_end.npy"), mmap_mode=mm)
         tv_path = os.path.join(seg_dir, "tv_row_start.npy")
         self.has_term_vectors = os.path.exists(tv_path)
         if self.has_term_vectors:
@@ -604,6 +621,22 @@ class SegmentReader:
         r1 = int(self.pos_row_start[tid + 1])
         return [
             np.asarray(self.pos_data[self.pos_off[r] : self.pos_off[r + 1]])
+            for r in range(r0, r1)
+        ]
+
+    def term_offset_spans(self, tid: int) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-posting (start_offsets, end_offsets) char-span arrays for one
+        term, aligned 1:1 with term_positions (OffsetAttribute /
+        PostingsEnum.startOffset-endOffset analogue)."""
+        if not self.has_offsets:
+            raise ValueError("segment was built without offsets")
+        r0 = int(self.pos_row_start[tid])
+        r1 = int(self.pos_row_start[tid + 1])
+        return [
+            (
+                np.asarray(self.off_start[self.pos_off[r] : self.pos_off[r + 1]]),
+                np.asarray(self.off_end[self.pos_off[r] : self.pos_off[r + 1]]),
+            )
             for r in range(r0, r1)
         ]
 

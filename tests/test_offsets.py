@@ -1,0 +1,82 @@
+"""IndexOptions offsets (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS): char
+spans per occurrence must reconstruct the token text exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.check import check_index
+from lucene_ray.index.manifest import read_manifest
+from lucene_ray.index.postings import decode_term
+from lucene_ray.index.segment import SegmentReader
+
+
+@pytest.fixture(scope="module")
+def off_idx(tmp_path_factory):
+    d = tmp_path_factory.mktemp("off_corpus")
+    pq.write_table(generate_corpus(150, seed=17), str(d / "c.parquet"), row_group_size=50)
+    out = str(tmp_path_factory.mktemp("off_idx"))
+    build_index_local(str(d), out, docs_per_segment=60, index_options="offsets")
+    return out, str(d / "c.parquet")
+
+
+def test_offsets_reconstruct_tokens(off_idx):
+    """text[start:end].lower() == the indexed term, for EVERY occurrence
+    (OffsetAttribute contract), and spans align with positions."""
+    idx, corpus = off_idx
+    texts = pq.read_table(corpus).column("content").to_pylist()
+    checked = 0
+    for seg in read_manifest(idx)["segments"]:
+        r = SegmentReader(seg["dir"])
+        assert r.has_offsets and r.has_positions
+        base_rows = {}  # local doc -> source text
+        docs_in_seg = r.stored_column("path").to_pylist()
+        # local doc i corresponds to global doc_base + i in corpus order
+        for tid in range(r.n_terms):
+            term = r.terms_array()[tid].as_py()
+            docs, tfs = decode_term(r.enc, tid)
+            spans = r.term_offset_spans(tid)
+            poss = r.term_positions(tid)
+            assert len(spans) == len(docs)
+            for i, d in enumerate(docs):
+                text = texts[seg["doc_base"] + int(d)]
+                starts, ends = spans[i]
+                assert len(starts) == int(tfs[i]) == len(poss[i])
+                for s, e in zip(starts, ends):
+                    assert text[s:e].lower() == term
+                    checked += 1
+    assert checked > 1000
+
+
+def test_offsets_checkindex_and_corruption(off_idx, tmp_path):
+    import os
+    import shutil
+
+    idx, _ = off_idx
+    assert check_index(idx, use_ray=False)["ok"]
+    seg = read_manifest(idx)["segments"][0]["dir"]
+    bad = str(tmp_path / "badoff")
+    shutil.copytree(seg, bad)
+    o = np.load(os.path.join(bad, "off_end.npy"))
+    o[0] = np.load(os.path.join(bad, "off_start.npy"))[0]  # end == start
+    np.save(os.path.join(bad, "off_end.npy"), o)
+    from lucene_ray.index.check import check_segment
+
+    rep = check_segment(bad, raise_on_error=False)
+    assert any("end offset" in e for e in rep["errors"])
+
+
+def test_offsets_shuffle_mode_rejected(tmp_path, ray_session):
+    import pyarrow.parquet as _pq
+
+    d = tmp_path / "c"
+    d.mkdir()
+    _pq.write_table(generate_corpus(50, seed=1), str(d / "c.parquet"))
+    from lucene_ray.index.build import build_index
+
+    with pytest.raises(NotImplementedError, match="fused-mode only"):
+        build_index(str(d), str(tmp_path / "i"), mode="shuffle", index_options="offsets")
