@@ -196,6 +196,7 @@ def merge_segments_task(
     new_base = seg_entries[0]["doc_base"]
     max_doc = sum(int(e["max_doc"]) for e in seg_entries)
     with_pos = all(r.has_positions for r in readers)
+    with_off = with_pos and all(getattr(r, "has_offsets", False) for r in readers)
 
     # merged vocabulary: sorted union of the per-segment dictionaries.
     # ONE dictionary_encode over the concatenation yields both the unique
@@ -273,7 +274,9 @@ def merge_segments_task(
         },
     }
     seg_dir = os.path.join(out_dir, name)
-    writer = StreamingSegmentWriter(seg_dir, merged_vocab, norms, meta, with_pos)
+    writer = StreamingSegmentWriter(
+        seg_dir, merged_vocab, norms, meta, with_pos, with_offsets=with_off
+    )
 
     # section boundaries up front (term-aligned, <= section_postings each)
     bounds: list[tuple[int, int]] = []
@@ -295,6 +298,8 @@ def merge_segments_task(
         sec_docs: list[np.ndarray] = []
         sec_tfs: list[np.ndarray] = []
         sec_pos: list[np.ndarray] = []
+        sec_os: list[np.ndarray] = []
+        sec_oe: list[np.ndarray] = []
         for r, remap, live, lpfx, lbase in zip(
             readers, remaps, lives, live_prefix, live_bases
         ):
@@ -306,15 +311,23 @@ def merge_segments_task(
             if not len(tids):
                 continue
             if with_pos:
-                # decode_range row order == stored position row order
+                # decode_range row order == stored position row order (the
+                # offset streams are 1:1 with pos_data, so the same slices
+                # and gathers carry them)
                 r0, r1 = int(r.pos_row_start[a]), int(r.pos_row_start[b])
                 pos_slice = np.asarray(
                     r.pos_data[r.pos_off[r0] : r.pos_off[r1]]
                 )
+                if with_off:
+                    os_slice = np.asarray(r.off_start[r.pos_off[r0] : r.pos_off[r1]])
+                    oe_slice = np.asarray(r.off_end[r.pos_off[r0] : r.pos_off[r1]])
             if live is not None:
                 keep = live[docs]
                 if with_pos:
                     kept_rows = np.nonzero(keep)[0]
+                    if with_off:
+                        os_slice = _gather_row_slices(os_slice, freqs, kept_rows)
+                        oe_slice = _gather_row_slices(oe_slice, freqs, kept_rows)
                     pos_slice = _gather_row_slices(pos_slice, freqs, kept_rows)
                 tids, freqs = tids[keep], freqs[keep]
                 docs = lpfx[docs[keep]] + lbase
@@ -327,6 +340,9 @@ def merge_segments_task(
             sec_tfs.append(freqs)
             if with_pos:
                 sec_pos.append(pos_slice)
+            if with_off:
+                sec_os.append(os_slice)
+                sec_oe.append(oe_slice)
 
         tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
         docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
@@ -335,16 +351,24 @@ def merge_segments_task(
         # term id alone leaves docids ascending within each term
         order = np.argsort(tids, kind="stable")
         positions = None
+        offsets = None
         if with_pos:
             pos_flat = (
                 np.concatenate(sec_pos) if sec_pos else np.empty(0, dtype=np.int32)
             )
             positions = _gather_row_slices(pos_flat, tfs, order)
+        if with_off:
+            os_flat = np.concatenate(sec_os) if sec_os else np.empty(0, dtype=np.int32)
+            oe_flat = np.concatenate(sec_oe) if sec_oe else np.empty(0, dtype=np.int32)
+            offsets = (
+                _gather_row_slices(os_flat, tfs, order),
+                _gather_row_slices(oe_flat, tfs, order),
+            )
         tids, docs, tfs = tids[order] - lo, docs[order], tfs[order]
         enc = codec.encode_postings(
             tids, docs.astype(np.int64), tfs.astype(np.int64), norms, hi - lo
         )
-        return enc, tfs, positions
+        return enc, tfs, positions, offsets
 
     def _merge_term_vectors() -> None:
         """Carry the per-doc CSR forward index through the merge: term ids
@@ -400,13 +424,15 @@ def merge_segments_task(
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(_prepare, *bounds[0]) if bounds else None
             for i in range(len(bounds)):
-                enc, tfs, positions = fut.result()
+                enc, tfs, positions, offsets = fut.result()
                 fut = (
                     pool.submit(_prepare, *bounds[i + 1])
                     if i + 1 < len(bounds)
                     else None
                 )
-                writer.append_section(enc, row_tfs=tfs, positions=positions)
+                writer.append_section(
+                    enc, row_tfs=tfs, positions=positions, offsets=offsets
+                )
         if all(r.has_term_vectors for r in readers):
             _merge_term_vectors()
         metrics = writer.finalize()

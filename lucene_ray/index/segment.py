@@ -296,6 +296,7 @@ class StreamingSegmentWriter:
         norms: np.ndarray,
         meta: dict,
         with_positions: bool = False,
+        with_offsets: bool = False,
     ):
         self.seg_dir = seg_dir
         self.tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
@@ -303,6 +304,7 @@ class StreamingSegmentWriter:
         self.norms = np.asarray(norms, dtype=np.uint8)
         self.meta = meta
         self.with_positions = with_positions
+        self.with_offsets = with_offsets
         self.n_terms = len(vocab)
 
         buf = pc.cast(vocab, pa.large_binary())
@@ -329,6 +331,9 @@ class StreamingSegmentWriter:
             self.w["pos_off"] = NpyAppender(os.path.join(self.tmp, "pos_off.npy"), np.int64)
             self.w["pos_row_start"].append(np.zeros(1, dtype=np.int64))
             self.w["pos_off"].append(np.zeros(1, dtype=np.int64))
+        if with_offsets:
+            self.w["off_start"] = NpyAppender(os.path.join(self.tmp, "off_start.npy"), np.int32)
+            self.w["off_end"] = NpyAppender(os.path.join(self.tmp, "off_end.npy"), np.int32)
 
         # running bases for the rebased offset arrays / accumulated metrics
         self._blocks = 0
@@ -349,10 +354,12 @@ class StreamingSegmentWriter:
         enc: "codec.EncodedPostings",
         row_tfs: np.ndarray | None = None,
         positions: np.ndarray | None = None,
+        offsets: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> None:
         """Append one encoded term-range section (term ids 0-based within
         the section).  ``row_tfs``/``positions`` (sorted row order) are
-        required iff the writer carries positions."""
+        required iff the writer carries positions; ``offsets`` (start, end
+        streams 1:1 with positions) iff it carries offsets."""
         w = self.w
         w["doc_freq"].append(enc.doc_freq)
         w["total_term_freq"].append(enc.total_term_freq)
@@ -391,6 +398,10 @@ class StreamingSegmentWriter:
             w["pos_row_start"].append(np.cumsum(df) + self._rows)
             w["pos_off"].append(np.cumsum(row_tfs.astype(np.int64)) + self._pos_vals)
             self._pos_vals += int(row_tfs.sum())
+        if self.with_offsets:
+            assert offsets is not None
+            w["off_start"].append(np.asarray(offsets[0], dtype=np.int32))
+            w["off_end"].append(np.asarray(offsets[1], dtype=np.int32))
 
         self._blocks += len(enc.block_last_doc)
         self._doc_bytes += int(enc.packed_docs.nbytes)

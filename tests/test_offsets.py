@@ -80,3 +80,43 @@ def test_offsets_shuffle_mode_rejected(tmp_path, ray_session):
 
     with pytest.raises(NotImplementedError, match="fused-mode only"):
         build_index(str(d), str(tmp_path / "i"), mode="shuffle", index_options="offsets")
+
+
+def test_offsets_survive_merge_with_deletes(tmp_path, ray_session):
+    """Offsets carry through the sectioned merge with delete expunge: the
+    reconstruction invariant must hold on the merged segment."""
+    import pyarrow.parquet as _pq
+
+    from lucene_ray.index.deletes import delete_by_query
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.search.query import TermQuery
+
+    d = tmp_path / "c"
+    d.mkdir()
+    _pq.write_table(generate_corpus(200, seed=29), str(d / "c.parquet"), row_group_size=40)
+    out = str(tmp_path / "idx")
+    build_index_local(str(d), out, docs_per_segment=50, index_options="offsets")
+    texts = _pq.read_table(str(d / "c.parquet")).column("content").to_pylist()
+    # map surviving merged docs back to source texts via the sha
+    import hashlib
+
+    sha2text = {hashlib.sha256(t.encode()).hexdigest(): t for t in texts}
+    delete_by_query(out, TermQuery("package"))
+    man = force_merge(out, max_segments=1)
+    assert len(man["segments"]) == 1
+    r = SegmentReader(man["segments"][0]["dir"])
+    assert r.has_offsets
+    shas = r.stored_column("sha256").to_pylist()
+    checked = 0
+    for tid in range(r.n_terms):
+        term = r.terms_array()[tid].as_py()
+        docs, tfs = decode_term(r.enc, tid)
+        spans = r.term_offset_spans(tid)
+        for i, dloc in enumerate(docs):
+            text = sha2text[shas[int(dloc)]]
+            starts, ends = spans[i]
+            for s, e in zip(starts, ends):
+                assert text[s:e].lower() == term
+                checked += 1
+    assert checked > 500
+    assert check_index(out, use_ray=False)["ok"]
