@@ -1196,13 +1196,16 @@ def _proximity_family(sf_dir: str):
 
 
 def _ev_window_counts(sf_dir: str):
-    """Tumbling + hopping window aggregates in one entry."""
+    """Tumbling + hopping + watermark-late-exclusion window aggregates in
+    one entry (the watermark kind drops events arriving behind the
+    running-max-ts watermark minus the allowed lateness)."""
     from lucene_ray.ops import events
 
     return _concat_family(
         [
             ("tumbling", events.windowed_counts(_events(sf_dir))),
             ("hopping", events.hopping_counts(_events(sf_dir))),
+            ("tumbling_watermark", events.watermark_windowed_counts(_events(sf_dir))),
         ],
         col="kind",
     )
@@ -2502,6 +2505,20 @@ FROM (
          floor(value * 100.0 + 0.5)::BIGINT
   FROM events
 ) hops GROUP BY event_type, window_start
+UNION ALL
+-- watermark semantics: arrival order = event_id; an event is LATE when
+-- its ts is more than the allowed lateness behind the running max ts of
+-- earlier-arriving events
+SELECT 'tumbling_watermark', event_type, date_trunc('hour', ts),
+       count(*)::BIGINT, sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT
+FROM (
+  SELECT *, max(ts) OVER (
+           ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS wm
+  FROM events
+) w
+WHERE wm IS NULL OR ts + INTERVAL 10 MINUTE >= wm
+GROUP BY event_type, date_trunc('hour', ts)
 """,
         "ev_sessionize": """
 WITH e AS (

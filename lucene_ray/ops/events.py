@@ -171,3 +171,99 @@ def hopping_counts(ds):
         ),
         batch_format="pyarrow",
     )
+
+
+ALLOWED_LATENESS_MIN = 10
+_WM_BUCKET = 1024  # event_ids per watermark bucket (prefix-scan granule)
+
+
+def watermark_windowed_counts(ds, allowed_min: int = ALLOWED_LATENESS_MIN):
+    """Tumbling counts over ON-TIME events only: streaming watermark
+    semantics in batch form.  Arrival order is ``event_id`` (the synthetic
+    arrival clock); the watermark when event e arrives is
+    ``max(ts of all earlier-arriving events) - allowed``; an event whose
+    ts is behind that watermark is LATE and dropped (Flink/Beam
+    allowed-lateness semantics; exactly mirrorable in SQL as a running max
+    over arrival order).
+
+    Distributed as a PREFIX-MAX two-pass: (1) per-bucket (event_id //
+    B) max-ts partials — one tiny groupby; the driver takes the exclusive
+    prefix max over the sorted bucket summaries and broadcasts it; (2) one
+    groupby(bucket).map_groups sorts each bucket's events locally, runs
+    the running max seeded by the broadcast prefix, drops late rows, and
+    emits the same windowed partials the on-time aggregate uses.  The
+    shuffle key (bucket) is uniform, groups are ~B rows, and no pass ships
+    raw events to the driver."""
+    import ray
+
+    from .util import strip_schema_metadata
+
+    allowed_us = np.int64(allowed_min * 60 * 1_000_000)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        return strip_schema_metadata(batch).append_column(
+            "wm_bucket", pa.array(eid // _WM_BUCKET, pa.int64())
+        )
+
+    withb = ds.map_batches(_bucketize, batch_format="pyarrow").materialize()
+
+    def _bucket_max(batch: pa.Table) -> pa.Table:
+        df = batch.select(["wm_bucket", "ts"]).to_pandas()
+        g = df.groupby("wm_bucket", as_index=False).agg(max_ts=("ts", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    summaries = (
+        withb.map_batches(_bucket_max, batch_format="pyarrow")
+        .groupby("wm_bucket")
+        .max("max_ts")
+        .to_pandas()
+        .sort_values("wm_bucket")
+    )
+    # exclusive prefix max per bucket (tiny: n_events / _WM_BUCKET rows)
+    maxes = summaries["max(max_ts)"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    prefix = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(maxes)[:-1]))
+    prefix_by_bucket = dict(zip(summaries["wm_bucket"].astype(int), prefix))
+    pref_ref = ray.put(prefix_by_bucket)
+
+    def _group(group: pa.Table) -> pa.Table:
+        pref = ray.get(pref_ref)
+        df = group.select(["wm_bucket", "event_id", "ts", "event_type", "value"]).to_pandas()
+        df = df.sort_values("event_id")
+        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        seed = pref[int(df["wm_bucket"].iloc[0])]
+        run = np.maximum.accumulate(np.concatenate(([seed], ts_us)))[:-1]
+        on_time = ts_us + allowed_us >= run
+        kept = df[on_time]
+        if not len(kept):
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        kept = kept.assign(
+            window_start=kept["ts"].dt.floor("h"),
+            cents=_cents(kept["value"].to_numpy()),
+        )
+        g = kept.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = withb.groupby("wm_bucket").map_groups(_group, batch_format="pyarrow")
+    final = partials.groupby(["event_type", "window_start"]).sum(["n_events", "sum_cents"])
+    return final.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window_start": b.column("window_start"),
+                "n_events": b.column("sum(n_events)"),
+                "sum_cents": b.column("sum(sum_cents)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -394,3 +394,62 @@ def test_ivfpq_index_recall_and_pruning(ray_session, tmp_path):
     # determinism
     again, _ = ann.ivfpq_index_topk(out, qs, k=10, nprobe=2, return_stats=True)
     assert got_p.to_pandas().equals(again.to_pandas())
+
+
+def test_watermark_drops_late_events(ray_session):
+    """Out-of-order arrivals: events whose ts lags the running-max-ts
+    watermark (arrival order = event_id) by more than the allowed lateness
+    must be DROPPED; the distributed prefix-max two-pass must equal an
+    exact driver-side recompute.  The natural testdata is arrival-ordered
+    (nothing late), so this plants genuine stragglers."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_ray.ops import events as ev
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    base = pd.Timestamp("2026-01-01")
+    ts = base + pd.to_timedelta(np.sort(rng.integers(0, 72 * 3600, n)), unit="s")
+    ts = ts.to_numpy().copy()
+    # plant stragglers: 200 random events arrive late by 15-120 minutes
+    # (their ts is far behind the watermark at their arrival slot)
+    late_idx = rng.choice(np.arange(500, n), size=200, replace=False)
+    ts[late_idx] -= np.array(
+        rng.integers(15, 120, size=200) * 60, dtype="timedelta64[s]"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, 50, n),
+            "event_type": rng.choice(["click", "view", "buy"], n),
+            "value": rng.random(n) * 100,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        ev.watermark_windowed_counts(ds)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+
+    # exact recompute
+    ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    run = np.maximum.accumulate(
+        np.concatenate(([np.iinfo(np.int64).min], ts_us))
+    )[:-1]
+    on_time = ts_us + 10 * 60 * 1_000_000 >= run
+    assert 0 < (~on_time).sum() <= 200  # stragglers really dropped
+    kept = df[on_time].copy()
+    kept["window_start"] = kept["ts"].dt.floor("h")
+    kept["cents"] = np.floor(kept["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = (
+        kept.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want["n_events"] = want["n_events"].astype(np.int64)
+    assert got.to_dict("records") == want.to_dict("records")
