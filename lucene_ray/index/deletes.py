@@ -136,23 +136,40 @@ def add_documents(
     man = mf.read_manifest(index_dir)
     gen = man["generation"] + 1
     analyzer = make_analyzer(man.get("analyzer", "standard"))
-    with_pos = bool(man.get("index_options") == "positions") or any(
+    with_off = bool(man.get("index_options") == "offsets") or any(
+        os.path.exists(os.path.join(s["dir"], "off_start.npy"))
+        for s in man["segments"][:1]
+    )
+    with_pos = with_off or bool(man.get("index_options") == "positions") or any(
         os.path.exists(os.path.join(s["dir"], "pos_data.npy"))
         for s in man["segments"][:1]
     )
     texts = table.column(content_column).to_pylist()
     presorted = False
+    offsets = None
     if with_pos:
         from .build import _gather_row_slices
 
-        vocab, tids, docs, tfs, lengths, pos = analyzer.analyze_batch_positions(texts)
+        if with_off:
+            (
+                vocab, tids, docs, tfs, lengths, pos, off_s, off_e,
+            ) = analyzer.analyze_batch_offsets(texts)
+        else:
+            vocab, tids, docs, tfs, lengths, pos = analyzer.analyze_batch_positions(texts)
         tids = np.asarray(tids, dtype=np.int64)
         docs = np.asarray(docs, dtype=np.int64)
         tfs = np.asarray(tfs, dtype=np.int64)
         if len(tids):
             order = np.lexsort((docs, tids))
             pos = _gather_row_slices(np.asarray(pos), tfs, order)
+            if with_off:
+                offsets = (
+                    _gather_row_slices(np.asarray(off_s), tfs, order),
+                    _gather_row_slices(np.asarray(off_e), tfs, order),
+                )
             tids, docs, tfs = tids[order], docs[order], tfs[order]
+        elif with_off:
+            offsets = (np.empty(0, np.int64), np.empty(0, np.int64))
         presorted = True
     else:
         vocab, tids, docs, tfs, lengths = analyzer.analyze_batch(texts)
@@ -178,6 +195,7 @@ def add_documents(
         meta,
         presorted=presorted,
         positions=pos,
+        offsets=offsets,
     )
     # stored fields beside the other segments' tables
     cols = list(meta_columns or [c for c in table.column_names if c != content_column])

@@ -120,3 +120,38 @@ def test_offsets_survive_merge_with_deletes(tmp_path, ray_session):
                 checked += 1
     assert checked > 500
     assert check_index(out, use_ray=False)["ok"]
+
+
+def test_offsets_survive_add_documents(off_idx, ray_session):
+    """add_documents on an offsets index must write the offset streams for
+    the appended segment (otherwise a later merge silently drops the
+    artifact index-wide)."""
+    import pyarrow as pa
+    import shutil
+
+    idx, _ = off_idx
+    clone = idx + "-addoff"
+    shutil.rmtree(clone, ignore_errors=True)
+    shutil.copytree(idx, clone)
+    from lucene_ray.index.deletes import add_documents
+    from lucene_ray.index.manifest import read_manifest
+
+    tbl = pa.table(
+        {
+            "text": ["The Quick brown Fox appended here", "another new doc body"],
+            "lang": ["en", "en"],
+        }
+    )
+    man = add_documents(clone, tbl, content_column="text")
+    new_seg = man["segments"][-1]
+    r = SegmentReader(new_seg["dir"])
+    assert r.has_offsets
+    texts = tbl.column("text").to_pylist()
+    for tid in range(r.n_terms):
+        term = r.terms_array()[tid].as_py()
+        docs, _tfs = decode_term(r.enc, tid)
+        for i, d in enumerate(docs):
+            starts, ends = r.term_offset_spans(tid)[i]
+            for s, e in zip(starts, ends):
+                assert texts[int(d)][s:e].lower() == term
+    shutil.rmtree(clone, ignore_errors=True)
