@@ -696,3 +696,130 @@ class DistributedSearcher:
             for ord_, hits in part:
                 per_segment[ord_] = [(d, np.float32(s)) for d, s in hits]
         return merge_top_docs(per_segment, k, self.doc_bases)
+
+
+def _find_reader(searcher: "IndexSearcher", doc: int):
+    for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+        base = int(seg["doc_base"])
+        if base <= doc < base + reader.max_doc:
+            return reader, doc - base
+    raise ValueError(f"docid {doc} out of range")
+
+
+def _explain_node(searcher: "IndexSearcher", q, weight: Weight, reader, local: int):
+    """One query node's Explanation dict (None = no match for this doc)."""
+    from .query import BooleanQuery, BoostQuery, ConstantScoreQuery, TermQuery
+
+    if isinstance(q, TermQuery):
+        return _explain_term(searcher, q.term, 1.0, weight, reader, local)
+    if isinstance(q, BoostQuery):
+        inner = _explain_node(searcher, q.query, weight, reader, local)
+        if inner is None:
+            return None
+        if isinstance(q.query, TermQuery):
+            return _explain_term(searcher, q.query.term, q.boost, weight, reader, local)
+        val = np.float32(np.float64(inner["value"]) * q.boost)
+        return {
+            "value": float(val),
+            "description": f"boost({q.boost}) * inner score",
+            "details": [inner],
+        }
+    if isinstance(q, ConstantScoreQuery):
+        inner = _explain_node(searcher, q.query, weight, reader, local)
+        if inner is None:
+            return None
+        return {
+            "value": float(np.float32(getattr(q, "score", 1.0))),
+            "description": "ConstantScore",
+            "details": [],
+        }
+    if isinstance(q, BooleanQuery):
+        details = []
+        for c in q.clauses:
+            if c.occur == "MUST_NOT":
+                sub = _explain_node(searcher, c.query, weight, reader, local)
+                if sub is not None:
+                    return None
+                continue
+            sub = _explain_node(searcher, c.query, weight, reader, local)
+            if sub is None:
+                if c.occur in ("MUST", "FILTER"):
+                    return None
+                continue
+            # FILTER matches are required but never contribute score
+            if c.occur in ("MUST", "SHOULD"):
+                details.append(sub)
+        should_present = [c for c in q.clauses if c.occur == "SHOULD"]
+        matched_should = sum(
+            1
+            for c in should_present
+            if _explain_node(searcher, c.query, weight, reader, local) is not None
+        )
+        if should_present and not any(
+            c.occur == "MUST" for c in q.clauses
+        ) and matched_should == 0:
+            return None
+        if matched_should < getattr(q, "min_should_match", 0):
+            return None
+        # sum in double of float32 clause scores, cast once (BooleanScorer)
+        val = np.float32(np.sum([np.float64(d["value"]) for d in details]))
+        return {"value": float(val), "description": "sum of:", "details": details}
+    raise NotImplementedError(f"explain: unsupported query {type(q).__name__}")
+
+
+def _explain_term(searcher, term: str, boost: float, weight: Weight, reader, local: int):
+    from ..index.postings import decode_term
+    from ..smallfloat import LENGTH_TABLE
+
+    tid = reader.term_id(term)
+    if tid is None:
+        return None
+    docs, tfs = decode_term(reader.enc, tid)
+    i = np.searchsorted(docs, local)
+    if i >= len(docs) or docs[i] != local:
+        return None
+    freq = float(tfs[i])
+    norm_byte = int(reader.norms[local])
+    sim = weight.sim_scorer(term, boost)
+    score = sim.score(freq, norm_byte)
+    ts = weight.term_stats[term]
+    cs = weight.collection_stats
+    dl = float(LENGTH_TABLE[norm_byte])
+    avgdl = cs.sum_total_term_freq / cs.doc_count
+    return {
+        "value": float(score),
+        "description": f"weight({term} in {local}) [BM25Similarity], result of:",
+        "details": [
+            {
+                "value": float(np.log(1 + (cs.doc_count - ts.doc_freq + 0.5) / (ts.doc_freq + 0.5))),
+                "description": f"idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5)) with n={ts.doc_freq}, N={cs.doc_count}",
+                "details": [],
+            },
+            {
+                "value": freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                "description": f"tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl)) with freq={freq}, k1=1.2, b=0.75, dl={dl}, avgdl={avgdl}",
+                "details": [],
+            },
+            {"value": float(boost), "description": "boost", "details": []},
+        ],
+    }
+
+
+def explain(searcher: "IndexSearcher", query, doc: int) -> dict:
+    """IndexSearcher.explain analogue (search/IndexSearcher.java explain ->
+    Weight.explain): a nested Explanation dict {value, description,
+    details} whose root value is EXACTLY the float32 score search() gives
+    this doc; non-matching docs explain as value 0 / 'no matching term'.
+    Supported: Term / Boost / ConstantScore / Boolean trees (the scoring
+    clauses the BM25 explanation decomposes)."""
+    reader, local = _find_reader(searcher, doc)
+    weight = searcher.make_weight(query)
+    node = _explain_node(searcher, query, weight, reader, local)
+    if node is None:
+        return {"value": 0.0, "description": "no matching term", "details": []}
+    return node
+
+
+IndexSearcher.explain = (
+    lambda self, query, doc: explain(self, query, doc)
+)

@@ -272,3 +272,29 @@ def test_lmdirichlet_pruned_equals_complete_and_formula(built):
             break
     else:
         raise AssertionError("hit doc not found in any segment")
+
+
+def test_explain_matches_search_scores(built):
+    """IndexSearcher.explain: the root Explanation value must equal the
+    float32 score search() returns, for term / boosted / boolean queries,
+    and a non-matching doc explains as 0."""
+    from lucene_ray.search.query import BoostQuery, bool_query
+
+    _, searcher = built
+    queries = [
+        TermQuery("def"),
+        BoostQuery(TermQuery("return"), 2.0),
+        bool_query(should=[TermQuery("def"), TermQuery("import")]),
+        bool_query(must=[TermQuery("def")], must_not=[TermQuery("zzz_q")]),
+        bool_query(must=[TermQuery("import")], filter=[TermQuery("def")]),
+    ]
+    for q in queries:
+        hits = searcher.search(q, 5, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert hits
+        for doc, score in hits:
+            ex = searcher.explain(q, int(doc))
+            assert np.float32(ex["value"]) == np.float32(score), (q, doc)
+            assert ex["details"] or "weight(" in ex["description"]
+    # a doc that matches nothing
+    miss = searcher.explain(TermQuery("zzz_not_a_term"), 0)
+    assert miss["value"] == 0.0 and "no matching" in miss["description"]
