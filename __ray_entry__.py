@@ -172,6 +172,9 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """
 
+# the same CTE chain minus the final SELECT, for family entries that wrap it
+_BM25_COMMON_BODY = _BM25_COMMON.rsplit("\nSELECT", 1)[0]
+
 
 def _lang_sql() -> str:
     from lucene_ray.ops.text import LANG_WORDS
@@ -1119,6 +1122,19 @@ def _dd_signatures(sf_dir: str):
     return out[["method", "doc_id", "i", "sig"]]
 
 
+def _bm25_store_family(sf_dir: str):
+    """BM25 top-k answered twice: from the default LOCAL index root and from
+    a REMOTE (fsspec file://) root through the store Directory seam — equal
+    rows certify the shared-storage build/localize path end to end."""
+    import pandas as pd
+
+    local = ft.bm25_topk(sf_dir).to_pandas()
+    local.insert(0, "store", "local")
+    remote = ft.bm25_topk_remote(sf_dir).to_pandas()
+    remote.insert(0, "store", "remote")
+    return pd.concat([local, remote], ignore_index=True)
+
+
 def _term_stats_family(sf_dir: str):
     """Standard- and code-analyzer (term, doc_freq, total_term_freq) stats
     as one analyzer-tagged family (same schema, two indexes)."""
@@ -1248,7 +1264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_doc_norms": ft.doc_norms,
         "ft_collection_stats": ft.collection_stats,
         "ft_top_terms": ft.top_terms,
-        "ft_bm25_topk": ft.bm25_topk,
+        # family: same query set answered from a LOCAL index root and from
+        # a REMOTE (fsspec file://) root through the store Directory seam —
+        # one oracle certifies BM25 and the shared-storage IO path at once
+        "ft_bm25_topk": _bm25_store_family,
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
         "ft_dismax_topk": ft.dismax_topk,
@@ -1417,8 +1436,12 @@ ORDER BY total_term_freq DESC, term ASC LIMIT 25
         "ft_bm25_topk": f"""
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
-{_BM25_COMMON}
+{_BM25_COMMON_BODY},
+stores(store) AS (VALUES ('local'), ('remote'))
+SELECT s.store, r.qid::BIGINT AS qid, r.rnk::BIGINT AS rnk, r.doc_id
+FROM ranked r CROSS JOIN stores s WHERE r.rnk <= 10
 """,
+
         # SynonymQuery blended scoring (SynonymQuery.java): ONE idf from the
         # blended df=max(term df); freq = sum(boost*tf); terms with df=0
         # drop out of both naturally

@@ -48,6 +48,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .. import store
 from ..analysis.analyzers import make_analyzer
 from ..smallfloat import int_to_byte4_array
 from . import manifest as mf
@@ -285,8 +286,7 @@ def _write_doc_fragment(
     path = os.path.join(
         docs_dir, f"seg_{desc['seg_id']:06d}", f"rg_{desc['frag_ord']:06d}.parquet"
     )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(out, path)
+    store.pq_write(out, path)
 
 
 # --- segment build (post-shuffle / fused) --------------------------------
@@ -600,7 +600,7 @@ def build_index_local(
     """In-process build (no Ray): same stages, serial loop.  Used by unit
     tests and tiny fixtures; the Ray pipeline (build_index) is the real path."""
     t_start = time.time()
-    os.makedirs(index_dir, exist_ok=True)
+    store.makedirs(index_dir)
     segments = plan_segments(corpus_paths, docs_per_segment)
     builder = FusedSegmentBuilder(
         index_dir, analyzer, content_column, {s["seg_id"]: s for s in segments},
@@ -622,8 +622,7 @@ def build_index_local(
     seg_entries = []
     for seg in segments:
         seg_dir = os.path.join(index_dir, seg["name"])
-        with open(os.path.join(seg_dir, "meta.json")) as f:
-            meta = json.load(f)
+        meta = store.read_json(os.path.join(seg_dir, "meta.json"))
         seg_entries.append(
             {
                 "name": seg["name"],
@@ -750,7 +749,7 @@ def build_index(
     import ray.data as rd
 
     t_start = time.time()
-    os.makedirs(index_dir, exist_ok=True)
+    store.makedirs(index_dir)
     segments = plan_segments(corpus_paths, docs_per_segment)
 
     todo = []
@@ -850,7 +849,7 @@ def build_index(
                 # by a previous killed run (possibly with a different
                 # term_salt or schema) must never be concatenated in
                 base_runs_dir = os.path.join(index_dir, ".runs")
-                shutil.rmtree(base_runs_dir, ignore_errors=True)
+                store.rmtree(base_runs_dir)
                 runs_dir = os.path.join(base_runs_dir, uuid.uuid4().hex[:12])
 
                 def build_run(group: pa.Table) -> pa.Table:
@@ -871,8 +870,7 @@ def build_index(
                         [("term", "ascending"), ("docid", "ascending")]
                     )
                     d = os.path.join(runs_dir, seg["name"])
-                    os.makedirs(d, exist_ok=True)
-                    pq.write_table(tbl, os.path.join(d, f"bucket_{salt:04d}.parquet"))
+                    store.pq_write(tbl, os.path.join(d, f"bucket_{salt:04d}.parquet"))
                     return pa.Table.from_pylist([{"seg_id": seg_id, "salt": salt}])
 
                 post.groupby(["segpart", "salt"]).map_groups(
@@ -885,11 +883,11 @@ def build_index(
                         seg = segs_by_id[r["seg_id"]]
                         d = os.path.join(runs_dir, seg["name"])
                         buckets = sorted(
-                            f for f in os.listdir(d) if f.startswith("bucket_")
+                            f for f in store.listdir(d) if f.startswith("bucket_")
                         )
                         # each salt value writes at most one bucket this run
                         assert len(buckets) <= term_salt, (d, buckets)
-                        tbls = [pq.read_table(os.path.join(d, f)) for f in buckets]
+                        tbls = [store.pq_read(os.path.join(d, f)) for f in buckets]
                         tbl = pa.concat_tables(tbls)  # bucket order == term order
                         metrics = _build_segment_from_rows(tbl, seg, index_dir)
                         rows.append(
@@ -902,7 +900,7 @@ def build_index(
                 )
                 for row in out.take_all():
                     metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
-                shutil.rmtree(base_runs_dir, ignore_errors=True)
+                store.rmtree(base_runs_dir)
         else:
             raise ValueError(f"unknown mode: {mode}")
 
@@ -938,8 +936,7 @@ def build_index(
     seg_entries = []
     for seg in segments:
         seg_dir = os.path.join(index_dir, seg["name"])
-        with open(os.path.join(seg_dir, "meta.json")) as f:
-            meta = json.load(f)
+        meta = store.read_json(os.path.join(seg_dir, "meta.json"))
         seg_entries.append(
             {
                 "name": seg["name"],

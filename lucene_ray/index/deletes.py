@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 
+from .. import store
 from . import manifest as mf
 
 
@@ -90,9 +91,8 @@ def delete_by_query(index_dir: str, query) -> dict:
         newly = before - int(live.sum())
         entry = dict(seg)
         if newly:
-            os.makedirs(live_dir, exist_ok=True)
             path = os.path.join(live_dir, f"{seg['name']}-g{gen:04d}.npy")
-            np.save(path, live)
+            store.np_save(path, live)
             entry["livedocs"] = path
             entry["del_count"] = int(reader.max_doc - live.sum())
         entries.append(entry)
@@ -137,11 +137,11 @@ def add_documents(
     gen = man["generation"] + 1
     analyzer = make_analyzer(man.get("analyzer", "standard"))
     with_off = bool(man.get("index_options") == "offsets") or any(
-        os.path.exists(os.path.join(s["dir"], "off_start.npy"))
+        store.exists(os.path.join(s["dir"], "off_start.npy"))
         for s in man["segments"][:1]
     )
     with_pos = with_off or bool(man.get("index_options") == "positions") or any(
-        os.path.exists(os.path.join(s["dir"], "pos_data.npy"))
+        store.exists(os.path.join(s["dir"], "pos_data.npy"))
         for s in man["segments"][:1]
     )
     texts = table.column(content_column).to_pylist()
@@ -200,10 +200,7 @@ def add_documents(
     # stored fields beside the other segments' tables
     cols = list(meta_columns or [c for c in table.column_names if c != content_column])
     docs_dir = os.path.join(index_dir, "docs", name)
-    os.makedirs(docs_dir, exist_ok=True)
     import hashlib
-
-    import pyarrow.parquet as pq
 
     stored = table.select(cols) if cols else table.select([])
     stored = stored.add_column(
@@ -213,12 +210,9 @@ def add_documents(
         hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
     ]
     stored = stored.append_column("sha256", pa.array(shas))
-    pq.write_table(stored, os.path.join(docs_dir, "rg_000000.parquet"))
+    store.pq_write(stored, os.path.join(docs_dir, "rg_000000.parquet"))
 
-    with open(os.path.join(seg_dir, "meta.json")) as f:
-        import json
-
-        seg_meta = json.load(f)
+    seg_meta = store.read_json(os.path.join(seg_dir, "meta.json"))
     entry = {
         "name": name,
         "dir": seg_dir,
@@ -256,12 +250,12 @@ def clone_for_deletes(src_index: str, dst_index: str) -> str:
     SHARED); subsequent deletes write livedocs + generations under the
     clone and never touch the source — the point-in-time-reader property
     at directory granularity."""
-    import glob
-    import shutil
-
-    os.makedirs(dst_index, exist_ok=True)
-    for p in glob.glob(os.path.join(src_index, "manifest-*.json")):
-        shutil.copy2(p, os.path.join(dst_index, os.path.basename(p)))
+    store.makedirs(dst_index)
+    for name in store.glob_names(os.path.join(src_index, "manifest-*.json")):
+        store.write_bytes_atomic(
+            os.path.join(dst_index, name),
+            store.read_bytes(os.path.join(src_index, name)),
+        )
     return dst_index
 
 

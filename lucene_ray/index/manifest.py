@@ -17,11 +17,12 @@ segment directory already exists with a matching lineage signature
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
 import numpy as np
+
+from .. import store
 
 
 def manifest_path(index_dir: str, gen: int) -> str:
@@ -30,9 +31,9 @@ def manifest_path(index_dir: str, gen: int) -> str:
 
 def latest_generation(index_dir: str) -> int | None:
     gens = []
-    for p in glob.glob(os.path.join(index_dir, "manifest-*.json")):
+    for name in store.glob_names(os.path.join(index_dir, "manifest-*.json")):
         try:
-            gens.append(int(os.path.basename(p)[len("manifest-") : -len(".json")]))
+            gens.append(int(name[len("manifest-") : -len(".json")]))
         except ValueError:
             continue
     return max(gens) if gens else None
@@ -43,17 +44,13 @@ def read_manifest(index_dir: str, gen: int | None = None) -> dict:
         gen = latest_generation(index_dir)
         if gen is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
-    with open(manifest_path(index_dir, gen)) as f:
-        return json.load(f)
+    return store.read_json(manifest_path(index_dir, gen))
 
 
 def write_manifest(index_dir: str, manifest: dict) -> str:
     gen = int(manifest["generation"])
     path = manifest_path(index_dir, gen)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, default=_json_default)
-    os.replace(tmp, path)
+    store.write_json_atomic(path, manifest, default=_json_default)
     return path
 
 
@@ -87,11 +84,10 @@ def segment_is_complete(seg_dir: str, lineage_sig: str) -> bool:
     """True if a prior run already produced this segment for the same input
     (checkpoint/resume, FIXTURES F7)."""
     meta_path = os.path.join(seg_dir, "meta.json")
-    if not os.path.exists(meta_path):
+    if not store.exists(meta_path):
         return False
     try:
-        with open(meta_path) as f:
-            meta = json.load(f)
+        meta = store.read_json(meta_path)
         return meta.get("lineage", {}).get("signature") == lineage_sig
-    except (json.JSONDecodeError, OSError):
+    except (json.JSONDecodeError, OSError, ValueError):
         return False

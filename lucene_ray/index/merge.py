@@ -45,6 +45,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
+from .. import store
 from . import manifest as mf
 from . import postings as codec
 from .segment import SegmentReader
@@ -231,7 +232,7 @@ def merge_segments_task(
         shift = int(e["doc_base"]) - new_base
         assert shift == local, "merge inputs must be adjacent in doc_base order"
         lp = e.get("livedocs")
-        live = np.load(lp) if lp else None
+        live = store.np_load(lp) if lp else None
         lives.append(live)
         if live is None:
             live_prefix.append(None)
@@ -450,13 +451,14 @@ def merge_segments_task(
     docs_out = None
     for e, live, lpfx, lbase in zip(seg_entries, lives, live_prefix, live_bases):
         src = e.get("docs_dir")
-        if src and os.path.isdir(src):
+        if src and store.isdir(src):
             # src is index_dir/docs/<old>; the merged table lives beside it
             # at index_dir/docs/<name> (must match the manifest docs_dir).
-            docs_out = docs_out or os.path.join(os.path.dirname(src), name)
-            os.makedirs(docs_out, exist_ok=True)
-            for f in sorted(os.listdir(src)):
-                tbl = pq.read_table(os.path.join(src, f))
+            docs_out = docs_out or os.path.join(os.path.dirname(src.rstrip("/")), name)
+            for f in store.listdir(src):
+                if not f.endswith(".parquet"):
+                    continue
+                tbl = store.pq_read(os.path.join(src, f))
                 old_ids = tbl.column("docid").to_numpy()
                 if live is not None:
                     keep = live[old_ids]
@@ -466,7 +468,7 @@ def merge_segments_task(
                     new_ids = old_ids.astype(np.int64) + lbase
                 i = tbl.schema.get_field_index("docid")
                 tbl = tbl.set_column(i, "docid", pa.array(new_ids.astype(np.int32)))
-                pq.write_table(tbl, os.path.join(docs_out, f"{e['name']}-{f}"))
+                store.pq_write(tbl, os.path.join(docs_out, f"{e['name']}-{f}"))
     return metrics
 
 
@@ -509,8 +511,7 @@ def _apply_merges(index_dir: str, manifest: dict, plans: list[list[int]]) -> dic
             ordinals, name, fut = futures[by_first[i]]
             metrics = ray.get(fut)
             seg_dir = os.path.join(index_dir, name)
-            with open(os.path.join(seg_dir, "meta.json")) as f:
-                meta = json.load(f)
+            meta = store.read_json(os.path.join(seg_dir, "meta.json"))
             new_entries.append(
                 {
                     "name": name,
@@ -580,16 +581,15 @@ def gc_unreferenced(index_dir: str) -> list[str]:
     import glob
 
     referenced: set[str] = set()
-    for p in glob.glob(os.path.join(index_dir, "manifest-*.json")):
-        with open(p) as f:
-            man = json.load(f)
+    for p in store.glob_names(os.path.join(index_dir, "manifest-*.json")):
+        man = store.read_json(os.path.join(index_dir, p))
         for s in man["segments"]:
             referenced.add(s["name"])
     removed = []
-    for d in sorted(os.listdir(index_dir)):
+    for d in store.listdir(index_dir):
         full = os.path.join(index_dir, d)
-        if d.startswith("seg_") and os.path.isdir(full) and d not in referenced:
-            shutil.rmtree(full)
+        if d.startswith("seg_") and store.isdir(full) and d not in referenced:
+            store.rmtree(full)
             removed.append(d)
     return removed
 
@@ -599,10 +599,15 @@ def prune_generations(index_dir: str, keep: int = 2) -> list[int]:
     import glob
 
     gens = sorted(
-        int(os.path.basename(p)[len("manifest-") : -len(".json")])
-        for p in glob.glob(os.path.join(index_dir, "manifest-*.json"))
+        int(p[len("manifest-") : -len(".json")])
+        for p in store.glob_names(os.path.join(index_dir, "manifest-*.json"))
     )
     dropped = gens[:-keep] if keep else gens
     for g in dropped:
-        os.remove(mf.manifest_path(index_dir, g))
+        path = mf.manifest_path(index_dir, g)
+        if store.is_remote(path):
+            fs, root = store._fs(path)
+            fs.rm(root)
+        else:
+            os.remove(path)
     return dropped

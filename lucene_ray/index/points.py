@@ -116,9 +116,13 @@ class PointTree:
         )
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp.npz"  # savez won't append .npz again
-        np.savez_compressed(tmp, values=self.values, docids=self.docids, **self.nodes)
-        os.replace(tmp, path)
+        import io
+
+        from .. import store
+
+        buf = io.BytesIO()
+        np.savez_compressed(buf, values=self.values, docids=self.docids, **self.nodes)
+        store.write_bytes_atomic(path, buf.getvalue())
 
     @classmethod
     def load(cls, path: str) -> "PointTree":
@@ -253,9 +257,11 @@ def build_segment_points(
     columns (idempotent: returns the existing file when present)."""
     from .segment import SegmentReader
 
+    from .. import store
+
     name = "_".join(fields)
     path = point_file(seg_dir, name)
-    if os.path.exists(path):
+    if store.exists(path):
         return path
     r = SegmentReader(seg_dir)
     cols = [
@@ -281,7 +287,9 @@ def build_point_index(
 
     man = mf.read_manifest(index_dir)
     dirs = [s["dir"] for s in man["segments"]]
-    todo = [d for d in dirs if not os.path.exists(point_file(d, "_".join(fields)))]
+    from .. import store as _store
+
+    todo = [d for d in dirs if not _store.exists(point_file(d, "_".join(fields)))]
     if todo:
 
         def _build(batch: pa.Table) -> pa.Table:

@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from .. import store
 from . import postings as codec
 
 NO_MORE_DOCS = 2**31 - 1
@@ -124,7 +125,9 @@ def build_segment_from_ids(
 
     enc = codec.encode_postings(term_ids, docids, tfs, norms, n_terms)
 
-    tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    # build locally, publish through the Directory seam (store module): a
+    # remote seg_dir gets its files uploaded with meta.json LAST
+    tmp = store.local_build_dir(seg_dir)
     os.makedirs(tmp, exist_ok=True)
     try:
         # term dictionary as bytes + offsets (bisect-able without
@@ -200,9 +203,7 @@ def build_segment_from_ids(
         }
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(full_meta, f, indent=1)
-        if os.path.exists(seg_dir):
-            shutil.rmtree(seg_dir)
-        os.replace(tmp, seg_dir)
+        store.publish_dir(tmp, seg_dir)
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -299,7 +300,7 @@ class StreamingSegmentWriter:
         with_offsets: bool = False,
     ):
         self.seg_dir = seg_dir
-        self.tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        self.tmp = store.local_build_dir(seg_dir)
         os.makedirs(self.tmp, exist_ok=True)
         self.norms = np.asarray(norms, dtype=np.uint8)
         self.meta = meta
@@ -471,9 +472,7 @@ class StreamingSegmentWriter:
         }
         with open(os.path.join(self.tmp, "meta.json"), "w") as f:
             json.dump(full_meta, f, indent=1)
-        if os.path.exists(self.seg_dir):
-            shutil.rmtree(self.seg_dir)
-        os.replace(self.tmp, self.seg_dir)
+        store.publish_dir(self.tmp, self.seg_dir)
         return metrics
 
     def abort(self) -> None:
@@ -487,7 +486,11 @@ class SegmentReader:
     Segment reader row)."""
 
     def __init__(self, seg_dir: str, mmap: bool = True, decode_cache: int = 256):
-        self.dir = seg_dir
+        # Directory seam: a remote seg_dir (scheme://) is synced once into
+        # the node-local read-through cache; everything below mmaps the
+        # local copy (MMapDirectory fast path over any shared prefix)
+        self.src_dir = seg_dir
+        self.dir = seg_dir = store.localize_dir(seg_dir)
         mm = "r" if mmap else None
         # hot-term decoded-postings LRU (Lucene leans on the OS page cache +
         # branch-free decode; we amortize the Python block loop instead)
@@ -670,18 +673,24 @@ class SegmentReader:
         if field in cache:
             return cache[field]
         inline = os.path.join(self.dir, "docs.parquet")
-        name = os.path.basename(self.dir)
-        frag_dir = os.path.join(os.path.dirname(self.dir), "docs", name)
+        # the docs fragment dir is a SIBLING of the segment in the (possibly
+        # remote) index root, so derive it from src_dir, not the cache path
+        name = os.path.basename(self.src_dir.rstrip("/"))
+        frag_dir = os.path.join(
+            os.path.dirname(self.src_dir.rstrip("/")), "docs", name
+        )
         if os.path.exists(inline):
             tbl = pq.read_table(inline, columns=["docid", field])
-        elif os.path.isdir(frag_dir):
+        elif store.isdir(frag_dir):
+            local_frag = store.localize_dir(frag_dir)
             parts = [
-                pq.read_table(os.path.join(frag_dir, f), columns=["docid", field])
-                for f in sorted(os.listdir(frag_dir))
+                pq.read_table(os.path.join(local_frag, f), columns=["docid", field])
+                for f in sorted(os.listdir(local_frag))
+                if f.endswith(".parquet")
             ]
             tbl = pa.concat_tables(parts)
         else:
-            raise FileNotFoundError(f"no stored fields for segment {self.dir}")
+            raise FileNotFoundError(f"no stored fields for segment {self.src_dir}")
         tbl = tbl.sort_by("docid")
         if len(tbl) != self.max_doc:
             raise ValueError(
@@ -690,6 +699,19 @@ class SegmentReader:
         col = tbl.column(field).combine_chunks()
         cache[field] = col
         return col
+
+    def _sidecar_path(self, fname: str) -> str | None:
+        """Local path of a segment sidecar file (points/vectors npz) that may
+        have been published AFTER the segment was localized — falls back to a
+        file-level fetch from the remote src dir."""
+        local = os.path.join(self.dir, fname)
+        if os.path.exists(local):
+            return local
+        if store.is_remote(self.src_dir):
+            remote = os.path.join(self.src_dir, fname)
+            if store.exists(remote):
+                return store.localize_file(remote)
+        return None
 
     def point_tree(self, fields: tuple[str, ...]):
         """Persisted BKD-style point tree for these fields, or None when
@@ -702,8 +724,9 @@ class SegmentReader:
             cache = self._point_trees = {}
         key = tuple(fields)
         if key not in cache:
-            path = point_file(self.dir, "_".join(fields))
-            cache[key] = PointTree.load(path) if os.path.exists(path) else None
+            fname = os.path.basename(point_file("", "_".join(fields)))
+            path = self._sidecar_path(fname)
+            cache[key] = PointTree.load(path) if path else None
         return cache[key]
 
     def vector_index(self, field: str):
@@ -718,8 +741,8 @@ class SegmentReader:
         if cache is None:
             cache = self._vector_graphs = {}
         if field not in cache:
-            path = vector_file(self.dir, field)
-            if os.path.exists(path):
+            path = self._sidecar_path(os.path.basename(vector_file("", field)))
+            if path:
                 with open(path, "rb") as f:
                     cache[field] = HnswGraph.from_npz_bytes(f.read())
             else:

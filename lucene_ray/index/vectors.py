@@ -10,10 +10,12 @@ table joined to the segment's stored doc_id column:
 
 - graph node ids are LOCAL docids, so the scorer tree can consume search
   results directly (norms/live-docs all key on local docids);
-- the embeddings source is fetched per segment with an ``id IN (...)``
-  parquet filter — at 100-TB scale the embeddings table is hash- or
-  range-partitioned by id and this read prunes to the matching
-  partitions (the same storage-level pruning the persisted IVF uses);
+- the embeddings source is fetched per segment with an id RANGE filter
+  ``lo <= id <= hi`` (segments hold contiguous docid ranges, so the range
+  is tight) — parquet row-group stats prune the scan to the matching
+  groups, and an id-range-partitioned embeddings layout prunes whole
+  files (the same storage-level pruning the persisted IVF uses); the
+  exact membership mask is applied in memory with np.isin;
 - build fans out one Ray task per segment (map_batches over the segment
   list), resumable/idempotent per segment.
 
@@ -29,6 +31,8 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from .. import store
 
 
 def vector_file(seg_dir: str, field: str) -> str:
@@ -47,16 +51,24 @@ def build_segment_vectors(
     from .segment import SegmentReader
 
     path = vector_file(seg_dir, field)
-    if os.path.exists(path):
+    if store.exists(path):
         return path
     r = SegmentReader(seg_dir)
     doc_ids = r.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    # RANGE filter, not a 10^5-entry IN-list: segments hold contiguous id
+    # ranges, so [lo, hi] is tight and parquet row-group stats (or id-range
+    # partitioned files) prune the scan; exact membership via np.isin below
+    lo, hi = (int(doc_ids.min()), int(doc_ids.max())) if len(doc_ids) else (0, -1)
     tbl = pq.read_table(
         emb_path,
         columns=[id_column, field],
-        filters=[(id_column, "in", doc_ids.tolist())],
+        filters=[(id_column, ">=", lo), (id_column, "<=", hi)],
     )
     vec_ids = tbl.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(vec_ids, doc_ids)
+    if not keep.all():
+        tbl = tbl.filter(pa.array(keep))
+        vec_ids = vec_ids[keep]
     mat = np.stack(tbl.column(field).to_numpy(zero_copy_only=False))
     # map embedding rows -> local docids; docs without a vector are absent
     # from the graph (they simply can't match a knn query)
@@ -64,11 +76,7 @@ def build_segment_vectors(
     local = np.array([i for i, d in enumerate(doc_ids) if int(d) in pos], np.int64)
     rows = np.array([pos[int(doc_ids[i])] for i in local], np.int64)
     g = HnswGraph(local, mat[rows])
-    data = g.to_npz_bytes()
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    store.write_bytes_atomic(path, g.to_npz_bytes())
     return path
 
 
@@ -86,7 +94,7 @@ def build_vector_index(
 
     man = mf.read_manifest(index_dir)
     dirs = [s["dir"] for s in man["segments"]]
-    todo = [d for d in dirs if not os.path.exists(vector_file(d, field))]
+    todo = [d for d in dirs if not store.exists(vector_file(d, field))]
     if todo:
 
         def _build(batch: pa.Table) -> pa.Table:

@@ -79,9 +79,12 @@ def index_dir_for(
         suffix += f"-sorted-{index_sort[0]}-{index_sort[1]}"
     if term_vectors:
         suffix += "-tv"
+    # LUCENE_RAY_INDEX_ROOT may be a remote URL (file://, s3://): every
+    # index build/read goes through the store Directory seam, so the whole
+    # oracle suite can run with its indexes on shared storage
+    base = os.environ.get("LUCENE_RAY_INDEX_ROOT", "/tmp/lucene_ray_idx")
     return os.path.join(
-        "/tmp",
-        "lucene_ray_idx",
+        base,
         f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{docs_per_segment}{suffix}",
     )
 
@@ -387,6 +390,23 @@ def bm25_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORES") -> pa.Ta
             "doc_id": pa.array(docs, pa.int64()),
         }
     )
+
+
+def bm25_topk_remote(sf_dir: str, k: int = 10) -> pa.Table:
+    """bm25_topk with the index on a REMOTE root (fsspec file:// — same
+    byte-store protocol as s3://): the build publishes segments through the
+    store Directory seam and the searcher pulls them through the node-local
+    read-through cache.  Identical results to bm25_topk certify the seam
+    (reference store/Directory.java:1)."""
+    old = os.environ.get("LUCENE_RAY_INDEX_ROOT")
+    os.environ["LUCENE_RAY_INDEX_ROOT"] = "file:///tmp/lucene_ray_remote_idx"
+    try:
+        return bm25_topk(sf_dir, k)
+    finally:
+        if old is None:
+            os.environ.pop("LUCENE_RAY_INDEX_ROOT", None)
+        else:
+            os.environ["LUCENE_RAY_INDEX_ROOT"] = old
 
 
 def bm25_disjunction_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORES") -> pa.Table:
@@ -1929,23 +1949,52 @@ def ensure_titled_corpus(sf_dir: str) -> str:
     import polars as pl
     import pyarrow.parquet as pq
 
-    out_dir = index_dir_for(sf_dir) + "-titled-src"
-    out = os.path.join(out_dir, "documents.parquet")
-    if not os.path.exists(out):
+    # derived corpora are LOCAL inputs (not index artifacts), so they stay
+    # under /tmp even when LUCENE_RAY_INDEX_ROOT points at shared storage
+    slug = hashlib.sha256(
+        (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(
+        "/tmp", "lucene_ray_idx",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{DOCS_PER_SEGMENT}-titled-src",
+    )
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        import ray.data as rd
+
         os.makedirs(out_dir, exist_ok=True)
-        df = pl.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-        df = df.with_columns(
-            pl.col("text")
-            .fill_null("")
-            .str.to_lowercase()
-            .str.extract_all("[a-z0-9_]+")
-            .list.slice(0, TITLE_TOKENS)
-            .list.join(" ")
-            .alias("title")
-        )
-        tmp = out + ".tmp"
-        pq.write_table(df.to_arrow(), tmp, row_group_size=200)
-        os.replace(tmp, out)
+        src_path = os.path.join(sf_dir, "documents.parquet")
+        # one task per row group, each writing its OWN ordinal-named part
+        # file: distributed, streaming, and docid order == input row order
+        # by construction (no driver-side full-corpus materialization)
+        md = pq.ParquetFile(src_path).metadata
+        descs = [{"path": src_path, "row_group": rg} for rg in range(md.num_row_groups)]
+
+        def _derive(batch: pa.Table) -> pa.Table:
+            rows = []
+            for d in batch.to_pylist():
+                tbl = pq.ParquetFile(d["path"]).read_row_group(d["row_group"])
+                df = pl.from_arrow(tbl).with_columns(
+                    pl.col("text")
+                    .fill_null("")
+                    .str.to_lowercase()
+                    .str.extract_all("[a-z0-9_]+")
+                    .list.slice(0, TITLE_TOKENS)
+                    .list.join(" ")
+                    .alias("title")
+                )
+                part = os.path.join(out_dir, f"part-{d['row_group']:06d}.parquet")
+                tmp_p = part + ".tmp"
+                pq.write_table(df.to_arrow(), tmp_p, row_group_size=200)
+                os.replace(tmp_p, part)
+                rows.append({"row_group": d["row_group"]})
+            return pa.Table.from_pylist(rows)
+
+        rd.from_items(descs).map_batches(
+            _derive, batch_size=1, batch_format="pyarrow", num_cpus=1
+        ).materialize()
+        with open(done, "w") as f:
+            f.write("ok")
     return out_dir
 
 
@@ -1958,7 +2007,7 @@ def ensure_combined_index(sf_dir: str) -> str:
         mf.latest_generation(os.path.join(idx, f)) is None for f in ("text", "title")
     ):
         build_multi_field_index(
-            os.path.join(src_dir, "documents.parquet"),
+            src_dir,  # a directory of ordinal part files (plan_segments sorts)
             idx,
             [
                 FieldSpec("text", "text", "standard"),

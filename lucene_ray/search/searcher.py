@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.manifest import collection_stats_from, read_manifest
+from .. import store
 from ..index.segment import SegmentReader
 from .bm25 import BM25Similarity, CollectionStatistics, TermStatistics
 from .collector import TopKCollector, merge_top_docs
@@ -125,7 +126,7 @@ class IndexSearcher:
         for reader, seg in zip(self.readers, self.manifest["segments"]):
             lp = seg.get("livedocs")
             if lp:
-                reader.live = np.load(lp)
+                reader.live = store.np_load(lp)
         cs = collection_stats_from(self.manifest)
         self.collection_stats = CollectionStatistics(
             max_doc=cs["max_doc"],
@@ -597,7 +598,7 @@ class SegmentSearchWorker:
         if livedocs:
             for reader, lp in zip(self.readers, livedocs):
                 if lp:
-                    reader.live = np.load(lp)
+                    reader.live = store.np_load(lp)
         self.ords = seg_ords
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:

@@ -1,0 +1,136 @@
+"""Directory seam (lucene_ray.store): build to a shared remote prefix,
+serve from a different "node" (fresh local cache), merge + delete remotely.
+
+The "remote" filesystem is fsspec's file:// scheme — same byte-store
+protocol as s3://, shared across Ray worker processes (memory:// is
+per-process and can't serve a multi-worker build).  Reference:
+lucene/core/src/java/org/apache/lucene/store/Directory.java:1.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_ray import store
+from lucene_ray.index import manifest as mf
+from lucene_ray.index.build import build_index, build_index_local
+from lucene_ray.index.deletes import add_documents, delete_by_key
+from lucene_ray.index.merge import force_merge
+from lucene_ray.index.segment import SegmentReader
+from lucene_ray.search.query import TermQuery
+from lucene_ray.search.searcher import DistributedSearcher, IndexSearcher
+
+from lucene_ray.corpus import generate_corpus
+
+
+def synth_corpus(tmp_path, n_docs, seed):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"corpus_{seed}"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        generate_corpus(n_docs, seed=seed), str(d / "part-0000.parquet"),
+        row_group_size=64,
+    )
+    return str(d)
+
+
+def _remote_root(tmp_path, name):
+    p = tmp_path / name
+    p.mkdir()
+    return f"file://{p}"
+
+
+def test_store_helpers_roundtrip(tmp_path):
+    root = _remote_root(tmp_path, "helpers")
+    store.write_bytes_atomic(f"{root}/a/b.bin", b"xyz")
+    assert store.exists(f"{root}/a/b.bin")
+    assert store.read_bytes(f"{root}/a/b.bin") == b"xyz"
+    store.np_save(f"{root}/a/arr.npy", np.arange(5))
+    assert store.np_load(f"{root}/a/arr.npy").tolist() == [0, 1, 2, 3, 4]
+    tbl = pa.table({"x": [1, 2, 3]})
+    store.pq_write(tbl, f"{root}/a/t.parquet")
+    assert store.pq_read(f"{root}/a/t.parquet").num_rows == 3
+    assert store.listdir(f"{root}/a") == ["arr.npy", "b.bin", "t.parquet"]
+    assert store.glob_names(f"{root}/a/*.npy") == ["arr.npy"]
+
+
+def test_build_remote_matches_local(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache_a"))
+    corpus = synth_corpus(tmp_path, n_docs=300, seed=7)
+    remote = f"{_remote_root(tmp_path, 'remote')}/index"
+    local = str(tmp_path / "local_index")
+
+    man_r = build_index(corpus, remote, docs_per_segment=100, content_column="content")
+    man_l = build_index_local(
+        corpus, local, docs_per_segment=100, content_column="content"
+    )
+    assert len(man_r["segments"]) == len(man_l["segments"])
+    # no segment data landed physically at the URL-as-literal-path
+    assert not os.path.exists(f"file:{os.sep}")
+
+    s_local = IndexSearcher(local)
+    # "different node": empty read-through cache, index only on shared storage
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache_b"))
+    s_remote = IndexSearcher(remote)
+    for term in ("import", "return", "def", "zzz_absent"):
+        hr = s_remote.search(TermQuery(term), k=10)
+        hl = s_local.search(TermQuery(term), k=10)
+        assert [(d, float(s)) for d, s in hr] == [(d, float(s)) for d, s in hl]
+    # the cache actually holds the localized copies
+    cached = os.listdir(os.path.join(str(tmp_path / "cache_b"), "dirs"))
+    assert len(cached) >= len(man_r["segments"])
+
+
+def test_remote_merge_delete_add(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache"))
+    corpus = synth_corpus(tmp_path, n_docs=240, seed=11)
+    remote = f"{_remote_root(tmp_path, 'rmd')}/index"
+    build_index(
+        corpus,
+        remote,
+        docs_per_segment=60,
+        content_column="content",
+        meta_columns=("repo", "path"),
+    )
+    before = IndexSearcher(remote).search(TermQuery("import"), k=5)
+
+    man = force_merge(remote, max_segments=1)
+    assert len(man["segments"]) == 1
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache2"))
+    after = IndexSearcher(remote).search(TermQuery("import"), k=5)
+    assert [float(s) for _, s in after] == [float(s) for _, s in before]
+
+    # delete-by-key writes livedocs + a new generation on the remote root
+    sr = SegmentReader(mf.read_manifest(remote)["segments"][0]["dir"])
+    victim = sr.stored_column("path")[0].as_py()
+    man2 = delete_by_key(remote, "path", [victim])
+    assert any(s.get("livedocs") for s in man2["segments"])
+    assert store.exists(s["livedocs"]) if (s := man2["segments"][0]).get("livedocs") else True
+
+    # add_documents appends a fresh remote segment
+    tbl = pa.table(
+        {
+            "text": ["remote seam merge probe xyzzyplugh"],
+            "repo": ["r"],
+            "path": ["p/new"],
+        }
+    )
+    man3 = add_documents(remote, tbl, content_column="text", meta_columns=("repo", "path"))
+    assert len(man3["segments"]) == 2
+    hits = IndexSearcher(remote).search(TermQuery("xyzzyplugh"), k=3)
+    assert len(hits) == 1
+
+
+def test_distributed_searcher_remote(ray_session, tmp_path, monkeypatch):
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache"))
+    corpus = synth_corpus(tmp_path, n_docs=200, seed=3)
+    remote = f"{_remote_root(tmp_path, 'dist')}/index"
+    build_index(corpus, remote, docs_per_segment=50, content_column="content")
+    ds = DistributedSearcher(remote, num_workers=2)
+    local_hits = IndexSearcher(remote).search(TermQuery("import"), k=8)
+    dist_hits = ds.search(TermQuery("import"), k=8)
+    assert [(d, float(s)) for d, s in dist_hits] == [
+        (d, float(s)) for d, s in local_hits
+    ]
