@@ -58,6 +58,55 @@ dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks)
 _LT_VALUES = ", ".join(f"({b}, {int(LENGTH_TABLE[b])})" for b in range(256))
 _LT = f"lt(nb, L) AS (VALUES {_LT_VALUES})"
 
+
+def _en_min_stem_case(col: str) -> str:
+    """EnglishMinimalStemmer (en/EnglishMinimalStemFilter.java) as one SQL
+    CASE — mirrors lucene_ray.analysis.english.english_minimal_stem."""
+    return f"""CASE
+  WHEN len({col}) < 3 OR substr({col}, len({col}), 1) != 's' THEN {col}
+  WHEN substr({col}, len({col}) - 1, 1) IN ('u', 's') THEN {col}
+  WHEN len({col}) > 3 AND substr({col}, len({col}) - 1, 1) = 'e'
+       AND substr({col}, len({col}) - 2, 1) = 'i'
+       AND substr({col}, len({col}) - 3, 1) NOT IN ('a', 'e')
+    THEN substr({col}, 1, len({col}) - 3) || 'y'
+  WHEN substr({col}, len({col}) - 1, 1) = 'e'
+       AND substr({col}, len({col}) - 2, 1) IN ('i', 'a', 'o', 'e') THEN {col}
+  ELSE substr({col}, 1, len({col}) - 1)
+END"""
+
+
+def _english_stop_in() -> str:
+    from lucene_ray.analysis.english import ENGLISH_STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+# english_minimal analyzer token stream: same tf/dl CTE names as _TOKS so
+# _BM25_COMMON composes over either chain.  dl = SURVIVING token count
+# (FieldInvertState.length counts post-StopFilter tokens).
+from lucene_ray.analysis.analyzers import DEFAULT_SYNONYMS as _DEF_SYN
+
+_SYNONYM_VALUES = ", ".join(
+    f"('{a}', '{b}')" for a, mem in sorted(_DEF_SYN.items()) for b in mem
+)
+
+_TOKS_EN = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tokr AS (SELECT doc_id, unnest(ts) AS rawtok FROM toks),
+keptr AS (SELECT doc_id, rawtok FROM tokr WHERE rawtok NOT IN ({_english_stop_in()})),
+stemr AS (SELECT doc_id, {_en_min_stem_case('rawtok')} AS tok FROM keptr),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM stemr GROUP BY doc_id, tok),
+dl AS (
+  SELECT t.doc_id, coalesce(k.n, 0)::BIGINT AS dl
+  FROM toks t
+  LEFT JOIN (SELECT doc_id, count(*) AS n FROM keptr GROUP BY doc_id) k
+  ON k.doc_id = t.doc_id
+)
+"""
+
 _SHINGLES = """
 starts AS (
   SELECT doc_id, ts, unnest(range(greatest(len(ts) - 2, 1))) AS i
@@ -171,9 +220,6 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """
-
-# the same CTE chain minus the final SELECT, for family entries that wrap it
-_BM25_COMMON_BODY = _BM25_COMMON.rsplit("\nSELECT", 1)[0]
 
 
 def _lang_sql() -> str:
@@ -1123,16 +1169,23 @@ def _dd_signatures(sf_dir: str):
 
 
 def _bm25_store_family(sf_dir: str):
-    """BM25 top-k answered twice: from the default LOCAL index root and from
-    a REMOTE (fsspec file://) root through the store Directory seam — equal
-    rows certify the shared-storage build/localize path end to end."""
+    """BM25 top-k family over (store, analyzer): LOCAL + REMOTE index roots
+    (the store Directory seam) with the standard analyzer, plus the
+    english_minimal analysis chain (stop set + S-stemmer) on the local
+    root.  One oracle certifies BM25, the shared-storage path and the
+    English chain's tf/norm/df semantics at once."""
     import pandas as pd
 
     local = ft.bm25_topk(sf_dir).to_pandas()
+    local.insert(0, "analyzer", "standard")
     local.insert(0, "store", "local")
     remote = ft.bm25_topk_remote(sf_dir).to_pandas()
+    remote.insert(0, "analyzer", "standard")
     remote.insert(0, "store", "remote")
-    return pd.concat([local, remote], ignore_index=True)
+    en = ft.bm25_topk(sf_dir, analyzer="english_minimal").to_pandas()
+    en.insert(0, "analyzer", "english_minimal")
+    en.insert(0, "store", "local")
+    return pd.concat([local, remote, en], ignore_index=True)
 
 
 def _term_stats_family(sf_dir: str):
@@ -1140,11 +1193,12 @@ def _term_stats_family(sf_dir: str):
     as one analyzer-tagged family (same schema, two indexes)."""
     import pandas as pd
 
-    std = ft.term_stats_all(sf_dir).to_pandas()
-    std.insert(0, "analyzer", "standard")
-    code = ft.term_stats_all(sf_dir, analyzer="code").to_pandas()
-    code.insert(0, "analyzer", "code")
-    return pd.concat([std, code], ignore_index=True)
+    parts = []
+    for name in ("standard", "code", "english_minimal", "synonym"):
+        p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
+        p.insert(0, "analyzer", name)
+        parts.append(p)
+    return pd.concat(parts, ignore_index=True)
 
 
 def _dd_near_pairs(sf_dir: str):
@@ -1400,6 +1454,25 @@ tf2 AS (
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tf2 GROUP BY tok
 ) c
+UNION ALL
+SELECT 'english_minimal', e.* FROM (
+WITH {_TOKS_EN}
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tf GROUP BY tok
+) e
+UNION ALL
+SELECT 'synonym', sy.* FROM (
+WITH {_TOKS},
+syn(a, b) AS (VALUES {_SYNONYM_VALUES}),
+expanded AS (
+  SELECT doc_id, tok FROM tok
+  UNION ALL
+  SELECT t.doc_id, s.b FROM tok t JOIN syn s ON s.a = t.tok
+),
+tfx AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM expanded GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfx GROUP BY tok
+) sy
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}
@@ -1434,12 +1507,17 @@ SELECT term, doc_freq, total_term_freq FROM ts
 ORDER BY total_term_freq DESC, term ASC LIMIT 25
 """,
         "ft_bm25_topk": f"""
+SELECT s.store, 'standard' AS analyzer, r.* FROM (
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
-{_BM25_COMMON_BODY},
-stores(store) AS (VALUES ('local'), ('remote'))
-SELECT s.store, r.qid::BIGINT AS qid, r.rnk::BIGINT AS rnk, r.doc_id
-FROM ranked r CROSS JOIN stores s WHERE r.rnk <= 10
+{_BM25_COMMON}
+) r CROSS JOIN (VALUES ('local'), ('remote')) s(store)
+UNION ALL
+SELECT 'local', 'english_minimal', r2.* FROM (
+WITH {_TOKS_EN}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+) r2
 """,
 
         # SynonymQuery blended scoring (SynonymQuery.java): ONE idf from the

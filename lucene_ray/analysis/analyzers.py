@@ -359,11 +359,207 @@ class KeywordAnalyzer:
         return vocab, tids, docs, tfs, lengths, np.zeros(len(tids), dtype=np.int64)
 
 
+class ChainedVocabAnalyzer(StandardAnalyzer):
+    """StandardTokenizer + LowerCase, then a per-UNIQUE-TERM filter chain.
+
+    ``map_term(term) -> str | None`` is the whole post-tokenize chain
+    (possessive strip, stop drop via None, stemming, folding) applied ONCE
+    per unique batch term instead of once per token — the vectorized
+    equivalent of Lucene's TokenFilter pipeline (reference Analyzer
+    createComponents, analysis/Analyzer.java).  Dropped terms preserve the
+    positions of survivors (StopFilter posIncrement semantics: positions
+    are assigned before filtering); terms that map to the same string merge
+    into one posting with summed tf and unioned positions."""
+
+    def __init__(self, max_token_length: int = 255, **_kw):
+        super().__init__(stop_words=None, max_token_length=max_token_length)
+
+    def map_term(self, term: str) -> str | None:
+        return term
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for t in super().tokens(text):
+            m = self.map_term(t)
+            if m is not None:
+                out.append(m)
+        return out
+
+    def normalize(self, term: str) -> str:
+        m = self.map_term(super().normalize(term))
+        return m if m is not None else ""
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        mapped = [self.map_term(t) for t in vocab]
+        drop = np.array([m is None for m in mapped], dtype=bool)
+        if drop.any():
+            keep = ~drop[tids]
+            tids, doc_ids, positions = tids[keep], doc_ids[keep], positions[keep]
+            off_s, off_e = off_s[keep], off_e[keep]
+            # FieldInvertState.length counts only surviving tokens
+            lengths = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+            if len(tids) == 0:
+                e = np.empty(0, np.int64)
+                return [], e, e, e, lengths, n_docs, e, e
+        new_vocab = sorted(
+            {m for m in mapped if m is not None}, key=lambda s: s.encode("utf-8")
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        old2new = np.array(
+            [pos_of[m] if m is not None else -1 for m in mapped], dtype=np.int64
+        )
+        return new_vocab, old2new[tids], doc_ids, positions, lengths, n_docs, off_s, off_e
+
+
+class EnglishAnalyzer(ChainedVocabAnalyzer):
+    """Reference en/EnglishAnalyzer.java:1 chain: StandardTokenizer ->
+    EnglishPossessiveFilter -> LowerCaseFilter -> StopFilter(33-word set) ->
+    PorterStemFilter.  ``fold=True`` inserts ASCIIFoldingFilter after the
+    possessive strip (a custom-chain variant, miscellaneous/
+    ASCIIFoldingFilter.java).  Porter output is pinned to the reference's
+    porterTestData golden vectors in tests/test_english.py."""
+
+    def __init__(
+        self,
+        stop_words: frozenset[str] | None = None,
+        max_token_length: int = 255,
+        fold: bool = False,
+    ):
+        from .english import ENGLISH_STOP_WORDS
+
+        super().__init__(max_token_length)
+        self.stop = ENGLISH_STOP_WORDS if stop_words is None else stop_words
+        self.fold = fold
+        self._cache: dict[str, str | None] = {}
+
+    def map_term(self, term: str) -> str | None:
+        from .english import ascii_fold, porter_stem, strip_possessive
+
+        if term in self._cache:
+            return self._cache[term]
+        t = strip_possessive(term)
+        if self.fold:
+            t = ascii_fold(t)
+        m = None if t in self.stop else porter_stem(t)
+        if len(self._cache) < 1 << 20:  # bounded per-actor memo
+            self._cache[term] = m
+        return m
+
+
+class EnglishFoldedAnalyzer(EnglishAnalyzer):
+    def __init__(self, **kw):
+        kw.pop("fold", None)
+        super().__init__(fold=True, **kw)
+
+
+class EnglishMinimalAnalyzer(ChainedVocabAnalyzer):
+    """StandardTokenizer -> LowerCase -> StopFilter(EN) ->
+    EnglishMinimalStemFilter (Harman S-stemmer, reference
+    en/EnglishMinimalStemFilter.java:1).  Chosen for the DuckDB-oracle
+    driver family because the stemmer is exactly SQL-expressible (one CASE);
+    the full Porter chain is pytest-verified instead (no offline DuckDB fts
+    extension in this environment)."""
+
+    def map_term(self, term: str) -> str | None:
+        from .english import ENGLISH_STOP_WORDS, english_minimal_stem
+
+        if term in ENGLISH_STOP_WORDS:
+            return None
+        return english_minimal_stem(term)
+
+
+# index-time synonym map used by the driver family (members chosen from the
+# synthetic corpus vocabulary so expansion actually fires)
+DEFAULT_SYNONYMS = {
+    "spark": ["flint"],
+    "join": ["unite"],
+    "window": ["pane"],
+}
+
+
+class SynonymExpandAnalyzer(StandardAnalyzer):
+    """Index-time synonym expansion (reference synonym/SynonymGraphFilter
+    .java:1, single-token -> single-token rules): each member is INSERTED at
+    the matched token's position with posIncrement 0.  With discountOverlaps
+    (BM25Similarity default) inserted tokens are overlaps, so the norm and
+    per-doc length exclude them while tf/df of member terms grow — which is
+    exactly what ``lengths`` (surviving originals only) feeds the norm."""
+
+    def __init__(self, synonyms: dict[str, list[str]] | None = None, **kw):
+        super().__init__(**kw)
+        self.synonyms = {k: list(v) for k, v in (synonyms or DEFAULT_SYNONYMS).items()}
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for t in super().tokens(text):
+            out.append(t)
+            out.extend(self.synonyms.get(t, ()))
+        return out
+
+    def analyze(self, text: str) -> tuple[list[str], list[int], int]:
+        base = super().tokens(text)
+        toks: list[str] = []
+        for t in base:
+            toks.append(t)
+            toks.extend(self.synonyms.get(t, ()))
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        # length counts ORIGINAL tokens only (inserted = posInc-0 overlaps)
+        return list(counts.keys()), list(counts.values()), len(base)
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        hits = [(g, self.synonyms[t]) for g, t in enumerate(vocab) if t in self.synonyms]
+        if not hits:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        new_vocab = sorted(
+            set(vocab) | {m for _, mem in hits for m in mem},
+            key=lambda s: s.encode("utf-8"),
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[t] for t in vocab], dtype=np.int64)
+        parts_t = [remap[tids]]
+        parts_d, parts_p = [doc_ids], [positions]
+        parts_os, parts_oe = [off_s], [off_e]
+        for g, members in hits:
+            sel = np.flatnonzero(tids == g)
+            for m in members:
+                parts_t.append(np.full(len(sel), pos_of[m], dtype=np.int64))
+                parts_d.append(doc_ids[sel])
+                parts_p.append(positions[sel])  # same position: posInc 0
+                parts_os.append(off_s[sel])
+                parts_oe.append(off_e[sel])
+        return (
+            new_vocab,
+            np.concatenate(parts_t),
+            np.concatenate(parts_d),
+            np.concatenate(parts_p),
+            lengths,  # unchanged: overlaps are discounted from the norm
+            n_docs,
+            np.concatenate(parts_os),
+            np.concatenate(parts_oe),
+        )
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
     "code": CodeAnalyzer,
     "keyword": KeywordAnalyzer,
+    "english": EnglishAnalyzer,
+    "english_folded": EnglishFoldedAnalyzer,
+    "english_minimal": EnglishMinimalAnalyzer,
+    "synonym": SynonymExpandAnalyzer,
 }
 
 

@@ -372,12 +372,27 @@ def top_terms(sf_dir: str, k: int = 25) -> pa.Table:
 
 # --- search entry points --------------------------------------------------
 
-def bm25_topk(sf_dir: str, k: int = 10, score_mode: str = "TOP_SCORES") -> pa.Table:
-    """Single-term BM25 top-k per query: (qid, rnk, doc_id)."""
-    idx = ensure_index(sf_dir)
+def bm25_topk(
+    sf_dir: str,
+    k: int = 10,
+    score_mode: str = "TOP_SCORES",
+    analyzer: str = "standard",
+) -> pa.Table:
+    """Single-term BM25 top-k per query: (qid, rnk, doc_id).  Query terms
+    run through the same analyzer chain as the index (QueryParser analyzes
+    query text, so e.g. english stems the term before lookup)."""
+    from ..analysis.analyzers import make_analyzer
+
+    idx = ensure_index(sf_dir, analyzer=analyzer)
     searcher = IndexSearcher(idx)
+    an = make_analyzer(analyzer) if analyzer != "standard" else None
     qids, rnks, docs = [], [], []
     for qid, term in enumerate(QUERY_TERMS):
+        if an is not None:
+            toks = an.tokens(term)
+            if not toks:
+                continue
+            term = toks[0]
         hits = searcher.search(TermQuery(term), k, score_mode=score_mode)
         for rnk, (doc, _score) in enumerate(hits, start=1):
             qids.append(qid)
