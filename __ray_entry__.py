@@ -636,6 +636,22 @@ def _prefix_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _in_set_sql() -> str:
+    parts = []
+    for qid, terms in enumerate(ft.TERM_SETS):
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE tok IN ({in_list}))::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM (SELECT DISTINCT doc_id FROM tok WHERE tok IN ({in_list})) s{qid}"
+            f") rs{qid} WHERE rn <= 10"
+        )
+    return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     # fnmatch * -> SQL %, ? -> _ (term alphabet [a-z0-9_] has no literal
     # LIKE metacharacters except '_', which we escape)
@@ -1110,6 +1126,7 @@ def _multiterm_matches(sf_dir: str):
     return _concat_family(
         [
             ("prefix", ft.prefix_matches(sf_dir)),
+            ("in_set", ft.term_in_set_matches(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
             ("fuzzy", ft.fuzzy_matches(sf_dir)),
@@ -1889,6 +1906,7 @@ FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""
 SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
+UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
 UNION ALL SELECT 'fuzzy', * FROM ({_fuzzy_sql()})

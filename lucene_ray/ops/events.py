@@ -175,9 +175,17 @@ def hopping_counts(ds):
 
 ALLOWED_LATENESS_MIN = 10
 _WM_BUCKET = 1024  # event_ids per watermark bucket (prefix-scan granule)
+_WM_SUPER = 1024  # buckets per super-bucket (driver reduction granule)
+_NEG_US = np.int64(np.iinfo(np.int64).min)
 
 
-def watermark_windowed_counts(ds, allowed_min: int = ALLOWED_LATENESS_MIN):
+def watermark_windowed_counts(
+    ds,
+    allowed_min: int = ALLOWED_LATENESS_MIN,
+    bucket: int = _WM_BUCKET,
+    super_factor: int = _WM_SUPER,
+    _stats_out: dict | None = None,
+):
     """Tumbling counts over ON-TIME events only: streaming watermark
     semantics in batch form.  Arrival order is ``event_id`` (the synthetic
     arrival clock); the watermark when event e arrives is
@@ -186,24 +194,37 @@ def watermark_windowed_counts(ds, allowed_min: int = ALLOWED_LATENESS_MIN):
     allowed-lateness semantics; exactly mirrorable in SQL as a running max
     over arrival order).
 
-    Distributed as a PREFIX-MAX two-pass: (1) per-bucket (event_id //
-    B) max-ts partials — one tiny groupby; the driver takes the exclusive
-    prefix max over the sorted bucket summaries and broadcasts it; (2) one
-    groupby(bucket).map_groups sorts each bucket's events locally, runs
-    the running max seeded by the broadcast prefix, drops late rows, and
-    emits the same windowed partials the on-time aggregate uses.  The
-    shuffle key (bucket) is uniform, groups are ~B rows, and no pass ships
-    raw events to the driver."""
+    Distributed as a HIERARCHICAL prefix max (two levels, like a carry-
+    lookahead scan), so driver state is O(n_events / (bucket *
+    super_factor)) — ~10^6 rows even at 10^12 events:
+
+    1. per-BUCKET (event_id // B) max-ts: per-batch partials + one tiny
+       groupby — a distributed Dataset, never collected.
+    2. per-SUPER (bucket // S) max: second tiny groupby; only THESE
+       summaries reach the driver, which prefix-maxes them and broadcasts
+       the per-super seeds (one small dict via ray.put).
+    3. per-bucket exclusive prefix seeds: groupby(super).map_groups over
+       the bucket summaries (<= S rows per group), each seeded by its
+       super's carry — emitted as SEED ROWS in the event schema
+       (event_id = -1) and UNIONed with the events, so the final
+       groupby(bucket) delivers each bucket its seed without any driver-
+       side join or per-bucket broadcast.
+    4. groupby(bucket).map_groups: sort ~B events, running max seeded by
+       the bucket's seed row, drop late rows, emit windowed partials.
+    """
     import ray
 
     from .util import strip_schema_metadata
 
     allowed_us = np.int64(allowed_min * 60 * 1_000_000)
+    ev_cols = ["event_id", "ts", "event_type", "value"]
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy()
-        return strip_schema_metadata(batch).append_column(
-            "wm_bucket", pa.array(eid // _WM_BUCKET, pa.int64())
+        t = strip_schema_metadata(batch.select(ev_cols))
+        t = t.append_column("wm_bucket", pa.array(eid // bucket, pa.int64()))
+        return t.append_column(
+            "seed_us", pa.array(np.full(len(eid), _NEG_US), pa.int64())
         )
 
     withb = ds.map_batches(_bucketize, batch_format="pyarrow").materialize()
@@ -213,25 +234,84 @@ def watermark_windowed_counts(ds, allowed_min: int = ALLOWED_LATENESS_MIN):
         g = df.groupby("wm_bucket", as_index=False).agg(max_ts=("ts", "max"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    summaries = (
+    # level 1: per-bucket maxes — a DATASET (n_buckets rows, distributed)
+    b1 = (
         withb.map_batches(_bucket_max, batch_format="pyarrow")
         .groupby("wm_bucket")
         .max("max_ts")
-        .to_pandas()
-        .sort_values("wm_bucket")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "wm_bucket": b.column("wm_bucket"),
+                    "max_us": pa.array(
+                        b.column("max(max_ts)")
+                        .to_pandas()
+                        .astype("datetime64[us]")
+                        .astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "wm_super": pa.array(
+                        b.column("wm_bucket").to_numpy() // super_factor, pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    # exclusive prefix max per bucket (tiny: n_events / _WM_BUCKET rows)
-    maxes = summaries["max(max_ts)"].astype("datetime64[us]").astype(np.int64).to_numpy()
-    prefix = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(maxes)[:-1]))
-    prefix_by_bucket = dict(zip(summaries["wm_bucket"].astype(int), prefix))
-    pref_ref = ray.put(prefix_by_bucket)
+
+    # level 2: ONLY the super summaries reach the driver
+    def _super_max(batch: pa.Table) -> pa.Table:
+        df = batch.select(["wm_super", "max_us"]).to_pandas()
+        g = df.groupby("wm_super", as_index=False).agg(max_us=("max_us", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    supers = (
+        b1.map_batches(_super_max, batch_format="pyarrow")
+        .groupby("wm_super")
+        .max("max_us")
+        .to_pandas()  # n_buckets / super_factor rows BY CONSTRUCTION
+        .sort_values("wm_super")
+    )
+    if _stats_out is not None:  # test seam: what the driver actually held
+        _stats_out["driver_rows"] = len(supers)
+    smax = supers["max(max_us)"].to_numpy()
+    sprefix = np.concatenate(([_NEG_US], np.maximum.accumulate(smax)[:-1]))
+    super_seed = dict(zip(supers["wm_super"].astype(int), sprefix))
+    sseed_ref = ray.put(super_seed)
+
+    # level 3: per-bucket exclusive seeds, computed inside super groups and
+    # emitted as event-schema seed rows (event_id = -1)
+    def _bucket_seeds(group: pa.Table) -> pa.Table:
+        sseed = ray.get(sseed_ref)
+        df = group.select(["wm_super", "wm_bucket", "max_us"]).to_pandas()
+        df = df.sort_values("wm_bucket")
+        seed0 = sseed[int(df["wm_super"].iloc[0])]
+        run = np.maximum.accumulate(
+            np.concatenate(([seed0], df["max_us"].to_numpy()))
+        )[:-1]
+        n = len(df)
+        return pa.table(
+            {
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+                "event_type": pa.array([""] * n, pa.string()),
+                "value": pa.array(np.zeros(n), pa.float64()),
+                "wm_bucket": pa.array(df["wm_bucket"].to_numpy(), pa.int64()),
+                "seed_us": pa.array(run, pa.int64()),
+            }
+        )
+
+    seeds = b1.groupby("wm_super").map_groups(_bucket_seeds, batch_format="pyarrow")
 
     def _group(group: pa.Table) -> pa.Table:
-        pref = ray.get(pref_ref)
-        df = group.select(["wm_bucket", "event_id", "ts", "event_type", "value"]).to_pandas()
-        df = df.sort_values("event_id")
+        df = group.select(
+            ["wm_bucket", "event_id", "ts", "event_type", "value", "seed_us"]
+        ).to_pandas()
+        is_seed = df["event_id"].to_numpy() == -1
+        seed = int(df.loc[is_seed, "seed_us"].max())
+        df = df[~is_seed].sort_values("event_id")
         ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
-        seed = pref[int(df["wm_bucket"].iloc[0])]
         run = np.maximum.accumulate(np.concatenate(([seed], ts_us)))[:-1]
         on_time = ts_us + allowed_us >= run
         kept = df[on_time]
@@ -254,7 +334,11 @@ def watermark_windowed_counts(ds, allowed_min: int = ALLOWED_LATENESS_MIN):
         g["n_events"] = g["n_events"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    partials = withb.groupby("wm_bucket").map_groups(_group, batch_format="pyarrow")
+    partials = (
+        withb.union(seeds)
+        .groupby("wm_bucket")
+        .map_groups(_group, batch_format="pyarrow")
+    )
     final = partials.groupby(["event_type", "window_start"]).sum(["n_events", "sum_cents"])
     return final.map_batches(
         lambda b: pa.table(

@@ -1625,6 +1625,41 @@ def prefix_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+TERM_SETS = [
+    ("spark", "join", "vector"),
+    ("merge", "window"),
+    ("customer", "hash", "stream", "nosuchterm"),
+    ("batch",),
+]
+
+
+def term_in_set_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """TermInSetQuery (constant-score "IN (...)" filter): same row shape as
+    prefix_matches — rnk=0 carries the match count, rnk 1..k the lowest
+    matching docids."""
+    from ..search.query import TermInSetQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, terms in enumerate(TERM_SETS):
+        q = TermInSetQuery(terms)
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery

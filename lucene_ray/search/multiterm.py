@@ -164,9 +164,25 @@ def _multi_term_matches(reader, query) -> np.ndarray:
     import fnmatch
     import re
 
-    from .query import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+    from .query import (
+        FuzzyQuery,
+        PrefixQuery,
+        RegexpQuery,
+        TermInSetQuery,
+        WildcardQuery,
+    )
 
     term_filter = None
+    if isinstance(query, TermInSetQuery):
+        # sorted-dictionary batch lookup (TermInSetQuery.java rewrite:
+        # terms visited in sorted order, seekExact per term == one binary
+        # search each against the sorted dict)
+        tids = []
+        for t in sorted(set(query.terms), key=lambda s: s.encode("utf-8")):
+            tid = reader.term_id(t)
+            if tid is not None:
+                tids.append(tid)
+        return _union_postings(reader, tids)
     if isinstance(query, FuzzyQuery):
         tids = _fuzzy_term_ids(
             reader, query.term, query.max_edits, query.transpositions

@@ -112,6 +112,19 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class TermInSetQuery:
+    """Constant-score FILTER matching docs containing ANY of ``terms`` —
+    the everyday "id IN (...)" query (reference search/TermInSetQuery.java:1,
+    semantics in core/src/test/.../search/TestTermInSetQuery.java).  Unlike
+    a SHOULD-of-TermQueries it never WAND-scores: the rewrite visits the
+    set's terms in sorted order against the sorted dictionary (seekExact
+    analogue = one binary search per term) and unions their postings;
+    score = boost for every match."""
+
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class RegexpQuery:
     """Terms fully matching ``pattern`` (reference search/RegexpQuery.java;
     our matcher is Python re over the dictionary scan instead of an
@@ -281,6 +294,7 @@ Query = (
     | WildcardQuery
     | FuzzyQuery
     | RegexpQuery
+    | TermInSetQuery
     | DisjunctionMaxQuery
     | StoredFieldFilter
     | StoredFieldRange
@@ -308,8 +322,8 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, MultiPhraseQuery):
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
-                      RegexpQuery, StoredFieldFilter, StoredFieldRange,
-                      PointBoxQuery, KnnFloatVectorQuery)):
+                      RegexpQuery, TermInSetQuery, StoredFieldFilter,
+                      StoredFieldRange, PointBoxQuery, KnnFloatVectorQuery)):
         return set()  # constant-score rewrite needs no term statistics
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -437,7 +451,11 @@ def build_scorer(
     if isinstance(q, BooleanQuery):
         return _boolean_scorer(q, weight, reader, boost, score_mode, top_level)
 
-    if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+    if isinstance(
+        q,
+        (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery,
+         TermInSetQuery),
+    ):
         from .multiterm import _multi_term_matches
         from .scorers import PrecomputedScorer
 

@@ -110,17 +110,53 @@ def ingest(
             rows.append(res)
         return pa.Table.from_pylist(rows)
 
-    out = (
-        rd.from_items([{"path": p} for p in files])
-        .map_batches(_task, batch_size=1, batch_format="pyarrow", num_cpus=1)
-        .take_all()
+    res = rd.from_items([{"path": p} for p in files]).map_batches(
+        _task, batch_size=1, batch_format="pyarrow", num_cpus=1
     )
-    errors = [
-        {"file": r["file"], "error": r["error"]} for r in out if r["error"]
-    ]
-    return {
-        "files": len(out),
-        "rows": sum(r["rows"] for r in out),
-        "skipped": sum(1 for r in out if r["skipped"]),
-        "errors": errors,
-    }
+
+    # summary as a Ray AGGREGATE (one tiny row per batch -> one global sum):
+    # at 10^12 files the per-file rows never reach the driver
+    def _summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        err = np.array([bool(e) for e in batch.column("error").to_pylist()])
+        return pa.table(
+            {
+                "files": pa.array([len(batch)], pa.int64()),
+                "rows": pa.array(
+                    [int(np.sum(batch.column("rows").to_numpy()))], pa.int64()
+                ),
+                "skipped": pa.array(
+                    [int(np.sum(batch.column("skipped").to_numpy()))], pa.int64()
+                ),
+                "n_errors": pa.array([int(err.sum())], pa.int64()),
+            }
+        )
+
+    # error rows land in a QUARANTINE table beside the output (resumable
+    # runs re-attempt quarantined files since their outputs don't exist)
+    quarantine_dir = os.path.join(out_dir, "_quarantine")
+
+    def _route(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        err = np.array([bool(e) for e in batch.column("error").to_pylist()])
+        if err.any():
+            os.makedirs(quarantine_dir, exist_ok=True)
+            bad = batch.filter(pa.array(err)).select(["file", "error"])
+            import uuid as _uuid
+
+            pq.write_table(
+                bad, os.path.join(quarantine_dir, f"errs-{_uuid.uuid4().hex[:12]}.parquet")
+            )
+        return _summarize(batch)
+
+    # materialize once (tiny: one summary row per batch) so the four sums
+    # don't re-run the conversion
+    parts = res.map_batches(_route, batch_format="pyarrow").materialize()
+    tot = {"files": 0, "rows": 0, "skipped": 0, "n_errors": 0}
+    for k in tot:
+        v = parts.sum(k)
+        tot[k] = int(v) if v is not None else 0
+    tot["quarantine_dir"] = quarantine_dir
+    return tot

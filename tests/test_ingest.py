@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 import json
+import os
+
+import pyarrow as pa
 
 from lucene_ray.corpus import generate_corpus
 from lucene_ray.index.build import build_index_local
@@ -43,10 +46,10 @@ def test_ingest_build_search(tmp_path, ray_session):
     _write_sources(src, rows)
     out = tmp_path / "corpus"
     rep = ingest(str(src), str(out), column_map={"body": "content"})
-    assert rep == {"files": 2, "rows": 60, "skipped": 0, "errors": []}
+    assert (rep["files"], rep["rows"], rep["skipped"], rep["n_errors"]) == (2, 60, 0, 0)
     # idempotent rerun
     rep2 = ingest(str(src), str(out), column_map={"body": "content"})
-    assert rep2["skipped"] == 2 and rep2["errors"] == []
+    assert rep2["skipped"] == 2 and rep2["n_errors"] == 0
 
     idx = tmp_path / "idx"
     build_index_local(str(out), str(idx), docs_per_segment=32)
@@ -86,4 +89,11 @@ def test_ingest_quarantines_bad_files(tmp_path, ray_session):
     res = ingest(str(src), out)
     assert res["files"] == 2
     assert res["rows"] == 5
-    assert len(res["errors"]) == 1 and "bad" in res["errors"][0]["file"]
+    assert res["n_errors"] == 1
+    # errors live in the quarantine table, not a driver-side list
+    import pyarrow.parquet as pq
+    qdir = res["quarantine_dir"]
+    qtbl = pa.concat_tables(
+        [pq.read_table(os.path.join(qdir, f)) for f in sorted(os.listdir(qdir))]
+    )
+    assert qtbl.num_rows == 1 and "bad" in qtbl.column("file")[0].as_py()

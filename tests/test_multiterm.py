@@ -204,3 +204,39 @@ def test_containing_and_or_proximity_brute(tmp_path):
         if wins:
             want[doc] = len(wins)
     assert got == want
+
+
+def test_term_in_set_query(tmp_path):
+    """TermInSetQuery: union of exact members, constant score, usable as a
+    FILTER clause (never WAND-scored)."""
+    import numpy as np
+
+    from lucene_ray.search.query import TermInSetQuery, TermQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = [
+        ["alpha", "beta"],
+        ["gamma"],
+        ["alpha", "gamma", "delta"],
+        ["beta", "delta"],
+        ["alpha"],
+    ]
+    idx = str(tmp_path / "inset_idx")
+    index_from_token_docs(docs, idx, n_segments=2)
+    s = IndexSearcher(idx)
+    terms = ("alpha", "gamma", "zz_not_present")
+    got = {d for d, _ in s.search(TermInSetQuery(terms), k=100)}
+    want = {i for i, toks in enumerate(docs) if set(toks) & {"alpha", "gamma"}}
+    assert got == want
+    # constant score == boost for every match
+    scores = {float(sc) for _, sc in s.search(TermInSetQuery(terms), k=100)}
+    assert scores == {1.0}
+    # as a FILTER clause: scores come from the scoring clause only
+    q = bool_query(must=[TermQuery("alpha")], filter=[TermInSetQuery(("gamma",))])
+    flt = {d for d, _ in s.search(q, k=100)}
+    assert flt == {
+        i for i, toks in enumerate(docs) if "alpha" in toks and "gamma" in toks
+    }
+    base = dict(s.search(TermQuery("alpha"), k=100))
+    for d, sc in s.search(q, k=100):
+        assert np.float32(sc) == np.float32(base[d])

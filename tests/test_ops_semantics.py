@@ -453,3 +453,68 @@ def test_watermark_drops_late_events(ray_session):
     )
     want["n_events"] = want["n_events"].astype(np.int64)
     assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_watermark_hierarchical_prefix(ray_session):
+    """Two-level watermark prefix: tiny buckets on >=1e5 events must keep
+    the driver-side table at n_buckets/super_factor rows and still match a
+    single-process running-max reference."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops.events import watermark_windowed_counts
+
+    rng = np.random.default_rng(42)
+    n = 100_000
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    # arrival order event_id; event time wanders with occasional big lags
+    steps = rng.integers(0, 3_000_000, n).astype("timedelta64[us]")
+    ts = base + np.cumsum(steps)
+    lag = rng.integers(0, 40 * 60, n) * np.timedelta64(1_000_000, "us")
+    ts = ts - lag  # some events arrive late beyond the 10-min allowance
+    etype = rng.choice(["click", "view"], n)
+    value = rng.uniform(0, 10, n)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "event_type": pa.array(etype),
+            "value": pa.array(value),
+        }
+    )
+
+    stats: dict = {}
+    got = (
+        watermark_windowed_counts(
+            rd.from_arrow(tbl), bucket=8, super_factor=16, _stats_out=stats
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    n_buckets = int(np.ceil(n / 8))
+    assert stats["driver_rows"] <= int(np.ceil(n_buckets / 16))
+
+    # single-process reference (arrival order == event_id order already)
+    df = tbl.to_pandas()
+    ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    run = np.maximum.accumulate(
+        np.concatenate(([np.iinfo(np.int64).min], ts_us))
+    )[:-1]
+    allowed_us = 10 * 60 * 1_000_000
+    kept = df[ts_us + allowed_us >= run].copy()
+    kept["window_start"] = kept["ts"].dt.floor("h")
+    kept["cents"] = np.floor(kept["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = (
+        kept.groupby(["event_type", "window_start"], as_index=False)
+        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    want["n_events"] = want["n_events"].astype(np.int64)
+    assert len(got) == len(want)
+    got["window_start"] = got["window_start"].astype("datetime64[us]")
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[want.columns], want)
