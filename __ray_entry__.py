@@ -945,15 +945,40 @@ def _ann_ivf_persisted(sf_dir: str):
     return ann.ivf_index_topk(idx, q, k=10, nprobe=8)
 
 
+HNSW_MIN_RECALL = 0.9
+
+
 def _ann_hnsw(sf_dir: str):
     """INDEX-INTEGRATED KnnFloatVectorQuery: per-SEGMENT persisted HNSW
     graphs (index/vectors.py — the Lucene99HnswVectorsWriter shape, one
     graph per segment keyed on local docids) searched through the
-    ordinary distributed search path with the TopDocs merge.  Zero graph
-    construction on the query path; the standalone hash-partitioned
-    vector index (ops/hnsw.build_hnsw_index) remains the pure-vector-
-    table variant and keeps its own tests (tests/test_hnsw.py)."""
-    return ft.knn_index_topk(sf_dir, ANN_QUERY_IDS, k=10)
+    ordinary distributed search path with the TopDocs merge.
+
+    DRIVER-CHECKABLE (was rows-only): the callable runs the HNSW path,
+    computes the EXACT brute cosine top-k in-engine, ASSERTS per-query
+    recall@10 >= HNSW_MIN_RECALL — a recall regression turns this row red
+    (err) instead of silently passing — and returns the exact top-k, which
+    the DuckDB list_cosine_similarity oracle reproduces hash-exactly."""
+    from lucene_ray.ops import ann
+
+    hnsw = ft.knn_index_topk(sf_dir, ANN_QUERY_IDS, k=10).to_pandas()
+    exact = ann.brute_topk(
+        _embs(sf_dir),
+        ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS),
+        k=10,
+    ).to_pandas()
+    h = hnsw.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = {int(q): len(h.get(q, set()) & e[q]) / len(e[q]) for q in e.index}
+    worst = min(recalls.values())
+    if worst < HNSW_MIN_RECALL:
+        raise AssertionError(
+            f"HNSW recall@10 regression: min over queries {worst:.3f} < "
+            f"{HNSW_MIN_RECALL} ({recalls})"
+        )
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(exact, preserve_index=False)
 
 
 def _ann_kmeans_ivf(sf_dir: str):
@@ -2585,6 +2610,20 @@ SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_i
 FROM ranked WHERE rnk <= 10
 ) b
 CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf')) v(variant)
+""",
+        "ann_hnsw_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
 """,
         "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

@@ -640,6 +640,8 @@ def build_index_local(
         "analyzer": analyzer,
         "mode": "local",
         "docs_per_segment": docs_per_segment,
+        "index_options": index_options,
+        "term_vectors": bool(term_vectors),
         "segments": seg_entries,
         "built_sec": round(time.time() - t_start, 3),
         "skipped_segments": [s["name"] for s in skipped],
@@ -954,6 +956,8 @@ def build_index(
         "analyzer": analyzer,
         "mode": mode,
         "docs_per_segment": docs_per_segment,
+        "index_options": index_options,
+        "term_vectors": bool(term_vectors),
         "segments": seg_entries,
         "built_sec": round(time.time() - t_start, 3),
         "skipped_segments": [s["name"] for s in skipped],

@@ -144,6 +144,10 @@ def add_documents(
         store.exists(os.path.join(s["dir"], "pos_data.npy"))
         for s in man["segments"][:1]
     )
+    with_tv = bool(man.get("term_vectors")) or any(
+        store.exists(os.path.join(s["dir"], "tv_row_start.npy"))
+        for s in man["segments"][:1]
+    )
     texts = table.column(content_column).to_pylist()
     presorted = False
     offsets = None
@@ -196,6 +200,7 @@ def add_documents(
         presorted=presorted,
         positions=pos,
         offsets=offsets,
+        term_vectors=with_tv,
     )
     # stored fields beside the other segments' tables
     cols = list(meta_columns or [c for c in table.column_names if c != content_column])

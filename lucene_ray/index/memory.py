@@ -78,6 +78,7 @@ class MemoryIndex:
             ([0], np.cumsum(tfs, dtype=np.int64))
         )
         r.has_term_vectors = False
+        r.has_offsets = False  # term_offset_spans raises ValueError, not AttributeError
         r.meta = {"max_doc": 1, "doc_base": 0}
         r.max_doc = 1
         r.doc_base = 0

@@ -711,9 +711,11 @@ def _seg_join_from(batch: pa.Table, queries: list, field: str, weight_stats: dic
                 continue
             s32 = scores.astype(np.float32)
             scaled = s32.astype(np.float64) * JOIN_SCORE_SCALE
+            # unconditional round (ADVICE r3): scores below ~2^-17 have f32
+            # ulp < 2^-40 and fall off the grid — they quantize with
+            # <= 2^-41 rounding error instead of crashing the whole query
+            # (ubiquitous terms on huge corpora produce such scores)
             s_int = np.round(scaled).astype(np.int64)
-            if not np.array_equal(s_int.astype(np.float64), scaled):
-                raise ValueError("from-score outside the exact 2^-40 grid")
             v = vals[docs]
             for val in np.unique(v):
                 m = v == val
@@ -1882,6 +1884,11 @@ def _range_labels(vals, ranges) -> tuple:
     inside some range)."""
     import numpy as np
 
+    # searchsorted over the start edges assumes sorted CONTIGUOUS ranges
+    # (a gap would silently count gap values into the preceding bucket) —
+    # assert it instead of relying on the caller (ADVICE r3)
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert lo_a < hi_a and hi_a == lo_b, f"ranges not sorted/contiguous: {ranges}"
     edges = np.array([r[0] for r in ranges] + [ranges[-1][1]], dtype=np.int64)
     idx = np.searchsorted(edges, vals, side="right") - 1
     ok = (idx >= 0) & (idx < len(ranges))

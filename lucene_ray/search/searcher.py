@@ -785,25 +785,45 @@ def _explain_term(searcher, term: str, boost: float, weight: Weight, reader, loc
     score = sim.score(freq, norm_byte)
     ts = weight.term_stats[term]
     cs = weight.collection_stats
-    dl = float(LENGTH_TABLE[norm_byte])
-    avgdl = cs.sum_total_term_freq / cs.doc_count
-    return {
+    sim_obj = getattr(weight, "similarity", None)
+    sim_name = type(sim_obj).__name__ if sim_obj is not None else "BM25Similarity"
+    node = {
         "value": float(score),
-        "description": f"weight({term} in {local}) [BM25Similarity], result of:",
-        "details": [
+        "description": f"weight({term} in {local}) [{sim_name}], result of:",
+        "details": [],
+    }
+    # the BM25 decomposition is only emitted when the weight actually
+    # scores with BM25 (ADVICE r3: Classic/LMDirichlet roots were exact
+    # but the details misdescribed them); other similarities keep the
+    # exact root with a freq/norm leaf instead
+    from .bm25 import BM25Similarity
+
+    if sim_obj is None or isinstance(sim_obj, BM25Similarity):
+        k1 = getattr(sim_obj, "k1", 1.2)
+        b = getattr(sim_obj, "b", 0.75)
+        dl = float(LENGTH_TABLE[norm_byte])
+        # doc_count == 0 cannot match a posting, but guard avgdl anyway
+        avgdl = cs.sum_total_term_freq / cs.doc_count if cs.doc_count else 1.0
+        node["details"] = [
             {
                 "value": float(np.log(1 + (cs.doc_count - ts.doc_freq + 0.5) / (ts.doc_freq + 0.5))),
                 "description": f"idf, computed as ln(1 + (N - n + 0.5) / (n + 0.5)) with n={ts.doc_freq}, N={cs.doc_count}",
                 "details": [],
             },
             {
-                "value": freq / (freq + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
-                "description": f"tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl)) with freq={freq}, k1=1.2, b=0.75, dl={dl}, avgdl={avgdl}",
+                "value": freq / (freq + k1 * (1 - b + b * dl / avgdl)),
+                "description": f"tf, computed as freq / (freq + k1 * (1 - b + b * dl / avgdl)) with freq={freq}, k1={k1}, b={b}, dl={dl}, avgdl={avgdl}",
                 "details": [],
             },
             {"value": float(boost), "description": "boost", "details": []},
-        ],
-    }
+        ]
+    else:
+        node["details"] = [
+            {"value": freq, "description": f"freq={freq}", "details": []},
+            {"value": float(norm_byte), "description": f"norm_byte={norm_byte}", "details": []},
+            {"value": float(boost), "description": "boost", "details": []},
+        ]
+    return node
 
 
 def explain(searcher: "IndexSearcher", query, doc: int) -> dict:

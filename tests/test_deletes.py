@@ -270,3 +270,38 @@ def test_full_lifecycle_chain(idx, ray_session):
     assert s.count(TermQuery("replaced_lifecycle")) == 1
     assert len(man["segments"]) == 1
     assert live_doc_count(man) == s.collection_stats.max_doc
+
+
+def test_add_documents_carries_term_vectors(tmp_path, ray_session):
+    """add_documents on a term_vectors=True index writes the forward index
+    for the new segment (ADVICE r3: a later merge would otherwise silently
+    drop term vectors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.deletes import add_documents
+    from lucene_ray.index.merge import force_merge
+    from lucene_ray.index.segment import SegmentReader
+
+    src = tmp_path / "c.parquet"
+    pq.write_table(generate_corpus(60, seed=5), str(src))
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, docs_per_segment=30, term_vectors=True)
+    man = add_documents(
+        idx,
+        pa.table({"text": ["fresh vectorful document"], "repo": ["r"]}),
+        content_column="text",
+        meta_columns=("repo",),
+    )
+    new_seg = man["segments"][-1]
+    r = SegmentReader(new_seg["dir"])
+    assert r.has_term_vectors
+    tids, tfs = r.term_vector(0)
+    terms = {r.term_string(int(t)) for t in tids}
+    assert terms == {"fresh", "vectorful", "document"}
+    # merge keeps the forward index (the all(has_term_vectors) gate holds)
+    man2 = force_merge(idx, max_segments=1)
+    rm = SegmentReader(man2["segments"][0]["dir"])
+    assert rm.has_term_vectors

@@ -109,3 +109,17 @@ def test_exact_percolator_equals_vectorized(ray_session):
     ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
     exact = monitor.percolate_counts_exact(ds2).to_pandas()
     assert vec.to_dict("records") == exact.to_dict("records")
+
+
+def test_memory_index_offsets_flag():
+    """term_offset_spans on a MemoryIndex raises ValueError (not
+    AttributeError) — has_offsets is explicitly False (ADVICE r3)."""
+    import pytest
+
+    from lucene_ray.index.memory import MemoryIndex
+
+    mi = MemoryIndex("hello world hello")
+    r = mi.reader()
+    assert r.has_offsets is False
+    with pytest.raises(ValueError):
+        r.term_offset_spans(0)
