@@ -2298,9 +2298,45 @@ q4 AS (
     AND EXISTS (SELECT 1 FROM tok t2 WHERE t2.doc_id = t1.doc_id
                  AND t2.tok >= 'scan' AND t2.tok <= 'spark')
 ),
+-- q5: text:spark AND lang:en (stored-field filter adds a rank-neutral
+-- constant to every match, so ordering is by the spark score alone)
+q5 AS (
+  SELECT 5 AS qid, p.doc_id, p.s_spark AS score
+  FROM p JOIN documents d ON d.doc_id = p.doc_id
+  WHERE p.s_spark IS NOT NULL AND d.lang = 'en'
+),
+-- q6: text:"spark join"~1^2 OR merge — sloppy (slop=1) phrase freq =
+-- count of (pa, pb) with |pb - pa - 1| <= 1; phrase idf = sum of idfs
+tdf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+spos AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),
+pp AS (SELECT doc_id, ts[i + 1] AS tok, i FROM spos),
+sl AS (
+  SELECT a.doc_id, count(*)::BIGINT AS sf
+  FROM pp a JOIN pp b USING (doc_id)
+  WHERE a.tok = 'spark' AND b.tok = 'join' AND abs(b.i - a.i - 1) <= 1
+  GROUP BY a.doc_id
+),
+phsc AS (
+  SELECT sl.doc_id,
+         ((SELECT ln(1 + (s.doc_count - tdf.df + 0.5) / (tdf.df + 0.5))
+             FROM tdf WHERE tok = 'spark')
+          + (SELECT ln(1 + (s.doc_count - tdf.df + 0.5) / (tdf.df + 0.5))
+             FROM tdf WHERE tok = 'join'))
+         * (1 - 1 / (1 + sl.sf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+            / (s.sum_ttf * 1.0 / s.doc_count))))) AS s
+  FROM sl JOIN dlq d ON d.doc_id = sl.doc_id CROSS JOIN stats s
+),
+q6 AS (
+  SELECT 6 AS qid, coalesce(phsc.doc_id, m.doc_id) AS doc_id,
+         coalesce(2 * phsc.s, 0) + coalesce(m.s_merge, 0) AS score
+  FROM phsc FULL OUTER JOIN
+       (SELECT doc_id, s_merge FROM p WHERE s_merge IS NOT NULL) m
+       USING (doc_id)
+),
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
+  UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6
 ),
 ranked AS (
   SELECT qid, doc_id,

@@ -219,14 +219,14 @@ def _multi_term_matches(reader, query) -> np.ndarray:
 
 
 def _union_postings(reader, tids) -> np.ndarray:
+    """PRE-live union of the terms' postings (live docs are masked by the
+    caller — cached entries must stay delete-generation-independent)."""
     if len(tids) == 0:
         return np.empty(0, dtype=np.int64)
     mask = np.zeros(reader.max_doc, dtype=bool)
     for tid in tids:
         docs, _ = reader.decode_term_cached(tid)
         mask[docs] = True
-    if getattr(reader, "live", None) is not None:
-        mask &= reader.live
     return np.nonzero(mask)[0]
 
 

@@ -31,6 +31,7 @@ from .query import (
     PrefixQuery,
     Query,
     RegexpQuery,
+    StoredFieldFilter,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -123,6 +124,7 @@ _CLASSIC_LEX = re.compile(
   | (?P<not>NOT\b|!)
   | (?P<plus>\+)
   | (?P<minus>-)
+  | (?P<field>[A-Za-z_]\w*):(?=\S)
   | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
   | /(?P<regex>[^/]*)/
   | (?P<rlb>[\[{])(?P<rlo>[^\s\]}]+)\s+TO\s+(?P<rhi>[^\s\]}]+)(?P<rrb>[\]}])
@@ -148,7 +150,9 @@ def _lex_classic(text: str) -> list[_Tok]:
                 toks.append(_Tok(kind))
                 break
         else:
-            if m.group("boost"):
+            if m.group("field"):
+                toks.append(_Tok("field", m.group("field")))
+            elif m.group("boost"):
                 toks.append(_Tok("boost", float(m.group("bval"))))
             elif m.group("phrase") is not None:
                 toks.append(
@@ -186,11 +190,25 @@ def _word_query(word: str, analyzer) -> Query:
     return TermQuery(analyzer.normalize(word))
 
 
-def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]:
-    """Parse clauses until RPAREN/end; returns (query, index past group)."""
+def _parse_group(
+    toks: list[_Tok],
+    i: int,
+    analyzer,
+    default_field: str = "text",
+    stored_fields: tuple[str, ...] = (),
+) -> tuple[Query | None, int]:
+    """Parse clauses until RPAREN/end; returns (query, index past group).
+
+    Field scoping (QueryParserBase.getFieldQuery semantics):
+    ``field:atom`` routes the atom — the default field parses normally,
+    a name in ``stored_fields`` becomes a constant-score
+    StoredFieldFilter on that metadata column (word and phrase atoms;
+    the value is taken verbatim), and an unknown field is LENIENTLY
+    treated as the default field."""
     clauses: list[BooleanClause] = []
     conj: str | None = None
     mod: str | None = None
+    field: str | None = None
     while i < len(toks):
         t = toks[i]
         if t.kind == "rparen":
@@ -212,14 +230,24 @@ def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]
             mod = "MUST"
             i += 1
             continue
+        if t.kind == "field":
+            field = t.val
+            i += 1
+            continue
         if t.kind == "boost":  # stray boost with no preceding atom
             i += 1
             continue
 
         # --- atom ---
         q: Query | None
-        if t.kind == "lparen":
-            q, i = _parse_group(toks, i + 1, analyzer)
+        if t.kind == "word" and field in stored_fields:
+            q = StoredFieldFilter(field, t.val)
+            i += 1
+        elif t.kind == "phrase" and field in stored_fields:
+            q = StoredFieldFilter(field, t.val[0])
+            i += 1
+        elif t.kind == "lparen":
+            q, i = _parse_group(toks, i + 1, analyzer, default_field, stored_fields)
         elif t.kind == "phrase":
             raw, slop = t.val
             words = tuple(analyzer.normalize(w) for w in raw.split() if w)
@@ -256,6 +284,7 @@ def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]
         if q is None:  # empty group / empty phrase
             conj = None
             mod = None
+            field = None
             continue
 
         # QueryParserBase.addClause (default operator OR)
@@ -265,6 +294,7 @@ def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]
         clauses.append(BooleanClause(q, occur))
         conj = None
         mod = None
+        field = None
 
     if not clauses:
         return None, i
@@ -273,7 +303,17 @@ def _parse_group(toks: list[_Tok], i: int, analyzer) -> tuple[Query | None, int]
     return BooleanQuery(tuple(clauses)), i
 
 
-def parse_classic(text: str, analyzer) -> Query | None:
-    """Classic-QueryParser-style parse; None for empty/blank input."""
-    q, _ = _parse_group(_lex_classic(text), 0, analyzer)
+def parse_classic(
+    text: str,
+    analyzer,
+    default_field: str = "text",
+    stored_fields: tuple[str, ...] = (),
+) -> Query | None:
+    """Classic-QueryParser-style parse; None for empty/blank input.
+
+    ``field:"a phrase"~2^3`` parses to a boosted sloppy PhraseQuery on the
+    default field; ``lang:en`` (with ``stored_fields=("lang",)``) to a
+    constant-score metadata filter (reference
+    queryparser/classic/QueryParserBase.java field handling)."""
+    q, _ = _parse_group(_lex_classic(text), 0, analyzer, default_field, stored_fields)
     return q

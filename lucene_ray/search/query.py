@@ -456,10 +456,13 @@ def build_scorer(
         (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery,
          TermInSetQuery),
     ):
+        from .cache import cached_filter_docs
         from .multiterm import _multi_term_matches
         from .scorers import PrecomputedScorer
 
-        docs = _multi_term_matches(reader, q)
+        docs = cached_filter_docs(reader, q, lambda: _multi_term_matches(reader, q))
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
@@ -550,15 +553,18 @@ def build_scorer(
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
     if isinstance(q, StoredFieldFilter):
-        import pyarrow.compute as pc
-
+        from .cache import cached_filter_docs
         from .scorers import PrecomputedScorer
 
-        col = reader.stored_column(q.field)
-        m = pc.equal(col, q.value).to_numpy(zero_copy_only=False)
-        if getattr(reader, "live", None) is not None:
-            m = m & reader.live
-        docs = np.nonzero(m)[0]
+        def _eval():
+            import pyarrow.compute as pc
+
+            col = reader.stored_column(q.field)
+            return np.nonzero(pc.equal(col, q.value).to_numpy(zero_copy_only=False))[0]
+
+        docs = cached_filter_docs(reader, q, _eval)
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))

@@ -225,6 +225,7 @@ class IndexSearcher:
             PhraseQuery,
             PrefixQuery,
             RegexpQuery,
+            TermInSetQuery,
             TermRangeQuery,
             WildcardQuery,
         )
@@ -250,9 +251,20 @@ class IndexSearcher:
                     docs, _ = phrase_matches_segment(reader, query.terms)
                 total += len(docs)
             return total
-        if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+        if isinstance(
+            query,
+            (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
+             RegexpQuery, TermInSetQuery),
+        ):
+            from .cache import cached_filter_docs
+
             for reader in self.readers:
-                total += len(_multi_term_matches(reader, query))
+                docs = cached_filter_docs(
+                    reader, query, lambda r=reader: _multi_term_matches(r, query)
+                )
+                if reader.live is not None and len(docs):
+                    docs = docs[reader.live[docs]]
+                total += len(docs)
             return total
         for reader in self.readers:
             scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
@@ -533,6 +545,7 @@ def search_segment(
         PrefixQuery,
         RegexpQuery,
         SynonymQuery,
+        TermInSetQuery,
         TermRangeQuery,
         WildcardQuery,
     )
@@ -545,8 +558,18 @@ def search_segment(
         return _phrase_search_segment(reader, query, weight, k)
     if isinstance(query, MultiPhraseQuery):
         return _multi_phrase_search_segment(reader, query, weight, k)
-    if isinstance(query, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
-        docs = _multi_term_matches(reader, query)
+    if isinstance(
+        query,
+        (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery,
+         TermInSetQuery),
+    ):
+        from .cache import cached_filter_docs
+
+        docs = cached_filter_docs(
+            reader, query, lambda: _multi_term_matches(reader, query)
+        )
+        if reader.live is not None and len(docs):
+            docs = docs[reader.live[docs]]
         # constant score 1.0; ties by docID => top-k = k smallest docids
         return [(int(d), np.float32(1.0)) for d in docs[:k]]
     if isinstance(query, DisjunctionMaxQuery) and score_mode == "TOP_SCORES":

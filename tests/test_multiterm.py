@@ -240,3 +240,39 @@ def test_term_in_set_query(tmp_path):
     base = dict(s.search(TermQuery("alpha"), k=100))
     for d, sc in s.search(q, k=100):
         assert np.float32(sc) == np.float32(base[d])
+
+
+def test_lru_query_cache_filters(tmp_path):
+    """LRUQueryCache analogue: a filter repeated >= min_uses times is served
+    from the per-reader cache with unchanged results; live-docs masking
+    stays outside the cached entry."""
+    import numpy as np
+
+    from lucene_ray.search.cache import LRUQueryCache
+    from lucene_ray.search.query import PrefixQuery, TermInSetQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = [["alpha"], ["alphabet"], ["beta"], ["alpine"], ["alpha", "beta"]]
+    idx = str(tmp_path / "cache_idx")
+    index_from_token_docs(docs, idx)
+    s = IndexSearcher(idx)
+    q = PrefixQuery("alp")
+    first = [(d, float(x)) for d, x in s.search(q, k=10)]
+    for _ in range(3):
+        again = [(d, float(x)) for d, x in s.search(q, k=10)]
+        assert again == first
+    cache = s.readers[0].query_cache
+    assert isinstance(cache, LRUQueryCache)
+    assert cache.hits >= 2  # cached after min_uses=2, hit from the 3rd on
+    # live mask applied AFTER the cache: deleting a doc changes results
+    # without invalidating the cached pre-live entry
+    r = s.readers[0]
+    r.live = np.ones(r.max_doc, dtype=bool)
+    r.live[0] = False
+    masked = {d for d, _ in s.search(q, k=10)}
+    assert masked == {d for d, _ in enumerate(docs) if False} | {1, 3, 4} - {0}
+    hits_before = cache.hits
+    s.count(TermInSetQuery(("alpha", "beta")))
+    s.count(TermInSetQuery(("alpha", "beta")))
+    s.count(TermInSetQuery(("alpha", "beta")))
+    assert cache.hits > hits_before  # count() path shares the cache
