@@ -171,7 +171,11 @@ class AnalyzerStage:
             tbl = _read_fragment(desc["path"], desc["row_group"], [self.content_column])
         texts = tbl.column(self.content_column).to_pylist()
         off_s = off_e = None
-        if self.index_options == "offsets":
+        if self.index_options in ("offsets", "payloads"):
+            # payloads ride the offsets analysis: the default payload
+            # source is the occurrence's char START OFFSET (the
+            # TokenOffsetPayloadTokenFilter analogue — occurrence-specific
+            # and recomputable, which the tests exploit)
             (
                 vocab, tids, docs, tfs, lengths, pos, off_s, off_e,
             ) = self.analyzer.analyze_batch_offsets(texts)
@@ -472,7 +476,8 @@ class FusedSegmentBuilder:
         vocab = sorted(vocab_set, key=lambda s: s.encode("utf-8"))
         gid = {t: i for i, t in enumerate(vocab)}
         with_off = self.index_options == "offsets"
-        with_pos = self.index_options == "positions" or with_off
+        with_pay = self.index_options == "payloads"
+        with_pos = self.index_options == "positions" or with_off or with_pay
 
         tid_parts, doc_parts, tf_parts, len_parts, pos_parts = [], [], [], [], []
         offs_parts, offe_parts = [], []
@@ -484,7 +489,7 @@ class FusedSegmentBuilder:
                 tf_parts.append(fr["tfs"])
                 if with_pos:
                     pos_parts.append(fr["positions"])
-                if with_off:
+                if with_off or with_pay:
                     offs_parts.append(fr["off_s"])
                     offe_parts.append(fr["off_e"])
             len_parts.append(fr["lengths"])
@@ -500,20 +505,25 @@ class FusedSegmentBuilder:
 
         positions = None
         offsets = None
+        payloads = None
         presorted = False
         if with_pos and len(tids):
             # global row sort + gather of each row's position slice (the
-            # offset streams are 1:1 with positions and ride the same gather)
+            # offset/payload streams are 1:1 with positions and ride the
+            # same gather)
             pos_flat = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
             order = np.lexsort((docs, tids))
             positions = _gather_row_slices(pos_flat, tfs, order)
-            if with_off:
+            if with_off or with_pay:
                 offs_flat = np.concatenate(offs_parts) if offs_parts else np.empty(0, np.int64)
                 offe_flat = np.concatenate(offe_parts) if offe_parts else np.empty(0, np.int64)
-                offsets = (
-                    _gather_row_slices(offs_flat, tfs, order),
-                    _gather_row_slices(offe_flat, tfs, order),
-                )
+                if with_off:
+                    offsets = (
+                        _gather_row_slices(offs_flat, tfs, order),
+                        _gather_row_slices(offe_flat, tfs, order),
+                    )
+                else:
+                    payloads = _gather_row_slices(offs_flat, tfs, order)
             tids, docs, tfs = tids[order], docs[order], tfs[order]
             presorted = True
 
@@ -540,6 +550,7 @@ class FusedSegmentBuilder:
             presorted=presorted,
             positions=positions,
             offsets=offsets,
+            payloads=payloads,
             term_vectors=self.term_vectors,
         )
         metrics["encode_sec"] = round(time.time() - t0, 3)
@@ -802,9 +813,9 @@ def build_index(
             for row in out.take_all():
                 metrics_by_seg[row["seg_id"]] = json.loads(row["metrics"])
         elif mode == "shuffle":
-            if index_options == "offsets":
+            if index_options in ("offsets", "payloads"):
                 raise NotImplementedError(
-                    "index_options='offsets' is fused-mode only (the offset "
+                    "index_options='offsets'/'payloads' is fused-mode only (the offset "
                     "streams ride the fused per-segment sort; the shuffle "
                     "exchange would need two more per-row list columns)"
                 )

@@ -144,6 +144,11 @@ def add_documents(
         store.exists(os.path.join(s["dir"], "pos_data.npy"))
         for s in man["segments"][:1]
     )
+    with_pay = bool(man.get("index_options") == "payloads") or any(
+        store.exists(os.path.join(s["dir"], "pay_data.npy"))
+        for s in man["segments"][:1]
+    )
+    with_pos = with_pos or with_pay
     with_tv = bool(man.get("term_vectors")) or any(
         store.exists(os.path.join(s["dir"], "tv_row_start.npy"))
         for s in man["segments"][:1]
@@ -151,10 +156,11 @@ def add_documents(
     texts = table.column(content_column).to_pylist()
     presorted = False
     offsets = None
+    payloads = None
     if with_pos:
         from .build import _gather_row_slices
 
-        if with_off:
+        if with_off or with_pay:
             (
                 vocab, tids, docs, tfs, lengths, pos, off_s, off_e,
             ) = analyzer.analyze_batch_offsets(texts)
@@ -171,9 +177,14 @@ def add_documents(
                     _gather_row_slices(np.asarray(off_s), tfs, order),
                     _gather_row_slices(np.asarray(off_e), tfs, order),
                 )
+            if with_pay:
+                payloads = _gather_row_slices(np.asarray(off_s), tfs, order)
             tids, docs, tfs = tids[order], docs[order], tfs[order]
-        elif with_off:
-            offsets = (np.empty(0, np.int64), np.empty(0, np.int64))
+        else:
+            if with_off:
+                offsets = (np.empty(0, np.int64), np.empty(0, np.int64))
+            if with_pay:
+                payloads = np.empty(0, np.int64)
         presorted = True
     else:
         vocab, tids, docs, tfs, lengths = analyzer.analyze_batch(texts)
@@ -200,6 +211,7 @@ def add_documents(
         presorted=presorted,
         positions=pos,
         offsets=offsets,
+        payloads=payloads,
         term_vectors=with_tv,
     )
     # stored fields beside the other segments' tables

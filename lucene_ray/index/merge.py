@@ -198,6 +198,7 @@ def merge_segments_task(
     max_doc = sum(int(e["max_doc"]) for e in seg_entries)
     with_pos = all(r.has_positions for r in readers)
     with_off = with_pos and all(getattr(r, "has_offsets", False) for r in readers)
+    with_pay = with_pos and all(getattr(r, "has_payloads", False) for r in readers)
 
     # merged vocabulary: sorted union of the per-segment dictionaries.
     # ONE dictionary_encode over the concatenation yields both the unique
@@ -276,7 +277,8 @@ def merge_segments_task(
     }
     seg_dir = os.path.join(out_dir, name)
     writer = StreamingSegmentWriter(
-        seg_dir, merged_vocab, norms, meta, with_pos, with_offsets=with_off
+        seg_dir, merged_vocab, norms, meta, with_pos,
+        with_offsets=with_off, with_payloads=with_pay,
     )
 
     # section boundaries up front (term-aligned, <= section_postings each)
@@ -301,6 +303,7 @@ def merge_segments_task(
         sec_pos: list[np.ndarray] = []
         sec_os: list[np.ndarray] = []
         sec_oe: list[np.ndarray] = []
+        sec_pay: list[np.ndarray] = []
         for r, remap, live, lpfx, lbase in zip(
             readers, remaps, lives, live_prefix, live_bases
         ):
@@ -322,6 +325,8 @@ def merge_segments_task(
                 if with_off:
                     os_slice = np.asarray(r.off_start[r.pos_off[r0] : r.pos_off[r1]])
                     oe_slice = np.asarray(r.off_end[r.pos_off[r0] : r.pos_off[r1]])
+                if with_pay:
+                    pay_slice = np.asarray(r.pay_data[r.pos_off[r0] : r.pos_off[r1]])
             if live is not None:
                 keep = live[docs]
                 if with_pos:
@@ -329,6 +334,8 @@ def merge_segments_task(
                     if with_off:
                         os_slice = _gather_row_slices(os_slice, freqs, kept_rows)
                         oe_slice = _gather_row_slices(oe_slice, freqs, kept_rows)
+                    if with_pay:
+                        pay_slice = _gather_row_slices(pay_slice, freqs, kept_rows)
                     pos_slice = _gather_row_slices(pos_slice, freqs, kept_rows)
                 tids, freqs = tids[keep], freqs[keep]
                 docs = lpfx[docs[keep]] + lbase
@@ -344,6 +351,8 @@ def merge_segments_task(
             if with_off:
                 sec_os.append(os_slice)
                 sec_oe.append(oe_slice)
+            if with_pay:
+                sec_pay.append(pay_slice)
 
         tids = np.concatenate(sec_tids) if sec_tids else np.empty(0, dtype=np.int64)
         docs = np.concatenate(sec_docs) if sec_docs else np.empty(0, dtype=np.int64)
@@ -365,11 +374,15 @@ def merge_segments_task(
                 _gather_row_slices(os_flat, tfs, order),
                 _gather_row_slices(oe_flat, tfs, order),
             )
+        payloads = None
+        if with_pay:
+            pay_flat = np.concatenate(sec_pay) if sec_pay else np.empty(0, dtype=np.int32)
+            payloads = _gather_row_slices(pay_flat, tfs, order)
         tids, docs, tfs = tids[order] - lo, docs[order], tfs[order]
         enc = codec.encode_postings(
             tids, docs.astype(np.int64), tfs.astype(np.int64), norms, hi - lo
         )
-        return enc, tfs, positions, offsets
+        return enc, tfs, positions, offsets, payloads
 
     def _merge_term_vectors() -> None:
         """Carry the per-doc CSR forward index through the merge: term ids
@@ -425,14 +438,15 @@ def merge_segments_task(
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(_prepare, *bounds[0]) if bounds else None
             for i in range(len(bounds)):
-                enc, tfs, positions, offsets = fut.result()
+                enc, tfs, positions, offsets, payloads = fut.result()
                 fut = (
                     pool.submit(_prepare, *bounds[i + 1])
                     if i + 1 < len(bounds)
                     else None
                 )
                 writer.append_section(
-                    enc, row_tfs=tfs, positions=positions, offsets=offsets
+                    enc, row_tfs=tfs, positions=positions, offsets=offsets,
+                    payloads=payloads
                 )
         if all(r.has_term_vectors for r in readers):
             _merge_term_vectors()

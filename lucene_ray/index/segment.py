@@ -100,6 +100,7 @@ def build_segment_from_ids(
     positions: np.ndarray | None = None,
     offsets: tuple[np.ndarray, np.ndarray] | None = None,
     term_vectors: bool = False,
+    payloads: np.ndarray | None = None,
 ) -> dict:
     """Encode and atomically write one segment from dictionary-encoded rows.
 
@@ -177,6 +178,15 @@ def build_segment_from_ids(
                 np.save(
                     os.path.join(tmp, "off_end.npy"),
                     np.asarray(offsets[1], dtype=np.int32),
+                )
+            if payloads is not None:
+                # per-occurrence payload stream, 1:1 with pos_data (the
+                # PayloadAttribute stream, analysis/tokenattributes/
+                # PayloadAttribute.java; int32 payloads — the reference's
+                # byte[] generalization is not needed for scoring)
+                np.save(
+                    os.path.join(tmp, "pay_data.npy"),
+                    np.asarray(payloads, dtype=np.int32),
                 )
         if doc_table is not None:
             pq.write_table(doc_table, os.path.join(tmp, "docs.parquet"))
@@ -298,6 +308,7 @@ class StreamingSegmentWriter:
         meta: dict,
         with_positions: bool = False,
         with_offsets: bool = False,
+        with_payloads: bool = False,
     ):
         self.seg_dir = seg_dir
         self.tmp = store.local_build_dir(seg_dir)
@@ -306,6 +317,7 @@ class StreamingSegmentWriter:
         self.meta = meta
         self.with_positions = with_positions
         self.with_offsets = with_offsets
+        self.with_payloads = with_payloads
         self.n_terms = len(vocab)
 
         buf = pc.cast(vocab, pa.large_binary())
@@ -335,6 +347,8 @@ class StreamingSegmentWriter:
         if with_offsets:
             self.w["off_start"] = NpyAppender(os.path.join(self.tmp, "off_start.npy"), np.int32)
             self.w["off_end"] = NpyAppender(os.path.join(self.tmp, "off_end.npy"), np.int32)
+        if with_payloads:
+            self.w["pay_data"] = NpyAppender(os.path.join(self.tmp, "pay_data.npy"), np.int32)
 
         # running bases for the rebased offset arrays / accumulated metrics
         self._blocks = 0
@@ -356,6 +370,7 @@ class StreamingSegmentWriter:
         row_tfs: np.ndarray | None = None,
         positions: np.ndarray | None = None,
         offsets: tuple[np.ndarray, np.ndarray] | None = None,
+        payloads: np.ndarray | None = None,
     ) -> None:
         """Append one encoded term-range section (term ids 0-based within
         the section).  ``row_tfs``/``positions`` (sorted row order) are
@@ -403,6 +418,9 @@ class StreamingSegmentWriter:
             assert offsets is not None
             w["off_start"].append(np.asarray(offsets[0], dtype=np.int32))
             w["off_end"].append(np.asarray(offsets[1], dtype=np.int32))
+        if self.with_payloads:
+            assert payloads is not None
+            w["pay_data"].append(np.asarray(payloads, dtype=np.int32))
 
         self._blocks += len(enc.block_last_doc)
         self._doc_bytes += int(enc.packed_docs.nbytes)
@@ -528,6 +546,10 @@ class SegmentReader:
         if self.has_offsets:
             self.off_start = np.load(off_path, mmap_mode=mm)
             self.off_end = np.load(os.path.join(seg_dir, "off_end.npy"), mmap_mode=mm)
+        pay_path = os.path.join(seg_dir, "pay_data.npy")
+        self.has_payloads = os.path.exists(pay_path)
+        if self.has_payloads:
+            self.pay_data = np.load(pay_path, mmap_mode=mm)
         tv_path = os.path.join(seg_dir, "tv_row_start.npy")
         self.has_term_vectors = os.path.exists(tv_path)
         if self.has_term_vectors:
@@ -651,6 +673,19 @@ class SegmentReader:
                 np.asarray(self.off_start[self.pos_off[r] : self.pos_off[r + 1]]),
                 np.asarray(self.off_end[self.pos_off[r] : self.pos_off[r + 1]]),
             )
+            for r in range(r0, r1)
+        ]
+
+    def term_payloads(self, tid: int) -> list[np.ndarray]:
+        """Per-posting payload arrays for one term, aligned 1:1 with
+        term_positions (PayloadAttribute / PostingsEnum.getPayload
+        analogue; int32 payloads)."""
+        if not self.has_payloads:
+            raise ValueError("segment was built without payloads")
+        r0 = int(self.pos_row_start[tid])
+        r1 = int(self.pos_row_start[tid + 1])
+        return [
+            np.asarray(self.pay_data[self.pos_off[r] : self.pos_off[r + 1]])
             for r in range(r0, r1)
         ]
 

@@ -112,6 +112,20 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class PayloadScoreQuery:
+    """Scores each matching doc by a FUNCTION of the payloads at the
+    term's occurrences (reference queries/src/java/org/apache/lucene/
+    queries/payloads/PayloadScoreQuery.java with PayloadFunction
+    Min/Max/Sum/Average; the includeSpanScore=False form — score is the
+    payload function alone, cast to float32).  Requires an index built
+    with index_options="payloads" (per-occurrence int32 stream parallel
+    to positions)."""
+
+    term: str
+    func: str = "sum"  # sum | max | min | avg
+
+
+@dataclass(frozen=True)
 class TermInSetQuery:
     """Constant-score FILTER matching docs containing ANY of ``terms`` —
     the everyday "id IN (...)" query (reference search/TermInSetQuery.java:1,
@@ -295,6 +309,7 @@ Query = (
     | FuzzyQuery
     | RegexpQuery
     | TermInSetQuery
+    | PayloadScoreQuery
     | DisjunctionMaxQuery
     | StoredFieldFilter
     | StoredFieldRange
@@ -323,8 +338,9 @@ def collect_terms(q: Query) -> set[str]:
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, TermInSetQuery, StoredFieldFilter,
-                      StoredFieldRange, PointBoxQuery, KnnFloatVectorQuery)):
-        return set()  # constant-score rewrite needs no term statistics
+                      StoredFieldRange, PointBoxQuery, KnnFloatVectorQuery,
+                      PayloadScoreQuery)):
+        return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
     if isinstance(q, SynonymQuery):
@@ -551,6 +567,39 @@ def build_scorer(
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, PayloadScoreQuery):
+        from .scorers import PrecomputedScorer
+
+        tid = reader.term_id(q.term)
+        if tid is None or not getattr(reader, "has_payloads", False):
+            if tid is not None and not getattr(reader, "has_payloads", False):
+                raise ValueError("PayloadScoreQuery needs index_options='payloads'")
+            return None
+        docs, tfs = reader.decode_term_cached(tid)
+        r0 = int(reader.pos_row_start[tid])
+        r1 = int(reader.pos_row_start[tid + 1])
+        base = int(reader.pos_off[r0])
+        flat = np.asarray(
+            reader.pay_data[base : int(reader.pos_off[r1])], dtype=np.float64
+        )
+        starts = np.asarray(reader.pos_off[r0:r1], dtype=np.int64) - base
+        if q.func == "sum":
+            vals = np.add.reduceat(flat, starts)
+        elif q.func == "max":
+            vals = np.maximum.reduceat(flat, starts)
+        elif q.func == "min":
+            vals = np.minimum.reduceat(flat, starts)
+        elif q.func == "avg":
+            vals = np.add.reduceat(flat, starts) / tfs
+        else:
+            raise ValueError(f"unknown payload function: {q.func}")
+        if getattr(reader, "live", None) is not None and len(docs):
+            m = reader.live[docs]
+            docs, vals = docs[m], vals[m]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, (vals * boost).astype(np.float32))
 
     if isinstance(q, StoredFieldFilter):
         from .cache import cached_filter_docs

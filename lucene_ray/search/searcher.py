@@ -118,14 +118,22 @@ class IndexSearcher:
         generation: int | None = None,
         mmap: bool = True,
         similarity=None,
+        _reuse: dict | None = None,
     ):
+        self.index_dir = index_dir
+        self.mmap = mmap
         self.manifest = read_manifest(index_dir, generation)
-        self.readers = [
-            SegmentReader(seg["dir"], mmap=mmap) for seg in self.manifest["segments"]
-        ]
+        self.generation = int(self.manifest["generation"])
+        self.readers = []
+        for seg in self.manifest["segments"]:
+            key = (seg["dir"], seg.get("livedocs"))
+            cached = _reuse.get(key) if _reuse else None
+            self.readers.append(
+                cached if cached is not None else SegmentReader(seg["dir"], mmap=mmap)
+            )
         for reader, seg in zip(self.readers, self.manifest["segments"]):
             lp = seg.get("livedocs")
-            if lp:
+            if lp and reader.live is None:
                 reader.live = store.np_load(lp)
         cs = collection_stats_from(self.manifest)
         self.collection_stats = CollectionStatistics(
@@ -867,3 +875,45 @@ def explain(searcher: "IndexSearcher", query, doc: int) -> dict:
 IndexSearcher.explain = (
     lambda self, query, doc: explain(self, query, doc)
 )
+
+
+def open_if_changed(searcher: IndexSearcher) -> IndexSearcher | None:
+    """NRT refresh (reference index/StandardDirectoryReader.java
+    openIfChanged): None when the latest manifest generation equals the
+    searcher's; otherwise a NEW IndexSearcher against the latest commit
+    that REUSES the old searcher's SegmentReader objects (mmaps, decode
+    caches, query caches) for every segment whose (dir, livedocs) pair is
+    unchanged.  A segment whose live-docs moved to a new generation gets a
+    SHALLOW reader copy sharing the immutable arrays but carrying its own
+    fresh live mask — the old searcher keeps serving its point-in-time
+    view (reader-sharing semantics of the reference's SegmentReader
+    liveDocs wrap)."""
+    import copy
+
+    from ..index.manifest import latest_generation
+
+    gen = latest_generation(searcher.index_dir)
+    if gen is None or gen == searcher.generation:
+        return None
+    reuse: dict = {}
+    by_dir: dict = {}
+    for r, seg in zip(searcher.readers, searcher.manifest["segments"]):
+        reuse[(seg["dir"], seg.get("livedocs"))] = r
+        by_dir[seg["dir"]] = r
+    new_man = read_manifest(searcher.index_dir, gen)
+    for seg in new_man["segments"]:
+        key = (seg["dir"], seg.get("livedocs"))
+        if key not in reuse and seg["dir"] in by_dir:
+            clone = copy.copy(by_dir[seg["dir"]])
+            clone.live = store.np_load(seg["livedocs"]) if seg.get("livedocs") else None
+            reuse[key] = clone
+    return IndexSearcher(
+        searcher.index_dir,
+        generation=gen,
+        mmap=searcher.mmap,
+        similarity=searcher.similarity,
+        _reuse=reuse,
+    )
+
+
+IndexSearcher.open_if_changed = open_if_changed

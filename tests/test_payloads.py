@@ -1,0 +1,107 @@
+"""Payload stream (PayloadAttribute / PayloadScoreQuery analogues):
+per-occurrence int32 stream parallel to positions; default payload source
+is the occurrence's char start offset (TokenOffsetPayloadTokenFilter
+shape), so every value is independently recomputable from the text."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.index.build import build_index_local
+from lucene_ray.index.deletes import add_documents
+from lucene_ray.index.merge import force_merge
+from lucene_ray.index.segment import SegmentReader
+from lucene_ray.search.query import PayloadScoreQuery, TermQuery
+from lucene_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def pay_index(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pay")
+    src = d / "c.parquet"
+    pq.write_table(generate_corpus(150, seed=13), str(src))
+    idx = str(d / "idx")
+    build_index_local(str(src), idx, docs_per_segment=50, index_options="payloads")
+    return idx, str(src)
+
+
+def test_payloads_match_recomputed_offsets(pay_index):
+    """Every stored payload equals the occurrence's char start offset,
+    recomputed from the raw text with the same analyzer."""
+    idx, src = pay_index
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+
+    texts = pq.read_table(src, columns=["content"]).column("content").to_pylist()
+    a = StandardAnalyzer()
+    r = SegmentReader(idx + "/seg_000000")
+    assert r.has_payloads and r.has_positions and not r.has_offsets
+    term = "import"
+    tid = r.term_id(term)
+    assert tid is not None
+    docs, _tfs = r.decode_term_cached(tid)
+    pays = r.term_payloads(tid)
+    for doc, p in zip(docs[:10], pays[:10]):
+        text = texts[int(doc)]
+        # recompute: start offsets of this term's occurrences
+        vocab, tids, dd, tfs, _l, pos, off_s, off_e = a.analyze_batch_offsets([text])
+        gid = vocab.index(term)
+        starts = np.concatenate(([0], np.cumsum(tfs)))
+        row = int(np.flatnonzero(tids == gid)[0])
+        want = off_s[starts[row] : starts[row + 1]]
+        assert p.tolist() == want.tolist()
+
+
+def test_payload_score_query_functions(pay_index):
+    idx, _src = pay_index
+    s = IndexSearcher(idx)
+    term = "import"
+    base = {d: None for d, _ in s.search(TermQuery(term), k=10**6)}
+    for func in ("sum", "max", "min", "avg"):
+        hits = s.search(PayloadScoreQuery(term, func), k=10**6, score_mode="COMPLETE",
+                        total_hits_threshold=float("inf"))
+        assert {d for d, _ in hits} == set(base)
+    # verify one segment's sum against term_payloads directly
+    r = s.readers[0]
+    tid = r.term_id(term)
+    docs, _ = r.decode_term_cached(tid)
+    pays = r.term_payloads(tid)
+    want = {int(d): float(np.float32(float(p.sum()))) for d, p in zip(docs, pays)}
+    got = dict(
+        (int(d), float(sc))
+        for d, sc in s.search(PayloadScoreQuery(term, "sum"), k=10**6,
+                              score_mode="COMPLETE", total_hits_threshold=float("inf"))
+        if int(d) < r.max_doc
+    )
+    assert got == want
+
+
+def test_payloads_survive_merge_and_add(pay_index, tmp_path, ray_session):
+    idx, src = pay_index
+    import shutil
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(idx, idx2)
+    before = [
+        (int(d), float(sc))
+        for d, sc in IndexSearcher(idx2).search(PayloadScoreQuery("import", "sum"), k=20)
+    ]
+    add_documents(
+        idx2,
+        pa.table({"text": ["qqq import zzz import"], "repo": ["r"]}),
+        content_column="text",
+        meta_columns=("repo",),
+    )
+    man = force_merge(idx2, max_segments=1)
+    assert len(man["segments"]) == 1
+    r = SegmentReader(man["segments"][0]["dir"])
+    assert r.has_payloads
+    s = IndexSearcher(idx2)
+    after = [(int(d), float(sc)) for d, sc in s.search(PayloadScoreQuery("import", "sum"), k=20)]
+    assert after[: len(before)] == before or set(before) <= set(after)
+    # the added doc: "import" at char offsets 4 and 15 -> sum 19
+    new_doc_hits = dict(s.search(PayloadScoreQuery("import", "sum"), k=10**6,
+                                 score_mode="COMPLETE", total_hits_threshold=float("inf")))
+    max_doc = max(new_doc_hits)
+    assert float(new_doc_hits[max_doc]) == 19.0
