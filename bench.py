@@ -448,11 +448,15 @@ def run_scaling(sf_dir: str) -> dict:
 # quiet-window gating (VERDICT r3 #8): this host intermittently degrades
 # (first-touch fault collapse / hypervisor steal, see _host_health_probe).
 # A healthy box probes >10 GB/s fresh-alloc; degraded windows probe <2.
-_HEALTH_FLOOR_GBPS = 4.0
+# floor calibration (2026-08-18): a truly collapsed window probes <1 GB/s
+# and inflates build 5-10x; this host ALSO has a steady-state mode probing
+# ~2 GB/s where real workloads run at full speed (measured: 15.8s total
+# with probes at 1.5-2.3), so the floor sits below that mode
+_HEALTH_FLOOR_GBPS = 1.0
 _HEALTH_SPIN_CEIL_MS = 80.0
 
 
-def _wait_for_quiet(max_wait_sec: int = 480, step_sec: int = 30) -> dict:
+def _wait_for_quiet(max_wait_sec: int = 240, step_sec: int = 30) -> dict:
     """Bounded wait for a quiet host window before timing; returns what it
     saw either way (the bench still runs after a give-up — the probes in
     the artifact mark it as degraded-window)."""
