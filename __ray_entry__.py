@@ -897,10 +897,16 @@ def _bool_counts_sql() -> str:
 # queries
 # ---------------------------------------------------------------------------
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: tuple[str, ...] | None = ("doc_id", "text")):
+    """documents table pruned at the READ (VERDICT r3 minor: most consumers
+    only touch (doc_id, text); pass the columns each pipeline needs, or
+    None for the full table)."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=list(columns) if columns else None,
+    )
 
 
 def _embs(sf_dir: str):
@@ -1331,13 +1337,13 @@ def _clean_corpus(sf_dir: str):
     out = os.path.join(
         "/tmp", "lucene_ray_clean", _h.sha256(sf_dir.encode()).hexdigest()[:10]
     )
-    return clean_corpus(_docs(sf_dir), out_dir=out)
+    return clean_corpus(_docs(sf_dir, ("doc_id", "text", "lang")), out_dir=out)
 
 
 def _training_mix(sf_dir: str):
     from lucene_ray.ops.clean import training_mix
 
-    return training_mix(_docs(sf_dir))
+    return training_mix(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
 def _events(sf_dir: str):
@@ -1427,10 +1433,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
         # one per-doc profile (single read pass; frees driver-cap slots)
-        "tx_doc_stats": lambda sf: text.doc_profile(_docs(sf)),
+        "tx_doc_stats": lambda sf: text.doc_profile(_docs(sf, ("doc_id", "text", "lang"))),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         "tx_stratified_sample": lambda sf: text.stratified_sample(
-            _docs(sf), {"en": 50, "de": 25, "fr": 10}
+            _docs(sf, ("doc_id", "text", "lang")), {"en": 50, "de": 25, "fr": 10}
         ),
         # --- dedup ---
         # MinHash + SimHash + exact-survivor signatures in one family entry
@@ -1449,8 +1455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_topk": _ann_hnsw,
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal: REAL BMP/PNG header decode + resize, one pass ---
-        "mm_image_stats": lambda sf: multimodal.image_stats(_docs(sf)),
-        "mm_frame_samples": lambda sf: multimodal.frame_samples(_docs(sf)),
+        "mm_image_stats": lambda sf: multimodal.image_stats(_docs(sf, None)),
+        "mm_frame_samples": lambda sf: multimodal.frame_samples(_docs(sf, None)),
         # --- full cleaning pipeline (quality -> dedup -> partitioned sink) ---
         "pl_clean_corpus": _clean_corpus,
         # the composed LLM training-data pipeline: lang gate -> quality +

@@ -419,22 +419,33 @@ class ChainedVocabAnalyzer(StandardAnalyzer):
 class EnglishAnalyzer(ChainedVocabAnalyzer):
     """Reference en/EnglishAnalyzer.java:1 chain: StandardTokenizer ->
     EnglishPossessiveFilter -> LowerCaseFilter -> StopFilter(33-word set) ->
-    PorterStemFilter.  ``fold=True`` inserts ASCIIFoldingFilter after the
-    possessive strip (a custom-chain variant, miscellaneous/
-    ASCIIFoldingFilter.java).  Porter output is pinned to the reference's
-    porterTestData golden vectors in tests/test_english.py."""
+    [SetKeywordMarkerFilter(stem_exclusions)] -> PorterStemFilter.
+    ``fold=True`` inserts ASCIIFoldingFilter after the possessive strip
+    (a custom-chain variant, miscellaneous/ASCIIFoldingFilter.java);
+    ``stem_exclusions`` is the KeywordMarkerFilter seam (terms in the set
+    pass the stemmer untouched, miscellaneous/SetKeywordMarkerFilter.java);
+    ``min_len``/``max_len`` give LengthFilter (miscellaneous/LengthFilter
+    .java: out-of-range tokens DROP like stop words, preserving position
+    gaps).  Porter output is pinned to the reference's porterTestData
+    golden vectors in tests/test_english.py."""
 
     def __init__(
         self,
         stop_words: frozenset[str] | None = None,
         max_token_length: int = 255,
         fold: bool = False,
+        stem_exclusions: frozenset[str] = frozenset(),
+        min_len: int = 0,
+        max_len: int = 1 << 30,
     ):
         from .english import ENGLISH_STOP_WORDS
 
         super().__init__(max_token_length)
         self.stop = ENGLISH_STOP_WORDS if stop_words is None else stop_words
         self.fold = fold
+        self.stem_exclusions = frozenset(stem_exclusions)
+        self.min_len = min_len
+        self.max_len = max_len
         self._cache: dict[str, str | None] = {}
 
     def map_term(self, term: str) -> str | None:
@@ -445,7 +456,12 @@ class EnglishAnalyzer(ChainedVocabAnalyzer):
         t = strip_possessive(term)
         if self.fold:
             t = ascii_fold(t)
-        m = None if t in self.stop else porter_stem(t)
+        if t in self.stop or not (self.min_len <= len(t) <= self.max_len):
+            m = None
+        elif t in self.stem_exclusions:
+            m = t  # KeywordMarker: protected from stemming
+        else:
+            m = porter_stem(t)
         if len(self._cache) < 1 << 20:  # bounded per-actor memo
             self._cache[term] = m
         return m
@@ -551,6 +567,70 @@ class SynonymExpandAnalyzer(StandardAnalyzer):
         )
 
 
+class ShingleAnalyzer(StandardAnalyzer):
+    """Word-bigram shingles (reference analysis/shingle/ShingleFilter.java
+    with outputUnigrams=false, shingle size 2, ' ' separator): token i
+    emits "tok_i tok_{i+1}" at position i.  SQL-mirrorable as
+    array_to_string(ts[i:i+2], ' ') — the same shingle the MinHash dedup
+    oracle builds.  Norm length = number of shingles (n_tokens - 1 per
+    doc with >= 2 tokens)."""
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        # stream is in doc order with positions = in-doc ordinals: adjacent
+        # rows within a doc are consecutive tokens
+        n = len(tids)
+        if n < 2:
+            e = np.empty(0, np.int64)
+            return [], e, e, e, np.zeros(n_docs, np.int64), n_docs, e, e
+        same_doc = doc_ids[1:] == doc_ids[:-1]
+        a, b = tids[:-1][same_doc], tids[1:][same_doc]
+        sh_docs = doc_ids[:-1][same_doc]
+        sh_pos = positions[:-1][same_doc]
+        sh_os = off_s[:-1][same_doc]
+        sh_oe = off_e[1:][same_doc]
+        # vocab of shingle strings from the (a, b) id pairs
+        pair_keys = a * np.int64(len(vocab)) + b
+        upairs, inv = np.unique(pair_keys, return_inverse=True)
+        sh_vocab = [
+            f"{vocab[int(k // len(vocab))]} {vocab[int(k % len(vocab))]}"
+            for k in upairs
+        ]
+        order = sorted(range(len(sh_vocab)), key=lambda i: sh_vocab[i].encode("utf-8"))
+        remap = np.empty(len(sh_vocab), dtype=np.int64)
+        remap[np.asarray(order)] = np.arange(len(sh_vocab))
+        sorted_vocab = [sh_vocab[i] for i in order]
+        lengths = np.bincount(sh_docs, minlength=n_docs).astype(np.int64)
+        return (
+            sorted_vocab,
+            remap[inv],
+            sh_docs,
+            sh_pos,
+            lengths,
+            n_docs,
+            sh_os,
+            sh_oe,
+        )
+
+    def tokens(self, text: str) -> list[str]:
+        toks = super().tokens(text)
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), len(toks)
+
+    def normalize(self, term: str) -> str:
+        return " ".join(super().normalize(w) for w in term.split())
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -560,6 +640,7 @@ ANALYZERS = {
     "english_folded": EnglishFoldedAnalyzer,
     "english_minimal": EnglishMinimalAnalyzer,
     "synonym": SynonymExpandAnalyzer,
+    "shingle": ShingleAnalyzer,
 }
 
 

@@ -187,3 +187,65 @@ def test_make_analyzer_registry():
     for name in ("english", "english_minimal", "english_folded", "synonym"):
         a = make_analyzer(name)
         assert a.tokens("tests") is not None
+
+
+def test_length_filter_and_keyword_marker():
+    from lucene_ray.analysis.analyzers import EnglishAnalyzer
+
+    a = EnglishAnalyzer(stem_exclusions=frozenset({"running"}), min_len=3)
+    # 'is'/'it' are stopped anyway; 'up' (len 2) dropped by LengthFilter;
+    # 'running' protected by the KeywordMarker; 'jumped' stems
+    assert a.tokens("it is running and jumped up") == ["running", "jump"]
+    # dropped tokens still leave position gaps
+    import numpy as np
+
+    vocab, tids, docs, tfs, lengths, pos = a.analyze_batch_positions(
+        ["up running up jumped"]
+    )
+    by_term = {}
+    starts = np.concatenate(([0], np.cumsum(tfs)))
+    for i, t in enumerate(tids):
+        by_term[vocab[int(t)]] = pos[starts[i] : starts[i + 1]].tolist()
+    assert by_term == {"running": [1], "jump": [3]}
+    assert lengths.tolist() == [2]
+
+
+def test_shingle_analyzer_batch_matches_tokens():
+    from collections import Counter
+
+    from lucene_ray.analysis.analyzers import ShingleAnalyzer
+
+    a = ShingleAnalyzer()
+    texts = ["the quick brown fox", "one", "", "a b a b a"]
+    vocab, tids, docs, tfs, lengths = a.analyze_batch(texts)
+    got = {}
+    for t, d, f in zip(tids, docs, tfs):
+        got.setdefault(int(d), {})[vocab[int(t)]] = int(f)
+    for i, text in enumerate(texts):
+        toks = a.tokens(text)
+        assert got.get(i, {}) == dict(Counter(toks)), i
+        assert lengths[i] == len(toks)
+    assert a.tokens("a b a b a") == ["a b", "b a", "a b", "b a"]
+
+
+def test_shingle_index_end_to_end(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = ["spark join merge", "join merge spark", "merge alone here"]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 3, "path": list("abc"),
+                  "commit": ["x"] * 3, "lang": ["en"] * 3}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, analyzer="shingle")
+    s = IndexSearcher(idx)
+    assert {d for d, _ in s.search(TermQuery("spark join"), 5)} == {0}
+    assert {d for d, _ in s.search(TermQuery("join merge"), 5)} == {0, 1}
+    assert s.count(TermQuery("spark")) == 0  # unigrams are not emitted

@@ -53,10 +53,11 @@ def test_queries_fit_driver_cap():
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(QUERIES) - set(ORACLES))
-    # keep this exact so a new rows-only entry is a CONSCIOUS decision;
-    # ann_hnsw_topk is approximate by nature (no SQL equivalent) and its
-    # recall is pinned in test_ops_semantics.test_hnsw_recall_and_determinism
-    assert missing == ["ann_hnsw_topk"]
+    # round 4: EVERY entry is oracle-checked — ann_hnsw_topk gained one
+    # (the callable asserts HNSW recall >= 0.9 vs the in-engine exact
+    # top-k, then returns the exact top-k the SQL oracle reproduces); a
+    # new rows-only entry must be a CONSCIOUS decision that edits this
+    assert missing == []
 
 
 def test_entry_returns_stable_frame(ray_session):
