@@ -672,6 +672,8 @@ class DistributedSearcher:
     def __init__(self, index_dir: str, num_workers: int = 4, generation: int | None = None):
         import ray
 
+        self.index_dir = index_dir
+        self.num_workers = num_workers
         self.manifest = read_manifest(index_dir, generation)
         segs = self.manifest["segments"]
         cs = collection_stats_from(self.manifest)
@@ -692,6 +694,20 @@ class DistributedSearcher:
         # terms (TermStates is rebuilt per query in the reference only
         # because its readers are cheap in-process)
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
+
+    def refresh(self) -> bool:
+        """Service-level NRT refresh (SearcherManager.maybeRefresh
+        analogue): when a newer manifest generation exists, rebuild the
+        actor pool against it (workers re-localize only NEW segments —
+        unchanged ones hit the node's read-through cache) and drop the
+        term-stats cache.  Returns True if anything changed."""
+        from ..index.manifest import latest_generation
+
+        gen = latest_generation(self.index_dir)
+        if gen is None or gen == int(self.manifest["generation"]):
+            return False
+        self.__init__(self.index_dir, num_workers=self.num_workers, generation=gen)
+        return True
 
     def search(
         self,

@@ -66,3 +66,21 @@ def test_reopen_after_delete_shares_arrays_not_live(tmp_path):
     assert s2.count(TermQuery("import")) <= before
     # old searcher still sees the pre-delete view
     assert s.count(TermQuery("import")) == before
+
+
+def test_distributed_refresh(tmp_path, ray_session):
+    from lucene_ray.search.searcher import DistributedSearcher
+
+    idx = _build(tmp_path)
+    ds = DistributedSearcher(idx, num_workers=2)
+    assert ds.refresh() is False
+    add_documents(
+        idx,
+        pa.table({"text": ["distributed refresh probe quuxify"], "repo": ["r"]}),
+        content_column="text",
+        meta_columns=("repo",),
+    )
+    assert len(ds.search(TermQuery("quuxify"), 3)) == 0  # pre-refresh view
+    assert ds.refresh() is True
+    assert len(ds.search(TermQuery("quuxify"), 3)) == 1
+    assert ds.refresh() is False

@@ -134,3 +134,27 @@ def test_distributed_searcher_remote(ray_session, tmp_path, monkeypatch):
     assert [(d, float(s)) for d, s in dist_hits] == [
         (d, float(s)) for d, s in local_hits
     ]
+
+
+def test_remote_build_resume_skips_complete_segments(ray_session, tmp_path, monkeypatch):
+    """Checkpoint/resume against the SHARED prefix: a rerun over a
+    partially-built remote index skips segments whose lineage signature
+    matches (segment_is_complete reads meta.json through the seam)."""
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache"))
+    corpus = synth_corpus(tmp_path, n_docs=200, seed=21)
+    remote = f"{_remote_root(tmp_path, 'resume')}/index"
+    man1 = build_index(corpus, remote, docs_per_segment=50, content_column="content")
+    assert man1["skipped_segments"] == []
+    # delete ONE remote segment to simulate a partial/failed run
+    victim = man1["segments"][1]
+    store.rmtree(victim["dir"])
+    assert not store.exists(f"{victim['dir']}/meta.json")
+    man2 = build_index(corpus, remote, docs_per_segment=50, content_column="content")
+    # only the destroyed segment was rebuilt; the other three were skipped
+    assert len(man2["skipped_segments"]) == len(man1["segments"]) - 1
+    assert victim["name"] not in man2["skipped_segments"]
+    r1 = IndexSearcher(remote).search(TermQuery("import"), k=10)
+    local = str(tmp_path / "local_ref")
+    build_index_local(corpus, local, docs_per_segment=50, content_column="content")
+    r2 = IndexSearcher(local).search(TermQuery("import"), k=10)
+    assert [(d, float(s)) for d, s in r1] == [(d, float(s)) for d, s in r2]
