@@ -317,3 +317,145 @@ def parse_classic(
     queryparser/classic/QueryParserBase.java field handling)."""
     q, _ = _parse_group(_lex_classic(text), 0, analyzer, default_field, stored_fields)
     return q
+
+
+def rewrite_complex_phrases(q, searcher, max_expansions: int = 64):
+    """ComplexPhraseQueryParser semantics (reference queryparser/
+    complexPhrase/ComplexPhraseQueryParser.java): wildcard / prefix atoms
+    INSIDE a quoted phrase expand against the index dictionary into
+    MultiPhraseQuery slot alternatives — ``"wind* turbine"`` matches any
+    wind-prefixed term followed by turbine.
+
+    Walks a parsed query tree; any PhraseQuery whose words contain ``*`` or
+    ``?`` is rewritten to a MultiPhraseQuery whose slot alternatives are
+    the dictionary terms matching the pattern (union over the searcher's
+    segments, capped at ``max_expansions`` per slot in sorted term order —
+    the BooleanQuery.maxClauseCount analogue).  Slop is not supported by
+    the reference's rewrite for multi-slot wildcards either; a wildcarded
+    sloppy phrase raises."""
+    import fnmatch as _fn
+
+    from .query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        ConstantScoreQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+    )
+
+    def expand_slot(word: str) -> tuple[str, ...]:
+        if "*" not in word and "?" not in word:
+            return (word,)
+        m = re.search(r"[*?]", word)
+        lit = word[: m.start()]
+        rx = re.compile(_fn.translate(word))
+        out: set[str] = set()
+        for r in searcher.readers:
+            lo = lit.encode("utf-8")
+            hi = lo + b"\xff\xff\xff\xff"
+            for tid in r.term_id_range(lo, hi):
+                t = r.term_string(tid)
+                if rx.match(t):
+                    out.add(t)
+        return tuple(sorted(out, key=lambda s: s.encode("utf-8"))[:max_expansions])
+
+    def walk(node):
+        if isinstance(node, PhraseQuery) and any(
+            "*" in w or "?" in w for w in node.terms
+        ):
+            if node.slop:
+                raise ValueError("wildcarded phrases do not support slop")
+            slots = tuple(expand_slot(w) for w in node.terms)
+            if any(not s for s in slots):
+                # a slot with zero dictionary matches can never match
+                return None
+            return MultiPhraseQuery(slots)
+        if isinstance(node, BoostQuery):
+            inner = walk(node.query)
+            return None if inner is None else BoostQuery(inner, node.boost)
+        if isinstance(node, ConstantScoreQuery):
+            inner = walk(node.query)
+            return None if inner is None else ConstantScoreQuery(inner)
+        if isinstance(node, BooleanQuery):
+            clauses = []
+            for c in node.clauses:
+                inner = walk(c.query)
+                if inner is None:
+                    if c.occur in ("MUST", "FILTER"):
+                        return None  # unsatisfiable required clause
+                    continue  # dropped SHOULD / MUST_NOT of nothing
+                clauses.append(BooleanClause(inner, c.occur))
+            if not clauses:
+                return None
+            return BooleanQuery(tuple(clauses), node.min_should_match)
+        return node
+
+    return walk(q)
+
+
+def expand_query_synonyms(q, synonyms: dict[str, list[str]], analyzer=None):
+    """Query-time synonym-graph expansion (reference util/QueryBuilder.java
+    analyzeGraphBoolean — the path QueryParser takes when the query
+    analyzer contains a SynonymGraphFilter):
+
+    - a TermQuery whose term has only SINGLE-token synonym members becomes
+      ONE SynonymQuery over {term} ∪ members (blended stats, the
+      single-position graph case);
+    - MULTI-token members ("ml" -> "machine learning") become graph PATHS:
+      a SHOULD disjunction of the single-token SynonymQuery/TermQuery and
+      one PhraseQuery per multi-token member.
+
+    Walks Boolean/Boost/ConstantScore trees; ``analyzer`` (optional)
+    normalizes member tokens like the index side would."""
+    from .query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        ConstantScoreQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermQuery,
+    )
+
+    def norm(w: str) -> str:
+        return analyzer.normalize(w) if analyzer is not None else w
+
+    def expand_term(term: str):
+        members = synonyms.get(term)
+        if not members:
+            return TermQuery(term)
+        singles = [term]
+        phrases = []
+        for m in members:
+            toks = tuple(norm(w) for w in m.split())
+            if len(toks) == 1:
+                singles.append(toks[0])
+            else:
+                phrases.append(PhraseQuery(toks))
+        single_q = (
+            TermQuery(singles[0])
+            if len(singles) == 1
+            else SynonymQuery(tuple(singles))
+        )
+        if not phrases:
+            return single_q
+        return BooleanQuery(
+            tuple(BooleanClause(sub, "SHOULD") for sub in [single_q, *phrases])
+        )
+
+    def walk(node):
+        if isinstance(node, TermQuery):
+            return expand_term(node.term)
+        if isinstance(node, BoostQuery):
+            return BoostQuery(walk(node.query), node.boost)
+        if isinstance(node, ConstantScoreQuery):
+            return ConstantScoreQuery(walk(node.query))
+        if isinstance(node, BooleanQuery):
+            return BooleanQuery(
+                tuple(BooleanClause(walk(c.query), c.occur) for c in node.clauses),
+                node.min_should_match,
+            )
+        return node
+
+    return walk(q)

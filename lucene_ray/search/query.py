@@ -568,6 +568,27 @@ def build_scorer(
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
+    if isinstance(q, SynonymQuery):
+        # dense SynonymScorer as a clause (SynonymQuery.java): blended
+        # freq = sum(boost * tf), one SimScorer over blended stats
+        from .scorers import PrecomputedScorer
+
+        freq = np.zeros(reader.max_doc, dtype=np.float32)
+        for term, tb in q.term_boosts():
+            tid = reader.term_id(term)
+            if tid is None:
+                continue
+            docs, tfs = reader.decode_term_cached(tid)
+            freq[docs] += np.float32(tb) * tfs.astype(np.float32)
+        if getattr(reader, "live", None) is not None:
+            freq[~reader.live] = 0
+        cand = np.nonzero(freq)[0]
+        if len(cand) == 0:
+            return None
+        sim = weight.synonym_sim_scorer(q.terms, boost)
+        scores = sim.score_bulk(freq[cand], np.asarray(reader.norms)[cand])
+        return PrecomputedScorer(cand, scores)
+
     if isinstance(q, PayloadScoreQuery):
         from .scorers import PrecomputedScorer
 

@@ -182,3 +182,95 @@ def test_classic_parser_never_crashes(text):
         (BooleanQuery, BoostQuery, TermQuery, PhraseQuery, PrefixQuery,
          WildcardQuery, FuzzyQuery, RegexpQuery, TermRangeQuery),
     )
+
+
+def test_complex_phrase_rewrite(tmp_path):
+    """ComplexPhraseQueryParser shape: wildcards inside quoted phrases
+    expand to MultiPhraseQuery slot alternatives from the dictionary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.parser import parse_classic, rewrite_complex_phrases
+    from lucene_ray.search.query import MultiPhraseQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = [
+        "the wind turbine spins",
+        "a window turbine is not a thing",
+        "turbine wind reversed order",
+        "windmill turbine hybrid",
+    ]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 4, "path": list("abcd"),
+                  "commit": ["x"] * 4, "lang": ["en"] * 4}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, index_options="positions")
+    s = IndexSearcher(idx)
+    a = StandardAnalyzer()
+
+    q = parse_classic('"wind* turbine"', a)
+    rq = rewrite_complex_phrases(q, s)
+    assert isinstance(rq, MultiPhraseQuery)
+    assert set(rq.slots[0]) == {"wind", "window", "windmill"}
+    assert rq.slots[1] == ("turbine",)
+    hits = {d for d, _ in s.search(rq, 10)}
+    assert hits == {0, 1, 3}  # doc 2 has the reversed order
+
+    # inside a boolean: unsatisfiable wildcard slot kills a MUST clause
+    q2 = rewrite_complex_phrases(parse_classic('"zzz* turbine" AND wind', a), s)
+    assert q2 is None
+    q3 = rewrite_complex_phrases(parse_classic('"zzz* turbine" OR wind', a), s)
+    assert {d for d, _ in s.search(q3, 10)} == {0, 2}
+
+
+def test_query_time_synonym_graph(tmp_path):
+    """QueryBuilder.analyzeGraphBoolean shape: single-token members blend
+    into a SynonymQuery; multi-token members become phrase paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+    from lucene_ray.search.parser import expand_query_synonyms, parse_classic
+    from lucene_ray.search.query import (
+        BooleanQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermQuery,
+    )
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.searcher import IndexSearcher
+
+    syn = {"ml": ["machine learning", "ai"]}
+    q = expand_query_synonyms(TermQuery("ml"), syn)
+    assert isinstance(q, BooleanQuery)
+    kinds = {type(c.query) for c in q.clauses}
+    assert kinds == {SynonymQuery, PhraseQuery}
+    sq = next(c.query for c in q.clauses if isinstance(c.query, SynonymQuery))
+    assert set(sq.terms) == {"ml", "ai"}
+
+    docs = [
+        "ml models are fun",
+        "machine learning models are fun",
+        "ai systems reason",
+        "machine without learning here",
+    ]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 4, "path": list("abcd"),
+                  "commit": ["x"] * 4, "lang": ["en"] * 4}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, index_options="positions")
+    s = IndexSearcher(idx)
+    hits = {d for d, _ in s.search(q, 10)}
+    assert hits == {0, 1, 2}  # term, phrase path, single-token synonym
+    # untouched terms pass through a parsed tree unchanged
+    q2 = expand_query_synonyms(parse_classic("ml AND models", StandardAnalyzer()), syn)
+    hits2 = {d for d, _ in s.search(q2, 10)}
+    assert hits2 == {0, 1}
