@@ -136,6 +136,13 @@ def check_segment(seg_dir: str, raise_on_error: bool = True) -> dict:
             if len(s) > 1:
                 _chk(bool((np.diff(s) > 0).all()), f"{name}: row {row} start offsets not ascending", errors, raise_on_error)
 
+    # 3b3. payloads (when present): the stream is 1:1 with positions
+    # (CheckIndex.checkFields payload rule: a payload per position slot)
+    if getattr(r, "has_payloads", False):
+        _chk(getattr(r, "has_positions", False), f"{name}: payloads without positions", errors, raise_on_error)
+        pay = np.asarray(r.pay_data)
+        _chk(len(pay) == len(np.asarray(r.pos_data)), f"{name}: payload stream length != positions", errors, raise_on_error)
+
     # 3c. term vectors (when present): the forward index must be the exact
     # transpose of the postings — same (doc, term, tf) triples both ways
     # (CheckIndex.testTermVectors crosschecks against postings the same way)

@@ -148,3 +148,24 @@ def test_points_tree_validated(tmp_path, ray_session):
 
     _os.replace(str(tmp_path / "bad.tmp.npz"), path)
     assert any("not tight" in e for e in check_points(path, max_doc=500))
+
+
+def test_check_catches_truncated_payloads(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.check import check_segment
+
+    src = tmp_path / "c.parquet"
+    pq.write_table(generate_corpus(40, seed=3), str(src))
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, index_options="payloads")
+    seg = idx + "/seg_000000"
+    assert check_segment(seg)["errors"] == []
+    pay = np.load(seg + "/pay_data.npy")
+    np.save(seg + "/pay_data.npy", pay[:-3])  # truncate the stream
+    out = check_segment(seg, raise_on_error=False)
+    assert any("payload stream length" in e for e in out["errors"])
