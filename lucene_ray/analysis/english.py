@@ -271,8 +271,22 @@ class _Porter:
             self.k -= 1
 
 
+# module-level memo: fused build tasks construct a fresh analyzer per task,
+# but worker PROCESSES are long-lived — stems amortize across every task a
+# worker runs (same pattern as the tokenizer table singletons).  Bounded;
+# corpus vocabularies are far smaller than the bound.
+_STEM_MEMO: dict[str, str] = {}
+_STEM_MEMO_MAX = 1 << 20
+
+
 def porter_stem(word: str) -> str:
-    return _Porter().stem(word)
+    hit = _STEM_MEMO.get(word)
+    if hit is not None:
+        return hit
+    out = _Porter().stem(word)
+    if len(_STEM_MEMO) < _STEM_MEMO_MAX:
+        _STEM_MEMO[word] = out
+    return out
 
 
 # --- ASCII folding ------------------------------------------------------------
