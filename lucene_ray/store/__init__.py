@@ -238,6 +238,58 @@ def _key(url: str) -> str:
     return f"{base}-{h}"
 
 
+def _cache_size_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def prune_cache(max_bytes: int | None = None) -> int:
+    """Evict least-recently-USED localized dirs/files until the cache fits
+    ``max_bytes`` (default: $LUCENE_RAY_CACHE_MAX_BYTES, off when unset).
+    Recency = mtime of the ``.localized`` marker (touched on reuse), so a
+    long-lived node serving a 100-TB index keeps its working set and sheds
+    segments it no longer reads.  Returns bytes freed."""
+    if max_bytes is None:
+        env = os.environ.get("LUCENE_RAY_CACHE_MAX_BYTES")
+        if not env:
+            return 0
+        max_bytes = int(env)
+    root = cache_root()
+    entries: list[tuple[float, str, int]] = []  # (atime, path, bytes)
+    for sub, marker in (("dirs", ".localized"), ("files", None)):
+        base = os.path.join(root, sub)
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            p = os.path.join(base, name)
+            try:
+                stamp = os.path.join(p, marker) if marker else p
+                t = os.path.getmtime(stamp)
+                size = _cache_size_bytes(p) if marker else os.path.getsize(p)
+            except OSError:
+                continue
+            entries.append((t, p, size))
+    total = sum(s for _, _, s in entries)
+    freed = 0
+    for _t, p, size in sorted(entries):
+        if total - freed <= max_bytes:
+            break
+        shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(p):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        freed += size
+    return freed
+
+
 def localize_dir(path: str) -> str:
     """Read-through cache for an IMMUTABLE remote directory: returns a local
     path holding a synced copy (downloaded once per node).  Local paths are
@@ -247,7 +299,9 @@ def localize_dir(path: str) -> str:
     if not is_remote(path):
         return path
     dst = os.path.join(cache_root(), "dirs", _key(path))
-    if os.path.exists(os.path.join(dst, ".localized")):
+    marker = os.path.join(dst, ".localized")
+    if os.path.exists(marker):
+        os.utime(marker)  # recency stamp for prune_cache's LRU
         return dst
     fs, root = _fs(path)
     tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
@@ -258,6 +312,7 @@ def localize_dir(path: str) -> str:
         with open(os.path.join(tmp, ".localized"), "w") as f:
             f.write(path)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
+        prune_cache()  # no-op unless LUCENE_RAY_CACHE_MAX_BYTES is set
         try:
             os.rename(tmp, dst)
         except OSError:

@@ -158,3 +158,26 @@ def test_remote_build_resume_skips_complete_segments(ray_session, tmp_path, monk
     build_index_local(corpus, local, docs_per_segment=50, content_column="content")
     r2 = IndexSearcher(local).search(TermQuery("import"), k=10)
     assert [(d, float(s)) for d, s in r1] == [(d, float(s)) for d, s in r2]
+
+
+def test_cache_prune_lru(tmp_path, monkeypatch):
+    import time
+
+    monkeypatch.setenv("LUCENE_RAY_CACHE_DIR", str(tmp_path / "cache"))
+    root = _remote_root(tmp_path, "prune")
+    for i in range(4):
+        store.write_bytes_atomic(f"{root}/d{i}/meta.json", b"x" * 10_000)
+    local = []
+    for i in range(4):
+        local.append(store.localize_dir(f"{root}/d{i}"))
+        time.sleep(0.02)
+    # re-touch d0: it becomes most-recent and must SURVIVE the prune
+    store.localize_dir(f"{root}/d0")
+    freed = store.prune_cache(max_bytes=25_000)
+    assert freed > 0
+    assert os.path.exists(local[0])  # most recently used
+    assert os.path.exists(local[3])
+    assert not os.path.exists(local[1])  # oldest evicted
+    # evicted dirs re-localize transparently
+    again = store.localize_dir(f"{root}/d1")
+    assert os.path.exists(os.path.join(again, "meta.json"))
