@@ -569,19 +569,51 @@ class SegmentReader:
     def _term_at(self, i: int) -> bytes:
         return self.term_bytes[self.term_offsets[i] : self.term_offsets[i + 1]].tobytes()
 
+    def _prefix_index(self) -> np.ndarray:
+        """Big-endian uint64 of each term's first 8 bytes (zero-padded) —
+        sorted like the dictionary, so ONE numpy searchsorted replaces
+        ~log2(V) Python bisect steps of memmap slicing; ties within an
+        8-byte prefix are resolved with at most a few exact compares.
+        Built lazily, 8 bytes/term (term METADATA is RAM-resident by
+        design, like the block-tree index the reference keeps on heap)."""
+        pref = getattr(self, "_term_prefix", None)
+        if pref is None:
+            n = self.n_terms
+            offs = np.asarray(self.term_offsets)
+            data = np.asarray(self.term_bytes)
+            lens = np.minimum(np.diff(offs), 8)
+            m = np.zeros((n, 8), dtype=np.uint8)
+            for k in range(8):
+                sel = lens > k
+                m[sel, k] = data[offs[:-1][sel] + k]
+            pref = self._term_prefix = m.reshape(-1).view(">u8").copy()
+        return pref
+
     def term_id(self, term: str) -> int | None:
-        """Binary search in UTF-8 byte order; None if absent."""
+        """Dictionary lookup in UTF-8 byte order; None if absent.  Memoized
+        per reader (queries repeat terms: the stats phase and the scorer
+        both seek the same keys — TermStates caching analogue)."""
+        memo = getattr(self, "_term_id_memo", None)
+        if memo is None:
+            memo = self._term_id_memo = {}
+        if term in memo:
+            return memo[term]
         key = term.encode("utf-8")
-        lo, hi = 0, self.n_terms
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._term_at(mid) < key:
-                lo = mid + 1
-            else:
-                hi = mid
-        if lo < self.n_terms and self._term_at(lo) == key:
-            return lo
-        return None
+        key8 = int.from_bytes(key[:8].ljust(8, b"\x00"), "big")
+        pref = self._prefix_index()
+        lo = int(np.searchsorted(pref, key8, side="left"))
+        hi = int(np.searchsorted(pref, key8, side="right"))
+        out = None
+        for i in range(lo, hi):
+            t = self._term_at(i)
+            if t == key:
+                out = i
+                break
+            if t > key:
+                break
+        if len(memo) < 1 << 16:
+            memo[term] = out
+        return out
 
     def _bisect_left(self, key: bytes) -> int:
         lo, hi = 0, self.n_terms
