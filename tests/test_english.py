@@ -249,3 +249,33 @@ def test_shingle_index_end_to_end(tmp_path):
     assert {d for d, _ in s.search(TermQuery("spark join"), 5)} == {0}
     assert {d for d, _ in s.search(TermQuery("join merge"), 5)} == {0, 1}
     assert s.count(TermQuery("spark")) == 0  # unigrams are not emitted
+
+
+def test_english_phrase_respects_stop_gaps(tmp_path):
+    """Stop-filter position gaps survive into the positions index: an exact
+    phrase across a dropped stop word does NOT match (Lucene posInc
+    semantics), a slop-1 phrase does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import PhraseQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = [
+        "manager of the reports",  # manag _ _ report: gap of 2
+        "manager reports daily",   # manag report: adjacent
+    ]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 2, "path": list("ab"),
+                  "commit": ["x"] * 2, "lang": ["en"] * 2}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, analyzer="english", index_options="positions")
+    s = IndexSearcher(idx)
+    exact = {d for d, _ in s.search(PhraseQuery(("manag", "report")), 5)}
+    assert exact == {1}
+    sloppy2 = {d for d, _ in s.search(PhraseQuery(("manag", "report"), slop=2), 5)}
+    assert sloppy2 == {0, 1}
