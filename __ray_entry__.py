@@ -1208,9 +1208,14 @@ def _dd_signatures(sf_dir: str):
     ex["sig"] = ex["sig"].astype("uint64")
     ex["i"] = 0
     ex["method"] = "exact"
+    # duplicate-substring window hashes (Lee et al. shape; window=20 so the
+    # short driver docs yield multiple windows)
+    sub = dedup.substring_window_signatures(_docs(sf_dir), window=20).to_pandas()
+    sub["sig"] = sub["sig"].astype("uint64")
+    sub["method"] = "substr"
     # concat on pre-cast uint64 columns (int64+uint64 would promote to
     # float64 and shred the high bits)
-    out = pd.concat([mh, sh, ex], ignore_index=True)
+    out = pd.concat([mh, sh, ex, sub], ignore_index=True)
     out["sig"] = out["sig"].astype("uint64")
     out["i"] = out["i"].astype("int64")
     return out[["method", "doc_id", "i", "sig"]]
@@ -2570,6 +2575,15 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS simhash
 FROM bits GROUP BY doc_id
+)
+UNION ALL
+SELECT 'substr', doc_id, i::BIGINT,
+       (md5_number_lower(array_to_string(ts[i * 20 + 1 : i * 20 + 20], ' '))
+        % 9223372036854775808)::UBIGINT
+FROM (
+WITH {_TOKS}
+SELECT doc_id, ts, unnest(range(len(ts) // 20)) AS i
+FROM toks WHERE len(ts) >= 20
 )
 """,
         "dd_near_pairs": f"""

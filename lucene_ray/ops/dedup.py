@@ -658,3 +658,123 @@ def exact_survivor_signatures(ds):
         ),
         batch_format="pyarrow",
     )
+
+
+# --- duplicate-substring (window) dedup -------------------------------------
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better": remove repeated SUBSTRINGS, not just whole-document dups.  The
+# paper's suffix array is replaced by the distributed formulation: hash
+# every NON-OVERLAPPING W-token window (exact window-granular substring
+# dedup; stride = W keeps the row count at n_tokens / W), keep each
+# window's FIRST occurrence in (doc_id, window) order, strip the rest.
+
+SUBSTR_WINDOW = 50
+
+
+def substring_window_signatures(ds, window: int = SUBSTR_WINDOW):
+    """(doc_id, i, sig): 63-bit md5 of each non-overlapping ``window``-token
+    span (i = window ordinal).  Same md5_number_lower kernel as the exact
+    signatures, so the SQL oracle mirrors bit-for-bit."""
+
+    def _sigs(batch: pa.Table) -> pa.Table:
+        df = _token_lists(batch)  # noqa: F841 — duckdb replacement scan
+        tbl = df.to_arrow()  # noqa: F841
+        return (
+            _duck()
+            .execute(
+                f"""
+                select doc_id, i::BIGINT as i,
+                       (md5_number_lower(array_to_string(
+                          ts[i * {window} + 1 : i * {window} + {window}], ' '))
+                        % 9223372036854775808)::BIGINT as sig
+                from (select doc_id, ts,
+                             unnest(range(len(ts) // {window})) as i
+                      from tbl where len(ts) >= {window})
+                """
+            )
+            .arrow()
+        )
+
+    return ds.map_batches(_sigs, batch_format="pyarrow")
+
+
+def drop_duplicate_windows(ds, window: int = SUBSTR_WINDOW):
+    """Strip duplicate W-token windows corpus-wide, keeping each window's
+    first occurrence in (doc_id, window-ordinal) order.
+
+    Fully distributed: (1) window signatures; (2) groupby(sig) emits DROP
+    rows for every non-first occurrence — the shuffle key is a uniform
+    hash, and only duplicate windows leave the group; (3) drop rows ride a
+    schema-matched union back to the docs and a groupby(doc_id) rebuilds
+    each text without its dropped spans.  Returns (doc_id, text,
+    n_dropped_windows); docs shorter than one window pass through.
+    """
+    import numpy as np
+
+    def _drops(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        i = group.column("i").to_numpy()
+        order = np.lexsort((i, d))
+        keep = order[0]  # first occurrence in (doc_id, i) order
+        rest = np.setdiff1d(np.arange(len(d)), [keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(d[rest], pa.int64()),
+                "i": pa.array(i[rest], pa.int64()),
+                "text": pa.array([""] * len(rest), pa.large_string()),
+            }
+        )
+
+    drops = (
+        substring_window_signatures(ds, window)
+        .groupby("sig")
+        .map_groups(_drops, batch_format="pyarrow")
+    )
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "i": pa.array(np.full(n, -1, dtype=np.int64)),
+                "text": pc.cast(
+                    pc.fill_null(batch.column("text"), ""), pa.large_string()
+                ),
+            }
+        )
+
+    def _rebuild(group: pa.Table) -> pa.Table:
+        import re as _re
+
+        df = group.to_pandas()
+        doc_rows = df[df["i"] == -1]
+        if not len(doc_rows):  # drop rows for a doc outside this dataset
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.large_string()),
+                    "n_dropped_windows": pa.array([], pa.int64()),
+                }
+            )
+        text = doc_rows["text"].iloc[0]
+        dropped = sorted(int(x) for x in df.loc[df["i"] >= 0, "i"])
+        if dropped:
+            toks = _re.findall(TOKEN_PATTERN, (text or "").lower())
+            keep_tok = np.ones(len(toks), dtype=bool)
+            for i in dropped:
+                keep_tok[i * window : (i + 1) * window] = False
+            text = " ".join(t for t, k in zip(toks, keep_tok) if k)
+        return pa.table(
+            {
+                "doc_id": pa.array([int(doc_rows["doc_id"].iloc[0])], pa.int64()),
+                "text": pa.array([text], pa.large_string()),
+                "n_dropped_windows": pa.array([len(dropped)], pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(_tag_docs, batch_format="pyarrow")
+    return tagged.union(drops).groupby("doc_id").map_groups(
+        _rebuild, batch_format="pyarrow"
+    )

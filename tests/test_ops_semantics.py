@@ -518,3 +518,37 @@ def test_watermark_hierarchical_prefix(ray_session):
     got["window_start"] = got["window_start"].astype("datetime64[us]")
     want["window_start"] = want["window_start"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_drop_duplicate_windows(ray_session):
+    """Lee-et-al-style substring dedup: duplicated W-token windows keep
+    only their first (doc_id, ordinal) occurrence; texts rebuild without
+    the dropped spans."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops.dedup import drop_duplicate_windows
+
+    w = 4
+    boiler = "alpha beta gamma delta"  # one exact window
+    docs = [
+        f"{boiler} unique one two three",          # doc 0 owns the window
+        f"{boiler} other words here now",          # doc 1: window dropped
+        "totally fresh text with nothing shared",  # untouched
+        f"start pad pad pad {boiler}",             # doc 3: window dropped
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": docs})
+    )
+    out = (
+        drop_duplicate_windows(ds, window=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_dropped_windows"].tolist() == [0, 1, 0, 1]
+    assert out.loc[0, "text"] == docs[0]  # first occurrence intact
+    assert "alpha" not in out.loc[1, "text"] and "other" in out.loc[1, "text"]
+    assert out.loc[2, "text"] == docs[2]
+    # doc 3's second window (tokens 4..7) was the boilerplate
+    assert out.loc[3, "text"] == "start pad pad pad"
