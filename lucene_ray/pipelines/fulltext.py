@@ -1374,12 +1374,14 @@ def _sim_topk(sf_dir: str, sim, k: int) -> pa.Table:
 
 def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """(sim, qid, rnk, doc_id) across the pluggable similarities — Classic
-    TF-IDF, Boolean, and LMDirichlet — over the SAME index: the SimScorer
-    seam (SURVEY §2.9; reference similarities/ module)."""
+    TF-IDF, Boolean, LMDirichlet, and LMJelinekMercer — over the SAME
+    index: the SimScorer seam (SURVEY §2.9; reference similarities/
+    module)."""
     from ..search.similarities import (
         BooleanSimilarity,
         ClassicSimilarity,
         LMDirichletSimilarity,
+        LMJelinekMercerSimilarity,
     )
 
     parts = []
@@ -1387,6 +1389,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("classic", ClassicSimilarity()),
         ("boolean", BooleanSimilarity()),
         ("lmdirichlet", LMDirichletSimilarity()),
+        ("lmjm", LMJelinekMercerSimilarity(lam=0.1)),
     ):
         t = _sim_topk(sf_dir, sim, k)
         parts.append(

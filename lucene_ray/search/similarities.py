@@ -141,3 +141,63 @@ class LMDirichletSimilarity:
         ttf = sum(ts.total_term_freq for ts in term_stats)
         p = (ttf + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
         return _LMDirichletScorer(boost, self.mu, p)
+
+
+class _LMJelinekMercerScorer:
+    """SimScorer for Jelinek-Mercer: score = f32(max(0, boost * ln(1 +
+    ((1-lambda) * freq / dl) / (lambda * p)))) with dl the SmallFloat-
+    quantized length — double evaluation, one final float32 cast (same
+    documented deviation as _TableScorer)."""
+
+    def __init__(self, boost: float, lam: float, p_coll: float):
+        self.boost = float(boost)
+        self.lam = float(lam)
+        self.p = float(p_coll)
+        lt = LENGTH_TABLE.astype(np.float64)
+        # freq > 0 implies the doc has >=1 surviving token, so dl >= 1
+        self._inv_dl = 1.0 / np.maximum(lt, 1.0)
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        s = self.boost * np.log1p(
+            (1.0 - self.lam)
+            * float(freq)
+            * self._inv_dl[norm_byte & 0xFF]
+            / (self.lam * self.p)
+        )
+        return F32(max(s, 0.0))
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        s = self.boost * np.log1p(
+            (1.0 - self.lam)
+            * freqs.astype(np.float64)
+            * self._inv_dl[norm_bytes]
+            / (self.lam * self.p)
+        )
+        return np.maximum(s, 0.0).astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return self.score(freq, norm_byte)
+
+
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer linear-interpolation smoothing (reference
+    similarities/LMJelinekMercerSimilarity.java score():
+    boost * ln(1 + ((1-lambda)*freq/docLen) / (lambda*p(t|C))), with
+    LMSimilarity.DefaultCollectionModel p(t|C) = (ttf+1)/(sumTtf+1) and
+    SimilarityBase's 0-clamp). Increasing in freq, non-increasing in the
+    quantized length, so impact-skyline pruning stays valid unchanged."""
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam < 1.0):
+            raise ValueError("lambda must be in (0, 1)")
+        self.lam = float(lam)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _LMJelinekMercerScorer:
+        ttf = sum(ts.total_term_freq for ts in term_stats)
+        p = (ttf + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
+        return _LMJelinekMercerScorer(boost, self.lam, p)

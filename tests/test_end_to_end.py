@@ -274,6 +274,48 @@ def test_lmdirichlet_pruned_equals_complete_and_formula(built):
         raise AssertionError("hit doc not found in any segment")
 
 
+def test_lmjm_pruned_equals_complete_and_formula(built):
+    """LMJelinekMercer through the same impact machinery: TOP_SCORES ==
+    COMPLETE, and the top hit's score matches the closed-form double-eval
+    formula (similarities/LMJelinekMercerSimilarity.java score())."""
+    from lucene_ray.index.postings import decode_term
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import LMJelinekMercerSimilarity
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    _, searcher = built
+    root = os.path.dirname(searcher.manifest["segments"][0]["dir"])
+    lm = IndexSearcher(root, similarity=LMJelinekMercerSimilarity(lam=0.1))
+    for q in _query_set(lm)[:6]:
+        pruned = lm.search(q, 10)
+        complete = lm.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(s)) for d, s in pruned] == [
+            (d, np.float32(s)) for d, s in complete
+        ], q
+
+    term = "def"
+    hits = lm.search(TermQuery(term), 3)
+    assert hits
+    cstats = lm.collection_stats
+    tstats = lm.term_statistics({term})[term]
+    p = (tstats.total_term_freq + 1.0) / (cstats.sum_total_term_freq + 1.0)
+    doc, score = hits[0]
+    for seg in lm.manifest["segments"]:
+        r = SegmentReader(seg["dir"])
+        lo = seg["doc_base"]
+        if lo <= doc < lo + r.max_doc:
+            tid = r.term_id(term)
+            docs, tfs = decode_term(r.enc, tid)
+            tf = int(tfs[list(docs).index(doc - lo)])
+            ql = max(float(LENGTH_TABLE[int(r.norms[doc - lo])]), 1.0)
+            expect = np.float32(max(np.log1p((1.0 - 0.1) * tf / ql / (0.1 * p)), 0.0))
+            assert np.float32(score) == expect
+            break
+    else:
+        raise AssertionError("hit doc not found in any segment")
+
+
 def test_explain_matches_search_scores(built):
     """IndexSearcher.explain: the root Explanation value must equal the
     float32 score search() returns, for term / boosted / boolean queries,
