@@ -1247,7 +1247,7 @@ def _term_stats_family(sf_dir: str):
     import pandas as pd
 
     parts = []
-    for name in ("standard", "code", "english_minimal", "synonym"):
+    for name in ("standard", "code", "english_minimal", "synonym", "edge_ngram"):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
         parts.append(p)
@@ -1526,6 +1526,21 @@ tfx AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM expanded GROUP BY doc_id
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfx GROUP BY tok
 ) sy
+UNION ALL
+-- EdgeNGramTokenFilter (min_gram=1, max_gram=2 Lucene defaults): each
+-- token contributes its 1..min(len,2)-char prefixes
+SELECT 'edge_ngram', eg.* FROM (
+WITH {_TOKS},
+grams AS (
+  SELECT doc_id, substr(tok, 1, CAST(g AS INT)) AS gram
+  FROM (SELECT doc_id, tok,
+               unnest(range(1, least(length(tok), 2) + 1)) AS g
+        FROM tok)
+),
+tfg AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM grams GROUP BY doc_id, gram)
+SELECT gram AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfg GROUP BY gram
+) eg
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}
@@ -2376,10 +2391,19 @@ q6 AS (
        (SELECT doc_id, s_merge FROM p WHERE s_merge IS NOT NULL) m
        USING (doc_id)
 ),
+-- q7: lang:(en OR fr) AND spark — grouped field scope; the filter group
+-- is rank-neutral (constant-score SHOULD arms, lang single-valued), so
+-- ordering is the spark score over the lang-restricted doc set
+q7 AS (
+  SELECT 7 AS qid, p.doc_id, p.s_spark AS score
+  FROM p JOIN documents d ON d.doc_id = p.doc_id
+  WHERE p.s_spark IS NOT NULL AND d.lang IN ('en', 'fr')
+),
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
   UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6
+  UNION ALL SELECT * FROM q7
 ),
 ranked AS (
   SELECT qid, doc_id,

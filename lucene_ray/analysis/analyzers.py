@@ -631,6 +631,331 @@ class ShingleAnalyzer(StandardAnalyzer):
         return " ".join(super().normalize(w) for w in term.split())
 
 
+class WhitespaceAnalyzer(StandardAnalyzer):
+    """WhitespaceTokenizer (reference core/analysis/WhitespaceAnalyzer
+    .java / analysis/util/CharTokenizer.java isTokenChar=!isWhitespace):
+    maximal runs of non-whitespace codepoints, CASE PRESERVED (no
+    LowerCaseFilter — the word-delimiter graph needs case information).
+    Tokens longer than ``max_token_length`` split into chunks (the
+    CharTokenizer maxTokenLen behavior, not the skip the UAX#29 scanner
+    applies)."""
+
+    _WS_CPS = None  # lazy class-level whitespace codepoint table
+
+    @classmethod
+    def _ws_cps(cls):
+        if cls._WS_CPS is None:
+            cls._WS_CPS = np.array(
+                [c for c in range(0x3001) if chr(c).isspace()], dtype=np.uint32
+            )
+        return cls._WS_CPS
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for t in text.split():
+            while len(t) > self.max_token_length:
+                out.append(t[: self.max_token_length])
+                t = t[self.max_token_length :]
+            if t:
+                out.append(t)
+        return out
+
+    def normalize(self, term: str) -> str:
+        return term  # no lowercase: KeywordTokenizer-style normalization
+
+    def _batch_token_stream(self, texts: list[str]):
+        if not texts:
+            e = np.empty(0, np.int64)
+            return [], e, e, e, np.empty(0, np.int64), 0, e, e
+        joined = "\n".join(t or "" for t in texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        doc_lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(doc_lens + 1)))[:-1]
+        lengths = np.zeros(len(texts), dtype=np.int64)
+        e = np.empty(0, np.int64)
+        if len(cps) == 0:
+            return [], e, e, e, lengths, len(texts), e, e
+
+        is_tok = ~np.isin(cps, self._ws_cps())
+        n = len(cps)
+        starts = np.flatnonzero(is_tok & ~np.concatenate(([False], is_tok[:-1])))
+        ends = np.flatnonzero(is_tok & ~np.concatenate((is_tok[1:], [False]))) + 1
+        if len(starts) == 0:
+            return [], e, e, e, lengths, len(texts), e, e
+        cap = self.max_token_length
+        if (ends - starts).max() > cap:  # chunk long runs (rare path)
+            ns, ne = [], []
+            for s, t in zip(starts.tolist(), ends.tolist()):
+                while t - s > cap:
+                    ns.append(s)
+                    ne.append(s + cap)
+                    s += cap
+                ns.append(s)
+                ne.append(t)
+            starts = np.array(ns, dtype=np.int64)
+            ends = np.array(ne, dtype=np.int64)
+        n_tok = len(starts)
+        doc_ids = np.searchsorted(doc_off, starts, side="right") - 1
+        run_start = np.empty(n_tok, dtype=np.int64)
+        first = np.empty(n_tok, dtype=bool)
+        first[0] = True
+        first[1:] = doc_ids[1:] != doc_ids[:-1]
+        run_start[first] = np.flatnonzero(first)
+        np.maximum.accumulate(np.where(first, run_start, 0), out=run_start)
+        positions = np.arange(n_tok, dtype=np.int64) - run_start
+
+        tok_lens = ends - starts
+        gids = np.zeros(n_tok, dtype=np.int64)
+        vocab: list[str] = []
+        base = 0
+        for L in np.unique(tok_lens):
+            sel = np.flatnonzero(tok_lens == L)
+            mat = cps[starts[sel, None] + np.arange(L)[None, :]]
+            mat = np.ascontiguousarray(mat.astype("<u4"))
+            view = mat.view(f"V{int(L) * 4}").ravel()
+            uniq, inv = np.unique(view, return_inverse=True)
+            gids[sel] = base + inv
+            ubytes = uniq.tobytes()
+            step = int(L) * 4
+            vocab.extend(
+                ubytes[i : i + step].decode("utf-32-le")
+                for i in range(0, len(ubytes), step)
+            )
+            base += len(uniq)
+
+        off_s = starts - doc_off[doc_ids]
+        off_e = ends - doc_off[doc_ids]
+        lengths = np.bincount(doc_ids, minlength=len(texts)).astype(np.int64)
+
+        encd = [t.encode("utf-8") for t in vocab]
+        order = sorted(range(len(vocab)), key=encd.__getitem__)
+        remap = np.empty(len(vocab), dtype=np.int64)
+        remap[np.asarray(order, dtype=np.int64)] = np.arange(len(vocab), dtype=np.int64)
+        sorted_vocab = [vocab[i] for i in order]
+        return (
+            sorted_vocab,
+            remap[gids],
+            doc_ids,
+            positions,
+            lengths,
+            len(texts),
+            off_s,
+            off_e,
+        )
+
+
+class WordDelimiterGraphAnalyzer(WhitespaceAnalyzer):
+    """WhitespaceTokenizer -> WordDelimiterGraphFilter -> LowerCaseFilter
+    (reference miscellaneous/WordDelimiterGraphFilter.java; the chain
+    order Lucene documents — lowercase AFTER the graph filter so case
+    changes still split).  The per-unique-term expansion
+    (worddelim.expand_term) is replayed over the whole stream with numpy
+    repeat/cumsum: subword parts advance positions (downstream tokens
+    shift, the graph behavior), overlays (preserve_original /
+    catenate_*) sit at their first part's position with posIncrement 0
+    and are DISCOUNTED from the norm length (FieldInvertState.numOverlap
+    semantics); a token of pure delimiters leaves a position gap."""
+
+    def __init__(self, max_token_length: int = 255, **flags):
+        super().__init__(max_token_length=max_token_length)
+        self.flags = flags
+        self._memo: dict[str, list] = {}
+
+    def _expand(self, term: str):
+        from .worddelim import expand_term
+
+        m = self._memo.get(term)
+        if m is None:
+            m = expand_term(term, **self.flags)
+            if len(self._memo) < 1 << 20:
+                self._memo[term] = m
+        return m
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for t in super().tokens(text):
+            out.extend(e.text for e in self._expand(t) if e.text is not None)
+        return out
+
+    def analyze(self, text: str):
+        toks: list[str] = []
+        n_real = 0
+        for t in super().tokens(text):
+            for em in self._expand(t):
+                if em.text is not None:
+                    toks.append(em.text)
+                    if em.advance:
+                        n_real += 1
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), n_real
+
+    def normalize(self, term: str) -> str:
+        return term.lower()  # query-side single-term normalization
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        e = np.empty(0, np.int64)
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+
+        # per-unique-term expansion tables
+        exps = [self._expand(t) for t in vocab]
+        new_vocab = sorted(
+            {em.text for ex in exps for em in ex if em.text is not None},
+            key=lambda s: s.encode("utf-8"),
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        counts = np.array([len(ex) for ex in exps], dtype=np.int64)
+        tbase = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        flat_tid = np.array(
+            [pos_of[em.text] if em.text is not None else -1 for ex in exps for em in ex],
+            dtype=np.int64,
+        )
+        flat_rs = np.array([em.rel_s for ex in exps for em in ex], dtype=np.int64)
+        flat_re = np.array([em.rel_e for ex in exps for em in ex], dtype=np.int64)
+        flat_adv = np.array([em.advance for ex in exps for em in ex], dtype=np.int64)
+
+        # replay: row r emits counts[tids[r]] sub-rows in stream order
+        per_row = counts[tids]
+        total = int(per_row.sum())
+        if total == 0:
+            return [], e, e, e, np.zeros(n_docs, np.int64), n_docs, e, e
+        rep = np.repeat(np.arange(len(tids), dtype=np.int64), per_row)
+        row_base = np.concatenate(([0], np.cumsum(per_row)))[:-1]
+        k = np.arange(total, dtype=np.int64) - row_base[rep]
+        eidx = tbase[tids[rep]] + k
+
+        adv = flat_adv[eidx]
+        new_docs = doc_ids[rep]
+        # per-doc position = inclusive cumsum of advances - 1, reset per doc
+        g = np.cumsum(adv)
+        doc_first = np.empty(total, dtype=bool)
+        doc_first[0] = True
+        doc_first[1:] = new_docs[1:] != new_docs[:-1]
+        seed = np.where(doc_first, g - adv, 0)
+        np.maximum.accumulate(seed, out=seed)
+        new_pos = np.maximum(g - seed - 1, 0)  # clamp: overlap before any real token
+
+        new_tids = flat_tid[eidx]
+        new_os = off_s[rep] + flat_rs[eidx]
+        new_oe = off_s[rep] + flat_re[eidx]
+
+        real = new_tids >= 0
+        lengths = np.bincount(
+            new_docs[real & (adv == 1)], minlength=n_docs
+        ).astype(np.int64)
+        return (
+            new_vocab,
+            new_tids[real],
+            new_docs[real],
+            new_pos[real],
+            lengths,
+            n_docs,
+            new_os[real],
+            new_oe[real],
+        )
+
+
+class EdgeNGramAnalyzer(StandardAnalyzer):
+    """StandardTokenizer + LowerCase + EdgeNGramTokenFilter (reference
+    analysis/ngram/EdgeNGramTokenFilter.java): each token emits its
+    prefixes of length min_gram..max_gram, ALL at the token's position
+    (grams after the first are posIncrement-0 overlaps, discounted from
+    the norm); ``preserve_original`` also emits tokens longer than
+    max_gram in full; tokens shorter than min_gram DROP with a position
+    gap.  The autocomplete index shape: index with grams, search with
+    the plain standard analyzer."""
+
+    def __init__(
+        self,
+        min_gram: int = 1,
+        max_gram: int = 2,
+        preserve_original: bool = False,
+        **kw,
+    ):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError("need 1 <= min_gram <= max_gram")
+        super().__init__(**kw)
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.preserve_original = preserve_original
+
+    def _grams(self, t: str) -> list[str]:
+        if len(t) < self.min_gram:
+            return []
+        out = [t[:i] for i in range(self.min_gram, min(len(t), self.max_gram) + 1)]
+        if self.preserve_original and len(t) > self.max_gram:
+            out.append(t)
+        return out
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for t in super().tokens(text):
+            out.extend(self._grams(t))
+        return out
+
+    def analyze(self, text: str):
+        base = super().tokens(text)
+        toks: list[str] = []
+        n_real = 0
+        for t in base:
+            g = self._grams(t)
+            toks.extend(g)
+            n_real += bool(g)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), n_real
+
+    def normalize(self, term: str) -> str:
+        return super().normalize(term)[: self.max_gram]
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        e = np.empty(0, np.int64)
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        exps = [self._grams(t) for t in vocab]
+        new_vocab = sorted(
+            {g for ex in exps for g in ex}, key=lambda s: s.encode("utf-8")
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        counts = np.array([len(ex) for ex in exps], dtype=np.int64)
+        tbase = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        flat_tid = np.array([pos_of[g] for ex in exps for g in ex], dtype=np.int64)
+        flat_len = np.array([len(g) for ex in exps for g in ex], dtype=np.int64)
+
+        per_row = counts[tids]
+        total = int(per_row.sum())
+        if total == 0:
+            return [], e, e, e, np.zeros(n_docs, np.int64), n_docs, e, e
+        rep = np.repeat(np.arange(len(tids), dtype=np.int64), per_row)
+        row_base = np.concatenate(([0], np.cumsum(per_row)))[:-1]
+        k = np.arange(total, dtype=np.int64) - row_base[rep]
+        eidx = tbase[tids[rep]] + k
+        # grams keep the source token's position (posInc 0 overlaps after
+        # the first); norm length counts source tokens that emitted >= 1
+        lengths = np.bincount(
+            doc_ids[per_row > 0], minlength=n_docs
+        ).astype(np.int64)
+        return (
+            new_vocab,
+            flat_tid[eidx],
+            doc_ids[rep],
+            positions[rep],
+            lengths,
+            n_docs,
+            off_s[rep],
+            off_s[rep] + flat_len[eidx],
+        )
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -641,8 +966,19 @@ ANALYZERS = {
     "english_minimal": EnglishMinimalAnalyzer,
     "synonym": SynonymExpandAnalyzer,
     "shingle": ShingleAnalyzer,
+    "whitespace": WhitespaceAnalyzer,
+    "word_delimiter": WordDelimiterGraphAnalyzer,
+    "edge_ngram": EdgeNGramAnalyzer,
 }
 
 
-def make_analyzer(name: str = "standard", **kw):
+def make_analyzer(name: str | dict = "standard", **kw):
+    """Build an analyzer from a registry name, or from a JSON-able dict
+    spec ``{"name": ..., **kwargs}`` — the dict form threads parameterized
+    analyzers (edge_ngram gram sizes, word_delimiter flags) through the
+    build -> manifest -> reopen path unchanged."""
+    if isinstance(name, dict):
+        spec = dict(name)
+        name = spec.pop("name")
+        kw = {**spec, **kw}
     return ANALYZERS[name](**kw)

@@ -1118,6 +1118,9 @@ PARSED_QUERIES = [
     # phrase-in-clause (r3 verdict item #10)
     "text:spark AND lang:en",
     'text:"spark join"~1^2 OR merge',
+    # grouped field scope (classic ``field:(a OR b)`` syntax): the scope
+    # applies to every atom in the group; filters are rank-neutral
+    "lang:(en OR fr) AND spark",
 ]
 
 

@@ -196,6 +196,7 @@ def _parse_group(
     analyzer,
     default_field: str = "text",
     stored_fields: tuple[str, ...] = (),
+    scope: str | None = None,
 ) -> tuple[Query | None, int]:
     """Parse clauses until RPAREN/end; returns (query, index past group).
 
@@ -204,7 +205,9 @@ def _parse_group(
     a name in ``stored_fields`` becomes a constant-score
     StoredFieldFilter on that metadata column (word and phrase atoms;
     the value is taken verbatim), and an unknown field is LENIENTLY
-    treated as the default field."""
+    treated as the default field.  ``field:(a OR b)`` scopes every atom
+    in the group to ``field`` (classic grouped-field syntax); an inner
+    ``other:`` prefix overrides the scope for its own atom."""
     clauses: list[BooleanClause] = []
     conj: str | None = None
     mod: str | None = None
@@ -239,15 +242,18 @@ def _parse_group(
             continue
 
         # --- atom ---
+        eff_field = field if field is not None else scope
         q: Query | None
-        if t.kind == "word" and field in stored_fields:
-            q = StoredFieldFilter(field, t.val)
+        if t.kind == "word" and eff_field in stored_fields:
+            q = StoredFieldFilter(eff_field, t.val)
             i += 1
-        elif t.kind == "phrase" and field in stored_fields:
-            q = StoredFieldFilter(field, t.val[0])
+        elif t.kind == "phrase" and eff_field in stored_fields:
+            q = StoredFieldFilter(eff_field, t.val[0])
             i += 1
         elif t.kind == "lparen":
-            q, i = _parse_group(toks, i + 1, analyzer, default_field, stored_fields)
+            q, i = _parse_group(
+                toks, i + 1, analyzer, default_field, stored_fields, scope=eff_field
+            )
         elif t.kind == "phrase":
             raw, slop = t.val
             words = tuple(analyzer.normalize(w) for w in raw.split() if w)

@@ -142,6 +142,42 @@ def test_classic_shapes():
     assert parse_classic("a && b || !c", A) == parse_classic("a AND b OR NOT c", A)
 
 
+def test_classic_grouped_field_scope():
+    """``field:(a OR b)`` scopes every atom in the group to the field
+    (classic grouped-field syntax); inner ``other:`` overrides; the
+    default field inside a stored-field scope still routes to text."""
+    from lucene_ray.search.query import StoredFieldFilter
+
+    q = parse_classic("lang:(en OR fr)", A, stored_fields=("lang",))
+    assert q == BooleanQuery((
+        BooleanClause(StoredFieldFilter("lang", "en"), "SHOULD"),
+        BooleanClause(StoredFieldFilter("lang", "fr"), "SHOULD"),
+    ))
+    # inner explicit field overrides the group scope
+    q = parse_classic(
+        "lang:(en OR site:web)", A, stored_fields=("lang", "site")
+    )
+    assert q == BooleanQuery((
+        BooleanClause(StoredFieldFilter("lang", "en"), "SHOULD"),
+        BooleanClause(StoredFieldFilter("site", "web"), "SHOULD"),
+    ))
+    # text:(...) group is the default field: plain term queries
+    q = parse_classic("text:(spark AND join)", A, stored_fields=("lang",))
+    assert q == BooleanQuery((
+        BooleanClause(TermQuery("spark"), "MUST"),
+        BooleanClause(TermQuery("join"), "MUST"),
+    ))
+    # scope survives nesting: lang:((en))
+    q = parse_classic("lang:((en))", A, stored_fields=("lang",))
+    assert q == StoredFieldFilter("lang", "en")
+    # without stored_fields the unknown field is lenient -> text terms
+    q = parse_classic("lang:(en fr)", A)
+    assert q == BooleanQuery((
+        BooleanClause(TermQuery("en"), "SHOULD"),
+        BooleanClause(TermQuery("fr"), "SHOULD"),
+    ))
+
+
 def test_classic_end_to_end_equals_programmatic(idx):
     s = IndexSearcher(idx)
     parsed = parse_classic("(def OR return) AND class", A)
