@@ -2399,11 +2399,20 @@ q7 AS (
   FROM p JOIN documents d ON d.doc_id = p.doc_id
   WHERE p.s_spark IS NOT NULL AND d.lang IN ('en', 'fr')
 ),
+-- q8: SimpleQueryParser "spark|join merge" (default op MUST) — the
+-- right-to-left state machine builds ((spark OR join) MUST, merge MUST),
+-- identical scoring shape to classic q0
+q8 AS (
+  SELECT 8 AS qid, doc_id,
+         coalesce(s_spark, 0) + coalesce(s_join, 0) + s_merge AS score
+  FROM p WHERE (s_spark IS NOT NULL OR s_join IS NOT NULL)
+          AND s_merge IS NOT NULL
+),
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
   UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6
-  UNION ALL SELECT * FROM q7
+  UNION ALL SELECT * FROM q7 UNION ALL SELECT * FROM q8
 ),
 ranked AS (
   SELECT qid, doc_id,

@@ -1123,6 +1123,12 @@ PARSED_QUERIES = [
     "lang:(en OR fr) AND spark",
 ]
 
+# SimpleQueryParser strings (queryparser/simple) run through parse_simple
+# with default operator MUST; "spark|join merge" builds the same tree as
+# classic q0 "(spark OR join) AND merge" via the right-to-left state
+# machine, so the oracle SQL is shared shape-for-shape
+SIMPLE_PARSED_QUERIES = ["spark|join merge"]
+
 
 def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """BM25 top-k for CLASSIC-parsed query strings (qid, rnk, doc_id):
@@ -1131,7 +1137,7 @@ def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
     promotion, boosts as BoostQuery, constant-score multi-term atoms) and
     then the ordinary distributed search path."""
     from ..analysis.analyzers import make_analyzer
-    from ..search.parser import parse_classic
+    from ..search.parser import parse_classic, parse_simple
     from ..search.searcher import DistributedSearcher
 
     # positions index: the phrase-in-clause strings need them (TermQuery
@@ -1139,9 +1145,15 @@ def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
     idx = ensure_index(sf_dir, index_options="positions")
     searcher = DistributedSearcher(idx, num_workers=4)
     analyzer = make_analyzer("standard")
+    parses = [
+        (s, parse_classic(s, analyzer, stored_fields=("lang", "source")))
+        for s in PARSED_QUERIES
+    ] + [
+        (s, parse_simple(s, analyzer, default_operator="MUST"))
+        for s in SIMPLE_PARSED_QUERIES
+    ]
     qids, rnks, docs = [], [], []
-    for qid, s in enumerate(PARSED_QUERIES):
-        q = parse_classic(s, analyzer, stored_fields=("lang", "source"))
+    for qid, (s, q) in enumerate(parses):
         hits = searcher.search(q, k)
         for rnk, (doc, _s) in enumerate(hits, start=1):
             qids.append(qid)

