@@ -465,6 +465,71 @@ def _ordered_proximity_sql() -> str:
     )
 
 
+def _surround_sql() -> str:
+    """Compile each surround query's parsed AST straight to a match-set
+    predicate over the positions table p — booleans become AND/OR/AND NOT
+    of EXISTS, distance nodes a k-way positions join with the SpanNear
+    width rule (span <= k + dist - 1; ordered adds strictly-increasing
+    positions), truncation becomes LIKE over the token column.  The
+    compiler walking the same AST the engine evaluates makes the oracle a
+    true semantic cross-check rather than a second hand-derivation."""
+    from lucene_ray.search.surround import SBool, SProx, STerm, parse_surround
+
+    def tokcond(node, a: str) -> str:
+        if isinstance(node, STerm):
+            if "*" in node.text or "?" in node.text:
+                pat = (
+                    node.text.replace("\\", "\\\\")
+                    .replace("%", "\\%")
+                    .replace("_", "\\_")
+                    .replace("*", "%")
+                    .replace("?", "_")
+                )
+                return f"{a}.tok LIKE '{pat}' ESCAPE '\\'"
+            return f"{a}.tok = '{node.text}'"
+        assert isinstance(node, SBool) and node.op == "or"
+        return "(" + " OR ".join(tokcond(c, a) for c in node.children) + ")"
+
+    def pred(node) -> str:
+        if isinstance(node, STerm):
+            return (
+                "EXISTS (SELECT 1 FROM p x WHERE x.doc_id = d.doc_id "
+                f"AND {tokcond(node, 'x')})"
+            )
+        if isinstance(node, SBool):
+            a, b = (pred(c) for c in node.children)
+            return {
+                "and": f"({a} AND {b})",
+                "or": f"({a} OR {b})",
+                "not": f"({a} AND NOT {b})",
+            }[node.op]
+        assert isinstance(node, SProx)
+        k = len(node.children)
+        win = k + node.dist - 1
+        aliases = [f"a{i}" for i in range(k)]
+        froms = ", ".join(f"p {a}" for a in aliases)
+        conds = [f"{a}.doc_id = d.doc_id" for a in aliases]
+        conds += [tokcond(c, a) for a, c in zip(aliases, node.children)]
+        if node.ordered:
+            conds += [f"{aliases[i]}.i < {aliases[i + 1]}.i" for i in range(k - 1)]
+            conds.append(f"{aliases[-1]}.i - {aliases[0]}.i + 1 <= {win}")
+        else:
+            g = ", ".join(f"{a}.i" for a in aliases)
+            conds.append(f"greatest({g}) - least({g}) + 1 <= {win}")
+        return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
+
+    parts = [
+        f"SELECT {qid}::BIGINT AS qid, d.doc_id FROM documents d "
+        f"WHERE {pred(parse_surround(qs))}"
+        for qid, qs in enumerate(ft.SURROUND_QUERIES)
+    ]
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "sur AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _phrase_sloppy_sql() -> str:
     """k-term sloppy phrase tuple counts: greatest(p_i - i) - least(p_i - i)
     <= slop (the match-width oracle for search/multiterm.
@@ -1308,12 +1373,17 @@ def _proximity_family(sf_dir: str):
     cont = cont.rename(columns={"n": "n_starts"})
     disj = ft.or_proximity_matches(sf_dir).to_pandas()
     disj = disj.rename(columns={"n": "n_starts"})
+    # queryparser/surround language (booleans + W/N distance + truncation),
+    # parsed then evaluated per segment; match-set only (n_starts = -1)
+    sur = ft.surround_matches(sf_dir).to_pandas()
+    sur["n_starts"] = -1
     return _concat_family(
         [
             ("unordered", un),
             ("ordered", ft.ordered_proximity_matches(sf_dir)),
             ("containing", cont),
             ("or", disj),
+            ("surround", sur),
         ]
     )
 
@@ -1987,6 +2057,9 @@ FROM (WITH {_TOKS}, {_containing_sql()} SELECT qid, doc_id, n FROM cprox)
 UNION ALL
 SELECT 'or', qid, doc_id, n
 FROM (WITH {_TOKS}, {_or_proximity_sql()} SELECT qid, doc_id, n FROM orprox)
+UNION ALL
+SELECT 'surround', qid, doc_id, -1::BIGINT
+FROM (WITH {_TOKS}, {_surround_sql()} SELECT qid, doc_id FROM sur)
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

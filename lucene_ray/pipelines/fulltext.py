@@ -989,6 +989,10 @@ def _seg_positional_matches(
                 d, n = mt.or_proximity_matches_segment(
                     r, tuple(tuple(s) for s in payload[0]), payload[1]
                 )
+            elif kind == "surround":
+                from ..search.surround import parse_surround, surround_matches_segment
+
+                d, n = surround_matches_segment(r, parse_surround(payload))
             else:  # pragma: no cover
                 raise ValueError(kind)
             qids.extend([qid] * len(d))
@@ -1864,6 +1868,23 @@ OR_PROXIMITY_QUERIES = [
     ((("hash",), ("stream", "vector"), ("row",)), 12),
 ]
 
+# Surround query-language strings (queryparser/surround QueryParser.jj);
+# one per grammar production: infix booleans, ordered W / unordered N
+# distance (infix + prefix forms), OR sources inside distance, truncation,
+# grouping, precedence mixing.  Kept lowercase (standard analyzer norm).
+SURROUND_QUERIES = [
+    "spark AND join",
+    "merge OR window",
+    "customer NOT stream",
+    "spark 3W join",
+    "merge 4N customer",
+    "3N(hash, stream, row)",
+    "2W(the, customer)",
+    "(spark OR merge) 5N customer",
+    "cust* AND join",
+    "spark AND join 2W order",
+]
+
 
 def containing_proximity_matches(sf_dir: str):
     """(qid, doc_id, n) for Intervals.containing/notContaining — minimal
@@ -1893,6 +1914,14 @@ def ordered_proximity_matches(sf_dir: str):
     begin a valid chain — distributed per segment."""
     idx = ensure_index(sf_dir, index_options="positions")
     return _positional_matches_ds(idx, PROXIMITY_QUERIES, "ordered_proximity", "n_starts")
+
+
+def surround_matches(sf_dir: str):
+    """(qid, doc_id) match sets for the surround query-language set
+    (queryparser/surround: booleans + W/N distance + truncation), parsed
+    and evaluated per segment — distributed like the intervals family."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, SURROUND_QUERIES, "surround", None)
 
 
 # --- facet counts (lucene/facet module analogue) --------------------------
