@@ -465,6 +465,87 @@ def _ordered_proximity_sql() -> str:
     )
 
 
+def _spans_sql() -> str:
+    """Compile each SpanQuery AST to a subquery producing its doc's FULL
+    DISTINCT span set (doc_id, s, e) — term = positions, or = UNION
+    (dedup), near = k-way span join with the SpanNearQuery width rule
+    ((span width) - sum(child widths) <= slop; ordered adds e_i < s_{i+1}),
+    not/first/containing/within = row filters — then count spans per doc.
+    The compiler walks the SAME AST the engine evaluates
+    (search/spans.py), so set and count are a true semantic cross-check."""
+    from lucene_ray.search.spans import (
+        SpanContaining,
+        SpanFirst,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+        SpanWithin,
+    )
+
+    def sub(node) -> str:
+        if isinstance(node, SpanTerm):
+            return f"(SELECT doc_id, i AS s, i AS e FROM p WHERE tok = '{node.term}')"
+        if isinstance(node, SpanOr):
+            u = " UNION ".join(
+                f"SELECT doc_id, s, e FROM {sub(c)} AS u{i}"
+                for i, c in enumerate(node.children)
+            )
+            return f"({u})"
+        if isinstance(node, SpanNear):
+            k = len(node.children)
+            al = [f"c{i}" for i in range(k)]
+            froms = ", ".join(f"{sub(c)} {a}" for c, a in zip(node.children, al))
+            conds = [f"{a}.doc_id = c0.doc_id" for a in al[1:]]
+            wsum = " + ".join(f"({a}.e - {a}.s + 1)" for a in al)
+            if node.in_order:
+                conds += [f"{al[i]}.e < {al[i + 1]}.s" for i in range(k - 1)]
+                span_s, span_e = "c0.s", f"{al[-1]}.e"
+            else:
+                span_s = "least(" + ", ".join(f"{a}.s" for a in al) + ")"
+                span_e = "greatest(" + ", ".join(f"{a}.e" for a in al) + ")"
+            conds.append(f"({span_e} - {span_s} + 1) - ({wsum}) <= {node.slop}")
+            return (
+                f"(SELECT DISTINCT c0.doc_id AS doc_id, {span_s} AS s, "
+                f"{span_e} AS e FROM {froms} WHERE {' AND '.join(conds)})"
+            )
+        if isinstance(node, SpanNot):
+            return (
+                f"(SELECT i.doc_id, i.s, i.e FROM {sub(node.include)} i "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {sub(node.exclude)} x "
+                f"WHERE x.doc_id = i.doc_id AND x.s <= i.e + {node.post} "
+                f"AND x.e >= i.s - {node.pre}))"
+            )
+        if isinstance(node, SpanFirst):
+            return (
+                f"(SELECT doc_id, s, e FROM {sub(node.child)} f "
+                f"WHERE e < {node.end})"
+            )
+        if isinstance(node, SpanContaining):
+            return (
+                f"(SELECT b.doc_id, b.s, b.e FROM {sub(node.big)} b "
+                f"WHERE EXISTS (SELECT 1 FROM {sub(node.little)} l "
+                f"WHERE l.doc_id = b.doc_id AND b.s <= l.s AND l.e <= b.e))"
+            )
+        assert isinstance(node, SpanWithin)
+        return (
+            f"(SELECT l.doc_id, l.s, l.e FROM {sub(node.little)} l "
+            f"WHERE EXISTS (SELECT 1 FROM {sub(node.big)} b "
+            f"WHERE b.doc_id = l.doc_id AND b.s <= l.s AND l.e <= b.e))"
+        )
+
+    parts = [
+        f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n "
+        f"FROM {sub(q)} r GROUP BY doc_id"
+        for qid, q in enumerate(ft._span_queries())
+    ]
+    return (
+        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
+        "spn AS (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
 def _surround_sql() -> str:
     """Compile each surround query's parsed AST straight to a match-set
     predicate over the positions table p — booleans become AND/OR/AND NOT
@@ -1377,6 +1458,9 @@ def _proximity_family(sf_dir: str):
     # parsed then evaluated per segment; match-set only (n_starts = -1)
     sur = ft.surround_matches(sf_dir).to_pandas()
     sur["n_starts"] = -1
+    # SpanQuery family (queries/spans): distinct-span counts from the
+    # compositional span algebra, oracle-compiled from the same ASTs
+    spn = ft.span_matches(sf_dir).to_pandas().rename(columns={"n": "n_starts"})
     return _concat_family(
         [
             ("unordered", un),
@@ -1384,6 +1468,7 @@ def _proximity_family(sf_dir: str):
             ("containing", cont),
             ("or", disj),
             ("surround", sur),
+            ("spans", spn),
         ]
     )
 
@@ -2060,6 +2145,9 @@ FROM (WITH {_TOKS}, {_or_proximity_sql()} SELECT qid, doc_id, n FROM orprox)
 UNION ALL
 SELECT 'surround', qid, doc_id, -1::BIGINT
 FROM (WITH {_TOKS}, {_surround_sql()} SELECT qid, doc_id FROM sur)
+UNION ALL
+SELECT 'spans', qid, doc_id, n
+FROM (WITH {_TOKS}, {_spans_sql()} SELECT qid, doc_id, n FROM spn)
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

@@ -993,6 +993,10 @@ def _seg_positional_matches(
                 from ..search.surround import parse_surround, surround_matches_segment
 
                 d, n = surround_matches_segment(r, parse_surround(payload))
+            elif kind == "spans":
+                from ..search.spans import span_matches_segment
+
+                d, n = span_matches_segment(r, payload)
             else:  # pragma: no cover
                 raise ValueError(kind)
             qids.extend([qid] * len(d))
@@ -1922,6 +1926,65 @@ def surround_matches(sf_dir: str):
     and evaluated per segment — distributed like the intervals family."""
     idx = ensure_index(sf_dir, index_options="positions")
     return _positional_matches_ds(idx, SURROUND_QUERIES, "surround", None)
+
+
+def _span_queries():
+    """The SpanQuery driver set — one AST per combinator (near ordered /
+    unordered, or-source nesting, not with pre/post, first, containing,
+    within) so every span relation is oracle-checked.  Built lazily (a
+    function, not a module constant) to keep the spans import off the
+    module-load path."""
+    from ..search.spans import (
+        SpanContaining,
+        SpanFirst,
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+        SpanWithin,
+    )
+
+    t = SpanTerm
+    return [
+        # ordered near over plain terms
+        SpanNear((t("spark"), t("join")), slop=4, in_order=True),
+        # unordered near, 3 terms
+        SpanNear((t("merge"), t("window"), t("customer")), slop=8, in_order=False),
+        # nested: or-source inside an ordered near (SpanOrQuery as clause)
+        SpanNear((SpanOr((t("join"), t("order"))), t("customer")), slop=3, in_order=True),
+        # not: unordered near windows with no nearby "batch" (pre/post buffer)
+        SpanNot(
+            SpanNear((t("window"), t("group")), slop=6, in_order=False),
+            t("batch"),
+            pre=1,
+            post=1,
+        ),
+        # first: "query" within the first 8 positions
+        SpanFirst(t("query"), 8),
+        # containing: ordered near spans that contain an "order" occurrence
+        SpanContaining(
+            SpanNear((t("the"), t("customer")), slop=5, in_order=True), t("order")
+        ),
+        # within: "group" occurrences inside an unordered near window
+        SpanWithin(
+            t("group"), SpanNear((t("window"), t("query")), slop=6, in_order=False)
+        ),
+        # nested near-of-near: ordered chain whose second clause is itself
+        # an unordered pair (composition depth 2)
+        SpanNear(
+            (t("spark"), SpanNear((t("group"), t("query")), slop=4, in_order=False)),
+            slop=6,
+            in_order=True,
+        ),
+    ]
+
+
+def span_matches(sf_dir: str):
+    """(qid, doc_id, n) distinct-span counts for the SpanQuery family
+    (queries/spans: SpanTerm/Near/Or/Not/First/Containing/Within) —
+    distributed per segment like the intervals family."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, _span_queries(), "spans", "n")
 
 
 # --- facet counts (lucene/facet module analogue) --------------------------
