@@ -2384,6 +2384,115 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
+UNION ALL
+-- DFR I(n)L2 (c=1): tfn = tf*log2(1+avgdl/ql);
+--   score = log2((N+1)/(df+0.5)) * tfn/(1+tfn)
+SELECT 'dfr_inl2', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           log2((s.doc_count + 1) / (df.df + 0.5))
+             * (p.tf * log2(1 + (s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1)))
+             / (1 + p.tf * log2(1 + (s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1))),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- IB LL/DF/H2: lambda = (df+1)/(N+1); score = ln(1 + tfn/lambda)
+SELECT 'ib_ll', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           ln(1 + (p.tf * log2(1 + (s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1)))
+                    / ((df.df + 1.0) / (s.doc_count + 1.0))),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- AxiomaticF2EXP (s=0.5, k=0.35):
+--   score = ((N+1)/df)^0.35 * tf/(tf + 0.5 + 0.5*ql/avgdl)
+SELECT 'ax_f2exp', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           pow((s.doc_count + 1.0) / df.df, 0.35)
+             * p.tf / (p.tf + 0.5 + 0.5 * greatest(d.ql, 1)
+                        / (s.sum_ttf * 1.0 / s.doc_count)),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         "ft_facet_counts": f"""
 WITH {_TOKS},

@@ -1397,12 +1397,15 @@ def _sim_topk(sf_dir: str, sim, k: int) -> pa.Table:
 
 def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """(sim, qid, rnk, doc_id) across the pluggable similarities — Classic
-    TF-IDF, Boolean, LMDirichlet, and LMJelinekMercer — over the SAME
-    index: the SimScorer seam (SURVEY §2.9; reference similarities/
-    module)."""
+    TF-IDF, Boolean, LMDirichlet, LMJelinekMercer, DFR I(n)L2, IB LL/DF/H2
+    and AxiomaticF2EXP — over the SAME index: the SimScorer seam (SURVEY
+    §2.9; reference similarities/ module)."""
     from ..search.similarities import (
+        AxiomaticF2EXP,
         BooleanSimilarity,
         ClassicSimilarity,
+        DFRSimilarity,
+        IBSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
     )
@@ -1413,6 +1416,9 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("boolean", BooleanSimilarity()),
         ("lmdirichlet", LMDirichletSimilarity()),
         ("lmjm", LMJelinekMercerSimilarity(lam=0.1)),
+        ("dfr_inl2", DFRSimilarity()),
+        ("ib_ll", IBSimilarity()),
+        ("ax_f2exp", AxiomaticF2EXP()),
     ):
         t = _sim_topk(sf_dir, sim, k)
         parts.append(

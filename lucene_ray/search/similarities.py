@@ -179,6 +179,143 @@ class _LMJelinekMercerScorer:
         return self.score(freq, norm_byte)
 
 
+class _FreqNormScorer:
+    """SimScorer for the freq×per-norm-byte-table families (DFR / IB /
+    Axiomatic below): score = f32(max(0, fn(freq, table[norm]))) evaluated
+    in DOUBLE with one final float32 cast (same documented deviation as
+    _TableScorer)."""
+
+    def __init__(self, fn, table: np.ndarray):
+        self._fn = fn
+        self._table = table.astype(np.float64)
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        return F32(max(float(self._fn(np.float64(freq), self._table[norm_byte & 0xFF])), 0.0))
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        s = self._fn(freqs.astype(np.float64), self._table[norm_bytes])
+        return np.maximum(s, 0.0).astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return self.score(freq, norm_byte)
+
+
+def _quantized_dl() -> np.ndarray:
+    """SmallFloat-quantized doc length per norm byte, floored at 1 (freq
+    > 0 implies >= 1 surviving token)."""
+    return np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+
+
+class DFRSimilarity:
+    """Divergence-from-randomness, the I(n)L2 combination (reference
+    similarities/DFRSimilarity.java composing BasicModelIn.java +
+    AfterEffectL.java + NormalizationH2.java; framework Amati & van
+    Rijsbergen 2002):
+
+        tfn   = freq * log2(1 + c * avgdl / dl)          (H2, c = 1)
+        score = boost * log2((N + 1) / (df + 0.5))       (In)
+                      * tfn / (1 + tfn)                  (L)
+
+    with dl the SmallFloat-quantized length and avgdl = sumTtf/docCount in
+    double.  tfn/(1+tfn) is increasing in tfn, tfn increasing in freq and
+    non-increasing in dl — impact-skyline pruning stays valid unchanged."""
+
+    def __init__(self, c: float = 1.0):
+        if c <= 0:
+            raise ValueError("c must be > 0")
+        self.c = float(c)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        idf = float(
+            np.sum([np.log2((n + 1) / (ts.doc_freq + 0.5)) for ts in term_stats])
+        )
+        w = float(boost) * idf
+        table = np.log2(1.0 + self.c * avgdl / _quantized_dl())
+
+        def fn(freqs, tbl):
+            tfn = freqs * tbl
+            return w * tfn / (1.0 + tfn)
+
+        return _FreqNormScorer(fn, table)
+
+
+class IBSimilarity:
+    """Information-based model, the LL/DF/H2 combination (reference
+    similarities/IBSimilarity.java composing DistributionLL.java +
+    LambdaDF.java + NormalizationH2.java; Clinchant & Gaussier 2010):
+
+        tfn    = freq * log2(1 + avgdl / dl)             (H2, c = 1)
+        lambda = (df + 1) / (N + 1)                      (DF)
+        score  = boost * ln(1 + tfn / lambda)            (LL)
+
+    Increasing in freq, non-increasing in dl — pruning-safe."""
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        lam = float(
+            np.sum([(ts.doc_freq + 1.0) / (n + 1.0) for ts in term_stats])
+        )
+        b = float(boost)
+        table = np.log2(1.0 + avgdl / _quantized_dl())
+
+        def fn(freqs, tbl):
+            return b * np.log1p(freqs * tbl / lam)
+
+        return _FreqNormScorer(fn, table)
+
+
+class AxiomaticF2EXP:
+    """Axiomatic retrieval function F2-EXP (reference
+    similarities/AxiomaticF2EXP.java over Axiomatic.java; Fang & Zhai
+    2005 "An Exploration of Axiomatic Approaches to IR"):
+
+        score = boost * ((N + 1) / df)^k
+                      * freq / (freq + s + s * dl / avgdl)
+
+    defaults s = 0.5, k = 0.35.  Increasing in freq, decreasing in dl —
+    pruning-safe."""
+
+    def __init__(self, s: float = 0.5, k: float = 0.35):
+        if not (0.0 <= s <= 1.0) or not (0.0 < k <= 1.0):
+            raise ValueError("need 0 <= s <= 1 and 0 < k <= 1")
+        self.s = float(s)
+        self.k = float(k)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        idf = float(
+            np.sum(
+                [((n + 1.0) / ts.doc_freq) ** self.k for ts in term_stats]
+            )
+        )
+        w = float(boost) * idf
+        table = self.s + self.s * _quantized_dl() / avgdl
+
+        def fn(freqs, tbl):
+            return w * freqs / (freqs + tbl)
+
+        return _FreqNormScorer(fn, table)
+
+
 class LMJelinekMercerSimilarity:
     """Jelinek-Mercer linear-interpolation smoothing (reference
     similarities/LMJelinekMercerSimilarity.java score():

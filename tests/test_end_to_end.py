@@ -316,6 +316,77 @@ def test_lmjm_pruned_equals_complete_and_formula(built):
         raise AssertionError("hit doc not found in any segment")
 
 
+def test_dfr_ib_axiomatic_pruned_equals_complete_and_formula(built):
+    """DFR I(n)L2, IB LL/DF/H2 and AxiomaticF2EXP through the same impact
+    machinery: TOP_SCORES == COMPLETE, and the top TermQuery hit matches
+    each closed-form double-eval formula (similarities/DFRSimilarity.java,
+    IBSimilarity.java, AxiomaticF2EXP.java)."""
+    from lucene_ray.index.postings import decode_term
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import (
+        AxiomaticF2EXP,
+        DFRSimilarity,
+        IBSimilarity,
+    )
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    _, searcher = built
+    root = os.path.dirname(searcher.manifest["segments"][0]["dir"])
+
+    def closed_form(name, tf, ql, df, n, avgdl):
+        if name == "dfr":
+            tfn = tf * np.log2(1.0 + avgdl / ql)
+            return np.log2((n + 1) / (df + 0.5)) * tfn / (1.0 + tfn)
+        if name == "ib":
+            tfn = tf * np.log2(1.0 + avgdl / ql)
+            return np.log1p(tfn / ((df + 1.0) / (n + 1.0)))
+        return ((n + 1.0) / df) ** 0.35 * tf / (tf + 0.5 + 0.5 * ql / avgdl)
+
+    for name, sim in (
+        ("dfr", DFRSimilarity()),
+        ("ib", IBSimilarity()),
+        ("ax", AxiomaticF2EXP()),
+    ):
+        s = IndexSearcher(root, similarity=sim)
+        for q in _query_set(s)[:6]:
+            pruned = s.search(q, 10)
+            complete = s.search(
+                q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE"
+            )
+            assert [(d, np.float32(sc)) for d, sc in pruned] == [
+                (d, np.float32(sc)) for d, sc in complete
+            ], (name, q)
+
+        term = "def"
+        hits = s.search(TermQuery(term), 3)
+        assert hits, name
+        cstats = s.collection_stats
+        tstats = s.term_statistics({term})[term]
+        avgdl = cstats.sum_total_term_freq / float(cstats.doc_count)
+        doc, score = hits[0]
+        for seg in s.manifest["segments"]:
+            r = SegmentReader(seg["dir"])
+            lo = seg["doc_base"]
+            if lo <= doc < lo + r.max_doc:
+                tid = r.term_id(term)
+                docs, tfs = decode_term(r.enc, tid)
+                tf = int(tfs[list(docs).index(doc - lo)])
+                ql = max(float(LENGTH_TABLE[int(r.norms[doc - lo])]), 1.0)
+                expect = np.float32(
+                    max(
+                        closed_form(
+                            name, tf, ql, tstats.doc_freq, cstats.doc_count, avgdl
+                        ),
+                        0.0,
+                    )
+                )
+                assert np.float32(score) == expect, name
+                break
+        else:
+            raise AssertionError("hit doc not found in any segment")
+
+
 def test_explain_matches_search_scores(built):
     """IndexSearcher.explain: the root Explanation value must equal the
     float32 score search() returns, for term / boosted / boolean queries,
