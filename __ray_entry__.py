@@ -1393,7 +1393,15 @@ def _term_stats_family(sf_dir: str):
     import pandas as pd
 
     parts = []
-    for name in ("standard", "code", "english_minimal", "synonym", "edge_ngram"):
+    for name in (
+        "standard",
+        "code",
+        "english_minimal",
+        "synonym",
+        "edge_ngram",
+        "ngram",
+        "reverse",
+    ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
         parts.append(p)
@@ -1696,6 +1704,33 @@ tfg AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM grams GROUP BY doc_id, 
 SELECT gram AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfg GROUP BY gram
 ) eg
+UNION ALL
+-- NGramTokenFilter (min_gram=1, max_gram=2 Lucene defaults): each token
+-- contributes ALL its 1..2-char substrings (every occurrence counted)
+SELECT 'ngram', ng.* FROM (
+WITH {_TOKS},
+g1 AS (
+  SELECT doc_id, tok, unnest(range(1, least(length(tok), 2) + 1)) AS g FROM tok
+),
+grams AS (
+  SELECT doc_id, substr(tok, CAST(i AS INT), CAST(g AS INT)) AS gram
+  FROM (SELECT doc_id, tok, g, unnest(range(1, length(tok) - g + 2)) AS i FROM g1)
+),
+tfg AS (SELECT doc_id, gram, count(*)::BIGINT AS tf FROM grams GROUP BY doc_id, gram)
+SELECT gram AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfg GROUP BY gram
+) ng
+UNION ALL
+-- ReverseStringFilter: every token reversed (the leading-wildcard shape)
+SELECT 'reverse', rv.* FROM (
+WITH {_TOKS},
+tfr AS (
+  SELECT doc_id, reverse(tok) AS rtok, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, reverse(tok)
+)
+SELECT rtok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfr GROUP BY rtok
+) rv
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

@@ -892,6 +892,11 @@ class EdgeNGramAnalyzer(StandardAnalyzer):
             out.append(t)
         return out
 
+    def _grams_off(self, t: str) -> list[tuple[str, int]]:
+        """(gram, start offset within the source token) pairs — edge grams
+        all start at 0; NGramAnalyzer overrides with sliding starts."""
+        return [(g, 0) for g in self._grams(t)]
+
     def tokens(self, text: str) -> list[str]:
         out: list[str] = []
         for t in super().tokens(text):
@@ -921,15 +926,16 @@ class EdgeNGramAnalyzer(StandardAnalyzer):
         e = np.empty(0, np.int64)
         if not vocab:
             return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
-        exps = [self._grams(t) for t in vocab]
+        exps = [self._grams_off(t) for t in vocab]
         new_vocab = sorted(
-            {g for ex in exps for g in ex}, key=lambda s: s.encode("utf-8")
+            {g for ex in exps for g, _ in ex}, key=lambda s: s.encode("utf-8")
         )
         pos_of = {t: i for i, t in enumerate(new_vocab)}
         counts = np.array([len(ex) for ex in exps], dtype=np.int64)
         tbase = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        flat_tid = np.array([pos_of[g] for ex in exps for g in ex], dtype=np.int64)
-        flat_len = np.array([len(g) for ex in exps for g in ex], dtype=np.int64)
+        flat_tid = np.array([pos_of[g] for ex in exps for g, _ in ex], dtype=np.int64)
+        flat_len = np.array([len(g) for ex in exps for g, _ in ex], dtype=np.int64)
+        flat_off = np.array([o for ex in exps for _, o in ex], dtype=np.int64)
 
         per_row = counts[tids]
         total = int(per_row.sum())
@@ -951,8 +957,78 @@ class EdgeNGramAnalyzer(StandardAnalyzer):
             positions[rep],
             lengths,
             n_docs,
-            off_s[rep],
-            off_s[rep] + flat_len[eidx],
+            off_s[rep] + flat_off[eidx],
+            off_s[rep] + flat_off[eidx] + flat_len[eidx],
+        )
+
+
+class NGramAnalyzer(EdgeNGramAnalyzer):
+    """StandardTokenizer + LowerCase + NGramTokenFilter (reference
+    analysis/ngram/NGramTokenFilter.java, DEFAULT_MIN/MAX_NGRAM_SIZE =
+    1/2): each token emits ALL its substrings of length
+    min_gram..max_gram, every gram at the source token's position
+    (posInc-0 overlaps after the first, discounted from the norm);
+    ``preserve_original`` also keeps tokens falling OUTSIDE
+    [min_gram, max_gram] in full (keepShortTerm/keepLongTerm).  Gram
+    offsets are the substring's char range inside the source token."""
+
+    def _grams_off(self, t: str) -> list[tuple[str, int]]:
+        out = [
+            (t[i : i + n], i)
+            for n in range(self.min_gram, min(len(t), self.max_gram) + 1)
+            for i in range(len(t) - n + 1)
+        ]
+        if self.preserve_original and not (self.min_gram <= len(t) <= self.max_gram):
+            out.append((t, 0))
+        return out
+
+    def _grams(self, t: str) -> list[str]:
+        return [g for g, _ in self._grams_off(t)]
+
+    def normalize(self, term: str) -> str:
+        # query terms are grams the user supplies directly — lowercase only
+        return StandardAnalyzer.normalize(self, term)
+
+
+class ReverseAnalyzer(StandardAnalyzer):
+    """StandardTokenizer + LowerCase + ReverseStringFilter (reference
+    analysis/reverse/ReverseStringFilter.java, without the marker char):
+    every token is emitted reversed at its position, offsets spanning the
+    whole source token.  The leading-wildcard index shape: a ``*suffix``
+    query against the standard field becomes the PREFIX scan
+    ``reverse(suffix)*`` against this field (Solr's
+    ReversedWildcardFilter strategy), turning an O(V) dictionary walk
+    into a bounded range scan."""
+
+    def tokens(self, text: str) -> list[str]:
+        return [t[::-1] for t in super().tokens(text)]
+
+    def analyze(self, text: str):
+        vocab, counts, n = super().analyze(text)
+        return [v[::-1] for v in vocab], counts, n
+
+    def normalize(self, term: str) -> str:
+        return super().normalize(term)[::-1]
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        rev = [v[::-1] for v in vocab]
+        new_vocab = sorted(set(rev), key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[r] for r in rev], dtype=np.int64)
+        return (
+            new_vocab,
+            remap[tids],
+            doc_ids,
+            positions,
+            lengths,
+            n_docs,
+            off_s,
+            off_e,
         )
 
 
@@ -969,6 +1045,8 @@ ANALYZERS = {
     "whitespace": WhitespaceAnalyzer,
     "word_delimiter": WordDelimiterGraphAnalyzer,
     "edge_ngram": EdgeNGramAnalyzer,
+    "ngram": NGramAnalyzer,
+    "reverse": ReverseAnalyzer,
 }
 
 

@@ -247,3 +247,67 @@ def test_make_analyzer_registry():
 def test_split_subwords_spans():
     assert split_subwords("PowerShot500") == [(0, 5), (5, 9), (9, 12)]
     assert split_subwords("--") == []
+
+
+def test_ngram_stream():
+    from lucene_ray.analysis.analyzers import NGramAnalyzer
+
+    g = NGramAnalyzer(min_gram=2, max_gram=3)
+    v, tids, docs, pos, lens, n, os_, oe = g._batch_token_stream(["spark a"])
+    got = [(int(pos[i]), v[tids[i]], int(os_[i]), int(oe[i])) for i in range(len(tids))]
+    # all 2- and 3-grams of "spark" at position 0 with sliding offsets;
+    # "a" (< min_gram) drops with a position gap
+    assert sorted(got) == sorted(
+        [
+            (0, "sp", 0, 2),
+            (0, "pa", 1, 3),
+            (0, "ar", 2, 4),
+            (0, "rk", 3, 5),
+            (0, "spa", 0, 3),
+            (0, "par", 1, 4),
+            (0, "ark", 2, 5),
+        ]
+    )
+    assert lens.tolist() == [1]
+    # preserve_original keeps out-of-range tokens in full
+    gp = NGramAnalyzer(min_gram=2, max_gram=3, preserve_original=True)
+    assert "spark" in gp.tokens("spark")
+    assert gp.tokens("a") == ["a"]
+    assert g.tokens("a") == []
+    # normalize is lowercase-only (query grams pass through unchanged)
+    assert g.normalize("SPARK") == "spark"
+
+
+def test_reverse_analyzer_leading_wildcard(tmp_path):
+    """ReverseStringFilter turns a leading wildcard into a prefix scan:
+    WildcardQuery('*ing') on the standard index == PrefixQuery('gni') on
+    the reverse index — same docs, but the reverse path scans a bounded
+    dictionary range instead of the whole term dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis.analyzers import ReverseAnalyzer
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import PrefixQuery, WildcardQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    a = ReverseAnalyzer()
+    assert a.tokens("Sparking well") == ["gnikraps", "llew"]
+    assert a.normalize("Sparking") == "gnikraps"
+
+    rows = {
+        "doc_id": [0, 1, 2],
+        "content": ["sparking running", "walked jumped", "sing along"],
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table(rows), src)
+    std = tmp_path / "std"
+    rev = tmp_path / "rev"
+    build_index_local(str(src), str(std), meta_columns=())
+    build_index_local(str(src), str(rev), analyzer="reverse", meta_columns=())
+    s_std = IndexSearcher(str(std))
+    s_rev = IndexSearcher(str(rev))
+    for suffix in ("ing", "ed", "g"):
+        want = {d for d, _ in s_std.search(WildcardQuery(f"*{suffix}"), 10)}
+        got = {d for d, _ in s_rev.search(PrefixQuery(suffix[::-1]), 10)}
+        assert got == want and want, suffix
