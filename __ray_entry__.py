@@ -465,14 +465,14 @@ def _ordered_proximity_sql() -> str:
     )
 
 
-def _spans_sql() -> str:
-    """Compile each SpanQuery AST to a subquery producing its doc's FULL
-    DISTINCT span set (doc_id, s, e) — term = positions, or = UNION
+def _span_sub(node) -> str:
+    """Compile one SpanQuery AST node to a subquery producing its doc's
+    FULL DISTINCT span set (doc_id, s, e) — term = positions, or = UNION
     (dedup), near = k-way span join with the SpanNearQuery width rule
     ((span width) - sum(child widths) <= slop; ordered adds e_i < s_{i+1}),
-    not/first/containing/within = row filters — then count spans per doc.
-    The compiler walks the SAME AST the engine evaluates
-    (search/spans.py), so set and count are a true semantic cross-check."""
+    not/first/containing/within = row filters.  The compiler walks the
+    SAME AST the engine evaluates (search/spans.py), so set and count are
+    a true semantic cross-check."""
     from lucene_ray.search.spans import (
         SpanContaining,
         SpanFirst,
@@ -534,16 +534,74 @@ def _spans_sql() -> str:
             f"WHERE b.doc_id = l.doc_id AND b.s <= l.s AND l.e <= b.e))"
         )
 
+    return sub(node)
+
+
+_SPAN_POS_CTE = (
+    "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
+    "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s)"
+)
+
+
+def _spans_sql() -> str:
+    """Per-doc distinct-span counts for every SpanQuery AST (see
+    _span_sub)."""
     parts = [
         f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n "
-        f"FROM {sub(q)} r GROUP BY doc_id"
+        f"FROM {_span_sub(q)} r GROUP BY doc_id"
         for qid, q in enumerate(ft._span_queries())
     ]
-    return (
-        "s AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),\n"
-        "p AS (SELECT doc_id, ts[i + 1] AS tok, i FROM s),\n"
-        "spn AS (" + " UNION ALL ".join(parts) + ")"
+    return f"{_SPAN_POS_CTE},\nspn AS (" + " UNION ALL ".join(parts) + ")"
+
+
+def _span_topk_sql() -> str:
+    """BM25 top-k over distinct-span counts — the SpanScoreQuery oracle:
+    freq = the span count from _span_sub, idf = sum of the BM25 idfs over
+    EVERY term occurrence in the tree (SpanWeight.buildSimWeight)."""
+    from lucene_ray.search.spans import span_terms
+
+    qs = ft._span_queries()
+    idf_cases = []
+    for qid, node in enumerate(qs):
+        terms_sum = " + ".join(
+            f"(SELECT ln(1 + (st.doc_count - tdf.df + 0.5) / (tdf.df + 0.5)) "
+            f"FROM tdf WHERE tok = '{w}')"
+            for w in span_terms(node)
+        )
+        idf_cases.append(f"WHEN {qid} THEN {terms_sum}")
+    idf_expr = "CASE qid " + " ".join(idf_cases) + " ELSE 0 END"
+    counts = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n "
+        f"FROM {_span_sub(q)} r GROUP BY doc_id"
+        for qid, q in enumerate(qs)
     )
+    return f"""
+WITH {_TOKS}, {_LT},
+{_SPAN_POS_CTE},
+spc AS ({counts}),
+tdf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+st AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+scored AS (
+  SELECT sp.qid, sp.doc_id,
+         ({idf_expr})
+           * (1 - 1 / (1 + sp.n / (1.2 * ((1 - 0.75) + 0.75 * q.ql
+              / (st.sum_ttf * 1.0 / st.doc_count))))) AS score
+  FROM spc sp JOIN dlq q ON q.doc_id = sp.doc_id CROSS JOIN st
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
 
 
 def _surround_sql() -> str:
@@ -1451,6 +1509,18 @@ def _phrase_family_counts(sf_dir: str):
     return _concat_family([("exact", exact), ("multi", multi), ("sloppy", sloppy)])
 
 
+def _phrase_topk_family(sf_dir: str):
+    """Exact-phrase BM25 top-k + the SpanScoreQuery top-k (SpanWeight /
+    SpanScorer scoring analogue: freq = distinct-span count) as one
+    family-tagged entry."""
+    return _concat_family(
+        [
+            ("exact", ft.phrase_topk(sf_dir)),
+            ("span", ft.span_score_topk(sf_dir)),
+        ]
+    )
+
+
 def _proximity_family(sf_dir: str):
     """The intervals family in one entry: unordered (minimal-window sweep),
     ordered (greedy chain), containing/notContaining (windows filtered by
@@ -1575,7 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_counts": ft.range_counts,
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
-        "ft_phrase_topk": ft.phrase_topk,
+        "ft_phrase_topk": _phrase_topk_family,
         "ft_proximity_matches": _proximity_family,
         "ft_filtered_topk": ft.filtered_topk,
         "ft_range_filtered_topk": ft.range_filtered_topk,
@@ -2164,7 +2234,11 @@ UNION ALL
 SELECT 'sloppy', qid, doc_id, sloppy_freq FROM (WITH {_TOKS}, {_phrase_sloppy_sql()}
   SELECT qid, doc_id, sloppy_freq FROM sp)
 """,
-        "ft_phrase_topk": _phrase_topk_sql(),
+        "ft_phrase_topk": f"""
+SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p
+UNION ALL
+SELECT 'span', s.* FROM ({_span_topk_sql()}) s
+""",
         "ft_proximity_matches": f"""
 SELECT 'unordered' AS family, qid, doc_id, -1::BIGINT AS n_starts
 FROM (WITH {_TOKS}, {_proximity_sql()} SELECT qid, doc_id FROM prox)

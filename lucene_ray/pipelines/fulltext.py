@@ -1993,6 +1993,31 @@ def span_matches(sf_dir: str):
     return _positional_matches_ds(idx, _span_queries(), "spans", "n")
 
 
+def span_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k over the SpanQuery set through SpanScoreQuery — the
+    SpanWeight/SpanScorer scoring analogue: freq = distinct-span count,
+    idf summed over every term occurrence in the tree (qid, rnk,
+    doc_id)."""
+    from ..search.query import SpanScoreQuery
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, node in enumerate(_span_queries()):
+        hits = searcher.search(SpanScoreQuery(node), k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # --- facet counts (lucene/facet module analogue) --------------------------
 
 # LongRangeFacetCounts buckets over n_chars (facet/range/LongRange.java:

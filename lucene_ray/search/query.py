@@ -186,6 +186,22 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class SpanScoreQuery:
+    """Scoring wrapper over a span AST (spans.py) — the SpanWeight /
+    SpanScorer analogue (reference queries/spans/SpanWeight.java +
+    SpanScorer.java): matches = docs with >= 1 span, freq = the DISTINCT-
+    SPAN count (documented deviation from the reference's sum of
+    1/(1+slop_width) sloppyFreq weights — the same integer-count
+    convention PhraseQuery's sloppy mode uses), scored through the
+    similarity with idf summed over EVERY term occurrence in the tree
+    (SpanWeight.buildSimWeight collects termStates from all clauses,
+    including SpanNot's exclusion arm).  Requires
+    index_options='positions'."""
+
+    node: object
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """Terms that are synonyms of one another, scored as ONE pseudo-term:
     blended df = max(per-term df), blended ttf = sum(per-term ttf), and
@@ -343,6 +359,10 @@ def collect_terms(q: Query) -> set[str]:
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
+    if isinstance(q, SpanScoreQuery):
+        from .spans import span_terms
+
+        return set(span_terms(q.node))
     if isinstance(q, SynonymQuery):
         return set(q.terms)
     if isinstance(q, FunctionScoreQuery):
@@ -506,6 +526,17 @@ def build_scorer(
             return None
         flat = tuple(t for alts in q.slots for t in alts)
         sim = weight.phrase_sim_scorer(flat, boost)
+        scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
+        return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, SpanScoreQuery):
+        from .scorers import PrecomputedScorer
+        from .spans import span_matches_segment, span_terms
+
+        docs, freqs = span_matches_segment(reader, q.node)
+        if len(docs) == 0:
+            return None
+        sim = weight.phrase_sim_scorer(span_terms(q.node), boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
 

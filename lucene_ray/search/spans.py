@@ -237,6 +237,26 @@ def _doc_spans(reader, node) -> dict[int, np.ndarray]:
     raise TypeError(f"not a span node: {node!r}")
 
 
+def span_terms(node) -> tuple[str, ...]:
+    """Every term occurrence in the span tree, in clause order with
+    duplicates kept — the SpanWeight.buildSimWeight termStates collection
+    (reference SpanWeight.java gathers the term contexts of ALL clauses,
+    including SpanNot's exclusion arm, to build one SimScorer whose idf
+    sums over them)."""
+    if isinstance(node, SpanTerm):
+        return (node.term,)
+    if isinstance(node, (SpanOr, SpanNear)):
+        return tuple(t for c in node.children for t in span_terms(c))
+    if isinstance(node, SpanNot):
+        return span_terms(node.include) + span_terms(node.exclude)
+    if isinstance(node, SpanFirst):
+        return span_terms(node.child)
+    if isinstance(node, SpanContaining):
+        return span_terms(node.big) + span_terms(node.little)
+    assert isinstance(node, SpanWithin)
+    return span_terms(node.little) + span_terms(node.big)
+
+
 def span_matches_segment(reader, node):
     """(local docids sorted, n_distinct_spans) for a span AST on one
     segment — the SpanWeight.getSpans + per-doc freq accumulation

@@ -188,3 +188,57 @@ def test_span_requires_positions(tmp_path):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError, match="positions"):
         span_matches_segment(s.readers[0], SpanTerm("def"))
+
+
+def test_span_score_query_scoring(span_idx):
+    """SpanScoreQuery scores = BM25 over distinct-span counts with idf
+    summed over every term occurrence in the tree; TOP_SCORES == COMPLETE
+    through the PrecomputedScorer path, and spans compose inside booleans."""
+    import numpy as np
+
+    from lucene_ray.search.query import SpanScoreQuery, TermQuery, bool_query
+
+    s = IndexSearcher(span_idx)
+    for node in CASES[:4]:
+        q = SpanScoreQuery(node)
+        pruned = s.search(q, 10)
+        complete = s.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(sc)) for d, sc in pruned] == [
+            (d, np.float32(sc)) for d, sc in complete
+        ], node
+        assert pruned and all(sc > 0 for _, sc in pruned)
+        scores = [float(sc) for _, sc in pruned]
+        assert scores == sorted(scores, reverse=True)
+    # manual score check on the top hit of one query
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.search.spans import span_matches_segment, span_terms
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    node = CASES[0]
+    q = SpanScoreQuery(node)
+    doc, score = s.search(q, 1)[0]
+    man = read_manifest(span_idx)
+    w = s.make_weight(q)
+    sim = w.phrase_sim_scorer(span_terms(node), 1.0)
+    for reader, seg in zip(s.readers, man["segments"]):
+        d, n = span_matches_segment(reader, node)
+        for dd, nn in zip(d, n):
+            if int(dd) + seg["doc_base"] == doc:
+                expect = sim.score(float(nn), int(np.asarray(reader.norms)[dd]))
+                assert np.float32(score) == expect
+                break
+        else:
+            continue
+        break
+    else:
+        raise AssertionError("top hit not found")
+    # spans as a boolean clause
+    bq = bool_query(must=[SpanScoreQuery(CASES[0])], must_not=[TermQuery("import")])
+    hits = s.search(bq, 10)
+    span_docs = {d for d, _ in s.search(SpanScoreQuery(CASES[0]), 10**6,
+                                        total_hits_threshold=np.inf,
+                                        score_mode="COMPLETE")}
+    imp_docs = {d for d, _ in s.search(TermQuery("import"), 10**6,
+                                       total_hits_threshold=np.inf,
+                                       score_mode="COMPLETE")}
+    assert {d for d, _ in hits} <= span_docs - imp_docs
