@@ -176,6 +176,11 @@ _FSQ_VALUES = ", ".join(
     for qi, terms in enumerate(ft.FUNCTION_SCORE_QUERIES)
     for t in terms
 )
+_COVERING_VALUES = ", ".join(
+    f"({qi}, '{t}')"
+    for qi, terms in enumerate(ft.COVERING_QUERIES)
+    for t in terms
+)
 _GROUPED_VALUES = ", ".join(
     f"({qi}, '{t}')" for qi, terms in enumerate(ft.GROUPED_QUERIES) for t in terms
 )
@@ -1509,6 +1514,18 @@ def _phrase_family_counts(sf_dir: str):
     return _concat_family([("exact", exact), ("multi", multi), ("sloppy", sloppy)])
 
 
+def _function_score_family(sf_dir: str):
+    """FunctionScoreQuery boostByValue top-k + CoveringQuery (sandbox:
+    per-doc dynamic minimum-match, matching-clause score sum) as one
+    family-tagged entry."""
+    return _concat_family(
+        [
+            ("fn", ft.function_score_topk(sf_dir)),
+            ("covering", ft.covering_topk(sf_dir)),
+        ]
+    )
+
+
 def _phrase_topk_family(sf_dir: str):
     """Exact-phrase BM25 top-k + the SpanScoreQuery top-k (SpanWeight /
     SpanScorer scoring analogue: freq = distinct-span count) as one
@@ -1629,7 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # group (two-pass collectors as one distributed pass + reduce)
         "ft_grouped_topk": ft.grouped_topk,
         # queries/function FunctionScoreQuery: score * ln(1 + n_chars)
-        "ft_function_score_topk": ft.function_score_topk,
+        "ft_function_score_topk": _function_score_family,
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
         "ft_join_topk": ft.join_topk,
         # queries/mlt MoreLikeThis: seed term vector -> tf*idf term
@@ -2083,6 +2100,7 @@ SELECT qid::BIGINT AS qid, doc_id, pstart, n_hits, n_uniq FROM best WHERE r = 1
         # FunctionScoreQuery: float32 inner BM25 score times ln(1+n_chars)
         # in double, float32 cast for ranking
         "ft_function_score_topk": f"""
+SELECT 'fn' AS family, r.* FROM (
 WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_FSQ_VALUES}),
 dlq AS (
@@ -2120,6 +2138,52 @@ ranked AS (
   FROM fs
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- CoveringQuery (sandbox): docs matching >= greatest(1, 1 + n_chars % 3)
+-- clauses, scored by the sum of the matching clauses' BM25 scores
+SELECT 'covering', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_COVERING_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT qid, doc_id, sum(score) AS score, count(*)::BIGINT AS n
+  FROM clause GROUP BY qid, doc_id
+),
+cov AS (
+  SELECT a.qid, a.doc_id, a.score
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+  WHERE a.n >= greatest(1, 1 + (d.n_chars % 3))
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM cov
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         # grouping: groups ranked by their best hit (float32 score desc,
         # head doc asc), docs within a group by (score desc, doc asc)

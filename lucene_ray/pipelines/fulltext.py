@@ -882,6 +882,40 @@ def function_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+COVERING_QUERIES = [
+    ("spark", "join", "order"),
+    ("window", "batch"),
+    ("the", "customer", "group", "query"),
+    ("merge", "hash", "stream"),
+]
+
+
+def covering_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """CoveringQuery top-k (sandbox CoveringQuery.java): docs matching at
+    least ``1 + n_chars % 3`` of the term clauses, scored by the sum of
+    the matching clauses' BM25 scores (qid, rnk, doc_id)."""
+    from ..search.query import CoveringQuery, TermQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, terms in enumerate(COVERING_QUERIES):
+        q = CoveringQuery(
+            tuple(TermQuery(t) for t in terms), FUNCTION_SCORE_FIELD, 3
+        )
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # (terms, boosts): boosts are exact binary fractions so the float32 freq
 # sum in the engine equals the oracle's double sum bit-for-bit
 SYNONYM_QUERIES = [

@@ -186,6 +186,22 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class CoveringQuery:
+    """Matches docs where at least minimumNumberMatch(doc) of the clauses
+    match (reference sandbox/.../search/CoveringQuery.java +
+    CoveringScorer.java): score = the sum of the MATCHING clauses' scores;
+    the per-doc minimum is a LongValuesSource, clamped low at 1
+    (CoveringScorer: ``minMatch = max(1, minMatchValues.longValue())``) —
+    here the expression ``1 + field % mod`` over a stored long column
+    (the LongValuesSource-from-expression shape).  A minimum above
+    len(clauses) matches nothing for that doc."""
+
+    clauses: tuple
+    min_field: str
+    min_mod: int = 3
+
+
+@dataclass(frozen=True)
 class SpanScoreQuery:
     """Scoring wrapper over a span AST (spans.py) — the SpanWeight /
     SpanScorer analogue (reference queries/spans/SpanWeight.java +
@@ -363,6 +379,11 @@ def collect_terms(q: Query) -> set[str]:
         from .spans import span_terms
 
         return set(span_terms(q.node))
+    if isinstance(q, CoveringQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= collect_terms(c)
+        return out
     if isinstance(q, SynonymQuery):
         return set(q.terms)
     if isinstance(q, FunctionScoreQuery):
@@ -539,6 +560,30 @@ def build_scorer(
         sim = weight.phrase_sim_scorer(span_terms(q.node), boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, CoveringQuery):
+        from .oracle import _clause_scores
+        from .scorers import PrecomputedScorer
+
+        max_doc = reader.max_doc
+        sums = np.zeros(max_doc, dtype=np.float64)
+        cnt = np.zeros(max_doc, dtype=np.int32)
+        for c in q.clauses:
+            docs, scores = _clause_scores(c, weight, reader, boost)
+            sums[docs] += scores.astype(np.float64)
+            cnt[docs] += 1
+        vals = (
+            reader.stored_column(q.min_field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        required = np.maximum(1, 1 + vals % q.min_mod)
+        docs = np.nonzero(cnt >= required)[0]
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, sums[docs].astype(np.float32))
 
     if isinstance(q, StoredFieldRange):
         import pyarrow.compute as pc

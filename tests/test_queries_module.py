@@ -301,3 +301,56 @@ def test_spell_suggest_corrects_transpositions(ray_session):
     expect = {0: "customer", 1: "filter", 2: "window", 3: "spark", 4: "stream"}
     for qid, term in expect.items():
         assert top.get(qid) == term, (qid, top)
+
+
+def test_covering_query_semantics():
+    """CoveringQuery: per-doc dynamic minimum from a stored column; brute
+    parity on a hand-built corpus where n_chars % 3 controls the
+    requirement."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import CoveringQuery, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    with tempfile.TemporaryDirectory() as td:
+        # n_chars chosen so required = 1 + n_chars % 3 spans 1..3
+        texts = [
+            "alpha beta gamma",   # matches all 3 clauses
+            "alpha beta xyz",     # matches 2
+            "alpha xyz xyz",      # matches 1
+            "xyz xyz xyz",        # matches 0
+        ]
+        n_chars = [3, 4, 5, 3]  # required: 1, 2, 3, 1
+        src = f"{td}/docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(4)),
+                    "content": texts,
+                    "n_chars": n_chars,
+                }
+            ),
+            src,
+        )
+        idx = f"{td}/idx"
+        build_index_local(src, idx, meta_columns=("n_chars",))
+        s = IndexSearcher(idx)
+        q = CoveringQuery(
+            (TermQuery("alpha"), TermQuery("beta"), TermQuery("gamma")),
+            "n_chars",
+            3,
+        )
+        hits = s.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        got = {d for d, _ in hits}
+        # doc0: 3 >= 1 ok; doc1: 2 >= 2 ok; doc2: 1 >= 3 no; doc3: 0 matches no
+        assert got == {0, 1}
+        # scores sum the matching clauses: doc0 (3 clauses) > doc1 (2 clauses)
+        by_doc = dict(hits)
+        assert by_doc[0] > by_doc[1] > 0
+        # pruned == complete through the PrecomputedScorer path
+        assert s.search(q, 10) == hits
