@@ -1639,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [
                 ("prefix", ft.suggest_prefix(sf)),
                 ("spell", ft.spell_suggest(sf)),
+                ("freetext", ft.freetext_suggest(sf)),
             ],
             col="method",
         ),
@@ -2276,6 +2277,30 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
+) r
+UNION ALL
+-- FreeTextSuggester 2-gram arm: next-word completions after a context
+-- word, weighted by corpus bigram count (adjacent token-list pairs)
+SELECT r.*, 'freetext' FROM (
+WITH {_TOKS},
+q(qid, ctx, pref) AS (VALUES {", ".join(f"({i}, '{c}', '{p}')" for i, (c, p) in enumerate(ft.FREETEXT_QUERIES))}),
+pairs AS (
+  SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) > 1)
+),
+bg AS (
+  SELECT q.qid, p.w2 AS term, count(*)::BIGINT AS weight
+  FROM q JOIN pairs p ON p.w1 = q.ctx AND p.w2 LIKE q.pref || '%'
+  GROUP BY q.qid, p.w2
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM bg
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
 ) r
 """,
         "ft_bool_counts": _bool_counts_sql(),

@@ -1608,6 +1608,90 @@ def suggest_prefix(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+# (context word, completion prefix) — empty prefix = any next word
+FREETEXT_QUERIES = [("the", "c"), ("spark", ""), ("group", "b"), ("customer", "o")]
+
+
+def _freetext_partials(batch: pa.Table, queries: list) -> pa.Table:
+    """Per-batch bigram partial counts filtered to the query contexts —
+    query-bounded rows leave the task, never the corpus bigram table."""
+    from ..analysis.analyzers import make_analyzer
+
+    texts = batch.column("text").to_pylist()
+    a = make_analyzer("standard")
+    vocab, tids, doc_ids, positions, _l, _n, _os, _oe = a._batch_token_stream(texts)
+    out_q, out_t, out_w = [], [], []
+    if vocab:
+        order = np.lexsort((positions, doc_ids))
+        t, d, p = tids[order], doc_ids[order], positions[order]
+        adj = (d[1:] == d[:-1]) & (p[1:] == p[:-1] + 1)
+        left, right = t[:-1][adj], t[1:][adj]
+        varr = np.asarray(vocab, dtype=object)
+        pos_of = {v: i for i, v in enumerate(vocab)}
+        for qid, (ctx, pref) in enumerate(queries):
+            ctx_tid = pos_of.get(ctx)
+            if ctx_tid is None:
+                continue
+            r = right[left == ctx_tid]
+            if len(r) == 0:
+                continue
+            cand, counts = np.unique(r, return_counts=True)
+            if pref:
+                keep = np.array(
+                    [vocab[int(c)].startswith(pref) for c in cand], bool
+                )
+                cand, counts = cand[keep], counts[keep]
+            out_q.extend([qid] * len(cand))
+            out_t.extend(varr[cand].tolist())
+            out_w.extend(counts.tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "weight": pa.array(out_w, pa.int64()),
+        }
+    )
+
+
+def freetext_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """FreeTextSuggester analogue (reference
+    suggest/analyzing/FreeTextSuggester.java, separator-joined word
+    n-grams): completions for (context, prefix) are corpus words that
+    FOLLOW ``context`` and start with ``prefix``, weighted by the corpus
+    bigram count — the suggester's 2-gram order without the Katz-backoff
+    blend into lower orders (documented deviation; counts keep the oracle
+    exact).  Top-N by (weight DESC, term ASC).  Distributed: per-batch
+    vectorized bigram partials (query-bounded output) -> one small
+    groupby sum -> partial top-N -> driver merge.  (qid, rnk, term,
+    weight)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["text"])
+    parts = ds.map_batches(
+        _freetext_partials,
+        batch_format="pyarrow",
+        fn_kwargs={"queries": FREETEXT_QUERIES},
+    )
+    agg = parts.groupby(["qid", "term"]).sum("weight")
+    agg = agg.map_batches(
+        lambda b: suggest.partial_topn(
+            b.rename_columns(["qid", "term", "weight"]), n
+        ),
+        batch_format="pyarrow",
+    )
+    df = agg.to_pandas()  # bounded: <= n * num_blocks rows per qid
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 SPELL_QUERIES = ["cusotmer", "fitler", "windwo", "spakr", "streem"]
 SPELL_MAX_EDITS = 2
 SPELL_TOP_N = 5

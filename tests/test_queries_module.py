@@ -354,3 +354,34 @@ def test_covering_query_semantics():
         assert by_doc[0] > by_doc[1] > 0
         # pruned == complete through the PrecomputedScorer path
         assert s.search(q, 10) == hits
+
+
+def test_freetext_bigram_partials():
+    """The freetext kernel counts within-doc adjacent bigrams only, filters
+    to the query context + prefix, and never leaks cross-doc pairs."""
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.fulltext import _freetext_partials
+
+    batch = pa.table(
+        {
+            "text": [
+                "the cat the car the dog",
+                "cat the cow",
+                "the",  # no bigram
+            ]
+        }
+    )
+    out = _freetext_partials(
+        batch, [("the", "c"), ("the", ""), ("cat", "t"), ("zzz", "")]
+    ).to_pandas()
+    got = {
+        (int(r.qid), r.term): int(r.weight) for r in out.itertuples()
+    }
+    # "the *": cat, car, dog, cow; with prefix c: cat 1, car 1, cow 1
+    assert got[(0, "cat")] == 1 and got[(0, "car")] == 1 and got[(0, "cow")] == 1
+    assert "dog" not in {t for q, t in got if q == 0}
+    assert got[(1, "dog")] == 1 and got[(1, "cat")] == 1
+    # doc-boundary pair ("dog","cat") must NOT count
+    assert (2, "the") in got and got[(2, "the")] == 2
+    assert not any(q == 3 for q, _ in got)
