@@ -2715,6 +2715,20 @@ FROM m WHERE n_chars >= 0 GROUP BY 2, 3
 UNION ALL
 SELECT 'drilldown_lang', qid, lang, count(*)::BIGINT
 FROM m WHERE n_chars >= 100 AND n_chars < 400 GROUP BY qid, lang
+UNION ALL
+-- DrillSideways (facet/DrillSideways.java) over dims {{lang = '{ft.DRILL_LANG}',
+-- n_chars range}}: range counts with the range dim dropped + all-dims hits
+SELECT 'sideways_range', qid,
+       CASE WHEN n_chars < 100 THEN '[0,100)'
+            WHEN n_chars < 200 THEN '[100,200)'
+            WHEN n_chars < 400 THEN '[200,400)'
+            ELSE '[400,inf)' END,
+       count(*)::BIGINT
+FROM m WHERE lang = '{ft.DRILL_LANG}' AND n_chars >= 0 GROUP BY 2, 3
+UNION ALL
+SELECT 'drill_hits', qid, 'hits', count(*)::BIGINT
+FROM m WHERE lang = '{ft.DRILL_LANG}' AND n_chars >= 100 AND n_chars < 400
+GROUP BY qid
 """,
         "ft_range_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

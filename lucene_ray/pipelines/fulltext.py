@@ -2142,6 +2142,11 @@ def span_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
 # min inclusive, max exclusive) + the DrillDownQuery drill range
 FACET_RANGES = [(0, 100), (100, 200), (200, 400), (400, 1 << 62)]
 DRILL_RANGE = (100, 400)
+# DrillSideways dims: {lang = DRILL_LANG, n_chars in DRILL_RANGE}.  The
+# lang-dimension sideways counts (all dims but lang) are the existing
+# 'drilldown_lang' facet; 'sideways_range' drops the range dim instead,
+# 'drill_hits' applies every dim (facet/DrillSideways.java semantics).
+DRILL_LANG = "en"
 
 
 def _range_labels(vals, ranges) -> tuple:
@@ -2216,6 +2221,28 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
             drill = (nc >= DRILL_RANGE[0]) & (nc < DRILL_RANGE[1])
             if drill.any():
                 emit("drilldown_lang", qid, lang.take(pa.array(docs[drill])))
+            # DrillSideways over dims {lang, n_chars range}: range-bucket
+            # counts with the range dim DROPPED (lang dim still applied),
+            # plus the all-dims hit count
+            lang_match = pc.equal(lang.take(take), DRILL_LANG).to_numpy(
+                zero_copy_only=False
+            )
+            if lang_match.any():
+                idx2, ok2, labels2 = _range_labels(nc[lang_match], FACET_RANGES)
+                if ok2.any():
+                    cnt2 = np.bincount(idx2[ok2], minlength=len(labels2))
+                    for i, lab in enumerate(labels2):
+                        if cnt2[i]:
+                            facets.append("sideways_range")
+                            qids.append(qid)
+                            vals.append(lab)
+                            ns.append(int(cnt2[i]))
+            n_hits = int((drill & lang_match).sum())
+            if n_hits:
+                facets.append("drill_hits")
+                qids.append(qid)
+                vals.append("hits")
+                ns.append(n_hits)
     return pa.table(
         {
             "facet": pa.array(facets, pa.string()),
