@@ -1640,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("prefix", ft.suggest_prefix(sf)),
                 ("spell", ft.spell_suggest(sf)),
                 ("freetext", ft.freetext_suggest(sf)),
+                ("wordbreak", ft.wordbreak_suggest(sf)),
             ],
             col="method",
         ),
@@ -2301,6 +2302,32 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- WordBreakSpellChecker.generateBreakUpSuggestions: single splits into
+-- two dictionary words, ranked by summed doc freq
+SELECT r.*, 'wordbreak' FROM (
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+q(qid, w) AS (VALUES {", ".join(f"({i}, '{w}')" for i, w in enumerate(ft.WORDBREAK_QUERIES))}),
+splits AS (
+  SELECT qid, w, CAST(i AS INT) AS i
+  FROM (SELECT qid, w, unnest(range(1, len(w))) AS i FROM q)
+),
+cand AS (
+  SELECT s.qid, substr(s.w, 1, s.i) || ' ' || substr(s.w, s.i + 1) AS term,
+         tl.df + tr.df AS weight
+  FROM splits s
+  JOIN ts tl ON tl.term = substr(s.w, 1, s.i)
+  JOIN ts tr ON tr.term = substr(s.w, s.i + 1)
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= {ft.WORDBREAK_TOP_N}
 ) r
 """,
         "ft_bool_counts": _bool_counts_sql(),

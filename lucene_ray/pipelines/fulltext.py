@@ -1692,6 +1692,71 @@ def freetext_suggest(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+WORDBREAK_QUERIES = ["sparkjoin", "windowbatch", "customerorder", "thegroup"]
+WORDBREAK_TOP_N = 5
+
+
+def wordbreak_suggest(sf_dir: str, n: int = WORDBREAK_TOP_N) -> pa.Table:
+    """WordBreakSpellChecker.generateBreakUpSuggestions analogue
+    (reference suggest/spell/WordBreakSpellChecker.java): single-split
+    break-ups of each input into TWO dictionary words (minBreakWordLength
+    = 1, the reference default), ranked by summed doc freq DESC (the
+    NUM_CHANGES_THEN_SUMMED_FREQUENCY sort at one change), then split
+    text ASC for determinism (documented tie-break).  Distribution: each
+    segment emits per-split PARTIAL dfs (zero when absent), one
+    vocabulary-bounded groupby sums them, validity (both sides present
+    SOMEWHERE) is decided on the summed dfs — not per segment.
+    (qid, rnk, term='left right', weight)."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    queries = WORDBREAK_QUERIES
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, sis, dfl, dfr = [], [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            df = np.asarray(r.enc.doc_freq)
+
+            def seg_df(t: str) -> int:
+                tid = r.term_id(t)
+                return int(df[tid]) if tid is not None else 0
+
+            for qid, w in enumerate(queries):
+                for i in range(1, len(w)):
+                    qids.append(qid)
+                    sis.append(i)
+                    dfl.append(seg_df(w[:i]))
+                    dfr.append(seg_df(w[i:]))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "si": pa.array(sis, pa.int64()),
+                "dfl": pa.array(dfl, pa.int64()),
+                "dfr": pa.array(dfr, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(_seg, batch_format="pyarrow")
+    agg = ds.groupby(["qid", "si"]).sum(["dfl", "dfr"]).to_pandas()
+    # bounded: sum(len(w)) rows total, never corpus-scaled
+    agg = agg.rename(columns={"sum(dfl)": "dfl", "sum(dfr)": "dfr"})
+    agg = agg[(agg.dfl > 0) & (agg.dfr > 0)]
+    agg["term"] = [
+        f"{queries[q][:i]} {queries[q][i:]}" for q, i in zip(agg.qid, agg.si)
+    ]
+    agg["weight"] = agg.dfl + agg.dfr
+    agg = agg.sort_values(
+        ["qid", "weight", "term"], ascending=[True, False, True]
+    )
+    agg = agg.groupby("qid", sort=True).head(n)
+    agg["rnk"] = agg.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        agg[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 SPELL_QUERIES = ["cusotmer", "fitler", "windwo", "spakr", "streem"]
 SPELL_MAX_EDITS = 2
 SPELL_TOP_N = 5
