@@ -1161,6 +1161,7 @@ def _ann_ivf_persisted(sf_dir: str):
 
 
 HNSW_MIN_RECALL = 0.9
+SQ8_MIN_RECALL = 0.9
 
 
 def _ann_hnsw(sf_dir: str):
@@ -1345,15 +1346,43 @@ def _bm25_variants(sf_dir: str):
     )
 
 
+def _ann_sq8(sf_dir: str):
+    """int8-scalar-quantized brute cosine (ScalarQuantizer /
+    Lucene99ScalarQuantizedVectorsFormat analogue, per-block scale):
+    APPROXIMATE, so driver-checked the HNSW way — run the quantized path,
+    assert per-query recall@10 >= SQ8_MIN_RECALL against the exact top-k
+    (a quantization regression turns the row red), return the exact top-k
+    the SQL oracle reproduces."""
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    sq = ann.sq8_topk(_embs(sf_dir), q, k=10).to_pandas()
+    exact = ann.brute_topk(_embs(sf_dir), q, k=10).to_pandas()
+    s = sq.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = {int(qi): len(s.get(qi, set()) & e[qi]) / len(e[qi]) for qi in e.index}
+    worst = min(recalls.values())
+    if worst < SQ8_MIN_RECALL:
+        raise AssertionError(
+            f"SQ8 recall@10 regression: min over queries {worst:.3f} < "
+            f"{SQ8_MIN_RECALL} ({recalls})"
+        )
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
 def _ann_variants(sf_dir: str):
     """Brute-force / fixed-grid IVF / learned k-means IVF cosine top-k in
     one entry (all exact at nprobe=all, so one brute-force oracle covers
-    the three scoring paths)."""
+    the three scoring paths), plus the int8 scalar-quantized arm checked
+    through its recall gate."""
     return _concat_family(
         [
             ("brute", _ann_brute(sf_dir)),
             ("ivf", _ann_ivf(sf_dir)),
             ("kmeans_ivf", _ann_kmeans_ivf(sf_dir)),
+            ("sq8", _ann_sq8(sf_dir)),
         ],
         col="variant",
     )
@@ -3239,7 +3268,7 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) b
-CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf')) v(variant)
+CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf'), ('sq8')) v(variant)
 """,
         "ann_hnsw_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

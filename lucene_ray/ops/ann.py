@@ -119,6 +119,51 @@ def _finish_topk(cands_ds, k: int, return_stats: bool = False):
     return (tbl, stats) if return_stats else tbl
 
 
+def quantize_sq8(mat: np.ndarray) -> tuple[np.ndarray, float, float]:
+    """Linear int8 scalar quantization over the block's [min, max] value
+    range (reference util/quantization/ScalarQuantizer.java at confidence
+    interval 1.0, the Lucene99ScalarQuantizedVectorsFormat storage shape):
+    q = round((v - lo) / scale) into uint8, with (lo, scale) stored
+    alongside — 4x smaller vector storage, dequantize is lo + q * scale."""
+    lo = float(mat.min()) if mat.size else 0.0
+    hi = float(mat.max()) if mat.size else 1.0
+    scale = (hi - lo) / 255.0 or 1.0
+    q = np.clip(np.round((mat - lo) / scale), 0, 255).astype(np.uint8)
+    return q, lo, scale
+
+
+def _topk_candidates_sq8(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
+    """Quantize the block to int8 (per-block scale = the per-segment
+    ScalarQuantizedVectorsFormat shape), then score cosine against the
+    DEQUANTIZED vectors — the quantization error is what the recall gate
+    in sq8_topk measures."""
+    import ray
+
+    q_ids, q_mat, q_norm = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+    emb = _emb_matrix(batch)
+    qv, lo, scale = quantize_sq8(emb)
+    deq = lo + qv.astype(np.float64) * scale
+    ids = batch.column(id_col).to_numpy()
+    norms = np.linalg.norm(deq, axis=1)
+    sims = (deq @ q_mat.T) / (np.maximum(norms, 1e-12)[:, None] * q_norm[None, :])
+    return _emit_candidates(q_ids, ids, sims, k)
+
+
+def sq8_topk(ds, queries, k: int = 10) -> pa.Table:
+    """int8-scalar-quantized cosine top-k (query_id, rnk, neighbor_id) —
+    approximate: ranks come from the dequantized vectors, so they can
+    differ from exact within the quantization error."""
+    import ray
+
+    q_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _topk_candidates_sq8,
+        batch_format="pyarrow",
+        fn_kwargs={"q_ref": q_ref, "k": k},
+    )
+    return _finish_topk(cands, k)
+
+
 def brute_topk(ds, queries, k: int = 10) -> pa.Table:
     """Exact cosine top-k: (query_id, rnk, neighbor_id); self excluded.
 

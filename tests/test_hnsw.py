@@ -159,3 +159,51 @@ def test_knn_respects_deletes(ray_session, tmp_path):
     )
     assert victim not in [d for d, _ in hits]
     assert len(hits) > 0
+
+
+def test_sq8_quantization_roundtrip_and_recall():
+    """ScalarQuantizer analogue: int8 round-trip error bounded by scale/2
+    per component, and the quantized top-k keeps high recall vs exact on
+    a small clustered set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_ray.ops.ann import quantize_sq8
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(200, 16)).astype(np.float64)
+    q, lo, scale = quantize_sq8(mat)
+    assert q.dtype == np.uint8
+    deq = lo + q.astype(np.float64) * scale
+    assert np.abs(deq - mat).max() <= scale / 2 + 1e-12
+    # constant matrix: scale degenerates to the 1.0 fallback, no NaNs
+    q2, lo2, scale2 = quantize_sq8(np.full((3, 4), 2.5))
+    assert scale2 == 1.0 and (lo2 + q2.astype(float) * scale2 == 2.5).all()
+
+
+def test_sq8_topk_recall_on_dataset(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops.ann import brute_topk, sq8_topk
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 24
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q_ids = np.array([0, 1, 2], np.int64)
+    q_mat = mat[:3]
+    queries = (q_ids, q_mat, np.linalg.norm(q_mat, axis=1))
+    exact = brute_topk(ds, queries, k=10).to_pandas()
+    sq = sq8_topk(rd.from_arrow(tbl), queries, k=10).to_pandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    s = sq.groupby("query_id")["neighbor_id"].apply(set)
+    for qi in e.index:
+        assert len(e[qi] & s.get(qi, set())) / len(e[qi]) >= 0.8
