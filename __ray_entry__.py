@@ -1555,6 +1555,29 @@ def _function_score_family(sf_dir: str):
     )
 
 
+def _multifield_family(sf_dir: str):
+    """Cross-field conjunction + the MultiFieldQueryParser expansion as
+    one family-tagged entry."""
+    return _concat_family(
+        [
+            ("conj", ft.multifield_topk(sf_dir)),
+            ("parsed", ft.multifield_parsed_topk(sf_dir)),
+        ]
+    )
+
+
+def _mfp_values() -> str:
+    """(qid, field, term, boost) rows compiled from the SAME
+    parse_multifield expansion the engine executes."""
+    from lucene_ray.index.multifield import parse_multifield
+
+    rows = []
+    for qid, qs in enumerate(ft.MULTIFIELD_PARSE_QUERIES):
+        for c in parse_multifield(qs, ("text", "title"), {"title": ft.TITLE_BOOST}):
+            rows.append(f"({qid}, '{c.field}', '{c.query.term}', {c.boost})")
+    return ", ".join(rows)
+
+
 def _phrase_topk_family(sf_dir: str):
     """Exact-phrase BM25 top-k + the SpanScoreQuery top-k (SpanWeight /
     SpanScorer scoring analogue: freq = distinct-span count) as one
@@ -1707,7 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouping, AND/OR/NOT promotion, ^boosts, [a TO b] ranges)
         "ft_parsed_topk": ft.parsed_topk,
         "ft_delete_search": ft.delete_search_topk,
-        "ft_multifield_topk": ft.multifield_topk,
+        "ft_multifield_topk": _multifield_family,
         # Classic TF-IDF + Boolean + LMDirichlet over the same index: the
         # pluggable-similarity (SimScorer) seam as one family entry
         "ft_similarity_topk": ft.similarity_topk,
@@ -2487,6 +2510,7 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """,
         "ft_multifield_topk": f"""
+SELECT 'conj' AS family, r.* FROM (
 WITH {_TOKS}, {_LT},
 q(qid, term, lv) AS (VALUES {_MF_VALUES}),
 dlq AS (
@@ -2530,6 +2554,69 @@ ranked AS (
   FROM clause
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- MultiFieldQueryParser expansion over text+title: SHOULD sum of
+-- per-(field, term) BM25 clauses, each with ITS field's stats and the
+-- per-field boost (title = first {ft.TITLE_TOKENS} tokens of text)
+SELECT 'parsed', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, fld, term, boost) AS (VALUES {_mfp_values()}),
+ttf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts[1 : {ft.TITLE_TOKENS}]) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+tdl AS (SELECT t.doc_id, least(len(ts), {ft.TITLE_TOKENS})::BIGINT AS tl FROM toks t),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+tstats AS (
+  SELECT count(*) FILTER (WHERE tl > 0)::BIGINT AS doc_count,
+         coalesce(sum(tl), 0)::BIGINT AS sum_ttf
+  FROM tdl
+),
+ptext AS (
+  SELECT q.qid, q.term, q.boost, tf.doc_id, tf.tf
+  FROM q JOIN tf ON tf.tok = q.term WHERE q.fld = 'text'
+),
+ptitle AS (
+  SELECT q.qid, q.term, q.boost, tt.doc_id, tt.tf
+  FROM q JOIN ttf tt ON tt.tok = q.term WHERE q.fld = 'title'
+),
+dfx AS (SELECT qid, term, count(*)::BIGINT AS df FROM ptext GROUP BY qid, term),
+dft AS (SELECT qid, term, count(*)::BIGINT AS df FROM ptitle GROUP BY qid, term),
+clauses AS (
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (s.doc_count - dfx.df + 0.5) / (dfx.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75
+              * (SELECT max(L) FROM lt WHERE lt.L <= d.dl)
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM ptext p
+  JOIN dfx ON dfx.qid = p.qid AND dfx.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  UNION ALL
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (ts.doc_count - dft.df + 0.5) / (dft.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75
+              * (SELECT max(L) FROM lt WHERE lt.L <= td.tl)
+              / (ts.sum_ttf * 1.0 / ts.doc_count))))) AS score
+  FROM ptitle p
+  JOIN dft ON dft.qid = p.qid AND dft.term = p.term
+  JOIN tdl td ON td.doc_id = p.doc_id
+  CROSS JOIN tstats ts
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clauses GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         "ft_similarity_topk": f"""
 SELECT 'classic' AS sim, r.* FROM (

@@ -50,6 +50,40 @@ class FieldedClause:
     boost: float = 1.0
 
 
+def parse_multifield(
+    query: str,
+    fields: tuple[str, ...],
+    boosts: dict[str, float] | None = None,
+    analyzer=None,
+) -> list["FieldedClause"]:
+    """MultiFieldQueryParser.parse analogue (reference
+    queryparser/classic/MultiFieldQueryParser.java:55-116): each
+    UNQUALIFIED term expands to one SHOULD clause per field, boosted by
+    the per-field boost map; a ``field:`` prefix naming a known field
+    pins the clause to that field alone.  This is the parser's
+    default-OR term surface — the classic grammar's boolean operators
+    stay with parse_classic."""
+    from ..analysis.analyzers import make_analyzer
+    from ..search.query import TermQuery
+
+    a = analyzer if analyzer is not None else make_analyzer("standard")
+    boosts = boosts or {}
+    out: list[FieldedClause] = []
+    for tok in query.split():
+        pinned = None
+        if ":" in tok:
+            f, rest = tok.split(":", 1)
+            if f in fields and rest:
+                pinned, tok = f, rest
+        for f in (pinned,) if pinned else fields:
+            out.append(
+                FieldedClause(
+                    f, TermQuery(a.normalize(tok)), SHOULD, boosts.get(f, 1.0)
+                )
+            )
+    return out
+
+
 def build_multi_field_index(
     corpus_paths,
     index_dir: str,

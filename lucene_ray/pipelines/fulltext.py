@@ -1402,6 +1402,41 @@ def multifield_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+MULTIFIELD_PARSE_QUERIES = [
+    "spark window",
+    "join customer",
+    "title:group query",
+    "batch merge stream",
+]
+TITLE_BOOST = 2.0  # exact binary fraction: engine f32*2.0 == oracle double
+
+
+def multifield_parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """MultiFieldQueryParser top-k over the text+title index (qid, rnk,
+    doc_id): unqualified terms expand SHOULD across both fields with the
+    title boost, ``title:`` pins a clause; every clause scores with ITS
+    field's statistics."""
+    from ..index.multifield import MultiFieldSearcher, parse_multifield
+
+    ms = MultiFieldSearcher(ensure_combined_index(sf_dir))
+    qids, rnks, docs = [], [], []
+    for qid, qs in enumerate(MULTIFIELD_PARSE_QUERIES):
+        clauses = parse_multifield(
+            qs, ("text", "title"), {"title": TITLE_BOOST}
+        )
+        for rnk, (doc, _s) in enumerate(ms.search(clauses, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def classic_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """TF-IDF (ClassicSimilarity) top-k per query term: (qid, rnk, doc_id).
     Same index, pluggable similarity — the SimScorer seam (SURVEY §2.9)."""

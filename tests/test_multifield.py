@@ -134,3 +134,22 @@ def test_parse_multi_field(mf_idx):
                           "xx_nonexistent", analyzers, "content"), 5
     )
     assert got  # MUST matches even when the SHOULD lang value is absent
+
+
+def test_parse_multifield_expansion():
+    """MultiFieldQueryParser shape: unqualified terms expand SHOULD across
+    all fields with per-field boosts; field: prefixes pin; unknown
+    prefixes stay literal terms; analyzer normalizes case."""
+    from lucene_ray.index.multifield import parse_multifield
+
+    cl = parse_multifield(
+        "Spark title:Group other:x", ("text", "title"), {"title": 2.0}
+    )
+    shapes = [(c.field, c.query.term, c.occur, c.boost) for c in cl]
+    assert shapes == [
+        ("text", "spark", "SHOULD", 1.0),
+        ("title", "spark", "SHOULD", 2.0),
+        ("title", "group", "SHOULD", 2.0),
+        ("text", "other:x", "SHOULD", 1.0),
+        ("title", "other:x", "SHOULD", 2.0),
+    ]
