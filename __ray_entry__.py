@@ -1555,6 +1555,75 @@ def _function_score_family(sf_dir: str):
     )
 
 
+def _dismax_family(sf_dir: str):
+    """DisjunctionMax + QueryRescorer second-pass recombination as one
+    family-tagged entry."""
+    return _concat_family(
+        [
+            ("dismax", ft.dismax_topk(sf_dir)),
+            ("rescored", ft.rescored_topk(sf_dir)),
+        ]
+    )
+
+
+def _rescore_sql() -> str:
+    """QueryRescorer oracle: first_n base hits by float32 score, combined
+    = f32(base_f32 + w * second_f32) re-ranked top-10 (the engine's exact
+    cast discipline)."""
+    rq = ", ".join(
+        f"({qi}, '{a}', '{b}', {w})"
+        for qi, (a, b, w) in enumerate(ft.RESCORE_QUERIES)
+    )
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, ta, tb, w) AS (VALUES {rq}),
+allt(term) AS (SELECT ta FROM q UNION SELECT tb FROM q),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT a.term, tf.doc_id, tf.tf FROM allt a JOIN tf ON tf.tok = a.term
+),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+sc AS (
+  SELECT p.term, p.doc_id,
+         (ln(1 + (s.doc_count - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))))::FLOAT AS sf
+  FROM posting p
+  JOIN tdf ON tdf.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+firstn AS (
+  SELECT * FROM (
+    SELECT q.qid, s.doc_id, s.sf, q.w, q.tb,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY s.sf DESC, s.doc_id
+           ) AS brnk
+    FROM q JOIN sc s ON s.term = q.ta
+  ) WHERE brnk <= {ft.RESCORE_FIRST_N}
+),
+comb AS (
+  SELECT f.qid, f.doc_id,
+         CAST(f.sf + f.w * coalesce(x.sf, 0) AS FLOAT) AS cs
+  FROM firstn f
+  LEFT JOIN sc x ON x.term = f.tb AND x.doc_id = f.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS rnk
+  FROM comb
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _multifield_family(sf_dir: str):
     """Cross-field conjunction + the MultiFieldQueryParser expansion as
     one family-tagged entry."""
@@ -1679,7 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk": _bm25_store_family,
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
-        "ft_dismax_topk": ft.dismax_topk,
+        "ft_dismax_topk": _dismax_family,
         # SynonymQuery: blended pseudo-term stats (df=max, ttf=sum) over
         # boosted member terms, freq = sum(boost*tf)
         "ft_synonym_topk": ft.synonym_topk,
@@ -2390,7 +2459,11 @@ UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
 UNION ALL SELECT 'fuzzy', * FROM ({_fuzzy_sql()})
 """,
-        "ft_dismax_topk": _dismax_sql(),
+        "ft_dismax_topk": f"""
+SELECT 'dismax' AS family, d.* FROM ({_dismax_sql()}) d
+UNION ALL
+SELECT 'rescored', r.* FROM ({_rescore_sql()}) r
+""",
         "ft_range_counts": _range_counts_sql(),
         "ft_phrase_counts": f"""
 SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq

@@ -1999,6 +1999,64 @@ def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# (base term, rescore term, rescore weight) — weights are exact binary
+# fractions so the double combine mirrors the oracle bit-for-bit
+RESCORE_QUERIES = [
+    ("spark", "join", 2.0),
+    ("window", "group", 0.5),
+    ("customer", "order", 1.0),
+    ("merge", "stream", 0.25),
+]
+RESCORE_FIRST_N = 30
+
+
+def rescored_topk(sf_dir: str, first_n: int = RESCORE_FIRST_N, k: int = 10) -> pa.Table:
+    """QueryRescorer.rescore analogue (reference
+    search/QueryRescorer.java:49-116): take the top ``first_n`` hits of
+    the base query (by float32 score, docid tie), recombine each as
+    ``base + weight * second`` when the doc also matches the rescore
+    query (combine(firstPassScore, secondPassMatches, secondPassScore)),
+    re-rank by the float32 combined score and return top-k.  Docs outside
+    the first pass are never revisited — the rescorer's contract.
+    (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (a, b, w) in enumerate(RESCORE_QUERIES):
+        base = searcher.search(
+            TermQuery(a), first_n, total_hits_threshold=np.inf, score_mode="COMPLETE"
+        )
+        second = dict(
+            searcher.search(
+                TermQuery(b),
+                10**9,
+                total_hits_threshold=np.inf,
+                score_mode="COMPLETE",
+            )
+        )
+        combined = [
+            (
+                d,
+                np.float32(
+                    float(s) + (w * float(second[d]) if d in second else 0.0)
+                ),
+            )
+            for d, s in base
+        ]
+        combined.sort(key=lambda t: (-t[1], t[0]))
+        for rnk, (doc, _s) in enumerate(combined[:k], start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 DISMAX_QUERIES = [
     (["spark", "join"], 0.0),
     (["merge", "window", "customer"], 0.3),
