@@ -1762,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("spell", ft.spell_suggest(sf)),
                 ("freetext", ft.freetext_suggest(sf)),
                 ("wordbreak", ft.wordbreak_suggest(sf)),
+                ("spell_jaro", ft.spell_suggest_jaro(sf)),
             ],
             col="method",
         ),
@@ -2449,6 +2450,29 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= {ft.WORDBREAK_TOP_N}
+) r
+UNION ALL
+-- SpellChecker + JaroWinklerDistance comparator: same Damerau-bounded
+-- candidate set, ranked similarity DESC, doc freq DESC, term ASC
+SELECT r.*, 'spell_jaro' FROM (
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
+q(qid, misspelled) AS (VALUES {", ".join(f"({i}, '{m}')" for i, m in enumerate(ft.SPELL_QUERIES))}),
+cand AS (
+  SELECT q.qid, ts.term, ts.weight,
+         jaro_winkler_similarity(ts.term, q.misspelled) AS jw
+  FROM q JOIN ts ON abs(len(ts.term) - len(q.misspelled)) <= {ft.SPELL_MAX_EDITS}
+  WHERE damerau_levenshtein(ts.term, q.misspelled) BETWEEN 1 AND {ft.SPELL_MAX_EDITS}
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY jw DESC, weight DESC, term
+         ) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
 ) r
 """,
         "ft_bool_counts": _bool_counts_sql(),

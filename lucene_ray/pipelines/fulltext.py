@@ -1852,6 +1852,71 @@ def spell_suggest(sf_dir: str, n: int = SPELL_TOP_N) -> pa.Table:
     )
 
 
+def spell_suggest_jaro(sf_dir: str, n: int = SPELL_TOP_N) -> pa.Table:
+    """SpellChecker with a pluggable StringDistance, JaroWinklerDistance
+    (reference suggest/spell/SpellChecker.java suggestSimilar +
+    JaroWinklerDistance.java): the SAME Damerau-bounded candidate set as
+    spell_suggest, re-ranked by the SuggestWordScoreComparator order —
+    similarity DESC, then doc freq DESC, then term ASC.  The jw doubles
+    are bit-identical to DuckDB's jaro_winkler_similarity, so ranks stay
+    hash-exact.  (qid, rnk, term, weight=df)."""
+    import pandas as pd
+
+    from ..search.suggest import jaro_winkler
+
+    base = spell_candidates(sf_dir)
+    base["jw"] = [
+        jaro_winkler(t, SPELL_QUERIES[q]) for t, q in zip(base.term, base.qid)
+    ]
+    base = base.sort_values(
+        ["qid", "jw", "weight", "term"], ascending=[True, False, False, True]
+    )
+    base = base.groupby("qid", sort=True).head(n)
+    base["rnk"] = base.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        base[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def spell_candidates(sf_dir: str):
+    """Aggregated (qid, term, weight, dist) Damerau candidates — the
+    shared distributed phase behind both spell comparators."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..search.multiterm import fuzzy_term_dists
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, terms, dfs, dists = [], [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            vocab = r.terms_array()
+            for qid, q in enumerate(SPELL_QUERIES):
+                ids, dd = fuzzy_term_dists(r, q, SPELL_MAX_EDITS)
+                keep = dd > 0
+                for tid, dist in zip(ids[keep], dd[keep]):
+                    qids.append(qid)
+                    terms.append(vocab[int(tid)].as_py())
+                    dfs.append(int(r.enc.doc_freq[int(tid)]))
+                    dists.append(int(dist))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "dist": pa.array(dists, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(_seg, batch_format="pyarrow")
+    agg = ds.groupby(["qid", "term"]).aggregate(Sum("df"), Min("dist"))
+    return agg.to_pandas().rename(columns={"sum(df)": "weight", "min(dist)": "dist"})
+
+
 TERM_RANGES = [("a", "d"), ("m", "s"), ("s", None), (None, "h")]
 
 

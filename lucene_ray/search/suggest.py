@@ -51,3 +51,50 @@ def partial_topn(batch: pa.Table, n: int) -> pa.Table:
     df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
     out = df.groupby("qid", sort=True).head(n)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1,
+                 boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler similarity (reference
+    suggest/spell/JaroWinklerDistance.java; same constants and
+    boost-threshold gate as DuckDB's jaro_winkler_similarity, verified
+    bit-exact over the spell candidate pairs): Jaro with the half-window
+    match rule and half-transposition count, Winkler prefix boost (up to
+    4 chars) applied only above the threshold."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3
+    if j <= boost_threshold:
+        return j
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * prefix_scale * (1.0 - j)
