@@ -1423,6 +1423,7 @@ def _sort_family(sf_dir: str):
         [
             ("stored", ft.sort_by_field_topk(sf_dir)),
             ("index_sorted", ft.index_sorted_topk(sf_dir)),
+            ("compound", ft.compound_sort_topk(sf_dir)),
         ]
     )
 
@@ -3270,6 +3271,22 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) i
+UNION ALL SELECT 'compound', c.* FROM (
+WITH {_TOKS},
+q(qid, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.COMPOUND_SORT_QUERIES))}),
+m AS (
+  SELECT q.qid, tf.doc_id, d.lang, d.n_chars
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY lang, n_chars DESC, doc_id
+         ) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) c
 """,
         "dd_duplicate_clusters": f"""
 WITH RECURSIVE {_TOKS}, {_SHINGLES},

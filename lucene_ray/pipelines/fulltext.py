@@ -2774,6 +2774,68 @@ SORTED_QUERIES = [
 ]
 
 
+COMPOUND_SORT_QUERIES = ["spark", "join", "window"]
+
+
+def compound_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-key Sort — a SortField LIST (search/Sort.java: setSort(
+    SortField...), compared field by field): matching docs ordered by
+    (lang ASC, n_chars DESC, doc ASC).  The compound key ends in the
+    unique doc id, so per-segment partial top-k rows merge exactly (no
+    tie handling needed); the exchange carries <= k * segments rows of
+    (qid, lang, -n_chars, doc_id).  (qid, rnk, doc_id)."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, langs, nns, gdocs_out = [], [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            base = row["doc_base"]
+            lang_col = r.stored_column("lang")
+            nchars = r.stored_column("n_chars").to_numpy()
+            for qid, term in enumerate(COMPOUND_SORT_QUERIES):
+                tid = r.term_id(term)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                lv = lang_col.take(pa.array(docs)).to_pylist()
+                nn = (-nchars[docs]).tolist()
+                gd = (docs + base).tolist()
+                rows = sorted(zip(lv, nn, gd))[:k]
+                for lg, n_, d_ in rows:
+                    qids.append(qid)
+                    langs.append(lg)
+                    nns.append(int(n_))
+                    gdocs_out.append(int(d_))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "nn": pa.array(nns, pa.int64()),
+                "doc_id": pa.array(gdocs_out, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()  # <= k * segments * queries rows by construction
+    )
+    parts = parts.sort_values(["qid", "lang", "nn", "doc_id"])
+    parts = parts.groupby("qid", sort=True).head(k)
+    parts["rnk"] = parts.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        parts[["qid", "rnk", "doc_id"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 INDEX_SORT = ("n_chars", "desc")
 INDEX_SORTED_QUERIES = ["spark", "join", "merge", "window"]
 
