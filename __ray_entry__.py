@@ -1494,6 +1494,7 @@ def _term_stats_family(sf_dir: str):
         "edge_ngram",
         "ngram",
         "reverse",
+        "mapped",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -1943,6 +1944,25 @@ tfr AS (
 SELECT rtok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfr GROUP BY rtok
 ) rv
+UNION ALL
+-- MappingCharFilter: literal rewrites BEFORE tokenization (rules are
+-- non-overlapping, so sequential replace == the engine's scan)
+SELECT 'mapped', mp.* FROM (
+WITH toksm AS (
+  SELECT doc_id,
+         regexp_extract_all(replace(replace(lower(text), 'spark', 'fire'),
+                                    'group by', 'groupby'),
+                            '{TOKEN_PATTERN}') AS ts
+  FROM documents
+),
+tfm AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toksm)
+  GROUP BY doc_id, tok
+)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfm GROUP BY tok
+) mp
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

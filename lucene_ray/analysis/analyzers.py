@@ -990,6 +990,86 @@ class NGramAnalyzer(EdgeNGramAnalyzer):
         return StandardAnalyzer.normalize(self, term)
 
 
+class MappedCharFilterAnalyzer(StandardAnalyzer):
+    """MappingCharFilter + BaseCharFilter offset correction (reference
+    analysis/charfilter/MappingCharFilter.java +
+    BaseCharFilter.java:correct): literal (match -> replacement) rules
+    rewrite the text BEFORE tokenization — earliest match wins, longest
+    pattern at the same position (the FST greediness), non-overlapping
+    left-to-right — while a per-doc correction table maps token offsets
+    back into the ORIGINAL text (correctOffset: off + cumulative length
+    diff at the last correction point <= off).  Rules should be mutually
+    non-overlapping so the sequential-replace SQL oracle mirror is
+    equivalent to the simultaneous scan."""
+
+    def __init__(self, mappings=(("spark", "fire"), ("group by", "groupby")), **kw):
+        super().__init__(**kw)
+        self.mappings = tuple((str(a), str(b)) for a, b in mappings)
+
+    def _filter_one(self, t: str) -> tuple[str, np.ndarray, np.ndarray]:
+        """(filtered text, correction output-offsets, cumulative diffs)."""
+        res: list[str] = []
+        out_len = 0
+        cum = 0
+        pts = [0]
+        diffs = [0]
+        i = 0
+        while True:
+            best = None
+            for pat, rep in self.mappings:
+                j = t.find(pat, i)
+                if j != -1 and (
+                    best is None
+                    or j < best[0]
+                    or (j == best[0] and len(pat) > len(best[1]))
+                ):
+                    best = (j, pat, rep)
+            if best is None:
+                res.append(t[i:])
+                break
+            j, pat, rep = best
+            res.append(t[i:j])
+            res.append(rep)
+            out_len += (j - i) + len(rep)
+            cum += len(pat) - len(rep)
+            pts.append(out_len)
+            diffs.append(cum)
+            i = j + len(pat)
+        return "".join(res), np.asarray(pts, np.int64), np.asarray(diffs, np.int64)
+
+    def _correct(self, pts: np.ndarray, diffs: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(pts, offs, side="right") - 1
+        return offs + diffs[idx]
+
+    def tokens(self, text: str) -> list[str]:
+        return super().tokens(self._filter_one(text)[0])
+
+    def analyze(self, text: str):
+        return super().analyze(self._filter_one(text)[0])
+
+    def normalize(self, term: str) -> str:
+        # charfilters apply at query normalization too
+        # (Analyzer.initReaderForNormalization)
+        return super().normalize(self._filter_one(term)[0])
+
+    def _batch_token_stream(self, texts: list[str]):
+        filtered = [self._filter_one(t) for t in texts]
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream([f[0] for f in filtered])
+        )
+        if len(off_s):
+            off_s = off_s.copy()
+            off_e = off_e.copy()
+            for d in np.unique(doc_ids):
+                pts, diffs = filtered[int(d)][1], filtered[int(d)][2]
+                if len(pts) == 1:
+                    continue  # no replacements in this doc
+                m = doc_ids == d
+                off_s[m] = self._correct(pts, diffs, off_s[m])
+                off_e[m] = self._correct(pts, diffs, off_e[m])
+        return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+
+
 class ReverseAnalyzer(StandardAnalyzer):
     """StandardTokenizer + LowerCase + ReverseStringFilter (reference
     analysis/reverse/ReverseStringFilter.java, without the marker char):
@@ -1047,6 +1127,7 @@ ANALYZERS = {
     "edge_ngram": EdgeNGramAnalyzer,
     "ngram": NGramAnalyzer,
     "reverse": ReverseAnalyzer,
+    "mapped": MappedCharFilterAnalyzer,
 }
 
 

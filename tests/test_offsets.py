@@ -155,3 +155,35 @@ def test_offsets_survive_add_documents(off_idx, ray_session):
             for s, e in zip(starts, ends):
                 assert texts[int(d)][s:e].lower() == term
     shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_mapped_charfilter_offsets_point_at_original_text():
+    """MappingCharFilter + BaseCharFilter.correct: tokens from REPLACED
+    text carry offsets into the ORIGINAL text (the span of the matched
+    rule), tokens after a replacement shift by the cumulative diff."""
+    import numpy as np
+
+    from lucene_ray.analysis.analyzers import MappedCharFilterAnalyzer
+
+    a = MappedCharFilterAnalyzer(mappings=(("spark", "fire"), ("group by", "groupby")))
+    text = "a spark b group by c"
+    v, tids, docs, pos, lens, n, os_, oe = a._batch_token_stream([text])
+    toks = [(v[tids[i]], int(os_[i]), int(oe[i])) for i in range(len(tids))]
+    assert toks == [
+        ("a", 0, 1),
+        ("fire", 2, 7),       # original span of "spark"
+        ("b", 8, 9),
+        ("groupby", 10, 18),  # original span of "group by"
+        ("c", 19, 20),
+    ]
+    # every corrected span slices the ORIGINAL text to the rule's source
+    assert text[2:7] == "spark" and text[10:18] == "group by"
+    assert a.tokens(text) == ["a", "fire", "b", "groupby", "c"]
+    # normalization applies the charfilter (Analyzer.initReaderForNormalization)
+    # to the RAW term — an uppercase input misses the lowercase rule, as
+    # in the reference (charfilter runs before LowerCaseFilter)
+    assert a.normalize("spark") == "fire"
+    assert a.normalize("SPARK") == "spark"
+    # longest pattern wins at the same position
+    b = MappedCharFilterAnalyzer(mappings=(("ab", "x"), ("abc", "y")))
+    assert b.tokens("abc ab") == ["y", "x"]
