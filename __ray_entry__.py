@@ -2952,6 +2952,42 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
+UNION ALL
+-- SweetSpotSimilarity (ln_min=100 ln_max=400 steep=0.5, tf_base=1.5
+-- tf_min=2): Classic idf * baselineTf * plateau lengthNorm
+SELECT 'sweetspot', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         (ln((s.doc_count + 1) / (df.df + 1.0)) + 1)
+           * (CASE WHEN p.tf <= 2.0 THEN 1.5
+                   ELSE sqrt(p.tf + 2.25 - 2.0) END)
+           * (CASE WHEN d.ql > 0 THEN
+                1 / sqrt(0.5 * (abs(d.ql - 100) + abs(d.ql - 400) - 300) + 1)
+              ELSE 0 END) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         "ft_facet_counts": f"""
 WITH {_TOKS},

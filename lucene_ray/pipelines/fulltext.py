@@ -1445,12 +1445,17 @@ def classic_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return _sim_topk(sf_dir, ClassicSimilarity(), k)
 
 
-def _sim_topk(sf_dir: str, sim, k: int) -> pa.Table:
+def _sim_topk(sf_dir: str, sim, k: int, score_mode: str = "TOP_SCORES") -> pa.Table:
     idx = ensure_index(sf_dir)
     searcher = IndexSearcher(idx, similarity=sim)
     qids, rnks, docs = [], [], []
     for qid, term in enumerate(QUERY_TERMS):
-        hits = searcher.search(TermQuery(term), k)
+        if score_mode == "COMPLETE":
+            hits = searcher.search(
+                TermQuery(term), k, total_hits_threshold=np.inf, score_mode="COMPLETE"
+            )
+        else:
+            hits = searcher.search(TermQuery(term), k)
         for rnk, (doc, _s) in enumerate(hits, start=1):
             qids.append(qid)
             rnks.append(rnk)
@@ -1477,6 +1482,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         IBSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
+        SweetSpotSimilarity,
     )
 
     parts = []
@@ -1488,8 +1494,13 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("dfr_inl2", DFRSimilarity()),
         ("ib_ll", IBSimilarity()),
         ("ax_f2exp", AxiomaticF2EXP()),
+        # plateau norm is non-monotone in length -> impact pruning invalid,
+        # COMPLETE mode only (see SweetSpotSimilarity docstring)
+        ("sweetspot", SweetSpotSimilarity()),
     ):
-        t = _sim_topk(sf_dir, sim, k)
+        t = _sim_topk(
+            sf_dir, sim, k, score_mode="COMPLETE" if name == "sweetspot" else "TOP_SCORES"
+        )
         parts.append(
             t.add_column(0, "sim", pa.array([name] * len(t), pa.string()))
         )

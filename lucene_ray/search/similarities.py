@@ -179,6 +179,76 @@ class _LMJelinekMercerScorer:
         return self.score(freq, norm_byte)
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """Plateau length norm + baseline tf over the Classic idf (reference
+    misc/SweetSpotSimilarity.java:107-149):
+
+        lengthNorm(L) = 1 / sqrt(steepness * (|L-min| + |L-max|
+                                              - (max-min)) + 1)
+        baselineTf(f) = 0 if f == 0; tf_base if f <= tf_min;
+                        else sqrt(f + tf_base^2 - tf_min)
+
+    evaluated over the SmallFloat-quantized length (0 for empty docs,
+    like ClassicSimilarity).  The plateau makes the norm NON-monotone in
+    document length, so this similarity must be searched with
+    score_mode='COMPLETE' — the impact-skyline pruning's
+    (freq up, length down) domination order does not hold for it."""
+
+    def __init__(
+        self,
+        ln_min: int = 100,
+        ln_max: int = 400,
+        steepness: float = 0.5,
+        tf_base: float = 1.5,
+        tf_min: float = 2.0,
+    ):
+        if not (1 <= ln_min <= ln_max) or steepness <= 0:
+            raise ValueError("need 1 <= ln_min <= ln_max and steepness > 0")
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _TableScorer:
+        idf = float(
+            np.sum(
+                [
+                    np.log((collection_stats.doc_count + 1) / float(ts.doc_freq + 1))
+                    + 1.0
+                    for ts in term_stats
+                ]
+            )
+        )
+        lt = LENGTH_TABLE.astype(np.float64)
+        norm = 1.0 / np.sqrt(
+            self.steepness
+            * (
+                np.abs(lt - self.ln_min)
+                + np.abs(lt - self.ln_max)
+                - (self.ln_max - self.ln_min)
+            )
+            + 1.0
+        )
+        table = np.where(lt > 0, norm, 0.0)
+        base, mn = self.tf_base, self.tf_min
+
+        def tf_fn(f):
+            f = np.asarray(f, np.float64)
+            return np.where(
+                f <= 0.0,
+                0.0,
+                np.where(f <= mn, base, np.sqrt(np.maximum(f + base * base - mn, 0.0))),
+            )
+
+        return _TableScorer(float(boost) * idf, table, tf_fn)
+
+
 class _FreqNormScorer:
     """SimScorer for the freq×per-norm-byte-table families (DFR / IB /
     Axiomatic below): score = f32(max(0, fn(freq, table[norm]))) evaluated
