@@ -1315,6 +1315,17 @@ def _distributed_bm25(sf_dir: str):
     )
 
 
+def _concat_rows(*parts):
+    """Row-concat results that already share a schema (incl. their own
+    discriminator column)."""
+    import pandas as pd
+
+    return pd.concat(
+        [p if isinstance(p, pd.DataFrame) else p.to_pandas() for p in parts],
+        ignore_index=True,
+    )
+
+
 def _concat_family(parts, col: str = "family"):
     """Combine several small FINAL results (top-k / count tables) into one
     driver-checkable frame with a discriminator column.  Only ever applied
@@ -1810,7 +1821,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SortField top-k + index-time-sorted early-terminating top-k
         # (search/Sort.java + index/Sorter.java) as one family entry
         "ft_sort_family": _sort_family,
-        "ft_facet_counts": lambda sf: ft.facet_counts(sf),
+        # facet family + the misc DocValuesStats rows (same facet-tagged
+        # shape; dv_stats reduces min/max/sum/count on the driver)
+        "ft_facet_counts": lambda sf: _concat_rows(
+            ft.facet_counts(sf), ft.dv_stats(sf)
+        ),
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
         # one per-doc profile (single read pass; frees driver-cap slots)
@@ -3026,6 +3041,16 @@ UNION ALL
 SELECT 'drill_hits', qid, 'hits', count(*)::BIGINT
 FROM m WHERE lang = '{ft.DRILL_LANG}' AND n_chars >= 100 AND n_chars < 400
 GROUP BY qid
+UNION ALL
+-- misc DocValuesStats (LongDocValuesStats): n_chars over matching docs
+SELECT 'dv_stats', qid, s.value, s.n FROM (
+  SELECT qid,
+         min(n_chars)::BIGINT AS "min", max(n_chars)::BIGINT AS "max",
+         sum(n_chars)::BIGINT AS "sum", count(*)::BIGINT AS "count",
+         0::BIGINT AS "missing"
+  FROM m GROUP BY qid
+) u, LATERAL (VALUES ('min', u."min"), ('max', u."max"), ('sum', u."sum"),
+                     ('count', u."count"), ('missing', u."missing")) s(value, n)
 """,
         "ft_range_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

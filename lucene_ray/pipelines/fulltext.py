@@ -2514,6 +2514,72 @@ def facet_counts(sf_dir: str):
     )
 
 
+def dv_stats(sf_dir: str):
+    """DocValuesStats analogue (reference misc/search/DocValuesStats.java
+    LongDocValuesStats + DocValuesStatsCollector): min / max / sum /
+    count of the n_chars doc-values over each query term's matching docs
+    (missing always 0 here — every doc stores the column).  Per-segment
+    PARTIAL (min, max, sum, count) rows reduce on the driver (5 rows per
+    segment per query); emitted in the facet family's (facet, qid,
+    value, n) shape as facet='dv_stats'."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, mins, maxs, sums, cnts = [], [], [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            nchars = r.stored_column("n_chars").to_numpy()
+            for qid, t in enumerate(QUERY_TERMS):
+                tid = r.term_id(t)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                v = nchars[docs]
+                qids.append(qid)
+                mins.append(int(v.min()))
+                maxs.append(int(v.max()))
+                sums.append(int(v.sum()))
+                cnts.append(len(v))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "mn": pa.array(mins, pa.int64()),
+                "mx": pa.array(maxs, pa.int64()),
+                "sm": pa.array(sums, pa.int64()),
+                "ct": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()  # <= segments * queries rows
+    )
+    rows = []
+    for qid, g in parts.groupby("qid"):
+        rows += [
+            ("dv_stats", int(qid), "min", int(g.mn.min())),
+            ("dv_stats", int(qid), "max", int(g.mx.max())),
+            ("dv_stats", int(qid), "sum", int(g.sm.sum())),
+            ("dv_stats", int(qid), "count", int(g.ct.sum())),
+            ("dv_stats", int(qid), "missing", 0),
+        ]
+    return pa.table(
+        {
+            "facet": pa.array([r[0] for r in rows], pa.string()),
+            "qid": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.string()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 def pc_cast_i64(col):
     import pyarrow.compute as pc
 
