@@ -3042,6 +3042,12 @@ SELECT 'drill_hits', qid, 'hits', count(*)::BIGINT
 FROM m WHERE lang = '{ft.DRILL_LANG}' AND n_chars >= 100 AND n_chars < 400
 GROUP BY qid
 UNION ALL
+-- hierarchical taxonomy dim lang/source: child counts + parent rollup
+SELECT 'taxo', qid, lang || '/' || source, count(*)::BIGINT
+FROM m GROUP BY qid, lang, source
+UNION ALL
+SELECT 'taxo', qid, lang, count(*)::BIGINT FROM m GROUP BY qid, lang
+UNION ALL
 -- misc DocValuesStats (LongDocValuesStats): n_chars over matching docs
 SELECT 'dv_stats', qid, s.value, s.n FROM (
   SELECT qid,

@@ -2442,6 +2442,19 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
             take = pa.array(docs)
             emit("lang", qid, lang.take(take))
             emit("source", qid, source.take(take))
+            # hierarchical taxonomy dim lang/source (facet/taxonomy
+            # FacetsConfig.setHierarchical + TaxonomyFacetCounts rollup):
+            # child counts at 'lang/source', parent counts at 'lang' are
+            # the rollup sums over the children
+            import pyarrow.compute as _pc
+
+            paths = _pc.binary_join_element_wise(
+                lang.take(take).cast(pa.string()),
+                source.take(take).cast(pa.string()),
+                "/",
+            )
+            emit("taxo", qid, paths)
+            emit("taxo", qid, lang.take(take))
             nc = nchars[docs]
             idx, ok, labels = _range_labels(nc, FACET_RANGES)
             if ok.any():
