@@ -971,6 +971,22 @@ def _range_counts_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _sorted_numeric_range_sql() -> str:
+    parts = []
+    for qid, (lo, hi) in enumerate(ft.SORTED_NUMERIC_RANGES):
+        conds = []
+        if lo is not None:
+            conds.append(f"n_chars >= {lo}")
+        if hi is not None:
+            conds.append(f"n_chars < {hi}")
+        where = " AND ".join(conds) or "TRUE"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, "
+            f"(SELECT count(*) FROM documents WHERE {where})::BIGINT AS cnt"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _rolling_fp_sql() -> str:
     from lucene_ray.ops.text import ROLL_B, ROLL_P
 
@@ -1796,7 +1812,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer (n_uniq, n_hits, earliest) scoring over the positions
         # index (BreakIterator-passage deviation documented in the module)
         "ft_highlight_passages": ft.highlight_passages,
-        "ft_range_counts": ft.range_counts,
+        # term-dictionary ranges + the sandbox index-sort binary-search
+        # numeric range (one contiguous span per segment, no scan)
+        "ft_range_counts": lambda sf: _concat_family(
+            [
+                ("term", ft.range_counts(sf)),
+                ("index_sorted_numeric", ft.index_sorted_range_counts(sf)),
+            ]
+        ),
         "ft_bm25_topk_variants": _bm25_variants,
         "ft_phrase_counts": _phrase_family_counts,
         "ft_phrase_topk": _phrase_topk_family,
@@ -2524,7 +2547,11 @@ SELECT 'dismax' AS family, d.* FROM ({_dismax_sql()}) d
 UNION ALL
 SELECT 'rescored', r.* FROM ({_rescore_sql()}) r
 """,
-        "ft_range_counts": _range_counts_sql(),
+        "ft_range_counts": f"""
+SELECT 'term' AS family, t.* FROM ({_range_counts_sql()}) t
+UNION ALL
+SELECT 'index_sorted_numeric', s.* FROM ({_sorted_numeric_range_sql()}) s
+""",
         "ft_phrase_counts": f"""
 SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq
 FROM ({_phrase_counts_sql()})

@@ -1995,6 +1995,59 @@ def term_in_set_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+SORTED_NUMERIC_RANGES = [(100, 400), (None, 200), (250, None), (380, 390)]
+
+
+def index_sorted_range_counts(sf_dir: str) -> pa.Table:
+    """IndexSortSortedNumericDocValuesRangeQuery analogue (reference
+    sandbox/search/IndexSortSortedNumericDocValuesRangeQuery.java): when
+    the range field IS the index sort field, each segment's matching docs
+    form ONE CONTIGUOUS docid span located by two binary searches over
+    the sorted doc values (the BoundedDocIdSetIterator) — no scan, no
+    per-doc compare.  n_chars ranges are [lo, hi) over the n_chars-DESC
+    sorted index; (qid, cnt) summed across segments."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir, index_sort=INDEX_SORT)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, cnts = [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            # ascending view of the DESC-sorted doc values (negate once)
+            asc = -r.stored_column("n_chars").to_numpy()
+            for qid, (lo, hi) in enumerate(SORTED_NUMERIC_RANGES):
+                start = (
+                    0 if hi is None else int(np.searchsorted(asc, -hi, side="right"))
+                )
+                end = (
+                    len(asc)
+                    if lo is None
+                    else int(np.searchsorted(asc, -lo, side="right"))
+                )
+                n = max(0, end - start)
+                if r.live is not None and n:
+                    n = int(r.live[start:end].sum())
+                qids.append(qid)
+                cnts.append(n)
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False).cast(
+        pa.schema([("qid", pa.int64()), ("cnt", pa.int64())])
+    )
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery

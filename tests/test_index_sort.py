@@ -111,3 +111,32 @@ def test_positions_survive_remap(ray_session, tmp_path):
 
     n_plain = count(plain)
     assert n_plain > 0 and count(srt) == n_plain
+
+
+def test_sorted_numeric_range_binary_search_equals_scan(sorted_idx, ray_session):
+    """The two-binary-search span must equal the brute per-doc range scan
+    on every segment, and the matching docids must be contiguous (the
+    BoundedDocIdSetIterator invariant)."""
+    import numpy as np
+
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.index.segment import SegmentReader
+
+    man = read_manifest(sorted_idx)
+    for seg in man["segments"]:
+        r = SegmentReader(seg["dir"])
+        col = r.stored_column("n_chars").to_numpy()
+        asc = -col
+        for lo, hi in [(100, 400), (None, 200), (250, None), (380, 390), (0, 1)]:
+            start = 0 if hi is None else int(np.searchsorted(asc, -hi, side="right"))
+            end = len(asc) if lo is None else int(np.searchsorted(asc, -lo, side="right"))
+            mask = np.ones(len(col), bool)
+            if lo is not None:
+                mask &= col >= lo
+            if hi is not None:
+                mask &= col < hi
+            docs = np.nonzero(mask)[0]
+            assert max(0, end - start) == len(docs), (lo, hi)
+            if len(docs):
+                # contiguity: the span IS the match set
+                assert docs[0] == start and docs[-1] == end - 1, (lo, hi)
