@@ -1213,6 +1213,48 @@ def _ann_hnsw(sf_dir: str):
     return pa.Table.from_pandas(exact, preserve_index=False)
 
 
+def _ann_hnsw_filtered(sf_dir: str, lang: str = "en"):
+    """FILTERED kNN (KnnFloatVectorQuery with a filter Query): the HNSW
+    path restricted to docs with lang = 'en', recall-gated against the
+    exact FILTERED brute top-k (computed over the lang-masked embedding
+    dataset), returning the exact result the SQL oracle reproduces."""
+    import duckdb
+    import pyarrow as pa
+
+    from lucene_ray.ops import ann
+
+    hnsw = ft.knn_index_topk(sf_dir, ANN_QUERY_IDS, k=10, filter_lang=lang).to_pandas()
+    allowed = set(
+        duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+            f"WHERE lang = '{lang}'"
+        ).df()["doc_id"]
+    )
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("vec_id").to_numpy()
+        keep = np.array([int(i) in allowed for i in ids], bool)
+        return batch.filter(pa.array(keep))
+
+    exact = ann.brute_topk(
+        _embs(sf_dir).map_batches(_mask, batch_format="pyarrow"),
+        ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS),
+        k=10,
+    ).to_pandas()
+    h = hnsw.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = {int(q): len(h.get(q, set()) & e[q]) / len(e[q]) for q in e.index}
+    worst = min(recalls.values()) if recalls else 0.0
+    if worst < HNSW_MIN_RECALL:
+        raise AssertionError(
+            f"filtered-HNSW recall@10 regression: min over queries {worst:.3f} < "
+            f"{HNSW_MIN_RECALL} ({recalls})"
+        )
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
 def _ann_kmeans_ivf(sf_dir: str):
     """Learned-centroid IVF (distributed mini-batch k-means, the iterative
     broadcast+partial-reduce pattern).  nprobe = ALL cells makes the
@@ -1871,7 +1913,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate (HNSW) — deliberately NO oracle_sql entry: the driver
         # records the weaker rows-only check; recall >= 0.9 vs exact brute
         # force is pinned in tests/test_ops_semantics.py
-        "ann_hnsw_topk": _ann_hnsw,
+        "ann_hnsw_topk": lambda sf: _concat_family(
+            [("plain", _ann_hnsw(sf)), ("filtered", _ann_hnsw_filtered(sf))],
+            col="variant",
+        ),
         "ann_near_dup_pairs": _near_dup,
         # --- multimodal: REAL BMP/PNG header decode + resize, one pass ---
         "mm_image_stats": lambda sf: multimodal.image_stats(_docs(sf, None)),
@@ -3586,6 +3631,7 @@ FROM ranked WHERE rnk <= 10
 CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf'), ('sq8')) v(variant)
 """,
         "ann_hnsw_topk": """
+SELECT 'plain' AS variant, p.* FROM (
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
 sims AS (
   SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
@@ -3598,6 +3644,25 @@ ranked AS (
 )
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
+) p
+UNION ALL
+-- filtered kNN: only lang='en' docs may be returned (pre-filter Query)
+SELECT 'filtered', f.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'
+  WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) f
 """,
         "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

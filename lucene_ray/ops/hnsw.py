@@ -226,16 +226,42 @@ class HnswGraph:
         if lvl > entry_lvl:
             self.entry = i
 
-    def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH):
-        """[(external id, cosine sim)] top-k."""
+    def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH,
+               accept: np.ndarray | None = None):
+        """[(external id, cosine sim)] top-k.
+
+        ``accept`` (bool mask over EXTERNAL ids) is the filtered-kNN path
+        (reference KnnFloatVectorQuery with a filter Query: traversal
+        crosses non-matching nodes, only accepted docs are collected).
+        Deviation (documented): instead of the reference's visited-node
+        budget that flips to exact search, the beam over-fetches (4x ef)
+        and falls back to EXACT scoring over the accepted vectors when
+        fewer than k accepted hits survive — same contract (exact results
+        under very selective filters), simpler budget rule."""
         if self.entry < 0:
             return []
         qn = (q / (np.linalg.norm(q) or 1.0)).astype(np.float32)
         cur = self.entry
         for layer in range(int(self.level[self.entry]), 0, -1):
             cur = self._greedy(qn, cur, layer)
-        best = self._beam(qn, cur, 0, max(ef, k))
-        return [(int(self.ids[n]), float(s)) for n, s in best[:k]]
+        if accept is None:
+            best = self._beam(qn, cur, 0, max(ef, k))
+            return [(int(self.ids[n]), float(s)) for n, s in best[:k]]
+        best = self._beam(qn, cur, 0, max(4 * ef, 4 * k))
+        hits = [
+            (int(self.ids[n]), float(s))
+            for n, s in best
+            if accept[int(self.ids[n])]
+        ][:k]
+        if len(hits) >= k:
+            return hits
+        # exact fallback over the accepted subset
+        ok = np.nonzero(accept[self.ids])[0]
+        if len(ok) == 0:
+            return []
+        sims = self.vec[ok] @ qn
+        order = np.lexsort((self.ids[ok], -sims))[:k]
+        return [(int(self.ids[ok[i]]), float(sims[i])) for i in order]
 
     # -- persistence (Lucene99HnswVectorsWriter analogue: the graph is an
     # index artifact written once at build time, loaded read-only at query)

@@ -1104,17 +1104,22 @@ def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
-def knn_index_topk(sf_dir: str, query_ids: list[int], k: int = 10) -> pa.Table:
+def knn_index_topk(
+    sf_dir: str, query_ids: list[int], k: int = 10, filter_lang: str | None = None
+) -> pa.Table:
     """INDEX-INTEGRATED KnnFloatVectorQuery (query_id, rnk, neighbor_id):
     per-segment persisted HNSW graphs (index/vectors.py, the
     Lucene99HnswVectorsWriter shape) searched through the ordinary
     DistributedSearcher — each SegmentSearchWorker actor loads its
     segments' graphs once and beam-searches per query; the TopDocs merge
     keeps the global k.  Self-matches excluded (the query vectors are
-    rows of the same table)."""
+    rows of the same table).  ``filter_lang`` runs the FILTERED kNN path
+    (KnnFloatVectorQuery with a filter Query): only docs with that lang
+    may be returned — HnswGraph.search documents the over-fetch +
+    exact-fallback budget rule."""
     from ..index.vectors import build_vector_index
     from ..ops.ann import load_queries
-    from ..search.query import KnnFloatVectorQuery
+    from ..search.query import KnnFloatVectorQuery, StoredFieldFilter
     from ..search.searcher import DistributedSearcher
 
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -1122,10 +1127,14 @@ def knn_index_topk(sf_dir: str, query_ids: list[int], k: int = 10) -> pa.Table:
     build_vector_index(idx, emb)
     searcher = DistributedSearcher(idx, num_workers=4)
     q_ids, q_mat, _ = load_queries(emb, query_ids)
+    filt = StoredFieldFilter("lang", filter_lang) if filter_lang else None
     qids, rnks, nbrs = [], [], []
     for j, qid in enumerate(q_ids):
         hits = searcher.search(
-            KnnFloatVectorQuery("embedding", tuple(map(float, q_mat[j])), k + 1), k + 1
+            KnnFloatVectorQuery(
+                "embedding", tuple(map(float, q_mat[j])), k + 1, filter=filt
+            ),
+            k + 1,
         )
         rnk = 0
         for doc, _s in hits:

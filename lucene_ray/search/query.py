@@ -299,6 +299,10 @@ class KnnFloatVectorQuery:
     vector: tuple[float, ...]
     k: int
     ef_search: int = 64
+    # optional pre-filter Query (KnnFloatVectorQuery(..., filter): only
+    # docs matching it may be returned; HnswGraph.search documents the
+    # over-fetch + exact-fallback budget rule)
+    filter: object = None
 
 
 @dataclass(frozen=True)
@@ -609,8 +613,26 @@ def build_scorer(
         graph = reader.vector_index(q.field)
         if graph is None or not len(graph.ids):
             return None
+        accept = None
+        if q.filter is not None:
+            fs = build_scorer(
+                q.filter, weight, reader, 1.0, "COMPLETE_NO_SCORES", False
+            )
+            if fs is None:
+                return None
+            accept = np.zeros(reader.max_doc, dtype=bool)
+            fdocs = getattr(fs, "docids", None)
+            if fdocs is not None:
+                accept[np.asarray(fdocs, np.int64)] = True
+            else:
+                from .scorers import NO_MORE_DOCS as _NMD
+
+                d = fs.advance(0)
+                while d != _NMD:
+                    accept[d] = True
+                    d = fs.next_doc()
         hits = graph.search(
-            np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search
+            np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search, accept=accept
         )
         if getattr(reader, "live", None) is not None:
             live = np.asarray(reader.live, dtype=bool)

@@ -207,3 +207,35 @@ def test_sq8_topk_recall_on_dataset(ray_session):
     s = sq.groupby("query_id")["neighbor_id"].apply(set)
     for qi in e.index:
         assert len(e[qi] & s.get(qi, set())) / len(e[qi]) >= 0.8
+
+
+def test_filtered_knn_accept_mask():
+    """Filtered HNSW search: only accepted external ids may be returned;
+    a very selective filter flips to the exact fallback and still returns
+    the true filtered top-k."""
+    import numpy as np
+
+    from lucene_ray.ops.hnsw import HnswGraph
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    g = HnswGraph(np.arange(n, dtype=np.int64), mat)
+    q = mat[0]
+    accept = np.zeros(n, bool)
+    accept[::7] = True  # ~43 accepted
+    hits = g.search(q, 10, accept=accept)
+    assert hits and all(accept[i] for i, _ in hits)
+    # exact filtered reference
+    ok = np.nonzero(accept)[0]
+    sims = mat[ok] @ q
+    order = np.lexsort((ok, -sims))[:10]
+    exact = [int(ok[i]) for i in order]
+    got = [i for i, _ in hits]
+    assert len(set(got) & set(exact)) >= 8  # recall gate on a tiny set
+    # ultra-selective: 3 accepted -> exact fallback returns all of them
+    accept2 = np.zeros(n, bool)
+    accept2[[5, 50, 250]] = True
+    hits2 = g.search(q, 10, accept=accept2)
+    assert sorted(i for i, _ in hits2) == [5, 50, 250]
