@@ -1178,6 +1178,7 @@ def _ann_ivf_persisted(sf_dir: str):
 
 HNSW_MIN_RECALL = 0.9
 SQ8_MIN_RECALL = 0.9
+LSH_MIN_RECALL = 0.7
 
 
 def _ann_hnsw(sf_dir: str):
@@ -1441,17 +1442,41 @@ def _ann_sq8(sf_dir: str):
     return pa.Table.from_pandas(exact, preserve_index=False)
 
 
+def _ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (random-hyperplane band buckets gate the scoring)
+    — approximate, so recall-gated the SQ8/HNSW way and returning the
+    exact top-k the SQL oracle reproduces."""
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    lsh = ann.lsh_topk(_embs(sf_dir), q, k=10).to_pandas()
+    exact = ann.brute_topk(_embs(sf_dir), q, k=10).to_pandas()
+    s = lsh.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = {int(qi): len(s.get(qi, set()) & e[qi]) / len(e[qi]) for qi in e.index}
+    worst = min(recalls.values())
+    if worst < LSH_MIN_RECALL:
+        raise AssertionError(
+            f"LSH recall@10 regression: min over queries {worst:.3f} < "
+            f"{LSH_MIN_RECALL} ({recalls})"
+        )
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
 def _ann_variants(sf_dir: str):
     """Brute-force / fixed-grid IVF / learned k-means IVF cosine top-k in
     one entry (all exact at nprobe=all, so one brute-force oracle covers
-    the three scoring paths), plus the int8 scalar-quantized arm checked
-    through its recall gate."""
+    the three scoring paths), plus the int8 scalar-quantized and
+    LSH-bucketed arms checked through their recall gates."""
     return _concat_family(
         [
             ("brute", _ann_brute(sf_dir)),
             ("ivf", _ann_ivf(sf_dir)),
             ("kmeans_ivf", _ann_kmeans_ivf(sf_dir)),
             ("sq8", _ann_sq8(sf_dir)),
+            ("lsh", _ann_lsh(sf_dir)),
         ],
         col="variant",
     )
@@ -3628,7 +3653,7 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) b
-CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf'), ('sq8')) v(variant)
+CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf'), ('sq8'), ('lsh')) v(variant)
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

@@ -164,6 +164,65 @@ def sq8_topk(ds, queries, k: int = 10) -> pa.Table:
     return _finish_topk(cands, k)
 
 
+def lsh_topk(
+    ds,
+    queries,
+    k: int = 10,
+    bands: int = 16,
+    band_bits: int = 4,
+    seed: int = 0x5EED,
+) -> pa.Table:
+    """LSH-bucketed ANN top-k: random-hyperplane signatures split into
+    bands (the MinHash-LSH banding shape over sign bits); a row is a
+    CANDIDATE for a query iff they share at least one band bucket, and
+    only candidates are cosine-scored (per-block partial top-k, the usual
+    small reduce).  APPROXIMATE — rows agreeing in no band are never
+    scored.  At 100 TB the band keys become the shuffle/partition key so
+    only co-bucketed rows are read; here the same candidate set is
+    computed by masking inside each batch (no shuffle needed when the
+    query side is small and broadcast)."""
+    import ray
+
+    q_ids, q_mat, q_norm = queries
+    nbits = bands * band_bits
+    first = ds.limit(1).take_all()
+    if not first:
+        return _finish_topk(ds.map_batches(lambda b: b), k)
+    dim = len(first[0]["embedding"])
+    H = _hyperplanes(dim, nbits, seed)
+    weights = (1 << np.arange(band_bits, dtype=np.int64))[::-1]
+
+    def _keys(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ H) > 0
+        return np.stack(
+            [
+                bits[:, r * band_bits : (r + 1) * band_bits].astype(np.int64) @ weights
+                for r in range(bands)
+            ],
+            axis=1,
+        )  # (n, bands)
+
+    ctx = ray.put((q_ids, q_mat, q_norm, _keys(q_mat)))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        qi, qm, qn, qkeys = ray.get(ctx)
+        emb = _emb_matrix(batch)
+        ids = batch.column("vec_id").to_numpy()
+        keys = _keys(emb)  # (n, bands)
+        norms = np.linalg.norm(emb, axis=1)
+        sims = np.full((len(ids), len(qi)), -np.inf)
+        for j in range(len(qi)):
+            cand = (keys == qkeys[j][None, :]).any(axis=1)
+            if cand.any():
+                sims[cand, j] = (emb[cand] @ qm[j]) / (
+                    np.maximum(norms[cand], 1e-12) * qn[j]
+                )
+        return _emit_candidates(qi, ids, sims, k)
+
+    cands = ds.map_batches(_cand, batch_format="pyarrow")
+    return _finish_topk(cands, k)
+
+
 def brute_topk(ds, queries, k: int = 10) -> pa.Table:
     """Exact cosine top-k: (query_id, rnk, neighbor_id); self excluded.
 
