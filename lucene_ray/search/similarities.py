@@ -201,6 +201,11 @@ class SweetSpotSimilarity(ClassicSimilarity):
         steepness: float = 0.5,
         tf_base: float = 1.5,
         tf_min: float = 2.0,
+        hyperbolic_tf: bool = False,
+        tf_hyper_min: float = 0.0,
+        tf_hyper_max: float = 2.0,
+        tf_hyper_base: float = 1.3,
+        tf_hyper_xoffset: float = 10.0,
     ):
         if not (1 <= ln_min <= ln_max) or steepness <= 0:
             raise ValueError("need 1 <= ln_min <= ln_max and steepness > 0")
@@ -209,6 +214,13 @@ class SweetSpotSimilarity(ClassicSimilarity):
         self.steepness = float(steepness)
         self.tf_base = float(tf_base)
         self.tf_min = float(tf_min)
+        self.hyperbolic_tf = bool(hyperbolic_tf)
+        self.tf_hyper = (
+            float(tf_hyper_min),
+            float(tf_hyper_max),
+            float(tf_hyper_base),
+            float(tf_hyper_xoffset),
+        )
 
     def scorer(
         self,
@@ -236,15 +248,31 @@ class SweetSpotSimilarity(ClassicSimilarity):
             + 1.0
         )
         table = np.where(lt > 0, norm, 0.0)
-        base, mn = self.tf_base, self.tf_min
+        if self.hyperbolic_tf:
+            # hyperbolicTf (SweetSpotSimilarity.java:158-176): a tanh-in-
+            # base-b ramp from min to a hard max around xoffset
+            h_min, h_max, h_base, h_xoff = self.tf_hyper
 
-        def tf_fn(f):
-            f = np.asarray(f, np.float64)
-            return np.where(
-                f <= 0.0,
-                0.0,
-                np.where(f <= mn, base, np.sqrt(np.maximum(f + base * base - mn, 0.0))),
-            )
+            def tf_fn(f):
+                f = np.asarray(f, np.float64)
+                x = f - h_xoff
+                up, dn = np.power(h_base, x), np.power(h_base, -x)
+                val = h_min + (h_max - h_min) / 2.0 * ((up - dn) / (up + dn) + 1.0)
+                val = np.where(np.isnan(val), h_max, val)
+                return np.where(f <= 0.0, 0.0, val)
+
+        else:
+            base, mn = self.tf_base, self.tf_min
+
+            def tf_fn(f):
+                f = np.asarray(f, np.float64)
+                return np.where(
+                    f <= 0.0,
+                    0.0,
+                    np.where(
+                        f <= mn, base, np.sqrt(np.maximum(f + base * base - mn, 0.0))
+                    ),
+                )
 
         return _TableScorer(float(boost) * idf, table, tf_fn)
 

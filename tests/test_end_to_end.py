@@ -411,3 +411,37 @@ def test_explain_matches_search_scores(built):
     # a doc that matches nothing
     miss = searcher.explain(TermQuery("zzz_not_a_term"), 0)
     assert miss["value"] == 0.0 and "no matching" in miss["description"]
+
+
+def test_sweetspot_functions_pinned():
+    """SweetSpot tf/lengthNorm closed forms pinned against hand-computed
+    values (misc/SweetSpotSimilarity.java: lengthNorm plateau of 1.0
+    inside [min, max]; baselineTf base below tf_min; hyperbolicTf
+    midpoint = (min+max)/2 at xoffset and hard max far above)."""
+    import numpy as np
+
+    from lucene_ray.search.bm25 import CollectionStatistics, TermStatistics
+    from lucene_ray.search.similarities import SweetSpotSimilarity
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    cs = CollectionStatistics(100, 100, 10000, 5000)
+    ts = TermStatistics("t", 10, 50)
+
+    s = SweetSpotSimilarity(ln_min=100, ln_max=400, steepness=0.5,
+                            tf_base=1.5, tf_min=2.0)
+    sc = s.scorer(1.0, cs, ts)
+    idf = np.log(101 / 11.0) + 1.0
+    # a norm byte whose quantized length sits inside the plateau -> 1.0
+    b_in = int(np.searchsorted(LENGTH_TABLE, 200))  # some length in [100,400]
+    ql = float(LENGTH_TABLE[b_in])
+    assert 100 <= ql <= 400
+    assert np.float32(sc.score(1.0, b_in)) == np.float32(idf * 1.5)
+    assert np.float32(sc.score(9.0, b_in)) == np.float32(
+        idf * np.sqrt(9.0 + 1.5 * 1.5 - 2.0)
+    )
+    # hyperbolic: at freq == xoffset the ramp is the midpoint (max+min)/2
+    h = SweetSpotSimilarity(ln_min=100, ln_max=400, hyperbolic_tf=True)
+    hs = h.scorer(1.0, cs, ts)
+    assert np.float32(hs.score(10.0, b_in)) == np.float32(idf * 1.0)
+    # far above xoffset the tf approaches the hard max 2.0
+    assert abs(float(hs.score(1000.0, b_in)) - idf * 2.0) < 1e-4
