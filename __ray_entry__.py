@@ -1796,6 +1796,9 @@ def _ev_window_counts(sf_dir: str):
             ("tumbling", events.windowed_counts(_events(sf_dir))),
             ("hopping", events.hopping_counts(_events(sf_dir))),
             ("tumbling_watermark", events.watermark_windowed_counts(_events(sf_dir))),
+            # HLL-gated exact distinct users (ops/sketch.py): the sketch
+            # estimate is asserted within 5% per group, exact returned
+            ("hll_distinct_users", events.hll_distinct_users(_events(sf_dir))),
         ],
         col="kind",
     )
@@ -3741,6 +3744,11 @@ FROM (
 ) w
 WHERE wm IS NULL OR ts + INTERVAL 10 MINUTE >= wm
 GROUP BY event_type, date_trunc('hour', ts)
+UNION ALL
+-- HLL-gated exact distinct users per (event_type, hour)
+SELECT 'hll_distinct_users', event_type, date_trunc('hour', ts),
+       count(DISTINCT user_id)::BIGINT, 0::BIGINT
+FROM events GROUP BY event_type, date_trunc('hour', ts)
 """,
         "ev_sessionize": """
 WITH e AS (

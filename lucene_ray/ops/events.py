@@ -351,3 +351,95 @@ def watermark_windowed_counts(
         ),
         batch_format="pyarrow",
     )
+
+
+def _hll_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch HLL registers per (event_type, window): one 4 KB blob per
+    group per block rides the shuffle — never the user ids."""
+    from .sketch import M, hll_partial
+
+    df = batch.select(["ts", "event_type", "user_id"]).to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h")
+    rows = []
+    for (et, w), g in df.groupby(["event_type", "window_start"]):
+        reg = hll_partial(g["user_id"].to_numpy().astype(np.int64))
+        rows.append((et, w, reg.tobytes()))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "window_start": pa.array([r[1] for r in rows]),
+            "reg": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+
+
+def hll_distinct_users(ds, max_rel_err: float = 0.05):
+    """Distinct users per (event_type, tumbling 1-hour window), computed
+    TWICE: exactly (two key-bounded shuffles over (etype, window, user)
+    triples) and via the distributed HyperLogLog sketch (ops/sketch.py —
+    register blobs merged by groupby().map_groups elementwise max).  The
+    HLL estimate is ASSERTED within ``max_rel_err`` of exact per group
+    (the recall-gate discipline for approximate operators: a sketch
+    regression fails the driver row loudly), then the EXACT counts are
+    returned so the COUNT(DISTINCT) oracle stays hash-exact.
+    Output (event_type, window_start, n_events=distinct, sum_cents=0)."""
+    from .sketch import M, hll_estimate, hll_merge
+
+    def _merge_group(group: pa.Table) -> pa.Table:
+        reg = np.zeros(M, np.uint8)
+        for blob in group.column("reg").to_pylist():
+            reg = hll_merge(reg, np.frombuffer(blob, np.uint8))
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "window_start": group.column("window_start").slice(0, 1),
+                "est": pa.array([hll_estimate(reg)], pa.float64()),
+            }
+        )
+
+    est = (
+        ds.map_batches(_hll_partial_batch, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .map_groups(_merge_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def _distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "user_id"]).to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.drop_duplicates(["event_type", "window_start", "user_id"])
+        return pa.Table.from_pandas(
+            g[["event_type", "window_start", "user_id"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    exact = (
+        ds.map_batches(_distinct_partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start", "user_id"])
+        .count()
+        .groupby(["event_type", "window_start"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_events"})
+    )
+    merged = exact.merge(est, on=["event_type", "window_start"], how="left")
+    err = (merged["est"] - merged["n_events"]).abs()
+    rel = err / merged["n_events"]
+    # tiny groups: one register-index collision undercounts by ~1, which
+    # is a large RELATIVE error on a 4-user group but expected sketch
+    # behavior — gate on (rel <= max_rel_err) OR (abs <= 3)
+    bad_mask = (rel > max_rel_err) & (err > 3.0)
+    if bool(bad_mask.any()):
+        bad = merged.loc[bad_mask.idxmax()]
+        raise AssertionError(
+            f"HLL distinct regression: rel err {float(rel[bad_mask].max()):.4f} "
+            f"> {max_rel_err} (abs > 3) "
+            f"at ({bad['event_type']}, {bad['window_start']}): "
+            f"est {bad['est']:.1f} vs exact {bad['n_events']}"
+        )
+    out = exact.copy()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_cents"] = np.int64(0)
+    return pa.Table.from_pandas(
+        out[["event_type", "window_start", "n_events", "sum_cents"]],
+        preserve_index=False,
+    ).replace_schema_metadata(None)
