@@ -115,3 +115,54 @@ class NaiveBayesClassifier:
             if ll > best_ll:
                 best, best_ll = c, ll
         return best, best_ll
+
+
+class KNNClassifier:
+    """KNearestNeighborClassifier analogue (reference
+    classification/KNearestNeighborClassifier.java): the text's analyzed
+    terms form a SHOULD disjunction, the BM25 top-k neighbors vote —
+    class rank = (votes DESC, sum of neighbor scores DESC, label ASC);
+    the returned score is votes/k (the reference's normalized count).
+    Reuses the ordinary IndexSearcher, so pruning/impacts apply to the
+    neighbor search unchanged."""
+
+    def __init__(self, index_dir: str, class_field: str, k: int = 10,
+                 analyzer: str = "standard"):
+        from .searcher import IndexSearcher
+
+        self.searcher = IndexSearcher(index_dir)
+        self.class_field = class_field
+        self.k = int(k)
+        self.analyzer = make_analyzer(analyzer)
+        # per-segment class column, gathered lazily per assign call
+        self._cls_cols = [
+            r.stored_column(class_field) for r in self.searcher.readers
+        ]
+        self._bases = [
+            s["doc_base"] for s in self.searcher.manifest["segments"]
+        ]
+
+    def _label(self, gdoc: int) -> str:
+        for col, base in zip(self._cls_cols[::-1], self._bases[::-1]):
+            if gdoc >= base:
+                return str(col[gdoc - base].as_py())
+        raise IndexError(gdoc)
+
+    def assign_class(self, text: str) -> tuple[str, float]:
+        from .query import TermQuery, bool_query
+
+        toks, _tfs, _n = self.analyzer.analyze(text)
+        if not toks:
+            raise ValueError("empty analyzed text")
+        q = bool_query(should=[TermQuery(t) for t in sorted(set(toks))])
+        hits = self.searcher.search(q, self.k)
+        votes: dict[str, int] = {}
+        ssum: dict[str, float] = {}
+        for doc, score in hits:
+            c = self._label(int(doc))
+            votes[c] = votes.get(c, 0) + 1
+            ssum[c] = ssum.get(c, 0.0) + float(score)
+        if not votes:
+            raise ValueError("no neighbors matched")
+        best = min(votes, key=lambda c: (-votes[c], -ssum[c], c))
+        return best, votes[best] / float(self.k)

@@ -87,3 +87,25 @@ def test_nb_matches_brute_loglikelihood(labeled_idx):
     best = max(want, key=want.get)
     assert got_c == best
     assert np.isclose(got_ll, want[best], rtol=1e-12)
+
+
+def test_knn_classifier_majority(labeled_idx):
+    """kNN vote semantics on the separable corpus: planted phrases
+    classify to their class, the vote score is votes/k, and stored-doc
+    texts classify as their own label."""
+    from lucene_ray.search.classify import KNNClassifier
+
+    idx, src = labeled_idx
+    clf = KNNClassifier(idx, "lang", k=7)
+    got, score = clf.assign_class("the team scored a goal this season")
+    assert got == "sport" and 0 < score <= 1.0
+    got, score = clf.assign_class("deploy the index to the query cluster")
+    assert got == "tech" and 0 < score <= 1.0
+    # self-classification over stored docs
+    t = pq.read_table(src, columns=["lang", "content"])
+    right = 0
+    rows = list(zip(t.column("lang").to_pylist(), t.column("content").to_pylist()))
+    for lab, text in rows[:30]:
+        got, _ = clf.assign_class(text)
+        right += got == lab
+    assert right >= 27
