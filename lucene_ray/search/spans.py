@@ -237,6 +237,50 @@ def _doc_spans(reader, node) -> dict[int, np.ndarray]:
     raise TypeError(f"not a span node: {node!r}")
 
 
+def span_char_spans(reader, node) -> dict[int, np.ndarray]:
+    """doc -> (n, 2) CHARACTER spans of the span matches — the
+    spans-aware highlighter seam (reference UnifiedHighlighter's
+    PhraseHelper / OffsetsEnum over position-aligned offsets): a match
+    span [s, e] (positions, inclusive) maps to [start_offset(token at s),
+    end_offset(token at e)].  Both endpoints are occurrences of the
+    tree's own terms, so the per-doc position->offset map is built from
+    exactly those postings — never a stored-field re-analysis.  Requires
+    index_options='offsets'."""
+    if not getattr(reader, "has_offsets", False):
+        raise ValueError("span highlighting needs index_options='offsets'")
+    from ..index.postings import decode_term
+
+    spans = _doc_spans(reader, node)
+    if not spans:
+        return {}
+    # per-doc position -> (char start, char end) from the tree's terms
+    pos_maps: dict[int, dict[int, tuple[int, int]]] = {}
+    for t in set(span_terms(node)):
+        tid = reader.term_id(t)
+        if tid is None:
+            continue
+        docs, _ = decode_term(reader.enc, tid)
+        plists = reader.term_positions(tid)
+        olists = reader.term_offset_spans(tid)
+        for d, p, (os_, oe) in zip(docs.tolist(), plists, olists):
+            if d not in spans:
+                continue
+            m = pos_maps.setdefault(d, {})
+            for pi, s_, e_ in zip(p.tolist(), os_.tolist(), oe.tolist()):
+                m[pi] = (int(s_), int(e_))
+    out: dict[int, np.ndarray] = {}
+    for d, iv in spans.items():
+        m = pos_maps.get(d, {})
+        rows = [
+            (m[int(s)][0], m[int(e)][1])
+            for s, e in iv
+            if int(s) in m and int(e) in m
+        ]
+        if rows:
+            out[d] = np.asarray(sorted(set(rows)), np.int64).reshape(-1, 2)
+    return out
+
+
 def span_terms(node) -> tuple[str, ...]:
     """Every term occurrence in the span tree, in clause order with
     duplicates kept — the SpanWeight.buildSimWeight termStates collection

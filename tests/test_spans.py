@@ -242,3 +242,38 @@ def test_span_score_query_scoring(span_idx):
                                        total_hits_threshold=np.inf,
                                        score_mode="COMPLETE")}
     assert {d for d, _ in hits} <= span_docs - imp_docs
+
+
+def test_span_char_spans_highlighting(tmp_path):
+    """span_char_spans maps match spans to ORIGINAL-text char ranges: the
+    slice of the source text under each char span contains exactly the
+    matched tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "alpha beta gamma delta",
+        "beta alpha xx beta gamma",
+        "nothing here",
+    ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "content": texts}), src
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, meta_columns=(), index_options="offsets")
+    s = IndexSearcher(idx)
+    from lucene_ray.search.spans import span_char_spans
+
+    node = SpanNear((SpanTerm("beta"), SpanTerm("gamma")), slop=1, in_order=True)
+    got = span_char_spans(s.readers[0], node)
+    # doc 0: "beta gamma" adjacent; doc 1: "beta gamma" at the end
+    assert set(got) == {0, 1}
+    for d, spans in got.items():
+        for cs, ce in spans:
+            frag = texts[d][cs:ce]
+            assert frag.startswith("beta") and frag.endswith("gamma"), frag
+    with pytest.raises(ValueError, match="offsets"):
+        idx2 = str(tmp_path / "idx2")
+        build_index_local(str(src), idx2, meta_columns=(), index_options="positions")
+        span_char_spans(IndexSearcher(idx2).readers[0], node)
