@@ -74,3 +74,45 @@ def hll_estimate(reg: np.ndarray) -> float:
     if e <= 2.5 * M and zeros:
         return float(M * np.log(M / zeros))
     return float(e)
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications") -------------
+
+CM_D = 4
+CM_W = 2048
+
+
+def _cm_hashes(keys: np.ndarray) -> np.ndarray:
+    """(n, CM_D) row indices: one splitmix64 per row seed (pairwise
+    independent enough for the CM guarantee in practice)."""
+    cols = []
+    for d in range(CM_D):
+        seed = np.uint64((d * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF)
+        h = splitmix64(keys.astype(np.int64).view(np.uint64) ^ seed)
+        cols.append((h % np.uint64(CM_W)).astype(np.int64))
+    return np.stack(cols, axis=1)
+
+
+def cm_partial(keys: np.ndarray, counts: np.ndarray | None = None) -> np.ndarray:
+    """(CM_D, CM_W) int64 table for one batch (counts default 1 each)."""
+    tab = np.zeros((CM_D, CM_W), np.int64)
+    if len(keys) == 0:
+        return tab
+    if counts is None:
+        counts = np.ones(len(keys), np.int64)
+    idx = _cm_hashes(np.asarray(keys))
+    for d in range(CM_D):
+        np.add.at(tab[d], idx[:, d], counts)
+    return tab
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b  # CM tables are linear — partials just sum
+
+
+def cm_query(tab: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (upper bounds, min over rows) for each key."""
+    idx = _cm_hashes(np.asarray(keys))
+    ests = np.stack([tab[d][idx[:, d]] for d in range(CM_D)], axis=1)
+    return ests.min(axis=1)

@@ -35,3 +35,27 @@ def test_splitmix64_deterministic_and_dispersed():
     assert len(np.unique(h1)) == 1000
     # top bits well spread: all 16 high nibbles hit
     assert len(np.unique(h1 >> np.uint64(60))) == 16
+
+
+def test_count_min_upper_bound_and_linearity():
+    """CM estimates NEVER undercount, overcount stays within eps*N for the
+    planted Zipf stream, and partial tables merge by plain addition."""
+    from lucene_ray.ops.sketch import CM_W, cm_merge, cm_partial, cm_query
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.3, 200000).astype(np.int64) % 10000
+    uniq, true = np.unique(keys, return_counts=True)
+    whole = cm_partial(keys)
+    merged = None
+    for part in np.array_split(keys, 9):
+        t = cm_partial(part)
+        merged = t if merged is None else cm_merge(merged, t)
+    assert (whole == merged).all()
+    est = cm_query(whole, uniq)
+    assert (est >= true).all()  # one-sided error
+    # eps = e / w within constant slop; N = stream length
+    overs = est - true
+    assert overs.max() <= 3 * np.e * len(keys) / CM_W
+    # the true heavy hitter's estimate is tight in relative terms
+    top = uniq[np.argmax(true)]
+    assert cm_query(whole, np.array([top]))[0] <= true.max() * 1.05
