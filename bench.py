@@ -520,6 +520,10 @@ def main() -> None:
         out2["retry_of_total"] = out["value"]
         if out2["value"] < out["value"]:
             out = out2
+        else:
+            # keep the evidence that a retry ran and was worse — both
+            # windows were degraded, not just an unlucky single shot
+            out["retry_worse_total"] = out2["value"]
     print(json.dumps(out))
     ray.shutdown()
 
