@@ -277,3 +277,50 @@ def test_span_char_spans_highlighting(tmp_path):
         idx2 = str(tmp_path / "idx2")
         build_index_local(str(src), idx2, meta_columns=(), index_options="positions")
         span_char_spans(IndexSearcher(idx2).readers[0], node)
+
+
+def test_span_near_combiners_hypothesis():
+    """Property fuzz: the vectorized partial-join combiners equal the
+    itertools brute enumeration for random small interval sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_ray.search.spans import _near_ordered_full, _near_unordered_full
+
+    iv = st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=1,
+        max_size=4,
+    ).map(lambda l: np.asarray(sorted(set(l)), np.int64).reshape(-1, 2))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ivs=st.lists(iv, min_size=2, max_size=3),
+        slop=st.integers(0, 6),
+        ordered=st.booleans(),
+    )
+    def check(ivs, slop, ordered):
+        import numpy as np  # noqa: F811
+
+        got = (
+            _near_ordered_full(ivs, slop) if ordered else _near_unordered_full(ivs, slop)
+        )
+        want = set()
+        for combo in itertools.product(*[list(map(tuple, iv_)) for iv_ in ivs]):
+            wsum = sum(e - s + 1 for s, e in combo)
+            if ordered:
+                if any(combo[i][1] >= combo[i + 1][0] for i in range(len(combo) - 1)):
+                    continue
+                s, e = combo[0][0], combo[-1][1]
+            else:
+                s = min(c[0] for c in combo)
+                e = max(c[1] for c in combo)
+            if (e - s + 1) - wsum <= slop:
+                want.add((s, e))
+        assert {tuple(r) for r in got.tolist()} == want
+
+    import numpy as np
+
+    check()
