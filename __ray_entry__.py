@@ -1411,6 +1411,7 @@ def _bm25_variants(sf_dir: str):
             ("salted", _salted_bm25(sf_dir)),
             ("disjunction", ft.bm25_disjunction_topk(sf_dir)),
             ("boosted", ft.bm25_boosted_topk(sf_dir)),
+            ("common_terms", ft.common_terms_topk(sf_dir)),
         ],
         col="variant",
     )
@@ -3517,6 +3518,61 @@ q(qid, term) AS (VALUES {_DISJ_VALUES}),
 {_BM25_COMMON}) b
 UNION ALL
 SELECT 'boosted', b.* FROM ({_boosted_sql()}) b
+UNION ALL
+-- CommonTermsQuery: df/maxDoc > cutoff -> high-freq; docs must match a
+-- low-freq term (when any exist), every matching term's BM25 sums
+SELECT 'common_terms', b.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {", ".join(f"({qi}, '{t}')" for qi, terms in enumerate(ft.COMMON_TERMS_QUERIES) for t in terms)}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf,
+         (SELECT count(*) FROM documents)::BIGINT AS max_doc
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+cls AS (
+  SELECT d.qid, d.term, d.df,
+         CASE WHEN d.df * 1.0 / s.max_doc > {ft.CTQ_MAX_TERM_FREQ} THEN 1 ELSE 0 END AS hi
+  FROM dfq d CROSS JOIN stats s
+),
+haslow AS (SELECT DISTINCT qid FROM cls WHERE hi = 0),
+lowmatch AS (
+  SELECT DISTINCT p.qid, p.doc_id
+  FROM posting p JOIN cls c ON c.qid = p.qid AND c.term = p.term AND c.hi = 0
+),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT c.qid, c.doc_id, sum(c.score) AS score
+  FROM clause c
+  WHERE c.qid NOT IN (SELECT qid FROM haslow)
+     OR EXISTS (SELECT 1 FROM lowmatch lm
+                WHERE lm.qid = c.qid AND lm.doc_id = c.doc_id)
+  GROUP BY c.qid, c.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) b
 """,
         "tx_scrub_pii": """
 SELECT doc_id,

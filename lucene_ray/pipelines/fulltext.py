@@ -2137,6 +2137,59 @@ def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# CommonTermsQuery inputs: 'dup' is the one genuinely low-df corpus term
+# (df/maxDoc ~5%), everything else sits ~77% — the 0.5 cutoff splits them
+COMMON_TERMS_QUERIES = [
+    ("dup", "the", "spark"),
+    ("dup", "merge"),
+    ("the", "spark"),  # all high-freq -> pure SHOULD fallback
+    ("dup",),  # all low-freq -> pure SHOULD
+]
+CTQ_MAX_TERM_FREQ = 0.5
+
+
+def common_terms_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """CommonTermsQuery (reference queries/CommonTermsQuery.java
+    buildQuery/rewrite): terms split by document frequency against
+    ``maxTermFrequency`` (df / maxDoc > cutoff -> high-freq); low-freq
+    terms form the REQUIRED group (a SHOULD subquery under MUST —
+    default lowFreqOccur SHOULD, minShouldMatch 1 via the MUST wrap),
+    high-freq terms only BOOST docs the low group already matched; when
+    one group is empty the other stands alone as a plain SHOULD.
+    (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    all_terms = {t for q in COMMON_TERMS_QUERIES for t in q}
+    stats = searcher.term_statistics(all_terms)
+    max_doc = searcher.collection_stats.max_doc
+    qids, rnks, docs = [], [], []
+    for qid, terms in enumerate(COMMON_TERMS_QUERIES):
+        high = [
+            t
+            for t in terms
+            if stats[t].doc_freq / float(max_doc) > CTQ_MAX_TERM_FREQ
+        ]
+        low = [t for t in terms if t not in high]
+        if low and high:
+            q = bool_query(
+                must=[bool_query(should=[TermQuery(t) for t in low])],
+                should=[bool_query(should=[TermQuery(t) for t in high])],
+            )
+        else:
+            q = bool_query(should=[TermQuery(t) for t in (low or high)])
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # (base term, rescore term, rescore weight) — weights are exact binary
 # fractions so the double combine mirrors the oracle bit-for-bit
 RESCORE_QUERIES = [
