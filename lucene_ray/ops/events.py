@@ -356,7 +356,7 @@ def watermark_windowed_counts(
 def _hll_partial_batch(batch: pa.Table) -> pa.Table:
     """Per-batch HLL registers per (event_type, window): one 4 KB blob per
     group per block rides the shuffle — never the user ids."""
-    from .sketch import M, hll_partial
+    from .sketch import hll_partial
 
     df = batch.select(["ts", "event_type", "user_id"]).to_pandas()
     df["window_start"] = df["ts"].dt.floor("h")
