@@ -324,3 +324,36 @@ def test_span_near_combiners_hypothesis():
     import numpy as np
 
     check()
+
+
+def test_span_and_covering_inside_booleans_differential(span_idx):
+    """Randomized TOP_SCORES == COMPLETE differential for boolean trees
+    mixing SpanScoreQuery clauses with plain terms — the
+    PrecomputedScorer clause path under WAND pruning.  (CoveringQuery's
+    boolean path is exercised in test_covering_query_semantics — this
+    fixture's corpus has no numeric stored column for its min source.)"""
+    import numpy as np
+
+    from lucene_ray.search.query import SpanScoreQuery, TermQuery, bool_query
+
+    s = IndexSearcher(span_idx)
+    rng = np.random.default_rng(17)
+    terms = ["def", "return", "import", "class", "ne_bi", "wamurifa"]
+    for trial in range(25):
+        clauses = []
+        n = rng.integers(2, 4)
+        for _ in range(n):
+            kind = rng.integers(0, 2)
+            if kind == 0:
+                clauses.append(TermQuery(terms[rng.integers(0, len(terms))]))
+            else:
+                clauses.append(SpanScoreQuery(CASES[int(rng.integers(0, 4))]))
+        if rng.random() < 0.5:
+            q = bool_query(should=list(clauses))
+        else:
+            q = bool_query(must=[clauses[0]], should=list(clauses[1:]))
+        pruned = s.search(q, 10)
+        complete = s.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert [(d, np.float32(sc)) for d, sc in pruned] == [
+            (d, np.float32(sc)) for d, sc in complete
+        ], (trial, q)
