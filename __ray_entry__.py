@@ -1179,6 +1179,7 @@ def _ann_ivf_persisted(sf_dir: str):
 HNSW_MIN_RECALL = 0.9
 SQ8_MIN_RECALL = 0.9
 LSH_MIN_RECALL = 0.7
+RADIUS_TAU = 0.30
 
 
 def _ann_hnsw(sf_dir: str):
@@ -1478,9 +1479,20 @@ def _ann_variants(sf_dir: str):
             ("kmeans_ivf", _ann_kmeans_ivf(sf_dir)),
             ("sq8", _ann_sq8(sf_dir)),
             ("lsh", _ann_lsh(sf_dir)),
+            ("radius", _ann_radius(sf_dir)),
         ],
         col="variant",
     )
+
+
+def _ann_radius(sf_dir: str):
+    """Radius search (FloatVectorSimilarityQuery): ALL matches with
+    cosine >= RADIUS_TAU, exact brute over batches (threshold-bounded
+    output)."""
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.radius_matches(_embs(sf_dir), q, RADIUS_TAU)
 
 
 def _multiterm_matches(sf_dir: str):
@@ -3713,6 +3725,23 @@ SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_i
 FROM ranked WHERE rnk <= 10
 ) b
 CROSS JOIN (VALUES ('brute'), ('ivf'), ('kmeans_ivf'), ('sq8'), ('lsh')) v(variant)
+UNION ALL
+-- radius search: every match with cosine >= 0.30, ranked sim DESC
+SELECT 'radius', r.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+m AS (SELECT * FROM sims WHERE s >= 0.30),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked
+) r
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

@@ -223,6 +223,55 @@ def lsh_topk(
     return _finish_topk(cands, k)
 
 
+def radius_matches(ds, queries, tau: float) -> pa.Table:
+    """FloatVectorSimilarityQuery analogue (reference
+    search/AbstractVectorSimilarityQuery.java + FloatVectorSimilarityQuery:
+    every vector whose similarity to the query is >= resultSimilarity —
+    a RADIUS search, not top-k).  Exact here (the reference's graph
+    traversal is its approximate path; brute over batches is the
+    baseline, and the threshold makes per-batch output tiny).  Rows
+    (query_id, rnk, neighbor_id) ranked (sim DESC, id ASC) over ALL
+    matches; self excluded."""
+    import ray
+
+    q_ids, q_mat, q_norm = queries
+    q_ref = ray.put((q_ids, q_mat, q_norm))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        qi, qm, qn = ray.get(q_ref)
+        emb = _emb_matrix(batch)
+        ids = batch.column("vec_id").to_numpy()
+        norms = np.linalg.norm(emb, axis=1)
+        sims = (emb @ qm.T) / (np.maximum(norms, 1e-12)[:, None] * qn[None, :])
+        out_q, out_id, out_s = [], [], []
+        for j in range(len(qi)):
+            hit = (sims[:, j] >= tau) & (ids != qi[j])
+            out_q.extend([int(qi[j])] * int(hit.sum()))
+            out_id.extend(ids[hit].tolist())
+            out_s.extend(sims[hit, j].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(_cand, batch_format="pyarrow").to_pandas()
+    # threshold-bounded: a few rows per query by construction
+    df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True])
+    df["rnk"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rnk", "neighbor_id"]].reset_index(drop=True),
+        preserve_index=False,
+    ).cast(
+        pa.schema(
+            [("query_id", pa.int64()), ("rnk", pa.int64()), ("neighbor_id", pa.int64())]
+        )
+    )
+
+
 def brute_topk(ds, queries, k: int = 10) -> pa.Table:
     """Exact cosine top-k: (query_id, rnk, neighbor_id); self excluded.
 
