@@ -845,6 +845,45 @@ def _prefix_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _prefix_scored_sql() -> str:
+    """SCORING_BOOLEAN rewrite oracle: the prefix's matching dictionary
+    terms score as a BM25 SHOULD disjunction (each term its own idf)."""
+    pvals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.PREFIXES))
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, p) AS (VALUES {pvals}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, tf.tok FROM q JOIN tf ON tf.tok LIKE q.p || '%'
+),
+dfq AS (SELECT qid, tok, count(*)::BIGINT AS df FROM posting GROUP BY qid, tok),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.tok = p.tok
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _in_set_sql() -> str:
     parts = []
     for qid, terms in enumerate(ft.TERM_SETS):
@@ -1502,6 +1541,7 @@ def _multiterm_matches(sf_dir: str):
     return _concat_family(
         [
             ("prefix", ft.prefix_matches(sf_dir)),
+            ("prefix_scored", ft.prefix_scored_matches(sf_dir)),
             ("in_set", ft.term_in_set_matches(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
@@ -2623,6 +2663,7 @@ FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
         "ft_bool_counts": _bool_counts_sql(),
         "ft_multiterm_matches": f"""
 SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
+UNION ALL SELECT 'prefix_scored', * FROM ({_prefix_scored_sql()})
 UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})

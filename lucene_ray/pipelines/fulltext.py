@@ -1940,6 +1940,49 @@ def spell_candidates(sf_dir: str):
 TERM_RANGES = [("a", "d"), ("m", "s"), ("s", None), (None, "h")]
 
 
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount default
+
+
+def prefix_scored_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """MultiTermQuery.SCORING_BOOLEAN_REWRITE for PrefixQuery (reference
+    search/ScoringRewrite.java SCORING_BOOLEAN_REWRITE +
+    IndexSearcher.getMaxClauseCount): the prefix expands to the
+    dictionary terms under it — union across ALL segments, the
+    cross-segment TermStates collection — and runs as a plain BM25
+    SHOULD disjunction (each expanded term keeps its own idf, unlike the
+    CONSTANT_SCORE rewrite the other multiterm arms use); more than
+    MAX_CLAUSE_COUNT expanded terms raises the TooManyClauses error.
+    (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, p in enumerate(PREFIXES):
+        lo = p.encode("utf-8")
+        hi = lo + b"\xff\xff\xff\xff"
+        terms: set[str] = set()
+        for r in searcher.readers:
+            for tid in r.term_id_range(lo, hi):
+                terms.add(r.term_string(tid))
+        if len(terms) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"TooManyClauses: prefix '{p}' expands to {len(terms)} terms"
+            )
+        if not terms:
+            continue
+        q = bool_query(should=[TermQuery(t) for t in sorted(terms)])
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def prefix_matches(sf_dir: str, k: int = 10) -> pa.Table:
     """Constant-score prefix queries: (qid, cnt, top-k doc ids as rnk rows).
 
