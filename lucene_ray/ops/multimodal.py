@@ -323,3 +323,95 @@ def frame_samples(ds, concurrency=(1, 4), batch_size: int = 32):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- audio: REAL RIFF/WAVE PCM encode + header parse (no codec libs
+# needed — PCM WAV is a plain struct layout) --------------------------------
+
+def encode_wav(content: bytes, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """A REAL RIFF/WAVE PCM16 file whose samples are the content bytes
+    repeated into int16 (deterministic stand-in for a recording): 44-byte
+    canonical header + data chunk.  Parsers (including ours below) read
+    it as genuine WAV."""
+    import struct
+
+    n_samples = max(1, len(content))
+    data = (content * 2)[: n_samples * 2]  # 2 bytes per int16 sample
+    byte_rate = sample_rate * channels * 2
+    header = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    header += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    header += b"data" + struct.pack("<I", len(data))
+    return header + data
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(sample_rate, channels, n_samples, pcm_bytes) from a canonical
+    PCM16 WAV; raises ValueError on malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or payload[12:16] != b"fmt ":
+        raise ValueError("not a canonical PCM WAV")
+    fmt, channels, rate = struct.unpack("<HHI", payload[20:28])
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if fmt != 1 or bits != 16 or payload[36:40] != b"data":
+        raise ValueError("unsupported WAV layout")
+    n_data = struct.unpack("<I", payload[40:44])[0]
+    pcm = payload[44 : 44 + n_data]
+    return rate, channels, n_data // (2 * channels), pcm
+
+
+class AudioStatsDecoder:
+    """Actor-pool stage: parse the REAL WAV header, emit
+    (doc_id, sample_rate, channels, n_samples, duration_ms, clip_fp) —
+    the audio analogue of ImageStatsDecoder (stateless setup here, but
+    the shape is the model-loading actor-pool contract)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids, rates, chans, nsamp, durs, fps = [], [], [], [], [], []
+        for row in batch.to_pylist():
+            rate, ch, n, pcm = parse_wav_header(row["payload"])
+            ids.append(row["doc_id"])
+            rates.append(rate)
+            chans.append(ch)
+            nsamp.append(n)
+            durs.append(n * 1000 // rate)
+            fps.append(md5_u64(pcm + b"|clip"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "channels": pa.array(chans, pa.int64()),
+                "n_samples": pa.array(nsamp, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int64()),
+                "clip_fp": pa.array(np.array(fps, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+
+def attach_audio_payload(ds, text_col: str = "text"):
+    """binary WAV payload column derived deterministically from the text."""
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        payloads = [
+            encode_wav((t or "").encode("utf-8"))
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_encode, batch_format="pyarrow")
+
+
+def audio_stats(ds, concurrency=(1, 4), batch_size: int = 64):
+    """Real-binary WAV column -> header parse + clip fingerprint in one
+    actor-pool pass (the audio analogue of image_stats)."""
+    return attach_audio_payload(ds).map_batches(
+        AudioStatsDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -62,3 +62,43 @@ def test_png_crc_detects_corruption():
 def test_unknown_magic_rejected():
     with pytest.raises(ValueError, match="magic"):
         parse_image_header(b"GIF89a not supported here")
+
+
+def test_wav_roundtrip_and_audio_stats(ray_session):
+    """encode_wav emits a REAL canonical PCM16 RIFF file (python's stdlib
+    wave module must read it), parse_wav_header inverts it, and the
+    actor-pool stage emits consistent stats."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops.multimodal import (
+        audio_stats,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    payload = encode_wav(b"hello world audio", sample_rate=8000, channels=1)
+    with wave.open(io.BytesIO(payload)) as w:  # stdlib parses it
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 17
+    rate, ch, n, pcm = parse_wav_header(payload)
+    assert (rate, ch, n) == (8000, 1, 17) and len(pcm) == 34
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["short", "a much longer clip text"]})
+    )
+    out = audio_stats(ds).to_pandas().sort_values("doc_id")
+    assert list(out["sample_rate"]) == [16000, 16000]
+    assert list(out["n_samples"]) == [5, 23]
+    assert (out["duration_ms"] == out["n_samples"] * 1000 // 16000).all()
+    assert out["clip_fp"].nunique() == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="WAV"):
+        parse_wav_header(b"RIFFxxxxJUNKfmt ")
