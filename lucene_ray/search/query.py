@@ -186,6 +186,16 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery:
+    """Matches every doc that HAS a value for the field (reference
+    search/FieldExistsQuery.java — norms/doc-values/points existence
+    check); here existence = non-null in the stored metadata column,
+    constant score (the reference's usual FILTER/ConstantScore use)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
 class CoveringQuery:
     """Matches docs where at least minimumNumberMatch(doc) of the clauses
     match (reference sandbox/.../search/CoveringQuery.java +
@@ -374,8 +384,8 @@ def collect_terms(q: Query) -> set[str]:
         return {t for alts in q.slots for t in alts}
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, TermInSetQuery, StoredFieldFilter,
-                      StoredFieldRange, PointBoxQuery, KnnFloatVectorQuery,
-                      PayloadScoreQuery)):
+                      StoredFieldRange, FieldExistsQuery, PointBoxQuery,
+                      KnnFloatVectorQuery, PayloadScoreQuery)):
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -731,6 +741,24 @@ def build_scorer(
             return np.nonzero(pc.equal(col, q.value).to_numpy(zero_copy_only=False))[0]
 
         docs = cached_filter_docs(reader, q, _eval)
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, FieldExistsQuery):
+        from .cache import cached_filter_docs
+        from .scorers import PrecomputedScorer
+
+        def _eval_exists():
+            import pyarrow.compute as pc
+
+            col = reader.stored_column(q.field)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            return np.nonzero(valid)[0]
+
+        docs = cached_filter_docs(reader, q, _eval_exists)
         if getattr(reader, "live", None) is not None and len(docs):
             docs = docs[reader.live[docs]]
         if len(docs) == 0:

@@ -385,3 +385,48 @@ def test_freetext_bigram_partials():
     # doc-boundary pair ("dog","cat") must NOT count
     assert (2, "the") in got and got[(2, "the")] == 2
     assert not any(q == 3 for q, _ in got)
+
+
+def test_field_exists_query():
+    """FieldExistsQuery: docs with a NON-NULL stored value match at
+    constant score; composes as a FILTER without touching BM25 scores."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import FieldExistsQuery, TermQuery, bool_query
+    from lucene_ray.search.searcher import IndexSearcher
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "content": ["alpha beta"] * 4,
+                    "tag": pa.array(["x", None, "y", None], pa.string()),
+                }
+            ),
+            src,
+        )
+        idx = f"{td}/idx"
+        build_index_local(src, idx, meta_columns=("tag",))
+        s = IndexSearcher(idx)
+        q = FieldExistsQuery("tag")
+        hits = s.search(q, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert {d for d, _ in hits} == {0, 2}
+        assert all(np.float32(sc) == np.float32(1.0) for _, sc in hits)
+        # as a FILTER clause: scores identical to the unfiltered term query
+        unf = dict(
+            s.search(TermQuery("alpha"), 10, total_hits_threshold=np.inf,
+                     score_mode="COMPLETE")
+        )
+        fq = bool_query(must=[TermQuery("alpha")], filter=[FieldExistsQuery("tag")])
+        fhits = s.search(fq, 10, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        assert {d for d, _ in fhits} == {0, 2}
+        for d, sc in fhits:
+            assert np.float32(sc) == np.float32(unf[d])
+        assert s.count(q) == 2
