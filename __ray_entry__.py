@@ -962,6 +962,54 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _blended_sql(rewrite: str) -> str:
+    """BlendedTermQuery arm: every member term scored as its own clause but
+    with the group's EQUALIZED df = max(per-term df)
+    (search/BlendedTermQuery.java blend()), clause = boost * idf_blend *
+    tf-saturation, combined dismax(tie=0.01) or SHOULD-sum."""
+    combine = (
+        "sum(score)"
+        if rewrite == "boolean"
+        else "max(score) + 0.01 * (sum(score) - max(score))"
+    )
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, term, boost) AS (VALUES {_SYN_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, q.term, q.boost, tf.doc_id, tf.tf FROM q JOIN tf ON tf.tok = q.term
+),
+tstat AS (
+  SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term
+),
+blend AS (SELECT qid, max(df)::BIGINT AS df FROM tstat GROUP BY qid),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (s.doc_count - b.df + 0.5) / (b.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN blend b ON b.qid = p.qid
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, {combine} AS score FROM clause GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _regexp_sql() -> str:
     parts = []
     for qid, p in enumerate(ft.REGEXPS):
@@ -1901,9 +1949,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
         "ft_dismax_topk": _dismax_family,
-        # SynonymQuery: blended pseudo-term stats (df=max, ttf=sum) over
-        # boosted member terms, freq = sum(boost*tf)
-        "ft_synonym_topk": ft.synonym_topk,
+        # SynonymQuery (one pseudo-term: df=max, ttf=sum, freq=sum(boost*tf))
+        # beside BlendedTermQuery (separate clauses with EQUALIZED df=max
+        # stats, dismax tie=0.01 / SHOULD-sum rewrites) over the same groups
+        "ft_synonym_topk": lambda sf: _concat_family(
+            [
+                ("synonym", ft.synonym_topk(sf)),
+                ("blended_dismax", ft.blended_topk(sf, "dismax")),
+                ("blended_bool", ft.blended_topk(sf, "boolean")),
+            ],
+            col="arm",
+        ),
         # lucene/suggest analogue: weighted prefix completion from the
         # term dictionary (doc-freq weights, dictionary range scan only)
         # lucene/suggest family: weighted prefix completion + the
@@ -2178,6 +2234,7 @@ q(qid, term) AS (VALUES {_QTERMS_VALUES}),
         # blended df=max(term df); freq = sum(boost*tf); terms with df=0
         # drop out of both naturally
         "ft_synonym_topk": f"""
+WITH syn AS (
 WITH {_TOKS}, {_LT},
 q(qid, term, boost) AS (VALUES {_SYN_VALUES}),
 dlq AS (
@@ -2214,6 +2271,10 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+)
+SELECT 'synonym' AS arm, s.* FROM syn s
+UNION ALL SELECT 'blended_dismax', b.* FROM ({_blended_sql("dismax")}) b
+UNION ALL SELECT 'blended_bool', b2.* FROM ({_blended_sql("boolean")}) b2
 """,
         # JoinUtil ScoreMode.Max: join value's best float32 from-score
         # becomes every to-side doc's score; ties by doc_id

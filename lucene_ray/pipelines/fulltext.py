@@ -950,6 +950,33 @@ def synonym_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def blended_topk(sf_dir: str, rewrite: str = "dismax", k: int = 10) -> pa.Table:
+    """BlendedTermQuery top-k (search/BlendedTermQuery.java): member terms
+    scored as separate clauses but with EQUALIZED stats (df = max df across
+    the group), combined as dismax(tie=0.01) or a SHOULD sum.  Same term
+    groups as the synonym arm so the two blending policies are directly
+    comparable in one family."""
+    from ..search.query import BlendedTermQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (terms, boosts) in enumerate(SYNONYM_QUERIES):
+        q = BlendedTermQuery(terms, boosts, rewrite=rewrite)
+        hits = searcher.search(q, k)
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 PHRASES = [
     ["batch", "batch"],
     ["join", "order"],

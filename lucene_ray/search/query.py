@@ -247,6 +247,30 @@ class SynonymQuery:
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery:
+    """Related terms scored as SEPARATE clauses but with EQUALIZED term
+    statistics: every member term is scored as if it had df = max(per-term
+    df) and ttf = max(per-term ttf), so rare variants aren't IDF-inflated
+    over common ones.  The adjusted clauses combine via dismax with
+    tie_breaker (the reference's DISJUNCTION_MAX_REWRITE, tie = 0.01) or a
+    SHOULD sum (BOOLEAN_REWRITE).
+
+    Reference: search/BlendedTermQuery.java — ``blend()`` takes the max
+    docFreq / max totalTermFreq across the group's TermStates and rewrites
+    each clause with those stats; the builder wraps boosted terms in
+    BoostQuery before handing them to the rewrite."""
+
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
+    tie_breaker: float = 0.01
+    rewrite: str = "dismax"  # or "boolean" (SHOULD-sum)
+
+    def term_boosts(self) -> tuple[tuple[str, float], ...]:
+        bs = self.boosts or tuple(1.0 for _ in self.terms)
+        return tuple(zip(self.terms, bs))
+
+
+@dataclass(frozen=True)
 class FunctionScoreQuery:
     """Replace the inner query's score with a function of it and stored
     numeric fields.  Default form: score' = float32(double(score) *
@@ -398,7 +422,7 @@ def collect_terms(q: Query) -> set[str]:
         for c in q.clauses:
             out |= collect_terms(c)
         return out
-    if isinstance(q, SynonymQuery):
+    if isinstance(q, (SynonymQuery, BlendedTermQuery)):
         return set(q.terms)
     if isinstance(q, FunctionScoreQuery):
         return collect_terms(q.query)
@@ -448,6 +472,24 @@ class Weight:
                     df = max(df, ts.doc_freq)
                     ttf += ts.total_term_freq
             blended = TermStatistics("synonym pseudo-term", df, ttf)
+            s = self.similarity.scorer(boost, self.collection_stats, blended)
+            self._sim_cache[key] = s
+        return s
+
+    def blended_sim_scorer(self, group: tuple[str, ...], boost: float):
+        """SimScorer over EQUALIZED stats: df = max df, ttf = max ttf
+        across the group (BlendedTermQuery.java blend()) — every member
+        clause shares it, only the clause boost differs."""
+        key = ("blended", group, float(boost))
+        s = self._sim_cache.get(key)
+        if s is None:
+            df = 0
+            ttf = 0
+            for t in group:
+                ts = self.term_stats[t]
+                df = max(df, ts.doc_freq)
+                ttf = max(ttf, ts.total_term_freq)
+            blended = TermStatistics("blended pseudo-term", df, ttf)
             s = self.similarity.scorer(boost, self.collection_stats, blended)
             self._sim_cache[key] = s
         return s
@@ -773,6 +815,14 @@ def build_scorer(
             return None
         return PrecomputedScorer(docs, scores)
 
+    if isinstance(q, BlendedTermQuery):
+        from .scorers import PrecomputedScorer
+
+        docs, scores = blended_dense_matches(q, weight, reader, boost)
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, scores)
+
     raise TypeError(f"unsupported query: {q!r}")
 
 
@@ -816,6 +866,42 @@ def dismax_dense_matches(
         return cand, np.empty(0, dtype=np.float32)
     tb = float(q.tie_breaker)
     sc = (mx[cand] + tb * (sm[cand] - mx[cand])).astype(np.float32)
+    return cand, sc
+
+
+def blended_dense_matches(
+    q: BlendedTermQuery, weight: Weight, reader, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (docid, score) matches of a BlendedTermQuery in one segment:
+    per-clause float32 scores from ONE stats-equalized SimScorer per boost
+    (BlendedTermQuery.java blend()), combined in float64 as dismax
+    (max + tie * (sum - max), DISJUNCTION_MAX_REWRITE shape) or a SHOULD
+    sum (BOOLEAN_REWRITE), cast to float32."""
+    max_doc = reader.max_doc
+    norms = np.asarray(reader.norms)
+    mx = np.full(max_doc, -np.inf, dtype=np.float64)
+    sm = np.zeros(max_doc, dtype=np.float64)
+    matched = np.zeros(max_doc, dtype=bool)
+    for term, tb in q.term_boosts():
+        tid = reader.term_id(term)
+        if tid is None:
+            continue
+        docs, freqs = reader.decode_term_cached(tid)
+        sim = weight.blended_sim_scorer(q.terms, boost * float(tb))
+        sc = sim.score_bulk(freqs, norms[docs]).astype(np.float64)
+        np.maximum.at(mx, docs, sc)
+        sm[docs] += sc
+        matched[docs] = True
+    if getattr(reader, "live", None) is not None:
+        matched &= reader.live
+    cand = np.nonzero(matched)[0]
+    if len(cand) == 0:
+        return cand, np.empty(0, dtype=np.float32)
+    if q.rewrite == "boolean":
+        sc = sm[cand].astype(np.float32)
+    else:
+        tb = float(q.tie_breaker)
+        sc = (mx[cand] + tb * (sm[cand] - mx[cand])).astype(np.float32)
     return cand, sc
 
 

@@ -369,6 +369,22 @@ def _dismax_search_segment(reader, query, weight: Weight, k: int):
     return [(int(cand[i]), np.float32(sc[i])) for i in order]
 
 
+def _blended_search_segment(reader, query, weight: Weight, k: int):
+    """Dense BlendedTermQuery top-k via the shared stats-equalized kernel
+    (query.blended_dense_matches); ties by docid."""
+    from .query import blended_dense_matches
+
+    cand, sc = blended_dense_matches(query, weight, reader)
+    if len(cand) == 0:
+        return []
+    if len(cand) > k:
+        kth = np.partition(-sc, k - 1)[k - 1]
+        keep = -sc <= kth
+        cand, sc = cand[keep], sc[keep]
+    order = np.lexsort((cand, -sc))[:k]
+    return [(int(cand[i]), np.float32(sc[i])) for i in order]
+
+
 def _multi_phrase_search_segment(reader, query, weight: Weight, k: int):
     from .multiterm import multi_phrase_matches_segment
 
@@ -545,6 +561,7 @@ def search_segment(
     floor: float = -np.inf,
 ) -> list[tuple[int, np.float32]]:
     from .query import (
+        BlendedTermQuery,
         DisjunctionMaxQuery,
         FunctionScoreQuery,
         FuzzyQuery,
@@ -584,6 +601,8 @@ def search_segment(
         # COMPLETE mode falls through to build_scorer's PrecomputedScorer
         # path so the differential test exercises an independent code path
         return _dismax_search_segment(reader, query, weight, k)
+    if isinstance(query, BlendedTermQuery) and score_mode == "TOP_SCORES":
+        return _blended_search_segment(reader, query, weight, k)
     if allow_bulk and score_mode == "TOP_SCORES":
         flat = _flatten_should_terms(query)
         if flat is not None:
