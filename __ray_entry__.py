@@ -29,6 +29,8 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
 from lucene_ray.ops.util import (
     LSH_ROWS_PER_BAND,
     MINHASH_A,
@@ -1980,7 +1982,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries/function FunctionScoreQuery: score * ln(1 + n_chars)
         "ft_function_score_topk": _function_score_family,
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
-        "ft_join_topk": ft.join_topk,
+        # JoinUtil query-time join (modes max/min/total/avg over the
+        # source join field) beside the INDEX-TIME block join family
+        # (ToParent ScoreModes + ToChildBlockJoin children, block-index
+        # docids) — one mode-discriminated table
+        "ft_join_topk": lambda sf: pa.concat_tables(
+            [ft.join_topk(sf), ft.block_join_topk(sf)]
+        ),
         # queries/mlt MoreLikeThis: seed term vector -> tf*idf term
         # selection -> SHOULD disjunction, seed excluded
         "ft_mlt_topk": ft.mlt_topk,
@@ -2331,9 +2339,60 @@ ranked AS (
            PARTITION BY mode, qid ORDER BY jscore DESC, doc_id
          ) AS rnk
   FROM to_side
+),
+-- INDEX-TIME block join: blocks keyed (source, doc_id // B), children in
+-- doc_id order then one textless parent; block-index docids from one
+-- window cumsum over (source, bucket) binary order (mirrors
+-- pipelines/fulltext.ensure_block_corpus)
+bchild AS (
+  SELECT doc_id, source, doc_id // {ft.BLOCK_BUCKET} AS bucket FROM documents
+),
+bcnt AS (
+  SELECT source, bucket, count(*)::BIGINT AS n FROM bchild GROUP BY source, bucket
+),
+bord AS (
+  SELECT source, bucket, n,
+         sum(n + 1) OVER (ORDER BY source, bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM bcnt
+),
+cpos AS (
+  SELECT c.doc_id, c.source, b.cum - 1 AS parent_docid,
+         b.cum - 1 - b.n
+           + row_number() OVER (PARTITION BY c.source, c.bucket ORDER BY c.doc_id)
+           - 1 AS child_docid
+  FROM bchild c JOIN bord b ON b.source = c.source AND b.bucket = c.bucket
+),
+bagg AS (
+  SELECT s.qid, cp.parent_docid,
+         max(s.s32) AS mx, min(s.s32) AS mn,
+         sum((s.s32::DOUBLE * 1099511627776.0)::BIGINT)::BIGINT AS si,
+         count(*)::BIGINT AS c
+  FROM scored s JOIN cpos cp ON cp.doc_id = s.doc_id
+  GROUP BY s.qid, cp.parent_docid
+),
+bmodes AS (
+  SELECT 'block_max' AS mode, qid, parent_docid AS did, mx::DOUBLE AS jscore FROM bagg
+  UNION ALL SELECT 'block_min', qid, parent_docid, mn::DOUBLE FROM bagg
+  UNION ALL SELECT 'block_total', qid, parent_docid, si::DOUBLE FROM bagg
+  UNION ALL SELECT 'block_avg', qid, parent_docid, si::DOUBLE / c::DOUBLE FROM bagg
+  UNION ALL SELECT 'block_none', qid, parent_docid, 0.0 FROM bagg
+),
+branked AS (
+  SELECT mode, qid, did,
+         row_number() OVER (PARTITION BY mode, qid ORDER BY jscore DESC, did) AS rnk
+  FROM bmodes
+),
+tchild AS (
+  SELECT 'block_children' AS mode, 0 AS qid, child_docid AS did,
+         row_number() OVER (ORDER BY child_docid) AS rnk
+  FROM cpos WHERE source IN ({", ".join(f"'{s}'" for s in ft.BLOCK_CHILD_SOURCES)})
 )
 SELECT mode, qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id
 FROM ranked WHERE rnk <= 10
+UNION ALL
+SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM branked WHERE rnk <= 10
+UNION ALL
+SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM tchild WHERE rnk <= 10
 """,
         # MoreLikeThis: seed's term vector -> tf*(ln((N+1)/(df+1))+1) term
         # selection (top 10, ties term-asc) -> BM25 SHOULD disjunction,

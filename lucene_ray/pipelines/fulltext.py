@@ -845,6 +845,258 @@ def join_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# --- index-time block join (lucene/join ToParent/ToChildBlockJoinQuery) --
+
+# children per block: block key = (source, doc_id // BLOCK_BUCKET)
+BLOCK_BUCKET = 16
+# the ToChildBlockJoin arm's parent filter: blocks of these sources
+BLOCK_CHILD_SOURCES = ("src3", "src12")
+BLOCK_JOIN_MODES = ("max", "total", "avg", "min", "none")
+
+
+def ensure_block_corpus(sf_dir: str) -> str:
+    """Derive the BLOCK corpus: documents grouped into parent/child doc
+    blocks keyed (source, doc_id // BLOCK_BUCKET) — children in doc_id
+    order immediately followed by one synthesized textless parent row
+    (doc_id=-1, parent=1).  Global order is (source, bucket) ascending
+    with binary string collation, so block-index docids are deterministic
+    and SQL-reproducible via one window cumsum.
+
+    IndexWriter.addDocuments's never-split-a-block contract is realized
+    structurally: one Ray task per source writes its own part file and
+    cuts parquet row groups ONLY at block boundaries; plan_segments packs
+    whole row groups, so every segment boundary is a block boundary.  At
+    scale the block key doubles as the ingest partition key (blocks must
+    arrive assembled — the same contract addDocuments imposes)."""
+    import pyarrow.parquet as pq
+
+    slug = hashlib.sha256(
+        (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(
+        "/tmp", "lucene_ray_idx",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-d{DOCS_PER_SEGMENT}-blocks-src",
+    )
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        import ray.data as rd
+
+        os.makedirs(out_dir, exist_ok=True)
+        src_path = os.path.join(sf_dir, "documents.parquet")
+        sources = sorted(
+            pq.read_table(src_path, columns=["source"])
+            .column("source")
+            .unique()
+            .to_pylist()
+        )
+
+        def _derive(batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            rows = []
+            for d in batch.to_pylist():
+                src = d["source"]
+                tbl = pq.read_table(
+                    src_path, filters=[("source", "==", src)]
+                )
+                df = (
+                    pl.from_arrow(tbl)
+                    .with_columns(
+                        (pl.col("doc_id") // BLOCK_BUCKET).alias("bucket")
+                    )
+                    .sort(["bucket", "doc_id"])
+                )
+                part = os.path.join(out_dir, f"part-{src}.parquet")
+                tmp_p = part + ".tmp"
+                schema = pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("text", pa.string()),
+                        ("lang", pa.string()),
+                        ("source", pa.string()),
+                        ("n_chars", pa.int64()),
+                        ("parent", pa.int64()),
+                    ]
+                )
+                writer = pq.ParquetWriter(tmp_p, schema)
+                pend: list[pa.Table] = []
+                pend_rows = 0
+                for (_bucket,), grp in df.group_by(["bucket"], maintain_order=True):
+                    child = grp.drop("bucket").with_columns(
+                        pl.lit(0, dtype=pl.Int64).alias("parent")
+                    )
+                    parent = pl.DataFrame(
+                        {
+                            "doc_id": [-1],
+                            "text": [""],
+                            "lang": [""],
+                            "source": [src],
+                            "n_chars": [0],
+                            "parent": [1],
+                        },
+                        schema=child.schema,
+                    )
+                    block = pl.concat([child, parent]).to_arrow().cast(schema)
+                    pend.append(block)
+                    pend_rows += block.num_rows
+                    # row groups cut ONLY here, at a block boundary
+                    if pend_rows >= 200:
+                        writer.write_table(pa.concat_tables(pend), row_group_size=pend_rows)
+                        pend, pend_rows = [], 0
+                if pend:
+                    writer.write_table(pa.concat_tables(pend), row_group_size=pend_rows)
+                writer.close()
+                os.replace(tmp_p, part)
+                rows.append({"source": src})
+            return pa.Table.from_pylist(rows)
+
+        rd.from_items([{"source": s} for s in sources]).map_batches(
+            _derive, batch_size=1, batch_format="pyarrow", num_cpus=1
+        ).materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def ensure_block_index(sf_dir: str) -> str:
+    """Build the block-structured index over the derived block corpus."""
+    from ..index.build import build_index
+
+    src_dir = ensure_block_corpus(sf_dir)
+    idx = index_dir_for(sf_dir) + "-blocks"
+    if mf.latest_generation(idx) is None:
+        build_index(
+            src_dir,
+            idx,
+            analyzer="standard",
+            docs_per_segment=DOCS_PER_SEGMENT,
+            mode="fused",
+            content_column="text",
+            meta_columns=("doc_id", "lang", "source", "n_chars", "parent"),
+            index_options="docs_freqs",
+        )
+    return idx
+
+
+def _seg_block_join(
+    batch: pa.Table, queries: list, weight_stats: dict, child_sources: tuple, k: int
+) -> pa.Table:
+    """Per-segment block-join partials.  Blocks never split segments, so a
+    parent's child aggregate is COMPLETE within one segment; each mode
+    emits its per-segment top-k parents and the driver only merges heads.
+
+    ToParent modes (join/ToParentBlockJoinQuery.java ScoreMode): child
+    disjunction scores aggregate per block parent (max/total/avg/min;
+    none = matched parents at score 0, i.e. docid order).  ToChild
+    (join/ToChildBlockJoinQuery.java): a constant-score parent filter
+    (source IN ...) fans out to child docids at score 0."""
+    from ..search.blockjoin import (
+        check_join_index,
+        children_of,
+        parent_docids,
+        to_parent_partials,
+    )
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import TermQuery, Weight, bool_query
+
+    weight = Weight(
+        collection_stats=CollectionStatistics(**weight_stats["collection"]),
+        term_stats={
+            t: TermStatistics(t, df, ttf)
+            for t, (df, ttf) in weight_stats["terms"].items()
+        },
+    )
+    out = {c: [] for c in ("mode", "qid", "doc_id", "jscore")}
+
+    def emit(mode, qid, pids, jscores):
+        order = np.lexsort((pids, -jscores))[:k]
+        for i in order:
+            out["mode"].append(mode)
+            out["qid"].append(qid)
+            out["doc_id"].append(int(pids[i]))
+            out["jscore"].append(float(jscores[i]))
+
+    for row in batch.to_pylist():
+        reader = SegmentReader(row["dir"])
+        base = row["doc_base"]
+        check_join_index(reader, BLOCK_BUCKET)
+        parents = parent_docids(reader)
+        for qid, terms in enumerate(queries):
+            q = (
+                TermQuery(terms[0])
+                if len(terms) == 1
+                else bool_query(should=[TermQuery(t) for t in terms])
+            )
+            docs, scores = _clause_scores(q, weight, reader, 1.0)
+            if len(docs) == 0:
+                continue
+            pids, mx, mn, sum_i, cnt = to_parent_partials(docs, scores, parents)
+            gids = pids + base
+            emit("block_max", qid, gids, mx.astype(np.float64))
+            emit("block_min", qid, gids, mn.astype(np.float64))
+            emit("block_total", qid, gids, sum_i.astype(np.float64))
+            emit("block_avg", qid, gids, sum_i / cnt)
+            emit("block_none", qid, gids, np.zeros(len(gids)))
+        src = reader.stored_column("source").to_numpy(zero_copy_only=False)
+        matched = parents[np.isin(src[parents], np.asarray(child_sources))]
+        kids = children_of(matched, parents)[:k]
+        emit("block_children", 0, kids + base, np.zeros(len(kids)))
+    return pa.table(
+        {
+            "mode": pa.array(out["mode"], pa.string()),
+            "qid": pa.array(out["qid"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "jscore": pa.array(out["jscore"], pa.float64()),
+        }
+    )
+
+
+def block_join_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Block-join family: (mode, qid, rnk, doc_id) — doc_id is a BLOCK
+    index docid (parent for the to_parent modes, child for the to_child
+    arm).  One per-segment pass computes every mode's partial top-k; the
+    driver merges only segment heads (bounded by segments x modes x k)."""
+    import ray.data as rd
+
+    idx = ensure_block_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    terms = sorted({t for q in JOIN_QUERIES for t in q})
+    stats = searcher.term_statistics(set(terms))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {t: (stats[t].doc_freq, stats[t].total_term_freq) for t in terms},
+    }
+    cand = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_block_join,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "queries": JOIN_QUERIES,
+                "weight_stats": weight_stats,
+                "child_sources": BLOCK_CHILD_SOURCES,
+                "k": k,
+            },
+        )
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["mode", "qid", "jscore", "doc_id"], ascending=[True, True, False, True]
+    )
+    cand = cand.groupby(["mode", "qid"], sort=True).head(k)
+    cand["rnk"] = cand.groupby(["mode", "qid"]).cumcount() + 1
+    return pa.Table.from_pandas(
+        cand[["mode", "qid", "rnk", "doc_id"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 FUNCTION_SCORE_QUERIES = [
     ("spark",),
     ("join", "order"),
