@@ -1502,6 +1502,8 @@ def _bm25_variants(sf_dir: str):
             ("disjunction", ft.bm25_disjunction_topk(sf_dir)),
             ("boosted", ft.bm25_boosted_topk(sf_dir)),
             ("common_terms", ft.common_terms_topk(sf_dir)),
+            # DiversifiedTopDocsCollector: per-key-capped top-k
+            ("diversified", ft.diversified_topk(sf_dir)),
         ],
         col="variant",
     )
@@ -3745,6 +3747,54 @@ ranked AS (
   FROM scored
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) b
+UNION ALL
+-- DiversifiedTopDocsCollector: global top-k with at most
+-- DIVERSIFY_MAX_PER_KEY hits per lang == per-key top-m (the collector's
+-- per-key queues) then a global top-k of the survivors; f32 scores,
+-- docid ties
+SELECT 'diversified', b.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score)::FLOAT AS s32 FROM clause GROUP BY qid, doc_id),
+keyed AS (
+  SELECT s.qid, s.doc_id, s.s32, dd.{ft.DIVERSIFY_KEY} AS key
+  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+),
+perkey AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid, key ORDER BY s32 DESC, doc_id) AS kr
+  FROM keyed
+),
+granked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s32 DESC, doc_id) AS rnk
+  FROM perkey WHERE kr <= {ft.DIVERSIFY_MAX_PER_KEY}
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM granked WHERE rnk <= 10
 ) b
 """,
         "tx_scrub_pii": """

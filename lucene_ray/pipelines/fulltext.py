@@ -2512,6 +2512,112 @@ def common_terms_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# DiversifiedTopDocsCollector key field and per-key hit cap
+DIVERSIFY_KEY = "lang"
+DIVERSIFY_MAX_PER_KEY = 2
+
+
+def _seg_diversified(
+    batch: pa.Table, queries: list, weight_stats: dict, key_field: str, m: int
+) -> pa.Table:
+    """Per-segment diversified partials: each (qid, key)'s top-m hits by
+    (float32 score desc, docid asc).  Per-key top-m merges associatively,
+    so the driver reduce is bounded by segments x keys x m x qids rows."""
+    import pandas as pd
+
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import TermQuery, Weight
+
+    weight = Weight(
+        collection_stats=CollectionStatistics(**weight_stats["collection"]),
+        term_stats={
+            t: TermStatistics(t, df, ttf)
+            for t, (df, ttf) in weight_stats["terms"].items()
+        },
+    )
+    frames = []
+    for row in batch.to_pylist():
+        reader = SegmentReader(row["dir"])
+        base = row["doc_base"]
+        keys = reader.stored_column(key_field).to_numpy(zero_copy_only=False)
+        for qid, term in enumerate(queries):
+            docs, scores = _clause_scores(TermQuery(term), weight, reader, 1.0)
+            if reader.live is not None and len(docs):
+                msk = reader.live[docs]
+                docs, scores = docs[msk], scores[msk]
+            if len(docs) == 0:
+                continue
+            s32 = scores.astype(np.float32)
+            order = np.lexsort((docs, -s32))
+            df = pd.DataFrame(
+                {
+                    "qid": qid,
+                    "key": keys[docs[order]],
+                    "doc_id": docs[order] + base,
+                    "score": s32[order].astype(np.float64),
+                }
+            )
+            frames.append(df[df.groupby("key").cumcount() < m])
+    if not frames:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "key": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+
+
+def diversified_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """DiversifiedTopDocsCollector analogue (reference
+    misc/src/java/org/apache/lucene/misc/search/DiversifiedTopDocsCollector.java):
+    global top-k in which no diversity key contributes more than
+    DIVERSIFY_MAX_PER_KEY hits — equivalent to per-key top-m (the
+    collector's per-key queues) followed by a global top-k of the
+    survivors; docid tie-break is this engine's uniform discipline.
+    (qid, rnk, doc_id)."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    stats = searcher.term_statistics(set(QUERY_TERMS))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {
+            t: (stats[t].doc_freq, stats[t].total_term_freq) for t in QUERY_TERMS
+        },
+    }
+    cand = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_diversified,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "queries": QUERY_TERMS,
+                "weight_stats": weight_stats,
+                "key_field": DIVERSIFY_KEY,
+                "m": DIVERSIFY_MAX_PER_KEY,
+            },
+        )
+        .to_pandas()
+    )
+    cand = cand.sort_values(["qid", "score", "doc_id"], ascending=[True, False, True])
+    cand = cand[cand.groupby(["qid", "key"]).cumcount() < DIVERSIFY_MAX_PER_KEY]
+    cand = cand.groupby("qid", sort=True).head(k).copy()
+    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        cand[["qid", "rnk", "doc_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
 # (base term, rescore term, rescore weight) — weights are exact binary
 # fractions so the double combine mirrors the oracle bit-for-bit
 RESCORE_QUERIES = [
