@@ -1694,6 +1694,7 @@ def _term_stats_family(sf_dir: str):
         "ngram",
         "reverse",
         "mapped",
+        "custom_chain",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -2193,6 +2194,28 @@ tfm AS (
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfm GROUP BY tok
 ) mp
+UNION ALL
+-- CustomAnalyzer chain: LimitTokenCount(40) -> PatternReplace(strip
+-- vowels) -> Truncate(6) -> Length(min 2)
+SELECT 'custom_chain', cc.* FROM (
+WITH toksc AS (
+  SELECT doc_id,
+         list_slice(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), 1, 40) AS ts
+  FROM documents
+),
+mappedc AS (
+  SELECT doc_id,
+         substr(regexp_replace(tok, '[aeiou]', '', 'g'), 1, 6) AS tok
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toksc)
+),
+tfc AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM mappedc WHERE length(tok) >= 2
+  GROUP BY doc_id, tok
+)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfc GROUP BY tok
+) cc
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

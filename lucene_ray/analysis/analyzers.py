@@ -377,9 +377,20 @@ class ChainedVocabAnalyzer(StandardAnalyzer):
     def map_term(self, term: str) -> str | None:
         return term
 
+    def _stream_keep(self, doc_ids, positions):
+        """Optional stream-level mask BEFORE the per-term chain (the
+        LimitTokenCountFilter seam); return a bool keep-array or None."""
+        return None
+
     def tokens(self, text: str) -> list[str]:
+        toks = super().tokens(text)
+        keep = self._stream_keep(
+            np.zeros(len(toks), np.int64), np.arange(len(toks), dtype=np.int64)
+        )
+        if keep is not None:
+            toks = [t for t, k in zip(toks, keep) if k]
         out = []
-        for t in super().tokens(text):
+        for t in toks:
             m = self.map_term(t)
             if m is not None:
                 out.append(m)
@@ -395,6 +406,20 @@ class ChainedVocabAnalyzer(StandardAnalyzer):
         )
         if not vocab:
             return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        keep0 = self._stream_keep(doc_ids, positions)
+        if keep0 is not None and not keep0.all():
+            tids, doc_ids, positions = tids[keep0], doc_ids[keep0], positions[keep0]
+            off_s, off_e = off_s[keep0], off_e[keep0]
+            lengths = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+            used = np.unique(tids)
+            if len(used) < len(vocab):
+                vocab = [vocab[i] for i in used]  # stays sorted (used asc)
+                remap = np.full(int(used[-1]) + 1 if len(used) else 0, -1, np.int64)
+                remap[used] = np.arange(len(used), dtype=np.int64)
+                tids = remap[tids]
+            if len(tids) == 0:
+                e = np.empty(0, np.int64)
+                return [], e, e, e, lengths, n_docs, e, e
         mapped = [self.map_term(t) for t in vocab]
         drop = np.array([m is None for m in mapped], dtype=bool)
         if drop.any():
@@ -1112,6 +1137,144 @@ class ReverseAnalyzer(StandardAnalyzer):
         )
 
 
+# --- CustomAnalyzer-style composable filter chain -------------------------
+
+# French-style elision articles (reference analysis/util/ElisionFilter.java
+# + fr/FrenchAnalyzer.DEFAULT_ARTICLES)
+ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu", "lorsqu", "puisqu"]
+)
+
+
+def _decimal_digit_fold(t: str) -> str:
+    """DecimalDigitFilter: any Unicode decimal digit -> its ASCII 0-9."""
+    import unicodedata
+
+    if t.isascii():
+        return t
+    return "".join(
+        str(unicodedata.decimal(c)) if c.isdigit() and not c.isascii() else c
+        for c in t
+    )
+
+
+def _elide(t: str) -> str:
+    head, apos, rest = t.partition("'")
+    if apos and head in ELISION_ARTICLES and rest:
+        return rest
+    return t
+
+
+def make_term_filter(name: str, **kw):
+    """One per-term filter from the analysis-common registry; returns a
+    ``str -> str | None`` callable (None = drop, StopFilter-style gap).
+
+    Reference factories (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/...): tr/ApostropheFilter, miscellaneous/TrimFilter,
+    miscellaneous/TruncateTokenFilter, pattern/PatternReplaceFilter,
+    core/DecimalDigitFilter, miscellaneous/LengthFilter, core/StopFilter,
+    miscellaneous/KeepWordFilter, util/ElisionFilter,
+    en/PorterStemFilter, en/EnglishMinimalStemFilter,
+    miscellaneous/ASCIIFoldingFilter, en/EnglishPossessiveFilter."""
+    from .english import (
+        ascii_fold,
+        english_minimal_stem,
+        porter_stem,
+        strip_possessive,
+    )
+
+    if name == "apostrophe":
+        return lambda t: t.partition("'")[0]
+    if name == "trim":
+        return lambda t: t.strip()
+    if name == "truncate":
+        n = int(kw["length"])
+        return lambda t: t[:n]
+    if name == "pattern_replace":
+        rx = re.compile(kw["pattern"])
+        rep = kw.get("replacement", "")
+        if kw.get("all", True):
+            return lambda t: rx.sub(rep, t)
+        return lambda t: rx.sub(rep, t, count=1)
+    if name == "decimal_digit":
+        return _decimal_digit_fold
+    if name == "length":
+        lo, hi = int(kw.get("min", 0)), int(kw.get("max", 1 << 30))
+        return lambda t: t if lo <= len(t) <= hi else None
+    if name == "stop":
+        s = frozenset(kw["words"])
+        return lambda t: None if t in s else t
+    if name == "keep":
+        s = frozenset(kw["words"])
+        return lambda t: t if t in s else None
+    if name == "elision":
+        return _elide
+    if name == "porter":
+        return porter_stem
+    if name == "s_stem":
+        return english_minimal_stem
+    if name == "fold":
+        return ascii_fold
+    if name == "possessive":
+        return strip_possessive
+    raise ValueError(f"unknown term filter: {name}")
+
+
+class CustomChainAnalyzer(ChainedVocabAnalyzer):
+    """CustomAnalyzer.builder() analogue (reference analysis/custom/
+    CustomAnalyzer.java): StandardTokenizer + LowerCase, then an ordered
+    list of analysis-common token filters given as JSON-able specs
+    ``[("trim", {}), ("truncate", {"length": 5}), ...]`` so the chain
+    threads through build -> manifest -> reopen like any parameterized
+    analyzer.  ``limit`` is LimitTokenCountFilter placed directly after
+    the tokenizer (it counts tokenizer output, the placement-dependent
+    reference semantics — miscellaneous/LimitTokenCountFilter.java);
+    dropped tokens leave StopFilter-style position gaps."""
+
+    def __init__(self, filters=(), limit: int | None = None, max_token_length: int = 255):
+        super().__init__(max_token_length)
+        self.filter_specs = [
+            (f[0], dict(f[1]) if len(f) > 1 else {})
+            for f in (filters if isinstance(filters, (list, tuple)) else [])
+        ]
+        self._chain = [make_term_filter(n, **p) for n, p in self.filter_specs]
+        self.limit = limit
+        self._cache: dict[str, str | None] = {}
+
+    def map_term(self, term: str) -> str | None:
+        if term in self._cache:
+            return self._cache[term]
+        t: str | None = term
+        for f in self._chain:
+            t = f(t)
+            if t is None:
+                break
+        if len(self._cache) < 1 << 20:
+            self._cache[term] = t
+        return t
+
+    def _stream_keep(self, doc_ids, positions):
+        if self.limit is None:
+            return None
+        return positions < int(self.limit)
+
+
+class DriverCustomChainAnalyzer(CustomChainAnalyzer):
+    """A fixed CustomAnalyzer chain for the driver's oracle family —
+    LimitTokenCount(40) -> PatternReplace(strip vowels) -> Truncate(6) ->
+    Length(min 2); every stage is exactly SQL-expressible."""
+
+    def __init__(self, **_kw):
+        super().__init__(
+            filters=[
+                ("pattern_replace", {"pattern": "[aeiou]", "replacement": ""}),
+                ("truncate", {"length": 6}),
+                ("length", {"min": 2}),
+            ],
+            limit=40,
+        )
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -1128,6 +1291,8 @@ ANALYZERS = {
     "ngram": NGramAnalyzer,
     "reverse": ReverseAnalyzer,
     "mapped": MappedCharFilterAnalyzer,
+    "custom": CustomChainAnalyzer,
+    "custom_chain": DriverCustomChainAnalyzer,
 }
 
 

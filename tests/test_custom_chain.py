@@ -1,0 +1,79 @@
+"""CustomAnalyzer-style filter chain (analysis/custom/CustomAnalyzer.java)
+and the analysis-common per-term filter registry."""
+
+import numpy as np
+import pytest
+
+from lucene_ray.analysis.analyzers import (
+    CustomChainAnalyzer,
+    make_analyzer,
+    make_term_filter,
+)
+
+
+def test_term_filters():
+    assert make_term_filter("apostrophe")("o'brien") == "o"
+    assert make_term_filter("trim")("  x  ") == "x"
+    assert make_term_filter("truncate", length=3)("sparkling") == "spa"
+    f = make_term_filter("pattern_replace", pattern="[0-9]+", replacement="#")
+    assert f("a1b22c") == "a#b#c"
+    f1 = make_term_filter(
+        "pattern_replace", pattern="[0-9]+", replacement="#", all=False
+    )
+    assert f1("a1b22c") == "a#b22c"
+    assert make_term_filter("decimal_digit")("a١٢b") == "a12b"  # arabic 1,2
+    assert make_term_filter("decimal_digit")("plain7") == "plain7"
+    lf = make_term_filter("length", min=2, max=4)
+    assert lf("ab") == "ab" and lf("a") is None and lf("abcde") is None
+    sf = make_term_filter("stop", words=["the"])
+    assert sf("the") is None and sf("fox") == "fox"
+    kf = make_term_filter("keep", words=["fox"])
+    assert kf("fox") == "fox" and kf("the") is None
+    assert make_term_filter("elision")("l'avion") == "avion"
+    assert make_term_filter("elision")("qu'il") == "il"
+    assert make_term_filter("elision")("x'y") == "x'y"  # not an article
+    assert make_term_filter("possessive")("john's") == "john"
+    with pytest.raises(ValueError):
+        make_term_filter("nope")
+
+
+def test_chain_order_and_drop():
+    a = CustomChainAnalyzer(
+        filters=[
+            ("pattern_replace", {"pattern": "[aeiou]", "replacement": ""}),
+            ("truncate", {"length": 6}),
+            ("length", {"min": 2}),
+        ]
+    )
+    assert a.tokens("the sparkling stream of io") == ["th", "sprkln", "strm"]
+    assert a.normalize("sparkling") == "sprkln"
+    assert a.normalize("io") == ""  # dropped term normalizes to empty
+
+
+def test_limit_token_count_stream():
+    a = CustomChainAnalyzer(filters=[], limit=3)
+    toks = a.tokens("a b c d e")
+    assert toks == ["a", "b", "c"]
+    # batch stream: per-doc cutoff, norms count survivors only
+    vocab, tids, doc_ids, positions, lengths, n_docs, _s, _e = a._batch_token_stream(
+        ["a b c d e", "x y"]
+    )
+    assert lengths.tolist() == [3, 2]
+    assert (positions < 3).all()
+    # vocab pruned to surviving terms, still sorted
+    assert vocab == sorted(vocab)
+    assert set(vocab) == {"a", "b", "c", "x", "y"}
+
+
+def test_registry_spec_roundtrip(ray_session):
+    # the dict spec threads through make_analyzer like any parameterized one
+    a = make_analyzer(
+        {
+            "name": "custom",
+            "filters": [["truncate", {"length": 4}], ["length", {"min": 2}]],
+            "limit": 10,
+        }
+    )
+    assert a.tokens("sparkling me a") == ["spar", "me"]
+    b = make_analyzer("custom_chain")
+    assert b.tokens("sparkling stream") == ["sprkln", "strm"]
