@@ -3347,6 +3347,11 @@ FROM m GROUP BY qid, lang, source
 UNION ALL
 SELECT 'taxo', qid, lang, count(*)::BIGINT FROM m GROUP BY qid, lang
 UNION ALL
+-- Int-association facet (TaxonomyFacetIntAssociations SUM): each
+-- matching doc's n_chars association sums into its lang label
+SELECT 'assoc_sum_lang', qid, lang, sum(n_chars)::BIGINT
+FROM m GROUP BY qid, lang
+UNION ALL
 -- misc DocValuesStats (LongDocValuesStats): n_chars over matching docs
 SELECT 'dv_stats', qid, s.value, s.n FROM (
   SELECT qid,

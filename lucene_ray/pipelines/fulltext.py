@@ -3008,6 +3008,17 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
                         qids.append(qid)
                         vals.append(lab)
                         ns.append(int(cnt[i]))
+            # Int-association facet (facet/taxonomy/
+            # TaxonomyFacetIntAssociations.java, AssociationAggregation
+            # Function.SUM over IntAssociationFacetField): each matching
+            # doc contributes its n_chars association value to its lang
+            # label; partials sum in the same (facet, qid, value, n) shape
+            lang_np = lang.take(take).to_numpy(zero_copy_only=False)
+            for lab in np.unique(lang_np):
+                facets.append("assoc_sum_lang")
+                qids.append(qid)
+                vals.append(str(lab))
+                ns.append(int(nc[lang_np == lab].sum()))
             drill = (nc >= DRILL_RANGE[0]) & (nc < DRILL_RANGE[1])
             if drill.any():
                 emit("drilldown_lang", qid, lang.take(pa.array(docs[drill])))
