@@ -1976,6 +1976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("freetext", ft.freetext_suggest(sf)),
                 ("wordbreak", ft.wordbreak_suggest(sf)),
                 ("spell_jaro", ft.spell_suggest_jaro(sf)),
+                # AnalyzingInfixSuggester: prefix matches EITHER bigram token
+                ("infix", ft.infix_suggest(sf)),
             ],
             col="method",
         ),
@@ -2803,6 +2805,30 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= {ft.SPELL_TOP_N}
+) r
+UNION ALL
+-- AnalyzingInfixSuggester: bigram suggestion entries, the query prefix
+-- matches EITHER token (the infix property)
+SELECT r.*, 'infix' FROM (
+WITH {_TOKS},
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.INFIX_QUERIES))}),
+pairs AS (
+  SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) > 1)
+),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS weight FROM pairs GROUP BY w1, w2),
+cand AS (
+  SELECT q.qid, b.w1 || ' ' || b.w2 AS term, b.weight
+  FROM q JOIN bg b ON b.w1 LIKE q.p || '%' OR b.w2 LIKE q.p || '%'
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
 ) r
 """,
         "ft_bool_counts": _bool_counts_sql(),

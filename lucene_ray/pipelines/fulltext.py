@@ -2026,6 +2026,90 @@ def freetext_suggest(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+# AnalyzingInfixSuggester lookups: a token prefix that may match EITHER
+# word of a bigram suggestion entry
+INFIX_QUERIES = ["str", "cust", "win", "jo"]
+
+
+def _infix_partials(batch: pa.Table, queries: list) -> pa.Table:
+    """Per-batch bigram partials where the query prefix matches EITHER
+    token of the bigram — the infix property.  Output is query-bounded."""
+    from ..analysis.analyzers import make_analyzer
+
+    texts = batch.column("text").to_pylist()
+    a = make_analyzer("standard")
+    vocab, tids, doc_ids, positions, _l, _n, _os, _oe = a._batch_token_stream(texts)
+    out_q, out_t, out_w = [], [], []
+    if vocab:
+        order = np.lexsort((positions, doc_ids))
+        t, d, p = tids[order], doc_ids[order], positions[order]
+        adj = (d[1:] == d[:-1]) & (p[1:] == p[:-1] + 1)
+        left, right = t[:-1][adj], t[1:][adj]
+        varr = np.asarray(vocab, dtype=object)
+        starts = {
+            qid: np.array([v.startswith(pref) for v in vocab], bool)
+            for qid, pref in enumerate(queries)
+        }
+        pairs = left * len(vocab) + right
+        cand, counts = np.unique(pairs, return_counts=True)
+        cl, cr = cand // len(vocab), cand % len(vocab)
+        for qid, pref in enumerate(queries):
+            m = starts[qid][cl] | starts[qid][cr]
+            if not m.any():
+                continue
+            texts2 = [
+                f"{varr[int(a_)]} {varr[int(b_)]}"
+                for a_, b_ in zip(cl[m], cr[m])
+            ]
+            out_q.extend([qid] * int(m.sum()))
+            out_t.extend(texts2)
+            out_w.extend(counts[m].tolist())
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+            "weight": pa.array(out_w, pa.int64()),
+        }
+    )
+
+
+def infix_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """AnalyzingInfixSuggester analogue (reference
+    suggest/analyzing/AnalyzingInfixSuggester.java): suggestion entries
+    are multi-word texts (here: corpus bigrams weighted by count) and the
+    query token prefix-matches a token ANYWHERE in the entry — not just
+    its start (the infix property; the reference indexes suggestion
+    tokens with edge grams for exactly this).  Top-N by (weight DESC,
+    text ASC); the reference's blender sort by weight is the same
+    ordering.  (qid, rnk, term, weight)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["text"])
+    parts = ds.map_batches(
+        _infix_partials,
+        batch_format="pyarrow",
+        fn_kwargs={"queries": INFIX_QUERIES},
+    )
+    agg = parts.groupby(["qid", "term"]).sum("weight")
+    agg = agg.map_batches(
+        lambda b: suggest.partial_topn(
+            b.rename_columns(["qid", "term", "weight"]), n
+        ),
+        batch_format="pyarrow",
+    )
+    df = agg.to_pandas()  # bounded: <= n * num_blocks rows per qid
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 WORDBREAK_QUERIES = ["sparkjoin", "windowbatch", "customerorder", "thegroup"]
 WORDBREAK_TOP_N = 5
 
