@@ -1879,6 +1879,9 @@ def _proximity_family(sf_dir: str):
     # SpanQuery family (queries/spans): distinct-span counts from the
     # compositional span algebra, oracle-compiled from the same ASTs
     spn = ft.span_matches(sf_dir).to_pandas().rename(columns={"n": "n_starts"})
+    # TermAutomatonQuery (sandbox): graph proximity, match-set only
+    auto = ft.automaton_matches(sf_dir).to_pandas()
+    auto["n_starts"] = -1
     return _concat_family(
         [
             ("unordered", un),
@@ -1887,6 +1890,7 @@ def _proximity_family(sf_dir: str):
             ("or", disj),
             ("surround", sur),
             ("spans", spn),
+            ("automaton", auto),
         ]
     )
 
@@ -2883,6 +2887,16 @@ FROM (WITH {_TOKS}, {_surround_sql()} SELECT qid, doc_id FROM sur)
 UNION ALL
 SELECT 'spans', qid, doc_id, n
 FROM (WITH {_TOKS}, {_spans_sql()} SELECT qid, doc_id, n FROM spn)
+UNION ALL
+-- TermAutomatonQuery (sandbox): path-enumerated positional joins,
+-- compiled from the SAME automaton objects the engine's DP runs
+SELECT 'automaton', qid, doc_id, -1::BIGINT
+FROM (WITH {_TOKS},
+posx AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS p
+  FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
+)
+{ft.automaton_oracle_sql()})
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

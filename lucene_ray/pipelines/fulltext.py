@@ -1310,6 +1310,11 @@ def _seg_positional_matches(
                 from ..search.spans import span_matches_segment
 
                 d, n = span_matches_segment(r, payload)
+            elif kind == "automaton":
+                from ..search.automaton import term_automaton_matches_segment
+
+                d = term_automaton_matches_segment(r, payload)
+                n = np.empty(0, np.int64)
             else:  # pragma: no cover
                 raise ValueError(kind)
             qids.extend([qid] * len(d))
@@ -2970,6 +2975,57 @@ def span_matches(sf_dir: str):
     distributed per segment like the intervals family."""
     idx = ensure_index(sf_dir, index_options="positions")
     return _positional_matches_ds(idx, _span_queries(), "spans", "n")
+
+
+def _automaton_queries():
+    """The TermAutomatonQuery driver set (sandbox/search/
+    TermAutomatonQuery.java): gapped phrase, branching slot, double gap,
+    and a two-length diamond — each shape the plain phrase family can't
+    express in one query."""
+    from ..search.automaton import ANY, TermAutomatonQuery as TA
+
+    return [
+        # spark . ANY . join  (one-token gap)
+        TA(4, ((0, 1, "spark"), (1, 2, ANY), (2, 3, "join")), (3,)),
+        # (join | merge) order  (branching first slot)
+        TA(3, ((0, 1, "join"), (0, 1, "merge"), (1, 2, "order")), (2,)),
+        # customer . ANY . ANY . order  (two-token gap)
+        TA(
+            5,
+            ((0, 1, "customer"), (1, 2, ANY), (2, 3, ANY), (3, 4, "order")),
+            (4,),
+        ),
+        # diamond: window group  OR  window . ANY . group (two path lengths)
+        TA(
+            5,
+            (
+                (0, 1, "window"),
+                (1, 4, "group"),
+                (1, 2, ANY),
+                (2, 4, "group"),
+            ),
+            (4,),
+        ),
+    ]
+
+
+def automaton_matches(sf_dir: str):
+    """(qid, doc_id) match sets of the TermAutomatonQuery set —
+    distributed per segment like the intervals family."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, _automaton_queries(), "automaton", None)
+
+
+def automaton_oracle_sql() -> str:
+    """The automaton arm's oracle, COMPILED from the same query objects
+    the engine runs (path enumeration -> positional joins)."""
+    from ..search.automaton import automaton_path_sql
+
+    selects = [
+        automaton_path_sql(q.paths(), qid)
+        for qid, q in enumerate(_automaton_queries())
+    ]
+    return " UNION ALL ".join(selects)
 
 
 def span_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
