@@ -1044,6 +1044,26 @@ def _fuzzy_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _multi_range_sql() -> str:
+    """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
+    of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
+    parts = []
+    for qid, ranges in enumerate(ft.MULTI_RANGES):
+        ors = []
+        for lo, hi in ranges:
+            conds = []
+            if lo is not None:
+                conds.append(f"n_chars >= {lo}")
+            if hi is not None:
+                conds.append(f"n_chars < {hi}")
+            ors.append("(" + (" AND ".join(conds) or "TRUE") + ")")
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, "
+            f"(SELECT count(*) FROM documents WHERE {' OR '.join(ors)})::BIGINT AS cnt"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _range_counts_sql() -> str:
     parts = []
     for qid, (lo, hi) in enumerate(ft.TERM_RANGES):
@@ -2014,6 +2034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [
                 ("term", ft.range_counts(sf)),
                 ("index_sorted_numeric", ft.index_sorted_range_counts(sf)),
+                # sandbox MultiRangeQuery: deduped union of BKD ranges
+                ("multi_range", ft.multi_range_counts(sf)),
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
@@ -2853,6 +2875,8 @@ SELECT 'rescored', r.* FROM ({_rescore_sql()}) r
 SELECT 'term' AS family, t.* FROM ({_range_counts_sql()}) t
 UNION ALL
 SELECT 'index_sorted_numeric', s.* FROM ({_sorted_numeric_range_sql()}) s
+UNION ALL
+SELECT 'multi_range', m.* FROM ({_multi_range_sql()}) m
 """,
         "ft_phrase_counts": f"""
 SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq

@@ -2481,6 +2481,37 @@ def range_counts(sf_dir: str) -> pa.Table:
     return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
 
 
+# MultiRangeQuery range unions over n_chars ([lo, hi), None = open);
+# q3's ranges OVERLAP on purpose (union must dedupe)
+MULTI_RANGES = [
+    [(None, 100), (400, None)],
+    [(100, 200), (300, 400)],
+    [(None, 50), (150, 250), (350, 450)],
+    [(100, 300), (200, 400)],
+]
+
+
+def multi_range_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) for PointMultiRangeQuery — a UNION of n_chars ranges
+    answered by per-segment BKD intersects per range, deduplicated
+    (reference sandbox/search/MultiRangeQuery.java)."""
+    from ..index.points import build_point_index
+    from ..search.query import PointMultiRangeQuery
+
+    idx = ensure_index(sf_dir)
+    build_point_index(idx, POINT_FIELDS)
+    searcher = IndexSearcher(idx)
+    qids, cnts = [], []
+    for qid, ranges in enumerate(MULTI_RANGES):
+        q = PointMultiRangeQuery(
+            POINT_FIELDS,
+            tuple(((lo, None), (hi, None)) for lo, hi in ranges),
+        )
+        qids.append(qid)
+        cnts.append(searcher.count(q))
+    return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
+
+
 WILDCARDS = ["s*k", "w?ndow", "*tor", "b*", "?a??"]
 
 

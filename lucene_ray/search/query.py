@@ -355,6 +355,21 @@ class PointBoxQuery:
 
 
 @dataclass(frozen=True)
+class PointMultiRangeQuery:
+    """Union of BOXES over the same point fields in one constant-score
+    query (reference sandbox/search/MultiRangeQuery.java — a disjunction
+    of ranges merged into a single BKD intersect;
+    DocValuesMultiRangeQuery is the doc-values twin).  ``boxes`` is a
+    tuple of (lows, highs) per-dimension bounds (lower inclusive, upper
+    exclusive, None = open); matching docids are the deduplicated union.
+    Composes as a FILTER clause like PointBoxQuery and shares its
+    stored-column fallback."""
+
+    fields: tuple[str, ...]
+    boxes: tuple[tuple[tuple[int | None, ...], tuple[int | None, ...]], ...]
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -384,6 +399,7 @@ Query = (
     | StoredFieldFilter
     | StoredFieldRange
     | PointBoxQuery
+    | PointMultiRangeQuery
     | KnnFloatVectorQuery
     | MultiPhraseQuery
 )
@@ -409,6 +425,7 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, TermInSetQuery, StoredFieldFilter,
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
+                      PointMultiRangeQuery,
                       KnnFloatVectorQuery, PayloadScoreQuery)):
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
@@ -712,6 +729,34 @@ def build_scorer(
                 if hi is not None:
                     m &= col < hi
             docs = np.nonzero(m)[0]
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[np.asarray(reader.live, dtype=bool)[docs]]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, PointMultiRangeQuery):
+        from .scorers import PrecomputedScorer
+
+        tree = reader.point_tree(q.fields)
+        parts = []
+        for lows, highs in q.boxes:
+            if tree is not None:
+                d, _stats = tree.intersect(lows, highs)
+            else:
+                m = np.ones(reader.max_doc, dtype=bool)
+                for f, lo, hi in zip(q.fields, lows, highs):
+                    col = reader.stored_column(f).to_numpy(zero_copy_only=False)
+                    if lo is not None:
+                        m &= col >= lo
+                    if hi is not None:
+                        m &= col < hi
+                d = np.nonzero(m)[0]
+            if len(d):
+                parts.append(d)
+        if not parts:
+            return None
+        docs = np.unique(np.concatenate(parts))  # overlap-deduped union
         if getattr(reader, "live", None) is not None and len(docs):
             docs = docs[np.asarray(reader.live, dtype=bool)[docs]]
         if len(docs) == 0:

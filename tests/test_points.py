@@ -149,3 +149,38 @@ def test_polygon_boundary_and_degenerate():
     )
     got = point_in_polygon(pts, sq).tolist()
     assert got == [True, True, True, True, False, False, True]
+
+
+def test_multi_range_query_union_dedupes(ray_session):
+    """PointMultiRangeQuery (sandbox MultiRangeQuery): tree path == the
+    stored-column fallback, and overlapping ranges count each doc once."""
+    import numpy as np
+
+    from lucene_ray.pipelines import fulltext as ft
+    from lucene_ray.search.query import PointMultiRangeQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    idx = ft.ensure_index(sf)
+    from lucene_ray.index.points import build_point_index
+
+    build_point_index(idx, ft.POINT_FIELDS)
+    searcher = IndexSearcher(idx)
+    # overlapping ranges: [100,300) U [200,400) == [100,400)
+    q = PointMultiRangeQuery(
+        ft.POINT_FIELDS, (((100, None), (300, None)), ((200, None), (400, None)))
+    )
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+        " WHERE n_chars >= 100 AND n_chars < 400"
+    ).fetchone()[0]
+    assert searcher.count(q) == want
+    # fallback (no tree loaded) agrees: fabricate by querying a field pair
+    # that has no persisted tree
+    q2 = PointMultiRangeQuery(
+        ("n_chars", "n_chars"),
+        (((100, None), (300, None)), ((200, None), (400, None))),
+    )
+    assert searcher.count(q2) == want
