@@ -748,8 +748,9 @@ SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 
 def _training_mix_sql() -> str:
     """The composed pipeline, mirrored stage for stage: lang gate ->
-    quality + repetition gate -> exact dedup -> near-dup components over
-    THE SURVIVOR SET ONLY -> representatives."""
+    quality + repetition + bigram-LM gate -> exact dedup -> near-dup
+    components over THE SURVIVOR SET ONLY -> representatives."""
+    from lucene_ray.ops.lm import LM_MIN_AVG_Q
     from lucene_ray.ops.text import EN_STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
@@ -767,12 +768,28 @@ bigg AS (
   GROUP BY 1, 2, 3
 ),
 repp AS (SELECT doc_id, max(c)::BIGINT AS max_bigram_tf FROM bigg GROUP BY doc_id),
+-- CCNet-style bigram-LM gate: add-one logprob per bigram, quantized to
+-- the 2^-40 grid (float32 cast first) so the sum is an exact integer
+c12 AS (SELECT w1, w2, sum(c)::BIGINT AS c FROM bigg GROUP BY w1, w2),
+c1q AS (SELECT w1, sum(c)::BIGINT AS c FROM bigg GROUP BY w1),
+vv AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM exx),
+lmq AS (
+  SELECT b.doc_id, sum(b.c)::BIGINT AS n_bigrams,
+         sum(round(ln((c12.c + 1.0) / (c1q.c + vv.v))::FLOAT::DOUBLE
+                   * 1099511627776.0)::BIGINT * b.c)::BIGINT AS q
+  FROM bigg b JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1q ON c1q.w1 = b.w1 CROSS JOIN vv
+  GROUP BY b.doc_id
+),
 gated AS (
   SELECT d.doc_id, d.text, d.lang, s.n_tokens
   FROM documents d JOIN stopc s USING (doc_id) LEFT JOIN repp r USING (doc_id)
+  LEFT JOIN lmq USING (doc_id)
   WHERE d.lang IN ('en', 'de') AND s.n_tokens >= 10
     AND s.n_stop * 50 <= s.n_tokens * 45
     AND coalesce(r.max_bigram_tf, 0) <= 4
+    AND (lmq.n_bigrams IS NULL OR lmq.n_bigrams = 0
+         OR lmq.q >= {LM_MIN_AVG_Q} * lmq.n_bigrams)
 ),
 surv AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
 sdocs AS (SELECT g.* FROM gated g JOIN surv USING (doc_id)),

@@ -150,6 +150,59 @@ def training_mix(ds):
         )
 
     gated = ds.map_batches(_gate, batch_format="pyarrow")
+
+    # CCNet-style LM gate (Wenzek et al. 2020): a bigram LM trained
+    # distributedly on the FULL corpus scores every doc; docs whose
+    # average per-bigram logprob falls below LM_MIN_AVG_Q drop.  The
+    # per-doc scores are corpus-sized (never broadcast): the gate is a
+    # schema-matched union + one uniform doc_id-keyed groupby — the
+    # co-group join shape.  The comparison is integer-exact
+    # (lm_logprob_q >= LM_MIN_AVG_Q * n_bigrams on the 2^-40 grid).
+    from .lm import LM_MIN_AVG_Q, lm_scores
+
+    score_rows = lm_scores(ds).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array([""] * b.num_rows, pa.string()),
+                "lang": pa.array([""] * b.num_rows, pa.string()),
+                "n_tokens": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n_bigrams": b.column("n_bigrams"),
+                "lm_logprob_q": b.column("lm_logprob_q"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    gated_marked = gated.map_batches(
+        lambda b: b.append_column(
+            "n_bigrams", pa.array(np.full(b.num_rows, -1, np.int64))
+        ).append_column("lm_logprob_q", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+
+    def _lm_gate(df):
+        import pandas as pd
+
+        doc = df[df["n_bigrams"] == -1]
+        if not len(doc):  # score row for a doc the earlier gates dropped
+            return doc
+        sc = df[df["n_bigrams"] >= 0]
+        if len(sc):
+            nb = int(sc["n_bigrams"].iloc[0])
+            q = int(sc["lm_logprob_q"].iloc[0])
+            if nb > 0 and q < LM_MIN_AVG_Q * nb:
+                return doc.iloc[0:0]
+        return doc
+
+    gated = (
+        gated_marked.union(score_rows)
+        .groupby("doc_id")
+        .map_groups(_lm_gate)
+        .map_batches(
+            lambda b: b.select(["doc_id", "text", "lang", "n_tokens"]),
+            batch_format="pyarrow",
+        )
+    )
     fps = gated.map_batches(_fp_append, batch_format="pyarrow")
     survivors = fps.groupby("fp").map_groups(
         _keep_min_doc, batch_format="pyarrow"
