@@ -1771,6 +1771,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         AxiomaticF2EXP,
         BooleanSimilarity,
         ClassicSimilarity,
+        DFISimilarity,
         DFRSimilarity,
         IBSimilarity,
         LMDirichletSimilarity,
@@ -1787,6 +1788,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("dfr_inl2", DFRSimilarity()),
         ("ib_ll", IBSimilarity()),
         ("ax_f2exp", AxiomaticF2EXP()),
+        ("dfi_std", DFISimilarity("standardized")),
         # plateau norm is non-monotone in length -> impact pruning invalid,
         # COMPLETE mode only (see SweetSpotSimilarity docstring)
         ("sweetspot", SweetSpotSimilarity()),

@@ -414,6 +414,50 @@ class AxiomaticF2EXP:
         return _FreqNormScorer(fn, table)
 
 
+class DFISimilarity:
+    """Divergence From Independence (reference similarities/
+    DFISimilarity.java + IndependenceStandardized / ChiSquared /
+    Saturated.java; Kocabas et al. 2014):
+
+        expected = (ttf + 1) * dl / (sumTtf + 1)
+        score    = 0                              if freq <= expected
+                 = boost * log2(measure + 1)      otherwise
+
+    with measure standardized = (freq-e)/sqrt(e), saturated = (freq-e)/e,
+    chisquared = (freq-e)^2/e; dl is the SmallFloat-quantized length.
+    Increasing in freq, non-increasing in dl -> impact pruning valid."""
+
+    def __init__(self, independence: str = "standardized"):
+        if independence not in ("standardized", "saturated", "chisquared"):
+            raise ValueError(independence)
+        self.independence = independence
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        ttf = sum(ts.total_term_freq for ts in term_stats)
+        table = (ttf + 1.0) * _quantized_dl() / (
+            collection_stats.sum_total_term_freq + 1.0
+        )
+        w = float(boost)
+        kind = self.independence
+
+        def fn(freqs, exp):
+            diff = np.maximum(freqs - exp, 0.0)
+            if kind == "standardized":
+                m = diff / np.sqrt(exp)
+            elif kind == "saturated":
+                m = diff / exp
+            else:  # chisquared
+                m = diff * diff / exp
+            return np.where(freqs > exp, w * np.log2(m + 1.0), 0.0)
+
+        return _FreqNormScorer(fn, table)
+
+
 class LMJelinekMercerSimilarity:
     """Jelinek-Mercer linear-interpolation smoothing (reference
     similarities/LMJelinekMercerSimilarity.java score():
