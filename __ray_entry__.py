@@ -1527,6 +1527,20 @@ def _concat_family(parts, col: str = "family"):
     return pd.concat(dfs, ignore_index=True)
 
 
+def _grouped_family(sf_dir: str):
+    """grouping module family: the two-pass TopGroups collector beside
+    AllGroupsCollector / AllGroupHeadsCollector."""
+    groups_tbl, heads_tbl = ft.group_all(sf_dir)
+    return _concat_family(
+        [
+            ("top_groups", ft.grouped_topk(sf_dir)),
+            ("all_groups", groups_tbl),
+            ("all_group_heads", heads_tbl),
+        ],
+        col="arm",
+    )
+
+
 def _bm25_variants(sf_dir: str):
     """One driver entry certifying all three execution paths against the
     same oracle: actor-pool distributed search, tiered force-merged index,
@@ -2022,9 +2036,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
             col="method",
         ),
-        # lucene/grouping analogue: top groups by best hit, top docs per
-        # group (two-pass collectors as one distributed pass + reduce)
-        "ft_grouped_topk": ft.grouped_topk,
+        # lucene/grouping analogue: top groups by best hit + top docs per
+        # group, beside AllGroupsCollector (group set + sizes) and
+        # AllGroupHeadsCollector (global best doc per group)
+        "ft_grouped_topk": lambda sf: _grouped_family(sf),
         # queries/function FunctionScoreQuery: score * ln(1 + n_chars)
         "ft_function_score_topk": _function_score_family,
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
@@ -2733,10 +2748,24 @@ granks AS (
          row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, doc_id) AS grp_rnk
   FROM heads
 )
-SELECT w.qid::BIGINT AS qid, g.grp_rnk::BIGINT AS grp_rnk, w.grp,
-       w.rnk::BIGINT AS rnk, w.doc_id
+SELECT 'top_groups' AS arm, w.qid::BIGINT AS qid, g.grp_rnk::BIGINT AS grp_rnk,
+       w.grp, w.rnk::BIGINT AS rnk, w.doc_id
 FROM within w JOIN granks g ON g.qid = w.qid AND g.grp = w.grp
 WHERE g.grp_rnk <= {ft.N_GROUPS} AND w.rnk <= {ft.K_IN_GROUP}
+UNION ALL
+-- AllGroupsCollector: the full matching group set (+ sizes in doc_id)
+SELECT 'all_groups', qid::BIGINT, row_number() OVER (PARTITION BY qid ORDER BY grp)::BIGINT,
+       grp, 0::BIGINT, count(*)::BIGINT
+FROM gs GROUP BY qid, grp
+UNION ALL
+-- AllGroupHeadsCollector: global best doc per group, every group
+SELECT 'all_group_heads', qid::BIGINT,
+       row_number() OVER (PARTITION BY qid ORDER BY grp)::BIGINT,
+       grp, 0::BIGINT, doc_id
+FROM (
+  SELECT qid, grp, doc_id,
+         row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, doc_id) AS hr
+  FROM gs) h WHERE hr = 1
 """,
         # suggester: completions = dictionary terms under the prefix,
         # weight = doc freq, ties broken term-ascending

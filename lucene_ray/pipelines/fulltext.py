@@ -514,6 +514,117 @@ def _seg_grouped_partials(
     )
 
 
+def _seg_group_all(
+    batch: pa.Table, queries: list, field: str, weight_stats: dict
+) -> pa.Table:
+    """Per-segment AllGroups/AllGroupHeads partials: per (qid, grp) the
+    matching-doc count and the segment-best head (f32 score desc, docid
+    asc) — reference grouping/AllGroupsCollector.java (the group SET) and
+    AllGroupHeadsCollector.java (one best doc per group, over ALL
+    groups)."""
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import TermQuery, Weight, bool_query
+
+    weight = Weight(
+        collection_stats=CollectionStatistics(**weight_stats["collection"]),
+        term_stats={
+            t: TermStatistics(t, df, ttf)
+            for t, (df, ttf) in weight_stats["terms"].items()
+        },
+    )
+    cols = {c: [] for c in ("qid", "grp", "n", "head_doc", "head_score")}
+    for row in batch.to_pylist():
+        reader = SegmentReader(row["dir"])
+        doc_base = row["doc_base"]
+        groups = reader.stored_column(field).to_numpy(zero_copy_only=False)
+        for qid, terms in enumerate(queries):
+            q = (
+                TermQuery(terms[0])
+                if len(terms) == 1
+                else bool_query(should=[TermQuery(t) for t in terms])
+            )
+            docs, scores = _clause_scores(q, weight, reader, 1.0)
+            if reader.live is not None and len(docs):
+                m = reader.live[docs]
+                docs, scores = docs[m], scores[m]
+            if len(docs) == 0:
+                continue
+            s32 = scores.astype(np.float32)
+            g = groups[docs]
+            for grp in np.unique(g):
+                sel = g == grp
+                d, s = docs[sel], s32[sel]
+                i = int(np.lexsort((d, -s))[0])
+                cols["qid"].append(qid)
+                cols["grp"].append(str(grp))
+                cols["n"].append(int(sel.sum()))
+                cols["head_doc"].append(int(d[i]) + doc_base)
+                cols["head_score"].append(float(s[i]))
+    return pa.table(
+        {
+            "qid": pa.array(cols["qid"], pa.int64()),
+            "grp": pa.array(cols["grp"], pa.string()),
+            "n": pa.array(cols["n"], pa.int64()),
+            "head_doc": pa.array(cols["head_doc"], pa.int64()),
+            "head_score": pa.array(cols["head_score"], pa.float64()),
+        }
+    )
+
+
+def group_all(sf_dir: str) -> tuple[pa.Table, pa.Table]:
+    """AllGroupsCollector + AllGroupHeadsCollector in one distributed
+    pass.  Returns two tables shaped like the grouped family (qid,
+    grp_rnk, grp, rnk, doc_id): ``all_groups`` rows carry the matching-doc
+    count in doc_id (the group SET plus its size), ``all_group_heads``
+    rows carry the global head docid; grp_rnk ranks groups by grp ASC."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    terms = sorted({t for q in GROUPED_QUERIES for t in q})
+    stats = searcher.term_statistics(set(terms))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {t: (stats[t].doc_freq, stats[t].total_term_freq) for t in terms},
+    }
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_group_all,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "queries": GROUPED_QUERIES,
+                "field": GROUP_FIELD,
+                "weight_stats": weight_stats,
+            },
+        )
+        .to_pandas()  # bounded: segments x qids x groups
+    )
+    agg_n = part.groupby(["qid", "grp"], sort=True)["n"].sum().reset_index()
+    agg_n["grp_rnk"] = agg_n.groupby("qid").cumcount() + 1
+    groups_tbl = agg_n.rename(columns={"n": "doc_id"})
+    groups_tbl["rnk"] = 0
+    heads = part.sort_values(
+        ["qid", "grp", "head_score", "head_doc"],
+        ascending=[True, True, False, True],
+    )
+    heads = heads.groupby(["qid", "grp"], sort=True).first().reset_index()
+    heads["grp_rnk"] = heads.groupby("qid").cumcount() + 1
+    heads_tbl = heads.rename(columns={"head_doc": "doc_id"})
+    heads_tbl["rnk"] = 0
+    cols = ["qid", "grp_rnk", "grp", "rnk", "doc_id"]
+    return (
+        pa.Table.from_pandas(groups_tbl[cols].reset_index(drop=True), preserve_index=False),
+        pa.Table.from_pandas(heads_tbl[cols].reset_index(drop=True), preserve_index=False),
+    )
+
+
 def grouped_topk(sf_dir: str) -> pa.Table:
     """Top-N_GROUPS groups per query ranked by best hit (score desc, head
     doc asc), top-K_IN_GROUP docs within each group: (qid, grp_rnk, grp,
