@@ -1165,6 +1165,43 @@ def _elide(t: str) -> str:
     return t
 
 
+_SOUNDEX_CODE = {}
+for _grp, _dig in (
+    ("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+    ("l", "4"), ("mn", "5"), ("r", "6"),
+):
+    for _c in _grp:
+        _SOUNDEX_CODE[_c] = _dig
+
+
+def soundex(t: str) -> str:
+    """American Soundex, commons-codec ``Soundex.US_ENGLISH`` semantics
+    (reference analysis/phonetic/PhoneticFilter.java wrapping
+    org.apache.commons.codec.language.Soundex): first letter kept, BFPV=1
+    CGJKQSXZ=2 DT=3 L=4 MN=5 R=6, vowels separate duplicate codes, H/W do
+    NOT, padded/truncated to 4.  Lowercase in/out (this engine's terms are
+    lowercased before the filter chain; documented deviation from the
+    codec's uppercase)."""
+    letters = [c for c in t if "a" <= c <= "z"]
+    if not letters:
+        return t
+    out = [letters[0]]
+    last = _SOUNDEX_CODE.get(letters[0], "")
+    for c in letters[1:]:
+        d = _SOUNDEX_CODE.get(c)
+        if d is None:
+            if c in "hw":
+                continue  # H/W transparent: do not separate duplicates
+            last = ""  # vowel: resets duplicate suppression
+            continue
+        if d != last:
+            out.append(d)
+            if len(out) == 4:
+                break
+        last = d
+    return "".join(out + ["0"] * (4 - len(out)))
+
+
 def make_term_filter(name: str, **kw):
     """One per-term filter from the analysis-common registry; returns a
     ``str -> str | None`` callable (None = drop, StopFilter-style gap).
@@ -1217,6 +1254,8 @@ def make_term_filter(name: str, **kw):
         return ascii_fold
     if name == "possessive":
         return strip_possessive
+    if name == "soundex":
+        return soundex
     raise ValueError(f"unknown term filter: {name}")
 
 

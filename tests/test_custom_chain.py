@@ -77,3 +77,23 @@ def test_registry_spec_roundtrip(ray_session):
     assert a.tokens("sparkling me a") == ["spar", "me"]
     b = make_analyzer("custom_chain")
     assert b.tokens("sparkling stream") == ["sprkln", "strm"]
+
+
+def test_soundex_filter():
+    # classic commons-codec Soundex vectors (lowercased)
+    from lucene_ray.analysis.analyzers import soundex
+
+    assert soundex("robert") == "r163"
+    assert soundex("rupert") == "r163"
+    assert soundex("ashcraft") == "a261"   # H transparent between S and C
+    assert soundex("tymczak") == "t522"
+    assert soundex("pfister") == "p236"    # PF collapse (same code as first)
+    assert soundex("honeyman") == "h555"
+    assert soundex("a") == "a000"
+    assert soundex("123") == "123"         # no letters: passthrough
+    f = make_term_filter("soundex")
+    assert f("smith") == f("smyth") == "s530"
+    # composes in a chain (phonetic canonicalization index shape)
+    a = CustomChainAnalyzer(filters=[("soundex", {})])
+    assert a.tokens("smith smyth robert") == ["s530", "s530", "r163"]
+    assert a.normalize("Rupert".lower()) == "r163"
