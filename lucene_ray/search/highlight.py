@@ -134,3 +134,76 @@ def highlight_doc(
         if j < len(docs) and docs[j] == local_doc:
             matches[t] = reader.term_offset_spans(tid)[j]
     return best_passages(text, matches, idf, max_passages)
+
+
+# --- FastVectorHighlighter analogue ---------------------------------------
+
+def fvh_fragments(
+    reader,
+    local_doc: int,
+    text: str,
+    terms: list[str],
+    idf: dict[str, float] | None = None,
+    frag_char_size: int = 100,
+    max_frags: int = 3,
+) -> list[Passage]:
+    """FastVectorHighlighter analogue (reference highlighter/vectorhighlight/
+    FastVectorHighlighter.java + SimpleFragListBuilder.java +
+    ScoreOrderFragmentsBuilder.java): the doc's FORWARD index (term
+    vector) decides term membership — one binary search per query term
+    against the doc's own tid list, no postings seek for absent terms —
+    then occurrence char spans come from the offsets stream, fragments
+    are greedy fixed-char windows packed in offset order
+    (SimpleFragListBuilder.createFieldFragList), and returned in score
+    order (Σ count·idf per fragment, ScoreOrderFragmentsBuilder).
+    Requires an index with term_vectors=True and offsets."""
+    doc_tids, _tfs = reader.term_vector(local_doc)
+    hits: list[tuple[str, int, int]] = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            continue
+        j = int(np.searchsorted(doc_tids, tid))
+        if j >= len(doc_tids) or doc_tids[j] != tid:
+            continue  # the term-vector shortcut: absent term, no postings
+        docs, _ = reader.decode_term_cached(tid)
+        k = int(np.searchsorted(docs, local_doc))
+        os_, oe_ = reader.term_offset_spans(tid)[k]
+        hits.extend((t, int(s), int(e)) for s, e in zip(os_, oe_))
+    if not hits:
+        return []
+    hits.sort(key=lambda h: h[1])
+    w = idf or {}
+    frags: list[Passage] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_start = 0
+    for h in hits:
+        if not cur:
+            cur = [h]
+            cur_start = h[1]
+            continue
+        if h[2] <= cur_start + frag_char_size:
+            cur.append(h)
+        else:
+            frags.append(_fvh_passage(cur, cur_start, frag_char_size, text, w))
+            cur = [h]
+            cur_start = h[1]
+    frags.append(_fvh_passage(cur, cur_start, frag_char_size, text, w))
+    frags.sort(key=lambda p: (-p.score, p.start))
+    return frags[:max_frags]
+
+
+def _fvh_passage(
+    hits: list, start: int, frag_char_size: int, text: str, w: dict
+) -> Passage:
+    terms = [t for t, _, _ in hits]
+    uniq = set(terms)
+    end = min(len(text), max(start + frag_char_size, max(e for _, _, e in hits)))
+    return Passage(
+        start=start,
+        end=end,
+        score=sum(terms.count(t) * float(w.get(t, 1.0)) for t in uniq),
+        n_hits=len(hits),
+        n_uniq=len(uniq),
+        term_spans=tuple(hits),
+    )

@@ -90,3 +90,40 @@ def test_highlight_doc_from_offsets_index(tmp_path):
     assert ps2[0].n_hits == 3
     assert docs[2][ps2[1].start : ps2[1].end] == "spark alone after!"
     assert highlight_doc(r, 1, docs[1], ["spark", "merge"]) == []
+
+
+def test_fvh_fragments_from_term_vectors(tmp_path):
+    """FastVectorHighlighter analogue: tv-driven membership + fixed-char
+    fragments in score order."""
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.highlight import fvh_fragments
+
+    docs = [
+        "spark starts here. " + "filler words go on and on. " * 4
+        + "then spark and merge end close together near the tail.",
+        "no matches at all in this one.",
+    ]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 2, "path": list("ab"),
+                  "commit": ["x"] * 2, "lang": ["en"] * 2}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, index_options="offsets", term_vectors=True)
+    r = SegmentReader(idx + "/seg_000000")
+    frags = fvh_fragments(r, 0, docs[0], ["spark", "merge"], frag_char_size=60)
+    assert len(frags) == 2
+    # best fragment is the tail window (2 hits incl. both terms)
+    assert frags[0].n_hits == 2 and frags[0].n_uniq == 2
+    assert frags[0].end - frags[0].start >= 60 or frags[0].end == len(docs[0])
+    # fragments pack greedily in offset order: first window holds only the
+    # leading spark
+    assert frags[1].n_hits == 1
+    # absent terms short-circuit via the term vector
+    assert fvh_fragments(r, 1, docs[1], ["spark", "merge"]) == []
+    # all hit spans point at real term text
+    for f in frags:
+        for t, s, e in f.term_spans:
+            assert docs[0][s:e] == t
