@@ -106,6 +106,60 @@ def delete_by_query(index_dir: str, query) -> dict:
     return new_man
 
 
+def update_numeric_docvalue(index_dir: str, query, field: str, value: int) -> dict:
+    """In-place numeric doc-values update WITHOUT reindexing (reference
+    index/IndexWriter.java ``updateNumericDocValue(Term, field, value)``,
+    generalized to any non-scoring query): every doc matching ``query``
+    gets stored ``field`` = ``value`` in the NEXT manifest generation.
+
+    Like the reference's DocValuesFieldUpdates, segments stay immutable:
+    the update is a per-segment sidecar overlay (sorted docids + values
+    npz under ``index_dir/dvu/``) referenced from the new generation;
+    readers overlay it in ``stored_column`` and earlier generations keep
+    serving the old values (point-in-time reads).  Repeated updates merge
+    (newest wins)."""
+    import io
+
+    from ..search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(index_dir)
+    man = searcher.manifest
+    gen = man["generation"] + 1
+    dvu_dir = os.path.join(index_dir, "dvu")
+    entries = []
+    total = 0
+    for reader, seg in zip(searcher.readers, man["segments"]):
+        hits = _matching_local_docids(reader, query)
+        prev = seg.get("dv_updates", {}).get(field)
+        entry = dict(seg)
+        if len(hits) == 0:
+            entries.append(entry)
+            continue
+        docids = hits
+        values = np.full(len(hits), int(value), dtype=np.int64)
+        if prev:
+            z = np.load(io.BytesIO(store.read_bytes(prev)))
+            keep = ~np.isin(z["docids"], docids)  # newest wins
+            docids = np.concatenate([z["docids"][keep], docids])
+            values = np.concatenate([z["values"][keep], values])
+            order = np.argsort(docids)
+            docids, values = docids[order], values[order]
+        buf = io.BytesIO()
+        np.savez_compressed(buf, docids=docids, values=values)
+        path = os.path.join(dvu_dir, f"{seg['name']}-{field}-g{gen:04d}.npz")
+        store.write_bytes_atomic(path, buf.getvalue())
+        entry["dv_updates"] = {**seg.get("dv_updates", {}), field: path}
+        entries.append(entry)
+        total += len(hits)
+    if total == 0:
+        return man
+    new_man = dict(man)
+    new_man["generation"] = gen
+    new_man["segments"] = entries
+    mf.write_manifest(index_dir, new_man)
+    return new_man
+
+
 def delete_by_key(index_dir: str, field: str, values: list[str]) -> dict:
     """Delete docs whose stored metadata ``field`` equals any of ``values``
     (the deleteDocuments(Term...) analogue over stored columns)."""

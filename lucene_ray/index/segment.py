@@ -737,8 +737,14 @@ class SegmentReader:
         cache = getattr(self, "_stored_cols", None)
         if cache is None:
             cache = self._stored_cols = {}
-        if field in cache:
-            return cache[field]
+        # numeric doc-values UPDATES overlay (IndexWriter.updateNumericDocValue
+        # analogue): the searcher attaches per-segment overlay paths from the
+        # manifest; the cache keys on the overlay so NRT reopens across
+        # generations never serve stale values
+        upd = getattr(self, "dv_updates", {}).get(field)
+        key = (field, upd)
+        if key in cache:
+            return cache[key]
         inline = os.path.join(self.dir, "docs.parquet")
         # the docs fragment dir is a SIBLING of the segment in the (possibly
         # remote) index root, so derive it from src_dir, not the cache path
@@ -764,7 +770,14 @@ class SegmentReader:
                 f"stored fields cover {len(tbl)} of {self.max_doc} docs in {name}"
             )
         col = tbl.column(field).combine_chunks()
-        cache[field] = col
+        if upd is not None:
+            import io
+
+            z = np.load(io.BytesIO(store.read_bytes(upd)))
+            vals = col.to_numpy(zero_copy_only=False).copy()
+            vals[z["docids"]] = z["values"]
+            col = pa.chunked_array([pa.array(vals)])
+        cache[key] = col
         return col
 
     def _sidecar_path(self, fname: str) -> str | None:

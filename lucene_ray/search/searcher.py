@@ -135,6 +135,9 @@ class IndexSearcher:
             lp = seg.get("livedocs")
             if lp and reader.live is None:
                 reader.live = store.np_load(lp)
+            # numeric doc-values update overlays (per generation; the
+            # stored-column cache keys on the overlay path)
+            reader.dv_updates = seg.get("dv_updates", {})
         cs = collection_stats_from(self.manifest)
         self.collection_stats = CollectionStatistics(
             max_doc=cs["max_doc"],
