@@ -226,6 +226,27 @@ def check_index(index_dir: str, generation: int | None = None, raise_on_error: b
     else:
         reports = [check_segment(s["dir"], raise_on_error) for s in man["segments"]]
 
+    # doc-values update overlays (IndexWriter.updateNumericDocValue
+    # analogue): sidecar must exist, docids strictly ascending and in
+    # [0, max_doc) — the DocValuesFieldUpdates integrity rules
+    import io
+
+    import numpy as np
+
+    from .. import store as _store
+
+    for seg in man["segments"]:
+        for fld, path in (seg.get("dv_updates") or {}).items():
+            if not _store.exists(path):
+                _chk(False, f"{seg['name']}: dv_updates[{fld}] missing {path}", errors, raise_on_error)
+                continue
+            z = np.load(io.BytesIO(_store.read_bytes(path)))
+            d = z["docids"]
+            _chk(len(d) == len(z["values"]), f"{seg['name']}: dv_updates[{fld}] docids/values length mismatch", errors, raise_on_error)
+            if len(d):
+                _chk(bool((np.diff(d) > 0).all()), f"{seg['name']}: dv_updates[{fld}] docids not strictly ascending", errors, raise_on_error)
+                _chk(int(d[0]) >= 0 and int(d[-1]) < int(seg["max_doc"]), f"{seg['name']}: dv_updates[{fld}] docid out of range", errors, raise_on_error)
+
     cs = mf.collection_stats_from(man)
     tot_postings = sum(rep["n_postings"] for rep in reports)
     _chk(cs["sum_doc_freq"] == tot_postings, f"manifest: collection sum_doc_freq {cs['sum_doc_freq']} != recomputed {tot_postings}", errors, raise_on_error)

@@ -69,3 +69,32 @@ def test_no_match_is_noop(idx, ray_session):
         idx, TermQuery("zzz_not_a_term"), "n_chars", 5
     )
     assert man["generation"] == s0.generation
+
+
+def test_checkindex_validates_dv_overlays(idx, ray_session):
+    import io
+
+    import numpy as np
+
+    from lucene_ray.index.check import CheckIndexError, check_index
+
+    update_numeric_docvalue(idx, TermQuery("spark"), "n_chars", 7)
+    rep = check_index(idx, use_ray=False)
+    assert rep["ok"]
+    # tamper: descending docids in the overlay
+    from lucene_ray.index import manifest as mf
+
+    man = mf.read_manifest(idx)
+    path = next(
+        s["dv_updates"]["n_chars"] for s in man["segments"] if s.get("dv_updates")
+    )
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf, docids=np.array([5, 3]), values=np.array([1, 2])
+    )
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    import pytest as _pytest
+
+    with _pytest.raises(CheckIndexError, match="ascending"):
+        check_index(idx, use_ray=False)
