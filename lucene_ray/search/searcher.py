@@ -646,12 +646,17 @@ class SegmentSearchWorker:
         seg_dirs: list[str],
         seg_ords: list[int],
         livedocs: list[str | None] | None = None,
+        dv_updates: list[dict | None] | None = None,
     ):
         self.readers = [SegmentReader(d) for d in seg_dirs]
         if livedocs:
             for reader, lp in zip(self.readers, livedocs):
                 if lp:
                     reader.live = store.np_load(lp)
+        if dv_updates:
+            for reader, du in zip(self.readers, dv_updates):
+                if du:
+                    reader.dv_updates = du
         self.ords = seg_ords
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -709,8 +714,9 @@ class DistributedSearcher:
             dirs = [s["dir"] for _, s in mine]
             ords = [j for j, _ in mine]
             lives = [s.get("livedocs") for _, s in mine]
+            dvus = [s.get("dv_updates") for _, s in mine]
             if dirs:
-                self.workers.append(Worker.remote(dirs, ords, lives))
+                self.workers.append(Worker.remote(dirs, ords, lives, dvus))
         # per-term (df, ttf) cache: the index is immutable, so term stats
         # never change — caching drops the phase-A RPC round for repeated
         # terms (TermStates is rebuilt per query in the reference only

@@ -98,3 +98,19 @@ def test_checkindex_validates_dv_overlays(idx, ray_session):
 
     with _pytest.raises(CheckIndexError, match="ascending"):
         check_index(idx, use_ray=False)
+
+
+def test_distributed_searcher_sees_updates(idx, ray_session):
+    from lucene_ray.search.searcher import DistributedSearcher
+
+    update_numeric_docvalue(idx, TermQuery("spark"), "n_chars", 10**6)
+    d = DistributedSearcher(idx, num_workers=2)
+    n_spark = IndexSearcher(idx).count(TermQuery("spark"))
+    hits = d.search(
+        bool_query(
+            must=[TermQuery("spark")],
+            filter=[StoredFieldRange("n_chars", 10**6, 1 << 60)],
+        ),
+        k=1000,
+    )
+    assert len(hits) == n_spark
