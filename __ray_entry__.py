@@ -1061,6 +1061,66 @@ def _fuzzy_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _fuzzy_scored_sql() -> str:
+    """FuzzyQuery TopTermsBlendedFreqScoringRewrite: Damerau candidates,
+    boost = 1 - ed/min(len), top-50 by (boost DESC, term ASC), blended
+    BOOLEAN rewrite (clauses share df = max df across the group)."""
+    vals = ", ".join(
+        f"({i}, '{t}', {me})" for i, (t, me) in enumerate(ft.FUZZY_QUERIES)
+    )
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, qt, me) AS (VALUES {vals}),
+ts AS (SELECT tok AS term FROM tf GROUP BY tok),
+cand AS (
+  SELECT q.qid, ts.term, q.qt,
+         damerau_levenshtein(ts.term, q.qt)::BIGINT AS ed
+  FROM q JOIN ts ON damerau_levenshtein(ts.term, q.qt) <= q.me
+),
+boosted AS (
+  SELECT qid, term,
+         CASE WHEN ed = 0 THEN 1.0
+              ELSE 1.0 - ed / least(length(term), length(qt))::DOUBLE END AS boost
+  FROM cand
+),
+topt AS (
+  SELECT qid, term, boost FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY boost DESC, term) AS r
+    FROM boosted) t WHERE r <= {ft.FUZZY_SCORED_MAX_EXPANSIONS}
+),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT t.qid, t.term, t.boost, tf.doc_id, tf.tf FROM topt t JOIN tf ON tf.tok = t.term
+),
+tstat AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+blend AS (SELECT qid, max(df)::BIGINT AS df FROM tstat GROUP BY qid),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         p.boost * ln(1 + (s.doc_count - b.df + 0.5) / (b.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN blend b ON b.qid = p.qid
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _multi_range_sql() -> str:
     """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
     of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
@@ -1649,6 +1709,8 @@ def _multiterm_matches(sf_dir: str):
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
             ("fuzzy", ft.fuzzy_matches(sf_dir)),
+            # FuzzyQuery's DEFAULT rewrite: top-terms blended-freq scoring
+            ("fuzzy_scored", ft.fuzzy_scored_matches(sf_dir)),
         ]
     )
 
@@ -2908,6 +2970,7 @@ FROM ranked WHERE rnk <= 10
 SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
 UNION ALL SELECT 'prefix_scored', * FROM ({_prefix_scored_sql()})
 UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
+UNION ALL SELECT 'fuzzy_scored', * FROM ({_fuzzy_scored_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
 UNION ALL SELECT 'fuzzy', * FROM ({_fuzzy_sql()})

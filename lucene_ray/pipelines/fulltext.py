@@ -2692,6 +2692,63 @@ def fuzzy_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+FUZZY_SCORED_MAX_EXPANSIONS = 50
+
+
+def fuzzy_scored_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """FuzzyQuery under its DEFAULT rewrite —
+    TopTermsBlendedFreqScoringRewrite (reference search/FuzzyQuery.java
+    defaultRewriteMethod + MultiTermQuery.java:198-233): candidate terms
+    within max_edits get boost = 1 at exact match else
+    1 - ed/min(len(term), len(query)) (FuzzyTermsEnum.java:251-258), the
+    top maxExpansions by (boost DESC, term ASC) build a BlendedTermQuery
+    with BOOLEAN_REWRITE (SHOULD-sum clauses over EQUALIZED df=max
+    stats).  (qid, rnk, doc_id) top-k; boosts computed in double
+    (documented f32 deviation)."""
+    from ..search.multiterm import fuzzy_term_dists
+    from ..search.query import BlendedTermQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (t, me) in enumerate(FUZZY_QUERIES):
+        best: dict[str, int] = {}
+        for r in searcher.readers:
+            ids, dd = fuzzy_term_dists(r, t, me)
+            for tid, ed in zip(ids.tolist(), dd.tolist()):
+                s = r.term_string(int(tid))
+                if s not in best or ed < best[s]:
+                    best[s] = int(ed)
+        cands = sorted(
+            (
+                (
+                    s,
+                    1.0 if ed == 0 else 1.0 - ed / min(len(s), len(t)),
+                )
+                for s, ed in best.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:FUZZY_SCORED_MAX_EXPANSIONS]
+        if not cands:
+            continue
+        q = BlendedTermQuery(
+            tuple(s for s, _ in cands),
+            tuple(b for _, b in cands),
+            rewrite="boolean",
+        )
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # CommonTermsQuery inputs: 'dup' is the one genuinely low-df corpus term
 # (df/maxDoc ~5%), everything else sits ~77% — the 0.5 cutoff splits them
 COMMON_TERMS_QUERIES = [
