@@ -2533,6 +2533,14 @@ tchild AS (
   SELECT 'block_children' AS mode, 0 AS qid, child_docid AS did,
          row_number() OVER (ORDER BY child_docid) AS rnk
   FROM cpos WHERE source IN ({", ".join(f"'{s}'" for s in ft.BLOCK_CHILD_SOURCES)})
+),
+-- ToChildBlockJoin doScores: each child carries its parent's qid-0
+-- ToParent-max score
+tchildsc AS (
+  SELECT 'block_child_scores' AS mode, 0 AS qid, cp.child_docid AS did,
+         row_number() OVER (ORDER BY b.mx DESC, cp.child_docid) AS rnk
+  FROM bagg b JOIN cpos cp ON cp.parent_docid = b.parent_docid
+  WHERE b.qid = 0
 )
 SELECT mode, qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id
 FROM ranked WHERE rnk <= 10
@@ -2540,6 +2548,8 @@ UNION ALL
 SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM branked WHERE rnk <= 10
 UNION ALL
 SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM tchild WHERE rnk <= 10
+UNION ALL
+SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM tchildsc WHERE rnk <= 10
 """,
         # MoreLikeThis: seed's term vector -> tf*(ln((N+1)/(df+1))+1) term
         # selection (top 10, ties term-asc) -> BM25 SHOULD disjunction,

@@ -1153,6 +1153,24 @@ def _seg_block_join(
         matched = parents[np.isin(src[parents], np.asarray(child_sources))]
         kids = children_of(matched, parents)[:k]
         emit("block_children", 0, kids + base, np.zeros(len(kids)))
+        # ToChildBlockJoinQuery with doScores=true: the PARENT's score
+        # (here: the qid-0 ToParent-max aggregate) propagates to every
+        # child (join/ToChildBlockJoinQuery.java parentScore passthrough)
+        q0 = JOIN_QUERIES[0]
+        q = (
+            TermQuery(q0[0])
+            if len(q0) == 1
+            else bool_query(should=[TermQuery(t) for t in q0])
+        )
+        docs, scores = _clause_scores(q, weight, reader, 1.0)
+        if len(docs):
+            pids, mx, _mn, _si, _c = to_parent_partials(docs, scores, parents)
+            kids2 = children_of(pids, parents)
+            # parent of child c = first parent docid > c
+            pdoc = parents[np.searchsorted(parents, kids2)]
+            sc = mx[np.searchsorted(pids, pdoc)].astype(np.float64)
+            # per-segment partial top-k children by (parent score, docid)
+            emit("block_child_scores", 0, kids2 + base, sc)
     return pa.table(
         {
             "mode": pa.array(out["mode"], pa.string()),
