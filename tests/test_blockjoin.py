@@ -126,6 +126,7 @@ def test_block_join_modes_consistent(ray_session):
         "block_avg",
         "block_none",
         "block_children",
+        "block_child_scores",
     }
     # none-mode ranks are docid-ascending (constant score)
     none = t[t["mode"] == "block_none"].sort_values(["qid", "rnk"])
