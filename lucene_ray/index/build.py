@@ -653,6 +653,7 @@ def build_index_local(
         "docs_per_segment": docs_per_segment,
         "index_options": index_options,
         "term_vectors": bool(term_vectors),
+        "index_sort": None,
         "segments": seg_entries,
         "built_sec": round(time.time() - t_start, 3),
         "skipped_segments": [s["name"] for s in skipped],
@@ -969,6 +970,7 @@ def build_index(
         "docs_per_segment": docs_per_segment,
         "index_options": index_options,
         "term_vectors": bool(term_vectors),
+        "index_sort": list(index_sort) if index_sort else None,
         "segments": seg_entries,
         "built_sec": round(time.time() - t_start, 3),
         "skipped_segments": [s["name"] for s in skipped],
