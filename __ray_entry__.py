@@ -1121,6 +1121,27 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _fn_range_sql() -> str:
+    """FunctionRangeQuery arm: expression SQL is a mechanical rename of
+    the engine's own expression strings (max->greatest, min->least)."""
+    parts = []
+    for qid, (expr, lo, hi) in enumerate(ft.FUNCTION_RANGE_QUERIES):
+        sql_expr = expr.replace("max(", "greatest(").replace("min(", "least(")
+        conds = []
+        if lo is not None:
+            conds.append(f"v >= {lo}")
+        if hi is not None:
+            conds.append(f"v <= {hi}")
+        where = " AND ".join(conds) or "TRUE"
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ("
+            f"SELECT doc_id, row_number() OVER (ORDER BY v::FLOAT DESC, doc_id) AS rnk"
+            f" FROM (SELECT doc_id, ({sql_expr})::DOUBLE AS v FROM documents)"
+            f" WHERE {where}) WHERE rnk <= 10"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _multi_range_sql() -> str:
     """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
     of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
@@ -1866,6 +1887,8 @@ def _function_score_family(sf_dir: str):
         [
             ("fn", ft.function_score_topk(sf_dir)),
             ("covering", ft.covering_topk(sf_dir)),
+            # FunctionRangeQuery: expression-valued match + score
+            ("fn_range", ft.function_range_topk(sf_dir)),
         ]
     )
 
@@ -2770,6 +2793,10 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
+UNION ALL
+-- FunctionRangeQuery: expression value is both the match predicate
+-- (inclusive range) and the score
+SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
 """,
         # grouping: groups ranked by their best hit (float32 score desc,
         # head doc asc), docs within a group by (score desc, doc asc)

@@ -1226,6 +1226,39 @@ def block_join_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# (expression, lower, upper) — inclusive bounds, None = open (reference
+# queries/function/FunctionRangeQuery.java defaults)
+FUNCTION_RANGE_QUERIES = [
+    ("ln(1 + n_chars) * sqrt(n_chars)", 40.0, 90.0),
+    ("n_chars - doc_id", None, 0.0),
+    ("max(n_chars, 300.0) + doc_id / 1000.0", 301.0, None),
+]
+
+
+def function_range_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """FunctionRangeQuery top-k (reference queries/function/
+    FunctionRangeQuery.java): docs whose expression value sits in the
+    range, SCORED BY THE VALUE — (qid, rnk, doc_id)."""
+    from ..search.query import FunctionRangeQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (expr, lo, hi) in enumerate(FUNCTION_RANGE_QUERIES):
+        q = FunctionRangeQuery(expr, lo, hi)
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 FUNCTION_SCORE_QUERIES = [
     ("spark",),
     ("join", "order"),

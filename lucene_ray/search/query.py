@@ -355,6 +355,23 @@ class PointBoxQuery:
 
 
 @dataclass(frozen=True)
+class FunctionRangeQuery:
+    """Matches docs whose compiled-EXPRESSION value (over stored numeric
+    columns, search/expressions.py) falls inside the range, and scores
+    each match with THE VALUE ITSELF (reference queries/function/
+    FunctionRangeQuery.java: matching and scoring both come from the
+    ValueSource; includeLower/includeUpper default true).  Covers
+    FunctionMatchQuery (a DoubleValuesSource predicate) as the range
+    special case."""
+
+    expression: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class PointMultiRangeQuery:
     """Union of BOXES over the same point fields in one constant-score
     query (reference sandbox/search/MultiRangeQuery.java — a disjunction
@@ -400,6 +417,7 @@ Query = (
     | StoredFieldRange
     | PointBoxQuery
     | PointMultiRangeQuery
+    | FunctionRangeQuery
     | KnnFloatVectorQuery
     | MultiPhraseQuery
 )
@@ -425,7 +443,7 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
                       RegexpQuery, TermInSetQuery, StoredFieldFilter,
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
-                      PointMultiRangeQuery,
+                      PointMultiRangeQuery, FunctionRangeQuery,
                       KnnFloatVectorQuery, PayloadScoreQuery)):
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
@@ -734,6 +752,28 @@ def build_scorer(
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, FunctionRangeQuery):
+        from .expressions import compile_expression
+        from .scorers import PrecomputedScorer
+
+        expr = compile_expression(q.expression)
+        bindings = {
+            v: reader.stored_column(v).to_numpy(zero_copy_only=False).astype(np.float64)
+            for v in expr.variables
+        }
+        vals = expr.evaluate(bindings)
+        m = np.ones(reader.max_doc, dtype=bool)
+        if q.lower is not None:
+            m &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+        if q.upper is not None:
+            m &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+        if getattr(reader, "live", None) is not None:
+            m &= reader.live
+        docs = np.nonzero(m)[0]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, (vals[docs] * boost).astype(np.float32))
 
     if isinstance(q, PointMultiRangeQuery):
         from .scorers import PrecomputedScorer
