@@ -126,6 +126,52 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def cmd_addindexes(args) -> int:
+    _init_ray()
+    from .index.addindexes import add_indexes
+
+    man = add_indexes(args.dest, [x for x in args.src.split(",") if x])
+    print(
+        json.dumps(
+            {
+                "generation": man["generation"],
+                "segments": len(man["segments"]),
+                "max_doc": sum(int(s["max_doc"]) for s in man["segments"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_sortmerge(args) -> int:
+    _init_ray()
+    from .index.sortmerge import force_merge_sorted
+
+    man = force_merge_sorted(args.index)
+    print(
+        json.dumps(
+            {
+                "generation": man["generation"],
+                "segments": len(man["segments"]),
+                "max_doc": sum(int(s["max_doc"]) for s in man["segments"]),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_dvupdate(args) -> int:
+    _init_ray()
+    from .index.deletes import update_numeric_docvalue
+    from .search.query import TermQuery
+
+    man = update_numeric_docvalue(
+        args.index, TermQuery(args.term), args.field, args.value
+    )
+    print(json.dumps({"generation": man["generation"]}))
+    return 0
+
+
 def cmd_split(args) -> int:
     ray = _init_ray()
     from .index.split import split_index
@@ -263,6 +309,22 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--format", default=None, choices=[None, "jsonl", "csv", "parquet"])
     ig.add_argument("--map", default=None, help="src=dst[,src=dst...] column renames")
     ig.set_defaults(fn=cmd_ingest)
+
+    ai = sub.add_parser("addindexes", help="import another index's segments (IndexWriter.addIndexes)")
+    ai.add_argument("--dest", required=True)
+    ai.add_argument("--src", required=True, help="comma-separated source index dirs")
+    ai.set_defaults(fn=cmd_addindexes)
+
+    sm = sub.add_parser("sortmerge", help="force-merge an index-sorted index (Sorter contract)")
+    sm.add_argument("--index", required=True)
+    sm.set_defaults(fn=cmd_sortmerge)
+
+    dv = sub.add_parser("dvupdate", help="numeric doc-values update by term (updateNumericDocValue)")
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--term", required=True)
+    dv.add_argument("--field", required=True)
+    dv.add_argument("--value", required=True, type=int)
+    dv.set_defaults(fn=cmd_dvupdate)
 
     args = p.parse_args(argv)
     return args.fn(args)

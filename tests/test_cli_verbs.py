@@ -47,3 +47,48 @@ def test_cli_split_subprocess(idx, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert sum(p["docs"] for p in out["parts"]) == 120
+
+
+def test_cli_addindexes(idx, tmp_path, capsys, ray_session):
+    import shutil
+
+    from lucene_ray.cli import main
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    shutil.copytree(idx, a)
+    shutil.copytree(idx, b)
+    assert main(["addindexes", "--dest", a, "--src", b]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["max_doc"] == 240 and out["segments"] >= 2
+
+
+def test_cli_sortmerge_and_dvupdate(tmp_path, capsys, ray_session):
+    import os
+
+    import pyarrow.parquet as pq2
+
+    from lucene_ray.cli import main
+    from lucene_ray.index.build import build_index
+    from lucene_ray.pipelines import fulltext as ft
+
+    src = str(tmp_path / "docs.parquet")
+    pq2.write_table(
+        pq2.read_table("/root/testdata/sf0.001/documents.parquet"),
+        src, row_group_size=150,
+    )
+    a = str(tmp_path / "sorted")
+    build_index(
+        src, a, content_column="text",
+        meta_columns=("doc_id", "lang", "source", "n_chars"),
+        docs_per_segment=150, index_sort=ft.INDEX_SORT,
+    )
+    assert main(["sortmerge", "--index", a]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["segments"] == 1 and out["max_doc"] == 500
+    assert main(
+        ["dvupdate", "--index", a, "--term", "spark", "--field", "n_chars",
+         "--value", "999999"]
+    ) == 0
+    out2 = json.loads(capsys.readouterr().out.strip())
+    assert out2["generation"] == out["generation"] + 1
