@@ -415,3 +415,90 @@ def audio_stats(ds, concurrency=(1, 4), batch_size: int = 64):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- REAL pixel-level BMP decode / nearest-neighbor resize / re-encode ----
+
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """(h, w, 3) uint8 pixel grid from a 24bpp BMP payload.  Rows honor
+    the 4-byte BMP stride and bottom-up order; a truncated pixel stream
+    (the synthetic corpus payloads) zero-pads deterministically."""
+    w, h, ch, px = parse_image_header(payload)
+    if payload[:2] != b"BM" or ch != 3:
+        raise ValueError("decode_bmp_pixels needs a 24bpp BMP")
+    stride = (w * 3 + 3) // 4 * 4
+    buf = np.zeros(stride * h, np.uint8)
+    raw = np.frombuffer(px, np.uint8)[: stride * h]
+    buf[: len(raw)] = raw
+    rows = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1].copy()  # BMP stores bottom-up
+
+
+def encode_bmp_pixels(img: "np.ndarray") -> bytes:
+    """A COMPLETE spec-valid 24bpp BMP (proper stride, bottom-up) from an
+    (h, w, 3) uint8 array — unlike encode_bmp's truncated fixture stream,
+    this output round-trips through decode_bmp_pixels exactly."""
+    h, w, ch = img.shape
+    assert ch == 3
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1].reshape(h, w * 3)
+    px = rows.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, int(w), int(h), 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return file_header + info + px
+
+
+def resize_nearest(img: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+    """Nearest-neighbor resize (the torchvision/PIL NEAREST semantics:
+    source index = floor((i + 0.5) * src / dst)) — pure numpy gathers."""
+    h, w, _ = img.shape
+    yi = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    return img[yi][:, xi]
+
+
+class ImageResizer:
+    """REAL resize actor-pool stage: decode pixels -> nearest-neighbor
+    resize -> re-encode a complete BMP; emits (doc_id, rs_width,
+    rs_height, out_bytes sha) — state (target size) built once per actor
+    like every multimodal stage."""
+
+    def __init__(self, target: int = 64):
+        self.target = int(target)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ws, hs, shas = [], [], []
+        for p in payloads:
+            img = decode_bmp_pixels(p)
+            out = resize_nearest(img, self.target, self.target)
+            enc = encode_bmp_pixels(out)
+            ws.append(out.shape[1])
+            hs.append(out.shape[0])
+            shas.append(hashlib.sha256(enc).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "rs_width": pa.array(ws, pa.int64()),
+                "rs_height": pa.array(hs, pa.int64()),
+                "out_sha": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def resize_images(ds, target: int = 64, concurrency=(1, 4), batch_size: int = 64):
+    """Actor-pool real-resize pass over a (doc_id, payload) dataset."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target": target},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )
