@@ -1829,6 +1829,7 @@ def _term_stats_family(sf_dir: str):
         "reverse",
         "mapped",
         "custom_chain",
+        "pattern",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -2361,6 +2362,17 @@ tfc AS (
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfc GROUP BY tok
 ) cc
+UNION ALL
+-- PatternTokenizer (match mode, '[a-z]{{3,}}') + LowerCase
+SELECT 'pattern', pt.* FROM (
+WITH tokp AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{{3,}}')) AS tok
+  FROM documents
+),
+tfp AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokp GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfp GROUP BY tok
+) pt
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

@@ -1298,6 +1298,73 @@ class CustomChainAnalyzer(ChainedVocabAnalyzer):
         return positions < int(self.limit)
 
 
+class PatternAnalyzer(StandardAnalyzer):
+    """PatternTokenizer in MATCH mode + LowerCaseFilter (reference
+    analysis/pattern/PatternTokenizer.java with group=0, the
+    PatternAnalyzer chain): tokens are the regex matches over the
+    lowercased text.  Keep patterns RE2-compatible so the DuckDB
+    ``regexp_extract_all`` oracle tokenizes identically; offsets refer to
+    the lowercased text (identical to the original for ASCII corpora —
+    documented deviation otherwise).  The per-doc scan is one compiled
+    ``finditer`` (the reference's own shape: Matcher.find in a loop)."""
+
+    def __init__(self, pattern: str = "[a-z]{3,}", max_token_length: int = 255, **_kw):
+        super().__init__(stop_words=None, max_token_length=max_token_length)
+        self.pattern = pattern
+        self._rx = re.compile(pattern)
+
+    def tokens(self, text: str) -> list[str]:
+        cap = self.max_token_length
+        return [
+            m.group(0)
+            for m in self._rx.finditer((text or "").lower())
+            if len(m.group(0)) <= cap
+        ]
+
+    def normalize(self, term: str) -> str:
+        return term.lower()
+
+    def _batch_token_stream(self, texts: list[str]):
+        toks: list[str] = []
+        doc_ids: list[int] = []
+        positions: list[int] = []
+        off_s: list[int] = []
+        off_e: list[int] = []
+        cap = self.max_token_length
+        for di, text in enumerate(texts):
+            p = 0
+            for m in self._rx.finditer((text or "").lower()):
+                t = m.group(0)
+                if len(t) > cap:
+                    continue
+                toks.append(t)
+                doc_ids.append(di)
+                positions.append(p)
+                off_s.append(m.start())
+                off_e.append(m.end())
+                p += 1
+        lengths = np.bincount(
+            np.asarray(doc_ids, np.int64), minlength=len(texts)
+        ).astype(np.int64)
+        if not toks:
+            e = np.empty(0, np.int64)
+            return [], e, e, e, lengths, len(texts), e, e
+        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        vocab = sorted(uniq.tolist(), key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(vocab)}
+        remap = np.array([pos_of[t] for t in uniq.tolist()], np.int64)
+        return (
+            vocab,
+            remap[inv],
+            np.asarray(doc_ids, np.int64),
+            np.asarray(positions, np.int64),
+            lengths,
+            len(texts),
+            np.asarray(off_s, np.int64),
+            np.asarray(off_e, np.int64),
+        )
+
+
 class DriverCustomChainAnalyzer(CustomChainAnalyzer):
     """A fixed CustomAnalyzer chain for the driver's oracle family —
     LimitTokenCount(40) -> PatternReplace(strip vowels) -> Truncate(6) ->
@@ -1332,6 +1399,7 @@ ANALYZERS = {
     "mapped": MappedCharFilterAnalyzer,
     "custom": CustomChainAnalyzer,
     "custom_chain": DriverCustomChainAnalyzer,
+    "pattern": PatternAnalyzer,
 }
 
 
