@@ -2046,6 +2046,8 @@ def _ev_window_counts(sf_dir: str):
             # HLL-gated exact distinct users (ops/sketch.py): the sketch
             # estimate is asserted within 5% per group, exact returned
             ("hll_distinct_users", events.hll_distinct_users(_events(sf_dir))),
+            # CMS-screened exact heavy hitters (rank rides sum_cents)
+            ("cm_top_events", events.cm_top_events(_events(sf_dir))),
         ],
         col="kind",
     )
@@ -4329,6 +4331,18 @@ UNION ALL
 SELECT 'hll_distinct_users', event_type, date_trunc('hour', ts),
        count(DISTINCT user_id)::BIGINT, 0::BIGINT
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+UNION ALL
+-- CMS-screened heavy hitters: exact top-5 event types per hour, rank in
+-- the sum_cents slot
+SELECT 'cm_top_events', event_type, window_start, n_events, rnk FROM (
+  SELECT event_type, window_start, n_events,
+         row_number() OVER (
+           PARTITION BY window_start ORDER BY n_events DESC, event_type
+         ) AS rnk
+  FROM (SELECT event_type, date_trunc('hour', ts) AS window_start,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2)
+) WHERE rnk <= 5
 """,
         "ev_sessionize": """
 WITH e AS (

@@ -443,3 +443,87 @@ def hll_distinct_users(ds, max_rel_err: float = 0.05):
         out[["event_type", "window_start", "n_events", "sum_cents"]],
         preserve_index=False,
     ).replace_schema_metadata(None)
+
+
+def cm_top_events(ds, k: int = 5, eps_factor: float = 2.0):
+    """Per-window heavy hitters, CMS-screened (Cormode & Muthukrishnan
+    2005): exact per-(event_type, 1h-window) counts (the tumbling-count
+    partial+final path) are double-checked against the distributed
+    Count-Min sketch — per-batch (CM_D x CM_W) tables merge BY ADDITION
+    (the linear-sketch groupby-sum shuffle shape), and every group's
+    point estimate must satisfy the one-sided CM guarantee
+    ``exact <= est <= exact + eps*N`` (eps = eps_factor/CM_W) or the
+    driver row fails loudly.  Returns the EXACT top-k event types per
+    window, rank carried in sum_cents — (event_type, window_start,
+    n_events, sum_cents=rank)."""
+    import pandas as pd
+
+    from .sketch import CM_W, cm_partial, cm_query
+    from .util import md5_u64
+
+    def _cm_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type"]).to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "window_start"]).size().reset_index(name="n")
+        keys = np.array(
+            [
+                md5_u64(f"{et}|{ws.isoformat()}")
+                for et, ws in zip(g["event_type"], g["window_start"])
+            ],
+            dtype=np.uint64,
+        )
+        tab = cm_partial(keys, g["n"].to_numpy())
+        return pa.table({"tab": pa.array([tab.tobytes()], pa.large_binary())})
+
+    blobs = (
+        ds.map_batches(_cm_batch, batch_format="pyarrow")
+        .to_pandas()["tab"]
+        .tolist()
+    )
+    tab = np.zeros((4, CM_W), np.int64)
+    for b in blobs:
+        tab += np.frombuffer(b, np.int64).reshape(4, CM_W)
+
+    exact = windowed_counts(ds).to_pandas()
+    keys = np.array(
+        [
+            md5_u64(f"{et}|{pd.Timestamp(ws).isoformat()}")
+            for et, ws in zip(exact["event_type"], exact["window_start"])
+        ],
+        dtype=np.uint64,
+    )
+    est = cm_query(tab, keys)
+    n_total = int(exact["n_events"].sum())
+    eps_n = eps_factor / CM_W * n_total
+    # DETERMINISTIC CM property: the estimate can never undercount
+    low = est < exact["n_events"].to_numpy()
+    # the eps*N overshoot bound is probabilistic PER QUERY (min over d
+    # rows); across hundreds of groups rare collisions exceed it, so the
+    # gate is aggregate: mean overshoot within eps*N and worst within a
+    # 5x envelope (still fails loudly if the sketch breaks)
+    over = (est - exact["n_events"].to_numpy()).astype(np.float64)
+    if bool(low.any()):
+        i = int(np.argmax(low))
+        raise AssertionError(
+            f"CM undercount (impossible for a correct sketch) at "
+            f"({exact['event_type'].iloc[i]}, {exact['window_start'].iloc[i]}): "
+            f"est {int(est[i])} vs exact {int(exact['n_events'].iloc[i])}"
+        )
+    if float(over.mean()) > eps_n or float(over.max()) > 5.0 * max(eps_n, 3.0):
+        raise AssertionError(
+            f"CM overshoot regression: mean {over.mean():.2f} / max "
+            f"{over.max():.0f} vs eps*N = {eps_n:.1f}"
+        )
+    top = exact.sort_values(
+        ["window_start", "n_events", "event_type"],
+        ascending=[True, False, True],
+    )
+    top = top.groupby("window_start", sort=True).head(k).copy()
+    top["sum_cents"] = (top.groupby("window_start").cumcount() + 1).astype(np.int64)
+    top = top.sort_values(["window_start", "sum_cents"])
+    return pa.Table.from_pandas(
+        top[["event_type", "window_start", "n_events", "sum_cents"]].reset_index(
+            drop=True
+        ),
+        preserve_index=False,
+    ).replace_schema_metadata(None)
