@@ -1095,6 +1095,55 @@ class MappedCharFilterAnalyzer(StandardAnalyzer):
         return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
 
 
+class HTMLStripAnalyzer(MappedCharFilterAnalyzer):
+    """HTMLStripCharFilter (reference analysis/charfilter/
+    HTMLStripCharFilter.java, the common subset of its generated state
+    machine): tags ``<...>`` drop, the basic named/numeric entities
+    decode, and BaseCharFilter-style correction tables map every token
+    offset back into the ORIGINAL markup.  Deviation (documented): no
+    script/style content elision and no exotic entities — the regex
+    subset covers the markup that actually appears in crawled text
+    pipelines."""
+
+    _RX = re.compile(r"<[^>]*>|&(?:amp|lt|gt|quot|apos|#\d+);")
+    _ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+
+    def __init__(self, **kw):
+        StandardAnalyzer.__init__(self, **kw)
+        self.mappings = ()
+
+    def _decode(self, s: str) -> str:
+        if s.startswith("<"):
+            return ""
+        if s in self._ENT:
+            return self._ENT[s]
+        if s.startswith("&#"):
+            try:
+                return chr(int(s[2:-1]))
+            except (ValueError, OverflowError):
+                return s
+        return s
+
+    def _filter_one(self, t: str) -> tuple[str, np.ndarray, np.ndarray]:
+        res: list[str] = []
+        out_len = 0
+        cum = 0
+        pts = [0]
+        diffs = [0]
+        i = 0
+        for m in self._RX.finditer(t):
+            rep = self._decode(m.group(0))
+            res.append(t[i : m.start()])
+            res.append(rep)
+            out_len += (m.start() - i) + len(rep)
+            cum += (m.end() - m.start()) - len(rep)
+            pts.append(out_len)
+            diffs.append(cum)
+            i = m.end()
+        res.append(t[i:])
+        return "".join(res), np.asarray(pts, np.int64), np.asarray(diffs, np.int64)
+
+
 class ReverseAnalyzer(StandardAnalyzer):
     """StandardTokenizer + LowerCase + ReverseStringFilter (reference
     analysis/reverse/ReverseStringFilter.java, without the marker char):
@@ -1400,6 +1449,7 @@ ANALYZERS = {
     "custom": CustomChainAnalyzer,
     "custom_chain": DriverCustomChainAnalyzer,
     "pattern": PatternAnalyzer,
+    "html_strip": HTMLStripAnalyzer,
 }
 
 

@@ -97,3 +97,24 @@ def test_soundex_filter():
     a = CustomChainAnalyzer(filters=[("soundex", {})])
     assert a.tokens("smith smyth robert") == ["s530", "s530", "r163"]
     assert a.normalize("Rupert".lower()) == "r163"
+
+
+def test_html_strip_analyzer():
+    from lucene_ray.analysis.analyzers import HTMLStripAnalyzer
+
+    a = HTMLStripAnalyzer()
+    text = 'Hello <b>bold</b> world &amp; <a href="x">link</a> &#33; tail'
+    assert a.tokens(text) == ["hello", "bold", "world", "link", "tail"]
+    # offsets point into the ORIGINAL markup; an end offset landing
+    # exactly on a stripped tag includes it (BaseCharFilter.correct maps
+    # via the largest correction point <= offset — reference semantics)
+    vocab, tids, docs, pos, lens, n, off_s, off_e = a._batch_token_stream([text])
+    spans = {vocab[t]: (int(s), int(e)) for t, s, e in zip(tids, off_s, off_e)}
+    assert text[spans["bold"][0]:].startswith("bold")
+    assert text[slice(*spans["bold"])] == "bold</b>"
+    assert text[spans["link"][0]:].startswith("link")
+    assert text[slice(*spans["tail"])] == "tail"
+    # entity decoding merges into the token stream where it lands
+    assert a.tokens("x&lt;y &#65;BC") == ["x", "y", "abc"]
+    # normalization applies the strip too
+    assert a.normalize("<b>Bold</b>") == "bold"
