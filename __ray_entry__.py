@@ -2121,6 +2121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("spell_jaro", ft.spell_suggest_jaro(sf)),
                 # AnalyzingInfixSuggester: prefix matches EITHER bigram token
                 ("infix", ft.infix_suggest(sf)),
+                # FuzzySuggester: prefix within 1 Damerau edit completes
+                ("fuzzy", ft.fuzzy_suggest(sf)),
             ],
             col="method",
         ),
@@ -3006,6 +3008,35 @@ bg AS (SELECT w1, w2, count(*)::BIGINT AS weight FROM pairs GROUP BY w1, w2),
 cand AS (
   SELECT q.qid, b.w1 || ' ' || b.w2 AS term, b.weight
   FROM q JOIN bg b ON b.w1 LIKE q.p || '%' OR b.w2 LIKE q.p || '%'
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- FuzzySuggester: completions whose prefix is within 1 Damerau edit of
+-- the typed query (first char exact = nonFuzzyPrefix 1; queries shorter
+-- than minFuzzyLength 3 complete exact-prefix only); DL(a,b) >=
+-- abs(len(a)-len(b)) bounds qualifying prefix lengths to len(q) +- 1
+SELECT r.*, 'fuzzy' FROM (
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.FUZZY_SUGGEST_QUERIES))}),
+cand AS (
+  SELECT q.qid, ts.term, ts.weight
+  FROM q JOIN ts ON substr(ts.term, 1, {ft.FUZZY_NON_FUZZY_PREFIX})
+                    = substr(q.p, 1, {ft.FUZZY_NON_FUZZY_PREFIX})
+  WHERE CASE WHEN len(q.p) < {ft.FUZZY_MIN_LENGTH}
+        THEN ts.term LIKE q.p || '%'
+        ELSE least(
+          damerau_levenshtein(q.p, substr(ts.term, 1, len(q.p) - 1)),
+          damerau_levenshtein(q.p, substr(ts.term, 1, len(q.p))),
+          damerau_levenshtein(q.p, substr(ts.term, 1, len(q.p) + 1))
+        ) <= {ft.FUZZY_MAX_EDITS} END
 ),
 ranked AS (
   SELECT qid, term, weight,

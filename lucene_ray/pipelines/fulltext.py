@@ -2469,6 +2469,72 @@ def spell_candidates(sf_dir: str):
     return agg.to_pandas().rename(columns={"sum(df)": "weight", "min(dist)": "dist"})
 
 
+# FuzzySuggester (suggest/analyzing/FuzzySuggester.java) reference
+# defaults: maxEdits=1, transpositions=true, nonFuzzyPrefix=1,
+# minFuzzyLength=3.  Queries exercise insertion (sprk->spark),
+# transposition (colunm->column), exact prefix (windo->window),
+# substitution (strem->stream) and the minFuzzyLength short-circuit
+# ("cu" is shorter than 3, so it completes exact-prefix only).
+FUZZY_SUGGEST_QUERIES = ["sprk", "colunm", "windo", "strem", "cu"]
+FUZZY_MAX_EDITS = 1
+FUZZY_NON_FUZZY_PREFIX = 1
+FUZZY_MIN_LENGTH = 3
+
+
+def fuzzy_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """FuzzySuggester analogue: completions whose ANALYZED PREFIX is
+    within FUZZY_MAX_EDITS Damerau edits of the typed query (first
+    FUZZY_NON_FUZZY_PREFIX chars exact, queries shorter than
+    FUZZY_MIN_LENGTH match exact-prefix only), ranked weight=df DESC then
+    term ASC — the reference's weight-ordered FST traversal.  Per-segment
+    vectorized prefix-DP scan, doc freqs summed via one small groupby.
+    (qid, rnk, term, weight)."""
+    import ray.data as rd
+
+    from ..search.multiterm import fuzzy_prefix_dists
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, terms, dfs = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            vocab = r.terms_array()
+            for qid, q in enumerate(FUZZY_SUGGEST_QUERIES):
+                if len(q) < FUZZY_MIN_LENGTH:
+                    import pyarrow.compute as pc
+
+                    ids = np.nonzero(
+                        pc.starts_with(vocab, q).to_numpy(zero_copy_only=False)
+                    )[0]
+                else:
+                    ids, _ = fuzzy_prefix_dists(
+                        r, q, FUZZY_MAX_EDITS, FUZZY_NON_FUZZY_PREFIX
+                    )
+                for tid in ids:
+                    qids.append(qid)
+                    terms.append(vocab[int(tid)].as_py())
+                    dfs.append(int(r.enc.doc_freq[int(tid)]))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "weight": pa.array(dfs, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(_seg, batch_format="pyarrow")
+    df = ds.groupby(["qid", "term"]).sum("weight").to_pandas()
+    df = df.rename(columns={"sum(weight)": "weight"})
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 TERM_RANGES = [("a", "d"), ("m", "s"), ("s", None), (None, "h")]
 
 

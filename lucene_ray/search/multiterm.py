@@ -302,6 +302,50 @@ def fuzzy_term_dists(reader, term: str, max_edits: int):
     return cand[keep], dist[keep].astype(np.int64)
 
 
+def fuzzy_prefix_dists(reader, term: str, max_edits: int, non_fuzzy_prefix: int = 1):
+    """(term_ids, distances) of dictionary terms SOME PREFIX of which is
+    within ``max_edits`` Damerau-Levenshtein edits of ``term`` — the
+    FuzzySuggester candidate scan (suggest/analyzing/FuzzySuggester.java:
+    the Levenshtein automaton is intersected with the suggest FST, i.e.
+    prefix matching).  Because DL(a, b) >= |len(a)-len(b)|, only prefix
+    lengths j in [len(q)-e, len(q)+e] can qualify, so the true minimum
+    prefix distance is min over that j window of DL(q, t[:j]).  The first
+    ``non_fuzzy_prefix`` codepoints must match exactly (reference
+    DEFAULT_NON_FUZZY_PREFIX); at max_edits=1 the unrestricted Damerau
+    distance used here coincides with the reference's
+    transpositions=true Levenshtein automaton."""
+    import pyarrow.compute as pc
+
+    terms = reader.terms_array()
+    n = len(terms)
+    if n == 0 or len(term) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lens = pc.utf8_length(terms).to_numpy().astype(np.int64)
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    q = np.array([ord(c) for c in term], dtype=np.int32)
+    u = np.asarray(terms.to_pylist(), dtype=f"U{L}")
+    mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    # exact-prefix gate on the first non_fuzzy_prefix codepoints
+    k = min(non_fuzzy_prefix, len(q))
+    keep = lens >= k
+    for i in range(k):
+        keep &= mat[:, i] == q[i]
+    cand = np.nonzero(keep)[0]
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    lq = len(q)
+    best = np.full(len(cand), np.iinfo(np.int64).max, np.int64)
+    for j in range(max(1, lq - max_edits), lq + max_edits + 1):
+        jj = min(j, L)
+        d = _damerau_dp(mat[cand][:, :jj], np.minimum(lens[cand], jj), q)
+        best = np.minimum(best, d.astype(np.int64))
+    ok = best <= max_edits
+    return cand[ok], best[ok]
+
+
 def _fuzzy_plain(mat, lens, q, n, L, max_edits):
     prev = np.tile(np.arange(L + 1, dtype=np.int32), (n, 1))
     for i, qc in enumerate(q, 1):

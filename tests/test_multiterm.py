@@ -276,3 +276,62 @@ def test_lru_query_cache_filters(tmp_path):
     s.count(TermInSetQuery(("alpha", "beta")))
     s.count(TermInSetQuery(("alpha", "beta")))
     assert cache.hits > hits_before  # count() path shares the cache
+
+
+def test_fuzzy_prefix_dists(tmp_path):
+    """FuzzySuggester candidate scan: the minimum Damerau distance over
+    qualifying PREFIX lengths, first codepoint exact (nonFuzzyPrefix=1),
+    cross-checked against a brute-force python DL over every prefix."""
+    from lucene_ray.search.multiterm import fuzzy_prefix_dists
+
+    vocab = sorted(
+        ["spark", "sparks", "sort", "stream", "column", "colunms", "window",
+         "apark", "s", "sp", "sprocket"]
+    )
+    r = _reader(tmp_path, vocab)
+    terms = r.terms_array().to_pylist()
+
+    def brute_dl(a: str, b: str) -> int:
+        # unrestricted Damerau-Levenshtein (Wagner-Lowrance)
+        da: dict[str, int] = {}
+        maxd = len(a) + len(b)
+        d = [[maxd] * (len(b) + 2) for _ in range(len(a) + 2)]
+        for i in range(len(a) + 1):
+            d[i + 1][1] = i
+        for j in range(len(b) + 1):
+            d[1][j + 1] = j
+        for i in range(1, len(a) + 1):
+            db = 0
+            for j in range(1, len(b) + 1):
+                k = da.get(b[j - 1], 0)
+                l = db
+                if a[i - 1] == b[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,
+                    d[i + 1][j] + 1,
+                    d[i][j + 1] + 1,
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+                )
+            da[a[i - 1]] = i
+        return d[len(a) + 1][len(b) + 1]
+
+    for q, e in [("sprk", 1), ("spark", 1), ("colunm", 1), ("stream", 2)]:
+        ids, dists = fuzzy_prefix_dists(r, q, e, non_fuzzy_prefix=1)
+        got = {terms[int(t)]: int(d) for t, d in zip(ids, dists)}
+        want = {}
+        for t in vocab:
+            if not t or t[0] != q[0]:
+                continue
+            best = min(
+                (brute_dl(q, t[:j]) for j in range(1, len(t) + 1)),
+                default=len(q),
+            )
+            # the engine only probes prefix lengths within +-e of len(q),
+            # which is exact because DL >= length difference
+            if best <= e:
+                want[t] = best
+        assert got == want, (q, e, got, want)
