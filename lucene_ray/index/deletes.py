@@ -176,6 +176,7 @@ def add_documents(
     table,
     content_column: str = "text",
     meta_columns: tuple[str, ...] | None = None,
+    two_phase: bool = False,
 ) -> dict:
     """Append one fresh segment holding ``table``'s rows at the end of the
     manifest (docids continue after the current last segment).  The
@@ -297,6 +298,13 @@ def add_documents(
     new_man = dict(man)
     new_man["generation"] = gen
     new_man["segments"] = list(man["segments"]) + [entry]
+    if two_phase:
+        # IndexWriter.prepareCommit: the new segment is on storage but
+        # invisible until twophase.commit_pending publishes the manifest
+        from .twophase import prepare_commit
+
+        prepare_commit(index_dir, new_man)
+        return new_man
     mf.write_manifest(index_dir, new_man)
     return new_man
 
