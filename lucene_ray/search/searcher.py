@@ -41,6 +41,22 @@ DEFAULT_TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:100
 BULK_MAX_DOC = 1 << 22
 
 
+class TimeExceededException(Exception):
+    """search/TimeLimitingCollector.TimeExceededException analogue: the
+    allowed budget, the elapsed time, and how many segments finished;
+    ``partial_hits`` carries the top-k collected before the deadline."""
+
+    def __init__(self, timeout: float, elapsed: float, segments_searched: int):
+        super().__init__(
+            f"Elapsed time: {elapsed!r} exceeded allowed search time: "
+            f"{timeout!r} after {segments_searched} segments"
+        )
+        self.timeout = timeout
+        self.elapsed = elapsed
+        self.segments_searched = segments_searched
+        self.partial_hits: list = []
+
+
 def _leaf_term(q: Query, boost: float = 1.0):
     """(term, boost) for a (possibly boost-wrapped) TermQuery leaf, else None.
     Nested BooleanQuery is NOT a leaf: its score is float32-cast before the
@@ -201,6 +217,56 @@ class IndexSearcher:
                     floor = max(floor, scores_so_far[k - 1])
         doc_bases = [seg["doc_base"] for seg in self.manifest["segments"]]
         return merge_top_docs(per_segment, k, doc_bases)
+
+    def search_with_time_limit(
+        self,
+        query: Query,
+        k: int,
+        timeout: float,
+        clock=None,
+        partial: bool = True,
+    ):
+        """TimeLimitingCollector analogue (search/TimeLimitingCollector.
+        java): the clock is checked at segment (leaf) granularity — the
+        natural bulk unit of this engine's vectorized scorers, standing in
+        for the reference's per-doc collect() check.  ``clock`` is
+        injectable (the reference's TimerThread counter seam) and defaults
+        to time.monotonic.  With ``partial=True`` returns
+        ``(hits, terminated_early, segments_searched)`` — the partial
+        top-k collected before the deadline (the reference pattern of
+        catching TimeExceededException and reading the collector's
+        TopDocs).  With ``partial=False`` raises TimeExceededException
+        with ``.partial_hits`` attached."""
+        import time as _time
+
+        clock = clock if clock is not None else _time.monotonic
+        weight = self.make_weight(query)
+        t0 = clock()
+        per_segment = []
+        floor = -np.inf
+        scores_so_far: list[float] = []
+        doc_bases = [seg["doc_base"] for seg in self.manifest["segments"]]
+        terminated = False
+        for reader in self.readers:
+            elapsed = clock() - t0
+            if elapsed > timeout:
+                if not partial:
+                    exc = TimeExceededException(timeout, elapsed, len(per_segment))
+                    exc.partial_hits = merge_top_docs(per_segment, k, doc_bases)
+                    raise exc
+                terminated = True
+                break
+            hits = search_segment(reader, query, weight, k,
+                                  DEFAULT_TOTAL_HITS_THRESHOLD, "TOP_SCORES",
+                                  floor=floor)
+            per_segment.append(hits)
+            scores_so_far.extend(float(s) for _, s in hits)
+            if len(scores_so_far) >= k:
+                scores_so_far.sort(reverse=True)
+                del scores_so_far[k:]
+                floor = max(floor, scores_so_far[k - 1])
+        merged = merge_top_docs(per_segment, k, doc_bases)
+        return merged, terminated, len(per_segment)
 
     def search_after(
         self,
