@@ -34,16 +34,63 @@ def _referenced(man: dict) -> tuple[set, set]:
     return dirs, files
 
 
+def _snapshots_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "snapshots.json")
+
+
+def _read_snapshots(index_dir: str) -> dict:
+    p = _snapshots_path(index_dir)
+    if not store.exists(p):
+        return {}
+    return {int(k): int(v) for k, v in store.read_json(p).items()}
+
+
+def snapshot(index_dir: str, gen: int | None = None) -> int:
+    """SnapshotDeletionPolicy.snapshot() analogue (reference
+    index/SnapshotDeletionPolicy.java): pin a commit point so
+    ``prune_generations`` never deletes it (backup / replication hold).
+    Refcounted per generation, persisted in ``snapshots.json`` (the
+    PersistentSnapshotDeletionPolicy behavior — snapshots survive process
+    restarts).  Returns the pinned generation."""
+    if gen is None:
+        gen = mf.latest_generation(index_dir)
+        if gen is None:
+            raise FileNotFoundError(f"no commit point in {index_dir}")
+    if not store.exists(mf.manifest_path(index_dir, gen)):
+        raise ValueError(f"generation {gen} is not a live commit point")
+    snaps = _read_snapshots(index_dir)
+    snaps[gen] = snaps.get(gen, 0) + 1
+    store.write_json_atomic(_snapshots_path(index_dir), snaps)
+    return gen
+
+
+def release_snapshot(index_dir: str, gen: int) -> None:
+    """SnapshotDeletionPolicy.release(): drop one reference; the commit
+    becomes prunable when its refcount reaches zero."""
+    snaps = _read_snapshots(index_dir)
+    if snaps.get(gen, 0) <= 0:
+        raise ValueError(f"generation {gen} is not snapshotted")
+    snaps[gen] -= 1
+    if snaps[gen] == 0:
+        del snaps[gen]
+    store.write_json_atomic(_snapshots_path(index_dir), snaps)
+
+
 def prune_generations(index_dir: str, keep_last: int = 1) -> dict:
     """Delete all but the newest ``keep_last`` manifest generations and
-    every artifact only they referenced.  Returns a summary dict."""
+    every artifact only they referenced; snapshotted generations
+    (``snapshot()``) are always kept, exactly like the reference's
+    SnapshotDeletionPolicy wrapping KeepOnlyLastCommit.  Returns a
+    summary dict."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     gens = sorted(
         int(n[len("manifest-"):-len(".json")])
         for n in store.glob_names(os.path.join(index_dir, "manifest-*.json"))
     )
-    keep = set(gens[-keep_last:])
+    keep = set(gens[-keep_last:]) | {
+        g for g in _read_snapshots(index_dir) if g in set(gens)
+    }
     drop = [g for g in gens if g not in keep]
 
     keep_dirs: set = set()

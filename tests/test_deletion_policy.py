@@ -75,3 +75,42 @@ def test_prune_removes_pre_merge_segments(tmp_path, ray_session):
     from lucene_ray.index.check import check_index
 
     assert check_index(idx, use_ray=False)["ok"]
+
+
+def test_snapshot_pins_commit_point(tmp_path, ray_session):
+    """SnapshotDeletionPolicy: a snapshotted generation survives pruning
+    (with its artifacts), searches point-in-time, and becomes prunable
+    again after release()."""
+    from lucene_ray.index.deletion_policy import release_snapshot, snapshot
+
+    idx = _fresh_idx(tmp_path)
+    g0 = mf.latest_generation(idx)
+    n_spark = IndexSearcher(idx).count(TermQuery("spark"))
+    pinned = snapshot(idx)                       # pin the pre-delete commit
+    assert pinned == g0
+
+    delete_by_query(idx, TermQuery("spark"))     # g0+1
+    delete_by_query(idx, TermQuery("merge"))     # g0+2
+
+    rep = prune_generations(idx, keep_last=1)
+    # g0 survives (snapshotted), g0+1 dropped
+    assert g0 in rep["kept_generations"]
+    assert g0 + 1 in rep["dropped_generations"]
+    pit = IndexSearcher(idx, generation=g0)
+    assert pit.count(TermQuery("spark")) == n_spark
+
+    # refcounting: double-snapshot needs double-release
+    snapshot(idx, g0)
+    release_snapshot(idx, g0)
+    rep2 = prune_generations(idx, keep_last=1)
+    assert g0 in rep2["kept_generations"]
+    release_snapshot(idx, g0)
+    rep3 = prune_generations(idx, keep_last=1)
+    assert rep3["dropped_generations"] == [g0]
+    with pytest.raises(FileNotFoundError):
+        mf.read_manifest(idx, g0)
+    with pytest.raises(ValueError):
+        release_snapshot(idx, g0)                # already fully released
+    # survivor intact
+    s = IndexSearcher(idx)
+    assert s.count(TermQuery("spark")) == 0 and s.count(TermQuery("merge")) == 0
