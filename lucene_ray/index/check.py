@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..smallfloat import int_to_byte4, byte4_to_int
+from . import bloom
 from . import manifest as mf
 from . import postings as codec
 from .segment import SegmentReader
@@ -50,10 +51,19 @@ def check_segment(seg_dir: str, raise_on_error: bool = True) -> dict:
     offs = np.asarray(r.term_offsets)
     _chk(bool((np.diff(offs) >= 0).all()), f"{name}: term offsets not monotonic", errors, raise_on_error)
     prev = None
+    bl = r._bloom()
     for i in range(r.n_terms):
         t = r._term_at(i)
         if prev is not None:
             _chk(prev < t, f"{name}: terms not strictly sorted at {i}", errors, raise_on_error)
+        if bl is not None:
+            # BloomFilteringPostingsFormat invariant: never false-negative
+            _chk(
+                bloom.contains(bl, t),
+                f"{name}: bloom false negative for term {i}",
+                errors,
+                raise_on_error,
+            )
         prev = t
 
     norms = np.asarray(r.norms)

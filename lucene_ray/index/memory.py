@@ -79,6 +79,7 @@ class MemoryIndex:
         )
         r.has_term_vectors = False
         r.has_offsets = False  # term_offset_spans raises ValueError, not AttributeError
+        r._bloom_words = None  # no bloom artifact for the in-heap reader
         r.meta = {"max_doc": 1, "doc_base": 0}
         r.max_doc = 1
         r.doc_base = 0

@@ -33,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from . import bloom as bloom_mod
+
 from .. import store
 from . import postings as codec
 
@@ -140,6 +142,13 @@ def build_segment_from_ids(
         data = np.frombuffer(buf.buffers()[2], dtype=np.uint8).copy()
         np.save(os.path.join(tmp, "terms_offsets.npy"), dict_offsets)
         np.save(os.path.join(tmp, "terms_bytes.npy"), data)
+        # bloom-filtered term dictionary (BloomFilteringPostingsFormat):
+        # point lookups skip this segment on a bloom miss without touching
+        # the dictionary pages
+        np.save(
+            os.path.join(tmp, "bloom.npy"),
+            bloom_mod.build_bloom_from_dict(dict_offsets, data),
+        )
         for name, arr in enc.arrays().items():
             np.save(os.path.join(tmp, f"{name}.npy"), arr)
         np.save(os.path.join(tmp, "norms.npy"), norms.astype(np.uint8))
@@ -331,6 +340,10 @@ class StreamingSegmentWriter:
             data = np.empty(0, dtype=np.uint8)
         np.save(os.path.join(self.tmp, "terms_offsets.npy"), offsets)
         np.save(os.path.join(self.tmp, "terms_bytes.npy"), data)
+        np.save(
+            os.path.join(self.tmp, "bloom.npy"),
+            bloom_mod.build_bloom_from_dict(offsets, data),
+        )
 
         self.w = {
             name: NpyAppender(os.path.join(self.tmp, f"{name}.npy"), dt)
@@ -589,6 +602,20 @@ class SegmentReader:
             pref = self._term_prefix = m.reshape(-1).view(">u8").copy()
         return pref
 
+    def _bloom(self) -> np.ndarray | None:
+        """Lazy mmap of the segment's bloom bitset (absent on pre-bloom
+        segments — lookups then fall through to the dictionary)."""
+        bl = getattr(self, "_bloom_words", False)
+        if bl is False:
+            d = getattr(self, "dir", None)  # synthetic readers have no dir
+            path = os.path.join(d, "bloom.npy") if d else None
+            bl = self._bloom_words = (
+                np.load(path, mmap_mode="r")
+                if path and os.path.exists(path)
+                else None
+            )
+        return bl
+
     def term_id(self, term: str) -> int | None:
         """Dictionary lookup in UTF-8 byte order; None if absent.  Memoized
         per reader (queries repeat terms: the stats phase and the scorer
@@ -599,6 +626,14 @@ class SegmentReader:
         if term in memo:
             return memo[term]
         key = term.encode("utf-8")
+        # BloomFilteringPostingsFormat probe: a miss answers "absent"
+        # without touching the dictionary pages (never false-negative)
+        bl = self._bloom()
+        if bl is not None and not bloom_mod.contains(bl, key):
+            self.bloom_skips = getattr(self, "bloom_skips", 0) + 1
+            if len(memo) < 1 << 16:
+                memo[term] = None
+            return None
         key8 = int.from_bytes(key[:8].ljust(8, b"\x00"), "big")
         pref = self._prefix_index()
         lo = int(np.searchsorted(pref, key8, side="left"))
