@@ -1422,6 +1422,37 @@ def _ann_hnsw(sf_dir: str):
     return pa.Table.from_pandas(exact, preserve_index=False)
 
 
+def _ann_hnsw_seeded(sf_dir: str):
+    """SeededKnnVectorQuery (search/SeededKnnVectorQuery.java +
+    util/hnsw/SeededHnswGraphSearcher.java): a seed query's per-segment
+    matches (lang='en' docs here) become the HNSW entry points instead of
+    the graph's global entry; ranking semantics are unchanged, so the
+    same exact brute top-k is both the recall gate and the returned
+    (hash-exact) result."""
+    from lucene_ray.ops import ann
+
+    hnsw = ft.knn_index_topk(
+        sf_dir, ANN_QUERY_IDS, k=10, seed_lang="en"
+    ).to_pandas()
+    exact = ann.brute_topk(
+        _embs(sf_dir),
+        ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS),
+        k=10,
+    ).to_pandas()
+    h = hnsw.groupby("query_id")["neighbor_id"].apply(set)
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = {int(q): len(h.get(q, set()) & e[q]) / len(e[q]) for q in e.index}
+    worst = min(recalls.values())
+    if worst < HNSW_MIN_RECALL:
+        raise AssertionError(
+            f"seeded-HNSW recall@10 regression: min over queries {worst:.3f} < "
+            f"{HNSW_MIN_RECALL} ({recalls})"
+        )
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(exact, preserve_index=False)
+
+
 def _ann_hnsw_filtered(sf_dir: str, lang: str = "en"):
     """FILTERED kNN (KnnFloatVectorQuery with a filter Query): the HNSW
     path restricted to docs with lang = 'en', recall-gated against the
@@ -2212,7 +2243,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # records the weaker rows-only check; recall >= 0.9 vs exact brute
         # force is pinned in tests/test_ops_semantics.py
         "ann_hnsw_topk": lambda sf: _concat_family(
-            [("plain", _ann_hnsw(sf)), ("filtered", _ann_hnsw_filtered(sf))],
+            [
+                ("plain", _ann_hnsw(sf)),
+                ("filtered", _ann_hnsw_filtered(sf)),
+                # SeededKnnVectorQuery: seed-query matches as entry points
+                ("seeded", _ann_hnsw_seeded(sf)),
+            ],
             col="variant",
         ),
         "ann_near_dup_pairs": _near_dup,
@@ -4304,6 +4340,23 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) f
+UNION ALL
+-- SeededKnnVectorQuery: seeding changes entry points, not semantics —
+-- the exact top-k is the same as the plain arm
+SELECT 'seeded', s.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) s
 """,
         "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

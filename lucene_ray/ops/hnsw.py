@@ -125,10 +125,17 @@ class HnswGraph:
         self._vgen += 1
         gen = self._vgen
         tag = self._vtag
-        tag[start] = gen
-        s0 = float(self.vec[start] @ q)
-        cand = [(-s0, start)]  # max-heap via negation
-        best = [(s0, start)]  # min-heap, size <= ef
+        # multi-start (SeededHnswGraphSearcher: seed nodes replace the
+        # entry point's queue); the single-entry path is the 1-seed case
+        starts = np.atleast_1d(np.asarray(start, dtype=np.int64))
+        tag[starts] = gen
+        s0s = self.vec[starts] @ q
+        cand = [(-float(s), int(n)) for s, n in zip(s0s, starts)]
+        heapq.heapify(cand)  # max-heap via negation
+        best = [(float(s), int(n)) for s, n in zip(s0s, starts)]
+        heapq.heapify(best)  # min-heap, size <= ef
+        while len(best) > ef:
+            heapq.heappop(best)
         fanout = self._BEAM_FANOUT
         while cand:
             floor = best[0][0] if len(best) >= ef else -np.inf
@@ -227,7 +234,8 @@ class HnswGraph:
             self.entry = i
 
     def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH,
-               accept: np.ndarray | None = None):
+               accept: np.ndarray | None = None,
+               seeds: np.ndarray | None = None):
         """[(external id, cosine sim)] top-k.
 
         ``accept`` (bool mask over EXTERNAL ids) is the filtered-kNN path
@@ -241,9 +249,23 @@ class HnswGraph:
         if self.entry < 0:
             return []
         qn = (q / (np.linalg.norm(q) or 1.0)).astype(np.float32)
-        cur = self.entry
-        for layer in range(int(self.level[self.entry]), 0, -1):
-            cur = self._greedy(qn, cur, layer)
+        # SeededKnnVectorQuery (search/SeededKnnVectorQuery.java +
+        # util/hnsw/SeededHnswGraphSearcher.java): seed EXTERNAL ids become
+        # the layer-0 entry points, skipping the upper-layer greedy
+        # descent; with no valid seed the search falls back to the
+        # ordinary entry point (the reference's behavior when the seed
+        # query matches nothing in the segment)
+        cur: int | np.ndarray
+        if seeds is not None and len(seeds):
+            nodes = np.nonzero(np.isin(self.ids, np.asarray(seeds)))[0]
+            if len(nodes):
+                cur = nodes
+            else:
+                seeds = None
+        if seeds is None or not len(seeds):
+            cur = self.entry
+            for layer in range(int(self.level[self.entry]), 0, -1):
+                cur = self._greedy(qn, cur, layer)
         if accept is None:
             best = self._beam(qn, cur, 0, max(ef, k))
             return [(int(self.ids[n]), float(s)) for n, s in best[:k]]

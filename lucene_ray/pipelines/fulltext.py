@@ -1551,7 +1551,11 @@ def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 def knn_index_topk(
-    sf_dir: str, query_ids: list[int], k: int = 10, filter_lang: str | None = None
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    filter_lang: str | None = None,
+    seed_lang: str | None = None,
 ) -> pa.Table:
     """INDEX-INTEGRATED KnnFloatVectorQuery (query_id, rnk, neighbor_id):
     per-segment persisted HNSW graphs (index/vectors.py, the
@@ -1574,11 +1578,15 @@ def knn_index_topk(
     searcher = DistributedSearcher(idx, num_workers=4)
     q_ids, q_mat, _ = load_queries(emb, query_ids)
     filt = StoredFieldFilter("lang", filter_lang) if filter_lang else None
+    # SeededKnnVectorQuery path: the seed query's per-segment matches
+    # become the HNSW entry points (SeededHnswGraphSearcher)
+    seed = StoredFieldFilter("lang", seed_lang) if seed_lang else None
     qids, rnks, nbrs = [], [], []
     for j, qid in enumerate(q_ids):
         hits = searcher.search(
             KnnFloatVectorQuery(
-                "embedding", tuple(map(float, q_mat[j])), k + 1, filter=filt
+                "embedding", tuple(map(float, q_mat[j])), k + 1,
+                filter=filt, seed=seed,
             ),
             k + 1,
         )

@@ -337,6 +337,14 @@ class KnnFloatVectorQuery:
     # docs matching it may be returned; HnswGraph.search documents the
     # over-fetch + exact-fallback budget rule)
     filter: object = None
+    # optional seed Query (reference search/SeededKnnVectorQuery.java):
+    # its per-segment matches become the HNSW entry points instead of the
+    # graph's global entry (SeededHnswGraphSearcher).  Deviation
+    # (documented): seeds are the seed query's first max(2k, 16) matches
+    # in docid order, not its top-k by score — entry-point quality, not
+    # ranking semantics; segments where the seed matches nothing fall
+    # back to the ordinary entry point, like the reference.
+    seed: object = None
 
 
 @dataclass(frozen=True)
@@ -718,8 +726,26 @@ def build_scorer(
                 while d != _NMD:
                     accept[d] = True
                     d = fs.next_doc()
+        seeds = None
+        if q.seed is not None:
+            ss = build_scorer(
+                q.seed, weight, reader, 1.0, "COMPLETE_NO_SCORES", False
+            )
+            if ss is not None:
+                sdocs = getattr(ss, "docids", None)
+                if sdocs is None:
+                    from .scorers import NO_MORE_DOCS as _NMD
+
+                    acc = []
+                    d = ss.advance(0)
+                    while d != _NMD and len(acc) < max(2 * q.k, 16):
+                        acc.append(d)
+                        d = ss.next_doc()
+                    sdocs = acc
+                seeds = np.asarray(sdocs, np.int64)[: max(2 * q.k, 16)]
         hits = graph.search(
-            np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search, accept=accept
+            np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search,
+            accept=accept, seeds=seeds,
         )
         if getattr(reader, "live", None) is not None:
             live = np.asarray(reader.live, dtype=bool)

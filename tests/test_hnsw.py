@@ -239,3 +239,39 @@ def test_filtered_knn_accept_mask():
     accept2[[5, 50, 250]] = True
     hits2 = g.search(q, 10, accept=accept2)
     assert sorted(i for i, _ in hits2) == [5, 50, 250]
+
+
+def test_seeded_knn_entry_points():
+    """SeededHnswGraphSearcher analogue: seed external ids start the
+    layer-0 beam; invalid seeds fall back to the ordinary entry point;
+    seeding never hurts recall of the true nearest neighbor when the
+    seed IS near the query."""
+    import numpy as np
+
+    from lucene_ray.ops.hnsw import HnswGraph
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # external ids deliberately non-contiguous (segment-local remapping)
+    ids = np.arange(1000, 1000 + n, dtype=np.int64)
+    g = HnswGraph(ids, mat)
+    q = mat[7]
+    plain = g.search(q, 10)
+    assert plain[0][0] == 1007  # self is the nearest
+
+    # seeding with the true nearest finds it immediately
+    seeded = g.search(q, 10, seeds=np.array([1007], np.int64))
+    assert seeded[0][0] == 1007
+    # seeded result quality >= plain on the top hit score
+    assert seeded[0][1] >= plain[0][1] - 1e-6
+
+    # seeds not present in the graph fall back to the normal descent
+    fb = g.search(q, 10, seeds=np.array([999999], np.int64))
+    assert fb == plain
+
+    # multiple far-apart seeds still converge (multi-start beam)
+    multi = g.search(q, 10, seeds=ids[[50, 150, 250, 350]])
+    exact_top = int(ids[int(np.argmax(mat @ q))])
+    assert multi[0][0] == exact_top or multi[0][1] >= plain[0][1] - 0.05
