@@ -343,7 +343,21 @@ class IndexSearcher:
                     docs = docs[reader.live[docs]]
                 total += len(docs)
             return total
+        from .query import MatchAllDocsQuery, TermQuery
+
         for reader in self.readers:
+            # Weight#count fast paths (search/TermQuery.java count,
+            # MatchAllDocsQuery.java count): on a delete-free segment a
+            # term's count IS its doc_freq and match-all's is maxDoc —
+            # no postings decode, no iteration
+            if reader.live is None:
+                if isinstance(query, TermQuery):
+                    df, _ = reader.term_stats(query.term)
+                    total += df
+                    continue
+                if isinstance(query, MatchAllDocsQuery):
+                    total += reader.max_doc
+                    continue
             scorer = build_scorer(query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False)
             if scorer is None:
                 continue

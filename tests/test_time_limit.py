@@ -79,3 +79,38 @@ def test_strict_mode_raises_with_partial_hits(idx):
     assert exc.timeout == 3 and exc.elapsed > 3
     assert exc.segments_searched > 0
     assert len(exc.partial_hits) > 0
+
+
+def test_count_fast_paths(idx):
+    """Weight#count shortcuts: TermQuery count == doc_freq sum and
+    MatchAll count == maxDoc on delete-free segments — identical to the
+    iterated count, no postings decode."""
+    from lucene_ray.search.query import MatchAllDocsQuery
+
+    s = IndexSearcher(idx)
+    want = sum(r.term_stats("spark")[0] for r in s.readers)
+    assert s.count(TermQuery("spark")) == want
+    assert s.count(MatchAllDocsQuery()) == sum(r.max_doc for r in s.readers)
+
+    # with deletes the fast path must NOT apply: counts honor live masks
+    from lucene_ray.index.deletes import delete_by_query
+
+    n_both = 0  # docs matching both terms, to predict the drop
+    for r in s.readers:
+        import numpy as np
+
+        from lucene_ray.index import postings as codec
+
+        t1, t2 = r.term_id("spark"), r.term_id("merge")
+        if t1 is None or t2 is None:
+            continue
+        d1, _ = codec.decode_term(r.enc, t1)
+        d2, _ = codec.decode_term(r.enc, t2)
+        n_both += len(np.intersect1d(d1, d2))
+    delete_by_query(idx, TermQuery("merge"))
+    s2 = IndexSearcher(idx)
+    assert s2.count(TermQuery("spark")) == want - n_both
+    assert s2.count(MatchAllDocsQuery()) == sum(
+        int(r.live.sum()) if r.live is not None else r.max_doc
+        for r in s2.readers
+    )
