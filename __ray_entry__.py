@@ -2223,7 +2223,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
         # one per-doc profile (single read pass; frees driver-cap slots)
-        "tx_doc_stats": lambda sf: text.doc_profile(_docs(sf, ("doc_id", "text", "lang"))),
+        # + benchmark decontamination columns (GPT-3 App. C / The Pile
+        # n-gram overlap vs a leaked eval set; small side broadcast)
+        "tx_doc_stats": lambda sf: text.doc_profile(
+            _docs(sf, ("doc_id", "text", "lang")),
+            bench_grams=text.benchmark_grams(
+                os.path.join(sf, "documents.parquet")
+            ),
+        ),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         "tx_stratified_sample": lambda sf: text.stratified_sample(
             _docs(sf, ("doc_id", "text", "lang")), {"en": 50, "de": 25, "fr": 10}
@@ -2272,6 +2279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from lucene_ray.ops import text
+
     qterms_in = ", ".join(f"'{t}'" for t in ft.QUERY_TERMS)
     return {
         "ft_term_stats": f"""
@@ -4167,13 +4176,35 @@ WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
         # per-doc profile: token/quality stats + lang-ID + fingerprints
         # joined on doc_id (mirrors ops/text.doc_profile's fused pass)
         "tx_doc_stats": f"""
-SELECT s.*, l.* EXCLUDE (doc_id), f.fp, f.roll_fp
+SELECT s.*, l.* EXCLUDE (doc_id), f.fp, f.roll_fp,
+       COALESCE(c.contam_hits, 0)::BIGINT AS contam_hits,
+       (CASE WHEN COALESCE(c.contam_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS contam_flag
 FROM ({_doc_stats_sql()}) s
 JOIN ({_lang_sql()}) l USING (doc_id)
 JOIN (SELECT a.doc_id, a.fp, b.roll_fp
       FROM (WITH {_TOKS}
             SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp FROM toks) a
       JOIN ({_rolling_fp_sql()}) b USING (doc_id)) f USING (doc_id)
+LEFT JOIN (
+  -- benchmark decontamination: doc token positions whose {text.CONTAM_N}-gram
+  -- appears in the eval set (first {text.CONTAM_BENCH_PREFIX} tokens of the
+  -- leaked benchmark docs)
+  WITH {_TOKS},
+  bgrams AS (
+    SELECT DISTINCT array_to_string(ts[i:i+{text.CONTAM_N - 1}], ' ') AS gram
+    FROM (SELECT ts[1:{text.CONTAM_BENCH_PREFIX}] AS ts FROM toks
+          WHERE doc_id IN {text.CONTAM_BENCH_DOC_IDS}),
+         unnest(range(1, len(ts) - {text.CONTAM_N - 2})) AS t(i)
+  ),
+  dgrams AS (
+    SELECT doc_id, array_to_string(ts[i:i+{text.CONTAM_N - 1}], ' ') AS gram
+    FROM toks, unnest(range(1, len(ts) - {text.CONTAM_N - 2})) AS t(i)
+  )
+  SELECT d.doc_id, count(b.gram)::BIGINT AS contam_hits
+  FROM dgrams d LEFT JOIN bgrams b USING (gram)
+  GROUP BY d.doc_id
+) c USING (doc_id)
 """,
         "dd_signatures": f"""
 SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,

@@ -26,7 +26,7 @@ import hashlib
 import polars as pl
 import pyarrow as pa
 
-from .util import TOKEN_PATTERN
+from .util import TOKEN_PATTERN, _TOKEN_RE
 
 # Small per-language stopword lists for the heuristic language ID.  Counting
 # is by token occurrence (with multiplicity).  Tie-break: alphabetically
@@ -319,24 +319,102 @@ def fingerprints_combined(ds):
     return _map(ds, _both)
 
 
-def doc_profile(ds):
-    """token/quality stats + language-ID + both fingerprints as ONE per-doc
-    table in a single read pass (one map_batches stage, no shuffle): the
-    doc_stats columns plus (c_<lang>..., lang_pred, fp, roll_fp)."""
+def doc_profile(ds, bench_grams: frozenset | None = None):
+    """token/quality stats + language-ID + both fingerprints (+ optional
+    benchmark-contamination columns) as ONE per-doc table in a single
+    read pass (one map_batches stage, no shuffle): the doc_stats columns
+    plus (c_<lang>..., lang_pred, fp, roll_fp[, contam_hits,
+    contam_flag])."""
 
     def _all(batch: pa.Table) -> pa.Table:
         stats = doc_stats_batch(batch).sort_by("doc_id")
         lang = lang_id_batch(batch).sort_by("doc_id")
         fp = fingerprint_batch(batch).sort_by("doc_id")
         roll = rolling_fingerprint_batch(batch).sort_by("doc_id")
+        extras = [lang, fp, roll]
+        if bench_grams is not None:
+            extras.append(contamination_batch(batch, bench_grams).sort_by("doc_id"))
         out = stats
-        for extra in (lang, fp, roll):
+        for extra in extras:
             for name in extra.column_names:
                 if name != "doc_id":
                     out = out.append_column(name, extra.column(name))
         return out
 
     return _map(ds, _all)
+
+
+# --- benchmark decontamination --------------------------------------------
+# The GPT-3 Appendix-C / The-Pile decontamination step: flag training docs
+# sharing an exact token n-gram with the evaluation set.  The benchmark
+# side is TINY (eval sets are KBs against TBs of training data), so it is
+# read once with column+row pruning and broadcast into the profile stage;
+# the doc side is one vectorized rolling-gram membership pass per batch —
+# no shuffle, no driver loop.  N=5 here (the papers use 8-13 on web text;
+# our synthetic docs are short).  The scenario is "eval text leaked into
+# the corpus": the benchmark is the first CONTAM_BENCH_PREFIX tokens of a
+# fixed set of corpus docs, so true positives exist at every scale.
+
+CONTAM_BENCH_DOC_IDS = (7, 42, 99)
+CONTAM_N = 5
+CONTAM_BENCH_PREFIX = 10
+
+
+def benchmark_grams(path: str) -> frozenset:
+    """Token n-grams of the benchmark docs' prefixes — the broadcast
+    small side (a handful of strings)."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(path).to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(list(CONTAM_BENCH_DOC_IDS)),
+    )
+    grams = set()
+    for t in tbl["text"].to_pylist():
+        ts = _TOKEN_RE.findall((t or "").lower())[:CONTAM_BENCH_PREFIX]
+        for i in range(len(ts) - CONTAM_N + 1):
+            grams.add(" ".join(ts[i : i + CONTAM_N]))
+    return frozenset(grams)
+
+
+def contamination_batch(batch: pa.Table, grams: frozenset) -> pa.Table:
+    """(doc_id, contam_hits, contam_flag): the number of token POSITIONS
+    whose n-gram is in the benchmark set (duplicates counted — the
+    papers' overlap count), flag = any hit.  Vectorized: explode +
+    shift-over builds every rolling gram, is_in does membership."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])).with_columns(
+        pl.col("text")
+        .fill_null("")
+        .str.to_lowercase()
+        .str.extract_all(TOKEN_PATTERN)
+        .alias("ts")
+    )
+    ex = df.select("doc_id", "ts").explode("ts")
+    parts = [pl.col("ts").shift(-k).over("doc_id") for k in range(CONTAM_N)]
+    hits = (
+        ex.with_columns(pl.concat_str(parts, separator=" ").alias("gram"))
+        .with_columns(
+            pl.col("gram").is_in(sorted(grams)).fill_null(False).alias("hit")
+        )
+        .group_by("doc_id")
+        .agg(pl.col("hit").sum().cast(pl.Int64).alias("contam_hits"))
+    )
+    out = (
+        df.select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .with_columns(pl.col("contam_hits").fill_null(0))
+        .with_columns((pl.col("contam_hits") > 0).cast(pl.Int64).alias("contam_flag"))
+        .sort("doc_id")
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("contam_hits", pa.int64()),
+                ("contam_flag", pa.int64()),
+            ]
+        )
+    )
 
 
 # --- PII scrubbing --------------------------------------------------------

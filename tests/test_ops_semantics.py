@@ -552,3 +552,53 @@ def test_drop_duplicate_windows(ray_session):
     assert out.loc[2, "text"] == docs[2]
     # doc 3's second window (tokens 4..7) was the boilerplate
     assert out.loc[3, "text"] == "start pad pad pad"
+
+
+def test_contamination_batch_semantics():
+    """Benchmark decontamination: position-counted n-gram overlap against
+    the broadcast eval-gram set, brute-force recount parity, zero-token
+    and sub-n docs get 0."""
+    import pyarrow as pa
+
+    from lucene_ray.ops import text as tx
+
+    bench = frozenset({"a b c d e", "x y z w v"})
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f a b c d e",   # gram at pos 0 and 6 -> 2 hits
+                    "q r s t u",                # no overlap
+                    "x y z w v",                # exactly one bench gram
+                    "tiny doc",                 # shorter than n
+                    None,                       # null text
+                ]
+            ),
+        }
+    )
+    out = tx.contamination_batch(docs, bench).to_pydict()
+    assert out["doc_id"] == [1, 2, 3, 4, 5]
+    assert out["contam_hits"] == [2, 0, 1, 0, 0]
+    assert out["contam_flag"] == [1, 0, 1, 0, 0]
+
+    # benchmark_grams builds prefix grams deterministically
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(tx.CONTAM_BENCH_DOC_IDS), pa.int64()),
+                    "text": pa.array(["one two three four five six seven"] * 3),
+                }
+            ),
+            p,
+        )
+        grams = tx.benchmark_grams(p)
+    assert "one two three four five" in grams
+    assert "three four five six seven" in grams
+    # prefix cap: gram 7..11 would need token 11 -> absent
+    assert len(grams) == 3
