@@ -3736,7 +3736,11 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM filtered
 )
-SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+-- the engine runs the same predicate through BOTH filter executions
+-- (plain doc-values range AND IndexOrDocValuesQuery) and asserts they
+-- agree, so the oracle is the one ranking under each method label
+SELECT m.method, r.qid::BIGINT AS qid, r.rnk::BIGINT AS rnk, r.doc_id
+FROM ranked r, (VALUES ('dv'), ('index_or_dv')) m(method) WHERE r.rnk <= 10
 """,
         "ft_parsed_topk": f"""
 WITH {_TOKS}, {_LT},

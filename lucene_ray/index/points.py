@@ -178,6 +178,40 @@ class PointTree:
         docs.sort()
         return docs, stats
 
+    def estimate_count(
+        self,
+        lows: tuple[int | None, ...],
+        highs: tuple[int | None, ...],
+    ) -> int:
+        """Cheap match-count ESTIMATE for the box without touching the
+        value arrays (reference util/bkd/BKDReader.java
+        estimatePointCount / PointValues.estimatePointCount): fully-inside
+        cells count wholesale, crossing LEAVES are assumed half-matching,
+        outside cells contribute nothing.  Used by
+        IndexOrDocValuesQuery's cost rule."""
+        lo = np.array([I64_MIN if v is None else v for v in lows], np.int64)
+        hi = np.array([I64_MAX if v is None else v - 1 for v in highs], np.int64)
+        start, end = self.nodes["start"], self.nodes["end"]
+        left, right = self.nodes["left"], self.nodes["right"]
+        mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+        est = 0
+        stack = [0] if len(start) else []
+        while stack:
+            node = stack.pop()
+            nmin, nmax = mins[node], maxs[node]
+            if (nmin > hi).any() or (nmax < lo).any():
+                continue
+            s, e = start[node], end[node]
+            if (nmin >= lo).all() and (nmax <= hi).all():
+                est += int(e - s)
+                continue
+            if left[node] < 0:  # crossing leaf: assume half matches
+                est += int(e - s + 1) // 2
+                continue
+            stack.append(int(right[node]))
+            stack.append(int(left[node]))
+        return est
+
 
 def _dist2_bounds(nmin, nmax, center):
     """(min, max) squared euclidean distance from `center` to any point in

@@ -1524,25 +1524,53 @@ RANGE_FILTERED_QUERIES = [
 
 
 def range_filtered_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    """BM25 top-k restricted by a NUMERIC stored-column range filter
-    (qid, rnk, doc_id): n_chars in [lo, hi) — the PointRangeQuery-analogue
-    FILTER clause; scores identical to the unfiltered query."""
-    from ..search.query import StoredFieldRange
+    """BM25 top-k restricted by a NUMERIC range filter, run through BOTH
+    filter executions (method, qid, rnk, doc_id): ``dv`` is the plain
+    stored-column range (PointRangeQuery-analogue FILTER clause), and
+    ``index_or_dv`` wraps the same predicate in IndexOrDocValuesQuery
+    (search/IndexOrDocValuesQuery.java) — a BKD point-tree index side
+    beside the doc-values side, chosen per segment by the reference's
+    ``threshold = indexCost >>> 3`` lead-cost rule.  The two methods must
+    return IDENTICAL hits (asserted here — a planner regression turns
+    the driver row red); scores stay identical to the unfiltered query."""
+    from ..index.points import build_point_index
+    from ..search.query import IndexOrDocValuesQuery, PointBoxQuery, StoredFieldRange
 
     idx = ensure_index(sf_dir)
+    build_point_index(idx, POINT_FIELDS)
     searcher = IndexSearcher(idx)
-    qids, rnks, docs = [], [], []
+    methods, qids, rnks, docs = [], [], [], []
     for qid, (term, lo, hi) in enumerate(RANGE_FILTERED_QUERIES):
-        q = bool_query(
-            must=[TermQuery(term)], filter=[StoredFieldRange("n_chars", lo, hi)]
+        dv = StoredFieldRange("n_chars", lo, hi)
+        per_method = {}
+        for method, filt in (
+            ("dv", dv),
+            (
+                "index_or_dv",
+                IndexOrDocValuesQuery(
+                    index_query=PointBoxQuery(POINT_FIELDS, (lo, None), (hi, None)),
+                    dv_query=dv,
+                ),
+            ),
+        ):
+            hits = searcher.search(
+                bool_query(must=[TermQuery(term)], filter=[filt]), k
+            )
+            per_method[method] = hits
+            for rnk, (doc, _s) in enumerate(hits, start=1):
+                methods.append(method)
+                qids.append(qid)
+                rnks.append(rnk)
+                docs.append(doc)
+        assert per_method["dv"] == per_method["index_or_dv"], (
+            "IndexOrDocValuesQuery diverged from the dv filter",
+            term,
+            lo,
+            hi,
         )
-        hits = searcher.search(q, k)
-        for rnk, (doc, _s) in enumerate(hits, start=1):
-            qids.append(qid)
-            rnks.append(rnk)
-            docs.append(doc)
     return pa.table(
         {
+            "method": pa.array(methods, pa.large_string()),
             "qid": pa.array(qids, pa.int64()),
             "rnk": pa.array(rnks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),

@@ -395,6 +395,25 @@ class PointMultiRangeQuery:
 
 
 @dataclass(frozen=True)
+class IndexOrDocValuesQuery:
+    """Cost-based choice between two semantically-IDENTICAL executions of
+    one predicate (reference search/IndexOrDocValuesQuery.java): the
+    ``index_query`` side materializes its match set from an index
+    structure (BKD point tree, postings), the ``dv_query`` side verifies
+    candidates by random access against the stored columns.  As a FILTER
+    clause the boolean planner passes the lead cost (the cheapest
+    required clause); the reference rule ``threshold = indexCost >>> 3;
+    index iff threshold <= leadCost`` (IndexOrDocValuesQuery.java:178-183
+    — dv gets an arbitrary 8x penalty because it compares once per
+    visited doc) picks the dv side only when the lead is much more
+    selective than the index-side match set.  Standalone (no lead), the
+    index side always wins, like the reference's bulkScorer()."""
+
+    index_query: "Query"
+    dv_query: "Query"
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     query: "Query"
     occur: str
@@ -428,6 +447,7 @@ Query = (
     | FunctionRangeQuery
     | KnnFloatVectorQuery
     | MultiPhraseQuery
+    | IndexOrDocValuesQuery
 )
 
 
@@ -456,6 +476,8 @@ def collect_terms(q: Query) -> set[str]:
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
+    if isinstance(q, IndexOrDocValuesQuery):
+        return collect_terms(q.index_query) | collect_terms(q.dv_query)
     if isinstance(q, SpanScoreQuery):
         from .spans import span_terms
 
@@ -567,6 +589,88 @@ class _NoMatchScorer(Scorer):
         return np.float32(0)
 
 
+# per-process counters proving which IndexOrDocValuesQuery path ran
+# (tests reset + assert; the choice never changes results)
+INDEX_OR_DV_STATS = {"index": 0, "dv": 0}
+
+
+def _estimate_filter_cost(q: Query, weight: Weight, reader) -> int:
+    """Match-count ESTIMATE for a filter's index side without executing
+    it (the ScorerSupplier.cost() analogue): BKD estimate for point
+    queries, df for terms, max_doc otherwise."""
+    if isinstance(q, PointBoxQuery):
+        tree = reader.point_tree(q.fields)
+        if tree is not None:
+            return tree.estimate_count(q.lows, q.highs)
+        return reader.max_doc
+    if isinstance(q, PointMultiRangeQuery):
+        tree = reader.point_tree(q.fields)
+        if tree is not None:
+            return min(
+                reader.max_doc,
+                sum(tree.estimate_count(lo, hi) for lo, hi in q.boxes),
+            )
+        return reader.max_doc
+    if isinstance(q, TermQuery):
+        ts = weight.term_stats.get(q.term)
+        return int(ts.doc_freq) if ts is not None else reader.max_doc
+    if isinstance(q, (ConstantScoreQuery, BoostQuery)):
+        return _estimate_filter_cost(q.query, weight, reader)
+    return reader.max_doc
+
+
+def _dv_predicate(q: Query, weight: Weight, reader):
+    """() -> bool mask of len max_doc for the dv side's random-access
+    verification (live docs folded in)."""
+    import pyarrow.compute as pc
+
+    def _with_live(m: np.ndarray) -> np.ndarray:
+        if getattr(reader, "live", None) is not None:
+            m = m & np.asarray(reader.live, dtype=bool)
+        return m
+
+    if isinstance(q, StoredFieldRange):
+
+        def _range() -> np.ndarray:
+            col = reader.stored_column(q.field)
+            m = np.ones(len(col), dtype=bool)
+            if q.lower is not None:
+                m &= pc.greater_equal(col, q.lower).to_numpy(zero_copy_only=False)
+            if q.upper is not None:
+                m &= pc.less(col, q.upper).to_numpy(zero_copy_only=False)
+            return _with_live(m)
+
+        return _range
+    if isinstance(q, StoredFieldFilter):
+
+        def _eq() -> np.ndarray:
+            col = reader.stored_column(q.field)
+            return _with_live(
+                pc.equal(col, q.value).to_numpy(zero_copy_only=False)
+            )
+
+        return _eq
+
+    def _generic() -> np.ndarray:  # fallback: run the dv query outright
+        s = build_scorer(q, weight, reader, 1.0, "COMPLETE_NO_SCORES")
+        m = np.zeros(reader.max_doc, dtype=bool)
+        if s is None:
+            return m
+        docs = getattr(s, "docids", None)
+        if docs is not None:
+            m[np.asarray(docs, np.int64)] = True
+            return m
+        from .scorers import NO_MORE_DOCS as _NMD
+
+        d = s.advance(0)
+        while d != _NMD:
+            m[d] = True
+            d = s.next_doc()
+        return m
+
+    return _generic
+
+
 def build_scorer(
     q: Query,
     weight: Weight,
@@ -574,12 +678,30 @@ def build_scorer(
     boost: float = 1.0,
     score_mode: str = "TOP_SCORES",
     top_level: bool = False,
+    lead_cost: int | None = None,
 ) -> Scorer | None:
     """Per-segment scorer tree; None = query matches nothing in this segment.
 
     ``top_level`` enables single-term impacts pruning (ImpactsDISI wrap),
-    mirroring ScorerSupplier.setTopLevelScoringClause.
+    mirroring ScorerSupplier.setTopLevelScoringClause.  ``lead_cost`` is
+    the cheapest required clause's estimated cost when this query is a
+    FILTER beside one (ScorerSupplier.get(leadCost)) — only
+    IndexOrDocValuesQuery consults it.
     """
+    if isinstance(q, IndexOrDocValuesQuery):
+        index_cost = _estimate_filter_cost(q.index_query, weight, reader)
+        # IndexOrDocValuesQuery.java:178-183: threshold = cost >>> 3;
+        # index iff threshold <= leadCost (dv pays an 8x penalty)
+        if lead_cost is not None and lead_cost < (index_cost >> 3):
+            INDEX_OR_DV_STATS["dv"] += 1
+            from .scorers import DocValuesVerifyScorer
+
+            return DocValuesVerifyScorer(
+                reader.max_doc, _dv_predicate(q.dv_query, weight, reader), boost
+            )
+        INDEX_OR_DV_STATS["index"] += 1
+        return build_scorer(q.index_query, weight, reader, boost, score_mode)
+
     if isinstance(q, TermQuery):
         ts = weight.term_stats.get(q.term)
         if ts is None or ts.doc_freq == 0:
@@ -1030,8 +1152,20 @@ def _boolean_scorer(
             if s is None:
                 return None
             musts.append(s)
-        elif c.occur == FILTER:
-            s = build_scorer(c.query, weight, reader, 1.0, "COMPLETE_NO_SCORES")
+    # lead cost for FILTER ScorerSupplier.get(leadCost): the cheapest
+    # required clause drives the conjunction; a SHOULD-side lead (msm>0)
+    # costs at most the sum of its clauses (disjunction cost)
+    lead_cost: int | None = None
+    if musts:
+        lead_cost = min(s.cost() for s in musts)
+    elif shoulds and q.min_should_match > 0:
+        lead_cost = sum(s.cost() for s in shoulds)
+    for c in q.clauses:
+        if c.occur == FILTER:
+            s = build_scorer(
+                c.query, weight, reader, 1.0, "COMPLETE_NO_SCORES",
+                lead_cost=lead_cost,
+            )
             if s is None:
                 return None
             filters.append(s)

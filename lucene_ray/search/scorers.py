@@ -916,3 +916,60 @@ class PrecomputedScorer(Scorer):
         if self._i >= len(self._suffix_max):
             return np.float32(0)
         return np.float32(self._suffix_max[self._i])
+
+
+class DocValuesVerifyScorer(Scorer):
+    """Random-access doc-values verification — the dv side of
+    IndexOrDocValuesQuery (reference search/IndexOrDocValuesQuery.java:
+    the dv scorer iterates ALL docs and verifies per doc, so it must
+    never lead a conjunction; cost() = max_doc makes ConjunctionScorer
+    sort it last and drive on the selective clause).
+
+    The approximation is the full [0, max_doc) range; ``matches()``
+    consults a predicate mask built LAZILY on first verification.
+    Deviation (documented): the mask is one vectorized column compare
+    (cost ∝ max_doc SIMD) rather than per-doc fetches — the saving vs
+    the index side is skipping the match-set materialization + sort, not
+    the column read, which is already resident (numpy idiom)."""
+
+    def __init__(self, max_doc: int, predicate, boost: float = 1.0):
+        import numpy as np
+
+        self.max_doc = int(max_doc)
+        self._predicate = predicate  # () -> bool ndarray of len max_doc
+        self._mask = None
+        self.doc = -1
+        self._boost = np.float32(boost)
+
+    def cost(self) -> int:
+        return self.max_doc
+
+    def approx_advance(self, target: int) -> int:
+        self.doc = target if target < self.max_doc else NO_MORE_DOCS
+        return self.doc
+
+    def matches(self) -> bool:
+        if self._mask is None:
+            self._mask = self._predicate()
+        return bool(self._mask[self.doc])
+
+    def advance(self, target: int) -> int:
+        import numpy as np
+
+        doc = self.approx_advance(target)
+        if doc == NO_MORE_DOCS:
+            return doc
+        if self._mask is None:
+            self._mask = self._predicate()
+        nxt = np.nonzero(self._mask[doc:])[0]
+        if len(nxt) == 0:
+            self.doc = NO_MORE_DOCS
+        else:
+            self.doc = doc + int(nxt[0])
+        return self.doc
+
+    def score(self):
+        return self._boost
+
+    def get_max_score(self, up_to):
+        return self._boost
