@@ -3641,12 +3641,26 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 WITH {_TOKS},
 q(qid, term) AS (VALUES {_QTERMS_VALUES}),
 m AS (
-  SELECT q.qid, d.lang, d.source, d.n_chars
+  SELECT q.qid, d.doc_id, d.lang, d.source, d.n_chars
   FROM q JOIN tf ON tf.tok = q.term
   JOIN documents d ON d.doc_id = tf.doc_id
 )
 SELECT 'lang' AS facet, qid, lang AS value, count(*)::BIGINT AS n
 FROM m GROUP BY qid, lang
+UNION ALL
+-- RandomSamplingFacetsCollector: lang counts over the deterministic
+-- md5-gated doc sample, plus amortizeFacetCounts (integer floor scale
+-- back by the inverse sampling rate, applied to the summed counts)
+SELECT 'sampled_lang', qid, lang, count(*)::BIGINT
+FROM m WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
+        < {ft.SAMPLE_FACET_PCT}
+GROUP BY qid, lang
+UNION ALL
+SELECT 'sampled_lang_amortized', qid, lang,
+       (count(*) * 100 // {ft.SAMPLE_FACET_PCT})::BIGINT
+FROM m WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
+        < {ft.SAMPLE_FACET_PCT}
+GROUP BY qid, lang
 UNION ALL
 SELECT 'source', qid, source, count(*)::BIGINT FROM m GROUP BY qid, source
 UNION ALL

@@ -3418,6 +3418,28 @@ DRILL_RANGE = (100, 400)
 # 'drilldown_lang' facet; 'sideways_range' drops the range dim instead,
 # 'drill_hits' applies every dim (facet/DrillSideways.java semantics).
 DRILL_LANG = "en"
+# RandomSamplingFacetsCollector analogue: facet counts over a SAMPLE of
+# the matching docs, then amortized back by the inverse sampling rate
+# (facet/RandomSamplingFacetsCollector.java createSample +
+# amortizeFacetCounts).  Deviation (documented): the sample gate is the
+# repo's deterministic md5 hash gate on the STORED doc_id (stable under
+# merges and re-segmentation, exactly reproducible in SQL) instead of
+# the reference's XORShift64 random stream; amortization is integer
+# floor division (n * 100 // pct) so combine order can't perturb it.
+SAMPLE_FACET_PCT = 33
+
+
+def _sample_gate(stored_ids: np.ndarray, pct: int) -> np.ndarray:
+    """Deterministic per-doc sample mask: md5_u64('graft'||doc_id) % 100
+    < pct (the tx_stratified_sample kernel, DuckDB md5_number_lower
+    parity)."""
+    from ..ops.util import md5_u64
+
+    return np.fromiter(
+        (md5_u64(f"graft{int(i)}") % 100 < pct for i in stored_ids),
+        dtype=bool,
+        count=len(stored_ids),
+    )
 
 
 def _range_labels(vals, ranges) -> tuple:
@@ -3467,6 +3489,11 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
         lang = r.stored_column("lang")
         source = r.stored_column("source")
         nchars = r.stored_column("n_chars").to_numpy()
+        # one deterministic sample mask per segment (stored ids: stable
+        # under merges), shared by every term's sampled-facet pass
+        sample_mask = _sample_gate(
+            r.stored_column("doc_id").to_numpy(), SAMPLE_FACET_PCT
+        )
         for qid, t in enumerate(terms):
             tid = r.term_id(t)
             if tid is None:
@@ -3479,6 +3506,11 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
             take = pa.array(docs)
             emit("lang", qid, lang.take(take))
             emit("source", qid, source.take(take))
+            # RandomSamplingFacetsCollector: lang counts over the doc
+            # SAMPLE only (amortization happens after the global sum)
+            sampled = docs[sample_mask[docs]]
+            if len(sampled):
+                emit("sampled_lang", qid, lang.take(pa.array(sampled)))
             # hierarchical taxonomy dim lang/source (facet/taxonomy
             # FacetsConfig.setHierarchical + TaxonomyFacetCounts rollup):
             # child counts at 'lang/source', parent counts at 'lang' are
@@ -3562,17 +3594,45 @@ def facet_counts(sf_dir: str):
         fn_kwargs={"terms": QUERY_TERMS},
     )
     final = partials.groupby(["facet", "qid", "value"]).sum("n")
-    return final.map_batches(
-        lambda b: pa.table(
+
+    def _finish(b: pa.Table) -> pa.Table:
+        out = pa.table(
             {
                 "facet": b.column("facet"),
                 "qid": b.column("qid"),
                 "value": b.column("value"),
                 "n": pc_cast_i64(b.column("sum(n)")),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+        # amortizeFacetCounts: scale the sampled counts back by the
+        # inverse sampling rate AFTER the global sum (each grouped key
+        # appears exactly once, so per-row derivation is sound); integer
+        # floor keeps the result combine-order-independent
+        import pyarrow.compute as pc
+
+        m = pc.equal(out.column("facet"), "sampled_lang")
+        if pc.any(m).as_py():
+            s = out.filter(m)
+            amort = pa.table(
+                {
+                    "facet": pa.array(
+                        ["sampled_lang_amortized"] * len(s), pa.string()
+                    ),
+                    "qid": s.column("qid"),
+                    "value": s.column("value"),
+                    "n": pa.array(
+                        [
+                            int(v) * 100 // SAMPLE_FACET_PCT
+                            for v in s.column("n").to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            )
+            out = pa.concat_tables([out, amort])
+        return out
+
+    return final.map_batches(_finish, batch_format="pyarrow")
 
 
 def dv_stats(sf_dir: str):
