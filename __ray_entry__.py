@@ -3874,11 +3874,17 @@ q8 AS (
   FROM p WHERE (s_spark IS NOT NULL OR s_join IS NOT NULL)
           AND s_merge IS NOT NULL
 ),
+-- q9..q11: XML CoreParser arms — each XML document builds the SAME tree
+-- as a classic string above (asserted in the engine), so the rankings
+-- are the q0 / q3 / q4 shapes under new qids
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
   UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q6
   UNION ALL SELECT * FROM q7 UNION ALL SELECT * FROM q8
+  UNION ALL SELECT 9 AS qid, doc_id, score FROM q0
+  UNION ALL SELECT 10 AS qid, doc_id, score FROM q3
+  UNION ALL SELECT 11 AS qid, doc_id, score FROM q4
 ),
 ranked AS (
   SELECT qid, doc_id,

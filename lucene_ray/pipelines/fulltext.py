@@ -1662,16 +1662,46 @@ PARSED_QUERIES = [
 # machine, so the oracle SQL is shared shape-for-shape
 SIMPLE_PARSED_QUERIES = ["spark|join merge"]
 
+# XML query syntax (queryparser/xml/CoreParser.java) run through
+# parse_xml; each document builds the SAME tree as a classic string
+# above (asserted at parse time), so the oracle SQL is shared
+# shape-for-shape: q9 == q0, q10 == q3 (boost attributes), q11 == q4
+# (UserQuery delegation to the classic parser)
+XML_PARSED_QUERIES = [
+    (
+        """<BooleanQuery>
+  <Clause occurs="must"><BooleanQuery>
+    <Clause occurs="should"><TermQuery>spark</TermQuery></Clause>
+    <Clause occurs="should"><TermQuery>join</TermQuery></Clause>
+  </BooleanQuery></Clause>
+  <Clause occurs="must"><TermQuery>merge</TermQuery></Clause>
+</BooleanQuery>""",
+        "(spark OR join) AND merge",
+    ),
+    (
+        """<BooleanQuery>
+  <Clause occurs="should"><TermQuery boost="2">spark</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="0.5">join</TermQuery></Clause>
+</BooleanQuery>""",
+        "spark^2 OR join^0.5",
+    ),
+    ("<UserQuery>wind* AND [scan TO spark]</UserQuery>", "wind* AND [scan TO spark]"),
+]
+
 
 def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """BM25 top-k for CLASSIC-parsed query strings (qid, rnk, doc_id):
     each string runs through parse_classic (reference
     queryparser/classic/QueryParser.jj semantics — addClause conjunction
     promotion, boosts as BoostQuery, constant-score multi-term atoms) and
-    then the ordinary distributed search path."""
+    then the ordinary distributed search path.  The tail qids are the
+    SimpleQueryParser and XML (CoreParser) arms; each XML document is
+    asserted to build the SAME tree as its classic twin, so a parser
+    divergence turns the driver row red."""
     from ..analysis.analyzers import make_analyzer
     from ..search.parser import parse_classic, parse_simple
     from ..search.searcher import DistributedSearcher
+    from ..search.xmlparser import parse_xml
 
     # positions index: the phrase-in-clause strings need them (TermQuery
     # scoring is identical on a positions index)
@@ -1685,6 +1715,12 @@ def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
         (s, parse_simple(s, analyzer, default_operator="MUST"))
         for s in SIMPLE_PARSED_QUERIES
     ]
+    for xml, classic_twin in XML_PARSED_QUERIES:
+        q = parse_xml(xml, analyzer, stored_fields=("lang", "source"))
+        assert q == parse_classic(
+            classic_twin, analyzer, stored_fields=("lang", "source")
+        ), ("XML parse diverged from its classic twin", classic_twin)
+        parses.append((xml, q))
     qids, rnks, docs = [], [], []
     for qid, (s, q) in enumerate(parses):
         hits = searcher.search(q, k)
