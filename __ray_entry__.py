@@ -2232,8 +2232,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         ),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
-        "tx_stratified_sample": lambda sf: text.stratified_sample(
-            _docs(sf, ("doc_id", "text", "lang")), {"en": 50, "de": 25, "fr": 10}
+        # sampling family: hash-gated per-stratum pct arm + token-budget
+        # domain-mixture arm (greedy fill in deterministic hash order —
+        # the Pile/DoReMi-style static mixture step)
+        "tx_stratified_sample": lambda sf: text.sample_family(
+            _docs(sf, ("doc_id", "text", "lang")),
+            {"en": 50, "de": 25, "fr": 10},
+            {"en": 4000, "de": 1500, "fr": 2000},
         ),
         # --- dedup ---
         # MinHash + SimHash + exact-survivor signatures in one family entry
@@ -4191,11 +4196,28 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), '\b\d{9,}\b', '<NUM>', 'g')) AS clean_sha
 FROM documents
 """,
-        "tx_stratified_sample": """
-SELECT doc_id, lang
-FROM documents
-WHERE md5_number_lower('graft' || cast(doc_id as varchar)) % 100
+        "tx_stratified_sample": f"""
+WITH per AS (
+  SELECT doc_id, lang,
+         md5_number_lower('graft' || cast(doc_id as varchar)) AS h,
+         cast(len(regexp_extract_all(lower(coalesce(text, '')),
+              '{text.TOKEN_PATTERN}')) as bigint) AS n_tokens
+  FROM documents
+)
+SELECT 'pct' AS mode, doc_id, lang, n_tokens
+FROM per
+WHERE h % 100
       < (CASE lang WHEN 'de' THEN 25 WHEN 'en' THEN 50 WHEN 'fr' THEN 10 ELSE 0 END)
+UNION ALL
+-- token-budget domain mixture: greedy fill in deterministic hash order;
+-- the doc CROSSING the budget is kept (exclusive prefix < budget)
+SELECT 'budget', doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM per WHERE lang IN ('de', 'en', 'fr')
+)
+WHERE prefix < (CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 ELSE 2000 END)
 """,
         # per-doc profile: token/quality stats + lang-ID + fingerprints
         # joined on doc_id (mirrors ops/text.doc_profile's fused pass)

@@ -494,3 +494,154 @@ def stratified_sample(ds, pct_by_group: dict, group_col: str = "lang"):
         batch_format="pyarrow",
         fn_kwargs={"pct_by_group": pct_by_group, "group_col": group_col},
     )
+
+
+# --- token-budget domain mixing --------------------------------------------
+# The "data mixture" step of a pretraining pipeline (fixed per-domain token
+# quotas, the Pile / DoReMi-style static mixture): docs are taken in a
+# DETERMINISTIC pseudo-random order (md5 hash of the doc_id — the same
+# salt/kernel as the stratified sampler, so SQL reproduces it bit-for-bit)
+# until each domain's cumulative token count reaches its budget.  The doc
+# that CROSSES the budget is still taken (greedy fill: keep iff the
+# exclusive prefix sum of tokens before it is < budget).
+#
+# Distributed shape (no global sort):
+#   1. one map_batches annotates (lang, bucket, toks) where bucket = the
+#      TOP 8 bits of the hash — a prefix of the order key, so bucket
+#      ascending == hash-range ascending; groupby(lang, bucket).sum gives
+#      per-bucket totals.  At most |domains| x 256 rows reach the driver
+#      (a bounded constant, stated here), which computes each bucket's
+#      EXCLUSIVE prefix offset within its domain.
+#   2. groupby(lang, bucket).map_groups sorts each bucket by (h, doc_id),
+#      local-cumsums tokens, adds the broadcast bucket offset and keeps
+#      docs under the budget.  Only docs of budgeted domains ride either
+#      shuffle.
+
+MIX_BUCKET_BITS = 8
+
+
+def _mix_annotate(batch: pa.Table, budgets: dict) -> pa.Table:
+    """(doc_id, lang, h, bucket, toks) for budgeted-domain docs — DuckDB
+    md5_number_lower so the hash/order is exactly the oracle's."""
+    from .dedup import _duck
+
+    sub = batch.select(["doc_id", "lang", "text"])  # noqa: F841 — duckdb scan
+    langs = ", ".join(f"'{g}'" for g in sorted(budgets))
+    return (
+        _duck()
+        .execute(
+            f"""
+            select doc_id, lang,
+                   md5_number_lower('{SAMPLE_SALT}' || cast(doc_id as varchar)) as h,
+                   cast(md5_number_lower('{SAMPLE_SALT}' || cast(doc_id as varchar))
+                        >> {64 - MIX_BUCKET_BITS} as bigint) as bucket,
+                   cast(len(regexp_extract_all(lower(coalesce(text, '')),
+                        '{TOKEN_PATTERN}')) as bigint) as toks
+            from sub where lang in ({langs})
+            """
+        )
+        .arrow()
+    )
+
+
+def token_budget_sample(ds, budgets: dict[str, int]):
+    """(doc_id, lang, n_tokens) of the docs selected by the per-domain
+    token-budget mixture (greedy fill in deterministic hash order)."""
+    import numpy as np
+    import ray
+
+    annotated = ds.map_batches(
+        _mix_annotate, batch_format="pyarrow", fn_kwargs={"budgets": budgets}
+    )
+    # bounded driver table: <= |domains| * 2^MIX_BUCKET_BITS rows
+    per_bucket = (
+        annotated.groupby(["lang", "bucket"]).sum("toks").to_pandas()
+    ).sort_values(["lang", "bucket"])
+    per_bucket["offset"] = (
+        per_bucket.groupby("lang")["sum(toks)"].cumsum() - per_bucket["sum(toks)"]
+    )
+    offsets = {
+        (r.lang, int(r.bucket)): int(r.offset) for r in per_bucket.itertuples()
+    }
+    offsets_ref = ray.put(offsets)
+
+    def _keep(group: pa.Table) -> pa.Table:
+        off_map = ray.get(offsets_ref)
+        lang = group.column("lang")[0].as_py()
+        bucket = int(group.column("bucket")[0].as_py())
+        order = np.lexsort(
+            (
+                group.column("doc_id").to_numpy(),
+                group.column("h").to_numpy(zero_copy_only=False),
+            )
+        )
+        toks = group.column("toks").to_numpy()[order]
+        ids = group.column("doc_id").to_numpy()[order]
+        prefix = off_map.get((lang, bucket), 0) + np.concatenate(
+            ([0], np.cumsum(toks[:-1]))
+        )
+        keep = prefix < budgets[lang]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "lang": pa.array([lang] * int(keep.sum()), pa.string()),
+                "n_tokens": pa.array(toks[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            _mix_annotate, batch_format="pyarrow", fn_kwargs={"budgets": budgets}
+        )
+        .groupby(["lang", "bucket"])
+        .map_groups(_keep, batch_format="pyarrow")
+    )
+
+
+def _pct_with_tokens(batch: pa.Table, pct_by_group: dict) -> pa.Table:
+    """The stratified pct gate, emitting token counts alongside (so the
+    sampling family's two arms share one schema)."""
+    from .dedup import _duck
+
+    sub = batch.select(["doc_id", "lang", "text"])  # noqa: F841 — duckdb scan
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(p)}" for g, p in sorted(pct_by_group.items())
+    )
+    return (
+        _duck()
+        .execute(
+            f"""
+            select doc_id, lang,
+                   cast(len(regexp_extract_all(lower(coalesce(text, '')),
+                        '{TOKEN_PATTERN}')) as bigint) as n_tokens
+            from sub
+            where md5_number_lower('{SAMPLE_SALT}' || cast(doc_id as varchar))
+                  % 100 < (case lang {cases} else 0 end)
+            """
+        )
+        .arrow()
+    )
+
+
+def sample_family(ds, pct_by_group: dict, budgets: dict[str, int]):
+    """(mode, doc_id, lang, n_tokens): the sampling FAMILY — mode='pct'
+    rows from the hash-gated per-stratum sampler, mode='budget' rows from
+    the token-budget domain mixture.  Both arms are deterministic and
+    SQL-exact."""
+
+    def _label(mode: str):
+        def _add(batch: pa.Table) -> pa.Table:
+            return batch.add_column(
+                0, "mode", pa.array([mode] * len(batch), pa.string())
+            )
+
+        return _add
+
+    pct = ds.map_batches(
+        _pct_with_tokens, batch_format="pyarrow",
+        fn_kwargs={"pct_by_group": pct_by_group},
+    ).map_batches(_label("pct"), batch_format="pyarrow")
+    budget = token_budget_sample(ds, budgets).map_batches(
+        _label("budget"), batch_format="pyarrow"
+    )
+    return pct.union(budget)

@@ -602,3 +602,84 @@ def test_contamination_batch_semantics():
     assert "three four five six seven" in grams
     # prefix cap: gram 7..11 would need token 11 -> absent
     assert len(grams) == 3
+
+
+def test_token_budget_sample_semantics(ray_session):
+    """Token-budget domain mixing: greedy fill in deterministic md5-hash
+    order, crossing doc kept, unbudgeted langs dropped, exact parity with
+    a single-process DuckDB window recount."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops import text as tx
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "lang": pa.array((["en"] * 3 + ["de", "zh"]) * 40),
+            "text": pa.array(
+                [f"tok{i} " + "word " * (i % 17) for i in range(200)]
+            ),
+        }
+    )
+    budgets = {"en": 300, "de": 100}
+    got = (
+        tx.token_budget_sample(rd.from_arrow(docs), budgets)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    d = docs  # noqa: F841 — duckdb replacement scan
+    want = duckdb.sql(
+        """
+        with per as (
+          select doc_id, lang,
+                 md5_number_lower('graft'||cast(doc_id as varchar)) h,
+                 cast(len(regexp_extract_all(lower(coalesce(text,'')),
+                      '[a-z0-9_]+')) as bigint) toks
+          from d where lang in ('en','de')),
+        w as (
+          select doc_id, lang, toks,
+                 coalesce(sum(toks) over (partition by lang order by h, doc_id
+                   rows between unbounded preceding and 1 preceding),0) prefix
+          from per)
+        select doc_id, lang, toks as n_tokens from w
+        where prefix < (case lang when 'en' then 300 else 100 end)
+        order by doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # budgets bit: each selected domain overshoots by at most one doc
+    sums = got.groupby("lang")["n_tokens"].sum()
+    assert sums["en"] >= 300 and sums["de"] >= 100  # crossing doc kept
+    last_tok = got.groupby("lang")["n_tokens"].max()
+    assert sums["en"] - last_tok["en"] < 300
+    assert sums["de"] - last_tok["de"] < 100
+    # unbudgeted lang never appears
+    assert set(got["lang"]) == {"en", "de"}
+
+
+def test_sample_family_schema_and_modes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops import text as tx
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "lang": pa.array(["en", "de", "zh"] * 20),
+            "text": pa.array(["alpha beta gamma"] * 60),
+        }
+    )
+    out = tx.sample_family(
+        rd.from_arrow(docs), {"en": 100, "de": 50}, {"en": 30, "de": 9}
+    ).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "lang", "mode", "n_tokens"]
+    assert set(out["mode"]) == {"pct", "budget"}
+    b = out[out["mode"] == "budget"]
+    # 3 tokens per doc: en budget 30 -> 10 docs, de budget 9 -> 3 docs
+    assert b.groupby("lang")["doc_id"].count().to_dict() == {"de": 3, "en": 10}
+    assert (out["n_tokens"] == 3).all()
