@@ -1792,6 +1792,38 @@ def _sort_family(sf_dir: str):
     )
 
 
+def _dd_duplicate_clusters(sf_dir: str):
+    """Duplicate-cluster FAMILY (family, doc_id, cluster_id, cluster_size):
+
+    - family='jaccard': connected components over verified n-gram-Jaccard
+      near-dup pairs (ops/dedup.duplicate_clusters).
+    - family='semantic': SemDeDup (Abbas et al. 2023).  The returned rows
+      are the EXACT hashed-TF cosine>=0.9 components (integer-exact
+      threshold, so the DuckDB oracle reproduces them bit-for-bit); the
+      k-means WITHIN-CLUSTER scale path runs beside them and is GATED:
+      every doc it drops must belong to an exact component (no false
+      drops) and it must cover >= 50% of the exact non-representative
+      set (measured 0.65-0.68 at k=16 on the driver corpora) — a
+      clustering regression turns this row red."""
+    import pandas as pd
+
+    from lucene_ray.ops import dedup, semdedup
+
+    jac = dedup.duplicate_clusters(_docs(sf_dir)).to_pandas()
+    jac.insert(0, "family", "jaccard")
+    sem = semdedup.semantic_duplicate_clusters(_docs(sf_dir)).to_pandas()
+    sem.insert(0, "family", "semantic")
+
+    drops = semdedup.semdedup_drops(_docs(sf_dir), k=16).to_pandas()
+    members = set(sem["doc_id"])
+    assert set(drops["doc_id"]) <= members, "SemDeDup dropped a non-duplicate"
+    nonrep = len(sem) - sem["cluster_id"].nunique()
+    coverage = len(drops) / max(nonrep, 1)
+    assert coverage >= 0.5, f"SemDeDup coverage regressed: {coverage:.3f}"
+
+    return pd.concat([jac, sem], ignore_index=True)
+
+
 def _dd_signatures(sf_dir: str):
     """MinHash signature matrix + SimHash 64-bit signatures in one entry:
     (method, doc_id, i, sig) with sig as uint64 (simhash rows carry i=0)."""
@@ -2246,8 +2278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH-band / SimHash-band / n-gram-Jaccard near-pair family
         "dd_near_pairs": _dd_near_pairs,
         # connected components over the verified near-dup pairs: distributed
-        # min-label propagation, every round a Ray Data shuffle
-        "dd_duplicate_clusters": lambda sf: dedup.duplicate_clusters(_docs(sf)),
+        # min-label propagation, every round a Ray Data shuffle.  Family:
+        # jaccard (shingle-overlap edges) + semantic (SemDeDup, Abbas et
+        # al. 2023: exact hashed-TF cosine components returned, the k-means
+        # scale path gated in-engine — see _dd_duplicate_clusters)
+        "dd_duplicate_clusters": _dd_duplicate_clusters,
         # --- similarity search ---
         "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
@@ -2284,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from lucene_ray.ops import semdedup as semdedup_mod
     from lucene_ray.ops import text
 
     qterms_in = ", ".join(f"'{t}'" for t in ft.QUERY_TERMS)
@@ -4066,10 +4102,44 @@ reach(node, lbl) AS (
   UNION
   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
 ),
-lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
-SELECT node::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
+lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+-- SemDeDup exact arm: hashed-TF (feature-hashing) vectors, cosine >= 0.9
+-- evaluated as the EXACT integer comparison 100*dot^2 >= 81*|a|^2*|b|^2,
+-- then the same min-label components
+stf AS (
+  SELECT doc_id, cast(md5_number_lower(tok) % {semdedup_mod.DIM} as bigint) AS b,
+         count(*)::BIGINT AS c
+  FROM tok GROUP BY 1, 2
+),
+sn2 AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM stf GROUP BY doc_id),
+sdots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db_, sum(a.c * b.c)::BIGINT AS dot
+  FROM stf a JOIN stf b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+spairs AS (
+  SELECT da, db_ FROM sdots
+  JOIN sn2 x ON x.doc_id = da JOIN sn2 y ON y.doc_id = db_
+  WHERE dot > 0
+    AND {semdedup_mod.TAU_DEN} * dot * dot >= {semdedup_mod.TAU_NUM} * x.n2 * y.n2
+),
+sedges AS (
+  SELECT da AS a, db_ AS b FROM spairs UNION ALL SELECT db_, da FROM spairs
+),
+snodes AS (SELECT DISTINCT a AS node FROM sedges),
+sreach(node, lbl) AS (
+  SELECT node, node FROM snodes
+  UNION
+  SELECT e.b, r.lbl FROM sreach r JOIN sedges e ON e.a = r.node
+),
+slab AS (SELECT node, min(lbl) AS cluster_id FROM sreach GROUP BY node)
+SELECT 'jaccard' AS family, node::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
 FROM lab
+UNION ALL
+SELECT 'semantic', node::BIGINT, cluster_id::BIGINT,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT
+FROM slab
 """,
         "ft_bm25_topk_variants": f"""
 SELECT v.variant, b.*

@@ -544,12 +544,31 @@ def duplicate_clusters(
     Returns (doc_id, cluster_id, cluster_size): one row per doc that has at
     least one near-duplicate, cluster_id = min doc_id of its component.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Min, Sum
-
     pairs = ngram_jaccard_pairs(
         ds, n=n, min_jaccard_pct=min_jaccard_pct, max_group=max_group
     ).select_columns(["doc_a", "doc_b"]).materialize()
+    return components_from_pairs(pairs, max_rounds=max_rounds)
+
+
+def components_from_pairs(pairs, max_rounds: int = 32):
+    """Connected components over a materialized (doc_a, doc_b) pair
+    Dataset via the distributed min-label propagation documented in
+    duplicate_clusters (shared by the Jaccard and the SEMANTIC dedup
+    arms).  Returns (doc_id, cluster_id, cluster_size) for every doc
+    with at least one edge; cluster_id = min doc_id of the component."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if pairs.count() == 0:  # duplicate-free corpus: schema'd empty result
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy()

@@ -1,0 +1,216 @@
+"""SemDeDup — semantic deduplication over document embeddings.
+
+Reference: Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication" (arXiv 2303.09540): embed every
+doc, k-means-cluster the embeddings, and WITHIN each cluster drop all but
+one member of every group of high-cosine near-duplicates, keeping the
+example with the LOWEST cosine similarity to the cluster centroid (the
+paper's keep rule — "edge" points carry more information than the
+cluster-typical ones).
+
+Embedding here is the deterministic HASHING TRICK over the token stream
+(Weinberger et al. 2009, feature hashing): component b of a doc's vector
+is the count of its tokens with md5(token) % dim == b.  All-integer, so
+the cosine threshold is evaluated EXACTLY — ``cos(a, b) >= tau`` (tau² =
+TAU_NUM/TAU_DEN) as ``TAU_DEN·dot² >= TAU_NUM·|a|²·|b|² and dot > 0`` —
+and DuckDB reproduces edges bit-for-bit (dots/norms stay well under
+2^53).
+
+Distributed shapes:
+- ``semantic_duplicate_clusters`` is the EXACT arm the driver oracle
+  checks: the full hashed-TF matrix is broadcast once via ``ray.put``
+  and each batch matmuls against it (an O(n²) verification baseline,
+  fine for the driver's corpus; it is NOT the 100-TB path), then the
+  edge set runs the same distributed min-label propagation as the
+  Jaccard dedup (ops/dedup.components_from_pairs).
+- ``semdedup_drops`` is the SCALE path: k-means (ops/ann.kmeans — one
+  scan per iteration, deterministic first-k init), assignment by
+  broadcast centroids, then ``groupby(cell).map_groups`` does pairwise
+  work ONLY within clusters — per-cluster cost, no all-pairs matrix.
+  Its recall against the exact arm is gated in the driver callable; the
+  exact arm is what's returned, so a clustering regression turns the
+  row red rather than silently shifting results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DIM = 64
+# tau = 0.9 -> tau^2 as an exact rational
+TAU_NUM = 81
+TAU_DEN = 100
+
+
+def hashed_tf_batch(batch: pa.Table, dim: int = DIM) -> pa.Table:
+    """(vec_id, embedding list<float>) hashed-TF vectors — integer-valued
+    floats (token counts), md5 bucketing identical to the oracle's
+    ``md5_number_lower(tok) % dim``."""
+    from .dedup import _duck
+    from .util import TOKEN_PATTERN
+
+    sub = batch.select(["doc_id", "text"])  # noqa: F841 — duckdb scan
+    tf = (
+        _duck()
+        .execute(
+            f"""
+            with toks as (
+              select doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                     '{TOKEN_PATTERN}')) tok
+              from sub)
+            select doc_id, cast(md5_number_lower(tok) % {dim} as bigint) b,
+                   count(*)::bigint c
+            from toks group by 1, 2
+            """
+        )
+        .arrow()
+    )
+    ids = batch.column("doc_id").to_numpy()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    mat = np.zeros((len(ids), dim), dtype=np.int64)
+    mat[
+        [pos[int(d)] for d in tf.column("doc_id").to_pylist()],
+        tf.column("b").to_numpy(),
+    ] = tf.column("c").to_numpy()
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in mat],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def hashed_tf(ds, dim: int = DIM):
+    return ds.map_batches(
+        hashed_tf_batch, batch_format="pyarrow", fn_kwargs={"dim": dim}
+    )
+
+
+def _edges_int(ids_a, mat_a, ids_b, mat_b) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-threshold cosine edges between two int matrices (a rows x b
+    rows), keeping doc_a < doc_b: TAU_DEN·dot² >= TAU_NUM·|a|²·|b|²."""
+    dot = mat_a @ mat_b.T
+    n2a = (mat_a * mat_a).sum(axis=1)
+    n2b = (mat_b * mat_b).sum(axis=1)
+    # int64-safe: dot <= dim * max_count^2 (~1e5 on real text), so
+    # TAU_DEN * dot^2 and TAU_NUM * |a|^2 * |b|^2 stay far below 2^63
+    ok = (dot > 0) & (TAU_DEN * dot * dot >= TAU_NUM * n2a[:, None] * n2b[None, :])
+    ok &= ids_a[:, None] < ids_b[None, :]
+    ai, bi = np.nonzero(ok)
+    return ids_a[ai], ids_b[bi]
+
+
+def semantic_pair_edges(tf_ds, dim: int = DIM):
+    """(doc_a, doc_b) exact cosine>=tau pairs.  The full matrix rides one
+    ``ray.put``; each batch matmuls against it — the O(n²) verification
+    baseline (see module docstring), not the scale path."""
+    import ray
+
+    full = tf_ds.to_pandas()  # bounded: the driver corpus (stated above)
+    full_ids = full["vec_id"].to_numpy()
+    full_mat = np.stack(full["embedding"].to_numpy()).astype(np.int64)
+    ref = ray.put((full_ids, full_mat))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        fids, fmat = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in batch.column("embedding").to_pylist()]
+        )
+        a, b = _edges_int(ids, mat, fids, fmat)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    return tf_ds.map_batches(_cand, batch_format="pyarrow")
+
+
+def semantic_duplicate_clusters(docs_ds, dim: int = DIM):
+    """EXACT semantic components (doc_id, cluster_id, cluster_size):
+    hashed-TF → exact threshold edges → distributed min-label
+    propagation (the same component machinery as the Jaccard arm)."""
+    from .dedup import components_from_pairs
+
+    tf = hashed_tf(docs_ds, dim).materialize()
+    pairs = semantic_pair_edges(tf, dim).materialize()
+    return components_from_pairs(pairs)
+
+
+def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM):
+    """The SemDeDup SCALE path: k-means clusters, within-cluster exact
+    threshold edges, local components, and the paper's keep rule (keep
+    the member with the LOWEST cosine to the cluster centroid; ties by
+    doc_id).  Returns (doc_id,) rows for every DROPPED doc."""
+    import ray
+
+    from .ann import kmeans
+
+    tf = hashed_tf(docs_ds, dim).materialize()
+    cents = kmeans(tf, k=k, iters=iters)
+    c_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+        )
+        d2 = ((mat * mat).sum(axis=1)[:, None]
+              - 2 * mat @ c.T
+              + (c * c).sum(axis=1)[None, :])
+        return batch.append_column(
+            "cell", pa.array(np.argmin(d2, axis=1).astype(np.int64), pa.int64())
+        )
+
+    def _dedup_cell(group: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        ids = group.column("vec_id").to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in group.column("embedding").to_pylist()]
+        )
+        a, b = _edges_int(ids, mat, ids, mat)
+        if not len(a):
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        # local components: union-find over the cluster's edges
+        parent = {int(i): int(i) for i in np.unique(np.concatenate((a, b)))}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        comp: dict[int, list[int]] = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        # keep rule: LOWEST cosine to the cluster centroid survives
+        cell = int(group.column("cell")[0].as_py())
+        cent = c[cell]
+        cn = np.linalg.norm(cent)
+        pos = {int(i): j for j, i in enumerate(ids)}
+        dropped: list[int] = []
+        for members in comp.values():
+            sims = []
+            for m in sorted(members):
+                v = mat[pos[m]].astype(np.float64)
+                nv = np.linalg.norm(v)
+                sims.append((float(v @ cent / (nv * cn)) if nv * cn > 0 else 0.0, m))
+            keep = min(sims)[1]  # lowest sim, tie -> lowest doc_id
+            dropped.extend(m for _s, m in sims if m != keep)
+        return pa.table({"doc_id": pa.array(sorted(dropped), pa.int64())})
+
+    return (
+        tf.map_batches(_assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(_dedup_cell, batch_format="pyarrow")
+    )
