@@ -2747,9 +2747,18 @@ ranked AS (
   SELECT qid, doc_id, dist2,
          row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk
   FROM d2 WHERE dist2 <= r2
+),
+-- family='nearest': true k-NN, no radius (NearestNeighbor.java best-first)
+nranked AS (
+  SELECT qid, doc_id, dist2,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk
+  FROM d2
 )
-SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id, dist2
+SELECT 'radius' AS family, qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id, dist2
 FROM ranked WHERE rnk <= 10
+UNION ALL
+SELECT 'nearest', qid::BIGINT, rnk::BIGINT, doc_id, dist2
+FROM nranked WHERE rnk <= 10
 """,
         "ft_percolate_counts": _percolate_sql(),
         # highlighter: window anchored at a match position, scored by

@@ -178,6 +178,71 @@ class PointTree:
         docs.sort()
         return docs, stats
 
+    def nearest(
+        self, center: tuple[int, ...], k: int
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Best-first k-nearest-neighbor over the tree (reference
+        document/NearestNeighbor.java behind
+        LatLonPointPrototypeQueries.nearest): cells pop from a priority
+        queue keyed by their MINIMUM squared distance to the query point;
+        a cell is pruned only when its min distance STRICTLY exceeds the
+        current k-th best (NearestNeighbor.java Cell ordering + the
+        `cell.distanceSortKey > hit` skip), so distance ties still
+        surface the lower docid (visit(): `distanceSortKey ==
+        hit.distanceSortKey && fullDocID < hit.docID`).  Integer math end
+        to end.  Returns (docids, dist2) sorted by (dist2, docid) plus
+        traversal stats proving the pruning."""
+        import heapq
+
+        c = np.asarray(center, np.int64)
+        start, end = self.nodes["start"], self.nodes["end"]
+        left, right = self.nodes["left"], self.nodes["right"]
+        mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+        if not len(start):
+            return np.empty(0, np.int64), np.empty(0, np.int64), {}
+
+        def cell_d2(node: int) -> int:
+            # squared distance from the query to the cell's closest corner
+            lo, hi = mins[node], maxs[node]
+            d = np.maximum(lo - c, 0) + np.maximum(c - hi, 0)
+            return int((d * d).sum())
+
+        stats = {"nodes_visited": 0, "points_scanned": 0, "cells_pruned": 0}
+        # best: max-heap of the k closest as (-d2, -docid)
+        best: list[tuple[int, int]] = []
+        heap: list[tuple[int, int]] = [(cell_d2(0), 0)]
+        while heap:
+            d2c, node = heapq.heappop(heap)
+            if len(best) == k and d2c > -best[0][0]:
+                stats["cells_pruned"] += 1
+                continue
+            stats["nodes_visited"] += 1
+            if left[node] >= 0:
+                for ch in (int(left[node]), int(right[node])):
+                    d2ch = cell_d2(ch)
+                    if len(best) < k or d2ch <= -best[0][0]:
+                        heapq.heappush(heap, (d2ch, ch))
+                    else:
+                        stats["cells_pruned"] += 1
+                continue
+            s, e = int(start[node]), int(end[node])
+            diff = self.values[s:e] - c
+            d2 = (diff * diff).sum(axis=1)
+            ids = self.docids[s:e]
+            stats["points_scanned"] += e - s
+            for d2p, doc in zip(d2.tolist(), ids.tolist()):
+                key = (-d2p, -doc)
+                if len(best) < k:
+                    heapq.heappush(best, key)
+                elif key > best[0]:  # (d2, doc) smaller than current worst
+                    heapq.heapreplace(best, key)
+        out = sorted((-d2p, -doc) for d2p, doc in best)
+        return (
+            np.array([doc for _d, doc in out], np.int64),
+            np.array([d for d, _doc in out], np.int64),
+            stats,
+        )
+
     def estimate_count(
         self,
         lows: tuple[int | None, ...],

@@ -1795,10 +1795,16 @@ POINT_DISTANCE_QUERIES = [
 
 
 def point_distance_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    """(qid, rnk, doc_id, dist2): nearest docs inside each radius, by the
-    BKD distance traversal (cells skipped when their closest corner is
-    beyond r, bulk-taken when their farthest corner is inside)."""
-    import pandas as pd
+    """(family, qid, rnk, doc_id, dist2) — the point-distance FAMILY:
+
+    - family='radius': nearest docs INSIDE each radius, by the BKD
+      distance traversal (cells skipped when their closest corner is
+      beyond r, bulk-taken when their farthest corner is inside).
+    - family='nearest': true k-NN with NO radius — best-first cell
+      traversal (document/NearestNeighbor.java behind
+      LatLonPointPrototypeQueries.nearest; PointTree.nearest), per
+      segment a partial (dist², docid) top-k, global merge of ≤
+      k·segments candidates."""
     import ray.data as rd
 
     from ..index.points import PointTree, build_point_index, point_file
@@ -1807,30 +1813,45 @@ def point_distance_topk(sf_dir: str, k: int = 10) -> pa.Table:
     build_point_index(idx, POINT_FIELDS)
 
     def _seg(batch: pa.Table) -> pa.Table:
-        out = {"qid": [], "doc_id": [], "dist2": []}
+        out = {"family": [], "qid": [], "doc_id": [], "dist2": []}
+
+        def emit(family, qid, docs, d2, base):
+            # per-segment partial top-k by (dist, docid)
+            if len(docs) > k:
+                order = np.lexsort((docs, d2))[:k]
+                docs, d2 = docs[order], d2[order]
+            out["family"].extend([family] * len(docs))
+            out["qid"].extend([qid] * len(docs))
+            out["doc_id"].extend((docs + base).tolist())
+            out["dist2"].extend(d2.tolist())
+
         for row in batch.to_pylist():
             tree = PointTree.load(point_file(row["dir"], "_".join(POINT_FIELDS)))
             for qid, (cx, cy, r2) in enumerate(POINT_DISTANCE_QUERIES):
                 docs, d2, _stats = tree.intersect_distance((cx, cy), r2)
-                # per-segment partial top-k by (dist, docid)
-                if len(docs) > k:
-                    order = np.lexsort((docs, d2))[:k]
-                    docs, d2 = docs[order], d2[order]
-                out["qid"].extend([qid] * len(docs))
-                out["doc_id"].extend((docs + row["doc_base"]).tolist())
-                out["dist2"].extend(d2.tolist())
-        return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+                emit("radius", qid, docs, d2, row["doc_base"])
+                ndocs, nd2, _nstats = tree.nearest((cx, cy), k)
+                emit("nearest", qid, ndocs, nd2, row["doc_base"])
+        return pa.table(
+            {
+                "family": pa.array(out["family"], pa.string()),
+                **{
+                    c: pa.array(out[c], pa.int64())
+                    for c in ("qid", "doc_id", "dist2")
+                },
+            }
+        )
 
     cand = (
         rd.from_items(_segment_dirs(idx))
         .map_batches(_seg, batch_format="pyarrow")
         .to_pandas()
     )
-    cand = cand.sort_values(["qid", "dist2", "doc_id"])
-    cand = cand.groupby("qid", sort=True).head(k)
-    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    cand = cand.sort_values(["family", "qid", "dist2", "doc_id"])
+    cand = cand.groupby(["family", "qid"], sort=True).head(k)
+    cand["rnk"] = cand.groupby(["family", "qid"]).cumcount() + 1
     return pa.Table.from_pandas(
-        cand[["qid", "rnk", "doc_id", "dist2"]].reset_index(drop=True),
+        cand[["family", "qid", "rnk", "doc_id", "dist2"]].reset_index(drop=True),
         preserve_index=False,
     )
 

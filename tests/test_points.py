@@ -184,3 +184,37 @@ def test_multi_range_query_union_dedupes(ray_session):
         (((100, None), (300, None)), ((200, None), (400, None))),
     )
     assert searcher.count(q2) == want
+
+
+def test_nearest_matches_brute_force(tree_and_vals):
+    tree, vals = tree_and_vals
+    rng = np.random.default_rng(99)
+    for _ in range(20):
+        c = tuple(int(x) for x in rng.integers(-500, 5500, size=2))
+        k = int(rng.integers(1, 30))
+        docs, d2, stats = tree.nearest(c, k)
+        diff = vals - np.asarray(c, np.int64)
+        bd2 = (diff * diff).sum(axis=1)
+        order = np.lexsort((np.arange(len(vals)), bd2))[:k]
+        assert np.array_equal(docs, order), (c, k)
+        assert np.array_equal(d2, bd2[order])
+        # best-first pruning is real: nowhere near a full scan
+        assert stats["points_scanned"] < len(vals) // 5, stats
+
+
+def test_nearest_tie_prefers_lower_docid():
+    # four points equidistant from the center: ties resolve by docid
+    vals = np.array([[0, 1], [0, -1], [1, 0], [-1, 0], [5, 5]], np.int64)
+    ids = np.array([40, 30, 20, 10, 5], np.int64)
+    tree = PointTree.build(vals, ids, leaf_size=2)
+    docs, d2, _ = tree.nearest((0, 0), 3)
+    assert d2.tolist() == [1, 1, 1]
+    assert docs.tolist() == [10, 20, 30]
+
+
+def test_nearest_k_exceeds_points():
+    vals = np.array([[2, 2], [9, 9]], np.int64)
+    tree = PointTree.build(vals, np.array([1, 0], np.int64), leaf_size=2)
+    docs, d2, _ = tree.nearest((0, 0), 10)
+    assert docs.tolist() == [1, 0]
+    assert d2.tolist() == [8, 162]
