@@ -143,6 +143,28 @@ def cmd_addindexes(args) -> int:
     return 0
 
 
+def cmd_bpmerge(args) -> int:
+    _init_ray()
+    from .index.bp import bp_reorder_merge
+
+    man = bp_reorder_merge(
+        args.index,
+        min_doc_freq=args.min_doc_freq,
+        max_doc_freq=args.max_doc_freq,
+        max_iters=args.max_iters,
+    )
+    print(
+        json.dumps(
+            {
+                "generation": man["generation"],
+                "segments": len(man["segments"]),
+                "max_doc": sum(int(s["max_doc"]) for s in man["segments"]),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_sortmerge(args) -> int:
     _init_ray()
     from .index.sortmerge import force_merge_sorted
@@ -318,6 +340,16 @@ def main(argv: list[str] | None = None) -> int:
     sm = sub.add_parser("sortmerge", help="force-merge an index-sorted index (Sorter contract)")
     sm.add_argument("--index", required=True)
     sm.set_defaults(fn=cmd_sortmerge)
+
+    bpm = sub.add_parser(
+        "bpmerge",
+        help="force-merge with BP doc reordering (BPIndexReorderer, recursive graph bisection)",
+    )
+    bpm.add_argument("--index", required=True)
+    bpm.add_argument("--min-doc-freq", dest="min_doc_freq", type=int, default=1)
+    bpm.add_argument("--max-doc-freq", dest="max_doc_freq", type=float, default=1.0)
+    bpm.add_argument("--max-iters", dest="max_iters", type=int, default=20)
+    bpm.set_defaults(fn=cmd_bpmerge)
 
     dv = sub.add_parser("dvupdate", help="numeric doc-values update by term (updateNumericDocValue)")
     dv.add_argument("--index", required=True)

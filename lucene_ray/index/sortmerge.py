@@ -82,6 +82,33 @@ def force_merge_sorted(index_dir: str) -> dict:
         kept_locals.append(loc)
     all_keys = np.concatenate(keys) if keys else np.empty(0, np.int64)
     order = np.argsort(-all_keys if direction == "desc" else all_keys, kind="stable")
+    return _merge_with_order(
+        index_dir,
+        man,
+        readers,
+        kept_locals,
+        order,
+        gen,
+        name=f"seg_g{gen:04d}_sorted",
+        signature=f"sortmerge:g{gen}",
+        index_sort=[field, direction],
+    )
+
+
+def _merge_with_order(
+    index_dir: str,
+    man: dict,
+    readers: list[SegmentReader],
+    kept_locals: list[np.ndarray],
+    order: np.ndarray,
+    gen: int,
+    name: str,
+    signature: str,
+    index_sort: list | None,
+) -> dict:
+    """Merge every segment into ONE whose new docid j holds concatenated
+    kept doc ``order[j]`` — the Sorter/MergeState doc-map application
+    shared by the key-sorted merge and the BP reorder (index/bp.py)."""
     n_new = len(order)
     new_of_kept = np.empty(n_new, np.int64)
     new_of_kept[order] = np.arange(n_new, dtype=np.int64)
@@ -144,14 +171,13 @@ def force_merge_sorted(index_dir: str) -> dict:
     else:
         cat = None
 
-    name = f"seg_g{gen:04d}_sorted"
     seg_dir = os.path.join(index_dir, name)
     meta = {
         "name": name,
         "max_doc": n_new,
         "doc_base": 0,
-        "lineage": {"signature": f"sortmerge:g{gen}"},
-        "index_sort": [field, direction],
+        "lineage": {"signature": signature},
+        "index_sort": index_sort,
     }
     presorted = False
     positions = None

@@ -92,3 +92,28 @@ def test_cli_sortmerge_and_dvupdate(tmp_path, capsys, ray_session):
     ) == 0
     out2 = json.loads(capsys.readouterr().out.strip())
     assert out2["generation"] == out["generation"] + 1
+
+
+def test_cli_bpmerge(tmp_path, capsys, ray_session):
+    import pyarrow.parquet as pq2
+
+    from lucene_ray.cli import main
+    from lucene_ray.index.build import build_index
+
+    src = str(tmp_path / "docs.parquet")
+    pq2.write_table(
+        pq2.read_table("/root/testdata/sf0.001/documents.parquet"),
+        src, row_group_size=150,
+    )
+    a = str(tmp_path / "plain")
+    build_index(
+        src, a, content_column="text",
+        meta_columns=("doc_id", "lang", "source", "n_chars"),
+        docs_per_segment=150,
+    )
+    assert main(["bpmerge", "--index", a, "--min-doc-freq", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["segments"] == 1 and out["max_doc"] == 500
+    from lucene_ray.index.check import check_index
+
+    check_index(a)
