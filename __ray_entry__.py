@@ -919,6 +919,24 @@ def _in_set_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _in_set_dv_sql() -> str:
+    # DocValuesTermsQuery: set membership on the STORED column (no token
+    # relation involved)
+    parts = []
+    for qid, (fieldname, values) in enumerate(ft.DV_TERM_SETS):
+        in_list = ", ".join(f"'{v}'" for v in values)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(*) FROM documents WHERE {fieldname} IN ({in_list}))::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM documents WHERE {fieldname} IN ({in_list})"
+            f") rd{qid} WHERE rn <= 10"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     # fnmatch * -> SQL %, ? -> _ (term alphabet [a-z0-9_] has no literal
     # LIKE metacharacters except '_', which we escape)
@@ -1758,6 +1776,8 @@ def _multiterm_matches(sf_dir: str):
             ("prefix", ft.prefix_matches(sf_dir)),
             ("prefix_scored", ft.prefix_scored_matches(sf_dir)),
             ("in_set", ft.term_in_set_matches(sf_dir)),
+            # doc-values twin of in_set (sandbox DocValuesTermsQuery)
+            ("in_set_dv", ft.dv_terms_matches(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
             ("fuzzy", ft.fuzzy_matches(sf_dir)),
@@ -3147,6 +3167,7 @@ FROM ranked WHERE rnk <= 10
 SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
 UNION ALL SELECT 'prefix_scored', * FROM ({_prefix_scored_sql()})
 UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
+UNION ALL SELECT 'in_set_dv', * FROM ({_in_set_dv_sql()})
 UNION ALL SELECT 'fuzzy_scored', * FROM ({_fuzzy_scored_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})

@@ -2738,6 +2738,42 @@ def term_in_set_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+DV_TERM_SETS = [
+    ("lang", ("en", "fr")),
+    ("source", ("src1", "src2", "src3")),
+    ("lang", ("zh",)),
+]
+
+
+def dv_terms_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """DocValuesTermsQuery (sandbox/search/DocValuesTermsQuery.java): the
+    doc-values twin of TermInSetQuery — set membership verified against
+    the stored column instead of a postings union.  Same row shape as
+    term_in_set_matches: rnk=0 carries the match count, rnk 1..k the
+    lowest matching docids."""
+    from ..search.query import DocValuesTermsQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (fieldname, values) in enumerate(DV_TERM_SETS):
+        q = bool_query(filter=[DocValuesTermsQuery(fieldname, values)])
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 SORTED_NUMERIC_RANGES = [(100, 400), (None, 200), (250, None), (380, 390)]
 
 

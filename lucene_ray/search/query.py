@@ -395,6 +395,21 @@ class PointMultiRangeQuery:
 
 
 @dataclass(frozen=True)
+class DocValuesTermsQuery:
+    """Constant-score match on docs whose STORED column value is in the
+    set — the doc-values twin of TermInSetQuery (reference
+    sandbox/src/java/org/apache/lucene/sandbox/search/DocValuesTermsQuery.java;
+    its javadoc recommends exactly the
+    ``IndexOrDocValuesQuery(TermInSetQuery, DocValuesTermsQuery)``
+    pairing this engine supports).  Verification is one vectorized
+    ``is_in`` over the resident column — random-access semantics, no
+    postings decode, no match-set sort."""
+
+    field: str
+    values: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class IndexOrDocValuesQuery:
     """Cost-based choice between two semantically-IDENTICAL executions of
     one predicate (reference search/IndexOrDocValuesQuery.java): the
@@ -448,6 +463,7 @@ Query = (
     | KnnFloatVectorQuery
     | MultiPhraseQuery
     | IndexOrDocValuesQuery
+    | DocValuesTermsQuery
 )
 
 
@@ -472,7 +488,8 @@ def collect_terms(q: Query) -> set[str]:
                       RegexpQuery, TermInSetQuery, StoredFieldFilter,
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
                       PointMultiRangeQuery, FunctionRangeQuery,
-                      KnnFloatVectorQuery, PayloadScoreQuery)):
+                      KnnFloatVectorQuery, PayloadScoreQuery,
+                      DocValuesTermsQuery)):
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -650,6 +667,19 @@ def _dv_predicate(q: Query, weight: Weight, reader):
             )
 
         return _eq
+    if isinstance(q, DocValuesTermsQuery):
+
+        def _in() -> np.ndarray:
+            import pyarrow as pa
+
+            col = reader.stored_column(q.field)
+            return _with_live(
+                pc.is_in(
+                    col, value_set=pa.array(list(q.values), col.type)
+                ).to_numpy(zero_copy_only=False)
+            )
+
+        return _in
 
     def _generic() -> np.ndarray:  # fallback: run the dv query outright
         s = build_scorer(q, weight, reader, 1.0, "COMPLETE_NO_SCORES")
@@ -1016,6 +1046,27 @@ def build_scorer(
             return np.nonzero(pc.equal(col, q.value).to_numpy(zero_copy_only=False))[0]
 
         docs = cached_filter_docs(reader, q, _eval)
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, DocValuesTermsQuery):
+        from .cache import cached_filter_docs
+        from .scorers import PrecomputedScorer
+
+        def _eval_in():
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            col = reader.stored_column(q.field)
+            m = pc.is_in(
+                col, value_set=pa.array(list(q.values), col.type)
+            ).to_numpy(zero_copy_only=False)
+            return np.nonzero(m)[0]
+
+        docs = cached_filter_docs(reader, q, _eval_in)
         if getattr(reader, "live", None) is not None and len(docs):
             docs = docs[reader.live[docs]]
         if len(docs) == 0:

@@ -155,3 +155,47 @@ def test_estimate_count_brackets_truth(built):
                 assert est <= tree.values.shape[0] // 2
             checked += 1
     assert checked > 0
+
+
+def test_docvalues_terms_query(built):
+    """DocValuesTermsQuery (sandbox/search/DocValuesTermsQuery.java): the
+    doc-values twin of TermInSetQuery — set membership on the stored
+    column, identical to a union of per-value equality filters, and
+    usable as the dv side of IndexOrDocValuesQuery against a
+    semantically-equal multi-range index side (the pairing the reference
+    javadoc recommends)."""
+    from lucene_ray.search.query import (
+        DocValuesTermsQuery,
+        PointMultiRangeQuery,
+        StoredFieldFilter,
+        TermQuery,
+        bool_query,
+    )
+
+    tbl, searcher = built
+    vals = sorted(set(tbl.column("n_chars").to_pylist()))[:5]
+    dv = DocValuesTermsQuery("n_chars", tuple(vals))
+    got = searcher.search(bool_query(filter=[dv]), 10_000)
+    want_docs = set()
+    for v in vals:
+        for d, _s in searcher.search(
+            bool_query(filter=[StoredFieldFilter("n_chars", v)]), 10_000
+        ):
+            want_docs.add(d)
+    assert {d for d, _ in got} == want_docs
+    assert len(got) > 0
+
+    # IndexOrDocValuesQuery pairing: [v, v+1) boxes == the value set
+    rare, _ = _rare_and_common_terms(tbl, searcher)
+    boxes = tuple(((v, None), (v + 1, None)) for v in vals)
+    pair = q.IndexOrDocValuesQuery(
+        index_query=PointMultiRangeQuery(FIELDS, boxes),
+        dv_query=dv,
+    )
+    base = searcher.search(bool_query(must=[TermQuery(rare)], filter=[dv]), 50)
+    _reset()
+    via_pair = searcher.search(
+        bool_query(must=[TermQuery(rare)], filter=[pair]), 50
+    )
+    assert via_pair == base
+    assert q.INDEX_OR_DV_STATS["dv"] + q.INDEX_OR_DV_STATS["index"] > 0
