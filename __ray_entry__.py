@@ -2131,6 +2131,16 @@ def _ev_window_counts(sf_dir: str):
             ("hll_distinct_users", events.hll_distinct_users(_events(sf_dir))),
             # CMS-screened exact heavy hitters (rank rides sum_cents)
             ("cm_top_events", events.cm_top_events(_events(sf_dir))),
+        ]
+        + [
+            # KMV bottom-k quantile sketch: the deterministic md5 bottom-m
+            # sample (mergeable partials) beside the exact quantiles; the
+            # sample's TRUE rank error is gated in-engine, and BOTH arms
+            # are hash-exact (the sample itself is SQL-reproducible)
+            (f"value_quantiles_{label}", tbl)
+            for label, tbl in zip(
+                ("exact", "sample"), events.value_quantiles(_events(sf_dir))
+            )
         ],
         col="kind",
     )
@@ -4604,6 +4614,37 @@ SELECT 'cm_top_events', event_type, window_start, n_events, rnk FROM (
                count(*)::BIGINT AS n_events
         FROM events GROUP BY 1, 2)
 ) WHERE rnk <= 5
+UNION ALL
+-- KMV quantiles: exact arm (pct in the n_events slot, quantile cents in
+-- sum_cents); quantile fractions must be constants, so aggregate three
+-- columns then unpivot via LATERAL VALUES (the dv_stats pattern)
+SELECT 'value_quantiles_exact', event_type, window_start, p.pct, p.q FROM (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         quantile_disc(floor(value * 100.0 + 0.5)::BIGINT, 0.50)::BIGINT AS q50,
+         quantile_disc(floor(value * 100.0 + 0.5)::BIGINT, 0.95)::BIGINT AS q95,
+         quantile_disc(floor(value * 100.0 + 0.5)::BIGINT, 0.99)::BIGINT AS q99
+  FROM events GROUP BY 1, 2
+) u, LATERAL (VALUES (50::BIGINT, u.q50), (95, u.q95), (99, u.q99)) p(pct, q)
+UNION ALL
+-- KMV quantiles: the deterministic bottom-256-by-md5 sample arm
+SELECT 'value_quantiles_sample', event_type, window_start, p.pct, p.q FROM (
+  SELECT event_type, window_start,
+         quantile_disc(cents, 0.50)::BIGINT AS q50,
+         quantile_disc(cents, 0.95)::BIGINT AS q95,
+         quantile_disc(cents, 0.99)::BIGINT AS q99
+  FROM (
+    SELECT event_type, window_start, cents FROM (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             floor(value * 100.0 + 0.5)::BIGINT AS cents,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY (md5_number_lower('graft' || cast(event_id as varchar))
+                         % 9223372036854775808)
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 256
+  ) GROUP BY 1, 2
+) u, LATERAL (VALUES (50::BIGINT, u.q50), (95, u.q95), (99, u.q99)) p(pct, q)
 """,
         "ev_sessionize": """
 WITH e AS (

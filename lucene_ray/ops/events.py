@@ -527,3 +527,157 @@ def cm_top_events(ds, k: int = 5, eps_factor: float = 2.0):
         ),
         preserve_index=False,
     ).replace_schema_metadata(None)
+
+
+# --- KMV bottom-k quantile sketch -------------------------------------------
+# Mergeable quantile estimation via the k-minimum-values / bottom-k sample
+# (Bar-Yossef et al. 2002's KMV synopsis applied to rank queries): the m
+# rows with the SMALLEST md5 hash of their event_id form a uniform sample
+# whose q-quantile has rank error O(sqrt(q(1-q)/m)); bottom-m is mergeable
+# (bottom-m of a union == bottom-m of merged per-partition bottom-ms), so
+# partials ride one small groupby — the 100-TB path never sorts a full
+# group.  The hash is the repo's deterministic md5_number_lower kernel, so
+# the SAMPLE ITSELF is SQL-reproducible and both arms stay hash-exact
+# (DuckDB quantile_disc runs on both sides).  The exact arm sorts whole
+# groups (driver-scale verification arm, like the other *_exact twins).
+
+KMV_M = 256
+QUANTILE_PCTS = (0.50, 0.95, 0.99)
+
+
+def _kmv_partial(batch: pa.Table, m: int) -> pa.Table:
+    """Per-batch bottom-m rows per (event_type, hour window): columns
+    (event_type, window_start, cents, h)."""
+    from .dedup import _duck
+
+    sub = batch.select(["event_id", "ts", "event_type", "value"])  # noqa: F841
+    return (
+        _duck()
+        .execute(
+            f"""
+            select event_type, window_start, cents, h from (
+              -- 63-bit mask: Ray's arrow<->pandas groupby round trip
+              -- overflows true uint64 (same discipline as the exact-dedup
+              -- signatures); the oracle orders by the SAME masked hash
+              select event_type, date_trunc('hour', ts) as window_start,
+                     floor(value * 100.0 + 0.5)::BIGINT as cents,
+                     (md5_number_lower('graft' || cast(event_id as varchar))
+                       % 9223372036854775808)::BIGINT as h,
+                     row_number() over (
+                       partition by event_type, date_trunc('hour', ts)
+                       order by (md5_number_lower('graft' || cast(event_id as varchar))
+                                 % 9223372036854775808)
+                     ) as rn
+              from sub
+            ) where rn <= {m}
+            """
+        )
+        .arrow()
+    )
+
+
+def _quantile_rows(group: pa.Table, cents: np.ndarray, pcts) -> pa.Table:
+    from .dedup import _duck
+
+    vals = pa.table({"c": pa.array(cents, pa.int64())})  # noqa: F841
+    qs = ", ".join(f"quantile_disc(c, {q})" for q in pcts)
+    row = _duck().execute(f"select {qs} from vals").fetchone()
+    et = group.column("event_type")[0].as_py()
+    ws = group.column("window_start")[0].as_py()
+    ws_type = group.schema.field("window_start").type
+    return pa.table(
+        {
+            "event_type": pa.array([et] * len(pcts), pa.string()),
+            "window_start": pa.array([ws] * len(pcts), ws_type),
+            "n_events": pa.array([int(q * 100) for q in pcts], pa.int64()),
+            "sum_cents": pa.array([int(v) for v in row], pa.int64()),
+        }
+    )
+
+
+def value_quantiles(ds, m: int = KMV_M, pcts=QUANTILE_PCTS, rank_eps: float = 0.15):
+    """(exact, sample) quantile tables, both (event_type, window_start,
+    n_events=pct*100, sum_cents=quantile_cents); asserts the sample
+    quantile's TRUE rank is within ``rank_eps`` of its target percentile
+    in every group (the bottom-k sketch's accuracy gate — a sampling
+    regression fails loudly)."""
+    import ray
+
+    def _sample_group(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        c = group.column("cents").to_numpy()
+        order = np.argsort(h, kind="stable")[:m]  # merged bottom-m
+        return _quantile_rows(group, c[order], pcts)
+
+    sample = (
+        ds.map_batches(_kmv_partial, batch_format="pyarrow", fn_kwargs={"m": m})
+        .groupby(["event_type", "window_start"])
+        .map_groups(_sample_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def _exact_annot(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "event_type", "value"]).to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        df["cents"] = _cents(df["value"].to_numpy())
+        return pa.Table.from_pandas(
+            df[["event_type", "window_start", "cents"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def _exact_group(group: pa.Table) -> pa.Table:
+        return _quantile_rows(group, group.column("cents").to_numpy(), pcts)
+
+    annotated = ds.map_batches(_exact_annot, batch_format="pyarrow")
+    exact = (
+        annotated.groupby(["event_type", "window_start"])
+        .map_groups(_exact_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    # rank gate: count(values <= sample_q) / n within rank_eps of the pct.
+    # The sample table is tiny (groups x pcts); broadcast it, one partial
+    # counting pass, one small groupby.
+    key = {}
+    for r in sample.itertuples():
+        key[(r.event_type, r.window_start, int(r.n_events))] = int(r.sum_cents)
+    q_ref = ray.put(key)
+
+    def _rank_partial(batch: pa.Table) -> pa.Table:
+        qmap = ray.get(q_ref)
+        df = batch.to_pandas()
+        rows = {"event_type": [], "window_start": [], "pct": [], "le": [], "n": []}
+        for (et, ws), g in df.groupby(["event_type", "window_start"], sort=False):
+            c = g["cents"].to_numpy()
+            for p in pcts:
+                qv = qmap.get((et, ws, int(p * 100)))
+                if qv is None:
+                    continue
+                rows["event_type"].append(et)
+                rows["window_start"].append(ws)
+                rows["pct"].append(int(p * 100))
+                rows["le"].append(int((c <= qv).sum()))
+                rows["n"].append(len(c))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    ranks = (
+        annotated.map_batches(_rank_partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start", "pct"])
+        .sum(["le", "n"])
+        .to_pandas()
+    )
+    err = (ranks["sum(le)"] / ranks["sum(n)"]) - ranks["pct"] / 100.0
+    # quantile_disc picks an EXISTING element whose rank sits at or above
+    # the percentile by up to one position, so small groups (and the
+    # m-bounded sample) get the 1/size quantization on top of rank_eps
+    allow = rank_eps + 1.0 / np.minimum(ranks["sum(n)"].to_numpy(), m)
+    bad = err.abs().to_numpy() > allow
+    if bad.any():
+        i = int(np.argmax(err.abs().to_numpy() - allow))
+        raise AssertionError(
+            f"KMV quantile rank error {float(err.abs().iloc[i]):.3f} > "
+            f"{float(allow[i]):.3f} at ({ranks['event_type'].iloc[i]}, "
+            f"{ranks['window_start'].iloc[i]}, p{ranks['pct'].iloc[i]})"
+        )
+    return exact, sample
