@@ -1831,15 +1831,19 @@ def _dd_duplicate_clusters(sf_dir: str):
 
     jac = dedup.duplicate_clusters(_docs(sf_dir)).to_pandas()
     jac.insert(0, "family", "jaccard")
-    sem = semdedup.semantic_duplicate_clusters(_docs(sf_dir)).to_pandas()
+    # ONE tokenize+hash scan shared by the exact arm and the gated
+    # k-means scale path
+    tf = semdedup.hashed_tf(_docs(sf_dir)).materialize()
+    sem = semdedup.semantic_duplicate_clusters(None, tf=tf).to_pandas()
     sem.insert(0, "family", "semantic")
 
-    drops = semdedup.semdedup_drops(_docs(sf_dir), k=16).to_pandas()
-    members = set(sem["doc_id"])
+    drops = semdedup.semdedup_drops(None, k=16, tf=tf).to_pandas()
+    members = set(sem["doc_id"]) if len(sem) else set()
     assert set(drops["doc_id"]) <= members, "SemDeDup dropped a non-duplicate"
-    nonrep = len(sem) - sem["cluster_id"].nunique()
-    coverage = len(drops) / max(nonrep, 1)
-    assert coverage >= 0.5, f"SemDeDup coverage regressed: {coverage:.3f}"
+    nonrep = len(sem) - (sem["cluster_id"].nunique() if len(sem) else 0)
+    if nonrep > 0:  # a duplicate-free corpus has nothing to cover
+        coverage = len(drops) / nonrep
+        assert coverage >= 0.5, f"SemDeDup coverage regressed: {coverage:.3f}"
 
     return pd.concat([jac, sem], ignore_index=True)
 

@@ -202,10 +202,11 @@ class PointTree:
             return np.empty(0, np.int64), np.empty(0, np.int64), {}
 
         def cell_d2(node: int) -> int:
-            # squared distance from the query to the cell's closest corner
-            lo, hi = mins[node], maxs[node]
-            d = np.maximum(lo - c, 0) + np.maximum(c - hi, 0)
-            return int((d * d).sum())
+            # squared distance to the cell's closest corner — via the
+            # shared overflow-safe helper (object ints), NOT raw int64:
+            # large-magnitude coordinates would wrap silently and make
+            # best-first prune true neighbors
+            return _dist2_bounds(mins[node], maxs[node], c)[0]
 
         stats = {"nodes_visited": 0, "points_scanned": 0, "cells_pruned": 0}
         # best: max-heap of the k closest as (-d2, -docid)
@@ -226,7 +227,7 @@ class PointTree:
                         stats["cells_pruned"] += 1
                 continue
             s, e = int(start[node]), int(end[node])
-            diff = self.values[s:e] - c
+            diff = self.values[s:e].astype(object) - c  # no int64 wrap
             d2 = (diff * diff).sum(axis=1)
             ids = self.docids[s:e]
             stats["points_scanned"] += e - s

@@ -667,6 +667,12 @@ def value_quantiles(ds, m: int = KMV_M, pcts=QUANTILE_PCTS, rank_eps: float = 0.
         .sum(["le", "n"])
         .to_pandas()
     )
+    # the gate must actually have checked every (group, pct): a silent
+    # key mismatch in _rank_partial (e.g. a timestamp-precision drift
+    # across library upgrades) would otherwise make it vacuously pass
+    assert len(ranks) == len(sample), (
+        f"quantile rank gate covered {len(ranks)} of {len(sample)} rows"
+    )
     err = (ranks["sum(le)"] / ranks["sum(n)"]) - ranks["pct"] / 100.0
     # quantile_disc picks an EXISTING element whose rank sits at or above
     # the percentile by up to one position, so small groups (and the

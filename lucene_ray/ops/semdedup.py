@@ -132,27 +132,33 @@ def semantic_pair_edges(tf_ds, dim: int = DIM):
     return tf_ds.map_batches(_cand, batch_format="pyarrow")
 
 
-def semantic_duplicate_clusters(docs_ds, dim: int = DIM):
+def semantic_duplicate_clusters(docs_ds, dim: int = DIM, tf=None):
     """EXACT semantic components (doc_id, cluster_id, cluster_size):
     hashed-TF → exact threshold edges → distributed min-label
-    propagation (the same component machinery as the Jaccard arm)."""
+    propagation (the same component machinery as the Jaccard arm).
+    Pass a materialized ``tf`` (from hashed_tf) to share the tokenize +
+    hash scan with semdedup_drops."""
     from .dedup import components_from_pairs
 
-    tf = hashed_tf(docs_ds, dim).materialize()
+    if tf is None:
+        tf = hashed_tf(docs_ds, dim).materialize()
     pairs = semantic_pair_edges(tf, dim).materialize()
     return components_from_pairs(pairs)
 
 
-def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM):
+def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM, tf=None):
     """The SemDeDup SCALE path: k-means clusters, within-cluster exact
     threshold edges, local components, and the paper's keep rule (keep
     the member with the LOWEST cosine to the cluster centroid; ties by
-    doc_id).  Returns (doc_id,) rows for every DROPPED doc."""
+    doc_id).  Returns (doc_id,) rows for every DROPPED doc.  Pass a
+    materialized ``tf`` to share the tokenize + hash scan with the exact
+    arm."""
     import ray
 
     from .ann import kmeans
 
-    tf = hashed_tf(docs_ds, dim).materialize()
+    if tf is None:
+        tf = hashed_tf(docs_ds, dim).materialize()
     cents = kmeans(tf, k=k, iters=iters)
     c_ref = ray.put(cents)
 

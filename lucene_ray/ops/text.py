@@ -26,7 +26,7 @@ import hashlib
 import polars as pl
 import pyarrow as pa
 
-from .util import TOKEN_PATTERN, _TOKEN_RE
+from .util import TOKEN_PATTERN
 
 # Small per-language stopword lists for the heuristic language ID.  Counting
 # is by token occurrence (with multiplicity).  Tie-break: alphabetically
@@ -369,9 +369,11 @@ def benchmark_grams(path: str) -> frozenset:
         columns=["doc_id", "text"],
         filter=pads.field("doc_id").isin(list(CONTAM_BENCH_DOC_IDS)),
     )
+    from .util import tokenize
+
     grams = set()
     for t in tbl["text"].to_pylist():
-        ts = _TOKEN_RE.findall((t or "").lower())[:CONTAM_BENCH_PREFIX]
+        ts = tokenize(t or "")[:CONTAM_BENCH_PREFIX]
         for i in range(len(ts) - CONTAM_N + 1):
             grams.add(" ".join(ts[i : i + CONTAM_N]))
     return frozenset(grams)
@@ -550,9 +552,12 @@ def token_budget_sample(ds, budgets: dict[str, int]):
     import numpy as np
     import ray
 
+    # ONE tokenize+hash scan, reused by the offset pass and the keep pass
+    # (budgeted-domain rows only, so the materialization is the sample's
+    # working set, not the corpus)
     annotated = ds.map_batches(
         _mix_annotate, batch_format="pyarrow", fn_kwargs={"budgets": budgets}
-    )
+    ).materialize()
     # bounded driver table: <= |domains| * 2^MIX_BUCKET_BITS rows
     per_bucket = (
         annotated.groupby(["lang", "bucket"]).sum("toks").to_pandas()
@@ -589,12 +594,8 @@ def token_budget_sample(ds, budgets: dict[str, int]):
             }
         )
 
-    return (
-        ds.map_batches(
-            _mix_annotate, batch_format="pyarrow", fn_kwargs={"budgets": budgets}
-        )
-        .groupby(["lang", "bucket"])
-        .map_groups(_keep, batch_format="pyarrow")
+    return annotated.groupby(["lang", "bucket"]).map_groups(
+        _keep, batch_format="pyarrow"
     )
 
 

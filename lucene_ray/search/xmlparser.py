@@ -54,8 +54,27 @@ class ParserException(ValueError):
     """queryparser/xml/ParserException analogue."""
 
 
+def _num(e: ET.Element, attr: str, default: str, cast):
+    """Attribute as a number; a non-numeric value is a ParserException
+    (the error grammar this module promises), never a raw ValueError."""
+    raw = e.get(attr, default)
+    try:
+        return cast(raw)
+    except ValueError as exc:
+        raise ParserException(
+            f'{e.tag}: invalid numeric "{attr}" attribute: {raw!r}'
+        ) from exc
+
+
+def _only_child(e: ET.Element) -> ET.Element:
+    kids = _children(e)
+    if not kids:
+        raise ParserException(f"{e.tag} requires a child query element")
+    return kids[0]
+
+
 def _boost(e: ET.Element, q):
-    b = float(e.get("boost", "1"))
+    b = _num(e, "boost", "1", float)
     return BoostQuery(q, b) if b != 1.0 else q
 
 
@@ -105,7 +124,7 @@ def _span_node(e: ET.Element, analyzer):
             raise ParserException("SpanOrTerms analyzed to zero tokens")
         return SpanOr(tuple(SpanTerm(t) for t in toks))
     if tag == "SpanNear":
-        slop = int(e.get("slop", "0"))
+        slop = _num(e, "slop", "0", int)
         in_order = e.get("inOrder", "true").lower() == "true"
         return SpanNear(
             tuple(_span_node(c, analyzer) for c in _children(e)), slop, in_order
@@ -117,12 +136,12 @@ def _span_node(e: ET.Element, analyzer):
         if inc is None or exc is None:
             raise ParserException("SpanNot needs Include and Exclude children")
         return SpanNot(
-            _span_node(_children(inc)[0], analyzer),
-            _span_node(_children(exc)[0], analyzer),
+            _span_node(_only_child(inc), analyzer),
+            _span_node(_only_child(exc), analyzer),
         )
     if tag == "SpanFirst":
         return SpanFirst(
-            _span_node(_children(e)[0], analyzer), int(e.get("end", "1"))
+            _span_node(_only_child(e), analyzer), _num(e, "end", "1", int)
         )
     raise ParserException(f"unknown span element: {tag}")
 
@@ -146,7 +165,7 @@ def _query(e: ET.Element, analyzer, default_field, stored_fields):
         field = _field(e, default_field)
         if field in stored_fields:
             raise ParserException("TermsQuery on a stored metadata field")
-        msm = int(e.get("minimumNumberShouldMatch", "0"))
+        msm = _num(e, "minimumNumberShouldMatch", "0", int)
         clauses = tuple(
             BooleanClause(TermQuery(t), SHOULD)
             for t in analyzer.tokens(_text_or_fail(e))
@@ -155,7 +174,7 @@ def _query(e: ET.Element, analyzer, default_field, stored_fields):
     if tag == "MatchAllDocsQuery":
         return _boost(e, MatchAllDocsQuery())
     if tag == "BooleanQuery":
-        msm = int(e.get("minimumNumberShouldMatch", "0"))
+        msm = _num(e, "minimumNumberShouldMatch", "0", int)
         clauses = []
         for c in _children(e):
             if c.tag != "Clause":
@@ -171,7 +190,7 @@ def _query(e: ET.Element, analyzer, default_field, stored_fields):
             )
         return _boost(e, BooleanQuery(tuple(clauses), msm))
     if tag == "DisjunctionMaxQuery":
-        tie = float(e.get("tieBreaker", "0"))
+        tie = _num(e, "tieBreaker", "0", float)
         subs = tuple(
             _query(c, analyzer, default_field, stored_fields) for c in _children(e)
         )
@@ -195,8 +214,10 @@ def _query(e: ET.Element, analyzer, default_field, stored_fields):
         if field in stored_fields:
             # numeric stored column: [lo, hi) with the include flags
             # folded into integer bounds (StoredFieldRange convention)
-            lo_n = None if lo is None else int(lo) + (0 if inc_lo else 1)
-            hi_n = None if hi is None else int(hi) + (1 if inc_hi else 0)
+            lo_i = None if lo is None else _num(e, "lowerTerm", lo, int)
+            hi_i = None if hi is None else _num(e, "upperTerm", hi, int)
+            lo_n = None if lo_i is None else lo_i + (0 if inc_lo else 1)
+            hi_n = None if hi_i is None else hi_i + (1 if inc_hi else 0)
             return _boost(e, StoredFieldRange(field, lo_n, hi_n))
         return _boost(e, TermRangeQuery(lo, hi, inc_lo, inc_hi))
     if tag == "UserQuery":

@@ -218,3 +218,17 @@ def test_nearest_k_exceeds_points():
     docs, d2, _ = tree.nearest((0, 0), 10)
     assert docs.tolist() == [1, 0]
     assert d2.tolist() == [8, 162]
+
+
+def test_nearest_no_int64_overflow():
+    # coordinates near the int64 extremes: raw int64 diff^2 would wrap;
+    # the overflow-safe cell bounds + object-int leaf math must not
+    big = np.int64(2**40)
+    vals = np.array([[big, big], [-big, -big], [big - 3, big], [0, 0]], np.int64)
+    tree = PointTree.build(vals, np.arange(4, dtype=np.int64), leaf_size=2)
+    docs, d2, _ = tree.nearest((int(big), int(big)), 2)
+    assert docs.tolist() == [0, 2]
+    assert d2.tolist() == [0, 9]
+    # nearest to the far corner: the -big point wins over the +big cluster
+    docs, _d2, _ = tree.nearest((-int(big), -int(big)), 1)
+    assert docs.tolist() == [1]

@@ -29,12 +29,14 @@ def test_sample_gate_duckdb_parity():
 
 
 def test_amortization_is_integer_floor():
+    # pinned values: a formula change (e.g. round-half-up) fails these
+    assert [n * 100 // SAMPLE_FACET_PCT for n in (0, 1, 33, 34, 99, 100)] == [
+        0, 3, 100, 103, 300, 303,
+    ]
     for n in (0, 1, 32, 33, 34, 99, 100, 12345):
-        assert n * 100 // SAMPLE_FACET_PCT == int(n * 100 / SAMPLE_FACET_PCT) or (
-            n * 100 % SAMPLE_FACET_PCT != 0
-        )
-        # floor-division semantics: amortized * pct never exceeds n * 100
-        assert (n * 100 // SAMPLE_FACET_PCT) * SAMPLE_FACET_PCT <= n * 100
+        a = n * 100 // SAMPLE_FACET_PCT
+        # floor semantics: a*pct <= n*100 < (a+1)*pct
+        assert a * SAMPLE_FACET_PCT <= n * 100 < (a + 1) * SAMPLE_FACET_PCT
 
 
 def test_gate_stable_under_permutation():

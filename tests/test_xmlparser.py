@@ -146,3 +146,25 @@ def test_error_grammar():
         parse_xml("<BooleanQuery><Clause occurs=", AN)  # malformed XML
     with pytest.raises(ParserException):
         parse_xml("<ConstantScoreQuery/>", AN)
+
+
+def test_error_grammar_spans_and_numbers():
+    # empty Include / childless SpanFirst / bad numerics are
+    # ParserException, never IndexError / ValueError
+    with pytest.raises(ParserException):
+        parse_xml(
+            "<SpanNot><Include/><Exclude><SpanTerm>a</SpanTerm></Exclude></SpanNot>",
+            AN,
+        )
+    with pytest.raises(ParserException):
+        parse_xml('<SpanFirst end="3"/>', AN)
+    with pytest.raises(ParserException):
+        parse_xml('<TermQuery boost="huge">a</TermQuery>', AN)
+    with pytest.raises(ParserException):
+        parse_xml('<SpanNear slop="x"><SpanTerm>a</SpanTerm></SpanNear>', AN)
+    with pytest.raises(ParserException):
+        parse_xml(
+            '<RangeQuery fieldName="n_chars" lowerTerm="ten"/>',
+            AN,
+            stored_fields=("n_chars",),
+        )
