@@ -1917,6 +1917,7 @@ def _term_stats_family(sf_dir: str):
         "mapped",
         "custom_chain",
         "pattern",
+        "common_grams",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -2403,6 +2404,24 @@ tfx AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM expanded GROUP BY doc_id
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfx GROUP BY tok
 ) sy
+UNION ALL
+-- CommonGramsFilter: unigrams + '_'-joined bigrams for adjacent pairs
+-- where either side is a common word
+SELECT 'common_grams', cg.* FROM (
+WITH {_TOKS},
+spos AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 1),
+grams AS (
+  SELECT doc_id, ts[CAST(i AS INT) + 1] || '_' || ts[CAST(i AS INT) + 2] AS tok
+  FROM spos
+  WHERE i < len(ts) - 1
+    AND (ts[CAST(i AS INT) + 1] IN ('key', 'order', 'scan')
+         OR ts[CAST(i AS INT) + 2] IN ('key', 'order', 'scan'))
+),
+allt AS (SELECT doc_id, tok FROM tok UNION ALL SELECT doc_id, tok FROM grams),
+tfc AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM allt GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfc GROUP BY tok
+) cg
 UNION ALL
 -- EdgeNGramTokenFilter (min_gram=1, max_gram=2 Lucene defaults): each
 -- token contributes its 1..min(len,2)-char prefixes

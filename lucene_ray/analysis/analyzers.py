@@ -656,6 +656,97 @@ class ShingleAnalyzer(StandardAnalyzer):
         return " ".join(super().normalize(w) for w in term.split())
 
 
+# common-word set for the CommonGrams driver arm, chosen from the
+# testdata corpus's high-df vocabulary (the reference ships a 32-word
+# English list in CommonGramsFilterFactory's commongrams.txt convention)
+COMMON_GRAMS_WORDS = frozenset({"scan", "order", "key"})
+
+
+class CommonGramsAnalyzer(StandardAnalyzer):
+    """CommonGramsFilter (reference analysis/commongrams/
+    CommonGramsFilter.java): unigrams pass through unchanged; every
+    adjacent pair where EITHER side is a common word additionally emits
+    the bigram ``w1_w2`` (SEPARATOR '_', gramToken) at w1's position
+    with posInc 0 — offsets span w1.start..w2.end — so phrase queries
+    over stopword-heavy text can run on pre-joined grams.
+    discountOverlaps norms: the posInc-0 gram tokens do NOT count toward
+    the field length, so norms equal the plain StandardAnalyzer's.
+    (The reference's query-side CommonGramsQueryFilter, which keeps only
+    the grams, is a query-building concern this engine expresses by
+    searching the gram terms directly.)"""
+
+    common = COMMON_GRAMS_WORDS
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab or len(tids) < 2:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        is_common = np.array([v in self.common for v in vocab], dtype=bool)[tids]
+        same_doc = doc_ids[1:] == doc_ids[:-1]
+        pm = same_doc & (is_common[:-1] | is_common[1:])
+        if not pm.any():
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        a, b = tids[:-1][pm], tids[1:][pm]
+        g_docs = doc_ids[:-1][pm]
+        g_pos = positions[:-1][pm]  # posInc 0: the gram sits at w1's slot
+        g_os = off_s[:-1][pm]
+        g_oe = off_e[1:][pm]
+        pair_keys = a * np.int64(len(vocab)) + b
+        upairs, inv = np.unique(pair_keys, return_inverse=True)
+        gram_strs = [
+            f"{vocab[int(k // len(vocab))]}_{vocab[int(k % len(vocab))]}"
+            for k in upairs
+        ]
+        # merged vocabulary, UTF-8 sorted (gram strings may collide with
+        # genuine '_'-bearing tokens — the reference's separator has the
+        # same property)
+        merged = sorted(set(vocab) | set(gram_strs), key=lambda s: s.encode())
+        code = {t: i for i, t in enumerate(merged)}
+        uni_map = np.array([code[t] for t in vocab], np.int64)
+        gram_map = np.array([code[t] for t in gram_strs], np.int64)
+        all_tids = np.concatenate((uni_map[tids], gram_map[inv]))
+        all_docs = np.concatenate((doc_ids, g_docs))
+        all_pos = np.concatenate((positions, g_pos))
+        all_os = np.concatenate((off_s, g_os))
+        all_oe = np.concatenate((off_e, g_oe))
+        # doc-ordered stream, grams after their unigram at the same slot
+        # (unigram index < gram index pre-sort; lexsort is stable)
+        order = np.lexsort((all_pos, all_docs))
+        # lengths unchanged: discountOverlaps skips posInc-0 tokens
+        return (
+            merged,
+            all_tids[order],
+            all_docs[order],
+            all_pos[order],
+            lengths,
+            n_docs,
+            all_os[order],
+            all_oe[order],
+        )
+
+    def tokens(self, text: str) -> list[str]:
+        toks = super().tokens(text)
+        out: list[str] = []
+        for i, t in enumerate(toks):
+            out.append(t)
+            if i + 1 < len(toks) and (
+                t in self.common or toks[i + 1] in self.common
+            ):
+                out.append(f"{t}_{toks[i + 1]}")
+        return out
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        # field length counts only the unigrams (discountOverlaps)
+        n_uni = len(super().tokens(text))
+        return list(counts.keys()), list(counts.values()), n_uni
+
+
 class WhitespaceAnalyzer(StandardAnalyzer):
     """WhitespaceTokenizer (reference core/analysis/WhitespaceAnalyzer
     .java / analysis/util/CharTokenizer.java isTokenChar=!isWhitespace):
@@ -1440,6 +1531,7 @@ ANALYZERS = {
     "english_minimal": EnglishMinimalAnalyzer,
     "synonym": SynonymExpandAnalyzer,
     "shingle": ShingleAnalyzer,
+    "common_grams": CommonGramsAnalyzer,
     "whitespace": WhitespaceAnalyzer,
     "word_delimiter": WordDelimiterGraphAnalyzer,
     "edge_ngram": EdgeNGramAnalyzer,

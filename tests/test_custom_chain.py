@@ -118,3 +118,73 @@ def test_html_strip_analyzer():
     assert a.tokens("x&lt;y &#65;BC") == ["x", "y", "abc"]
     # normalization applies the strip too
     assert a.normalize("<b>Bold</b>") == "bold"
+
+
+def test_common_grams_stream():
+    """CommonGramsFilter (reference TestCommonGramsFilter shapes): the gram
+    '_'-joins adjacent pairs where either side is common, sits at w1's
+    position (posInc 0), and does not count toward the norm length."""
+    from lucene_ray.analysis.analyzers import CommonGramsAnalyzer
+
+    class A(CommonGramsAnalyzer):
+        common = frozenset({"the"})
+
+    an = A()
+    # the reference's canonical example
+    assert an.tokens("the quick brown fox") == [
+        "the", "the_quick", "quick", "brown", "fox",
+    ]
+    # common word in the middle: grams before AND after it
+    assert an.tokens("quick the brown") == [
+        "quick", "quick_the", "the", "the_brown", "brown",
+    ]
+    terms, tfs, length = an.analyze("the quick the quick")
+    assert length == 4  # discountOverlaps: unigrams only
+    got = dict(zip(terms, tfs))
+    assert got["the_quick"] == 2 and got["the"] == 2
+
+    # stream path: gram position == w1's position, offsets span the pair
+    vocab, tids, docs, pos, lengths, n_docs, off_s, off_e = (
+        an._batch_token_stream(["xx the yy"])
+    )
+    toks = [(vocab[t], int(p), int(s), int(e))
+            for t, p, s, e in zip(tids, pos, off_s, off_e)]
+    assert ("xx_the", 0, 0, 6) in toks      # gram at xx's position 0
+    assert ("the_yy", 1, 3, 9) in toks      # gram at the's position 1
+    assert lengths.tolist() == [3]
+
+
+def test_common_grams_end_to_end(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    corpus = str(tmp_path / "c")
+    import os
+
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["full scan order by key", "order without adjacency scan x",
+                     "no common words here"]
+                ),
+            }
+        ),
+        corpus + "/p.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index_local(
+        corpus, idx, analyzer="common_grams", content_column="text",
+        meta_columns=("doc_id",), docs_per_segment=10,
+    )
+    s = IndexSearcher(idx)
+    # 'scan order' adjacency answered by ONE gram term lookup
+    assert [d for d, _ in s.search(TermQuery("scan_order"), 10)] == [0]
+    # unigrams still searchable
+    assert {d for d, _ in s.search(TermQuery("scan"), 10)} == {0, 1}
