@@ -2151,6 +2151,23 @@ def _ev_window_counts(sf_dir: str):
     )
 
 
+def _ev_join_family(sf_dir: str):
+    """Event-time join family (kind, event_id, v): as-of join (v = epoch-us
+    of the latest same-user login <= the purchase, -1 if none) + interval
+    join (v = same-user clicks in the preceding hour)."""
+    from lucene_ray.ops import events
+
+    asof = events.asof_last_login(_events(sf_dir)).to_pandas()
+    asof = asof.rename(columns={"last_login_us": "v"})
+    asof.insert(0, "kind", "asof")
+    iv = events.interval_join_clicks(_events(sf_dir)).to_pandas()
+    iv = iv.rename(columns={"n_clicks": "v"})
+    iv.insert(0, "kind", "interval_clicks")
+    import pandas as pd
+
+    return pd.concat([asof, iv], ignore_index=True)
+
+
 def _clean_corpus(sf_dir: str):
     import hashlib as _h
 
@@ -2345,7 +2362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-table operators (windowed agg / sessions / as-of join) ---
         "ev_window_counts": _ev_window_counts,
         "ev_sessionize": lambda sf: events.sessionize(_events(sf)),
-        "ev_asof_last_login": lambda sf: events.asof_last_login(_events(sf)),
+        # event-time join family: as-of (latest login <= purchase) +
+        # stream-stream interval join (clicks in the preceding hour)
+        "ev_asof_last_login": _ev_join_family,
     }
 
 
@@ -4680,10 +4699,18 @@ SELECT user_id, (sum(brk) + 1)::BIGINT AS n_sessions, count(*)::BIGINT AS n_even
 FROM e GROUP BY user_id
 """,
         "ev_asof_last_login": """
-SELECT p.event_id,
+SELECT 'asof' AS kind, p.event_id,
        coalesce((SELECT epoch_us(max(l.ts)) FROM events l
                  WHERE l.user_id = p.user_id AND l.event_type = 'login'
-                   AND l.ts <= p.ts), -1)::BIGINT AS last_login_us
+                   AND l.ts <= p.ts), -1)::BIGINT AS v
+FROM events p WHERE p.event_type = 'purchase'
+UNION ALL
+-- stream-stream interval join: same-user clicks in the preceding hour,
+-- (p.ts - 60min, p.ts]
+SELECT 'interval_clicks', p.event_id,
+       (SELECT count(*) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 60 MINUTE)::BIGINT
 FROM events p WHERE p.event_type = 'purchase'
 """,
         # mm_image_stats verifies the REAL BMP/PNG encode->header-parse round

@@ -122,6 +122,53 @@ def asof_last_login(ds):
     return clean.groupby("user_id").map_groups(_asof_group, batch_format="pyarrow")
 
 
+INTERVAL_JOIN_MIN = 60
+
+
+def _interval_group(group: pa.Table) -> pa.Table:
+    """Per user: for each 'purchase', the count of same-user 'click'
+    events in the preceding INTERVAL_JOIN_MIN minutes — (left.ts -
+    window, left.ts], two searchsorteds per purchase batch."""
+    df = group.select(["user_id", "event_id", "event_type", "ts"]).to_pandas()
+    clicks = np.sort(
+        df.loc[df["event_type"] == "click", "ts"].to_numpy().astype("datetime64[us]")
+    )
+    buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    if len(buys) == 0:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_clicks": pa.array([], pa.int64()),
+            }
+        )
+    bts = buys["ts"].to_numpy().astype("datetime64[us]")
+    lo = bts - np.timedelta64(INTERVAL_JOIN_MIN, "m")
+    hi_idx = np.searchsorted(clicks, bts, side="right")
+    lo_idx = np.searchsorted(clicks, lo, side="right")  # strict > lower end
+    return pa.table(
+        {
+            "event_id": pa.array(buys["event_id"].to_numpy(), pa.int64()),
+            "n_clicks": pa.array((hi_idx - lo_idx).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def interval_join_clicks(ds):
+    """Stream-stream INTERVAL JOIN (the Flink/Beam interval-join shape;
+    reference analogue: the join module's query-time joins, but over
+    event time): purchases joined to same-user clicks with
+    click.ts in (purchase.ts - 60min, purchase.ts].  The user key is the
+    partition key — one groupby co-locates both sides, each group does
+    vectorized searchsorted counting; no all-to-all beyond the keyed
+    shuffle."""
+    from .util import strip_schema_metadata
+
+    clean = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return clean.groupby("user_id").map_groups(
+        _interval_group, batch_format="pyarrow"
+    )
+
+
 HOP_WINDOW_MIN = 60
 HOP_STEP_MIN = 30
 

@@ -683,3 +683,42 @@ def test_sample_family_schema_and_modes(ray_session):
     # 3 tokens per doc: en budget 30 -> 10 docs, de budget 9 -> 3 docs
     assert b.groupby("lang")["doc_id"].count().to_dict() == {"de": 3, "en": 10}
     assert (out["n_tokens"] == 3).all()
+
+
+def test_interval_join_clicks_semantics(ray_session):
+    """Stream-stream interval join: (p.ts - 60min, p.ts] boundary rules,
+    per-user isolation, purchases with no clicks get 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_ray.ops import events as ev
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    rows = [
+        # user 1: purchase at 12:00; clicks at 11:00 (excluded, == lower
+        # bound), 11:00:01 (in), 12:00 (in, == upper bound), 12:01 (after)
+        (1, 1, "purchase", t0),
+        (2, 1, "click", t0 - pd.Timedelta(minutes=60)),
+        (3, 1, "click", t0 - pd.Timedelta(minutes=60) + pd.Timedelta(seconds=1)),
+        (4, 1, "click", t0),
+        (5, 1, "click", t0 + pd.Timedelta(minutes=1)),
+        # user 2's click must not leak into user 1's window
+        (6, 2, "click", t0 - pd.Timedelta(minutes=1)),
+        (7, 2, "purchase", t0 + pd.Timedelta(hours=5)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        ev.interval_join_clicks(rd.from_arrow(tbl))
+        .to_pandas()
+        .set_index("event_id")["n_clicks"]
+    )
+    assert out[1] == 2  # 11:00:01 and 12:00
+    assert out[7] == 0  # user 2's click is 6h before their purchase
