@@ -1160,6 +1160,19 @@ def _fn_range_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _point_in_set_sql() -> str:
+    """PointInSetQuery arm: count docs whose n_chars is in the set."""
+    parts = []
+    for qid, values in enumerate(ft.POINT_IN_SETS):
+        in_list = ", ".join(str(v) for v in values)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, "
+            f"(SELECT count(*) FROM documents WHERE n_chars IN ({in_list}))"
+            f"::BIGINT AS cnt"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _multi_range_sql() -> str:
     """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
     of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
@@ -2273,6 +2286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("index_sorted_numeric", ft.index_sorted_range_counts(sf)),
                 # sandbox MultiRangeQuery: deduped union of BKD ranges
                 ("multi_range", ft.multi_range_counts(sf)),
+                # PointInSetQuery: one shared traversal per sorted set
+                ("point_in_set", ft.point_in_set_counts(sf)),
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
@@ -3236,6 +3251,8 @@ UNION ALL
 SELECT 'index_sorted_numeric', s.* FROM ({_sorted_numeric_range_sql()}) s
 UNION ALL
 SELECT 'multi_range', m.* FROM ({_multi_range_sql()}) m
+UNION ALL
+SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
 """,
         "ft_phrase_counts": f"""
 SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq

@@ -244,6 +244,48 @@ class PointTree:
             stats,
         )
 
+    def in_set(self, dim: int, values) -> tuple[np.ndarray, dict]:
+        """Docids whose ``dim`` coordinate is IN the value set — one tree
+        traversal shared by every value (reference
+        search/PointInSetQuery.java MergePointVisitor: the sorted value
+        iterator advances alongside the cell bounds, so each cell is
+        visited at most once regardless of set size, vs one intersect per
+        value).  A cell is pruned when no set value falls inside its
+        [min, max] range on ``dim``; a leaf is masked with one vectorized
+        isin.  Returns (sorted docids, traversal stats)."""
+        vs = np.unique(np.asarray(values, np.int64))
+        start, end = self.nodes["start"], self.nodes["end"]
+        left, right = self.nodes["left"], self.nodes["right"]
+        mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+        out: list[np.ndarray] = []
+        stats = {"nodes_visited": 0, "points_scanned": 0, "points_bulk": 0}
+        stack = [0] if len(start) and len(vs) else []
+        while stack:
+            node = stack.pop()
+            stats["nodes_visited"] += 1
+            lo, hi = int(mins[node][dim]), int(maxs[node][dim])
+            i = int(np.searchsorted(vs, lo, side="left"))
+            if i >= len(vs) or vs[i] > hi:
+                continue  # CELL_OUTSIDE: no set value inside the range
+            s, e = int(start[node]), int(end[node])
+            if lo == hi:  # single-valued cell whose value IS in the set
+                out.append(self.docids[s:e])
+                stats["points_bulk"] += e - s
+                continue
+            if left[node] < 0:  # crossing leaf: one vectorized isin
+                m = np.isin(self.values[s:e, dim], vs)
+                stats["points_scanned"] += e - s
+                if m.any():
+                    out.append(self.docids[s:e][m])
+                continue
+            stack.append(int(right[node]))
+            stack.append(int(left[node]))
+        if not out:
+            return np.empty(0, np.int64), stats
+        docs = np.concatenate(out)
+        docs.sort()
+        return docs, stats
+
     def estimate_count(
         self,
         lows: tuple[int | None, ...],

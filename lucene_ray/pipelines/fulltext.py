@@ -2871,6 +2871,34 @@ def multi_range_counts(sf_dir: str) -> pa.Table:
     return pa.table({"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())})
 
 
+POINT_IN_SETS = [
+    (100, 150, 200, 250),
+    (60, 400, 777),
+    (3, 401),
+    (9999,),  # matches nothing
+]
+
+
+def point_in_set_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) for PointInSetQuery — n_chars IN (set) answered by ONE
+    BKD traversal per query shared across the whole sorted value set
+    (reference search/PointInSetQuery.java MergePointVisitor)."""
+    from ..index.points import build_point_index
+    from ..search.query import PointInSetQuery
+
+    idx = ensure_index(sf_dir)
+    build_point_index(idx, POINT_FIELDS)
+    searcher = IndexSearcher(idx)
+    qids, cnts = [], []
+    for qid, values in enumerate(POINT_IN_SETS):
+        q = PointInSetQuery(POINT_FIELDS, 0, values)
+        qids.append(qid)
+        cnts.append(searcher.count(q))
+    return pa.table(
+        {"qid": pa.array(qids, pa.int64()), "cnt": pa.array(cnts, pa.int64())}
+    )
+
+
 WILDCARDS = ["s*k", "w?ndow", "*tor", "b*", "?a??"]
 
 

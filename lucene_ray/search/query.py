@@ -395,6 +395,21 @@ class PointMultiRangeQuery:
 
 
 @dataclass(frozen=True)
+class PointInSetQuery:
+    """Constant-score match on docs whose point value on ONE dimension is
+    in the set (reference search/PointInSetQuery.java: a single BKD
+    traversal shared by the whole SORTED value set via MergePointVisitor
+    — each cell visited once regardless of set size).  ``fields`` names
+    the persisted tree, ``dim`` the coordinate; falls back to a
+    stored-column isin scan when no tree exists.  Composes as a FILTER
+    clause like PointBoxQuery."""
+
+    fields: tuple[str, ...]
+    dim: int
+    values: tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class DocValuesTermsQuery:
     """Constant-score match on docs whose STORED column value is in the
     set — the doc-values twin of TermInSetQuery (reference
@@ -464,6 +479,7 @@ Query = (
     | MultiPhraseQuery
     | IndexOrDocValuesQuery
     | DocValuesTermsQuery
+    | PointInSetQuery
 )
 
 
@@ -489,7 +505,7 @@ def collect_terms(q: Query) -> set[str]:
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
                       PointMultiRangeQuery, FunctionRangeQuery,
                       KnnFloatVectorQuery, PayloadScoreQuery,
-                      DocValuesTermsQuery)):
+                      DocValuesTermsQuery, PointInSetQuery)):
         return set()  # constant-score / payload scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -908,6 +924,24 @@ def build_scorer(
         docs = np.array([d for d, _ in hits], np.int64)
         scores = np.array([s * boost for _, s in hits], np.float32)
         return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, PointInSetQuery):
+        from .scorers import PrecomputedScorer
+
+        tree = reader.point_tree(q.fields)
+        if tree is not None:
+            docs, _stats = tree.in_set(q.dim, q.values)
+        else:
+            # fallback: stored-column isin scan (identical semantics)
+            col = reader.stored_column(q.fields[q.dim]).to_numpy(
+                zero_copy_only=False
+            )
+            docs = np.nonzero(np.isin(col, np.asarray(q.values, np.int64)))[0]
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[np.asarray(reader.live, dtype=bool)[docs]]
+        if len(docs) == 0:
+            return None
+        return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
 
     if isinstance(q, PointBoxQuery):
         from .scorers import PrecomputedScorer

@@ -232,3 +232,40 @@ def test_nearest_no_int64_overflow():
     # nearest to the far corner: the -big point wins over the +big cluster
     docs, _d2, _ = tree.nearest((-int(big), -int(big)), 1)
     assert docs.tolist() == [1]
+
+
+def test_in_set_matches_brute_force(tree_and_vals):
+    tree, vals = tree_and_vals
+    rng = np.random.default_rng(41)
+    for _ in range(15):
+        values = rng.integers(0, 5000, size=rng.integers(1, 20)).tolist()
+        dim = int(rng.integers(0, 2))
+        got, stats = tree.in_set(dim, values)
+        want = np.nonzero(np.isin(vals[:, dim], np.unique(values)))[0]
+        assert np.array_equal(got, want)
+        # value-range pruning bites hard when the set is small relative
+        # to the domain (a dense random set legitimately touches most
+        # cells, so only small sets assert a scan bound)
+        if len(values) <= 3:
+            assert stats["points_scanned"] < len(vals) // 2
+    # empty set / absent values
+    docs, _ = tree.in_set(0, [])
+    assert len(docs) == 0
+    docs, _ = tree.in_set(0, [99999])
+    assert len(docs) == 0
+
+
+def test_in_set_single_traversal_beats_per_value():
+    # a set of 50 values: the shared traversal must visit FEWER nodes
+    # than 50 separate single-value intersects (the MergePointVisitor
+    # point of PointInSetQuery.java)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100_000, size=(50_000, 2)).astype(np.int64)
+    tree = PointTree.build(vals, np.arange(len(vals), dtype=np.int64), leaf_size=256)
+    values = rng.integers(0, 100_000, size=50).tolist()
+    _, shared = tree.in_set(0, values)
+    per_value_nodes = 0
+    for v in values:
+        _, st = tree.intersect((int(v), None), (int(v) + 1, None))
+        per_value_nodes += st["nodes_visited"]
+    assert shared["nodes_visited"] < per_value_nodes
