@@ -1420,7 +1420,7 @@ LSH_MIN_RECALL = 0.7
 RADIUS_TAU = 0.30
 
 
-def _ann_hnsw(sf_dir: str):
+def _ann_hnsw(sf_dir: str, patience: bool = False):
     """INDEX-INTEGRATED KnnFloatVectorQuery: per-SEGMENT persisted HNSW
     graphs (index/vectors.py — the Lucene99HnswVectorsWriter shape, one
     graph per segment keyed on local docids) searched through the
@@ -1433,7 +1433,9 @@ def _ann_hnsw(sf_dir: str):
     the DuckDB list_cosine_similarity oracle reproduces hash-exactly."""
     from lucene_ray.ops import ann
 
-    hnsw = ft.knn_index_topk(sf_dir, ANN_QUERY_IDS, k=10).to_pandas()
+    hnsw = ft.knn_index_topk(
+        sf_dir, ANN_QUERY_IDS, k=10, patience=patience
+    ).to_pandas()
     exact = ann.brute_topk(
         _embs(sf_dir),
         ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS),
@@ -2362,6 +2364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("filtered", _ann_hnsw_filtered(sf)),
                 # SeededKnnVectorQuery: seed-query matches as entry points
                 ("seeded", _ann_hnsw_seeded(sf)),
+                # PatienceKnnVectorQuery: saturation early exit, same
+                # recall gate (a too-eager exit turns the row red)
+                ("patience", _ann_hnsw(sf, patience=True)),
             ],
             col="variant",
         ),
@@ -4603,6 +4608,23 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) s
+UNION ALL
+-- PatienceKnnVectorQuery: the saturation early exit changes traversal
+-- cost, not semantics — gated on recall, exact top-k returned
+SELECT 'patience', pt.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+sims AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS s
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+  FROM sims
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) pt
 """,
         "ann_ivf_persisted": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

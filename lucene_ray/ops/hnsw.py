@@ -115,13 +115,22 @@ class HnswGraph:
 
     _BEAM_FANOUT = 8  # frontier candidates expanded per matmul
 
-    def _beam(self, q: np.ndarray, start: int, layer: int, ef: int):
+    def _beam(self, q: np.ndarray, start: int, layer: int, ef: int,
+              patience: int | None = None):
         """Best-first beam; returns [(node, sim)] sorted (sim desc, id asc).
 
         Expands up to _BEAM_FANOUT frontier candidates per iteration so
         neighbor scoring is one larger matmul instead of many tiny ones
         (same beam semantics: every expanded candidate was >= the current
-        floor when popped; the visited tag dedupes)."""
+        floor when popped; the visited tag dedupes).
+
+        ``patience``: early exit when the result queue SATURATES
+        (reference search/PatienceKnnVectorQuery.java +
+        HnswQueueSaturationCollector.java: no queue growth across more
+        than ``patience`` consecutive candidate expansions stops the
+        search; the 0.995 saturation ratio degenerates to "no adds" at
+        our batch granularity, counted per expanded candidate).  The
+        exit count rides ``self.last_beam_stats``."""
         self._vgen += 1
         gen = self._vgen
         tag = self._vtag
@@ -137,18 +146,29 @@ class HnswGraph:
         while len(best) > ef:
             heapq.heappop(best)
         fanout = self._BEAM_FANOUT
+        saturated = 0
+        expanded_total = 0
+        early_exit = False
         while cand:
+            if patience is not None and saturated > patience:
+                early_exit = True
+                break
             floor = best[0][0] if len(best) >= ef else -np.inf
             gathered = []
+            n_expanded = 0
             while cand and len(gathered) < fanout:
                 neg, node = heapq.heappop(cand)
                 if -neg < floor:
                     cand.clear()  # every remaining candidate is worse
                     break
+                n_expanded += 1
                 nb = self._neighbors(node, layer)
                 if len(nb):
                     gathered.append(nb)
+            expanded_total += n_expanded
             if not gathered:
+                if patience is not None:
+                    saturated += n_expanded
                 continue
             nb = np.concatenate(gathered) if len(gathered) > 1 else gathered[0]
             nb = nb[tag[nb] != gen]
@@ -158,24 +178,35 @@ class HnswGraph:
                 continue
             tag[nb] = gen
             sims = self.vec[nb] @ q
+            adds = 0
             if len(best) >= ef:
                 # prefilter on the current floor: only candidates that can
                 # enter ``best`` are pushed (the floor only rises, so the
                 # kept set is a superset of the strictly-needed ones)
                 keep = sims > floor
                 if not keep.any():
+                    if patience is not None:
+                        saturated += n_expanded
                     continue
                 nb, sims = nb[keep], sims[keep]
             for s, x in zip(sims.tolist(), nb.tolist()):
                 if len(best) < ef:
                     heapq.heappush(best, (s, x))
                     heapq.heappush(cand, (-s, x))
+                    adds += 1
                     if len(best) >= ef:
                         floor = best[0][0]
                 elif s > floor:
                     heapq.heapreplace(best, (s, x))
                     heapq.heappush(cand, (-s, x))
+                    adds += 1
                     floor = best[0][0]
+            if patience is not None:
+                saturated = saturated + n_expanded if adds == 0 else 0
+        self.last_beam_stats = {
+            "expanded": expanded_total,
+            "early_exit": early_exit,
+        }
         out = sorted(best, key=lambda b: (-b[0], self.ids[b[1]]))
         return [(x, s) for s, x in out]
 
@@ -235,7 +266,8 @@ class HnswGraph:
 
     def search(self, q: np.ndarray, k: int, ef: int = EF_SEARCH,
                accept: np.ndarray | None = None,
-               seeds: np.ndarray | None = None):
+               seeds: np.ndarray | None = None,
+               patience: int | None = None):
         """[(external id, cosine sim)] top-k.
 
         ``accept`` (bool mask over EXTERNAL ids) is the filtered-kNN path
@@ -267,9 +299,9 @@ class HnswGraph:
             for layer in range(int(self.level[self.entry]), 0, -1):
                 cur = self._greedy(qn, cur, layer)
         if accept is None:
-            best = self._beam(qn, cur, 0, max(ef, k))
+            best = self._beam(qn, cur, 0, max(ef, k), patience=patience)
             return [(int(self.ids[n]), float(s)) for n, s in best[:k]]
-        best = self._beam(qn, cur, 0, max(4 * ef, 4 * k))
+        best = self._beam(qn, cur, 0, max(4 * ef, 4 * k), patience=patience)
         hits = [
             (int(self.ids[n]), float(s))
             for n, s in best

@@ -1584,6 +1584,7 @@ def knn_index_topk(
     k: int = 10,
     filter_lang: str | None = None,
     seed_lang: str | None = None,
+    patience: bool = False,
 ) -> pa.Table:
     """INDEX-INTEGRATED KnnFloatVectorQuery (query_id, rnk, neighbor_id):
     per-segment persisted HNSW graphs (index/vectors.py, the
@@ -1609,12 +1610,14 @@ def knn_index_topk(
     # SeededKnnVectorQuery path: the seed query's per-segment matches
     # become the HNSW entry points (SeededHnswGraphSearcher)
     seed = StoredFieldFilter("lang", seed_lang) if seed_lang else None
+    # PatienceKnnVectorQuery default: max(7, 0.3*k)
+    pat = max(7, int(0.3 * (k + 1))) if patience else None
     qids, rnks, nbrs = [], [], []
     for j, qid in enumerate(q_ids):
         hits = searcher.search(
             KnnFloatVectorQuery(
                 "embedding", tuple(map(float, q_mat[j])), k + 1,
-                filter=filt, seed=seed,
+                filter=filt, seed=seed, patience=pat,
             ),
             k + 1,
         )

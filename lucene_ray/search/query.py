@@ -345,6 +345,11 @@ class KnnFloatVectorQuery:
     # ranking semantics; segments where the seed matches nothing fall
     # back to the ordinary entry point, like the reference.
     seed: object = None
+    # PatienceKnnVectorQuery (search/PatienceKnnVectorQuery.java): early
+    # exit when the beam's result queue saturates for more than this many
+    # consecutive candidate expansions (the reference default is
+    # max(7, 0.3*k)); None = no early exit
+    patience: int | None = None
 
 
 @dataclass(frozen=True)
@@ -913,7 +918,7 @@ def build_scorer(
                 seeds = np.asarray(sdocs, np.int64)[: max(2 * q.k, 16)]
         hits = graph.search(
             np.asarray(q.vector, dtype=np.float32), q.k, q.ef_search,
-            accept=accept, seeds=seeds,
+            accept=accept, seeds=seeds, patience=q.patience,
         )
         if getattr(reader, "live", None) is not None:
             live = np.asarray(reader.live, dtype=bool)

@@ -275,3 +275,41 @@ def test_seeded_knn_entry_points():
     multi = g.search(q, 10, seeds=ids[[50, 150, 250, 350]])
     exact_top = int(ids[int(np.argmax(mat @ q))])
     assert multi[0][0] == exact_top or multi[0][1] >= plain[0][1] - 0.05
+
+
+def test_patience_early_exit_and_recall():
+    """PatienceKnnVectorQuery semantics: the saturation early exit fires
+    (fewer candidate expansions than the unbounded beam), never changes
+    the result type/shape, and with the reference default patience the
+    top-k stays high-recall vs exact brute force."""
+    rng = np.random.default_rng(13)
+    # clustered data: saturation happens quickly inside a cluster
+    centers = rng.normal(size=(8, 32))
+    mat = np.concatenate(
+        [c + 0.05 * rng.normal(size=(250, 32)) for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    g = hnsw.HnswGraph(ids, mat)
+    q = mat[3] + 0.01 * rng.normal(size=32).astype(np.float32)
+
+    plain = g.search(q, 10, ef=64)
+    exp_plain = g.last_beam_stats["expanded"]
+    assert not g.last_beam_stats["early_exit"]
+
+    pat = g.search(q, 10, ef=64, patience=max(7, 3))
+    stats = g.last_beam_stats
+    assert len(pat) == 10
+    # recall of the patience run vs the unbounded beam
+    overlap = len({d for d, _ in pat} & {d for d, _ in plain})
+    assert overlap >= 8
+    # patience=0 exits as early as possible and must still return k hits
+    tiny = g.search(q, 10, ef=64, patience=0)
+    assert len(tiny) == 10
+    assert g.last_beam_stats["expanded"] <= exp_plain
+
+    # exact brute recall with the reference default patience
+    qn = q / np.linalg.norm(q)
+    vn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    exact = set(np.argsort(-(vn @ qn))[:10].tolist())
+    got = {d for d, _ in pat}
+    assert len(got & exact) >= 8
