@@ -3781,6 +3781,35 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
+UNION ALL
+-- IndriDirichletSimilarity (mu=2000, IndriCollectionModel p = ttf/sumTtf):
+-- score = ln((tf + mu*p) / (dl + mu)) — negative log-probability, NO clamp
+SELECT 'indri', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (SELECT coalesce(sum(dl), 0)::BIGINT AS sum_ttf FROM dl),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+ttf AS (SELECT qid, term, sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         ln((p.tf + 2000.0 * t.ttf / s.sum_ttf) / (d.ql + 2000.0)) AS score
+  FROM posting p
+  JOIN ttf t ON t.qid = p.qid AND t.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
 """,
         "ft_facet_counts": f"""
 WITH {_TOKS},

@@ -2032,6 +2032,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         DFISimilarity,
         DFRSimilarity,
         IBSimilarity,
+        IndriDirichletSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
         SweetSpotSimilarity,
@@ -2050,9 +2051,13 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         # plateau norm is non-monotone in length -> impact pruning invalid,
         # COMPLETE mode only (see SweetSpotSimilarity docstring)
         ("sweetspot", SweetSpotSimilarity()),
+        # log-probability scores are NEGATIVE -> the 0-floored pruning is
+        # invalid, COMPLETE mode only (see _IndriDirichletScorer)
+        ("indri", IndriDirichletSimilarity()),
     ):
         t = _sim_topk(
-            sf_dir, sim, k, score_mode="COMPLETE" if name == "sweetspot" else "TOP_SCORES"
+            sf_dir, sim, k,
+            score_mode="COMPLETE" if name in ("sweetspot", "indri") else "TOP_SCORES",
         )
         parts.append(
             t.add_column(0, "sim", pa.array([name] * len(t), pa.string()))

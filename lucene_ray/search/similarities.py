@@ -143,6 +143,57 @@ class LMDirichletSimilarity:
         return _LMDirichletScorer(boost, self.mu, p)
 
 
+class _IndriDirichletScorer:
+    """SimScorer for Indri Dirichlet smoothing: score = f32(boost *
+    ln((freq + mu*p) / (dl + mu))) — a LOG-PROBABILITY, always negative
+    (no 0-clamp, unlike LMDirichlet), so impact/WAND pruning whose
+    min-competitive floor starts at 0 is invalid: run this similarity in
+    COMPLETE mode (the SweetSpot discipline)."""
+
+    def __init__(self, boost: float, mu: float, p_coll: float):
+        self.boost = float(boost)
+        self.mu = float(mu)
+        self.p = float(p_coll)
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        s = self.boost * np.log(
+            (float(freq) + self.mu * self.p)
+            / (self._dl[norm_byte & 0xFF] + self.mu)
+        )
+        return F32(s)
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        s = self.boost * np.log(
+            (freqs.astype(np.float64) + self.mu * self.p)
+            / (self._dl[norm_bytes] + self.mu)
+        )
+        return s.astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return self.score(freq, norm_byte)
+
+
+class IndriDirichletSimilarity:
+    """Indri's Dirichlet smoothing (reference
+    similarities/IndriDirichletSimilarity.java, mu default 2000;
+    IndriCollectionModel: p(t|C) = ttf / numberOfFieldTokens = sumTtf).
+    Scores are log-probabilities (NEGATIVE) — use score_mode=COMPLETE."""
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _IndriDirichletScorer:
+        ttf = sum(ts.total_term_freq for ts in term_stats)
+        p = ttf / float(collection_stats.sum_total_term_freq)
+        return _IndriDirichletScorer(boost, self.mu, p)
+
+
 class _LMJelinekMercerScorer:
     """SimScorer for Jelinek-Mercer: score = f32(max(0, boost * ln(1 +
     ((1-lambda) * freq / dl) / (lambda * p)))) with dl the SmallFloat-

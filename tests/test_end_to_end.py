@@ -445,3 +445,43 @@ def test_sweetspot_functions_pinned():
     assert np.float32(hs.score(10.0, b_in)) == np.float32(idf * 1.0)
     # far above xoffset the tf approaches the hard max 2.0
     assert abs(float(hs.score(1000.0, b_in)) - idf * 2.0) < 1e-4
+
+
+def test_indri_negative_scores_and_formula(built):
+    """IndriDirichletSimilarity (similarities/IndriDirichletSimilarity.java
+    mu=2000, IndriCollectionModel p = ttf/sumTtf): scores are NEGATIVE
+    log-probabilities (no clamp), ranking still works in COMPLETE mode,
+    and the top hit matches the closed-form double-eval formula."""
+    from lucene_ray.index.postings import decode_term
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import IndriDirichletSimilarity
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    _, searcher = built
+    root = os.path.dirname(searcher.manifest["segments"][0]["dir"])
+    s = IndexSearcher(root, similarity=IndriDirichletSimilarity())
+    term = "def"
+    hits = s.search(TermQuery(term), 5, total_hits_threshold=np.inf,
+                    score_mode="COMPLETE")
+    assert hits
+    assert all(sc < 0 for _d, sc in hits)  # log-probabilities
+    scores = [float(sc) for _d, sc in hits]
+    assert scores == sorted(scores, reverse=True)
+    cstats = s.collection_stats
+    tstats = s.term_statistics({term})[term]
+    p = tstats.total_term_freq / float(cstats.sum_total_term_freq)
+    doc, score = hits[0]
+    for seg in s.manifest["segments"]:
+        r = SegmentReader(seg["dir"])
+        lo = seg["doc_base"]
+        if lo <= doc < lo + r.max_doc:
+            tid = r.term_id(term)
+            docs, tfs = decode_term(r.enc, tid)
+            tf = int(tfs[list(docs).index(doc - lo)])
+            dl = float(LENGTH_TABLE[int(r.norms[doc - lo])])
+            expect = np.float32(np.log((tf + 2000.0 * p) / (dl + 2000.0)))
+            assert np.float32(score) == expect
+            break
+    else:
+        raise AssertionError("hit doc not found in any segment")
