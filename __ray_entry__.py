@@ -2326,11 +2326,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one per-doc profile (single read pass; frees driver-cap slots)
         # + benchmark decontamination columns (GPT-3 App. C / The Pile
         # n-gram overlap vs a leaked eval set; small side broadcast)
+        # + DSIR importance weights (Xie et al. 2023) vs the same target
+        # docs — integer dot products against a broadcast score table
         "tx_doc_stats": lambda sf: text.doc_profile(
             _docs(sf, ("doc_id", "text", "lang")),
             bench_grams=text.benchmark_grams(
                 os.path.join(sf, "documents.parquet")
             ),
+            dsir=text.dsir_scores(os.path.join(sf, "documents.parquet")),
         ),
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         # sampling family: hash-gated per-stratum pct arm + token-budget
@@ -4428,7 +4431,8 @@ WHERE prefix < (CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 ELSE 2000 END)
 SELECT s.*, l.* EXCLUDE (doc_id), f.fp, f.roll_fp,
        COALESCE(c.contam_hits, 0)::BIGINT AS contam_hits,
        (CASE WHEN COALESCE(c.contam_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
-         AS contam_flag
+         AS contam_flag,
+       COALESCE(w.dsir_weight, 0)::BIGINT AS dsir_weight
 FROM ({_doc_stats_sql()}) s
 JOIN ({_lang_sql()}) l USING (doc_id)
 JOIN (SELECT a.doc_id, a.fp, b.roll_fp
@@ -4454,6 +4458,31 @@ LEFT JOIN (
   FROM dgrams d LEFT JOIN bgrams b USING (gram)
   GROUP BY d.doc_id
 ) c USING (doc_id)
+LEFT JOIN (
+  -- DSIR importance weight (Xie et al. 2023): integer dot of the doc's
+  -- hashed-token bucket counts with floor(K*ln(p_target/p_raw)+0.5)
+  -- quantized per-bucket log ratios (add-1 smoothed; target = the
+  -- decontamination benchmark docs)
+  WITH bk AS (
+    SELECT doc_id, cast(md5_number_lower(tok) % {text.DSIR_DIM} as bigint) AS b
+    FROM (WITH {_TOKS} SELECT doc_id, tok FROM tok)
+  ),
+  m AS (
+    SELECT b,
+           count(*) FILTER (WHERE doc_id IN {text.CONTAM_BENCH_DOC_IDS})::BIGINT AS t,
+           count(*)::BIGINT AS r
+    FROM bk GROUP BY b
+  ),
+  tots AS (SELECT sum(t)::BIGINT AS tt, sum(r)::BIGINT AS rt FROM m),
+  sc AS (
+    SELECT b, floor({text.DSIR_K} * ln(((t + 1.0) / (tots.tt + {text.DSIR_DIM}))
+                 / ((r + 1.0) / (tots.rt + {text.DSIR_DIM}))) + 0.5)::BIGINT AS s
+    FROM m, tots
+  ),
+  cnts AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bk GROUP BY doc_id, b)
+  SELECT cnts.doc_id, sum(cnts.c * sc.s)::BIGINT AS dsir_weight
+  FROM cnts JOIN sc USING (b) GROUP BY cnts.doc_id
+) w USING (doc_id)
 """,
         "dd_signatures": f"""
 SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,

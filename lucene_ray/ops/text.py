@@ -319,12 +319,12 @@ def fingerprints_combined(ds):
     return _map(ds, _both)
 
 
-def doc_profile(ds, bench_grams: frozenset | None = None):
+def doc_profile(ds, bench_grams: frozenset | None = None, dsir=None):
     """token/quality stats + language-ID + both fingerprints (+ optional
-    benchmark-contamination columns) as ONE per-doc table in a single
-    read pass (one map_batches stage, no shuffle): the doc_stats columns
-    plus (c_<lang>..., lang_pred, fp, roll_fp[, contam_hits,
-    contam_flag])."""
+    benchmark-contamination and DSIR importance-weight columns) as ONE
+    per-doc table in a single read pass (one map_batches stage, no
+    shuffle): the doc_stats columns plus (c_<lang>..., lang_pred, fp,
+    roll_fp[, contam_hits, contam_flag][, dsir_weight])."""
 
     def _all(batch: pa.Table) -> pa.Table:
         stats = doc_stats_batch(batch).sort_by("doc_id")
@@ -334,6 +334,8 @@ def doc_profile(ds, bench_grams: frozenset | None = None):
         extras = [lang, fp, roll]
         if bench_grams is not None:
             extras.append(contamination_batch(batch, bench_grams).sort_by("doc_id"))
+        if dsir is not None:
+            extras.append(dsir_weight_batch(batch, dsir).sort_by("doc_id"))
         out = stats
         for extra in extras:
             for name in extra.column_names:
@@ -416,6 +418,86 @@ def contamination_batch(batch: pa.Table, grams: frozenset) -> pa.Table:
                 ("contam_flag", pa.int64()),
             ]
         )
+    )
+
+
+# --- DSIR importance weights ------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, arXiv
+# 2302.03169): score each raw doc by the log-likelihood ratio of its
+# hashed n-gram features under a TARGET domain model vs the RAW corpus
+# model; high-weight docs look like the target.  Deviations (documented):
+# features are md5-hashed token UNIGRAMS in DSIR_DIM buckets (the paper
+# hashes uni+bigrams into 10k buckets; our corpora are tiny), and the
+# per-bucket log ratios are quantized to integers s_b = floor(K*lnr + 0.5)
+# so the per-doc weight is an EXACT integer dot product — combine order
+# can't perturb it.  The oracle derives the same score table in SQL; the
+# only inexact step is ln (numpy's SIMD log vs DuckDB's libm differ by
+# ~1 ulp), whose floor-quantization boundary risk at K=1000 is ~1e-13
+# per bucket — far below the engine's other float32-exactness bars.
+#
+# Scale shape: the raw model is ONE aggregate scan (per-batch bincount
+# partials summed); the target model reads only the benchmark docs
+# (column+row pruned); scoring is one vectorized dot per batch.
+
+DSIR_DIM = 64
+DSIR_K = 1000
+
+
+def dsir_scores(
+    path: str,
+    bench_doc_ids: tuple[int, ...] = CONTAM_BENCH_DOC_IDS,
+    dim: int = DSIR_DIM,
+    k_quant: int = DSIR_K,
+):
+    """int64 per-bucket quantized log ratios s_b = floor(K * ln(p_target_b
+    / p_raw_b) + 0.5), add-1 smoothed.  Deterministic single-process
+    helper shared by the engine and the oracle builder."""
+    import numpy as np
+
+    from .dedup import _duck
+
+    ids = ", ".join(str(i) for i in bench_doc_ids)
+    rows = _duck().execute(
+        f"""
+        with toks as (
+          select doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                 '{TOKEN_PATTERN}')) tok
+          from read_parquet('{path}')
+        ),
+        b as (select doc_id, cast(md5_number_lower(tok) % {dim} as bigint) bk
+              from toks)
+        select bk,
+               count(*) filter (where doc_id in ({ids}))::bigint t,
+               count(*)::bigint r
+        from b group by bk
+        """
+    ).fetchall()
+    t = np.zeros(dim, np.int64)
+    r = np.zeros(dim, np.int64)
+    for bk, tc, rc in rows:
+        t[bk], r[bk] = tc, rc
+    pt = (t + 1.0) / (t.sum() + dim)
+    pr = (r + 1.0) / (r.sum() + dim)
+    return np.floor(k_quant * np.log(pt / pr) + 0.5).astype(np.int64)
+
+
+def dsir_weight_batch(batch: pa.Table, scores) -> pa.Table:
+    """(doc_id, dsir_weight): exact integer dot of the doc's hashed-token
+    bucket counts with the broadcast score table."""
+    import numpy as np
+
+    from .semdedup import hashed_tf_batch
+
+    tf = hashed_tf_batch(batch.select(["doc_id", "text"]), dim=len(scores))
+    mat = np.stack(
+        [np.asarray(v, dtype=np.int64) for v in tf.column("embedding").to_pylist()]
+    ) if len(tf) else np.zeros((0, len(scores)), np.int64)
+    w = mat @ np.asarray(scores, np.int64)
+    return pa.table(
+        {
+            "doc_id": tf.column("vec_id"),
+            "dsir_weight": pa.array(w, pa.int64()),
+        }
     )
 
 

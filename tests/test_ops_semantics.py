@@ -722,3 +722,50 @@ def test_interval_join_clicks_semantics(ray_session):
     )
     assert out[1] == 2  # 11:00:01 and 12:00
     assert out[7] == 0  # user 2's click is 6h before their purchase
+
+
+def test_dsir_importance_weights():
+    """DSIR (Xie et al. 2023): target-looking docs outweigh off-target
+    docs, weights are exact integer dots (brute recount), and the
+    benchmark/target docs themselves rank at the top."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.ops import text as tx
+    from lucene_ray.ops.semdedup import hashed_tf_batch
+
+    target_text = "alpha beta gamma delta " * 5
+    docs = {
+        7: target_text,                     # target doc (CONTAM_BENCH ids)
+        42: target_text,
+        99: target_text,
+        1: "alpha beta gamma delta epsilon",   # target-like
+        2: "zz yy xx ww vv uu tt ss",           # off-target
+        3: "",                                   # empty -> weight 0
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "documents.parquet")
+        pq.write_table(tbl, p)
+        scores = tx.dsir_scores(p)
+    assert scores.dtype == np.int64 and len(scores) == tx.DSIR_DIM
+    out = tx.dsir_weight_batch(tbl, scores).to_pydict()
+    w = dict(zip(out["doc_id"], out["dsir_weight"]))
+    assert w[1] > w[2]          # target-like beats off-target
+    assert w[2] < 0             # off-target features have negative ratios
+    assert w[3] == 0            # empty doc
+    assert w[7] > w[1]          # the target docs themselves rank highest
+    # brute recount: integer dot of hashed counts with the score table
+    tf = hashed_tf_batch(tbl, dim=tx.DSIR_DIM)
+    for i, v in zip(tf.column("vec_id").to_pylist(),
+                    tf.column("embedding").to_pylist()):
+        assert w[i] == int(np.asarray(v, np.int64) @ scores)
