@@ -220,6 +220,13 @@ def _query(e: ET.Element, analyzer, default_field, stored_fields):
             hi_n = None if hi_i is None else hi_i + (1 if inc_hi else 0)
             return _boost(e, StoredFieldRange(field, lo_n, hi_n))
         return _boost(e, TermRangeQuery(lo, hi, inc_lo, inc_hi))
+    if tag == "BoostingTermQuery":
+        # BoostingTermBuilder: PayloadScoreQuery(SpanTerm,
+        # AveragePayloadFunction) — our payload stream scores the same
+        # shape with func="avg"
+        from .query import PayloadScoreQuery
+
+        return _boost(e, PayloadScoreQuery(_text_or_fail(e), func="avg"))
     if tag == "UserQuery":
         from .parser import parse_classic
 

@@ -168,3 +168,12 @@ def test_error_grammar_spans_and_numbers():
             AN,
             stored_fields=("n_chars",),
         )
+
+
+def test_boosting_term_query():
+    from lucene_ray.search.query import PayloadScoreQuery
+
+    q = parse_xml("<BoostingTermQuery>spark</BoostingTermQuery>", AN)
+    assert q == PayloadScoreQuery("spark", func="avg")
+    q = parse_xml('<BoostingTermQuery boost="2">spark</BoostingTermQuery>', AN)
+    assert q == BoostQuery(PayloadScoreQuery("spark", func="avg"), 2.0)
