@@ -2172,15 +2172,8 @@ def _ev_join_family(sf_dir: str):
     join (v = same-user clicks in the preceding hour)."""
     from lucene_ray.ops import events
 
-    asof = events.asof_last_login(_events(sf_dir)).to_pandas()
-    asof = asof.rename(columns={"last_login_us": "v"})
-    asof.insert(0, "kind", "asof")
-    iv = events.interval_join_clicks(_events(sf_dir)).to_pandas()
-    iv = iv.rename(columns={"n_clicks": "v"})
-    iv.insert(0, "kind", "interval_clicks")
-    import pandas as pd
-
-    return pd.concat([asof, iv], ignore_index=True)
+    # ONE keyed shuffle: both joins ride the same groupby(user_id)
+    return events.join_family(_events(sf_dir)).to_pandas()
 
 
 def _clean_corpus(sf_dir: str):

@@ -726,8 +726,7 @@ class CommonGramsAnalyzer(StandardAnalyzer):
             all_oe[order],
         )
 
-    def tokens(self, text: str) -> list[str]:
-        toks = super().tokens(text)
+    def _with_grams(self, toks: list[str]) -> list[str]:
         out: list[str] = []
         for i, t in enumerate(toks):
             out.append(t)
@@ -737,14 +736,17 @@ class CommonGramsAnalyzer(StandardAnalyzer):
                 out.append(f"{t}_{toks[i + 1]}")
         return out
 
+    def tokens(self, text: str) -> list[str]:
+        return self._with_grams(super().tokens(text))
+
     def analyze(self, text: str):
-        toks = self.tokens(text)
+        uni = super().tokens(text)  # tokenize ONCE; grams derive from it
+        toks = self._with_grams(uni)
         if not toks:
             return [], [], 0
         counts = Counter(toks)
         # field length counts only the unigrams (discountOverlaps)
-        n_uni = len(super().tokens(text))
-        return list(counts.keys()), list(counts.values()), n_uni
+        return list(counts.keys()), list(counts.values()), len(uni)
 
 
 class WhitespaceAnalyzer(StandardAnalyzer):

@@ -169,6 +169,45 @@ def interval_join_clicks(ds):
     )
 
 
+def _join_family_group(group: pa.Table) -> pa.Table:
+    """Both event-time joins from ONE co-located group: (kind, event_id, v)
+    with kind in {asof, interval_clicks}."""
+    asof = _asof_group(group)
+    iv = _interval_group(group)
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["asof"] * len(asof) + ["interval_clicks"] * len(iv), pa.string()
+            ),
+            "event_id": pa.concat_arrays(
+                [
+                    asof.column("event_id").combine_chunks(),
+                    iv.column("event_id").combine_chunks(),
+                ]
+            ),
+            "v": pa.concat_arrays(
+                [
+                    asof.column("last_login_us").combine_chunks(),
+                    iv.column("n_clicks").combine_chunks(),
+                ]
+            ),
+        }
+    )
+
+
+def join_family(ds):
+    """As-of join + interval join over the SAME keyed shuffle: one
+    groupby(user_id) co-locates each user's events once and the group fn
+    emits both kinds — half the exchange cost of running the two joins
+    separately."""
+    from .util import strip_schema_metadata
+
+    clean = ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
+    return clean.groupby("user_id").map_groups(
+        _join_family_group, batch_format="pyarrow"
+    )
+
+
 HOP_WINDOW_MIN = 60
 HOP_STEP_MIN = 30
 

@@ -175,6 +175,10 @@ class HnswGraph:
             if len(nb) > 1:
                 nb = np.unique(nb)  # dedupe across the gathered frontiers
             if not len(nb):
+                # all gathered neighbors already visited: zero queue growth,
+                # counts toward saturation like the no-gathered path above
+                if patience is not None:
+                    saturated += n_expanded
                 continue
             tag[nb] = gen
             sims = self.vec[nb] @ q

@@ -43,10 +43,21 @@ TAU_NUM = 81
 TAU_DEN = 100
 
 
-def hashed_tf_batch(batch: pa.Table, dim: int = DIM) -> pa.Table:
-    """(vec_id, embedding list<float>) hashed-TF vectors — integer-valued
-    floats (token counts), md5 bucketing identical to the oracle's
-    ``md5_number_lower(tok) % dim``."""
+def list_matrix(col: pa.ChunkedArray | pa.Array, dim: int, dtype=np.int64) -> np.ndarray:
+    """Decode a fixed-width list<float> column to an (n, dim) matrix via
+    flatten+reshape — no per-row Python objects (vs to_pylist)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.zeros((0, dim), dtype=dtype)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
+    return flat.reshape(len(arr), dim)
+
+
+def hashed_tf_counts(batch: pa.Table, dim: int = DIM) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, int64 (n, dim) matrix) hashed-TF token counts, md5 bucketing
+    identical to the oracle's ``md5_number_lower(tok) % dim``.  The raw
+    integer form — use this when the consumer matmuls (dsir weights,
+    edge tests) to skip the Arrow list<float32> round-trip."""
     from .dedup import _duck
     from .util import TOKEN_PATTERN
 
@@ -73,6 +84,14 @@ def hashed_tf_batch(batch: pa.Table, dim: int = DIM) -> pa.Table:
         [pos[int(d)] for d in tf.column("doc_id").to_pylist()],
         tf.column("b").to_numpy(),
     ] = tf.column("c").to_numpy()
+    return ids, mat
+
+
+def hashed_tf_batch(batch: pa.Table, dim: int = DIM) -> pa.Table:
+    """(vec_id, embedding list<float>) hashed-TF vectors — integer-valued
+    floats (token counts); Arrow form of hashed_tf_counts for pipelines
+    that ship the vectors through the object store."""
+    ids, mat = hashed_tf_counts(batch, dim)
     return pa.table(
         {
             "vec_id": pa.array(ids, pa.int64()),
@@ -118,9 +137,7 @@ def semantic_pair_edges(tf_ds, dim: int = DIM):
     def _cand(batch: pa.Table) -> pa.Table:
         fids, fmat = ray.get(ref)
         ids = batch.column("vec_id").to_numpy()
-        mat = np.stack(
-            [np.asarray(v, dtype=np.int64) for v in batch.column("embedding").to_pylist()]
-        )
+        mat = list_matrix(batch.column("embedding"), fmat.shape[1])
         a, b = _edges_int(ids, mat, fids, fmat)
         return pa.table(
             {
@@ -164,9 +181,7 @@ def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM, tf=None
 
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
-        )
+        mat = list_matrix(batch.column("embedding"), c.shape[1], dtype=np.float64)
         d2 = ((mat * mat).sum(axis=1)[:, None]
               - 2 * mat @ c.T
               + (c * c).sum(axis=1)[None, :])
@@ -177,9 +192,7 @@ def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM, tf=None
     def _dedup_cell(group: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         ids = group.column("vec_id").to_numpy()
-        mat = np.stack(
-            [np.asarray(v, dtype=np.int64) for v in group.column("embedding").to_pylist()]
-        )
+        mat = list_matrix(group.column("embedding"), c.shape[1])
         a, b = _edges_int(ids, mat, ids, mat)
         if not len(a):
             return pa.table({"doc_id": pa.array([], pa.int64())})

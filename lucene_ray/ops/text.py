@@ -486,16 +486,13 @@ def dsir_weight_batch(batch: pa.Table, scores) -> pa.Table:
     bucket counts with the broadcast score table."""
     import numpy as np
 
-    from .semdedup import hashed_tf_batch
+    from .semdedup import hashed_tf_counts
 
-    tf = hashed_tf_batch(batch.select(["doc_id", "text"]), dim=len(scores))
-    mat = np.stack(
-        [np.asarray(v, dtype=np.int64) for v in tf.column("embedding").to_pylist()]
-    ) if len(tf) else np.zeros((0, len(scores)), np.int64)
+    ids, mat = hashed_tf_counts(batch.select(["doc_id", "text"]), dim=len(scores))
     w = mat @ np.asarray(scores, np.int64)
     return pa.table(
         {
-            "doc_id": tf.column("vec_id"),
+            "doc_id": pa.array(ids, pa.int64()),
             "dsir_weight": pa.array(w, pa.int64()),
         }
     )

@@ -190,7 +190,12 @@ class IndriDirichletSimilarity:
         *term_stats: TermStatistics,
     ) -> _IndriDirichletScorer:
         ttf = sum(ts.total_term_freq for ts in term_stats)
-        p = ttf / float(collection_stats.sum_total_term_freq)
+        # reference IndriCollectionModel.computeProbability: raw
+        # ttf / numberOfFieldTokens with no smoothing. An empty collection
+        # (sum_total_term_freq == 0) has no postings, so the scorer is never
+        # invoked with freq > 0 — p = 0 keeps construction from raising.
+        denom = float(collection_stats.sum_total_term_freq)
+        p = ttf / denom if denom > 0 else 0.0
         return _IndriDirichletScorer(boost, self.mu, p)
 
 
