@@ -178,6 +178,98 @@ _FSQ_VALUES = ", ".join(
     for qi, terms in enumerate(ft.FUNCTION_SCORE_QUERIES)
     for t in terms
 )
+def _feature_arm_sql(fn_label: str, feat_expr: str, pivot_cte: bool = False) -> str:
+    """One FeatureField oracle arm: BM25 over the conjunctive text query
+    (all terms MUST match) plus the feature score.  The encode CTE is the
+    integer-exact image of floatToIntBits(float32(v)) >>> 15 for
+    0 < v < 2^24 (e = bit_length-1; 8 surviving mantissa bits), the
+    decode CTE mirrors FeatureField.decodeFeatureValue, and the pivot CTE
+    (satu only) mirrors computePivotFeatureValue: trunc(float32(avg of
+    encoded freqs)) decoded back."""
+    extra = ""
+    from_feat = "fdec"
+    if pivot_cte:
+        extra = """
+piv AS (SELECT trunc((sum(enc)::DOUBLE / count(*))::FLOAT4)::BIGINT AS tfp FROM enc),
+pivv AS (SELECT ((1.0 + (tfp % 256) / 256.0) * pow(2.0, (tfp // 256) - 127))::FLOAT4 AS p FROM piv),"""
+        from_feat = "fdec CROSS JOIN pivv"
+    return f"""
+SELECT '{fn_label}' AS fn, r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_FSQ_VALUES}),
+nterm AS (SELECT qid, count(*)::BIGINT AS n FROM q GROUP BY qid),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT qid, doc_id, sum(score) AS score, count(*)::BIGINT AS nmatch
+  FROM clause GROUP BY qid, doc_id
+),
+matched AS (
+  SELECT s.qid, s.doc_id, s.score
+  FROM scored s JOIN nterm n ON n.qid = s.qid AND s.nmatch = n.n
+),
+enc AS (
+  SELECT doc_id,
+         ((length(bin(n_chars)) - 1) + 127) * 256
+           + (n_chars * CAST(pow(2, 23 - (length(bin(n_chars)) - 1)) AS BIGINT)
+              - 8388608) // 32768 AS enc
+  FROM documents WHERE n_chars > 0
+),
+fdec AS (
+  SELECT doc_id,
+         ((1.0 + (enc % 256) / 256.0) * pow(2.0, (enc // 256) - 127))::FLOAT4 AS f
+  FROM enc
+),{extra}
+feat AS (SELECT doc_id, {feat_expr} AS fs FROM {from_feat}),
+total AS (
+  SELECT m.qid, m.doc_id, m.score + coalesce(ft.fs::DOUBLE, 0) AS t
+  FROM matched m LEFT JOIN feat ft ON ft.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY t::FLOAT DESC, doc_id) AS rnk
+  FROM total
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r"""
+
+
+# float32-chain / double-then-cast expressions per FeatureFunction —
+# literals match ft.FEATURE_ARMS (weight/a/pivot)
+_FEATURE_SQL = "\nUNION ALL\n".join(
+    [
+        _feature_arm_sql("linear", "(0.5::FLOAT4 * f)"),
+        _feature_arm_sql("log", "(1.5 * ln(2.0 + f::DOUBLE))::FLOAT4"),
+        _feature_arm_sql(
+            "satu", "(2.0::FLOAT4 * (1.0::FLOAT4 - (p / (f + p))))", pivot_cte=True
+        ),
+        _feature_arm_sql(
+            "sigm", "(2.0 * (1.0 - 65536.0 / (pow(f::DOUBLE, 2.0) + 65536.0)))::FLOAT4"
+        ),
+    ]
+)
+
 _COVERING_VALUES = ", ".join(
     f"({qi}, '{t}')"
     for qi, terms in enumerate(ft.COVERING_QUERIES)
@@ -2255,6 +2347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_grouped_topk": lambda sf: _grouped_family(sf),
         # queries/function FunctionScoreQuery: score * ln(1 + n_chars)
         "ft_function_score_topk": _function_score_family,
+        # core/document/FeatureField: BM25 MUST + feature SHOULD, one arm
+        # per FeatureFunction (linear/log/satu/sigm) over the 9-bit-
+        # mantissa-quantized n_chars feature; satu exercises the
+        # computed-pivot rewrite
+        "ft_feature_topk": lambda sf: ft.feature_topk(sf),
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
         # JoinUtil query-time join (modes max/min/total/avg over the
         # source join field) beside the INDEX-TIME block join family
@@ -2997,6 +3094,9 @@ UNION ALL
 -- (inclusive range) and the score
 SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
 """,
+        # FeatureField: BM25 conjunction + per-function feature score over
+        # the 9-bit-mantissa-quantized n_chars "static rank"
+        "ft_feature_topk": _FEATURE_SQL,
         # grouping: groups ranked by their best hit (float32 score desc,
         # head doc asc), docs within a group by (score desc, doc asc)
         "ft_grouped_topk": f"""

@@ -1330,6 +1330,48 @@ def covering_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# FeatureField arms: one per reference FeatureFunction.  The feature is
+# n_chars (a deterministic positive per-doc "static rank"); values stay
+# well below 2^24 so the 9-bit-mantissa encode is integer-exact in the
+# SQL oracle.  satu pivot=None exercises the SaturationFunction.rewrite
+# (pivot from the index-wide average ENCODED freq).
+FEATURE_ARMS = [
+    ("linear", dict(function="linear", weight=0.5)),
+    ("log", dict(function="log", weight=1.5, a=2.0)),
+    ("satu", dict(function="satu", weight=2.0, pivot=None)),
+    ("sigm", dict(function="sigm", weight=2.0, a=2.0, pivot=256.0)),
+]
+
+
+def feature_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """FeatureField top-k (core/document/FeatureField.java): the javadoc
+    composition — text MUST clause + FeatureQuery SHOULD clause — so the
+    final score is BM25 + feature(fn(quantized n_chars)).  One arm per
+    feature function, (fn, qid, rnk, doc_id)."""
+    from ..search.query import FeatureQuery, TermQuery, bool_query
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    fns, qids, rnks, docs = [], [], [], []
+    for fn_label, kwargs in FEATURE_ARMS:
+        feat = FeatureQuery(FUNCTION_SCORE_FIELD, **kwargs)
+        for qid, terms in enumerate(FUNCTION_SCORE_QUERIES):
+            q = bool_query(must=[TermQuery(t) for t in terms], should=[feat])
+            for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+                fns.append(fn_label)
+                qids.append(qid)
+                rnks.append(rnk)
+                docs.append(doc)
+    return pa.table(
+        {
+            "fn": pa.array(fns, pa.string()),
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # (terms, boosts): boosts are exact binary fractions so the float32 freq
 # sum in the engine equals the oracle's double sum bit-for-bit
 SYNONYM_QUERIES = [

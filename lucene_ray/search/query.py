@@ -290,6 +290,51 @@ class FunctionScoreQuery:
     expression: str = ""
 
 
+def encode_feature_value(v: np.ndarray) -> np.ndarray:
+    """FeatureField.java:185 — the feature rides the postings term-freq as
+    freqBits = floatToIntBits(float32(S)) >>> 15 (9 significant mantissa
+    bits).  Positive finite inputs only (sign bit 0, so >>> == >>)."""
+    f = np.asarray(v, dtype=np.float32)
+    return f.view(np.int32).astype(np.int64) >> 15
+
+
+def decode_feature_value(tf: np.ndarray) -> np.ndarray:
+    """FeatureField.decodeFeatureValue (FeatureField.java:240-249):
+    intBitsToFloat(tf << 15)."""
+    bits = (np.asarray(tf, dtype=np.int64) << 15).astype(np.int32)
+    return bits.view(np.float32)
+
+
+@dataclass(frozen=True)
+class FeatureQuery:
+    """FeatureField query (reference core/document/FeatureField.java):
+    a static per-doc relevance feature S > 0 (pagerank, freshness, ...)
+    quantized to 9 significant mantissa bits (the encode/decode pair
+    above) and turned into a score by one of the reference's functions:
+
+      linear: w * S                        (float32 arithmetic)
+      log:    float32(w * ln(a + S))       (double math, f32 cast; a >= 1)
+      satu:   w * (1 - pivot/(S + pivot))  (float32 arithmetic chain —
+              the reference writes 1 - k/(f+k) so rounding can't make the
+              score decrease with f)
+      sigm:   float32(w * (1 - pivot^a/(S^a + pivot^a)))  (double, cast)
+
+    Typically a SHOULD clause beside the text query (the javadoc's
+    ``boost`` example).  ``pivot=None`` on satu takes the
+    SaturationFunction.rewrite path: pivot = decodeFeatureValue(
+    float32(ttf / df)) over the feature's ENCODED freqs
+    (computePivotFeatureValue) — resolved once per query by
+    IndexSearcher's rewrite.  The feature source is a stored numeric
+    column (this engine's doc-values seam); docs with value <= 0 carry
+    no feature term and never match this clause."""
+
+    field: str
+    function: str = "satu"  # linear | log | satu | sigm
+    weight: float = 1.0
+    a: float = 1.0
+    pivot: float | None = None
+
+
 @dataclass(frozen=True)
 class StoredFieldFilter:
     """Constant-score match on a stored metadata column (``lang``,
@@ -485,6 +530,7 @@ Query = (
     | IndexOrDocValuesQuery
     | DocValuesTermsQuery
     | PointInSetQuery
+    | FeatureQuery
 )
 
 
@@ -510,8 +556,8 @@ def collect_terms(q: Query) -> set[str]:
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
                       PointMultiRangeQuery, FunctionRangeQuery,
                       KnnFloatVectorQuery, PayloadScoreQuery,
-                      DocValuesTermsQuery, PointInSetQuery)):
-        return set()  # constant-score / payload scoring needs no term stats
+                      DocValuesTermsQuery, PointInSetQuery, FeatureQuery)):
+        return set()  # constant-score / payload / feature scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
     if isinstance(q, IndexOrDocValuesQuery):
@@ -856,6 +902,47 @@ def build_scorer(
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, sums[docs].astype(np.float32))
+
+    if isinstance(q, FeatureQuery):
+        from .scorers import PrecomputedScorer
+
+        vals = (
+            reader.stored_column(q.field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        docs = np.nonzero(vals > 0)[0]
+        if getattr(reader, "live", None) is not None and len(docs):
+            docs = docs[reader.live[docs]]
+        if len(docs) == 0:
+            return None
+        # encode -> decode: score on the 9-bit-mantissa quantized value,
+        # exactly what the reference reads back from the postings freq
+        f = decode_feature_value(encode_feature_value(vals[docs]))
+        if q.function == "linear":
+            sc = np.float32(q.weight) * f  # pure float32 multiply
+        elif q.function == "log":
+            sc = (
+                float(q.weight) * np.log(float(q.a) + f.astype(np.float64))
+            ).astype(np.float32)
+        elif q.function == "satu":
+            if q.pivot is None:
+                raise ValueError("satu FeatureQuery needs rewrite (pivot=None)")
+            pv = np.float32(q.pivot)
+            sc = np.float32(q.weight) * (np.float32(1.0) - pv / (f + pv))
+        elif q.function == "sigm":
+            if q.pivot is None:
+                raise ValueError("sigm FeatureQuery needs an explicit pivot")
+            pivot_pa = float(q.pivot) ** float(q.a)
+            fd = f.astype(np.float64)
+            sc = (
+                float(q.weight) * (1.0 - pivot_pa / (fd ** float(q.a) + pivot_pa))
+            ).astype(np.float32)
+        else:
+            raise ValueError(f"unknown feature function {q.function!r}")
+        if boost != 1.0:
+            sc = (np.float32(boost) * sc).astype(np.float32)
+        return PrecomputedScorer(docs, sc)
 
     if isinstance(q, StoredFieldRange):
         import pyarrow.compute as pc

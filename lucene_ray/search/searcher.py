@@ -183,6 +183,60 @@ class IndexSearcher:
             similarity=self.similarity,
         )
 
+    def compute_feature_pivot(self, field: str) -> float:
+        """FeatureField.computePivotFeatureValue (FeatureField.java): pivot
+        = decodeFeatureValue(float32(ttf / df)) where ttf sums the
+        feature's ENCODED postings freqs and df counts docs carrying it.
+        Per-segment partials (one tiny (sum, n) pair each), final here —
+        the CollectionStatistics partial+final shape."""
+        from .query import decode_feature_value, encode_feature_value
+
+        ttf = 0
+        df = 0
+        for r in self.readers:
+            v = (
+                r.stored_column(field)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            m = v > 0
+            if getattr(r, "live", None) is not None:
+                m &= r.live
+            ttf += int(encode_feature_value(v[m]).sum())
+            df += int(m.sum())
+        if df == 0:
+            return 1.0  # reference: term absent, any legal value
+        avg_freq = np.float32(np.float64(ttf) / df)  # (float)((double)ttf/df)
+        return float(decode_feature_value(np.array([int(avg_freq)]))[0])
+
+    def _rewrite_features(self, query: Query) -> Query:
+        """Query.rewrite analogue for SaturationFunction's pivot=None:
+        resolve the pivot once per query (FeatureField SaturationFunction
+        .rewrite).  Walks BooleanQuery/BoostQuery wrappers — the javadoc
+        composition shapes."""
+        import dataclasses
+
+        from .query import BooleanQuery, BoostQuery, FeatureQuery
+
+        if isinstance(query, FeatureQuery):
+            if query.function == "satu" and query.pivot is None:
+                return dataclasses.replace(
+                    query, pivot=self.compute_feature_pivot(query.field)
+                )
+            return query
+        if isinstance(query, BoostQuery):
+            inner = self._rewrite_features(query.query)
+            return dataclasses.replace(query, query=inner) if inner is not query.query else query
+        if isinstance(query, BooleanQuery):
+            new_clauses = tuple(
+                dataclasses.replace(c, query=self._rewrite_features(c.query))
+                for c in query.clauses
+            )
+            if any(n.query is not o.query for n, o in zip(new_clauses, query.clauses)):
+                return dataclasses.replace(query, clauses=new_clauses)
+            return query
+        return query
+
     def search(
         self,
         query: Query,
@@ -196,6 +250,7 @@ class IndexSearcher:
         the exhaustive arm of the CheckHits.checkTopScores differential
         (SURVEY §5.3).
         """
+        query = self._rewrite_features(query)
         weight = self.make_weight(query)
         per_segment = []
         # cross-segment min-competitive carry (MaxScoreAccumulator.java:
