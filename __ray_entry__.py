@@ -1859,9 +1859,19 @@ def _ann_variants(sf_dir: str):
             ("sq8", _ann_sq8(sf_dir)),
             ("lsh", _ann_lsh(sf_dir)),
             ("radius", _ann_radius(sf_dir)),
+            # ColBERT MaxSim over deterministic rolled multi-vectors
+            # (LateInteractionFloatValuesSource SumMaxSimilarity)
+            ("late_interaction", _ann_late(sf_dir)),
         ],
         col="variant",
     )
+
+
+def _ann_late(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.late_interaction_topk(_embs(sf_dir), q, k=10)
 
 
 def _ann_radius(sf_dir: str):
@@ -4708,6 +4718,35 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked
 ) r
+UNION ALL
+-- late interaction (ColBERT MaxSim, SumMaxSimilarity over Lucene COSINE
+-- (1+cos)/2): token vectors = the embedding rolled left by k*16
+SELECT 'late_interaction', li.* FROM (
+WITH mv AS (
+  SELECT vec_id,
+         unnest([embedding,
+                 embedding[17:] || embedding[1:16],
+                 embedding[33:] || embedding[1:32],
+                 embedding[49:] || embedding[1:48]]) AS tv,
+         unnest([0, 1, 2, 3]) AS tk
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, tk AS qtk, tv AS qv FROM mv WHERE vec_id <= 4),
+pair AS (
+  SELECT q.qid, q.qtk, d.vec_id,
+         (1.0 + list_cosine_similarity(q.qv, d.tv)) / 2.0 AS s
+  FROM q, mv d WHERE d.vec_id != q.qid
+),
+mx AS (SELECT qid, qtk, vec_id, max(s) AS ms FROM pair GROUP BY qid, qtk, vec_id),
+sc AS (SELECT qid, vec_id, sum(ms) AS score FROM mx GROUP BY qid, vec_id),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+  FROM sc
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) li
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

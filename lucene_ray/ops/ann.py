@@ -1008,3 +1008,61 @@ def ivfpq_index_topk(
 
     cands = rd.read_parquet(paths).map_batches(_scan, batch_format="pyarrow")
     return _finish_topk(cands, k, return_stats=return_stats)
+
+
+# --- late interaction (multi-vector MaxSim) --------------------------------
+
+LATE_TOKENS = 4
+
+
+def multi_vectors(mat: np.ndarray, n_tok: int = LATE_TOKENS) -> np.ndarray:
+    """(rows, n_tok, dim) token vectors: token k = the embedding rolled
+    LEFT by k*dim/n_tok elements — a deterministic multi-vector stand-in
+    (a real pipeline stores per-token model outputs) that the SQL oracle
+    reproduces with list slicing, norm- and variety-preserving."""
+    rows, dim = mat.shape
+    step = dim // n_tok
+    return np.stack([np.roll(mat, -k * step, axis=1) for k in range(n_tok)], axis=1)
+
+
+def late_scores(dmat3: np.ndarray, qmat3: np.ndarray) -> np.ndarray:
+    """SumMaxSimilarity (reference search/LateInteractionFloatValuesSource
+    .java:153-177): score(doc, q) = sum_i max_j sim(q_i, d_j) with sim =
+    Lucene VectorSimilarityFunction.COSINE's (1 + cos)/2 mapping.  One
+    matmul covers every (doc token, query token) pair; max over doc
+    tokens, sum over query tokens.  Returns (docs, queries)."""
+    b, t, d = dmat3.shape
+    q, tq, _ = qmat3.shape
+    dflat = dmat3.reshape(b * t, d)
+    qflat = qmat3.reshape(q * tq, d)
+    dn = np.maximum(np.linalg.norm(dflat, axis=1), 1e-12)
+    qn = np.maximum(np.linalg.norm(qflat, axis=1), 1e-12)
+    cos = (dflat @ qflat.T) / (dn[:, None] * qn[None, :])
+    sims4 = ((1.0 + cos) / 2.0).reshape(b, t, q, tq)
+    return sims4.max(axis=1).sum(axis=-1)
+
+
+def late_interaction_topk(
+    ds, queries, k: int = 10, n_tok: int = LATE_TOKENS
+) -> pa.Table:
+    """ColBERT-style late-interaction top-k over multi-vector embeddings
+    (query_id, rnk, neighbor_id), self excluded: the query multi-vector
+    matrices broadcast once via ray.put, each batch derives its doc token
+    vectors and MaxSim-scores them in one matmul, per-batch partial top-k
+    then the usual small candidate reduce.  At 100 TB this composes with
+    the IVF/HNSW nominate-then-rescore shape (late interaction is the
+    reference's LateInteractionRescorer seam); here it is the exact
+    baseline arm."""
+    import ray
+
+    q_ids, q_mat, _ = queries
+    q3 = multi_vectors(q_mat, n_tok)
+    q_ref = ray.put((np.asarray(q_ids), q3))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy()
+        d3 = multi_vectors(_emb_matrix(batch), qm.shape[1])
+        return _emit_candidates(qi, ids, late_scores(d3, qm), k)
+
+    return _finish_topk(ds.map_batches(_cand, batch_format="pyarrow"), k)

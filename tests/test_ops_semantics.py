@@ -769,3 +769,47 @@ def test_dsir_importance_weights():
     for i, v in zip(tf.column("vec_id").to_pylist(),
                     tf.column("embedding").to_pylist()):
         assert w[i] == int(np.asarray(v, np.int64) @ scores)
+
+
+def test_late_interaction_maxsim(ray_session):
+    """Late-interaction MaxSim: the vectorized kernel equals a per-pair
+    loop recompute, and the Ray op's ranking matches a driver-side brute
+    recompute over the full corpus."""
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    q = ann.load_queries(path, [0, 1, 2])
+    # kernel == loop recompute on a small slice
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    mat = np.array(
+        [np.asarray(v, np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    d3 = ann.multi_vectors(mat[:20])
+    q3 = ann.multi_vectors(q[1])
+    fast = ann.late_scores(d3, q3)
+    for qi in range(q3.shape[0]):
+        for di in range(d3.shape[0]):
+            total = 0.0
+            for t in range(q3.shape[1]):
+                best = -np.inf
+                for u in range(d3.shape[1]):
+                    a, b = q3[qi, t], d3[di, u]
+                    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                    best = max(best, (1.0 + cos) / 2.0)
+                total += best
+            assert fast[di, qi] == pytest.approx(total, rel=1e-12)
+
+    # op ranking == full brute recompute
+    got = ann.late_interaction_topk(rd.read_parquet(path), q, k=10).to_pandas()
+    full3 = ann.multi_vectors(mat)
+    scores = ann.late_scores(full3, q3)  # (n, 3)
+    ids = tbl.column("vec_id").to_numpy()
+    for j, qid in enumerate(q[0]):
+        col = scores[:, j].copy()
+        col[ids == qid] = -np.inf
+        order = np.lexsort((ids, -col))[:10]
+        expect = ids[order].tolist()
+        mine = got[got["query_id"] == qid].sort_values("rnk")["neighbor_id"].tolist()
+        assert mine == expect
