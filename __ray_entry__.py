@@ -1862,6 +1862,9 @@ def _ann_variants(sf_dir: str):
             # ColBERT MaxSim over deterministic rolled multi-vectors
             # (LateInteractionFloatValuesSource SumMaxSimilarity)
             ("late_interaction", _ann_late(sf_dir)),
+            # LateInteractionRescorer: single-vector top-50 nominate,
+            # MaxSim REPLACES the first-pass score for ranking
+            ("late_rescored", _ann_late_rescored(sf_dir)),
         ],
         col="variant",
     )
@@ -1872,6 +1875,13 @@ def _ann_late(sf_dir: str):
 
     q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
     return ann.late_interaction_topk(_embs(sf_dir), q, k=10)
+
+
+def _ann_late_rescored(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.late_rescored_topk(_embs(sf_dir), q, k=10, first_n=50)
 
 
 def _ann_radius(sf_dir: str):
@@ -4747,6 +4757,48 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) li
+UNION ALL
+-- LateInteractionRescorer: single-vector cosine top-50 nominate, then
+-- the MaxSim score replaces the first-pass score for the final ranking
+SELECT 'late_rescored', lr.* FROM (
+WITH q1 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+s1 AS (
+  SELECT q1.qid, e.vec_id, list_cosine_similarity(q1.qe, e.embedding) AS s
+  FROM q1, embeddings e WHERE e.vec_id != q1.qid
+),
+nominated AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+    FROM s1) z WHERE rnk <= 50
+),
+mv AS (
+  SELECT vec_id,
+         unnest([embedding,
+                 embedding[17:] || embedding[1:16],
+                 embedding[33:] || embedding[1:32],
+                 embedding[49:] || embedding[1:48]]) AS tv,
+         unnest([0, 1, 2, 3]) AS tk
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, tk AS qtk, tv AS qv FROM mv WHERE vec_id <= 4),
+pair AS (
+  SELECT q.qid, q.qtk, d.vec_id,
+         (1.0 + list_cosine_similarity(q.qv, d.tv)) / 2.0 AS s
+  FROM q
+  JOIN nominated nmd ON nmd.qid = q.qid
+  JOIN mv d ON d.vec_id = nmd.vec_id
+),
+mx AS (SELECT qid, qtk, vec_id, max(s) AS ms FROM pair GROUP BY qid, qtk, vec_id),
+sc AS (SELECT qid, vec_id, sum(ms) AS score FROM mx GROUP BY qid, vec_id),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk
+  FROM sc
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) lr
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

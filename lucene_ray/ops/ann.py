@@ -1066,3 +1066,49 @@ def late_interaction_topk(
         return _emit_candidates(qi, ids, late_scores(d3, qm), k)
 
     return _finish_topk(ds.map_batches(_cand, batch_format="pyarrow"), k)
+
+
+def late_rescored_topk(
+    ds, queries, k: int = 10, first_n: int = 50, n_tok: int = LATE_TOKENS
+) -> pa.Table:
+    """LateInteractionRescorer.create (reference search/
+    LateInteractionRescorer.java): a cheap single-vector cosine first pass
+    nominates ``first_n`` docs per query, then the MaxSim score REPLACES
+    the first-pass score for the final ranking (combine() returns
+    sourceValue).  The nominate set broadcasts (first_n ids per query) and
+    the rescore pass computes token vectors only for nominated rows — the
+    nominate-then-rescore shape that makes late interaction affordable at
+    100 TB (full MaxSim touches n_tok^2 times the FLOPs of the first
+    pass)."""
+    import ray
+
+    q_ids, q_mat, _ = queries
+    first = _finish_topk(
+        ds.map_batches(
+            _topk_candidates,
+            batch_format="pyarrow",
+            fn_kwargs={"q_ref": ray.put(queries), "k": first_n},
+        ),
+        first_n,
+    )
+    nom: dict[int, list[int]] = {int(q): [] for q in q_ids}
+    for r in first.to_pylist():  # bounded: first_n * |queries| rows
+        nom[int(r["query_id"])].append(int(r["neighbor_id"]))
+    noms = {q: np.array(sorted(v), dtype=np.int64) for q, v in nom.items()}
+    q3 = multi_vectors(q_mat, n_tok)
+    ref = ray.put((np.asarray(q_ids), q3, noms))
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        qi, qm, nm = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        any_mask = np.isin(ids, np.concatenate(list(nm.values())))
+        if not any_mask.any():
+            return _emit_candidates(qi, ids[:0], np.zeros((0, len(qi))), k)
+        sub_ids = ids[any_mask]
+        d3 = multi_vectors(_emb_matrix(batch)[any_mask], qm.shape[1])
+        sims = late_scores(d3, qm)
+        for j, q in enumerate(qi):
+            sims[~np.isin(sub_ids, nm[int(q)]), j] = -np.inf
+        return _emit_candidates(qi, sub_ids, sims, k)
+
+    return _finish_topk(ds.map_batches(_cand, batch_format="pyarrow"), k)

@@ -813,3 +813,26 @@ def test_late_interaction_maxsim(ray_session):
         expect = ids[order].tolist()
         mine = got[got["query_id"] == qid].sort_values("rnk")["neighbor_id"].tolist()
         assert mine == expect
+
+
+def test_late_rescorer_replaces_first_pass(ray_session):
+    """With first_n >= corpus size the rescored ranking equals the full
+    late-interaction ranking (MaxSim REPLACES the first-pass score), and
+    with a small first_n the output is confined to the nominate set."""
+    import ray.data as rd
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    q = ann.load_queries(path, [0, 1, 2])
+    full = ann.late_interaction_topk(rd.read_parquet(path), q, k=10).to_pandas()
+    wide = ann.late_rescored_topk(
+        rd.read_parquet(path), q, k=10, first_n=10**6
+    ).to_pandas()
+    assert wide.equals(full)
+    narrow = ann.late_rescored_topk(
+        rd.read_parquet(path), q, k=10, first_n=15
+    ).to_pandas()
+    first = ann.brute_topk(rd.read_parquet(path), q, k=15).to_pandas()
+    nom = {qid: set(g["neighbor_id"]) for qid, g in first.groupby("query_id")}
+    for qid, g in narrow.groupby("query_id"):
+        assert set(g["neighbor_id"]) <= nom[qid]
+        assert len(g) == 10
