@@ -138,6 +138,9 @@ perm AS (
 """
 
 _QTERMS_VALUES = ", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.QUERY_TERMS))
+_INDRI_AND_VALUES = ", ".join(
+    f"({i}, '{t1}', '{t2}')" for i, (t1, t2) in enumerate(ft.INDRI_AND_QUERIES)
+)
 _MF_VALUES = ", ".join(
     f"({i}, '{t}', '{lv}')" for i, (t, lv) in enumerate(ft.MULTIFIELD_QUERIES)
 )
@@ -3918,6 +3921,44 @@ scored AS (
   JOIN ttf t ON t.qid = p.qid AND t.term = p.term
   JOIN dlq d ON d.doc_id = p.doc_id
   CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- IndriAndQuery (boosts 1.0/0.5): union match set, boost-weighted MEAN
+-- of per-clause f32 Indri scores (freq=0 smoothing for absent clauses)
+SELECT 'indri_and', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, t1, t2) AS (VALUES {_INDRI_AND_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (SELECT coalesce(sum(dl), 0)::BIGINT AS sum_ttf FROM dl),
+ttfs AS (SELECT tok, sum(tf)::BIGINT AS ttf FROM tf GROUP BY tok),
+union_docs AS (
+  SELECT DISTINCT q.qid, tf.doc_id
+  FROM q JOIN tf ON tf.tok IN (q.t1, q.t2)
+),
+scored AS (
+  SELECT u.qid, u.doc_id,
+         ((CAST(ln((coalesce(f1.tf, 0) + 2000.0 * x1.ttf / st.sum_ttf)
+                   / (d.ql + 2000.0)) AS FLOAT4)::DOUBLE * 1.0
+           + CAST(ln((coalesce(f2.tf, 0) + 2000.0 * x2.ttf / st.sum_ttf)
+                     / (d.ql + 2000.0)) AS FLOAT4)::DOUBLE * 0.5)
+          / 1.5) AS score
+  FROM union_docs u
+  JOIN q ON q.qid = u.qid
+  LEFT JOIN tf f1 ON f1.doc_id = u.doc_id AND f1.tok = q.t1
+  LEFT JOIN tf f2 ON f2.doc_id = u.doc_id AND f2.tok = q.t2
+  JOIN ttfs x1 ON x1.tok = q.t1
+  JOIN ttfs x2 ON x2.tok = q.t2
+  JOIN dlq d ON d.doc_id = u.doc_id
+  CROSS JOIN stats st
 ),
 ranked AS (
   SELECT qid, doc_id,

@@ -2104,7 +2104,44 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         parts.append(
             t.add_column(0, "sim", pa.array([name] * len(t), pa.string()))
         )
+    t = indri_and_topk(sf_dir, k)
+    parts.append(t.add_column(0, "sim", pa.array(["indri_and"] * len(t), pa.string())))
     return pa.concat_tables(parts)
+
+
+# (t1, t2) pairs with boosts (1.0, 0.5) — exact binary fractions so the
+# double boost products are bit-stable in engine and oracle alike
+INDRI_AND_QUERIES = [
+    (QUERY_TERMS[i], QUERY_TERMS[(i + 1) % len(QUERY_TERMS)])
+    for i in range(len(QUERY_TERMS))
+]
+INDRI_AND_BOOSTS = (1.0, 0.5)
+
+
+def indri_and_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """IndriAndQuery top-k (search/IndriAndQuery.java): union match set,
+    boost-weighted mean of per-clause Indri log-probabilities with freq=0
+    smoothing for absent clauses; COMPLETE mode (negative scores)."""
+    from ..search.query import IndriAndQuery
+    from ..search.similarities import IndriDirichletSimilarity
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx, similarity=IndriDirichletSimilarity())
+    qids, rnks, docs = [], [], []
+    for qid, pair in enumerate(INDRI_AND_QUERIES):
+        q = IndriAndQuery(tuple(pair), INDRI_AND_BOOSTS)
+        hits = searcher.search(q, k, total_hits_threshold=np.inf, score_mode="COMPLETE")
+        for rnk, (doc, _s) in enumerate(hits, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
 
 
 MULTI_PHRASES = [

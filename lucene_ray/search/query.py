@@ -336,6 +336,22 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class IndriAndQuery:
+    """Indri AND (reference search/IndriAndQuery.java + IndriAndScorer
+    .java:44-69 + IndriDisjunctionScorer.java): the match set is the
+    UNION of the clause postings, but EVERY clause scores every matched
+    doc — a clause absent from the doc contributes its smoothing score
+    (sim.score(freq=0, norm), TermScorer.smoothingScore:108-114, the
+    Dirichlet background probability) — and the final score is the
+    boost-weighted MEAN: f32((sum_i boost_i * double(f32 s_i)) /
+    sum_i boost_i).  Scores are negative log-probabilities: COMPLETE
+    mode only (the IndriDirichletSimilarity discipline)."""
+
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
 class StoredFieldFilter:
     """Constant-score match on a stored metadata column (``lang``,
     ``source``, ...) — the pragmatic doc-values filter (reference
@@ -571,7 +587,7 @@ def collect_terms(q: Query) -> set[str]:
         for c in q.clauses:
             out |= collect_terms(c)
         return out
-    if isinstance(q, (SynonymQuery, BlendedTermQuery)):
+    if isinstance(q, (SynonymQuery, BlendedTermQuery, IndriAndQuery)):
         return set(q.terms)
     if isinstance(q, FunctionScoreQuery):
         return collect_terms(q.query)

@@ -688,6 +688,48 @@ def _windowed_bulk_search_segment(
     return [(int(docs[i]), np.float32(scores[i])) for i in order]
 
 
+def _indri_and_search_segment(reader, query, weight: Weight, k: int):
+    """IndriAndScorer.scoreDoc (search/IndriAndScorer.java:44-69): union
+    match set; every clause scores every matched doc (freq=0 smoothing
+    when absent, TermScorer.smoothingScore); boost-weighted mean — per-
+    clause f32 score widened to double, boost-multiplied, summed, divided
+    by boostSum, one final f32 cast (the reference's arithmetic)."""
+    boosts = query.boosts or tuple(1.0 for _ in query.terms)
+    norms = np.asarray(reader.norms)
+    max_doc = reader.max_doc
+    freqs_by_term: list[np.ndarray | None] = []
+    union_mask = np.zeros(max_doc, dtype=bool)
+    for t in query.terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            freqs_by_term.append(None)
+            continue
+        docs, fr = reader.decode_term_cached(tid)
+        f = np.zeros(max_doc, dtype=np.int64)
+        f[docs] = fr
+        union_mask[docs] = True
+        freqs_by_term.append(f)
+    if reader.live is not None:
+        union_mask &= reader.live
+    docs = np.nonzero(union_mask)[0]
+    if len(docs) == 0:
+        return []
+    total = np.zeros(len(docs), dtype=np.float64)
+    boost_sum = 0.0
+    nb = norms[docs]
+    zeros = np.zeros(len(docs), dtype=np.int64)
+    for t, b, f in zip(query.terms, boosts, freqs_by_term):
+        sim = weight.sim_scorer(t, 1.0)
+        fr = f[docs] if f is not None else zeros
+        total += sim.score_bulk(fr, nb).astype(np.float64) * float(b)
+        boost_sum += float(b)
+    if boost_sum == 0:
+        return []
+    sc = (total / boost_sum).astype(np.float32)
+    order = np.lexsort((docs, -sc))[:k]
+    return [(int(docs[i]), np.float32(sc[i])) for i in order]
+
+
 def search_segment(
     reader: SegmentReader,
     query: Query,
@@ -703,6 +745,7 @@ def search_segment(
         DisjunctionMaxQuery,
         FunctionScoreQuery,
         FuzzyQuery,
+        IndriAndQuery,
         MultiPhraseQuery,
         PhraseQuery,
         PrefixQuery,
@@ -713,6 +756,8 @@ def search_segment(
         WildcardQuery,
     )
 
+    if isinstance(query, IndriAndQuery):
+        return _indri_and_search_segment(reader, query, weight, k)
     if isinstance(query, FunctionScoreQuery):
         return _function_score_search_segment(reader, query, weight, k)
     if isinstance(query, SynonymQuery):

@@ -485,3 +485,52 @@ def test_indri_negative_scores_and_formula(built):
             break
     else:
         raise AssertionError("hit doc not found in any segment")
+
+
+def test_indri_and_union_and_smoothing(built):
+    """IndriAndQuery (search/IndriAndQuery.java): the match set is the
+    UNION of the clause postings, docs matching only one clause still
+    get the other clause's freq=0 smoothing score, and every score is
+    the boost-weighted mean of the closed-form per-clause values."""
+    from lucene_ray.index.postings import decode_term
+    from lucene_ray.index.segment import SegmentReader
+    from lucene_ray.search.query import IndriAndQuery
+    from lucene_ray.search.searcher import IndexSearcher
+    from lucene_ray.search.similarities import IndriDirichletSimilarity
+    from lucene_ray.smallfloat import LENGTH_TABLE
+
+    _, searcher = built
+    root = os.path.dirname(searcher.manifest["segments"][0]["dir"])
+    s = IndexSearcher(root, similarity=IndriDirichletSimilarity())
+    t1, t2 = "def", "return"
+    q = IndriAndQuery((t1, t2), (1.0, 0.5))
+    hits = s.search(q, 10_000, total_hits_threshold=np.inf, score_mode="COMPLETE")
+    assert hits and all(sc < 0 for _d, sc in hits)
+    got = {d: float(sc) for d, sc in hits}
+
+    # brute recompute over every segment
+    cstats = s.collection_stats
+    ts = s.term_statistics({t1, t2})
+    expect: dict[int, float] = {}
+    for seg in s.manifest["segments"]:
+        r = SegmentReader(seg["dir"])
+        lo = seg["doc_base"]
+        tf_by_term = {}
+        union: set[int] = set()
+        for t in (t1, t2):
+            tid = r.term_id(t)
+            if tid is None:
+                tf_by_term[t] = {}
+                continue
+            docs, tfs = decode_term(r.enc, tid)
+            tf_by_term[t] = dict(zip(docs.tolist(), tfs.tolist()))
+            union.update(docs.tolist())
+        for local in union:
+            dl = float(LENGTH_TABLE[int(r.norms[local])])
+            acc = 0.0
+            for t, b in ((t1, 1.0), (t2, 0.5)):
+                p = ts[t].total_term_freq / float(cstats.sum_total_term_freq)
+                tf = tf_by_term[t].get(local, 0)
+                acc += float(np.float32(np.log((tf + 2000.0 * p) / (dl + 2000.0)))) * b
+            expect[lo + local] = float(np.float32(acc / 1.5))
+    assert got == expect
