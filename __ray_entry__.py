@@ -2375,6 +2375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mantissa-quantized n_chars feature; satu exercises the
         # computed-pivot rewrite
         "ft_feature_topk": lambda sf: ft.feature_topk(sf),
+        # misc DocValuesStatsCollector: per-query aggregate stats of the
+        # n_chars doc-values column over matching docs (exact integer
+        # partials per segment; mean/variance one double expression)
+        "ft_dv_stats": lambda sf: ft.doc_values_stats(sf),
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
         # JoinUtil query-time join (modes max/min/total/avg over the
         # source join field) beside the INDEX-TIME block join family
@@ -3120,6 +3124,31 @@ SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
         # FeatureField: BM25 conjunction + per-function feature score over
         # the 9-bit-mantissa-quantized n_chars "static rank"
         "ft_feature_topk": _FEATURE_SQL,
+        # DocValuesStatsCollector: exact integer stats + double mean/var
+        # (the engine's (sum_sq - sum^2/n)/n expression, mirrored)
+        "ft_dv_stats": f"""
+WITH {_TOKS},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+m AS (
+  SELECT q.qid, d.doc_id, d.n_chars
+  FROM q JOIN tf ON tf.tok = q.term
+  JOIN documents d ON d.doc_id = tf.doc_id
+)
+SELECT qid::BIGINT AS qid,
+       count(n_chars)::BIGINT AS n,
+       (count(*) - count(n_chars))::BIGINT AS missing,
+       coalesce(min(n_chars), 0)::BIGINT AS min_v,
+       coalesce(max(n_chars), 0)::BIGINT AS max_v,
+       coalesce(sum(n_chars), 0)::BIGINT AS sum_v,
+       CASE WHEN count(n_chars) > 0
+            THEN sum(n_chars)::DOUBLE / count(n_chars) ELSE 0.0 END AS mean,
+       CASE WHEN count(n_chars) > 0
+            THEN (sum(n_chars::BIGINT * n_chars)::DOUBLE
+                  - (sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE)
+                    / count(n_chars)) / count(n_chars)
+            ELSE 0.0 END AS variance
+FROM m GROUP BY qid
+""",
         # grouping: groups ranked by their best hit (float32 score desc,
         # head doc asc), docs within a group by (score desc, doc asc)
         "ft_grouped_topk": f"""

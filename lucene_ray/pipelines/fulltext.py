@@ -4415,3 +4415,79 @@ def sort_by_field_topk(sf_dir: str, k: int = 10) -> pa.Table:
             "doc_id": pa.array(out_docs, pa.int64()),
         }
     )
+
+
+def doc_values_stats(sf_dir: str) -> pa.Table:
+    """DocValuesStatsCollector (reference misc/search/DocValuesStats.java
+    + DocValuesStatsCollector.java): per query, aggregate stats of the
+    n_chars doc-values column over the MATCHING docs — (qid, n, missing,
+    min_v, max_v, sum_v, mean, variance).  Deviation (documented): the
+    reference accumulates mean/variance with Welford's streaming update
+    (DocValuesStats.java:167-169); this engine keeps exact integer
+    (count, sum, sum_sq, min, max) partials per segment — order-
+    independent, mergeable, the repo's summation discipline — and derives
+    mean = sum/n, variance = (sum_sq - sum*sum/n)/n (the same population
+    variance Welford converges to, modulo fp round) in one double
+    expression mirrored by the SQL oracle."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    rows = []
+    for qid, term in enumerate(QUERY_TERMS):
+        n = 0
+        sum_v = 0
+        sum_sq = 0
+        min_v: int | None = None
+        max_v: int | None = None
+        missing = 0
+        for reader in searcher.readers:
+            tid = reader.term_id(term)
+            if tid is None:
+                continue
+            docs, _tfs = reader.decode_term_cached(tid)
+            if reader.live is not None and len(docs):
+                docs = docs[reader.live[docs]]
+            if not len(docs):
+                continue
+            vals_col = reader.stored_column("n_chars")
+            vals = vals_col.to_numpy(zero_copy_only=False)[docs]
+            null_mask = np.asarray(
+                pa.compute.is_null(vals_col).to_numpy(zero_copy_only=False)
+            )[docs] if vals_col.null_count else np.zeros(len(docs), bool)
+            present = vals[~null_mask].astype(np.int64)
+            missing += int(null_mask.sum())
+            if not len(present):
+                continue
+            n += len(present)
+            sum_v += int(present.sum())
+            sum_sq += int((present * present).sum())
+            lo, hi = int(present.min()), int(present.max())
+            min_v = lo if min_v is None else min(min_v, lo)
+            max_v = hi if max_v is None else max(max_v, hi)
+        mean = float(sum_v) / n if n else 0.0
+        variance = (float(sum_sq) - (float(sum_v) * float(sum_v)) / n) / n if n else 0.0
+        rows.append(
+            {
+                "qid": qid,
+                "n": n,
+                "missing": missing,
+                "min_v": min_v if min_v is not None else 0,
+                "max_v": max_v if max_v is not None else 0,
+                "sum_v": sum_v,
+                "mean": mean,
+                "variance": variance,
+            }
+        )
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("n", pa.int64()),
+                ("missing", pa.int64()),
+                ("min_v", pa.int64()),
+                ("max_v", pa.int64()),
+                ("sum_v", pa.int64()),
+                ("mean", pa.float64()),
+                ("variance", pa.float64()),
+            ]
+        )
+    )

@@ -534,3 +534,31 @@ def test_indri_and_union_and_smoothing(built):
                 acc += float(np.float32(np.log((tf + 2000.0 * p) / (dl + 2000.0)))) * b
             expect[lo + local] = float(np.float32(acc / 1.5))
     assert got == expect
+
+
+def test_doc_values_stats_matches_numpy(ray_session):
+    """DocValuesStats: the exact-integer-partial mean/variance equal
+    numpy's population statistics over the matching docs."""
+    import duckdb
+
+    from lucene_ray.pipelines.fulltext import QUERY_TERMS, doc_values_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_values_stats(sf).to_pandas().set_index("qid")
+    docs = duckdb.execute(
+        f"select doc_id, lower(text) t, n_chars from read_parquet('{sf}/documents.parquet')"
+    ).df()
+    import re
+
+    from lucene_ray.ops.util import TOKEN_PATTERN
+
+    pat = re.compile(TOKEN_PATTERN)
+    toks = [set(pat.findall(t)) for t in docs["t"]]
+    for qid, term in enumerate(QUERY_TERMS):
+        vals = docs["n_chars"].to_numpy()[[term in s for s in toks]].astype(np.int64)
+        row = got.loc[qid]
+        assert row["n"] == len(vals)
+        assert row["min_v"] == vals.min() and row["max_v"] == vals.max()
+        assert row["sum_v"] == vals.sum()
+        assert row["mean"] == pytest.approx(vals.mean(), rel=1e-12)
+        assert row["variance"] == pytest.approx(vals.var(), rel=1e-9)
