@@ -631,3 +631,62 @@ def or_proximity_matches_segment(reader, slots: tuple, window: int):
             out_docs.append(d)
             out_n.append(len(wins))
     return np.asarray(out_docs, np.int64), np.asarray(out_n, np.int64)
+
+
+_PAYLOAD_OPS = {
+    "eq": np.equal,
+    "gt": np.greater,
+    "gte": np.greater_equal,
+    "lt": np.less,
+    "lte": np.less_equal,
+}
+
+
+def payload_check_matches_segment(reader, terms, payloads, op: str = "eq"):
+    """(local docids, accepted span freqs) for SpanPayloadCheckQuery
+    (reference queries/payloads/SpanPayloadCheckQuery.java, PayloadType
+    .INT form): exact consecutive-position spans of ``terms`` where the
+    payload at span position i satisfies ``op`` against ``payloads[i]``
+    (MatchOperation EQ/GT/GTE/LT/LTE — the reference applies ONE
+    operation across all positions).  freq = number of accepted spans
+    (the SpanScorer freq the similarity consumes)."""
+    from ..index.postings import decode_term
+
+    if not reader.has_payloads:
+        raise ValueError("payload check needs index_options='payloads'")
+    if len(payloads) != len(terms):
+        raise ValueError("one reference payload per span position")
+    cmp = _PAYLOAD_OPS[op]
+    postings = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        postings.append((tid, docs))
+    common = postings[0][1]
+    for _, docs in postings[1:]:
+        common = common[np.isin(common, docs)]
+    if getattr(reader, "live", None) is not None and len(common):
+        common = common[reader.live[common]]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    maps = []
+    for tid, docs in postings:
+        plist = reader.term_positions(tid)
+        pays = reader.term_payloads(tid)
+        maps.append({int(d): (p, y) for d, p, y in zip(docs, plist, pays)})
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        p0, y0 = maps[0][d]
+        cand = p0[cmp(y0, payloads[0])]
+        for i in range(1, len(terms)):
+            pi, yi = maps[i][d]
+            good = pi[cmp(yi, payloads[i])]
+            cand = cand[np.isin(cand + i, good)]
+            if len(cand) == 0:
+                break
+        if len(cand):
+            out_docs.append(d)
+            out_freqs.append(len(cand))
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)

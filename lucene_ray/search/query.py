@@ -126,6 +126,21 @@ class PayloadScoreQuery:
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery:
+    """Only spans whose payloads satisfy the check match (reference
+    queries/payloads/SpanPayloadCheckQuery.java, PayloadType.INT):
+    ``terms`` is an exact consecutive span (a single term is the common
+    case), ``payloads`` one reference value per span position, ``op`` the
+    MatchOperation (eq/gt/gte/lt/lte) applied at every position.  Scored
+    like a span query: freq = accepted spans through the phrase
+    SimScorer.  Requires index_options='payloads'."""
+
+    terms: tuple[str, ...]
+    payloads: tuple[int, ...]
+    op: str = "eq"
+
+
+@dataclass(frozen=True)
 class TermInSetQuery:
     """Constant-score FILTER matching docs containing ANY of ``terms`` —
     the everyday "id IN (...)" query (reference search/TermInSetQuery.java:1,
@@ -547,6 +562,8 @@ Query = (
     | DocValuesTermsQuery
     | PointInSetQuery
     | FeatureQuery
+    | SpanPayloadCheckQuery
+    | IndriAndQuery
 )
 
 
@@ -563,7 +580,7 @@ def bool_query(
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, SpanPayloadCheckQuery)):
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for alts in q.slots for t in alts}
@@ -892,6 +909,17 @@ def build_scorer(
         if len(docs) == 0:
             return None
         sim = weight.phrase_sim_scorer(span_terms(q.node), boost)
+        scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
+        return PrecomputedScorer(docs, scores)
+
+    if isinstance(q, SpanPayloadCheckQuery):
+        from .multiterm import payload_check_matches_segment
+        from .scorers import PrecomputedScorer
+
+        docs, freqs = payload_check_matches_segment(reader, q.terms, q.payloads, q.op)
+        if len(docs) == 0:
+            return None
+        sim = weight.phrase_sim_scorer(q.terms, boost)
         scores = sim.score_bulk(freqs, np.asarray(reader.norms)[docs])
         return PrecomputedScorer(docs, scores)
 

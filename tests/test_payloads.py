@@ -105,3 +105,59 @@ def test_payloads_survive_merge_and_add(pay_index, tmp_path, ray_session):
                                  score_mode="COMPLETE", total_hits_threshold=float("inf")))
     max_doc = max(new_doc_hits)
     assert float(new_doc_hits[max_doc]) == 19.0
+
+
+def test_span_payload_check_query(pay_index):
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java,
+    INT payloads = char start offsets here): EQ/GT/LT occurrence filters
+    match a brute recompute from the analyzer's offsets, and phrase-form
+    checks require the predicate at EVERY span position."""
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+    from lucene_ray.search.query import SpanPayloadCheckQuery
+
+    idx, src = pay_index
+    s = IndexSearcher(idx)
+    texts = pq.read_table(src, columns=["content"]).column("content").to_pylist()
+    a = StandardAnalyzer()
+
+    def occs(term, doc):
+        vocab, tids, _d, tfs, _l, _pos, off_s, _off_e = a.analyze_batch_offsets(
+            [texts[doc]]
+        )
+        if term not in vocab:
+            return np.empty(0, np.int64)
+        gid = vocab.index(term)
+        starts = np.concatenate(([0], np.cumsum(tfs)))
+        row = int(np.flatnonzero(tids == gid)[0])
+        return off_s[starts[row] : starts[row + 1]]
+
+    term = "import"
+    all_docs = {d for d, _ in s.search(TermQuery(term), 10**6, score_mode="COMPLETE",
+                                       total_hits_threshold=np.inf)}
+    # GT 40: docs with an occurrence starting after char 40
+    hits = s.search(SpanPayloadCheckQuery((term,), (40,), "gt"), 10**6,
+                    score_mode="COMPLETE", total_hits_threshold=np.inf)
+    got = {d for d, _ in hits}
+    expect = {d for d in all_docs if (occs(term, d) > 40).any()}
+    assert got == expect and got < all_docs
+    # EQ on a known payload value round-trips
+    d0 = sorted(all_docs)[0]
+    v0 = int(occs(term, d0)[0])
+    eq_hits = {d for d, _ in s.search(SpanPayloadCheckQuery((term,), (v0,), "eq"),
+                                      10**6, score_mode="COMPLETE",
+                                      total_hits_threshold=np.inf)}
+    assert d0 in eq_hits
+    assert eq_hits == {d for d in all_docs if (occs(term, d) == v0).any()}
+    # phrase form: both positions must pass; an impossible second-position
+    # payload kills every span even where the phrase exists
+    from lucene_ray.search.multiterm import phrase_matches_segment
+
+    r = SegmentReader(idx + "/seg_000000")
+    pd_, _f = phrase_matches_segment(r, ("import", "numpy"))
+    if len(pd_):
+        ok = s.search(SpanPayloadCheckQuery(("import", "numpy"), (0, 0), "gte"),
+                      10**6, score_mode="COMPLETE", total_hits_threshold=np.inf)
+        assert {d for d, _ in ok} >= set(pd_.tolist())
+        none = s.search(SpanPayloadCheckQuery(("import", "numpy"), (10**9, 10**9), "gt"),
+                        10**6, score_mode="COMPLETE", total_hits_threshold=np.inf)
+        assert none == []
