@@ -1392,6 +1392,20 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _percolate_both_paths(sf_dir: str):
+    """Percolator through BOTH execution paths — evaluate-everything
+    (match_batch) and the TermFilteredPresearcher candidate-pruned actor
+    pool — asserted identical in-engine (a presearcher false-negative
+    turns the row red), one result returned for the SQL oracle."""
+    from lucene_ray.ops import monitor
+
+    base = monitor.percolate_counts(_docs(sf_dir))
+    pre = monitor.percolate_counts_presearch(_docs(sf_dir))
+    if not base.to_pandas().equals(pre.to_pandas()):
+        raise AssertionError("presearcher path diverged from evaluate-everything")
+    return base
+
+
 def _percolate_sql() -> str:
     """Monitor/percolator oracle: per registered query, aggregate stats of
     the matching doc set (same tokenizer CTE, membership/phrase preds)."""
@@ -2392,7 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_mlt_topk": ft.mlt_topk,
         # lucene/monitor percolator: registered queries broadcast, the
         # corpus STREAMS through matchers (inverted dataflow)
-        "ft_percolate_counts": lambda sf: monitor.percolate_counts(_docs(sf)),
+        "ft_percolate_counts": _percolate_both_paths,
         # lucene/highlighter analogue: best W-token passage per top doc,
         # integer (n_uniq, n_hits, earliest) scoring over the positions
         # index (BreakIterator-passage deviation documented in the module)

@@ -42,6 +42,47 @@ def _contains(tok: pl.Expr, term: str) -> pl.Expr:
     return tok.list.contains(term)
 
 
+def _eval_query(toks: pl.DataFrame, pos_df: pl.DataFrame | None, q: tuple):
+    """Matched doc_id series for ONE registered query over a (doc_id, ts)
+    token-list frame — the vectorized evaluators shared by the evaluate-
+    everything path (match_batch) and the presearcher's candidate path."""
+    kind = q[0]
+    if kind == "term":
+        mask = toks.select(_contains(pl.col("ts"), q[1]).alias("m"))["m"]
+    elif kind == "and":
+        e = pl.lit(True)
+        for t in q[1]:
+            e = e & _contains(pl.col("ts"), t)
+        mask = toks.select(e.alias("m"))["m"]
+    elif kind == "or":
+        e = pl.lit(False)
+        for t in q[1]:
+            e = e | _contains(pl.col("ts"), t)
+        mask = toks.select(e.alias("m"))["m"]
+    elif kind == "and_not":
+        e = pl.lit(True)
+        for t in q[1]:
+            e = e & _contains(pl.col("ts"), t)
+        for t in q[2]:
+            e = e & ~_contains(pl.col("ts"), t)
+        mask = toks.select(e.alias("m"))["m"]
+    elif kind == "phrase":
+        a, b = q[1]
+        pa_ = pos_df.filter(pl.col("tok") == a).select("doc_id", "p")
+        pb_ = pos_df.filter(pl.col("tok") == b).select(
+            "doc_id", (pl.col("p") - 1).alias("p")
+        )
+        hit_docs = (
+            pa_.join(pb_, on=["doc_id", "p"], how="inner")
+            .select("doc_id")
+            .unique()["doc_id"]
+        )
+        mask = toks.select(pl.col("doc_id").is_in(hit_docs).alias("m"))["m"]
+    else:  # pragma: no cover
+        raise ValueError(kind)
+    return toks.filter(mask)["doc_id"]
+
+
 def match_batch(batch: pa.Table, queries: list[tuple]) -> pa.Table:
     """Per-batch percolation partials: (qid, n_matches, sum_doc, min_doc,
     max_doc) for every registered query (queries with no batch matches
@@ -60,41 +101,7 @@ def match_batch(batch: pa.Table, queries: list[tuple]) -> pa.Table:
 
     out_qid, out_n, out_sum, out_min, out_max = [], [], [], [], []
     for qid, q in enumerate(queries):
-        kind = q[0]
-        if kind == "term":
-            mask = toks.select(_contains(pl.col("ts"), q[1]).alias("m"))["m"]
-        elif kind == "and":
-            e = pl.lit(True)
-            for t in q[1]:
-                e = e & _contains(pl.col("ts"), t)
-            mask = toks.select(e.alias("m"))["m"]
-        elif kind == "or":
-            e = pl.lit(False)
-            for t in q[1]:
-                e = e | _contains(pl.col("ts"), t)
-            mask = toks.select(e.alias("m"))["m"]
-        elif kind == "and_not":
-            e = pl.lit(True)
-            for t in q[1]:
-                e = e & _contains(pl.col("ts"), t)
-            for t in q[2]:
-                e = e & ~_contains(pl.col("ts"), t)
-            mask = toks.select(e.alias("m"))["m"]
-        elif kind == "phrase":
-            a, b = q[1]
-            pa_ = pos_df.filter(pl.col("tok") == a).select("doc_id", "p")
-            pb_ = pos_df.filter(pl.col("tok") == b).select(
-                "doc_id", (pl.col("p") - 1).alias("p")
-            )
-            hit_docs = (
-                pa_.join(pb_, on=["doc_id", "p"], how="inner")
-                .select("doc_id")
-                .unique()["doc_id"]
-            )
-            mask = toks.select(pl.col("doc_id").is_in(hit_docs).alias("m"))["m"]
-        else:  # pragma: no cover
-            raise ValueError(kind)
-        matched = toks.filter(mask)["doc_id"]
+        matched = _eval_query(toks, pos_df, q)
         out_qid.append(qid)
         out_n.append(len(matched))
         out_sum.append(int(matched.sum()) if len(matched) else 0)
@@ -216,6 +223,152 @@ def percolate_counts_exact(ds, queries: list[tuple] | None = None) -> pa.Table:
             batch_format="pyarrow",
             concurrency=(1, 4),
             batch_size=256,
+        )
+        .groupby("qid")
+        .aggregate(
+            Sum("n_matches"), Sum("sum_doc"), Min("min_doc"), Max("max_doc")
+        )
+        .to_pandas()
+    )
+    part = part.rename(
+        columns={
+            "sum(n_matches)": "n_matches",
+            "sum(sum_doc)": "sum_doc",
+            "min(min_doc)": "min_doc",
+            "max(max_doc)": "max_doc",
+        }
+    ).sort_values("qid")
+    part.loc[part["n_matches"] == 0, ["min_doc", "max_doc"]] = -1
+    return pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False)
+
+
+def _filter_terms(q: tuple) -> tuple[list[str], int]:
+    """(filter terms, required count) for the presearcher index: a doc is
+    a CANDIDATE for the query iff it contains >= count of the terms —
+    always a superset of true matches (negations never pre-filter;
+    phrase adjacency and NOT clauses refine at evaluation)."""
+    kind = q[0]
+    if kind == "term":
+        return [q[1]], 1
+    if kind == "or":
+        terms = list(dict.fromkeys(q[1]))
+        return terms, 1
+    if kind in ("and", "and_not", "phrase"):
+        terms = list(dict.fromkeys(q[1]))
+        return terms, len(terms)
+    raise ValueError(kind)  # pragma: no cover
+
+
+class PresearchPercolator:
+    """TermFilteredPresearcher analogue (reference monitor/
+    TermFilteredPresearcher.java + Monitor.match): the registered queries
+    are INDEXED once per actor — a (tok, qid) frame plus per-qid required
+    counts — and each batch gathers candidate (doc, query) pairs with ONE
+    distinct-token explode + join + groupby instead of evaluating every
+    query against every batch.  Candidates then run the SAME vectorized
+    evaluators as match_batch, restricted to that query's candidate docs,
+    so partials (and percolate_counts results) are identical; with 10^5+
+    registered queries the per-batch cost follows the doc vocabulary
+    instead of the registry size.  ``last_stats`` records evaluated vs
+    possible (query, batch-doc) pairs — the pruning the reference gets
+    from its presearcher query index."""
+
+    def __init__(self, queries: list[tuple] | None = None):
+        queries = queries if queries is not None else MONITOR_QUERIES
+        self.queries = queries
+        toks, qids, need = [], [], []
+        for qid, q in enumerate(queries):
+            terms, n = _filter_terms(q)
+            toks.extend(terms)
+            qids.extend([qid] * len(terms))
+            need.append(n)
+        self.filter_df = pl.DataFrame(
+            {"tok": pl.Series(toks, dtype=pl.String),
+             "qid": pl.Series(qids, dtype=pl.Int64)}
+        )
+        self.need_df = pl.DataFrame(
+            {"qid": pl.Series(range(len(queries)), dtype=pl.Int64),
+             "need": pl.Series(need, dtype=pl.UInt32)}
+        )
+        self.last_stats: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        toks = df.select(pl.col("doc_id"), _tok_expr().alias("ts"))
+        # candidate gathering: distinct (doc, tok) x filter index
+        dt = toks.explode("ts").rename({"ts": "tok"}).unique()
+        cand = (
+            dt.join(self.filter_df, on="tok")
+            .group_by(["doc_id", "qid"])
+            .len()
+            .join(self.need_df, on="qid")
+            .filter(pl.col("len") >= pl.col("need"))
+            .select("doc_id", "qid")
+        )
+        pos_df = None
+        if any(q[0] == "phrase" for q in self.queries):
+            pos_df = (
+                toks.with_columns(pl.int_ranges(pl.col("ts").list.len()).alias("p"))
+                .explode(["ts", "p"])
+                .rename({"ts": "tok"})
+            )
+        out_qid, out_n, out_sum, out_min, out_max = [], [], [], [], []
+        evaluated = 0
+        by_q = {int(k[0]): g["doc_id"] for k, g in cand.group_by("qid")}
+        for qid, q in enumerate(self.queries):
+            docs = by_q.get(qid)
+            if docs is None or len(docs) == 0:
+                matched = pl.Series("doc_id", [], dtype=toks["doc_id"].dtype)
+            else:
+                sub = toks.filter(pl.col("doc_id").is_in(docs))
+                sub_pos = (
+                    pos_df.filter(pl.col("doc_id").is_in(docs))
+                    if q[0] == "phrase"
+                    else None
+                )
+                evaluated += len(sub)
+                matched = _eval_query(sub, sub_pos, q)
+            out_qid.append(qid)
+            out_n.append(len(matched))
+            out_sum.append(int(matched.sum()) if len(matched) else 0)
+            out_min.append(int(matched.min()) if len(matched) else 2**62)
+            out_max.append(int(matched.max()) if len(matched) else -1)
+        self.last_stats = {
+            "evaluated_pairs": evaluated,
+            "possible_pairs": len(toks) * len(self.queries),
+        }
+        return pa.table(
+            {
+                "qid": pa.array(out_qid, pa.int64()),
+                "n_matches": pa.array(out_n, pa.int64()),
+                "sum_doc": pa.array(out_sum, pa.int64()),
+                "min_doc": pa.array(out_min, pa.int64()),
+                "max_doc": pa.array(out_max, pa.int64()),
+            }
+        )
+
+
+def percolate_counts_presearch(
+    ds, queries: list[tuple] | None = None, concurrency: int = 4
+) -> pa.Table:
+    """percolate_counts through the presearcher actor pool (the registry
+    index builds once per actor in __init__, batches stream through) —
+    identical output, registry-size-independent per-batch cost."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    queries = queries if queries is not None else MONITOR_QUERIES
+    if ray.is_initialized():
+        # leave head-room for the read + reduce operators, or a small
+        # session deadlocks with the whole CPU budget parked in the pool
+        avail = int(ray.cluster_resources().get("CPU", concurrency + 2))
+        concurrency = max(1, min(concurrency, avail - 2))
+    part = (
+        ds.map_batches(
+            PresearchPercolator,
+            fn_constructor_kwargs={"queries": queries},
+            batch_format="pyarrow",
+            concurrency=concurrency,
         )
         .groupby("qid")
         .aggregate(

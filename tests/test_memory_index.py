@@ -123,3 +123,38 @@ def test_memory_index_offsets_flag():
     assert r.has_offsets is False
     with pytest.raises(ValueError):
         r.term_offset_spans(0)
+
+
+def test_presearch_percolator_parity_and_pruning(ray_session):
+    """TermFilteredPresearcher analogue: identical percolate_counts output
+    through the candidate-pruned path, and with a large registry of
+    mostly-absent terms the evaluated (query, doc) pairs collapse."""
+    import ray.data as rd
+
+    from lucene_ray.ops import monitor
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    base = monitor.percolate_counts(ds).to_pandas()
+    pre = monitor.percolate_counts_presearch(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ).to_pandas()
+    assert pre.equals(base)
+
+    # big synthetic registry: 400 queries over absent terms + the 5 real
+    big = list(monitor.MONITOR_QUERIES) + [
+        ("term", f"zzqx{i}") for i in range(200)
+    ] + [("and", [f"zzqa{i}", f"zzqb{i}"]) for i in range(200)]
+    p = monitor.PresearchPercolator(big)
+    import pyarrow.parquet as pq
+
+    batch = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = p(batch)
+    assert out.num_rows == len(big)
+    # absent-term queries were never evaluated: pruning >= 95%
+    stats = p.last_stats
+    assert stats["evaluated_pairs"] < 0.05 * stats["possible_pairs"]
+    # and the real queries still match exactly what match_batch says
+    ref = monitor.match_batch(batch, list(monitor.MONITOR_QUERIES))
+    assert out.slice(0, 5).equals(ref)
