@@ -2393,6 +2393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n_chars doc-values column over matching docs (exact integer
         # partials per segment; mean/variance one double expression)
         "ft_dv_stats": lambda sf: ft.doc_values_stats(sf),
+        # benchmark/quality (QualityBenchmark + TrecJudge + QualityStats):
+        # BM25 top-20 judged against tf>=2 relevance — integer-exact
+        # per-rank rows; judgments from INDEX postings, oracle recounts text
+        "ft_quality_run": lambda sf: ft.quality_judged_run(sf),
         # lucene/join JoinUtil (ScoreMode.Max) self-join on `source`
         # JoinUtil query-time join (modes max/min/total/avg over the
         # source join field) beside the INDEX-TIME block join family
@@ -3138,6 +3142,53 @@ SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
         # FeatureField: BM25 conjunction + per-function feature score over
         # the 9-bit-mantissa-quantized n_chars "static rank"
         "ft_feature_topk": _FEATURE_SQL,
+        # benchmark/quality judged run: BM25 top-20 + tf>=2 judgment,
+        # cumulative relevant count per rank (all integers)
+        "ft_quality_run": f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rnk <= {ft.QUALITY_K}),
+rel AS (
+  SELECT q.qid, tf.doc_id FROM q
+  JOIN tf ON tf.tok = q.term AND tf.tf >= {ft.QUALITY_REL_TF}
+),
+j AS (
+  SELECT t.qid, t.rnk, t.doc_id,
+         (CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS relevant
+  FROM top t LEFT JOIN rel ON rel.qid = t.qid AND rel.doc_id = t.doc_id
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id, relevant,
+       sum(relevant) OVER (PARTITION BY qid ORDER BY rnk)::BIGINT AS rel_so_far
+FROM j
+""",
         # DocValuesStatsCollector: exact integer stats + double mean/var
         # (the engine's (sum_sq - sum^2/n)/n expression, mirrored)
         "ft_dv_stats": f"""

@@ -4491,3 +4491,91 @@ def doc_values_stats(sf_dir: str) -> pa.Table:
             ]
         )
     )
+
+
+QUALITY_K = 20
+QUALITY_REL_TF = 2  # judgment: doc is relevant to a query iff tf >= 2
+
+
+def quality_judged_run(sf_dir: str, k: int = QUALITY_K) -> pa.Table:
+    """TREC-style judged run (reference benchmark/quality/
+    QualityBenchmark.java + TrecJudge.java + QualityStats.java): the BM25
+    top-k per query joined against a deterministic relevance judgment
+    (relevant iff the query term occurs >= QUALITY_REL_TF times — judged
+    from the INDEX postings, while the oracle recounts from raw text).
+    Emits integer-exact per-rank rows (qid, rnk, doc_id, relevant,
+    rel_so_far) — the QualityStats.addResult stream — from which P@n,
+    MRR (the reference's first-5-ranks form, QualityStats.java:88-89)
+    and AP (pReleventSum / maxGoodPoints, :123) derive exactly;
+    quality_stats() below computes them per the reference."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs, rel, cum = [], [], [], [], []
+    for qid, term in enumerate(QUERY_TERMS):
+        # judgment set from the index postings (tf >= threshold)
+        relevant: set[int] = set()
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            tid = reader.term_id(term)
+            if tid is None:
+                continue
+            d, f = reader.decode_term_cached(tid)
+            if reader.live is not None and len(d):
+                m = reader.live[d]
+                d, f = d[m], f[m]
+            base = seg["doc_base"]
+            relevant.update((d[f >= QUALITY_REL_TF] + base).tolist())
+        good = 0
+        for rnk, (doc, _s) in enumerate(searcher.search(TermQuery(term), k), start=1):
+            is_rel = int(doc in relevant)
+            good += is_rel
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+            rel.append(is_rel)
+            cum.append(good)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "relevant": pa.array(rel, pa.int64()),
+            "rel_so_far": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+def quality_stats(run: pa.Table, max_good: dict[int, int]) -> dict[int, dict]:
+    """QualityStats per query from a judged run: P@10, MRR (1/rank of the
+    first relevant, only if within the top 5 — QualityStats.java:88-89),
+    AP = sum of precision at each relevant rank / maxGoodPoints
+    (QualityStats.java:123), recall = good/maxGood."""
+    import collections
+
+    by_q: dict[int, list] = collections.defaultdict(list)
+    for r in run.to_pylist():
+        by_q[r["qid"]].append(r)
+    out = {}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        p_rel_sum = 0.0
+        mrr = 0.0
+        first = True
+        good = 0
+        p10 = 0.0
+        for r in rows:
+            if r["relevant"]:
+                good += 1
+                p_rel_sum += good / r["rnk"]
+                if first and r["rnk"] <= 5:
+                    mrr = 1.0 / r["rnk"]
+                first = False
+            if r["rnk"] == 10:
+                p10 = good / 10.0
+        mg = max_good.get(qid, 0)
+        out[qid] = {
+            "p_at_10": p10,
+            "mrr": mrr,
+            "ap": (p_rel_sum / mg) if mg else 0.0,
+            "recall": (good / mg) if mg else 0.0,
+        }
+    return out

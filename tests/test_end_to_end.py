@@ -562,3 +562,38 @@ def test_doc_values_stats_matches_numpy(ray_session):
         assert row["sum_v"] == vals.sum()
         assert row["mean"] == pytest.approx(vals.mean(), rel=1e-12)
         assert row["variance"] == pytest.approx(vals.var(), rel=1e-9)
+
+
+def test_quality_stats_reference_semantics(ray_session):
+    """QualityStats semantics (benchmark/quality/QualityStats.java):
+    MRR counts only a first relevant hit within the top 5 (:88-89),
+    AP = sum of precision at each relevant rank / maxGoodPoints (:123)."""
+    from lucene_ray.pipelines.fulltext import quality_judged_run, quality_stats
+
+    # hand-built run: relevant at ranks 2 and 4 of 5; maxGood 4
+    rows = [
+        {"qid": 0, "rnk": r, "doc_id": 100 + r, "relevant": int(r in (2, 4)),
+         "rel_so_far": [0, 0, 1, 1, 2, 2][r]}
+        for r in range(1, 6)
+    ]
+    import pyarrow as pa_
+    st = quality_stats(pa_.Table.from_pylist(rows), {0: 4})[0]
+    assert st["mrr"] == 0.5                      # first relevant at rank 2
+    assert st["ap"] == (1 / 2 + 2 / 4) / 4       # precision at hits / maxGood
+    assert st["recall"] == 2 / 4
+    # first relevant BEYOND rank 5 -> mrr stays 0 (the reference quirk)
+    rows2 = [
+        {"qid": 1, "rnk": r, "doc_id": r, "relevant": int(r == 6),
+         "rel_so_far": int(r >= 6)}
+        for r in range(1, 8)
+    ]
+    st2 = quality_stats(pa_.Table.from_pylist(rows2), {1: 1})[1]
+    assert st2["mrr"] == 0.0 and st2["ap"] == 1 / 6
+
+    # integration: stats derive cleanly from the real judged run
+    run = quality_judged_run("/root/testdata/sf0.001")
+    df = run.to_pandas()
+    max_good = {int(q): int(g["relevant"].sum()) for q, g in df.groupby("qid")}
+    stats = quality_stats(run, max_good)  # recall == 1 by this maxGood
+    for qid, s in stats.items():
+        assert 0.0 <= s["p_at_10"] <= 1.0 and 0.0 <= s["mrr"] <= 1.0
