@@ -324,6 +324,86 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 """
 
 
+def _dyn_range_sql() -> str:
+    """DynamicRangeUtil.computeDynamicNumericRanges mirrored in SQL: the
+    greedy 'accumulate weight until >= totalWeight/min(topN,len), then
+    reset' scan is unrolled into DYN_TOPN chained break-finding CTEs
+    (break k = first sorted row whose cumulative weight reaches break
+    k-1's cumulative weight + target), plus a terminal pseudo-break for
+    the remainder range.  Emits the same three integer facet rows as the
+    engine: count / weight / value-sum per range."""
+    cte = [
+        f"""
+dynsrc AS (
+  SELECT qid, n_chars AS v, (n_chars % {ft.DYN_WEIGHT_MOD})::BIGINT AS w
+  FROM m WHERE n_chars % {ft.DYN_WEIGHT_MOD} <> 0
+),
+dynsort AS (
+  SELECT qid, v, w,
+         row_number() OVER (PARTITION BY qid ORDER BY v, w) AS rn,
+         sum(w) OVER (PARTITION BY qid ORDER BY v, w
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(v) OVER (PARTITION BY qid ORDER BY v, w
+                      ROWS UNBOUNDED PRECEDING) AS cv
+  FROM dynsrc
+),
+dyntgt AS (
+  SELECT qid, count(*)::BIGINT AS len,
+         sum(w) * 1.0 / least({ft.DYN_TOPN}, count(*)) AS target
+  FROM dynsrc GROUP BY qid
+),
+dynb0 AS (SELECT qid, 0::BIGINT AS brk, 0::BIGINT AS cw FROM dyntgt)"""
+    ]
+    for k in range(1, ft.DYN_TOPN + 1):
+        cte.append(
+            f"""
+dynm{k} AS (
+  SELECT p.qid, min(s.rn) AS brk
+  FROM dynb{k - 1} p
+  JOIN dyntgt t ON t.qid = p.qid
+  JOIN dynsort s ON s.qid = p.qid AND s.cw >= p.cw + t.target
+  GROUP BY p.qid
+),
+dynb{k} AS (
+  SELECT b.qid, b.brk, s.cw FROM dynm{k} b
+  JOIN dynsort s ON s.qid = b.qid AND s.rn = b.brk
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT qid, brk FROM dynb{k}" for k in range(ft.DYN_TOPN + 1)
+    )
+    cte.append(
+        f"""
+dynbrk AS ({unions}),
+dynedge AS (
+  SELECT qid, brk FROM dynbrk
+  UNION ALL
+  SELECT t.qid, t.len FROM dyntgt t
+  WHERE t.len > (SELECT max(brk) FROM dynbrk b WHERE b.qid = t.qid)
+),
+dynrng AS (
+  SELECT qid, brk,
+         lag(brk) OVER (PARTITION BY qid ORDER BY brk) AS pbrk,
+         row_number() OVER (PARTITION BY qid ORDER BY brk) - 2 AS k
+  FROM dynedge
+),
+dynout AS (
+  SELECT r.qid,
+         r.k::VARCHAR || ':[' || lo.v::VARCHAR || ',' || hi.v::VARCHAR
+           || ']' AS lab,
+         (r.brk - r.pbrk)::BIGINT AS cnt,
+         (hi.cw - coalesce(pb.cw, 0))::BIGINT AS wsum,
+         (hi.cv - coalesce(pb.cv, 0))::BIGINT AS vsum
+  FROM dynrng r
+  JOIN dynsort lo ON lo.qid = r.qid AND lo.rn = r.pbrk + 1
+  JOIN dynsort hi ON hi.qid = r.qid AND hi.rn = r.brk
+  LEFT JOIN dynsort pb ON pb.qid = r.qid AND pb.rn = r.pbrk
+  WHERE r.pbrk IS NOT NULL
+)"""
+    )
+    return ",".join(cte)
+
+
 def _lang_sql() -> str:
     from lucene_ray.ops.text import LANG_WORDS
 
@@ -2452,9 +2532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (search/Sort.java + index/Sorter.java) as one family entry
         "ft_sort_family": _sort_family,
         # facet family + the misc DocValuesStats rows (same facet-tagged
-        # shape; dv_stats reduces min/max/sum/count on the driver)
+        # shape; dv_stats reduces min/max/sum/count on the driver) + the
+        # DynamicRangeUtil equi-weight ranges (greedy scan over globally
+        # sorted (value, weight) pairs — pair partials per segment)
         "ft_facet_counts": lambda sf: _concat_rows(
-            ft.facet_counts(sf), ft.dv_stats(sf)
+            ft.facet_counts(sf), ft.dv_stats(sf), ft.dynamic_range_facets(sf)
         ),
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
@@ -4069,7 +4151,8 @@ m AS (
   SELECT q.qid, d.doc_id, d.lang, d.source, d.n_chars
   FROM q JOIN tf ON tf.tok = q.term
   JOIN documents d ON d.doc_id = tf.doc_id
-)
+),
+{_dyn_range_sql()}
 SELECT 'lang' AS facet, qid, lang AS value, count(*)::BIGINT AS n
 FROM m GROUP BY qid, lang
 UNION ALL
@@ -4124,6 +4207,33 @@ UNION ALL
 -- matching doc's n_chars association sums into its lang label
 SELECT 'assoc_sum_lang', qid, lang, sum(n_chars)::BIGINT
 FROM m GROUP BY qid, lang
+UNION ALL
+-- LongValueFacetCounts: per-distinct-value counts of the value source
+-- n_chars // {ft.LONG_VALUE_DIV}
+SELECT 'long_value', qid, cast(n_chars // {ft.LONG_VALUE_DIV} as varchar),
+       count(*)::BIGINT
+FROM m GROUP BY qid, 3
+UNION ALL
+-- FacetSet ExactFacetSetMatcher: doc set (n_chars % 8, n_chars // 100)
+SELECT 'facetset_exact', qid, s.lab, count(*)::BIGINT
+FROM m JOIN (VALUES {", ".join(f"('{a}/{b}', {a}, {b})" for a, b in ft.FACETSET_EXACT)})
+  s(lab, a, b) ON m.n_chars % 8 = s.a AND m.n_chars // 100 = s.b
+GROUP BY qid, s.lab
+UNION ALL
+-- FacetSet RangeFacetSetMatcher: per-dim inclusive ranges
+SELECT 'facetset_range', qid, s.lab, count(*)::BIGINT
+FROM m JOIN (VALUES {", ".join(f"('{lab}', {l0}, {h0}, {l1}, {h1})" for lab, (l0, h0), (l1, h1) in ft.FACETSET_RANGES)})
+  s(lab, l0, h0, l1, h1)
+  ON m.n_chars % 8 BETWEEN s.l0 AND s.h0
+ AND m.n_chars // 100 BETWEEN s.l1 AND s.h1
+GROUP BY qid, s.lab
+UNION ALL
+-- DynamicRangeUtil equi-weight ranges: count / weight / value-sum rows
+SELECT 'dynamic_range', qid, lab, cnt FROM dynout
+UNION ALL
+SELECT 'dynamic_range_weight', qid, lab, wsum FROM dynout
+UNION ALL
+SELECT 'dynamic_range_vsum', qid, lab, vsum FROM dynout
 UNION ALL
 -- misc DocValuesStats (LongDocValuesStats): n_chars over matching docs
 SELECT 'dv_stats', qid, s.value, s.n FROM (

@@ -3635,6 +3635,26 @@ DRILL_LANG = "en"
 # the reference's XORShift64 random stream; amortization is integer
 # floor division (n * 100 // pct) so combine order can't perturb it.
 SAMPLE_FACET_PCT = 33
+# LongValueFacetCounts (facet/LongValueFacetCounts.java): counts per
+# distinct value of a LongValuesSource over the matching docs — the
+# source here is the expression n_chars // LONG_VALUE_DIV
+LONG_VALUE_DIV = 64
+# FacetSet family (facet/facetset/): each doc carries ONE 2-dim long
+# facet set (n_chars % 8, n_chars // 100); ExactFacetSetMatcher counts
+# docs whose set equals a target tuple, RangeFacetSetMatcher counts docs
+# whose dims fall in per-dim inclusive ranges (MatchingFacetSetsCounts
+# increments per matching set per doc — one set per doc here)
+FACETSET_DIMS = lambda nc: (nc % 8, nc // 100)  # noqa: E731
+FACETSET_EXACT = [(4, 3), (0, 2), (6, 0), (1, 1)]
+FACETSET_RANGES = [  # (label, (d0_lo, d0_hi), (d1_lo, d1_hi)) all inclusive
+    ("r0", (2, 5), (0, 2)),
+    ("r1", (0, 3), (1, 3)),
+]
+# DynamicRangeUtil (facet/range/DynamicRangeUtil.java): equi-weight
+# dynamic ranges over value = n_chars with weight = n_chars % DYN_WEIGHT_MOD
+# (zero-weight docs are skipped — the reference's skew guard), topN bins
+DYN_TOPN = 7
+DYN_WEIGHT_MOD = 5
 
 
 def _sample_gate(stored_ids: np.ndarray, pct: int) -> np.ndarray:
@@ -3753,6 +3773,35 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
                 qids.append(qid)
                 vals.append(str(lab))
                 ns.append(int(nc[lang_np == lab].sum()))
+            # LongValueFacetCounts (facet/LongValueFacetCounts.java):
+            # per-distinct-value counts of the LongValuesSource
+            # n_chars // LONG_VALUE_DIV over the matching docs
+            for v, c in zip(*np.unique(nc // LONG_VALUE_DIV, return_counts=True)):
+                facets.append("long_value")
+                qids.append(qid)
+                vals.append(str(int(v)))
+                ns.append(int(c))
+            # FacetSet matchers (facet/facetset/MatchingFacetSetsCounts +
+            # ExactFacetSetMatcher / RangeFacetSetMatcher): one 2-dim set
+            # per doc; counts per matcher label (only nonzero emitted,
+            # matching getTopChildren's skip-zero rule)
+            d0, d1 = FACETSET_DIMS(nc)
+            for t0, t1 in FACETSET_EXACT:
+                c = int(((d0 == t0) & (d1 == t1)).sum())
+                if c:
+                    facets.append("facetset_exact")
+                    qids.append(qid)
+                    vals.append(f"{t0}/{t1}")
+                    ns.append(c)
+            for lab, (l0, h0), (l1, h1) in FACETSET_RANGES:
+                c = int(
+                    ((d0 >= l0) & (d0 <= h0) & (d1 >= l1) & (d1 <= h1)).sum()
+                )
+                if c:
+                    facets.append("facetset_range")
+                    qids.append(qid)
+                    vals.append(lab)
+                    ns.append(c)
             drill = (nc >= DRILL_RANGE[0]) & (nc < DRILL_RANGE[1])
             if drill.any():
                 emit("drilldown_lang", qid, lang.take(pa.array(docs[drill])))
@@ -3899,6 +3948,133 @@ def dv_stats(sf_dir: str):
             ("dv_stats", int(qid), "count", int(g.ct.sum())),
             ("dv_stats", int(qid), "missing", 0),
         ]
+    return pa.table(
+        {
+            "facet": pa.array([r[0] for r in rows], pa.string()),
+            "qid": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.string()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def compute_dynamic_numeric_ranges(
+    values: np.ndarray, weights: np.ndarray, top_n: int
+) -> list[tuple[int, int, int, int, int]]:
+    """The greedy equi-weight scan of DynamicRangeUtil.compute
+    DynamicNumericRanges (facet/range/DynamicRangeUtil.java:240-264),
+    vectorized: sort by (value, weight), break at the first row whose
+    per-range accumulated weight reaches totalWeight/min(topN, len)
+    (long-vs-double compare, exactly the reference's), remainder rows
+    form a final short range.  Returns (count, weight, min, max,
+    value_sum) per range — centroid = value_sum / count, pinned against
+    the reference's TestDynamicRangeUtil golden vectors."""
+    order = np.lexsort((weights, values))
+    v, w = values[order], weights[order]
+    n = len(v)
+    if n == 0 or top_n == 0:
+        return []
+    cumw = np.cumsum(w)
+    cumv = np.cumsum(v)
+    target = float(cumw[-1]) / min(top_n, n)
+    out = []
+    start, prev_w, prev_v = 0, 0.0, 0
+    while start < n:
+        # first row where accumulated weight reaches the target
+        brk = int(np.searchsorted(cumw, prev_w + target, side="left"))
+        brk = min(brk, n - 1)  # remainder forms the final range
+        out.append(
+            (
+                brk - start + 1,
+                int(cumw[brk] - prev_w),
+                int(v[start]),
+                int(v[brk]),
+                int(cumv[brk] - prev_v),
+            )
+        )
+        prev_w, prev_v = float(cumw[brk]), int(cumv[brk])
+        start = brk + 1
+    return out
+
+
+def dynamic_range_facets(sf_dir: str) -> pa.Table:
+    """DynamicRangeUtil analogue (reference facet/range/DynamicRangeUtil
+    .java computeDynamicNumericRanges): equi-weight dynamic ranges over
+    value = n_chars, weight = n_chars % DYN_WEIGHT_MOD for each query
+    term's matching docs.  Zero-weight docs are skipped (the reference's
+    skew guard); pairs sort by (value, weight) — the reference's
+    InPlaceMergeSorter tiebreak — and ranges break greedily at the first
+    row where the accumulated weight reaches totalWeight/min(topN, len),
+    with any remainder forming a final short range (:240-264).
+
+    Per-segment partials are (value, weight)->count pairs (bounded by
+    distinct n_chars x DYN_WEIGHT_MOD, a few hundred rows/segment); the
+    driver expands and scans — the REFERENCE likewise gathers every
+    matching doc's (value, weight) into one array before the sequential
+    scan, so this is parity, not a shortcut.  At 10^9 matches the scan
+    stays exact without expansion: breakpoints inside an equal-pair run
+    are ceil((target-base)/w) arithmetic over the pair-level prefix sums.
+
+    Deviation (documented): DynamicRangeInfo's double `centroid` is
+    emitted as the integer value-sum row ('dynamic_range_vsum', centroid
+    = vsum/count exactly) so every facet row stays int64."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, vs, ws, cs = [], [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            nchars = r.stored_column("n_chars").to_numpy()
+            for qid, t in enumerate(QUERY_TERMS):
+                tid = r.term_id(t)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                v = nchars[docs]
+                w = v % DYN_WEIGHT_MOD
+                keep = w != 0  # reference: zero weights are skipped
+                pairs, cnt = np.unique(
+                    np.stack([v[keep], w[keep]]), axis=1, return_counts=True
+                )
+                qids += [qid] * len(cnt)
+                vs += pairs[0].tolist()
+                ws += pairs[1].tolist()
+                cs += cnt.tolist()
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "v": pa.array(vs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .groupby(["qid", "v", "w"])
+        .sum("c")
+        .to_pandas()  # <= queries * distinct(n_chars) * DYN_WEIGHT_MOD rows
+    )
+    rows = []
+    for qid, g in parts.groupby("qid"):
+        v = np.repeat(g["v"].to_numpy(), g["sum(c)"].to_numpy())
+        w = np.repeat(g["w"].to_numpy(), g["sum(c)"].to_numpy())
+        for k, (cnt, wsum, mn, mx, vsum) in enumerate(
+            compute_dynamic_numeric_ranges(v, w, DYN_TOPN)
+        ):
+            lab = f"{k}:[{mn},{mx}]"
+            rows += [
+                ("dynamic_range", int(qid), lab, cnt),
+                ("dynamic_range_weight", int(qid), lab, wsum),
+                ("dynamic_range_vsum", int(qid), lab, vsum),
+            ]
     return pa.table(
         {
             "facet": pa.array([r[0] for r in rows], pa.string()),
