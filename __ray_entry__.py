@@ -2453,6 +2453,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("spell_jaro", ft.spell_suggest_jaro(sf)),
                 # AnalyzingInfixSuggester: prefix matches EITHER bigram token
                 ("infix", ft.infix_suggest(sf)),
+                # BlendedInfixSuggester: weight blended by first-match
+                # position (linear / reciprocal), reference long math
+                ("blended_linear", ft.blended_infix_suggest(sf, "linear")),
+                ("blended_recip", ft.blended_infix_suggest(sf, "reciprocal")),
                 # FuzzySuggester: prefix within 1 Damerau edit completes
                 ("fuzzy", ft.fuzzy_suggest(sf)),
             ],
@@ -3499,6 +3503,38 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= 10
 ) r
+UNION ALL
+-- BlendedInfixSuggester (POSITION_LINEAR / POSITION_RECIPROCAL): the
+-- infix weight blended by first-match position with the reference's
+-- long arithmetic (|w|<10 rescales by 10, final trunc-to-long)
+{" UNION ALL ".join(f'''
+SELECT r.*, 'blended_{lbl}' FROM (
+WITH {_TOKS},
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.INFIX_QUERIES))}),
+pairs AS (
+  SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) > 1)
+),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS weight FROM pairs GROUP BY w1, w2),
+cand AS (
+  SELECT q.qid, b.w1 || ' ' || b.w2 AS term,
+         CASE WHEN b.w1 LIKE q.p || '%' THEN 0 ELSE 1 END AS pos,
+         CASE WHEN b.weight < 10 AND b.weight > -10
+              THEN trunc(b.weight * 10.0)::BIGINT ELSE b.weight END AS base
+  FROM q JOIN bg b ON b.w1 LIKE q.p || '%' OR b.w2 LIKE q.p || '%'
+),
+blended AS (
+  SELECT qid, term, trunc(base * ({coef}))::BIGINT AS weight FROM cand
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM blended
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
+) r''' for lbl, coef in (("linear", "1.0 - 0.1 * pos"), ("recip", "1.0 / (pos + 1.0)")))}
 UNION ALL
 -- FuzzySuggester: completions whose prefix is within 1 Damerau edit of
 -- the typed query (first char exact = nonFuzzyPrefix 1; queries shorter

@@ -2459,6 +2459,81 @@ def infix_suggest(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+def blended_weights(
+    w: np.ndarray, pos: np.ndarray, blender: str
+) -> np.ndarray:
+    """BlendedInfixSuggester's exact long arithmetic
+    (BlendedInfixSuggester.java:258-271 + calculateCoefficient:357-378):
+    zero weights become 1, |weight| < 10 rescales by 10 (so the blend
+    survives the long truncation — and makes w=9 outscore w=10, the
+    reference's own discontinuity), then (long)(weight * coefficient)."""
+    w = w.copy()
+    w[w == 0] = 1
+    w = np.where((w < 10) & (w > -10), (w * 10.0).astype(np.int64), w)
+    coef = 1.0 - 0.1 * pos if blender == "linear" else 1.0 / (pos + 1.0)
+    return (w * coef).astype(np.int64)
+
+
+def blended_infix_suggest(
+    sf_dir: str, blender: str = "linear", n: int = 10
+) -> pa.Table:
+    """BlendedInfixSuggester analogue (reference suggest/analyzing/
+    BlendedInfixSuggester.java): the infix suggester's raw weight is
+    blended by the position of the FIRST (closest) query-matching token
+    — POSITION_LINEAR coef = 1 - 0.10*position (:362), POSITION_
+    RECIPROCAL coef = 1/(position+1) (:366) — with the reference's exact
+    long arithmetic: zero weights become 1 (:265-267), |weight| < 10
+    rescales by 10 so the coefficient survives the final (long)
+    truncation (:268-271).  That rescale makes the blended score
+    NON-monotone in the raw weight (w=9 scores 90, w=10 scores 10), so
+    blending happens BEFORE any top-n trimming; the reference's
+    numFactor candidate-pool cut is an approximation we don't reproduce
+    — we blend every entry exactly.  Top-n by (score DESC, term ASC)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["text"])
+    parts = ds.map_batches(
+        _infix_partials,
+        batch_format="pyarrow",
+        fn_kwargs={"queries": INFIX_QUERIES},
+    )
+    agg = parts.groupby(["qid", "term"]).sum("weight")
+
+    def _blend(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["qid", "term", "weight"])
+        qid = b.column("qid").to_numpy()
+        terms = b.column("term").to_pylist()
+        pos = np.empty(len(terms), np.int64)
+        for i, (q, t) in enumerate(zip(qid, terms)):
+            pref = INFIX_QUERIES[int(q)]
+            pos[i] = 0 if t.split(" ", 1)[0].startswith(pref) else 1
+        return pa.table(
+            {
+                "qid": b.column("qid"),
+                "term": b.column("term"),
+                "weight": pa.array(
+                    blended_weights(b.column("weight").to_numpy(), pos, blender),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = agg.map_batches(
+        lambda b: suggest.partial_topn(_blend(b), n), batch_format="pyarrow"
+    )
+    df = agg.to_pandas()  # bounded: <= n * num_blocks rows per qid
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 WORDBREAK_QUERIES = ["sparkjoin", "windowbatch", "customerorder", "thegroup"]
 WORDBREAK_TOP_N = 5
 

@@ -430,3 +430,50 @@ def test_field_exists_query():
         for d, sc in fhits:
             assert np.float32(sc) == np.float32(unf[d])
         assert s.count(q) == 2
+
+
+def test_blended_infix_weights_reference_arithmetic():
+    """BlendedInfixSuggester.java:258-271: zero weight -> 1, |w| < 10
+    rescales by 10, (long)(w * coef) truncation; the rescale makes w=9
+    outscore w=10 — the reference's own discontinuity."""
+    import numpy as np
+    from lucene_ray.pipelines.fulltext import blended_weights
+
+    w = np.array([0, 9, 10, 100], dtype=np.int64)
+    p0 = np.zeros(4, np.int64)
+    p1 = np.ones(4, np.int64)
+    assert blended_weights(w, p0, "linear").tolist() == [10, 90, 10, 100]
+    # pos=1 linear: coef 0.9 after rescale; trunc-to-long semantics
+    assert blended_weights(w, p1, "linear").tolist() == [9, 81, 9, 90]
+    assert blended_weights(w, p1, "reciprocal").tolist() == [5, 45, 5, 50]
+    # discontinuity: raw 9 beats raw 10 at every position/blender
+    for pos in (p0, p1):
+        for b in ("linear", "reciprocal"):
+            got = blended_weights(w, pos, b)
+            assert got[1] > got[2]
+
+
+def test_blended_infix_suggest_positions(ray_session):
+    """Entries whose FIRST token prefix-matches keep coef 1; second-token
+    matches blend down — and ranks follow the blended score."""
+    import numpy as np
+    from lucene_ray.pipelines.fulltext import (
+        INFIX_QUERIES, blended_infix_suggest, infix_suggest,
+    )
+
+    blended = blended_infix_suggest("/root/testdata/sf0.001", "linear").to_pandas()
+    raw = infix_suggest("/root/testdata/sf0.001").to_pandas()
+    raw_w = {(r.qid, r.term): r.weight for r in raw.itertuples()}
+    from lucene_ray.pipelines.fulltext import blended_weights as bw
+
+    for r in blended.itertuples():
+        pref = INFIX_QUERIES[r.qid]
+        pos = 0 if r.term.split(" ", 1)[0].startswith(pref) else 1
+        if (r.qid, r.term) in raw_w:
+            w = np.array([raw_w[(r.qid, r.term)]], np.int64)
+            assert r.weight == bw(w, np.array([pos], np.int64), "linear")[0]
+    # ranks strictly follow (weight DESC, term ASC) within each qid
+    for _, g in blended.groupby("qid"):
+        g = g.sort_values("rnk")
+        keys = list(zip(-g.weight, g.term))
+        assert keys == sorted(keys)
