@@ -921,6 +921,74 @@ SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 """
 
 
+def _pw_slot_cond(col: str, spec) -> str:
+    kind, pat = spec
+    if kind == "term":
+        return f"{col} = '{pat}'"
+    if kind == "prefix":
+        return f"{col} LIKE '{pat}%'"
+    # wildcard: '?' -> '.', '*' -> '.*', anchored (patterns are [a-z?*])
+    return f"regexp_matches({col}, '^{pat.replace('?', '.').replace('*', '.*')}$')"
+
+
+def _phrase_wildcard_sql() -> str:
+    """PhraseWildcardQuery arm: multi-phrase matching with slot
+    conditions (=, prefix LIKE, wildcard regexp) and idf summed over the
+    DISTINCT index terms each multi-term expands to (the ample-budget
+    collection == all matching dictionary terms)."""
+    match_parts = []
+    idf_cases = []
+    idf_t = "ln(1 + (st.doc_count - tdf.df + 0.5) / (tdf.df + 0.5))"
+    for qid, slots in enumerate(ft.PW_PHRASES):
+        n = len(slots)
+        conds = " AND ".join(
+            _pw_slot_cond(f"ts[i + {k + 1}]", spec)
+            for k, spec in enumerate(slots)
+        )
+        match_parts.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS pf "
+            f"FROM pws WHERE i + {n} <= len(ts) AND {conds} GROUP BY doc_id"
+        )
+        idf_cases.append(
+            "WHEN {} THEN {}".format(
+                qid,
+                " + ".join(
+                    f"(SELECT coalesce(sum({idf_t}), 0) FROM tdf "
+                    f"WHERE {_pw_slot_cond('tok', spec)})"
+                    for spec in slots
+                ),
+            )
+        )
+    idf_expr = "CASE pwm.qid " + " ".join(idf_cases) + " ELSE 0 END"
+    return f"""
+WITH {_TOKS}, {_LT},
+pws AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 0),
+pwm AS ({" UNION ALL ".join(match_parts)}),
+tdf AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+st AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+scored AS (
+  SELECT pwm.qid, pwm.doc_id,
+         ({idf_expr})
+           * (1 - 1 / (1 + pwm.pf / (1.2 * ((1 - 0.75) + 0.75 * q.ql
+              / (st.sum_ttf * 1.0 / st.doc_count))))) AS score
+  FROM pwm JOIN dlq q ON q.doc_id = pwm.doc_id CROSS JOIN st
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+"""
+
+
 def _training_mix_sql() -> str:
     """The composed pipeline, mirrored stage for stage: lang gate ->
     quality + repetition + bigram-LM gate -> exact dedup -> near-dup
@@ -2306,6 +2374,9 @@ def _phrase_topk_family(sf_dir: str):
         [
             ("exact", ft.phrase_topk(sf_dir)),
             ("span", ft.span_score_topk(sf_dir)),
+            # PhraseWildcardQuery (sandbox): multi-term slots, idf summed
+            # over every budget-collected expansion
+            ("wildcard", ft.phrase_wildcard_topk(sf_dir)),
         ]
     )
 
@@ -3604,6 +3675,8 @@ SELECT 'sloppy', qid, doc_id, sloppy_freq FROM (WITH {_TOKS}, {_phrase_sloppy_sq
 SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p
 UNION ALL
 SELECT 'span', s.* FROM ({_span_topk_sql()}) s
+UNION ALL
+SELECT 'wildcard', w.* FROM ({_phrase_wildcard_sql()}) w
 """,
         "ft_proximity_matches": f"""
 SELECT 'unordered' AS family, qid, doc_id, -1::BIGINT AS n_starts

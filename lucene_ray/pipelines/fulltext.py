@@ -1464,6 +1464,197 @@ def phrase_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# PhraseWildcardQuery phrases: slots are single terms or multi-terms
+# (prefix / wildcard); patterns chosen so every slot expands at both sf
+PW_PHRASES = [
+    (("prefix", "win"), ("term", "window")),
+    (("term", "the"), ("prefix", "cust")),
+    (("prefix", "jo"), ("prefix", "ord")),
+    (("wildcard", "gr?up"), ("term", "query")),
+]
+PW_MAX_EXPANSIONS = 1000  # ample at bench sf: no truncation in the oracle arm
+
+
+def _idf64(df: int, doc_count: int) -> float:
+    """BM25 idf in float64, mirroring the oracle's ln expression."""
+    import math
+
+    return math.log(1.0 + (doc_count - df + 0.5) / (df + 0.5))
+
+
+def _pw_expand_tids(reader, spec) -> list[int]:
+    """Term ids matching a PW slot spec in lexicographic (TermsEnum)
+    order — prefix = bounded dictionary range, wildcard = range over the
+    literal prefix + pattern filter (WildcardQuery's automaton walk)."""
+    import fnmatch
+    import re
+
+    kind, pat = spec
+    if kind == "prefix":
+        lo = pat.encode("utf-8")
+        return list(reader.term_id_range(lo, lo + b"\xff\xff\xff\xff"))
+    m = re.search(r"[*?]", pat)
+    lit = pat[: m.start()] if m else pat
+    lo = lit.encode("utf-8")
+    rx = re.compile(fnmatch.translate(pat))
+    return [
+        t
+        for t in reader.term_id_range(lo, lo + b"\xff\xff\xff\xff")
+        if rx.match(reader.term_string(t))
+    ]
+
+
+def phrase_wildcard_collect(
+    searcher, slots, max_expansions: int
+) -> tuple[float, list[tuple[tuple[str, ...], ...]], int] | None:
+    """PhraseWildcardQuery's term-collection phase (reference sandbox/
+    search/PhraseWildcardQuery.java rewrite:140-218): segments visited in
+    increasing distinct-term-count order (SegmentTermsSizeComparator);
+    single terms resolve first — early stop if absent everywhere, their
+    stats are whole-index TermStates.build sums, and non-matching
+    segments are PRUNED from the list (:399-404); multi-terms then expand
+    sequentially with budget maxExpansionsForTerm = remainingExpansions
+    // remainingMultiTerms (integer division, unused credits roll to the
+    next multi-term, :189), each (segment, term) expansion costing one
+    credit in segment order / lexicographic term order, iteration
+    stopping when the term's budget is spent (:516-518); zero-expansion
+    segments are pruned; per UNIQUE term the stats sum df/ttf over the
+    segments actually visited (:508).  The SimScorer then receives ONE
+    TermStatistics per collected term, so idf = the sum over every
+    expansion (:253-259).
+
+    Returns (idf_sum_f64, per-segment slot term sets aligned to
+    searcher.readers — empty tuple marks a pruned / never-expanded
+    segment, total_expansions), or None on early stop."""
+    readers = searcher.readers
+    cs = searcher.collection_stats
+    order = sorted(range(len(readers)), key=lambda i: (readers[i].n_terms, i))
+    seg_terms: list[list[tuple[str, ...] | None]] = [
+        [None] * len(slots) for _ in readers
+    ]
+    idf_sum = 0.0
+    multi_idx = [i for i, s in enumerate(slots) if s[0] != "term"]
+    for pos, spec in enumerate(slots):
+        if spec[0] != "term":
+            continue
+        term = spec[1]
+        # whole-index stats regardless of pruning (TermStates.build :378)
+        df = sum(r.term_stats(term)[0] for r in readers)
+        if df == 0:
+            return None  # earlyStopWeight: single term matches nowhere
+        kept = []
+        for si in order:
+            if readers[si].term_stats(term)[0]:
+                kept.append(si)
+                seg_terms[si][pos] = (term,)
+        order = kept  # prune segments the single term misses
+        idf_sum += _idf64(df, cs.doc_count)
+    remaining = max_expansions
+    remaining_multi = len(multi_idx)
+    total = 0
+    for pos in multi_idx:
+        budget = remaining // remaining_multi
+        stats: dict[str, list[int]] = {}
+        used = 0
+        kept = []
+        stop = False
+        for si in order:
+            if stop:
+                kept.append(si)  # un-visited segments stay in the list
+                continue
+            r = readers[si]
+            tids = _pw_expand_tids(r, slots[pos])[: budget - used]
+            if tids:
+                terms = []
+                for tid in tids:
+                    s = r.term_string(int(tid))
+                    d, t = r.term_stats(s)
+                    st = stats.setdefault(s, [0, 0])
+                    st[0] += d
+                    st[1] += t
+                    terms.append(s)
+                seg_terms[si][pos] = tuple(terms)
+                used += len(tids)
+                kept.append(si)
+            # else: zero-expansion segment pruned (segmentIterator.remove)
+            stop = used == budget
+        if used == 0:
+            return None  # earlyStopWeight: multi-term expands nowhere
+        order = kept
+        remaining -= used
+        remaining_multi -= 1
+        total += used
+        for df, _t in stats.values():
+            if df:
+                idf_sum += _idf64(df, cs.doc_count)
+    out = [
+        tuple(s if s is not None else () for s in per_seg)
+        for per_seg in seg_terms
+    ]
+    return idf_sum, out, total
+
+
+def phrase_wildcard_topk(
+    sf_dir: str, k: int = 10, max_expansions: int = PW_MAX_EXPANSIONS
+) -> pa.Table:
+    """PhraseWildcardQuery BM25 top-k (reference sandbox/search/
+    PhraseWildcardQuery.java): a phrase whose slots may be multi-terms;
+    matching is MultiPhraseQuery's (slot i matches ANY collected
+    expansion at start+i) restricted per segment to the terms the
+    budgeted collection phase actually expanded there; scoring is the
+    phrase similarity with idf summed over every collected term.  With
+    an ample budget this equals the unbounded multi-phrase — asserted by
+    tests/test_phrase_wildcard.py; the oracle mirrors that form."""
+    from ..search.multiterm import multi_phrase_matches_segment
+    from ..smallfloat import byte4_to_int
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    searcher = IndexSearcher(idx)
+    cs = searcher.collection_stats
+    avgdl = cs.sum_total_term_freq * 1.0 / cs.doc_count
+    ql_lut = np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64)
+    qids, rnks, docs = [], [], []
+    for qid, slots in enumerate(PW_PHRASES):
+        got = phrase_wildcard_collect(searcher, slots, max_expansions)
+        if got is None:
+            continue
+        idf_sum, seg_slots, _ = got
+        all_docs, all_scores = [], []
+        for reader, seg, per_seg in zip(
+            searcher.readers, searcher.manifest["segments"], seg_slots
+        ):
+            if any(len(s) == 0 for s in per_seg):
+                continue  # a slot collected nothing here: cannot match
+            d, pf = multi_phrase_matches_segment(reader, per_seg)
+            if reader.live is not None and len(d):
+                m = reader.live[d]
+                d, pf = d[m], pf[m]
+            if not len(d):
+                continue
+            ql = ql_lut[reader.norms[d]]
+            score = idf_sum * (
+                1.0 - 1.0 / (1.0 + pf / (1.2 * (0.25 + 0.75 * ql / avgdl)))
+            )
+            all_docs.append(d + seg["doc_base"])
+            all_scores.append(score)
+        if not all_docs:
+            continue
+        dd = np.concatenate(all_docs)
+        ss = np.concatenate(all_scores)
+        top = np.lexsort((dd, -ss))[:k]
+        for rnk, i in enumerate(top, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(int(dd[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def _seg_positional_matches(
     batch: pa.Table, queries: list, kind: str, out_col: str | None
 ) -> pa.Table:
