@@ -1180,6 +1180,23 @@ def _in_set_dv_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _in_set_numbers_dv_sql() -> str:
+    # DocValuesNumbersQuery: long-set membership on the stored column
+    parts = []
+    for qid, (fieldname, values) in enumerate(ft.DV_NUMBER_SETS):
+        in_list = ", ".join(str(v) for v in values)
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, 0::BIGINT AS rnk, "
+            f"(SELECT count(*) FROM documents WHERE {fieldname} IN ({in_list}))::BIGINT AS doc_id "
+            f"UNION ALL "
+            f"SELECT {qid}::BIGINT, rn::BIGINT, doc_id FROM ("
+            f"  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn "
+            f"  FROM documents WHERE {fieldname} IN ({in_list})"
+            f") rn{qid} WHERE rn <= 10"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     # fnmatch * -> SQL %, ? -> _ (term alphabet [a-z0-9_] has no literal
     # LIKE metacharacters except '_', which we escape)
@@ -2070,6 +2087,8 @@ def _multiterm_matches(sf_dir: str):
             ("in_set", ft.term_in_set_matches(sf_dir)),
             # doc-values twin of in_set (sandbox DocValuesTermsQuery)
             ("in_set_dv", ft.dv_terms_matches(sf_dir)),
+            # numeric-set twin (sandbox DocValuesNumbersQuery)
+            ("in_set_numbers_dv", ft.dv_numbers_matches(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
             ("fuzzy", ft.fuzzy_matches(sf_dir)),
@@ -3642,6 +3661,7 @@ SELECT 'prefix' AS family, * FROM ({_prefix_sql()})
 UNION ALL SELECT 'prefix_scored', * FROM ({_prefix_scored_sql()})
 UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
 UNION ALL SELECT 'in_set_dv', * FROM ({_in_set_dv_sql()})
+UNION ALL SELECT 'in_set_numbers_dv', * FROM ({_in_set_numbers_dv_sql()})
 UNION ALL SELECT 'fuzzy_scored', * FROM ({_fuzzy_scored_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})

@@ -3127,6 +3127,44 @@ def dv_terms_matches(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# DocValuesNumbersQuery (sandbox/search/DocValuesNumbersQuery.java):
+# the numeric-set twin — same doc-values membership check over a LONG
+# column; sets over n_chars (one empty-ish set exercises the no-match path)
+DV_NUMBER_SETS = [
+    ("n_chars", (100, 150, 200, 250)),
+    ("n_chars", tuple(range(48, 120))),
+    ("n_chars", (1, 2, 3)),
+]
+
+
+def dv_numbers_matches(sf_dir: str, k: int = 10) -> pa.Table:
+    """DocValuesNumbersQuery (sandbox/search/DocValuesNumbersQuery.java):
+    set membership of a LONG doc-values column — identical execution to
+    DocValuesTermsQuery with a typed value set (the engine's is_in is
+    column-type-generic).  Same row shape as the dv-terms arm."""
+    from ..search.query import DocValuesTermsQuery
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (fieldname, values) in enumerate(DV_NUMBER_SETS):
+        q = bool_query(filter=[DocValuesTermsQuery(fieldname, values)])
+        qids.append(qid)
+        rnks.append(0)
+        docs.append(searcher.count(q))
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 SORTED_NUMERIC_RANGES = [(100, 400), (None, 200), (250, None), (380, 390)]
 
 
