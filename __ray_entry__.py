@@ -931,6 +931,23 @@ def _pw_slot_cond(col: str, spec) -> str:
     return f"regexp_matches({col}, '^{pat.replace('?', '.').replace('*', '.*')}$')"
 
 
+def _intervals_fn_sql() -> str:
+    """CTE chain for every fn: interval expression + the final per-doc
+    minimal-interval counts, compiled from the engine's parsed ASTs."""
+    from lucene_ray.search.intervals import fn_sql_ctes
+
+    ctes: list[str] = []
+    counter = [0]
+    tops = []
+    for qid, node in enumerate(ft._fn_queries()):
+        rel = fn_sql_ctes(node, "posx", ctes, counter)
+        tops.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n "
+            f"FROM {rel} GROUP BY doc_id"
+        )
+    return ",\n".join(ctes) + ",\nivfn AS (" + " UNION ALL ".join(tops) + ")\nSELECT qid, doc_id, n FROM ivfn"
+
+
 def _phrase_wildcard_sql() -> str:
     """PhraseWildcardQuery arm: multi-phrase matching with slot
     conditions (=, prefix LIKE, wildcard regexp) and idf summed over the
@@ -2430,6 +2447,14 @@ def _proximity_family(sf_dir: str):
             ("surround", sur),
             ("spans", spn),
             ("automaton", auto),
+            # StandardQueryParser fn: interval functions (queryparser/
+            # flexible) over the minimal-interval algebra
+            (
+                "intervals_fn",
+                ft.intervals_fn_matches(sf_dir)
+                .to_pandas()
+                .rename(columns={"n": "n_starts"}),
+            ),
         ]
     )
 
@@ -3726,6 +3751,17 @@ posx AS (
   FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
 )
 {ft.automaton_oracle_sql()})
+UNION ALL
+-- fn: interval functions (queryparser/flexible StandardSyntaxParser
+-- IntervalExpr), oracle compiled from the SAME parsed ASTs over the
+-- minimal-interval algebra (search/intervals.fn_sql_ctes)
+SELECT 'intervals_fn', qid, doc_id, n
+FROM (WITH {_TOKS},
+posx AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS p
+  FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
+),
+{_intervals_fn_sql()})
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},

@@ -1710,6 +1710,10 @@ def _seg_positional_matches(
 
                 d = term_automaton_matches_segment(r, payload)
                 n = np.empty(0, np.int64)
+            elif kind == "intervals_fn":
+                from ..search.intervals import interval_matches_segment
+
+                d, n = interval_matches_segment(r, payload)
             else:  # pragma: no cover
                 raise ValueError(kind)
             qids.extend([qid] * len(d))
@@ -3873,6 +3877,42 @@ def _automaton_queries():
             (4,),
         ),
     ]
+
+
+# StandardQueryParser fn: interval expressions (queryparser/flexible
+# StandardSyntaxParser.jj IntervalExpr) — parsed by search/intervals
+# .parse_fn, evaluated as minimal-interval sets, oracle compiled from
+# the same ASTs.  Terms chosen from the corpus vocabulary.
+FN_QUERIES = [
+    "fn:ordered(join order batch)",
+    "fn:maxgaps(2 fn:ordered(window query))",
+    'fn:or("the customer" "the supplier")',
+    "fn:atleast(2 spark group query)",
+    "fn:unordered(fn:or(join merge) customer)",
+    "fn:before(join order)",
+    "fn:within(group 3 spark)",
+    "fn:maxwidth(5 fn:unordered(window batch))",
+    "fn:containing(fn:extend(the 0 3) customer)",
+    "fn:notContainedBy(join fn:unordered(the order))",
+    "fn:overlapping(fn:extend(spark 0 2) fn:ordered(group query))",
+    "fn:unorderedNoOverlaps(fn:extend(window 0 1) batch)",
+    "fn:after(merge fn:or(join group))",
+    "fn:notWithin(order 2 customer)",
+    "fn:phrase(the fn:or(customer supplier))",
+]
+
+
+def _fn_queries():
+    from ..search.intervals import parse_fn
+
+    return [parse_fn(s) for s in FN_QUERIES]
+
+
+def intervals_fn_matches(sf_dir: str):
+    """(qid, doc_id, n) minimal-interval match sets for the fn: interval
+    expression set — distributed per segment like the spans arm."""
+    idx = ensure_index(sf_dir, index_options="positions")
+    return _positional_matches_ds(idx, _fn_queries(), "intervals_fn", "n")
 
 
 def automaton_matches(sf_dir: str):

@@ -1,0 +1,167 @@
+"""fn: interval algebra semantics (queries/intervals + the flexible
+parser's IntervalExpr grammar): parser shapes, minimality, gaps
+accounting, desugarings, and a brute-force differential."""
+import numpy as np
+import pytest
+
+from lucene_ray.search.intervals import (
+    _minimal,
+    eval_intervals,
+    fn_terms,
+    parse_fn,
+)
+
+
+def test_parse_shapes():
+    assert parse_fn("fn:ordered(a b c)") == (
+        "ordered", [("term", "a"), ("term", "b"), ("term", "c")],
+    )
+    assert parse_fn("fn:maxgaps(2 fn:ordered(a b))") == (
+        "maxgaps", 2, ("ordered", [("term", "a"), ("term", "b")]),
+    )
+    assert parse_fn('fn:or("x y" z)') == (
+        "or", [("phrase", [("term", "x"), ("term", "y")]), ("term", "z")],
+    )
+    assert parse_fn("fn:within(a 3 b)") == ("within", ("term", "a"), 3, ("term", "b"))
+    assert parse_fn("fn:atLeast(2 a b c)")[0:2] == ("atleast", 2)
+    assert parse_fn("fn:extend(a 1 2)") == ("extend", ("term", "a"), 1, 2)
+    assert parse_fn("fn:fuzzyTerm(grup 1)") == ("fuzzy", "grup", 1)
+    assert sorted(fn_terms(parse_fn("fn:before(a fn:or(b c))"))) == ["a", "b", "c"]
+    for bad in ("fn:nosuch(a)", "fn:ordered(a", "fn:maxgaps(x a)"):
+        with pytest.raises(ValueError):
+            parse_fn(bad)
+
+
+def test_minimal_is_antichain():
+    arr = np.array(
+        [[0, 5, 9], [1, 3, 1], [2, 3, 0], [6, 8, 2], [6, 8, 5], [2, 3, 7]],
+        dtype=np.int64,
+    )
+    got = _minimal(arr)
+    # [0,5] contains [2,3]; [1,3] contains [2,3]; dupes keep min gaps
+    assert got.tolist() == [[2, 3, 0], [6, 8, 2]]
+
+
+class _FakeReader:
+    """Positions-only reader over token lists (one doc per row)."""
+
+    live = None
+
+    def __init__(self, docs):
+        self.docs = docs
+        vocab = sorted({t for d in docs for t in d})
+        self.vocab = vocab
+        self._tid = {t: i for i, t in enumerate(vocab)}
+
+    def term_id(self, t):
+        return self._tid.get(t)
+
+    def term_string(self, tid):
+        return self.vocab[tid]
+
+    def term_id_range(self, lo, hi):
+        return [
+            i
+            for i, t in enumerate(self.vocab)
+            if lo <= t.encode() < hi
+        ]
+
+    @property
+    def has_positions(self):
+        return True
+
+
+def _fake_eval(docs, expr):
+    """Evaluate an fn expression over token-list docs via the real
+    evaluator, monkeypatching the two reader accessors it uses."""
+    import lucene_ray.search.intervals as iv
+    import lucene_ray.search.multiterm as mt
+
+    r = _FakeReader(docs)
+
+    def term_pos_map(reader, t):
+        tid = reader.term_id(t)
+        if tid is None:
+            return None
+        out = {}
+        for d, toks in enumerate(reader.docs):
+            p = np.array([i for i, x in enumerate(toks) if x == t], np.int64)
+            if len(p):
+                out[d] = p
+        return out or None
+
+    orig = mt._term_pos_map
+    mt._term_pos_map = term_pos_map
+    try:
+        return {d: a[:, :2].tolist() for d, a in iv.eval_intervals(r, parse_fn(expr)).items()}
+    finally:
+        mt._term_pos_map = orig
+
+
+def test_ordered_minimal_and_gaps():
+    docs = [["a", "x", "b", "a", "b"]]
+    got = _fake_eval(docs, "fn:ordered(a b)")
+    # candidates: (0,2),(0,4),(3,4); (0,4) contains both others
+    assert got == {0: [[0, 2], [3, 4]]}
+    # maxgaps: (0,2) has gap 1, (3,4) gap 0
+    assert _fake_eval(docs, "fn:maxgaps(0 fn:ordered(a b))") == {0: [[3, 4]]}
+    assert _fake_eval(docs, "fn:maxgaps(1 fn:ordered(a b))") == {
+        0: [[0, 2], [3, 4]]
+    }
+
+
+def test_unordered_or_phrase():
+    docs = [["b", "a", "c", "b"]]
+    assert _fake_eval(docs, "fn:unordered(a b)") == {0: [[0, 1], [1, 3]]}
+    assert _fake_eval(docs, "fn:phrase(b a)") == {0: [[0, 1]]}
+    assert _fake_eval(docs, "fn:or(a c)") == {0: [[1, 1], [2, 2]]}
+
+
+def test_filters_and_desugarings():
+    docs = [["a", "b", "c", "d", "a"]]
+    # within 1 of c: a@2±extend -> a at 1..3? a positions 0,4: none within 1
+    assert _fake_eval(docs, "fn:within(a 1 c)") == {}
+    assert _fake_eval(docs, "fn:within(a 2 c)") == {0: [[0, 0], [4, 4]]}
+    assert _fake_eval(docs, "fn:notWithin(a 1 c)") == {0: [[0, 0], [4, 4]]}
+    assert _fake_eval(docs, "fn:before(a c)") == {0: [[0, 0]]}
+    assert _fake_eval(docs, "fn:after(a c)") == {0: [[4, 4]]}
+    assert _fake_eval(docs, "fn:containing(fn:ordered(a d) b)") == {
+        0: [[0, 3]]
+    }
+    assert _fake_eval(docs, "fn:notContaining(fn:ordered(a d) b)") == {}
+    assert _fake_eval(docs, "fn:containedBy(b fn:ordered(a d))") == {
+        0: [[1, 1]]
+    }
+    assert _fake_eval(docs, "fn:overlapping(fn:ordered(a b) fn:ordered(b c))") == {
+        0: [[0, 1]]
+    }
+    assert _fake_eval(docs, "fn:nonOverlapping(a b)") == {0: [[0, 0], [4, 4]]}
+    # wait: a@0 doesn't overlap b@1 (points)? overlap needs shared span
+    assert _fake_eval(docs, "fn:extend(b 1 1)") == {0: [[0, 2]]}
+
+
+def test_atleast_brute_differential():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        doc = [rng.choice(["a", "b", "c", "x"]) for _ in range(12)]
+        got = _fake_eval([list(doc)], "fn:atleast(2 a b c)")
+        # brute force: minimal windows covering >= 2 of the three terms
+        pos = {t: [i for i, x in enumerate(doc) if x == t] for t in "abc"}
+        cands = set()
+        import itertools
+
+        for t1, t2 in itertools.combinations("abc", 2):
+            for p1 in pos[t1]:
+                for p2 in pos[t2]:
+                    cands.add((min(p1, p2), max(p1, p2)))
+        mins = {
+            (s, e)
+            for (s, e) in cands
+            if not any(
+                (s2 >= s and e2 <= e and (s2, e2) != (s, e))
+                for (s2, e2) in cands
+            )
+        }
+        want = sorted(mins)
+        have = [tuple(x) for x in got.get(0, [])]
+        assert have == want, (doc, have, want)
