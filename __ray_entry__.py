@@ -931,6 +931,71 @@ def _pw_slot_cond(col: str, spec) -> str:
     return f"regexp_matches({col}, '^{pat.replace('?', '.').replace('*', '.*')}$')"
 
 
+def _rrf_hybrid_sql() -> str:
+    """TopDocs.rrf oracle: BM25 lexical ranking + cosine vector ranking,
+    each cut at RRF_CAND, fused by sum(1/(60 + rank)), final ties by doc
+    id (the reference's TopDocs#merge tie-break)."""
+    qvals = ", ".join(
+        f"({i}, '{ft.QUERY_TERMS[i]}')" for i in ANN_QUERY_IDS
+    )
+    return f"""
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {qvals}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+st AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+lex AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN st s
+),
+lexr AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+    FROM lex) z WHERE rnk <= {RRF_CAND}
+),
+vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+vsims AS (
+  SELECT vq.qid, e.vec_id, list_cosine_similarity(vq.qe, e.embedding) AS s
+  FROM vq, embeddings e WHERE e.vec_id != vq.qid
+),
+vecr AS (
+  SELECT qid, vec_id, rnk FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+    FROM vsims) z WHERE rnk <= {RRF_CAND}
+),
+contrib AS (
+  SELECT qid, doc_id, 1.0 / (60 + rnk) AS c FROM lexr
+  UNION ALL
+  SELECT qid, vec_id, 1.0 / (60 + rnk) FROM vecr
+),
+fused AS (SELECT qid, doc_id, sum(c) AS s FROM contrib GROUP BY qid, doc_id),
+fr AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rnk
+  FROM fused
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, doc_id::BIGINT AS neighbor_id
+FROM fr WHERE rnk <= 10
+"""
+
+
 def _intervals_fn_sql() -> str:
     """CTE chain for every fn: interval expression + the final per-doc
     minimal-interval counts, compiled from the engine's parsed ASTs."""
@@ -1679,6 +1744,49 @@ def _ann_brute(sf_dir: str):
     return ann.brute_topk(_embs(sf_dir), q, k=10)
 
 
+RRF_CAND = 20  # per-arm candidate depth feeding the fusion
+
+
+def _ann_rrf_hybrid(sf_dir: str):
+    """Hybrid lexical+vector retrieval fused by reciprocal rank fusion
+    (reference core/search/TopDocs.java rrf + TestTopDocsRRF): arm one is
+    the BM25 top-RRF_CAND for QUERY_TERMS[qid] over documents, arm two
+    the brute cosine top-RRF_CAND for embedding qid (documents and
+    embeddings share the 0..N id space); fused score = sum of
+    1/(60 + rank), ties by doc id."""
+    import pyarrow as pa
+
+    from lucene_ray.ops import ann
+    from lucene_ray.pipelines import fulltext as ft_
+    from lucene_ray.search.collector import rrf
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(ft_.ensure_index(sf_dir))
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    vec = ann.brute_topk(_embs(sf_dir), q, k=RRF_CAND).to_pandas()
+    qids, rnks, docs = [], [], []
+    for qid in ANN_QUERY_IDS:
+        lex = [
+            doc
+            for doc, _s in searcher.search(
+                TermQuery(ft.QUERY_TERMS[qid]), RRF_CAND
+            )
+        ]
+        v = vec[vec.query_id == qid].sort_values("rnk")["neighbor_id"].tolist()
+        for rnk, (doc, _s) in enumerate(rrf([lex, v], 10), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "neighbor_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 def _ann_ivf(sf_dir: str):
     from lucene_ray.ops import ann
 
@@ -2064,6 +2172,8 @@ def _ann_variants(sf_dir: str):
             # LateInteractionRescorer: single-vector top-50 nominate,
             # MaxSim REPLACES the first-pass score for ranking
             ("late_rescored", _ann_late_rescored(sf_dir)),
+            # TopDocs.rrf: BM25 + cosine rankings fused by 1/(60+rank)
+            ("rrf_hybrid", _ann_rrf_hybrid(sf_dir)),
         ],
         col="variant",
     )
@@ -5104,7 +5214,7 @@ JOIN sizes sb ON sb.doc_id = db_
 WHERE 100 * inter >= 20 * (sa.sz + sb.sz - inter)
 )
 """,
-        "ann_topk_variants": """
+        "ann_topk_variants": f"""
 SELECT v.variant, b.*
 FROM (
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
@@ -5209,6 +5319,10 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) lr
+UNION ALL
+-- TopDocs.rrf hybrid: BM25 top-RRF_CAND for QUERY_TERMS[qid] fused with
+-- the cosine top-RRF_CAND for embedding qid; contribution 1/(60 + rank)
+SELECT 'rrf_hybrid', h.* FROM ({_rrf_hybrid_sql()}) h
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

@@ -87,3 +87,22 @@ def merge_top_docs(
             rows.append((-float(score), ord_, docid, base + docid))
     rows.sort()
     return [(gdoc, F32(-negs)) for negs, _ord, _d, gdoc in rows[:k]]
+
+
+RRF_K = 60  # the conventional reciprocal-rank-fusion constant
+
+
+def rrf(rankings: list[list[int]], top_n: int, k: int = RRF_K) -> list[tuple[int, float]]:
+    """Reciprocal rank fusion (reference core/search/TopDocs.java rrf):
+    each list contributes 1/(k + rank) per doc (rank 1-based, summed in
+    DOUBLE — the reference computes double to avoid float accuracy loss),
+    sorted by score DESC then docid ASC (the TopDocs#merge tie-break).
+    Returns the fused top_n as (doc, rrf_score)."""
+    if top_n < 1 or k < 1:
+        raise ValueError("topN and k must be >= 1")
+    score: dict[int, float] = {}
+    for ranked in rankings:
+        for i, doc in enumerate(ranked):
+            score[doc] = score.get(doc, 0.0) + 1.0 / (k + i + 1)
+    order = sorted(score.items(), key=lambda x: (-x[1], x[0]))
+    return order[:top_n]

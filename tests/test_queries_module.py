@@ -477,3 +477,25 @@ def test_blended_infix_suggest_positions(ray_session):
         g = g.sort_values("rnk")
         keys = list(zip(-g.weight, g.term))
         assert keys == sorted(keys)
+
+
+def test_rrf_reference_semantics():
+    """TopDocs.rrf (core/search/TopDocs.java): contribution 1/(k+rank),
+    double accumulation, score-desc then docid-asc ordering."""
+    import pytest
+    from lucene_ray.search.collector import rrf
+
+    got = rrf([[10, 20, 30], [30, 10]], top_n=4, k=60)
+    want = {
+        10: 1 / 61 + 1 / 62,
+        20: 1 / 62,
+        30: 1 / 63 + 1 / 61,
+    }
+    assert dict(got) == pytest.approx(want, abs=0)
+    # 10 and 30 have close scores: 1/61+1/62 > 1/61+1/63 -> 10 first
+    assert [d for d, _ in got] == [10, 30, 20]
+    # exact tie -> lower doc id first
+    tie = rrf([[5], [7]], top_n=2)
+    assert [d for d, _ in tie] == [5, 7]
+    with pytest.raises(ValueError):
+        rrf([[1]], top_n=0)
