@@ -2702,6 +2702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n_chars doc-values column over matching docs (exact integer
         # partials per segment; mean/variance one double expression)
         "ft_dv_stats": lambda sf: ft.doc_values_stats(sf),
+        # sandbox idversion codec + PerThreadPKLookup: versioned
+        # primary-key seekExact with the maxIDVersion fail-fast
+        "ft_pk_lookup": lambda sf: ft.pk_lookup_rows(sf),
         # benchmark/quality (QualityBenchmark + TrecJudge + QualityStats):
         # BM25 top-20 judged against tf>=2 relevance — integer-exact
         # per-rank rows; judgments from INDEX postings, oracle recounts text
@@ -3453,6 +3456,17 @@ SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
         # FeatureField: BM25 conjunction + per-function feature score over
         # the 9-bit-mantissa-quantized n_chars "static rank"
         "ft_feature_topk": _FEATURE_SQL,
+        # IDVersion PK seekExact: found iff the id exists with
+        # version >= min_version; -1 when the seek fails either way
+        "ft_pk_lookup": f"""
+WITH q(qid, id, minv) AS (VALUES {", ".join(f"({i}, {idv}, {mv})" for i, (idv, mv) in enumerate(ft.PK_LOOKUPS))})
+SELECT q.qid::BIGINT AS qid,
+       (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
+             THEN 1 ELSE 0 END)::BIGINT AS found,
+       (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
+             THEN d.n_chars ELSE -1 END)::BIGINT AS version
+FROM q LEFT JOIN documents d ON d.doc_id = q.id
+""",
         # benchmark/quality judged run: BM25 top-20 + tf>=2 judgment,
         # cumulative relevant count per rank (all integers)
         "ft_quality_run": f"""

@@ -3879,6 +3879,35 @@ def _automaton_queries():
     ]
 
 
+# IDVersion PK lookups: (id, min_version) pairs hitting the found /
+# version-too-low / absent paths (version field = n_chars)
+PK_LOOKUPS = [(0, 0), (1, 100), (2, 10000), (123, 0), (499, 50), (99999, 0)]
+
+
+def pk_lookup_rows(sf_dir: str) -> pa.Table:
+    """IDVersion seekExact over the PK sidecar (sandbox/codecs/idversion
+    + PerThreadPKLookup — see index/idversion.py): (qid, found, version)
+    per lookup pair; version = -1 when the seek fails (absent id OR
+    version below min_version — seekExact returns false for both)."""
+    from ..index.idversion import PKLookup
+
+    idx = ensure_index(sf_dir)
+    pk = PKLookup(idx, id_field="doc_id", version_field="n_chars")
+    qids, founds, versions = [], [], []
+    for qid, (idv, minv) in enumerate(PK_LOOKUPS):
+        v = pk.seek_exact(idv, minv)
+        qids.append(qid)
+        founds.append(int(v is not None))
+        versions.append(-1 if v is None else int(v))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "found": pa.array(founds, pa.int64()),
+            "version": pa.array(versions, pa.int64()),
+        }
+    )
+
+
 # StandardQueryParser fn: interval expressions (queryparser/flexible
 # StandardSyntaxParser.jj IntervalExpr) — parsed by search/intervals
 # .parse_fn, evaluated as minimal-interval sets, oracle compiled from
