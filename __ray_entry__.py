@@ -40,6 +40,7 @@ from lucene_ray.ops.util import (
     NUM_MINHASH,
     TOKEN_PATTERN,
 )
+from lucene_ray.ops import dedup as dedup_mod
 from lucene_ray.pipelines import fulltext as ft
 from lucene_ray.smallfloat import LENGTH_TABLE
 
@@ -2250,6 +2251,15 @@ def _sort_family(sf_dir: str):
     )
 
 
+def _dd_line_dedup(sf_dir: str):
+    """CCNet / RefinedWeb line-level dedup (ops/dedup.line_dedup): one
+    row per doc — retained/dropped pseudo-line counts + md5 digest of
+    the reassembled text."""
+    from lucene_ray.ops import dedup
+
+    return dedup.line_dedup(_docs(sf_dir))
+
+
 def _dd_duplicate_clusters(sf_dir: str):
     """Duplicate-cluster FAMILY (family, doc_id, cluster_id, cluster_size):
 
@@ -2804,6 +2814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # al. 2023: exact hashed-TF cosine components returned, the k-means
         # scale path gated in-engine — see _dd_duplicate_clusters)
         "dd_duplicate_clusters": _dd_duplicate_clusters,
+        # CCNet / RefinedWeb line-level dedup: corpus-wide duplicated
+        # pseudo-lines removed from every doc, docs reassembled
+        "dd_line_dedup": _dd_line_dedup,
         # --- similarity search ---
         "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
@@ -5130,6 +5143,29 @@ LEFT JOIN (
   SELECT cnts.doc_id, sum(cnts.c * sc.s)::BIGINT AS dsir_weight
   FROM cnts JOIN sc USING (b) GROUP BY cnts.doc_id
 ) w USING (doc_id)
+""",
+        # CCNet/RefinedWeb line dedup: duplicated pseudo-lines (8-token
+        # chunks) removed corpus-wide, docs reassembled + md5-digested
+        "dd_line_dedup": f"""
+WITH {_TOKS},
+ex AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS i FROM toks),
+lines AS (
+  SELECT doc_id, i // {dedup_mod.LINE_W} AS idx,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM ex GROUP BY doc_id, i // {dedup_mod.LINE_W}
+),
+cnt AS (SELECT line, count(*)::BIGINT AS c FROM lines GROUP BY line),
+marked AS (
+  SELECT l.doc_id, l.idx, l.line, (cnt.c >= {dedup_mod.LINE_DUP_MIN}) AS dup
+  FROM lines l JOIN cnt USING (line)
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE NOT dup)::BIGINT AS kept,
+       count(*) FILTER (WHERE dup)::BIGINT AS dropped,
+       md5(coalesce(
+         string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT dup), ''
+       )) AS digest
+FROM marked GROUP BY doc_id
 """,
         "dd_signatures": f"""
 SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,

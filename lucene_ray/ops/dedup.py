@@ -797,3 +797,103 @@ def drop_duplicate_windows(ds, window: int = SUBSTR_WINDOW):
     return tagged.union(drops).groupby("doc_id").map_groups(
         _rebuild, batch_format="pyarrow"
     )
+
+
+# --- line-level dedup (CCNet / RefinedWeb) ---------------------------------
+
+LINE_W = 8  # pseudo-line width in tokens (the bench corpus is newline-free)
+LINE_DUP_MIN = 2  # a line occurring >= this many times corpus-wide is removed
+
+
+def _line_rows_batch(batch: pa.Table, w: int) -> pa.Table:
+    """(doc_id, hash, idx, line): non-overlapping w-token pseudo-lines in
+    position order (the last short chunk is kept — CCNet hashes whatever
+    the line splitter yields, length-uniform or not)."""
+    import polars as pl
+
+    from .util import md5_u64
+
+    df = _token_lists(batch)
+    df = (
+        df.with_columns(pl.int_ranges(0, pl.col("ts").list.len()).alias("i"))
+        .explode(["ts", "i"])
+        .drop_nulls("ts")
+        .with_columns((pl.col("i") // w).alias("idx"))
+        .group_by(["doc_id", "idx"], maintain_order=False)
+        .agg(pl.col("ts").sort_by(pl.col("i")).str.join(" ").alias("line"))
+    )
+    lines = df.get_column("line").to_list()
+    return pa.table(
+        {
+            "doc_id": pa.array(df.get_column("doc_id").to_list(), pa.int64()),
+            "hash": pa.array([md5_u64(s) for s in lines], pa.uint64()),
+            "idx": pa.array(df.get_column("idx").to_list(), pa.int64()),
+            "line": pa.array(lines, pa.string()),
+        }
+    )
+
+
+def _mark_dup_lines(g: pa.Table, dup_min: int) -> pa.Table:
+    """One line-hash group: the corpus-wide occurrence count decides
+    dropped for every occurrence at once (order-free — no
+    first-occurrence tie to doc ordering, so the result is
+    partition-invariant).  Counts are per LINE VALUE inside the hash
+    group, so a 64-bit hash collision can't conflate two lines."""
+    import pyarrow.compute as pc
+
+    lines = g.column("line")
+    counts = {
+        r["values"]: r["counts"] for r in pc.value_counts(lines).to_pylist()
+    }
+    dropped = [counts[v] >= dup_min for v in lines.to_pylist()]
+    return g.select(["doc_id", "idx", "line"]).append_column(
+        "dropped", pa.array(dropped, pa.bool_())
+    )
+
+
+def _reassemble_doc(g: pa.Table) -> pa.Table:
+    import hashlib
+
+    order = np.argsort(g.column("idx").to_numpy())
+    dropped = g.column("dropped").to_numpy(zero_copy_only=False)[order]
+    lines = np.asarray(g.column("line").to_pylist(), dtype=object)[order]
+    kept_text = " ".join(lines[~dropped])
+    return pa.table(
+        {
+            "doc_id": pa.array([int(g.column("doc_id")[0].as_py())], pa.int64()),
+            "kept": pa.array([int((~dropped).sum())], pa.int64()),
+            "dropped": pa.array([int(dropped.sum())], pa.int64()),
+            "digest": pa.array(
+                [hashlib.md5(kept_text.encode("utf-8")).hexdigest()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def line_dedup(ds, w: int = LINE_W, dup_min: int = LINE_DUP_MIN):
+    """Line-level exact deduplication — the CCNet / RefinedWeb paragraph
+    dedup step (Wenzek et al. 2020 §3.1 hashed-paragraph removal;
+    Penedo et al. 2023 RefinedWeb line-wise filtering): every pseudo-line
+    (w-token chunk; a real corpus splits on newlines) is hashed and
+    counted CORPUS-WIDE in one line-hash-keyed exchange, lines reaching
+    ``dup_min`` occurrences are removed from EVERY document (the
+    order-free rule — no first-occurrence winner, so results don't
+    depend on block order), and documents reassemble from their retained
+    lines in position order in a second doc-keyed groupby.
+
+    Scale shape: two shuffles — (1) groupby(hash) where the count AND
+    the verdict are decided inside map_groups (no hot-set broadcast, no
+    driver state; the 64-bit md5 group key keeps exchange rows narrow),
+    (2) groupby(doc_id) to rebuild documents.  Returns one row per doc
+    that produced >= 1 line: (doc_id, kept, dropped, digest) with digest
+    = md5 hex of the space-joined retained text (DuckDB md5() parity)."""
+    lines = ds.map_batches(
+        _line_rows_batch, batch_format="pyarrow", fn_kwargs={"w": w}
+    )
+    marked = lines.groupby("hash").map_groups(
+        lambda g: _mark_dup_lines(g, dup_min), batch_format="pyarrow"
+    )
+    return marked.groupby("doc_id").map_groups(
+        _reassemble_doc, batch_format="pyarrow"
+    )
