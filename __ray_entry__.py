@@ -1014,6 +1014,50 @@ def _intervals_fn_sql() -> str:
     return ",\n".join(ctes) + ",\nivfn AS (" + " UNION ALL ".join(tops) + ")\nSELECT qid, doc_id, n FROM ivfn"
 
 
+def _interval_score_sql() -> str:
+    """IntervalQuery saturation top-k oracle: per-doc fixed-point sloppy
+    freq (sum of 2^20 // max(len - minExtent + 1, 1) — exact integers)
+    through 1 - pivot/(pivot + f/2^20), compiled from the same ASTs."""
+    from lucene_ray.search.intervals import (
+        SLOPPY_SCALE,
+        fn_sql_ctes,
+        min_extent,
+    )
+
+    ctes: list[str] = []
+    counter = [0]
+    tops = []
+    for qid, node in enumerate(ft._fn_queries()):
+        rel = fn_sql_ctes(node, "ivspos", ctes, counter)
+        me = min_extent(node)
+        tops.append(
+            f"SELECT {qid}::BIGINT AS qid, doc_id, "
+            f"sum({SLOPPY_SCALE} // greatest(e - s + 1 - {me} + 1, 1))::BIGINT AS fi "
+            f"FROM {rel} GROUP BY doc_id"
+        )
+    pivot = ft.INTERVAL_PIVOT
+    return f"""
+WITH {_TOKS},
+ivspos AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS p
+  FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
+),
+{",".join(ctes)},
+ivsf AS ({" UNION ALL ".join(tops)}),
+ivscored AS (
+  SELECT qid, doc_id,
+         1.0 - {pivot} / ({pivot} + fi / {SLOPPY_SCALE}.0) AS score
+  FROM ivsf WHERE fi > 0
+),
+ivranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM ivscored
+)
+SELECT qid, rnk::BIGINT AS rnk, doc_id FROM ivranked WHERE rnk <= 10
+"""
+
+
 def _phrase_wildcard_sql() -> str:
     """PhraseWildcardQuery arm: multi-phrase matching with slot
     conditions (=, prefix LIKE, wildcard regexp) and idf summed over the
@@ -2533,6 +2577,8 @@ def _phrase_topk_family(sf_dir: str):
             # PhraseWildcardQuery (sandbox): multi-term slots, idf summed
             # over every budget-collected expansion
             ("wildcard", ft.phrase_wildcard_topk(sf_dir)),
+            # IntervalQuery saturation scoring over the fn: expressions
+            ("interval_score", ft.interval_score_topk(sf_dir)),
         ]
     )
 
@@ -3859,6 +3905,8 @@ UNION ALL
 SELECT 'span', s.* FROM ({_span_topk_sql()}) s
 UNION ALL
 SELECT 'wildcard', w.* FROM ({_phrase_wildcard_sql()}) w
+UNION ALL
+SELECT 'interval_score', i.* FROM ({_interval_score_sql()}) i
 """,
         "ft_proximity_matches": f"""
 SELECT 'unordered' AS family, qid, doc_id, -1::BIGINT AS n_starts

@@ -3944,6 +3944,69 @@ def intervals_fn_matches(sf_dir: str):
     return _positional_matches_ds(idx, _fn_queries(), "intervals_fn", "n")
 
 
+INTERVAL_PIVOT = 1.0  # IntervalQuery's default saturation pivot
+
+
+def _seg_interval_sloppy(batch: pa.Table, queries: list) -> pa.Table:
+    """(qid, doc_id, fi) per segment: fixed-point sloppy interval
+    frequencies (see intervals.sloppy_freq_int)."""
+    from ..search.intervals import eval_intervals, min_extent, sloppy_freq_int
+
+    qids, docs, fis = [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        base = row["doc_base"]
+        for qid, node in enumerate(queries):
+            me = min_extent(node)
+            res = eval_intervals(r, node)
+            for d in sorted(res):
+                if r.live is not None and not r.live[d]:
+                    continue
+                fi = sloppy_freq_int(res[d], me)
+                if fi:
+                    qids.append(qid)
+                    docs.append(base + d)
+                    fis.append(fi)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "fi": pa.array(fis, pa.int64()),
+        }
+    )
+
+
+def interval_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """IntervalQuery top-k (queries/intervals/IntervalQuery.java +
+    IntervalScoreFunction.saturationFunction(1): score = boost * (1 -
+    pivot/(pivot + freq)) over the sloppy interval frequency) for every
+    fn: expression.  freq rides the 2^-20 fixed-point grid so the
+    distributed partials are combine-order exact; the final score is one
+    double expression mirrored by the oracle.  (qid, rnk, doc_id)."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir, index_options="positions")
+    ds = rd.from_items(_segment_dirs(idx))
+    parts = ds.map_batches(
+        _seg_interval_sloppy,
+        batch_format="pyarrow",
+        fn_kwargs={"queries": _fn_queries()},
+    ).to_pandas()  # bounded: one row per (query, matching doc)
+    from ..search.intervals import SLOPPY_SCALE
+
+    parts["score"] = 1.0 - INTERVAL_PIVOT / (
+        INTERVAL_PIVOT + parts["fi"] / SLOPPY_SCALE
+    )
+    parts = parts.sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]
+    )
+    top = parts.groupby("qid", sort=True).head(k)
+    top["rnk"] = top.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["qid", "rnk", "doc_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
 def automaton_matches(sf_dir: str):
     """(qid, doc_id) match sets of the TermAutomatonQuery set —
     distributed per segment like the intervals family."""

@@ -614,3 +614,45 @@ def fn_sql_ctes(node, pos_rel: str, ctes: list, counter: list) -> str:
             f"(SELECT 1 FROM {ref} r WHERE r.doc_id = x.doc_id AND {cond})"
         )
     raise ValueError(k)  # pragma: no cover
+
+
+def min_extent(node) -> int:
+    """The source's minimum possible interval length (IntervalsSource
+    .minExtent): atoms 1; ordered/unordered/phrase/unorderedNoOverlaps
+    sum their children; or/atleast take the smallest alternative
+    (atleast: sum of the n smallest child extents); width/gap filters,
+    pair filters and the within/before/after family keep the source's;
+    extend adds before + after."""
+    k = node[0]
+    if k in ("term", "wildcard", "fuzzy"):
+        return 1
+    if k in ("ordered", "unordered", "phrase", "unordered_no_overlaps"):
+        return sum(min_extent(c) for c in node[1])
+    if k == "or":
+        return min(min_extent(c) for c in node[1])
+    if k == "atleast":
+        exts = sorted(min_extent(c) for c in node[2])
+        return sum(exts[: node[1]])
+    if k in ("maxgaps", "maxwidth"):
+        return min_extent(node[2])
+    if k == "extend":
+        return min_extent(node[1]) + node[2] + node[3]
+    if k in ("within", "not_within"):
+        return min_extent(node[1])
+    return min_extent(node[1])  # pair filters keep the source's extent
+
+
+SLOPPY_SCALE = 1 << 20  # fixed-point grid for the order-free sloppy freq
+
+
+def sloppy_freq_int(arr: np.ndarray, minext: int) -> int:
+    """IntervalScorer's sloppy frequency (queries/intervals/
+    IntervalScorer.java:63-66: freq += 1 / max(length - minExtent + 1,
+    1)) on a 2^-20 fixed-point grid: each interval contributes
+    SLOPPY_SCALE // denom, so partial sums combine EXACTLY in any order
+    (documented deviation from the reference's float accumulation —
+    necessary for a combine-order-independent distributed sum)."""
+    if not len(arr):
+        return 0
+    d = np.maximum(arr[:, 1] - arr[:, 0] + 1 - minext + 1, 1)
+    return int((SLOPPY_SCALE // d).sum())
