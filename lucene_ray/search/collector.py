@@ -106,3 +106,58 @@ def rrf(rankings: list[list[int]], top_n: int, k: int = RRF_K) -> list[tuple[int
             score[doc] = score.get(doc, 0.0) + 1.0 / (k + i + 1)
     order = sorted(score.items(), key=lambda x: (-x[1], x[0]))
     return order[:top_n]
+
+
+class LargeNumHitsTopDocsCollector:
+    """Reference misc/search/LargeNumHitsTopDocsCollector.java: hits
+    accumulate in a plain list until requestedHitCount is reached; the
+    list then converts to a HitQueue once and later hits are admitted
+    only when STRICTLY above the queue top (:101 `score > pqTop.score` —
+    an equal-score later doc never displaces, same tie policy as
+    TopScoreDocCollector), so the common large-k case never pays
+    per-hit queue maintenance.  HitQueue order: worst = lowest score,
+    ties broken by HIGHER docid being worse."""
+
+    def __init__(self, requested_hit_count: int):
+        if requested_hit_count < 1:
+            raise ValueError("requestedHitCount must be >= 1")
+        self.requested = requested_hit_count
+        self.hits: list[tuple[float, int]] | None = []  # (score, doc)
+        self.heap: list[tuple[float, int]] | None = None  # (score, -doc)
+        self.total_hits = 0
+
+    def collect(self, doc: int, score: float) -> None:
+        import heapq
+
+        if self.heap is None:
+            self.hits.append((float(score), doc))
+            self.total_hits += 1
+            if self.total_hits == self.requested:
+                self.heap = [(s, -d) for s, d in self.hits]
+                heapq.heapify(self.heap)
+                self.hits = None
+            return
+        if score > self.heap[0][0]:
+            heapq.heapreplace(self.heap, (float(score), -doc))
+        self.total_hits += 1
+
+    def collect_batch(self, docs, scores) -> None:
+        for d, s in zip(docs, scores):
+            self.collect(int(d), float(s))
+
+    def top_docs(self, how_many: int) -> list[tuple[int, float]]:
+        if how_many <= 0 or how_many > self.total_hits:
+            raise ValueError("Incorrect number of hits requested")
+        if self.heap is not None:
+            import heapq
+
+            # populateResults pops exactly howMany queue elements into
+            # results back-to-front — when howMany < requestedHitCount
+            # that is the WORST howMany kept hits, best-of-those first
+            # (the reference's own behavior; normal usage passes
+            # howMany == requestedHitCount where this is just the top-k)
+            h = list(self.heap)
+            pops = [heapq.heappop(h) for _ in range(how_many)]
+            return [(-nd, s) for s, nd in reversed(pops)]
+        ordered = sorted(self.hits, key=lambda x: (-x[0], x[1]))
+        return [(d, s) for s, d in ordered[:how_many]]

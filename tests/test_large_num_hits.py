@@ -1,0 +1,70 @@
+"""LargeNumHitsTopDocsCollector (misc/search): list-then-queue
+accumulation equals TopScoreDocCollector results; strict-greater
+admission; the populateResults pop quirk."""
+import numpy as np
+import pytest
+
+from lucene_ray.pipelines.fulltext import ensure_index
+from lucene_ray.search.collector import LargeNumHitsTopDocsCollector
+from lucene_ray.search.query import PhraseQuery, TermQuery, bool_query
+from lucene_ray.search.searcher import IndexSearcher
+
+SF = "/root/testdata/sf0.001"
+
+
+def _all_hits(searcher, query):
+    """(doc, score) for EVERY match in doc order (COMPLETE, k=maxDoc)."""
+    n = sum(r.max_doc for r in searcher.readers)
+    hits = searcher.search(query, n, score_mode="COMPLETE")
+    return sorted(hits)  # doc order, the order a Collector sees
+
+
+@pytest.mark.parametrize("k", [3, 10, 50])
+def test_matches_top_score_doc_collector(ray_session, k):
+    s = IndexSearcher(ensure_index(SF, index_options="positions"))
+    for q in (
+        TermQuery("join"),
+        bool_query(should=[TermQuery("spark"), TermQuery("window")]),
+        PhraseQuery(("the", "customer")),
+    ):
+        stream = _all_hits(s, q)
+        c = LargeNumHitsTopDocsCollector(k)
+        c.collect_batch([d for d, _ in stream], [float(x) for _, x in stream])
+        got = c.top_docs(min(k, c.total_hits))
+        want = s.search(q, k, score_mode="COMPLETE")
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert [f"{x:.6g}" for _, x in got] == [f"{float(x):.6g}" for _, x in want]
+        assert c.total_hits == len(stream)
+
+
+def test_list_path_below_requested():
+    c = LargeNumHitsTopDocsCollector(10)
+    for d, sc in [(5, 1.0), (2, 2.0), (9, 2.0), (1, 0.5)]:
+        c.collect(d, sc)
+    assert c.heap is None  # queue never built
+    assert c.top_docs(4) == [(2, 2.0), (9, 2.0), (5, 1.0), (1, 0.5)]
+
+
+def test_strict_greater_admission_and_tie_policy():
+    c = LargeNumHitsTopDocsCollector(2)
+    c.collect(1, 1.0)
+    c.collect(2, 2.0)          # queue builds here-ish (on 3rd hit path)
+    c.collect(3, 1.0)          # equal to worst kept -> NOT admitted
+    assert [d for d, _ in c.top_docs(2)] == [2, 1]
+    c.collect(4, 1.5)          # strictly above worst -> replaces doc 1
+    assert [d for d, _ in c.top_docs(2)] == [2, 4]
+    assert c.total_hits == 4
+
+
+def test_populate_results_pop_quirk():
+    # howMany < requested with the queue built: the reference pops the
+    # WORST howMany, best-of-those first
+    c = LargeNumHitsTopDocsCollector(3)
+    for d, sc in [(1, 3.0), (2, 2.0), (3, 1.0), (4, 4.0)]:
+        c.collect(d, sc)       # kept: {1:3.0, 2:2.0->replaced? no: 4>1.0 replaces doc3}
+    # kept queue = {3.0@1, 2.0@2, 4.0@4}; worst two = 2.0@2, 3.0@1
+    assert c.top_docs(2) == [(1, 3.0), (2, 2.0)]
+    with pytest.raises(ValueError):
+        c.top_docs(0)
+    with pytest.raises(ValueError):
+        c.top_docs(99)
