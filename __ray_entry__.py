@@ -2261,6 +2261,9 @@ def _multiterm_matches(sf_dir: str):
             ("in_set_dv", ft.dv_terms_matches(sf_dir)),
             # numeric-set twin (sandbox DocValuesNumbersQuery)
             ("in_set_numbers_dv", ft.dv_numbers_matches(sf_dir)),
+            # IDVersion PK seekExact (sandbox idversion + PerThreadPK
+            # Lookup): rnk=0 row carries found, rnk=1 the version
+            ("pk_lookup", ft.pk_lookup_rows(sf_dir)),
             ("wildcard", ft.wildcard_matches(sf_dir)),
             ("regexp", ft.regexp_matches(sf_dir)),
             ("fuzzy", ft.fuzzy_matches(sf_dir)),
@@ -2293,15 +2296,6 @@ def _sort_family(sf_dir: str):
             ("compound", ft.compound_sort_topk(sf_dir)),
         ]
     )
-
-
-def _dd_line_dedup(sf_dir: str):
-    """CCNet / RefinedWeb line-level dedup (ops/dedup.line_dedup): one
-    row per doc — retained/dropped pseudo-line counts + md5 digest of
-    the reassembled text."""
-    from lucene_ray.ops import dedup
-
-    return dedup.line_dedup(_docs(sf_dir))
 
 
 def _dd_duplicate_clusters(sf_dir: str):
@@ -2364,9 +2358,20 @@ def _dd_signatures(sf_dir: str):
     sub = dedup.substring_window_signatures(_docs(sf_dir), window=20).to_pandas()
     sub["sig"] = sub["sig"].astype("uint64")
     sub["method"] = "substr"
+    # CCNet/RefinedWeb line-level dedup riding this family (driver
+    # 50-entry cap): i packs (kept, dropped) counts, sig = the uint64
+    # md5_number_lower image of the reassembled text (digest bytes
+    # [8:16] little-endian — exactly md5_u64 of the kept text)
+    ld = dedup.line_dedup(_docs(sf_dir)).to_pandas()
+    ld["i"] = ld["kept"] * 1_000_000 + ld["dropped"]
+    ld["sig"] = ld["digest"].map(
+        lambda h: int.from_bytes(bytes.fromhex(h)[8:16], "little")
+    ).astype("uint64")
+    ld["method"] = "line_dedup"
+    ld = ld[["method", "doc_id", "i", "sig"]]
     # concat on pre-cast uint64 columns (int64+uint64 would promote to
     # float64 and shred the high bits)
-    out = pd.concat([mh, sh, ex, sub], ignore_index=True)
+    out = pd.concat([mh, sh, ex, sub, ld], ignore_index=True)
     out["sig"] = out["sig"].astype("uint64")
     out["i"] = out["i"].astype("int64")
     return out[["method", "doc_id", "i", "sig"]]
@@ -2445,25 +2450,13 @@ def _dd_near_pairs(sf_dir: str):
     return out[["method", "doc_a", "doc_b", "m1", "m2"]]
 
 
-def _phrase_family_counts(sf_dir: str):
-    """Exact phrase + multi-phrase (synonym positions) + sloppy phrase
-    counts in one entry; freq column unified across the family."""
-    import pandas as pd
-
-    exact = ft.phrase_counts(sf_dir).to_pandas().rename(columns={"phrase_freq": "freq"})
-    multi = (
-        ft.multi_phrase_counts(sf_dir).to_pandas().rename(columns={"phrase_freq": "freq"})
-    )
-    sloppy = (
-        ft.phrase_sloppy_counts(sf_dir).to_pandas().rename(columns={"sloppy_freq": "freq"})
-    )
-    return _concat_family([("exact", exact), ("multi", multi), ("sloppy", sloppy)])
-
-
 def _function_score_family(sf_dir: str):
     """FunctionScoreQuery boostByValue top-k + CoveringQuery (sandbox:
     per-doc dynamic minimum-match, matching-clause score sum) as one
     family-tagged entry."""
+    # FeatureField arms ride this family (driver 50-entry cap): one arm
+    # per feature function, the fn discriminator folded into the label
+    feat = ft.feature_topk(sf_dir).to_pandas()
     return _concat_family(
         [
             ("fn", ft.function_score_topk(sf_dir)),
@@ -2471,16 +2464,9 @@ def _function_score_family(sf_dir: str):
             # FunctionRangeQuery: expression-valued match + score
             ("fn_range", ft.function_range_topk(sf_dir)),
         ]
-    )
-
-
-def _dismax_family(sf_dir: str):
-    """DisjunctionMax + QueryRescorer second-pass recombination as one
-    family-tagged entry."""
-    return _concat_family(
-        [
-            ("dismax", ft.dismax_topk(sf_dir)),
-            ("rescored", ft.rescored_topk(sf_dir)),
+        + [
+            (f"feature_{fn}", g.drop(columns=["fn"]).reset_index(drop=True))
+            for fn, g in feat.groupby("fn", sort=True)
         ]
     )
 
@@ -2621,6 +2607,26 @@ def _proximity_family(sf_dir: str):
                 .to_pandas()
                 .rename(columns={"n": "n_starts"}),
             ),
+            # phrase-frequency counts ride this family too (driver
+            # 50-entry cap): exact / multi-slot / sloppy phrase freqs
+            (
+                "phrase_exact",
+                ft.phrase_counts(sf_dir)
+                .to_pandas()
+                .rename(columns={"phrase_freq": "n_starts"}),
+            ),
+            (
+                "phrase_multi",
+                ft.multi_phrase_counts(sf_dir)
+                .to_pandas()
+                .rename(columns={"phrase_freq": "n_starts"}),
+            ),
+            (
+                "phrase_sloppy",
+                ft.phrase_sloppy_counts(sf_dir)
+                .to_pandas()
+                .rename(columns={"sloppy_freq": "n_starts"}),
+            ),
         ]
     )
 
@@ -2709,15 +2715,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk": _bm25_store_family,
         "ft_bool_counts": ft.bool_counts,
         "ft_multiterm_matches": _multiterm_matches,
-        "ft_dismax_topk": _dismax_family,
         # SynonymQuery (one pseudo-term: df=max, ttf=sum, freq=sum(boost*tf))
         # beside BlendedTermQuery (separate clauses with EQUALIZED df=max
         # stats, dismax tie=0.01 / SHOULD-sum rewrites) over the same groups
+        # + the DisjunctionMax / QueryRescorer arms (driver 50-entry cap)
         "ft_synonym_topk": lambda sf: _concat_family(
             [
                 ("synonym", ft.synonym_topk(sf)),
                 ("blended_dismax", ft.blended_topk(sf, "dismax")),
                 ("blended_bool", ft.blended_topk(sf, "boolean")),
+                ("dismax", ft.dismax_topk(sf)),
+                ("rescored", ft.rescored_topk(sf)),
             ],
             col="arm",
         ),
@@ -2753,14 +2761,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per FeatureFunction (linear/log/satu/sigm) over the 9-bit-
         # mantissa-quantized n_chars feature; satu exercises the
         # computed-pivot rewrite
-        "ft_feature_topk": lambda sf: ft.feature_topk(sf),
         # misc DocValuesStatsCollector: per-query aggregate stats of the
         # n_chars doc-values column over matching docs (exact integer
         # partials per segment; mean/variance one double expression)
         "ft_dv_stats": lambda sf: ft.doc_values_stats(sf),
-        # sandbox idversion codec + PerThreadPKLookup: versioned
-        # primary-key seekExact with the maxIDVersion fail-fast
-        "ft_pk_lookup": lambda sf: ft.pk_lookup_rows(sf),
         # benchmark/quality (QualityBenchmark + TrecJudge + QualityStats):
         # BM25 top-20 judged against tf>=2 relevance — integer-exact
         # per-rank rows; judgments from INDEX postings, oracle recounts text
@@ -2796,7 +2800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
-        "ft_phrase_counts": _phrase_family_counts,
         "ft_phrase_topk": _phrase_topk_family,
         "ft_proximity_matches": _proximity_family,
         "ft_filtered_topk": ft.filtered_topk,
@@ -2860,9 +2863,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # al. 2023: exact hashed-TF cosine components returned, the k-means
         # scale path gated in-engine — see _dd_duplicate_clusters)
         "dd_duplicate_clusters": _dd_duplicate_clusters,
-        # CCNet / RefinedWeb line-level dedup: corpus-wide duplicated
-        # pseudo-lines removed from every doc, docs reassembled
-        "dd_line_dedup": _dd_line_dedup,
         # --- similarity search ---
         "ann_topk_variants": _ann_variants,
         "ann_ivf_persisted": _ann_ivf_persisted,
@@ -3158,6 +3158,8 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 SELECT 'synonym' AS arm, s.* FROM syn s
 UNION ALL SELECT 'blended_dismax', b.* FROM ({_blended_sql("dismax")}) b
 UNION ALL SELECT 'blended_bool', b2.* FROM ({_blended_sql("boolean")}) b2
+UNION ALL SELECT 'dismax', d.* FROM ({_dismax_sql()}) d
+UNION ALL SELECT 'rescored', r.* FROM ({_rescore_sql()}) r
 """,
         # JoinUtil ScoreMode.Max: join value's best float32 from-score
         # becomes every to-side doc's score; ties by doc_id
@@ -3511,20 +3513,11 @@ UNION ALL
 -- FunctionRangeQuery: expression value is both the match predicate
 -- (inclusive range) and the score
 SELECT 'fn_range', fr.* FROM ({_fn_range_sql()}) fr
-""",
-        # FeatureField: BM25 conjunction + per-function feature score over
-        # the 9-bit-mantissa-quantized n_chars "static rank"
-        "ft_feature_topk": _FEATURE_SQL,
-        # IDVersion PK seekExact: found iff the id exists with
-        # version >= min_version; -1 when the seek fails either way
-        "ft_pk_lookup": f"""
-WITH q(qid, id, minv) AS (VALUES {", ".join(f"({i}, {idv}, {mv})" for i, (idv, mv) in enumerate(ft.PK_LOOKUPS))})
-SELECT q.qid::BIGINT AS qid,
-       (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
-             THEN 1 ELSE 0 END)::BIGINT AS found,
-       (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
-             THEN d.n_chars ELSE -1 END)::BIGINT AS version
-FROM q LEFT JOIN documents d ON d.doc_id = q.id
+UNION ALL
+-- FeatureField: BM25 conjunction + per-function feature score over the
+-- 9-bit-mantissa-quantized n_chars "static rank" (fn label folded into
+-- the family discriminator — driver 50-entry cap)
+SELECT 'feature_' || f.fn, f.qid, f.rnk, f.doc_id FROM ({_FEATURE_SQL}) f
 """,
         # benchmark/quality judged run: BM25 top-20 + tf>=2 judgment,
         # cumulative relevant count per rank (all integers)
@@ -3870,15 +3863,23 @@ UNION ALL SELECT 'prefix_scored', * FROM ({_prefix_scored_sql()})
 UNION ALL SELECT 'in_set', * FROM ({_in_set_sql()})
 UNION ALL SELECT 'in_set_dv', * FROM ({_in_set_dv_sql()})
 UNION ALL SELECT 'in_set_numbers_dv', * FROM ({_in_set_numbers_dv_sql()})
+UNION ALL SELECT 'pk_lookup', * FROM (
+WITH q(qid, id, minv) AS (VALUES {", ".join(f"({i}, {idv}, {mv})" for i, (idv, mv) in enumerate(ft.PK_LOOKUPS))}),
+pk AS (
+  SELECT q.qid::BIGINT AS qid,
+         (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
+               THEN 1 ELSE 0 END)::BIGINT AS found,
+         (CASE WHEN d.doc_id IS NOT NULL AND d.n_chars >= q.minv
+               THEN d.n_chars ELSE -1 END)::BIGINT AS version
+  FROM q LEFT JOIN documents d ON d.doc_id = q.id
+)
+SELECT qid, 0::BIGINT AS rnk, found AS doc_id FROM pk
+UNION ALL SELECT qid, 1::BIGINT, version FROM pk
+)
 UNION ALL SELECT 'fuzzy_scored', * FROM ({_fuzzy_scored_sql()})
 UNION ALL SELECT 'wildcard', * FROM ({_wildcard_sql()})
 UNION ALL SELECT 'regexp', * FROM ({_regexp_sql()})
 UNION ALL SELECT 'fuzzy', * FROM ({_fuzzy_sql()})
-""",
-        "ft_dismax_topk": f"""
-SELECT 'dismax' AS family, d.* FROM ({_dismax_sql()}) d
-UNION ALL
-SELECT 'rescored', r.* FROM ({_rescore_sql()}) r
 """,
         "ft_range_counts": f"""
 SELECT 'term' AS family, t.* FROM ({_range_counts_sql()}) t
@@ -3888,16 +3889,6 @@ UNION ALL
 SELECT 'multi_range', m.* FROM ({_multi_range_sql()}) m
 UNION ALL
 SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
-""",
-        "ft_phrase_counts": f"""
-SELECT 'exact' AS family, qid, doc_id, phrase_freq AS freq
-FROM ({_phrase_counts_sql()})
-UNION ALL
-SELECT 'multi', qid, doc_id, pf FROM (WITH {_TOKS}, {_multi_phrase_sql()}
-  SELECT qid, doc_id, pf FROM mph)
-UNION ALL
-SELECT 'sloppy', qid, doc_id, sloppy_freq FROM (WITH {_TOKS}, {_phrase_sloppy_sql()}
-  SELECT qid, doc_id, sloppy_freq FROM sp)
 """,
         "ft_phrase_topk": f"""
 SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p
@@ -3947,6 +3938,18 @@ posx AS (
   FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
 ),
 {_intervals_fn_sql()})
+UNION ALL
+-- phrase-frequency counts (exact / multi-slot / sloppy) riding this
+-- family: n_starts carries the per-doc phrase frequency
+SELECT 'phrase_exact', qid, doc_id, phrase_freq
+FROM ({_phrase_counts_sql()})
+UNION ALL
+SELECT 'phrase_multi', qid, doc_id, pf
+FROM (WITH {_TOKS}, {_multi_phrase_sql()} SELECT qid, doc_id, pf FROM mph)
+UNION ALL
+SELECT 'phrase_sloppy', qid, doc_id, sloppy_freq
+FROM (WITH {_TOKS}, {_phrase_sloppy_sql()}
+  SELECT qid, doc_id, sloppy_freq FROM sp)
 """,
         "ft_filtered_topk": f"""
 WITH {_TOKS}, {_LT},
@@ -5192,29 +5195,6 @@ LEFT JOIN (
   FROM cnts JOIN sc USING (b) GROUP BY cnts.doc_id
 ) w USING (doc_id)
 """,
-        # CCNet/RefinedWeb line dedup: duplicated pseudo-lines (8-token
-        # chunks) removed corpus-wide, docs reassembled + md5-digested
-        "dd_line_dedup": f"""
-WITH {_TOKS},
-ex AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS i FROM toks),
-lines AS (
-  SELECT doc_id, i // {dedup_mod.LINE_W} AS idx,
-         string_agg(tok, ' ' ORDER BY i) AS line
-  FROM ex GROUP BY doc_id, i // {dedup_mod.LINE_W}
-),
-cnt AS (SELECT line, count(*)::BIGINT AS c FROM lines GROUP BY line),
-marked AS (
-  SELECT l.doc_id, l.idx, l.line, (cnt.c >= {dedup_mod.LINE_DUP_MIN}) AS dup
-  FROM lines l JOIN cnt USING (line)
-)
-SELECT doc_id,
-       count(*) FILTER (WHERE NOT dup)::BIGINT AS kept,
-       count(*) FILTER (WHERE dup)::BIGINT AS dropped,
-       md5(coalesce(
-         string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT dup), ''
-       )) AS digest
-FROM marked GROUP BY doc_id
-""",
         "dd_signatures": f"""
 SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,
        (md5_number_lower(coalesce(text, '')) % 9223372036854775808)::UBIGINT AS sig
@@ -5247,6 +5227,31 @@ FROM (
 WITH {_TOKS}
 SELECT doc_id, ts, unnest(range(len(ts) // 20)) AS i
 FROM toks WHERE len(ts) >= 20
+)
+UNION ALL
+-- CCNet/RefinedWeb line-level dedup: corpus-wide duplicated pseudo-lines
+-- ({dedup_mod.LINE_W}-token chunks) removed from every doc; i packs
+-- (kept, dropped), sig = md5_number_lower of the reassembled text
+SELECT 'line_dedup', doc_id, (kept * 1000000 + dropped)::BIGINT,
+       md5_number_lower(kt)::UBIGINT
+FROM (
+WITH {_TOKS},
+ldex AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS i FROM toks),
+ldlines AS (
+  SELECT doc_id, i // {dedup_mod.LINE_W} AS idx,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM ldex GROUP BY doc_id, i // {dedup_mod.LINE_W}
+),
+ldcnt AS (SELECT line, count(*)::BIGINT AS c FROM ldlines GROUP BY line),
+ldmarked AS (
+  SELECT l.doc_id, l.idx, l.line, (c.c >= {dedup_mod.LINE_DUP_MIN}) AS dup
+  FROM ldlines l JOIN ldcnt c USING (line)
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE NOT dup)::BIGINT AS kept,
+       count(*) FILTER (WHERE dup)::BIGINT AS dropped,
+       coalesce(string_agg(line, ' ' ORDER BY idx) FILTER (WHERE NOT dup), '') AS kt
+FROM ldmarked GROUP BY doc_id
 )
 """,
         "dd_near_pairs": f"""

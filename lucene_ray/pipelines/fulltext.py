@@ -3886,24 +3886,25 @@ PK_LOOKUPS = [(0, 0), (1, 100), (2, 10000), (123, 0), (499, 50), (99999, 0)]
 
 def pk_lookup_rows(sf_dir: str) -> pa.Table:
     """IDVersion seekExact over the PK sidecar (sandbox/codecs/idversion
-    + PerThreadPKLookup — see index/idversion.py): (qid, found, version)
-    per lookup pair; version = -1 when the seek fails (absent id OR
-    version below min_version — seekExact returns false for both)."""
+    + PerThreadPKLookup — see index/idversion.py) in the multiterm
+    family's (qid, rnk, doc_id) shape: rnk=0 carries found (0/1), rnk=1
+    the version, -1 when the seek fails (absent id OR version below
+    min_version — seekExact returns false for both)."""
     from ..index.idversion import PKLookup
 
     idx = ensure_index(sf_dir)
     pk = PKLookup(idx, id_field="doc_id", version_field="n_chars")
-    qids, founds, versions = [], [], []
+    qids, rnks, vals = [], [], []
     for qid, (idv, minv) in enumerate(PK_LOOKUPS):
         v = pk.seek_exact(idv, minv)
-        qids.append(qid)
-        founds.append(int(v is not None))
-        versions.append(-1 if v is None else int(v))
+        qids += [qid, qid]
+        rnks += [0, 1]
+        vals += [int(v is not None), -1 if v is None else int(v)]
     return pa.table(
         {
             "qid": pa.array(qids, pa.int64()),
-            "found": pa.array(founds, pa.int64()),
-            "version": pa.array(versions, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(vals, pa.int64()),
         }
     )
 
