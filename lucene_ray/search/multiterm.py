@@ -690,3 +690,63 @@ def payload_check_matches_segment(reader, terms, payloads, op: str = "eq"):
             out_docs.append(d)
             out_freqs.append(len(cand))
     return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
+def positional_phrase_matches_segment(
+    reader, terms: tuple[str, ...], positions: tuple[int, ...]
+):
+    """(local docids, freqs) for a phrase whose terms sit at EXPLICIT
+    positions relative to the match start (PhraseQuery.Builder.add(term,
+    position) — the gapped-phrase form NGramPhraseQuery's rewrite
+    emits).  positions must be ascending; freq counts the valid start
+    positions, exactly ExactPhraseMatcher over the sparse pattern."""
+    from ..index.postings import decode_term
+
+    if not reader.has_positions:
+        raise ValueError("phrase queries need an index built with index_options='positions'")
+    postings = []
+    for t in terms:
+        tid = reader.term_id(t)
+        if tid is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        docs, _ = decode_term(reader.enc, tid)
+        postings.append((tid, docs))
+    common = postings[0][1]
+    for _, docs in postings[1:]:
+        common = common[np.isin(common, docs)]
+    if len(common) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos_lists = [
+        {int(d): p for d, p in zip(docs, reader.term_positions(tid))}
+        for tid, docs in postings
+    ]
+    if getattr(reader, "live", None) is not None:
+        common = common[reader.live[common]]
+    out_docs, out_freqs = [], []
+    for d in common.tolist():
+        cand = pos_lists[0][d] - positions[0]
+        for i in range(1, len(terms)):
+            cand = cand[np.isin(cand + positions[i], pos_lists[i][d])]
+            if len(cand) == 0:
+                break
+        if len(cand):
+            out_docs.append(d)
+            out_freqs.append(len(cand))
+    return np.asarray(out_docs, np.int64), np.asarray(out_freqs, np.int64)
+
+
+def ngram_phrase_rewrite(
+    terms: tuple[str, ...], n: int
+) -> tuple[tuple[str, ...], tuple[int, ...]]:
+    """NGramPhraseQuery.rewrite (core/search/NGramPhraseQuery.java
+    :45-74): a slop-0 phrase of >= 3 consecutive n-grams (n >= 2) keeps
+    only the terms at i % n == 0 plus the LAST term, each at its
+    ORIGINAL position — overlapping grams make the dropped ones
+    redundant, so the sparse phrase matches the same docs with the same
+    frequencies while decoding far fewer postings.  Non-optimizable
+    shapes pass through unchanged."""
+    k = len(terms)
+    if n < 2 or k < 3:
+        return tuple(terms), tuple(range(k))
+    keep = [i for i in range(k) if i % n == 0 or i == k - 1]
+    return tuple(terms[i] for i in keep), tuple(keep)
