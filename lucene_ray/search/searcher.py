@@ -1141,3 +1141,67 @@ def open_if_changed(searcher: IndexSearcher) -> IndexSearcher | None:
 
 
 IndexSearcher.open_if_changed = open_if_changed
+
+
+class SearcherLifetimeManager:
+    """Point-in-time searcher leasing (reference search/
+    SearcherLifetimeManager.java): ``record(searcher)`` returns a token —
+    the reader VERSION, here the manifest generation (:146) — that
+    ``acquire`` later resolves to the SAME point-in-time searcher so a
+    user's follow-on page (searchAfter) sees exactly the hits of their
+    first page even while the index keeps committing; ``prune(max_age)``
+    drops trackers whose age exceeds the cutoff (PruneByAge semantics,
+    :94-109 record-time ordering).
+
+    Beyond the reference's in-RAM reader refcounts, recording PINS the
+    generation through SnapshotDeletionPolicy (snapshots.json) so
+    ``prune_generations`` cannot delete the commit point's artifacts
+    while a lease is live — on shared storage the old files, not just
+    the old reader object, must survive.  The clock is injectable (the
+    TimeLimitingCollector testing seam)."""
+
+    def __init__(self, clock=None):
+        import time as _time
+
+        self._clock = clock if clock is not None else _time.monotonic
+        self._trackers: dict[int, dict] = {}  # version -> {searcher, t}
+
+    def record(self, searcher: IndexSearcher) -> int:
+        """Token for the searcher's commit point; idempotent per version
+        (the reference's putIfAbsent double-check, :147-158)."""
+        from ..index.deletion_policy import snapshot
+
+        version = searcher.generation
+        tr = self._trackers.get(version)
+        if tr is None:
+            snapshot(searcher.index_dir, version)
+            self._trackers[version] = {
+                "searcher": searcher,
+                "t": self._clock(),
+            }
+        elif tr["searcher"] is not searcher:
+            # same version recorded through a different instance: keep
+            # the first (reference records per-version trackers)
+            pass
+        return version
+
+    def acquire(self, token: int) -> IndexSearcher | None:
+        """The recorded searcher, or None when pruned (the caller should
+        tell the user their session timed out, reference javadoc :62-66)."""
+        tr = self._trackers.get(token)
+        return tr["searcher"] if tr is not None else None
+
+    def prune(self, max_age_sec: float) -> list[int]:
+        """Drop every tracker older than ``max_age_sec`` and release its
+        snapshot pin; returns the pruned tokens."""
+        from ..index.deletion_policy import release_snapshot
+
+        now = self._clock()
+        pruned = []
+        for version, tr in sorted(self._trackers.items()):
+            if now - tr["t"] > max_age_sec:
+                release_snapshot(tr["searcher"].index_dir, version)
+                pruned.append(version)
+        for v in pruned:
+            del self._trackers[v]
+        return pruned
