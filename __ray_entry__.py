@@ -1703,28 +1703,32 @@ def _percolate_sql() -> str:
     the matching doc set (same tokenizer CTE, membership/phrase preds)."""
     from lucene_ray.ops.monitor import MONITOR_QUERIES
 
-    parts = []
-    for qid, q in enumerate(MONITOR_QUERIES):
+    def pred_of(q) -> str:
         kind = q[0]
         if kind == "term":
-            pred = f"list_contains(ts, '{q[1]}')"
-        elif kind == "and":
-            pred = " AND ".join(f"list_contains(ts, '{t}')" for t in q[1])
-        elif kind == "or":
-            pred = "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in q[1]) + ")"
-        elif kind == "and_not":
-            pred = " AND ".join(
+            return f"list_contains(ts, '{q[1]}')"
+        if kind == "and":
+            return " AND ".join(f"list_contains(ts, '{t}')" for t in q[1])
+        if kind == "or":
+            return "(" + " OR ".join(f"list_contains(ts, '{t}')" for t in q[1]) + ")"
+        if kind == "and_not":
+            return " AND ".join(
                 [f"list_contains(ts, '{t}')" for t in q[1]]
                 + [f"NOT list_contains(ts, '{t}')" for t in q[2]]
             )
-        elif kind == "phrase":
+        if kind == "phrase":
             a, b = q[1]
-            pred = (
+            return (
                 f"doc_id IN (SELECT doc_id FROM s WHERE i + 2 <= len(ts)"
                 f" AND ts[i + 1] = '{a}' AND ts[i + 2] = '{b}')"
             )
-        else:  # pragma: no cover
-            raise ValueError(kind)
+        if kind == "or_of":  # QueryDecomposer disjunction of clauses
+            return "(" + " OR ".join(f"({pred_of(sub)})" for sub in q[1]) + ")"
+        raise ValueError(kind)  # pragma: no cover
+
+    parts = []
+    for qid, q in enumerate(MONITOR_QUERIES):
+        pred = pred_of(q)
         parts.append(
             f"SELECT {qid}::BIGINT AS qid,"
             f" count(*) FILTER (WHERE {pred})::BIGINT AS n_matches,"

@@ -29,7 +29,27 @@ MONITOR_QUERIES: list[tuple] = [
     ("and_not", ["vector", "stream"], ["hash"]),
     ("phrase", ["the", "customer"]),
     ("and", ["window", "batch"]),
+    # disjunction of COMPLEX clauses: QueryDecomposer splits it so each
+    # disjunct presearches with its OWN all-terms filter
+    ("or_of", (("and", ["merge", "sort"]), ("phrase", ["window", "batch"]))),
 ]
+
+
+def decompose(q: tuple) -> list[tuple]:
+    """QueryDecomposer (reference monitor/QueryDecomposer.java): pure
+    disjunctions split into separately-registered subqueries — each
+    disjunct gets its own (finer) presearcher filter, and a doc matches
+    the parent when it matches ANY subquery.  ``or`` splits per term,
+    ``or_of`` recursively per clause; everything else is atomic."""
+    kind = q[0]
+    if kind == "or":
+        return [("term", t) for t in q[1]]
+    if kind == "or_of":
+        out: list[tuple] = []
+        for sub in q[1]:
+            out.extend(decompose(sub))
+        return out
+    return [q]
 
 
 def _tok_expr() -> pl.Expr:
@@ -78,9 +98,23 @@ def _eval_query(toks: pl.DataFrame, pos_df: pl.DataFrame | None, q: tuple):
             .unique()["doc_id"]
         )
         mask = toks.select(pl.col("doc_id").is_in(hit_docs).alias("m"))["m"]
+    elif kind == "or_of":
+        # disjunction of sub-specs: union of the sub evaluators
+        hit = None
+        for sub in q[1]:
+            s = _eval_query(toks, pos_df, sub)
+            hit = s if hit is None else pl.concat([hit, s])
+        docs = hit.unique() if hit is not None else pl.Series("doc_id", [])
+        mask = toks.select(pl.col("doc_id").is_in(docs).alias("m"))["m"]
     else:  # pragma: no cover
         raise ValueError(kind)
     return toks.filter(mask)["doc_id"]
+
+
+def _has_phrase(q: tuple) -> bool:
+    if q[0] == "phrase":
+        return True
+    return q[0] == "or_of" and any(_has_phrase(s) for s in q[1])
 
 
 def match_batch(batch: pa.Table, queries: list[tuple]) -> pa.Table:
@@ -91,8 +125,9 @@ def match_batch(batch: pa.Table, queries: list[tuple]) -> pa.Table:
     toks = df.select(pl.col("doc_id"), _tok_expr().alias("ts"))
 
     # exploded positions view, built lazily only if a phrase query exists
+    # (anywhere in the tree — or_of disjunctions may nest one)
     pos_df = None
-    if any(q[0] == "phrase" for q in queries):
+    if any(_has_phrase(q) for q in queries):
         pos_df = (
             toks.with_columns(pl.int_ranges(pl.col("ts").list.len()).alias("p"))
             .explode(["ts", "p"])
@@ -165,6 +200,8 @@ def compile_query(spec: tuple):
         )
     if kind == "phrase":
         return PhraseQuery(tuple(spec[1]))
+    if kind == "or_of":
+        return bool_query(should=[compile_query(s) for s in spec[1]])
     raise ValueError(f"unknown query spec {spec!r}")
 
 
@@ -276,18 +313,28 @@ class PresearchPercolator:
     def __init__(self, queries: list[tuple] | None = None):
         queries = queries if queries is not None else MONITOR_QUERIES
         self.queries = queries
-        toks, qids, need = [], [], []
+        # QueryDecomposer pass (monitor/QueryDecomposer.java): pure
+        # disjunctions register one subquery per clause, each with its
+        # OWN all-terms presearcher filter; the parent matches when any
+        # subquery does
+        self.subs: list[tuple] = []
+        self.sub_parent: list[int] = []
         for qid, q in enumerate(queries):
+            for sub in decompose(q):
+                self.subs.append(sub)
+                self.sub_parent.append(qid)
+        toks, sids, need = [], [], []
+        for sid, q in enumerate(self.subs):
             terms, n = _filter_terms(q)
             toks.extend(terms)
-            qids.extend([qid] * len(terms))
+            sids.extend([sid] * len(terms))
             need.append(n)
         self.filter_df = pl.DataFrame(
             {"tok": pl.Series(toks, dtype=pl.String),
-             "qid": pl.Series(qids, dtype=pl.Int64)}
+             "qid": pl.Series(sids, dtype=pl.Int64)}
         )
         self.need_df = pl.DataFrame(
-            {"qid": pl.Series(range(len(queries)), dtype=pl.Int64),
+            {"qid": pl.Series(range(len(self.subs)), dtype=pl.Int64),
              "need": pl.Series(need, dtype=pl.UInt32)}
         )
         self.last_stats: dict = {}
@@ -306,7 +353,7 @@ class PresearchPercolator:
             .select("doc_id", "qid")
         )
         pos_df = None
-        if any(q[0] == "phrase" for q in self.queries):
+        if any(q[0] == "phrase" for q in self.subs):
             pos_df = (
                 toks.with_columns(pl.int_ranges(pl.col("ts").list.len()).alias("p"))
                 .explode(["ts", "p"])
@@ -314,20 +361,31 @@ class PresearchPercolator:
             )
         out_qid, out_n, out_sum, out_min, out_max = [], [], [], [], []
         evaluated = 0
-        by_q = {int(k[0]): g["doc_id"] for k, g in cand.group_by("qid")}
-        for qid, q in enumerate(self.queries):
-            docs = by_q.get(qid)
+        by_s = {int(k[0]): g["doc_id"] for k, g in cand.group_by("qid")}
+        # evaluate each decomposed subquery on ITS candidates, then union
+        # the sub-matches per parent (Monitor reports the parent query)
+        per_parent: dict[int, list] = {}
+        for sid, q in enumerate(self.subs):
+            docs = by_s.get(sid)
             if docs is None or len(docs) == 0:
-                matched = pl.Series("doc_id", [], dtype=toks["doc_id"].dtype)
-            else:
-                sub = toks.filter(pl.col("doc_id").is_in(docs))
-                sub_pos = (
-                    pos_df.filter(pl.col("doc_id").is_in(docs))
-                    if q[0] == "phrase"
-                    else None
-                )
-                evaluated += len(sub)
-                matched = _eval_query(sub, sub_pos, q)
+                continue
+            sub = toks.filter(pl.col("doc_id").is_in(docs))
+            sub_pos = (
+                pos_df.filter(pl.col("doc_id").is_in(docs))
+                if q[0] == "phrase"
+                else None
+            )
+            evaluated += len(sub)
+            m = _eval_query(sub, sub_pos, q)
+            if len(m):
+                per_parent.setdefault(self.sub_parent[sid], []).append(m)
+        for qid in range(len(self.queries)):
+            parts = per_parent.get(qid)
+            matched = (
+                pl.concat(parts).unique()
+                if parts
+                else pl.Series("doc_id", [], dtype=toks["doc_id"].dtype)
+            )
             out_qid.append(qid)
             out_n.append(len(matched))
             out_sum.append(int(matched.sum()) if len(matched) else 0)
@@ -335,7 +393,7 @@ class PresearchPercolator:
             out_max.append(int(matched.max()) if len(matched) else -1)
         self.last_stats = {
             "evaluated_pairs": evaluated,
-            "possible_pairs": len(toks) * len(self.queries),
+            "possible_pairs": len(toks) * len(self.subs),
         }
         return pa.table(
             {

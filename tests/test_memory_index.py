@@ -157,4 +157,34 @@ def test_presearch_percolator_parity_and_pruning(ray_session):
     assert stats["evaluated_pairs"] < 0.05 * stats["possible_pairs"]
     # and the real queries still match exactly what match_batch says
     ref = monitor.match_batch(batch, list(monitor.MONITOR_QUERIES))
-    assert out.slice(0, 5).equals(ref)
+    assert out.slice(0, len(monitor.MONITOR_QUERIES)).equals(ref)
+
+
+def test_query_decomposer_semantics():
+    """QueryDecomposer (monitor/QueryDecomposer.java): pure disjunctions
+    split per clause (recursively), everything else is atomic; the or_of
+    evaluator equals the union of its clauses."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.ops import monitor
+
+    assert monitor.decompose(("or", ["a", "b"])) == [("term", "a"), ("term", "b")]
+    assert monitor.decompose(
+        ("or_of", (("and", ["x", "y"]), ("or", ["p", "q"])))
+    ) == [("and", ["x", "y"]), ("term", "p"), ("term", "q")]
+    assert monitor.decompose(("and", ["x", "y"])) == [("and", ["x", "y"])]
+
+    batch = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    q = ("or_of", (("and", ["merge", "sort"]), ("phrase", ["window", "batch"])))
+    combined = monitor.match_batch(batch, [q]).to_pylist()[0]
+    subs = monitor.match_batch(batch, list(monitor.decompose(q))).to_pylist()
+    # the union of the decomposed clauses covers exactly the parent match
+    assert combined["n_matches"] <= sum(s["n_matches"] for s in subs)
+    assert combined["min_doc"] == min(s["min_doc"] for s in subs)
+    assert combined["max_doc"] == max(s["max_doc"] for s in subs)
+    # presearcher path with a decomposed registry == evaluate-everything
+    p = monitor.PresearchPercolator([q])
+    assert len(p.subs) == 2 and p.sub_parent == [0, 0]
+    assert p(batch).to_pylist() == monitor.match_batch(batch, [q]).to_pylist()
