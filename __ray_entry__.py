@@ -1793,6 +1793,13 @@ def _ann_brute(sf_dir: str):
     return ann.brute_topk(_embs(sf_dir), q, k=10)
 
 
+def _ann_byte_dot(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.byte_dot_topk(_embs(sf_dir), q, k=10)
+
+
 RRF_CAND = 20  # per-arm candidate depth feeding the fusion
 
 
@@ -2223,6 +2230,9 @@ def _ann_variants(sf_dir: str):
             ("late_rescored", _ann_late_rescored(sf_dir)),
             # TopDocs.rrf: BM25 + cosine rankings fused by 1/(60+rank)
             ("rrf_hybrid", _ann_rrf_hybrid(sf_dir)),
+            # KnnByteVectorQuery DOT_PRODUCT: fixed int8 quantization,
+            # exact integer-dot ranking (score monotone in the dot)
+            ("byte_dot", _ann_byte_dot(sf_dir)),
         ],
         col="variant",
     )
@@ -5430,6 +5440,30 @@ UNION ALL
 -- TopDocs.rrf hybrid: BM25 top-RRF_CAND for QUERY_TERMS[qid] fused with
 -- the cosine top-RRF_CAND for embedding qid; contribution 1/(60 + rank)
 SELECT 'rrf_hybrid', h.* FROM ({_rrf_hybrid_sql()}) h
+UNION ALL
+-- KnnByteVectorQuery DOT_PRODUCT: fixed int8 quantization (floor(x*127
+-- + 0.5) clamped), ranking = the exact INTEGER dot (dotProductScore is
+-- monotone in it)
+SELECT 'byte_dot', bd.* FROM (
+WITH bq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> greatest(-127, least(127, floor(x * 127.0 + 0.5)))::BIGINT) AS bv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, bv AS qv FROM bq WHERE vec_id <= 4),
+dots AS (
+  SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.bv) AS dot
+  FROM q, bq e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+  FROM dots
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) bd
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

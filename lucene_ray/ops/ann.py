@@ -1112,3 +1112,43 @@ def late_rescored_topk(
         return _emit_candidates(qi, sub_ids, sims, k)
 
     return _finish_topk(ds.map_batches(_cand, batch_format="pyarrow"), k)
+
+
+def quantize_fixed_i8(mat: np.ndarray) -> np.ndarray:
+    """Fixed elementwise int8 quantization for the BYTE vector family
+    (core/document/KnnByteVectorField javadoc: each signed byte is a
+    vector dimension): q = clamp(floor(v * 127 + 0.5), -127, 127) — no
+    per-block state, so the DuckDB oracle reproduces it with one
+    list_transform (floor keeps the .5 rule identical on both sides,
+    unlike round's half-even-vs-half-away split)."""
+    return np.clip(np.floor(mat * 127.0 + 0.5), -127, 127).astype(np.int64)
+
+
+def _byte_dot_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
+    import ray
+
+    q_ids, q_mat, _ = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+    eb = quantize_fixed_i8(_emb_matrix(batch))
+    ids = batch.column(id_col).to_numpy()
+    # integer dots are exact in float64 (|dot| <= dims * 127^2)
+    dots = (eb @ quantize_fixed_i8(q_mat).T).astype(np.float64)
+    return _emit_candidates(q_ids, ids, dots, k)
+
+
+def byte_dot_topk(ds, queries, k: int = 10) -> pa.Table:
+    """KnnByteVectorQuery / ByteVectorSimilarityQuery with DOT_PRODUCT
+    (search/KnnByteVectorQuery.java; VectorSimilarityFunction.java:54-63
+    byte arm -> VectorUtil.dotProductScore:380-384, score = 0.5 +
+    dot / (dim * 2^15)): the score is strictly monotone in the INTEGER
+    dot product, so ranking on the exact int dot gives the reference
+    order with no float in the compare path at all.  Vectors quantize
+    via quantize_fixed_i8; self excluded; (query_id, rnk, neighbor_id)."""
+    import ray
+
+    q_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _byte_dot_candidates,
+        batch_format="pyarrow",
+        fn_kwargs={"q_ref": q_ref, "k": k},
+    )
+    return _finish_topk(cands, k)
