@@ -2482,6 +2482,11 @@ def _function_score_family(sf_dir: str):
             (f"feature_{fn}", g.drop(columns=["fn"]).reset_index(drop=True))
             for fn, g in feat.groupby("fn", sort=True)
         ]
+        + [
+            # RescoreTopNQuery: match set re-scored purely by a
+            # DoubleValuesSource at rewrite time, cut to top n
+            ("rescore_topn", ft.rescore_topn_topk(sf_dir)),
+        ]
     )
 
 
@@ -3532,6 +3537,33 @@ UNION ALL
 -- 9-bit-mantissa-quantized n_chars "static rank" (fn label folded into
 -- the family discriminator — driver 50-entry cap)
 SELECT 'feature_' || f.fn, f.qid, f.rnk, f.doc_id FROM ({_FEATURE_SQL}) f
+UNION ALL
+-- RescoreTopNQuery: the inner match set (COMPLETE_NO_SCORES — the
+-- inner score never contributes) re-scored by the expression alone
+SELECT 'rescore_topn', rt.* FROM (
+WITH {_TOKS},
+rq(qid, expr_id) AS (VALUES (0, 0), (1, 1), (2, 2)),
+m0 AS (SELECT DISTINCT 0 AS qid, doc_id FROM tf WHERE tok = 'spark'),
+m1 AS (SELECT DISTINCT 1 AS qid, doc_id FROM tf WHERE tok IN ('join', 'order')),
+m2 AS (SELECT DISTINCT 2 AS qid, doc_id FROM tf WHERE tok = 'the'),
+mm AS (SELECT * FROM m0 UNION ALL SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+vals AS (
+  SELECT mm.qid, mm.doc_id,
+         CASE mm.qid
+           WHEN 0 THEN ln(1 + d.n_chars)
+           WHEN 1 THEN d.n_chars - 97 * floor(d.n_chars / 97.0)
+           ELSE -abs(d.n_chars - 250)
+         END AS v
+  FROM mm JOIN documents d ON d.doc_id = mm.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY v DESC, doc_id) AS rnk
+  FROM vals
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id
+FROM ranked WHERE rnk <= {ft.RESCORE_TOPN_N}
+) rt
 """,
         # benchmark/quality judged run: BM25 top-20 + tf>=2 judgment,
         # cumulative relevant count per rank (all integers)

@@ -3945,6 +3945,75 @@ def intervals_fn_matches(sf_dir: str):
     return _positional_matches_ds(idx, _fn_queries(), "intervals_fn", "n")
 
 
+# RescoreTopNQuery inputs: (inner match terms, rescore expression)
+RESCORE_TOPN_QUERIES = [
+    (("spark",), "ln(1 + n_chars)"),
+    (("join", "order"), "n_chars - 97 * floor(n_chars / 97)"),
+    (("the",), "-abs(n_chars - 250)"),
+]
+RESCORE_TOPN_N = 10
+
+
+def rescore_topn_topk(sf_dir: str) -> pa.Table:
+    """RescoreTopNQuery (core/search/RescoreTopNQuery.java): the inner
+    query's MATCH SET (collected with COMPLETE_NO_SCORES — the inner
+    score never contributes, unlike FunctionScoreQuery) is re-scored
+    purely by a DoubleValuesSource over stored columns at rewrite time
+    and cut to the top n by HitQueue order (score DESC, lower doc wins
+    ties).  Inner = SHOULD-of-terms; expression compiled by the
+    expressions module (the DoubleValuesSource seam).  (qid, rnk,
+    doc_id)."""
+    from ..search.expressions import compile_expression
+    from ..search.query import TermQuery, bool_query
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, (terms, expr_src) in enumerate(RESCORE_TOPN_QUERIES):
+        expr = compile_expression(expr_src)
+        inner = (
+            TermQuery(terms[0])
+            if len(terms) == 1
+            else bool_query(should=[TermQuery(t) for t in terms])
+        )
+        all_docs, all_vals = [], []
+        for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+            d = None
+            # match set only — reuse the non-scoring count machinery's
+            # per-segment union (terms are plain postings reads)
+            mask = np.zeros(reader.max_doc, dtype=bool)
+            for t in terms:
+                tid = reader.term_id(t)
+                if tid is None:
+                    continue
+                dd, _ = reader.decode_term_cached(tid)
+                mask[dd] = True
+            if reader.live is not None:
+                mask &= reader.live
+            d = np.nonzero(mask)[0]
+            if not len(d):
+                continue
+            cols = {"n_chars": reader.stored_column("n_chars").to_numpy()[d]}
+            all_docs.append(d + seg["doc_base"])
+            all_vals.append(np.asarray(expr.evaluate(cols), dtype=np.float64))
+        if not all_docs:
+            continue
+        dd = np.concatenate(all_docs)
+        vv = np.concatenate(all_vals)
+        top = np.lexsort((dd, -vv))[:RESCORE_TOPN_N]
+        for rnk, i in enumerate(top, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(int(dd[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 INTERVAL_PIVOT = 1.0  # IntervalQuery's default saturation pivot
 
 

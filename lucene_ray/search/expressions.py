@@ -32,8 +32,15 @@ _FUNCS = {
     "min": np.minimum,
     "max": np.maximum,
     "pow": np.power,
+    # JavascriptCompiler also ships floor/ceil (expressions/js/javascript
+    # function table)
+    "floor": np.floor,
+    "ceil": np.ceil,
 }
-_FUNC_ARITY = {"ln": 1, "log10": 1, "sqrt": 1, "abs": 1, "min": 2, "max": 2, "pow": 2}
+_FUNC_ARITY = {
+    "ln": 1, "log10": 1, "sqrt": 1, "abs": 1, "min": 2, "max": 2, "pow": 2,
+    "floor": 1, "ceil": 1,
+}
 
 
 class ExpressionError(ValueError):
