@@ -1793,6 +1793,13 @@ def _ann_brute(sf_dir: str):
     return ann.brute_topk(_embs(sf_dir), q, k=10)
 
 
+def _ann_mip(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.mip_topk(_embs(sf_dir), q, k=10)
+
+
 def _ann_byte_dot(sf_dir: str):
     from lucene_ray.ops import ann
 
@@ -2233,6 +2240,8 @@ def _ann_variants(sf_dir: str):
             # KnnByteVectorQuery DOT_PRODUCT: fixed int8 quantization,
             # exact integer-dot ranking (score monotone in the dot)
             ("byte_dot", _ann_byte_dot(sf_dir)),
+            # MAXIMUM_INNER_PRODUCT: raw-dot ranking (scale fn monotone)
+            ("max_inner_product", _ann_mip(sf_dir)),
         ],
         col="variant",
     )
@@ -5496,6 +5505,23 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) bd
+UNION ALL
+-- MAXIMUM_INNER_PRODUCT: scaleMaxInnerProductScore is monotone in the
+-- dot, so ranks come from the raw inner product
+SELECT 'max_inner_product', mip.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+dots AS (
+  SELECT q.qid, e.vec_id, list_dot_product(q.qe, e.embedding) AS dot
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rnk
+  FROM dots
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) mip
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

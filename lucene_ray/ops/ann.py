@@ -1152,3 +1152,27 @@ def byte_dot_topk(ds, queries, k: int = 10) -> pa.Table:
         fn_kwargs={"q_ref": q_ref, "k": k},
     )
     return _finish_topk(cands, k)
+
+
+def _mip_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
+    import ray
+
+    q_ids, q_mat, _ = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+    emb = _emb_matrix(batch)
+    ids = batch.column(id_col).to_numpy()
+    return _emit_candidates(q_ids, ids, emb @ q_mat.T, k)
+
+
+def mip_topk(ds, queries, k: int = 10) -> pa.Table:
+    """MAXIMUM_INNER_PRODUCT top-k (VectorSimilarityFunction.java:85-98 +
+    VectorUtil.scaleMaxInnerProductScore: score = dot < 0 ? 1/(1-dot)
+    : dot+1 — strictly monotone in the dot, so ranking on the raw f64
+    inner product gives the reference order; no unit-norm requirement,
+    unlike DOT_PRODUCT).  Self excluded; (query_id, rnk, neighbor_id)."""
+    import ray
+
+    q_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _mip_candidates, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "k": k}
+    )
+    return _finish_topk(cands, k)
