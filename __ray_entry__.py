@@ -1800,6 +1800,13 @@ def _ann_mip(sf_dir: str):
     return ann.mip_topk(_embs(sf_dir), q, k=10)
 
 
+def _ann_l2(sf_dir: str):
+    from lucene_ray.ops import ann
+
+    q = ann.load_queries(os.path.join(sf_dir, "embeddings.parquet"), ANN_QUERY_IDS)
+    return ann.euclidean_topk(_embs(sf_dir), q, k=10)
+
+
 def _ann_byte_dot(sf_dir: str):
     from lucene_ray.ops import ann
 
@@ -2242,6 +2249,8 @@ def _ann_variants(sf_dir: str):
             ("byte_dot", _ann_byte_dot(sf_dir)),
             # MAXIMUM_INNER_PRODUCT: raw-dot ranking (scale fn monotone)
             ("max_inner_product", _ann_mip(sf_dir)),
+            # EUCLIDEAN: ascending squared-L2 ranking (1/(1+d2) monotone)
+            ("euclidean", _ann_l2(sf_dir)),
         ],
         col="variant",
     )
@@ -5522,6 +5531,26 @@ ranked AS (
 SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
 FROM ranked WHERE rnk <= 10
 ) mip
+UNION ALL
+-- EUCLIDEAN: 1/(1+d2) is monotone decreasing in the squared L2; d2 in
+-- the expanded dot-product form the engine computes
+SELECT 'euclidean', l2.* FROM (
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+dd AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(e.embedding, e.embedding)
+           + list_dot_product(q.qe, q.qe)
+           - 2 * list_dot_product(q.qe, e.embedding) AS d2
+  FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rnk
+  FROM dd
+)
+SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_id
+FROM ranked WHERE rnk <= 10
+) l2
 """,
         "ann_hnsw_topk": """
 SELECT 'plain' AS variant, p.* FROM (

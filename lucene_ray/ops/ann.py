@@ -1176,3 +1176,32 @@ def mip_topk(ds, queries, k: int = 10) -> pa.Table:
         _mip_candidates, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "k": k}
     )
     return _finish_topk(cands, k)
+
+
+def _l2_candidates(batch: pa.Table, q_ref, k: int, id_col: str = "vec_id") -> pa.Table:
+    import ray
+
+    q_ids, q_mat, _ = ray.get(q_ref) if not isinstance(q_ref, tuple) else q_ref
+    emb = _emb_matrix(batch)
+    ids = batch.column(id_col).to_numpy()
+    # rank by NEGATIVE squared L2 (EUCLIDEAN score 1/(1+d^2) is monotone
+    # decreasing in it); expanded form mirrors list_distance's sum
+    d2 = (
+        (emb * emb).sum(axis=1)[:, None]
+        + (q_mat * q_mat).sum(axis=1)[None, :]
+        - 2.0 * (emb @ q_mat.T)
+    )
+    return _emit_candidates(q_ids, ids, -d2, k)
+
+
+def euclidean_topk(ds, queries, k: int = 10) -> pa.Table:
+    """EUCLIDEAN top-k (VectorSimilarityFunction.java EUCLIDEAN: score =
+    1/(1 + squareDistance) — monotone decreasing in the squared L2, so
+    ranking ascends the distance).  Self excluded."""
+    import ray
+
+    q_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _l2_candidates, batch_format="pyarrow", fn_kwargs={"q_ref": q_ref, "k": k}
+    )
+    return _finish_topk(cands, k)
