@@ -997,6 +997,52 @@ FROM fr WHERE rnk <= 10
 """
 
 
+def _parsed_fn_ctes() -> str:
+    """q12/q13 CTEs for the flexible-parser fn: arms of ft_parsed_topk:
+    interval chains compiled from the SAME parsed ASTs, scored by the
+    saturation function over the fixed-point sloppy freq."""
+    from lucene_ray.search.intervals import (
+        SLOPPY_SCALE,
+        fn_sql_ctes,
+        freeze,
+        min_extent,
+        parse_fn,
+    )
+
+    ctes: list[str] = []
+    counter = [9000]  # names disjoint from _intervals_fn_sql's
+    # q12: fn:maxgaps(1 fn:ordered(the customer))^2
+    n12 = freeze(parse_fn("fn:maxgaps(1 fn:ordered(the customer))"))
+    r12 = fn_sql_ctes(n12, "pspos", ctes, counter)
+    me12 = min_extent(n12)
+    # q13: lang:en AND fn:ordered(join order) — MUST filter scores 1
+    n13 = freeze(parse_fn("fn:ordered(join order)"))
+    r13 = fn_sql_ctes(n13, "pspos", ctes, counter)
+    me13 = min_extent(n13)
+    ctes.append(
+        f"""q12 AS (
+  SELECT doc_id,
+         2.0 * (1.0 - 1.0 / (1.0 + sum({SLOPPY_SCALE} //
+           greatest(e - s + 1 - {me12} + 1, 1)) / {SLOPPY_SCALE}.0)) AS score
+  FROM {r12} GROUP BY doc_id
+)"""
+    )
+    ctes.append(
+        f"""q13 AS (
+  SELECT f.doc_id,
+         1.0 + (1.0 - 1.0 / (1.0 + f.fi / {SLOPPY_SCALE}.0)) AS score
+  FROM (
+    SELECT doc_id, sum({SLOPPY_SCALE} //
+      greatest(e - s + 1 - {me13} + 1, 1))::BIGINT AS fi
+    FROM {r13} GROUP BY doc_id
+  ) f
+  JOIN documents d ON d.doc_id = f.doc_id
+  WHERE d.lang = 'en'
+)"""
+    )
+    return ",\n".join(ctes)
+
+
 def _intervals_fn_sql() -> str:
     """CTE chain for every fn: interval expression + the final per-doc
     minimal-interval counts, compiled from the engine's parsed ASTs."""
@@ -4829,6 +4875,13 @@ q8 AS (
 -- q9..q11: XML CoreParser arms — each XML document builds the SAME tree
 -- as a classic string above (asserted in the engine), so the rankings
 -- are the q0 / q3 / q4 shapes under new qids
+-- q12/q13: flexible-parser fn: interval clauses (IntervalQuery
+-- saturation scoring; q13's MUST lang filter scores the constant 1)
+pspos AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS p
+  FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
+),
+{_parsed_fn_ctes()},
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -4837,6 +4890,8 @@ u AS (
   UNION ALL SELECT 9 AS qid, doc_id, score FROM q0
   UNION ALL SELECT 10 AS qid, doc_id, score FROM q3
   UNION ALL SELECT 11 AS qid, doc_id, score FROM q4
+  UNION ALL SELECT 12 AS qid, doc_id, score FROM q12
+  UNION ALL SELECT 13 AS qid, doc_id, score FROM q13
 ),
 ranked AS (
   SELECT qid, doc_id,

@@ -1902,6 +1902,15 @@ PARSED_QUERIES = [
 # machine, so the oracle SQL is shared shape-for-shape
 SIMPLE_PARSED_QUERIES = ["spark|join merge"]
 
+# StandardQueryParser interval clauses (flexible-parser fn: syntax)
+# parsed by the SAME classic grammar extended with fn: atoms; scored by
+# IntervalQuery's saturation function (a MUST metadata filter scores
+# the constant 1, shifting every candidate equally — rank-neutral)
+FN_PARSED_QUERIES = [
+    "fn:maxgaps(1 fn:ordered(the customer))^2",
+    "lang:en AND fn:ordered(join order)",
+]
+
 # XML query syntax (queryparser/xml/CoreParser.java) run through
 # parse_xml; each document builds the SAME tree as a classic string
 # above (asserted at parse time), so the oracle SQL is shared
@@ -1961,6 +1970,11 @@ def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
             classic_twin, analyzer, stored_fields=("lang", "source")
         ), ("XML parse diverged from its classic twin", classic_twin)
         parses.append((xml, q))
+    # flexible-parser interval clauses (fn:) — qids continue after XML
+    parses += [
+        (s, parse_classic(s, analyzer, stored_fields=("lang", "source")))
+        for s in FN_PARSED_QUERIES
+    ]
     qids, rnks, docs = [], [], []
     for qid, (s, q) in enumerate(parses):
         hits = searcher.search(q, k)

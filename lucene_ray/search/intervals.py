@@ -656,3 +656,13 @@ def sloppy_freq_int(arr: np.ndarray, minext: int) -> int:
         return 0
     d = np.maximum(arr[:, 1] - arr[:, 0] + 1 - minext + 1, 1)
     return int((SLOPPY_SCALE // d).sum())
+
+
+def freeze(node):
+    """Recursively convert list children to tuples so an fn: AST can live
+    inside a frozen (hashable, picklable) Query dataclass."""
+    if isinstance(node, list):
+        return tuple(freeze(x) for x in node)
+    if isinstance(node, tuple):
+        return tuple(freeze(x) for x in node)
+    return node

@@ -134,10 +134,40 @@ _CLASSIC_LEX = re.compile(
 )
 
 
+_FN_START = re.compile(r"fn:[A-Za-z]+\(")
+
+
+def _scan_fn_expr(text: str, pos: int) -> int | None:
+    """End index of a balanced ``fn:name( ... )`` interval expression
+    starting at pos (quotes shield parens), or None."""
+    m = _FN_START.match(text, pos)
+    if m is None:
+        return None
+    depth, i = 1, m.end()
+    while i < len(text) and depth:
+        c = text[i]
+        if c == '"':
+            j = text.find('"', i + 1)
+            i = len(text) if j < 0 else j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return i if depth == 0 else None
+
+
 def _lex_classic(text: str) -> list[_Tok]:
     toks: list[_Tok] = []
     pos = 0
     while pos < len(text):
+        # StandardQueryParser interval expressions (StandardSyntaxParser
+        # .jj IntervalExpr): one balanced fn:name(...) atom
+        end = _scan_fn_expr(text, pos)
+        if end is not None:
+            toks.append(_Tok("fnexpr", text[pos:end]))
+            pos = end
+            continue
         m = _CLASSIC_LEX.match(text, pos)
         if m is None:  # unlexable char (stray bracket/quote): skip it
             pos += 1
@@ -267,6 +297,15 @@ def _parse_group(
             i += 1
         elif t.kind == "regex":
             q = RegexpQuery(t.val)
+            i += 1
+        elif t.kind == "fnexpr":
+            # flexible-parser interval clause -> IntervalQuery scored by
+            # the saturation function (StandardQueryParser's
+            # IntervalQueryNode lowering)
+            from .intervals import freeze, parse_fn
+            from .query import IntervalQuery
+
+            q = IntervalQuery(freeze(parse_fn(t.val)))
             i += 1
         elif t.kind == "range":
             lo, hi, inc_lo, inc_hi = t.val

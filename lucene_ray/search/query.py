@@ -201,6 +201,20 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class IntervalQuery:
+    """Scores docs by their minimal-interval sloppy frequency through
+    IntervalScoreFunction.saturationFunction (reference queries/
+    intervals/IntervalQuery.java: score = boost * (1 - pivot/(pivot +
+    freq)), default pivot 1; IntervalScorer.java:63-66 freq = Σ 1 /
+    max(len - minExtent + 1, 1) — here on the 2^-20 fixed-point grid,
+    see intervals.sloppy_freq_int).  ``node`` is a FROZEN fn: AST
+    (intervals.parse_fn output passed through intervals.freeze)."""
+
+    node: tuple
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery:
     """Matches every doc that HAS a value for the field (reference
     search/FieldExistsQuery.java — norms/doc-values/points existence
@@ -1242,6 +1256,31 @@ def build_scorer(
         if len(docs) == 0:
             return None
         return PrecomputedScorer(docs, np.full(len(docs), np.float32(boost)))
+
+    if isinstance(q, IntervalQuery):
+        from .scorers import PrecomputedScorer
+        from ..search.intervals import eval_intervals, min_extent, sloppy_freq_int
+
+        res = eval_intervals(reader, q.node)
+        me = min_extent(q.node)
+        docs_l, scores_l = [], []
+        for d in sorted(res):
+            if getattr(reader, "live", None) is not None and not reader.live[d]:
+                continue
+            fi = sloppy_freq_int(res[d], me)
+            if fi:
+                docs_l.append(d)
+                # saturationFunction: w * (1 - pivot/(pivot + freq)), f32
+                scores_l.append(
+                    np.float32(
+                        boost * (1.0 - q.pivot / (q.pivot + fi / (1 << 20)))
+                    )
+                )
+        if not docs_l:
+            return None
+        return PrecomputedScorer(
+            np.asarray(docs_l, np.int64), np.asarray(scores_l, np.float32)
+        )
 
     if isinstance(q, FieldExistsQuery):
         from .cache import cached_filter_docs

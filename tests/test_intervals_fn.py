@@ -165,3 +165,51 @@ def test_atleast_brute_differential():
         want = sorted(mins)
         have = [tuple(x) for x in got.get(0, [])]
         assert have == want, (doc, have, want)
+
+
+def test_interval_query_through_parser_and_searcher(ray_session):
+    """StandardQueryParser fn: clauses parse into IntervalQuery and score
+    with the saturation function through the ordinary search path."""
+    from lucene_ray.analysis.analyzers import make_analyzer
+    from lucene_ray.pipelines.fulltext import ensure_index
+    from lucene_ray.search.intervals import (
+        SLOPPY_SCALE,
+        eval_intervals,
+        min_extent,
+        sloppy_freq_int,
+    )
+    from lucene_ray.search.parser import parse_classic
+    from lucene_ray.search.query import BoostQuery, IntervalQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    a = make_analyzer("standard")
+    q = parse_classic("fn:ordered(join order)^3", a)
+    assert isinstance(q, BoostQuery) and isinstance(q.query, IntervalQuery)
+    s = IndexSearcher(ensure_index("/root/testdata/sf0.001", index_options="positions"))
+    hits = s.search(q, 5)
+    assert hits
+    # recompute the top hit's score by hand
+    node = q.query.node
+    me = min_extent(node)
+    doc, score = hits[0]
+    for reader, seg in zip(s.readers, s.manifest["segments"]):
+        local = doc - seg["doc_base"]
+        if 0 <= local < reader.max_doc:
+            res = eval_intervals(reader, node)
+            if local in res:
+                fi = sloppy_freq_int(res[local], me)
+                want = np.float32(3.0 * (1.0 - 1.0 / (1.0 + fi / SLOPPY_SCALE)))
+                assert np.float32(score) == want
+                break
+    # an fn atom composes with booleans and field filters
+    q2 = parse_classic(
+        "lang:en AND fn:ordered(join order)", a, stored_fields=("lang",)
+    )
+    docs = [d for d, _ in s.search(q2, 20)]
+    assert docs
+    langs = {
+        int(d): v
+        for r, seg in zip(s.readers, s.manifest["segments"])
+        for d, v in enumerate(r.stored_column("lang").to_pylist(), seg["doc_base"])
+    }
+    assert all(langs[d] == "en" for d in docs)
