@@ -2910,7 +2910,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DynamicRangeUtil equi-weight ranges (greedy scan over globally
         # sorted (value, weight) pairs — pair partials per segment)
         "ft_facet_counts": lambda sf: _concat_rows(
-            ft.facet_counts(sf), ft.dv_stats(sf), ft.dynamic_range_facets(sf)
+            ft.facet_counts(sf), ft.dv_stats(sf), ft.dynamic_range_facets(sf),
+            # GroupFacetCollector: distinct-group counts per facet value
+            ft.grouped_facet_counts(sf),
         ),
         # --- text analysis ---
         # token_stats + quality_stats + lang-ID + fingerprints fused into
@@ -4690,6 +4692,10 @@ FROM m JOIN (VALUES {", ".join(f"('{lab}', {l0}, {h0}, {l1}, {h1})" for lab, (l0
   ON m.n_chars % 8 BETWEEN s.l0 AND s.h0
  AND m.n_chars // 100 BETWEEN s.l1 AND s.h1
 GROUP BY qid, s.lab
+UNION ALL
+-- GroupFacetCollector: DISTINCT source groups per lang facet value
+SELECT 'grouped_lang', qid, lang, count(DISTINCT source)::BIGINT
+FROM m GROUP BY qid, lang
 UNION ALL
 -- DynamicRangeUtil equi-weight ranges: count / weight / value-sum rows
 SELECT 'dynamic_range', qid, lab, cnt FROM dynout

@@ -4478,6 +4478,64 @@ def dv_stats(sf_dir: str):
     )
 
 
+def grouped_facet_counts(sf_dir: str) -> pa.Table:
+    """GroupFacetCollector (reference grouping/GroupFacetCollector.java
+    + TermGroupFacetCollector): per facet value (lang), the number of
+    DISTINCT GROUPS (group field = source) among each query's matching
+    docs — group counts, not doc counts.  Per-segment partials emit the
+    distinct (qid, lang, source) triples; one groupby dedupes them
+    across segments (bounded by qids x langs x sources — the facet/group
+    vocabulary, never the doc count) and the driver counts groups per
+    (qid, lang).  Facet-shaped rows: facet='grouped_lang'."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, langs, srcs = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            lang = r.stored_column("lang").to_numpy(zero_copy_only=False)
+            source = r.stored_column("source").to_numpy(zero_copy_only=False)
+            for qid, t in enumerate(QUERY_TERMS):
+                tid = r.term_id(t)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                for lv, sv in {(a, b) for a, b in zip(lang[docs], source[docs])}:
+                    qids.append(qid)
+                    langs.append(str(lv))
+                    srcs.append(str(sv))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+
+    triples = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .groupby(["qid", "lang", "source"])
+        .count()
+        .to_pandas()  # <= queries * langs * sources rows
+    )
+    counts = (
+        triples.groupby(["qid", "lang"]).size().reset_index(name="n")
+    )
+    return pa.table(
+        {
+            "facet": pa.array(["grouped_lang"] * len(counts), pa.string()),
+            "qid": pa.array(counts["qid"].astype("int64")),
+            "value": pa.array(counts["lang"].astype(str)),
+            "n": pa.array(counts["n"].astype("int64")),
+        }
+    )
+
+
 def compute_dynamic_numeric_ranges(
     values: np.ndarray, weights: np.ndarray, top_n: int
 ) -> list[tuple[int, int, int, int, int]]:
