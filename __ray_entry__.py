@@ -2831,6 +2831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("blended_recip", ft.blended_infix_suggest(sf, "reciprocal")),
                 # FuzzySuggester: prefix within 1 Damerau edit completes
                 ("fuzzy", ft.fuzzy_suggest(sf)),
+                # DocumentDictionary: entries from stored doc fields
+                # (title, n_chars weight), whole-entry prefix lookup
+                ("document", ft.document_suggest(sf)),
             ],
             col="method",
         ),
@@ -3938,6 +3941,28 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= 10
 ) r''' for lbl, coef in (("linear", "1.0 - 0.1 * pos"), ("recip", "1.0 / (pos + 1.0)")))}
+UNION ALL
+-- DocumentDictionary: title entries (first 5 tokens) weighted by the
+-- stored n_chars, duplicates collapse to max weight, whole-entry prefix
+SELECT r.*, 'document' FROM (
+WITH {_TOKS},
+titles AS (
+  SELECT array_to_string(ts[1:5], ' ') AS term,
+         max(d.n_chars)::BIGINT AS weight
+  FROM toks JOIN documents d USING (doc_id) GROUP BY 1
+),
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.DOC_SUGGEST_QUERIES))}),
+cand AS (
+  SELECT q.qid, t.term, t.weight FROM q JOIN titles t ON t.term LIKE q.p || '%'
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
+) r
 UNION ALL
 -- FuzzySuggester: completions whose prefix is within 1 Damerau edit of
 -- the typed query (first char exact = nonFuzzyPrefix 1; queries shorter

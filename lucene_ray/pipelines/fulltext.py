@@ -2743,6 +2743,88 @@ def blended_infix_suggest(
     )
 
 
+# DocumentDictionary suggester: entries from STORED doc content (title =
+# first TITLE_TOKENS tokens) weighted by a stored long (n_chars)
+DOC_SUGGEST_QUERIES = ["the", "spark", "join", "window b"]
+
+
+def document_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """DocumentDictionary-backed suggester (reference suggest/
+    DocumentDictionary.java feeding AnalyzingSuggester): suggestion
+    entries come from DOCUMENT FIELDS — here title = the doc's first
+    TITLE_TOKENS tokens, weight = the stored n_chars long — instead of
+    the term dictionary; the typed query prefix-matches the WHOLE entry
+    string.  Duplicate titles collapse to their max weight (the
+    highest-weight surface form wins, the suggester's dedup rule).
+    Top-n by (weight DESC, entry ASC): (qid, rnk, term, weight)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["text", "n_chars"])
+
+    def _titles(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        df = df.select(
+            pl.col("text")
+            .fill_null("")
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9_]+")
+            .list.slice(0, TITLE_TOKENS)
+            .list.join(" ")
+            .alias("term"),
+            pl.col("n_chars").alias("weight"),
+        )
+        return df.to_arrow()
+
+    agg = (
+        ds.map_batches(_titles, batch_format="pyarrow")
+        .groupby("term")
+        .max("weight")
+    )
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.rename_columns(["term", "weight"])
+        out = []
+        for qid, pref in enumerate(DOC_SUGGEST_QUERIES):
+            m = pc.starts_with(b.column("term"), pref)
+            sub = b.filter(m)
+            if sub.num_rows:
+                out.append(
+                    sub.append_column(
+                        "qid", pa.array([qid] * sub.num_rows, pa.int64())
+                    )
+                )
+        if not out:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.concat_tables(out)
+        return t.select(["qid", "term", "weight"])
+
+    cand = agg.map_batches(_cand, batch_format="pyarrow")
+    cand = cand.map_batches(
+        lambda b: suggest.partial_topn(b, n), batch_format="pyarrow"
+    )
+    df = cand.to_pandas()  # bounded: <= n * num_blocks rows per qid
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 WORDBREAK_QUERIES = ["sparkjoin", "windowbatch", "customerorder", "thegroup"]
 WORDBREAK_TOP_N = 5
 
