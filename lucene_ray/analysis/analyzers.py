@@ -1398,6 +1398,12 @@ def make_term_filter(name: str, **kw):
         return strip_possessive
     if name == "soundex":
         return soundex
+    if name == "reverse":
+        # reverse/ReverseStringFilter.java (sans the U+0001 marker its
+        # wildcard helper prepends — the caller composes markers): the
+        # classic leading-wildcard trick indexes reversed terms so
+        # ``*suffix`` becomes a prefix scan over the reversed dictionary
+        return lambda t: t[::-1]
     raise ValueError(f"unknown term filter: {name}")
 
 

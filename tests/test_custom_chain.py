@@ -188,3 +188,47 @@ def test_common_grams_end_to_end(tmp_path, ray_session):
     assert [d for d, _ in s.search(TermQuery("scan_order"), 10)] == [0]
     # unigrams still searchable
     assert {d for d, _ in s.search(TermQuery("scan"), 10)} == {0, 1}
+
+
+def test_reverse_filter_and_leading_wildcard_scan(ray_session, tmp_path):
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java):
+    indexing reversed terms turns a leading wildcard ``*suffix`` into a
+    PREFIX scan over the reversed dictionary — asserted equal to the
+    direct full-dictionary wildcard scan, while touching only the
+    bounded reversed range."""
+    import fnmatch
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.searcher import IndexSearcher
+
+    assert make_term_filter("reverse")("spark") == "kraps"
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(generate_corpus(150, seed=3), str(d / "c.parquet"))
+    plain = str(tmp_path / "plain")
+    build_index_local(str(d), plain, docs_per_segment=50)
+    rev = str(tmp_path / "rev")
+    build_index_local(str(d), rev, docs_per_segment=50, analyzer="reverse")
+    sp, sr = IndexSearcher(plain), IndexSearcher(rev)
+    for suffix in ("er", "ing", "n", "turn"):
+        # direct: scan the WHOLE dictionary with fnmatch (*suffix)
+        want = set()
+        for r in sp.readers:
+            for tid in range(r.n_terms):
+                if fnmatch.fnmatch(r.term_string(tid), f"*{suffix}"):
+                    want.add(r.term_string(tid))
+        # reversed: bounded prefix range over the reversed dictionary
+        got = set()
+        scanned = 0
+        pref = suffix[::-1].encode("utf-8")
+        for r in sr.readers:
+            tids = list(r.term_id_range(pref, pref + b"\xff\xff\xff\xff"))
+            scanned += len(tids)
+            got.update(r.term_string(t)[::-1] for t in tids)
+        assert got == want, suffix
+        total = sum(r.n_terms for r in sr.readers)
+        assert scanned < total  # the range scan really is bounded
