@@ -213,3 +213,73 @@ def test_interval_query_through_parser_and_searcher(ray_session):
         for d, v in enumerate(r.stored_column("lang").to_pylist(), seg["doc_base"])
     }
     assert all(langs[d] == "en" for d in docs)
+
+
+def _brute(doc, expr):
+    """Independent set-based reference evaluator over ONE token list:
+    returns the minimal-interval set as sorted (s, e) tuples."""
+    import itertools
+
+    def minimal(cands):
+        return sorted(
+            (s, e)
+            for (s, e) in set(cands)
+            if not any(
+                (s2 >= s and e2 <= e and (s2, e2) != (s, e))
+                for (s2, e2) in set(cands)
+            )
+        )
+
+    k = expr[0]
+    if k == "term":
+        return [(i, i) for i, t in enumerate(doc) if t == expr[1]]
+    if k == "or":
+        return minimal([iv for c in expr[1] for iv in _brute(doc, c)])
+    if k in ("ordered", "unordered", "phrase"):
+        subs = [_brute(doc, c) for c in expr[1]]
+        if any(not s for s in subs):
+            return []
+        cands = []
+        for combo in itertools.product(*subs):
+            if k == "ordered" and not all(
+                combo[i + 1][0] > combo[i][1] for i in range(len(combo) - 1)
+            ):
+                continue
+            if k == "phrase" and not all(
+                combo[i + 1][0] == combo[i][1] + 1 for i in range(len(combo) - 1)
+            ):
+                continue
+            cands.append(
+                (min(c[0] for c in combo), max(c[1] for c in combo))
+            )
+        return minimal(cands)
+    if k == "maxwidth":
+        return [iv for iv in _brute(doc, expr[2]) if iv[1] - iv[0] + 1 <= expr[1]]
+    if k == "containing":
+        big, small = _brute(doc, expr[1]), _brute(doc, expr[2])
+        return [b for b in big if any(b[0] <= s and e <= b[1] for s, e in small)]
+    if k == "contained_by":
+        small, big = _brute(doc, expr[1]), _brute(doc, expr[2])
+        return [x for x in small if any(s <= x[0] and x[1] <= e for s, e in big)]
+    raise ValueError(k)
+
+
+def test_eval_intervals_random_differential():
+    rng = np.random.default_rng(11)
+    exprs = [
+        "fn:ordered(a b)",
+        "fn:ordered(a b c)",
+        "fn:unordered(a c)",
+        "fn:phrase(a b)",
+        "fn:or(fn:phrase(a b) c)",
+        "fn:maxwidth(4 fn:unordered(a b))",
+        "fn:containing(fn:ordered(a c) b)",
+        "fn:containedBy(b fn:unordered(a c))",
+    ]
+    for trial in range(40):
+        doc = [rng.choice(["a", "b", "c", "x"]) for _ in range(rng.integers(3, 15))]
+        for s in exprs:
+            node = parse_fn(s)
+            got = [tuple(iv) for iv in _fake_eval([list(doc)], s).get(0, [])]
+            want = _brute(list(doc), node)
+            assert got == want, (doc, s, got, want)
