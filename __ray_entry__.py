@@ -4698,6 +4698,10 @@ UNION ALL
 SELECT 'assoc_sum_lang', qid, lang, sum(n_chars)::BIGINT
 FROM m GROUP BY qid, lang
 UNION ALL
+-- sandbox facet LongAggregationsFacetRecorder: per-label MAX
+SELECT 'assoc_max_lang', qid, lang, max(n_chars)::BIGINT
+FROM m GROUP BY qid, lang
+UNION ALL
 -- LongValueFacetCounts: per-distinct-value counts of the value source
 -- n_chars // {ft.LONG_VALUE_DIV}
 SELECT 'long_value', qid, cast(n_chars // {ft.LONG_VALUE_DIV} as varchar),

@@ -4507,10 +4507,11 @@ def dv_stats(sf_dir: str):
     idx = ensure_index(sf_dir)
 
     def _seg(batch: pa.Table) -> pa.Table:
-        qids, mins, maxs, sums, cnts = [], [], [], [], []
+        qids, langs, mins, maxs, sums, cnts = [], [], [], [], [], []
         for row in batch.to_pylist():
             r = SegmentReader(row["dir"])
             nchars = r.stored_column("n_chars").to_numpy()
+            langcol = r.stored_column("lang").to_numpy(zero_copy_only=False)
             for qid, t in enumerate(QUERY_TERMS):
                 tid = r.term_id(t)
                 if tid is None:
@@ -4522,13 +4523,27 @@ def dv_stats(sf_dir: str):
                     continue
                 v = nchars[docs]
                 qids.append(qid)
+                langs.append("")  # whole-query row (DocValuesStats)
                 mins.append(int(v.min()))
                 maxs.append(int(v.max()))
                 sums.append(int(v.sum()))
                 cnts.append(len(v))
+                # sandbox facet LongAggregationsFacetRecorder: per-LABEL
+                # long aggregation partials (max per lang here) riding
+                # the same tiny reduce
+                lv = langcol[docs]
+                for lab in np.unique(lv):
+                    qids.append(qid)
+                    langs.append(str(lab))
+                    m = v[lv == lab]
+                    mins.append(int(m.min()))
+                    maxs.append(int(m.max()))
+                    sums.append(int(m.sum()))
+                    cnts.append(len(m))
         return pa.table(
             {
                 "qid": pa.array(qids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
                 "mn": pa.array(mins, pa.int64()),
                 "mx": pa.array(maxs, pa.int64()),
                 "sm": pa.array(sums, pa.int64()),
@@ -4542,7 +4557,8 @@ def dv_stats(sf_dir: str):
         .to_pandas()  # <= segments * queries rows
     )
     rows = []
-    for qid, g in parts.groupby("qid"):
+    whole = parts[parts["lang"] == ""]
+    for qid, g in whole.groupby("qid"):
         rows += [
             ("dv_stats", int(qid), "min", int(g.mn.min())),
             ("dv_stats", int(qid), "max", int(g.mx.max())),
@@ -4550,6 +4566,12 @@ def dv_stats(sf_dir: str):
             ("dv_stats", int(qid), "count", int(g.ct.sum())),
             ("dv_stats", int(qid), "missing", 0),
         ]
+    # sandbox facet LongAggregationsFacetRecorder (sandbox/facet/
+    # recorders/LongAggregationsFacetRecorder.java): per facet label,
+    # a long aggregation over matching docs — max(n_chars) per lang
+    per_label = parts[parts["lang"] != ""]
+    for (qid, lab), g in per_label.groupby(["qid", "lang"]):
+        rows.append(("assoc_max_lang", int(qid), str(lab), int(g.mx.max())))
     return pa.table(
         {
             "facet": pa.array([r[0] for r in rows], pa.string()),
