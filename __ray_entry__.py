@@ -967,7 +967,9 @@ lex AS (
 lexr AS (
   SELECT qid, doc_id, rnk FROM (
     SELECT qid, doc_id,
-           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           -- float32 cast: the engine arm ranks searcher.search's f32
+           -- scores (same discipline as every searcher-backed oracle)
+           row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
     FROM lex) z WHERE rnk <= {RRF_CAND}
 ),
 vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id <= 4),

@@ -144,15 +144,24 @@ def versioned_update(
     from .deletes import update_documents
 
     pk = PKLookup(index_dir, id_field, version_field)
-    keep = []
+    # intra-batch dedupe FIRST: only the highest-version row per id may
+    # apply (applying several would leave duplicate ids in the appended
+    # segment, where the lowest-docid occurrence would win later lookups
+    # and break the monotone-version invariant); ties keep the first row
+    best: dict = {}
     for i in range(table.num_rows):
         idv = table.column(id_field)[i].as_py()
         newv = int(table.column(version_field)[i].as_py())
         if not (MIN_VERSION <= newv <= MAX_VERSION):
             raise ValueError(f"version {newv} out of range")
+        if idv not in best or newv > best[idv][1]:
+            best[idv] = (i, newv)
+    keep = []
+    for idv, (i, newv) in best.items():
         cur = pk.lookup(idv)
         if cur is None or cur[1] < newv:
             keep.append(i)
+    keep.sort()
     out = {"applied": len(keep), "rejected": table.num_rows - len(keep)}
     if keep:
         out["manifest"] = update_documents(

@@ -1483,29 +1483,14 @@ def _idf64(df: int, doc_count: int) -> float:
 
 
 def _pw_expand_tids(reader, spec) -> list[int]:
-    """Term ids matching a PW slot spec in lexicographic (TermsEnum)
-    order — prefix = bounded dictionary range, wildcard = range over the
-    literal prefix + pattern filter (WildcardQuery's automaton walk)."""
-    import fnmatch
-    import re
+    """PW slot spec -> term ids (shared expansion primitive)."""
+    from ..search.multiterm import expand_pattern_tids
 
-    kind, pat = spec
-    if kind == "prefix":
-        lo = pat.encode("utf-8")
-        return list(reader.term_id_range(lo, lo + b"\xff\xff\xff\xff"))
-    m = re.search(r"[*?]", pat)
-    lit = pat[: m.start()] if m else pat
-    lo = lit.encode("utf-8")
-    rx = re.compile(fnmatch.translate(pat))
-    return [
-        t
-        for t in reader.term_id_range(lo, lo + b"\xff\xff\xff\xff")
-        if rx.match(reader.term_string(t))
-    ]
+    return expand_pattern_tids(reader, spec[0], spec[1])
 
 
 def phrase_wildcard_collect(
-    searcher, slots, max_expansions: int
+    searcher, slots, max_expansions: int, optimize_segments: bool = True
 ) -> tuple[float, list[tuple[tuple[str, ...], ...]], int] | None:
     """PhraseWildcardQuery's term-collection phase (reference sandbox/
     search/PhraseWildcardQuery.java rewrite:140-218): segments visited in
@@ -1547,7 +1532,8 @@ def phrase_wildcard_collect(
             if readers[si].term_stats(term)[0]:
                 kept.append(si)
                 seg_terms[si][pos] = (term,)
-        order = kept  # prune segments the single term misses
+        if optimize_segments:  # segmentOptimizationEnabled (reference flag)
+            order = kept  # prune segments the single term misses
         idf_sum += _idf64(df, cs.doc_count)
     remaining = max_expansions
     remaining_multi = len(multi_idx)
@@ -1615,7 +1601,13 @@ def phrase_wildcard_topk(
     ql_lut = np.array([byte4_to_int(b) for b in range(256)], dtype=np.int64)
     qids, rnks, docs = [], [], []
     for qid, slots in enumerate(PW_PHRASES):
-        got = phrase_wildcard_collect(searcher, slots, max_expansions)
+        # segment optimization OFF for the oracle arm: pruned segments
+        # would shrink multi-term df sums segment-dependently, which no
+        # corpus-level SQL can mirror (the reference exposes the same
+        # setSegmentOptimizationEnabled(false) switch)
+        got = phrase_wildcard_collect(
+            searcher, slots, max_expansions, optimize_segments=False
+        )
         if got is None:
             continue
         idf_sum, seg_slots, _ = got

@@ -127,8 +127,6 @@ class LargeNumHitsTopDocsCollector:
         self.total_hits = 0
 
     def collect(self, doc: int, score: float) -> None:
-        import heapq
-
         if self.heap is None:
             self.hits.append((float(score), doc))
             self.total_hits += 1
@@ -149,8 +147,6 @@ class LargeNumHitsTopDocsCollector:
         if how_many <= 0 or how_many > self.total_hits:
             raise ValueError("Incorrect number of hits requested")
         if self.heap is not None:
-            import heapq
-
             # populateResults pops exactly howMany queue elements into
             # results back-to-front — when howMany < requestedHitCount
             # that is the WORST howMany kept hits, best-of-those first

@@ -140,9 +140,16 @@ def _num(node, name) -> int:
 
 def _build(kind, name, args):
     if kind == "atleast":
-        return ("atleast", _num(args[0], name), args[1:])
+        n = _num(args[0], name)
+        if n < 1:  # Intervals.atLeast requires minShouldMatch >= 1
+            raise ValueError(f"fn:atleast needs minShouldMatch >= 1, got {n}")
+        return ("atleast", n, args[1:])
     if kind in ("maxwidth", "maxgaps"):
-        return (kind, _num(args[0], name), args[1])
+        n = _num(args[0], name)
+        # maxwidth >= 1 (an interval has width >= 1); maxgaps >= 0
+        if n < (1 if kind == "maxwidth" else 0):
+            raise ValueError(f"fn:{kind} argument out of range: {n}")
+        return (kind, n, args[1])
     if kind in ("ordered", "unordered", "or", "phrase"):
         return (kind, args)
     if kind == "unordered_no_overlaps":
@@ -296,19 +303,10 @@ def eval_intervals(reader, node) -> dict[int, np.ndarray]:
             for d, p in m.items()
         }
     if k in ("wildcard", "fuzzy"):
-        import fnmatch
-
         if k == "wildcard":
-            pat = node[1]
-            m = re.search(r"[*?]", pat)
-            lit = pat[: m.start()] if m else pat
-            lo = lit.encode("utf-8")
-            rx = re.compile(fnmatch.translate(pat))
-            tids = [
-                t
-                for t in reader.term_id_range(lo, lo + b"\xff\xff\xff\xff")
-                if rx.match(reader.term_string(t))
-            ]
+            from .multiterm import expand_pattern_tids
+
+            tids = expand_pattern_tids(reader, "wildcard", node[1])
         else:
             tids = list(_fuzzy_term_ids(reader, node[1], node[2], True))
         if len(tids) > _MAX_EXPANSIONS:

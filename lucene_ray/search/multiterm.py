@@ -750,3 +750,26 @@ def ngram_phrase_rewrite(
         return tuple(terms), tuple(range(k))
     keep = [i for i in range(k) if i % n == 0 or i == k - 1]
     return tuple(terms[i] for i in keep), tuple(keep)
+
+
+def expand_pattern_tids(reader, kind: str, pat: str) -> list[int]:
+    """Dictionary term ids matching a prefix / wildcard pattern in
+    lexicographic (TermsEnum) order — the shared expansion primitive
+    behind PhraseWildcardQuery slots and interval wildcard atoms
+    (prefix = bounded range scan; wildcard = range over the literal
+    prefix + compiled-fnmatch filter)."""
+    import fnmatch
+    import re as _re
+
+    if kind == "prefix":
+        lo = pat.encode("utf-8")
+        return list(reader.term_id_range(lo, lo + b"\xff\xff\xff\xff"))
+    m = _re.search(r"[*?]", pat)
+    lit = pat[: m.start()] if m else pat
+    lo = lit.encode("utf-8")
+    rx = _re.compile(fnmatch.translate(pat))
+    return [
+        t
+        for t in reader.term_id_range(lo, lo + b"\xff\xff\xff\xff")
+        if rx.match(reader.term_string(t))
+    ]

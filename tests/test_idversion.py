@@ -100,3 +100,17 @@ def test_version_bounds_checked(idx):
             idx, _tbl([("idQ", MAX_VERSION + 1, "too big")]),
             id_field="id", version_field="ver", content_column="text",
         )
+
+
+def test_versioned_update_intra_batch_duplicates(idx):
+    """Duplicate ids WITHIN one update batch collapse to the highest
+    version before applying — otherwise the appended segment would hold
+    both and the lowest-docid occurrence would win later lookups."""
+    res = versioned_update(
+        idx, _tbl([("id6", 65, "low"), ("id6", 99, "high"), ("id6", 70, "mid")]),
+        id_field="id", version_field="ver", content_column="text",
+    )
+    assert (res["applied"], res["rejected"]) == (1, 2)
+    pk = PKLookup(idx, id_field="id", version_field="ver")
+    assert pk.lookup("id6")[1] == 99
+    assert pk.seek_exact("id6", 99) == 99
