@@ -283,3 +283,47 @@ def test_eval_intervals_random_differential():
             got = [tuple(iv) for iv in _fake_eval([list(doc)], s).get(0, [])]
             want = _brute(list(doc), node)
             assert got == want, (doc, s, got, want)
+
+
+def test_interval_matches_respect_deletes(ray_session, tmp_path):
+    """Deleted docs vanish from interval match sets and IntervalQuery
+    scoring (live-doc masking in interval_matches_segment + the
+    PrecomputedScorer branch)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.deletes import delete_by_query
+    from lucene_ray.search.intervals import interval_matches_segment
+    from lucene_ray.search.query import IntervalQuery, TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    rows = [
+        {"id": "a", "text": "alpha beta gamma"},
+        {"id": "b", "text": "alpha beta delta marker"},
+        {"id": "c", "text": "beta alpha nothing"},
+    ]
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "c.parquet"))
+    out = str(tmp_path / "idx")
+    build_index_local(
+        str(d), out, content_column="text", meta_columns=("id",),
+        index_options="positions",
+    )
+    node = parse_fn("fn:ordered(alpha beta)")
+    s = IndexSearcher(out)
+
+    def matches():
+        got = set()
+        for r, seg in zip(s.readers, s.manifest["segments"]):
+            dd, _ = interval_matches_segment(r, node)
+            got.update((dd + seg["doc_base"]).tolist())
+        return got
+
+    assert matches() == {0, 1}
+    assert {d_ for d_, _ in s.search(IntervalQuery(parse_fn("fn:ordered(alpha beta)")), 10)} == {0, 1}
+    delete_by_query(out, TermQuery("marker"))
+    s = IndexSearcher(out)
+    assert matches() == {0}
+    assert {d_ for d_, _ in s.search(IntervalQuery(parse_fn("fn:ordered(alpha beta)")), 10)} == {0}
