@@ -2495,6 +2495,8 @@ def _term_stats_family(sf_dir: str):
         "custom_chain",
         "pattern",
         "common_grams",
+        "fingerprint",
+        "keyword_repeat",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -3156,6 +3158,31 @@ tfp AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokp GROUP BY doc_id, to
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfp GROUP BY tok
 ) pt
+UNION ALL
+-- FingerprintFilter (miscellaneous/FingerprintFilter.java): one token per
+-- doc = sorted de-duplicated tokens joined by ' '; >1024 chars emits none
+SELECT 'fingerprint', fpp.* FROM (
+WITH {_TOKS},
+fps AS (
+  SELECT doc_id, array_to_string(list_sort(list_distinct(ts)), ' ') AS fp
+  FROM toks WHERE len(ts) > 0
+)
+SELECT fp AS term, count(*)::BIGINT AS doc_freq, count(*)::BIGINT AS total_term_freq
+FROM fps WHERE length(fp) <= 1024 GROUP BY fp
+) fpp
+UNION ALL
+-- KeywordRepeatFilter -> EnglishMinimalStem -> RemoveDuplicates: each
+-- occurrence emits the original and (when different) its stem
+SELECT 'keyword_repeat', kr.* FROM (
+WITH {_TOKS},
+pairs AS (
+  SELECT doc_id, unnest(list_distinct([tok, {_en_min_stem_case('tok')}])) AS term
+  FROM tok
+),
+tfk AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM pairs GROUP BY doc_id, term)
+SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfk GROUP BY term
+) kr
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

@@ -498,6 +498,33 @@ class EnglishFoldedAnalyzer(EnglishAnalyzer):
         super().__init__(fold=True, **kw)
 
 
+class EnglishSnowballAnalyzer(EnglishAnalyzer):
+    """EnglishAnalyzer chain with SnowballFilter(EnglishStemmer) in place
+    of PorterStemFilter (reference analysis/snowball/SnowballFilter.java:1
+    wrapping tartarus/snowball/ext/EnglishStemmer.java:1, Snowball 3.0.0
+    — the Porter2 algorithm).  KeywordMarker exclusions honored exactly as
+    SnowballFilter's KeywordAttribute check does."""
+
+    def map_term(self, term: str) -> str | None:
+        from .english import ascii_fold, strip_possessive
+        from .snowball import porter2_stem
+
+        if term in self._cache:
+            return self._cache[term]
+        t = strip_possessive(term)
+        if self.fold:
+            t = ascii_fold(t)
+        if t in self.stop or not (self.min_len <= len(t) <= self.max_len):
+            m = None
+        elif t in self.stem_exclusions:
+            m = t
+        else:
+            m = porter2_stem(t)
+        if len(self._cache) < 1 << 20:
+            self._cache[term] = m
+        return m
+
+
 class EnglishMinimalAnalyzer(ChainedVocabAnalyzer):
     """StandardTokenizer -> LowerCase -> StopFilter(EN) ->
     EnglishMinimalStemFilter (Harman S-stemmer, reference
@@ -1344,6 +1371,40 @@ def soundex(t: str) -> str:
     return "".join(out + ["0"] * (4 - len(out)))
 
 
+def _scandinavian_fold(t: str) -> str:
+    """ScandinavianFoldingFilter (reference miscellaneous/
+    ScandinavianFoldingFilter.java:26-34): å ä æ -> a, ö ø -> o, and the
+    double vowels aa ae ao oe oo collapse to their first letter.  The pair
+    check runs over the FOLDED output stream (the javadoc's own examples:
+    raeksmoergaas -> raksmorgas, ræksmörgaos -> raksmorgas).  Lowercase
+    only — this engine's chain runs post-LowerCaseFilter."""
+    out: list[str] = []
+    for ch in t:
+        ch = "a" if ch in "åäæ" else ("o" if ch in "öø" else ch)
+        if out:
+            p = out[-1]
+            if (p == "a" and ch in "aeo") or (p == "o" and ch in "eo"):
+                continue
+        out.append(ch)
+    return "".join(out)
+
+
+# filter names that honor KeywordAttribute (stemmers skip marked terms) —
+# the set a keyword_marker spec in a CustomChainAnalyzer chain suppresses
+_STEM_FILTER_NAMES = frozenset({"porter", "s_stem", "snowball", "stemmer_override"})
+
+
+def _token_type_name(term: str) -> str:
+    """StandardTokenizer type of a single already-tokenized term (the DFA
+    is deterministic per string, so type resolves at vocab granularity)."""
+    from .scanner import TOKEN_TYPE_NAMES, scan
+
+    hits = scan(term)
+    if len(hits) != 1:
+        return "<OTHER>"  # should not happen for chain-produced terms
+    return TOKEN_TYPE_NAMES[hits[0][3]]
+
+
 def make_term_filter(name: str, **kw):
     """One per-term filter from the analysis-common registry; returns a
     ``str -> str | None`` callable (None = drop, StopFilter-style gap).
@@ -1354,7 +1415,9 @@ def make_term_filter(name: str, **kw):
     core/DecimalDigitFilter, miscellaneous/LengthFilter, core/StopFilter,
     miscellaneous/KeepWordFilter, util/ElisionFilter,
     en/PorterStemFilter, en/EnglishMinimalStemFilter,
-    miscellaneous/ASCIIFoldingFilter, en/EnglishPossessiveFilter."""
+    miscellaneous/ASCIIFoldingFilter, en/EnglishPossessiveFilter,
+    miscellaneous/ScandinavianFoldingFilter, core/TypeTokenFilter,
+    miscellaneous/StemmerOverrideFilter, en/KStemFilter (via snowball)."""
     from .english import (
         ascii_fold,
         english_minimal_stem,
@@ -1404,6 +1467,29 @@ def make_term_filter(name: str, **kw):
         # classic leading-wildcard trick indexes reversed terms so
         # ``*suffix`` becomes a prefix scan over the reversed dictionary
         return lambda t: t[::-1]
+    if name == "scandinavian_fold":
+        return _scandinavian_fold
+    if name == "type_token":
+        # core/TypeTokenFilter.java: drop (or with useWhitelist=true keep
+        # only) tokens whose StandardTokenizer type is in the set
+        types = frozenset(kw["types"])
+        if kw.get("use_whitelist", False):
+            return lambda t: t if _token_type_name(t) in types else None
+        return lambda t: None if _token_type_name(t) in types else t
+    if name == "stemmer_override":
+        # miscellaneous/StemmerOverrideFilter.java: dictionary hits replace
+        # the term AND set KeywordAttribute so the downstream stemmer skips
+        # it; ``then`` names that downstream stemmer (fused here because
+        # the per-term chain carries no attribute channel — CustomChain
+        # handles the separate keyword_marker spec the faithful way)
+        rules = dict(kw["rules"])
+        then = kw.get("then")
+        stem = make_term_filter(then) if then else (lambda t: t)
+        return lambda t: rules[t] if t in rules else stem(t)
+    if name == "snowball":
+        from .snowball import porter2_stem
+
+        return porter2_stem
     raise ValueError(f"unknown term filter: {name}")
 
 
@@ -1424,7 +1510,14 @@ class CustomChainAnalyzer(ChainedVocabAnalyzer):
             (f[0], dict(f[1]) if len(f) > 1 else {})
             for f in (filters if isinstance(filters, (list, tuple)) else [])
         ]
-        self._chain = [make_term_filter(n, **p) for n, p in self.filter_specs]
+        # keyword_marker (miscellaneous/KeywordMarkerFilter.java) sets
+        # KeywordAttribute: stem filters LATER in the chain skip the term.
+        # Represented as (name, frozenset) entries; everything else is
+        # (name, callable).
+        self._chain = [
+            (n, frozenset(p["words"]) if n == "keyword_marker" else make_term_filter(n, **p))
+            for n, p in self.filter_specs
+        ]
         self.limit = limit
         self._cache: dict[str, str | None] = {}
 
@@ -1432,7 +1525,13 @@ class CustomChainAnalyzer(ChainedVocabAnalyzer):
         if term in self._cache:
             return self._cache[term]
         t: str | None = term
-        for f in self._chain:
+        is_keyword = False
+        for name, f in self._chain:
+            if name == "keyword_marker":
+                is_keyword = is_keyword or t in f
+                continue
+            if is_keyword and name in _STEM_FILTER_NAMES:
+                continue
             t = f(t)
             if t is None:
                 break
@@ -1529,6 +1628,179 @@ class DriverCustomChainAnalyzer(CustomChainAnalyzer):
         )
 
 
+class FingerprintAnalyzer(StandardAnalyzer):
+    """FingerprintFilter over the standard chain (reference analysis/
+    miscellaneous/FingerprintFilter.java:37-70, the FingerprintAnalyzer
+    shape used for clustering/record-linkage): ONE output token per doc —
+    the sorted, de-duplicated input tokens joined by ``separator``.  If
+    the concatenation exceeds ``max_output_token_size`` the doc emits NO
+    token (reference javadoc line 62-64).  Sort order here is UTF-8 byte
+    order (the vocab contract); the reference sorts UTF-16 code units —
+    identical for ASCII corpora, documented deviation beyond the BMP.
+    Offsets span min(start)..max(end) of the inputs, as the reference's
+    offsetAtt does."""
+
+    def __init__(self, max_output_token_size: int = 1024, separator: str = " ", **kw):
+        super().__init__(**kw)
+        self.max_output_token_size = int(max_output_token_size)
+        self.separator = separator
+
+    def tokens(self, text: str) -> list[str]:
+        toks = super().tokens(text)
+        if not toks:
+            return []
+        fp = self.separator.join(sorted(set(toks), key=lambda s: s.encode("utf-8")))
+        return [fp] if len(fp) <= self.max_output_token_size else []
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        return toks, [1], 1
+
+    def normalize(self, term: str) -> str:
+        return term.lower()
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        V = np.int64(len(vocab))
+        # unique (doc, term) pairs — doc-major; tid order within a doc IS
+        # byte order because the vocab contract sorts by utf-8
+        ukeys = np.unique(doc_ids * V + tids)
+        udocs = (ukeys // V).astype(np.int64)
+        uterms = (ukeys % V).astype(np.int64)
+        min_s = np.full(n_docs, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_s, doc_ids, off_s)
+        max_e = np.zeros(n_docs, np.int64)
+        np.maximum.at(max_e, doc_ids, off_e)
+        cut = np.flatnonzero(np.diff(udocs)) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(udocs)]))
+        fps: list[str] = []
+        fdocs: list[int] = []
+        fs: list[int] = []
+        fe: list[int] = []
+        cap = self.max_output_token_size
+        sep = self.separator
+        for s, e in zip(starts, ends):
+            fp = sep.join(vocab[int(i)] for i in uterms[s:e])
+            if len(fp) > cap:
+                continue
+            d = int(udocs[s])
+            fps.append(fp)
+            fdocs.append(d)
+            fs.append(int(min_s[d]))
+            fe.append(int(max_e[d]))
+        out_lengths = np.zeros(n_docs, np.int64)
+        if not fps:
+            emp = np.empty(0, np.int64)
+            return [], emp, emp, emp, out_lengths, n_docs, emp, emp
+        fdocs_np = np.asarray(fdocs, np.int64)
+        out_lengths[fdocs_np] = 1
+        uniq = sorted(set(fps), key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(uniq)}
+        return (
+            uniq,
+            np.array([pos_of[f] for f in fps], np.int64),
+            fdocs_np,
+            np.zeros(len(fps), np.int64),
+            out_lengths,
+            n_docs,
+            np.asarray(fs, np.int64),
+            np.asarray(fe, np.int64),
+        )
+
+
+class KeywordRepeatAnalyzer(StandardAnalyzer):
+    """KeywordRepeatFilter -> stemmer -> RemoveDuplicatesTokenFilter
+    (reference miscellaneous/KeywordRepeatFilter.java:1,
+    miscellaneous/RemoveDuplicatesTokenFilter.java:1): every token is
+    emitted twice — the original (KeywordAttribute set, stemmer-exempt)
+    and its stemmed form at the SAME position (posInc 0) — then the
+    posInc-0 duplicate is removed when the stem equals the original.
+    The stemmer is the SQL-expressible EnglishMinimalStemmer so the
+    driver arm mirrors exactly; the engine's Porter chain is covered by
+    the english analyzer arm.  Norm length counts originals only
+    (posInc-0 stems are overlaps under discountOverlaps)."""
+
+    def tokens(self, text: str) -> list[str]:
+        from .english import english_minimal_stem
+
+        out: list[str] = []
+        for t in super().tokens(text):
+            out.append(t)
+            s = english_minimal_stem(t)
+            if s != t:
+                out.append(s)
+        return out
+
+    def analyze(self, text: str):
+        base = super().tokens(text)
+        from .english import english_minimal_stem
+
+        toks: list[str] = []
+        for t in base:
+            toks.append(t)
+            s = english_minimal_stem(t)
+            if s != t:
+                toks.append(s)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), len(base)
+
+    def normalize(self, term: str) -> str:
+        # query side: the ORIGINAL survives verbatim in the index, so a
+        # plain lowercase lookup matches it (the reference's query-time
+        # chain omits KeywordRepeat)
+        return term.lower()
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        from .english import english_minimal_stem
+
+        hits = [
+            (g, s)
+            for g, t in enumerate(vocab)
+            if (s := english_minimal_stem(t)) != t
+        ]
+        if not hits:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        new_vocab = sorted(
+            set(vocab) | {s for _, s in hits}, key=lambda s: s.encode("utf-8")
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[t] for t in vocab], dtype=np.int64)
+        parts_t = [remap[tids]]
+        parts_d, parts_p = [doc_ids], [positions]
+        parts_os, parts_oe = [off_s], [off_e]
+        for g, stem in hits:
+            sel = np.flatnonzero(tids == g)
+            parts_t.append(np.full(len(sel), pos_of[stem], dtype=np.int64))
+            parts_d.append(doc_ids[sel])
+            parts_p.append(positions[sel])  # same position: posInc 0
+            parts_os.append(off_s[sel])
+            parts_oe.append(off_e[sel])
+        return (
+            new_vocab,
+            np.concatenate(parts_t),
+            np.concatenate(parts_d),
+            np.concatenate(parts_p),
+            lengths,  # overlaps discounted from the norm
+            n_docs,
+            np.concatenate(parts_os),
+            np.concatenate(parts_oe),
+        )
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -1537,6 +1809,7 @@ ANALYZERS = {
     "english": EnglishAnalyzer,
     "english_folded": EnglishFoldedAnalyzer,
     "english_minimal": EnglishMinimalAnalyzer,
+    "english_snowball": EnglishSnowballAnalyzer,
     "synonym": SynonymExpandAnalyzer,
     "shingle": ShingleAnalyzer,
     "common_grams": CommonGramsAnalyzer,
@@ -1548,6 +1821,8 @@ ANALYZERS = {
     "mapped": MappedCharFilterAnalyzer,
     "custom": CustomChainAnalyzer,
     "custom_chain": DriverCustomChainAnalyzer,
+    "fingerprint": FingerprintAnalyzer,
+    "keyword_repeat": KeywordRepeatAnalyzer,
     "pattern": PatternAnalyzer,
     "html_strip": HTMLStripAnalyzer,
 }
