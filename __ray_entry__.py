@@ -2457,6 +2457,17 @@ def _dd_signatures(sf_dir: str):
     return out[["method", "doc_id", "i", "sig"]]
 
 
+def _mlt_family(sf_dir: str):
+    """MoreLikeThis + FuzzyLikeThisQuery top-k rows, method-tagged."""
+    import pandas as pd
+
+    mlt = ft.mlt_topk(sf_dir).to_pandas()
+    mlt.insert(0, "method", "mlt")
+    flt = ft.fuzzy_like_this_topk(sf_dir).to_pandas()
+    flt.insert(0, "method", "flt")
+    return pd.concat([mlt, flt], ignore_index=True)
+
+
 def _bm25_store_family(sf_dir: str):
     """BM25 top-k family over (store, analyzer): LOCAL + REMOTE index roots
     (the store Directory seam) with the standard analyzer, plus the
@@ -2869,7 +2880,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # queries/mlt MoreLikeThis: seed term vector -> tf*idf term
         # selection -> SHOULD disjunction, seed excluded
-        "ft_mlt_topk": ft.mlt_topk,
+        # MoreLikeThis + FuzzyLikeThisQuery (sandbox/queries/
+        # FuzzyLikeThisQuery.java, ignoreTF mode) as one method-tagged family
+        "ft_mlt_topk": _mlt_family,
         # lucene/monitor percolator: registered queries broadcast, the
         # corpus STREAMS through matchers (inverted dataflow)
         "ft_percolate_counts": _percolate_both_paths,
@@ -3402,6 +3415,7 @@ SELECT mode, qid::BIGINT, rnk::BIGINT, did FROM tchildsc WHERE rnk <= 10
         # selection (top 10, ties term-asc) -> BM25 SHOULD disjunction,
         # seed doc excluded from the hits
         "ft_mlt_topk": f"""
+SELECT 'mlt' AS method, m.* FROM (
 WITH {_TOKS}, {_LT},
 seeds(sid, sdoc) AS (VALUES {", ".join(f"({i}, {d})" for i, d in enumerate(ft.MLT_SEEDS))}),
 dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
@@ -3455,6 +3469,67 @@ ranked AS (
   FROM excl
 )
 SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) m
+UNION ALL
+-- FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java, ignoreTF):
+-- fuzzify sources over the dictionary, boost = 1 - ed/minlen (1.0 exact),
+-- top 50 variants per source, score = boost^2 * idf(source df | avg
+-- variant df), global top maxNumTerms, constant-score SHOULD sum
+SELECT 'flt', fz.* FROM (
+WITH {_TOKS},
+vocab AS (SELECT tok AS term, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+srcs(qid, source) AS (VALUES {", ".join(f"({q}, '{t}')" for q, t in ft._flt_sources())}),
+cand AS (
+  SELECT s.qid, s.source, v.term AS variant,
+         damerau_levenshtein(s.source, v.term)::BIGINT AS dist, v.df
+  FROM srcs s JOIN vocab v
+    ON damerau_levenshtein(s.source, v.term) <= {ft.FLT_MAX_EDITS}
+),
+boosted AS (
+  SELECT qid, source, variant, df, dist,
+         CASE WHEN dist = 0 THEN 1.0::FLOAT
+              ELSE (1.0::FLOAT
+                    - dist::FLOAT / least(length(source), length(variant))::FLOAT)
+         END AS boost
+  FROM cand
+),
+src_df AS (
+  SELECT qid, source,
+         coalesce(max(CASE WHEN dist = 0 THEN df END),
+                  sum(df) // count(*))::BIGINT AS df_src
+  FROM cand GROUP BY qid, source
+),
+topvar AS (
+  SELECT * FROM (
+    SELECT b.*,
+           row_number() OVER (PARTITION BY qid, source
+                              ORDER BY boost DESC, variant ASC) AS vr
+    FROM boosted b) z WHERE vr <= {ft.FLT_MAX_VARIANTS}
+),
+scored AS (
+  SELECT t.qid, t.variant,
+         ((t.boost * t.boost)
+          * (ln(((SELECT count(*) FROM documents) + 1) / (s.df_src + 1.0))
+             + 1.0)::FLOAT)::FLOAT AS score
+  FROM topvar t JOIN src_df s ON s.qid = t.qid AND s.source = t.source
+),
+sel AS (
+  SELECT * FROM (
+    SELECT qid, variant, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, variant ASC) AS tr
+    FROM scored) z WHERE tr <= {ft.FLT_MAX_TERMS}
+),
+docscore AS (
+  SELECT s.qid, f.doc_id, sum(s.score::DOUBLE) AS ds
+  FROM sel s JOIN tf f ON f.tok = s.variant
+  GROUP BY s.qid, f.doc_id
+)
+SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY ds DESC, doc_id ASC) AS rnk
+  FROM docscore) z WHERE rnk <= {ft.FLT_K}
+) fz
 """,
         "ft_point_distance": f"""
 WITH q(qid, cx, cy, r2) AS (VALUES {", ".join(f"({i}, {cx}, {cy}, {r2})" for i, (cx, cy, r2) in enumerate(ft.POINT_DISTANCE_QUERIES))}),

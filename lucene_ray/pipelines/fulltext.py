@@ -299,6 +299,183 @@ def mlt_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java): fuzzify
+# every analyzed source term over the index dictionary, keep the top
+# MAX_VARIANTS_PER_TERM variants by edit-distance boost, rescore each as
+# boost^2 * ClassicSimilarity.idf(source df | avg variant df), keep the
+# global top maxNumTerms, and run them as constant-score SHOULD clauses
+# (the ignoreTF=true mode).  Query strings carry typos so fuzzification
+# actually fires against the corpus vocabulary.
+FLT_QUERIES = ["mergge sorrt", "windoww scan", "vektor hash"]
+FLT_MAX_EDITS = 1
+FLT_MAX_VARIANTS = 50  # MAX_VARIANTS_PER_TERM
+FLT_MAX_TERMS = 10  # maxNumTerms
+FLT_K = 10
+
+
+def _flt_sources() -> list[tuple[int, str]]:
+    from ..analysis.analyzers import make_analyzer
+
+    ana = make_analyzer("standard")
+    out: list[tuple[int, str]] = []
+    for qid, qs in enumerate(FLT_QUERIES):
+        seen: set[str] = set()
+        for t in ana.tokens(qs):
+            if t not in seen:
+                seen.add(t)
+                out.append((qid, t))
+    return out
+
+
+def _seg_flt_candidates(batch: pa.Table, sources: list) -> pa.Table:
+    """Per-segment FuzzyTermsEnum scan: dictionary terms within
+    FLT_MAX_EDITS Damerau edits of each source term, with partial df."""
+    from ..search.multiterm import fuzzy_term_dists
+
+    q, s, v, d, df = [], [], [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        df_arr = np.asarray(r.enc.doc_freq, np.int64)
+        for qid, src in sources:
+            tids, dists = fuzzy_term_dists(r, src, FLT_MAX_EDITS)
+            for tid, dist in zip(tids, dists):
+                q.append(qid)
+                s.append(src)
+                v.append(r.term_string(int(tid)))
+                d.append(int(dist))
+                df.append(int(df_arr[tid]))
+    return pa.table(
+        {
+            "qid": pa.array(q, pa.int64()),
+            "source": pa.array(s, pa.string()),
+            "variant": pa.array(v, pa.string()),
+            "dist": pa.array(d, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+        }
+    )
+
+
+def _seg_flt_score(batch: pa.Table, sel: list, k: int) -> pa.Table:
+    """Constant-score disjunction per segment: score(doc) = sum of the
+    selected variants' f32 scores (exact in f64: <= maxNumTerms f32
+    addends with a tiny exponent spread, so addition order cannot
+    matter); per-segment top-k by (score desc, doc asc)."""
+    out_q, out_d, out_s = [], [], []
+    for row in batch.to_pylist():
+        r = SegmentReader(row["dir"])
+        base = row["doc_base"]
+        acc: dict[int, np.ndarray] = {}
+        for qid, variant, score in sel:
+            tid = r.term_id(variant)
+            if tid is None:
+                continue
+            docs, _ = decode_term(r.enc, tid)
+            if r.live is not None:
+                docs = docs[r.live[docs]]
+            a = acc.get(qid)
+            if a is None:
+                a = acc[qid] = np.zeros(r.max_doc, np.float64)
+            a[docs] += np.float64(score)
+        for qid, a in acc.items():
+            hit = np.flatnonzero(a > 0)
+            if not len(hit):
+                continue
+            order = np.lexsort((hit, -a[hit]))[:k]
+            for i in order:
+                out_q.append(qid)
+                out_d.append(int(hit[i]) + base)
+                out_s.append(float(a[hit[i]]))
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def fuzzy_like_this_topk(sf_dir: str, k: int = FLT_K) -> pa.Table:
+    """(qid, rnk, doc_id): FuzzyLikeThisQuery top-k per query string.
+
+    Distributed shape: one dictionary scan per segment (the FuzzyTermsEnum
+    analogue) -> one tiny groupby over (qid, source, variant) partial dfs
+    -> driver-side variant selection (bounded by |sources| x |dictionary
+    hits|, a few hundred rows) -> broadcast of <= maxNumTerms scored terms
+    -> one postings decode per segment with per-segment top-k."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+    sources = _flt_sources()
+    man = mf.read_manifest(idx)
+    n_docs = int(mf.collection_stats_from(man)["max_doc"])
+
+    cand = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_flt_candidates,
+            batch_format="pyarrow",
+            fn_kwargs={"sources": sources},
+        )
+        .groupby(["qid", "source", "variant", "dist"])
+        .sum("df")
+    )
+    # driver pull bounded: |sources| x |dict terms within 1 edit|
+    cp = cand.to_pandas().rename(columns={"sum(df)": "df"})
+
+    sel: list[tuple[int, str, float]] = []  # (qid, variant, f32 score)
+    for (qid, src), g in cp.groupby(["qid", "source"], sort=False):
+        dist = g["dist"].to_numpy()
+        dfs = g["df"].to_numpy()
+        variants = g["variant"].to_numpy()
+        vlens = np.array([len(v) for v in variants], np.int64)
+        minlen = np.minimum(len(src), vlens).astype(np.float32)
+        boost = np.where(
+            dist == 0,
+            np.float32(1.0),
+            np.float32(1.0) - dist.astype(np.float32) / minlen,
+        ).astype(np.float32)
+        # top MAX_VARIANTS_PER_TERM by (boost desc, variant asc) — the
+        # ScoreTerm queue's comparator (score, then term reversed)
+        order = np.lexsort((variants, -boost))[:FLT_MAX_VARIANTS]
+        exact = dfs[dist == 0]
+        df_src = int(exact[0]) if len(exact) else int(dfs.sum()) // len(g)
+        idf = np.float32(np.log((n_docs + 1) / (df_src + 1.0)) + 1.0)
+        for i in order:
+            score = np.float32(np.float32(boost[i] * boost[i]) * idf)
+            sel.append((int(qid), str(variants[i]), float(score)))
+
+    # global top maxNumTerms per qid by (score desc, variant asc)
+    final: list[tuple[int, str, float]] = []
+    for qid in sorted({q for q, _, _ in sel}):
+        rows = [(v, s) for q2, v, s in sel if q2 == qid]
+        rows.sort(key=lambda r: (-np.float32(r[1]), r[0]))
+        final.extend((qid, v, s) for v, s in rows[:FLT_MAX_TERMS])
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(
+            _seg_flt_score,
+            batch_format="pyarrow",
+            fn_kwargs={"sel": final, "k": k},
+        )
+        .to_pandas()
+    )
+    out_q, out_r, out_d = [], [], []
+    for qid, g in parts.groupby("qid", sort=True):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        for rnk, doc in enumerate(g["doc_id"], 1):
+            out_q.append(int(qid))
+            out_r.append(rnk)
+            out_d.append(int(doc))
+    return pa.table(
+        {
+            "sid": pa.array(out_q, pa.int64()),
+            "rnk": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def _seg_norms(batch: pa.Table) -> pa.Table:
     tables = []
     for row in batch.to_pylist():
