@@ -658,6 +658,7 @@ def _span_sub(node) -> str:
     a true semantic cross-check."""
     from lucene_ray.search.spans import (
         SpanContaining,
+        SpanFieldMasked,
         SpanFirst,
         SpanNear,
         SpanNot,
@@ -666,19 +667,23 @@ def _span_sub(node) -> str:
         SpanWithin,
     )
 
-    def sub(node) -> str:
+    def sub(node, ptab: str = "p") -> str:
+        if isinstance(node, SpanFieldMasked):
+            # FieldMaskingSpanQuery: the child reads the masked field's
+            # positions table; everything above composes them unchanged
+            return sub(node.child, f"p_{node.field}")
         if isinstance(node, SpanTerm):
-            return f"(SELECT doc_id, i AS s, i AS e FROM p WHERE tok = '{node.term}')"
+            return f"(SELECT doc_id, i AS s, i AS e FROM {ptab} WHERE tok = '{node.term}')"
         if isinstance(node, SpanOr):
             u = " UNION ".join(
-                f"SELECT doc_id, s, e FROM {sub(c)} AS u{i}"
+                f"SELECT doc_id, s, e FROM {sub(c, ptab)} AS u{i}"
                 for i, c in enumerate(node.children)
             )
             return f"({u})"
         if isinstance(node, SpanNear):
             k = len(node.children)
             al = [f"c{i}" for i in range(k)]
-            froms = ", ".join(f"{sub(c)} {a}" for c, a in zip(node.children, al))
+            froms = ", ".join(f"{sub(c, ptab)} {a}" for c, a in zip(node.children, al))
             conds = [f"{a}.doc_id = c0.doc_id" for a in al[1:]]
             wsum = " + ".join(f"({a}.e - {a}.s + 1)" for a in al)
             if node.in_order:
@@ -694,26 +699,26 @@ def _span_sub(node) -> str:
             )
         if isinstance(node, SpanNot):
             return (
-                f"(SELECT i.doc_id, i.s, i.e FROM {sub(node.include)} i "
-                f"WHERE NOT EXISTS (SELECT 1 FROM {sub(node.exclude)} x "
+                f"(SELECT i.doc_id, i.s, i.e FROM {sub(node.include, ptab)} i "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {sub(node.exclude, ptab)} x "
                 f"WHERE x.doc_id = i.doc_id AND x.s <= i.e + {node.post} "
                 f"AND x.e >= i.s - {node.pre}))"
             )
         if isinstance(node, SpanFirst):
             return (
-                f"(SELECT doc_id, s, e FROM {sub(node.child)} f "
+                f"(SELECT doc_id, s, e FROM {sub(node.child, ptab)} f "
                 f"WHERE e < {node.end})"
             )
         if isinstance(node, SpanContaining):
             return (
-                f"(SELECT b.doc_id, b.s, b.e FROM {sub(node.big)} b "
-                f"WHERE EXISTS (SELECT 1 FROM {sub(node.little)} l "
+                f"(SELECT b.doc_id, b.s, b.e FROM {sub(node.big, ptab)} b "
+                f"WHERE EXISTS (SELECT 1 FROM {sub(node.little, ptab)} l "
                 f"WHERE l.doc_id = b.doc_id AND b.s <= l.s AND l.e <= b.e))"
             )
         assert isinstance(node, SpanWithin)
         return (
-            f"(SELECT l.doc_id, l.s, l.e FROM {sub(node.little)} l "
-            f"WHERE EXISTS (SELECT 1 FROM {sub(node.big)} b "
+            f"(SELECT l.doc_id, l.s, l.e FROM {sub(node.little, ptab)} l "
+            f"WHERE EXISTS (SELECT 1 FROM {sub(node.big, ptab)} b "
             f"WHERE b.doc_id = l.doc_id AND b.s <= l.s AND l.e <= b.e))"
         )
 
@@ -735,6 +740,25 @@ def _spans_sql() -> str:
         for qid, q in enumerate(ft._span_queries())
     ]
     return f"{_SPAN_POS_CTE},\nspn AS (" + " UNION ALL ".join(parts) + ")"
+
+
+def _masked_spans_sql() -> str:
+    """FieldMaskingSpanQuery arm: the title field's positions ARE the
+    first TITLE_TOKENS text positions (the titled corpus derives title =
+    first-5-token join, both tokenized by the same pattern), so the
+    masked positions table is one row filter on p."""
+    parts = [
+        f"SELECT {qid}::BIGINT AS qid, doc_id, count(*)::BIGINT AS n "
+        f"FROM {_span_sub(q)} r GROUP BY doc_id"
+        for qid, q in enumerate(ft._masked_span_queries())
+    ]
+    return (
+        _SPAN_POS_CTE
+        + f",\np_title AS (SELECT doc_id, tok, i FROM p WHERE i < {ft.TITLE_TOKENS}),\n"
+        + "mspn AS ("
+        + " UNION ALL ".join(parts)
+        + ")"
+    )
 
 
 def _span_topk_sql() -> str:
@@ -2685,6 +2709,11 @@ def _proximity_family(sf_dir: str):
     # SpanQuery family (queries/spans): distinct-span counts from the
     # compositional span algebra, oracle-compiled from the same ASTs
     spn = ft.span_matches(sf_dir).to_pandas().rename(columns={"n": "n_starts"})
+    # FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java):
+    # masked clauses read the title sub-index's positions
+    msk = ft.field_masked_matches(sf_dir).to_pandas().rename(
+        columns={"n": "n_starts"}
+    )
     # TermAutomatonQuery (sandbox): graph proximity, match-set only
     auto = ft.automaton_matches(sf_dir).to_pandas()
     auto["n_starts"] = -1
@@ -2696,6 +2725,7 @@ def _proximity_family(sf_dir: str):
             ("or", disj),
             ("surround", sur),
             ("spans", spn),
+            ("masked", msk),
             ("automaton", auto),
             # StandardQueryParser fn: interval functions (queryparser/
             # flexible) over the minimal-interval algebra
@@ -4158,6 +4188,10 @@ FROM (WITH {_TOKS}, {_surround_sql()} SELECT qid, doc_id FROM sur)
 UNION ALL
 SELECT 'spans', qid, doc_id, n
 FROM (WITH {_TOKS}, {_spans_sql()} SELECT qid, doc_id, n FROM spn)
+UNION ALL
+-- FieldMaskingSpanQuery: masked clauses over the title positions table
+SELECT 'masked', qid, doc_id, n
+FROM (WITH {_TOKS}, {_masked_spans_sql()} SELECT qid, doc_id, n FROM mspn)
 UNION ALL
 -- TermAutomatonQuery (sandbox): path-enumerated positional joins,
 -- compiled from the SAME automaton objects the engine's DP runs

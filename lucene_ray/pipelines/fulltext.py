@@ -4112,6 +4112,89 @@ def span_matches(sf_dir: str):
     return _positional_matches_ds(idx, _span_queries(), "spans", "n")
 
 
+def ensure_masked_index(sf_dir: str) -> str:
+    """text + title sub-indexes with POSITIONS over the titled corpus
+    (one shared docid space) — the FieldMaskingSpanQuery fixture."""
+    from ..index.multifield import FieldSpec, build_multi_field_index
+
+    src_dir = ensure_titled_corpus(sf_dir)
+    idx = index_dir_for(sf_dir) + "-masked"
+    if any(
+        mf.latest_generation(os.path.join(idx, f)) is None for f in ("text", "title")
+    ):
+        build_multi_field_index(
+            src_dir,
+            idx,
+            [
+                FieldSpec("text", "text", "standard", "positions"),
+                FieldSpec("title", "title", "standard", "positions"),
+            ],
+            docs_per_segment=DOCS_PER_SEGMENT,
+        )
+    return idx
+
+
+def _masked_span_queries():
+    """FieldMaskingSpanQuery driver set (queries/spans/FieldMaskingSpan
+    Query.java): masked clauses read the TITLE field's positions (the
+    first TITLE_TOKENS text positions, so cross-field nearness is
+    well-defined) inside text-field span combinators."""
+    from ..search.spans import SpanFieldMasked, SpanNear, SpanOr, SpanTerm
+
+    t = SpanTerm
+    m = lambda term: SpanFieldMasked(SpanTerm(term), "title")  # noqa: E731
+    return [
+        # ordered: a title occurrence of "window" then a text "group"
+        SpanNear((m("window"), t("group")), slop=6, in_order=True),
+        # unordered mix across the two fields
+        SpanNear((m("scan"), t("order")), slop=4, in_order=False),
+        # SpanOr across fields: title "merge" or text "merge" occurrences
+        SpanOr((m("merge"), t("merge"))),
+        # masked pair entirely in the title, contained near a text term
+        SpanNear((m("key"), m("value"), t("join")), slop=8, in_order=False),
+    ]
+
+
+def field_masked_matches(sf_dir: str):
+    """(qid, doc_id, n) distinct-span counts for the FieldMaskingSpanQuery
+    family — per aligned (text, title) segment pair."""
+    import ray.data as rd
+
+    from ..search.spans import MultiFieldSpanReader, span_matches_segment
+
+    idx = ensure_masked_index(sf_dir)
+    mt_ = mf.read_manifest(os.path.join(idx, "text"))
+    ml = mf.read_manifest(os.path.join(idx, "title"))
+    rows = [
+        {"text_dir": st["dir"], "title_dir": sl["dir"], "doc_base": st["doc_base"]}
+        for st, sl in zip(mt_["segments"], ml["segments"])
+    ]
+    queries = _masked_span_queries()
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_n = [], [], []
+        for row in batch.to_pylist():
+            readers = {
+                "text": SegmentReader(row["text_dir"]),
+                "title": SegmentReader(row["title_dir"]),
+            }
+            view = MultiFieldSpanReader(readers["text"], readers)
+            for qid, node in enumerate(queries):
+                docs, n = span_matches_segment(view, node)
+                out_q.extend([qid] * len(docs))
+                out_d.extend((docs + row["doc_base"]).tolist())
+                out_n.extend(n.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return rd.from_items(rows).map_batches(_seg, batch_format="pyarrow")
+
+
 def _automaton_queries():
     """The TermAutomatonQuery driver set (sandbox/search/
     TermAutomatonQuery.java): gapped phrase, branching slot, double gap,

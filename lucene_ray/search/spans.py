@@ -53,6 +53,8 @@ __all__ = [
     "SpanFirst",
     "SpanContaining",
     "SpanWithin",
+    "SpanFieldMasked",
+    "MultiFieldSpanReader",
     "span_matches_segment",
 ]
 
@@ -98,6 +100,33 @@ class SpanContaining:
 class SpanWithin:
     little: object
     big: object
+
+
+@dataclass(frozen=True)
+class SpanFieldMasked:
+    """FieldMaskingSpanQuery (reference queries/spans/
+    FieldMaskingSpanQuery.java:1): evaluate ``child`` against ``field``'s
+    postings while REPORTING the enclosing query's field, so SpanNear /
+    SpanOr can compose clauses across position-parallel fields.  Positions
+    are compared raw across fields, exactly as the reference's
+    getSpans-on-the-masked-field does."""
+
+    child: object
+    field: str
+
+
+class MultiFieldSpanReader:
+    """A segment view for masked span evaluation: delegates every reader
+    attribute to the DEFAULT field's SegmentReader and resolves
+    SpanFieldMasked children against ``siblings[field]`` (the aligned
+    per-field sub-index segments of index/multifield.py)."""
+
+    def __init__(self, default, siblings: dict):
+        self._default = default
+        self.siblings = siblings
+
+    def __getattr__(self, name):
+        return getattr(self._default, name)
 
 
 _EMPTY = np.empty((0, 2), np.int64)
@@ -157,6 +186,11 @@ def _near_unordered_full(ivs: list[np.ndarray], slop: int) -> np.ndarray:
 def _doc_spans(reader, node) -> dict[int, np.ndarray]:
     """doc -> distinct (n, 2) span array for one segment (pre-live-docs;
     the caller masks deletes once at the root)."""
+    if isinstance(node, SpanFieldMasked):
+        siblings = reader.siblings  # requires a MultiFieldSpanReader view
+        return _doc_spans(
+            MultiFieldSpanReader(siblings[node.field], siblings), node.child
+        )
     if isinstance(node, SpanTerm):
         from ..index.postings import decode_term
 
@@ -289,6 +323,8 @@ def span_terms(node) -> tuple[str, ...]:
     sums over them)."""
     if isinstance(node, SpanTerm):
         return (node.term,)
+    if isinstance(node, SpanFieldMasked):
+        return span_terms(node.child)
     if isinstance(node, (SpanOr, SpanNear)):
         return tuple(t for c in node.children for t in span_terms(c))
     if isinstance(node, SpanNot):
