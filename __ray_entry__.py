@@ -2532,6 +2532,7 @@ def _term_stats_family(sf_dir: str):
         "common_grams",
         "fingerprint",
         "keyword_repeat",
+        "synonym_graph",
     ):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
@@ -3226,6 +3227,30 @@ tfk AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM pairs GROUP BY doc_id, 
 SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfk GROUP BY term
 ) kr
+UNION ALL
+-- SynonymGraphFilter multi-token rules + FlattenGraph, expand mode:
+-- phrase "order by" => orderby, word spark => "fire storm"
+SELECT 'synonym_graph', sg.* FROM (
+WITH {_TOKS},
+spos AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks WHERE len(ts) > 1),
+grams AS (
+  SELECT doc_id, 'orderby' AS tok
+  FROM spos
+  WHERE i < len(ts) - 1
+    AND ts[CAST(i AS INT) + 1] = 'order' AND ts[CAST(i AS INT) + 2] = 'by'
+),
+expd AS (
+  SELECT doc_id, unnest(['fire', 'storm']) AS tok FROM tok WHERE tok = 'spark'
+),
+allt AS (
+  SELECT doc_id, tok FROM tok
+  UNION ALL SELECT doc_id, tok FROM grams
+  UNION ALL SELECT doc_id, tok FROM expd
+),
+tfg AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM allt GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfg GROUP BY tok
+) sg
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

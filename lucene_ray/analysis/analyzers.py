@@ -619,6 +619,129 @@ class SynonymExpandAnalyzer(StandardAnalyzer):
         )
 
 
+# multi-word synonym rules for the driver's graph arm, chosen from the
+# corpus vocabulary: a 2-token phrase contracting to one synonym, and a
+# 1-token expanding to a 2-token phrase
+GRAPH_SYNONYM_PHRASES = {("order", "by"): "orderby"}
+GRAPH_SYNONYM_EXPANSIONS = {"spark": ("fire", "storm")}
+
+
+class SynonymGraphAnalyzer(StandardAnalyzer):
+    """SynonymGraphFilter + FlattenGraphFilter, index-time expand mode
+    (reference synonym/SynonymGraphFilter.java:1 multi-token rules,
+    core/FlattenGraphFilter.java:1 — the documented index-time chain):
+
+    - phrase -> word ("order by" => orderby): the synonym is inserted at
+      the phrase's FIRST position with posInc 0 / posLength 2; flattening
+      keeps it a posInc-0 overlap at that position.
+    - word -> phrase ("spark" => fire storm): the first output token
+      stacks on the source (posInc 0, an overlap); flattening gives each
+      LATER output token posInc 1, stacking onto the position of the
+      following original token (the known lossy flatten squash).
+
+    Norm length counts originals plus the posInc-1 tail tokens (overlaps
+    are discounted; posInc-1 insertions are not — FieldInvertState
+    numOverlap counts only posInc==0)."""
+
+    def __init__(self, phrases=None, expansions=None, **kw):
+        super().__init__(**kw)
+        self.phrases = dict(GRAPH_SYNONYM_PHRASES if phrases is None else phrases)
+        self.expansions = dict(
+            GRAPH_SYNONYM_EXPANSIONS if expansions is None else expansions
+        )
+
+    def _expanded(self, base: list[str]) -> list[str]:
+        out: list[str] = []
+        for i, t in enumerate(base):
+            out.append(t)
+            exp = self.expansions.get(t)
+            if exp:
+                out.extend(exp)
+            for (a, b), syn in self.phrases.items():
+                if t == b and i > 0 and base[i - 1] == a:
+                    out.append(syn)
+        return out
+
+    def tokens(self, text: str) -> list[str]:
+        return self._expanded(super().tokens(text))
+
+    def analyze(self, text: str):
+        base = super().tokens(text)
+        toks = self._expanded(base)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        # posInc-1 flatten tails (every expansion token after the first)
+        tails = sum(
+            (len(self.expansions[t]) - 1) for t in base if t in self.expansions
+        )
+        return list(counts.keys()), list(counts.values()), len(base) + tails
+
+    def normalize(self, term: str) -> str:
+        return term.lower()
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        tid_of = {t: i for i, t in enumerate(vocab)}
+        # inserted rows: (term, docs, positions, off_start, off_end)
+        inserts: list[tuple[str, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        extra_lengths = np.zeros(n_docs, np.int64)
+
+        # phrase -> word: adjacent stream rows (a at p, b at p+1, same doc)
+        same = (doc_ids[1:] == doc_ids[:-1]) & (positions[1:] == positions[:-1] + 1)
+        for (a, b), syn in sorted(self.phrases.items()):
+            ga, gb = tid_of.get(a), tid_of.get(b)
+            if ga is None or gb is None:
+                continue
+            hit = np.flatnonzero(same & (tids[:-1] == ga) & (tids[1:] == gb))
+            if len(hit):
+                # first position (posInc 0); offsets span both source tokens
+                inserts.append(
+                    (syn, doc_ids[hit], positions[hit], off_s[hit], off_e[hit + 1])
+                )
+
+        # word -> phrase: first output overlaps the source; later outputs
+        # take the following positions (flatten squash)
+        for src, outs in sorted(self.expansions.items()):
+            g = tid_of.get(src)
+            if g is None:
+                continue
+            sel = np.flatnonzero(tids == g)
+            if not len(sel):
+                continue
+            for j, w in enumerate(outs):
+                inserts.append(
+                    (w, doc_ids[sel], positions[sel] + j, off_s[sel], off_e[sel])
+                )
+                if j > 0:  # posInc-1 tail: counts toward the norm
+                    np.add.at(extra_lengths, doc_ids[sel], 1)
+
+        if not inserts:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        new_vocab = sorted(
+            set(vocab) | {t for t, *_ in inserts}, key=lambda s: s.encode("utf-8")
+        )
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[t] for t in vocab], np.int64)
+        return (
+            new_vocab,
+            np.concatenate(
+                [remap[tids]]
+                + [np.full(len(d), pos_of[t], np.int64) for t, d, *_ in inserts]
+            ),
+            np.concatenate([doc_ids] + [d for _, d, *_ in inserts]),
+            np.concatenate([positions] + [p for _, _, p, *_ in inserts]),
+            lengths + extra_lengths,
+            n_docs,
+            np.concatenate([off_s] + [s for *_, s, _ in inserts]),
+            np.concatenate([off_e] + [e for *_, e in inserts]),
+        )
+
+
 class ShingleAnalyzer(StandardAnalyzer):
     """Word-bigram shingles (reference analysis/shingle/ShingleFilter.java
     with outputUnigrams=false, shingle size 2, ' ' separator): token i
@@ -1811,6 +1934,7 @@ ANALYZERS = {
     "english_minimal": EnglishMinimalAnalyzer,
     "english_snowball": EnglishSnowballAnalyzer,
     "synonym": SynonymExpandAnalyzer,
+    "synonym_graph": SynonymGraphAnalyzer,
     "shingle": ShingleAnalyzer,
     "common_grams": CommonGramsAnalyzer,
     "whitespace": WhitespaceAnalyzer,

@@ -237,3 +237,69 @@ def test_porter2_stream_end_to_end(tmp_path, ray_session):
     assert {d for d, _ in s.search(TermQuery(a.normalize("running")), 10)} == {0, 1}
     # "generously" and "generous" meet at "generous"
     assert {d for d, _ in s.search(TermQuery(a.normalize("generously")), 10)} == {3, 4}
+
+
+def test_synonym_graph_analyzer():
+    from lucene_ray.analysis.analyzers import SynonymGraphAnalyzer
+
+    a = SynonymGraphAnalyzer()
+    # phrase contraction: "order by" inserts orderby; expansion: spark ->
+    # fire storm (fire overlaps spark, storm squashes onto the next slot)
+    assert a.tokens("sort order by key") == ["sort", "order", "by", "orderby", "key"]
+    assert a.tokens("spark joins") == ["spark", "fire", "storm", "joins"]
+    vocab, tids, doc_ids, positions, lengths, n_docs, _s, _e = (
+        a._batch_token_stream(["sort order by key", "spark joins"])
+    )
+    emitted = sorted(
+        (int(d), vocab[int(t)], int(p))
+        for t, d, p in zip(tids, doc_ids, positions)
+    )
+    assert emitted == [
+        (0, "by", 2),
+        (0, "key", 3),
+        (0, "order", 1),
+        (0, "orderby", 1),  # posInc 0 at the phrase's first position
+        (0, "sort", 0),
+        (1, "fire", 0),  # overlaps spark
+        (1, "joins", 1),
+        (1, "spark", 0),
+        (1, "storm", 1),  # flatten squash onto the next position
+    ]
+    # norm length: doc 0 has 4 originals (orderby is an overlap); doc 1 has
+    # 2 originals + 1 posInc-1 tail (storm)
+    assert lengths.tolist() == [4, 3]
+
+
+def test_synonym_graph_phrase_search(tmp_path, ray_session):
+    """The contracted synonym is phrase-searchable at the source position."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.index.manifest import read_manifest
+    from lucene_ray.search.spans import SpanNear, SpanTerm, span_matches_segment
+    from lucene_ray.index.segment import SegmentReader
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["full order by key scan", "order key by"]),
+            }
+        ),
+        str(corpus / "d.parquet"),
+    )
+    idx = str(tmp_path / "i")
+    build_index_local(
+        str(corpus), idx, analyzer="synonym_graph", content_column="text",
+        meta_columns=("doc_id",), docs_per_segment=10,
+        index_options="positions",
+    )
+    man = read_manifest(idx)
+    r = SegmentReader(man["segments"][0]["dir"])
+    # "full orderby key": the synonym rides position 1, adjacent to both
+    q = SpanNear((SpanTerm("full"), SpanTerm("orderby"), SpanTerm("key")), slop=1, in_order=True)
+    docs, _ = span_matches_segment(r, q)
+    assert docs.tolist() == [0]
