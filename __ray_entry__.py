@@ -663,6 +663,7 @@ def _span_sub(node) -> str:
         SpanNear,
         SpanNot,
         SpanOr,
+        SpanPositionRange,
         SpanTerm,
         SpanWithin,
     )
@@ -708,6 +709,11 @@ def _span_sub(node) -> str:
             return (
                 f"(SELECT doc_id, s, e FROM {sub(node.child, ptab)} f "
                 f"WHERE e < {node.end})"
+            )
+        if isinstance(node, SpanPositionRange):
+            return (
+                f"(SELECT doc_id, s, e FROM {sub(node.child, ptab)} f "
+                f"WHERE s >= {node.start} AND e < {node.end})"
             )
         if isinstance(node, SpanContaining):
             return (

@@ -4065,6 +4065,7 @@ def _span_queries():
         SpanNear,
         SpanNot,
         SpanOr,
+        SpanPositionRange,
         SpanTerm,
         SpanWithin,
     )
@@ -4086,6 +4087,11 @@ def _span_queries():
         ),
         # first: "query" within the first 8 positions
         SpanFirst(t("query"), 8),
+        # position range: near pairs fully inside positions [2, 30)
+        # (SpanPositionRangeQuery — SpanFirst with a lower bound)
+        SpanPositionRange(
+            SpanNear((t("hash"), t("join")), slop=5, in_order=False), 2, 30
+        ),
         # containing: ordered near spans that contain an "order" occurrence
         SpanContaining(
             SpanNear((t("the"), t("customer")), slop=5, in_order=True), t("order")

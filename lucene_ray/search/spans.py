@@ -51,6 +51,7 @@ __all__ = [
     "SpanNear",
     "SpanNot",
     "SpanFirst",
+    "SpanPositionRange",
     "SpanContaining",
     "SpanWithin",
     "SpanFieldMasked",
@@ -87,6 +88,17 @@ class SpanNot:
 @dataclass(frozen=True)
 class SpanFirst:
     child: object
+    end: int
+
+
+@dataclass(frozen=True)
+class SpanPositionRange:
+    """SpanPositionRangeQuery (reference queries/spans/
+    SpanPositionRangeQuery.java:1): keep child spans fully inside
+    [start, end) — SpanFirst is the start=0 special case."""
+
+    child: object
+    start: int
     end: int
 
 
@@ -246,6 +258,14 @@ def _doc_spans(reader, node) -> dict[int, np.ndarray]:
             if len(keep):
                 out[d] = keep
         return out
+    if isinstance(node, SpanPositionRange):
+        child = _doc_spans(reader, node.child)
+        out = {}
+        for d, iv in child.items():
+            keep = iv[(iv[:, 0] >= node.start) & (iv[:, 1] < node.end)]
+            if len(keep):
+                out[d] = keep
+        return out
     if isinstance(node, (SpanContaining, SpanWithin)):
         if isinstance(node, SpanContaining):
             prim, other = node.big, node.little
@@ -329,7 +349,7 @@ def span_terms(node) -> tuple[str, ...]:
         return tuple(t for c in node.children for t in span_terms(c))
     if isinstance(node, SpanNot):
         return span_terms(node.include) + span_terms(node.exclude)
-    if isinstance(node, SpanFirst):
+    if isinstance(node, (SpanFirst, SpanPositionRange)):
         return span_terms(node.child)
     if isinstance(node, SpanContaining):
         return span_terms(node.big) + span_terms(node.little)

@@ -23,6 +23,7 @@ from lucene_ray.search.spans import (
     SpanNear,
     SpanNot,
     SpanOr,
+    SpanPositionRange,
     SpanTerm,
     SpanWithin,
     span_matches_segment,
@@ -80,6 +81,12 @@ def _brute_spans(toks: list[str], node) -> set[tuple[int, int]]:
         }
     if isinstance(node, SpanFirst):
         return {(s, e) for s, e in _brute_spans(toks, node.child) if e < node.end}
+    if isinstance(node, SpanPositionRange):
+        return {
+            (s, e)
+            for s, e in _brute_spans(toks, node.child)
+            if s >= node.start and e < node.end
+        }
     if isinstance(node, SpanContaining):
         big = _brute_spans(toks, node.big)
         lit = _brute_spans(toks, node.little)
@@ -98,6 +105,7 @@ CASES = [
     SpanNear((T("def"), T("return")), slop=3, in_order=True),
     SpanNear((T("def"), T("return")), slop=3, in_order=False),
     SpanNear((T("import"), T("def"), T("return")), slop=6, in_order=True),
+    SpanPositionRange(SpanNear((T("def"), T("return")), slop=4, in_order=False), 1, 40),
     SpanNear((SpanOr((T("def"), T("class"))), T("return")), slop=2, in_order=True),
     SpanNot(
         SpanNear((T("def"), T("return")), slop=5, in_order=False),
