@@ -303,3 +303,39 @@ def test_synonym_graph_phrase_search(tmp_path, ray_session):
     q = SpanNear((SpanTerm("full"), SpanTerm("orderby"), SpanTerm("key")), slop=1, in_order=True)
     docs, _ = span_matches_segment(r, q)
     assert docs.tolist() == [0]
+
+
+def test_synonym_graph_stream_differential():
+    """Vectorized batch stream == slow per-doc walk, randomized."""
+    import random
+
+    from lucene_ray.analysis.analyzers import SynonymGraphAnalyzer
+
+    rng = random.Random(7)
+    words = ["order", "by", "spark", "key", "scan", "the"]
+    a = SynonymGraphAnalyzer()
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12)))
+        for _ in range(60)
+    ]
+    vocab, tids, doc_ids, positions, lengths, n_docs, _s, _e = (
+        a._batch_token_stream(texts)
+    )
+    got = {}
+    for t, d, p in zip(tids, doc_ids, positions):
+        got.setdefault(int(d), []).append((vocab[int(t)], int(p)))
+
+    for i, text in enumerate(texts):
+        base = [w for w in text.split() if w]
+        slow = []
+        for j, w in enumerate(base):
+            slow.append((w, j))
+            if w == "spark":
+                slow.append(("fire", j))
+                slow.append(("storm", j + 1))
+            if w == "by" and j > 0 and base[j - 1] == "order":
+                slow.append(("orderby", j - 1))
+        assert sorted(got.get(i, [])) == sorted(slow), text
+        # norm length: originals + one per spark (the posInc-1 storm)
+        want_len = len(base) + sum(1 for w in base if w == "spark")
+        assert int(lengths[i]) == want_len, text
