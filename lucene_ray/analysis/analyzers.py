@@ -474,7 +474,7 @@ class EnglishAnalyzer(ChainedVocabAnalyzer):
         self._cache: dict[str, str | None] = {}
 
     def map_term(self, term: str) -> str | None:
-        from .english import ascii_fold, porter_stem, strip_possessive
+        from .english import ascii_fold, strip_possessive
 
         if term in self._cache:
             return self._cache[term]
@@ -486,10 +486,16 @@ class EnglishAnalyzer(ChainedVocabAnalyzer):
         elif t in self.stem_exclusions:
             m = t  # KeywordMarker: protected from stemming
         else:
-            m = porter_stem(t)
+            m = self._stem(t)
         if len(self._cache) < 1 << 20:  # bounded per-actor memo
             self._cache[term] = m
         return m
+
+    @staticmethod
+    def _stem(t: str) -> str:
+        from .english import porter_stem
+
+        return porter_stem(t)
 
 
 class EnglishFoldedAnalyzer(EnglishAnalyzer):
@@ -505,24 +511,11 @@ class EnglishSnowballAnalyzer(EnglishAnalyzer):
     — the Porter2 algorithm).  KeywordMarker exclusions honored exactly as
     SnowballFilter's KeywordAttribute check does."""
 
-    def map_term(self, term: str) -> str | None:
-        from .english import ascii_fold, strip_possessive
+    @staticmethod
+    def _stem(t: str) -> str:
         from .snowball import porter2_stem
 
-        if term in self._cache:
-            return self._cache[term]
-        t = strip_possessive(term)
-        if self.fold:
-            t = ascii_fold(t)
-        if t in self.stop or not (self.min_len <= len(t) <= self.max_len):
-            m = None
-        elif t in self.stem_exclusions:
-            m = t
-        else:
-            m = porter2_stem(t)
-        if len(self._cache) < 1 << 20:
-            self._cache[term] = m
-        return m
+        return porter2_stem(t)
 
 
 class EnglishMinimalAnalyzer(ChainedVocabAnalyzer):
@@ -650,35 +643,51 @@ class SynonymGraphAnalyzer(StandardAnalyzer):
             GRAPH_SYNONYM_EXPANSIONS if expansions is None else expansions
         )
 
-    def _expanded(self, base: list[str]) -> list[str]:
-        out: list[str] = []
-        for i, t in enumerate(base):
-            out.append(t)
+    def _base_with_positions(self, text: str) -> list[tuple[str, int]]:
+        """Surviving (token, position) pairs — stop words leave position
+        GAPS (StopFilter semantics), matching the batch stream exactly."""
+        if not text:
+            return []
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+        spans = scanner.scan_spans(cps, self.max_token_length)
+        if not spans:
+            return []
+        low = self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
+        return [
+            (low[s:e], p)
+            for p, (s, e, _) in enumerate(spans)
+            if low[s:e] not in self.stop_words
+        ]
+
+    def _expanded_pairs(self, text: str) -> list[tuple[str, int]]:
+        base = self._base_with_positions(text)
+        out: list[tuple[str, int]] = []
+        for i, (t, p) in enumerate(base):
+            out.append((t, p))
             exp = self.expansions.get(t)
             if exp:
-                out.extend(exp)
+                out.extend((w, p + j) for j, w in enumerate(exp))
             for (a, b), syn in self.phrases.items():
-                if t == b and i > 0 and base[i - 1] == a:
-                    out.append(syn)
+                # POSITION adjacency, like the batch stream (a stop-word
+                # gap between a and b blocks the rule)
+                if t == b and i > 0 and base[i - 1] == (a, p - 1):
+                    out.append((syn, p - 1))
         return out
 
     def tokens(self, text: str) -> list[str]:
-        return self._expanded(super().tokens(text))
+        return [t for t, _ in self._expanded_pairs(text)]
 
     def analyze(self, text: str):
-        base = super().tokens(text)
-        toks = self._expanded(base)
+        base = self._base_with_positions(text)
+        toks = self.tokens(text)
         if not toks:
             return [], [], 0
         counts = Counter(toks)
         # posInc-1 flatten tails (every expansion token after the first)
         tails = sum(
-            (len(self.expansions[t]) - 1) for t in base if t in self.expansions
+            (len(self.expansions[t]) - 1) for t, _ in base if t in self.expansions
         )
         return list(counts.keys()), list(counts.values()), len(base) + tails
-
-    def normalize(self, term: str) -> str:
-        return term.lower()
 
     def _batch_token_stream(self, texts: list[str]):
         (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
@@ -1781,9 +1790,6 @@ class FingerprintAnalyzer(StandardAnalyzer):
             return [], [], 0
         return toks, [1], 1
 
-    def normalize(self, term: str) -> str:
-        return term.lower()
-
     def _batch_token_stream(self, texts: list[str]):
         (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
             super()._batch_token_stream(texts)
@@ -1876,11 +1882,6 @@ class KeywordRepeatAnalyzer(StandardAnalyzer):
         counts = Counter(toks)
         return list(counts.keys()), list(counts.values()), len(base)
 
-    def normalize(self, term: str) -> str:
-        # query side: the ORIGINAL survives verbatim in the index, so a
-        # plain lowercase lookup matches it (the reference's query-time
-        # chain omits KeywordRepeat)
-        return term.lower()
 
     def _batch_token_stream(self, texts: list[str]):
         (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (

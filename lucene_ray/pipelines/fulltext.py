@@ -330,14 +330,17 @@ def _flt_sources() -> list[tuple[int, str]]:
 def _seg_flt_candidates(batch: pa.Table, sources: list) -> pa.Table:
     """Per-segment FuzzyTermsEnum scan: dictionary terms within
     FLT_MAX_EDITS Damerau edits of each source term, with partial df."""
-    from ..search.multiterm import fuzzy_term_dists
+    from ..search.multiterm import fuzzy_term_dists_multi
 
     q, s, v, d, df = [], [], [], [], []
     for row in batch.to_pylist():
         r = SegmentReader(row["dir"])
         df_arr = np.asarray(r.enc.doc_freq, np.int64)
+        scans = fuzzy_term_dists_multi(
+            r, sorted({t for _, t in sources}), FLT_MAX_EDITS
+        )
         for qid, src in sources:
-            tids, dists = fuzzy_term_dists(r, src, FLT_MAX_EDITS)
+            tids, dists = scans[src]
             for tid, dist in zip(tids, dists):
                 q.append(qid)
                 s.append(src)
@@ -365,6 +368,7 @@ def _seg_flt_score(batch: pa.Table, sel: list, k: int) -> pa.Table:
         r = SegmentReader(row["dir"])
         base = row["doc_base"]
         acc: dict[int, np.ndarray] = {}
+        matched: dict[int, np.ndarray] = {}
         for qid, variant, score in sel:
             tid = r.term_id(variant)
             if tid is None:
@@ -375,9 +379,13 @@ def _seg_flt_score(batch: pa.Table, sel: list, k: int) -> pa.Table:
             a = acc.get(qid)
             if a is None:
                 a = acc[qid] = np.zeros(r.max_doc, np.float64)
+                matched[qid] = np.zeros(r.max_doc, bool)
             a[docs] += np.float64(score)
+            matched[qid][docs] = True
         for qid, a in acc.items():
-            hit = np.flatnonzero(a > 0)
+            # membership, not score > 0: a zero-boost variant still MATCHES
+            # (the oracle's docscore ranks such docs too)
+            hit = np.flatnonzero(matched[qid])
             if not len(hit):
                 continue
             order = np.lexsort((hit, -a[hit]))[:k]

@@ -302,6 +302,41 @@ def fuzzy_term_dists(reader, term: str, max_edits: int):
     return cand[keep], dist[keep].astype(np.int64)
 
 
+def fuzzy_term_dists_multi(reader, query_terms: list[str], max_edits: int):
+    """term -> (term_ids, distances): the fuzzy_term_dists scan for MANY
+    source terms with ONE dictionary materialization (FuzzyLikeThisQuery
+    fuzzifies every source against the same segment dictionary — the
+    padded codepoint matrix is the dominant cost and is built once)."""
+    import pyarrow.compute as pc
+
+    e = np.empty(0, np.int64)
+    terms = reader.terms_array()
+    n = len(terms)
+    if n == 0:
+        return {t: (e, e) for t in query_terms}
+    lens = pc.utf8_length(terms).to_numpy().astype(np.int64)
+    L = int(lens.max())
+    out = {}
+    if L == 0:
+        for t in query_terms:
+            ids = np.nonzero(np.full(n, len(t)) <= max_edits)[0]
+            out[t] = (ids, np.full(len(ids), len(t), np.int64))
+        return out
+    u = np.asarray(terms.to_pylist(), dtype=f"U{L}")
+    mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    for t in query_terms:
+        q = np.array([ord(c) for c in t], dtype=np.int32)
+        cand = np.nonzero(np.abs(lens - len(q)) <= max_edits)[0]
+        if len(cand) == 0:
+            out[t] = (e, e)
+            continue
+        dist = _damerau_dp(mat[cand], lens[cand], q)
+        keep = dist <= max_edits
+        out[t] = (cand[keep], dist[keep].astype(np.int64))
+    return out
+
+
 def fuzzy_prefix_dists(reader, term: str, max_edits: int, non_fuzzy_prefix: int = 1):
     """(term_ids, distances) of dictionary terms SOME PREFIX of which is
     within ``max_edits`` Damerau-Levenshtein edits of ``term`` — the

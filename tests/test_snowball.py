@@ -339,3 +339,28 @@ def test_synonym_graph_stream_differential():
         # norm length: originals + one per spark (the posInc-1 storm)
         want_len = len(base) + sum(1 for w in base if w == "spark")
         assert int(lengths[i]) == want_len, text
+
+
+def test_synonym_graph_stop_word_gap_blocks_phrase():
+    """A stop-word GAP between the phrase words blocks the rule in BOTH
+    the python path and the batch stream (position adjacency, not list
+    adjacency)."""
+    from lucene_ray.analysis.analyzers import SynonymGraphAnalyzer
+
+    a = SynonymGraphAnalyzer(stop_words=frozenset({"the"}))
+    assert "orderby" not in a.tokens("order the by key")
+    assert "orderby" in a.tokens("order by key")
+    vocab, tids, *_ = a._batch_token_stream(["order the by key"])
+    assert "orderby" not in {vocab[int(t)] for t in tids}
+    # normalize goes through the scanner lowercase table (inherited), so
+    # query terms match index terms for full-case-mapping characters:
+    # U+0130 lowers to ONE codepoint (the table / Java semantics), while
+    # str.lower() would emit i + combining dot and never match the index
+    from lucene_ray.analysis.analyzers import StandardAnalyzer
+
+    std = StandardAnalyzer()
+    for cls in ("fingerprint", "keyword_repeat", "synonym_graph"):
+        an = make_analyzer(cls)
+        assert an.normalize("SPARK") == "spark"
+        assert an.normalize("İstanbul") == std.normalize("İstanbul")
+        assert len(an.normalize("İstanbul")) == len("İstanbul")
