@@ -4767,6 +4767,14 @@ SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 1
 UNION ALL
 -- IndriAndQuery (boosts 1.0/0.5): union match set, boost-weighted MEAN
 -- of per-clause f32 Indri scores (freq=0 smoothing for absent clauses)
+-- LegacyBM25Similarity (misc): score = (k1+1) * BM25, a monotone scale,
+-- so the rank oracle is the plain BM25 ranking
+SELECT 'legacy_bm25', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON}
+) r
+UNION ALL
 SELECT 'indri_and', r.* FROM (
 WITH {_TOKS}, {_LT},
 q(qid, t1, t2) AS (VALUES {_INDRI_AND_VALUES}),

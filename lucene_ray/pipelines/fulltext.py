@@ -2461,6 +2461,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         DFRSimilarity,
         IBSimilarity,
         IndriDirichletSimilarity,
+        LegacyBM25Similarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
         SweetSpotSimilarity,
@@ -2476,6 +2477,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("ib_ll", IBSimilarity()),
         ("ax_f2exp", AxiomaticF2EXP()),
         ("dfi_std", DFISimilarity("standardized")),
+        ("legacy_bm25", LegacyBM25Similarity()),
         # plateau norm is non-monotone in length -> impact pruning invalid,
         # COMPLETE mode only (see SweetSpotSimilarity docstring)
         ("sweetspot", SweetSpotSimilarity()),

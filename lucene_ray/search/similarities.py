@@ -49,6 +49,25 @@ class _TableScorer:
         return self.score(freq, norm_byte)
 
 
+class LegacyBM25Similarity:
+    """Pre-8.0 BM25 with the (k1 + 1) numerator factor (reference
+    misc/src/java/org/apache/lucene/misc/search/similarity/
+    LegacyBM25Similarity.java): implemented exactly as the reference —
+    delegate to BM25Similarity with boost * (k1 + 1) (float math).  The
+    transform is monotone, so ranks equal plain BM25's and impact/WAND
+    pruning stays valid."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        from .bm25 import BM25Similarity
+
+        self.k1 = np.float32(k1)
+        self.delegate = BM25Similarity(k1, b)
+
+    def scorer(self, boost, collection_stats, *term_stats):
+        scaled = np.float32(np.float32(boost) * (self.k1 + np.float32(1)))
+        return self.delegate.scorer(scaled, collection_stats, *term_stats)
+
+
 class ClassicSimilarity:
     """TF-IDF (ClassicSimilarity.java: idf :58-62, tf :70-73;
     TFIDFSimilarity.java lengthNorm over the norm table)."""

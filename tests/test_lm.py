@@ -79,3 +79,30 @@ def test_training_mix_lm_gate_drops(ray_session):
             assert q >= lm.LM_MIN_AVG_Q * nb
     # and the gate actually fired: some doc below the bar exists
     assert any(q < lm.LM_MIN_AVG_Q * nb for nb, q in want.values())
+
+
+def test_legacy_bm25_is_scaled_bm25():
+    """LegacyBM25Similarity == (k1+1) * BM25 in f32 (the reference
+    delegates with boost * (k1 + 1))."""
+    import numpy as np
+
+    from lucene_ray.search.bm25 import (
+        BM25Similarity,
+        CollectionStatistics,
+        TermStatistics,
+    )
+    from lucene_ray.search.similarities import LegacyBM25Similarity
+
+    cs = CollectionStatistics(1000, 1000, 50000, 20000)
+    ts = TermStatistics("t", 37, 99)
+    plain = BM25Similarity().scorer(1.0, cs, ts)
+    legacy = LegacyBM25Similarity().scorer(1.0, cs, ts)
+    for freq, nb in ((1, 10), (3, 99), (17, 200)):
+        got = legacy.score(freq, nb)
+        ref = plain.score(freq, nb)
+        # exact f32 relation: same shape with weight scaled by (k1+1)
+        w = np.float32(np.float32(2.2) * plain.idf)
+        ni = plain.cache[nb & 0xFF]
+        expect = np.float32(w - w / (np.float32(1) + np.float32(freq) * ni))
+        assert got == expect
+        assert got > ref  # strictly larger, same ordering
