@@ -250,9 +250,10 @@ def check_index(index_dir: str, generation: int | None = None, raise_on_error: b
             if not _store.exists(path):
                 _chk(False, f"{seg['name']}: dv_updates[{fld}] missing {path}", errors, raise_on_error)
                 continue
-            z = np.load(io.BytesIO(_store.read_bytes(path)))
-            d = z["docids"]
-            _chk(len(d) == len(z["values"]), f"{seg['name']}: dv_updates[{fld}] docids/values length mismatch", errors, raise_on_error)
+            from .deletes import load_dv_overlay
+
+            d, v = load_dv_overlay(_store, path)
+            _chk(len(d) == len(v), f"{seg['name']}: dv_updates[{fld}] docids/values length mismatch", errors, raise_on_error)
             if len(d):
                 _chk(bool((np.diff(d) > 0).all()), f"{seg['name']}: dv_updates[{fld}] docids not strictly ascending", errors, raise_on_error)
                 _chk(int(d[0]) >= 0 and int(d[-1]) < int(seg["max_doc"]), f"{seg['name']}: dv_updates[{fld}] docid out of range", errors, raise_on_error)

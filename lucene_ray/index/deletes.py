@@ -28,6 +28,18 @@ from .. import store
 from . import manifest as mf
 
 
+
+def load_dv_overlay(store, path):
+    """Decode one numeric doc-values overlay sidecar (the npz with aligned
+    ``docids``/``values`` arrays) — the ONE place the on-disk overlay
+    format is read; segment.py, check.py and softdeletes.py all route
+    through here."""
+    import io
+
+    z = np.load(io.BytesIO(store.read_bytes(path)))
+    return np.asarray(z["docids"], np.int64), np.asarray(z["values"], np.int64)
+
+
 def _matching_local_docids(reader, query) -> np.ndarray:
     """All local docids matching ``query`` in one segment (COMPLETE walk,
     ignores the current live mask — re-deleting is a no-op)."""
@@ -138,10 +150,10 @@ def update_numeric_docvalue(index_dir: str, query, field: str, value: int) -> di
         docids = hits
         values = np.full(len(hits), int(value), dtype=np.int64)
         if prev:
-            z = np.load(io.BytesIO(store.read_bytes(prev)))
-            keep = ~np.isin(z["docids"], docids)  # newest wins
-            docids = np.concatenate([z["docids"][keep], docids])
-            values = np.concatenate([z["values"][keep], values])
+            pd_, pv = load_dv_overlay(store, prev)
+            keep = ~np.isin(pd_, docids)  # newest wins
+            docids = np.concatenate([pd_[keep], docids])
+            values = np.concatenate([pv[keep], values])
             order = np.argsort(docids)
             docids, values = docids[order], values[order]
         buf = io.BytesIO()

@@ -806,11 +806,11 @@ class SegmentReader:
             )
         col = tbl.column(field).combine_chunks()
         if upd is not None:
-            import io
+            from .deletes import load_dv_overlay
 
-            z = np.load(io.BytesIO(store.read_bytes(upd)))
+            od, ov = load_dv_overlay(store, upd)
             vals = col.to_numpy(zero_copy_only=False).copy()
-            vals[z["docids"]] = z["values"]
+            vals[od] = ov
             col = pa.chunked_array([pa.array(vals)])
         cache[key] = col
         return col

@@ -50,8 +50,9 @@ def soft_deleted_docids(seg: dict, field: str = SOFT_DELETES_FIELD) -> np.ndarra
     path = seg.get("dv_updates", {}).get(field)
     if not path:
         return np.empty(0, np.int64)
-    z = np.load(io.BytesIO(store.read_bytes(path)))
-    return np.asarray(z["docids"], np.int64)
+    from .deletes import load_dv_overlay
+
+    return load_dv_overlay(store, path)[0]
 
 
 def wrap_soft_deletes(searcher, field: str = SOFT_DELETES_FIELD):

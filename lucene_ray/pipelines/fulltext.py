@@ -1747,6 +1747,11 @@ def phrase_wildcard_collect(
                 seg_terms[si][pos] = tuple(terms)
                 used += len(tids)
                 kept.append(si)
+            elif not optimize_segments:
+                # with segment optimization OFF, zero-expansion segments
+                # stay visited so later multi-term slots still collect
+                # their stats there (the oracle arm's corpus-wide df sums)
+                kept.append(si)
             # else: zero-expansion segment pruned (segmentIterator.remove)
             stop = used == budget
         if used == 0:

@@ -161,7 +161,6 @@ def sloppy_phrase_matches_segment(reader, terms: tuple[str, ...], slop: int):
 def _multi_term_matches(reader, query) -> np.ndarray:
     """Sorted local docids matching a Prefix/TermRange/Wildcard query
     (union of the matched terms' postings — CONSTANT_SCORE rewrite)."""
-    import fnmatch
     import re
 
     from .query import (
@@ -193,16 +192,15 @@ def _multi_term_matches(reader, query) -> np.ndarray:
         lo, hi = None, None
         term_filter = lambda t: rx.fullmatch(t) is not None  # noqa: E731
     elif isinstance(query, PrefixQuery):
-        lo = query.prefix.encode("utf-8")
-        hi = lo + b"\xff\xff\xff\xff"  # > any UTF-8 continuation
+        # shared expansion primitive (also used by PhraseWildcardQuery
+        # slots and interval wildcard atoms)
+        return _union_postings(
+            reader, expand_pattern_tids(reader, "prefix", query.prefix)
+        )
     elif isinstance(query, WildcardQuery):
-        # literal prefix before the first wildcard bounds the dict scan
-        m = re.search(r"[*?]", query.pattern)
-        lit = query.pattern[: m.start()] if m else query.pattern
-        lo = lit.encode("utf-8")
-        hi = lo + b"\xff\xff\xff\xff"
-        rx = re.compile(fnmatch.translate(query.pattern))
-        term_filter = lambda t: rx.match(t) is not None  # noqa: E731
+        return _union_postings(
+            reader, expand_pattern_tids(reader, "wildcard", query.pattern)
+        )
     else:
         lo = query.lower.encode("utf-8") if query.lower is not None else None
         hi = query.upper.encode("utf-8") if query.upper is not None else None

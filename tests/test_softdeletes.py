@@ -13,7 +13,7 @@ from lucene_ray.index.softdeletes import (
     soft_deleted_docids,
     wrap_soft_deletes,
 )
-from lucene_ray.search.query import MatchAllDocsQuery, TermQuery
+from lucene_ray.search.query import MatchAllDocsQuery, TermQuery, bool_query
 from lucene_ray.search.searcher import IndexSearcher
 
 
@@ -61,7 +61,7 @@ def test_soft_and_hard_deletes_compose(idx):
     n_all = s.count(MatchAllDocsQuery())
     n_ret = s.count(TermQuery("return"))
     n_def_only = s.count(TermQuery("def")) - s.count(
-        __import__("lucene_ray.search.query", fromlist=["bool_query"]).bool_query(
+        bool_query(
             must=[TermQuery("def"), TermQuery("return")]
         )
     )
