@@ -2886,6 +2886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 # DocumentDictionary: entries from stored doc fields
                 # (title, n_chars weight), whole-entry prefix lookup
                 ("document", ft.document_suggest(sf)),
+                # ContextQuery: lang-context filtering + boosting over
+                # ContextSuggestField-style entries
+                ("context", ft.context_suggest(sf)),
             ],
             col="method",
         ),
@@ -4119,6 +4122,35 @@ titles AS (
 q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.DOC_SUGGEST_QUERIES))}),
 cand AS (
   SELECT q.qid, t.term, t.weight FROM q JOIN titles t ON t.term LIKE q.p || '%'
+),
+ranked AS (
+  SELECT qid, term, weight,
+         row_number() OVER (PARTITION BY qid ORDER BY weight DESC, term) AS rnk
+  FROM cand
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- ContextQuery (suggest/document/ContextQuery.java over
+-- ContextSuggestField entries): contexts = doc lang, only ADDED contexts
+-- match, score = weight * boost (CompletionScorer.score:98-106), best
+-- context per surface form
+SELECT r.*, 'context' FROM (
+WITH {_TOKS},
+entries AS (
+  SELECT array_to_string(ts[1:5], ' ') AS term, d.lang AS ctx,
+         max(d.n_chars)::BIGINT AS weight
+  FROM toks JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+scoredx AS (
+  SELECT term,
+         max(weight * CASE ctx WHEN 'en' THEN 2 WHEN 'fr' THEN 1 END)::BIGINT AS weight
+  FROM entries WHERE ctx IN ('en', 'fr') GROUP BY term
+),
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.DOC_SUGGEST_QUERIES))}),
+cand AS (
+  SELECT q.qid, s.term, s.weight FROM q JOIN scoredx s ON s.term LIKE q.p || '%'
 ),
 ranked AS (
   SELECT qid, term, weight,

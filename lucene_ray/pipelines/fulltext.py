@@ -3009,6 +3009,117 @@ def document_suggest(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+# ContextQuery (suggest/document/ContextQuery.java wrapping a
+# PrefixCompletionQuery over ContextSuggestField entries): contexts are
+# the docs' lang; only ADDED contexts match, score = weight * boost
+# (CompletionScorer.score:98-106).  Integer boosts keep the score column
+# BIGINT-exact for the oracle.
+CONTEXT_SUGGEST_BOOSTS = {"en": 2, "fr": 1}
+
+
+def context_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """ContextQuery completions: DocumentDictionary-style (title, weight)
+    entries carrying their doc's lang CONTEXT; completions from contexts
+    outside the boost map are FILTERED, the rest score weight * boost;
+    duplicate surface forms keep their best score (the NRTSuggester
+    surface dedup).  (qid, rnk, term, weight=score) top-n by
+    (score DESC, term ASC)."""
+    import ray.data as rd
+
+    from ..search import suggest
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(src, columns=["text", "lang", "n_chars"])
+
+    def _entries(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("text")
+            .fill_null("")
+            .str.to_lowercase()
+            .str.extract_all("[a-z0-9_]+")
+            .list.slice(0, TITLE_TOKENS)
+            .list.join(" ")
+            .alias("term"),
+            pl.col("lang").alias("ctx"),
+            pl.col("n_chars").alias("weight"),
+        ).to_arrow()
+
+    # per (surface, context) the max entry weight rides the exchange
+    agg = (
+        ds.map_batches(_entries, batch_format="pyarrow")
+        .groupby(["term", "ctx"])
+        .max("weight")
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        # context filter + score = weight * boost; qid-independent
+        b = batch.rename_columns(["term", "ctx", "weight"])
+        ctxs = b.column("ctx").to_pylist()
+        keep = [i for i, c in enumerate(ctxs) if c in CONTEXT_SUGGEST_BOOSTS]
+        b = b.take(pa.array(keep, pa.int64()))
+        score = pa.array(
+            [
+                int(w) * CONTEXT_SUGGEST_BOOSTS[c]
+                for w, c in zip(
+                    b.column("weight").to_pylist(), b.column("ctx").to_pylist()
+                )
+            ],
+            pa.int64(),
+        )
+        return pa.table({"term": b.column("term"), "weight": score})
+
+    # surface dedup BEFORE any top-n cut: the best-context score per term
+    # (cutting a term's best row per block would under-score it)
+    best = (
+        agg.map_batches(_score, batch_format="pyarrow")
+        .groupby("term")
+        .max("weight")
+    )
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.rename_columns(["term", "weight"])
+        out = []
+        for qid, pref in enumerate(DOC_SUGGEST_QUERIES):
+            m = pc.starts_with(b.column("term"), pref)
+            sub = b.filter(m)
+            if sub.num_rows:
+                out.append(
+                    pa.table(
+                        {
+                            "qid": pa.array([qid] * sub.num_rows, pa.int64()),
+                            "term": sub.column("term"),
+                            "weight": sub.column("weight"),
+                        }
+                    )
+                )
+        if not out:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    cand = best.map_batches(_cand, batch_format="pyarrow").map_batches(
+        lambda b: suggest.partial_topn(b, n), batch_format="pyarrow"
+    )
+    df = cand.to_pandas()  # bounded: <= n * num_blocks rows per qid
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 WORDBREAK_QUERIES = ["sparkjoin", "windowbatch", "customerorder", "thegroup"]
 WORDBREAK_TOP_N = 5
 
