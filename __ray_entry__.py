@@ -152,6 +152,13 @@ _SORTED_VALUES = ", ".join(
 _ISORT_VALUES = ", ".join(
     f"({i}, '{t}')" for i, t in enumerate(ft.INDEX_SORTED_QUERIES)
 )
+_SHAPE_BOX_VALUES = ", ".join(
+    f"({i}, {a}, {b}, {c}, {d})"
+    for i, (a, b, c, d) in enumerate(ft.SHAPE_BOX_QUERIES)
+)
+_SHAPE_PT_VALUES = ", ".join(
+    f"({i}, {x}, {y})" for i, (x, y) in enumerate(ft.SHAPE_POINT_QUERIES)
+)
 _PBOX_VALUES = ", ".join(
     "({}, '{}', {}, {}, {}, {})".format(
         i, t, *("NULL" if v is None else v for v in (clo, chi, dlo, dhi))
@@ -3290,8 +3297,12 @@ ts AS (
   SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
   FROM tf GROUP BY tok
 )
-SELECT term, doc_freq, total_term_freq FROM ts
-ORDER BY total_term_freq DESC, term ASC LIMIT 25
+-- HighFreqTerms (misc/HighFreqTerms.java): both comparators
+SELECT 'ttf' AS ord, term, doc_freq, total_term_freq FROM
+  (SELECT * FROM ts ORDER BY total_term_freq DESC, term ASC LIMIT 25)
+UNION ALL
+SELECT 'df' AS ord, term, doc_freq, total_term_freq FROM
+  (SELECT * FROM ts ORDER BY doc_freq DESC, term ASC LIMIT 25)
 """,
         "ft_bm25_topk": f"""
 SELECT s.store, 'standard' AS analyzer, r.* FROM (
@@ -5185,8 +5196,58 @@ ranked AS (
   SELECT qid, doc_id,
          row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
   FROM filtered
+),
+boxcnt AS (
+  SELECT q.qid, count(*)::BIGINT AS n_match
+  FROM q JOIN documents doc
+    ON (q.clo IS NULL OR doc.n_chars >= q.clo)
+   AND (q.chi IS NULL OR doc.n_chars < q.chi)
+   AND (q.dlo IS NULL OR doc.doc_id >= q.dlo)
+   AND (q.dhi IS NULL OR doc.doc_id < q.dhi)
+  GROUP BY q.qid
+),
+-- indexed shapes: per-doc rectangle synthesized from (doc_id, n_chars);
+-- boundary-INCLUSIVE relations (ShapeField.QueryRelation semantics)
+shp AS (
+  SELECT doc_id,
+         (doc_id * 37) % 1200 AS x0,
+         (doc_id * 91 + n_chars) % 1100 AS y0,
+         (doc_id * 37) % 1200 + 8 + (doc_id % 73) AS x1,
+         (doc_id * 91 + n_chars) % 1100 + 8 + (n_chars % 61) AS y1
+  FROM documents WHERE doc_id % {ft.SHAPE_MOD} <> 0
+),
+bq(qid, qxlo, qxhi, qylo, qyhi) AS (VALUES {_SHAPE_BOX_VALUES}),
+pq(qid, px, py) AS (VALUES {_SHAPE_PT_VALUES}),
+sfam AS (
+  SELECT 'shape_intersects' AS family, b.qid, s.doc_id
+  FROM bq b JOIN shp s
+    ON s.x0 <= b.qxhi AND s.x1 >= b.qxlo AND s.y0 <= b.qyhi AND s.y1 >= b.qylo
+  UNION ALL
+  SELECT 'shape_within', b.qid, s.doc_id
+  FROM bq b JOIN shp s
+    ON s.x0 >= b.qxlo AND s.x1 <= b.qxhi AND s.y0 >= b.qylo AND s.y1 <= b.qyhi
+  UNION ALL
+  SELECT 'shape_disjoint', b.qid, s.doc_id
+  FROM bq b JOIN shp s
+    ON NOT (s.x0 <= b.qxhi AND s.x1 >= b.qxlo AND s.y0 <= b.qyhi AND s.y1 >= b.qylo)
+  UNION ALL
+  SELECT 'shape_contains_pt', p.qid, s.doc_id
+  FROM pq p JOIN shp s
+    ON s.x0 <= p.px AND p.px <= s.x1 AND s.y0 <= p.py AND p.py <= s.y1
+),
+sranked AS (
+  SELECT family, qid, doc_id,
+         row_number() OVER (PARTITION BY family, qid ORDER BY doc_id) AS rnk,
+         count(*) OVER (PARTITION BY family, qid) AS n_match
+  FROM sfam
 )
-SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+SELECT 'box' AS family, r.qid::BIGINT AS qid, r.rnk::BIGINT AS rnk, r.doc_id,
+       coalesce(bc.n_match, 0)::BIGINT AS n_match
+FROM ranked r LEFT JOIN boxcnt bc ON bc.qid = r.qid
+WHERE r.rnk <= 10
+UNION ALL
+SELECT family, qid::BIGINT, rnk::BIGINT, doc_id, n_match::BIGINT
+FROM sranked WHERE rnk <= 10
 """,
         "ft_combined_field_topk": f"""
 WITH {_TOKS}, {_LT},

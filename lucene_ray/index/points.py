@@ -447,6 +447,45 @@ def build_point_index(
     return [point_file(d, "_".join(fields)) for d in dirs]
 
 
+def build_point_index_fn(
+    index_dir: str, name: str, values_fn, leaf_size: int = LEAF_SIZE
+) -> list[str]:
+    """Like build_point_index but over DERIVED per-doc values:
+    ``values_fn(SegmentReader) -> (max_doc, ndim) int64`` — the seam range
+    fields use (document/LongRange.java encodes [min, max] as a 2*ndim
+    point; here the derivation runs segment-local in the same one-task-
+    per-segment dispatch, no exchange)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .. import store
+    from . import manifest as mf
+    from .segment import SegmentReader
+
+    man = mf.read_manifest(index_dir)
+    dirs = [s["dir"] for s in man["segments"]]
+    todo = [d for d in dirs if not store.exists(point_file(d, name))]
+    if todo:
+
+        def _build(batch: pa.Table) -> pa.Table:
+            paths = []
+            for d in batch.column("dir").to_pylist():
+                r = SegmentReader(d)
+                values = np.ascontiguousarray(values_fn(r), dtype=np.int64)
+                tree = PointTree.build(
+                    values, np.arange(r.max_doc, dtype=np.int64), leaf_size
+                )
+                p = point_file(d, name)
+                tree.save(p)
+                paths.append(p)
+            return pa.table({"path": pa.array(paths, pa.large_string())})
+
+        rd.from_items([{"dir": d} for d in todo]).map_batches(
+            _build, batch_format="pyarrow", batch_size=1
+        ).materialize()
+    return [point_file(d, name) for d in dirs]
+
+
 def check_points(path: str, max_doc: int | None = None) -> list[str]:
     """CheckIndex.testPoints analogue for one persisted tree: verify node
     bounds are TIGHT over their value ranges, children exactly partition

@@ -1,0 +1,338 @@
+"""Indexed 2-D shapes: tessellation + triangle BKD + spatial relations.
+
+Reference: lucene/core/src/java/org/apache/lucene/document/Tessellator.java
+(ear-clipping polygon triangulation), document/ShapeField.java (triangles as
+the indexed unit, QueryRelation INTERSECTS / WITHIN / DISJOINT / CONTAINS),
+document/LatLonShape.java + document/SpatialQuery.java (per-triangle BKD
+traversal with exact component tests on crossing leaves), and
+geo/Component2D.java (the exact triangle/box predicates).
+
+Lucene indexes a polygon as its tessellated triangles: each triangle is one
+7-dim BKD point (4-dim bounding box + vertex payload) and a query relates
+every candidate triangle to the query geometry exactly, then folds triangle
+verdicts into a per-document verdict (ANY for INTERSECTS, ALL for WITHIN).
+This module is the same design over this repo's int64 planar point tree:
+
+- ``tessellate`` ear-clips a simple polygon (CCW-normalized) into
+  ``n - 2`` non-degenerate triangles.  Deviation from Tessellator.java:
+  holes (bridge edges) and self-intersection repair are not supported —
+  simple polygons only, asserted.
+- ``build_shape_index`` persists per segment: the triangle table
+  (doc-local id + 6 vertex ints), the per-doc triangle counts, and a 4-dim
+  point tree over each triangle's (minx, maxx, miny, maxy) whose "docids"
+  are TRIANGLE row indices — so a box query prunes to candidate triangles
+  with the ordinary BKD traversal, exactly like ShapeQuery's first phase.
+- ``ShapeReader.query_box`` / ``query_point`` run the BKD prefilter, then
+  the exact vectorized predicate (separating-axis triangle-box test /
+  sign-consistent point-in-triangle), then the per-doc fold:
+  INTERSECTS = any triangle matches; WITHIN = every triangle of the doc is
+  inside (a triangle is inside an axis-aligned box iff its bbox is);
+  DISJOINT = has a shape and no triangle matches; CONTAINS (point) = the
+  point is in any triangle (the union of triangles IS the polygon).
+
+Scale: the artifact is per-segment (one map_batches task per segment, no
+exchange), queries fan out over the segment list and return bounded
+partials (top-k + count) — the same pattern as the point-tree queries.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+
+from .points import PointTree, build_point_tree
+
+I64 = np.int64
+
+
+def _signed_area2(xs: np.ndarray, ys: np.ndarray) -> int:
+    """Twice the signed area (shoelace), positive = CCW."""
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    return int(np.sum(xs * y2 - x2 * ys))
+
+
+def tessellate(xs, ys) -> np.ndarray:
+    """Ear-clip a SIMPLE polygon into triangles.
+
+    Returns (n-2, 6) int64 [ax, ay, bx, by, cx, cy].  Collinear vertices
+    are clipped without emitting the degenerate triangle (Tessellator.java
+    drops zero-area ears the same way).  Raises ValueError when no ear can
+    be found (non-simple input).
+    """
+    xs = np.asarray(xs, dtype=I64)
+    ys = np.asarray(ys, dtype=I64)
+    n = len(xs)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    if _signed_area2(xs, ys) < 0:  # normalize to CCW
+        xs, ys = xs[::-1].copy(), ys[::-1].copy()
+    idx = list(range(n))
+    tris: list[tuple[int, int, int, int, int, int]] = []
+
+    def cross(i, j, k) -> int:
+        return int(
+            (xs[j] - xs[i]) * (ys[k] - ys[i])
+            - (ys[j] - ys[i]) * (xs[k] - xs[i])
+        )
+
+    def any_point_inside(i, j, k, inclusive: bool) -> bool:
+        # any OTHER remaining vertex inside triangle (i, j, k)?  The
+        # inclusive variant also blocks vertices ON the ear's boundary
+        # (a reflex vertex on the chord would make the pieces overlap);
+        # when every ear is boundary-blocked the strict variant — the
+        # classical two-ears-theorem test — breaks the tie.
+        for m in idx:
+            if m in (i, j, k):
+                continue
+            d1 = cross(i, j, m)
+            d2 = cross(j, k, m)
+            d3 = cross(k, i, m)
+            if inclusive:
+                if d1 >= 0 and d2 >= 0 and d3 >= 0:
+                    return True
+            elif d1 > 0 and d2 > 0 and d3 > 0:
+                return True
+        return False
+
+    guard = 0
+    while len(idx) > 3:
+        guard += 1
+        if guard > 2 * n * n:
+            raise ValueError("tessellation failed: polygon is not simple")
+        clipped = False
+        for inclusive in (True, False):
+            for pos in range(len(idx)):
+                i = idx[pos - 1]
+                j = idx[pos]
+                k = idx[(pos + 1) % len(idx)]
+                c = cross(i, j, k)
+                if c < 0:
+                    continue  # reflex vertex, not an ear
+                if c == 0:
+                    # collinear: clip the middle vertex, emit nothing
+                    idx.pop(pos)
+                    clipped = True
+                    break
+                if any_point_inside(i, j, k, inclusive):
+                    continue
+                tris.append((xs[i], ys[i], xs[j], ys[j], xs[k], ys[k]))
+                idx.pop(pos)
+                clipped = True
+                break
+            if clipped:
+                break
+        if not clipped:
+            raise ValueError("tessellation failed: no ear found")
+    i, j, k = idx
+    if cross(i, j, k) != 0:
+        tris.append((xs[i], ys[i], xs[j], ys[j], xs[k], ys[k]))
+    return np.asarray(tris, dtype=I64).reshape(len(tris), 6)
+
+
+# --- exact predicates (geo/Component2D.java analogues) ---------------------
+
+
+def tri_box_intersect_mask(
+    tris: np.ndarray, qxlo: int, qxhi: int, qylo: int, qyhi: int
+) -> np.ndarray:
+    """Boundary-inclusive triangle / axis-aligned-box intersection via the
+    separating-axis test (both convex: the 2 box axes + 3 edge normals are
+    the complete axis set).  Vectorized over (n, 6) triangles."""
+    ax, ay, bx, by, cx, cy = (tris[:, i] for i in range(6))
+    txlo = np.minimum(np.minimum(ax, bx), cx)
+    txhi = np.maximum(np.maximum(ax, bx), cx)
+    tylo = np.minimum(np.minimum(ay, by), cy)
+    tyhi = np.maximum(np.maximum(ay, by), cy)
+    m = (txlo <= qxhi) & (txhi >= qxlo) & (tylo <= qyhi) & (tyhi >= qylo)
+    for px, py, qx, qy in ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay)):
+        nx = -(qy - py)
+        ny = qx - px
+        pa_ = nx * ax + ny * ay
+        pb_ = nx * bx + ny * by
+        pc_ = nx * cx + ny * cy
+        tmin = np.minimum(np.minimum(pa_, pb_), pc_)
+        tmax = np.maximum(np.maximum(pa_, pb_), pc_)
+        bmin = nx * np.where(nx >= 0, qxlo, qxhi) + ny * np.where(ny >= 0, qylo, qyhi)
+        bmax = nx * np.where(nx >= 0, qxhi, qxlo) + ny * np.where(ny >= 0, qyhi, qylo)
+        m &= ~((tmax < bmin) | (bmax < tmin))
+    return m
+
+
+def point_in_tri_mask(tris: np.ndarray, px: int, py: int) -> np.ndarray:
+    """Boundary-inclusive point-in-triangle: the three edge cross products
+    must not have strictly mixed signs (orientation-free)."""
+    ax, ay, bx, by, cx, cy = (tris[:, i] for i in range(6))
+    d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return ~(has_neg & has_pos)
+
+
+# --- per-segment artifact ---------------------------------------------------
+
+
+def shape_file(seg_dir: str, name: str) -> str:
+    return os.path.join(seg_dir, f"shapes-{name}.npz")
+
+
+def build_segment_shapes(seg_dir: str, name: str, shape_fn) -> str:
+    """Tessellate every doc's polygon and persist the triangle table + the
+    4-dim bbox tree.  ``shape_fn(reader) -> list[(xs, ys) | None]`` derives
+    one polygon (or None = no shape) per local doc from stored fields."""
+    from .. import store
+    from .segment import SegmentReader
+
+    path = shape_file(seg_dir, name)
+    if store.exists(path):
+        return path
+    r = SegmentReader(seg_dir)
+    polys = shape_fn(r)
+    assert len(polys) == r.max_doc
+    write_shape_artifact(path, polys)
+    return path
+
+
+def write_shape_artifact(path: str, polys) -> None:
+    """Persist the triangle table + bbox tree for ``polys`` (one
+    ``(xs, ys) | None`` per local doc)."""
+    from .. import store
+
+    tri_rows, tri_docs = [], []
+    counts = np.zeros(len(polys), dtype=I64)
+    for local, poly in enumerate(polys):
+        if poly is None:
+            continue
+        t = tessellate(*poly)
+        counts[local] = len(t)
+        tri_rows.append(t)
+        tri_docs.append(np.full(len(t), local, dtype=I64))
+    tris = (
+        np.concatenate(tri_rows) if tri_rows else np.empty((0, 6), dtype=I64)
+    )
+    docs = np.concatenate(tri_docs) if tri_docs else np.empty(0, dtype=I64)
+    # bbox matrix (minx, maxx, miny, maxy) — the BKD dims, ShapeField.java
+    if len(tris):
+        bbox = np.stack(
+            [
+                np.minimum(np.minimum(tris[:, 0], tris[:, 2]), tris[:, 4]),
+                np.maximum(np.maximum(tris[:, 0], tris[:, 2]), tris[:, 4]),
+                np.minimum(np.minimum(tris[:, 1], tris[:, 3]), tris[:, 5]),
+                np.maximum(np.maximum(tris[:, 1], tris[:, 3]), tris[:, 5]),
+            ],
+            axis=1,
+        )
+    else:
+        bbox = np.empty((0, 4), dtype=I64)
+    tree = build_point_tree(bbox)
+    perm = tree.pop("perm")
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        tris=tris[perm] if len(tris) else tris,
+        tri_doc=docs[perm] if len(docs) else docs,
+        doc_tri_count=counts,
+        values=bbox[perm] if len(bbox) else bbox,
+        **{f"node_{k}": v for k, v in tree.items()},
+    )
+    store.write_bytes_atomic(path, buf.getvalue())
+
+
+def build_shape_index(index_dir: str, name: str, shape_fn) -> list[str]:
+    """One Ray task per segment (idempotent, resumable) — same dispatch as
+    build_point_index: segment-local columns only, no exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .. import store
+    from . import manifest as mf
+
+    man = mf.read_manifest(index_dir)
+    dirs = [s["dir"] for s in man["segments"]]
+    todo = [d for d in dirs if not store.exists(shape_file(d, name))]
+    if todo:
+
+        def _build(batch: pa.Table) -> pa.Table:
+            paths = [
+                build_segment_shapes(d, name, shape_fn)
+                for d in batch.column("dir").to_pylist()
+            ]
+            return pa.table({"path": pa.array(paths, pa.large_string())})
+
+        rd.from_items([{"dir": d} for d in todo]).map_batches(
+            _build, batch_format="pyarrow", batch_size=1
+        ).materialize()
+    return [shape_file(d, name) for d in dirs]
+
+
+class ShapeReader:
+    """One segment's triangle index (SpatialQuery.java per-leaf phase)."""
+
+    def __init__(self, seg_dir: str, name: str):
+        self._load(shape_file(seg_dir, name))
+
+    @classmethod
+    def from_file(cls, path: str) -> "ShapeReader":
+        self = cls.__new__(cls)
+        self._load(path)
+        return self
+
+    def _load(self, path: str) -> None:
+        from .. import store
+
+        with store.open_read(path) as f:
+            z = np.load(f)
+            self.tris = z["tris"]
+            self.tri_doc = z["tri_doc"]
+            self.doc_tri_count = z["doc_tri_count"]
+            nodes = {
+                k[len("node_") :]: z[k] for k in z.files if k.startswith("node_")
+            }
+            self.tree = PointTree(
+                z["values"], np.arange(len(self.tris), dtype=I64), nodes
+            )
+
+    def _docs_any(self, tri_ids: np.ndarray, exact_mask: np.ndarray) -> np.ndarray:
+        return np.unique(self.tri_doc[tri_ids[exact_mask]])
+
+    def query_box(
+        self, qxlo: int, qxhi: int, qylo: int, qyhi: int, relation: str
+    ) -> np.ndarray:
+        """Local docids matching the [qxlo, qxhi] x [qylo, qyhi] box
+        (boundary-inclusive) under ShapeField.QueryRelation semantics."""
+        if relation == "within":
+            # a triangle lies inside an axis-aligned box iff its bbox does:
+            # pure BKD predicate, no exact phase needed
+            cand, _ = self.tree.intersect(
+                (qxlo, None, qylo, None), (None, qxhi + 1, None, qyhi + 1)
+            )
+            inside = np.bincount(
+                self.tri_doc[cand], minlength=len(self.doc_tri_count)
+            )
+            return np.flatnonzero(
+                (self.doc_tri_count > 0) & (inside == self.doc_tri_count)
+            )
+        # candidate triangles whose bbox overlaps the query box
+        cand, _ = self.tree.intersect(
+            (None, qxlo, None, qylo), (qxhi + 1, None, qyhi + 1, None)
+        )
+        hit = self._docs_any(
+            cand, tri_box_intersect_mask(self.tris[cand], qxlo, qxhi, qylo, qyhi)
+        )
+        if relation == "intersects":
+            return hit
+        if relation == "disjoint":
+            has = np.flatnonzero(self.doc_tri_count > 0)
+            return np.setdiff1d(has, hit, assume_unique=True)
+        raise ValueError(f"unknown relation {relation!r}")
+
+    def query_point(self, px: int, py: int) -> np.ndarray:
+        """CONTAINS(point): docs whose shape covers (px, py)."""
+        cand, _ = self.tree.intersect(
+            (None, px, None, py), (px + 1, None, py + 1, None)
+        )
+        return self._docs_any(cand, point_in_tri_mask(self.tris[cand], px, py))

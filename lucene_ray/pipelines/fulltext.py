@@ -528,31 +528,44 @@ def collection_stats(sf_dir: str) -> pa.Table:
     )
 
 
-def top_terms(sf_dir: str, k: int = 25) -> pa.Table:
-    """Top-k terms by total_term_freq (tie: term asc).
+def _top_terms_by(sf_dir: str, key: str, k: int) -> "pd.DataFrame":
+    """Top-k terms by ``key`` (tie: term asc).
 
     Distributed: after the per-term groupby-sum, each BLOCK of the
-    aggregated stream keeps its local top-k (ties at the k-th ttf kept, so
-    pruning is exact); the driver reduce sees only ~k * num_blocks rows —
-    never the vocabulary (code corpora reach 1e8+ terms; the TopDocs.merge
-    discipline applied to terms, VERDICT r1 item 3)."""
+    aggregated stream keeps its local top-k (ties at the k-th value kept,
+    so pruning is exact); the driver reduce sees only ~k * num_blocks rows
+    — never the vocabulary (code corpora reach 1e8+ terms; the
+    TopDocs.merge discipline applied to terms, VERDICT r1 item 3)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         if len(batch) <= k:
             return batch
-        ttf = batch.column("total_term_freq").to_numpy()
-        kth = np.partition(-ttf, k - 1)[k - 1]
-        return batch.filter(pa.array(-ttf <= kth))
+        v = batch.column(key).to_numpy()
+        kth = np.partition(-v, k - 1)[k - 1]
+        return batch.filter(pa.array(-v <= kth))
 
     cands = (
         term_stats_all(sf_dir)
         .map_batches(_partial, batch_format="pyarrow")
         .to_pandas()  # <= k * num_blocks rows by construction
     )
-    df = cands.sort_values(
-        ["total_term_freq", "term"], ascending=[False, True]
-    ).head(k)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return cands.sort_values([key, "term"], ascending=[False, True]).head(k)
+
+
+def top_terms(sf_dir: str, k: int = 25) -> pa.Table:
+    """(ord, term, doc_freq, total_term_freq) — HighFreqTerms
+    (misc/HighFreqTerms.java): top-k terms under BOTH comparators,
+    ord='ttf' = TotalTermFreqComparator (the original benchmark dump) and
+    ord='df' = DocFreqComparator."""
+    import pandas as pd
+
+    frames = []
+    for order, key in (("df", "doc_freq"), ("ttf", "total_term_freq")):
+        df = _top_terms_by(sf_dir, key, k).copy()
+        df.insert(0, "ord", order)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # --- search entry points --------------------------------------------------
@@ -2183,40 +2196,175 @@ POINT_BOX_QUERIES = [
 ]
 
 
+# --- indexed shapes (document/LatLonShape.java + Tessellator.java) ---------
+# each doc carries a deterministic rectangle synthesized from its stored
+# (doc_id, n_chars); docs with doc_id % SHAPE_MOD == 0 carry NO shape (they
+# exercise the has-a-shape precondition of DISJOINT).  The engine runs the
+# full triangle path (ear-clip tessellation -> per-segment 4-dim bbox BKD ->
+# exact SAT / point-in-triangle tests); the rectangle synthesis keeps the
+# oracle expressible as interval algebra, and tests/test_shapes.py covers
+# non-convex polygons against scalar brute force.
+SHAPE_MOD = 23
+# (qxlo, qxhi, qylo, qyhi) — boundary-INCLUSIVE boxes, ShapeField semantics
+SHAPE_BOX_QUERIES = [
+    (100, 400, 150, 450),
+    (0, 60, 0, 60),
+    (300, 1199, 200, 1099),
+    (700, 707, 800, 803),
+]
+SHAPE_POINT_QUERIES = [(120, 133), (555, 444), (901, 1002), (50, 1050)]
+
+
+def synth_rect_shapes(reader) -> list:
+    """One rectangle per doc from stored fields (None = no shape)."""
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nch = (
+        reader.stored_column("n_chars")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    x0 = (ids * 37) % 1200
+    y0 = (ids * 91 + nch) % 1100
+    x1 = x0 + 8 + ids % 73
+    y1 = y0 + 8 + nch % 61
+    return [
+        None
+        if ids[i] % SHAPE_MOD == 0
+        else (
+            [int(x0[i]), int(x1[i]), int(x1[i]), int(x0[i])],
+            [int(y0[i]), int(y0[i]), int(y1[i]), int(y1[i])],
+        )
+        for i in range(len(ids))
+    ]
+
+
 def point_box_topk(sf_dir: str, k: int = 10) -> pa.Table:
-    """BM25 top-k restricted by a 2-DIM point BOX filter (qid, rnk,
-    doc_id): n_chars x doc_id boxes answered from the per-segment
-    BKD-style point tree (util/bkd/BKDReader.intersect pruning:
-    fully-inside subtrees contribute contiguous docid slices with zero
-    comparisons), composed as a FILTER clause so BM25 scores are
-    untouched.  Trees are persisted artifacts (build once per segment,
-    resumable); the search fans out over the SegmentSearchWorker actor
-    pool."""
-    from ..index.points import build_point_index
+    """(family, qid, rnk, doc_id, n_match) — the point/shape BOX family.
+
+    family='box': BM25 top-k restricted by a 2-DIM point BOX filter:
+    n_chars x doc_id boxes answered from the per-segment BKD-style point
+    tree (util/bkd/BKDReader.intersect pruning: fully-inside subtrees
+    contribute contiguous docid slices with zero comparisons), composed as
+    a FILTER clause so BM25 scores are untouched.  ``n_match`` is the
+    box-filter-alone match count — the Weight#count(LeafReaderContext)
+    fast path PointRangeQuery exposes (search/PointRangeQuery.java), here
+    a per-segment tree count summed across segments.
+
+    family='shape_intersects' / 'shape_within' / 'shape_disjoint' /
+    'shape_contains_pt': indexed-shape relations (document/LatLonShape.java
+    QueryRelation semantics) over per-doc tessellated rectangles — first
+    ``k`` matching doc_ids ascending, ``n_match`` = total matches.  Each
+    segment contributes a bounded partial (local top-k + local count); the
+    global merge is tiny.  Trees and triangle tables are persisted
+    per-segment artifacts (build once, resumable); query fan-out is a
+    map_batches over the segment list."""
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index, point_file
+    from ..index.shapes import ShapeReader, build_shape_index
     from ..search.query import PointBoxQuery
     from ..search.searcher import DistributedSearcher
 
     idx = ensure_index(sf_dir)
     build_point_index(idx, POINT_FIELDS)
+    build_shape_index(idx, "rect", synth_rect_shapes)
+
     searcher = DistributedSearcher(idx, num_workers=4)
-    qids, rnks, docs = [], [], []
+    fams, qids, rnks, docs, nms = [], [], [], [], []
+    bm25_hits = {}
     for qid, (term, clo, chi, dlo, dhi) in enumerate(POINT_BOX_QUERIES):
         q = bool_query(
             must=[TermQuery(term)],
             filter=[PointBoxQuery(POINT_FIELDS, (clo, dlo), (chi, dhi))],
         )
-        hits = searcher.search(q, k)
+        bm25_hits[qid] = searcher.search(q, k)
+
+    # per-segment bounded partials: (family, qid, doc_id, cnt) where
+    # doc_id=-1 rows carry the segment-local count and doc_id>=0 rows are
+    # the segment-local ascending top-k
+    def _seg(batch: pa.Table) -> pa.Table:
+        from ..index.segment import SegmentReader
+
+        out = {"family": [], "qid": [], "doc_id": [], "cnt": []}
+
+        def emit(family, qid, ids):
+            out["family"].append(family)
+            out["qid"].append(qid)
+            out["doc_id"].append(-1)
+            out["cnt"].append(len(ids))
+            for d in ids[:k]:
+                out["family"].append(family)
+                out["qid"].append(qid)
+                out["doc_id"].append(int(d))
+                out["cnt"].append(0)
+
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "_".join(POINT_FIELDS)))
+            for qid, (_t, clo, chi, dlo, dhi) in enumerate(POINT_BOX_QUERIES):
+                got, _ = tree.intersect((clo, dlo), (chi, dhi))
+                emit("box", qid, got + row["doc_base"])
+            sr = ShapeReader(row["dir"], "rect")
+            ids = (
+                SegmentReader(row["dir"])
+                .stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            for qid, (qxlo, qxhi, qylo, qyhi) in enumerate(SHAPE_BOX_QUERIES):
+                for rel in ("intersects", "within", "disjoint"):
+                    local = sr.query_box(qxlo, qxhi, qylo, qyhi, rel)
+                    emit(f"shape_{rel}", qid, np.sort(ids[local]))
+            for qid, (px, py) in enumerate(SHAPE_POINT_QUERIES):
+                local = sr.query_point(px, py)
+                emit("shape_contains_pt", qid, np.sort(ids[local]))
+        return pa.table(
+            {
+                "family": pa.array(out["family"], pa.string()),
+                "qid": pa.array(out["qid"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "cnt": pa.array(out["cnt"], pa.int64()),
+            }
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    counts = part[part.doc_id < 0].groupby(["family", "qid"])["cnt"].sum()
+    tops = part[part.doc_id >= 0].sort_values(["family", "qid", "doc_id"])
+    tops = tops.groupby(["family", "qid"], sort=True).head(k)
+    for (fam, qid), grp in tops.groupby(["family", "qid"], sort=True):
+        n_match = int(counts.get((fam, qid), 0))
+        if fam == "box":
+            # ranks come from the BM25 search; n_match from the tree count
+            continue
+        for rnk, d in enumerate(grp["doc_id"].tolist(), start=1):
+            fams.append(fam)
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(d)
+            nms.append(n_match)
+    for qid, hits in bm25_hits.items():
+        n_match = int(counts.get(("box", qid), 0))
         for rnk, (doc, _s) in enumerate(hits, start=1):
+            fams.append("box")
             qids.append(qid)
             rnks.append(rnk)
             docs.append(doc)
-    return pa.table(
+            nms.append(n_match)
+    tbl = pa.table(
         {
+            "family": pa.array(fams, pa.string()),
             "qid": pa.array(qids, pa.int64()),
             "rnk": pa.array(rnks, pa.int64()),
             "doc_id": pa.array(docs, pa.int64()),
+            "n_match": pa.array(nms, pa.int64()),
         }
     )
+    return tbl.sort_by([("family", "ascending"), ("qid", "ascending"), ("rnk", "ascending")])
 
 
 # point distance queries (document/LatLonPointDistanceQuery analogue over

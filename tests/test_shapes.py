@@ -1,0 +1,273 @@
+"""Shape index: tessellation, exact predicates, per-segment relations.
+
+Differential strategy: every vectorized predicate is checked against an
+INDEPENDENT scalar implementation built from different primitives
+(segment-intersection orientation tests instead of SAT; crossing-number
+instead of sign-consistency), and the tessellation is checked by exact
+area conservation plus a point-coverage partition test on random
+star-shaped polygons (always simple by construction).
+"""
+
+import numpy as np
+import pytest
+
+from lucene_ray.index.shapes import (
+    ShapeReader,
+    point_in_tri_mask,
+    tessellate,
+    tri_box_intersect_mask,
+    write_shape_artifact,
+)
+
+rng = np.random.default_rng(0xC0FFEE)
+
+
+def shoelace2(xs, ys):
+    x2 = np.roll(xs, -1)
+    y2 = np.roll(ys, -1)
+    return abs(int(np.sum(np.asarray(xs, np.int64) * y2 - x2 * ys)))
+
+
+def tri_area2(t):
+    ax, ay, bx, by, cx, cy = (int(v) for v in t)
+    return abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def star_polygon(n, radius=1000):
+    """Random star-shaped (hence simple) integer polygon."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    # drop near-coincident angles: integer rounding of two rays closer
+    # than ~0.05 rad can swap their order and self-intersect the polygon
+    keep_a = np.concatenate([[True], np.diff(angles) > 0.05])
+    angles = angles[keep_a]
+    n = len(angles)
+    radii = rng.integers(radius // 4, radius, n)
+    xs = np.round(radii * np.cos(angles)).astype(np.int64)
+    ys = np.round(radii * np.sin(angles)).astype(np.int64)
+    # drop consecutive duplicates after rounding
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if xs[i] == xs[i - 1] and ys[i] == ys[i - 1]:
+            keep[i] = False
+    return xs[keep], ys[keep]
+
+
+# --- scalar reference predicates (independent construction) ----------------
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _on_seg(ax, ay, bx, by, px, py):
+    return (
+        _orient(ax, ay, bx, by, px, py) == 0
+        and min(ax, bx) <= px <= max(ax, bx)
+        and min(ay, by) <= py <= max(ay, by)
+    )
+
+
+def _segs_intersect(p1, p2, p3, p4):
+    d1 = _orient(*p3, *p4, *p1)
+    d2 = _orient(*p3, *p4, *p2)
+    d3 = _orient(*p1, *p2, *p3)
+    d4 = _orient(*p1, *p2, *p4)
+    if d1 != d2 and d3 != d4:
+        return True
+    for a, b, p in ((p3, p4, p1), (p3, p4, p2), (p1, p2, p3), (p1, p2, p4)):
+        if _on_seg(*a, *b, *p):
+            return True
+    return False
+
+
+def _pt_in_tri_scalar(t, px, py):
+    ax, ay, bx, by, cx, cy = (int(v) for v in t)
+    d1 = _orient(ax, ay, bx, by, px, py)
+    d2 = _orient(bx, by, cx, cy, px, py)
+    d3 = _orient(cx, cy, ax, ay, px, py)
+    return not ((-1 in (d1, d2, d3)) and (1 in (d1, d2, d3)))
+
+
+def _tri_box_scalar(t, qxlo, qxhi, qylo, qyhi):
+    ax, ay, bx, by, cx, cy = (int(v) for v in t)
+    verts = [(ax, ay), (bx, by), (cx, cy)]
+    if any(qxlo <= x <= qxhi and qylo <= y <= qyhi for x, y in verts):
+        return True
+    corners = [(qxlo, qylo), (qxhi, qylo), (qxhi, qyhi), (qxlo, qyhi)]
+    if any(_pt_in_tri_scalar(t, x, y) for x, y in corners):
+        return True
+    tri_edges = [(verts[0], verts[1]), (verts[1], verts[2]), (verts[2], verts[0])]
+    box_edges = [(corners[i], corners[(i + 1) % 4]) for i in range(4)]
+    return any(
+        _segs_intersect(*e1, *e2) for e1 in tri_edges for e2 in box_edges
+    )
+
+
+def _pt_in_poly_strict(xs, ys, px, py):
+    """Crossing-number; returns None when (px, py) lies on an edge."""
+    n = len(xs)
+    inside = False
+    for i in range(n):
+        ax, ay = int(xs[i]), int(ys[i])
+        bx, by = int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
+        if _on_seg(ax, ay, bx, by, px, py):
+            return None
+        if (ay > py) != (by > py):
+            # exact rational comparison: px < ax + (py-ay)(bx-ax)/(by-ay)
+            lhs = (px - ax) * (by - ay)
+            rhs = (py - ay) * (bx - ax)
+            if (by - ay > 0 and lhs < rhs) or (by - ay < 0 and lhs > rhs):
+                inside = not inside
+    return inside
+
+
+# --- tessellation ------------------------------------------------------------
+
+
+def test_tessellate_rectangle():
+    tris = tessellate([0, 10, 10, 0], [0, 0, 6, 6])
+    assert tris.shape == (2, 6)
+    assert sum(tri_area2(t) for t in tris) == 2 * 10 * 6
+
+
+def test_tessellate_orientation_normalized():
+    cw = tessellate([0, 0, 10, 10], [0, 6, 6, 0])  # clockwise input
+    assert sum(tri_area2(t) for t in cw) == 2 * 10 * 6
+
+
+def test_tessellate_collinear_clipped():
+    # midpoint on the bottom edge: degenerate ear must be dropped
+    tris = tessellate([0, 5, 10, 10, 0], [0, 0, 0, 6, 6])
+    assert sum(tri_area2(t) for t in tris) == 2 * 10 * 6
+    assert all(tri_area2(t) > 0 for t in tris)
+
+
+@pytest.mark.parametrize("n", [5, 8, 12, 23])
+def test_tessellate_star_area_and_coverage(n):
+    for _ in range(5):
+        xs, ys = star_polygon(n)
+        if len(xs) < 3:
+            continue
+        tris = tessellate(xs, ys)
+        assert sum(tri_area2(t) for t in tris) == shoelace2(xs, ys)
+        # coverage partition: triangle-union membership == polygon
+        # membership at random probe points (boundary probes skipped)
+        for _p in range(40):
+            px = int(rng.integers(-1100, 1100))
+            py = int(rng.integers(-1100, 1100))
+            ref = _pt_in_poly_strict(xs, ys, px, py)
+            if ref is None:
+                continue
+            got = bool(point_in_tri_mask(tris, px, py).any())
+            # triangles tile the polygon exactly: union membership must
+            # agree with polygon membership away from the boundary
+            assert got == ref, (px, py, xs.tolist(), ys.tolist())
+
+
+def test_tessellate_rejects_tiny():
+    with pytest.raises(ValueError):
+        tessellate([0, 1], [0, 1])
+
+
+# --- exact predicates --------------------------------------------------------
+
+
+def test_tri_box_sat_vs_scalar():
+    tris = rng.integers(-50, 50, size=(400, 6)).astype(np.int64)
+    boxes = np.sort(rng.integers(-50, 50, size=(20, 2, 2)), axis=1)
+    for qx, qy in ((b[:, 0], b[:, 1]) for b in boxes):
+        got = tri_box_intersect_mask(tris, int(qx[0]), int(qx[1]), int(qy[0]), int(qy[1]))
+        want = np.array(
+            [_tri_box_scalar(t, int(qx[0]), int(qx[1]), int(qy[0]), int(qy[1])) for t in tris]
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_point_in_tri_vs_scalar():
+    tris = rng.integers(-30, 30, size=(300, 6)).astype(np.int64)
+    for _ in range(30):
+        px, py = (int(v) for v in rng.integers(-35, 35, 2))
+        got = point_in_tri_mask(tris, px, py)
+        want = np.array([_pt_in_tri_scalar(t, px, py) for t in tris])
+        np.testing.assert_array_equal(got, want)
+
+
+# --- artifact + relations ----------------------------------------------------
+
+
+def _brute_relate(polys, qxlo, qxhi, qylo, qyhi, relation):
+    out = []
+    for d, poly in enumerate(polys):
+        if poly is None:
+            continue
+        tris = tessellate(*poly)
+        hit = [bool(_tri_box_scalar(t, qxlo, qxhi, qylo, qyhi)) for t in tris]
+        within = all(
+            qxlo <= min(t[0], t[2], t[4])
+            and max(t[0], t[2], t[4]) <= qxhi
+            and qylo <= min(t[1], t[3], t[5])
+            and max(t[1], t[3], t[5]) <= qyhi
+            for t in tris
+        )
+        if relation == "intersects" and any(hit):
+            out.append(d)
+        elif relation == "disjoint" and not any(hit):
+            out.append(d)
+        elif relation == "within" and within:
+            out.append(d)
+    return np.array(out, np.int64)
+
+
+def test_shape_reader_relations(tmp_path):
+    polys = []
+    for d in range(300):
+        if d % 17 == 0:
+            polys.append(None)  # docs without shapes
+            continue
+        if d % 3 == 0:
+            x0, y0 = (d * 37) % 900, (d * 91) % 800
+            w, h = 8 + d % 73, 8 + d % 61
+            polys.append(([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]))
+        else:
+            xs, ys = star_polygon(5 + d % 7, radius=120)
+            if len(xs) < 3:
+                polys.append(None)
+                continue
+            polys.append((xs + (d * 13) % 700, ys + (d * 29) % 600))
+    path = str(tmp_path / "shapes-test.npz")
+    write_shape_artifact(path, polys)
+    r = ShapeReader.from_file(path)
+    for qxlo, qxhi, qylo, qyhi in [
+        (100, 400, 100, 400),
+        (0, 50, 0, 50),
+        (-200, 950, -150, 900),
+        (500, 510, 500, 510),
+    ]:
+        for rel in ("intersects", "within", "disjoint"):
+            got = r.query_box(qxlo, qxhi, qylo, qyhi, rel)
+            want = _brute_relate(polys, qxlo, qxhi, qylo, qyhi, rel)
+            np.testing.assert_array_equal(got, want, err_msg=f"{rel}")
+    # CONTAINS(point)
+    for px, py in [(120, 130), (455, 333), (0, 0), (899, 799)]:
+        got = r.query_point(px, py)
+        want = [
+            d
+            for d, poly in enumerate(polys)
+            if poly is not None
+            and bool(point_in_tri_mask(tessellate(*poly), px, py).any())
+        ]
+        np.testing.assert_array_equal(got, np.array(want, np.int64))
+
+
+def test_shape_reader_bkd_prunes(tmp_path):
+    polys = [
+        ([x0, x0 + 10, x0 + 10, x0], [0, 0, 10, 10]) for x0 in range(0, 200000, 20)
+    ]
+    path = str(tmp_path / "shapes-prune.npz")
+    write_shape_artifact(path, polys)
+    r = ShapeReader.from_file(path)
+    cand, stats = r.tree.intersect((None, 0, None, 0), (101, None, 11, None))
+    # the traversal must not scan the whole triangle set for a tiny box
+    assert stats["points_scanned"] + stats["points_bulk"] < len(r.tris) // 4
+    assert len(r.query_box(0, 100, 0, 10, "intersects")) == 6
