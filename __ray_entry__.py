@@ -1681,6 +1681,41 @@ def _range_counts_sql() -> str:
     return f"WITH {_TOKS} " + " UNION ALL ".join(parts)
 
 
+def _range_field_sql() -> str:
+    """LongRange relations over the synthesized per-doc [lo, hi] range
+    (CROSSES = intersects AND NOT within AND NOT contains)."""
+    qvals = ", ".join(
+        f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(ft.RANGE_FIELD_QUERIES)
+    )
+    return f"""
+WITH rr AS (
+  SELECT doc_id, (doc_id * 17) % 2000 AS lo,
+         (doc_id * 17) % 2000 + 1 + (n_chars % 97) AS hi
+  FROM documents
+),
+rq(qid, qlo, qhi) AS (VALUES {qvals}),
+rel AS (
+  SELECT rq.qid, rr.doc_id,
+         (rr.lo <= rq.qhi AND rr.hi >= rq.qlo) AS isect,
+         (rr.lo >= rq.qlo AND rr.hi <= rq.qhi) AS within,
+         (rr.lo <= rq.qlo AND rr.hi >= rq.qhi) AS contains
+  FROM rq CROSS JOIN rr
+)
+SELECT 'range_field_contains' AS family, qid::BIGINT AS qid,
+       count(*) FILTER (WHERE contains)::BIGINT AS cnt FROM rel GROUP BY qid
+UNION ALL
+SELECT 'range_field_crosses', qid::BIGINT,
+       count(*) FILTER (WHERE isect AND NOT within AND NOT contains)::BIGINT
+FROM rel GROUP BY qid
+UNION ALL
+SELECT 'range_field_intersects', qid::BIGINT,
+       count(*) FILTER (WHERE isect)::BIGINT FROM rel GROUP BY qid
+UNION ALL
+SELECT 'range_field_within', qid::BIGINT,
+       count(*) FILTER (WHERE within)::BIGINT FROM rel GROUP BY qid
+"""
+
+
 def _sorted_numeric_range_sql() -> str:
     parts = []
     for qid, (lo, hi) in enumerate(ft.SORTED_NUMERIC_RANGES):
@@ -2947,6 +2982,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("multi_range", ft.multi_range_counts(sf)),
                 # PointInSetQuery: one shared traversal per sorted set
                 ("point_in_set", ft.point_in_set_counts(sf)),
+                # RangeFieldQuery (LongRange): the four QueryType relations
+                *[
+                    (f"range_field_{rel}", tbl)
+                    for rel, tbl in sorted(ft.range_field_counts(sf).items())
+                ],
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
@@ -4234,6 +4274,8 @@ UNION ALL
 SELECT 'multi_range', m.* FROM ({_multi_range_sql()}) m
 UNION ALL
 SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
+UNION ALL
+SELECT r.* FROM ({_range_field_sql()}) r
 """,
         "ft_phrase_topk": f"""
 SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p

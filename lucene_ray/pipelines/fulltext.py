@@ -3761,6 +3761,88 @@ def index_sorted_range_counts(sf_dir: str) -> pa.Table:
     )
 
 
+# --- range fields (document/RangeFieldQuery.java + LongRange.java) ---------
+# each doc carries ONE closed [lo, hi] long range synthesized from its
+# stored (doc_id, n_chars); LongRange encodes [min, max] as a 2*ndim point
+# and RangeFieldQuery's QueryType answers the four relations as pure
+# bounding predicates on that point space — exactly what the per-segment
+# 2-dim (lo, hi) tree gives us.  CROSSES is defined as overlapping-but-
+# neither-within-nor-contains (RangeFieldQuery.QueryType.CROSSES).
+RANGE_FIELD_QUERIES = [
+    (100, 300),
+    (0, 1999),
+    (500, 520),
+    (1500, 1700),
+]
+
+
+def _range_field_values(reader) -> np.ndarray:
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nch = (
+        reader.stored_column("n_chars")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    lo = (ids * 17) % 2000
+    return np.stack([lo, lo + 1 + nch % 97], axis=1)
+
+
+def range_field_counts(sf_dir: str) -> dict:
+    """{relation: (qid, cnt) DataFrame} for LongRange.newIntersectsQuery /
+    newWithinQuery / newContainsQuery / newCrossesQuery counts.  Per
+    segment everything is three tree traversals + one set difference;
+    only (relation, qid, cnt) partials leave the task."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "range_field", _range_field_values)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        rels, qs, cs = [], [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "range_field"))
+            for qid, (qlo, qhi) in enumerate(RANGE_FIELD_QUERIES):
+                # dims are (lo, hi); intersect bounds are [low, high)
+                inter, _ = tree.intersect((None, qlo), (qhi + 1, None))
+                within, _ = tree.intersect((qlo, None), (None, qhi + 1))
+                contains, _ = tree.intersect((None, qhi), (qlo + 1, None))
+                crosses = np.setdiff1d(
+                    inter, np.union1d(within, contains), assume_unique=True
+                )
+                for rel, got in (
+                    ("intersects", inter),
+                    ("within", within),
+                    ("contains", contains),
+                    ("crosses", crosses),
+                ):
+                    rels.append(rel)
+                    qs.append(qid)
+                    cs.append(len(got))
+        return pa.table(
+            {
+                "relation": pa.array(rels, pa.string()),
+                "qid": pa.array(qs, pa.int64()),
+                "cnt": pa.array(cs, pa.int64()),
+            }
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby(["relation", "qid"], sort=True)["cnt"].sum().reset_index()
+    return {
+        rel: grp[["qid", "cnt"]].reset_index(drop=True)
+        for rel, grp in agg.groupby("relation", sort=True)
+    }
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery

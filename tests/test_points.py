@@ -269,3 +269,35 @@ def test_in_set_single_traversal_beats_per_value():
         _, st = tree.intersect((int(v), None), (int(v) + 1, None))
         per_value_nodes += st["nodes_visited"]
     assert shared["nodes_visited"] < per_value_nodes
+
+
+def test_range_field_relations_brute(tmp_path):
+    """RangeFieldQuery QueryType semantics (document/RangeFieldQuery.java):
+    the 2-dim (lo, hi) tree traversals vs a brute interval check, incl.
+    CROSSES = intersects and not within and not contains."""
+    import numpy as np
+
+    from lucene_ray.index.points import PointTree
+
+    rng = np.random.default_rng(7)
+    lo = rng.integers(0, 500, 2000).astype(np.int64)
+    hi = lo + rng.integers(0, 200, 2000).astype(np.int64)
+    tree = PointTree.build(
+        np.stack([lo, hi], axis=1), np.arange(2000, dtype=np.int64)
+    )
+    for qlo, qhi in [(100, 300), (0, 700), (250, 251), (600, 650)]:
+        inter, _ = tree.intersect((None, qlo), (qhi + 1, None))
+        within, _ = tree.intersect((qlo, None), (None, qhi + 1))
+        contains, _ = tree.intersect((None, qhi), (qlo + 1, None))
+        crosses = np.setdiff1d(
+            inter, np.union1d(within, contains), assume_unique=True
+        )
+        b_i = (lo <= qhi) & (hi >= qlo)
+        b_w = (lo >= qlo) & (hi <= qhi)
+        b_c = (lo <= qlo) & (hi >= qhi)
+        np.testing.assert_array_equal(inter, np.flatnonzero(b_i))
+        np.testing.assert_array_equal(within, np.flatnonzero(b_w))
+        np.testing.assert_array_equal(contains, np.flatnonzero(b_c))
+        np.testing.assert_array_equal(
+            crosses, np.flatnonzero(b_i & ~b_w & ~b_c)
+        )
