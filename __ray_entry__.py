@@ -2289,8 +2289,40 @@ def _bm25_variants(sf_dir: str):
             ("common_terms", ft.common_terms_topk(sf_dir)),
             # DiversifiedTopDocsCollector: per-key-capped top-k
             ("diversified", ft.diversified_topk(sf_dir)),
+            # IndexSearcher.searchAfter: hits strictly after page 1's last
+            # (score, doc) cursor, re-ranked 1..10
+            ("page2", _page2_bm25(sf_dir)),
         ],
         col="variant",
+    )
+
+
+def _page2_bm25(sf_dir: str):
+    import pyarrow as pa
+
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    idx = ft.ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    qids, rnks, docs = [], [], []
+    for qid, term in enumerate(ft.QUERY_TERMS):
+        page1 = searcher.search(TermQuery(term), 10)
+        if not page1:
+            continue
+        after = (float(page1[-1][1]), int(page1[-1][0]))
+        for rnk, (doc, _s) in enumerate(
+            searcher.search_after(TermQuery(term), 10, after), start=1
+        ):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
     )
 
 
@@ -5465,6 +5497,12 @@ SELECT 'disjunction', b.*
 FROM (WITH {_TOKS}, {_LT},
 q(qid, term) AS (VALUES {_DISJ_VALUES}),
 {_BM25_COMMON}) b
+UNION ALL
+-- searchAfter page 2: ranks 11..20 of the page-1 ordering, renumbered
+SELECT 'page2', b.qid, b.rnk - 10 AS rnk, b.doc_id
+FROM (WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+{_BM25_COMMON.replace("WHERE rnk <= 10", "WHERE rnk > 10 AND rnk <= 20")}) b
 UNION ALL
 SELECT 'boosted', b.* FROM ({_boosted_sql()}) b
 UNION ALL
