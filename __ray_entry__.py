@@ -4956,6 +4956,14 @@ GROUP BY qid, lang
 UNION ALL
 SELECT 'source', qid, source, count(*)::BIGINT FROM m GROUP BY qid, source
 UNION ALL
+-- RangeOnRangeFacetCounts: per-doc [lo, hi] range vs CLOSED buckets,
+-- multi-bucket overlap membership
+SELECT 'range_on_range', qid, rb.lab, count(*)::BIGINT
+FROM m JOIN (VALUES {", ".join(f"('{lab}', {blo}, {bhi})" for lab, blo, bhi in ft.RANGE_FACET_BUCKETS)}) rb(lab, blo, bhi)
+  ON ((m.doc_id * 17) % 2000) <= rb.bhi
+ AND ((m.doc_id * 17) % 2000 + 1 + (m.n_chars % 97)) >= rb.blo
+GROUP BY qid, rb.lab
+UNION ALL
 SELECT 'n_chars_range', qid,
        CASE WHEN n_chars < 100 THEN '[0,100)'
             WHEN n_chars < 200 THEN '[100,200)'

@@ -4836,6 +4836,16 @@ def span_score_topk(sf_dir: str, k: int = 10) -> pa.Table:
 # LongRangeFacetCounts buckets over n_chars (facet/range/LongRange.java:
 # min inclusive, max exclusive) + the DrillDownQuery drill range
 FACET_RANGES = [(0, 100), (100, 200), (200, 400), (400, 1 << 62)]
+# RangeOnRangeFacetCounts (facet/rangeonrange/RangeOnRangeFacetCounts.java
+# + OverlappingLongRangeCounter): CLOSED facet buckets counted against the
+# per-doc [lo, hi] range field (the range_field_counts synthesis) — a doc
+# lands in EVERY bucket its range overlaps
+RANGE_FACET_BUCKETS = [
+    ("0-499", 0, 499),
+    ("500-999", 500, 999),
+    ("1000-1499", 1000, 1499),
+    ("1500-2047", 1500, 2047),
+]
 DRILL_RANGE = (100, 400)
 # DrillSideways dims: {lang = DRILL_LANG, n_chars in DRILL_RANGE}.  The
 # lang-dimension sideways counts (all dims but lang) are the existing
@@ -4933,11 +4943,13 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
         lang = r.stored_column("lang")
         source = r.stored_column("source")
         nchars = r.stored_column("n_chars").to_numpy()
+        ids_np = r.stored_column("doc_id").to_numpy()
         # one deterministic sample mask per segment (stored ids: stable
         # under merges), shared by every term's sampled-facet pass
-        sample_mask = _sample_gate(
-            r.stored_column("doc_id").to_numpy(), SAMPLE_FACET_PCT
-        )
+        sample_mask = _sample_gate(ids_np, SAMPLE_FACET_PCT)
+        # per-doc [lo, hi] range field (range_field_counts synthesis)
+        rf_lo = (ids_np.astype(np.int64) * 17) % 2000
+        rf_hi = rf_lo + 1 + nchars.astype(np.int64) % 97
         for qid, t in enumerate(terms):
             tid = r.term_id(t)
             if tid is None:
@@ -4978,6 +4990,17 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
                         qids.append(qid)
                         vals.append(lab)
                         ns.append(int(cnt[i]))
+            # RangeOnRangeFacetCounts: the doc's [lo, hi] RANGE counts in
+            # every CLOSED bucket it overlaps (multi-bucket membership,
+            # unlike the single-bucket n_chars point ranges above)
+            dlo, dhi = rf_lo[docs], rf_hi[docs]
+            for lab, blo, bhi in RANGE_FACET_BUCKETS:
+                c = int(((dlo <= bhi) & (dhi >= blo)).sum())
+                if c:
+                    facets.append("range_on_range")
+                    qids.append(qid)
+                    vals.append(lab)
+                    ns.append(c)
             # Int-association facet (facet/taxonomy/
             # TaxonomyFacetIntAssociations.java, AssociationAggregation
             # Function.SUM over IntAssociationFacetField): each matching
