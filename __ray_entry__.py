@@ -2478,6 +2478,8 @@ def _sort_family(sf_dir: str):
             ("stored", ft.sort_by_field_topk(sf_dir)),
             ("index_sorted", ft.index_sorted_topk(sf_dir)),
             ("compound", ft.compound_sort_topk(sf_dir)),
+            # SortedNumericSortField: selector-collapsed multi-valued sort
+            ("sorted_numeric", ft.sorted_numeric_sort_topk(sf_dir)),
         ]
     )
 
@@ -5430,6 +5432,27 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) c
+UNION ALL SELECT 'sorted_numeric', sn.* FROM (
+WITH {_TOKS},
+q(qid, term, sel, dir) AS (VALUES {", ".join(f"({i}, '{t}', '{s}', '{d}')" for i, (t, s, d) in enumerate(ft.SORTED_NUMERIC_QUERIES))}),
+m AS (
+  SELECT q.qid, q.dir, tf.doc_id,
+         (CASE q.sel WHEN 'min'
+            THEN least(d.n_chars, (d.doc_id * 7) % 1000, (d.doc_id * 13) % 1000)
+            ELSE greatest(d.n_chars, (d.doc_id * 7) % 1000, (d.doc_id * 13) % 1000)
+          END)::BIGINT AS v
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY (CASE WHEN dir = 'desc' THEN -v ELSE v END), doc_id
+         ) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) sn
 """,
         "dd_duplicate_clusters": f"""
 WITH RECURSIVE {_TOKS}, {_SHINGLES},

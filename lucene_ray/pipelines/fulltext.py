@@ -5675,6 +5675,96 @@ SORTED_QUERIES = [
 ]
 
 
+# SortedNumericSortField + SortedNumericSelector (search/
+# SortedNumericSortField.java, SortedNumericSelector.Type MIN/MAX): the
+# multi-valued numeric field is three synthesized values per doc —
+# {n_chars, (doc_id*7)%1000, (doc_id*13)%1000} — reduced by the selector
+# BEFORE the ordinary sort comparator
+SORTED_NUMERIC_QUERIES = [
+    ("spark", "min", "asc"),
+    ("join", "max", "desc"),
+    ("merge", "min", "desc"),
+    ("window", "max", "asc"),
+]
+
+
+def sorted_numeric_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(qid, rnk, doc_id) top-k under a SortedNumericSortField: per
+    segment the selector collapses the value set vectorized, then the
+    same bounded partial-top-k exchange as the stored-field sort."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, keys, gdocs_out = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            ids = (
+                r.stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nch = (
+                r.stored_column("n_chars")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vset = np.stack([nch, (ids * 7) % 1000, (ids * 13) % 1000])
+            sel = {"min": vset.min(axis=0), "max": vset.max(axis=0)}
+            for qid, (term, selector, direction) in enumerate(
+                SORTED_NUMERIC_QUERIES
+            ):
+                tid = r.term_id(term)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                vals = sel[selector][docs]
+                gdocs = ids[docs]
+                key = -vals if direction == "desc" else vals
+                if len(key) > k:
+                    kth = np.partition(key, k - 1)[k - 1]
+                    keep = key <= kth
+                    key, gdocs = key[keep], gdocs[keep]
+                qids.extend([qid] * len(key))
+                keys.extend(key.tolist())
+                gdocs_out.extend(gdocs.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(gdocs_out, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    qids, rnks, out_docs = [], [], []
+    for qid in range(len(SORTED_NUMERIC_QUERIES)):
+        sub = parts[parts["qid"] == qid]
+        if not len(sub):
+            continue
+        order = np.lexsort((sub["doc_id"].to_numpy(), sub["key"].to_numpy()))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out_docs.append(int(sub["doc_id"].to_numpy()[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        }
+    )
+
+
 COMPOUND_SORT_QUERIES = ["spark", "join", "window"]
 
 
