@@ -2947,6 +2947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_family": lambda sf: _concat_family(
             [
                 ("prefix", ft.suggest_prefix(sf)),
+                # RegexCompletionQuery: regex-accepted prefix completions
+                ("regex", ft.regex_suggest(sf)),
                 ("spell", ft.spell_suggest(sf)),
                 ("freetext", ft.freetext_suggest(sf)),
                 ("wordbreak", ft.wordbreak_suggest(sf)),
@@ -4040,6 +4042,23 @@ ranked AS (
            PARTITION BY q.qid ORDER BY ts.weight DESC, ts.term
          ) AS rnk
   FROM q JOIN ts ON ts.term LIKE q.p || '%'
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
+FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- RegexCompletionQuery: the regex accepts some PREFIX of the suggestion
+-- (anchored, unbounded end — '^(?:...)' with unanchored regexp_matches)
+SELECT r.*, 'regex' FROM (
+WITH {_TOKS},
+ts AS (SELECT tok AS term, count(*)::BIGINT AS weight FROM tf GROUP BY tok),
+q(qid, p) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in enumerate(ft.REGEX_SUGGEST_QUERIES))}),
+ranked AS (
+  SELECT q.qid, ts.term, ts.weight,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY ts.weight DESC, ts.term
+         ) AS rnk
+  FROM q JOIN ts ON regexp_matches(ts.term, '^(?:' || q.p || ')')
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, term, weight
 FROM ranked WHERE rnk <= 10

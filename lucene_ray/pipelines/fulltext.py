@@ -2832,6 +2832,68 @@ def suggest_prefix(sf_dir: str, n: int = 10) -> pa.Table:
     )
 
 
+# RegexCompletionQuery (suggest/document/RegexCompletionQuery.java): the
+# regex is intersected with the completion automaton as a PREFIX — a
+# suggestion matches when the regex accepts some prefix of it (anchored
+# re.match here; keep patterns RE2-safe so the DuckDB '^(?:...)' oracle
+# agrees)
+REGEX_SUGGEST_QUERIES = ["sp[aeiou]r", "c[ou]+", "ba(se|nk)", "w.n"]
+
+
+def regex_suggest(sf_dir: str, n: int = 10) -> pa.Table:
+    """(qid, rnk, term, weight) — weighted regex-prefix completion: each
+    segment scans its dictionary once against the compiled patterns
+    (RegexpQuery's documented full-scan expansion path), weights (doc
+    freq) sum across segments, block-local partial top-n bounds the
+    merge."""
+    import re as _re
+
+    import ray.data as rd
+
+    from ..search import suggest
+
+    idx = ensure_index(sf_dir)
+    patterns = REGEX_SUGGEST_QUERIES
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        rxs = [_re.compile(p) for p in patterns]
+        qids, terms, ws = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            df = np.asarray(r.enc.doc_freq)
+            for tid in range(r.n_terms):
+                t = r.term_string(tid)
+                for qid, rx in enumerate(rxs):
+                    if rx.match(t):
+                        qids.append(qid)
+                        terms.append(t)
+                        ws.append(int(df[tid]))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "weight": pa.array(ws, pa.int64()),
+            }
+        )
+
+    ds = rd.from_items(_segment_dirs(idx)).map_batches(_seg, batch_format="pyarrow")
+    agg = ds.groupby(["qid", "term"]).sum("weight")
+    agg = agg.map_batches(
+        lambda b: suggest.partial_topn(
+            b.rename_columns(["qid", "term", "weight"]), n
+        ),
+        batch_format="pyarrow",
+    )
+    df = agg.to_pandas()
+    df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
+    df = df.groupby("qid", sort=True).head(n)
+    df["rnk"] = df.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 # (context word, completion prefix) — empty prefix = any next word
 FREETEXT_QUERIES = [("the", "c"), ("spark", ""), ("group", "b"), ("customer", "o")]
 
