@@ -189,7 +189,9 @@ _FSQ_VALUES = ", ".join(
     for qi, terms in enumerate(ft.FUNCTION_SCORE_QUERIES)
     for t in terms
 )
-def _feature_arm_sql(fn_label: str, feat_expr: str, pivot_cte: bool = False) -> str:
+def _feature_arm_sql(
+    fn_label: str, feat_expr: str, pivot_cte: bool = False, raw: bool = False
+) -> str:
     """One FeatureField oracle arm: BM25 over the conjunctive text query
     (all terms MUST match) plus the feature score.  The encode CTE is the
     integer-exact image of floatToIntBits(float32(v)) >>> 15 for
@@ -204,6 +206,25 @@ def _feature_arm_sql(fn_label: str, feat_expr: str, pivot_cte: bool = False) -> 
 piv AS (SELECT trunc((sum(enc)::DOUBLE / count(*))::FLOAT4)::BIGINT AS tfp FROM enc),
 pivv AS (SELECT ((1.0 + (tfp % 256) / 256.0) * pow(2.0, (tfp // 256) - 127))::FLOAT4 AS p FROM piv),"""
         from_feat = "fdec CROSS JOIN pivv"
+    feat_block = f"""
+enc AS (
+  SELECT doc_id,
+         ((length(bin(n_chars)) - 1) + 127) * 256
+           + (n_chars * CAST(pow(2, 23 - (length(bin(n_chars)) - 1)) AS BIGINT)
+              - 8388608) // 32768 AS enc
+  FROM documents WHERE n_chars > 0
+),
+fdec AS (
+  SELECT doc_id,
+         ((1.0 + (enc % 256) / 256.0) * pow(2.0, (enc // 256) - 127))::FLOAT4 AS f
+  FROM enc
+),{extra}
+feat AS (SELECT doc_id, {feat_expr} AS fs FROM {from_feat}),"""
+    if raw:
+        # LongDistanceFeatureQuery: raw field value, no feature
+        # quantization, every doc carries the feature
+        feat_block = f"""
+feat AS (SELECT doc_id, {feat_expr} AS fs FROM documents),"""
     return f"""
 SELECT '{fn_label}' AS fn, r.* FROM (
 WITH {_TOKS}, {_LT},
@@ -240,19 +261,7 @@ matched AS (
   SELECT s.qid, s.doc_id, s.score
   FROM scored s JOIN nterm n ON n.qid = s.qid AND s.nmatch = n.n
 ),
-enc AS (
-  SELECT doc_id,
-         ((length(bin(n_chars)) - 1) + 127) * 256
-           + (n_chars * CAST(pow(2, 23 - (length(bin(n_chars)) - 1)) AS BIGINT)
-              - 8388608) // 32768 AS enc
-  FROM documents WHERE n_chars > 0
-),
-fdec AS (
-  SELECT doc_id,
-         ((1.0 + (enc % 256) / 256.0) * pow(2.0, (enc // 256) - 127))::FLOAT4 AS f
-  FROM enc
-),{extra}
-feat AS (SELECT doc_id, {feat_expr} AS fs FROM {from_feat}),
+{feat_block}
 total AS (
   SELECT m.qid, m.doc_id, m.score + coalesce(ft.fs::DOUBLE, 0) AS t
   FROM matched m LEFT JOIN feat ft ON ft.doc_id = m.doc_id
@@ -277,6 +286,14 @@ _FEATURE_SQL = "\nUNION ALL\n".join(
         ),
         _feature_arm_sql(
             "sigm", "(2.0 * (1.0 - 65536.0 / (pow(f::DOUBLE, 2.0) + 65536.0)))::FLOAT4"
+        ),
+        # LongDistanceFeatureQuery: boost * pivot/(pivot + |v - origin|),
+        # one double expression, one float cast (literals match
+        # ft.DISTANCE_FEATURE_*)
+        _feature_arm_sql(
+            "distance",
+            "(2.0 * (500.0 / (500.0 + abs(n_chars - 300)::DOUBLE)))::FLOAT4",
+            raw=True,
         ),
     ]
 )

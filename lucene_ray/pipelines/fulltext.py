@@ -1539,6 +1539,10 @@ FEATURE_ARMS = [
     ("satu", dict(function="satu", weight=2.0, pivot=None)),
     ("sigm", dict(function="sigm", weight=2.0, a=2.0, pivot=256.0)),
 ]
+# LongDistanceFeatureQuery literals (document/LongDistanceFeatureQuery.java)
+DISTANCE_FEATURE_ORIGIN = 300
+DISTANCE_FEATURE_PIVOT = 500
+DISTANCE_FEATURE_BOOST = 2.0
 
 
 def feature_topk(sf_dir: str, k: int = 10) -> pa.Table:
@@ -1546,13 +1550,37 @@ def feature_topk(sf_dir: str, k: int = 10) -> pa.Table:
     composition — text MUST clause + FeatureQuery SHOULD clause — so the
     final score is BM25 + feature(fn(quantized n_chars)).  One arm per
     feature function, (fn, qid, rnk, doc_id)."""
-    from ..search.query import FeatureQuery, TermQuery, bool_query
+    from ..search.query import (
+        BoostQuery,
+        DistanceFeatureQuery,
+        FeatureQuery,
+        TermQuery,
+        bool_query,
+    )
 
     idx = ensure_index(sf_dir)
     searcher = IndexSearcher(idx)
     fns, qids, rnks, docs = [], [], [], []
-    for fn_label, kwargs in FEATURE_ARMS:
-        feat = FeatureQuery(FUNCTION_SCORE_FIELD, **kwargs)
+    arms = [
+        (fn_label, FeatureQuery(FUNCTION_SCORE_FIELD, **kwargs))
+        for fn_label, kwargs in FEATURE_ARMS
+    ]
+    # LongDistanceFeatureQuery arm: recency/proximity boost as a SHOULD,
+    # boost via BoostQuery (the reference composition)
+    arms.append(
+        (
+            "distance",
+            BoostQuery(
+                DistanceFeatureQuery(
+                    FUNCTION_SCORE_FIELD,
+                    origin=DISTANCE_FEATURE_ORIGIN,
+                    pivot=DISTANCE_FEATURE_PIVOT,
+                ),
+                DISTANCE_FEATURE_BOOST,
+            ),
+        )
+    )
+    for fn_label, feat in arms:
         for qid, terms in enumerate(FUNCTION_SCORE_QUERIES):
             q = bool_query(must=[TermQuery(t) for t in terms], should=[feat])
             for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):

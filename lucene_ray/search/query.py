@@ -365,6 +365,21 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class DistanceFeatureQuery:
+    """document/LongDistanceFeatureQuery.java (LongField /
+    LongPoint#newDistanceFeatureQuery): recency/proximity boosting —
+    score = (float)(boost * (pivot / (pivot + (double)|value - origin|)))
+    with the whole expression in double and ONE float cast (reference
+    line 266).  Matches every live doc carrying the field; typically a
+    SHOULD clause (wrapped in BoostQuery for the boost) beside the text
+    query."""
+
+    field: str
+    origin: int
+    pivot: int  # pivotDistance, must be > 0
+
+
+@dataclass(frozen=True)
 class IndriAndQuery:
     """Indri AND (reference search/IndriAndQuery.java + IndriAndScorer
     .java:44-69 + IndriDisjunctionScorer.java): the match set is the
@@ -576,6 +591,7 @@ Query = (
     | DocValuesTermsQuery
     | PointInSetQuery
     | FeatureQuery
+    | DistanceFeatureQuery
     | SpanPayloadCheckQuery
     | IndriAndQuery
 )
@@ -603,7 +619,8 @@ def collect_terms(q: Query) -> set[str]:
                       StoredFieldRange, FieldExistsQuery, PointBoxQuery,
                       PointMultiRangeQuery, FunctionRangeQuery,
                       KnnFloatVectorQuery, PayloadScoreQuery,
-                      DocValuesTermsQuery, PointInSetQuery, FeatureQuery)):
+                      DocValuesTermsQuery, PointInSetQuery, FeatureQuery,
+                      DistanceFeatureQuery)):
         return set()  # constant-score / payload / feature scoring needs no term stats
     if isinstance(q, (ConstantScoreQuery, BoostQuery)):
         return collect_terms(q.query)
@@ -1000,6 +1017,27 @@ def build_scorer(
             raise ValueError(f"unknown feature function {q.function!r}")
         if boost != 1.0:
             sc = (np.float32(boost) * sc).astype(np.float32)
+        return PrecomputedScorer(docs, sc)
+
+    if isinstance(q, DistanceFeatureQuery):
+        from .scorers import PrecomputedScorer
+
+        vals = (
+            reader.stored_column(q.field)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        docs = np.arange(reader.max_doc, dtype=np.int64)
+        if getattr(reader, "live", None) is not None:
+            docs = docs[reader.live[docs]]
+        if len(docs) == 0:
+            return None
+        dist = np.abs(vals[docs] - np.int64(q.origin)).astype(np.float64)
+        # one double expression, ONE float cast (reference :266) — the
+        # boost folds in BEFORE the cast, so return directly
+        sc = (float(boost) * (float(q.pivot) / (float(q.pivot) + dist))).astype(
+            np.float32
+        )
         return PrecomputedScorer(docs, sc)
 
     if isinstance(q, StoredFieldRange):
