@@ -2497,6 +2497,8 @@ def _sort_family(sf_dir: str):
             ("compound", ft.compound_sort_topk(sf_dir)),
             # SortedNumericSortField: selector-collapsed multi-valued sort
             ("sorted_numeric", ft.sorted_numeric_sort_topk(sf_dir)),
+            # LatLonPointSortField: nearest-first distance comparator
+            ("distance", ft.distance_sort_topk(sf_dir)),
         ]
     )
 
@@ -5489,6 +5491,22 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) sn
+UNION ALL SELECT 'distance', dd.* FROM (
+WITH {_TOKS},
+q(qid, term, cx, cy) AS (VALUES {", ".join(f"({i}, '{t}', {cx}, {cy})" for i, (t, cx, cy) in enumerate(ft.DISTANCE_SORT_QUERIES))}),
+m AS (
+  SELECT q.qid, tf.doc_id,
+         ((d.n_chars - q.cx) * (d.n_chars - q.cx)
+          + (d.doc_id - q.cy) * (d.doc_id - q.cy))::BIGINT AS dist2
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) dd
 """,
         "dd_duplicate_clusters": f"""
 WITH RECURSIVE {_TOKS}, {_SHINGLES},

@@ -5855,6 +5855,90 @@ def sorted_numeric_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# LatLonPointSortField + LatLonPointDistanceComparator (document/
+# LatLonPointSortField.java): matching docs ordered by distance from a
+# fixed point — here the integer SQUARED euclidean distance over the
+# (n_chars, doc_id) plane (monotone with the true distance, so the order
+# is the comparator's; ties doc asc)
+DISTANCE_SORT_QUERIES = [
+    ("spark", 300, 250),
+    ("join", 100, 50),
+    ("merge", 500, 400),
+    ("window", 200, 0),
+]
+
+
+def distance_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(qid, rnk, doc_id) nearest-first matching docs; same bounded
+    per-segment partial-top-k exchange as the other sort arms."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, keys, gdocs_out = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            ids = (
+                r.stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            nch = (
+                r.stored_column("n_chars")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            for qid, (term, cx, cy) in enumerate(DISTANCE_SORT_QUERIES):
+                tid = r.term_id(term)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                key = (nch[docs] - cx) ** 2 + (ids[docs] - cy) ** 2
+                gdocs = ids[docs]
+                if len(key) > k:
+                    kth = np.partition(key, k - 1)[k - 1]
+                    keep = key <= kth
+                    key, gdocs = key[keep], gdocs[keep]
+                qids.extend([qid] * len(key))
+                keys.extend(key.tolist())
+                gdocs_out.extend(gdocs.tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(gdocs_out, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    qids, rnks, out_docs = [], [], []
+    for qid in range(len(DISTANCE_SORT_QUERIES)):
+        sub = parts[parts["qid"] == qid]
+        if not len(sub):
+            continue
+        order = np.lexsort((sub["doc_id"].to_numpy(), sub["key"].to_numpy()))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out_docs.append(int(sub["doc_id"].to_numpy()[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        }
+    )
+
+
 COMPOUND_SORT_QUERIES = ["spark", "join", "window"]
 
 
