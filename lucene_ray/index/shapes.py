@@ -336,3 +336,38 @@ class ShapeReader:
             (None, px, None, py), (px + 1, None, py + 1, None)
         )
         return self._docs_any(cand, point_in_tri_mask(self.tris[cand], px, py))
+
+    def query_box_dv(
+        self, qxlo: int, qxhi: int, qylo: int, qyhi: int, relation: str
+    ) -> np.ndarray:
+        """The doc-values twin (document/ShapeDocValues.java +
+        LatLonShapeDocValuesQuery / BaseShapeDocValuesQuery): no tree —
+        every stored triangle is tested directly, the per-doc fold is the
+        same.  This is the lazy VERIFICATION side an IndexOrDocValuesQuery
+        would pick when a selective lead iterator makes the BKD traversal
+        not worth it; also the equivalence oracle for the tree path."""
+        all_tris = np.arange(len(self.tris), dtype=I64)
+        if relation == "within":
+            b = self.tree.values  # (minx, maxx, miny, maxy), tree order
+            # careful: values are in TREE order, tri_doc too — aligned
+            inside_mask = (
+                (b[:, 0] >= qxlo)
+                & (b[:, 1] <= qxhi)
+                & (b[:, 2] >= qylo)
+                & (b[:, 3] <= qyhi)
+            )
+            inside = np.bincount(
+                self.tri_doc[inside_mask], minlength=len(self.doc_tri_count)
+            )
+            return np.flatnonzero(
+                (self.doc_tri_count > 0) & (inside == self.doc_tri_count)
+            )
+        hit = self._docs_any(
+            all_tris, tri_box_intersect_mask(self.tris, qxlo, qxhi, qylo, qyhi)
+        )
+        if relation == "intersects":
+            return hit
+        if relation == "disjoint":
+            has = np.flatnonzero(self.doc_tri_count > 0)
+            return np.setdiff1d(has, hit, assume_unique=True)
+        raise ValueError(f"unknown relation {relation!r}")

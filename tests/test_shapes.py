@@ -33,6 +33,22 @@ def tri_area2(t):
     return abs((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
 
 
+def simple_star_polygon(n, radius):
+    """star_polygon, retried until integer rounding didn't break
+    simplicity (rounding near-collinear rays can cross edges ~0.1% of
+    the time at small radii — tessellate correctly refuses those)."""
+    for _ in range(20):
+        xs, ys = star_polygon(n, radius)
+        if len(xs) < 3:
+            continue
+        try:
+            tessellate(xs, ys)
+        except ValueError:
+            continue
+        return xs, ys
+    raise AssertionError("could not generate a simple star polygon")
+
+
 def star_polygon(n, radius=1000):
     """Random star-shaped (hence simple) integer polygon."""
     angles = np.sort(rng.uniform(0, 2 * np.pi, n))
@@ -230,10 +246,7 @@ def test_shape_reader_relations(tmp_path):
             w, h = 8 + d % 73, 8 + d % 61
             polys.append(([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]))
         else:
-            xs, ys = star_polygon(5 + d % 7, radius=120)
-            if len(xs) < 3:
-                polys.append(None)
-                continue
+            xs, ys = simple_star_polygon(5 + d % 7, radius=120)
             polys.append((xs + (d * 13) % 700, ys + (d * 29) % 600))
     path = str(tmp_path / "shapes-test.npz")
     write_shape_artifact(path, polys)
@@ -271,3 +284,23 @@ def test_shape_reader_bkd_prunes(tmp_path):
     # the traversal must not scan the whole triangle set for a tiny box
     assert stats["points_scanned"] + stats["points_bulk"] < len(r.tris) // 4
     assert len(r.query_box(0, 100, 0, 10, "intersects")) == 6
+
+
+def test_shape_dv_twin_matches_tree_path(tmp_path):
+    """LatLonShapeDocValuesQuery twin: the no-tree doc-values verification
+    path must equal the BKD path for every relation and CONTAINS point."""
+    polys = []
+    for d in range(200):
+        if d % 11 == 0:
+            polys.append(None)
+            continue
+        xs, ys = simple_star_polygon(4 + d % 9, radius=150)
+        polys.append((xs + (d * 31) % 500, ys + (d * 17) % 400))
+    path = str(tmp_path / "shapes-dv.npz")
+    write_shape_artifact(path, polys)
+    r = ShapeReader.from_file(path)
+    for box in [(0, 200, 0, 200), (-100, 600, -50, 450), (250, 260, 250, 260)]:
+        for rel in ("intersects", "within", "disjoint"):
+            np.testing.assert_array_equal(
+                r.query_box(*box, rel), r.query_box_dv(*box, rel), err_msg=rel
+            )
