@@ -2635,7 +2635,12 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
     and AxiomaticF2EXP — over the SAME index: the SimScorer seam (SURVEY
     §2.9; reference similarities/ module)."""
     from ..search.similarities import (
+        AxiomaticF1EXP,
+        AxiomaticF1LOG,
         AxiomaticF2EXP,
+        AxiomaticF2LOG,
+        AxiomaticF3EXP,
+        AxiomaticF3LOG,
         BooleanSimilarity,
         ClassicSimilarity,
         DFISimilarity,
@@ -2657,6 +2662,13 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("dfr_inl2", DFRSimilarity()),
         ("ib_ll", IBSimilarity()),
         ("ax_f2exp", AxiomaticF2EXP()),
+        # the remaining four Axiomatic arms (reference defaults s=0.25,
+        # k=0.35, queryLen=1; AxiomaticF1EXP/F1LOG/F2LOG/F3EXP/F3LOG.java)
+        ("ax_f1exp", AxiomaticF1EXP()),
+        ("ax_f1log", AxiomaticF1LOG()),
+        ("ax_f2log", AxiomaticF2LOG()),
+        ("ax_f3exp", AxiomaticF3EXP()),
+        ("ax_f3log", AxiomaticF3LOG()),
         ("dfi_std", DFISimilarity("standardized")),
         ("legacy_bm25", LegacyBM25Similarity()),
         # plateau norm is non-monotone in length -> impact pruning invalid,

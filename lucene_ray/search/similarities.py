@@ -489,6 +489,150 @@ class AxiomaticF2EXP:
         return _FreqNormScorer(fn, table)
 
 
+class _AxiomaticF1:
+    """Shared F1-EXP / F1-LOG machinery (reference similarities/
+    AxiomaticF1EXP.java + AxiomaticF1LOG.java over Axiomatic.java):
+
+        score = boost * idf(df)
+                      * (1 + ln(1 + ln(freq + 1)))          (tf)
+                      * (avgdl + s) / (avgdl + dl * s)      (ln)
+
+    with the EXP variant's idf = ((N + 1) / df)^k and the LOG variant's
+    idf = ln((N + 1) / df); reference defaults s = 0.25, k = 0.35
+    (Axiomatic.java no-arg constructor).  tf is increasing in freq and
+    the ln component decreasing in dl — impact-skyline pruning valid."""
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        if not (0.0 <= s <= 1.0) or not (0.0 < k <= 1.0):
+            raise ValueError("need 0 <= s <= 1 and 0 < k <= 1")
+        self.s = float(s)
+        self.k = float(k)
+
+    def _idf(self, n: int, df: int) -> float:
+        raise NotImplementedError
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        idf = float(np.sum([self._idf(n, ts.doc_freq) for ts in term_stats]))
+        w = float(boost) * idf
+        table = (avgdl + self.s) / (avgdl + _quantized_dl() * self.s)
+
+        def fn(freqs, tbl):
+            return w * (1.0 + np.log(1.0 + np.log(freqs + 1.0))) * tbl
+
+        return _FreqNormScorer(fn, table)
+
+
+class AxiomaticF1EXP(_AxiomaticF1):
+    """F1-EXP: idf = ((N + 1) / df)^k (AxiomaticF1EXP.java)."""
+
+    def _idf(self, n: int, df: int) -> float:
+        return ((n + 1.0) / df) ** self.k
+
+
+class AxiomaticF1LOG(_AxiomaticF1):
+    """F1-LOG: idf = ln((N + 1) / df) (AxiomaticF1LOG.java)."""
+
+    def _idf(self, n: int, df: int) -> float:
+        return float(np.log((n + 1.0) / df))
+
+
+class AxiomaticF2LOG(AxiomaticF2EXP):
+    """F2-LOG (reference similarities/AxiomaticF2LOG.java): F2EXP's
+    tfln component with the log idf:
+
+        score = boost * ln((N + 1) / df)
+                      * freq / (freq + s + s * dl / avgdl)
+
+    reference default s = 0.25."""
+
+    def __init__(self, s: float = 0.25):
+        super().__init__(s=s, k=0.35)  # k unused by the log idf
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        idf = float(
+            np.sum([np.log((n + 1.0) / ts.doc_freq) for ts in term_stats])
+        )
+        w = float(boost) * idf
+        table = self.s + self.s * _quantized_dl() / avgdl
+
+        def fn(freqs, tbl):
+            return w * freqs / (freqs + tbl)
+
+        return _FreqNormScorer(fn, table)
+
+
+class _AxiomaticF3:
+    """Shared F3-EXP / F3-LOG machinery (reference similarities/
+    AxiomaticF3EXP.java + AxiomaticF3LOG.java; Axiomatic.java score()):
+
+        score = max(0, boost * (idf(df) * (1 + ln(1 + ln(freq + 1)))
+                                - gamma(dl)))
+        gamma = (dl - queryLen) * s * queryLen / avgdl
+
+    reference defaults s = 0.25, k = 0.35, queryLen = 1.  Increasing in
+    freq; gamma is increasing in dl so the score is non-increasing in
+    length — impact-skyline pruning and the 0-floor (Axiomatic.java
+    Math.max(0, score)) both hold."""
+
+    def __init__(self, s: float = 0.25, query_len: int = 1, k: float = 0.35):
+        if not (0.0 <= s <= 1.0) or not (0.0 < k <= 1.0) or query_len < 0:
+            raise ValueError("need 0 <= s <= 1, 0 < k <= 1, queryLen >= 0")
+        self.s = float(s)
+        self.k = float(k)
+        self.query_len = int(query_len)
+
+    def _idf(self, n: int, df: int) -> float:
+        raise NotImplementedError
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        n = collection_stats.doc_count
+        avgdl = collection_stats.sum_total_term_freq / float(n)
+        idf = float(np.sum([self._idf(n, ts.doc_freq) for ts in term_stats]))
+        b = float(boost)
+        w = b * idf
+        ql = float(self.query_len)
+        # boost-scaled gamma per norm byte: score = w*tf(f) - table[norm]
+        table = b * ((_quantized_dl() - ql) * self.s * ql / avgdl)
+
+        def fn(freqs, tbl):
+            return w * (1.0 + np.log(1.0 + np.log(freqs + 1.0))) - tbl
+
+        return _FreqNormScorer(fn, table)
+
+
+class AxiomaticF3EXP(_AxiomaticF3):
+    """F3-EXP: idf = ((N + 1) / df)^k (AxiomaticF3EXP.java)."""
+
+    def _idf(self, n: int, df: int) -> float:
+        return ((n + 1.0) / df) ** self.k
+
+
+class AxiomaticF3LOG(_AxiomaticF3):
+    """F3-LOG: idf = ln((N + 1) / df) (AxiomaticF3LOG.java)."""
+
+    def _idf(self, n: int, df: int) -> float:
+        return float(np.log((n + 1.0) / df))
+
+
 class DFISimilarity:
     """Divergence From Independence (reference similarities/
     DFISimilarity.java + IndependenceStandardized / ChiSquared /
