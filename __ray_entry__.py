@@ -5236,6 +5236,13 @@ SELECT 'long_value', qid, cast(n_chars // {ft.LONG_VALUE_DIV} as varchar),
        count(*)::BIGINT
 FROM m GROUP BY qid, 3
 UNION ALL
+-- HistogramCollector (sandbox facet/plain/histograms): match-all
+-- floorDiv(n_chars, W) buckets; the engine bulk-counts whole point-tree
+-- cells (PointTreeBulkCollector), SQL recounts per doc
+SELECT 'histogram', 0, cast(n_chars // {ft.HIST_BUCKET_W} as varchar),
+       count(*)::BIGINT
+FROM documents GROUP BY 3
+UNION ALL
 -- FacetSet ExactFacetSetMatcher: doc set (n_chars % 8, n_chars // 100)
 SELECT 'facetset_exact', qid, s.lab, count(*)::BIGINT
 FROM m JOIN (VALUES {", ".join(f"('{a}/{b}', {a}, {b})" for a, b in ft.FACETSET_EXACT)})

@@ -286,6 +286,59 @@ class PointTree:
         docs.sort()
         return docs, stats
 
+    def histogram(
+        self, dim: int, width: int, max_buckets: int = 1024
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Match-all histogram of ``floorDiv(value[dim], width)`` counted
+        from the tree (reference sandbox/facet/plain/histograms/
+        HistogramCollector.java bucket math + PointTreeBulkCollector.java
+        bulk path): a cell whose [min, max] on ``dim`` maps into ONE
+        bucket contributes its weight (end - start) without visiting any
+        value; only bucket-crossing leaves scan, vectorized.  Raises like
+        the reference's checkMaxBuckets when distinct buckets exceed
+        ``max_buckets``.  Returns (buckets asc, counts, traversal stats).
+        """
+        if width <= 0:
+            raise ValueError("bucket width must be positive")
+        start, end = self.nodes["start"], self.nodes["end"]
+        left, right = self.nodes["left"], self.nodes["right"]
+        mins, maxs = self.nodes["mins"], self.nodes["maxs"]
+        counts: dict[int, int] = {}
+        stats = {"nodes_visited": 0, "points_scanned": 0, "points_bulk": 0}
+        stack = [0] if len(start) else []
+        while stack:
+            node = stack.pop()
+            stats["nodes_visited"] += 1
+            blo = int(mins[node][dim]) // width  # == Math.floorDiv
+            bhi = int(maxs[node][dim]) // width
+            s, e = int(start[node]), int(end[node])
+            if blo == bhi:
+                # whole cell inside one bucket: count wholesale
+                counts[blo] = counts.get(blo, 0) + (e - s)
+                stats["points_bulk"] += e - s
+                continue
+            if left[node] < 0:  # bucket-crossing leaf: vectorized scan
+                b, c = np.unique(
+                    np.floor_divide(self.values[s:e, dim], width),
+                    return_counts=True,
+                )
+                stats["points_scanned"] += e - s
+                for bi, ci in zip(b, c):
+                    counts[int(bi)] = counts.get(int(bi), 0) + int(ci)
+                continue
+            stack.append(int(right[node]))
+            stack.append(int(left[node]))
+            if len(counts) > max_buckets:
+                raise ValueError(
+                    f"histogram needs more than max_buckets={max_buckets}"
+                )
+        if len(counts) > max_buckets:
+            raise ValueError(
+                f"histogram needs more than max_buckets={max_buckets}"
+            )
+        b = np.array(sorted(counts), np.int64)
+        return b, np.array([counts[int(x)] for x in b], np.int64), stats
+
     def estimate_count(
         self,
         lows: tuple[int | None, ...],

@@ -4967,6 +4967,10 @@ SAMPLE_FACET_PCT = 33
 # distinct value of a LongValuesSource over the matching docs — the
 # source here is the expression n_chars // LONG_VALUE_DIV
 LONG_VALUE_DIV = 64
+# HistogramCollector bucketWidth (PRIME, so tree cells produced by the
+# power-of-2-ish median splits genuinely cross buckets and both the bulk
+# and the scan path get exercised); reference default maxBuckets = 1024
+HIST_BUCKET_W = 37
 # FacetSet family (facet/facetset/): each doc carries ONE 2-dim long
 # facet set (n_chars % 8, n_chars // 100); ExactFacetSetMatcher counts
 # docs whose set equals a target tuple, RangeFacetSetMatcher counts docs
@@ -5046,6 +5050,26 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
         source = r.stored_column("source")
         nchars = r.stored_column("n_chars").to_numpy()
         ids_np = r.stored_column("doc_id").to_numpy()
+        # HistogramCollector (reference sandbox/facet/plain/histograms/
+        # HistogramCollector.java floorDiv buckets + HistogramCollector
+        # Manager merge = this family's groupby-sum) with the
+        # PointTreeBulkCollector.java fast path: the match-all histogram
+        # counts whole point-tree cells that land in one bucket without
+        # visiting values.  Segments with deletes fall back to the
+        # doc-values scan (the reference bulk path requires no liveDocs).
+        from ..index.points import PointTree, point_file
+
+        hist_tree = point_file(row["dir"], "n_chars_doc_id")
+        if r.live is None and os.path.exists(hist_tree):
+            hb, hc, _ = PointTree.load(hist_tree).histogram(0, HIST_BUCKET_W)
+        else:
+            live_nc = nchars if r.live is None else nchars[r.live]
+            hb, hc = np.unique(live_nc // HIST_BUCKET_W, return_counts=True)
+        for v, c in zip(hb, hc):
+            facets.append("histogram")
+            qids.append(0)
+            vals.append(str(int(v)))
+            ns.append(int(c))
         # one deterministic sample mask per segment (stored ids: stable
         # under merges), shared by every term's sampled-facet pass
         sample_mask = _sample_gate(ids_np, SAMPLE_FACET_PCT)
@@ -5184,7 +5208,11 @@ def facet_counts(sf_dir: str):
     segment, summed in one small groupby."""
     import ray.data as rd
 
+    from ..index.points import build_point_index
+
     idx = ensure_index(sf_dir)
+    # persisted per-segment point trees feed the histogram bulk path
+    build_point_index(idx, POINT_FIELDS)
     ds = rd.from_items(_segment_dirs(idx))
     partials = ds.map_batches(
         _seg_facet_counts,

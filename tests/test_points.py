@@ -301,3 +301,25 @@ def test_range_field_relations_brute(tmp_path):
         np.testing.assert_array_equal(
             crosses, np.flatnonzero(b_i & ~b_w & ~b_c)
         )
+
+
+def test_histogram_matches_brute_force_and_bulk_counts(tree_and_vals):
+    # HistogramCollector + PointTreeBulkCollector twin: tree histogram ==
+    # per-value floorDiv recount, with real bulk (no-visit) cell counting
+    tree, vals = tree_and_vals
+    for width in (37, 64, 1000):
+        b, c, stats = tree.histogram(0, width)
+        eb, ec = np.unique(vals[:, 0] // width, return_counts=True)
+        assert np.array_equal(b, eb) and np.array_equal(c, ec)
+        assert stats["points_bulk"] + stats["points_scanned"] == len(vals)
+    # wide buckets: most cells land inside one bucket -> mostly bulk
+    _, _, stats = tree.histogram(0, 1000)
+    assert stats["points_bulk"] > stats["points_scanned"]
+
+
+def test_histogram_max_buckets_guard(tree_and_vals):
+    tree, _ = tree_and_vals
+    with pytest.raises(ValueError, match="max_buckets"):
+        tree.histogram(0, 1, max_buckets=16)  # 5000 distinct buckets
+    with pytest.raises(ValueError):
+        tree.histogram(0, 0)
