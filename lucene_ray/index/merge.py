@@ -150,6 +150,194 @@ def plan_force_merge(manifest: dict, max_segments: int = 1) -> list[list[int]]:
     return [r for r in runs if len(r) > 1]
 
 
+# --- the MergePolicy seam (reference index/MergePolicy.java) ---------------
+#
+# A policy is any object with ``plan(manifest) -> list[list[int]]`` where
+# each inner list is a run of ADJACENT segment ordinals (the global-docID
+# contract; module docstring).  ``maybe_merge(index_dir, policy=...)``
+# plugs any of them into the same streaming merge executor.
+
+LEVEL_LOG_SPAN = 0.75  # reference LogMergePolicy.java:48
+LOG_MERGE_FACTOR = 10  # LogMergePolicy.java:51 DEFAULT_MERGE_FACTOR
+
+
+class TieredPolicy:
+    """The default: the TieredMergePolicy budget planner above."""
+
+    def plan(self, manifest: dict) -> list[list[int]]:
+        return plan_merges(manifest)
+
+
+class NoMergePolicy:
+    """reference index/NoMergePolicy.java: never merges anything."""
+
+    def plan(self, manifest: dict) -> list[list[int]]:
+        return []
+
+
+class LogMergePolicy:
+    """Faithful adaptation of reference index/LogMergePolicy.java
+    findMerges(): quantize log_mergeFactor(size) into levels (floored at
+    ``min_merge_size``), sweep left to right claiming the rightmost
+    segment within LEVEL_LOG_SPAN of each unquantized max (2x the span
+    below the floor), then emit runs of exactly ``merge_factor`` adjacent
+    segments per level — skipping (as singleton no-ops) runs whose first
+    segment alone exceeds ``max_merge_size`` / ``max_merge_docs``, and
+    packing past mergeFactor while the accumulated run stays under
+    ``min_merge_size`` (the small-segment packing rule).  Deviations: no
+    concurrent-merge registry at plan time (our merges apply atomically
+    between plan rounds), and size(info) has no deletes discount (the
+    planner runs on append-only manifests; deletes expunge via
+    expunge_deletes)."""
+
+    merge_factor = LOG_MERGE_FACTOR
+    min_merge_size = 0
+    max_merge_size = 1 << 62
+    max_merge_docs = 1 << 62
+
+    def __init__(
+        self,
+        merge_factor: int = LOG_MERGE_FACTOR,
+        target_search_concurrency: int = 1,
+    ):
+        if merge_factor < 2:
+            raise ValueError("mergeFactor must be >= 2")
+        self.merge_factor = int(merge_factor)
+        self.target_search_concurrency = max(1, int(target_search_concurrency))
+
+    def _size(self, entry: dict) -> int:
+        raise NotImplementedError
+
+    def _docs(self, entry: dict) -> int:
+        return int(entry["max_doc"]) - int(entry.get("del_count", 0))
+
+    def plan(self, manifest: dict) -> list[list[int]]:
+        segs = manifest["segments"]
+        n = len(segs)
+        if n == 0:
+            return []
+        norm = float(np.log(self.merge_factor))
+        sizes = [max(self._size(s), 1) for s in segs]
+        docs = [self._docs(s) for s in segs]
+        levels = [float(np.log(float(sz))) / norm for sz in sizes]
+        total_docs = sum(docs)
+        level_floor = (
+            0.0
+            if self.min_merge_size <= 0
+            else float(np.log(float(self.min_merge_size))) / norm
+        )
+        # precomputed max level to the right (LogMergePolicy.java maxLevels)
+        max_right = [-1.0] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            max_right[i] = max(levels[i], max_right[i + 1])
+
+        max_merge_docs = min(
+            self.max_merge_docs,
+            -(-total_docs // self.target_search_concurrency),  # ceilDiv
+        )
+        plans: list[list[int]] = []
+        start = 0
+        while start < n:
+            max_level = max_right[start]
+            if max_level > level_floor:
+                level_bottom = max_level - LEVEL_LOG_SPAN
+            else:
+                # below the floor: allow more unbalanced merges
+                level_bottom = max_level - 2 * LEVEL_LOG_SPAN
+            upto = n - 1
+            while upto >= start and levels[upto] < level_bottom:
+                upto -= 1
+            # record all viable mergeFactor-runs at this level
+            s0 = start
+            end = s0 + self.merge_factor
+            while end <= 1 + upto:
+                merge_size = merge_docs = 0
+                for i in range(s0, end):
+                    if (
+                        merge_size + sizes[i] > self.max_merge_size
+                        or merge_docs + docs[i] > max_merge_docs
+                    ):
+                        # full: singleton skip if the FIRST segment alone
+                        # is oversized, else cut the run before i
+                        end = i + 1 if i == s0 else i
+                        break
+                    merge_size += sizes[i]
+                    merge_docs += docs[i]
+                else:
+                    # packing rule: a full-factor run still under
+                    # minMergeSize keeps absorbing neighbours
+                    if (
+                        end - s0 >= self.merge_factor
+                        and self.min_merge_size < self.max_merge_size
+                        and merge_size < self.min_merge_size
+                    ):
+                        while end < 1 + upto:
+                            if (
+                                merge_size + sizes[end] > self.min_merge_size
+                                or merge_docs + docs[end] > max_merge_docs
+                            ):
+                                break
+                            merge_size += sizes[end]
+                            merge_docs += docs[end]
+                            end += 1
+                if end - s0 > 1:
+                    plans.append(list(range(s0, end)))
+                s0 = end
+                end = s0 + self.merge_factor
+            start = 1 + upto
+        return plans
+
+
+class LogDocMergePolicy(LogMergePolicy):
+    """reference index/LogDocMergePolicy.java: size = live doc count,
+    minMergeSize = DEFAULT_MIN_MERGE_DOCS = 1000, no byte cap."""
+
+    def __init__(self, merge_factor: int = LOG_MERGE_FACTOR, **kw):
+        super().__init__(merge_factor, **kw)
+        self.min_merge_size = 1000
+        self.max_merge_size = 1 << 62
+
+    def _size(self, entry: dict) -> int:
+        return self._docs(entry)
+
+
+class LogByteSizeMergePolicy(LogMergePolicy):
+    """reference index/LogByteSizeMergePolicy.java: size = packed postings
+    bytes, minMergeSize 16MB / maxMergeSize 2GB defaults (:28,:34)."""
+
+    def __init__(self, merge_factor: int = LOG_MERGE_FACTOR, **kw):
+        super().__init__(merge_factor, **kw)
+        self.min_merge_size = 16 * 1024 * 1024
+        self.max_merge_size = 2048 * 1024 * 1024
+
+    def _size(self, entry: dict) -> int:
+        return _seg_bytes(entry)
+
+
+class MergeOnFlushMergePolicy:
+    """reference misc/index/MergeOnCommitMergePolicy-style wrapper: on a
+    flush/commit trigger, additionally merges the TRAILING run of small
+    segments (< ``small_bytes``) into one, so NRT flush storms don't pile
+    up tiny segments; natural merges delegate to the wrapped policy."""
+
+    def __init__(self, inner=None, small_bytes: int = FLOOR_SEGMENT_BYTES):
+        self.inner = inner or TieredPolicy()
+        self.small_bytes = int(small_bytes)
+
+    def plan(self, manifest: dict) -> list[list[int]]:
+        plans = self.inner.plan(manifest)
+        taken = {i for p in plans for i in p}
+        segs = manifest["segments"]
+        run: list[int] = []
+        for i in range(len(segs) - 1, -1, -1):
+            if i in taken or _seg_bytes(segs[i]) >= self.small_bytes:
+                break
+            run.append(i)
+        if len(run) > 1:
+            plans.append(sorted(run))
+        return plans
+
+
 # 1M postings/section: per-section temporaries (~50MB) stay inside the
 # malloc arena (lucene_ray._tune_malloc) and are REUSED by every later
 # section, so a merge task pays first-touch page faults once instead of
@@ -556,10 +744,11 @@ def _apply_merges(index_dir: str, manifest: dict, plans: list[list[int]]) -> dic
     return new_manifest
 
 
-def maybe_merge(index_dir: str) -> dict:
-    """Natural tiered merging until the segment count is within budget."""
+def maybe_merge(index_dir: str, policy=None) -> dict:
+    """Natural merging under ``policy`` (default: the tiered planner)
+    until its plan comes back empty — the MergePolicy seam."""
     manifest = mf.read_manifest(index_dir)
-    plans = plan_merges(manifest)
+    plans = (policy or TieredPolicy()).plan(manifest)
     if not plans:
         return manifest
     return _apply_merges(index_dir, manifest, plans)

@@ -269,3 +269,108 @@ def test_merge_abort_leaves_index_intact(tmp_path, ray_session, monkeypatch):
     assert after == before
     m = mg.merge_segments_task(entries, idx, "seg_dead", section_postings=200)
     assert m["n_postings"] == sum(s["metrics"]["n_postings"] for s in entries)
+
+
+# --- the MergePolicy seam (LogDoc / LogByteSize / NoMerge / on-flush) -------
+
+from lucene_ray.index.merge import (  # noqa: E402
+    LogByteSizeMergePolicy,
+    LogDocMergePolicy,
+    MergeOnFlushMergePolicy,
+    NoMergePolicy,
+    TieredPolicy,
+)
+
+
+def _man(doc_counts, byte_sizes=None):
+    return {
+        "segments": [
+            {
+                "name": f"seg_{i:06d}",
+                "max_doc": int(d),
+                "metrics": {
+                    "packed_doc_bytes": int(
+                        (byte_sizes[i] if byte_sizes else d * 100)
+                    ),
+                    "packed_freq_bytes": 0,
+                },
+            }
+            for i, d in enumerate(doc_counts)
+        ]
+    }
+
+
+def test_log_doc_policy_merges_factor_runs():
+    # 25 equal segments, factor 10 -> two full-factor runs, 5 left over
+    plans = LogDocMergePolicy(merge_factor=10).plan(_man([100] * 25))
+    assert plans == [list(range(0, 10)), list(range(10, 20))]
+    # under a factor's worth of segments -> no merge
+    assert LogDocMergePolicy(merge_factor=10).plan(_man([100] * 9)) == []
+
+
+def test_log_doc_policy_levels_respect_span():
+    # one huge segment then tiny ones: the big one's level is far above
+    # LEVEL_LOG_SPAN of the small level, so it must NOT join their run
+    plans = LogDocMergePolicy(merge_factor=4).plan(_man([10**6] + [10] * 8))
+    assert all(0 not in p for p in plans)
+    assert [1, 2, 3, 4] in plans or [1, 2, 3, 4, 5, 6, 7, 8] in plans
+
+
+def test_log_doc_policy_max_docs_cap():
+    pol = LogDocMergePolicy(merge_factor=4)
+    pol.max_merge_docs = 250
+    # 4x100 docs would exceed the 250-doc cap -> runs cut to 2 segments
+    plans = pol.plan(_man([100] * 8))
+    assert plans and all(len(p) <= 2 for p in plans)
+    # oversized FIRST segment alone: skipped as a singleton, no 1-seg plan
+    pol2 = LogDocMergePolicy(merge_factor=4)
+    pol2.max_merge_docs = 50
+    assert all(len(p) > 1 for p in pol2.plan(_man([100] * 8)))
+
+
+def test_log_policies_plans_adjacent_and_disjoint():
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        counts = rng.integers(1, 5000, size=rng.integers(2, 40)).tolist()
+        for pol in (LogDocMergePolicy(), LogByteSizeMergePolicy()):
+            plans = pol.plan(_man(counts))
+            seen = set()
+            for p in plans:
+                assert p == list(range(p[0], p[-1] + 1))  # adjacent run
+                assert not (seen & set(p))  # disjoint
+                seen |= set(p)
+
+
+def test_log_byte_size_packing_rule():
+    # full-factor run far below minMergeSize keeps absorbing neighbours
+    pol = LogByteSizeMergePolicy(merge_factor=3)
+    plans = pol.plan(_man([10] * 9))  # ~1KB segments, min 16MB
+    assert plans == [list(range(0, 9))]
+
+
+def test_no_merge_policy_and_on_flush_wrapper():
+    assert NoMergePolicy().plan(_man([100] * 30)) == []
+    # trailing tiny segments merge on flush even when tiered has no plan
+    man = _man([100] * 3, byte_sizes=[10**9, 500, 600])
+    wrapped = MergeOnFlushMergePolicy(NoMergePolicy(), small_bytes=10**6)
+    assert wrapped.plan(man) == [[1, 2]]
+
+
+def test_maybe_merge_with_log_doc_policy_preserves_results(
+    tmp_path, ray_session
+):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    tbl = generate_corpus(400, seed=23)
+    pq.write_table(tbl, str(d / "corpus.parquet"), row_group_size=25)
+    idx = str(tmp_path / "idx")
+    build_index_local(str(d), idx, docs_per_segment=25)
+    before, stats_before = _results(idx)
+    man = maybe_merge(idx, policy=LogDocMergePolicy(merge_factor=4))
+    assert len(man["segments"]) < 16  # 16 flushed segments merged 4-way
+    after, stats_after = _results(idx)
+    assert stats_before == stats_after
+    for b, a in zip(before, after):
+        assert b == a  # docids AND float scores identical
