@@ -5221,6 +5221,14 @@ FROM m GROUP BY qid, lang, source
 UNION ALL
 SELECT 'taxo', qid, lang, count(*)::BIGINT FROM m GROUP BY qid, lang
 UNION ALL
+-- ordinal-machinery twin (index/taxonomy.py DirectoryTaxonomyWriter /
+-- FastTaxonomyFacetCounts analogue): same hierarchical counts, computed
+-- in-engine over stable int ordinals with a post-sum parent rollup
+SELECT 'taxo_ord', qid, lang || '/' || source, count(*)::BIGINT
+FROM m GROUP BY qid, lang, source
+UNION ALL
+SELECT 'taxo_ord', qid, lang, count(*)::BIGINT FROM m GROUP BY qid, lang
+UNION ALL
 -- Int-association facet (TaxonomyFacetIntAssociations SUM): each
 -- matching doc's n_chars association sums into its lang label
 SELECT 'assoc_sum_lang', qid, lang, sum(n_chars)::BIGINT

@@ -5022,7 +5022,54 @@ def _range_labels(vals, ranges) -> tuple:
     return idx, ok, labels
 
 
-def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
+_TAX_CACHE: dict = {}
+
+
+def _tax(path: str):
+    """Per-worker taxonomy cache (the artifact is label-set-sized)."""
+    r = _TAX_CACHE.get(path)
+    if r is None:
+        from ..index.taxonomy import load_taxonomy
+
+        r = _TAX_CACHE[path] = load_taxonomy(path)
+    return r
+
+
+def ensure_taxonomy(idx: str, sf_dir: str) -> str:
+    """Build the side-car taxonomy (DirectoryTaxonomyWriter analogue:
+    index/taxonomy.py) for the lang/source hierarchical dim if absent:
+    one Ray pass emits per-batch DISTINCT (lang, source) pairs — a
+    label-set-sized partial, never doc-scale — and the writer assigns
+    ordinals deterministically."""
+    from .. import store as _store
+    from ..index.taxonomy import TaxonomyWriter
+
+    tax_path = os.path.join(idx, "taxonomy.json")
+    if _store.exists(tax_path):
+        return tax_path
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def _uniq(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate([])
+
+    # bounded driver collect: distinct label pairs only (taxonomies are
+    # small by definition; the doc-scale work stayed in the map phase)
+    pairs = ds.map_batches(_uniq, batch_format="pyarrow").to_pandas()
+    w = TaxonomyWriter(tax_path)
+    w.add_categories(
+        {f"{l}/{s}" for l, s in zip(pairs["lang"], pairs["source"])}
+    )
+    w.commit()
+    return tax_path
+
+
+def _seg_facet_counts(
+    batch: pa.Table, terms: list[str], tax_path: str | None = None
+) -> pa.Table:
     """Per-segment PARTIAL facet counts for the facet FAMILY: for each
     query term, matching-doc counts per (a) string facet value ('lang',
     'source' — reference facet/ FastTaxonomyFacetCounts over our
@@ -5070,6 +5117,23 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
             qids.append(0)
             vals.append(str(int(v)))
             ns.append(int(c))
+        # FastTaxonomyFacetCounts analogue: one leaf-ordinal per doc
+        # (facet/taxonomy/FastTaxonomyFacetCounts.java counts int
+        # ordinals, not strings); the exchange below carries bincount
+        # partials over ordinals, rollup happens after the global sum
+        doc_ord = None
+        if tax_path is not None:
+            tax = _tax(tax_path)
+            lang_all = lang.to_numpy(zero_copy_only=False).astype(str)
+            src_all = source.to_numpy(zero_copy_only=False).astype(str)
+            pair = np.char.add(np.char.add(lang_all, "/"), src_all)
+            uniq, inv = np.unique(pair, return_inverse=True)
+            uniq_ords = np.array([tax.ordinal(p) for p in uniq], np.int64)
+            if (uniq_ords < 0).any():
+                missing = [p for p, o in zip(uniq, uniq_ords) if o < 0]
+                raise ValueError(f"labels missing from taxonomy: {missing[:5]}")
+            doc_ord = uniq_ords[inv]
+            n_ords = len(tax)
         # one deterministic sample mask per segment (stored ids: stable
         # under merges), shared by every term's sampled-facet pass
         sample_mask = _sample_gate(ids_np, SAMPLE_FACET_PCT)
@@ -5106,6 +5170,15 @@ def _seg_facet_counts(batch: pa.Table, terms: list[str]) -> pa.Table:
             )
             emit("taxo", qid, paths)
             emit("taxo", qid, lang.take(take))
+            # ordinal-machinery twin of the string 'taxo' rows above:
+            # per-segment bincount over LEAF ordinals (ints on the wire)
+            if doc_ord is not None:
+                cnt = np.bincount(doc_ord[docs], minlength=n_ords)
+                for o in np.nonzero(cnt)[0]:
+                    facets.append("taxo_ord_leaf")
+                    qids.append(qid)
+                    vals.append(str(int(o)))
+                    ns.append(int(cnt[o]))
             nc = nchars[docs]
             idx, ok, labels = _range_labels(nc, FACET_RANGES)
             if ok.any():
@@ -5213,14 +5286,18 @@ def facet_counts(sf_dir: str):
     idx = ensure_index(sf_dir)
     # persisted per-segment point trees feed the histogram bulk path
     build_point_index(idx, POINT_FIELDS)
+    tax_path = ensure_taxonomy(idx, sf_dir)
     ds = rd.from_items(_segment_dirs(idx))
     partials = ds.map_batches(
         _seg_facet_counts,
         batch_format="pyarrow",
-        fn_kwargs={"terms": QUERY_TERMS},
+        fn_kwargs={"terms": QUERY_TERMS, "tax_path": tax_path},
     )
     final = partials.groupby(["facet", "qid", "value"]).sum("n")
 
+    # per-QID groups (map_groups, not map_batches): the taxonomy rollup
+    # needs every leaf-ordinal row of a qid in one call — an arbitrary
+    # batch boundary after the sum could split them and double-emit
     def _finish(b: pa.Table) -> pa.Table:
         out = pa.table(
             {
@@ -5235,6 +5312,45 @@ def facet_counts(sf_dir: str):
         # appears exactly once, so per-row derivation is sound); integer
         # floor keeps the result combine-order-independent
         import pyarrow.compute as pc
+
+        # taxonomy rollup (TaxonomyFacets.java): the exchange carried
+        # LEAF-ordinal bincount partials; after the global sum, add each
+        # child's count into its parent and translate ordinals to paths.
+        # The summed vector is taxonomy-sized (labels, not docs).
+        tm = pc.equal(out.column("facet"), "taxo_ord_leaf")
+        if pc.any(tm).as_py():
+            tax = _tax(tax_path)
+            leaf = out.filter(tm)
+            out = out.filter(pc.invert(tm))
+            rows = {"facet": [], "qid": [], "value": [], "n": []}
+            qarr = leaf.column("qid").to_numpy(zero_copy_only=False)
+            oarr = leaf.column("value").to_numpy(zero_copy_only=False)
+            narr = leaf.column("n").to_numpy(zero_copy_only=False)
+            for q in np.unique(qarr):
+                vec = np.zeros(len(tax), np.int64)
+                sel = qarr == q
+                vec[oarr[sel].astype(np.int64)] = narr[sel]
+                vec = tax.rollup(vec)
+                for o in np.nonzero(vec)[0]:
+                    if o == 0:
+                        continue  # root "" is not a facet label
+                    rows["facet"].append("taxo_ord")
+                    rows["qid"].append(int(q))
+                    rows["value"].append(tax.path(int(o)))
+                    rows["n"].append(int(vec[o]))
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "facet": pa.array(rows["facet"], pa.string()),
+                            "qid": pa.array(rows["qid"], out.column("qid").type),
+                            "value": pa.array(rows["value"], pa.string()),
+                            "n": pa.array(rows["n"], pa.int64()),
+                        }
+                    ),
+                ]
+            )
 
         m = pc.equal(out.column("facet"), "sampled_lang")
         if pc.any(m).as_py():
@@ -5258,7 +5374,7 @@ def facet_counts(sf_dir: str):
             out = pa.concat_tables([out, amort])
         return out
 
-    return final.map_batches(_finish, batch_format="pyarrow")
+    return final.groupby("qid").map_groups(_finish, batch_format="pyarrow")
 
 
 def dv_stats(sf_dir: str):
