@@ -2497,6 +2497,9 @@ def _sort_family(sf_dir: str):
             ("compound", ft.compound_sort_topk(sf_dir)),
             # SortedNumericSortField: selector-collapsed multi-valued sort
             ("sorted_numeric", ft.sorted_numeric_sort_topk(sf_dir)),
+            # SortedSetSortField: lexicographic MIN/MAX over a
+            # multi-valued string field
+            ("sorted_set", ft.sorted_set_sort_topk(sf_dir)),
             # LatLonPointSortField: nearest-first distance comparator
             ("distance", ft.distance_sort_topk(sf_dir)),
         ]
@@ -5692,6 +5695,27 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) sn
+UNION ALL SELECT 'sorted_set', ss.* FROM (
+WITH {_TOKS},
+q(qid, term, sel, dir) AS (VALUES {", ".join(f"({i}, '{t}', '{s}', '{d}')" for i, (t, s, d) in enumerate(ft.SORTED_SET_QUERIES))}),
+m AS (
+  SELECT q.qid, q.dir, tf.doc_id,
+         CASE q.sel WHEN 'min' THEN least(d.lang, d.source)
+                    ELSE greatest(d.lang, d.source) END AS v
+  FROM q JOIN tf ON tf.tok = q.term JOIN documents d ON d.doc_id = tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CASE WHEN dir = 'desc' THEN v END DESC NULLS LAST,
+                    CASE WHEN dir = 'asc' THEN v END ASC NULLS LAST,
+                    doc_id
+         ) AS rnk
+  FROM m
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) ss
 UNION ALL SELECT 'distance', dd.* FROM (
 WITH {_TOKS},
 q(qid, term, cx, cy) AS (VALUES {", ".join(f"({i}, '{t}', {cx}, {cy})" for i, (t, cx, cy) in enumerate(ft.DISTANCE_SORT_QUERIES))}),

@@ -5921,6 +5921,99 @@ SORTED_QUERIES = [
 ]
 
 
+# SortedSetSortField + SortedSetSelector (search/SortedSetSortField.java,
+# SortedSetSelector.Type MIN/MAX): the multi-valued STRING field is the
+# doc's {lang, source} value set; the selector picks the lexicographic
+# extreme BEFORE the ordinary string comparator (tie: docid).  Exchange:
+# per-segment partial top-k rows (key string, global docid) only.
+SORTED_SET_QUERIES = [
+    ("spark", "min", "asc"),
+    ("join", "max", "desc"),
+    ("merge", "max", "asc"),
+    ("window", "min", "desc"),
+]
+
+
+def sorted_set_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(qid, rnk, doc_id) top-k under a SortedSetSortField (reference
+    search/SortedSetSortField.java + SortedSetSelector.java MIN/MAX over
+    SORTED_SET doc values): vectorized per-segment selector collapse,
+    bounded partial-top-k exchange, tiny driver merge."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qids, keys, gdocs_out = [], [], []
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            ids = (
+                r.stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lang = r.stored_column("lang").to_numpy(zero_copy_only=False).astype(str)
+            src = r.stored_column("source").to_numpy(zero_copy_only=False).astype(str)
+            lt = lang < src  # unicode widths differ: compare, then pick
+            sel = {
+                "min": np.where(lt, lang, src),
+                "max": np.where(lt, src, lang),
+            }
+            for qid, (term, selector, direction) in enumerate(SORTED_SET_QUERIES):
+                tid = r.term_id(term)
+                if tid is None:
+                    continue
+                docs, _ = r.decode_term_cached(tid)
+                if r.live is not None:
+                    docs = docs[r.live[docs]]
+                if not len(docs):
+                    continue
+                vals = sel[selector][docs]
+                gdocs = ids[docs]
+                # partial top-k on (key, doc) — desc flips via the dense
+                # rank codes (strings can't negate), ships real strings
+                codes = np.unique(vals, return_inverse=True)[1].astype(np.int64)
+                key = -codes if direction == "desc" else codes
+                order = np.lexsort((gdocs, key))[:k]
+                qids.extend([qid] * len(order))
+                keys.extend(vals[order].tolist())
+                gdocs_out.extend(gdocs[order].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(gdocs_out, pa.int64()),
+            }
+        )
+
+    parts = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    qids, rnks, out_docs = [], [], []
+    for qid, (_, _, direction) in enumerate(SORTED_SET_QUERIES):
+        sub = parts[parts["qid"] == qid]
+        if not len(sub):
+            continue
+        rows = sorted(
+            zip(sub["key"].tolist(), sub["doc_id"].tolist()),
+            key=lambda r: r[1],
+        )
+        rows.sort(key=lambda r: r[0], reverse=(direction == "desc"))  # stable
+        for rnk, (_, d) in enumerate(rows[:k], start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out_docs.append(int(d))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        }
+    )
+
+
 # SortedNumericSortField + SortedNumericSelector (search/
 # SortedNumericSortField.java, SortedNumericSelector.Type MIN/MAX): the
 # multi-valued numeric field is three synthesized values per doc —
