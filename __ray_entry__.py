@@ -2763,6 +2763,8 @@ def _multifield_family(sf_dir: str):
         [
             ("conj", ft.multifield_topk(sf_dir)),
             ("parsed", ft.multifield_parsed_topk(sf_dir)),
+            # PerFieldSimilarityWrapper: text=Classic, lang=BM25
+            ("perfield_sim", ft.multifield_perfield_topk(sf_dir)),
         ]
     )
 
@@ -4531,6 +4533,56 @@ clause AS (
            * (1 - 1 / (1 + 1 / (1.2 * ((1 - 0.75) + 0.75
               * (SELECT max(L) FROM lt WHERE lt.L <= 1)
               / (ls.sum_ttf * 1.0 / ls.doc_count))))) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  JOIN documents doc ON doc.doc_id = p.doc_id AND doc.lang = p.lv
+  JOIN ldf ON ldf.lang = p.lv
+  CROSS JOIN stats s
+  CROSS JOIN lstats ls
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM clause
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- PerFieldSimilarityWrapper: same conjunction, text clause scored with
+-- ClassicSimilarity (its field stats), lang clause with BM25
+SELECT 'perfield_sim', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term, lv) AS (VALUES {_MF_VALUES}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+lstats AS (
+  SELECT count(*)::BIGINT AS doc_count, count(*)::BIGINT AS sum_ttf FROM documents
+),
+ldf AS (SELECT lang, count(*)::BIGINT AS df FROM documents GROUP BY lang),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term, q.lv FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  -- engine: each clause is ITS OWN float32 score; the conjunction sums
+  -- them in double with one final float32 cast (ConjunctionScorer.score)
+  SELECT p.qid, p.doc_id,
+         CAST(
+           CAST((ln((s.doc_count + 1) / (df.df + 1.0)) + 1) * sqrt(p.tf)
+                 / sqrt(greatest(d.ql, 1)) AS FLOAT)::DOUBLE
+           + CAST(ln(1 + (ls.doc_count - ldf.df + 0.5) / (ldf.df + 0.5))
+               * (1 - 1 / (1 + 1 / (1.2 * ((1 - 0.75) + 0.75
+                  * (SELECT max(L) FROM lt WHERE lt.L <= 1)
+                  / (ls.sum_ttf * 1.0 / ls.doc_count))))) AS FLOAT)::DOUBLE
+           AS FLOAT) AS score
   FROM posting p
   JOIN df ON df.qid = p.qid AND df.term = p.term
   JOIN dlq d ON d.doc_id = p.doc_id

@@ -124,7 +124,17 @@ def build_multi_field_index(
 class MultiFieldSearcher:
     """Per-segment boolean scoring across aligned per-field indexes."""
 
-    def __init__(self, index_dir: str, fields: list[str] | None = None, mmap: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        fields: list[str] | None = None,
+        mmap: bool = True,
+        similarity=None,
+    ):
+        """``similarity``: None (per-field default), one similarity for
+        every field, or a PerFieldSimilarityWrapper routing each field to
+        its own (reference similarities/PerFieldSimilarityWrapper.java —
+        each per-field sub-searcher scores with get(field))."""
         from ..search.searcher import IndexSearcher
 
         if fields is None:
@@ -136,7 +146,18 @@ class MultiFieldSearcher:
         if not fields:
             raise ValueError(f"no field sub-indexes under {index_dir}")
         self.fields = fields
-        self.searchers = {f: IndexSearcher(os.path.join(index_dir, f), mmap=mmap) for f in fields}
+
+        def _sim(f):
+            if similarity is None:
+                return None
+            return similarity.get(f) if hasattr(similarity, "get") else similarity
+
+        self.searchers = {
+            f: IndexSearcher(
+                os.path.join(index_dir, f), mmap=mmap, similarity=_sim(f)
+            )
+            for f in fields
+        }
         bases = {
             f: [s["doc_base"] for s in se.manifest["segments"]]
             for f, se in self.searchers.items()

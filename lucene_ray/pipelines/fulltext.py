@@ -2562,6 +2562,40 @@ def multifield_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def multifield_perfield_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """PerFieldSimilarityWrapper arm (reference similarities/
+    PerFieldSimilarityWrapper.java): the SAME cross-field conjunction as
+    multifield_topk, but the text field scores with ClassicSimilarity
+    while the lang field keeps BM25 — each clause through ITS field's
+    similarity AND stats."""
+    from ..index.multifield import FieldedClause, MultiFieldSearcher
+    from ..search.similarities import ClassicSimilarity, PerFieldSimilarityWrapper
+
+    ms = MultiFieldSearcher(
+        ensure_multifield_index(sf_dir),
+        similarity=PerFieldSimilarityWrapper(
+            default=None, per_field={"text": ClassicSimilarity()}
+        ),
+    )
+    qids, rnks, docs = [], [], []
+    for qid, (term, lang) in enumerate(MULTIFIELD_QUERIES):
+        clauses = [
+            FieldedClause("text", TermQuery(term), "MUST"),
+            FieldedClause("lang", TermQuery(lang), "MUST"),
+        ]
+        for rnk, (doc, _s) in enumerate(ms.search(clauses, k), start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 MULTIFIELD_PARSE_QUERIES = [
     "spark window",
     "join customer",

@@ -633,6 +633,61 @@ class AxiomaticF3LOG(_AxiomaticF3):
         return float(np.log((n + 1.0) / df))
 
 
+class _SumSimScorer:
+    """SimScorer summing sub-scorers (MultiSimilarity.MultiSimScorer):
+    each sub-score is its own float32 value; the sum runs in double with
+    one final float32 cast (this module's documented convention)."""
+
+    def __init__(self, subs):
+        self.subs = list(subs)
+
+    def score(self, freq: float, norm_byte: int) -> np.float32:
+        return F32(sum(float(s.score(freq, norm_byte)) for s in self.subs))
+
+    def score_bulk(self, freqs: np.ndarray, norm_bytes: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(freqs), np.float64)
+        for s in self.subs:
+            acc += s.score_bulk(freqs, norm_bytes).astype(np.float64)
+        return acc.astype(F32)
+
+    def max_score(self, freq: float, norm_byte: int) -> np.float32:
+        return F32(
+            sum(float(s.max_score(freq, norm_byte)) for s in self.subs)
+        )
+
+
+class MultiSimilarity:
+    """reference misc/src/java/org/apache/lucene/misc/search/similarity/
+    MultiSimilarity.java: score = sum of the sub-similarities' scores
+    (each sub-scorer built with the same boost/stats).  Monotonicity in
+    freq / norm is inherited from the subs, so impact pruning stays valid
+    iff every sub is pruning-valid."""
+
+    def __init__(self, sims):
+        if not sims:
+            raise ValueError("need at least one sub-similarity")
+        self.sims = list(sims)
+
+    def scorer(self, boost, collection_stats, *term_stats) -> _SumSimScorer:
+        return _SumSimScorer(
+            [s.scorer(boost, collection_stats, *term_stats) for s in self.sims]
+        )
+
+
+class PerFieldSimilarityWrapper:
+    """reference similarities/PerFieldSimilarityWrapper.java: route each
+    FIELD to its own similarity (default for unlisted fields).  Consumed
+    by MultiFieldSearcher, whose per-field sub-searchers each carry their
+    field's similarity (get())."""
+
+    def __init__(self, default, per_field: dict | None = None):
+        self.default = default
+        self.per_field = dict(per_field or {})
+
+    def get(self, field: str):
+        return self.per_field.get(field, self.default)
+
+
 class DFISimilarity:
     """Divergence From Independence (reference similarities/
     DFISimilarity.java + IndependenceStandardized / ChiSquared /

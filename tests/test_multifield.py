@@ -153,3 +153,33 @@ def test_parse_multifield_expansion():
         ("text", "other:x", "SHOULD", 1.0),
         ("title", "other:x", "SHOULD", 2.0),
     ]
+
+
+def test_multi_similarity_sums_subscorer_scores():
+    # misc/search/similarity/MultiSimilarity.java: score == sum of subs
+    import numpy as np
+
+    from lucene_ray.search.bm25 import CollectionStatistics, TermStatistics
+    from lucene_ray.search.similarities import (
+        BooleanSimilarity,
+        ClassicSimilarity,
+        MultiSimilarity,
+    )
+
+    cs = CollectionStatistics(
+        max_doc=100, doc_count=100, sum_total_term_freq=5000, sum_doc_freq=4000
+    )
+    ts = TermStatistics(term="t", doc_freq=7, total_term_freq=30)
+    subs = (ClassicSimilarity(), BooleanSimilarity())
+    multi = MultiSimilarity(subs).scorer(1.0, cs, ts)
+    parts = [s.scorer(1.0, cs, ts) for s in subs]
+    freqs = np.array([1.0, 3.0, 10.0])
+    norms = np.array([7, 100, 200])
+    want = np.float32(
+        sum(p.score_bulk(freqs, norms).astype(np.float64) for p in parts)
+    )
+    np.testing.assert_array_equal(multi.score_bulk(freqs, norms), want)
+    for f, nb in zip(freqs, norms):
+        assert multi.score(f, int(nb)) == np.float32(
+            float(parts[0].score(f, int(nb))) + float(parts[1].score(f, int(nb)))
+        )
