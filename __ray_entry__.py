@@ -1662,6 +1662,35 @@ def _point_in_set_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _geo_box_sql() -> str:
+    """LatLonPoint box arm: recount per-doc encoded lat/lon against the
+    SAME integer bounds the engine used (ft.geo_encode_bounds, shared
+    verbatim); the per-doc encode mirrors _geo_values' double expression
+    operation for operation."""
+    elat = (
+        "CAST(floor((((doc_id * 37) % 18000) / 100.0 - 90.0)"
+        " / 90.0 * 2147483648.0) AS BIGINT)"
+    )
+    elon = (
+        "CAST(floor((((doc_id * 53) % 36000) / 100.0 - 180.0)"
+        " / 180.0 * 2147483648.0) AS BIGINT)"
+    )
+    parts = []
+    for qid, box in enumerate(ft.GEO_BOXES):
+        lat0, lat1, lon0, lon1, crosses = ft.geo_encode_bounds(box)
+        lon_cond = (
+            f"(elon >= {lon0} OR elon <= {lon1})"
+            if crosses
+            else f"elon BETWEEN {lon0} AND {lon1}"
+        )
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, (SELECT count(*) FROM "
+            f"(SELECT {elat} AS elat, {elon} AS elon FROM documents) g "
+            f"WHERE elat BETWEEN {lat0} AND {lat1} AND {lon_cond})::BIGINT AS cnt"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _multi_range_sql() -> str:
     """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
     of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
@@ -3042,6 +3071,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ("multi_range", ft.multi_range_counts(sf)),
                 # PointInSetQuery: one shared traversal per sorted set
                 ("point_in_set", ft.point_in_set_counts(sf)),
+                # LatLonPoint.newBoxQuery over GeoEncodingUtils-encoded
+                # lat/lon (incl. the dateline-crossing split)
+                ("geo_box", ft.geo_box_counts(sf)),
                 # RangeFieldQuery (LongRange): the four QueryType relations
                 *[
                     (f"range_field_{rel}", tbl)
@@ -4351,6 +4383,8 @@ UNION ALL
 SELECT 'multi_range', m.* FROM ({_multi_range_sql()}) m
 UNION ALL
 SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
+UNION ALL
+SELECT 'geo_box', g.* FROM ({_geo_box_sql()}) g
 UNION ALL
 SELECT r.* FROM ({_range_field_sql()}) r
 """,

@@ -3979,6 +3979,102 @@ def range_field_counts(sf_dir: str) -> dict:
     }
 
 
+# --- LatLonPoint box queries (document/LatLonPoint.java newBoxQuery +
+# geo/GeoEncodingUtils.java int32-grid quantization) -------------------------
+# Deterministic per-doc coordinates on a 0.01-degree grid derived from
+# doc_id; encoded with the reference's floor(val / 90|180 * 2^31) rule.
+# The tree stores int64 (no int32 clamp at the +-90/+-180 poles — a
+# documented deviation; the grid spacing is identical).
+
+GEO_BOXES = [
+    # (minLat, maxLat, minLon, maxLon)
+    (-10.0, 45.0, -90.0, 30.0),
+    (20.0, 60.0, 150.0, -120.0),  # minLon > maxLon: crosses the dateline
+    (-90.0, 90.0, -180.0, 180.0),  # whole world
+    (33.0, 34.5, -5.0, 8.25),
+]
+
+
+def _geo_values(reader) -> np.ndarray:
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    lat = ((ids * 37) % 18000) / 100.0 - 90.0
+    lon = ((ids * 53) % 36000) / 100.0 - 180.0
+    return np.stack(
+        [
+            np.floor(lat / 90.0 * 2147483648.0).astype(np.int64),
+            np.floor(lon / 180.0 * 2147483648.0).astype(np.int64),
+        ],
+        axis=1,
+    )
+
+
+def geo_encode_bounds(box) -> tuple[int, int, int, int, bool]:
+    """Query-box quantization (GeoEncodingUtils.encodeLatitudeCeil on the
+    mins, encodeLatitude floor on the maxs — a box never matches points
+    its double bounds exclude): returns encoded (lat0, lat1, lon0, lon1,
+    crosses_dateline).  Shared VERBATIM by the engine and the SQL-literal
+    generator, so bound encoding cannot diverge."""
+    import math
+
+    min_lat, max_lat, min_lon, max_lon = box
+    return (
+        math.ceil(min_lat / 90.0 * 2147483648.0),
+        math.floor(max_lat / 90.0 * 2147483648.0),
+        math.ceil(min_lon / 180.0 * 2147483648.0),
+        math.floor(max_lon / 180.0 * 2147483648.0),
+        min_lon > max_lon,
+    )
+
+
+def geo_box_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) for LatLonPoint.newBoxQuery over the per-segment geo
+    point tree; a dateline-crossing box splits into the western + eastern
+    longitude ranges (LatLonPointBoundingBoxQuery's crossesDateline
+    path), two disjoint intersects per segment."""
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "geo", _geo_values)
+    enc_180 = 2147483648  # floor(180/180 * 2^31); int64 tree, no clamp
+    enc_m180 = -2147483648
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qs, cs = [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "geo"))
+            for qid, box in enumerate(GEO_BOXES):
+                lat0, lat1, lon0, lon1, crosses = geo_encode_bounds(box)
+                if crosses:
+                    west, _ = tree.intersect((lat0, lon0), (lat1 + 1, enc_180 + 1))
+                    east, _ = tree.intersect((lat0, enc_m180), (lat1 + 1, lon1 + 1))
+                    n = len(west) + len(east)  # disjoint lon ranges
+                else:
+                    hits, _ = tree.intersect((lat0, lon0), (lat1 + 1, lon1 + 1))
+                    n = len(hits)
+                qs.append(qid)
+                cs.append(n)
+        return pa.table(
+            {"qid": pa.array(qs, pa.int64()), "cnt": pa.array(cs, pa.int64())}
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery
