@@ -3090,8 +3090,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-segment persisted block k-d tree, box filter clause
         "ft_point_box_topk": ft.point_box_topk,
         # LatLonPoint distance query analogue: BKD radius traversal,
-        # integer squared distances, sorted nearest-first
-        "ft_point_distance": ft.point_distance_topk,
+        # integer squared distances, sorted nearest-first — plus the
+        # 'haversine' arm: true great-circle radius on GeoEncodingUtils-
+        # encoded lat/lon via the monotone haversinSortKey (asin-free)
+        "ft_point_distance": lambda sf: pa.concat_tables(
+            [
+                ft.point_distance_topk(sf),
+                (lambda t: t.add_column(
+                    0, "family", pa.array(["haversine"] * len(t), pa.string())
+                ))(ft.geo_distance_topk(sf)),
+            ]
+        ),
         # classic query parser end-to-end (queryparser/classic semantics:
         # grouping, AND/OR/NOT promotion, ^boosts, [a TO b] ranges)
         "ft_parsed_topk": ft.parsed_topk,
@@ -3763,6 +3772,40 @@ FROM ranked WHERE rnk <= 10
 UNION ALL
 SELECT 'nearest', qid::BIGINT, rnk::BIGINT, doc_id, dist2
 FROM nranked WHERE rnk <= 10
+UNION ALL
+-- 'haversine': great-circle radius on the derived lat/lon grid; the
+-- sort key mirrors ft._geo_sortkey operation for operation (sin/cos are
+-- bit-identical numpy<->DuckDB on this libm; asin deliberately avoided),
+-- thresholds/literals are the exact Python doubles the engine used
+SELECT 'haversine', qid::BIGINT, rnk::BIGINT, doc_id, dist2 FROM (
+WITH hq(qid, qlat, qlon, thr) AS (VALUES {", ".join(f"({i}, {qlat!r}, {qlon!r}, {ft.geo_sortkey_threshold(r)!r})" for i, (qlat, qlon, r) in enumerate(ft.GEO_DISTANCE_QUERIES))}),
+g AS (
+  SELECT doc_id,
+         (((doc_id * 37) % 18000) / 100.0 - 90.0) AS lat,
+         (((doc_id * 53) % 36000) / 100.0 - 180.0) AS lon
+  FROM documents
+),
+sk AS (
+  SELECT hq.qid, g.doc_id,
+         sin((hq.qlat - g.lat) * {ft.GEO_TO_RAD!r} * 0.5)
+           * sin((hq.qlat - g.lat) * {ft.GEO_TO_RAD!r} * 0.5)
+         + cos(g.lat * {ft.GEO_TO_RAD!r}) * cos(hq.qlat * {ft.GEO_TO_RAD!r})
+           * sin((hq.qlon - g.lon) * {ft.GEO_TO_RAD!r} * 0.5)
+           * sin((hq.qlon - g.lon) * {ft.GEO_TO_RAD!r} * 0.5) AS sk,
+         hq.thr
+  FROM hq, g
+),
+hranked AS (
+  SELECT qid, doc_id,
+         CAST(floor(sk * {ft.GEO_KEY_SCALE!r}) AS BIGINT) AS dist2,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(floor(sk * {ft.GEO_KEY_SCALE!r}) AS BIGINT), doc_id
+         ) AS rnk
+  FROM sk WHERE sk <= thr
+)
+SELECT qid, rnk, doc_id, dist2 FROM hranked WHERE rnk <= 10
+) h
 """,
         "ft_percolate_counts": _percolate_sql(),
         # highlighter: window anchored at a match position, scored by

@@ -2406,6 +2406,144 @@ POINT_DISTANCE_QUERIES = [
 ]
 
 
+# LatLonPoint.newDistanceQuery analogue (document/LatLonPointDistance
+# Query.java): filter + rank on the MONOTONE haversine SORT KEY
+# (SloppyMath.haversinSortKey — the reference itself defers the asin to
+# presentation time), because asin is the one libm call DuckDB and numpy
+# disagree on by 1 ulp.  True libm sin/cos replace SloppyMath's table
+# approximation (documented deviation).  The radius converts to a sort-key
+# threshold ONCE in Python (sin^2(r / 2R_e)) and the same double literal
+# feeds engine and oracle.
+GEO_TO_RAD = float(np.pi / 180.0)
+GEO_EARTH_R = 6371008.7714  # SloppyMath TO_METERS mean earth radius
+GEO_KEY_SCALE = 4503599627370496.0  # 2^52: sort-key -> int64 grid
+GEO_DISTANCE_QUERIES = [
+    # (qlat, qlon, radius_meters) — centers sit ON the doc-id coordinate
+    # lattice (the coords of docs 123 / 321 / 77 / 678 at every sf), so
+    # neighbouring lattice docs (~60 km apart) fall inside each radius;
+    # q3's center hugs the dateline (its cap box wraps east)
+    (-44.49, -114.81, 500_000.0),
+    (28.77, -9.87, 1_000_000.0),
+    (-61.51, -139.19, 2_000_000.0),
+    (-19.14, 179.9, 700_000.0),
+]
+
+
+def geo_sortkey_threshold(radius_m: float) -> float:
+    import math
+
+    return math.sin(radius_m / (2.0 * GEO_EARTH_R)) ** 2
+
+
+def _geo_sortkey(lat, lon, qlat: float, qlon: float):
+    """Vectorized haversine sort key, operation order mirrored verbatim
+    by the SQL oracle expression (sin/cos proved bit-identical between
+    numpy and DuckDB on this libm; asin deliberately avoided)."""
+    sdphi = np.sin((qlat - lat) * GEO_TO_RAD * 0.5)
+    sdlam = np.sin((qlon - lon) * GEO_TO_RAD * 0.5)
+    return sdphi * sdphi + np.cos(lat * GEO_TO_RAD) * np.cos(
+        qlat * GEO_TO_RAD
+    ) * sdlam * sdlam
+
+
+def _geo_cap_boxes(qlat: float, qlon: float, radius_m: float):
+    """Encoded SUPERSET bounding boxes for the spherical cap (the
+    reference's LatLonPointDistanceQuery also over-approximates with a
+    box and verifies exactly): generous 110km/degree margins, pole caps
+    widen to the full longitude band, dateline wrap splits in two.
+    Returns [(lat_lo, lat_hi, lon_lo, lon_hi)] encoded int bounds,
+    intersect-style [lo, hi+1)."""
+    import math
+
+    dlat = radius_m / 110000.0  # <= real meters/degree: degree superset
+    lat_min, lat_max = max(-90.0, qlat - dlat), min(90.0, qlat + dlat)
+    band = min(89.999, max(abs(lat_min), abs(lat_max)))
+    min_cos = math.cos(band * GEO_TO_RAD)
+    dlon = dlat / max(min_cos, 1e-9)
+    enc_lat = lambda v: math.floor(v / 90.0 * 2147483648.0)  # noqa: E731
+    enc_lon = lambda v: math.floor(v / 180.0 * 2147483648.0)  # noqa: E731
+    la0, la1 = enc_lat(lat_min) - 1, enc_lat(lat_max) + 1
+    if lat_min <= -89.999 or lat_max >= 89.999 or dlon >= 180.0:
+        return [(la0, la1, enc_lon(-180.0) - 1, enc_lon(180.0) + 1)]
+    lon_min, lon_max = qlon - dlon, qlon + dlon
+    if lon_min < -180.0:  # wraps west
+        return [
+            (la0, la1, enc_lon(-180.0) - 1, enc_lon(lon_max) + 1),
+            (la0, la1, enc_lon(lon_min + 360.0) - 1, enc_lon(180.0) + 1),
+        ]
+    if lon_max > 180.0:  # wraps east
+        return [
+            (la0, la1, enc_lon(lon_min) - 1, enc_lon(180.0) + 1),
+            (la0, la1, enc_lon(-180.0) - 1, enc_lon(lon_max - 360.0) + 1),
+        ]
+    return [(la0, la1, enc_lon(lon_min) - 1, enc_lon(lon_max) + 1)]
+
+
+def geo_distance_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """(qid, rnk, doc_id, dist2) nearest-first inside each haversine
+    radius; dist2 = floor(sortkey * 2^52) (monotone integer surrogate so
+    the family schema stays int64).  Per segment: geo-tree box candidates
+    -> exact vectorized sort-key verify -> bounded partial top-k."""
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "geo", _geo_values)
+    thresholds = [geo_sortkey_threshold(r) for _, _, r in GEO_DISTANCE_QUERIES]
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        out = {"qid": [], "doc_id": [], "dist2": []}
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "geo"))
+            gids_col = (
+                SegmentReader(row["dir"])
+                .stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            for qid, (qlat, qlon, radius) in enumerate(GEO_DISTANCE_QUERIES):
+                cand_parts = [
+                    tree.intersect((b[0], b[2]), (b[1] + 1, b[3] + 1))[0]
+                    for b in _geo_cap_boxes(qlat, qlon, radius)
+                ]
+                cand = np.unique(np.concatenate(cand_parts))
+                if not len(cand):
+                    continue
+                gids = gids_col[cand]
+                lat = ((gids * 37) % 18000) / 100.0 - 90.0
+                lon = ((gids * 53) % 36000) / 100.0 - 180.0
+                sk = _geo_sortkey(lat, lon, qlat, qlon)
+                keep = sk <= thresholds[qid]
+                gids, sk = gids[keep], sk[keep]
+                d2 = np.floor(sk * GEO_KEY_SCALE).astype(np.int64)
+                if len(gids) > k:
+                    order = np.lexsort((gids, d2))[:k]
+                    gids, d2 = gids[order], d2[order]
+                out["qid"].extend([qid] * len(gids))
+                out["doc_id"].extend(gids.tolist())
+                out["dist2"].extend(d2.tolist())
+        return pa.table({c: pa.array(out[c], pa.int64()) for c in out})
+
+    cand = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ("qid", "rnk", "doc_id", "dist2")}
+    )
+    if cand.empty:  # all-empty blocks lose their schema through to_pandas
+        return empty
+    cand = cand.sort_values(["qid", "dist2", "doc_id"])
+    cand = cand.groupby("qid", sort=True).head(k)
+    cand["rnk"] = cand.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        cand[["qid", "rnk", "doc_id", "dist2"]].reset_index(drop=True),
+        preserve_index=False,
+    ).cast(empty.schema)
+
+
 def point_distance_topk(sf_dir: str, k: int = 10) -> pa.Table:
     """(family, qid, rnk, doc_id, dist2) — the point-distance FAMILY:
 

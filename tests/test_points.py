@@ -323,3 +323,35 @@ def test_histogram_max_buckets_guard(tree_and_vals):
         tree.histogram(0, 1, max_buckets=16)  # 5000 distinct buckets
     with pytest.raises(ValueError):
         tree.histogram(0, 0)
+
+
+def test_geo_cap_boxes_are_supersets_and_prune():
+    # LatLonPointDistanceQuery analogue: the encoded cap boxes must
+    # contain every sort-key match (verify is exact, box is a superset)
+    from lucene_ray.pipelines.fulltext import (
+        _geo_cap_boxes,
+        _geo_sortkey,
+        _geo_values,
+        geo_sortkey_threshold,
+    )
+
+    rng = np.random.default_rng(42)
+    ids = rng.integers(0, 10**6, size=30_000).astype(np.int64)
+    lat = ((ids * 37) % 18000) / 100.0 - 90.0
+    lon = ((ids * 53) % 36000) / 100.0 - 180.0
+    elat = np.floor(lat / 90.0 * 2147483648.0).astype(np.int64)
+    elon = np.floor(lon / 180.0 * 2147483648.0).astype(np.int64)
+    pruned_somewhere = False
+    for _ in range(40):
+        qlat = float(rng.uniform(-89, 89))
+        qlon = float(rng.uniform(-180, 180))
+        radius = float(rng.uniform(5e4, 3e6))
+        boxes = _geo_cap_boxes(qlat, qlon, radius)
+        in_box = np.zeros(len(ids), bool)
+        for la0, la1, lo0, lo1 in boxes:
+            in_box |= (elat >= la0) & (elat <= la1) & (elon >= lo0) & (elon <= lo1)
+        match = _geo_sortkey(lat, lon, qlat, qlon) <= geo_sortkey_threshold(radius)
+        assert not (match & ~in_box).any()  # superset
+        if in_box.sum() < len(ids):
+            pruned_somewhere = True
+    assert pruned_somewhere
