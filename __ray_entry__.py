@@ -1691,6 +1691,21 @@ def _geo_box_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _double_range_sql() -> str:
+    """DoublePoint arm: recount on the raw doubles — the sortable-bits
+    encoding is order-isomorphic, so integer-tree membership == double
+    membership; coefficients/bounds are exact binary fractions."""
+    parts = []
+    for qid, (lo, hi) in enumerate(ft.DOUBLE_RANGES):
+        parts.append(
+            f"SELECT {qid}::BIGINT AS qid, (SELECT count(*) FROM documents "
+            f"WHERE (n_chars * CAST(0.25 AS DOUBLE) - doc_id * CAST(0.5 AS DOUBLE))"
+            f" BETWEEN CAST({lo!r} AS DOUBLE) AND CAST({hi!r} AS DOUBLE))"
+            f"::BIGINT AS cnt"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _multi_range_sql() -> str:
     """MultiRangeQuery arm: count docs whose n_chars falls in the UNION
     of the query's [lo, hi) ranges (overlaps dedupe via OR)."""
@@ -3074,6 +3089,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 # LatLonPoint.newBoxQuery over GeoEncodingUtils-encoded
                 # lat/lon (incl. the dateline-crossing split)
                 ("geo_box", ft.geo_box_counts(sf)),
+                # DoublePoint/FloatPoint ranges via the sortable-bits
+                # encodings (NumericUtils), cross-checked in-engine
+                ("double_range", ft.double_range_counts(sf)),
                 # RangeFieldQuery (LongRange): the four QueryType relations
                 *[
                     (f"range_field_{rel}", tbl)
@@ -4428,6 +4446,8 @@ UNION ALL
 SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
 UNION ALL
 SELECT 'geo_box', g.* FROM ({_geo_box_sql()}) g
+UNION ALL
+SELECT 'double_range', dr.* FROM ({_double_range_sql()}) dr
 UNION ALL
 SELECT r.* FROM ({_range_field_sql()}) r
 """,

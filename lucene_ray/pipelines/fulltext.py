@@ -4213,6 +4213,102 @@ def geo_box_counts(sf_dir: str) -> pa.Table:
     )
 
 
+# --- DoublePoint / FloatPoint (document/DoublePoint.java newRangeQuery
+# via util/NumericUtils.java doubleToSortableLong / floatToSortableInt):
+# IEEE bits flipped into an order-isomorphic integer, so the BKD int tree
+# answers floating-point ranges exactly ---------------------------------------
+
+
+def double_to_sortable_long(v: np.ndarray) -> np.ndarray:
+    """NumericUtils.doubleToSortableLong: bits ^ ((bits >> 63) & 0x7ff..f)
+    — negative doubles flip their magnitude bits so the int64 order equals
+    the double order (NaN excluded, as in the reference)."""
+    bits = np.ascontiguousarray(v, np.float64).view(np.int64)
+    return bits ^ ((bits >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def float_to_sortable_int(v: np.ndarray) -> np.ndarray:
+    """NumericUtils.floatToSortableInt (the 32-bit twin)."""
+    bits = np.ascontiguousarray(v, np.float32).view(np.int32)
+    return (bits ^ ((bits >> 31) & np.int32(0x7FFFFFFF))).astype(np.int64)
+
+
+# derived per-doc doubles with EXACT binary-fraction coefficients (and a
+# float32 copy), so engine and SQL literals denote identical values;
+# ranges include a negative-crossing one (the encoding's interesting case)
+DOUBLE_RANGES = [
+    (-50.0, 120.5),
+    (0.25, 300.75),
+    (-10000.0, -2.5),
+    (250.125, 1e9),
+]
+
+
+def _double_point_values(reader) -> np.ndarray:
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nch = (
+        reader.stored_column("n_chars")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    v = nch * 0.25 - ids * 0.5
+    return np.stack(
+        [double_to_sortable_long(v), float_to_sortable_int(v.astype(np.float32))],
+        axis=1,
+    )
+
+
+def double_range_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) per DoublePoint range [lo, hi] (dim 0), plus the
+    FloatPoint recount on dim 1 asserted equal in-engine when the bounds
+    are exactly representable in float32 (all of DOUBLE_RANGES are)."""
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "double_pt", _double_point_values)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qs, cs = [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "double_pt"))
+            for qid, (lo, hi) in enumerate(DOUBLE_RANGES):
+                elo = int(double_to_sortable_long(np.array([lo]))[0])
+                ehi = int(double_to_sortable_long(np.array([hi]))[0])
+                hits, _ = tree.intersect((elo, None), (ehi + 1, None))
+                flo = int(float_to_sortable_int(np.array([lo], np.float32))[0])
+                fhi = int(float_to_sortable_int(np.array([hi], np.float32))[0])
+                fhits, _ = tree.intersect((None, flo), (None, fhi + 1))
+                if len(hits) != len(fhits):
+                    # f32-representable bounds: only docs whose double
+                    # rounds across a bound could differ — none by design
+                    raise AssertionError(
+                        f"Double/Float point range disagree: q{qid} "
+                        f"{len(hits)} vs {len(fhits)}"
+                    )
+                qs.append(qid)
+                cs.append(len(hits))
+        return pa.table(
+            {"qid": pa.array(qs, pa.int64()), "cnt": pa.array(cs, pa.int64())}
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery

@@ -355,3 +355,30 @@ def test_geo_cap_boxes_are_supersets_and_prune():
         if in_box.sum() < len(ids):
             pruned_somewhere = True
     assert pruned_somewhere
+
+
+def test_sortable_encodings_are_order_isomorphic():
+    # NumericUtils.doubleToSortableLong / floatToSortableInt twins
+    from lucene_ray.pipelines.fulltext import (
+        double_to_sortable_long,
+        float_to_sortable_int,
+    )
+
+    rng = np.random.default_rng(9)
+    v = np.concatenate(
+        [
+            rng.normal(0, 1e6, 5000),
+            rng.normal(0, 1e-6, 5000),
+            np.array([0.0, -0.0, 1.5, -1.5, np.finfo(np.float64).max,
+                      -np.finfo(np.float64).max]),
+        ]
+    )
+    enc = double_to_sortable_long(v)
+    order_v = np.argsort(v, kind="stable")
+    order_e = np.argsort(enc, kind="stable")
+    assert np.array_equal(v[order_v], v[order_e])  # same total order
+    f = v.astype(np.float32)
+    encf = float_to_sortable_int(f)
+    assert np.array_equal(
+        np.sort(f), f[np.argsort(encf, kind="stable")]
+    )
