@@ -2331,6 +2331,8 @@ def _grouped_family(sf_dir: str):
             ("top_groups", ft.grouped_topk(sf_dir)),
             ("all_groups", groups_tbl),
             ("all_group_heads", heads_tbl),
+            # BlockGroupingCollector: groups are index-time doc blocks
+            ("block", ft.block_grouped_topk(sf_dir)),
         ],
         col="arm",
     )
@@ -4126,6 +4128,65 @@ granks AS (
   SELECT qid, grp,
          row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, doc_id) AS grp_rnk
   FROM heads
+),
+-- BlockGroupingCollector (grouping/BlockGroupingCollector.java): groups
+-- are index-time blocks; block-index docids from the join oracle's
+-- window cumsum (mirrors pipelines/fulltext.ensure_block_corpus)
+bq(qid, term) AS (VALUES {_JOIN_VALUES}),
+bposting AS (
+  SELECT bq.qid, tf.doc_id, tf.tf, bq.term FROM bq JOIN tf ON tf.tok = bq.term
+),
+bdfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM bposting GROUP BY qid, term),
+bclause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - bdfq.df + 0.5) / (bdfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM bposting p
+  JOIN bdfq ON bdfq.qid = p.qid AND bdfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+bscored AS (
+  SELECT qid, doc_id, sum(score)::FLOAT AS fscore FROM bclause GROUP BY qid, doc_id
+),
+bchild AS (
+  SELECT doc_id, source, doc_id // {ft.BLOCK_BUCKET} AS bucket FROM documents
+),
+bcnt AS (
+  SELECT source, bucket, count(*)::BIGINT AS n FROM bchild GROUP BY source, bucket
+),
+bord AS (
+  SELECT source, bucket, n,
+         sum(n + 1) OVER (ORDER BY source, bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM bcnt
+),
+cpos AS (
+  SELECT c.doc_id, c.source, b.cum - 1 AS parent_docid,
+         b.cum - 1 - b.n
+           + row_number() OVER (PARTITION BY c.source, c.bucket ORDER BY c.doc_id)
+           - 1 AS child_docid
+  FROM bchild c JOIN bord b ON b.source = c.source AND b.bucket = c.bucket
+),
+bg AS (
+  SELECT s.qid, cp.parent_docid AS grp, cp.child_docid AS cdoc, s.fscore
+  FROM bscored s JOIN cpos cp ON cp.doc_id = s.doc_id
+),
+bheads AS (
+  SELECT qid, grp, fscore, cdoc FROM (
+    SELECT qid, grp, fscore, cdoc,
+           row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, cdoc) AS hr
+    FROM bg) h WHERE hr = 1
+),
+bgrank AS (
+  SELECT qid, grp,
+         row_number() OVER (PARTITION BY qid ORDER BY fscore DESC, cdoc) AS grp_rnk
+  FROM bheads
+),
+bwithin AS (
+  SELECT qid, grp, cdoc,
+         row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, cdoc) AS rnk
+  FROM bg
 )
 SELECT 'top_groups' AS arm, w.qid::BIGINT AS qid, g.grp_rnk::BIGINT AS grp_rnk,
        w.grp, w.rnk::BIGINT AS rnk, w.doc_id
@@ -4145,6 +4206,11 @@ FROM (
   SELECT qid, grp, doc_id,
          row_number() OVER (PARTITION BY qid, grp ORDER BY fscore DESC, doc_id) AS hr
   FROM gs) h WHERE hr = 1
+UNION ALL
+SELECT 'block', w.qid::BIGINT, g.grp_rnk::BIGINT, w.grp::VARCHAR,
+       w.rnk::BIGINT, w.cdoc
+FROM bwithin w JOIN bgrank g ON g.qid = w.qid AND g.grp = w.grp
+WHERE g.grp_rnk <= {ft.N_GROUPS} AND w.rnk <= {ft.K_IN_GROUP}
 """,
         # suggester: completions = dictionary terms under the prefix,
         # weight = doc freq, ties broken term-ascending

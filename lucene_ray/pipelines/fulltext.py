@@ -1424,6 +1424,122 @@ def block_join_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def block_grouped_topk(sf_dir: str) -> pa.Table:
+    """BlockGroupingCollector analogue (reference grouping/
+    BlockGroupingCollector.java): the GROUP is the index-time doc block
+    (children + their textless parent, IndexWriter.addDocuments
+    contract).  Blocks never split segments, so every group is COMPLETE
+    inside one segment: each segment emits its local top-N_GROUPS groups
+    (ranked by best child score) with their top-K_IN_GROUP children, and
+    the driver merge is bounded by segments x N x K — per-group state
+    never crosses the exchange.  (qid, grp_rnk, grp, rnk, doc_id): grp =
+    parent block docid (string, the family's group-key column), doc_id =
+    child block-index docid."""
+    import ray.data as rd
+
+    from ..search.blockjoin import parent_docids
+    from ..search.bm25 import CollectionStatistics, TermStatistics
+    from ..search.oracle import _clause_scores
+    from ..search.query import Weight
+
+    idx = ensure_block_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    terms = sorted({t for q in JOIN_QUERIES for t in q})
+    stats = searcher.term_statistics(set(terms))
+    weight_stats = {
+        "collection": {
+            "max_doc": searcher.collection_stats.max_doc,
+            "doc_count": searcher.collection_stats.doc_count,
+            "sum_total_term_freq": searcher.collection_stats.sum_total_term_freq,
+            "sum_doc_freq": searcher.collection_stats.sum_doc_freq,
+        },
+        "terms": {t: (stats[t].doc_freq, stats[t].total_term_freq) for t in terms},
+    }
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        weight = Weight(
+            collection_stats=CollectionStatistics(**weight_stats["collection"]),
+            term_stats={
+                t: TermStatistics(t, df, ttf)
+                for t, (df, ttf) in weight_stats["terms"].items()
+            },
+        )
+        out = {"qid": [], "grp": [], "doc_id": [], "score": []}
+        for row in batch.to_pylist():
+            reader = SegmentReader(row["dir"])
+            base = row["doc_base"]
+            parents = parent_docids(reader)
+            for qid, qterms in enumerate(JOIN_QUERIES):
+                q = (
+                    TermQuery(qterms[0])
+                    if len(qterms) == 1
+                    else bool_query(should=[TermQuery(t) for t in qterms])
+                )
+                docs, scores = _clause_scores(q, weight, reader, 1.0)
+                if not len(docs):
+                    continue
+                # the parent is the first parent docid ABOVE the child
+                pdoc = parents[np.searchsorted(parents, docs)]
+                s64 = scores.astype(np.float64)
+                order = np.lexsort((docs, -s64, pdoc))
+                pd_sorted = pdoc[order]
+                grp_ids, first = np.unique(pd_sorted, return_index=True)
+                # segment-local top-N groups by (best child score, grp)
+                best = s64[order][first]
+                gsel = np.lexsort((grp_ids, -best))[:N_GROUPS]
+                bounds = np.append(first, len(order))
+                for gi in gsel:
+                    rows = order[bounds[gi] : bounds[gi + 1]][:K_IN_GROUP]
+                    gid = int(grp_ids[gi]) + base
+                    for r in rows:
+                        out["qid"].append(qid)
+                        out["grp"].append(str(gid))
+                        out["doc_id"].append(int(docs[r]) + base)
+                        out["score"].append(float(scores[r]))
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "grp": pa.array(out["grp"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # global group rank by (best child score desc, grp asc), then
+    # within-group child rank — rows per group are already complete
+    part = part.sort_values(
+        ["qid", "grp", "score", "doc_id"], ascending=[True, True, False, True]
+    )
+    heads = part.groupby(["qid", "grp"], sort=False).first().reset_index()
+    heads = heads.sort_values(
+        ["qid", "score", "doc_id"], ascending=[True, False, True]
+    )
+    heads["grp_rnk"] = heads.groupby("qid").cumcount() + 1
+    heads = heads[heads["grp_rnk"] <= N_GROUPS][["qid", "grp", "grp_rnk"]]
+    out = part.merge(heads, on=["qid", "grp"], how="inner")
+    out["rnk"] = out.groupby(["qid", "grp"]).cumcount() + 1
+    out = out[out["rnk"] <= K_IN_GROUP].sort_values(["qid", "grp_rnk", "rnk"])
+    return pa.Table.from_pandas(
+        out[["qid", "grp_rnk", "grp", "rnk", "doc_id"]].reset_index(drop=True),
+        preserve_index=False,
+    ).cast(
+        pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("grp_rnk", pa.int64()),
+                ("grp", pa.string()),
+                ("rnk", pa.int64()),
+                ("doc_id", pa.int64()),
+            ]
+        )
+    )
+
+
 # (expression, lower, upper) — inclusive bounds, None = open (reference
 # queries/function/FunctionRangeQuery.java defaults)
 FUNCTION_RANGE_QUERIES = [
