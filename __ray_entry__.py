@@ -2333,6 +2333,8 @@ def _grouped_family(sf_dir: str):
             ("all_group_heads", heads_tbl),
             # BlockGroupingCollector: groups are index-time doc blocks
             ("block", ft.block_grouped_topk(sf_dir)),
+            # DistinctValuesCollector: distinct lang count per group
+            ("distinct_values", ft.distinct_values_groups(sf_dir)),
         ],
         col="arm",
     )
@@ -4211,6 +4213,16 @@ SELECT 'block', w.qid::BIGINT, g.grp_rnk::BIGINT, w.grp::VARCHAR,
        w.rnk::BIGINT, w.cdoc
 FROM bwithin w JOIN bgrank g ON g.qid = w.qid AND g.grp = w.grp
 WHERE g.grp_rnk <= {ft.N_GROUPS} AND w.rnk <= {ft.K_IN_GROUP}
+UNION ALL
+-- DistinctValuesCollector: distinct lang values per group of matches
+SELECT 'distinct_values', z.qid::BIGINT,
+       row_number() OVER (PARTITION BY z.qid ORDER BY z.grp)::BIGINT,
+       z.grp, 0::BIGINT, z.nd
+FROM (
+  SELECT s.qid, d.{ft.GROUP_FIELD} AS grp, count(DISTINCT d.lang)::BIGINT AS nd
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY s.qid, d.{ft.GROUP_FIELD}
+) z
 """,
         # suggester: completions = dictionary terms under the prefix,
         # weight = doc freq, ties broken term-ascending

@@ -1424,6 +1424,84 @@ def block_join_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+def distinct_values_groups(sf_dir: str) -> pa.Table:
+    """DistinctValuesCollector analogue (reference grouping/
+    DistinctValuesCollector.java): per GROUP_FIELD group of each query's
+    matches, the count of DISTINCT ``lang`` values.  Per segment only the
+    distinct (qid, grp, lang) TRIPLES leave the task (bounded by label
+    cardinalities, never docs); the Ray groupby dedupes across segments
+    and the driver counts the tiny result.  Family shape: (qid, grp_rnk
+    by grp, grp, 0, doc_id = n_distinct) — counts ride the doc_id column
+    exactly like the all_groups sizes."""
+    import ray.data as rd
+
+    idx = ensure_index(sf_dir)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        out = {"qid": [], "grp": [], "val": []}
+        for row in batch.to_pylist():
+            r = SegmentReader(row["dir"])
+            grp_col = r.stored_column(GROUP_FIELD).to_numpy(zero_copy_only=False)
+            lang_col = r.stored_column("lang").to_numpy(zero_copy_only=False)
+            for qid, terms in enumerate(GROUPED_QUERIES):
+                matched = []
+                for t in terms:
+                    tid = r.term_id(t)
+                    if tid is None:
+                        continue
+                    docs, _ = r.decode_term_cached(tid)
+                    if r.live is not None:
+                        docs = docs[r.live[docs]]
+                    matched.append(docs)
+                if not matched:
+                    continue
+                docs = np.unique(np.concatenate(matched))
+                pairs = np.unique(
+                    np.char.add(
+                        np.char.add(grp_col[docs].astype(str), "\x1f"),
+                        lang_col[docs].astype(str),
+                    )
+                )
+                for pv in pairs:
+                    g, v = pv.split("\x1f")
+                    out["qid"].append(qid)
+                    out["grp"].append(g)
+                    out["val"].append(v)
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "grp": pa.array(out["grp"], pa.string()),
+                "val": pa.array(out["val"], pa.string()),
+            }
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .groupby(["qid", "grp", "val"])
+        .count()
+        .to_pandas()
+    )
+    agg = (
+        part.groupby(["qid", "grp"], sort=True)
+        .size()
+        .reset_index(name="n_distinct")
+    )
+    agg = agg.sort_values(["qid", "grp"])
+    agg["grp_rnk"] = agg.groupby("qid").cumcount() + 1
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy().astype(np.int64), pa.int64()),
+            "grp_rnk": pa.array(agg["grp_rnk"].to_numpy().astype(np.int64), pa.int64()),
+            "grp": pa.array(agg["grp"].tolist(), pa.string()),
+            "rnk": pa.array(np.zeros(len(agg), np.int64), pa.int64()),
+            "doc_id": pa.array(
+                agg["n_distinct"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def block_grouped_topk(sf_dir: str) -> pa.Table:
     """BlockGroupingCollector analogue (reference grouping/
     BlockGroupingCollector.java): the GROUP is the index-time doc block
