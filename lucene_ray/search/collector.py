@@ -157,3 +157,44 @@ class LargeNumHitsTopDocsCollector:
             return [(-nd, s) for s, nd in reversed(pops)]
         ordered = sorted(self.hits, key=lambda x: (-x[0], x[1]))
         return [(d, s) for s, d in ordered[:how_many]]
+
+
+class CachingCollector:
+    """Reference search/CachingCollector.java: wrap another collector,
+    record every (doc, score) pair during the first collection, and
+    REPLAY them later into a different collector without re-executing the
+    query.  Caching aborts (isCached() goes false, memory already spent
+    is released) once the recorded pairs exceed ``max_ram_mb`` — replay()
+    then raises like the reference's IllegalStateException.  Scores are
+    cached as float32 (what the engine's scorers emit), 12 bytes/entry
+    accounting like the reference's doc+score arrays."""
+
+    _BYTES_PER_ENTRY = 12  # int64 doc + float32 score, reference parity
+
+    def __init__(self, inner, max_ram_mb: float = 16.0):
+        self.inner = inner
+        self._budget = int(max_ram_mb * 1024 * 1024) // self._BYTES_PER_ENTRY
+        self._docs: list[int] | None = []
+        self._scores: list[float] | None = []
+
+    def collect(self, doc: int, score) -> None:
+        self.inner.collect(doc, score)
+        if self._docs is not None:
+            self._docs.append(int(doc))
+            self._scores.append(float(score))
+            if len(self._docs) > self._budget:
+                self._docs = self._scores = None  # stop caching, free RAM
+
+    def is_cached(self) -> bool:
+        return self._docs is not None
+
+    def replay(self, other) -> None:
+        if self._docs is None:
+            raise ValueError(
+                "cannot replay: cache was too large (reference "
+                "CachingCollector.replay IllegalStateException)"
+            )
+        import numpy as np
+
+        for d, s in zip(self._docs, self._scores):
+            other.collect(d, np.float32(s))

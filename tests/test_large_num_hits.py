@@ -68,3 +68,39 @@ def test_populate_results_pop_quirk():
         c.top_docs(0)
     with pytest.raises(ValueError):
         c.top_docs(99)
+
+
+def test_caching_collector_replays_identically():
+    import numpy as np
+
+    from lucene_ray.search.collector import CachingCollector, TopKCollector
+
+    rng = np.random.default_rng(4)
+    docs = rng.permutation(5000)[:2000]
+    scores = rng.random(2000).astype(np.float32)
+    first = TopKCollector(10, total_hits_threshold=np.inf)
+    caching = CachingCollector(first, max_ram_mb=16.0)
+    for d, s in zip(docs, scores):
+        caching.collect(int(d), s)
+    assert caching.is_cached()
+    replayed = TopKCollector(10, total_hits_threshold=np.inf)
+    caching.replay(replayed)
+    assert first.top_docs() == replayed.top_docs()
+
+
+def test_caching_collector_aborts_over_budget():
+    import numpy as np
+    import pytest
+
+    from lucene_ray.search.collector import CachingCollector, TopKCollector
+
+    caching = CachingCollector(
+        TopKCollector(5, total_hits_threshold=np.inf), max_ram_mb=0.0001
+    )
+    for d in range(100):
+        caching.collect(d, np.float32(1.0 / (d + 1)))
+    assert not caching.is_cached()
+    with pytest.raises(ValueError, match="replay"):
+        caching.replay(TopKCollector(5, total_hits_threshold=np.inf))
+    # the wrapped collector still collected everything
+    assert len(caching.inner.top_docs()) == 5
