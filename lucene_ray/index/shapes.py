@@ -173,6 +173,98 @@ def point_in_tri_mask(tris: np.ndarray, px: int, py: int) -> np.ndarray:
     return ~(has_neg & has_pos)
 
 
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(ax, ay, bx, by, px, py):
+    """Collinear p within segment bbox (caller guarantees orient == 0)."""
+    return (
+        (np.minimum(ax, bx) <= px)
+        & (px <= np.maximum(ax, bx))
+        & (np.minimum(ay, by) <= py)
+        & (py <= np.maximum(ay, by))
+    )
+
+
+def _seg_cross_masks(ax, ay, bx, by, cx, cy, dx, dy):
+    """(touch_or_cross, proper_cross) for segment arrays AB vs segment
+    CD — integer-exact orientation signs, boundary-inclusive touch."""
+    d1 = _orient(cx, cy, dx, dy, ax, ay)
+    d2 = _orient(cx, cy, dx, dy, bx, by)
+    d3 = _orient(ax, ay, bx, by, cx, cy)
+    d4 = _orient(ax, ay, bx, by, dx, dy)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    touch = (
+        proper
+        | ((d1 == 0) & _on_segment(cx, cy, dx, dy, ax, ay))
+        | ((d2 == 0) & _on_segment(cx, cy, dx, dy, bx, by))
+        | ((d3 == 0) & _on_segment(ax, ay, bx, by, cx, cy))
+        | ((d4 == 0) & _on_segment(ax, ay, bx, by, dx, dy))
+    )
+    return touch, proper
+
+
+def tri_polygon_masks(tris: np.ndarray, poly: np.ndarray):
+    """(intersects, within) masks for (n, 6) triangles against one simple
+    (possibly non-convex) integer polygon (reference document/
+    LatLonShapeQuery.java with a Polygon component: Component2D
+    relateTriangle / withinTriangle semantics, boundary-inclusive):
+
+    - intersects: any triangle vertex inside the polygon, any polygon
+      vertex inside the triangle, or any triangle edge touching any
+      polygon edge.
+    - within: all three vertices inside AND no PROPER edge crossing
+      (boundary touches stay within — a shape hugging the query polygon's
+      rim is contained, matching the inclusive contract of the box path).
+    """
+    from .points import point_in_polygon
+
+    poly = np.asarray(poly, np.int64)
+    if not np.array_equal(poly[0], poly[-1]):
+        poly = np.vstack([poly, poly[:1]])
+    ax, ay, bx, by, cx, cy = (tris[:, i].astype(np.int64) for i in range(6))
+
+    v_in = (
+        point_in_polygon(tris[:, 0:2], poly)
+        | point_in_polygon(tris[:, 2:4], poly)
+        | point_in_polygon(tris[:, 4:6], poly)
+    )
+    all_in = (
+        point_in_polygon(tris[:, 0:2], poly)
+        & point_in_polygon(tris[:, 2:4], poly)
+        & point_in_polygon(tris[:, 4:6], poly)
+    )
+    pv_in = np.zeros(len(tris), bool)
+    for px, py in poly[:-1]:
+        pv_in |= point_in_tri_mask(tris, int(px), int(py))
+
+    touch_any = np.zeros(len(tris), bool)
+    proper_any = np.zeros(len(tris), bool)
+    tri_edges = ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay))
+    for i in range(len(poly) - 1):
+        px1, py1 = int(poly[i, 0]), int(poly[i, 1])
+        px2, py2 = int(poly[i + 1, 0]), int(poly[i + 1, 1])
+        for ex1, ey1, ex2, ey2 in tri_edges:
+            t, p = _seg_cross_masks(ex1, ey1, ex2, ey2, px1, py1, px2, py2)
+            touch_any |= t
+            proper_any |= p
+    return v_in | pv_in | touch_any, all_in & ~proper_any
+
+
+def polygon_bbox(poly: np.ndarray) -> tuple[int, int, int, int]:
+    poly = np.asarray(poly, np.int64)
+    return (
+        int(poly[:, 0].min()),
+        int(poly[:, 0].max()),
+        int(poly[:, 1].min()),
+        int(poly[:, 1].max()),
+    )
+
+
 # --- per-segment artifact ---------------------------------------------------
 
 
@@ -323,6 +415,57 @@ class ShapeReader:
         hit = self._docs_any(
             cand, tri_box_intersect_mask(self.tris[cand], qxlo, qxhi, qylo, qyhi)
         )
+        if relation == "intersects":
+            return hit
+        if relation == "disjoint":
+            has = np.flatnonzero(self.doc_tri_count > 0)
+            return np.setdiff1d(has, hit, assume_unique=True)
+        raise ValueError(f"unknown relation {relation!r}")
+
+    def query_polygon(self, poly, relation: str) -> np.ndarray:
+        """Local docids related to a simple integer POLYGON geometry
+        (LatLonShapeQuery / XYShapeQuery with a Polygon component): BKD
+        pre-filter on the polygon's bbox, exact tri_polygon_masks on the
+        crossing candidates, per-doc ANY (intersects/disjoint) or ALL
+        (within) fold — the same fold shape as query_box."""
+        qxlo, qxhi, qylo, qyhi = polygon_bbox(poly)
+        if relation == "within":
+            # candidates: triangles whose bbox overlaps the poly bbox;
+            # anything fully OUTSIDE the bbox can never be within
+            cand, _ = self.tree.intersect(
+                (None, qxlo, None, qylo), (qxhi + 1, None, qyhi + 1, None)
+            )
+            _, win = tri_polygon_masks(self.tris[cand], poly)
+            inside = np.bincount(
+                self.tri_doc[cand[win]], minlength=len(self.doc_tri_count)
+            )
+            return np.flatnonzero(
+                (self.doc_tri_count > 0) & (inside == self.doc_tri_count)
+            )
+        cand, _ = self.tree.intersect(
+            (None, qxlo, None, qylo), (qxhi + 1, None, qyhi + 1, None)
+        )
+        inter, _ = tri_polygon_masks(self.tris[cand], poly)
+        hit = self._docs_any(cand, inter)
+        if relation == "intersects":
+            return hit
+        if relation == "disjoint":
+            has = np.flatnonzero(self.doc_tri_count > 0)
+            return np.setdiff1d(has, hit, assume_unique=True)
+        raise ValueError(f"unknown relation {relation!r}")
+
+    def query_polygon_dv(self, poly, relation: str) -> np.ndarray:
+        """Doc-values twin of query_polygon: every triangle tested, no
+        tree — the lazy-verification / equivalence path."""
+        inter, win = tri_polygon_masks(self.tris, poly)
+        if relation == "within":
+            inside = np.bincount(
+                self.tri_doc[win], minlength=len(self.doc_tri_count)
+            )
+            return np.flatnonzero(
+                (self.doc_tri_count > 0) & (inside == self.doc_tri_count)
+            )
+        hit = np.unique(self.tri_doc[inter])
         if relation == "intersects":
             return hit
         if relation == "disjoint":

@@ -304,3 +304,105 @@ def test_shape_dv_twin_matches_tree_path(tmp_path):
             np.testing.assert_array_equal(
                 r.query_box(*box, rel), r.query_box_dv(*box, rel), err_msg=rel
             )
+
+
+# --- polygon-geometry relations (LatLonShapeQuery with a Polygon) -----------
+
+
+def _pt_in_poly_incl(xs, ys, px, py):
+    r = _pt_in_poly_strict(xs, ys, px, py)
+    return True if r is None else r
+
+
+def _tri_poly_scalar(t, xs, ys):
+    """(intersects, within) for one triangle — independent primitives."""
+    ax, ay, bx, by, cx, cy = (int(v) for v in t)
+    verts = [(ax, ay), (bx, by), (cx, cy)]
+    n = len(xs)
+    pedges = [
+        ((int(xs[i]), int(ys[i])), (int(xs[(i + 1) % n]), int(ys[(i + 1) % n])))
+        for i in range(n)
+    ]
+    tedges = [(verts[0], verts[1]), (verts[1], verts[2]), (verts[2], verts[0])]
+    v_in = [_pt_in_poly_incl(xs, ys, x, y) for x, y in verts]
+    inter = (
+        any(v_in)
+        or any(_pt_in_tri_scalar(t, int(px), int(py)) for px, py in zip(xs, ys))
+        or any(_segs_intersect(*e1, *e2) for e1 in tedges for e2 in pedges)
+    )
+    proper = any(
+        _orient(*e2[0], *e2[1], *e1[0]) * _orient(*e2[0], *e2[1], *e1[1]) < 0
+        and _orient(*e1[0], *e1[1], *e2[0]) * _orient(*e1[0], *e1[1], *e2[1]) < 0
+        for e1 in tedges
+        for e2 in pedges
+    )
+    return inter, all(v_in) and not proper
+
+
+def test_tri_polygon_masks_vs_scalar():
+    from lucene_ray.index.shapes import tri_polygon_masks
+
+    for trial in range(12):
+        xs, ys = simple_star_polygon(6 + trial % 5, radius=300)
+        xs, ys = xs + 200, ys + 150
+        poly = np.stack([xs, ys], axis=1)
+        tris = []
+        for d in range(150):
+            x0, y0 = (d * 41) % 900 - 100, (d * 67) % 800 - 100
+            tris.append([x0, y0, x0 + 5 + d % 40, y0 + 2, x0 + 3, y0 + 4 + d % 50])
+        tris = np.asarray(tris, np.int64)
+        inter, win = tri_polygon_masks(tris, poly)
+        for i, t in enumerate(tris):
+            si, sw = _tri_poly_scalar(t, xs, ys)
+            assert inter[i] == si, (trial, i, t)
+            assert win[i] == sw, (trial, i, t)
+
+
+def test_shape_reader_polygon_relations(tmp_path):
+    from lucene_ray.index.shapes import tri_polygon_masks  # noqa: F401
+
+    polys = []
+    for d in range(250):
+        if d % 19 == 0:
+            polys.append(None)
+            continue
+        if d % 3 == 0:
+            x0, y0 = (d * 37) % 900, (d * 91) % 800
+            w, h = 8 + d % 73, 8 + d % 61
+            polys.append(([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]))
+        else:
+            xs, ys = simple_star_polygon(5 + d % 7, radius=120)
+            polys.append((xs + (d * 13) % 700, ys + (d * 29) % 600))
+    path = str(tmp_path / "shapes-poly.npz")
+    write_shape_artifact(path, polys)
+    r = ShapeReader.from_file(path)
+    queries = []
+    for t in range(4):
+        xs, ys = simple_star_polygon(7, radius=280)
+        queries.append(np.stack([xs + 150 + 120 * t, ys + 200], axis=1))
+    # a huge polygon containing everything, and a far-away one
+    queries.append(np.array([[-5000, -5000], [5000, -5000], [5000, 5000], [-5000, 5000]]))
+    queries.append(np.array([[90000, 90000], [90010, 90000], [90005, 90010]]))
+    has_shape = np.array([d for d, p in enumerate(polys) if p is not None])
+    for poly in queries:
+        for rel in ("intersects", "within", "disjoint"):
+            got = r.query_polygon(poly, rel)
+            dv = r.query_polygon_dv(poly, rel)
+            np.testing.assert_array_equal(got, dv, err_msg=rel)
+            # brute: per-doc fold over scalar triangle relations
+            want = []
+            xs, ys = poly[:, 0], poly[:, 1]
+            for d, p in enumerate(polys):
+                if p is None:
+                    continue
+                rels = [_tri_poly_scalar(t, xs, ys) for t in tessellate(*p)]
+                if rel == "intersects" and any(i for i, _ in rels):
+                    want.append(d)
+                elif rel == "disjoint" and not any(i for i, _ in rels):
+                    want.append(d)
+                elif rel == "within" and all(w for _, w in rels):
+                    want.append(d)
+            np.testing.assert_array_equal(got, np.array(want, np.int64), err_msg=rel)
+    # sanity: the world polygon contains every shaped doc, the far one none
+    np.testing.assert_array_equal(r.query_polygon(queries[4], "within"), has_shape)
+    assert len(r.query_polygon(queries[5], "intersects")) == 0
