@@ -255,6 +255,28 @@ def tri_polygon_masks(tris: np.ndarray, poly: np.ndarray):
     return v_in | pv_in | touch_any, all_in & ~proper_any
 
 
+def tri_line_intersect_mask(tris: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """Boundary-inclusive triangle / POLYLINE intersection, vectorized
+    over (n, 6) triangles against an (m, 2) integer line string
+    (reference LatLonShapeQuery with a Line component, Line2D
+    relateTriangle): a line meets a triangle iff any line vertex lies in
+    the triangle or any line segment touches any triangle edge.  (A line
+    has no interior, so tri-vertex-in-line adds nothing.)"""
+    line = np.asarray(line, np.int64)
+    ax, ay, bx, by, cx, cy = (tris[:, i].astype(np.int64) for i in range(6))
+    hit = np.zeros(len(tris), bool)
+    for px, py in line:
+        hit |= point_in_tri_mask(tris, int(px), int(py))
+    tri_edges = ((ax, ay, bx, by), (bx, by, cx, cy), (cx, cy, ax, ay))
+    for i in range(len(line) - 1):
+        px1, py1 = int(line[i, 0]), int(line[i, 1])
+        px2, py2 = int(line[i + 1, 0]), int(line[i + 1, 1])
+        for ex1, ey1, ex2, ey2 in tri_edges:
+            t, _ = _seg_cross_masks(ex1, ey1, ex2, ey2, px1, py1, px2, py2)
+            hit |= t
+    return hit
+
+
 def polygon_bbox(poly: np.ndarray) -> tuple[int, int, int, int]:
     poly = np.asarray(poly, np.int64)
     return (
@@ -466,6 +488,25 @@ class ShapeReader:
                 (self.doc_tri_count > 0) & (inside == self.doc_tri_count)
             )
         hit = np.unique(self.tri_doc[inter])
+        if relation == "intersects":
+            return hit
+        if relation == "disjoint":
+            has = np.flatnonzero(self.doc_tri_count > 0)
+            return np.setdiff1d(has, hit, assume_unique=True)
+        raise ValueError(f"unknown relation {relation!r}")
+
+    def query_line(self, line, relation: str) -> np.ndarray:
+        """Local docids whose shape INTERSECTS / is DISJOINT from a
+        polyline geometry (Line2D analogue; lines have no interior, so
+        WITHIN is undefined here like the reference's CONTAINS
+        limitations): bbox pre-filter + exact tri_line_intersect_mask."""
+        qxlo, qxhi, qylo, qyhi = polygon_bbox(line)
+        cand, _ = self.tree.intersect(
+            (None, qxlo, None, qylo), (qxhi + 1, None, qyhi + 1, None)
+        )
+        hit = self._docs_any(
+            cand, tri_line_intersect_mask(self.tris[cand], line)
+        )
         if relation == "intersects":
             return hit
         if relation == "disjoint":

@@ -406,3 +406,53 @@ def test_shape_reader_polygon_relations(tmp_path):
     # sanity: the world polygon contains every shaped doc, the far one none
     np.testing.assert_array_equal(r.query_polygon(queries[4], "within"), has_shape)
     assert len(r.query_polygon(queries[5], "intersects")) == 0
+
+
+def test_shape_reader_line_relations(tmp_path):
+    polys = []
+    for d in range(200):
+        if d % 11 == 0:
+            polys.append(None)
+            continue
+        x0, y0 = (d * 37) % 900, (d * 91) % 800
+        w, h = 8 + d % 73, 8 + d % 61
+        polys.append(([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + h, y0 + h]))
+    path = str(tmp_path / "shapes-line.npz")
+    write_shape_artifact(path, polys)
+    r = ShapeReader.from_file(path)
+    lines = [
+        np.array([[0, 0], [900, 800]]),
+        np.array([[100, 50], [100, 750], [600, 750]]),
+        np.array([[20000, 20000], [20010, 20010]]),  # far away
+    ]
+    for line in lines:
+        for rel in ("intersects", "disjoint"):
+            got = r.query_line(line, rel)
+            want = []
+            for d, p in enumerate(polys):
+                if p is None:
+                    continue
+                tedges_hit = False
+                for t in tessellate(*p):
+                    verts = [(int(t[0]), int(t[1])), (int(t[2]), int(t[3])),
+                             (int(t[4]), int(t[5]))]
+                    tedges = [(verts[0], verts[1]), (verts[1], verts[2]),
+                              (verts[2], verts[0])]
+                    seg_hit = any(
+                        _segs_intersect(
+                            (int(line[i][0]), int(line[i][1])),
+                            (int(line[i + 1][0]), int(line[i + 1][1])),
+                            *e,
+                        )
+                        for i in range(len(line) - 1)
+                        for e in tedges
+                    )
+                    v_hit = any(
+                        _pt_in_tri_scalar(t, int(px), int(py)) for px, py in line
+                    )
+                    if seg_hit or v_hit:
+                        tedges_hit = True
+                        break
+                if (rel == "intersects") == tedges_hit:
+                    want.append(d)
+            np.testing.assert_array_equal(got, np.array(want, np.int64), err_msg=rel)
