@@ -2689,6 +2689,10 @@ def _term_stats_family(sf_dir: str):
         p = ft.term_stats_all(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
         parts.append(p)
+    for name, rev in (("path_hierarchy", False), ("path_hierarchy_reverse", True)):
+        p = ft.path_term_stats(sf_dir, reverse=rev).to_pandas()
+        p.insert(0, "analyzer", name)
+        parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3430,6 +3434,43 @@ tfg AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM allt GROUP BY doc_id, to
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfg GROUP BY tok
 ) sg
+UNION ALL
+-- PathHierarchyTokenizer over the derived source/lang/bN/doc_N.txt path:
+-- each path emits its cumulative '/'-prefixes
+SELECT 'path_hierarchy', ph.* FROM (
+WITH pathsf AS (
+  SELECT doc_id,
+         source || '/' || lang || '/b' || CAST(doc_id % 10 AS VARCHAR)
+                || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+  FROM documents
+),
+partsf AS (SELECT doc_id, string_split(path, '/') AS ps FROM pathsf),
+tokf AS (
+  SELECT doc_id, array_to_string(ps[1:CAST(i AS INT)], '/') AS tok
+  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM partsf)
+),
+tff AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokf GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tff GROUP BY tok
+) ph
+UNION ALL
+-- ReversePathHierarchyTokenizer: the '/'-suffixes of the same path
+SELECT 'path_hierarchy_reverse', pr.* FROM (
+WITH pathsr AS (
+  SELECT doc_id,
+         source || '/' || lang || '/b' || CAST(doc_id % 10 AS VARCHAR)
+                || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+  FROM documents
+),
+partsr AS (SELECT doc_id, string_split(path, '/') AS ps FROM pathsr),
+tokr AS (
+  SELECT doc_id, array_to_string(ps[CAST(i AS INT):len(ps)], '/') AS tok
+  FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM partsr)
+),
+tfr2 AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokr GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfr2 GROUP BY tok
+) pr
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

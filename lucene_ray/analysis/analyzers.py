@@ -1925,6 +1925,131 @@ class KeywordRepeatAnalyzer(StandardAnalyzer):
         )
 
 
+class PathHierarchyAnalyzer(StandardAnalyzer):
+    """PathHierarchyTokenizer (reference analysis/path/
+    PathHierarchyTokenizer.java:113-182) / ReversePathHierarchyTokenizer
+    (ReversePathHierarchyTokenizer.java:126-175) as a whole-value
+    tokenizer: ``a/b/c`` emits the cumulative prefixes ``a``, ``a/b``,
+    ``a/b/c`` (reverse mode: the suffixes ``a/b/c``, ``b/c``, ``c``),
+    each at its own position (posIncrement 1 per token in both reference
+    tokenizers).  ``skip`` drops the first (reverse: last) ``skip``
+    components — skipped tokens keep the delimiter that follows them, so
+    with skip=1 ``a/b/c`` yields ``/b``, ``/b/c`` exactly as the
+    reference's startPosition accounting does; consecutive delimiters
+    each produce a boundary (``a//b`` -> ``a``, ``a/``, ``a//b``) and a
+    trailing delimiter emits a final token ending in it.  ``delimiter``
+    chars are rewritten to ``replacement`` in emitted terms.  No
+    lowercasing, no stop filter (the reference wires the bare tokenizer).
+    """
+
+    def __init__(
+        self,
+        delimiter: str = "/",
+        replacement: str | None = None,
+        skip: int = 0,
+        reverse: bool = False,
+        **kw,
+    ):
+        if skip < 0:
+            raise ValueError("skip cannot be negative")
+        if len(delimiter) != 1:
+            raise ValueError("delimiter must be a single char")
+        super().__init__(**kw)
+        self.delimiter = delimiter
+        self.replacement = replacement if replacement is not None else delimiter
+        self.skip = skip
+        self.reverse = reverse
+
+    def _spans(self, text: str) -> list[tuple[int, int]]:
+        """(start, end) char spans of emitted tokens, in emit order."""
+        if not text:
+            return []
+        d, s = self.delimiter, self.skip
+        idxs = [i for i, c in enumerate(text) if c == d]
+        if not self.reverse:
+            if s == 0:
+                start = 0
+            else:
+                # a leading delimiter is consumed into component 1 (the
+                # reference's first-char branch increments `skipped` once
+                # for ANY first char), so it is not a skip boundary
+                inner = idxs[1:] if idxs and idxs[0] == 0 else idxs
+                if len(inner) < s:
+                    return []  # fewer components than skip: no tokens
+                start = inner[s - 1]
+            spans = [(start, i) for i in idxs if i > start]
+            spans.append((start, len(text)))
+            return spans
+        # reverse: boundaries AFTER each delimiter, plus 0 and len
+        bounds = [0] + [i + 1 for i in idxs]
+        if bounds[-1] < len(text):
+            bounds.append(len(text))
+        count = len(bounds)
+        k = count - 1 - s
+        if k < 1:
+            return []
+        end = bounds[k]
+        return [(bounds[j], end) for j in range(k)]
+
+    def _path_tokens(self, text: str) -> list[tuple[str, int, int]]:
+        rep = text.replace(self.delimiter, self.replacement)
+        return [(rep[a:b], a, b) for a, b in self._spans(text)]
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t, _, _ in self._path_tokens(text)]
+
+    def normalize(self, term: str) -> str:
+        return term.replace(self.delimiter, self.replacement)
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), len(toks)
+
+    def _batch_token_stream(self, texts: list[str]):
+        e = np.empty(0, np.int64)
+        lengths = np.zeros(len(texts), dtype=np.int64)
+        if not texts:
+            return [], e, e, e, lengths, 0, e, e
+        toks: list[str] = []
+        docs: list[int] = []
+        poss: list[int] = []
+        oss: list[int] = []
+        oes: list[int] = []
+        memo: dict[str, list[tuple[str, int, int]]] = {}
+        for di, text in enumerate(texts):
+            text = text or ""
+            tl = memo.get(text)
+            if tl is None:
+                tl = self._path_tokens(text)
+                if len(memo) < 1 << 18:
+                    memo[text] = tl
+            lengths[di] = len(tl)
+            for p, (t, a, b) in enumerate(tl):
+                toks.append(t)
+                docs.append(di)
+                poss.append(p)
+                oss.append(a)
+                oes.append(b)
+        if not toks:
+            return [], e, e, e, lengths, len(texts), e, e
+        vocab = sorted(set(toks), key=lambda t: t.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(vocab)}
+        tids = np.array([pos_of[t] for t in toks], dtype=np.int64)
+        return (
+            vocab,
+            tids,
+            np.array(docs, dtype=np.int64),
+            np.array(poss, dtype=np.int64),
+            lengths,
+            len(texts),
+            np.array(oss, dtype=np.int64),
+            np.array(oes, dtype=np.int64),
+        )
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -1950,6 +2075,7 @@ ANALYZERS = {
     "keyword_repeat": KeywordRepeatAnalyzer,
     "pattern": PatternAnalyzer,
     "html_strip": HTMLStripAnalyzer,
+    "path_hierarchy": PathHierarchyAnalyzer,
 }
 
 
