@@ -2693,6 +2693,10 @@ def _term_stats_family(sf_dir: str):
         p = ft.path_term_stats(sf_dir, reverse=rev).to_pandas()
         p.insert(0, "analyzer", name)
         parts.append(p)
+    for name in ("classic", "uax29_url_email"):
+        p = ft.contact_term_stats(sf_dir, analyzer=name).to_pandas()
+        p.insert(0, "analyzer", name)
+        parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3471,6 +3475,47 @@ tfr2 AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokr GROUP BY doc_id, t
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfr2 GROUP BY tok
 ) pr
+UNION ALL
+-- ClassicAnalyzer over the derived contact line: the oracle emits the
+-- grammar's expected tokens by construction (HOST src.io, NUM en/docN +
+-- version + date, EMAIL, APOSTROPHE-'s, ACRONYM dots removed, COMPANY;
+-- 'or'/'on' stopped, 'visit' twice)
+SELECT 'classic', cl.* FROM (
+WITH tokcl AS (
+  SELECT doc_id, unnest([
+    'visit', 'visit', 'https', source || '.io',
+    lang || '/doc' || CAST(doc_id AS VARCHAR),
+    'email',
+    'user_' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com',
+    're', 'o''brien', 'usa', 'at&t', 'rev',
+    '1.' || CAST(doc_id % 7 AS VARCHAR) || '.' || CAST(doc_id % 13 AS VARCHAR),
+    '2024-03-' || CAST(doc_id % 28 + 1 AS VARCHAR)
+  ]) AS tok FROM documents
+),
+tfcl AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokcl GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfcl GROUP BY tok
+) cl
+UNION ALL
+-- UAX29URLEmailAnalyzer over the same line: whole URL + EMAIL tokens,
+-- UAX#29 for the rest (u.s.a keeps inner dots, AT&T splits and 'at' is
+-- stopped, the date splits on hyphens)
+SELECT 'uax29_url_email', ue.* FROM (
+WITH tokue AS (
+  SELECT doc_id, unnest([
+    'visit', 'visit',
+    'https://' || source || '.io/' || lang || '/doc' || CAST(doc_id AS VARCHAR),
+    'email',
+    'user_' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com',
+    're', 'o''brien''s', 'u.s.a', 't', 'rev',
+    '1.' || CAST(doc_id % 7 AS VARCHAR) || '.' || CAST(doc_id % 13 AS VARCHAR),
+    '2024', '03', CAST(doc_id % 28 + 1 AS VARCHAR)
+  ]) AS tok FROM documents
+),
+tfue AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokue GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfue GROUP BY tok
+) ue
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

@@ -1925,6 +1925,56 @@ class KeywordRepeatAnalyzer(StandardAnalyzer):
         )
 
 
+def stream_from_doc_tokens(texts, fn, memoize: bool = False):
+    """Build the 8-tuple ``_batch_token_stream`` contract from a per-doc
+    token function ``fn(text) -> list[(term, start, end)]`` (tokens in
+    position order, posIncrement 1 each).  For short whole-value fields
+    (paths, derived contact lines) a per-doc Python expansion is the
+    honest shape — vocabulary dedup and the stream arrays stay numpy."""
+    e = np.empty(0, np.int64)
+    lengths = np.zeros(len(texts), dtype=np.int64)
+    if not texts:
+        return [], e, e, e, lengths, 0, e, e
+    toks: list[str] = []
+    docs: list[int] = []
+    poss: list[int] = []
+    oss: list[int] = []
+    oes: list[int] = []
+    memo: dict[str, list] = {}
+    for di, text in enumerate(texts):
+        text = text or ""
+        if memoize:
+            tl = memo.get(text)
+            if tl is None:
+                tl = fn(text)
+                if len(memo) < 1 << 18:
+                    memo[text] = tl
+        else:
+            tl = fn(text)
+        lengths[di] = len(tl)
+        for p, (t, a, b) in enumerate(tl):
+            toks.append(t)
+            docs.append(di)
+            poss.append(p)
+            oss.append(a)
+            oes.append(b)
+    if not toks:
+        return [], e, e, e, lengths, len(texts), e, e
+    vocab = sorted(set(toks), key=lambda t: t.encode("utf-8"))
+    pos_of = {t: i for i, t in enumerate(vocab)}
+    tids = np.array([pos_of[t] for t in toks], dtype=np.int64)
+    return (
+        vocab,
+        tids,
+        np.array(docs, dtype=np.int64),
+        np.array(poss, dtype=np.int64),
+        lengths,
+        len(texts),
+        np.array(oss, dtype=np.int64),
+        np.array(oes, dtype=np.int64),
+    )
+
+
 class PathHierarchyAnalyzer(StandardAnalyzer):
     """PathHierarchyTokenizer (reference analysis/path/
     PathHierarchyTokenizer.java:113-182) / ReversePathHierarchyTokenizer
@@ -2009,45 +2059,7 @@ class PathHierarchyAnalyzer(StandardAnalyzer):
         return list(counts.keys()), list(counts.values()), len(toks)
 
     def _batch_token_stream(self, texts: list[str]):
-        e = np.empty(0, np.int64)
-        lengths = np.zeros(len(texts), dtype=np.int64)
-        if not texts:
-            return [], e, e, e, lengths, 0, e, e
-        toks: list[str] = []
-        docs: list[int] = []
-        poss: list[int] = []
-        oss: list[int] = []
-        oes: list[int] = []
-        memo: dict[str, list[tuple[str, int, int]]] = {}
-        for di, text in enumerate(texts):
-            text = text or ""
-            tl = memo.get(text)
-            if tl is None:
-                tl = self._path_tokens(text)
-                if len(memo) < 1 << 18:
-                    memo[text] = tl
-            lengths[di] = len(tl)
-            for p, (t, a, b) in enumerate(tl):
-                toks.append(t)
-                docs.append(di)
-                poss.append(p)
-                oss.append(a)
-                oes.append(b)
-        if not toks:
-            return [], e, e, e, lengths, len(texts), e, e
-        vocab = sorted(set(toks), key=lambda t: t.encode("utf-8"))
-        pos_of = {t: i for i, t in enumerate(vocab)}
-        tids = np.array([pos_of[t] for t in toks], dtype=np.int64)
-        return (
-            vocab,
-            tids,
-            np.array(docs, dtype=np.int64),
-            np.array(poss, dtype=np.int64),
-            lengths,
-            len(texts),
-            np.array(oss, dtype=np.int64),
-            np.array(oes, dtype=np.int64),
-        )
+        return stream_from_doc_tokens(texts, self._path_tokens, memoize=True)
 
 
 ANALYZERS = {
@@ -2088,4 +2100,9 @@ def make_analyzer(name: str | dict = "standard", **kw):
         spec = dict(name)
         name = spec.pop("name")
         kw = {**spec, **kw}
+    if name not in ANALYZERS and name in ("classic", "uax29_url_email"):
+        from . import classic  # lazy: classic.py imports this module
+
+        ANALYZERS["classic"] = classic.ClassicAnalyzer
+        ANALYZERS["uax29_url_email"] = classic.UAX29URLEmailAnalyzer
     return ANALYZERS[name](**kw)

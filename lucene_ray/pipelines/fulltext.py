@@ -229,6 +229,105 @@ def ensure_path_corpus(sf_dir: str) -> str:
     return out_dir
 
 
+def ensure_contact_corpus(sf_dir: str) -> str:
+    """documents.parquet -> (doc_id, contact): a deterministic line with
+    a URL, an email, an apostrophe possessive, an acronym, a company
+    name, a version number and a date — the grammar surface
+    ClassicTokenizer and UAX29URLEmailTokenizer exist for, derived only
+    from SQL-visible columns so the oracle can emit the expected tokens
+    by construction."""
+    import pyarrow.parquet as pq
+
+    slug = hashlib.sha256(
+        (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(
+        "/tmp", "lucene_ray_idx",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-contact-src",
+    )
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        os.makedirs(out_dir, exist_ok=True)
+        src_path = os.path.join(sf_dir, "documents.parquet")
+        md = pq.ParquetFile(src_path).metadata
+        descs = [{"path": src_path, "row_group": rg} for rg in range(md.num_row_groups)]
+
+        def _derive(batch: pa.Table) -> pa.Table:
+            rows = []
+            for d in batch.to_pylist():
+                tbl = pq.ParquetFile(d["path"]).read_row_group(
+                    d["row_group"], columns=["doc_id", "lang", "source"]
+                )
+                i = tbl.column("doc_id").to_numpy()
+                s = tbl.column("source").to_pylist()
+                lg = tbl.column("lang").to_pylist()
+                contact = [
+                    f"Visit https://{sv}.io/{lv}/doc{iv} or email "
+                    f"user_{iv}@{sv}.example.com re O'Brien's U.S.A. AT&T "
+                    f"rev 1.{iv % 7}.{iv % 13} on 2024-03-{iv % 28 + 1} visit"
+                    for iv, sv, lv in zip(i.tolist(), s, lg)
+                ]
+                out = pa.table(
+                    {
+                        "doc_id": tbl.column("doc_id"),
+                        "contact": pa.array(contact, pa.string()),
+                    }
+                )
+                part = os.path.join(out_dir, f"part-{d['row_group']:06d}.parquet")
+                tmp_p = part + ".tmp"
+                pq.write_table(out, tmp_p, row_group_size=2000)
+                os.replace(tmp_p, part)
+                rows.append({"row_group": d["row_group"]})
+            return pa.Table.from_pylist(rows)
+
+        rd.from_items(descs).map_batches(
+            _derive, batch_size=1, batch_format="pyarrow", num_cpus=1
+        ).materialize()
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def contact_term_stats(sf_dir: str, analyzer: str):
+    """(term, doc_freq, total_term_freq) of a classic / uax29_url_email
+    index over the derived contact corpus."""
+    import ray.data as rd
+
+    src = ensure_contact_corpus(sf_dir)
+    idx = index_dir_for(sf_dir, analyzer=f"contact-{analyzer}")
+    if mf.latest_generation(idx) is None:
+        build_index(
+            sorted(
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            ),
+            idx,
+            analyzer=analyzer,
+            docs_per_segment=DOCS_PER_SEGMENT,
+            mode="fused",
+            content_column="contact",
+            meta_columns=("doc_id",),
+        )
+    ds = rd.from_items(_segment_dirs(idx))
+    agg = ds.map_batches(_seg_term_stats, batch_format="pyarrow").groupby("term").sum(
+        ["df", "ttf"]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.column("term"),
+                "doc_freq": b.column("sum(df)"),
+                "total_term_freq": b.column("sum(ttf)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def path_term_stats(sf_dir: str, reverse: bool = False):
     """(term, doc_freq, total_term_freq) of the PathHierarchy index over
     the derived path corpus — the forward arm gives path-prefix facet

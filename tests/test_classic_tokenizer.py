@@ -1,0 +1,70 @@
+"""ClassicTokenizer maximal-munch grammar + ClassicFilter +
+UAX29URLEmail pre-pass (expected values traced from
+ClassicTokenizerImpl.jflex rule set and TestClassicAnalyzer)."""
+
+from lucene_ray.analysis.classic import (
+    ClassicAnalyzer,
+    UAX29URLEmailAnalyzer,
+    classic_scan,
+)
+from lucene_ray.analysis.analyzers import make_analyzer
+
+
+def types(text):
+    return [(t, ty) for t, ty, _, _ in classic_scan(text)]
+
+
+def test_grammar_rule_types():
+    assert types("U.S.A.") == [("U.S.A.", "ACRONYM")]
+    assert types("AT&T") == [("AT&T", "COMPANY")]
+    assert types("Excite@Home") == [("Excite@Home", "COMPANY")]
+    assert types("O'Reilly's") == [("O'Reilly's", "APOSTROPHE")]
+    assert types("www.foo.com") == [("www.foo.com", "HOST")]
+    assert types("bob@example.com") == [("bob@example.com", "EMAIL")]
+    assert types("1.2.3.4") == [("1.2.3.4", "HOST")]  # tie: HOST before NUM
+    assert types("wifi-4.5") == [("wifi-4.5", "NUM")]
+    assert types("2024-03-16") == [("2024-03-16", "NUM")]
+    assert types("hello world") == [("hello", "ALPHANUM"), ("world", "ALPHANUM")]
+
+
+def test_maximal_munch_across_rules():
+    # HOST matches only '1.2' but NUM extends to '1.2-3': longest wins
+    assert types("1.2-3") == [("1.2-3", "NUM")]
+    # mixed segments where every other one has a digit
+    assert types("en/doc5") == [("en/doc5", "NUM")]
+
+
+def test_classic_filter_chain():
+    an = ClassicAnalyzer()
+    assert an.tokens("O'Reilly's U.S.A. books") == ["o'reilly", "usa", "books"]
+    # english stop set drops 'the'/'on'
+    assert an.tokens("the file on disk") == ["file", "disk"]
+    assert an.normalize("AT&T") == "at&t"
+
+
+def test_uax29_url_email():
+    an = UAX29URLEmailAnalyzer()
+    assert an.tokens("see https://x.io/a/b1 now") == [
+        "see", "https://x.io/a/b1", "now",
+    ]
+    assert an.tokens("mail bob.smith+tag@ex-1.example.org today") == [
+        "mail", "bob.smith+tag@ex-1.example.org", "today",
+    ]
+    # plain text falls through to UAX#29 (AT&T splits, 'at' stopped)
+    assert an.tokens("AT&T U.S.A.") == ["t", "u.s.a"]
+
+
+def test_registry():
+    assert isinstance(make_analyzer("classic"), ClassicAnalyzer)
+    assert isinstance(make_analyzer("uax29_url_email"), UAX29URLEmailAnalyzer)
+
+
+def test_stream_offsets():
+    an = ClassicAnalyzer()
+    vocab, tids, docs, pos, lengths, n, os_, oe = an._batch_token_stream(
+        ["a B.C. x", ""]
+    )
+    got = sorted(zip((vocab[t] for t in tids), os_.tolist(), oe.tolist()))
+    # 'a' is a stopword; ACRONYM span covers the dotted source text
+    assert got == [("bc", 2, 6), ("x", 7, 8)]
+    assert lengths.tolist() == [2, 0]
