@@ -5776,6 +5776,34 @@ pspos AS (
   FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM toks)
 ),
 {_parsed_fn_ctes()},
+-- q14..q16: PrecedenceQueryParser — AND binds tighter than OR, so each
+-- AND-group is a sub-clause of a top-level SHOULD disjunction
+q14 AS (
+  SELECT 14 AS qid, doc_id,
+         (CASE WHEN s_spark IS NOT NULL AND s_join IS NOT NULL
+               THEN s_spark + s_join ELSE 0 END)
+         + (CASE WHEN s_merge IS NOT NULL AND s_scan IS NOT NULL
+                 THEN s_merge + s_scan ELSE 0 END) AS score
+  FROM p
+  WHERE (s_spark IS NOT NULL AND s_join IS NOT NULL)
+     OR (s_merge IS NOT NULL AND s_scan IS NOT NULL)
+),
+q15 AS (
+  SELECT 15 AS qid, doc_id,
+         coalesce(s_spark, 0)
+         + (CASE WHEN s_join IS NULL AND s_merge IS NOT NULL
+                 THEN s_merge ELSE 0 END) AS score
+  FROM p
+  WHERE s_spark IS NOT NULL OR (s_join IS NULL AND s_merge IS NOT NULL)
+),
+q16 AS (
+  SELECT 16 AS qid, doc_id,
+         (CASE WHEN s_window IS NOT NULL AND s_merge IS NULL
+               THEN s_window ELSE 0 END)
+         + coalesce(s_scan, 0) AS score
+  FROM p
+  WHERE (s_window IS NOT NULL AND s_merge IS NULL) OR s_scan IS NOT NULL
+),
 u AS (
   SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2
   UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4
@@ -5786,6 +5814,8 @@ u AS (
   UNION ALL SELECT 11 AS qid, doc_id, score FROM q4
   UNION ALL SELECT 12 AS qid, doc_id, score FROM q12
   UNION ALL SELECT 13 AS qid, doc_id, score FROM q13
+  UNION ALL SELECT * FROM q14 UNION ALL SELECT * FROM q15
+  UNION ALL SELECT * FROM q16
 ),
 ranked AS (
   SELECT qid, doc_id,

@@ -2529,6 +2529,15 @@ FN_PARSED_QUERIES = [
     "lang:en AND fn:ordered(join order)",
 ]
 
+# PrecedenceQueryParser strings (queryparser/flexible/precedence): AND
+# binds tighter than OR, so these parse to different trees than classic
+# (classic's addClause would flatten q14 to +spark +join +merge +scan)
+PRECEDENCE_PARSED_QUERIES = [
+    "spark AND join OR merge AND scan",
+    "spark OR NOT join AND merge",
+    "window AND NOT merge OR scan",
+]
+
 # XML query syntax (queryparser/xml/CoreParser.java) run through
 # parse_xml; each document builds the SAME tree as a classic string
 # above (asserted at parse time), so the oracle SQL is shared
@@ -2592,6 +2601,13 @@ def parsed_topk(sf_dir: str, k: int = 10) -> pa.Table:
     parses += [
         (s, parse_classic(s, analyzer, stored_fields=("lang", "source")))
         for s in FN_PARSED_QUERIES
+    ]
+    # PrecedenceQueryParser arms (AND > OR operator precedence)
+    from ..search.parser import parse_precedence
+
+    parses += [
+        (s, parse_precedence(s, analyzer, stored_fields=("lang", "source")))
+        for s in PRECEDENCE_PARSED_QUERIES
     ]
     qids, rnks, docs = [], [], []
     for qid, (s, q) in enumerate(parses):

@@ -364,6 +364,154 @@ def parse_classic(
     return q
 
 
+def _prec_atom(
+    toks: list[_Tok],
+    i: int,
+    analyzer,
+    default_field: str,
+    stored_fields: tuple[str, ...],
+    scope: str | None,
+) -> tuple[Query | None, int]:
+    """One atom (word/phrase/range/regex/fn/group, optional field prefix
+    and trailing boost) for the precedence parser — same atom semantics
+    as _parse_group, without its clause accumulation."""
+    field: str | None = None
+    if i < len(toks) and toks[i].kind == "field":
+        field = toks[i].val
+        i += 1
+    if i >= len(toks):
+        return None, i
+    eff_field = field if field is not None else scope
+    t = toks[i]
+    q: Query | None
+    if t.kind == "word" and eff_field in stored_fields:
+        q = StoredFieldFilter(eff_field, t.val)
+        i += 1
+    elif t.kind == "phrase" and eff_field in stored_fields:
+        q = StoredFieldFilter(eff_field, t.val[0])
+        i += 1
+    elif t.kind == "lparen":
+        q, i = _prec_or(toks, i + 1, analyzer, default_field, stored_fields, eff_field)
+        if i < len(toks) and toks[i].kind == "rparen":
+            i += 1
+    elif t.kind == "phrase":
+        raw, slop = t.val
+        words = tuple(analyzer.normalize(w) for w in raw.split() if w)
+        q = (
+            None
+            if not words
+            else TermQuery(words[0])
+            if len(words) == 1
+            else PhraseQuery(words, slop=slop)
+        )
+        i += 1
+    elif t.kind == "regex":
+        q = RegexpQuery(t.val)
+        i += 1
+    elif t.kind == "fnexpr":
+        from .intervals import freeze, parse_fn
+        from .query import IntervalQuery
+
+        q = IntervalQuery(freeze(parse_fn(t.val)))
+        i += 1
+    elif t.kind == "range":
+        lo, hi, inc_lo, inc_hi = t.val
+        lo = analyzer.normalize(lo)
+        hi = analyzer.normalize(hi)
+        q = TermRangeQuery(
+            None if lo == "*" else lo,
+            None if hi == "*" else hi,
+            include_lower=inc_lo,
+            include_upper=inc_hi,
+        )
+        i += 1
+    elif t.kind == "word":
+        q = _word_query(t.val, analyzer)
+        i += 1
+    else:  # stray operator/rparen: no atom here
+        return None, i
+    if i < len(toks) and toks[i].kind == "boost" and q is not None:
+        q = BoostQuery(q, float(toks[i].val))
+        i += 1
+    return q, i
+
+
+def _prec_unary(toks, i, analyzer, default_field, stored_fields, scope):
+    mod: str | None = None
+    while i < len(toks) and toks[i].kind in ("not", "minus", "plus"):
+        mod = "MUST" if toks[i].kind == "plus" else "MUST_NOT"
+        i += 1
+    q, i = _prec_atom(toks, i, analyzer, default_field, stored_fields, scope)
+    return (None if q is None else (q, mod)), i
+
+
+def _prec_and(toks, i, analyzer, default_field, stored_fields, scope):
+    items: list[tuple[Query, str | None]] = []
+    while True:
+        j = i
+        item, i = _prec_unary(toks, i, analyzer, default_field, stored_fields, scope)
+        if item is not None:
+            items.append(item)
+        elif i == j:  # no progress (stray token): skip it unless structural
+            if i < len(toks) and toks[i].kind not in ("rparen", "or", "and"):
+                i += 1
+                continue
+        if i < len(toks) and toks[i].kind == "and":
+            i += 1
+            continue
+        break
+    if not items:
+        return None, i
+    if len(items) == 1:
+        return items[0], i
+    clauses = tuple(
+        BooleanClause(q, "MUST_NOT" if mod == "MUST_NOT" else "MUST")
+        for q, mod in items
+    )
+    return (BooleanQuery(clauses), None), i
+
+
+def _prec_or(toks, i, analyzer, default_field, stored_fields, scope):
+    items: list[tuple[Query, str | None]] = []
+    while i < len(toks) and toks[i].kind != "rparen":
+        j = i
+        item, i = _prec_and(toks, i, analyzer, default_field, stored_fields, scope)
+        if item is not None:
+            items.append(item)
+        if i < len(toks) and toks[i].kind == "or":
+            i += 1
+        if i == j:  # safety: never loop without consuming
+            i += 1
+    if not items:
+        return None, i
+    if len(items) == 1:
+        q, mod = items[0]
+        if mod == "MUST_NOT":
+            return BooleanQuery((BooleanClause(q, "MUST_NOT"),)), i
+        return q, i
+    clauses = tuple(BooleanClause(q, mod or "SHOULD") for q, mod in items)
+    return BooleanQuery(clauses), i
+
+
+def parse_precedence(
+    text: str,
+    analyzer,
+    default_field: str = "text",
+    stored_fields: tuple[str, ...] = (),
+) -> Query | None:
+    """PrecedenceQueryParser (reference queryparser/flexible/precedence/
+    PrecedenceQueryParser.java + processors/BooleanModifiersQueryNode
+    Processor.java): the classic syntax but with real operator
+    precedence — AND binds tighter than OR, so ``a AND b OR c AND d``
+    parses as ``(+a +b) (+c +d)`` where the classic parser's addClause
+    state machine would produce a flat ``+a +b +c +d``.  Juxtaposition is
+    the default operator (OR); NOT/!/- mark MUST_NOT inside their
+    AND-group, bare ``+`` marks MUST at the OR level.  Golden shapes per
+    TestPrecedenceQueryParser.java:209-260,607-650."""
+    q, _ = _prec_or(_lex_classic(text), 0, analyzer, default_field, stored_fields, None)
+    return q
+
+
 def rewrite_complex_phrases(q, searcher, max_expansions: int = 64):
     """ComplexPhraseQueryParser semantics (reference queryparser/
     complexPhrase/ComplexPhraseQueryParser.java): wildcard / prefix atoms
