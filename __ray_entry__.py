@@ -2550,6 +2550,8 @@ def _sort_family(sf_dir: str):
             ("sorted_set", ft.sorted_set_sort_topk(sf_dir)),
             # LatLonPointSortField: nearest-first distance comparator
             ("distance", ft.distance_sort_topk(sf_dir)),
+            # SortRescorer: re-sort the BM25 first pass by a field sort
+            ("sort_rescorer", ft.sort_rescored_topk(sf_dir)),
         ]
     )
 
@@ -6075,6 +6077,49 @@ ranked AS (
 )
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) dd
+UNION ALL SELECT 'sort_rescorer', sr.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.SORT_RESCORE_QUERIES))}),
+dlq AS (
+  SELECT d.doc_id, d.dl, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql
+  FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+dfr AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfr ON dfr.qid = p.qid AND dfr.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+first_pass AS (
+  SELECT qid, doc_id,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id
+         ) AS r1
+  FROM clause
+),
+resorted AS (
+  SELECT f.qid, f.doc_id,
+         row_number() OVER (
+           PARTITION BY f.qid ORDER BY d.n_chars DESC, f.doc_id
+         ) AS rnk
+  FROM first_pass f JOIN documents d ON d.doc_id = f.doc_id
+  WHERE f.r1 <= {ft.SORT_RESCORE_FIRST_N}
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM resorted WHERE rnk <= 10
+) sr
 """,
         "dd_duplicate_clusters": f"""
 WITH RECURSIVE {_TOKS}, {_SHINGLES},

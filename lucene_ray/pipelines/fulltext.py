@@ -7025,6 +7025,58 @@ def compound_sort_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+SORT_RESCORE_QUERIES = ["spark", "merge", "window"]
+SORT_RESCORE_FIRST_N = 40
+
+
+def sort_rescored_topk(
+    sf_dir: str, first_n: int = SORT_RESCORE_FIRST_N, k: int = 10
+) -> pa.Table:
+    """SortRescorer.rescore analogue (reference search/SortRescorer
+    .java:38-90): take the top ``first_n`` hits of the BM25 first pass,
+    re-sort ONLY those hits by Sort(n_chars DESC) with the
+    TopFieldCollector doc-id tie-break, return top-k.  Docs outside the
+    first pass are never revisited; ``first_n`` is small by the
+    rescorer's contract so the second pass is a bounded driver-side
+    gather (one stored-column take per touched segment).
+    (qid, rnk, doc_id)."""
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    man = mf.read_manifest(idx)
+    segs = [(s["doc_base"], s["dir"]) for s in man["segments"]]
+    bases = np.array([b for b, _ in segs], dtype=np.int64)
+    qids, rnks, out_docs = [], [], []
+    for qid, term in enumerate(SORT_RESCORE_QUERIES):
+        hits = searcher.search(
+            TermQuery(term), first_n, total_hits_threshold=np.inf,
+            score_mode="COMPLETE",
+        )
+        gdocs = np.array([d for d, _ in hits], dtype=np.int64)
+        if not len(gdocs):
+            continue
+        seg_of = np.searchsorted(bases, gdocs, side="right") - 1
+        keys = np.empty(len(gdocs), dtype=np.int64)
+        for si in np.unique(seg_of):
+            sel = np.flatnonzero(seg_of == si)
+            r = SegmentReader(segs[si][1])
+            col = r.stored_column("n_chars")
+            keys[sel] = col.take(
+                pa.array(gdocs[sel] - bases[si])
+            ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((gdocs, -keys))[:k]
+        for rnk, i in enumerate(order, start=1):
+            qids.append(qid)
+            rnks.append(rnk)
+            out_docs.append(int(gdocs[i]))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(out_docs, pa.int64()),
+        }
+    )
+
+
 INDEX_SORT = ("n_chars", "desc")
 INDEX_SORTED_QUERIES = ["spark", "join", "merge", "window"]
 

@@ -116,4 +116,62 @@ def matches(reader, doc: int, query) -> dict | None:
         if not any_scoring:
             return None
         return sub if sub else {}
+    if isinstance(query, NamedQuery):
+        return matches(reader, doc, query.query)
     raise TypeError(f"matches() unsupported for {query!r}")
+
+
+class NamedQuery:
+    """NamedMatches.wrapQuery analogue (reference
+    search/NamedMatches.java:69-71): associates a name with a sub-query
+    so the matching sub-queries of a larger Boolean can be identified
+    per document.  Transparent for matching/scoring."""
+
+    __slots__ = ("name", "query")
+
+    def __init__(self, name: str, query):
+        self.name = name
+        self.query = query
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, NamedQuery)
+            and self.name == other.name
+            and self.query == other.query
+        )
+
+    def __hash__(self):
+        return hash(("named", self.name, self.query))
+
+    def __repr__(self):
+        return f"NamedQuery(name={self.name!r}, query={self.query!r})"
+
+
+def wrap_query(name: str, query) -> NamedQuery:
+    return NamedQuery(name, query)
+
+
+def find_named_matches(reader, doc: int, query) -> list[str] | None:
+    """NamedMatches.findNamedMatches (reference NamedMatches.java:74-87):
+    the names of all NamedQuery nodes whose sub-query matched ``doc``,
+    in query-tree order — None when the TOP query does not match (no
+    Matches tree exists at all then).  A named node under a MUST_NOT
+    branch can never be reported: its match kills the top-level match."""
+    if matches(reader, doc, query) is None:
+        return None
+    names: list[str] = []
+
+    def walk(q):
+        if isinstance(q, NamedQuery):
+            if matches(reader, doc, q.query) is not None:
+                names.append(q.name)
+            walk(q.query)
+        elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            walk(q.query)
+        elif isinstance(q, BooleanQuery):
+            for c in q.clauses:
+                if c.occur != "MUST_NOT":  # prohibited branches have no Matches
+                    walk(c.query)
+
+    walk(query)
+    return names

@@ -74,3 +74,33 @@ def test_matches_phrase_prefix_synonym(tmp_path):
     assert set(pre) == {"windows"}
     syn = matches(r, 1, SynonymQuery(("spark", "flint")))
     assert set(syn) == {"spark"}
+
+
+def test_named_matches(tmp_path):
+    from lucene_ray.search.matches import find_named_matches, wrap_query
+
+    r = _idx(tmp_path)
+    q = bool_query(
+        should=[
+            wrap_query("q_spark", TermQuery("spark")),
+            wrap_query("q_merge", TermQuery("merge")),
+        ],
+        must_not=[wrap_query("q_batch", TermQuery("batch"))],
+    )
+    # doc 0: spark yes, merge no, batch absent
+    assert find_named_matches(r, 0, q) == ["q_spark"]
+    # doc 3: merge yes
+    assert find_named_matches(r, 3, q) == ["q_merge"]
+    # doc 1 has 'batch' (prohibited): no Matches tree at all
+    assert find_named_matches(r, 1, q) is None
+    # nested naming: outer name reported alongside the inner hits
+    q2 = wrap_query(
+        "outer",
+        bool_query(
+            must=[wrap_query("inner", TermQuery("stream"))],
+        ),
+    )
+    assert find_named_matches(r, 3, q2) == ["outer", "inner"]
+    assert find_named_matches(r, 2, q2) is None
+    # matches() is transparent through the wrapper
+    assert matches(r, 0, wrap_query("x", TermQuery("spark"))) is not None
