@@ -2699,6 +2699,9 @@ def _term_stats_family(sf_dir: str):
         p = ft.contact_term_stats(sf_dir, analyzer=name).to_pandas()
         p.insert(0, "analyzer", name)
         parts.append(p)
+    p = ft.cjk_term_stats(sf_dir).to_pandas()
+    p.insert(0, "analyzer", "cjk_bigram")
+    parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3518,6 +3521,31 @@ tfue AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokue GROUP BY doc_id, 
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfue GROUP BY tok
 ) ue
+UNION ALL
+-- CJKBigramFilter over 'cjk <han(doc_id)> mid かな end': the Han
+-- numerals form one bigram run (unigram when doc_id has one digit),
+-- the kana pair another; ASCII words pass through
+SELECT 'cjk_bigram', cj.* FROM (
+WITH basec AS (
+  SELECT doc_id,
+         translate(CAST(doc_id AS VARCHAR), '0123456789',
+                   '{ft.HAN_DIGITS}') AS h
+  FROM documents
+),
+hb AS (
+  SELECT doc_id, substr(h, CAST(i AS INT), 2) AS tok
+  FROM (SELECT doc_id, h,
+               unnest(range(1, greatest(length(h) - 1, 1) + 1)) AS i
+        FROM basec)
+),
+tokcj AS (
+  SELECT doc_id, tok FROM hb
+  UNION ALL SELECT doc_id, unnest(['cjk', 'mid', 'かな', 'end']) FROM documents
+),
+tfcj AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokcj GROUP BY doc_id, tok)
+SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
+FROM tfcj GROUP BY tok
+) cj
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

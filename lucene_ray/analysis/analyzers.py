@@ -2062,6 +2062,69 @@ class PathHierarchyAnalyzer(StandardAnalyzer):
         return stream_from_doc_tokens(texts, self._path_tokens, memoize=True)
 
 
+class CJKBigramAnalyzer(StandardAnalyzer):
+    """StandardTokenizer -> LowerCase -> CJKBigramFilter (reference
+    analysis/cjk/CJKBigramFilter.java, default flags HAN | HIRAGANA |
+    KATAKANA | HANGUL, outputUnigrams=false): characters of consecutive
+    CJK-typed tokens are buffered into one run (the filter only checks
+    posIncrement==1, so a run continues across whitespace and across
+    scripts) and emitted as overlapping character bigrams; a run of a
+    single character emits the unigram (the filter's loneState).
+    Non-CJK tokens pass through.  DEVIATION: no CJKWidthFilter
+    (half/full-width folding) in front — the reference CJKAnalyzer
+    chain includes it, our corpus has no half-width forms."""
+
+    _CJK_TYPES = frozenset(
+        (scanner.IDEOGRAPHIC, scanner.HIRAGANA, scanner.KATAKANA, scanner.HANGUL)
+    )
+
+    def _doc_tokens(self, text: str) -> list[tuple[str, int, int]]:
+        if not text:
+            return []
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+        spans = scanner.scan_spans(cps, self.max_token_length)
+        if not spans:
+            return []
+        low = self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
+        out: list[tuple[str, int, int]] = []
+        run: list[tuple[str, int, int]] = []  # (char, off_s, off_e)
+
+        def flush():
+            if len(run) == 1:
+                out.append(run[0])
+            else:
+                for a, b in zip(run, run[1:]):
+                    out.append((a[0] + b[0], a[1], b[2]))
+            run.clear()
+
+        for s, e, typ in spans:
+            if typ in self._CJK_TYPES:
+                run.extend((low[i], i, i + 1) for i in range(s, e))
+                continue
+            if run:
+                flush()
+            tok = low[s:e]
+            if self.stop_words and tok in self.stop_words:
+                continue
+            out.append((tok, s, e))
+        if run:
+            flush()
+        return out
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t, _, _ in self._doc_tokens(text or "")]
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), len(toks)
+
+    def _batch_token_stream(self, texts: list[str]):
+        return stream_from_doc_tokens(texts, self._doc_tokens)
+
+
 ANALYZERS = {
     "standard": StandardAnalyzer,
     "simple_code": SimpleCodeAnalyzer,
@@ -2088,6 +2151,7 @@ ANALYZERS = {
     "pattern": PatternAnalyzer,
     "html_strip": HTMLStripAnalyzer,
     "path_hierarchy": PathHierarchyAnalyzer,
+    "cjk_bigram": CJKBigramAnalyzer,
 }
 
 

@@ -229,13 +229,13 @@ def ensure_path_corpus(sf_dir: str) -> str:
     return out_dir
 
 
-def ensure_contact_corpus(sf_dir: str) -> str:
-    """documents.parquet -> (doc_id, contact): a deterministic line with
-    a URL, an email, an apostrophe possessive, an acronym, a company
-    name, a version number and a date — the grammar surface
-    ClassicTokenizer and UAX29URLEmailTokenizer exist for, derived only
-    from SQL-visible columns so the oracle can emit the expected tokens
-    by construction."""
+def _ensure_derived_corpus(sf_dir: str, tag: str, column: str, make_values) -> str:
+    """Distributed derived-corpus builder shared by the analyzer-arm
+    fixtures: one task per documents.parquet row group writes its own
+    ordinal part file with (doc_id, <column>) where ``make_values(
+    doc_ids, sources, langs) -> list[str]`` — derivations use only
+    SQL-visible columns so oracles can reproduce the text by
+    construction."""
     import pyarrow.parquet as pq
 
     slug = hashlib.sha256(
@@ -243,11 +243,10 @@ def ensure_contact_corpus(sf_dir: str) -> str:
     ).hexdigest()[:12]
     out_dir = os.path.join(
         "/tmp", "lucene_ray_idx",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-contact-src",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-{tag}-src",
     )
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
-        import pyarrow.compute as pc
         import ray.data as rd
 
         os.makedirs(out_dir, exist_ok=True)
@@ -261,19 +260,15 @@ def ensure_contact_corpus(sf_dir: str) -> str:
                 tbl = pq.ParquetFile(d["path"]).read_row_group(
                     d["row_group"], columns=["doc_id", "lang", "source"]
                 )
-                i = tbl.column("doc_id").to_numpy()
-                s = tbl.column("source").to_pylist()
-                lg = tbl.column("lang").to_pylist()
-                contact = [
-                    f"Visit https://{sv}.io/{lv}/doc{iv} or email "
-                    f"user_{iv}@{sv}.example.com re O'Brien's U.S.A. AT&T "
-                    f"rev 1.{iv % 7}.{iv % 13} on 2024-03-{iv % 28 + 1} visit"
-                    for iv, sv, lv in zip(i.tolist(), s, lg)
-                ]
+                vals = make_values(
+                    tbl.column("doc_id").to_numpy().tolist(),
+                    tbl.column("source").to_pylist(),
+                    tbl.column("lang").to_pylist(),
+                )
                 out = pa.table(
                     {
                         "doc_id": tbl.column("doc_id"),
-                        "contact": pa.array(contact, pa.string()),
+                        column: pa.array(vals, pa.string()),
                     }
                 )
                 part = os.path.join(out_dir, f"part-{d['row_group']:06d}.parquet")
@@ -291,13 +286,11 @@ def ensure_contact_corpus(sf_dir: str) -> str:
     return out_dir
 
 
-def contact_term_stats(sf_dir: str, analyzer: str):
-    """(term, doc_freq, total_term_freq) of a classic / uax29_url_email
-    index over the derived contact corpus."""
+def _derived_term_stats(sf_dir: str, src: str, tag: str, analyzer, column: str):
+    """Build (once) + term-stats over a derived-corpus index."""
     import ray.data as rd
 
-    src = ensure_contact_corpus(sf_dir)
-    idx = index_dir_for(sf_dir, analyzer=f"contact-{analyzer}")
+    idx = index_dir_for(sf_dir, analyzer=tag)
     if mf.latest_generation(idx) is None:
         build_index(
             sorted(
@@ -309,7 +302,7 @@ def contact_term_stats(sf_dir: str, analyzer: str):
             analyzer=analyzer,
             docs_per_segment=DOCS_PER_SEGMENT,
             mode="fused",
-            content_column="contact",
+            content_column=column,
             meta_columns=("doc_id",),
         )
     ds = rd.from_items(_segment_dirs(idx))
@@ -326,6 +319,51 @@ def contact_term_stats(sf_dir: str, analyzer: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def _contact_values(ids, sources, langs):
+    return [
+        f"Visit https://{sv}.io/{lv}/doc{iv} or email "
+        f"user_{iv}@{sv}.example.com re O'Brien's U.S.A. AT&T "
+        f"rev 1.{iv % 7}.{iv % 13} on 2024-03-{iv % 28 + 1} visit"
+        for iv, sv, lv in zip(ids, sources, langs)
+    ]
+
+
+def ensure_contact_corpus(sf_dir: str) -> str:
+    """(doc_id, contact): a line with a URL, an email, an apostrophe
+    possessive, an acronym, a company name, a version number and a date
+    — the grammar surface ClassicTokenizer and UAX29URLEmailTokenizer
+    exist for."""
+    return _ensure_derived_corpus(sf_dir, "contact", "contact", _contact_values)
+
+
+def contact_term_stats(sf_dir: str, analyzer: str):
+    """(term, doc_freq, total_term_freq) of a classic / uax29_url_email
+    index over the derived contact corpus."""
+    src = ensure_contact_corpus(sf_dir)
+    return _derived_term_stats(
+        sf_dir, src, f"contact-{analyzer}", analyzer, "contact"
+    )
+
+
+# digit -> Han numeral map shared with the oracle's translate() call
+HAN_DIGITS = "零一二三四五六七八九"
+
+
+def _cjk_values(ids, sources, langs):
+    tr = str.maketrans("0123456789", HAN_DIGITS)
+    return [
+        f"cjk {str(iv).translate(tr)} mid かな end" for iv in ids
+    ]
+
+
+def cjk_term_stats(sf_dir: str):
+    """(term, doc_freq, total_term_freq) of the cjk_bigram index over a
+    derived line whose Han numerals (doc_id digits) form one bigram run
+    and whose kana pair forms another."""
+    src = _ensure_derived_corpus(sf_dir, "cjk", "cjk", _cjk_values)
+    return _derived_term_stats(sf_dir, src, "cjk-bigram", "cjk_bigram", "cjk")
 
 
 def path_term_stats(sf_dir: str, reverse: bool = False):
