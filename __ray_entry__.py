@@ -2643,7 +2643,9 @@ def _mlt_family(sf_dir: str):
     mlt.insert(0, "method", "mlt")
     flt = ft.fuzzy_like_this_topk(sf_dir).to_pandas()
     flt.insert(0, "method", "flt")
-    return pd.concat([mlt, flt], ignore_index=True)
+    txt = ft.mlt_text_topk(sf_dir).to_pandas()
+    txt.insert(0, "method", "mlt_text")
+    return pd.concat([mlt, flt, txt], ignore_index=True)
 
 
 def _bm25_store_family(sf_dir: str):
@@ -3884,6 +3886,62 @@ SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM (
          row_number() OVER (PARTITION BY qid ORDER BY ds DESC, doc_id ASC) AS rnk
   FROM docscore) z WHERE rnk <= {ft.FLT_K}
 ) fz
+UNION ALL
+-- MoreLikeThisQuery like-TEXT mode: interesting terms from the free
+-- text's own tf, df from the index, same selection + BM25 disjunction
+SELECT 'mlt_text', mt.* FROM (
+WITH {_TOKS}, {_LT},
+ltq(qid, qtext) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(ft.MLT_TEXTS))}),
+qtf AS (
+  SELECT qid, tok, count(*)::BIGINT AS qf
+  FROM (SELECT qid, unnest(regexp_extract_all(qtext, '{TOKEN_PATTERN}')) AS tok
+        FROM ltq)
+  GROUP BY qid, tok
+),
+dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+candt AS (
+  SELECT q.qid, q.tok,
+         q.qf * (ln((st.doc_count + 1.0) / (d.df + 1.0)) + 1.0) AS mscore
+  FROM qtf q JOIN dfs d ON d.tok = q.tok CROSS JOIN stats st
+  WHERE q.qf >= {ft.MLT_MIN_TF} AND d.df >= {ft.MLT_MIN_DF}
+),
+qsel AS (
+  SELECT qid, tok AS term FROM (
+    SELECT qid, tok,
+           row_number() OVER (PARTITION BY qid ORDER BY mscore DESC, tok) AS r
+    FROM candt) z
+  WHERE r <= {ft.MLT_MAX_TERMS}
+),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM qsel q JOIN tf ON tf.tok = q.term
+),
+dfq AS (SELECT qid, term, count(*)::BIGINT AS df FROM posting GROUP BY qid, term),
+clause AS (
+  SELECT p.qid, p.doc_id,
+         ln(1 + (s.doc_count - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (1 - 1 / (1 + p.tf / (1.2 * ((1 - 0.75) + 0.75 * d.ql
+              / (s.sum_ttf * 1.0 / s.doc_count))))) AS score
+  FROM posting p
+  JOIN dfq ON dfq.qid = p.qid AND dfq.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT qid, doc_id, sum(score) AS score FROM clause GROUP BY qid, doc_id),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS sid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) mt
 """,
         "ft_point_distance": f"""
 WITH q(qid, cx, cy, r2) AS (VALUES {", ".join(f"({i}, {cx}, {cy}, {r2})" for i, (cx, cy, r2) in enumerate(ft.POINT_DISTANCE_QUERIES))}),

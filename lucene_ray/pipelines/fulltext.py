@@ -538,6 +538,55 @@ def mlt_topk(sf_dir: str, k: int = 10) -> pa.Table:
     )
 
 
+# MoreLikeThisQuery (queries/mlt/MoreLikeThisQuery.java): the like-TEXT
+# mode — interesting terms come from the free text's own tf (analyzed),
+# df from the index; same selection + scoring as the seed-doc mode, no
+# seed exclusion
+MLT_TEXTS = [
+    "spark join merge spark join spark",
+    "window scan window stream stream scan",
+    "customer order order group group total",
+]
+
+
+def mlt_text_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k docs for each like-text (sid, rnk, doc_id)."""
+    from collections import Counter
+
+    from ..analysis.analyzers import make_analyzer
+    from ..search.query import TermQuery, bool_query
+
+    idx = ensure_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    dc = searcher.collection_stats.doc_count
+    ana = make_analyzer("standard")
+    sids, rnks, docs = [], [], []
+    for sid, text in enumerate(MLT_TEXTS):
+        qf = Counter(ana.tokens(text))
+        stats = searcher.term_statistics(set(qf))
+        cand = []
+        for t, tf in qf.items():
+            df = stats[t].doc_freq
+            if tf >= MLT_MIN_TF and df >= MLT_MIN_DF:
+                cand.append((float(tf) * (np.log((dc + 1.0) / (df + 1.0)) + 1.0), t))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        sel = [t for _, t in cand[:MLT_MAX_TERMS]]
+        if not sel:
+            continue
+        q = bool_query(should=[TermQuery(t) for t in sel])
+        for rnk, (doc, _s) in enumerate(searcher.search(q, k), start=1):
+            sids.append(sid)
+            rnks.append(rnk)
+            docs.append(doc)
+    return pa.table(
+        {
+            "sid": pa.array(sids, pa.int64()),
+            "rnk": pa.array(rnks, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+        }
+    )
+
+
 # FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java): fuzzify
 # every analyzed source term over the index dictionary, keep the top
 # MAX_VARIANTS_PER_TERM variants by edit-distance boost, rescore each as
