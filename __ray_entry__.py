@@ -3116,6 +3116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     (f"range_field_{rel}", tbl)
                     for rel, tbl in sorted(ft.range_field_counts(sf).items())
                 ],
+                # InetAddressPoint exact / CIDR-prefix / range queries
+                ("inet", ft.inet_range_counts(sf)),
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
@@ -4702,6 +4704,19 @@ UNION ALL
 SELECT 'double_range', dr.* FROM ({_double_range_sql()}) dr
 UNION ALL
 SELECT r.* FROM ({_range_field_sql()}) r
+UNION ALL
+-- InetAddressPoint over ip = 10.0.0.0 + doc_id: bounds derived by hand
+-- from the CIDR arithmetic (exact 10.0.0.7 -> 7; 10.0.0.4/30 -> 4..7;
+-- 10.0.64.0/18 -> 16384..32767; 10.0.0.0/9 -> 0..2^23-1;
+-- 10.0.1.5..10.0.200.250 -> 261..51450)
+SELECT 'inet', i2.* FROM (
+WITH iq(qid, lo, hi) AS (VALUES
+  (0, 7, 7), (1, 4, 7), (2, 16384, 32767), (3, 0, 8388607), (4, 261, 51450))
+SELECT iq.qid::BIGINT AS qid,
+       (SELECT count(*) FROM documents d
+        WHERE d.doc_id BETWEEN iq.lo AND iq.hi)::BIGINT AS cnt
+FROM iq
+) i2
 """,
         "ft_phrase_topk": f"""
 SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p

@@ -4807,6 +4807,81 @@ def double_range_counts(sf_dir: str) -> pa.Table:
     )
 
 
+# InetAddressPoint (document/InetAddressPoint.java): every doc carries
+# the derived IPv4 ``10.0.0.0 + doc_id`` (v4-mapped 16-byte encoding);
+# queries mix exact / CIDR-prefix / explicit ranges.  kind: "exact" ip,
+# "prefix" (ip, plen), "range" (lo, hi) inclusive
+INET_QUERIES = [
+    ("exact", ("10.0.0.7",)),
+    ("prefix", ("10.0.0.4", 30)),
+    ("prefix", ("10.0.64.0", 18)),
+    ("prefix", ("10.0.0.0", 9)),
+    ("range", ("10.0.1.5", "10.0.200.250")),
+]
+
+
+def _inet_point_values(reader):
+    from ..index import inet
+
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    # encode("10.0.0.0") + doc_id, shifted by the v4-mapped base so the
+    # 128-bit point value fits the int64 tree (see index/inet.py)
+    base = inet.as_int("10.0.0.0") - inet.V4_MAPPED_BASE
+    return (base + ids).reshape(-1, 1)
+
+
+def inet_range_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) per InetAddressPoint query over the derived per-doc
+    IPv4 point tree (exact = degenerate range, prefix = CIDR bounds)."""
+    import ray.data as rd
+
+    from ..index import inet
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "inet_pt", _inet_point_values)
+    bounds = []
+    for kind, args in INET_QUERIES:
+        if kind == "exact":
+            v = inet.as_int(args[0])
+            bounds.append((v, v))
+        elif kind == "prefix":
+            bounds.append(inet.prefix_range(*args))
+        else:
+            bounds.append(inet.range_bounds(*args))
+    # shift into the tree's int64 space (all bounds are v4-mapped here)
+    bounds = [
+        (lo - inet.V4_MAPPED_BASE, hi - inet.V4_MAPPED_BASE) for lo, hi in bounds
+    ]
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qs, cs = [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "inet_pt"))
+            for qid, (lo, hi) in enumerate(bounds):
+                hits, _ = tree.intersect((lo,), (hi + 1,))
+                qs.append(qid)
+                cs.append(len(hits))
+        return pa.table(
+            {"qid": pa.array(qs, pa.int64()), "cnt": pa.array(cs, pa.int64())}
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for TermRangeQuery [lower, upper) matches."""
     from ..search.query import TermRangeQuery
