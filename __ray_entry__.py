@@ -3118,6 +3118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ],
                 # InetAddressPoint exact / CIDR-prefix / range queries
                 ("inet", ft.inet_range_counts(sf)),
+                # HalfFloatPoint ranges via sortable-short encoding
+                ("half_float", ft.half_float_range_counts(sf)),
             ]
         ),
         "ft_bm25_topk_variants": _bm25_variants,
@@ -4717,6 +4719,16 @@ SELECT iq.qid::BIGINT AS qid,
         WHERE d.doc_id BETWEEN iq.lo AND iq.hi)::BIGINT AS cnt
 FROM iq
 ) i2
+UNION ALL
+-- HalfFloatPoint over value = doc_id % 2048 (exact in half precision,
+-- so the sortable-short range equals the integer range)
+SELECT 'half_float', hf.* FROM (
+WITH hq(qid, lo, hi) AS (VALUES {", ".join(f"({i}, {int(lo)}, {int(hi)})" for i, (lo, hi) in enumerate(ft.HALF_FLOAT_RANGES))})
+SELECT hq.qid::BIGINT AS qid,
+       (SELECT count(*) FROM documents d
+        WHERE d.doc_id % 2048 BETWEEN hq.lo AND hq.hi)::BIGINT AS cnt
+FROM hq
+) hf
 """,
         "ft_phrase_topk": f"""
 SELECT 'exact' AS family, p.* FROM ({_phrase_topk_sql()}) p

@@ -4832,6 +4832,64 @@ def _inet_point_values(reader):
     return (base + ids).reshape(-1, 1)
 
 
+# HalfFloatPoint ranges over value = doc_id % 2048 (integers <= 2048 are
+# exactly representable in half precision, so the RNE rounding is the
+# identity and the oracle is an integer range count); [lo, hi] inclusive
+HALF_FLOAT_RANGES = [(0.0, 100.0), (512.0, 1024.0), (1.0, 1.0), (2000.0, 2047.0)]
+
+
+def _half_point_values(reader):
+    from ..index.halffloat import half_to_sortable_short
+
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return (
+        half_to_sortable_short((ids % 2048).astype(np.float32))
+        .astype(np.int64)
+        .reshape(-1, 1)
+    )
+
+
+def half_float_range_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) per HalfFloatPoint range query — values and bounds go
+    through the real half-float sortable-short encoding."""
+    import ray.data as rd
+
+    from ..index.halffloat import half_to_sortable_short
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "half_pt", _half_point_values)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qs, cs = [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "half_pt"))
+            for qid, (lo, hi) in enumerate(HALF_FLOAT_RANGES):
+                slo = int(half_to_sortable_short([lo])[0])
+                shi = int(half_to_sortable_short([hi])[0])
+                hits, _ = tree.intersect((slo,), (shi + 1,))
+                qs.append(qid)
+                cs.append(len(hits))
+        return pa.table(
+            {"qid": pa.array(qs, pa.int64()), "cnt": pa.array(cs, pa.int64())}
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def inet_range_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) per InetAddressPoint query over the derived per-doc
     IPv4 point tree (exact = degenerate range, prefix = CIDR bounds)."""
