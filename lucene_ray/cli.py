@@ -238,6 +238,22 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_terminfo(args) -> int:
+    """GetTermInfo analogue (reference misc/GetTermInfo.java): docFreq +
+    totalTermFreq of one term, summed across segments."""
+    from .index.manifest import read_manifest
+    from .index.segment import SegmentReader
+
+    man = read_manifest(args.index)
+    df = ttf = 0
+    for seg in man["segments"]:
+        d, t = SegmentReader(seg["dir"]).term_stats(args.term)
+        df += int(d)
+        ttf += int(t)
+    print(json.dumps({"term": args.term, "doc_freq": df, "total_term_freq": ttf}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     from .analysis.analyzers import make_analyzer
     from .index.deletes import delete_by_key, delete_by_query, live_doc_count
@@ -304,6 +320,11 @@ def main(argv: list[str] | None = None) -> int:
     ck = sub.add_parser("check")
     ck.add_argument("--index", required=True)
     ck.set_defaults(fn=cmd_check)
+
+    ti = sub.add_parser("terminfo", help="docFreq/totalTermFreq of one term")
+    ti.add_argument("--index", required=True)
+    ti.add_argument("--term", required=True)
+    ti.set_defaults(fn=cmd_terminfo)
 
     dl = sub.add_parser("delete", help="live-docs delete by query or stored-field key")
     dl.add_argument("--index", required=True)

@@ -90,6 +90,69 @@ def split_index(
     return manifests
 
 
+def split_index_by_query(
+    index_dir: str,
+    out1: str,
+    out2: str,
+    query,
+    compact: bool = True,
+) -> list[dict]:
+    """PKIndexSplitter (reference misc/index/PKIndexSplitter.java:41-52):
+    documents matching ``query`` go to ``out1``, the remainder to
+    ``out2`` — the same sync + livedocs-mask + expunge composition as
+    split_index, with the part assignment computed per segment by a
+    non-scoring scorer pass instead of a docid rule."""
+    from ..search.searcher import NO_MORE_DOCS, IndexSearcher, build_scorer
+
+    searcher = IndexSearcher(index_dir)
+    weight = searcher.make_weight(query)
+    match_by_seg: dict[str, np.ndarray] = {}
+    for reader, seg in zip(searcher.readers, searcher.manifest["segments"]):
+        mask = np.zeros(reader.max_doc, dtype=bool)
+        scorer = build_scorer(
+            query, weight, reader, 1.0, "COMPLETE_NO_SCORES", False
+        )
+        if scorer is not None:
+            doc = scorer.advance(0)
+            while doc != NO_MORE_DOCS:
+                mask[doc] = True
+                doc = scorer.next_doc()
+        match_by_seg[seg["name"]] = mask
+
+    manifests = []
+    for part, out in enumerate((out1, out2)):
+        sync(index_dir, out)
+        man = mf.read_manifest(out)
+        gen = man["generation"] + 1
+        live_dir = os.path.join(out, "livedocs")
+        os.makedirs(live_dir, exist_ok=True)
+        entries = []
+        for seg in man["segments"]:
+            mine = match_by_seg[seg["name"]]
+            if part == 1:
+                mine = ~mine
+            lp = seg.get("livedocs")
+            live = np.load(lp) if lp else np.ones(len(mine), dtype=bool)
+            live = live & mine
+            path = os.path.join(live_dir, f"{seg['name']}-g{gen:04d}.npy")
+            np.save(path, live)
+            entry = dict(seg)
+            entry["livedocs"] = path
+            entry["del_count"] = int(len(live) - live.sum())
+            entries.append(entry)
+        new_man = dict(man)
+        new_man["generation"] = gen
+        new_man["segments"] = entries
+        mf.write_manifest(out, new_man)
+        if compact:
+            new_man = force_merge(out, max_segments=1)
+            new_man = expunge_deletes(out)
+            prune_generations(out, keep=1)
+            gc_unreferenced(out)
+        manifests.append(new_man)
+    return manifests
+
+
 def add_indexes(dst_index_dir: str, *src_index_dirs: str) -> dict:
     """IndexWriter.addIndexes(Directory...) analogue: append every source
     index's segments (and livedocs / stored-field tables) to ``dst``,

@@ -117,3 +117,18 @@ def test_cli_bpmerge(tmp_path, capsys, ray_session):
     from lucene_ray.index.check import check_index
 
     check_index(a)
+
+
+def test_cli_terminfo(idx, capsys):
+    from lucene_ray.cli import main
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    assert main(["terminfo", "--index", idx, "--term", "package"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["doc_freq"] == IndexSearcher(idx).count(TermQuery("package")) > 0
+    assert out["total_term_freq"] >= out["doc_freq"]
+    # absent term: zeros, not an error
+    assert main(["terminfo", "--index", idx, "--term", "zzzznothere"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["doc_freq"] == 0 and out["total_term_freq"] == 0

@@ -104,3 +104,22 @@ def test_add_indexes_rejects_config_mismatch(src, tmp_path):
     mf2.write_manifest(other, man)
     with _pytest.raises(ValueError, match="config mismatch"):
         add_indexes(dst, other)
+
+
+def test_pk_split_by_query(src, tmp_path):
+    """PKIndexSplitter: matching docs -> part 1, the rest -> part 2."""
+    from lucene_ray.index.split import split_index_by_query
+
+    q = TermQuery("package")
+    n_match = IndexSearcher(src).count(q)
+    assert 0 < n_match < 300
+    o1, o2 = str(tmp_path / "pk1"), str(tmp_path / "pk2")
+    m1, m2 = split_index_by_query(src, o1, o2, q)
+    n1 = sum(int(s["max_doc"]) for s in m1["segments"])
+    n2 = sum(int(s["max_doc"]) for s in m2["segments"])
+    assert n1 == n_match and n1 + n2 == 300
+    # every doc in part 1 matches, none in part 2 does
+    assert IndexSearcher(o1).count(q) == n1
+    assert IndexSearcher(o2).count(q) == 0
+    # content union == source
+    assert sorted(_doc_shas(o1) + _doc_shas(o2)) == sorted(_doc_shas(src))
