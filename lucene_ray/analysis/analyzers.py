@@ -1622,7 +1622,54 @@ def make_term_filter(name: str, **kw):
         from .snowball import porter2_stem
 
         return porter2_stem
+    if name == "capitalization":
+        # miscellaneous/CapitalizationFilter.java defaults (processWord):
+        # first char uppercased, the rest lowercased
+        return lambda t: t[:1].upper() + t[1:].lower()
+    if name == "german_normalization":
+        return _german_normalize
     raise ValueError(f"unknown term filter: {name}")
+
+
+def _german_normalize(t: str) -> str:
+    """de/GermanNormalizationFilter.java three-state FSM: ß -> ss,
+    umlauts dropped to base vowels, 'ae'/'oe' -> 'a'/'o', and 'ue' -> 'u'
+    except after a vowel or q."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in t:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # e-deletion in umlaut state
+            out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
 
 
 class CustomChainAnalyzer(ChainedVocabAnalyzer):

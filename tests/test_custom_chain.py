@@ -232,3 +232,28 @@ def test_reverse_filter_and_leading_wildcard_scan(ray_session, tmp_path):
         assert got == want, suffix
         total = sum(r.n_terms for r in sr.readers)
         assert scanned < total  # the range scan really is bounded
+
+
+def test_capitalization_filter():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("capitalization")
+    assert f("hello") == "Hello"
+    assert f("HELLO") == "Hello"
+    assert f("x") == "X"
+    assert f("") == ""
+
+
+def test_german_normalization_filter():
+    # goldens from TestGermanNormalizationFilter
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("german_normalization")
+    assert f("Schaltflächen") == "Schaltflachen"
+    assert f("Schaltflaechen") == "Schaltflachen"
+    assert f("weißbier") == "weissbier"
+    # 'ue' deletion is blocked after a vowel or q
+    assert f("quelle") == "quelle"
+    assert f("aue") == "aue"
+    assert f("hue") == "hu"
+    assert f("üben") == "uben"
