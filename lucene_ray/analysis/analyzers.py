@@ -1972,12 +1972,14 @@ class KeywordRepeatAnalyzer(StandardAnalyzer):
         )
 
 
-def stream_from_doc_tokens(texts, fn, memoize: bool = False):
+def stream_from_doc_tokens(texts, fn):
     """Build the 8-tuple ``_batch_token_stream`` contract from a per-doc
     token function ``fn(text) -> list[(term, start, end)]`` (tokens in
-    position order, posIncrement 1 each).  For short whole-value fields
-    (paths, derived contact lines) a per-doc Python expansion is the
-    honest shape — vocabulary dedup and the stream arrays stay numpy."""
+    position order, posIncrement 1 each) or ``list[(term, pos, start,
+    end)]`` with explicit positions (StopFilter gaps).  For short
+    whole-value fields (paths, derived contact lines) a per-doc Python
+    expansion is the honest shape — vocabulary dedup and the stream
+    arrays stay numpy."""
     e = np.empty(0, np.int64)
     lengths = np.zeros(len(texts), dtype=np.int64)
     if not texts:
@@ -1987,19 +1989,14 @@ def stream_from_doc_tokens(texts, fn, memoize: bool = False):
     poss: list[int] = []
     oss: list[int] = []
     oes: list[int] = []
-    memo: dict[str, list] = {}
     for di, text in enumerate(texts):
-        text = text or ""
-        if memoize:
-            tl = memo.get(text)
-            if tl is None:
-                tl = fn(text)
-                if len(memo) < 1 << 18:
-                    memo[text] = tl
-        else:
-            tl = fn(text)
+        tl = fn(text or "")
         lengths[di] = len(tl)
-        for p, (t, a, b) in enumerate(tl):
+        for p, item in enumerate(tl):
+            if len(item) == 4:
+                t, p, a, b = item
+            else:
+                t, a, b = item
             toks.append(t)
             docs.append(di)
             poss.append(p)
@@ -2106,7 +2103,7 @@ class PathHierarchyAnalyzer(StandardAnalyzer):
         return list(counts.keys()), list(counts.values()), len(toks)
 
     def _batch_token_stream(self, texts: list[str]):
-        return stream_from_doc_tokens(texts, self._path_tokens, memoize=True)
+        return stream_from_doc_tokens(texts, self._path_tokens)
 
 
 class CJKBigramAnalyzer(StandardAnalyzer):
@@ -2133,15 +2130,19 @@ class CJKBigramAnalyzer(StandardAnalyzer):
         if not spans:
             return []
         low = self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
-        out: list[tuple[str, int, int]] = []
+        out: list[tuple[str, int, int, int]] = []  # (term, pos, off_s, off_e)
         run: list[tuple[str, int, int]] = []  # (char, off_s, off_e)
+        pos = 0
 
         def flush():
+            nonlocal pos
             if len(run) == 1:
-                out.append(run[0])
+                out.append((run[0][0], pos, run[0][1], run[0][2]))
+                pos += 1
             else:
                 for a, b in zip(run, run[1:]):
-                    out.append((a[0] + b[0], a[1], b[2]))
+                    out.append((a[0] + b[0], pos, a[1], b[2]))
+                    pos += 1
             run.clear()
 
         for s, e, typ in spans:
@@ -2152,14 +2153,16 @@ class CJKBigramAnalyzer(StandardAnalyzer):
                 flush()
             tok = low[s:e]
             if self.stop_words and tok in self.stop_words:
+                pos += 1  # StopFilter posIncrement gap
                 continue
-            out.append((tok, s, e))
+            out.append((tok, pos, s, e))
+            pos += 1
         if run:
             flush()
         return out
 
     def tokens(self, text: str) -> list[str]:
-        return [t for t, _, _ in self._doc_tokens(text or "")]
+        return [it[0] for it in self._doc_tokens(text or "")]
 
     def analyze(self, text: str):
         toks = self.tokens(text)

@@ -105,31 +105,28 @@ def classic_filter(tok: str, typ: str) -> str:
 class ClassicAnalyzer(StandardAnalyzer):
     """ClassicTokenizer -> ClassicFilter -> LowerCase ->
     Stop(ENGLISH_STOP_WORDS_SET), maxTokenLength 255 (reference
-    classic/ClassicAnalyzer.java:40-90)."""
+    classic/ClassicAnalyzer.java:40-90).  Positions are pre-stop-filter
+    token ordinals (StopFilter posIncrement gaps); query normalization
+    is the inherited per-codepoint lowercase."""
 
     def __init__(self, stop_words: frozenset[str] | None = None, **kw):
         super().__init__(**kw)
         self.stop = ENGLISH_STOP_WORDS if stop_words is None else stop_words
 
-    def _lower(self, t: str) -> str:
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
-        return self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
-
-    def _doc_tokens(self, text: str) -> list[tuple[str, int, int]]:
+    def _doc_tokens(self, text: str) -> list[tuple[str, int, int, int]]:
         out = []
+        pos = 0
         for tok, typ, s, e in classic_scan(text):
             if len(tok) > self.max_token_length:
-                continue
-            t = self._lower(classic_filter(tok, typ))
+                continue  # discarded oversized token (no position in ref)
+            t = self.normalize(classic_filter(tok, typ))
             if t not in self.stop:
-                out.append((t, s, e))
+                out.append((t, pos, s, e))
+            pos += 1
         return out
 
     def tokens(self, text: str) -> list[str]:
-        return [t for t, _, _ in self._doc_tokens(text or "")]
-
-    def normalize(self, term: str) -> str:
-        return self._lower(term)
+        return [it[0] for it in self._doc_tokens(text or "")]
 
     def _batch_token_stream(self, texts: list[str]):
         return stream_from_doc_tokens(texts, self._doc_tokens)
@@ -137,13 +134,18 @@ class ClassicAnalyzer(StandardAnalyzer):
 
 # --- UAX29URLEmail ---------------------------------------------------------
 
+# the (?<!...) lookbehinds anchor matches to token boundaries: the
+# reference tokenizer scans maximal-munch from boundaries, so a URL or
+# email directly preceded by alphanumerics is NOT extracted mid-token
 _URL_RE = re.compile(
+    r"(?<![A-Za-z0-9])"
     r"(?:https?|ftp)://"
     r"[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
     r"(?::\d+)?"
     r"(?:/[A-Za-z0-9._~%/+-]*)?"
 )
 _EMAIL_RE = re.compile(
+    r"(?<![A-Za-z0-9._+-])"
     r"[A-Za-z0-9][A-Za-z0-9._+-]*@"
     r"(?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?\.)+[A-Za-z]{2,}"
 )
@@ -154,40 +156,43 @@ class UAX29URLEmailAnalyzer(StandardAnalyzer):
     """URL/EMAIL whole tokens + UAX#29 word tokens, then LowerCase ->
     Stop(ENGLISH_STOP_WORDS_SET) — reference email/UAX29URLEmailAnalyzer
     .java:90-95 (see module docstring for the URL-grammar subset
-    deviation)."""
+    deviation).  Positions are pre-stop token ordinals."""
 
     def __init__(self, stop_words: frozenset[str] | None = None, **kw):
         super().__init__(**kw)
         self.stop = ENGLISH_STOP_WORDS if stop_words is None else stop_words
 
-    def _lower(self, t: str) -> str:
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
-        return self.tables.lower[cps].astype("<u4").tobytes().decode("utf-32-le")
-
-    def _doc_tokens(self, text: str) -> list[tuple[str, int, int]]:
+    def _doc_tokens(self, text: str) -> list[tuple[str, int, int, int]]:
         spans: list[tuple[int, int, str]] = []  # (start, end, term)
-        masked = text
-        for m in _PRE_RE.finditer(text):
-            if m.end() - m.start() <= self.max_token_length:
-                spans.append((m.start(), m.end(), text[m.start() : m.end()]))
-            masked = masked[: m.start()] + " " * (m.end() - m.start()) + masked[m.end() :]
+        pre = list(_PRE_RE.finditer(text))
+        if pre:
+            # build the masked string ONCE from the pieces between matches
+            pieces: list[str] = []
+            prev = 0
+            for m in pre:
+                if m.end() - m.start() <= self.max_token_length:
+                    spans.append((m.start(), m.end(), text[m.start() : m.end()]))
+                pieces.append(text[prev : m.start()])
+                pieces.append(" " * (m.end() - m.start()))
+                prev = m.end()
+            pieces.append(text[prev:])
+            masked = "".join(pieces)
+        else:
+            masked = text
         if masked:
             cps = np.frombuffer(masked.encode("utf-32-le"), dtype="<u4")
             for s, e, _typ in scanner.scan_spans(cps, self.max_token_length):
                 spans.append((s, e, masked[s:e]))
         spans.sort(key=lambda x: x[0])
         out = []
-        for s, e, raw in spans:
-            t = self._lower(raw)
+        for pos, (s, e, raw) in enumerate(spans):
+            t = self.normalize(raw)
             if t not in self.stop:
-                out.append((t, s, e))
+                out.append((t, pos, s, e))
         return out
 
     def tokens(self, text: str) -> list[str]:
-        return [t for t, _, _ in self._doc_tokens(text or "")]
-
-    def normalize(self, term: str) -> str:
-        return self._lower(term)
+        return [it[0] for it in self._doc_tokens(text or "")]
 
     def _batch_token_stream(self, texts: list[str]):
         return stream_from_doc_tokens(texts, self._doc_tokens)

@@ -49,6 +49,22 @@ def split_index(
     total = sum(int(s["max_doc"]) for s in src_man["segments"])
     bounds = np.linspace(0, total, n + 1).astype(np.int64)
 
+    def mask_for(part: int, seg: dict) -> np.ndarray:
+        base = int(seg["doc_base"])
+        gids = base + np.arange(int(seg["max_doc"]), dtype=np.int64)
+        if mode == "round_robin":
+            return (gids % n) == part
+        if mode == "seq":
+            return (gids >= bounds[part]) & (gids < bounds[part + 1])
+        raise ValueError(f"unknown mode {mode!r}")
+
+    return _write_parts(index_dir, out_dirs, mask_for, compact)
+
+
+def _write_parts(index_dir, out_dirs, mask_for, compact: bool) -> list[dict]:
+    """Shared part-writing protocol: each part is a sync of the source
+    plus one livedocs generation masking foreign docs
+    (``mask_for(part, seg) -> bool[max_doc]``), optionally compacted."""
     manifests = []
     for part, out in enumerate(out_dirs):
         sync(index_dir, out)
@@ -58,16 +74,9 @@ def split_index(
         os.makedirs(live_dir, exist_ok=True)
         entries = []
         for seg in man["segments"]:
-            base = int(seg["doc_base"])
-            gids = base + np.arange(int(seg["max_doc"]), dtype=np.int64)
-            if mode == "round_robin":
-                mine = (gids % n) == part
-            elif mode == "seq":
-                mine = (gids >= bounds[part]) & (gids < bounds[part + 1])
-            else:
-                raise ValueError(f"unknown mode {mode!r}")
+            mine = mask_for(part, seg)
             lp = seg.get("livedocs")
-            live = np.load(lp) if lp else np.ones(len(gids), dtype=bool)
+            live = np.load(lp) if lp else np.ones(len(mine), dtype=bool)
             live = live & mine
             path = os.path.join(live_dir, f"{seg['name']}-g{gen:04d}.npy")
             np.save(path, live)
@@ -119,38 +128,11 @@ def split_index_by_query(
                 doc = scorer.next_doc()
         match_by_seg[seg["name"]] = mask
 
-    manifests = []
-    for part, out in enumerate((out1, out2)):
-        sync(index_dir, out)
-        man = mf.read_manifest(out)
-        gen = man["generation"] + 1
-        live_dir = os.path.join(out, "livedocs")
-        os.makedirs(live_dir, exist_ok=True)
-        entries = []
-        for seg in man["segments"]:
-            mine = match_by_seg[seg["name"]]
-            if part == 1:
-                mine = ~mine
-            lp = seg.get("livedocs")
-            live = np.load(lp) if lp else np.ones(len(mine), dtype=bool)
-            live = live & mine
-            path = os.path.join(live_dir, f"{seg['name']}-g{gen:04d}.npy")
-            np.save(path, live)
-            entry = dict(seg)
-            entry["livedocs"] = path
-            entry["del_count"] = int(len(live) - live.sum())
-            entries.append(entry)
-        new_man = dict(man)
-        new_man["generation"] = gen
-        new_man["segments"] = entries
-        mf.write_manifest(out, new_man)
-        if compact:
-            new_man = force_merge(out, max_segments=1)
-            new_man = expunge_deletes(out)
-            prune_generations(out, keep=1)
-            gc_unreferenced(out)
-        manifests.append(new_man)
-    return manifests
+    def mask_for(part: int, seg: dict) -> np.ndarray:
+        mask = match_by_seg[seg["name"]]
+        return mask if part == 0 else ~mask
+
+    return _write_parts(index_dir, (out1, out2), mask_for, compact)
 
 
 def add_indexes(dst_index_dir: str, *src_index_dirs: str) -> dict:

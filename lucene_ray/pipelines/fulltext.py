@@ -166,67 +166,19 @@ def term_stats_all(sf_dir: str, analyzer: str = "standard"):
     )
 
 
+def _path_values(ids, sources, langs):
+    return [
+        f"{sv}/{lv}/b{iv % 10}/doc_{iv}.txt"
+        for iv, sv, lv in zip(ids, sources, langs)
+    ]
+
+
 def ensure_path_corpus(sf_dir: str) -> str:
-    """documents.parquet -> (doc_id, path) where ``path`` is a
-    deterministic SQL-reproducible hierarchy
+    """(doc_id, path): a deterministic SQL-reproducible hierarchy
     ``source/lang/b<doc_id%10>/doc_<doc_id>.txt`` — the input for the
     PathHierarchyTokenizer analyzer arms (a path facet over a code corpus
     is the tokenizer's reference use case)."""
-    import pyarrow.parquet as pq
-
-    slug = hashlib.sha256(
-        (os.path.realpath(sf_dir) + f"|v{INDEX_LAYOUT_V}").encode()
-    ).hexdigest()[:12]
-    out_dir = os.path.join(
-        "/tmp", "lucene_ray_idx",
-        f"{os.path.basename(sf_dir.rstrip('/'))}-{slug}-paths-src",
-    )
-    done = os.path.join(out_dir, "_DONE")
-    if not os.path.exists(done):
-        import pyarrow.compute as pc
-        import ray.data as rd
-
-        os.makedirs(out_dir, exist_ok=True)
-        src_path = os.path.join(sf_dir, "documents.parquet")
-        md = pq.ParquetFile(src_path).metadata
-        descs = [{"path": src_path, "row_group": rg} for rg in range(md.num_row_groups)]
-
-        def _derive(batch: pa.Table) -> pa.Table:
-            rows = []
-            for d in batch.to_pylist():
-                tbl = pq.ParquetFile(d["path"]).read_row_group(
-                    d["row_group"], columns=["doc_id", "lang", "source"]
-                )
-                did = tbl.column("doc_id")
-                path = pc.binary_join_element_wise(
-                    pc.cast(tbl.column("source"), pa.string()),
-                    pc.cast(tbl.column("lang"), pa.string()),
-                    pc.binary_join_element_wise(
-                        "b",
-                        pc.cast(
-                            pa.array(did.to_numpy() % 10, pa.int64()), pa.string()
-                        ),
-                        "",
-                    ),
-                    pc.binary_join_element_wise(
-                        "doc_", pc.cast(did, pa.string()), ".txt", ""
-                    ),
-                    "/",
-                )
-                out = pa.table({"doc_id": did, "path": path})
-                part = os.path.join(out_dir, f"part-{d['row_group']:06d}.parquet")
-                tmp_p = part + ".tmp"
-                pq.write_table(out, tmp_p, row_group_size=2000)
-                os.replace(tmp_p, part)
-                rows.append({"row_group": d["row_group"]})
-            return pa.Table.from_pylist(rows)
-
-        rd.from_items(descs).map_batches(
-            _derive, batch_size=1, batch_format="pyarrow", num_cpus=1
-        ).materialize()
-        with open(done, "w") as f:
-            f.write("ok")
-    return out_dir
+    return _ensure_derived_corpus(sf_dir, "paths", "path", _path_values)
 
 
 def _ensure_derived_corpus(sf_dir: str, tag: str, column: str, make_values) -> str:
@@ -370,38 +322,13 @@ def path_term_stats(sf_dir: str, reverse: bool = False):
     """(term, doc_freq, total_term_freq) of the PathHierarchy index over
     the derived path corpus — the forward arm gives path-prefix facet
     counts, the reverse arm filename/extension suffix counts."""
-    import ray.data as rd
-
     src = ensure_path_corpus(sf_dir)
-    suffix = "path-rev" if reverse else "path-fwd"
-    idx = index_dir_for(sf_dir, analyzer=suffix)
-    if mf.latest_generation(idx) is None:
-        build_index(
-            sorted(
-                os.path.join(src, f)
-                for f in os.listdir(src)
-                if f.endswith(".parquet")
-            ),
-            idx,
-            analyzer={"name": "path_hierarchy", "reverse": reverse},
-            docs_per_segment=DOCS_PER_SEGMENT,
-            mode="fused",
-            content_column="path",
-            meta_columns=("doc_id",),
-        )
-    ds = rd.from_items(_segment_dirs(idx))
-    agg = ds.map_batches(_seg_term_stats, batch_format="pyarrow").groupby("term").sum(
-        ["df", "ttf"]
-    )
-    return agg.map_batches(
-        lambda b: pa.table(
-            {
-                "term": b.column("term"),
-                "doc_freq": b.column("sum(df)"),
-                "total_term_freq": b.column("sum(ttf)"),
-            }
-        ),
-        batch_format="pyarrow",
+    return _derived_term_stats(
+        sf_dir,
+        src,
+        "path-rev" if reverse else "path-fwd",
+        {"name": "path_hierarchy", "reverse": reverse},
+        "path",
     )
 
 

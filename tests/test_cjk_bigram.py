@@ -32,8 +32,17 @@ def test_ascii_passthrough_breaks_runs():
 
 
 def test_offsets_span_both_chars():
-    toks = AN._doc_tokens("一二三")
-    assert toks == [("一二", 0, 2), ("二三", 1, 3)]
+    toks = AN._doc_tokens("一二三")  # (term, pos, off_s, off_e)
+    assert toks == [("一二", 0, 0, 2), ("二三", 1, 1, 3)]
     # cross-space bigram spans the gap
     toks = AN._doc_tokens("五 か")
-    assert toks == [("五か", 0, 3)]
+    assert toks == [("五か", 0, 0, 3)]
+
+
+def test_stop_words_leave_position_gap():
+    from lucene_ray.analysis.analyzers import CJKBigramAnalyzer
+
+    an = CJKBigramAnalyzer(stop_words=frozenset({"mid"}))
+    toks = an._doc_tokens("cjk mid 一")
+    # 'mid' is dropped but its position survives as a gap
+    assert toks == [("cjk", 0, 0, 3), ("一", 2, 8, 9)]

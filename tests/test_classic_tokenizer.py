@@ -68,3 +68,23 @@ def test_stream_offsets():
     # 'a' is a stopword; ACRONYM span covers the dotted source text
     assert got == [("bc", 2, 6), ("x", 7, 8)]
     assert lengths.tolist() == [2, 0]
+
+
+def test_stop_positions_leave_gaps():
+    # StopFilter posIncrement semantics: 'the' consumes position 1
+    an = ClassicAnalyzer()
+    toks = an._doc_tokens("join the order")
+    assert [(t, p) for t, p, _, _ in toks] == [("join", 0), ("order", 2)]
+    ua = UAX29URLEmailAnalyzer()
+    toks = ua._doc_tokens("join the order")
+    assert [(t, p) for t, p, _, _ in toks] == [("join", 0), ("order", 2)]
+
+
+def test_url_email_not_extracted_mid_token():
+    an = UAX29URLEmailAnalyzer()
+    # maximal munch from token boundaries: no mid-token URL extraction
+    assert an.tokens("xhttps://a.io") == ["xhttps", "a.io"]
+    # a longer local part from the boundary is still one whole email
+    assert an.tokens("xbob@ex.com go") == ["xbob@ex.com", "go"]
+    # still extracts at real boundaries
+    assert an.tokens("(https://a.io)") == ["https://a.io"]
