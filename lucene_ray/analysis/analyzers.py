@@ -2106,6 +2106,71 @@ class PathHierarchyAnalyzer(StandardAnalyzer):
         return stream_from_doc_tokens(texts, self._path_tokens)
 
 
+class DelimitedPayloadAnalyzer(WhitespaceAnalyzer):
+    """WhitespaceTokenizer -> DelimitedPayloadTokenFilter (reference
+    analysis/payloads/DelimitedPayloadTokenFilter.java with the
+    IntegerEncoder): ``term|7`` indexes ``term`` carrying payload 7 —
+    the split is at the LAST delimiter, like the reference's
+    end-to-start scan.  Payloads ride the engine's payload channel (the
+    off_s stream under index_options="payloads", see index/build.py):
+    tokens WITHOUT a delimiter keep the default char-start-offset
+    payload.  A non-integer payload suffix raises, matching
+    IntegerEncoder's NumberFormatException."""
+
+    def __init__(self, delimiter: str = "|", **kw):
+        super().__init__(**kw)
+        if len(delimiter) != 1:
+            raise ValueError("delimiter must be a single char")
+        self.pay_delimiter = delimiter
+
+    def _split(self, term: str) -> tuple[str, int | None]:
+        i = term.rfind(self.pay_delimiter)
+        if i < 0:
+            return term, None
+        return term[:i], int(term[i + 1 :])
+
+    def tokens(self, text: str) -> list[str]:
+        return [self._split(t)[0] for t in super().tokens(text)]
+
+    def normalize(self, term: str) -> str:
+        return self._split(term)[0]
+
+    def analyze(self, text: str):
+        toks = self.tokens(text)
+        if not toks:
+            return [], [], 0
+        counts = Counter(toks)
+        return list(counts.keys()), list(counts.values()), len(toks)
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        splits = [self._split(t) for t in vocab]
+        new_vocab = sorted({b for b, _ in splits}, key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[b] for b, _ in splits], dtype=np.int64)
+        pays = np.array(
+            [-1 if p is None else p for _, p in splits], dtype=np.int64
+        )
+        tok_pay = pays[tids]
+        # delimited tokens carry their parsed payload; others keep the
+        # char-start-offset default
+        new_off_s = np.where(tok_pay >= 0, tok_pay, off_s)
+        return (
+            new_vocab,
+            remap[tids],
+            doc_ids,
+            positions,
+            lengths,
+            n_docs,
+            new_off_s,
+            off_e,
+        )
+
+
 class CJKBigramAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> CJKBigramFilter (reference
     analysis/cjk/CJKBigramFilter.java, default flags HAN | HIRAGANA |
@@ -2202,6 +2267,7 @@ ANALYZERS = {
     "html_strip": HTMLStripAnalyzer,
     "path_hierarchy": PathHierarchyAnalyzer,
     "cjk_bigram": CJKBigramAnalyzer,
+    "delimited_payload": DelimitedPayloadAnalyzer,
 }
 
 

@@ -161,3 +161,36 @@ def test_span_payload_check_query(pay_index):
         none = s.search(SpanPayloadCheckQuery(("import", "numpy"), (10**9, 10**9), "gt"),
                         10**6, score_mode="COMPLETE", total_hits_threshold=np.inf)
         assert none == []
+
+
+def test_delimited_payload_analyzer(tmp_path):
+    """DelimitedPayloadTokenFilter: 'term|N' carries payload N through
+    the real payloads index; undelimited tokens keep the char-offset
+    default."""
+    import pyarrow as pa
+
+    docs = ["apple|5 banana cherry|9", "apple|5 apple|5 dog"]
+    src = tmp_path / "d.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 2, "path": ["a", "b"],
+                  "commit": ["x"] * 2, "lang": ["en"] * 2}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(
+        str(src), idx, index_options="payloads", analyzer="delimited_payload"
+    )
+    r = SegmentReader(idx + "/seg_000000")
+    assert r.has_payloads
+    for term, want in [("apple", [[5], [5, 5]]), ("cherry", [[9]]),
+                       ("banana", [[8]]), ("dog", [[16]])]:
+        tid = r.term_id(term)
+        assert tid is not None, term
+        pays = r.term_payloads(tid)
+        assert [p.tolist() for p in pays] == want, term
+    # payload suffix must be an integer (IntegerEncoder contract)
+    from lucene_ray.analysis.analyzers import make_analyzer
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        make_analyzer("delimited_payload").tokens("bad|xx")
