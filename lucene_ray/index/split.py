@@ -135,6 +135,52 @@ def split_index_by_query(
     return _write_parts(index_dir, (out1, out2), mask_for, compact)
 
 
+def rearrange_index(
+    index_dir: str,
+    out_dir: str,
+    selectors: list,
+    tmp_root: str | None = None,
+) -> dict:
+    """IndexRearranger (reference misc/index/IndexRearranger.java:30-60):
+    copy + rearrange an index so output segment i holds EXACTLY the
+    global docids of ``selectors[i]`` — selector order becomes segment
+    order, and an empty selection produces no segment (the reference
+    discards all-deleted segments).  Built from the existing parts
+    machinery: one compacted single-segment part per selector, assembled
+    with addIndexes."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rearrange-", dir=tmp_root)
+    try:
+        parts = []
+        for i, sel in enumerate(selectors):
+            sel_arr = np.asarray(sorted({int(d) for d in sel}), dtype=np.int64)
+
+            def mask_for(part: int, seg: dict, sel_arr=sel_arr) -> np.ndarray:
+                base = int(seg["doc_base"])
+                n = int(seg["max_doc"])
+                mask = np.zeros(n, dtype=bool)
+                mine = sel_arr[(sel_arr >= base) & (sel_arr < base + n)] - base
+                mask[mine] = True
+                return mask
+
+            out = os.path.join(tmp, f"part{i:04d}")
+            man = _write_parts(index_dir, [out], mask_for, compact=True)[0]
+            if sum(int(s["max_doc"]) for s in man["segments"]):
+                parts.append(out)
+        if not parts:
+            raise ValueError("all selectors empty: nothing to rearrange")
+        sync(parts[0], out_dir)
+        if len(parts) > 1:
+            result = add_indexes(out_dir, *parts[1:])
+        else:
+            result = mf.read_manifest(out_dir)
+        return result
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def add_indexes(dst_index_dir: str, *src_index_dirs: str) -> dict:
     """IndexWriter.addIndexes(Directory...) analogue: append every source
     index's segments (and livedocs / stored-field tables) to ``dst``,

@@ -123,3 +123,27 @@ def test_pk_split_by_query(src, tmp_path):
     assert IndexSearcher(o2).count(q) == 0
     # content union == source
     assert sorted(_doc_shas(o1) + _doc_shas(o2)) == sorted(_doc_shas(src))
+
+
+def test_rearrange_index(src, tmp_path):
+    """IndexRearranger: selector order = segment order, exact doc sets."""
+    from lucene_ray.index.split import rearrange_index
+
+    # three selectors with a deliberate non-monotonic order, one empty
+    sels = [
+        np.arange(200, 300),
+        np.arange(0, 50),
+        np.array([], dtype=np.int64),
+        np.arange(50, 200),
+    ]
+    out = str(tmp_path / "rearranged")
+    man = rearrange_index(src, out, sels)
+    sizes = [int(s["max_doc"]) for s in man["segments"]]
+    assert sizes == [100, 50, 150]  # empty selector discarded
+    # content union == source and per-segment membership is exact
+    assert sorted(_doc_shas(out)) == sorted(_doc_shas(src))
+    src_shas = _doc_shas(src)
+    segs = read_manifest(out)["segments"]
+    r0 = SegmentReader(segs[0]["dir"])
+    got = [r0.stored_column("sha256")[d].as_py() for d in range(r0.max_doc)]
+    assert sorted(got) == sorted(src_shas[200:300])
