@@ -1734,17 +1734,24 @@ class PatternAnalyzer(StandardAnalyzer):
     documented deviation otherwise).  The per-doc scan is one compiled
     ``finditer`` (the reference's own shape: Matcher.find in a loop)."""
 
-    def __init__(self, pattern: str = "[a-z]{3,}", max_token_length: int = 255, **_kw):
+    def __init__(
+        self,
+        pattern: str = "[a-z]{3,}",
+        max_token_length: int = 255,
+        stop_words: frozenset[str] | None = None,
+        **_kw,
+    ):
         super().__init__(stop_words=None, max_token_length=max_token_length)
         self.pattern = pattern
         self._rx = re.compile(pattern)
+        self.stop = stop_words or frozenset()
 
     def tokens(self, text: str) -> list[str]:
         cap = self.max_token_length
         return [
             m.group(0)
             for m in self._rx.finditer((text or "").lower())
-            if len(m.group(0)) <= cap
+            if len(m.group(0)) <= cap and m.group(0) not in self.stop
         ]
 
     def normalize(self, term: str) -> str:
@@ -1762,6 +1769,9 @@ class PatternAnalyzer(StandardAnalyzer):
             for m in self._rx.finditer((text or "").lower()):
                 t = m.group(0)
                 if len(t) > cap:
+                    continue
+                if t in self.stop:
+                    p += 1  # StopFilter posIncrement gap
                     continue
                 toks.append(t)
                 doc_ids.append(di)
@@ -1788,6 +1798,32 @@ class PatternAnalyzer(StandardAnalyzer):
             len(texts),
             np.asarray(off_s, np.int64),
             np.asarray(off_e, np.int64),
+        )
+
+
+class SimpleLetterAnalyzer(PatternAnalyzer):
+    """SimpleAnalyzer (reference core/SimpleAnalyzer.java): LetterTokenizer
+    + LowerCaseFilter — maximal runs of Unicode letters, lowercased.
+    Expressed as the letter-run pattern over the lowered text (CharTokenizer
+    isTokenChar=isLetter); oversized runs drop rather than chunk
+    (documented deviation from CharTokenizer's 255-char split)."""
+
+    def __init__(self, **kw):
+        kw.setdefault("pattern", r"[^\W\d_]+")
+        super().__init__(**kw)
+
+
+class StopWordsAnalyzer(SimpleLetterAnalyzer):
+    """StopAnalyzer (reference core/StopAnalyzer.java): LetterTokenizer +
+    LowerCase + StopFilter; the stop set is REQUIRED, like the reference
+    constructor (defaults to the English set for convenience)."""
+
+    def __init__(self, stop_words=None, **kw):
+        from .english import ENGLISH_STOP_WORDS
+
+        super().__init__(
+            stop_words=frozenset(stop_words) if stop_words else ENGLISH_STOP_WORDS,
+            **kw,
         )
 
 
@@ -2268,6 +2304,8 @@ ANALYZERS = {
     "path_hierarchy": PathHierarchyAnalyzer,
     "cjk_bigram": CJKBigramAnalyzer,
     "delimited_payload": DelimitedPayloadAnalyzer,
+    "simple": SimpleLetterAnalyzer,
+    "stop": StopWordsAnalyzer,
 }
 
 

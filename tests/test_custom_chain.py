@@ -257,3 +257,21 @@ def test_german_normalization_filter():
     assert f("aue") == "aue"
     assert f("hue") == "hu"
     assert f("üben") == "uben"
+
+
+def test_simple_and_stop_analyzers():
+    """SimpleAnalyzer (letter runs + lowercase) and StopAnalyzer
+    (+ stop set with position gaps)."""
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    a = make_analyzer("simple")
+    assert a.tokens("Don't panic42 über ALL") == ["don", "t", "panic", "über", "all"]
+    s = make_analyzer("stop")
+    assert s.tokens("the Quick brown fox") == ["quick", "brown", "fox"]
+    v, t, d, p, l, n, os_, oe = s._batch_token_stream(["the quick fox"])
+    assert [(v[t[i]], int(p[i])) for i in range(len(t))] == [
+        ("quick", 1), ("fox", 2),
+    ]
+    assert l.tolist() == [2]
+    s2 = make_analyzer("stop", stop_words={"fox"})
+    assert s2.tokens("the fox runs") == ["the", "runs"]
