@@ -159,6 +159,64 @@ class LargeNumHitsTopDocsCollector:
         return [(d, s) for s, d in ordered[:how_many]]
 
 
+class CollectorMemoryTracker:
+    """Reference misc/CollectorMemoryTracker.java: per-collector byte
+    accounting with a hard limit — updateBytes raises once usage
+    exceeds the limit or goes negative."""
+
+    def __init__(self, name: str, memory_limit: int):
+        self.name = name
+        self.memory_limit = int(memory_limit)
+        self._bytes = 0
+
+    def update_bytes(self, n: int) -> None:
+        self._bytes += int(n)
+        if self._bytes > self.memory_limit:
+            raise MemoryError(f"Memory limit exceeded for {self.name}")
+        if self._bytes < 0:
+            raise ValueError(f"Illegal Memory State for {self.name}")
+
+    def get_bytes(self) -> int:
+        return self._bytes
+
+
+class MemoryAccountingBitsetCollector:
+    """Reference misc/search/MemoryAccountingBitsetCollector.java: a
+    match bitset over global docids whose growth is charged to a
+    CollectorMemoryTracker — FixedBitSet.ensureCapacity doubling, 8
+    bytes per 64-doc word, collection aborts (tracker raises) when the
+    bitset would exceed the budget."""
+
+    def __init__(self, tracker: CollectorMemoryTracker):
+        import numpy as np
+
+        self.tracker = tracker
+        self._np = np
+        self.bits = np.zeros(0, dtype=bool)
+        self.length = 0
+        tracker.update_bytes(self._ram(0))
+
+    @staticmethod
+    def _ram(nbits: int) -> int:
+        return 8 * ((nbits + 63) // 64)  # FixedBitSet long words
+
+    def set_next_reader(self, max_doc: int) -> None:
+        """Extend capacity for the next segment (doSetNextReader)."""
+        self.length += int(max_doc)
+        if self.length > len(self.bits):
+            new_cap = max(self.length, 2 * len(self.bits))
+            self.tracker.update_bytes(self._ram(new_cap) - self._ram(len(self.bits)))
+            grown = self._np.zeros(new_cap, dtype=bool)
+            grown[: len(self.bits)] = self.bits
+            self.bits = grown
+
+    def collect(self, doc: int, score=None) -> None:
+        self.bits[doc] = True
+
+    def matching_docs(self):
+        return self._np.flatnonzero(self.bits[: self.length])
+
+
 class CachingCollector:
     """Reference search/CachingCollector.java: wrap another collector,
     record every (doc, score) pair during the first collection, and

@@ -104,3 +104,31 @@ def test_caching_collector_aborts_over_budget():
         caching.replay(TopKCollector(5, total_hits_threshold=np.inf))
     # the wrapped collector still collected everything
     assert len(caching.inner.top_docs()) == 5
+
+
+def test_memory_accounting_bitset_collector():
+    """misc/MemoryAccountingBitsetCollector: bitset growth charged to the
+    tracker, hard limit raises."""
+    import numpy as np
+    import pytest
+
+    from lucene_ray.search.collector import (
+        CollectorMemoryTracker,
+        MemoryAccountingBitsetCollector,
+    )
+
+    tr = CollectorMemoryTracker("test", memory_limit=1024)
+    c = MemoryAccountingBitsetCollector(tr)
+    c.set_next_reader(100)   # 1 segment of 100 docs
+    c.set_next_reader(500)   # second segment
+    for d in (0, 99, 100, 599):
+        c.collect(d)
+    assert c.matching_docs().tolist() == [0, 99, 100, 599]
+    assert 0 < tr.get_bytes() <= 1024
+    # a segment pushing the bitset past the limit aborts collection
+    with pytest.raises(MemoryError):
+        c.set_next_reader(100_000)
+    # negative accounting is illegal state
+    tr2 = CollectorMemoryTracker("neg", 100)
+    with pytest.raises(ValueError):
+        tr2.update_bytes(-5)
