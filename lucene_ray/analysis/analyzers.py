@@ -1622,6 +1622,13 @@ def make_term_filter(name: str, **kw):
         from .snowball import porter2_stem
 
         return porter2_stem
+    if name == "metaphone":
+        # phonetic/PhoneticFilter.java with the commons-codec Metaphone
+        # encoder (replace=true mode: the code replaces the term)
+        from .metaphone import metaphone as _mp
+
+        mlen = int(kw.get("max_code_len", 4))
+        return lambda t: (_mp(t, mlen) or t)
     if name == "capitalization":
         # miscellaneous/CapitalizationFilter.java defaults (processWord):
         # first char uppercased, the rest lowercased

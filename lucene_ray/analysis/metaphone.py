@@ -1,0 +1,141 @@
+"""Metaphone encoder (Lawrence Philips, 1990).
+
+Reference: lucene/analysis/phonetic/src/java/org/apache/lucene/analysis/
+phonetic/PhoneticFilter.java delegates to commons-codec's
+``org.apache.commons.codec.language.Metaphone``; this is that algorithm
+(maxCodeLen=4 default) — frontal exceptions (AE/GN/KN/PN/WR drop the
+first letter, X->S, WH->W), vowels kept only initially, and the
+contextual consonant rules (CIA/CH->X, SCH->K, DGE->J, TH->0, PH->F,
+X->KS, silent GH/GN/KN/MB...), golden-pinned in tests."""
+
+from __future__ import annotations
+
+VOWELS = "AEIOU"
+FRONTV = "EIY"  # front vowels
+VARSON = "CSPTG"  # variable sound consonants before H
+
+
+def metaphone(txt: str, max_code_len: int = 4) -> str:
+    if not txt:
+        return ""
+    s = "".join(c for c in txt.upper() if c.isalpha())
+    if not s:
+        return ""
+    if len(s) == 1:
+        return s
+
+    # frontal exceptions
+    first2 = s[:2]
+    if first2 in ("AE", "GN", "KN", "PN", "WR"):
+        s = s[1:]
+    elif s[0] == "X":
+        s = "S" + s[1:]
+    elif first2 == "WH":
+        s = "W" + s[2:]
+
+    code: list[str] = []
+    n = len(s)
+    i = 0
+    while i < n and len(code) < max_code_len:
+        c = s[i]
+        prev = s[i - 1] if i > 0 else "\0"
+        nxt = s[i + 1] if i + 1 < n else "\0"
+        nxt2 = s[i + 2] if i + 2 < n else "\0"
+
+        # dedupe doubled letters except C
+        if c != "C" and c == prev:
+            i += 1
+            continue
+
+        if c in VOWELS:
+            if i == 0:
+                code.append(c)
+        elif c == "B":
+            # silent terminal B after M (lamb, dumb)
+            if not (i == n - 1 and prev == "M"):
+                code.append("B")
+        elif c == "C":
+            if nxt == "I" and nxt2 == "A":  # CIA -> X
+                code.append("X")
+            elif nxt in FRONTV:
+                if prev == "S":
+                    pass  # SCI/SCE/SCY: C is silent
+                else:
+                    code.append("S")
+            elif nxt == "H":
+                if prev == "S":  # SCH -> K
+                    code.append("K")
+                else:
+                    code.append("X")  # CH -> X
+            else:
+                code.append("K")
+        elif c == "D":
+            if nxt == "G" and nxt2 in FRONTV:  # DGE/DGI/DGY -> J
+                code.append("J")
+                i += 1  # skip the G
+            else:
+                code.append("T")
+        elif c == "G":
+            silent = False
+            # GH silent unless before a vowel
+            if nxt == "H" and nxt2 not in VOWELS and nxt2 != "\0":
+                silent = True
+            if nxt == "H" and i + 2 == n:
+                silent = True
+            # GN / GNED: silent G
+            if nxt == "N":
+                silent = True
+            if prev == "D" and nxt in FRONTV:  # handled at D
+                silent = True
+            if not silent:
+                if nxt in FRONTV and prev != "G":
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif c == "H":
+            # silent after vowel with no following vowel, or after VARSON
+            if prev in VOWELS and nxt not in VOWELS:
+                pass
+            elif prev in VARSON:
+                pass
+            else:
+                code.append("H")
+        elif c == "K":
+            if prev != "C":  # CK: K silent after C
+                code.append("K")
+        elif c in "FJLMNR":
+            code.append(c)
+        elif c == "P":
+            code.append("F" if nxt == "H" else "P")
+        elif c == "Q":
+            code.append("K")
+        elif c == "S":
+            if nxt == "H":
+                code.append("X")
+            elif nxt == "I" and nxt2 in ("O", "A"):  # SIO/SIA -> X
+                code.append("X")
+            else:
+                code.append("S")
+        elif c == "T":
+            if nxt == "I" and nxt2 in ("O", "A"):  # TIO/TIA -> X
+                code.append("X")
+            elif nxt == "H":
+                code.append("0")  # theta
+                i += 1  # TH is one sound
+            elif nxt == "C" and nxt2 == "H":
+                pass  # TCH: T silent
+            else:
+                code.append("T")
+        elif c == "V":
+            code.append("F")
+        elif c in "WY":
+            if nxt in VOWELS:
+                code.append(c)
+        elif c == "X":
+            code.append("K")
+            code.append("S")
+        elif c == "Z":
+            code.append("S")
+        i += 1
+
+    return "".join(code[:max_code_len])

@@ -1,0 +1,48 @@
+"""Metaphone encoder (the commons-codec algorithm Lucene's
+PhoneticFilter delegates to), rule-by-rule goldens."""
+
+from lucene_ray.analysis.analyzers import make_term_filter
+from lucene_ray.analysis.metaphone import metaphone
+
+
+def test_basic_vector():
+    for w, want in [
+        ("howl", "HL"), ("The", "0"), ("quick", "KK"), ("brown", "BRN"),
+        ("fox", "FKS"), ("jumped", "JMPT"), ("over", "OFR"), ("lazy", "LS"),
+        ("dogs", "TKS"), ("testing", "TSTN"),
+    ]:
+        assert metaphone(w) == want, w
+
+
+def test_frontal_exceptions():
+    assert metaphone("knight") == "NT"     # KN- drops K
+    assert metaphone("wrack") == "RK"      # WR- drops W
+    assert metaphone("gnome") == "NM"      # GN- drops G
+    assert metaphone("xylophone") == "SLFN"  # X- -> S
+    assert metaphone("whale") == "WL"      # WH- -> W
+    assert metaphone("aeon") == "EN"       # AE- drops A
+
+
+def test_consonant_rules():
+    assert metaphone("school") == "SKL"    # SCH -> K
+    assert metaphone("science") == "SNS"   # SCI: silent C
+    assert metaphone("pitch") == "PX"      # TCH: silent T, CH -> X
+    assert metaphone("judge") == "JJ"      # DGE -> J
+    assert metaphone("philip") == "FLP"    # PH -> F
+    assert metaphone("vision") == "FXN"    # SIO -> X, V -> F
+    assert metaphone("nation") == "NXN"    # TIO -> X
+    assert metaphone("thumb") == "0M"      # TH -> 0, terminal MB silent
+    assert metaphone("lamb") == "LM"
+    assert metaphone("ghost") == "KST"     # GH before vowel -> K
+    assert metaphone("weight") == "WT"     # GH silent before consonant
+    assert metaphone("exciting") == "EKSS"  # X -> KS
+
+
+def test_edges_and_filter():
+    assert metaphone("") == ""
+    assert metaphone("a") == "A"
+    assert metaphone("123") == ""
+    assert metaphone("extra", max_code_len=2) == "EK"
+    f = make_term_filter("metaphone")
+    assert f("philip") == "FLP"
+    assert f("123") == "123"  # unencodable terms pass through
