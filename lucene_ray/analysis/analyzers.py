@@ -1629,6 +1629,10 @@ def make_term_filter(name: str, **kw):
 
         mlen = int(kw.get("max_code_len", 4))
         return lambda t: (_mp(t, mlen) or t)
+    if name == "refined_soundex":
+        from .metaphone import refined_soundex as _rs
+
+        return lambda t: (_rs(t) or t)
     if name == "capitalization":
         # miscellaneous/CapitalizationFilter.java defaults (processWord):
         # first char uppercased, the rest lowercased

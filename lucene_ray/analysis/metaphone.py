@@ -10,6 +10,38 @@ X->KS, silent GH/GN/KN/MB...), golden-pinned in tests."""
 
 from __future__ import annotations
 
+# commons-codec RefinedSoundex US_ENGLISH mapping (letter -> digit)
+_REFINED = {
+    **dict.fromkeys("AEIOUYHW", "0"),
+    **dict.fromkeys("BP", "1"),
+    **dict.fromkeys("FV", "2"),
+    **dict.fromkeys("CKS", "3"),
+    **dict.fromkeys("GJ", "4"),
+    **dict.fromkeys("QXZ", "5"),
+    **dict.fromkeys("DT", "6"),
+    "L": "7",
+    **dict.fromkeys("MN", "8"),
+    "R": "9",
+}
+
+
+def refined_soundex(txt: str) -> str:
+    """commons-codec ``RefinedSoundex`` (the phonetic module's other
+    Soundex variant): first letter + the digit of EVERY letter with
+    adjacent duplicates collapsed, no length cap or zero padding."""
+    s = "".join(c for c in txt.upper() if c.isalpha())
+    if not s:
+        return ""
+    out = [s[0]]
+    last = None
+    for c in s:
+        d = _REFINED[c]
+        if d != last:
+            out.append(d)
+        last = d
+    return "".join(out)
+
+
 VOWELS = "AEIOU"
 FRONTV = "EIY"  # front vowels
 VARSON = "CSPTG"  # variable sound consonants before H

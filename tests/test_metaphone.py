@@ -46,3 +46,18 @@ def test_edges_and_filter():
     f = make_term_filter("metaphone")
     assert f("philip") == "FLP"
     assert f("123") == "123"  # unencodable terms pass through
+
+
+def test_refined_soundex():
+    from lucene_ray.analysis.metaphone import refined_soundex
+
+    for w, want in [
+        ("testing", "T6036084"), ("TESTING", "T6036084"), ("The", "T60"),
+        ("quick", "Q503"), ("brown", "B1908"), ("fox", "F205"),
+        ("jumped", "J408106"), ("over", "O0209"), ("lazy", "L7050"),
+        ("dogs", "D6043"),
+    ]:
+        assert refined_soundex(w) == want, w
+    assert refined_soundex("") == ""
+    f = make_term_filter("refined_soundex")
+    assert f("dogs") == "D6043"
