@@ -1347,6 +1347,40 @@ class MappedCharFilterAnalyzer(StandardAnalyzer):
         return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
 
 
+class PatternReplaceCharFilterAnalyzer(MappedCharFilterAnalyzer):
+    """PatternReplaceCharFilter (reference analysis/pattern/
+    PatternReplaceCharFilter.java): regex replacement applied BEFORE
+    tokenization, with the same cumulative offset-correction table the
+    mapping char filter uses, so token offsets point into the ORIGINAL
+    text.  Replacement uses Python backreference syntax (``\\1`` /
+    ``\\g<1>``) instead of Java's ``$1`` — documented deviation."""
+
+    def __init__(self, pattern: str, replacement: str = "", **kw):
+        super().__init__(mappings=(), **kw)
+        self.pr_pattern = pattern
+        self.pr_replacement = replacement
+        self._pr_rx = re.compile(pattern)
+
+    def _filter_one(self, t: str) -> tuple[str, np.ndarray, np.ndarray]:
+        res: list[str] = []
+        out_len = 0
+        cum = 0
+        pts = [0]
+        diffs = [0]
+        i = 0
+        for m in self._pr_rx.finditer(t):
+            rep = m.expand(self.pr_replacement)
+            res.append(t[i : m.start()])
+            res.append(rep)
+            out_len += (m.start() - i) + len(rep)
+            cum += (m.end() - m.start()) - len(rep)
+            pts.append(out_len)
+            diffs.append(cum)
+            i = m.end()
+        res.append(t[i:])
+        return "".join(res), np.asarray(pts, np.int64), np.asarray(diffs, np.int64)
+
+
 class HTMLStripAnalyzer(MappedCharFilterAnalyzer):
     """HTMLStripCharFilter (reference analysis/charfilter/
     HTMLStripCharFilter.java, the common subset of its generated state
@@ -2316,6 +2350,7 @@ ANALYZERS = {
     "cjk_bigram": CJKBigramAnalyzer,
     "delimited_payload": DelimitedPayloadAnalyzer,
     "simple": SimpleLetterAnalyzer,
+    "pattern_replace_char": PatternReplaceCharFilterAnalyzer,
     "stop": StopWordsAnalyzer,
 }
 

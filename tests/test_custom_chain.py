@@ -275,3 +275,24 @@ def test_simple_and_stop_analyzers():
     assert l.tolist() == [2]
     s2 = make_analyzer("stop", stop_words={"fox"})
     assert s2.tokens("the fox runs") == ["the", "runs"]
+
+
+def test_pattern_replace_char_filter():
+    """PatternReplaceCharFilter: regex rewrite before tokenization with
+    offsets corrected back into the original text."""
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    an = make_analyzer(
+        {"name": "pattern_replace_char",
+         "pattern": r"(\d+)-(\d+)", "replacement": r"\1\2"}
+    )
+    text = "call 555-1234 now"
+    v, t, d, p, l, n, os_, oe = an._batch_token_stream([text])
+    got = [(v[t[i]], int(os_[i]), int(oe[i])) for i in range(len(t))]
+    assert got == [("call", 0, 4), ("5551234", 5, 13), ("now", 14, 17)]
+    assert text[5:13] == "555-1234"  # the span covers the source region
+    # pure deletion pattern
+    an2 = make_analyzer({"name": "pattern_replace_char", "pattern": r"#\w+"})
+    assert an2.tokens("keep #drop this") == ["keep", "this"]
+    # query-side normalization applies the char filter too
+    assert an.normalize("55-66") == "5566"
