@@ -159,6 +159,57 @@ class LargeNumHitsTopDocsCollector:
         return [(d, s) for s, d in ordered[:how_many]]
 
 
+class TotalHitCountCollector:
+    """Reference search/TotalHitCountCollector.java: just counts
+    matches (COMPLETE_NO_SCORES)."""
+
+    def __init__(self):
+        self.total_hits = 0
+
+    def collect(self, doc: int, score=None) -> None:
+        self.total_hits += 1
+
+
+class PositiveScoresOnlyCollector:
+    """Reference search/PositiveScoresOnlyCollector.java: forwards only
+    docs whose score is > 0 to the wrapped collector."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def collect(self, doc: int, score) -> None:
+        if score > 0:
+            self.inner.collect(doc, score)
+
+
+class MultiCollector:
+    """Reference search/MultiCollector.java: one collection pass feeds
+    several collectors; a collector that raises CollectionTerminated
+    drops out while the others keep collecting, and the whole pass
+    terminates when none remain."""
+
+    def __init__(self, *collectors):
+        self.collectors = [c for c in collectors if c is not None]
+        if not self.collectors:
+            raise ValueError("at least 1 collector must not be null")
+
+    def collect(self, doc: int, score) -> None:
+        alive = []
+        for c in self.collectors:
+            try:
+                c.collect(doc, score)
+                alive.append(c)
+            except CollectionTerminated:
+                continue
+        self.collectors = alive
+        if not alive:
+            raise CollectionTerminated()
+
+
+class CollectionTerminated(Exception):
+    """Reference search/CollectionTerminatedException.java."""
+
+
 class CollectorMemoryTracker:
     """Reference misc/CollectorMemoryTracker.java: per-collector byte
     accounting with a hard limit — updateBytes raises once usage

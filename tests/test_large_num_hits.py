@@ -132,3 +132,45 @@ def test_memory_accounting_bitset_collector():
     tr2 = CollectorMemoryTracker("neg", 100)
     with pytest.raises(ValueError):
         tr2.update_bytes(-5)
+
+
+def test_multi_and_counting_collectors():
+    from lucene_ray.search.collector import (
+        CollectionTerminated,
+        MultiCollector,
+        PositiveScoresOnlyCollector,
+        TotalHitCountCollector,
+    )
+    import pytest
+
+    count = TotalHitCountCollector()
+    kept = TotalHitCountCollector()
+    pos = PositiveScoresOnlyCollector(kept)
+    mc = MultiCollector(count, pos)
+    for doc, score in [(0, 1.5), (1, 0.0), (2, -1.0), (3, 2.0)]:
+        mc.collect(doc, score)
+    assert count.total_hits == 4
+    assert kept.total_hits == 2  # zero and negative scores filtered
+
+    class Limited:
+        def __init__(self, n):
+            self.n, self.seen = n, 0
+
+        def collect(self, doc, score):
+            if self.seen >= self.n:
+                raise CollectionTerminated()
+            self.seen += 1
+
+    a, b = Limited(2), TotalHitCountCollector()
+    mc2 = MultiCollector(a, b)
+    for d in range(5):
+        mc2.collect(d, 1.0)  # a drops out after 2, b keeps collecting
+    assert a.seen == 2 and b.total_hits == 5
+
+    only = Limited(1)
+    mc3 = MultiCollector(only)
+    mc3.collect(0, 1.0)
+    with pytest.raises(CollectionTerminated):
+        mc3.collect(1, 1.0)  # last collector gone -> whole pass stops
+    with pytest.raises(ValueError):
+        MultiCollector(None)
