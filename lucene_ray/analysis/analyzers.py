@@ -1663,6 +1663,13 @@ def make_term_filter(name: str, **kw):
 
         mlen = int(kw.get("max_code_len", 4))
         return lambda t: (_mp(t, mlen) or t)
+    if name == "hunspell":
+        # hunspell/HunspellStemFilter.java (longestOnly mode) over the
+        # scoped .aff/.dic parser — dictionaries passed as text
+        from .hunspell import HunspellDictionary, HunspellStemmer
+
+        st = HunspellStemmer(HunspellDictionary(kw["aff"], kw["dic"]))
+        return st.stem_filter_term
     if name == "refined_soundex":
         from .metaphone import refined_soundex as _rs
 
