@@ -2223,13 +2223,6 @@ class DelimitedPayloadAnalyzer(WhitespaceAnalyzer):
     def normalize(self, term: str) -> str:
         return self._split(term)[0]
 
-    def analyze(self, text: str):
-        toks = self.tokens(text)
-        if not toks:
-            return [], [], 0
-        counts = Counter(toks)
-        return list(counts.keys()), list(counts.values()), len(toks)
-
     def _batch_token_stream(self, texts: list[str]):
         (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
             super()._batch_token_stream(texts)
@@ -2240,13 +2233,12 @@ class DelimitedPayloadAnalyzer(WhitespaceAnalyzer):
         new_vocab = sorted({b for b, _ in splits}, key=lambda s: s.encode("utf-8"))
         pos_of = {t: i for i, t in enumerate(new_vocab)}
         remap = np.array([pos_of[b] for b, _ in splits], dtype=np.int64)
-        pays = np.array(
-            [-1 if p is None else p for _, p in splits], dtype=np.int64
-        )
-        tok_pay = pays[tids]
-        # delimited tokens carry their parsed payload; others keep the
-        # char-start-offset default
-        new_off_s = np.where(tok_pay >= 0, tok_pay, off_s)
+        pays = np.array([0 if p is None else p for _, p in splits], dtype=np.int64)
+        has_pay = np.array([p is not None for _, p in splits], dtype=bool)
+        # delimited tokens carry their parsed payload (negative values
+        # included — IntegerEncoder encodes them faithfully); others keep
+        # the char-start-offset default
+        new_off_s = np.where(has_pay[tids], pays[tids], off_s)
         return (
             new_vocab,
             remap[tids],

@@ -94,7 +94,9 @@ class HunspellDictionary:
             w = line.split("#", 1)[0].strip()
             if not w:
                 continue
-            word, _, flags = w.partition("/")
+            # morphological fields (st:, po:, ...) follow whitespace —
+            # only the first token is the word[/flags] (Dictionary.java)
+            word, _, flags = w.split()[0].partition("/")
             self.words[word] = frozenset(flags)
 
     def has_flag(self, word: str, flag: str) -> bool:

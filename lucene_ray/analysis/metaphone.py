@@ -29,7 +29,7 @@ def refined_soundex(txt: str) -> str:
     """commons-codec ``RefinedSoundex`` (the phonetic module's other
     Soundex variant): first letter + the digit of EVERY letter with
     adjacent duplicates collapsed, no length cap or zero padding."""
-    s = "".join(c for c in txt.upper() if c.isalpha())
+    s = "".join(c for c in txt.upper() if "A" <= c <= "Z")
     if not s:
         return ""
     out = [s[0]]
@@ -87,18 +87,23 @@ def metaphone(txt: str, max_code_len: int = 4) -> str:
             if not (i == n - 1 and prev == "M"):
                 code.append("B")
         elif c == "C":
-            if nxt == "I" and nxt2 == "A":  # CIA -> X
+            # commons-codec rule order: SCI/SCE/SCY discard FIRST, then
+            # CIA, then CI/CE/CY, then SCH, then the CH branch
+            if prev == "S" and nxt in FRONTV:
+                pass  # SCI/SCE/SCY: C is silent
+            elif nxt == "I" and nxt2 == "A":  # CIA -> X
                 code.append("X")
             elif nxt in FRONTV:
-                if prev == "S":
-                    pass  # SCI/SCE/SCY: C is silent
-                else:
-                    code.append("S")
+                code.append("S")
+            elif prev == "S" and nxt == "H":  # SCH -> K
+                code.append("K")
             elif nxt == "H":
-                if prev == "S":  # SCH -> K
+                # word-initial CH with a vowel at index 2 -> K (the
+                # commons-codec quirk its own tests pin), else X
+                if i == 0 and n >= 3 and s[2] in VOWELS:
                     code.append("K")
                 else:
-                    code.append("X")  # CH -> X
+                    code.append("X")
             else:
                 code.append("K")
         elif c == "D":
@@ -125,12 +130,13 @@ def metaphone(txt: str, max_code_len: int = 4) -> str:
                 else:
                     code.append("K")
         elif c == "H":
-            # silent after vowel with no following vowel, or after VARSON
-            if prev in VOWELS and nxt not in VOWELS:
+            # commons-codec: terminal H silent; after VARSON silent;
+            # otherwise H sounds only before a vowel
+            if i == n - 1:
                 pass
             elif prev in VARSON:
                 pass
-            else:
+            elif nxt in VOWELS:
                 code.append("H")
         elif c == "K":
             if prev != "C":  # CK: K silent after C

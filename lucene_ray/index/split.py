@@ -156,6 +156,8 @@ def rearrange_index(
         parts = []
         for i, sel in enumerate(selectors):
             sel_arr = np.asarray(sorted({int(d) for d in sel}), dtype=np.int64)
+            if not len(sel_arr):
+                continue  # empty selector: skip the whole sync+compact
 
             def mask_for(part: int, seg: dict, sel_arr=sel_arr) -> np.ndarray:
                 base = int(seg["doc_base"])

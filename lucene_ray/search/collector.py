@@ -239,10 +239,7 @@ class MemoryAccountingBitsetCollector:
     bitset would exceed the budget."""
 
     def __init__(self, tracker: CollectorMemoryTracker):
-        import numpy as np
-
         self.tracker = tracker
-        self._np = np
         self.bits = np.zeros(0, dtype=bool)
         self.length = 0
         tracker.update_bytes(self._ram(0))
@@ -257,7 +254,7 @@ class MemoryAccountingBitsetCollector:
         if self.length > len(self.bits):
             new_cap = max(self.length, 2 * len(self.bits))
             self.tracker.update_bytes(self._ram(new_cap) - self._ram(len(self.bits)))
-            grown = self._np.zeros(new_cap, dtype=bool)
+            grown = np.zeros(new_cap, dtype=bool)
             grown[: len(self.bits)] = self.bits
             self.bits = grown
 
@@ -265,7 +262,7 @@ class MemoryAccountingBitsetCollector:
         self.bits[doc] = True
 
     def matching_docs(self):
-        return self._np.flatnonzero(self.bits[: self.length])
+        return np.flatnonzero(self.bits[: self.length])
 
 
 class CachingCollector:

@@ -95,3 +95,11 @@ def test_term_filter_registration():
     assert f("unlocked") == "lock"
     assert f("spied") == "spy"
     assert f("nothing") == "nothing"
+
+
+def test_dic_morphological_fields():
+    d = HunspellDictionary(AFF, "2\nhappy st:happy\nwalk/D st:walk po:verb\n")
+    assert "happy" in d.words and d.words["happy"] == frozenset()
+    assert d.words["walk"] == frozenset("D")
+    st = HunspellStemmer(d)
+    assert st.stems("walked") == ["walk"]

@@ -61,3 +61,16 @@ def test_refined_soundex():
     assert refined_soundex("") == ""
     f = make_term_filter("refined_soundex")
     assert f("dogs") == "D6043"
+
+
+def test_review_fix_rules():
+    # word-initial CH with vowel at index 2 -> K (the commons-codec quirk)
+    assert metaphone("character") == "KRKT"
+    # H: terminal silent, only sounds before a vowel
+    assert metaphone("rhythm") == "R0M"
+    assert metaphone("ankh") == "ANK"
+    # SCI discard precedes the CIA rule
+    assert metaphone("fascia") == "FS"
+    # refined soundex skips non-ASCII letters instead of crashing
+    from lucene_ray.analysis.metaphone import refined_soundex
+    assert refined_soundex("über") == "B109"

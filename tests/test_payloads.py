@@ -194,3 +194,13 @@ def test_delimited_payload_analyzer(tmp_path):
 
     with _pt.raises(ValueError):
         make_analyzer("delimited_payload").tokens("bad|xx")
+
+
+def test_delimited_negative_payload():
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    an = make_analyzer("delimited_payload")
+    v, t, d, p, l, n, os_, oe = an._batch_token_stream(["rank|-2 plain"])
+    got = dict(zip((v[i] for i in t), os_.tolist()))
+    assert got["rank"] == -2  # negative payloads survive
+    assert got["plain"] == 8  # char-offset default
