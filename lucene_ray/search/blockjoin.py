@@ -92,6 +92,24 @@ def to_parent_partials(
     return pids, mx, mn, sum_i, cnt
 
 
+def parent_children(
+    parent_doc: int, child_match_docs: np.ndarray, parents: np.ndarray
+) -> np.ndarray:
+    """ParentChildrenBlockJoinQuery (reference join/
+    ParentChildrenBlockJoinQuery.java): the child documents of ONE
+    specific parent that also match the child filter — the block run
+    (previous parent + 1 .. parent - 1) intersected with the filter's
+    matches.  Raises when ``parent_doc`` is not a parent (the reference
+    returns no matches for a non-parent, but a wrong docid here is
+    always a caller bug in our batch pipelines)."""
+    idx = int(np.searchsorted(parents, parent_doc))
+    if idx >= len(parents) or parents[idx] != parent_doc:
+        raise ValueError(f"doc {parent_doc} is not a parent docid")
+    lo = int(parents[idx - 1]) + 1 if idx > 0 else 0
+    kids = np.arange(lo, parent_doc, dtype=np.int64)
+    return np.intersect1d(kids, np.asarray(child_match_docs, dtype=np.int64))
+
+
 def children_of(matched_parents: np.ndarray, parents: np.ndarray) -> np.ndarray:
     """ToChildBlockJoinQuery: the child docids of the matched parents —
     each parent's children are the docid run (previous parent + 1 .. p-1).

@@ -135,3 +135,20 @@ def test_block_join_modes_consistent(ray_session):
     # to_child children are docid-ascending from the matched blocks
     kids = t[t["mode"] == "block_children"].sort_values("rnk")
     assert kids["doc_id"].is_monotonic_increasing
+
+
+def test_parent_children_block_join():
+    from lucene_ray.search.blockjoin import parent_children
+
+    parents = np.array([4, 9, 10, 15], dtype=np.int64)
+    child_matches = np.array([0, 2, 5, 8, 11, 14], dtype=np.int64)
+    # parent 4's block is docs 0..3
+    assert parent_children(4, child_matches, parents).tolist() == [0, 2]
+    # parent 9's block is docs 5..8
+    assert parent_children(9, child_matches, parents).tolist() == [5, 8]
+    # parent 10 has an EMPTY block (no children)
+    assert parent_children(10, child_matches, parents).tolist() == []
+    # parent 15's block is 11..14
+    assert parent_children(15, child_matches, parents).tolist() == [11, 14]
+    with pytest.raises(ValueError):
+        parent_children(7, child_matches, parents)  # not a parent
