@@ -1674,6 +1674,10 @@ def make_term_filter(name: str, **kw):
         from .metaphone import refined_soundex as _rs
 
         return lambda t: (_rs(t) or t)
+    if name == "cologne":
+        from .metaphone import cologne_phonetic as _cg
+
+        return lambda t: (_cg(t) or t)
     if name == "capitalization":
         # miscellaneous/CapitalizationFilter.java defaults (processWord):
         # first char uppercased, the rest lowercased

@@ -42,6 +42,61 @@ def refined_soundex(txt: str) -> str:
     return "".join(out)
 
 
+def cologne_phonetic(txt: str) -> str:
+    """Kölner Phonetik (commons-codec ``ColognePhonetic``, the phonetic
+    module's German encoder): context-sensitive letter -> digit table,
+    then collapse adjacent duplicates, then drop every '0' except a
+    leading one.  Umlauts fold to their base vowels, ß to S."""
+    fold = {"Ä": "A", "Ö": "O", "Ü": "U", "ß": "S"}
+    s = "".join(fold.get(c, c) for c in txt.upper() if c.isalpha())
+    s = "".join(c for c in s if "A" <= c <= "Z")
+    if not s:
+        return ""
+    n = len(s)
+    digits: list[str] = []
+    for i, c in enumerate(s):
+        prev = s[i - 1] if i > 0 else "\0"
+        nxt = s[i + 1] if i + 1 < n else "\0"
+        if c in "AEIJOUY":
+            digits.append("0")
+        elif c == "H":
+            pass
+        elif c == "B":
+            digits.append("1")
+        elif c == "P":
+            digits.append("3" if nxt == "H" else "1")
+        elif c in "DT":
+            digits.append("8" if nxt in "CSZ" else "2")
+        elif c in "FVW":
+            digits.append("3")
+        elif c in "GKQ":
+            digits.append("4")
+        elif c == "C":
+            if i == 0:
+                digits.append("4" if nxt in "AHKLOQRUX" else "8")
+            elif prev in "SZ":
+                digits.append("8")
+            elif nxt in "AHKOQUX":
+                digits.append("4")
+            else:
+                digits.append("8")
+        elif c == "X":
+            digits.append("8" if prev in "CKQ" else "48")
+        elif c == "L":
+            digits.append("5")
+        elif c in "MN":
+            digits.append("6")
+        elif c == "R":
+            digits.append("7")
+        elif c in "SZ":
+            digits.append("8")
+    code = "".join(digits)
+    # collapse adjacent duplicates
+    out = [c for i, c in enumerate(code) if i == 0 or c != code[i - 1]]
+    # drop '0' except in leading position
+    return "".join(c for i, c in enumerate(out) if c != "0" or i == 0)
+
+
 VOWELS = "AEIOU"
 FRONTV = "EIY"  # front vowels
 VARSON = "CSPTG"  # variable sound consonants before H

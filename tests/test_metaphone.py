@@ -74,3 +74,17 @@ def test_review_fix_rules():
     # refined soundex skips non-ASCII letters instead of crashing
     from lucene_ray.analysis.metaphone import refined_soundex
     assert refined_soundex("über") == "B109"
+
+
+def test_cologne_phonetic():
+    from lucene_ray.analysis.metaphone import cologne_phonetic
+
+    for w, want in [
+        ("Müller-Lüdenscheidt", "65752682"), ("Breschnew", "17863"),
+        ("Wikipedia", "3412"), ("Meier", "67"), ("Mayer", "67"),
+        ("Meyer", "67"), ("", ""),
+    ]:
+        assert cologne_phonetic(w) == want, w
+    # Meier/Mayer/Meyer collide — the encoder's purpose
+    f = make_term_filter("cologne")
+    assert f("Meier") == f("Meyer") == "67"
