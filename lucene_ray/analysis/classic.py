@@ -143,6 +143,8 @@ _URL_RE = re.compile(
     r"[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
     r"(?::\d+)?"
     r"(?:/[A-Za-z0-9._~%/+-]*)?"
+    r"(?:\?[A-Za-z0-9._~%&=/+-]*)?"  # query
+    r"(?:#[A-Za-z0-9._~%/-]*)?"  # fragment
 )
 _EMAIL_RE = re.compile(
     r"(?<![A-Za-z0-9._+-])"

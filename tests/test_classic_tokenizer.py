@@ -88,3 +88,10 @@ def test_url_email_not_extracted_mid_token():
     assert an.tokens("xbob@ex.com go") == ["xbob@ex.com", "go"]
     # still extracts at real boundaries
     assert an.tokens("(https://a.io)") == ["https://a.io"]
+
+
+def test_url_query_and_fragment():
+    an = UAX29URLEmailAnalyzer()
+    assert an.tokens("see https://a.io/p?x=1&y=2#frag done") == [
+        "see", "https://a.io/p?x=1&y=2#frag", "done",
+    ]
