@@ -95,3 +95,33 @@ def test_url_query_and_fragment():
     assert an.tokens("see https://a.io/p?x=1&y=2#frag done") == [
         "see", "https://a.io/p?x=1&y=2#frag", "done",
     ]
+
+
+def test_classic_index_end_to_end(tmp_path, ray_session):
+    """BM25 search over a classic-analyzed index: COMPANY/EMAIL tokens
+    are directly searchable terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = [
+        "call AT&T about U.S.A. plans",
+        "mail bob@ex.com today",
+        "nothing else",
+    ]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 3, "path": list("abc"),
+                  "commit": ["x"] * 3, "lang": ["en"] * 3}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, analyzer="classic")
+    s = IndexSearcher(idx)
+    assert [d for d, _ in s.search(TermQuery("at&t"), 5)] == [0]
+    assert [d for d, _ in s.search(TermQuery("usa"), 5)] == [0]
+    assert [d for d, _ in s.search(TermQuery("bob@ex.com"), 5)] == [1]
+    assert s.count(TermQuery("about")) == 1  # "about" is not in the 33-word stop set
