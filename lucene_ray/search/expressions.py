@@ -24,22 +24,55 @@ _TOKEN = re.compile(
     r"|(?P<op>[()+\-*/,]))"
 )
 
+def _haversin_km(lat1, lon1, lat2, lon2):
+    """ExpressionMath.haversinKilometers — exact great-circle haversine
+    on the mean earth radius (DEVIATION: the reference routes through
+    SloppyMath's table-approximated trig, error <= 40cm; we use exact
+    libm trig)."""
+    to_rad = np.pi / 180.0
+    dlat = (lat2 - lat1) * to_rad * 0.5
+    dlon = (lon2 - lon1) * to_rad * 0.5
+    sk = (
+        np.sin(dlat) * np.sin(dlat)
+        + np.cos(lat1 * to_rad) * np.cos(lat2 * to_rad) * np.sin(dlon) * np.sin(dlon)
+    )
+    return 6371008.7714 * 2.0 * np.arcsin(np.sqrt(sk)) / 1000.0
+
+
+# the full expressions/js/javascript.properties function table (27
+# entries); logn(base, x) follows MathUtil.log's argument order
 _FUNCS = {
     "ln": np.log,
     "log10": np.log10,
+    "logn": lambda base, x: np.log(x) / np.log(base),
     "sqrt": np.sqrt,
     "abs": np.abs,
     "min": np.minimum,
     "max": np.maximum,
     "pow": np.power,
-    # JavascriptCompiler also ships floor/ceil (expressions/js/javascript
-    # function table)
     "floor": np.floor,
     "ceil": np.ceil,
+    "exp": np.exp,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "atan": np.arctan,
+    "atan2": np.arctan2,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "asinh": np.arcsinh,
+    "acosh": np.arccosh,
+    "atanh": np.arctanh,
+    "haversin": _haversin_km,
 }
 _FUNC_ARITY = {
-    "ln": 1, "log10": 1, "sqrt": 1, "abs": 1, "min": 2, "max": 2, "pow": 2,
-    "floor": 1, "ceil": 1,
+    "ln": 1, "log10": 1, "logn": 2, "sqrt": 1, "abs": 1, "min": 2, "max": 2,
+    "pow": 2, "floor": 1, "ceil": 1, "exp": 1, "sin": 1, "cos": 1, "tan": 1,
+    "asin": 1, "acos": 1, "atan": 1, "atan2": 2, "sinh": 1, "cosh": 1,
+    "tanh": 1, "asinh": 1, "acosh": 1, "atanh": 1, "haversin": 4,
 }
 
 

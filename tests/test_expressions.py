@@ -65,3 +65,22 @@ def test_function_score_expression_integration(ray_session):
         FunctionScoreQuery(TermQuery("spark"), expression="1 / (1 + n_chars)"), 10
     )
     assert [d for d, _ in other] != [d for d, _ in legacy]
+
+
+def test_full_function_table():
+    """The complete javascript.properties function set (27 entries)."""
+    import math
+
+    from lucene_ray.search.expressions import compile_expression
+
+    e = compile_expression("atan2(sin(x), cos(x)) + logn(2, 8)")
+    assert abs(e.evaluate({"x": 0.5}) - (0.5 + 3.0)) < 1e-12
+    e2 = compile_expression("sinh(0) + cosh(0) + tanh(0) + exp(0)")
+    assert e2.evaluate({}) == 2.0
+    e3 = compile_expression("asinh(sinh(1)) + acosh(cosh(1)) + atanh(tanh(1))")
+    assert abs(e3.evaluate({}) - 3.0) < 1e-12
+    # haversin(lat1, lon1, lat2, lon2) in kilometers: one degree of
+    # longitude at the equator is ~111.19 km on the mean-radius sphere
+    hv = compile_expression("haversin(0, 0, 0, 1)").evaluate({})
+    assert abs(hv - 111.195) < 0.01
+    assert compile_expression("haversin(10, 20, 10, 20)").evaluate({}) == 0.0
