@@ -1777,6 +1777,49 @@ SELECT 'range_field_within', qid::BIGINT,
 """
 
 
+def _latlon_bbox_sql() -> str:
+    """LatLonBoundingBox relations over the synthesized per-doc 2-D box
+    on the integer grid (4-dim range field; CROSSES = intersects minus
+    within minus contains)."""
+    qvals = ", ".join(
+        f"({i}, {a}, {b}, {c}, {d})"
+        for i, (a, b, c, d) in enumerate(ft.LATLON_BBOX_QUERIES)
+    )
+    return f"""
+WITH bb AS (
+  SELECT doc_id,
+         (doc_id * 37) % 18000 AS lat0,
+         (doc_id * 37) % 18000 + 1 + doc_id % 50 AS lat1,
+         (doc_id * 53) % 36000 AS lon0,
+         (doc_id * 53) % 36000 + 1 + doc_id % 80 AS lon1
+  FROM documents
+),
+bq(qid, qlat0, qlat1, qlon0, qlon1) AS (VALUES {qvals}),
+rel AS (
+  SELECT bq.qid, bb.doc_id,
+         (bb.lat0 <= bq.qlat1 AND bb.lat1 >= bq.qlat0
+          AND bb.lon0 <= bq.qlon1 AND bb.lon1 >= bq.qlon0) AS isect,
+         (bb.lat0 >= bq.qlat0 AND bb.lat1 <= bq.qlat1
+          AND bb.lon0 >= bq.qlon0 AND bb.lon1 <= bq.qlon1) AS within,
+         (bb.lat0 <= bq.qlat0 AND bb.lat1 >= bq.qlat1
+          AND bb.lon0 <= bq.qlon0 AND bb.lon1 >= bq.qlon1) AS contains
+  FROM bq CROSS JOIN bb
+)
+SELECT 'latlon_bbox_contains' AS family, qid::BIGINT AS qid,
+       count(*) FILTER (WHERE contains)::BIGINT AS cnt FROM rel GROUP BY qid
+UNION ALL
+SELECT 'latlon_bbox_crosses', qid::BIGINT,
+       count(*) FILTER (WHERE isect AND NOT within AND NOT contains)::BIGINT
+FROM rel GROUP BY qid
+UNION ALL
+SELECT 'latlon_bbox_intersects', qid::BIGINT,
+       count(*) FILTER (WHERE isect)::BIGINT FROM rel GROUP BY qid
+UNION ALL
+SELECT 'latlon_bbox_within', qid::BIGINT,
+       count(*) FILTER (WHERE within)::BIGINT FROM rel GROUP BY qid
+"""
+
+
 def _sorted_numeric_range_sql() -> str:
     parts = []
     for qid, (lo, hi) in enumerate(ft.SORTED_NUMERIC_RANGES):
@@ -3115,6 +3158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 *[
                     (f"range_field_{rel}", tbl)
                     for rel, tbl in sorted(ft.range_field_counts(sf).items())
+                ],
+                # LatLonBoundingBox: 2-D box relations on the 4-dim tree
+                *[
+                    (f"latlon_bbox_{rel}", tbl)
+                    for rel, tbl in sorted(ft.latlon_bbox_counts(sf).items())
                 ],
                 # InetAddressPoint exact / CIDR-prefix / range queries
                 ("inet", ft.inet_range_counts(sf)),
@@ -4706,6 +4754,8 @@ UNION ALL
 SELECT 'double_range', dr.* FROM ({_double_range_sql()}) dr
 UNION ALL
 SELECT r.* FROM ({_range_field_sql()}) r
+UNION ALL
+SELECT bb.* FROM ({_latlon_bbox_sql()}) bb
 UNION ALL
 -- InetAddressPoint over ip = 10.0.0.0 + doc_id: bounds derived by hand
 -- from the CIDR arithmetic (exact 10.0.0.7 -> 7; 10.0.0.4/30 -> 4..7;

@@ -4542,6 +4542,91 @@ def range_field_counts(sf_dir: str) -> dict:
     }
 
 
+# --- LatLonBoundingBox (sandbox/document/LatLonBoundingBox.java): each
+# doc carries a 2-D BOX encoded as a 4-dim point (latMin, latMax,
+# lonMin, lonMax) and the four RangeFieldQuery relations become per-dim
+# bounding predicates on the 4-dim tree.  Boxes and queries live
+# directly on the integer grid (the float->int quantization itself is
+# covered by the geo_box arm).
+LATLON_BBOX_QUERIES = [
+    # (latMin, latMax, lonMin, lonMax) on the integer grid
+    (0, 6000, 0, 12000),
+    (9000, 9400, 18000, 18600),
+    (0, 17999, 0, 35999),
+    (17000, 17050, 100, 140),
+]
+
+
+def _latlon_bbox_values(reader) -> np.ndarray:
+    ids = (
+        reader.stored_column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    lat_min = (ids * 37) % 18000
+    lon_min = (ids * 53) % 36000
+    return np.stack(
+        [lat_min, lat_min + 1 + ids % 50, lon_min, lon_min + 1 + ids % 80],
+        axis=1,
+    )
+
+
+def latlon_bbox_counts(sf_dir: str) -> dict:
+    """{relation: (qid, cnt)} for LatLonBoundingBox newIntersects /
+    newWithin / newContains / newCrosses queries — one 4-dim traversal
+    per relation, CROSSES as the set difference."""
+    import ray.data as rd
+
+    from ..index.points import PointTree, build_point_index_fn, point_file
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "latlon_bbox", _latlon_bbox_values)
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        rels, qs, cs = [], [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "latlon_bbox"))
+            for qid, (qlat0, qlat1, qlon0, qlon1) in enumerate(LATLON_BBOX_QUERIES):
+                # dims: (latMin, latMax, lonMin, lonMax); bounds [low, high)
+                inter, _ = tree.intersect(
+                    (None, qlat0, None, qlon0), (qlat1 + 1, None, qlon1 + 1, None)
+                )
+                within, _ = tree.intersect(
+                    (qlat0, None, qlon0, None), (None, qlat1 + 1, None, qlon1 + 1)
+                )
+                contains, _ = tree.intersect(
+                    (None, qlat1, None, qlon1), (qlat0 + 1, None, qlon0 + 1, None)
+                )
+                crosses = np.setdiff1d(
+                    inter, np.union1d(within, contains), assume_unique=True
+                )
+                for rel, got in (
+                    ("intersects", inter),
+                    ("within", within),
+                    ("contains", contains),
+                    ("crosses", crosses),
+                ):
+                    rels.append(rel)
+                    qs.append(qid)
+                    cs.append(len(got))
+        return pa.table(
+            {
+                "relation": pa.array(rels, pa.string()),
+                "qid": pa.array(qs, pa.int64()),
+                "cnt": pa.array(cs, pa.int64()),
+            }
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby(["relation", "qid"], sort=True)["cnt"].sum().reset_index()
+    return {
+        rel: grp[["qid", "cnt"]].reset_index(drop=True)
+        for rel, grp in agg.groupby("relation", sort=True)
+    }
+
+
 # --- LatLonPoint box queries (document/LatLonPoint.java newBoxQuery +
 # geo/GeoEncodingUtils.java int32-grid quantization) -------------------------
 # Deterministic per-doc coordinates on a 0.01-degree grid derived from
