@@ -88,3 +88,34 @@ def test_cologne_phonetic():
     # Meier/Mayer/Meyer collide — the encoder's purpose
     f = make_term_filter("cologne")
     assert f("Meier") == f("Meyer") == "67"
+
+
+def test_phonetic_search_end_to_end(tmp_path, ray_session):
+    """Phonetic matching through the real chain: a cologne-encoded index
+    makes Meier/Meyer/Mayer collide, so a query for one finds all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis.analyzers import make_analyzer
+    from lucene_ray.index.build import build_index_local
+    from lucene_ray.search.query import TermQuery
+    from lucene_ray.search.searcher import IndexSearcher
+
+    docs = ["herr Meier", "frau Meyer", "herr Mayer", "doktor Schmidt"]
+    src = tmp_path / "c.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 4, "path": list("abcd"),
+                  "commit": ["x"] * 4, "lang": ["de"] * 4}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    spec = {"name": "custom", "filters": [("cologne", {})]}
+    build_index_local(str(src), idx, analyzer=spec)
+    s = IndexSearcher(idx)
+    qterm = make_analyzer(spec).normalize("Meyer")  # query-side encode
+    # normalize lowercases; the chain encodes the TERM — apply the filter
+    from lucene_ray.analysis.metaphone import cologne_phonetic
+
+    hits = {d for d, _ in s.search(TermQuery(cologne_phonetic("Meyer")), 10)}
+    assert hits == {0, 1, 2}
+    assert s.count(TermQuery(cologne_phonetic("Schmidt"))) == 1
