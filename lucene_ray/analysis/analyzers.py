@@ -1678,6 +1678,10 @@ def make_term_filter(name: str, **kw):
         from .metaphone import cologne_phonetic as _cg
 
         return lambda t: (_cg(t) or t)
+    if name == "uppercase":
+        # core/UpperCaseFilter.java (the rare inverse of lowercase; the
+        # javadoc's warning about case-folding asymmetry applies)
+        return lambda t: t.upper()
     if name == "capitalization":
         # miscellaneous/CapitalizationFilter.java defaults (processWord):
         # first char uppercased, the rest lowercased
@@ -2255,6 +2259,66 @@ class DelimitedPayloadAnalyzer(WhitespaceAnalyzer):
         )
 
 
+class DelimitedTermFrequencyAnalyzer(WhitespaceAnalyzer):
+    """WhitespaceTokenizer -> DelimitedTermFrequencyTokenFilter
+    (reference miscellaneous/DelimitedTermFrequencyTokenFilter.java):
+    ``term|3`` indexes ``term`` with termFreq 3 — the occurrence is
+    repeated in the stream so tf aggregation and the norm length both
+    count it ``freq`` times (FieldInvertState.length += termFreq).
+    SCOPE: docs_freqs indexes (the reference filter likewise requires
+    omitted positions — it throws when positions are indexed)."""
+
+    def __init__(self, delimiter: str = "|", **kw):
+        super().__init__(**kw)
+        self.tf_delimiter = delimiter
+
+    def _split(self, term: str) -> tuple[str, int]:
+        i = term.rfind(self.tf_delimiter)
+        if i < 0:
+            return term, 1
+        f = int(term[i + 1 :])
+        if f < 1:
+            raise ValueError(f"Term frequency must be 1 or greater: {f}")
+        return term[:i], f
+
+    def tokens(self, text: str) -> list[str]:
+        out: list[str] = []
+        for t in super().tokens(text):
+            b, f = self._split(t)
+            out.extend([b] * f)
+        return out
+
+    def normalize(self, term: str) -> str:
+        return self._split(term)[0]
+
+    def _batch_token_stream(self, texts: list[str]):
+        (vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e) = (
+            super()._batch_token_stream(texts)
+        )
+        if not vocab:
+            return vocab, tids, doc_ids, positions, lengths, n_docs, off_s, off_e
+        splits = [self._split(t) for t in vocab]
+        new_vocab = sorted({b for b, _ in splits}, key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(new_vocab)}
+        remap = np.array([pos_of[b] for b, _ in splits], dtype=np.int64)
+        freqs = np.array([f for _, f in splits], dtype=np.int64)
+        rep = freqs[tids]
+        idx = np.repeat(np.arange(len(tids), dtype=np.int64), rep)
+        lengths = np.bincount(doc_ids, weights=rep, minlength=n_docs).astype(
+            np.int64
+        )
+        return (
+            new_vocab,
+            remap[tids][idx],
+            doc_ids[idx],
+            positions[idx],  # repeats share the occurrence's position
+            lengths,
+            n_docs,
+            off_s[idx],
+            off_e[idx],
+        )
+
+
 class CJKBigramAnalyzer(StandardAnalyzer):
     """StandardTokenizer -> LowerCase -> CJKBigramFilter (reference
     analysis/cjk/CJKBigramFilter.java, default flags HAN | HIRAGANA |
@@ -2352,6 +2416,7 @@ ANALYZERS = {
     "path_hierarchy": PathHierarchyAnalyzer,
     "cjk_bigram": CJKBigramAnalyzer,
     "delimited_payload": DelimitedPayloadAnalyzer,
+    "delimited_tf": DelimitedTermFrequencyAnalyzer,
     "simple": SimpleLetterAnalyzer,
     "pattern_replace_char": PatternReplaceCharFilterAnalyzer,
     "stop": StopWordsAnalyzer,

@@ -296,3 +296,11 @@ def test_pattern_replace_char_filter():
     assert an2.tokens("keep #drop this") == ["keep", "this"]
     # query-side normalization applies the char filter too
     assert an.normalize("55-66") == "5566"
+
+
+def test_uppercase_filter():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("uppercase")
+    assert f("hello") == "HELLO"
+    assert f("MiXeD") == "MIXED"

@@ -204,3 +204,39 @@ def test_delimited_negative_payload():
     got = dict(zip((v[i] for i in t), os_.tolist()))
     assert got["rank"] == -2  # negative payloads survive
     assert got["plain"] == 8  # char-offset default
+
+
+def test_delimited_term_frequency(tmp_path):
+    """DelimitedTermFrequencyTokenFilter: term|N indexes term with tf N
+    (and the norm counts it N times)."""
+    import pyarrow as pa
+
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    docs = ["apple|3 banana", "apple cherry|2"]
+    src = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table({"content": docs, "repo": ["r"] * 2, "path": ["a", "b"],
+                  "commit": ["x"] * 2, "lang": ["en"] * 2}),
+        str(src),
+    )
+    idx = str(tmp_path / "idx")
+    build_index_local(str(src), idx, analyzer="delimited_tf")
+    r = SegmentReader(idx + "/seg_000000")
+    from lucene_ray.index.postings import decode_term
+
+    tid = r.term_id("apple")
+    d, f = decode_term(r.enc, tid)
+    assert d.tolist() == [0, 1] and f.tolist() == [3, 1]
+    df, ttf = r.term_stats("apple")
+    assert (df, ttf) == (2, 4)
+    # norms count the repeated frequency (doc 0: 3 + 1 = 4 tokens)
+    from lucene_ray.smallfloat import int_to_byte4
+
+    assert r.norms[0] == int_to_byte4(4)
+    assert r.norms[1] == int_to_byte4(3)
+    # tf must be >= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        make_analyzer("delimited_tf").tokens("bad|0")
