@@ -1678,6 +1678,12 @@ def make_term_filter(name: str, **kw):
         from .metaphone import cologne_phonetic as _cg
 
         return lambda t: (_cg(t) or t)
+    if name == "protected":
+        # miscellaneous/ProtectedTermFilter.java (a ConditionalTokenFilter):
+        # the wrapped filter applies only to terms NOT in the protected set
+        s = frozenset(kw["words"])
+        inner = make_term_filter(kw["then"], **kw.get("then_kw", {}))
+        return lambda t: t if t in s else inner(t)
     if name == "uppercase":
         # core/UpperCaseFilter.java (the rare inverse of lowercase; the
         # javadoc's warning about case-folding asymmetry applies)

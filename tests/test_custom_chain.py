@@ -304,3 +304,11 @@ def test_uppercase_filter():
     f = make_term_filter("uppercase")
     assert f("hello") == "HELLO"
     assert f("MiXeD") == "MIXED"
+
+
+def test_protected_term_filter():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("protected", words=["running"], then="porter")
+    assert f("running") == "running"  # protected: stemmer skipped
+    assert f("jumping") == "jump"
