@@ -1678,6 +1678,30 @@ def make_term_filter(name: str, **kw):
         from .metaphone import cologne_phonetic as _cg
 
         return lambda t: (_cg(t) or t)
+    if name == "codepoint_count":
+        # miscellaneous/CodepointCountFilter.java — Python strings index
+        # codepoints, so this IS the length filter's semantics
+        lo, hi = int(kw.get("min", 0)), int(kw.get("max", 1 << 30))
+        return lambda t: t if lo <= len(t) <= hi else None
+    if name == "date_recognizer":
+        # miscellaneous/DateRecognizerFilter.java: keep only tokens the
+        # date format parses; default ISO yyyy-MM-dd
+        from datetime import datetime
+
+        fmt = kw.get("format", "%Y-%m-%d")
+
+        def _date_keep(t: str, fmt=fmt):
+            try:
+                datetime.strptime(t, fmt)
+                return t
+            except ValueError:
+                return None
+
+        return _date_keep
+    if name == "greek_lowercase":
+        return _greek_lower
+    if name == "irish_lowercase":
+        return _irish_lower
     if name == "protected":
         # miscellaneous/ProtectedTermFilter.java (a ConditionalTokenFilter):
         # the wrapped filter applies only to terms NOT in the protected set
@@ -1695,6 +1719,42 @@ def make_term_filter(name: str, **kw):
     if name == "german_normalization":
         return _german_normalize
     raise ValueError(f"unknown term filter: {name}")
+
+
+# el/GreekLowerCaseFilter.java:55-105 — final sigma standardized, tonos /
+# dialytika diacritics folded to the lowercase base vowel
+_GREEK_FOLD = str.maketrans(
+    {
+        "ς": "σ",
+        "Ά": "α", "ά": "α",
+        "Έ": "ε", "έ": "ε",
+        "Ή": "η", "ή": "η",
+        "Ί": "ι", "Ϊ": "ι", "ί": "ι",
+        "ϊ": "ι", "ΐ": "ι",
+        "Ύ": "υ", "Ϋ": "υ", "ύ": "υ",
+        "ϋ": "υ", "ΰ": "υ",
+        "Ό": "ο", "ό": "ο",
+        "Ώ": "ω", "ώ": "ω",
+        "΢": "ς",
+    }
+)
+
+
+def _greek_lower(t: str) -> str:
+    return t.translate(_GREEK_FOLD).lower().translate(_GREEK_FOLD)
+
+
+def _irish_lower(t: str) -> str:
+    """ga/IrishLowerCaseFilter.java:44-58: n/t prothesis before an
+    uppercase (possibly fada) vowel gets a hyphen (nAthair ->
+    n-athair), then ordinary lowercase."""
+    if (
+        len(t) > 1
+        and t[0] in "nt"
+        and t[1] in "AEIOUÁÉÍÓÚ"
+    ):
+        return t[0] + "-" + t[1:].lower()
+    return t.lower()
 
 
 def _german_normalize(t: str) -> str:

@@ -312,3 +312,24 @@ def test_protected_term_filter():
     f = make_term_filter("protected", words=["running"], then="porter")
     assert f("running") == "running"  # protected: stemmer skipped
     assert f("jumping") == "jump"
+
+
+def test_language_lowercase_and_recognizer_filters():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    g = make_term_filter("greek_lowercase")
+    assert g("ΜΆΪΟΣ") == "μαιοσ"      # tonos/dialytika folded, sigma standard
+    assert g("καλός") == "καλοσ"
+    assert g("ς") == "σ"
+    ir = make_term_filter("irish_lowercase")
+    assert ir("nAthair") == "n-athair"  # n-prothesis
+    assert ir("tÚll") == "t-úll"        # t-prothesis with fada
+    assert ir("Gaeilge") == "gaeilge"
+    assert ir("na") == "na"             # lowercase vowel: no hyphen
+    d = make_term_filter("date_recognizer")
+    assert d("2024-03-16") == "2024-03-16"
+    assert d("notadate") is None
+    d2 = make_term_filter("date_recognizer", format="%d/%m/%Y")
+    assert d2("16/03/2024") == "16/03/2024" and d2("2024-03-16") is None
+    cc = make_term_filter("codepoint_count", min=2, max=4)
+    assert cc("abc") == "abc" and cc("a") is None and cc("abcde") is None
