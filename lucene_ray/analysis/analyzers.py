@@ -1678,6 +1678,8 @@ def make_term_filter(name: str, **kw):
         from .metaphone import cologne_phonetic as _cg
 
         return lambda t: (_cg(t) or t)
+    if name == "turkish_lowercase":
+        return _turkish_lower
     if name == "codepoint_count":
         # miscellaneous/CodepointCountFilter.java — Python strings index
         # codepoints, so this IS the length filter's semantics
@@ -1738,6 +1740,28 @@ _GREEK_FOLD = str.maketrans(
         "΢": "ς",
     }
 )
+
+
+def _turkish_lower(t: str) -> str:
+    """tr/TurkishLowerCaseFilter.java: dotted capital İ lowers to i,
+    dotless capital I to ı — unless followed by a combining dot above
+    (U+0307), which is consumed to produce i."""
+    out: list[str] = []
+    i = 0
+    while i < len(t):
+        c = t[i]
+        if c == "İ":
+            out.append("i")
+        elif c == "I":
+            if i + 1 < len(t) and t[i + 1] == "̇":
+                out.append("i")
+                i += 1  # consume the combining dot
+            else:
+                out.append("ı")
+        else:
+            out.append(c.lower())
+        i += 1
+    return "".join(out)
 
 
 def _greek_lower(t: str) -> str:
@@ -1925,6 +1949,64 @@ class PatternAnalyzer(StandardAnalyzer):
             np.asarray(off_s, np.int64),
             np.asarray(off_e, np.int64),
         )
+
+
+class PatternSplitAnalyzer(PatternAnalyzer):
+    """SimplePatternSplitTokenizer (reference analysis/pattern/
+    SimplePatternSplitTokenizer.java): the pattern matches the
+    SEPARATORS — tokens are the non-empty text runs between matches
+    (PatternTokenizer group=-1 split mode), lowercased like the pattern
+    analyzer chain."""
+
+    def _batch_token_stream(self, texts: list[str]):
+        # reuse the match-mode machinery by inverting: scan split points
+        toks: list[str] = []
+        doc_ids: list[int] = []
+        positions: list[int] = []
+        off_s: list[int] = []
+        off_e: list[int] = []
+        cap = self.max_token_length
+        for di, text in enumerate(texts):
+            low = (text or "").lower()
+            p = 0
+            prev = 0
+            for m in list(self._rx.finditer(low)) + [None]:
+                s, e = (m.start(), m.end()) if m is not None else (len(low), len(low))
+                t = low[prev:s]
+                if t and len(t) <= cap and t not in self.stop:
+                    toks.append(t)
+                    doc_ids.append(di)
+                    positions.append(p)
+                    off_s.append(prev)
+                    off_e.append(s)
+                    p += 1
+                prev = e
+        lengths = np.bincount(
+            np.asarray(doc_ids, np.int64), minlength=len(texts)
+        ).astype(np.int64)
+        if not toks:
+            e_ = np.empty(0, np.int64)
+            return [], e_, e_, e_, lengths, len(texts), e_, e_
+        vocab = sorted(set(toks), key=lambda s: s.encode("utf-8"))
+        pos_of = {t: i for i, t in enumerate(vocab)}
+        return (
+            vocab,
+            np.array([pos_of[t] for t in toks], np.int64),
+            np.asarray(doc_ids, np.int64),
+            np.asarray(positions, np.int64),
+            lengths,
+            len(texts),
+            np.asarray(off_s, np.int64),
+            np.asarray(off_e, np.int64),
+        )
+
+    def tokens(self, text: str) -> list[str]:
+        cap = self.max_token_length
+        return [
+            t
+            for t in self._rx.split((text or "").lower())
+            if t and len(t) <= cap and t not in self.stop
+        ]
 
 
 class SimpleLetterAnalyzer(PatternAnalyzer):
@@ -2485,6 +2567,7 @@ ANALYZERS = {
     "delimited_tf": DelimitedTermFrequencyAnalyzer,
     "simple": SimpleLetterAnalyzer,
     "pattern_replace_char": PatternReplaceCharFilterAnalyzer,
+    "pattern_split": PatternSplitAnalyzer,
     "stop": StopWordsAnalyzer,
 }
 

@@ -333,3 +333,23 @@ def test_language_lowercase_and_recognizer_filters():
     assert d2("16/03/2024") == "16/03/2024" and d2("2024-03-16") is None
     cc = make_term_filter("codepoint_count", min=2, max=4)
     assert cc("abc") == "abc" and cc("a") is None and cc("abcde") is None
+
+
+def test_turkish_lowercase():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("turkish_lowercase")
+    assert f("İSTANBUL") == "istanbul"
+    assert f("DİYARBAKIR") == "diyarbakır"
+    assert f("I") == "ı"            # dotless
+    assert f("İ") == "i"      # I + combining dot above -> i
+
+
+def test_pattern_split_tokenizer():
+    from lucene_ray.analysis.analyzers import make_analyzer
+
+    an = make_analyzer({"name": "pattern_split", "pattern": r"[,;]+"})
+    assert an.tokens("Red, Green;;Blue") == ["red", " green", "blue"]
+    v, t, d, p, l, n, os_, oe = an._batch_token_stream(["a,b,,c"])
+    got = [(v[t[i]], int(os_[i]), int(oe[i]), int(p[i])) for i in range(len(t))]
+    assert got == [("a", 0, 1, 0), ("b", 2, 3, 1), ("c", 5, 6, 2)]
