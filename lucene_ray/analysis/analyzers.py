@@ -1680,6 +1680,40 @@ def make_term_filter(name: str, **kw):
         return lambda t: (_cg(t) or t)
     if name == "turkish_lowercase":
         return _turkish_lower
+    if name == "scandinavian_normalization":
+        # miscellaneous/ScandinavianNormalizer.java processToken with
+        # ALL_FOLDINGS (the ScandinavianNormalizationFilter default):
+        # ä->æ, ö->ø, and aa/ao->å, ae->æ, oe/oo->ø digraph collapse
+        def _scan_norm(t: str) -> str:
+            out: list[str] = []
+            i = 0
+            n = len(t)
+            while i < n:
+                c = t[i]
+                nxt = t[i + 1] if i + 1 < n else ""
+                if c == "ä":
+                    out.append("æ")
+                elif c == "Ä":
+                    out.append("Æ")
+                elif c == "ö":
+                    out.append("ø")
+                elif c == "Ö":
+                    out.append("Ø")
+                elif c in "aA" and nxt in ("a", "A", "o", "O"):
+                    out.append("å" if c == "a" else "Å")
+                    i += 1
+                elif c in "aA" and nxt in ("e", "E"):
+                    out.append("æ" if c == "a" else "Æ")
+                    i += 1
+                elif c in "oO" and nxt in ("e", "E", "o", "O"):
+                    out.append("ø" if c == "o" else "Ø")
+                    i += 1
+                else:
+                    out.append(c)
+                i += 1
+            return "".join(out)
+
+        return _scan_norm
     if name == "codepoint_count":
         # miscellaneous/CodepointCountFilter.java — Python strings index
         # codepoints, so this IS the length filter's semantics

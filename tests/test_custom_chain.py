@@ -353,3 +353,16 @@ def test_pattern_split_tokenizer():
     v, t, d, p, l, n, os_, oe = an._batch_token_stream(["a,b,,c"])
     got = [(v[t[i]], int(os_[i]), int(oe[i]), int(p[i])) for i in range(len(t))]
     assert got == [("a", 0, 1, 0), ("b", 2, 3, 1), ("c", 5, 6, 2)]
+
+
+def test_scandinavian_normalization():
+    # goldens from TestScandinavianNormalizationFilter
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("scandinavian_normalization")
+    assert f("aeaaoeoo") == "æåøø"
+    assert f("blåbærsyltetöj") == "blåbærsyltetøj"
+    assert f("räksmörgås") == "ræksmørgås"
+    assert f("ao") == "å"
+    assert f("AO") == "Å"
+    assert f("plain") == "plain"
