@@ -1680,6 +1680,21 @@ def make_term_filter(name: str, **kw):
         return lambda t: (_cg(t) or t)
     if name == "turkish_lowercase":
         return _turkish_lower
+    if name == "serbian_normalization":
+        # sr/SerbianNormalizationFilter.java (the "bald" Latin folding,
+        # table machine-extracted from the reference switch): Cyrillic
+        # AND diacritic Latin fold to bare Latin, ђ/đ->dj, љ->lj,
+        # њ->nj, џ->dz, ж/з/ž->z, ћ/ц/ч/č/ć->c, ш/š->s
+        m = {
+            "а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+            "ђ": "dj", "đ": "dj", "е": "e", "ж": "z", "з": "z",
+            "ž": "z", "и": "i", "ј": "j", "к": "k", "л": "l",
+            "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+            "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "c",
+            "ц": "c", "ч": "c", "č": "c", "ć": "c", "у": "u",
+            "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+        }
+        return lambda t: "".join(m.get(c, c) for c in t)
     if name == "scandinavian_normalization":
         # miscellaneous/ScandinavianNormalizer.java processToken with
         # ALL_FOLDINGS (the ScandinavianNormalizationFilter default):

@@ -366,3 +366,16 @@ def test_scandinavian_normalization():
     assert f("ao") == "å"
     assert f("AO") == "Å"
     assert f("plain") == "plain"
+
+
+def test_serbian_normalization():
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    f = make_term_filter("serbian_normalization")
+    assert f("ђура") == "djura"      # Cyrillic dj-digraph
+    assert f("љиљана") == "ljiljana"
+    assert f("џеп") == "dzep"
+    assert f("чевапчићи") == "cevapcici"
+    assert f("čevapčići") == "cevapcici"  # diacritic Latin folds too
+    assert f("живот") == "zivot"
+    assert f("plain") == "plain"
