@@ -1678,6 +1678,15 @@ def make_term_filter(name: str, **kw):
         from .metaphone import cologne_phonetic as _cg
 
         return lambda t: (_cg(t) or t)
+    if name in (
+        "french_minimal",
+        "german_minimal",
+        "spanish_minimal",
+        "swedish_minimal",
+    ):
+        from . import lightstem
+
+        return getattr(lightstem, name.replace("minimal", "minimal_stem"))
     if name == "turkish_lowercase":
         return _turkish_lower
     if name == "serbian_normalization":

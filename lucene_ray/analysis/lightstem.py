@@ -1,0 +1,94 @@
+"""Minimal language stemmers (Savoy's light-stemming family).
+
+Faithful transcriptions of the reference algorithms:
+- fr/FrenchMinimalStemmer.java (aux -> al, strip s/r/e/é, dedupe final)
+- de/GermanMinimalStemmer.java (umlaut fold, -nen, -en/-se/-es/-er,
+  single n/e/s/r)
+- es/SpanishMinimalStemmer.java (accent fold, plural -s/-es with the
+  ces -> z rewrite)
+- sv/SwedishMinimalStemmer.java (plural -s, the -arne/-erna/-arna/
+  -orna/-aren group, -are, 2-char groups, single a/e/n)
+
+All operate on lowercase input like the reference filters.
+"""
+
+from __future__ import annotations
+
+
+def french_minimal_stem(t: str) -> str:
+    n = len(t)
+    if n < 6:
+        return t
+    s = list(t)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":
+        n -= 1
+    if n >= 2 and s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+        n -= 1
+    return "".join(s[:n])
+
+
+def german_minimal_stem(t: str) -> str:
+    if len(t) < 5:
+        return t
+    s = list(t.translate(str.maketrans("äöü", "aou")))
+    n = len(s)
+    if n > 6 and s[n - 3] == "n" and s[n - 2] == "e" and s[n - 1] == "n":
+        return "".join(s[: n - 3])
+    if n > 5:
+        last, prev = s[n - 1], s[n - 2]
+        if (
+            (last == "n" and prev == "e")
+            or (last == "e" and prev == "s")
+            or (last == "s" and prev == "e")
+            or (last == "r" and prev == "e")
+        ):
+            return "".join(s[: n - 2])
+    if s[n - 1] in "nesr":
+        return "".join(s[: n - 1])
+    return "".join(s)
+
+
+_ES_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîïñ", "aaaaooooeeeeuuuuiiiin")
+
+
+def spanish_minimal_stem(t: str) -> str:
+    if len(t) < 4 or not t.endswith("s"):
+        return t
+    s = list(t.translate(_ES_FOLD))
+    n = len(s)
+    if s[n - 2] in ("a", "o"):
+        return "".join(s[: n - 1])
+    if s[n - 2] == "e":
+        if s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[: n - 2])
+        if s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[: n - 2])
+        return "".join(s[: n - 2])
+    return "".join(s[: n - 1])
+
+
+def swedish_minimal_stem(t: str) -> str:
+    s = t
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    if n > 6 and s[:n].endswith(("arne", "erna", "arna", "orna", "aren")):
+        return s[: n - 4]
+    if n > 5 and s[:n].endswith("are"):
+        return s[: n - 3]
+    if n > 4 and s[:n].endswith(("ar", "at", "er", "et", "or", "en")):
+        return s[: n - 2]
+    if n > 3 and s[n - 1] in "aen":
+        return s[: n - 1]
+    return s[:n]

@@ -1,0 +1,54 @@
+"""Minimal language stemmers: hand-traced goldens from the transcribed
+reference rules."""
+
+from lucene_ray.analysis.analyzers import make_term_filter
+from lucene_ray.analysis.lightstem import (
+    french_minimal_stem,
+    german_minimal_stem,
+    spanish_minimal_stem,
+    swedish_minimal_stem,
+)
+
+
+def test_french_minimal():
+    assert french_minimal_stem("chevaux") == "cheval"   # aux -> al
+    assert french_minimal_stem("fatigues") == "fatigu"  # s, e stripped
+    assert french_minimal_stem("chiens") == "chien"
+    assert french_minimal_stem("porter") == "port"      # r, e
+    assert french_minimal_stem("chat") == "chat"        # < 6: untouched
+    assert french_minimal_stem("donnée") == "don"       # é strip then double-n dedupe
+
+
+def test_german_minimal():
+    assert german_minimal_stem("kindern") == "kinder"
+    assert german_minimal_stem("häusern") == "hauser"
+    assert german_minimal_stem("frauen") == "frau"      # -en
+    assert german_minimal_stem("bildern") == "bilder"
+    assert german_minimal_stem("lampennen") == "lampen"  # -nen (len>6)
+    assert german_minimal_stem("haus") == "haus"        # < 5: untouched
+
+
+def test_spanish_minimal():
+    assert spanish_minimal_stem("casas") == "casa"
+    assert spanish_minimal_stem("peces") == "pez"       # ces -> z
+    assert spanish_minimal_stem("meses") == "mes"       # eses -> es strip
+    assert spanish_minimal_stem("libros") == "libro"
+    assert spanish_minimal_stem("casa") == "casa"       # no final s
+    assert spanish_minimal_stem("mes") == "mes"         # < 4
+
+
+def test_swedish_minimal():
+    assert swedish_minimal_stem("flickorna") == "flick"
+    assert swedish_minimal_stem("bilar") == "bil"
+    assert swedish_minimal_stem("husets") == "hus"      # s then -et
+    assert swedish_minimal_stem("pojkarne") == "pojk"
+    assert swedish_minimal_stem("bakare") == "bak"      # -are
+    assert swedish_minimal_stem("flicka") == "flick"    # single a
+    assert swedish_minimal_stem("hus") == "hus"
+
+
+def test_registry():
+    for n in ("french_minimal", "german_minimal", "spanish_minimal",
+              "swedish_minimal"):
+        f = make_term_filter(n)
+        assert callable(f) and isinstance(f("testing"), str)
