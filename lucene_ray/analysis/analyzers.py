@@ -1683,10 +1683,15 @@ def make_term_filter(name: str, **kw):
         "german_minimal",
         "spanish_minimal",
         "swedish_minimal",
+        "russian_light",
+        "italian_light",
     ):
         from . import lightstem
 
-        return getattr(lightstem, name.replace("minimal", "minimal_stem"))
+        return getattr(
+            lightstem,
+            name.replace("minimal", "minimal_stem").replace("light", "light_stem"),
+        )
     if name == "turkish_lowercase":
         return _turkish_lower
     if name == "serbian_normalization":

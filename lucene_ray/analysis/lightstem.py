@@ -92,3 +92,54 @@ def swedish_minimal_stem(t: str) -> str:
     if n > 3 and s[n - 1] in "aen":
         return s[: n - 1]
     return s[:n]
+
+
+def russian_light_stem(t: str) -> str:
+    """ru/RussianLightStemmer.java: removeCase (the 4/3/2/1-char case
+    suffix ladder) then normalize (drop final ь/и, collapse нн)."""
+    s = t
+    n = len(s)
+    if n > 6 and s[:n].endswith(("иями", "оями")):
+        n -= 4
+    elif n > 5 and s[:n].endswith((
+        "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+        "ери", "ими", "ого", "ому", "ыми", "оев",
+    )):
+        n -= 3
+    elif n > 4 and s[:n].endswith((
+        "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+        "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+        "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми",
+    )):
+        n -= 2
+    elif n > 3 and s[n - 1] in "аеиоуйыяь":
+        n -= 1
+    # normalize
+    if n > 3:
+        if s[n - 1] in "ьи":
+            n -= 1
+        elif s[n - 1] == "н" and s[n - 2] == "н":
+            n -= 1
+    return s[:n]
+
+
+_IT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def italian_light_stem(t: str) -> str:
+    """it/ItalianLightStemmer.java: accent fold + the final-vowel
+    (e/i/a/o with ie/he/hi/ii/ia/io digraph) plural strip."""
+    if len(t) < 6:
+        return t
+    s = t.translate(_IT_FOLD)
+    n = len(s)
+    last, prev = s[n - 1], s[n - 2]
+    if last == "e":
+        return s[: n - 2] if prev in "ih" else s[: n - 1]
+    if last == "i":
+        return s[: n - 2] if prev in "hi" else s[: n - 1]
+    if last == "a":
+        return s[: n - 2] if prev == "i" else s[: n - 1]
+    if last == "o":
+        return s[: n - 2] if prev == "i" else s[: n - 1]
+    return s

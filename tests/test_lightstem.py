@@ -52,3 +52,23 @@ def test_registry():
               "swedish_minimal"):
         f = make_term_filter(n)
         assert callable(f) and isinstance(f("testing"), str)
+
+
+def test_russian_light():
+    from lucene_ray.analysis.lightstem import russian_light_stem as r
+
+    assert r("книгами") == "книг"       # -ами case suffix
+    assert r("красный") == "красн"      # -ый
+    assert r("ночь") == "ноч"           # normalize drops ь
+    assert r("осенний") == "осен"       # -ий then нн collapse
+    assert r("дом") == "дом"            # short: untouched
+
+
+def test_italian_light():
+    from lucene_ray.analysis.lightstem import italian_light_stem as i
+
+    # singular and plural collide
+    assert i("abitazione") == i("abitazioni") == "abitazion"
+    assert i("ragazzo") == i("ragazzi") == i("ragazza") == "ragazz"
+    assert i("perché") == "perc"        # accent fold + he -> strip 2
+    assert i("città") == "città"        # < 6: untouched
