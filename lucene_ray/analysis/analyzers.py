@@ -1685,6 +1685,8 @@ def make_term_filter(name: str, **kw):
         "swedish_minimal",
         "russian_light",
         "italian_light",
+        "german_light",
+        "norwegian_minimal",
     ):
         from . import lightstem
 

@@ -143,3 +143,52 @@ def italian_light_stem(t: str) -> str:
     if last == "o":
         return s[: n - 2] if prev == "i" else s[: n - 1]
     return s
+
+
+_DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST = frozenset("bdfghklmnt")  # stEnding consonants
+
+
+def german_light_stem(t: str) -> str:
+    """de/GermanLightStemmer.java: accent fold, step1 (ern / em|en|er|es
+    / e / s-after-st-consonant), step2 (est / er|en / st)."""
+    s = t.translate(_DE_FOLD)
+    n = len(s)
+    # step 1
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST:
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "s" and s[n - 1] == "t":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "rn":
+        n -= 2
+    elif n > 4 and s[n - 2] == "s" and s[n - 1] == "t" and s[n - 3] in _DE_ST:
+        n -= 2
+    return s[:n]
+
+
+def norwegian_minimal_stem(t: str, nynorsk: bool = False) -> str:
+    """no/NorwegianMinimalStemmer.java with the filter's default BOKMAAL
+    flags (pass nynorsk=True for the -ane/-ar endings)."""
+    s = t
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    if n > 5 and (
+        s[:n].endswith("ene") or (nynorsk and s[:n].endswith("ane"))
+    ):
+        return s[: n - 3]
+    if n > 4 and (
+        s[:n].endswith(("er", "en", "et"))
+        or (nynorsk and s[:n].endswith("ar"))
+    ):
+        return s[: n - 2]
+    if n > 3 and s[n - 1] in "ae":
+        return s[: n - 1]
+    return s[:n]

@@ -72,3 +72,24 @@ def test_italian_light():
     assert i("ragazzo") == i("ragazzi") == i("ragazza") == "ragazz"
     assert i("perché") == "perc"        # accent fold + he -> strip 2
     assert i("città") == "città"        # < 6: untouched
+
+
+def test_german_light():
+    from lucene_ray.analysis.lightstem import german_light_stem as g
+
+    assert g("kindern") == "kind"       # -ern then (no step2)
+    assert g("häuser") == "haus"        # fold + -er
+    assert g("schönste") == "schon"     # -e then -st after n
+    assert g("kleinste") == "klein"
+    assert g("katzen") == "katz"
+
+
+def test_norwegian_minimal():
+    from lucene_ray.analysis.lightstem import norwegian_minimal_stem as nm
+
+    assert nm("husene") == "hus"        # -ene definite plural
+    assert nm("guten") == "gut"
+    assert nm("kaker") == "kak"
+    assert nm("jenta") == "jent"        # fem definite -a
+    assert nm("gutane") == "gutan"      # nynorsk ending OFF by default
+    assert nm("gutane", nynorsk=True) == "gut"
