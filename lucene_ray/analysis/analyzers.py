@@ -1687,6 +1687,7 @@ def make_term_filter(name: str, **kw):
         "italian_light",
         "german_light",
         "norwegian_minimal",
+        "swedish_light",
     ):
         from . import lightstem
 

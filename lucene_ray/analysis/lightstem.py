@@ -192,3 +192,26 @@ def norwegian_minimal_stem(t: str, nynorsk: bool = False) -> str:
     if n > 3 and s[n - 1] in "ae":
         return s[: n - 1]
     return s[:n]
+
+
+def swedish_light_stem(t: str) -> str:
+    """sv/SwedishLightStemmer.java: plural -s then the 5/4/3/2/1-char
+    suffix ladder (elser/heten, arne/erna/ande/else/aste/orna/aren,
+    are/ast/het, 2-char group, single t/a/e/n)."""
+    s = t
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    if n > 7 and s[:n].endswith(("elser", "heten")):
+        return s[: n - 5]
+    if n > 6 and s[:n].endswith(
+        ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+    ):
+        return s[: n - 4]
+    if n > 5 and s[:n].endswith(("are", "ast", "het")):
+        return s[: n - 3]
+    if n > 4 and s[:n].endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return s[: n - 2]
+    if n > 3 and s[n - 1] in "taen":
+        return s[: n - 1]
+    return s[:n]

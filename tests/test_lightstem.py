@@ -93,3 +93,15 @@ def test_norwegian_minimal():
     assert nm("jenta") == "jent"        # fem definite -a
     assert nm("gutane") == "gutan"      # nynorsk ending OFF by default
     assert nm("gutane", nynorsk=True) == "gut"
+
+
+def test_swedish_light():
+    from lucene_ray.analysis.lightstem import swedish_light_stem as sl
+
+    assert sl("händelser") == "händ"     # -elser
+    assert sl("friheten") == "fri"       # -heten
+    assert sl("springande") == "spring"  # -ande
+    assert sl("starkaste") == "stark"    # -aste
+    assert sl("frihet") == "fri"         # -het
+    assert sl("flickor") == "flick"
+    assert sl("hus") == "hus"
