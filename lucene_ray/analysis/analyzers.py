@@ -1688,13 +1688,20 @@ def make_term_filter(name: str, **kw):
         "german_light",
         "norwegian_minimal",
         "swedish_light",
+        "czech",
+        "bulgarian",
+        "arabic_normalization",
     ):
         from . import lightstem
 
-        return getattr(
-            lightstem,
-            name.replace("minimal", "minimal_stem").replace("light", "light_stem"),
+        fn = {
+            "czech": "czech_stem",
+            "bulgarian": "bulgarian_stem",
+            "arabic_normalization": "arabic_normalize",
+        }.get(name) or name.replace("minimal", "minimal_stem").replace(
+            "light", "light_stem"
         )
+        return getattr(lightstem, fn)
     if name == "turkish_lowercase":
         return _turkish_lower
     if name == "serbian_normalization":

@@ -215,3 +215,124 @@ def swedish_light_stem(t: str) -> str:
     if n > 3 and s[n - 1] in "taen":
         return s[: n - 1]
     return s[:n]
+
+
+def arabic_normalize(t: str) -> str:
+    """ar/ArabicNormalizer.java: alef variants fold to bare alef,
+    dotless yeh to yeh, teh marbuta to heh; tatweel and the harakat
+    (fatha/damma/kasra + tanwin, shadda, sukun) delete."""
+    fold = {
+        "آ": "ا", "أ": "ا", "إ": "ا",
+        "ى": "ي", "ة": "ه",
+    }
+    drop = set("ـًٌٍَُِّْ")
+    return "".join(fold.get(c, c) for c in t if c not in drop)
+
+
+def czech_stem(t: str) -> str:
+    """cz/CzechStemmer.java light stemmer: case ladder, possessive
+    -ov/-in/-ův, palatalization normalize (čt->ck, št->sk, c/č->k,
+    z/ž->h, e-insertion removal, ů->o)."""
+    s = t
+    n = len(s)
+    # removeCase
+    if n > 7 and s[:n].endswith("atech"):
+        n -= 5
+    elif n > 6 and s[:n].endswith(("ětem", "etem", "atům")):
+        n -= 4
+    elif n > 5 and s[:n].endswith((
+        "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+        "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+        "aty", "ých", "ama", "ami", "ové", "ovi", "ými",
+    )):
+        n -= 3
+    elif n > 4 and s[:n].endswith((
+        "em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+        "mi", "ou",
+    )):
+        n -= 2
+    elif n > 3 and s[n - 1] in "aeiouůyáéíýě":
+        n -= 1
+    # removePossessives
+    if n > 5 and s[:n].endswith(("ov", "in", "ův")):
+        n -= 2
+    if n <= 0:
+        return s[:n]
+    # normalize
+    b = list(s[:n])
+    if n >= 2 and b[-2] + b[-1] == "čt":
+        b[-2], b[-1] = "c", "k"
+        return "".join(b)
+    if n >= 2 and b[-2] + b[-1] == "št":
+        b[-2], b[-1] = "s", "k"
+        return "".join(b)
+    if b[-1] in "cč":
+        b[-1] = "k"
+        return "".join(b)
+    if b[-1] in "zž":
+        b[-1] = "h"
+        return "".join(b)
+    if n > 1 and b[-2] == "e":
+        b[-2] = b[-1]
+        return "".join(b[:-1])
+    if n > 2 and b[-2] == "ů":
+        b[-2] = "o"
+        return "".join(b)
+    return "".join(b)
+
+
+def bulgarian_stem(t: str) -> str:
+    """bg/BulgarianStemmer.java: -ища, definite-article ladder, plural
+    rules with the ци->к / си->х / е..и->я rewrites, final я/а/о/е,
+    -ен -> н and ъN -> N collapses."""
+    s = list(t)
+    n = len(s)
+    if n < 4:
+        return t
+    if n > 5 and t.endswith("ища"):
+        return t[: n - 3]
+    # removeArticle
+    def _ends(k):
+        return "".join(s[:n]).endswith(k)
+
+    if n > 6 and _ends("ият"):
+        n -= 3
+    elif n > 5 and (_ends("ът") or _ends("то") or _ends("те") or _ends("та") or _ends("ия")):
+        n -= 2
+    elif n > 4 and _ends("ят"):
+        n -= 2
+    # removePlural
+    if n > 6 and _ends("овци"):
+        n -= 3
+    elif n > 6 and _ends("ове"):
+        n -= 3
+    elif n > 6 and _ends("еве"):
+        s[n - 3] = "й"
+        n -= 2
+    elif n > 5 and _ends("ища"):
+        n -= 3
+    elif n > 5 and _ends("та"):
+        n -= 2
+    elif n > 5 and _ends("ци"):
+        s[n - 2] = "к"
+        n -= 1
+    elif n > 5 and s[n - 3] == "е" and s[n - 1] == "и":
+        s[n - 3] = "я"
+        n -= 1
+    elif n > 4 and _ends("си"):
+        s[n - 2] = "х"
+        n -= 1
+    elif n > 4 and _ends("и"):
+        n -= 1
+    if n > 3:
+        if s[n - 1] == "я":
+            n -= 1
+        if n >= 1 and s[n - 1] in "аое":
+            n -= 1
+    if n > 4 and "".join(s[:n]).endswith("ен"):
+        s[n - 2] = "н"
+        n -= 1
+    if n > 5 and s[n - 2] == "ъ":
+        s[n - 2] = s[n - 1]
+        n -= 1
+    return "".join(s[:n])

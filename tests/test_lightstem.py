@@ -105,3 +105,31 @@ def test_swedish_light():
     assert sl("frihet") == "fri"         # -het
     assert sl("flickor") == "flick"
     assert sl("hus") == "hus"
+
+
+def test_czech():
+    from lucene_ray.analysis.lightstem import czech_stem as c
+
+    assert c("matce") == "matk"        # vowel strip + c -> k
+    assert c("matka") == "matk"        # collide
+    assert c("hradech") == "hrad"      # -ech
+    assert c("otcův") == "otcov"       # possessive -ův then ů -> o
+    assert c("ženami") == "žn"         # -ami then e-removal
+
+
+def test_bulgarian():
+    from lucene_ray.analysis.lightstem import bulgarian_stem as b
+
+    assert b("градовете") == "град"    # article -те then plural -ове
+    assert b("книгите") == "книг"      # -те then -и
+    assert b("хубавият") == "хубав"    # full article -ият
+    assert b("дом") == "дом"           # < 4: untouched
+
+
+def test_arabic_normalization():
+    from lucene_ray.analysis.lightstem import arabic_normalize as a
+
+    assert a("أَمر") == "امر"          # hamza alef fold + fatha drop
+    assert a("مكتبة") == "مكتبه"       # teh marbuta -> heh
+    assert a("قرآن") == "قران"         # alef madda
+    assert a("ـكتابـ") == "كتاب"       # tatweel dropped
