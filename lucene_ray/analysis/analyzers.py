@@ -1691,6 +1691,7 @@ def make_term_filter(name: str, **kw):
         "czech",
         "bulgarian",
         "arabic_normalization",
+        "sorani_normalization",
     ):
         from . import lightstem
 
@@ -1698,6 +1699,7 @@ def make_term_filter(name: str, **kw):
             "czech": "czech_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
+            "sorani_normalization": "sorani_normalize",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

@@ -336,3 +336,34 @@ def bulgarian_stem(t: str) -> str:
         s[n - 2] = s[n - 1]
         n -= 1
     return "".join(s[:n])
+
+
+def sorani_normalize(t: str) -> str:
+    """ckb/SoraniNormalizer.java: yeh variants -> farsi yeh, kaf ->
+    keheh, heh+ZWNJ / final heh / teh marbuta -> ae, heh doachashmee ->
+    heh, initial reh -> rreh, tatweel/harakat deleted."""
+    out: list[str] = []
+    for c in t:
+        if c in "يى":
+            out.append("ی")  # farsi yeh
+        elif c == "ك":
+            out.append("ک")  # keheh
+        elif c == "‌":  # ZWNJ
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+        elif c == "ة":
+            out.append("ە")
+        elif c == "ھ":
+            out.append("ه")
+        elif c == "ر" and not out:
+            out.append("ڕ")  # initial reh -> rreh
+        elif c == "ڒ":
+            out.append("ڕ")
+        elif c in "ـًٌٍَُِّْ":
+            continue
+        else:
+            out.append(c)
+    # final heh -> ae
+    if out and out[-1] == "ه":
+        out[-1] = "ە"
+    return "".join(out)

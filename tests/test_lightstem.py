@@ -133,3 +133,11 @@ def test_arabic_normalization():
     assert a("مكتبة") == "مكتبه"       # teh marbuta -> heh
     assert a("قرآن") == "قران"         # alef madda
     assert a("ـكتابـ") == "كتاب"       # tatweel dropped
+
+
+def test_sorani_normalization():
+    from lucene_ray.analysis.lightstem import sorani_normalize as sn
+
+    assert sn("يكره‌") == "یکرە"   # yeh/kaf folds + heh+ZWNJ -> ae
+    assert sn("ره") == "ڕە"        # initial reh -> rreh, final heh -> ae
+    assert sn("ـطـ") == "ط"        # tatweel deleted
