@@ -1688,6 +1688,7 @@ def make_term_filter(name: str, **kw):
         "german_light",
         "norwegian_minimal",
         "swedish_light",
+        "finnish_light",
         "czech",
         "bulgarian",
         "arabic_normalization",

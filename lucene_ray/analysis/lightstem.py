@@ -367,3 +367,131 @@ def sorani_normalize(t: str) -> str:
     if out and out[-1] == "ه":
         out[-1] = "ە"
     return "".join(out)
+
+
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_ends(s: list, n: int, suf: str) -> bool:
+    return n >= len(suf) and "".join(s[n - len(suf) : n]) == suf
+
+
+def finnish_light_stem(t: str) -> str:
+    """fi/FinnishLightStemmer.java: ä/å/ö fold, the recursive -kin/-ko
+    particle strip, possessive/case steps, and the normalization passes
+    (hde->ksi, final vowels, doubled k/p/t collapse)."""
+    if len(t) < 4:
+        return t
+    s = list(t.translate(str.maketrans("äåö", "aao")))
+    n = len(s)
+
+    def step1(n: int) -> int:
+        if n > 8:
+            if _fi_ends(s, n, "kin"):
+                return step1(n - 3)
+            if _fi_ends(s, n, "ko"):
+                return step1(n - 2)
+        if n > 11:
+            if _fi_ends(s, n, "dellinen"):
+                return n - 8
+            if _fi_ends(s, n, "dellisuus"):
+                return n - 9
+        return n
+
+    n = step1(n)
+    # step2
+    if n > 5:
+        if _fi_ends(s, n, "lla") or _fi_ends(s, n, "tse") or _fi_ends(s, n, "sti"):
+            n -= 3
+        elif _fi_ends(s, n, "ni"):
+            n -= 2
+        elif _fi_ends(s, n, "aa"):
+            n -= 1
+    # step3
+    done = False
+    if n > 8 and not done:
+        if _fi_ends(s, n, "nnen"):
+            s[n - 4] = "s"
+            n -= 3
+            done = True
+        elif _fi_ends(s, n, "ntena"):
+            s[n - 5] = "s"
+            n -= 4
+            done = True
+        elif _fi_ends(s, n, "tten"):
+            n -= 4
+            done = True
+        elif _fi_ends(s, n, "eiden"):
+            n -= 5
+            done = True
+    if n > 6 and not done:
+        if (
+            _fi_ends(s, n, "neen")
+            or _fi_ends(s, n, "niin")
+            or _fi_ends(s, n, "seen")
+            or _fi_ends(s, n, "teen")
+            or _fi_ends(s, n, "inen")
+        ):
+            n -= 4
+            done = True
+        elif s[n - 3] == "h" and s[n - 2] in _FI_VOWELS and s[n - 1] == "n":
+            n -= 3
+            done = True
+        elif _fi_ends(s, n, "den"):
+            s[n - 3] = "s"
+            n -= 2
+            done = True
+        elif _fi_ends(s, n, "ksen"):
+            s[n - 4] = "s"
+            n -= 3
+            done = True
+        elif (
+            _fi_ends(s, n, "ssa") or _fi_ends(s, n, "sta")
+            or _fi_ends(s, n, "lla") or _fi_ends(s, n, "lta")
+            or _fi_ends(s, n, "tta") or _fi_ends(s, n, "ksi")
+            or _fi_ends(s, n, "lle")
+        ):
+            n -= 3
+            done = True
+    if n > 5 and not done:
+        if _fi_ends(s, n, "na") or _fi_ends(s, n, "ne"):
+            n -= 2
+            done = True
+        elif _fi_ends(s, n, "nei"):
+            n -= 3
+            done = True
+    if n > 4 and not done:
+        if _fi_ends(s, n, "ja") or _fi_ends(s, n, "ta"):
+            n -= 2
+        elif s[n - 1] == "a":
+            n -= 1
+        elif s[n - 1] == "n" and s[n - 2] in _FI_VOWELS:
+            n -= 2
+        elif s[n - 1] == "n":
+            n -= 1
+    # norm1
+    if n > 5 and _fi_ends(s, n, "hde"):
+        s[n - 3], s[n - 2], s[n - 1] = "k", "s", "i"
+    hit = False
+    if n > 4 and (_fi_ends(s, n, "ei") or _fi_ends(s, n, "at")):
+        n -= 2
+        hit = True
+    if not hit and n > 3 and s[n - 1] in "tsjeai":
+        n -= 1
+    # norm2
+    if n > 8 and s[n - 1] in "eou":
+        n -= 1
+    if n > 4:
+        if s[n - 1] == "i":
+            n -= 1
+        if n > 4:
+            ch = s[0]
+            i = 1
+            while i < n:
+                if s[i] == ch and ch in "kpt":
+                    del s[i : i + 1]
+                    n -= 1
+                else:
+                    ch = s[i]
+                    i += 1
+    return "".join(s[:n])

@@ -141,3 +141,16 @@ def test_sorani_normalization():
     assert sn("يكره‌") == "یکرە"   # yeh/kaf folds + heh+ZWNJ -> ae
     assert sn("ره") == "ڕە"        # initial reh -> rreh, final heh -> ae
     assert sn("ـطـ") == "ط"        # tatweel deleted
+
+
+def test_finnish_light():
+    from lucene_ray.analysis.lightstem import finnish_light_stem as f
+
+    assert f("talossa") == "talo"         # -ssa
+    assert f("kaupungeissa") == "kaupung"  # -ssa then -ei
+    assert f("autolla") == "auto"          # -lla
+    assert f("kahden") == "kahd"           # vowel+n
+    assert f("kirjakin") == "kirjak"
+    # kk collapse only fires above the length gate: takki -> takk
+    assert f("takkiin") == "takk"
+    assert f("työ") == "työ"               # < 4: untouched
