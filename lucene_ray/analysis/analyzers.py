@@ -1689,6 +1689,7 @@ def make_term_filter(name: str, **kw):
         "norwegian_minimal",
         "swedish_light",
         "finnish_light",
+        "hungarian_light",
         "czech",
         "bulgarian",
         "arabic_normalization",

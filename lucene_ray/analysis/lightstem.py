@@ -495,3 +495,89 @@ def finnish_light_stem(t: str) -> str:
                     ch = s[i]
                     i += 1
     return "".join(s[:n])
+
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+
+
+def hungarian_light_stem(t: str) -> str:
+    """hu/HungarianLightStemmer.java: accent fold, then the case /
+    possessive / plural / final-vowel removal passes with their
+    vowel-context gates and the doubled-consonant al/el rule."""
+    s = t.translate(_HU_FOLD)
+    V = _FI_VOWELS  # same a/e/i/o/u/y vowel set
+    n = len(s)
+
+    def ends(k):
+        return s[:n].endswith(k)
+
+    # removeCase
+    if n > 6 and ends("kent"):
+        n -= 4
+    else:
+        took = False
+        if n > 5:
+            if ends(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                     "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+                n -= 3
+                took = True
+            elif ends(("al", "el")) and s[n - 3] not in V and s[n - 3] == s[n - 4]:
+                n -= 3
+                took = True
+        if not took and n > 4:
+            if ends(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                     "be", "ul", "ig")):
+                n -= 2
+            elif ends(("on", "en")) and s[n - 3] not in V:
+                n -= 2
+            elif s[n - 1] in "tn":
+                n -= 1
+            elif s[n - 1] in "ae" and s[n - 2] == s[n - 3] and s[n - 2] not in V:
+                n -= 2
+    # removePossessive
+    took = False
+    if n > 6:
+        if s[n - 5] not in V and ends(("atok", "otok", "etek")):
+            n -= 4
+            took = True
+        elif ends(("itek", "itok")):
+            n -= 4
+            took = True
+    if not took and n > 5:
+        if s[n - 4] not in V and ends(("unk", "tok", "tek")):
+            n -= 3
+            took = True
+        elif s[n - 4] in V and ends("juk"):
+            n -= 3
+            took = True
+        elif ends("ink"):
+            n -= 3
+            took = True
+    if not took and n > 4:
+        if s[n - 3] not in V and ends(("am", "em", "om", "ad", "ed", "od", "uk")):
+            n -= 2
+            took = True
+        elif s[n - 3] in V and ends(("nk", "ja", "je")):
+            n -= 2
+            took = True
+        elif ends(("im", "id", "ik")):
+            n -= 2
+            took = True
+    if not took and n > 3:
+        c = s[n - 1]
+        if c in "ae" and s[n - 2] not in V:
+            n -= 1
+        elif c in "md" and s[n - 2] in V:
+            n -= 1
+        elif c == "i":
+            n -= 1
+    # removePlural
+    if n > 3 and s[n - 1] == "k":
+        if s[n - 2] in "aoe" and n > 4:
+            n -= 2
+        else:
+            n -= 1
+    # normalize
+    if n > 3 and s[n - 1] in "aeio":
+        n -= 1
+    return s[:n]

@@ -154,3 +154,13 @@ def test_finnish_light():
     # kk collapse only fires above the length gate: takki -> takk
     assert f("takkiin") == "takk"
     assert f("työ") == "työ"               # < 4: untouched
+
+
+def test_hungarian_light():
+    from lucene_ray.analysis.lightstem import hungarian_light_stem as h
+
+    # case + plural collapse to one stem
+    assert h("házakat") == h("házban") == h("házak") == "haz"
+    assert h("könyvekkel") == "konyv"   # doubled-consonant el rule
+    assert h("emberek") == "ember"
+    assert h("kertjük") == "kertj"      # possessive -uk
