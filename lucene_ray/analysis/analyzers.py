@@ -1690,6 +1690,7 @@ def make_term_filter(name: str, **kw):
         "swedish_light",
         "finnish_light",
         "hungarian_light",
+        "latvian",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1702,6 +1703,7 @@ def make_term_filter(name: str, **kw):
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",
+            "latvian": "latvian_stem",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

@@ -581,3 +581,62 @@ def hungarian_light_stem(t: str) -> str:
     if n > 3 and s[n - 1] in "aeio":
         n -= 1
     return s[:n]
+
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+# (suffix, vowel-count threshold, fires palatalization) in priority order
+_LV_AFFIXES = [
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+]
+
+
+def _lv_unpalatalize(s: list, n: int) -> str:
+    """Reverse palatalization at the new stem end; ``s[n]`` is the first
+    char of the stripped suffix (the reference peeks at it for the
+    kš->kst and ņņ->nn rules)."""
+    tail2 = "".join(s[n - 2 : n])
+    if n < len(s) and s[n] == "u":
+        if tail2 == "kš":
+            return "".join(s[: n - 1]) + "st"
+        if tail2 == "ņņ":
+            return "".join(s[: n - 2]) + "nn"
+    if tail2 in ("pj", "bj", "mj", "vj"):
+        return "".join(s[: n - 1])
+    repl = {
+        "šņ": "sn", "žņ": "zn", "šļ": "sl", "žļ": "zl",
+        "ļņ": "ln", "ļļ": "ll",
+    }.get(tail2)
+    if repl:
+        return "".join(s[: n - 2]) + repl
+    last = {"č": "c", "ļ": "l", "ņ": "n"}.get(s[n - 1])
+    if last:
+        return "".join(s[: n - 1]) + last
+    return "".join(s[:n])
+
+
+def latvian_stem(t: str) -> str:
+    """lv/LatvianStemmer.java ("light stemmer ... as presented in
+    Tilde's 'A stemming algorithm for Latvian'"): strip the first affix
+    whose vowel-count and length gates pass, then reverse
+    palatalization for the affixes that fire it."""
+    nv = sum(c in _LV_VOWELS for c in t)
+    n = len(t)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and n >= len(affix) + 3 and t.endswith(affix):
+            m = n - len(affix)
+            if pal:
+                return _lv_unpalatalize(list(t), m)
+            return t[:m]
+    return t

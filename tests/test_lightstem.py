@@ -164,3 +164,16 @@ def test_hungarian_light():
     assert h("könyvekkel") == "konyv"   # doubled-consonant el rule
     assert h("emberek") == "ember"
     assert h("kertjük") == "kertj"      # possessive -uk
+
+
+def test_latvian():
+    from lucene_ray.analysis.lightstem import latvian_stem as lv
+
+    assert lv("grāmatas") == "grāmat"
+    assert lv("vīriem") == "vīr"
+    assert lv("cilvēks") == "cilvēk"
+    assert lv("kalniem") == "kaln"
+    # palatalization reversal: ļ -> l after a palatalizing affix
+    assert lv("ceļu") == "cel"
+    # vowel-count gate: too few vowels leaves the word alone
+    assert lv("best") == "best"
