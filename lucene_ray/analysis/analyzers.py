@@ -1691,6 +1691,7 @@ def make_term_filter(name: str, **kw):
         "finnish_light",
         "hungarian_light",
         "latvian",
+        "indonesian",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1704,6 +1705,7 @@ def make_term_filter(name: str, **kw):
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",
             "latvian": "latvian_stem",
+            "indonesian": "indonesian_stem",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

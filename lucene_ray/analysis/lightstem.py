@@ -640,3 +640,113 @@ def latvian_stem(t: str) -> str:
                 return _lv_unpalatalize(list(t), m)
             return t[:m]
     return t
+
+
+def indonesian_stem(t: str, stem_derivational: bool = True) -> str:
+    """id/IndonesianStemmer.java (Asian's "Effective Techniques for
+    Indonesian Text Retrieval"): inflectional particles/possessives,
+    then the derivational first-order prefix -> suffix -> second-order
+    prefix pipeline with the meng-/peng- sound rewrites and the flag
+    interactions that block illegal prefix+suffix combinations."""
+    KE, PENG, DI, MENG, TER, BER, PE = 1, 2, 4, 8, 16, 32, 64
+    st = {"ns": sum(c in "aeiou" for c in t), "fl": 0}
+    s = t
+
+    def first_order(s: str) -> str:
+        if s.startswith("meng"):
+            st["fl"] |= MENG; st["ns"] -= 1
+            return s[4:]
+        if s.startswith("meny") and len(s) > 4 and s[4] in "aeiou":
+            st["fl"] |= MENG; st["ns"] -= 1
+            return "s" + s[4:]
+        if s.startswith(("men", "mem")):
+            st["fl"] |= MENG; st["ns"] -= 1
+            return s[3:]
+        if s.startswith("me"):
+            st["fl"] |= MENG; st["ns"] -= 1
+            return s[2:]
+        if s.startswith("peng"):
+            st["fl"] |= PENG; st["ns"] -= 1
+            return s[4:]
+        if s.startswith("peny") and len(s) > 4 and s[4] in "aeiou":
+            st["fl"] |= PENG; st["ns"] -= 1
+            return "s" + s[4:]
+        if s.startswith("peny"):
+            st["fl"] |= PENG; st["ns"] -= 1
+            return s[4:]
+        if s.startswith("pen") and len(s) > 3 and s[3] in "aeiou":
+            st["fl"] |= PENG; st["ns"] -= 1
+            return "t" + s[3:]
+        if s.startswith(("pen", "pem")):
+            st["fl"] |= PENG; st["ns"] -= 1
+            return s[3:]
+        if s.startswith("di"):
+            st["fl"] |= DI; st["ns"] -= 1
+            return s[2:]
+        if s.startswith("ter"):
+            st["fl"] |= TER; st["ns"] -= 1
+            return s[3:]
+        if s.startswith("ke"):
+            st["fl"] |= KE; st["ns"] -= 1
+            return s[2:]
+        return s
+
+    def second_order(s: str) -> str:
+        if s.startswith("ber") or s == "belajar":
+            st["fl"] |= BER; st["ns"] -= 1
+            return s[3:]
+        if (
+            s.startswith("be") and len(s) > 4
+            and s[2] not in "aeiou" and s[3] == "e" and s[4] == "r"
+        ):
+            st["fl"] |= BER; st["ns"] -= 1
+            return s[2:]
+        if s.startswith("per") or s == "pelajar":
+            st["ns"] -= 1
+            return s[3:]
+        if s.startswith("pe"):
+            st["fl"] |= PE; st["ns"] -= 1
+            return s[2:]
+        return s
+
+    def suffix(s: str) -> str:
+        if s.endswith("kan") and not st["fl"] & (KE | PENG | PE):
+            st["ns"] -= 1
+            return s[:-3]
+        if s.endswith("an") and not st["fl"] & (DI | MENG | TER):
+            st["ns"] -= 1
+            return s[:-2]
+        if (
+            s.endswith("i") and not s.endswith("si")
+            and not st["fl"] & (BER | KE | PENG)
+        ):
+            st["ns"] -= 1
+            return s[:-1]
+        return s
+
+    if st["ns"] > 2 and s.endswith(("kah", "lah", "pun")):
+        st["ns"] -= 1
+        s = s[:-3]
+    if st["ns"] > 2:
+        if s.endswith(("ku", "mu")):
+            st["ns"] -= 1
+            s = s[:-2]
+        elif s.endswith("nya"):
+            st["ns"] -= 1
+            s = s[:-3]
+    if stem_derivational:
+        old = s
+        if st["ns"] > 2:
+            s = first_order(s)
+        if s != old:  # a first-order rule fired
+            old = s
+            if st["ns"] > 2:
+                s = suffix(s)
+            if s != old and st["ns"] > 2:
+                s = second_order(s)
+        else:
+            if st["ns"] > 2:
+                s = second_order(s)
+            if st["ns"] > 2:
+                s = suffix(s)
+    return s

@@ -177,3 +177,19 @@ def test_latvian():
     assert lv("ceļu") == "cel"
     # vowel-count gate: too few vowels leaves the word alone
     assert lv("best") == "best"
+
+
+def test_indonesian():
+    from lucene_ray.analysis.lightstem import indonesian_stem as ind
+
+    assert ind("menyapu") == "sapu"        # meny + vowel -> s rewrite
+    assert ind("penulis") == "tulis"       # pen + vowel -> t rewrite
+    assert ind("bukunya") == "buku"        # possessive -nya
+    assert ind("kemungkinan") == "mungkin"  # ke- + -an (kan blocked by KE)
+    assert ind("berlari") == "lari"        # ber-; -i blocked by BER
+    assert ind("diambil") == "ambil"       # di-; -an would be blocked
+    assert ind("mengambil") == "ambil"
+    assert ind("bukulah") == "buku"        # particle
+    assert ind("buku") == "buku"           # <= 2 syllables: untouched
+    # inflectional-only mode skips the derivational pipeline
+    assert ind("mengambil", stem_derivational=False) == "mengambil"
