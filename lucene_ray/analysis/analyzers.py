@@ -1692,6 +1692,7 @@ def make_term_filter(name: str, **kw):
         "hungarian_light",
         "latvian",
         "indonesian",
+        "hindi_normalization",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1706,6 +1707,7 @@ def make_term_filter(name: str, **kw):
             "sorani_normalization": "sorani_normalize",
             "latvian": "latvian_stem",
             "indonesian": "indonesian_stem",
+            "hindi_normalization": "hindi_normalize",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

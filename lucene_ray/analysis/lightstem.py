@@ -750,3 +750,45 @@ def indonesian_stem(t: str, stem_derivational: bool = True) -> str:
             if st["ns"] > 2:
                 s = suffix(s)
     return s
+
+
+# hi/HindiNormalizer.java single-codepoint rewrites (machine-checked
+# against the reference switch); deletions and the न+virama contextual
+# rule are handled in code
+_HI_MAP = {
+    "ँ": "ं", "ऩ": "न", "ऱ": "र",
+    "ऴ": "ळ", "क़": "क", "ख़": "ख",
+    "ग़": "ग", "ज़": "ज", "ड़": "ड",
+    "ढ़": "ढ", "फ़": "फ", "य़": "य",
+    "ॅ": "े", "ॆ": "े", "ॉ": "ो",
+    "ॊ": "ो", "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ", "ॲ": "अ",
+    "आ": "अ", "ई": "इ", "ऊ": "उ",
+    "ॠ": "ऋ", "ॡ": "ऌ", "ऐ": "ए",
+    "औ": "ओ", "ी": "ि", "ू": "ु",
+    "ॄ": "ृ", "ॣ": "ॢ", "ै": "े",
+    "ौ": "ो",
+}
+_HI_DROP = frozenset("़‍‌्")
+
+
+def hindi_normalize(t: str) -> str:
+    """hi/HindiNormalizer.java (Ljiljana & Fox's Devanagari
+    normalization): nukta/ZWJ/ZWNJ/virama deletion, न + virama ->
+    anusvara, chandrabindu -> anusvara, nukta consonants and vowel
+    variants folded to base forms."""
+    out: list[str] = []
+    i = 0
+    n = len(t)
+    while i < n:
+        c = t[i]
+        if c == "न" and i + 1 < n and t[i + 1] == "्":
+            out.append("ं")  # na + virama -> anusvara
+            i += 2
+            continue
+        if c in _HI_DROP:
+            i += 1
+            continue
+        out.append(_HI_MAP.get(c, c))
+        i += 1
+    return "".join(out)

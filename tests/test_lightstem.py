@@ -193,3 +193,13 @@ def test_indonesian():
     assert ind("buku") == "buku"           # <= 2 syllables: untouched
     # inflectional-only mode skips the derivational pipeline
     assert ind("mengambil", stem_derivational=False) == "mengambil"
+
+
+def test_hindi_normalization():
+    from lucene_ray.analysis.lightstem import hindi_normalize as h
+
+    assert h("हिन्दी") == "हिंदि"     # na+virama -> anusvara, ii -> i
+    assert h("हिंदी") == "हिंदि"      # both spellings collide
+    assert h("क़िताब") == "किताब"     # nukta consonant fold
+    assert h("आम") == "अम"           # long vowel fold
+    assert h("कोई") == "कोइ"
