@@ -1693,6 +1693,7 @@ def make_term_filter(name: str, **kw):
         "latvian",
         "indonesian",
         "hindi_normalization",
+        "persian_normalization",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1708,6 +1709,7 @@ def make_term_filter(name: str, **kw):
             "latvian": "latvian_stem",
             "indonesian": "indonesian_stem",
             "hindi_normalization": "hindi_normalize",
+            "persian_normalization": "persian_normalize",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

@@ -792,3 +792,21 @@ def hindi_normalize(t: str) -> str:
         out.append(_HI_MAP.get(c, c))
         i += 1
     return "".join(out)
+
+
+def persian_normalize(t: str) -> str:
+    """fa/PersianNormalizer.java: farsi yeh / yeh barree -> arabic yeh,
+    keheh -> kaf, heh+yeh / heh goal -> heh, hamza above deleted."""
+    out: list[str] = []
+    for c in t:
+        if c in "یے":
+            out.append("ي")
+        elif c == "ک":
+            out.append("ك")
+        elif c in "ۀہ":
+            out.append("ه")
+        elif c == "ٔ":  # hamza above
+            continue
+        else:
+            out.append(c)
+    return "".join(out)

@@ -203,3 +203,11 @@ def test_hindi_normalization():
     assert h("क़िताब") == "किताब"     # nukta consonant fold
     assert h("आम") == "अम"           # long vowel fold
     assert h("कोई") == "कोइ"
+
+
+def test_persian_normalization():
+    from lucene_ray.analysis.lightstem import persian_normalize as pn
+
+    assert pn("فارسی") == "فارسي"   # farsi yeh -> arabic yeh
+    assert pn("کتاب") == "كتاب"     # keheh -> kaf
+    assert pn("ۀ") == "ه"           # heh+yeh -> heh
