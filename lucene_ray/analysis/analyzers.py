@@ -1694,6 +1694,7 @@ def make_term_filter(name: str, **kw):
         "indonesian",
         "hindi_normalization",
         "persian_normalization",
+        "bengali_normalization",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1710,6 +1711,7 @@ def make_term_filter(name: str, **kw):
             "indonesian": "indonesian_stem",
             "hindi_normalization": "hindi_normalize",
             "persian_normalization": "persian_normalize",
+            "bengali_normalization": "bengali_normalize",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

@@ -810,3 +810,78 @@ def persian_normalize(t: str) -> str:
         else:
             out.append(c)
     return "".join(out)
+
+
+def bengali_normalize(t: str) -> str:
+    """bn/BengaliNormalizer.java: candrabindu deletion, vowel-length
+    folds, the khanda-ta / visarga / ya-phala / ba-phala contextual
+    rewrites and the s/n/r letter folds — a direct port of the
+    reference's in-place buffer walk (deletions re-examine earlier
+    positions exactly like the Java index arithmetic)."""
+    s = list(t)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "ঁ":  # candrabindu: delete
+            del s[i]
+            i -= 1
+        elif c == "ী":
+            s[i] = "ি"
+        elif c == "ূ":
+            s[i] = "ু"
+        elif c == "ক":  # ka + virama + i-matra rules
+            if i + 2 < len(s) and s[i + 1] == "্" and s[i + 2] == "ি":
+                if i == 0:
+                    s[i] = "খ"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "খ"
+                    del s[i + 2]
+        elif c == "ঙ":
+            s[i] = "ং"
+        elif c == "য":  # ya-phala
+            if i - 2 == 0 and s[i - 1] == "্":
+                s[i - 1] = "ে"
+                if i + 1 < len(s) and s[i + 1] == "া":
+                    del s[i + 1]
+                del s[i]
+                i -= 1
+            elif i - 1 >= 0 and s[i - 1] == "্":
+                del s[i]
+                del s[i - 1]
+                i -= 2
+        elif c == "ব":  # ba-phala
+            if (i >= 1 and s[i - 1] != "্") or i == 0:
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 2
+            elif i - 5 >= 0 and s[i - 3] == "্":
+                del s[i]
+                del s[i - 1]
+                i -= 2
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                i -= 1
+        elif c == "ঃ":  # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "হ"
+                else:
+                    del s[i]
+                    i -= 1
+            else:
+                s[i] = s[i + 1]
+        elif c in "শষ":
+            s[i] = "স"
+        elif c == "ণ":
+            s[i] = "ন"
+        elif c in "ড়ঢ়":
+            s[i] = "র"
+        elif c == "ৎ":
+            s[i] = "ত"
+        i += 1
+    return "".join(s)

@@ -211,3 +211,19 @@ def test_persian_normalization():
     assert pn("فارسی") == "فارسي"   # farsi yeh -> arabic yeh
     assert pn("کتاب") == "كتاب"     # keheh -> kaf
     assert pn("ۀ") == "ه"           # heh+yeh -> heh
+
+
+def test_bengali_normalization():
+    from lucene_ray.analysis.lightstem import bengali_normalize as bn
+
+    assert bn("শ") == "স"            # sha -> sa
+    assert bn("ষ") == "স"
+    assert bn("ণ") == "ন"
+    assert bn("ড়") == "র"
+    assert bn("ৎ") == "ত"            # khanda ta
+    assert bn("চাঁদ") == "চাদ"        # candrabindu deleted
+    # decomposed rra (da + nukta) is untouched; only ii -> i folds
+    assert bn("বাড়ী") == "বাড়ি"
+    # ya-phala after virama deletes both
+    assert bn("ব্যস্ত") == "বেস্ত"   # initial ya-phala -> e-matra
+    assert bn("") == ""
