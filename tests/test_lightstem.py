@@ -219,7 +219,7 @@ def test_bengali_normalization():
     assert bn("শ") == "স"            # sha -> sa
     assert bn("ষ") == "স"
     assert bn("ণ") == "ন"
-    assert bn("ড়") == "র"
+    assert bn("ড়") == "র"  # precomposed rra
     assert bn("ৎ") == "ত"            # khanda ta
     assert bn("চাঁদ") == "চাদ"        # candrabindu deleted
     # decomposed rra (da + nukta) is untouched; only ii -> i folds
