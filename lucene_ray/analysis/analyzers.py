@@ -1695,6 +1695,7 @@ def make_term_filter(name: str, **kw):
         "hindi_normalization",
         "persian_normalization",
         "bengali_normalization",
+        "hindi",
         "czech",
         "bulgarian",
         "arabic_normalization",
@@ -1712,6 +1713,7 @@ def make_term_filter(name: str, **kw):
             "hindi_normalization": "hindi_normalize",
             "persian_normalization": "persian_normalize",
             "bengali_normalization": "bengali_normalize",
+            "hindi": "hindi_stem",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(
             "light", "light_stem"
         )

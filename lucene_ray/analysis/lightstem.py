@@ -885,3 +885,43 @@ def bengali_normalize(t: str) -> str:
             s[i] = "ত"
         i += 1
     return "".join(s)
+
+
+# hi/HindiStemmer.java suffix table (machine-extracted)
+_HI_SUFFIXES = [
+    (6, 5, (
+        'ाएंगी', 'ाएंगे', 'ाऊंगी', 'ाऊंगा', 'ाइयाँ', 'ाइयों',
+        'ाइयां',
+    )),
+    (5, 4, (
+        'ाएगी', 'ाएगा', 'ाओगी', 'ाओगे', 'एंगी', 'ेंगी',
+        'एंगे', 'ेंगे', 'ूंगी', 'ूंगा', 'ातीं', 'नाओं',
+        'नाएं', 'ताओं', 'ताएं', 'ियाँ', 'ियों', 'ियां',
+    )),
+    (4, 3, (
+        'ाकर', 'ाइए', 'ाईं', 'ाया', 'ेगी', 'ेगा',
+        'ोगी', 'ोगे', 'ाने', 'ाना', 'ाते', 'ाती',
+        'ाता', 'तीं', 'ाओं', 'ाएं', 'ुओं', 'ुएं',
+        'ुआं',
+    )),
+    (3, 2, (
+        'कर', 'ाओ', 'िए', 'ाई', 'ाए', 'ने',
+        'नी', 'ना', 'ते', 'ीं', 'ती', 'ता',
+        'ाँ', 'ां', 'ों', 'ें',
+    )),
+    (2, 1, (
+        'ो', 'े', 'ू', 'ु', 'ी', 'ि',
+        'ा',
+    )),
+]
+
+
+def hindi_stem(t: str) -> str:
+    """hi/HindiStemmer.java (the lightweight Hindi stemmer of Ramanathan
+    & Rao): strip the longest matching suffix from the machine-extracted
+    table, gated by word length — one strip per word."""
+    n = len(t)
+    for gate, strip, sufs in _HI_SUFFIXES:
+        if n > gate and t.endswith(sufs):
+            return t[: n - strip]
+    return t

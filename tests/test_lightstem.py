@@ -227,3 +227,12 @@ def test_bengali_normalization():
     # ya-phala after virama deletes both
     assert bn("ব্যস্ত") == "বেস্ত"   # initial ya-phala -> e-matra
     assert bn("") == ""
+
+
+def test_hindi_stemmer():
+    from lucene_ray.analysis.lightstem import hindi_stem as hs
+
+    assert hs("करता") == hs("करते") == "कर"   # verb forms collide
+    assert hs("किताबें") == "किताब"            # plural -ें
+    assert hs("लड़कियों") == "लड़क"            # -ियों
+    assert hs("घर") == "घर"                   # short: untouched
