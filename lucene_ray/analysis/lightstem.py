@@ -316,6 +316,9 @@ def bulgarian_stem(t: str) -> str:
     elif n > 5 and _ends("ци"):
         s[n - 2] = "к"
         n -= 1
+    elif n > 5 and _ends("зи"):
+        s[n - 2] = "г"
+        n -= 1
     elif n > 5 and s[n - 3] == "е" and s[n - 1] == "и":
         s[n - 3] = "я"
         n -= 1

@@ -179,8 +179,10 @@ class LogMergePolicy:
     """Faithful adaptation of reference index/LogMergePolicy.java
     findMerges(): quantize log_mergeFactor(size) into levels (floored at
     ``min_merge_size``), sweep left to right claiming the rightmost
-    segment within LEVEL_LOG_SPAN of each unquantized max (2x the span
-    below the floor), then emit runs of exactly ``merge_factor`` adjacent
+    segment within LEVEL_LOG_SPAN of each unquantized max (one unbounded
+    level when every remaining segment sits at or below the floor, and
+    levelBottom clamped up to the floor otherwise — the reference's
+    floor-boundary rules), then emit runs of exactly ``merge_factor`` adjacent
     segments per level — skipping (as singleton no-ops) runs whose first
     segment alone exceeds ``max_merge_size`` / ``max_merge_docs``, and
     packing past mergeFactor while the accumulated run stays under
@@ -239,11 +241,16 @@ class LogMergePolicy:
         start = 0
         while start < n:
             max_level = max_right[start]
-            if max_level > level_floor:
-                level_bottom = max_level - LEVEL_LOG_SPAN
+            if max_level <= level_floor:
+                # all remaining segments are sub-floor: one unbounded level
+                # (LogMergePolicy.findMerges levelBottom = -1.0F; levels are
+                # log(size>=1) >= 0 so -1 admits everything)
+                level_bottom = -1.0
             else:
-                # below the floor: allow more unbalanced merges
-                level_bottom = max_level - 2 * LEVEL_LOG_SPAN
+                level_bottom = max_level - LEVEL_LOG_SPAN
+                # force a boundary at the level floor
+                if level_bottom < level_floor:
+                    level_bottom = level_floor
             upto = n - 1
             while upto >= start and levels[upto] < level_bottom:
                 upto -= 1

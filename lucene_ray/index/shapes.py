@@ -220,6 +220,13 @@ def tri_polygon_masks(tris: np.ndarray, poly: np.ndarray):
     - within: all three vertices inside AND no PROPER edge crossing
       (boundary touches stay within — a shape hugging the query polygon's
       rim is contained, matching the inclusive contract of the box path).
+      For non-convex polygons a triangle edge can exit and re-enter
+      exactly through a reflex polygon vertex with only degenerate
+      (orient == 0) touches, so two extra guards reject those
+      false-withins: a polygon vertex interior to a triangle edge whose
+      two polygon-edge neighbours lie on strictly opposite sides of that
+      edge counts as a crossing, and all three triangle-edge midpoints
+      (tested exactly at doubled coordinates) must lie inside the polygon.
     """
     from .points import point_in_polygon
 
@@ -252,7 +259,37 @@ def tri_polygon_masks(tris: np.ndarray, poly: np.ndarray):
             t, p = _seg_cross_masks(ex1, ey1, ex2, ey2, px1, py1, px2, py2)
             touch_any |= t
             proper_any |= p
-    return v_in | pv_in | touch_any, all_in & ~proper_any
+    # degenerate through-vertex crossings: a polygon vertex V collinear
+    # with (and inside) a triangle edge whose neighbours P, N lie on
+    # strictly opposite sides of that edge means the boundary crosses the
+    # edge AT V with orient == 0 everywhere — proper-cross never fires
+    m = len(poly) - 1  # poly is closed; m distinct vertices
+    for i in range(m):
+        vpx, vpy = int(poly[(i - 1) % m, 0]), int(poly[(i - 1) % m, 1])
+        vx, vy = int(poly[i, 0]), int(poly[i, 1])
+        vnx, vny = int(poly[(i + 1) % m, 0]), int(poly[(i + 1) % m, 1])
+        for ex1, ey1, ex2, ey2 in tri_edges:
+            # V strictly interior to the edge: a touch AT a triangle
+            # vertex is a corner contact, not an edge crossing
+            on_edge = (
+                (_orient(ex1, ey1, ex2, ey2, vx, vy) == 0)
+                & _on_segment(ex1, ey1, ex2, ey2, vx, vy)
+                & ~((ex1 == vx) & (ey1 == vy))
+                & ~((ex2 == vx) & (ey2 == vy))
+            )
+            side_p = _orient(ex1, ey1, ex2, ey2, vpx, vpy)
+            side_n = _orient(ex1, ey1, ex2, ey2, vnx, vny)
+            proper_any |= on_edge & (
+                ((side_p > 0) & (side_n < 0)) | ((side_p < 0) & (side_n > 0))
+            )
+    # midpoint containment at doubled coordinates (exact: 2*mid is int)
+    poly2 = poly * 2
+    mid_in = (
+        point_in_polygon(np.stack([ax + bx, ay + by], 1), poly2)
+        & point_in_polygon(np.stack([bx + cx, by + cy], 1), poly2)
+        & point_in_polygon(np.stack([cx + ax, cy + ay], 1), poly2)
+    )
+    return v_in | pv_in | touch_any, all_in & ~proper_any & mid_in
 
 
 def tri_line_intersect_mask(tris: np.ndarray, line: np.ndarray) -> np.ndarray:

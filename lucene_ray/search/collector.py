@@ -273,7 +273,15 @@ class CachingCollector:
     is released) once the recorded pairs exceed ``max_ram_mb`` — replay()
     then raises like the reference's IllegalStateException.  Scores are
     cached as float32 (what the engine's scorers emit), 12 bytes/entry
-    accounting like the reference's doc+score arrays."""
+    accounting like the reference's doc+score arrays.
+
+    Notes vs the reference: the cache is a single global (doc, score)
+    stream, not segmented per reader (our searcher replays within one
+    logical doc space), and ``max_ram_mb`` is *reference-parity
+    accounting* — it models the reference's primitive int[]/float[]
+    arrays at 12 bytes/entry, NOT the actual RSS of the backing Python
+    lists (which cost ~10x more per entry).  Budgets chosen to bound real
+    memory should be divided accordingly."""
 
     _BYTES_PER_ENTRY = 12  # int64 doc + float32 score, reference parity
 

@@ -124,6 +124,10 @@ def test_bulgarian():
     assert b("книгите") == "книг"      # -те then -и
     assert b("хубавият") == "хубав"    # full article -ият
     assert b("дом") == "дом"           # < 4: untouched
+    # зи -> ги plural rewrite (BulgarianStemmer.java removePlural, between ци and е..и)
+    assert b("белези") == "белег"      # белег pluralizes to белези
+    assert b("подлози") == "подлог"
+    assert b("французи") == "француг"
 
 
 def test_arabic_normalization():

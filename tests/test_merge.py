@@ -316,6 +316,27 @@ def test_log_doc_policy_levels_respect_span():
     assert [1, 2, 3, 4] in plans or [1, 2, 3, 4, 5, 6, 7, 8] in plans
 
 
+def test_log_doc_policy_sub_floor_segments_merge_as_one_level():
+    # LogMergePolicy.findMerges: maxLevel <= levelFloor -> levelBottom=-1,
+    # so a mix of 500-doc and 2-doc segments (all under minMergeDocs=1000)
+    # forms ONE level and merges together, not split by log-size
+    plans = LogDocMergePolicy(merge_factor=10).plan(
+        _man([500, 500, 2, 2, 2, 2, 2, 2, 500, 500])
+    )
+    assert plans == [list(range(10))]
+
+
+def test_log_doc_policy_level_bottom_clamped_to_floor():
+    # maxLevel > levelFloor but maxLevel - LEVEL_LOG_SPAN < levelFloor:
+    # the reference forces the boundary AT the floor, separating the
+    # above-floor 1500-doc segment from the sub-floor 900-doc ones — the
+    # 900s then merge among themselves once a full factor exists
+    assert LogDocMergePolicy(merge_factor=4).plan(_man([1500, 900, 900, 900])) == []
+    assert LogDocMergePolicy(merge_factor=4).plan(
+        _man([1500, 900, 900, 900, 900])
+    ) == [[1, 2, 3, 4]]
+
+
 def test_log_doc_policy_max_docs_cap():
     pol = LogDocMergePolicy(merge_factor=4)
     pol.max_merge_docs = 250

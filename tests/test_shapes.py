@@ -358,6 +358,31 @@ def test_tri_polygon_masks_vs_scalar():
             assert win[i] == sw, (trial, i, t)
 
 
+def test_tri_polygon_within_nonconvex_degenerate_crossings():
+    """A triangle edge that leaves a non-convex polygon through reflex
+    vertices (no PROPER crossing ever fires) must not be 'within'; edge
+    tangency at a reflex vertex and rim-hugging must stay within."""
+    from lucene_ray.index.shapes import tri_polygon_masks
+
+    notch = np.array([[0, 0], [10, 0], [10, 10], [6, 10], [5, 5], [4, 10], [0, 10]])
+    # edge (2,8)-(8,8) passes over the open notch: partially outside
+    inter, win = tri_polygon_masks(np.array([[2, 8, 8, 8, 5, 1]]), notch)
+    assert inter[0] and not win[0]
+    # fully-inside and rim-hugging triangles stay within
+    assert tri_polygon_masks(np.array([[1, 1, 3, 1, 2, 3]]), notch)[1][0]
+    assert tri_polygon_masks(np.array([[0, 0, 4, 0, 2, 2]]), notch)[1][0]
+    # edge passing exactly THROUGH the reflex vertex, tangentially (both
+    # boundary neighbours on one side) — still fully inside
+    assert tri_polygon_masks(np.array([[2, 4, 8, 6, 5, 1]]), notch)[1][0]
+    # slit polygon whose slit-wall vertices (6,8),(4,8) sit exactly ON the
+    # triangle edge y=8: the exit/re-enter is entirely through vertices
+    slit = np.array(
+        [[0, 0], [10, 0], [10, 10], [7, 10], [6, 8], [5, 4], [4, 8], [3, 10], [0, 10]]
+    )
+    inter, win = tri_polygon_masks(np.array([[1, 8, 9, 8, 5, 1]]), slit)
+    assert inter[0] and not win[0]
+
+
 def test_shape_reader_polygon_relations(tmp_path):
     from lucene_ray.index.shapes import tri_polygon_masks  # noqa: F401
 
