@@ -161,8 +161,6 @@ def sloppy_phrase_matches_segment(reader, terms: tuple[str, ...], slop: int):
 def _multi_term_matches(reader, query) -> np.ndarray:
     """Sorted local docids matching a Prefix/TermRange/Wildcard query
     (union of the matched terms' postings — CONSTANT_SCORE rewrite)."""
-    import re
-
     from .query import (
         FuzzyQuery,
         PrefixQuery,
@@ -171,7 +169,6 @@ def _multi_term_matches(reader, query) -> np.ndarray:
         WildcardQuery,
     )
 
-    term_filter = None
     if isinstance(query, TermInSetQuery):
         # sorted-dictionary batch lookup (TermInSetQuery.java rewrite:
         # terms visited in sorted order, seekExact per term == one binary
@@ -188,9 +185,12 @@ def _multi_term_matches(reader, query) -> np.ndarray:
         )
         return _union_postings(reader, tids)
     if isinstance(query, RegexpQuery):
-        rx = re.compile(query.pattern)
-        lo, hi = None, None
-        term_filter = lambda t: rx.fullmatch(t) is not None  # noqa: E731
+        # automaton intersection (CompiledAutomaton analogue): DFA with
+        # common-prefix range bound + length pre-filter + vectorized run
+        from .regexp import regexp_term_ids
+
+        tids, _scanned = regexp_term_ids(reader, query.pattern)
+        return _union_postings(reader, tids)
     elif isinstance(query, PrefixQuery):
         # shared expansion primitive (also used by PhraseWildcardQuery
         # slots and interval wildcard atoms)
@@ -210,10 +210,7 @@ def _multi_term_matches(reader, query) -> np.ndarray:
             lo += b"\x00"
         if hi is not None and getattr(query, "include_upper", False):
             hi += b"\x00"
-    tids = reader.term_id_range(lo, hi)
-    if term_filter is not None:
-        tids = [t for t in tids if term_filter(reader.term_string(t))]
-    return _union_postings(reader, tids)
+    return _union_postings(reader, reader.term_id_range(lo, hi))
 
 
 def _union_postings(reader, tids) -> np.ndarray:

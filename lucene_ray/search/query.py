@@ -155,10 +155,13 @@ class TermInSetQuery:
 
 @dataclass(frozen=True)
 class RegexpQuery:
-    """Terms fully matching ``pattern`` (reference search/RegexpQuery.java;
-    our matcher is Python re over the dictionary scan instead of an
-    automaton intersection — keep patterns RE2-compatible so the DuckDB
-    regexp_full_match oracle agrees).  CONSTANT_SCORE rewrite."""
+    """Terms fully matching ``pattern`` (reference search/RegexpQuery.java
+    + util/automaton/CompiledAutomaton.java): the pattern compiles to a
+    DFA whose literal common prefix bounds a sorted-dictionary range scan
+    and whose accepted-length bounds pre-filter candidates before ONE
+    vectorized DFA run (search/regexp.py).  Non-regular constructs fall
+    back to a Python-re full scan — keep patterns RE2-compatible so the
+    DuckDB regexp_full_match oracle agrees.  CONSTANT_SCORE rewrite."""
 
     pattern: str
 
