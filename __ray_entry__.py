@@ -2235,10 +2235,44 @@ def _ann_kmeans_ivf(sf_dir: str):
     return ann.ivf_topk_kmeans(_embs(sf_dir), q, cents, k=10, nprobe=8)
 
 
+def _augmented_embs(sf_dir: str):
+    """embeddings + planted near-duplicates: an exact copy of every 97th
+    vec_id (id + 1_000_000) and a x2-scaled copy of every 89th
+    (id + 2_000_000, cosine-invariant scaling).  The base corpus has no
+    pair above ~0.6 cosine, so the >= 0.95 result is EXACTLY the planted
+    pairs — the oracle SQL derives the same rows — and the near-dup LSH
+    family is non-vacuous at driver scale (identical sign bits guarantee
+    bucket recall 1.0 for the planted pairs)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def _plant(batch: _pa.Table) -> _pa.Table:
+        batch = batch.select(["vec_id", "embedding"])
+        ids = batch.column("vec_id").to_numpy()
+        parts = [batch]
+        m = np.nonzero(ids % 97 == 0)[0]
+        if len(m):
+            t = batch.take(m)
+            parts.append(t.set_column(0, "vec_id", _pa.array(ids[m] + 1_000_000)))
+        m = np.nonzero(ids % 89 == 0)[0]
+        if len(m):
+            t = batch.take(m)
+            emb = t.column("embedding").combine_chunks()
+            scaled = _pa.ListArray.from_arrays(
+                emb.offsets, _pc.multiply(emb.values, _pa.scalar(2.0, _pa.float32()))
+            )
+            t = t.set_column(0, "vec_id", _pa.array(ids[m] + 2_000_000))
+            parts.append(t.set_column(1, "embedding", scaled))
+        return _pa.concat_tables(parts, promote_options="permissive")
+
+    return _embs(sf_dir).map_batches(_plant, batch_format="pyarrow")
+
+
 def _near_dup(sf_dir: str):
     from lucene_ray.ops import ann
 
-    return ann.near_dup_pairs(_embs(sf_dir), tau=0.95)
+    return ann.near_dup_pairs(_augmented_embs(sf_dir), tau=0.95)
 
 
 def _merged_bm25(sf_dir: str):
@@ -6936,8 +6970,18 @@ SELECT qid::BIGINT AS query_id, rnk::BIGINT AS rnk, vec_id::BIGINT AS neighbor_i
 FROM ranked WHERE rnk <= 10
 """,
         "ann_near_dup_pairs": """
+-- same planted-near-duplicate derivation as _augmented_embs: exact
+-- copies of every 97th vec_id, x2-scaled copies of every 89th
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 97 = 0
+  UNION ALL
+  SELECT vec_id + 2000000, list_transform(embedding, x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 89 = 0
+)
 SELECT a.vec_id::BIGINT AS doc_a, b.vec_id::BIGINT AS doc_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
 """,
         "pl_clean_corpus": _clean_corpus_sql(),
