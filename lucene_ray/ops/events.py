@@ -23,26 +23,64 @@ exact.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SESSION_GAP_MIN = 30
+
+_US_PER_HOUR = 3_600_000_000
 
 
 def _cents(v: np.ndarray) -> np.ndarray:
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
+def _ts_us(col) -> np.ndarray:
+    """timestamp column -> int64 epoch-us numpy view (zero-copy for
+    timestamp[us]; other precisions are normalized first)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _hour_floor(col) -> pa.Array:
+    out = pc.floor_temporal(col, unit="hour")
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _group_slices(et: np.ndarray, ws_us: np.ndarray):
+    """Yield (event_type, window_us, row_indices) per distinct
+    (event_type, window) pair — the numpy composite-key replacement for a
+    pandas groupby iteration inside Arrow-native partials."""
+    et_u, et_inv = np.unique(et, return_inverse=True)
+    ws_u, ws_inv = np.unique(ws_us, return_inverse=True)
+    nw = max(len(ws_u), 1)
+    comp = et_inv.astype(np.int64) * nw + ws_inv
+    order = np.argsort(comp, kind="stable")
+    comp_s = comp[order]
+    starts = np.nonzero(np.concatenate(([True], comp_s[1:] != comp_s[:-1])))[0]
+    ends = np.concatenate((starts[1:], [len(comp_s)]))
+    for s, e in zip(starts, ends):
+        k = int(comp_s[s])
+        yield str(et_u[k // nw]), int(ws_u[k % nw]), order[s:e]
+
+
 def _windowed_partial(batch: pa.Table) -> pa.Table:
-    df = batch.select(["ts", "event_type", "value"]).to_pandas()
-    df["window_start"] = df["ts"].dt.floor("h")
-    df["cents"] = _cents(df["value"].to_numpy())
-    g = (
-        df.groupby(["event_type", "window_start"], as_index=False)
-        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+    t = pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            "window_start": _hour_floor(batch.column("ts")),
+            "cents": pa.array(
+                _cents(batch.column("value").to_numpy(zero_copy_only=False))
+            ),
+        }
     )
-    g["n_events"] = g["n_events"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+    g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+        [("cents", "count"), ("cents", "sum")]
+    )
+    return g.rename_columns(["event_type", "window_start", "n_events", "sum_cents"])
 
 
 def windowed_counts(ds):
@@ -66,14 +104,16 @@ def windowed_counts(ds):
 
 
 def _sessionize_group(group: pa.Table) -> pa.Table:
-    df = group.select(["user_id", "ts", "event_id"]).to_pandas()
-    df = df.sort_values(["ts", "event_id"])
-    gaps = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    ts = _ts_us(group.column("ts"))
+    eid = group.column("event_id").to_numpy()
+    order = np.lexsort((eid, ts))
+    gap_us = np.int64(SESSION_GAP_MIN) * 60 * 1_000_000
+    gaps = int((np.diff(ts[order]) > gap_us).sum())
     return pa.table(
         {
-            "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
-            "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
-            "n_events": pa.array([len(df)], pa.int64()),
+            "user_id": pa.array([int(group.column("user_id")[0].as_py())], pa.int64()),
+            "n_sessions": pa.array([gaps + 1], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
         }
     )
 
@@ -87,10 +127,13 @@ def sessionize(ds):
 
 
 def _asof_group(group: pa.Table) -> pa.Table:
-    df = group.select(["user_id", "event_id", "event_type", "ts"]).to_pandas()
-    logins = df.loc[df["event_type"] == "login", "ts"].sort_values().to_numpy()
-    buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-    if len(buys) == 0:
+    et = group.column("event_type").to_numpy(zero_copy_only=False)
+    ts = _ts_us(group.column("ts"))
+    eid = group.column("event_id").to_numpy()
+    login_us = np.sort(ts[et == "login"])
+    bi = np.nonzero(et == "purchase")[0]
+    bi = bi[np.lexsort((eid[bi], ts[bi]))]
+    if len(bi) == 0:
         return pa.table(
             {
                 "event_id": pa.array([], pa.int64()),
@@ -99,15 +142,14 @@ def _asof_group(group: pa.Table) -> pa.Table:
         )
     # integer epoch-us with -1 for "no prior login": NULL-free output so
     # driver value-hashes are exact (NaT != NaT would poison comparisons)
-    if len(logins) == 0:
-        last_us = np.full(len(buys), -1, dtype=np.int64)
+    if len(login_us) == 0:
+        last_us = np.full(len(bi), -1, dtype=np.int64)
     else:
-        idx = np.searchsorted(logins, buys["ts"].to_numpy(), side="right") - 1
-        login_us = logins.astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(login_us, ts[bi], side="right") - 1
         last_us = np.where(idx >= 0, login_us[np.maximum(idx, 0)], np.int64(-1))
     return pa.table(
         {
-            "event_id": pa.array(buys["event_id"].to_numpy(), pa.int64()),
+            "event_id": pa.array(eid[bi], pa.int64()),
             "last_login_us": pa.array(last_us, pa.int64()),
         }
     )
@@ -129,25 +171,26 @@ def _interval_group(group: pa.Table) -> pa.Table:
     """Per user: for each 'purchase', the count of same-user 'click'
     events in the preceding INTERVAL_JOIN_MIN minutes — (left.ts -
     window, left.ts], two searchsorteds per purchase batch."""
-    df = group.select(["user_id", "event_id", "event_type", "ts"]).to_pandas()
-    clicks = np.sort(
-        df.loc[df["event_type"] == "click", "ts"].to_numpy().astype("datetime64[us]")
-    )
-    buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-    if len(buys) == 0:
+    et = group.column("event_type").to_numpy(zero_copy_only=False)
+    ts = _ts_us(group.column("ts"))
+    eid = group.column("event_id").to_numpy()
+    clicks = np.sort(ts[et == "click"])
+    bi = np.nonzero(et == "purchase")[0]
+    bi = bi[np.lexsort((eid[bi], ts[bi]))]
+    if len(bi) == 0:
         return pa.table(
             {
                 "event_id": pa.array([], pa.int64()),
                 "n_clicks": pa.array([], pa.int64()),
             }
         )
-    bts = buys["ts"].to_numpy().astype("datetime64[us]")
-    lo = bts - np.timedelta64(INTERVAL_JOIN_MIN, "m")
+    bts = ts[bi]
+    lo = bts - np.int64(INTERVAL_JOIN_MIN) * 60 * 1_000_000
     hi_idx = np.searchsorted(clicks, bts, side="right")
     lo_idx = np.searchsorted(clicks, lo, side="right")  # strict > lower end
     return pa.table(
         {
-            "event_id": pa.array(buys["event_id"].to_numpy(), pa.int64()),
+            "event_id": pa.array(eid[bi], pa.int64()),
             "n_clicks": pa.array((hi_idx - lo_idx).astype(np.int64), pa.int64()),
         }
     )
@@ -216,22 +259,28 @@ def _hopping_partial(batch: pa.Table) -> pa.Table:
     """Hopping (sliding) 60-min windows every 30 min: each event lands in
     window_size/hop = 2 windows; the batch collapses to per-(type, window)
     partials BEFORE the shuffle, exactly like the tumbling partial."""
-    df = batch.select(["ts", "event_type", "value"]).to_pandas()
-    df["cents"] = _cents(df["value"].to_numpy())
+    ts = _ts_us(batch.column("ts"))
+    cents = pa.array(_cents(batch.column("value").to_numpy(zero_copy_only=False)))
+    et = batch.column("event_type")
+    step_us = np.int64(HOP_STEP_MIN) * 60 * 1_000_000
+    win_us = np.int64(HOP_WINDOW_MIN) * 60 * 1_000_000
     parts = []
     for k in range(HOP_WINDOW_MIN // HOP_STEP_MIN):
-        d = df.copy()
-        d["window_start"] = (
-            d["ts"] - pd.Timedelta(minutes=k * HOP_STEP_MIN)
-        ).dt.floor(f"{HOP_WINDOW_MIN}min") + pd.Timedelta(minutes=k * HOP_STEP_MIN)
-        parts.append(d)
-    allp = pd.concat(parts, ignore_index=True)
-    g = (
-        allp.groupby(["event_type", "window_start"], as_index=False)
-        .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
-    )
-    g["n_events"] = g["n_events"].astype(np.int64)
-    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        off = k * step_us
+        ws = (ts - off) // win_us * win_us + off
+        parts.append(
+            pa.table(
+                {
+                    "event_type": et,
+                    "window_start": pa.array(ws).cast(pa.timestamp("us")),
+                    "cents": cents,
+                }
+            )
+        )
+    g = pa.TableGroupBy(
+        pa.concat_tables(parts), ["event_type", "window_start"]
+    ).aggregate([("cents", "count"), ("cents", "sum")])
+    return g.rename_columns(["event_type", "window_start", "n_events", "sum_cents"])
 
 
 def hopping_counts(ds):
@@ -316,9 +365,10 @@ def watermark_windowed_counts(
     withb = ds.map_batches(_bucketize, batch_format="pyarrow").materialize()
 
     def _bucket_max(batch: pa.Table) -> pa.Table:
-        df = batch.select(["wm_bucket", "ts"]).to_pandas()
-        g = df.groupby("wm_bucket", as_index=False).agg(max_ts=("ts", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = pa.TableGroupBy(batch.select(["wm_bucket", "ts"]), ["wm_bucket"]).aggregate(
+            [("ts", "max")]
+        )
+        return g.rename_columns(["wm_bucket", "max_ts"])
 
     # level 1: per-bucket maxes — a DATASET (n_buckets rows, distributed)
     b1 = (
@@ -329,13 +379,7 @@ def watermark_windowed_counts(
             lambda b: pa.table(
                 {
                     "wm_bucket": b.column("wm_bucket"),
-                    "max_us": pa.array(
-                        b.column("max(max_ts)")
-                        .to_pandas()
-                        .astype("datetime64[us]")
-                        .astype(np.int64),
-                        pa.int64(),
-                    ),
+                    "max_us": pa.array(_ts_us(b.column("max(max_ts)")), pa.int64()),
                     "wm_super": pa.array(
                         b.column("wm_bucket").to_numpy() // super_factor, pa.int64()
                     ),
@@ -348,9 +392,10 @@ def watermark_windowed_counts(
 
     # level 2: ONLY the super summaries reach the driver
     def _super_max(batch: pa.Table) -> pa.Table:
-        df = batch.select(["wm_super", "max_us"]).to_pandas()
-        g = df.groupby("wm_super", as_index=False).agg(max_us=("max_us", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        g = pa.TableGroupBy(
+            batch.select(["wm_super", "max_us"]), ["wm_super"]
+        ).aggregate([("max_us", "max")])
+        return g.rename_columns(["wm_super", "max_us"])
 
     supers = (
         b1.map_batches(_super_max, batch_format="pyarrow")
@@ -370,20 +415,21 @@ def watermark_windowed_counts(
     # emitted as event-schema seed rows (event_id = -1)
     def _bucket_seeds(group: pa.Table) -> pa.Table:
         sseed = ray.get(sseed_ref)
-        df = group.select(["wm_super", "wm_bucket", "max_us"]).to_pandas()
-        df = df.sort_values("wm_bucket")
-        seed0 = sseed[int(df["wm_super"].iloc[0])]
+        buckets = group.column("wm_bucket").to_numpy()
+        max_us = group.column("max_us").to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        seed0 = sseed[int(group.column("wm_super")[0].as_py())]
         run = np.maximum.accumulate(
-            np.concatenate(([seed0], df["max_us"].to_numpy()))
+            np.concatenate(([seed0], max_us[order]))
         )[:-1]
-        n = len(df)
+        n = len(buckets)
         return pa.table(
             {
                 "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
                 "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
                 "event_type": pa.array([""] * n, pa.string()),
                 "value": pa.array(np.zeros(n), pa.float64()),
-                "wm_bucket": pa.array(df["wm_bucket"].to_numpy(), pa.int64()),
+                "wm_bucket": pa.array(buckets[order], pa.int64()),
                 "seed_us": pa.array(run, pa.int64()),
             }
         )
@@ -391,16 +437,15 @@ def watermark_windowed_counts(
     seeds = b1.groupby("wm_super").map_groups(_bucket_seeds, batch_format="pyarrow")
 
     def _group(group: pa.Table) -> pa.Table:
-        df = group.select(
-            ["wm_bucket", "event_id", "ts", "event_type", "value", "seed_us"]
-        ).to_pandas()
-        is_seed = df["event_id"].to_numpy() == -1
-        seed = int(df.loc[is_seed, "seed_us"].max())
-        df = df[~is_seed].sort_values("event_id")
-        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        eid = group.column("event_id").to_numpy()
+        ts_all = _ts_us(group.column("ts"))
+        seed_col = group.column("seed_us").to_numpy()
+        is_seed = eid == -1
+        seed = int(seed_col[is_seed].max())
+        ev = np.nonzero(~is_seed)[0][np.argsort(eid[~is_seed], kind="stable")]
+        ts_us = ts_all[ev]
         run = np.maximum.accumulate(np.concatenate(([seed], ts_us)))[:-1]
-        on_time = ts_us + allowed_us >= run
-        kept = df[on_time]
+        kept = ev[ts_us + allowed_us >= run]
         if not len(kept):
             return pa.table(
                 {
@@ -410,15 +455,22 @@ def watermark_windowed_counts(
                     "sum_cents": pa.array([], pa.int64()),
                 }
             )
-        kept = kept.assign(
-            window_start=kept["ts"].dt.floor("h"),
-            cents=_cents(kept["value"].to_numpy()),
+        sub = group.take(kept)
+        t = pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "window_start": _hour_floor(sub.column("ts")),
+                "cents": pa.array(
+                    _cents(sub.column("value").to_numpy(zero_copy_only=False))
+                ),
+            }
         )
-        g = kept.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("cents", "size"), sum_cents=("cents", "sum")
+        g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
         )
-        g["n_events"] = g["n_events"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return g.rename_columns(
+            ["event_type", "window_start", "n_events", "sum_cents"]
+        )
 
     partials = (
         withb.union(seeds)
@@ -444,17 +496,19 @@ def _hll_partial_batch(batch: pa.Table) -> pa.Table:
     group per block rides the shuffle — never the user ids."""
     from .sketch import hll_partial
 
-    df = batch.select(["ts", "event_type", "user_id"]).to_pandas()
-    df["window_start"] = df["ts"].dt.floor("h")
-    rows = []
-    for (et, w), g in df.groupby(["event_type", "window_start"]):
-        reg = hll_partial(g["user_id"].to_numpy().astype(np.int64))
-        rows.append((et, w, reg.tobytes()))
+    ws_us = _ts_us(_hour_floor(batch.column("ts")))
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    uid = batch.column("user_id").to_numpy().astype(np.int64)
+    ets, wss, regs = [], [], []
+    for et_val, ws_val, idx in _group_slices(et, ws_us):
+        ets.append(et_val)
+        wss.append(ws_val)
+        regs.append(hll_partial(uid[idx]).tobytes())
     return pa.table(
         {
-            "event_type": pa.array([r[0] for r in rows], pa.string()),
-            "window_start": pa.array([r[1] for r in rows]),
-            "reg": pa.array([r[2] for r in rows], pa.binary()),
+            "event_type": pa.array(ets, pa.string()),
+            "window_start": pa.array(np.array(wss, np.int64)).cast(pa.timestamp("us")),
+            "reg": pa.array(regs, pa.binary()),
         }
     )
 
@@ -491,12 +545,15 @@ def hll_distinct_users(ds, max_rel_err: float = 0.05):
     )
 
     def _distinct_partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ts", "event_type", "user_id"]).to_pandas()
-        df["window_start"] = df["ts"].dt.floor("h")
-        g = df.drop_duplicates(["event_type", "window_start", "user_id"])
-        return pa.Table.from_pandas(
-            g[["event_type", "window_start", "user_id"]], preserve_index=False
-        ).replace_schema_metadata(None)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": _hour_floor(batch.column("ts")),
+                "user_id": batch.column("user_id"),
+            }
+        )
+        # aggregate([]) == distinct over the group keys
+        return pa.TableGroupBy(t, ["event_type", "window_start", "user_id"]).aggregate([])
 
     exact = (
         ds.map_batches(_distinct_partial, batch_format="pyarrow")
@@ -548,17 +605,26 @@ def cm_top_events(ds, k: int = 5, eps_factor: float = 2.0):
     from .util import md5_u64
 
     def _cm_batch(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ts", "event_type"]).to_pandas()
-        df["window_start"] = df["ts"].dt.floor("h")
-        g = df.groupby(["event_type", "window_start"]).size().reset_index(name="n")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": _hour_floor(batch.column("ts")),
+            }
+        )
+        g = pa.TableGroupBy(t, ["event_type", "window_start"]).aggregate(
+            [("event_type", "count")]
+        )
         keys = np.array(
             [
                 md5_u64(f"{et}|{ws.isoformat()}")
-                for et, ws in zip(g["event_type"], g["window_start"])
+                for et, ws in zip(
+                    g.column("event_type").to_pylist(),
+                    g.column("window_start").to_pylist(),
+                )
             ],
             dtype=np.uint64,
         )
-        tab = cm_partial(keys, g["n"].to_numpy())
+        tab = cm_partial(keys, g.column("event_type_count").to_numpy())
         return pa.table({"tab": pa.array([tab.tobytes()], pa.large_binary())})
 
     blobs = (
@@ -703,12 +769,15 @@ def value_quantiles(ds, m: int = KMV_M, pcts=QUANTILE_PCTS, rank_eps: float = 0.
     )
 
     def _exact_annot(batch: pa.Table) -> pa.Table:
-        df = batch.select(["ts", "event_type", "value"]).to_pandas()
-        df["window_start"] = df["ts"].dt.floor("h")
-        df["cents"] = _cents(df["value"].to_numpy())
-        return pa.Table.from_pandas(
-            df[["event_type", "window_start", "cents"]], preserve_index=False
-        ).replace_schema_metadata(None)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": _hour_floor(batch.column("ts")),
+                "cents": pa.array(
+                    _cents(batch.column("value").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
 
     def _exact_group(group: pa.Table) -> pa.Table:
         return _quantile_rows(group, group.column("cents").to_numpy(), pcts)
@@ -730,22 +799,34 @@ def value_quantiles(ds, m: int = KMV_M, pcts=QUANTILE_PCTS, rank_eps: float = 0.
 
     def _rank_partial(batch: pa.Table) -> pa.Table:
         qmap = ray.get(q_ref)
-        df = batch.to_pandas()
+        ws_us = _ts_us(batch.column("window_start"))
+        et_np = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy()
         rows = {"event_type": [], "window_start": [], "pct": [], "le": [], "n": []}
-        for (et, ws), g in df.groupby(["event_type", "window_start"], sort=False):
-            c = g["cents"].to_numpy()
+        for et, ws_val, idx in _group_slices(et_np, ws_us):
+            # hash-compatible with the pandas Timestamps keying qmap
+            ws = np.int64(ws_val).astype("datetime64[us]").item()
+            c = cents[idx]
             for p in pcts:
                 qv = qmap.get((et, ws, int(p * 100)))
                 if qv is None:
                     continue
                 rows["event_type"].append(et)
-                rows["window_start"].append(ws)
+                rows["window_start"].append(ws_val)
                 rows["pct"].append(int(p * 100))
                 rows["le"].append(int((c <= qv).sum()))
                 rows["n"].append(len(c))
-        return pa.Table.from_pandas(
-            pd.DataFrame(rows), preserve_index=False
-        ).replace_schema_metadata(None)
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "window_start": pa.array(
+                    np.array(rows["window_start"], np.int64)
+                ).cast(pa.timestamp("us")),
+                "pct": pa.array(rows["pct"], pa.int64()),
+                "le": pa.array(rows["le"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        )
 
     ranks = (
         annotated.map_batches(_rank_partial, batch_format="pyarrow")
