@@ -2781,6 +2781,9 @@ def _term_stats_family(sf_dir: str):
     p = ft.cjk_term_stats(sf_dir).to_pandas()
     p.insert(0, "analyzer", "cjk_bigram")
     parts.append(p)
+    p = ft.ja_term_stats(sf_dir).to_pandas()
+    p.insert(0, "analyzer", "ja")
+    parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3634,6 +3637,17 @@ tfcj AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokcj GROUP BY doc_id, 
 SELECT tok AS term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_term_freq
 FROM tfcj GROUP BY tok
 ) cj
+UNION ALL
+-- Japanese lattice tokenizer (kuromoji-style Viterbi, SEARCH mode):
+-- one of ten fixed sentences per doc; the segmentation is the pinned
+-- golden list (VALUES-mapped; see ft.JA_GOLDENS / tests/test_japanese.py)
+SELECT 'ja', jt.* FROM (
+WITH gt(t, term, tf) AS (VALUES {ft.ja_goldens_sql_values()}),
+docsja AS (SELECT doc_id, doc_id % 10 AS t FROM documents)
+SELECT gt.term, count(*)::BIGINT AS doc_freq,
+       sum(gt.tf)::BIGINT AS total_term_freq
+FROM docsja JOIN gt ON docsja.t = gt.t GROUP BY gt.term
+) jt
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

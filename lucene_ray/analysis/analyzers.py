@@ -2675,4 +2675,8 @@ def make_analyzer(name: str | dict = "standard", **kw):
 
         ANALYZERS["classic"] = classic.ClassicAnalyzer
         ANALYZERS["uax29_url_email"] = classic.UAX29URLEmailAnalyzer
+    if name not in ANALYZERS and name == "japanese":
+        from . import japanese  # lazy: kuromoji-style lattice tokenizer
+
+        ANALYZERS["japanese"] = japanese.JapaneseAnalyzer
     return ANALYZERS[name](**kw)

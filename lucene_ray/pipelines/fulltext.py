@@ -318,6 +318,61 @@ def cjk_term_stats(sf_dir: str):
     return _derived_term_stats(sf_dir, src, "cjk-bigram", "cjk_bigram", "cjk")
 
 
+# Japanese lattice-tokenizer fixture: doc_id % 10 picks one of ten fixed
+# sentences; JA_GOLDENS pins each sentence's SEARCH-mode segmentation
+# (hand-verified against the kuromoji reference's canonical outputs —
+# tests/test_japanese.py asserts the tokenizer still produces them, and
+# the oracle SQL re-derives term stats from the SAME pinned lists, the
+# VALUES-mapped-golden pattern for non-SQL-expressible analyzers).
+JA_TEMPLATES = [
+    "関西国際空港へ行きたい。",
+    "お寿司が食べたい。",
+    "日本の大学で勉強する。",
+    "東京タワーを見ました。",
+    "すもももももももものうち。",
+    "学生は図書館で本を読む。",
+    "ラーメンとビールを注文した。",
+    "水を飲みたいです。",
+    "空港から東京まで電車で行く。",
+    "国際会議は明日です。",
+]
+JA_GOLDENS = [
+    ["関西", "国際", "空港", "へ", "行き", "たい"],
+    ["お", "寿司", "が", "食べ", "たい"],
+    ["日本", "の", "大学", "で", "勉強", "する"],
+    ["東京", "タワー", "を", "見", "まし", "た"],
+    ["すもも", "も", "もも", "も", "もも", "の", "うち"],
+    ["学生", "は", "図書館", "で", "本", "を", "読む"],
+    ["ラーメン", "と", "ビール", "を", "注文", "し", "た"],
+    ["水", "を", "飲み", "たい", "です"],
+    ["空港", "から", "東京", "まで", "電車", "で", "行く"],
+    ["国際", "会議", "は", "明日", "です"],
+]
+
+
+def _ja_values(ids, sources, langs):
+    return [JA_TEMPLATES[iv % len(JA_TEMPLATES)] for iv in ids]
+
+
+def ja_term_stats(sf_dir: str):
+    """(term, doc_freq, total_term_freq) of the kuromoji-style Japanese
+    analyzer (SEARCH-mode Viterbi lattice, analysis/japanese.py) over the
+    ten-sentence derived corpus."""
+    src = _ensure_derived_corpus(sf_dir, "ja", "ja", _ja_values)
+    return _derived_term_stats(sf_dir, src, "ja", "japanese", "ja")
+
+
+def ja_goldens_sql_values() -> str:
+    """The pinned per-template (t, term, tf) rows as a SQL VALUES body."""
+    from collections import Counter
+
+    rows = []
+    for t, toks in enumerate(JA_GOLDENS):
+        for term, tf in sorted(Counter(toks).items()):
+            rows.append(f"({t}, '{term}', {tf})")
+    return ", ".join(rows)
+
+
 def path_term_stats(sf_dir: str, reverse: bool = False):
     """(term, doc_freq, total_term_freq) of the PathHierarchy index over
     the derived path corpus — the forward arm gives path-prefix facet
