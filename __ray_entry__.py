@@ -2784,6 +2784,9 @@ def _term_stats_family(sf_dir: str):
     p = ft.ja_term_stats(sf_dir).to_pandas()
     p.insert(0, "analyzer", "ja")
     parts.append(p)
+    p = ft.ko_term_stats(sf_dir).to_pandas()
+    p.insert(0, "analyzer", "ko")
+    parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3648,6 +3651,16 @@ SELECT gt.term, count(*)::BIGINT AS doc_freq,
        sum(gt.tf)::BIGINT AS total_term_freq
 FROM docsja JOIN gt ON docsja.t = gt.t GROUP BY gt.term
 ) jt
+UNION ALL
+-- Korean lattice tokenizer (nori-style, DISCARD decompound): same
+-- VALUES-mapped pinned-golden pattern (ft.KO_GOLDENS / tests/test_korean.py)
+SELECT 'ko', kt.* FROM (
+WITH gtk(t, term, tf) AS (VALUES {ft.ko_goldens_sql_values()}),
+docsko AS (SELECT doc_id, doc_id % 10 AS t FROM documents)
+SELECT gtk.term, count(*)::BIGINT AS doc_freq,
+       sum(gtk.tf)::BIGINT AS total_term_freq
+FROM docsko JOIN gtk ON docsko.t = gtk.t GROUP BY gtk.term
+) kt
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

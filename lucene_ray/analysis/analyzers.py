@@ -2679,4 +2679,8 @@ def make_analyzer(name: str | dict = "standard", **kw):
         from . import japanese  # lazy: kuromoji-style lattice tokenizer
 
         ANALYZERS["japanese"] = japanese.JapaneseAnalyzer
+    if name not in ANALYZERS and name == "korean":
+        from . import korean  # lazy: nori-style lattice tokenizer
+
+        ANALYZERS["korean"] = korean.KoreanAnalyzer
     return ANALYZERS[name](**kw)

@@ -177,97 +177,39 @@ def _search_penalty(surface: str, mode: str) -> int:
     return 0
 
 
-def _chunk_candidates(chunk: str, i: int, mode: str):
-    """Lattice arcs starting at position ``i``: dictionary matches plus
-    unknown-word candidates for the character class at ``i``."""
-    out: list[tuple[str, int, int]] = []  # (surface, ctx, cost)
-    seen_lens: set[int] = set()
-    for surf, ctx, cost in _DICT.get(chunk[i], ()):
-        if chunk.startswith(surf, i):
-            out.append((surf, ctx, cost + _search_penalty(surf, mode)))
-            seen_lens.add(len(surf))
-    cls = char_class(chunk[i])
-    run = 1
-    while i + run < len(chunk) and char_class(chunk[i + run]) == cls:
-        run += 1
-    base = _UNK_COST[cls]
-    ctx = _UNK_CTX[cls]
-    if cls in (KATAKANA, LATIN, DIGIT):
-        # grouping classes: one arc for the whole same-class run
-        if run not in seen_lens:
-            surf = chunk[i : i + run]
-            out.append(
-                (surf, ctx, base + 100 * run + _search_penalty(surf, mode))
-            )
-        if 1 not in seen_lens and run > 1:
-            out.append((chunk[i], ctx, base + 1700))
-    elif cls == KANJI:
-        # unknown kanji: single and pair arcs (UnknownDictionary emits
-        # short candidates; the lattice composes longer spans)
-        for ln in (1, 2):
-            if ln <= run and ln not in seen_lens:
-                out.append((chunk[i : i + ln], ctx, base + 3000 * (ln - 1)))
-    else:
-        if 1 not in seen_lens:
-            out.append((chunk[i], ctx, base))
-    return out
+def _make_pack():
+    from .lattice import LanguagePack
+
+    return LanguagePack(
+        lexicon=_LEXICON,
+        conn=CONN,
+        char_class=char_class,
+        space_class=SPACE,
+        symbol_class=SYMBOL,
+        unk_cost=_UNK_COST,
+        unk_ctx=_UNK_CTX,
+        unk_group=frozenset((KATAKANA, LATIN, DIGIT)),
+        unk_pair_class=KANJI,
+        penalty=_search_penalty,
+    )
 
 
-def _viterbi_chunk(chunk: str, mode: str) -> list[tuple[str, int]]:
-    """Best-path tokens for one whitespace-free chunk:
-    [(surface, start_offset)] — plain Viterbi over arc (word + connection)
-    costs, ties broken toward the LONGER first arc (stable, documented)."""
-    n = len(chunk)
-    # best[i] = (cost, prev_pos, arc) for best path covering chunk[:i]
-    INF = 1 << 60
-    best: list[tuple[int, int, tuple[str, int, int] | None]] = [
-        (INF, -1, None) for _ in range(n + 1)
-    ]
-    best[0] = (0, -1, None)
-    ctx_at: list[int] = [BOS] * (n + 1)  # right-context of best path at i
-    for i in range(n):
-        c0, _, _ = best[i]
-        if c0 >= INF:
-            continue
-        for surf, ctx, cost in _chunk_candidates(chunk, i, mode):
-            j = i + len(surf)
-            total = c0 + CONN[ctx_at[i], ctx] + cost
-            if total < best[j][0]:
-                best[j] = (total, i, (surf, ctx, cost))
-                ctx_at[j] = ctx
-    # backtrace
-    out: list[tuple[str, int]] = []
-    i = n
-    while i > 0:
-        _, prev, arc = best[i]
-        if arc is None:  # unreachable (cannot happen: singles always exist)
-            break
-        out.append((arc[0], prev))
-        i = prev
-    out.reverse()
-    return out
+_TOKENIZER = None
+
+
+def _tokenizer():
+    global _TOKENIZER
+    if _TOKENIZER is None:
+        from .lattice import LatticeTokenizer
+
+        _TOKENIZER = LatticeTokenizer(_make_pack())
+    return _TOKENIZER
 
 
 def tokenize(text: str, mode: str = "search", discard_punctuation: bool = True):
     """[(surface, start, end)] over the full text (offsets in codepoints);
     whitespace splits the lattice into independent chunks."""
-    out: list[tuple[str, int, int]] = []
-    i, n = 0, len(text)
-    while i < n:
-        if char_class(text[i]) == SPACE:
-            i += 1
-            continue
-        j = i
-        while j < n and char_class(text[j]) != SPACE:
-            j += 1
-        for surf, off in _viterbi_chunk(text[i:j], mode):
-            if discard_punctuation and all(
-                char_class(c) == SYMBOL for c in surf
-            ):
-                continue
-            out.append((surf, i + off, i + off + len(surf)))
-        i = j
-    return out
+    return _tokenizer().tokenize(text, mode, discard_punctuation)
 
 
 class JapaneseAnalyzer:

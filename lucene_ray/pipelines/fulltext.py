@@ -364,13 +364,62 @@ def ja_term_stats(sf_dir: str):
 
 def ja_goldens_sql_values() -> str:
     """The pinned per-template (t, term, tf) rows as a SQL VALUES body."""
+    return _goldens_sql_values(JA_GOLDENS)
+
+
+def _goldens_sql_values(goldens: list[list[str]]) -> str:
     from collections import Counter
 
     rows = []
-    for t, toks in enumerate(JA_GOLDENS):
+    for t, toks in enumerate(goldens):
         for term, tf in sorted(Counter(toks).items()):
             rows.append(f"({t}, '{term}', {tf})")
     return ", ".join(rows)
+
+
+# Korean (nori-style) fixture: same VALUES-mapped-golden pattern as the
+# Japanese arm; DISCARD decompound is the analyzer default, so the
+# goldens contain the decompounded parts (역삼역 -> 역삼 + 역).
+KO_TEMPLATES = [
+    "한국어를 공부합니다.",
+    "서울에서 친구를 만나다.",
+    "학생이 책을 읽는다.",
+    "삼성전자는 큰 회사입니다.",
+    "물을 마시다.",
+    "한국 음식은 맛있다.",
+    "컴퓨터와 인터넷을 사용한다.",
+    "내일 회의가 있습니다.",
+    "역삼역에서 만나요.",
+    "대학교에서 공부하다.",
+]
+KO_GOLDENS = [
+    ["한국", "어", "를", "공부", "합니다"],
+    ["서울", "에서", "친구", "를", "만나다"],
+    ["학생", "이", "책", "을", "읽는다"],
+    ["삼성", "전자", "는", "큰", "회사", "입니다"],
+    ["물", "을", "마시다"],
+    ["한국", "음식", "은", "맛있다"],
+    ["컴퓨터", "와", "인터넷", "을", "사용", "한다"],
+    ["내일", "회의", "가", "있습니다"],
+    ["역삼", "역", "에서", "만나요"],
+    ["대학교", "에서", "공부", "하다"],
+]
+
+
+def _ko_values(ids, sources, langs):
+    return [KO_TEMPLATES[iv % len(KO_TEMPLATES)] for iv in ids]
+
+
+def ko_term_stats(sf_dir: str):
+    """(term, doc_freq, total_term_freq) of the nori-style Korean analyzer
+    (lattice + DISCARD decompound, analysis/korean.py) over the
+    ten-sentence derived corpus."""
+    src = _ensure_derived_corpus(sf_dir, "ko", "ko", _ko_values)
+    return _derived_term_stats(sf_dir, src, "ko", "korean", "ko")
+
+
+def ko_goldens_sql_values() -> str:
+    return _goldens_sql_values(KO_GOLDENS)
 
 
 def path_term_stats(sf_dir: str, reverse: bool = False):
