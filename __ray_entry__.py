@@ -2787,6 +2787,9 @@ def _term_stats_family(sf_dir: str):
     p = ft.ko_term_stats(sf_dir).to_pandas()
     p.insert(0, "analyzer", "ko")
     parts.append(p)
+    p = ft.icu_term_stats(sf_dir).to_pandas()
+    p.insert(0, "analyzer", "icu_folding")
+    parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3661,6 +3664,16 @@ SELECT gtk.term, count(*)::BIGINT AS doc_freq,
        sum(gtk.tf)::BIGINT AS total_term_freq
 FROM docsko JOIN gtk ON docsko.t = gtk.t GROUP BY gtk.term
 ) kt
+UNION ALL
+-- ICU folding (utr30-style fold over StandardTokenizer output): same
+-- VALUES-mapped pinned-golden pattern (ft.ICU_GOLDENS / tests/test_icufold.py)
+SELECT 'icu_folding', it.* FROM (
+WITH gti(t, term, tf) AS (VALUES {ft.icu_goldens_sql_values()}),
+docsicu AS (SELECT doc_id, doc_id % 10 AS t FROM documents)
+SELECT gti.term, count(*)::BIGINT AS doc_freq,
+       sum(gti.tf)::BIGINT AS total_term_freq
+FROM docsicu JOIN gti ON docsicu.t = gti.t GROUP BY gti.term
+) it
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

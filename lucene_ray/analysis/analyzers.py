@@ -1809,6 +1809,10 @@ def make_term_filter(name: str, **kw):
         return lambda t: t[:1].upper() + t[1:].lower()
     if name == "german_normalization":
         return _german_normalize
+    if name == "icu_folding":
+        from .icufold import icu_fold
+
+        return lambda t: icu_fold(t) or None
     raise ValueError(f"unknown term filter: {name}")
 
 
@@ -2683,4 +2687,8 @@ def make_analyzer(name: str | dict = "standard", **kw):
         from . import korean  # lazy: nori-style lattice tokenizer
 
         ANALYZERS["korean"] = korean.KoreanAnalyzer
+    if name not in ANALYZERS and name == "icu_folding":
+        from . import icufold  # lazy: ICUFoldingFilter-equivalent chain
+
+        ANALYZERS["icu_folding"] = icufold.ICUFoldingAnalyzer
     return ANALYZERS[name](**kw)

@@ -422,6 +422,52 @@ def ko_goldens_sql_values() -> str:
     return _goldens_sql_values(KO_GOLDENS)
 
 
+# ICU folding fixture (analysis/icu ICUFoldingFilter): ten phrases whose
+# folds exercise casefold (ß, İ, final sigma), accent strip (composed +
+# decomposed), native digits, stroked/ligature Latin, Arabic presentation
+# forms and width/compat foldings; goldens pinned, VALUES-mapped oracle.
+ICU_TEMPLATES = [
+    "Ruß résumé",
+    "ΜΆΪΟΣ Μάϊος",
+    "đis is cræzy",
+    "ELİF naïve",
+    "৭০৬ and ٣٤٥",
+    "HÔTEL façade",
+    "Łódź świat",
+    "ﴳﴺﰧ",
+    "ŒUF œuf Æsir",
+    "Tōkyō №5 ½kg",
+]
+ICU_GOLDENS = [
+    ["russ", "resume"],
+    ["μαιοσ", "μαιοσ"],
+    ["dis", "is", "craezy"],
+    ["elif", "naive"],
+    ["706", "and", "345"],
+    ["hotel", "facade"],
+    ["lodz", "swiat"],
+    ["طمطمطم"],
+    ["oeuf", "oeuf", "aesir"],
+    ["tokyo", "5", "kg"],
+]
+
+
+def _icu_values(ids, sources, langs):
+    return [ICU_TEMPLATES[iv % len(ICU_TEMPLATES)] for iv in ids]
+
+
+def icu_term_stats(sf_dir: str):
+    """(term, doc_freq, total_term_freq) of the ICU-folding analyzer
+    (StandardTokenizer -> utr30-style fold, analysis/icufold.py) over the
+    ten-phrase derived corpus."""
+    src = _ensure_derived_corpus(sf_dir, "icu", "icu", _icu_values)
+    return _derived_term_stats(sf_dir, src, "icu-folding", "icu_folding", "icu")
+
+
+def icu_goldens_sql_values() -> str:
+    return _goldens_sql_values(ICU_GOLDENS)
+
+
 def path_term_stats(sf_dir: str, reverse: bool = False):
     """(term, doc_freq, total_term_freq) of the PathHierarchy index over
     the derived path corpus — the forward arm gives path-prefix facet
