@@ -2638,30 +2638,44 @@ def _dd_duplicate_clusters(sf_dir: str):
 
     - family='jaccard': connected components over verified n-gram-Jaccard
       near-dup pairs (ops/dedup.duplicate_clusters).
-    - family='semantic': SemDeDup (Abbas et al. 2023).  The returned rows
-      are the EXACT hashed-TF cosine>=0.9 components (integer-exact
-      threshold, so the DuckDB oracle reproduces them bit-for-bit); the
-      k-means WITHIN-CLUSTER scale path runs beside them and is GATED:
-      every doc it drops must belong to an exact component (no false
-      drops) and it must cover >= 50% of the exact non-representative
-      set (measured 0.65-0.68 at k=16 on the driver corpora) — a
-      clustering regression turns this row red."""
+    - family='semantic': SemDeDup (Abbas et al. 2023), the SCALE path:
+      sign-bucketed exact cosine>=0.9 components (integer-exact
+      threshold restricted to same-sign-bucket pairs; the oracle applies
+      the identical bucketing, so rows are bit-exact).  Two driver-scale
+      GATES run beside it: (a) the bucketed edge set must recall >= 90%
+      of the all-pairs exact edges (sign buckets rarely split true
+      near-dups), and (b) the k-means drops path must drop only exact-
+      component members and cover >= 50% of the exact non-representative
+      set (measured 0.65-0.68 at k=16) — a regression in either turns
+      this row red."""
     import pandas as pd
 
     from lucene_ray.ops import dedup, semdedup
 
     jac = dedup.duplicate_clusters(_docs(sf_dir)).to_pandas()
     jac.insert(0, "family", "jaccard")
-    # ONE tokenize+hash scan shared by the exact arm and the gated
-    # k-means scale path
+    # ONE tokenize+hash scan shared by the checked bucketed arm and the
+    # two driver-scale gates
     tf = semdedup.hashed_tf(_docs(sf_dir)).materialize()
-    sem = semdedup.semantic_duplicate_clusters(None, tf=tf).to_pandas()
+    sem = semdedup.semantic_duplicate_clusters_bucketed(None, tf=tf).to_pandas()
     sem.insert(0, "family", "semantic")
 
+    # gate (a): bucketed edges vs all-pairs exact edges
+    exact_pairs = semdedup.semantic_pair_edges(tf).to_pandas()
+    bucketed_pairs = semdedup.semantic_pair_edges_bucketed(tf).to_pandas()
+    exact_set = set(zip(exact_pairs["doc_a"], exact_pairs["doc_b"]))
+    bucket_set = set(zip(bucketed_pairs["doc_a"], bucketed_pairs["doc_b"]))
+    assert bucket_set <= exact_set, "bucketed edge not in the exact edge set"
+    if exact_set:
+        recall = len(bucket_set) / len(exact_set)
+        assert recall >= 0.9, f"sign-bucket edge recall regressed: {recall:.3f}"
+
+    # gate (b): k-means drops vs the exact components
+    exact = semdedup.semantic_duplicate_clusters(None, tf=tf).to_pandas()
     drops = semdedup.semdedup_drops(None, k=16, tf=tf).to_pandas()
-    members = set(sem["doc_id"]) if len(sem) else set()
+    members = set(exact["doc_id"]) if len(exact) else set()
     assert set(drops["doc_id"]) <= members, "SemDeDup dropped a non-duplicate"
-    nonrep = len(sem) - (sem["cluster_id"].nunique() if len(sem) else 0)
+    nonrep = len(exact) - (exact["cluster_id"].nunique() if len(exact) else 0)
     if nonrep > 0:  # a duplicate-free corpus has nothing to cover
         coverage = len(drops) / nonrep
         assert coverage >= 0.5, f"SemDeDup coverage regressed: {coverage:.3f}"
@@ -6392,6 +6406,30 @@ stf AS (
   FROM tok GROUP BY 1, 2
 ),
 sn2 AS (SELECT doc_id, sum(c * c)::BIGINT AS n2 FROM stf GROUP BY doc_id),
+-- multi-probe sign-bucket restriction (the engine's scale path): plane
+-- dots against md5-derived integer hyperplanes h_p(b) in [-1000,1000];
+-- a plane with dot² < WILD_M2·|v|² is a WILDCARD and the doc lands in
+-- every consistent bucket (same rule as ops/semdedup.probe_buckets)
+shyp AS (
+  SELECT p.p, b.b,
+         (md5_number_lower('sem|' || p.p || '|' || b.b) % 2001)::BIGINT - 1000 AS h
+  FROM (SELECT unnest(range({semdedup_mod.N_PLANES})) AS p) p,
+       (SELECT unnest(range({semdedup_mod.DIM})) AS b) b
+),
+splane AS (
+  SELECT d.doc_id, d.p, d.dot > 0 AS pos,
+         d.dot * d.dot < {semdedup_mod.WILD_M2} * n.n2 AS wild
+  FROM (
+    SELECT stf.doc_id, shyp.p, sum(stf.c * shyp.h)::BIGINT AS dot
+    FROM stf JOIN shyp ON shyp.b = stf.b GROUP BY 1, 2
+  ) d JOIN sn2 n ON n.doc_id = d.doc_id
+),
+sbkt AS (
+  SELECT s.doc_id, k.k AS bucket
+  FROM splane s, (SELECT unnest(range({1 << semdedup_mod.N_PLANES})) AS k) k
+  GROUP BY s.doc_id, k.k
+  HAVING bool_and(((k.k >> s.p) & 1 = CASE WHEN s.pos THEN 1 ELSE 0 END) OR s.wild)
+),
 sdots AS (
   SELECT a.doc_id AS da, b.doc_id AS db_, sum(a.c * b.c)::BIGINT AS dot
   FROM stf a JOIN stf b ON a.b = b.b AND a.doc_id < b.doc_id
@@ -6401,6 +6439,8 @@ spairs AS (
   SELECT da, db_ FROM sdots
   JOIN sn2 x ON x.doc_id = da JOIN sn2 y ON y.doc_id = db_
   WHERE dot > 0
+    AND EXISTS (SELECT 1 FROM sbkt ba JOIN sbkt bb ON ba.bucket = bb.bucket
+                WHERE ba.doc_id = da AND bb.doc_id = db_)
     AND {semdedup_mod.TAU_DEN} * dot * dot >= {semdedup_mod.TAU_NUM} * x.n2 * y.n2
 ),
 sedges AS (

@@ -17,19 +17,19 @@ and DuckDB reproduces edges bit-for-bit (dots/norms stay well under
 2^53).
 
 Distributed shapes:
-- ``semantic_duplicate_clusters`` is the EXACT arm the driver oracle
-  checks: the full hashed-TF matrix is broadcast once via ``ray.put``
-  and each batch matmuls against it (an O(n²) verification baseline,
-  fine for the driver's corpus; it is NOT the 100-TB path), then the
-  edge set runs the same distributed min-label propagation as the
-  Jaccard dedup (ops/dedup.components_from_pairs).
-- ``semdedup_drops`` is the SCALE path: k-means (ops/ann.kmeans — one
-  scan per iteration, deterministic first-k init), assignment by
-  broadcast centroids, then ``groupby(cell).map_groups`` does pairwise
-  work ONLY within clusters — per-cluster cost, no all-pairs matrix.
-  Its recall against the exact arm is gated in the driver callable; the
-  exact arm is what's returned, so a clustering regression turns the
-  row red rather than silently shifting results.
+- ``semantic_duplicate_clusters_bucketed`` is the arm the driver oracle
+  CHECKS and the 100-TB path: sign-bucketed exact edges (md5-derived
+  integer hyperplanes; one keyed exchange, per-bucket matmuls, no
+  corpus broadcast or driver materialization) into the same distributed
+  min-label propagation as the Jaccard dedup
+  (ops/dedup.components_from_pairs).  The oracle applies the identical
+  bucket restriction, so the arm is hash-exact by construction.
+- ``semantic_duplicate_clusters`` is the all-pairs EXACT baseline (full
+  hashed-TF matrix broadcast once via ``ray.put``): driver-scale only,
+  kept as the recall GATE for the bucketed arm and the k-means drops.
+- ``semdedup_drops`` is the paper's k-means formulation: clusters,
+  within-cluster exact edges, the lowest-centroid-cosine keep rule.
+  Its recall against the exact arm is gated in the driver callable.
 """
 
 from __future__ import annotations
@@ -233,3 +233,100 @@ def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM, tf=None
         .groupby("cell")
         .map_groups(_dedup_cell, batch_format="pyarrow")
     )
+
+
+# --- sign-bucketed SCALE path (the driver-checked arm) ----------------------
+# Bucket keys: sign bits of EXACT integer dot products between the
+# hashed-TF vector and N_PLANES md5-derived integer hyperplanes, with
+# deterministic MULTI-PROBE: a plane whose |dot| is under the margin
+# (dot² < WILD_M2·|v|², integer-exact) is a WILDCARD, and the doc lands
+# in every bucket consistent with its non-wildcard signs (<= 2^N_PLANES
+# rows, typically 2-4x).  Near-duplicate pairs disagree on a plane only
+# when BOTH dots are confidently away from zero — rare at cosine >= 0.9 —
+# so recall is high and every rule is SQL-reproducible: the oracle
+# computes the same dots from the token stream and applies the same
+# wildcard test.  Edges are computed ONLY within buckets
+# (groupby(bucket).map_groups — per-bucket cost, no corpus broadcast, no
+# driver materialization); duplicate edges from shared probes are
+# harmless to the component propagation.  The all-pairs
+# semantic_pair_edges above remains as the driver-scale recall GATE.
+
+N_PLANES = 4
+WILD_M2 = 90_000  # margin² coefficient: wildcard iff dot² < 90000 · |v|²
+
+
+def _hyperplanes(dim: int = DIM) -> np.ndarray:
+    from .util import md5_u64
+
+    return np.array(
+        [
+            [(md5_u64(f"sem|{p}|{b}") % 2001) - 1000 for b in range(dim)]
+            for p in range(N_PLANES)
+        ],
+        np.int64,
+    )
+
+
+_H = _hyperplanes()
+
+
+def probe_buckets(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, bucket) pairs: every bucket k in [0, 2^N_PLANES) whose
+    bit p matches sign(dot_p) on all non-wildcard planes."""
+    dots = mat @ _H.T  # exact int64: |dot| <= dim * max_count * 1000
+    n2 = (mat * mat).sum(axis=1)
+    pos = dots > 0
+    wild = dots * dots < WILD_M2 * n2[:, None]
+    rows, buckets = [], []
+    for k in range(1 << N_PLANES):
+        bits = np.array([(k >> p) & 1 for p in range(N_PLANES)], bool)
+        ok = ((bits[None, :] == pos) | wild).all(axis=1)
+        idx = np.nonzero(ok)[0]
+        rows.append(idx)
+        buckets.append(np.full(len(idx), k, np.int64))
+    return np.concatenate(rows), np.concatenate(buckets)
+
+
+def semantic_pair_edges_bucketed(tf_ds, dim: int = DIM, max_bucket: int = 100_000):
+    """(doc_a, doc_b) exact cosine>=tau pairs restricted to docs sharing
+    a probe bucket — the scale path: one keyed exchange, per-bucket
+    matmuls; pairs sharing several buckets emit duplicate edge rows."""
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        mat = list_matrix(batch.column("embedding"), dim)
+        rows, buckets = probe_buckets(mat)
+        out = batch.take(rows)
+        return out.append_column("bucket", pa.array(buckets, pa.int64()))
+
+    def _bucket_edges(group: pa.Table) -> pa.Table:
+        if len(group) > max_bucket:  # never at driver scale; logged drop
+            print(
+                f"semantic_pair_edges_bucketed: hot bucket capped "
+                f"{len(group)} -> {max_bucket}"
+            )
+            group = group.sort_by("vec_id").slice(0, max_bucket)
+        ids = group.column("vec_id").to_numpy()
+        mat = list_matrix(group.column("embedding"), dim)
+        a, b = _edges_int(ids, mat, ids, mat)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    return (
+        tf_ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_edges, batch_format="pyarrow")
+    )
+
+
+def semantic_duplicate_clusters_bucketed(docs_ds, dim: int = DIM, tf=None):
+    """Scale-path semantic components (doc_id, cluster_id, cluster_size):
+    hashed-TF -> sign-bucketed exact edges -> distributed min-label
+    propagation.  This is the driver-checked arm; its oracle applies the
+    SAME bucket restriction."""
+    from .dedup import components_from_pairs
+
+    if tf is None:
+        tf = hashed_tf(docs_ds, dim).materialize()
+    pairs = semantic_pair_edges_bucketed(tf, dim).materialize()
+    return components_from_pairs(pairs)
