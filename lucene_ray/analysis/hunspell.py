@@ -1,18 +1,23 @@
-"""Hunspell dictionary stemmer — scoped subset.
+"""Hunspell dictionary stemmer.
 
 Reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/
-hunspell/Dictionary.java (.aff/.dic parsing), Stemmer.java (affix
-stripping: a surface form ending in a rule's ``add`` string stems to
-``word[:-len(add)] + strip`` when that candidate matches the rule's
-condition and carries the rule's flag in the dictionary), and
-HunspellStemFilter.java (no stems -> original passes through;
-longestOnly picks the single longest stem; dedup otherwise).
+hunspell/Dictionary.java (.aff/.dic parsing, FLAG long/num modes,
+continuation classes on affix append strings), Stemmer.java (affix
+stripping + the two-fold suffix recursion: after stripping an outer
+suffix A, an inner suffix B may also strip when B is cross-product and
+B's continuation classes contain A's flag — ``isAffixCompatible``'s
+cross-check of the "incoming continuation class"; the dictionary entry
+must then carry B's flag), and HunspellStemFilter.java (no stems ->
+original passes through; longestOnly picks the single longest stem).
 
 SCOPE (documented): SFX + PFX rules with cross-product, char-class
-conditions and flag checks.  Out of scope: two-fold affixes
-(continuation classes), COMPOUND* rules, REP/MAP/TRY suggestion
-tables, flag compression modes (long/num/UTF-8 flags read as single
-chars), and ICONV/OCONV.
+conditions, flag checks, FLAG long / FLAG num / single-char flag modes,
+and TWO-FOLD suffixes via continuation classes (outer suffix + inner
+suffix, and prefix + one suffix).  Out of scope: COMPLEXPREFIXES,
+COMPOUND* rules, NEEDAFFIX/CIRCUMFIX/ONLYINCOMPOUND special flags,
+REP/MAP/TRY suggestion tables, and ICONV/OCONV.  Unknown directives are
+skipped, so real .aff files (de_DE, hu_HU) load with those features
+inert.
 """
 
 from __future__ import annotations
@@ -29,6 +34,20 @@ class AffixRule:
     strip: str  # chars removed from the stem when inflecting ("" for 0)
     add: str  # chars appended (suffix) / prepended (prefix)
     condition: re.Pattern  # anchored at the stem's end (SFX) / start (PFX)
+    cont: frozenset[str]  # continuation classes on the append string
+
+
+def parse_flags(s: str, mode: str) -> frozenset[str]:
+    """One flag-run -> flag set under the FLAG directive's mode
+    (Dictionary.java parseFlags: default = one char per flag, ``long`` =
+    two chars per flag, ``num`` = comma-separated decimal numbers)."""
+    if not s:
+        return frozenset()
+    if mode == "num":
+        return frozenset(p.strip() for p in s.split(",") if p.strip())
+    if mode == "long":
+        return frozenset(s[i : i + 2] for i in range(0, len(s) - 1, 2))
+    return frozenset(s)
 
 
 def _cond_regex(kind: str, cond: str) -> re.Pattern:
@@ -58,23 +77,38 @@ class HunspellDictionary:
     """Parsed .aff rules + .dic entries (word -> flag set)."""
 
     def __init__(self, aff_text: str, dic_text: str):
+        self.flag_mode = "single"
         self.rules: list[AffixRule] = []
         self._parse_aff(aff_text)
         self.words: dict[str, frozenset[str]] = {}
         self._parse_dic(dic_text)
 
+    def _one_flag(self, s: str) -> str:
+        flags = parse_flags(s, self.flag_mode)
+        if len(flags) != 1:
+            raise ValueError(f"affix header flag {s!r} under FLAG {self.flag_mode}")
+        return next(iter(flags))
+
     def _parse_aff(self, text: str) -> None:
+        # FLAG directive first: it governs every later flag-run parse
+        for line in text.splitlines():
+            t = line.split("#", 1)[0].split()
+            if len(t) >= 2 and t[0] == "FLAG":
+                self.flag_mode = t[1]  # "long" | "num" | ("UTF-8" ~ single)
+                if self.flag_mode not in ("long", "num"):
+                    self.flag_mode = "single"
         header: dict[str, bool] = {}  # flag -> cross_product
         for line in text.splitlines():
             t = line.split("#", 1)[0].split()
             if len(t) >= 4 and t[0] in ("SFX", "PFX"):
-                kind, flag = t[0], t[1]
+                kind = t[0]
                 if t[2] in ("Y", "N") and t[3].isdigit():
-                    header[flag] = t[2] == "Y"  # rule-set header line
+                    header[self._one_flag(t[1])] = t[2] == "Y"  # rule-set header
                     continue
+                flag = self._one_flag(t[1])
                 strip = "" if t[2] == "0" else t[2]
                 add = "" if t[3] == "0" else t[3]
-                add = add.split("/", 1)[0]  # continuation classes ignored
+                add, _, cont_run = add.partition("/")
                 cond = t[4] if len(t) > 4 else "."
                 self.rules.append(
                     AffixRule(
@@ -84,6 +118,7 @@ class HunspellDictionary:
                         strip,
                         add,
                         _cond_regex(kind, cond),
+                        parse_flags(cont_run, self.flag_mode),
                     )
                 )
 
@@ -96,8 +131,8 @@ class HunspellDictionary:
                 continue
             # morphological fields (st:, po:, ...) follow whitespace —
             # only the first token is the word[/flags] (Dictionary.java)
-            word, _, flags = w.split()[0].partition("/")
-            self.words[word] = frozenset(flags)
+            word, _, flag_run = w.split()[0].partition("/")
+            self.words[word] = parse_flags(flag_run, self.flag_mode)
 
     def has_flag(self, word: str, flag: str) -> bool:
         f = self.words.get(word)
@@ -122,14 +157,28 @@ class HunspellStemmer:
 
     def stems(self, word: str) -> list[str]:
         """All dictionary stems of ``word`` in discovery order: exact
-        entry, suffix strips, prefix strips, and cross-product
-        prefix+suffix strips (both rules must allow cross-product)."""
+        entry, suffix strips, TWO-FOLD suffix strips (outer rule A then
+        inner rule B where B is cross-product, A's flag is in B's
+        continuation classes, and the entry carries B's flag —
+        Stemmer.isAffixCompatible's continuation cross-check), prefix
+        strips, and cross-product prefix+suffix strips."""
         out: list[str] = []
         if word in self.dict.words:
             out.append(word)
         for cand, r in self._try_suffixes(word):
             if self.dict.has_flag(cand, r.flag) and cand not in out:
                 out.append(cand)
+            # two-fold: the outer rule must allow combination
+            if not r.cross:
+                continue
+            for cand2, r2 in self._try_suffixes(cand):
+                if (
+                    r2.cross
+                    and r.flag in r2.cont
+                    and self.dict.has_flag(cand2, r2.flag)
+                    and cand2 not in out
+                ):
+                    out.append(cand2)
         for p in self.pfx:
             if not (p.add and word.startswith(p.add) and len(word) > len(p.add)):
                 continue
