@@ -5355,6 +5355,165 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
 UNION ALL
+-- DFR G + B + H1: tfn = tf*avgdl/ql; lam = F/(N+F), F = ttf+1;
+--   score = (B - (B-A)/(1+tfn)) * (ttf+2)/(df+1),
+--   A = log2(lam+1), B = log2((1+lam)/lam)
+SELECT 'dfr_gb1', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df,
+              sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           (log2((1 + (df.ttf + 1.0) / (s.doc_count + df.ttf + 1.0))
+                 / ((df.ttf + 1.0) / (s.doc_count + df.ttf + 1.0)))
+            - (log2((1 + (df.ttf + 1.0) / (s.doc_count + df.ttf + 1.0))
+                    / ((df.ttf + 1.0) / (s.doc_count + df.ttf + 1.0)))
+               - log2((df.ttf + 1.0) / (s.doc_count + df.ttf + 1.0) + 1))
+              / (1 + p.tf * ((s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1))))
+           * ((df.ttf + 2.0) / (df.df + 1.0)),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- DFR IF + B + H3 (mu=800): tfn = (tf + 800*(ttf+1)/(sumTtf+1))/(ql+800)*800;
+--   score = log2(1 + (N+1)/(ttf+0.5)) * (ttf+2)/(df+1) * (1 - 1/(1+tfn))
+SELECT 'dfr_ifb3', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df,
+              sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           log2(1 + (s.doc_count + 1) / (df.ttf + 0.5))
+           * ((df.ttf + 2.0) / (df.df + 1.0))
+           * (1 - 1 / (1 + (p.tf + 800.0 * ((df.ttf + 1.0) / (s.sum_ttf + 1.0)))
+                           / (greatest(d.ql, 1) + 800.0) * 800.0)),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- DFR Ine + L + Z (z=0.30): ne = N*(1-((N-1)/N)^ttf);
+--   tfn = tf*(avgdl/ql)^0.3; score = log2((N+1)/(ne+0.5)) * (1 - 1/(1+tfn))
+SELECT 'dfr_inez', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df,
+              sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           log2((s.doc_count + 1)
+                / (s.doc_count * (1 - power((s.doc_count - 1.0) / s.doc_count, df.ttf)) + 0.5))
+           * (1 - 1 / (1 + p.tf * power((s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1), 0.3))),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- IB SPL + TTF + H2: lam = float32((ttf+1)/(N+1)); tfn = tf*log2(1+avgdl/ql);
+--   q = 1 - 1/(tfn+1); score = -ln((lam^q - lam)/(1 - lam))
+SELECT 'ib_spl_ttf', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT count(*) FILTER (WHERE dl > 0)::BIGINT AS doc_count,
+         coalesce(sum(dl), 0)::BIGINT AS sum_ttf
+  FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+df AS (SELECT qid, term, count(*)::BIGINT AS df,
+              sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         greatest(
+           -ln((power(cast((df.ttf + 1.0) / (s.doc_count + 1.0) AS FLOAT),
+                      1 - 1 / (p.tf * log2(1 + (s.sum_ttf * 1.0 / s.doc_count) / greatest(d.ql, 1)) + 1))
+                - cast((df.ttf + 1.0) / (s.doc_count + 1.0) AS FLOAT))
+               / (1 - cast((df.ttf + 1.0) / (s.doc_count + 1.0) AS FLOAT))),
+           0.0) AS score
+  FROM posting p
+  JOIN df ON df.qid = p.qid AND df.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
 -- AxiomaticF2EXP (s=0.5, k=0.35):
 --   score = ((N+1)/df)^0.35 * tf/(tf + 0.5 + 0.5*ql/avgdl)
 SELECT 'ax_f2exp', r.* FROM (

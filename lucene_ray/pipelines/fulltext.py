@@ -3408,6 +3408,15 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("lmjm", LMJelinekMercerSimilarity(lam=0.1)),
         ("dfr_inl2", DFRSimilarity()),
         ("ib_ll", IBSimilarity()),
+        # the component-composed DFR/IB space (round 5): every remaining
+        # reference component appears in at least one arm — basic models
+        # G/IF/Ine, after-effect B, normalizations H1/H3/Z, distribution
+        # SPL, lambda TTF (BasicModel*.java, AfterEffectB.java,
+        # Normalization{H1,H3,Z}.java, DistributionSPL.java, LambdaTTF.java)
+        ("dfr_gb1", DFRSimilarity("g", "b", "h1")),
+        ("dfr_ifb3", DFRSimilarity("if", "b", "h3")),
+        ("dfr_inez", DFRSimilarity("ine", "l", "z")),
+        ("ib_spl_ttf", IBSimilarity("spl", "ttf", "h2")),
         ("ax_f2exp", AxiomaticF2EXP()),
         # the remaining four Axiomatic arms (reference defaults s=0.25,
         # k=0.35, queryLen=1; AxiomaticF1EXP/F1LOG/F2LOG/F3EXP/F3LOG.java)

@@ -380,23 +380,70 @@ def _quantized_dl() -> np.ndarray:
 
 
 class DFRSimilarity:
-    """Divergence-from-randomness, the I(n)L2 combination (reference
-    similarities/DFRSimilarity.java composing BasicModelIn.java +
-    AfterEffectL.java + NormalizationH2.java; framework Amati & van
-    Rijsbergen 2002):
+    """Divergence-from-randomness (reference similarities/
+    DFRSimilarity.java; framework Amati & van Rijsbergen 2002), composed
+    from the FULL reference component set:
 
-        tfn   = freq * log2(1 + c * avgdl / dl)          (H2, c = 1)
-        score = boost * log2((N + 1) / (df + 0.5))       (In)
-                      * tfn / (1 + tfn)                  (L)
+    - basic models (``BasicModel{G,IF,In,Ine}.java``), evaluated in the
+      reference's after-effect-fused rewrites (non-decreasing in tfn):
+        in : log2((N+1)/(df+0.5)) · ae1p · (1 - 1/(1+tfn))
+        if : log2(1 + (N+1)/(ttf+0.5)) · ae1p · (1 - 1/(1+tfn))
+        ine: log2((N+1)/(ne+0.5)) · ae1p · (1 - 1/(1+tfn)),
+             ne = N·(1 - ((N-1)/N)^ttf)
+        g  : (B - (B-A)/(1+tfn)) · ae1p,
+             λ = F/(N+F), F = ttf+1, A = log2(λ+1), B = log2((1+λ)/λ)
+    - after-effects (``AfterEffect{L,B}.java`` as scoreTimes1pTfn):
+        l: ae1p = 1;   b: ae1p = (F+1)/n with F = ttf+1, n = df+1
+    - normalizations (``Normalization{H1,H2,H3,Z}.java`` + none):
+        h1: tf·c·avgdl/dl        h2: tf·log2(1 + c·avgdl/dl)
+        h3: (tf + mu·(ttf+1)/(sumTtf+1)) / (dl + mu) · mu
+        z : tf·(avgdl/dl)^z      none: tf
 
-    with dl the SmallFloat-quantized length and avgdl = sumTtf/docCount in
-    double.  tfn/(1+tfn) is increasing in tfn, tfn increasing in freq and
-    non-increasing in dl — impact-skyline pruning stays valid unchanged."""
+    dl is the SmallFloat-quantized length (floored at 1), avgdl =
+    sumTtf/docCount in double.  Every combination is increasing in freq
+    and non-increasing in dl, so impact-skyline pruning stays valid.  The
+    default I(n)L2 combination keeps the original closed form
+    (w·tfn/(1+tfn)) bit-for-bit."""
 
-    def __init__(self, c: float = 1.0):
+    def __init__(
+        self,
+        basic_model: str = "in",
+        after_effect: str = "l",
+        normalization: str = "h2",
+        c: float = 1.0,
+        mu: float = 800.0,
+        z: float = 0.30,
+    ):
         if c <= 0:
             raise ValueError("c must be > 0")
+        if basic_model not in ("g", "if", "in", "ine"):
+            raise ValueError(f"unknown basic model: {basic_model}")
+        if after_effect not in ("l", "b"):
+            raise ValueError(f"unknown after effect: {after_effect}")
+        if normalization not in ("h1", "h2", "h3", "z", "none"):
+            raise ValueError(f"unknown normalization: {normalization}")
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
         self.c = float(c)
+        self.mu = float(mu)
+        self.z = float(z)
+
+    def _tfn(self, freqs, dl, ttf: float, avgdl: float, sum_ttf: float):
+        nm = self.normalization
+        if nm == "h1":
+            return freqs * self.c * (avgdl / dl)
+        if nm == "h2":
+            return freqs * np.log2(1.0 + self.c * avgdl / dl)
+        if nm == "h3":
+            return (
+                (freqs + self.mu * ((ttf + 1.0) / (sum_ttf + 1.0)))
+                / (dl + self.mu)
+                * self.mu
+            )
+        if nm == "z":
+            return freqs * (avgdl / dl) ** self.z
+        return freqs + 0.0 * dl  # none (broadcast-shaped)
 
     def scorer(
         self,
@@ -405,30 +452,93 @@ class DFRSimilarity:
         *term_stats: TermStatistics,
     ) -> _FreqNormScorer:
         n = collection_stats.doc_count
-        avgdl = collection_stats.sum_total_term_freq / float(n)
-        idf = float(
-            np.sum([np.log2((n + 1) / (ts.doc_freq + 0.5)) for ts in term_stats])
-        )
-        w = float(boost) * idf
-        table = np.log2(1.0 + self.c * avgdl / _quantized_dl())
+        sum_ttf = float(collection_stats.sum_total_term_freq)
+        avgdl = sum_ttf / float(n)
+        b = float(boost)
+        combo = (self.basic_model, self.after_effect, self.normalization)
+        if combo == ("in", "l", "h2"):
+            # original I(n)L2 closed form, preserved bit-for-bit
+            idf = float(
+                np.sum([np.log2((n + 1) / (ts.doc_freq + 0.5)) for ts in term_stats])
+            )
+            w = b * idf
+            table = np.log2(1.0 + self.c * avgdl / _quantized_dl())
 
-        def fn(freqs, tbl):
-            tfn = freqs * tbl
-            return w * tfn / (1.0 + tfn)
+            def fn(freqs, tbl):
+                tfn = freqs * tbl
+                return w * tfn / (1.0 + tfn)
 
-        return _FreqNormScorer(fn, table)
+            return _FreqNormScorer(fn, table)
+
+        terms = [(float(ts.doc_freq), float(ts.total_term_freq)) for ts in term_stats]
+        bm = self.basic_model
+
+        def fn(freqs, dl):
+            total = np.zeros_like(np.asarray(freqs, np.float64) * dl)
+            for df, ttf in terms:
+                tfn = self._tfn(np.asarray(freqs, np.float64), dl, ttf, avgdl, sum_ttf)
+                ae1p = 1.0 if self.after_effect == "l" else (ttf + 2.0) / (df + 1.0)
+                if bm == "in":
+                    a = np.log2((n + 1) / (df + 0.5))
+                    s = a * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+                elif bm == "if":
+                    a = np.log2(1.0 + (n + 1) / (ttf + 0.5))
+                    s = a * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+                elif bm == "ine":
+                    ne = n * (1.0 - ((n - 1.0) / n) ** ttf)
+                    a = np.log2((n + 1) / (ne + 0.5))
+                    s = a * ae1p * (1.0 - 1.0 / (1.0 + tfn))
+                else:  # g
+                    f_ = ttf + 1.0
+                    lam = f_ / (n + f_)
+                    a = np.log2(lam + 1.0)
+                    bb = np.log2((1.0 + lam) / lam)
+                    s = (bb - (bb - a) / (1.0 + tfn)) * ae1p
+                total = total + s
+            return b * total
+
+        return _FreqNormScorer(fn, _quantized_dl())
 
 
 class IBSimilarity:
-    """Information-based model, the LL/DF/H2 combination (reference
-    similarities/IBSimilarity.java composing DistributionLL.java +
-    LambdaDF.java + NormalizationH2.java; Clinchant & Gaussier 2010):
+    """Information-based models (reference similarities/IBSimilarity.java;
+    Clinchant & Gaussier 2010), composed from the reference component set:
 
-        tfn    = freq * log2(1 + avgdl / dl)             (H2, c = 1)
-        lambda = (df + 1) / (N + 1)                      (DF)
-        score  = boost * ln(1 + tfn / lambda)            (LL)
+    - distributions (``Distribution{LL,SPL}.java``):
+        ll : -ln(λ / (tfn + λ))
+        spl: -ln((λ^q - λ) / (1 - λ)), q = 1 - 1/(tfn + 1)
+             (λ nudged off 1, λ^q nudged off λ — the reference's
+             floating-point guards)
+    - lambdas (``Lambda{DF,TTF}.java``, computed in FLOAT like the
+      reference): df: (df+1)/(N+1);  ttf: (ttf+1)/(N+1)
+    - normalizations: same h1/h2/h3/z/none set as DFRSimilarity (c=1
+      default).
 
-    Increasing in freq, non-increasing in dl — pruning-safe."""
+    Increasing in freq, non-increasing in dl — pruning-safe.  The default
+    LL/DF/H2 combination keeps the original ``log1p`` closed form
+    bit-for-bit (ln(1 + tfn/λ) == -ln(λ/(tfn+λ)) analytically)."""
+
+    def __init__(
+        self,
+        distribution: str = "ll",
+        lambda_: str = "df",
+        normalization: str = "h2",
+        c: float = 1.0,
+        mu: float = 800.0,
+        z: float = 0.30,
+    ):
+        if distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown distribution: {distribution}")
+        if lambda_ not in ("df", "ttf"):
+            raise ValueError(f"unknown lambda: {lambda_}")
+        if normalization not in ("h1", "h2", "h3", "z", "none"):
+            raise ValueError(f"unknown normalization: {normalization}")
+        self.distribution = distribution
+        self.lambda_ = lambda_
+        self.normalization = normalization
+        self.c = float(c)
+        self.mu = float(mu)
+        self.z = float(z)
 
     def scorer(
         self,
@@ -437,17 +547,53 @@ class IBSimilarity:
         *term_stats: TermStatistics,
     ) -> _FreqNormScorer:
         n = collection_stats.doc_count
-        avgdl = collection_stats.sum_total_term_freq / float(n)
-        lam = float(
-            np.sum([(ts.doc_freq + 1.0) / (n + 1.0) for ts in term_stats])
-        )
+        sum_ttf = float(collection_stats.sum_total_term_freq)
+        avgdl = sum_ttf / float(n)
         b = float(boost)
-        table = np.log2(1.0 + avgdl / _quantized_dl())
+        combo = (self.distribution, self.lambda_, self.normalization)
+        if combo == ("ll", "df", "h2") and self.c == 1.0:
+            lam = float(
+                np.sum([(ts.doc_freq + 1.0) / (n + 1.0) for ts in term_stats])
+            )
+            table = np.log2(1.0 + avgdl / _quantized_dl())
 
-        def fn(freqs, tbl):
-            return b * np.log1p(freqs * tbl / lam)
+            def fn(freqs, tbl):
+                return b * np.log1p(freqs * tbl / lam)
 
-        return _FreqNormScorer(fn, table)
+            return _FreqNormScorer(fn, table)
+
+        dfr_norm = DFRSimilarity(
+            normalization=self.normalization, c=self.c, mu=self.mu, z=self.z
+        )
+        terms = [(float(ts.doc_freq), float(ts.total_term_freq)) for ts in term_stats]
+        dist = self.distribution
+
+        def fn(freqs, dl):
+            total = np.zeros_like(np.asarray(freqs, np.float64) * dl)
+            for df, ttf in terms:
+                tfn = dfr_norm._tfn(
+                    np.asarray(freqs, np.float64), dl, ttf, avgdl, sum_ttf
+                )
+                if self.lambda_ == "df":
+                    lam = np.float32((df + 1.0) / (n + 1.0))
+                else:
+                    lam = np.float32((ttf + 1.0) / (n + 1.0))
+                lam = float(lam)
+                if lam == 1.0:
+                    lam = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+                if dist == "ll":
+                    s = -np.log(lam / (tfn + lam))
+                else:  # spl
+                    q = 1.0 - 1.0 / (tfn + 1.0)
+                    q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+                    pow_ = np.power(lam, q)
+                    bump = np.nextafter(lam, 1.0 if lam < 1 else 0.0)
+                    pow_ = np.where(pow_ == lam, bump, pow_)
+                    s = -np.log((pow_ - lam) / (1.0 - lam))
+                total = total + s
+            return b * total
+
+        return _FreqNormScorer(fn, _quantized_dl())
 
 
 class AxiomaticF2EXP:

@@ -5,7 +5,19 @@ streams), delete_by_query before the merge (exercises live-docs carry +
 expunge renumbering in the sectioned streaming merge), then CheckIndex and
 warm p50 over term/boolean/PHRASE queries.  Prints one JSON line.
 
-Usage: python tools/stress_build.py [n_docs] [num_cpus]
+Round-5 shape (VERDICT r4 #3): ``--remote`` routes the whole run — build,
+deletes, merge, CheckIndex, queries — through the fsspec store seam
+(``file://`` root, the same byte-store protocol as ``s3://``), proving
+the 10x-scale design through the remote Directory instead of local
+paths.
+
+Usage: python tools/stress_build.py [n_docs] [num_cpus] [--remote]
+           [--docs-per-segment=N]
+
+``--docs-per-segment`` (default 1024, the bench shape) should grow with
+the corpus: segment count drives per-searcher open-file/mmap counts and
+per-segment scheduling overhead, so a 10x corpus wants ~10x segment size
+(the same block-size-scales-with-data rule the 100-TB design follows).
 """
 
 from __future__ import annotations
@@ -21,8 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    remote = "--remote" in sys.argv[1:]
+    dps = 1024
+    for a in sys.argv[1:]:
+        if a.startswith("--docs-per-segment="):
+            dps = int(a.split("=", 1)[1])
+    n_docs = int(args[0]) if len(args) > 0 else 600_000
+    num_cpus = int(args[1]) if len(args) > 1 else 32
 
     import ray
 
@@ -42,12 +60,13 @@ def main() -> None:
     gen_sec = round(time.time() - t0, 1)
 
     bench._warm_cluster(num_cpus)
-    idx = f"/tmp/stress-{uuid.uuid4().hex[:8]}"
+    local_dir = f"/tmp/stress-{uuid.uuid4().hex[:8]}"
+    idx = f"file://{local_dir}" if remote else local_dir
     t0 = time.time()
     man = build_index(
         corpus,
         idx,
-        docs_per_segment=1024,
+        docs_per_segment=dps,
         write_doc_tables=False,
         resume=False,
         index_options="positions",
@@ -103,10 +122,12 @@ def main() -> None:
                 "check_ok": rep["ok"],
                 "p50_ms": round(lat[len(lat) // 2], 2),
                 "num_cpus": num_cpus,
+                "store": "remote(file://)" if remote else "local",
+                "docs_per_segment": dps,
             }
         )
     )
-    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(local_dir, ignore_errors=True)
     ray.shutdown()
 
 
