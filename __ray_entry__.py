@@ -2804,6 +2804,9 @@ def _term_stats_family(sf_dir: str):
     p = ft.icu_term_stats(sf_dir).to_pandas()
     p.insert(0, "analyzer", "icu_folding")
     parts.append(p)
+    p = ft.zh_term_stats(sf_dir).to_pandas()
+    p.insert(0, "analyzer", "zh")
+    parts.append(p)
     return pd.concat(parts, ignore_index=True)
 
 
@@ -3688,6 +3691,16 @@ SELECT gti.term, count(*)::BIGINT AS doc_freq,
        sum(gti.tf)::BIGINT AS total_term_freq
 FROM docsicu JOIN gti ON docsicu.t = gti.t GROUP BY gti.term
 ) it
+UNION ALL
+-- Chinese lattice segmentation (smartcn-style): same VALUES-mapped
+-- pinned-golden pattern (ft.ZH_GOLDENS / tests/test_chinese.py)
+SELECT 'zh', zt.* FROM (
+WITH gtz(t, term, tf) AS (VALUES {ft.zh_goldens_sql_values()}),
+docszh AS (SELECT doc_id, doc_id % 10 AS t FROM documents)
+SELECT gtz.term, count(*)::BIGINT AS doc_freq,
+       sum(gtz.tf)::BIGINT AS total_term_freq
+FROM docszh JOIN gtz ON docszh.t = gtz.t GROUP BY gtz.term
+) zt
 """,
         "ft_term_postings": f"""
 WITH {_TOKS}

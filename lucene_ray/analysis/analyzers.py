@@ -2691,4 +2691,8 @@ def make_analyzer(name: str | dict = "standard", **kw):
         from . import icufold  # lazy: ICUFoldingFilter-equivalent chain
 
         ANALYZERS["icu_folding"] = icufold.ICUFoldingAnalyzer
+    if name not in ANALYZERS and name == "chinese":
+        from . import chinese  # lazy: smartcn-style lattice segmenter
+
+        ANALYZERS["chinese"] = chinese.SmartChineseAnalyzer
     return ANALYZERS[name](**kw)

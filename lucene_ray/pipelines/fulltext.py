@@ -468,6 +468,49 @@ def icu_goldens_sql_values() -> str:
     return _goldens_sql_values(ICU_GOLDENS)
 
 
+# Chinese (smartcn-style) fixture: same VALUES-mapped-golden pattern.
+ZH_TEMPLATES = [
+    "我是中国人。",
+    "他喜欢学习中文。",
+    "北京大学的学生很多。",
+    "今天天气很好。",
+    "我们在图书馆看书。",
+    "人工智能改变世界。",
+    "明天我去上海。",
+    "这是一本好书。",
+    "计算机科学很有趣。",
+    "朋友们一起吃饭。",
+]
+ZH_GOLDENS = [
+    ["我", "是", "中国", "人"],
+    ["他", "喜欢", "学习", "中文"],
+    ["北京", "大学", "的", "学生", "很", "多"],
+    ["今天", "天气", "很", "好"],
+    ["我们", "在", "图书馆", "看", "书"],
+    ["人工", "智能", "改变", "世界"],
+    ["明天", "我", "去", "上海"],
+    ["这", "是", "一", "本", "好", "书"],
+    ["计算机", "科学", "很", "有趣"],
+    ["朋友", "们", "一起", "吃饭"],
+]
+
+
+def _zh_values(ids, sources, langs):
+    return [ZH_TEMPLATES[iv % len(ZH_TEMPLATES)] for iv in ids]
+
+
+def zh_term_stats(sf_dir: str):
+    """(term, doc_freq, total_term_freq) of the smartcn-style Chinese
+    analyzer (lattice word segmentation, analysis/chinese.py) over the
+    ten-sentence derived corpus."""
+    src = _ensure_derived_corpus(sf_dir, "zh", "zh", _zh_values)
+    return _derived_term_stats(sf_dir, src, "zh", "chinese", "zh")
+
+
+def zh_goldens_sql_values() -> str:
+    return _goldens_sql_values(ZH_GOLDENS)
+
+
 def path_term_stats(sf_dir: str, reverse: bool = False):
     """(term, doc_freq, total_term_freq) of the PathHierarchy index over
     the derived path corpus — the forward arm gives path-prefix facet
