@@ -3211,6 +3211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 # LatLonPoint.newBoxQuery over GeoEncodingUtils-encoded
                 # lat/lon (incl. the dateline-crossing split)
                 ("geo_box", ft.geo_box_counts(sf)),
+                # spatial3d Geo3D shapes: unit-sphere circle/polygon/path
+                # membership, tree-pruned + exact-verified
+                ("geo3d", ft.geo3d_counts(sf)),
                 # DoublePoint/FloatPoint ranges via the sortable-bits
                 # encodings (NumericUtils), cross-checked in-engine
                 ("double_range", ft.double_range_counts(sf)),
@@ -4851,6 +4854,8 @@ UNION ALL
 SELECT 'point_in_set', p.* FROM ({_point_in_set_sql()}) p
 UNION ALL
 SELECT 'geo_box', g.* FROM ({_geo_box_sql()}) g
+UNION ALL
+SELECT 'geo3d', g3.* FROM ({ft.geo3d_sql()}) g3
 UNION ALL
 SELECT 'double_range', dr.* FROM ({_double_range_sql()}) dr
 UNION ALL

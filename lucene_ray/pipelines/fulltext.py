@@ -4878,6 +4878,133 @@ def geo_encode_bounds(box) -> tuple[int, int, int, int, bool]:
     )
 
 
+# --- Geo3D (spatial3d): unit-sphere shapes over the SAME lat/lon points,
+# pruned by the 2-dim geo tree with conservative outward bounds, exact
+# spherical membership on the candidates (index/geo3d.py) -------------------
+
+
+def _geo3d_shapes():
+    from ..index.geo3d import Geo3DCircle, Geo3DConvexPolygon, Geo3DPath
+
+    # anchored ON the doc-id coordinate curve (lat = .37·id - 90, lon =
+    # .53·id - 180 mod wraps) so every shape is non-vacuous at driver sf
+    return [
+        Geo3DCircle(20.0, 30.0, 0.5),
+        Geo3DCircle(-45.0, -120.0, 0.9),
+        Geo3DConvexPolygon([(-25.0, -85.0), (-5.0, -80.0), (-15.0, -58.0)]),
+        Geo3DConvexPolygon(
+            [(48.0, 15.0), (48.0, 48.0), (68.0, 48.0), (68.0, 15.0)]
+        ),
+        Geo3DPath([(-71.5, -153.5), (-44.49, -114.81), (-16.0, -74.0)], 0.2),
+        Geo3DCircle(-89.0, 0.0, 0.4),  # pole-containing cap
+    ]
+
+
+def geo3d_counts(sf_dir: str) -> pa.Table:
+    """(qid, cnt) for Geo3D shapes (GeoStandardCircle / GeoConvexPolygon /
+    GeoStandardPath membership, spatial3d/geom) over the derived lat/lon
+    points: per segment, the 2-dim geo tree prunes with the shape's
+    conservative lat/lon bounds (floor/ceil OUTWARD — superset), then the
+    exact unit-sphere test runs on candidates only."""
+    import math as _math
+
+    import ray.data as rd
+
+    from ..index.geo3d import latlon_to_xyz
+    from ..index.points import PointTree, build_point_index_fn, point_file
+    from ..index.segment import SegmentReader
+
+    idx = ensure_index(sf_dir)
+    build_point_index_fn(idx, "geo", _geo_values)
+    shapes = _geo3d_shapes()
+    enc_180, enc_m180 = 2147483648, -2147483648
+
+    def _enc_out(lat0, lat1, lon0, lon1):
+        return (
+            _math.floor(lat0 / 90.0 * 2147483648.0),
+            _math.ceil(lat1 / 90.0 * 2147483648.0),
+            _math.floor(lon0 / 180.0 * 2147483648.0),
+            _math.ceil(lon1 / 180.0 * 2147483648.0),
+        )
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        qs, cs = [], []
+        for row in batch.to_pylist():
+            tree = PointTree.load(point_file(row["dir"], "geo"))
+            reader = SegmentReader(row["dir"])
+            ids = (
+                reader.stored_column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lat = ((ids * 37) % 18000) / 100.0 - 90.0
+            lon = ((ids * 53) % 36000) / 100.0 - 180.0
+            for qid, shape in enumerate(shapes):
+                b0, b1, l0, l1, wrap = shape.latlon_bounds()
+                e0, e1, f0, f1 = _enc_out(b0, b1, max(l0, -180.0), min(l1, 180.0))
+                if wrap:
+                    west, _ = tree.intersect((e0, f0), (e1 + 1, enc_180 + 1))
+                    east, _ = tree.intersect((e0, enc_m180), (e1 + 1, f1 + 1))
+                    cand = np.concatenate([np.asarray(west), np.asarray(east)])
+                else:
+                    hits, _ = tree.intersect((e0, f0), (e1 + 1, f1 + 1))
+                    cand = np.asarray(hits)
+                if len(cand):
+                    cand = cand.astype(np.int64)
+                    x, y, z = latlon_to_xyz(lat[cand], lon[cand])
+                    n = int(np.count_nonzero(shape.is_within(x, y, z)))
+                else:
+                    n = 0
+                qs.append(qid)
+                cs.append(n)
+        return pa.table(
+            {"qid": pa.array(qs, pa.int64()), "cnt": pa.array(cs, pa.int64())}
+        )
+
+    part = (
+        rd.from_items(_segment_dirs(idx))
+        .map_batches(_seg, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = part.groupby("qid", sort=True)["cnt"].sum().reset_index()
+    return pa.table(
+        {
+            "qid": pa.array(agg["qid"].to_numpy(), pa.int64()),
+            "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def geo3d_sql() -> str:
+    """The oracle body: same doc-id lat/lon derivation, same xyz
+    expressions, the shapes' own sql_expr() — engine/SQL share every
+    double constant via repr."""
+    from ..index.geo3d import TO_RAD
+
+    shapes = _geo3d_shapes()
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {qid}::BIGINT AS qid, count(*)::BIGINT AS cnt "
+        f"FROM g3xyz WHERE {s.sql_expr()}"
+        for qid, s in enumerate(shapes)
+    )
+    return f"""
+WITH g3pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 18000) / 100.0 - 90.0 AS plat,
+         ((doc_id * 53) % 36000) / 100.0 - 180.0 AS plon
+  FROM documents
+),
+g3xyz AS (
+  SELECT doc_id,
+         cos(plat * {TO_RAD!r}) * cos(plon * {TO_RAD!r}) AS x,
+         cos(plat * {TO_RAD!r}) * sin(plon * {TO_RAD!r}) AS y,
+         sin(plat * {TO_RAD!r}) AS z
+  FROM g3pts
+)
+{arms}
+"""
+
+
 def geo_box_counts(sf_dir: str) -> pa.Table:
     """(qid, cnt) for LatLonPoint.newBoxQuery over the per-segment geo
     point tree; a dateline-crossing box splits into the western + eastern
