@@ -5825,6 +5825,83 @@ ranked AS (
 SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
 ) r
 UNION ALL
+-- DFI chi-squared + saturated measures (IndependenceChiSquared/Saturated.java)
+SELECT 'dfi_chisq', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT coalesce(sum(dl), 0)::BIGINT AS sum_ttf FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+ttfq AS (SELECT qid, term, sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         CASE WHEN p.tf > e.exp
+              THEN log2((p.tf - e.exp) * (p.tf - e.exp) / e.exp + 1)
+              ELSE 0.0 END AS score
+  FROM posting p
+  JOIN ttfq t ON t.qid = p.qid AND t.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN LATERAL (SELECT (t.ttf + 1.0) * greatest(d.ql, 1) / (s.sum_ttf + 1.0) AS exp) e
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+SELECT 'dfi_sat', r.* FROM (
+WITH {_TOKS}, {_LT},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+dlq AS (
+  SELECT d.doc_id, (SELECT max(L) FROM lt WHERE lt.L <= d.dl)::BIGINT AS ql FROM dl d
+),
+stats AS (
+  SELECT coalesce(sum(dl), 0)::BIGINT AS sum_ttf FROM dl
+),
+posting AS (
+  SELECT q.qid, tf.doc_id, tf.tf, q.term FROM q JOIN tf ON tf.tok = q.term
+),
+ttfq AS (SELECT qid, term, sum(tf)::BIGINT AS ttf FROM posting GROUP BY qid, term),
+scored AS (
+  SELECT p.qid, p.doc_id,
+         CASE WHEN p.tf > e.exp
+              THEN log2((p.tf - e.exp) / e.exp + 1)
+              ELSE 0.0 END AS score
+  FROM posting p
+  JOIN ttfq t ON t.qid = p.qid AND t.term = p.term
+  JOIN dlq d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  CROSS JOIN LATERAL (SELECT (t.ttf + 1.0) * greatest(d.ql, 1) / (s.sum_ttf + 1.0) AS exp) e
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score::FLOAT DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
+-- RawTFSimilarity: score = freq
+SELECT 'raw_tf', r.* FROM (
+WITH {_TOKS},
+q(qid, term) AS (VALUES {_QTERMS_VALUES}),
+ranked AS (
+  SELECT q.qid, tf.doc_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY (tf.tf * 1.0)::FLOAT DESC, tf.doc_id) AS rnk
+  FROM q JOIN tf ON tf.tok = q.term
+)
+SELECT qid::BIGINT AS qid, rnk::BIGINT AS rnk, doc_id FROM ranked WHERE rnk <= 10
+) r
+UNION ALL
 -- IndriDirichletSimilarity (mu=2000, IndriCollectionModel p = ttf/sumTtf):
 -- score = ln((tf + mu*p) / (dl + mu)) — negative log-probability, NO clamp
 SELECT 'indri', r.* FROM (

@@ -3440,6 +3440,7 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         LegacyBM25Similarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
+        RawTFSimilarity,
         SweetSpotSimilarity,
     )
 
@@ -3469,6 +3470,10 @@ def similarity_topk(sf_dir: str, k: int = 10) -> pa.Table:
         ("ax_f3exp", AxiomaticF3EXP()),
         ("ax_f3log", AxiomaticF3LOG()),
         ("dfi_std", DFISimilarity("standardized")),
+        # the other two Independence measures + the raw-tf building block
+        ("dfi_chisq", DFISimilarity("chisquared")),
+        ("dfi_sat", DFISimilarity("saturated")),
+        ("raw_tf", RawTFSimilarity()),
         ("legacy_bm25", LegacyBM25Similarity()),
         # plateau norm is non-monotone in length -> impact pruning invalid,
         # COMPLETE mode only (see SweetSpotSimilarity docstring)

@@ -900,3 +900,27 @@ class LMJelinekMercerSimilarity:
         ttf = sum(ts.total_term_freq for ts in term_stats)
         p = (ttf + 1.0) / (collection_stats.sum_total_term_freq + 1.0)
         return _LMJelinekMercerScorer(boost, self.lam, p)
+
+
+class RawTFSimilarity:
+    """Raw term frequency as the score (reference similarities/
+    RawTFSimilarity.java: score = boost * freq — no length normalization,
+    no idf; useful as a building block under FunctionScore/expressions).
+    Trivially increasing in freq and norm-independent, so impact pruning
+    holds."""
+
+    def __init__(self):
+        pass
+
+    def scorer(
+        self,
+        boost: float,
+        collection_stats: CollectionStatistics,
+        *term_stats: TermStatistics,
+    ) -> _FreqNormScorer:
+        b = float(boost)
+
+        def fn(freqs, tbl):
+            return b * np.asarray(freqs, np.float64) + 0.0 * tbl
+
+        return _FreqNormScorer(fn, np.zeros(256))
