@@ -1697,6 +1697,7 @@ def make_term_filter(name: str, **kw):
         "bengali_normalization",
         "hindi",
         "czech",
+        "polish",
         "bulgarian",
         "arabic_normalization",
         "sorani_normalization",
@@ -1705,6 +1706,7 @@ def make_term_filter(name: str, **kw):
 
         fn = {
             "czech": "czech_stem",
+            "polish": "polish_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",

@@ -928,3 +928,32 @@ def hindi_stem(t: str) -> str:
         if n > gate and t.endswith(sufs):
             return t[: n - strip]
     return t
+
+
+_PL_SUFFIXES = [
+    # nominal case/number endings (longest first), then adjectival sets
+    "owie", "iego", "iemu", "ego", "emu", "ach", "ami", "ymi", "imi",
+    "ych", "ich", "iej", "ej", "om", "ów", "em", "ie", "ym", "im",
+    "ą", "ę", "y", "i", "e", "a", "u", "o",
+]
+
+
+def polish_stem(t: str) -> str:
+    """Polish LIGHT stemmer — an original rule set standing in for the
+    reference's stempel module (analysis/stempel StempelStemmer.java uses
+    a TRAINED patricia-trie table, stemmer_2000.tbl, which is data we do
+    not ship; this is a longest-suffix case/number/adjective strip in the
+    style of the other light stemmers in this file).  One pass over the
+    nominal/adjectival ending ladder with a 3-char stem floor, then a
+    final adjectival -i/-y trim on long stems so polskiego/polskim/
+    polskiej conflate to polsk."""
+    n = len(t)
+    if n < 4:
+        return t
+    for suf in _PL_SUFFIXES:
+        if t.endswith(suf) and n - len(suf) >= 3:
+            t = t[: n - len(suf)]
+            break
+    if len(t) > 4 and t[-1] in "iy":
+        t = t[:-1]
+    return t

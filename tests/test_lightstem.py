@@ -240,3 +240,25 @@ def test_hindi_stemmer():
     assert hs("किताबें") == "किताब"            # plural -ें
     assert hs("लड़कियों") == "लड़क"            # -ियों
     assert hs("घर") == "घर"                   # short: untouched
+
+
+def test_polish():
+    # original light stemmer standing in for the trained stempel table
+    # (see polish_stem docstring); conflation goldens
+    from lucene_ray.analysis.lightstem import polish_stem as p
+
+    for w in ("kot", "kota", "kotem", "koty", "kotach"):
+        assert p(w) == "kot", w
+    for w in ("domach", "domami", "domu", "domów"):
+        assert p(w) == "dom", w
+    for w in ("polskiego", "polskim", "polskiej", "polskich"):
+        assert p(w) == "polsk", w
+    for w in ("książka", "książki", "książkę", "książkami"):
+        assert p(w) == "książk", w
+    assert p(dict(w="studentowie")["w"]) == "student"
+    assert p("okno") == "okn"
+    assert p("to") == "to"  # short words untouched
+
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    assert make_term_filter("polish")("kotem") == "kot"
