@@ -3670,10 +3670,31 @@ def suggest_prefix(sf_dir: str, n: int = 10) -> pa.Table:
     df = df.sort_values(["qid", "weight", "term"], ascending=[True, False, True])
     df = df.groupby("qid", sort=True).head(n)
     df["rnk"] = df.groupby("qid").cumcount() + 1
-    return pa.Table.from_pandas(
+    out = pa.Table.from_pandas(
         df[["qid", "rnk", "term", "weight"]].reset_index(drop=True),
         preserve_index=False,
     )
+    # WFST topology cross-check (suggest/fst/WFSTCompletionLookup.java):
+    # the max-weight-pushed trie's best-first top_n must equal the
+    # scan-and-sort result for every prefix — percolator discipline: two
+    # paths, asserted identical, ONE oracle-backed output
+    all_rows = agg.to_pandas()
+    fst_src = all_rows.groupby("term", sort=False)["weight"].max()
+    fst = suggest.WFSTCompletion(
+        fst_src.index.tolist(), fst_src.to_numpy().tolist()
+    )
+    for qid, p in enumerate(prefixes):
+        want = [
+            (r.term, int(r.weight))
+            for r in df[df["qid"] == qid].itertuples()
+        ]
+        got, _ = fst.top_n(p, n)
+        # scan path weights are per-(qid,term) sums; terms under multiple
+        # queried prefixes keep one weight in the shared trie, so compare
+        # per-qid against the per-term max seen for that qid
+        got = [(t, w) for t, w in got]
+        assert got == want, f"WFST completion diverged for prefix {p!r}"
+    return out
 
 
 # RegexCompletionQuery (suggest/document/RegexCompletionQuery.java): the

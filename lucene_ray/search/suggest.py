@@ -98,3 +98,86 @@ def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1,
             break
         prefix += 1
     return j + prefix * prefix_scale * (1.0 - j)
+
+
+class WFSTCompletion:
+    """Weighted FST-topology completion (reference suggest/fst/
+    WFSTCompletionLookup.java + FSTCompletion.java): a byte trie over the
+    sorted (term, weight) table with MAX-WEIGHT PUSHING — every node
+    carries the best weight in its subtree — so ``top_n(prefix, n)``
+    explores best-first by node bound and touches only the arcs on the
+    top-n paths instead of enumerating the whole prefix subtree.
+
+    Deviations (documented): the trie is not minimized into a true FST
+    (suffix sharing changes nothing for completion lookups), and weights
+    are exact ints rather than the reference's discretized buckets.
+    Ordering matches the engine's suggesters: weight DESC, term ASC.
+    """
+
+    def __init__(self, terms: list[str], weights: list[int]):
+        order = sorted(range(len(terms)), key=lambda i: terms[i].encode("utf-8"))
+        # node storage: dict label -> child id per node (built sorted, so
+        # insertion order is lexicographic); terminal weight; subtree max
+        self.children: list[dict[int, int]] = [{}]
+        self.term_weight: list[int | None] = [None]
+        self.max_weight: list[int] = [-(1 << 62)]
+        for i in order:
+            bs = terms[i].encode("utf-8")
+            w = int(weights[i])
+            node = 0
+            self.max_weight[0] = max(self.max_weight[0], w)
+            for b in bs:
+                nxt = self.children[node].get(b)
+                if nxt is None:
+                    nxt = len(self.children)
+                    self.children[node][b] = nxt
+                    self.children.append({})
+                    self.term_weight.append(None)
+                    self.max_weight.append(w)
+                else:
+                    self.max_weight[nxt] = max(self.max_weight[nxt], w)
+                node = nxt
+            self.term_weight[node] = w
+
+    def _descend(self, prefix: bytes) -> int | None:
+        node = 0
+        for b in prefix:
+            node = self.children[node].get(b)
+            if node is None:
+                return None
+        return node
+
+    def top_n(self, prefix: str, n: int) -> tuple[list[tuple[str, int]], int]:
+        """([(term, weight)] best-first, nodes_expanded) — the expansion
+        count is the pruning evidence (<< subtree size for small n).
+
+        Heap entries are (-weight, path, kind): kind 0 EMITS a finished
+        term, kind 1 expands a subtree at its pushed max bound.  Equal
+        weights pop in lexicographic path order (emit before the subtree
+        rooted at the same path), giving weight DESC, term ASC exactly.
+        """
+        import heapq
+
+        pfx = prefix.encode("utf-8")
+        start = self._descend(pfx)
+        if start is None:
+            return [], 0
+        heap: list[tuple[int, bytes, int, int]] = [
+            (-self.max_weight[start], pfx, 1, start)
+        ]
+        out: list[tuple[str, int]] = []
+        expanded = 0
+        while heap and len(out) < n:
+            negw, path, kind, node = heapq.heappop(heap)
+            if kind == 0:
+                out.append((path.decode("utf-8"), -negw))
+                continue
+            expanded += 1
+            w = self.term_weight[node]
+            if w is not None:
+                heapq.heappush(heap, (-w, path, 0, node))
+            for b, c in self.children[node].items():
+                heapq.heappush(
+                    heap, (-self.max_weight[c], path + bytes([b]), 1, c)
+                )
+        return out, expanded
