@@ -132,11 +132,12 @@ def _seg_term_stats(batch: pa.Table) -> pa.Table:
     tables = []
     for row in batch.to_pylist():
         r = SegmentReader(row["dir"])
-        terms = [r.term_string(i) for i in range(r.n_terms)]
+        # zero-copy Arrow view over the term offsets/bytes arrays — no
+        # per-term Python objects in the vocab dump
         tables.append(
             pa.table(
                 {
-                    "term": pa.array(terms, pa.string()),
+                    "term": r.terms_array().cast(pa.string()),
                     "df": pa.array(np.asarray(r.enc.doc_freq, dtype=np.int64)),
                     "ttf": pa.array(np.asarray(r.enc.total_term_freq, dtype=np.int64)),
                 }
@@ -3707,28 +3708,39 @@ REGEX_SUGGEST_QUERIES = ["sp[aeiou]r", "c[ou]+", "ba(se|nk)", "w.n"]
 
 def regex_suggest(sf_dir: str, n: int = 10) -> pa.Table:
     """(qid, rnk, term, weight) — weighted regex-prefix completion: each
-    segment scans its dictionary once against the compiled patterns
-    (RegexpQuery's documented full-scan expansion path), weights (doc
-    freq) sum across segments, block-local partial top-n bounds the
-    merge."""
+    pattern's DFA literal common prefix (search/regexp.py — any accepted
+    string, hence any matched term, starts with it) bounds a sorted-
+    dictionary range per segment; only that slice is re.match-scanned.
+    Weights (doc freq) sum across segments, block-local partial top-n
+    bounds the merge."""
     import re as _re
 
     import ray.data as rd
 
     from ..search import suggest
+    from ..search.regexp import UnsupportedRegexp, _prefix_upper, compile_regexp
 
     idx = ensure_index(sf_dir)
     patterns = REGEX_SUGGEST_QUERIES
 
+    def _pattern_prefix(p: str) -> str:
+        try:
+            return compile_regexp(p).common_prefix()
+        except UnsupportedRegexp:
+            return ""
+
     def _seg(batch: pa.Table) -> pa.Table:
         rxs = [_re.compile(p) for p in patterns]
+        prefixes = [_pattern_prefix(p) for p in patterns]
         qids, terms, ws = [], [], []
         for row in batch.to_pylist():
             r = SegmentReader(row["dir"])
             df = np.asarray(r.enc.doc_freq)
-            for tid in range(r.n_terms):
-                t = r.term_string(tid)
-                for qid, rx in enumerate(rxs):
+            for qid, (rx, pfx) in enumerate(zip(rxs, prefixes)):
+                lo = pfx.encode("utf-8") if pfx else None
+                hi = _prefix_upper(lo) if lo else None
+                for tid in r.term_id_range(lo, hi):
+                    t = r.term_string(tid)
                     if rx.match(t):
                         qids.append(qid)
                         terms.append(t)
