@@ -253,20 +253,26 @@ def _fuzzy_term_ids(
     L = int(lens.max()) if n else 0
     if L == 0:
         return np.nonzero(np.full(n, len(term)) <= max_edits)[0].tolist()
+    q = np.array([ord(c) for c in term], dtype=np.int32)
+    if transpositions:
+        # a term within e edits always satisfies |len - m| <= e: the
+        # length pre-filter bounds BOTH the codepoint-matrix
+        # materialization and the O(m·L) full-history DL matrix to the
+        # candidate slice of the dictionary (never all of V)
+        cand = np.nonzero(np.abs(lens - len(q)) <= max_edits)[0]
+        if len(cand) == 0:
+            return []
+        sub_lens = lens[cand]
+        Lc = int(sub_lens.max())
+        u = np.asarray(terms.take(cand).to_pylist(), dtype=f"U{Lc}")
+        mat = u.view(np.uint32).reshape(len(cand), Lc).astype(np.int32)
+        mat[np.arange(Lc)[None, :] >= sub_lens[:, None]] = -1
+        dist = _damerau_dp(mat, sub_lens, q)
+        return cand[dist <= max_edits].tolist()
     # padded (n, L) codepoint matrix: numpy 'U' dtype is fixed-width UTF-32
     u = np.asarray(terms.to_pylist(), dtype=f"U{L}")
     mat = u.view(np.uint32).reshape(n, L).astype(np.int32)
     mat[np.arange(L)[None, :] >= lens[:, None]] = -1
-    q = np.array([ord(c) for c in term], dtype=np.int32)
-    if transpositions:
-        # a term within e edits always satisfies |len - m| <= e: length
-        # pre-filter bounds the O(m·L) full-history DL matrix to the
-        # candidate slice of the dictionary
-        cand = np.nonzero(np.abs(lens - len(q)) <= max_edits)[0]
-        if len(cand) == 0:
-            return []
-        dist = _damerau_dp(mat[cand], lens[cand], q)
-        return cand[dist <= max_edits].tolist()
     return _fuzzy_plain(mat, lens, q, n, L, max_edits)
 
 
