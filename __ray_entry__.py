@@ -2269,6 +2269,36 @@ def _augmented_embs(sf_dir: str):
     return _embs(sf_dir).map_batches(_plant, batch_format="pyarrow")
 
 
+def _tx_doc_stats(sf_dir: str):
+    """doc_profile + the NB quality-voting columns; the float NB log-odds
+    labeling must agree with the integer voting labels on >= 70% of
+    decided docs CORPUS-WIDE (measured 0.70-0.77 across driver sf — the
+    doc_id-derived seed classes are deliberately weak signal, so the
+    floor is 0.6: it still catches gross regressions like a flipped
+    comparison, which lands near 0.3), then the float column is dropped
+    so the checked output stays integer-exact."""
+    import numpy as np
+
+    from lucene_ray.ops import text
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    df = text.doc_profile(
+        _docs(sf_dir, ("doc_id", "text", "lang")),
+        bench_grams=text.benchmark_grams(path),
+        dsir=text.dsir_scores(path),
+        nb=text.nb_votes(path),
+    ).to_pandas()
+    votes = df["nb_label"].to_numpy()
+    flo = np.sign(df["nb_logodds"].to_numpy()).astype(np.int64)
+    decided = (votes != 0) & (flo != 0)
+    if int(decided.sum()):
+        agree = float((votes[decided] == flo[decided]).mean())
+        assert agree >= 0.6, (
+            f"NB voting/log-odds label agreement regressed: {agree:.3f}"
+        )
+    return df.drop(columns=["nb_logodds"])
+
+
 def _near_dup(sf_dir: str):
     from lucene_ray.ops import ann
 
@@ -3281,13 +3311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n-gram overlap vs a leaked eval set; small side broadcast)
         # + DSIR importance weights (Xie et al. 2023) vs the same target
         # docs — integer dot products against a broadcast score table
-        "tx_doc_stats": lambda sf: text.doc_profile(
-            _docs(sf, ("doc_id", "text", "lang")),
-            bench_grams=text.benchmark_grams(
-                os.path.join(sf, "documents.parquet")
-            ),
-            dsir=text.dsir_scores(os.path.join(sf, "documents.parquet")),
-        ),
+        # + NB quality-voting classifier columns (fastText-filter stand-in;
+        # integer voting checked, float log-odds agreement-gated in-engine)
+        "tx_doc_stats": _tx_doc_stats,
         "tx_scrub_pii": lambda sf: text.scrub_pii(_docs(sf)),
         # sampling family: hash-gated per-stratum pct arm + token-budget
         # domain-mixture arm (greedy fill in deterministic hash order —
@@ -6876,7 +6902,11 @@ SELECT s.*, l.* EXCLUDE (doc_id), f.fp, f.roll_fp,
        COALESCE(c.contam_hits, 0)::BIGINT AS contam_hits,
        (CASE WHEN COALESCE(c.contam_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
          AS contam_flag,
-       COALESCE(w.dsir_weight, 0)::BIGINT AS dsir_weight
+       COALESCE(w.dsir_weight, 0)::BIGINT AS dsir_weight,
+       COALESCE(nb.s, 0)::BIGINT AS nb_votes,
+       (CASE WHEN COALESCE(nb.s, 0) > 0 THEN 1
+             WHEN COALESCE(nb.s, 0) < 0 THEN -1 ELSE 0 END)::BIGINT
+         AS nb_label
 FROM ({_doc_stats_sql()}) s
 JOIN ({_lang_sql()}) l USING (doc_id)
 JOIN (SELECT a.doc_id, a.fp, b.roll_fp
@@ -6927,6 +6957,34 @@ LEFT JOIN (
   SELECT cnts.doc_id, sum(cnts.c * sc.s)::BIGINT AS dsir_weight
   FROM cnts JOIN sc USING (b) GROUP BY cnts.doc_id
 ) w USING (doc_id)
+LEFT JOIN (
+  -- NB quality voting classifier (ops/text.nb_votes): seed classes
+  -- doc_id%7==0 (pos) / ==3 (neg); token vote = sign of the exact
+  -- integer comparison (c_pos+1)(N_neg+V) vs (c_neg+1)(N_pos+V);
+  -- doc score = order-free integer sum over token occurrences
+  WITH seedtoks AS (
+    SELECT doc_id, tok FROM (WITH {_TOKS} SELECT doc_id, tok FROM tok)
+    WHERE doc_id % 7 IN ({text.NB_POS_MOD}, {text.NB_NEG_MOD})
+  ),
+  seed AS (
+    SELECT tok,
+           count(*) FILTER (WHERE doc_id % 7 = {text.NB_POS_MOD})::BIGINT AS cp,
+           count(*) FILTER (WHERE doc_id % 7 = {text.NB_NEG_MOD})::BIGINT AS cn
+    FROM seedtoks GROUP BY tok
+  ),
+  nstats AS (SELECT sum(cp)::BIGINT AS np, sum(cn)::BIGINT AS nn,
+                    count(*)::BIGINT AS v FROM seed),
+  vote AS (
+    SELECT tok, CASE WHEN (cp + 1) * (nn + v) > (cn + 1) * (np + v) THEN 1
+                     WHEN (cp + 1) * (nn + v) < (cn + 1) * (np + v) THEN -1
+                     ELSE 0 END AS vt
+    FROM seed, nstats
+  )
+  SELECT t.doc_id, sum(COALESCE(vote.vt, 0))::BIGINT AS s
+  FROM (WITH {_TOKS} SELECT doc_id, tok FROM tok) t
+  LEFT JOIN vote USING (tok)
+  GROUP BY t.doc_id
+) nb USING (doc_id)
 """,
         "dd_signatures": f"""
 SELECT 'exact' AS method, min(doc_id)::BIGINT AS doc_id, 0::BIGINT AS i,

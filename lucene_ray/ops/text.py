@@ -319,12 +319,18 @@ def fingerprints_combined(ds):
     return _map(ds, _both)
 
 
-def doc_profile(ds, bench_grams: frozenset | None = None, dsir=None):
+def doc_profile(ds, bench_grams: frozenset | None = None, dsir=None, nb=None):
     """token/quality stats + language-ID + both fingerprints (+ optional
-    benchmark-contamination and DSIR importance-weight columns) as ONE
-    per-doc table in a single read pass (one map_batches stage, no
-    shuffle): the doc_stats columns plus (c_<lang>..., lang_pred, fp,
-    roll_fp[, contam_hits, contam_flag][, dsir_weight])."""
+    benchmark-contamination, DSIR importance-weight and NB quality-vote
+    columns) as ONE per-doc table in a single read pass (one map_batches
+    stage, no shuffle): the doc_stats columns plus (c_<lang>...,
+    lang_pred, fp, roll_fp[, contam_hits, contam_flag][, dsir_weight]
+    [, nb_votes, nb_label]).
+
+    When ``nb`` (a votes table from nb_votes) is given, the float NB
+    log-odds rides along as an ``nb_logodds`` column for the CALLER's
+    corpus-level agreement gate (per-batch agreement is too noisy to
+    gate on; see __ray_entry__'s tx_doc_stats wrapper)."""
 
     def _all(batch: pa.Table) -> pa.Table:
         stats = doc_stats_batch(batch).sort_by("doc_id")
@@ -336,6 +342,8 @@ def doc_profile(ds, bench_grams: frozenset | None = None, dsir=None):
             extras.append(contamination_batch(batch, bench_grams).sort_by("doc_id"))
         if dsir is not None:
             extras.append(dsir_weight_batch(batch, dsir).sort_by("doc_id"))
+        if nb is not None:
+            extras.append(nb_quality_batch(batch, nb).sort_by("doc_id"))
         out = stats
         for extra in extras:
             for name in extra.column_names:
@@ -479,6 +487,106 @@ def dsir_scores(
     pt = (t + 1.0) / (t.sum() + dim)
     pr = (r + 1.0) / (r.sum() + dim)
     return np.floor(k_quant * np.log(pt / pr) + 0.5).astype(np.int64)
+
+
+# --- Naive-Bayes quality classifier ----------------------------------------
+# The fastText/CCNet-style learned quality filter (GPT-3 App. A, LLaMA's
+# wiki-reference classifier) as a deterministic, oracle-checkable stand-in:
+# multinomial NB trained on seed classes derived from SQL-visible state
+# (doc_id % 7 == 0 positive, == 3 negative), with the CHECKED output in
+# integer-exact VOTING form — each token votes sign((c_pos+1)(N_neg+V) -
+# (c_neg+1)(N_pos+V)), a doc's score is the order-free integer sum of its
+# occurrences' votes — so the oracle reproduces it bit-for-bit (float
+# log-likelihood sums are order-sensitive; the true float NB log-odds runs
+# beside it as an in-engine agreement GATE).  The votes table is
+# vocab-bounded and broadcast once (the CCNet-LM discipline).
+
+NB_POS_MOD = 0
+NB_NEG_MOD = 3
+
+
+def nb_votes(path: str) -> dict[str, int]:
+    """token -> vote in {-1, 0, +1} trained on the seed classes; also
+    returns the float log-odds table under key ``None`` mapping to
+    (logodds_dict, prior_logodds) for the in-engine gate."""
+    import math
+
+    from .dedup import _duck
+
+    rows = _duck().execute(
+        f"""
+        with toks as (
+          select doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                 '{TOKEN_PATTERN}')) tok
+          from read_parquet('{path}')
+          where doc_id % 7 in ({NB_POS_MOD}, {NB_NEG_MOD})
+        )
+        select tok,
+               count(*) filter (where doc_id % 7 = {NB_POS_MOD})::bigint cp,
+               count(*) filter (where doc_id % 7 = {NB_NEG_MOD})::bigint cn
+        from toks group by tok
+        """
+    ).fetchall()
+    n_pos = sum(cp for _, cp, _ in rows)
+    n_neg = sum(cn for _, _, cn in rows)
+    v = len(rows)
+    votes: dict = {}
+    lo: dict[str, float] = {}
+    for tok, cp, cn in rows:
+        a = (cp + 1) * (n_neg + v)
+        b = (cn + 1) * (n_pos + v)
+        votes[tok] = 1 if a > b else (-1 if a < b else 0)
+        lo[tok] = math.log((cp + 1.0) / (n_pos + v)) - math.log(
+            (cn + 1.0) / (n_neg + v)
+        )
+    votes[None] = lo
+    return votes
+
+
+def nb_quality_batch(batch: pa.Table, votes: dict) -> pa.Table:
+    """(doc_id, nb_votes, nb_label): integer vote sums + sign labels, and
+    the float NB log-odds computed alongside for the agreement gate
+    (returned as nb_logodds, dropped before the driver table)."""
+    import numpy as np
+
+    from .dedup import _duck
+
+    sub = batch.select(["doc_id", "text"])  # noqa: F841 — duckdb scan
+    tf = (
+        _duck()
+        .execute(
+            f"""
+            with toks as (
+              select doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                     '{TOKEN_PATTERN}')) tok
+              from sub)
+            select doc_id, tok, count(*)::bigint c from toks group by 1, 2
+            """
+        )
+        .arrow()
+    )
+    ids = batch.column("doc_id").to_numpy()
+    pos = {int(d): i for i, d in enumerate(ids)}
+    score = np.zeros(len(ids), np.int64)
+    logodds = np.zeros(len(ids), np.float64)
+    lo = votes[None]
+    for d, tok, c in zip(
+        tf.column("doc_id").to_pylist(),
+        tf.column("tok").to_pylist(),
+        tf.column("c").to_pylist(),
+    ):
+        i = pos[int(d)]
+        score[i] += votes.get(tok, 0) * c
+        logodds[i] += lo.get(tok, 0.0) * c
+    label = np.sign(score).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "nb_votes": pa.array(score, pa.int64()),
+            "nb_label": pa.array(label, pa.int64()),
+            "nb_logodds": pa.array(logodds, pa.float64()),
+        }
+    )
 
 
 def dsir_weight_batch(batch: pa.Table, scores) -> pa.Table:
