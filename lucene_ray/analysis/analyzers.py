@@ -1690,6 +1690,7 @@ def make_term_filter(name: str, **kw):
         "swedish_light",
         "finnish_light",
         "hungarian_light",
+        "portuguese_light",
         "latvian",
         "indonesian",
         "hindi_normalization",

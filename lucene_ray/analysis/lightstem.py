@@ -957,3 +957,75 @@ def polish_stem(t: str) -> str:
     if len(t) > 4 and t[-1] in "iy":
         t = t[:-1]
     return t
+
+
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+
+def portuguese_light_stem(t: str) -> str:
+    """pt/PortugueseLightStemmer.java (Savoy's UniNE light stemmer):
+    removeSuffix (plural/adverb ladder with the l/m restorations and the
+    ões/ães -> ão rewrite), normFeminine (a -> o families, ona -> ão,
+    esa -> ês), final e/a/o strip, accent fold."""
+    s = list(t)
+    n = len(s)
+    if n < 4:
+        return t
+
+    def _ends(k):
+        return "".join(s[:n]).endswith(k)
+
+    # removeSuffix
+    if n > 4 and _ends("es") and s[n - 3] in "rslz":
+        n -= 2
+    elif n > 3 and _ends("ns"):
+        s[n - 2] = "m"
+        n -= 1
+    elif n > 4 and (_ends("eis") or _ends("éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        n -= 1
+    elif n > 4 and _ends("ais"):
+        s[n - 2] = "l"
+        n -= 1
+    elif n > 4 and _ends("óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        n -= 1
+    elif n > 4 and _ends("is"):
+        s[n - 1] = "l"
+    elif n > 3 and (_ends("ões") or _ends("ães")):
+        n -= 1
+        s[n - 2] = "ã"
+        s[n - 1] = "o"
+    elif n > 6 and _ends("mente"):
+        n -= 5
+    elif n > 3 and s[n - 1] == "s":
+        n -= 1
+
+    # normFeminine
+    if n > 3 and s[n - 1] == "a":
+        if n > 7 and (_ends("inha") or _ends("iaca") or _ends("eira")):
+            s[n - 1] = "o"
+        elif n > 6:
+            if (
+                _ends("osa") or _ends("ica") or _ends("ida")
+                or _ends("ada") or _ends("iva") or _ends("ama")
+            ):
+                s[n - 1] = "o"
+            elif _ends("ona"):
+                s[n - 3] = "ã"
+                s[n - 2] = "o"
+                n -= 1
+            elif _ends("ora"):
+                n -= 1
+            elif _ends("esa"):
+                s[n - 3] = "ê"
+                n -= 1
+            elif _ends("na"):
+                s[n - 1] = "o"
+
+    if n > 4 and s[n - 1] in "eao":
+        n -= 1
+
+    return "".join(s[:n]).translate(_PT_FOLD)

@@ -262,3 +262,29 @@ def test_polish():
     from lucene_ray.analysis.analyzers import make_term_filter
 
     assert make_term_filter("polish")("kotem") == "kot"
+
+
+def test_portuguese_light():
+    # every vector from the reference's TestPortugueseLightStemFilter
+    # (testExamples paper sentence + testMoreExamples)
+    from lucene_ray.analysis.lightstem import portuguese_light_stem as p
+
+    vectors = [
+        ("debate", "debat"), ("político", "politic"), ("pelo", "pelo"),
+        ("menos", "meno"), ("público", "public"), ("parece", "parec"),
+        ("modo", "modo"), ("nada", "nada"), ("surpreendente", "surpreendent"),
+        ("restrito", "restrit"), ("temas", "tema"), ("menores", "menor"),
+        ("há", "há"), ("evidentemente", "evident"), ("grandes", "grand"),
+        ("questões", "questa"), ("jogo", "jogo"), ("nas", "nas"),
+        ("eleições", "eleica"), ("aproximam", "aproximam"),
+        ("doutores", "doutor"), ("doutor", "doutor"),
+        ("homens", "homem"), ("homem", "homem"),
+        ("papéis", "papel"), ("papel", "papel"),
+        ("normais", "normal"), ("normal", "normal"),
+        ("lencóis", "lencol"), ("lencol", "lencol"),
+        ("barris", "barril"), ("barril", "barril"),
+        ("botões", "bota"), ("botão", "bota"),
+    ]
+    for w, e in vectors:
+        assert p(w) == e, (w, p(w), e)
+    assert make_term_filter("portuguese_light")("doutores") == "doutor"
