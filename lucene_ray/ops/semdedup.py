@@ -111,8 +111,13 @@ def hashed_tf(ds, dim: int = DIM):
 
 def _edges_int(ids_a, mat_a, ids_b, mat_b) -> tuple[np.ndarray, np.ndarray]:
     """Exact-threshold cosine edges between two int matrices (a rows x b
-    rows), keeping doc_a < doc_b: TAU_DEN·dot² >= TAU_NUM·|a|²·|b|²."""
-    dot = mat_a @ mat_b.T
+    rows), keeping doc_a < doc_b: TAU_DEN·dot² >= TAU_NUM·|a|²·|b|².
+
+    The dot runs in float64 BLAS and is EXACT: every partial sum is an
+    integer <= dim·max_count² (~1e10 worst case on real text) < 2^53, so
+    the cast back to int64 is lossless — ~100x over numpy's non-BLAS
+    int64 matmul.  The threshold comparison itself stays in int64."""
+    dot = (mat_a.astype(np.float64) @ mat_b.astype(np.float64).T).astype(np.int64)
     n2a = (mat_a * mat_a).sum(axis=1)
     n2b = (mat_b * mat_b).sum(axis=1)
     # int64-safe: dot <= dim * max_count^2 (~1e5 on real text), so
@@ -121,6 +126,24 @@ def _edges_int(ids_a, mat_a, ids_b, mat_b) -> tuple[np.ndarray, np.ndarray]:
     ok &= ids_a[:, None] < ids_b[None, :]
     ai, bi = np.nonzero(ok)
     return ids_a[ai], ids_b[bi]
+
+
+def _edges_int_blocked(
+    ids, mat, block: int = 2048
+) -> tuple[np.ndarray, np.ndarray]:
+    """Within-group exact edges with BOUNDED memory: one (block x n)
+    stripe of the dot matrix in flight at a time (a full n x n int64
+    matrix at a 100k-doc bucket would be 80 GB; a 2048-row stripe is
+    ~1.6 GB worst-case).  Same result as _edges_int(ids, mat, ids, mat)."""
+    outs_a, outs_b = [], []
+    for s in range(0, len(ids), block):
+        a, b = _edges_int(ids[s : s + block], mat[s : s + block], ids, mat)
+        outs_a.append(a)
+        outs_b.append(b)
+    if not outs_a:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
 def semantic_pair_edges(tf_ds, dim: int = DIM):
@@ -307,7 +330,7 @@ def semantic_pair_edges_bucketed(tf_ds, dim: int = DIM, max_bucket: int = 100_00
             group = group.sort_by("vec_id").slice(0, max_bucket)
         ids = group.column("vec_id").to_numpy()
         mat = list_matrix(group.column("embedding"), dim)
-        a, b = _edges_int(ids, mat, ids, mat)
+        a, b = _edges_int_blocked(ids, mat)
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
