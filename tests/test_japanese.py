@@ -94,3 +94,41 @@ def test_registry_roundtrip():
 
     a = make_analyzer("japanese")
     assert a.tokens("東京タワーを見ました。") == ["東京", "タワー", "を", "見", "まし", "た"]
+
+
+def test_lattice_invariants_random():
+    """Every lattice tokenization must exactly tile its input: surfaces
+    concatenated with discarded punctuation/whitespace reproduce the
+    text, offsets are strictly increasing and non-overlapping."""
+    import numpy as np
+
+    from lucene_ray.analysis.japanese import tokenize as ja_tok
+    from lucene_ray.analysis.korean import tokenize as ko_tok
+    from lucene_ray.analysis.chinese import tokenize as zh_tok
+
+    rng = np.random.default_rng(17)
+    pools = [
+        "関西国際空港へ行きたいすももものうち寿司タワーxyz123。、 ",
+        "한국어를공부합니다서울학생책역삼역abc 12.!",
+        "我是中国人今天天气很好图书馆Python3。， ",
+    ]
+    fns = [lambda t: ja_tok(t), lambda t: ko_tok(t), lambda t: zh_tok(t)]
+    for pool, fn in zip(pools, fns):
+        chars = list(pool)
+        for _ in range(60):
+            s = "".join(chars[i] for i in rng.integers(0, len(chars), rng.integers(0, 25)))
+            out = fn(s)
+            prev_end = 0
+            for surf, a, b in out:
+                assert 0 <= a < b <= len(s)
+                assert a >= prev_end  # non-overlapping, ordered
+                assert s[a:b] == surf  # surface == the text slice
+                prev_end = b
+            # gaps contain ONLY whitespace or punctuation-class chars
+            covered = set()
+            for _, a, b in out:
+                covered.update(range(a, b))
+            for i, c in enumerate(s):
+                if i not in covered:
+                    # uncovered alphanumerics would be dropped tokens — a bug
+                    assert c.isspace() or not c.isalnum(), (s, i, c)
