@@ -274,6 +274,12 @@ def semdedup_drops(docs_ds, k: int = 16, iters: int = 5, dim: int = DIM, tf=None
 # harmless to the component propagation.  The all-pairs
 # semantic_pair_edges above remains as the driver-scale recall GATE.
 
+# N_PLANES sizes the bucket space (2^N_PLANES buckets).  4 suits the
+# driver corpora (and the oracle SQL is tied to it); at 100-TB scale the
+# knob RISES (e.g. 12-16 planes -> 4k-65k buckets) so per-bucket
+# populations stay bounded — tools/stress_ops.py at 1M docs shows the
+# 16-bucket setting saturating its hot-bucket caps, which is the signal
+# to raise it.
 N_PLANES = 4
 WILD_M2 = 90_000  # margin² coefficient: wildcard iff dot² < 90000 · |v|²
 
