@@ -127,19 +127,23 @@ def _make_pack():
 _TOKENIZER = None
 
 
-def _tokenizer():
-    global _TOKENIZER
-    if _TOKENIZER is None:
-        from .lattice import LatticeTokenizer
+def _tokenizer(user_dict=None):
+    from .lattice import LatticeTokenizer, with_user_entries
 
+    global _TOKENIZER
+    if user_dict:
+        # UserDictionary entries (nori dict/UserDictionary.java shape:
+        # surfaces or (surface, parts) compounds; a user entry wins its span)
+        return LatticeTokenizer(with_user_entries(_make_pack(), user_dict))
+    if _TOKENIZER is None:
         _TOKENIZER = LatticeTokenizer(_make_pack())
     return _TOKENIZER
 
 
-def tokenize(text: str, discard_punctuation: bool = True):
+def tokenize(text: str, discard_punctuation: bool = True, user_dict=None):
     """[(surface, start, end)] — codepoint offsets, punctuation dropped
     (smartcn's tokenizer emits words and drops sentence punctuation)."""
-    return _tokenizer().tokenize(text, "normal", discard_punctuation)
+    return _tokenizer(user_dict).tokenize(text, "normal", discard_punctuation)
 
 
 class SmartChineseAnalyzer:
@@ -147,12 +151,14 @@ class SmartChineseAnalyzer:
     discard + latin lowercase (analysis/cn/smart/SmartChineseAnalyzer.java
     without its stopword list — see module docstring)."""
 
-    def __init__(self, **_kw):
-        pass
+    def __init__(self, user_dict=None, **_kw):
+        self._tok = _tokenizer(tuple(user_dict) if user_dict else None)
 
     def _doc_tokens(self, text: str) -> list[tuple[str, int, int, int]]:
         out = []
-        for pos, (surf, s, e) in enumerate(tokenize(text or "")):
+        for pos, (surf, s, e) in enumerate(
+            self._tok.tokenize(text or "", "normal", True)
+        ):
             out.append((surf.lower(), pos, s, e))
         return out
 

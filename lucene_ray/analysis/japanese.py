@@ -197,19 +197,28 @@ def _make_pack():
 _TOKENIZER = None
 
 
-def _tokenizer():
-    global _TOKENIZER
-    if _TOKENIZER is None:
-        from .lattice import LatticeTokenizer
+def _tokenizer(user_dict=None):
+    from .lattice import LatticeTokenizer, with_user_entries
 
+    global _TOKENIZER
+    if user_dict:
+        # per-analyzer tokenizer with UserDictionary entries (kuromoji
+        # dict/UserDictionary.java: a user entry always wins its span)
+        return LatticeTokenizer(with_user_entries(_make_pack(), user_dict))
+    if _TOKENIZER is None:
         _TOKENIZER = LatticeTokenizer(_make_pack())
     return _TOKENIZER
 
 
-def tokenize(text: str, mode: str = "search", discard_punctuation: bool = True):
+def tokenize(
+    text: str,
+    mode: str = "search",
+    discard_punctuation: bool = True,
+    user_dict=None,
+):
     """[(surface, start, end)] over the full text (offsets in codepoints);
     whitespace splits the lattice into independent chunks."""
-    return _tokenizer().tokenize(text, mode, discard_punctuation)
+    return _tokenizer(user_dict).tokenize(text, mode, discard_punctuation)
 
 
 class JapaneseAnalyzer:
@@ -218,12 +227,18 @@ class JapaneseAnalyzer:
     docstring for deviations).  Interface-compatible with the analyzers
     registry (same contract as StandardAnalyzer)."""
 
-    def __init__(self, mode: str = "search", **_kw):
+    def __init__(self, mode: str = "search", user_dict=None, **_kw):
         self.mode = mode
+        self._tok = _tokenizer(tuple(user_dict) if user_dict else None)
 
     def _doc_tokens(self, text: str) -> list[tuple[str, int, int, int]]:
         out = []
-        for pos, (surf, s, e) in enumerate(tokenize(text or "", self.mode)):
+        # decompound=True: inert for the built-in lexicon (no parts
+        # entries) but lets user-dictionary entries carry a custom
+        # segmentation, like kuromoji's UserDictionary
+        for pos, (surf, s, e) in enumerate(
+            self._tok.tokenize(text or "", self.mode, decompound=True)
+        ):
             out.append((surf.lower(), pos, s, e))
         return out
 

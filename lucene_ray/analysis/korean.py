@@ -132,11 +132,15 @@ def _make_pack():
 _TOKENIZER = None
 
 
-def _tokenizer():
-    global _TOKENIZER
-    if _TOKENIZER is None:
-        from .lattice import LatticeTokenizer
+def _tokenizer(user_dict=None):
+    from .lattice import LatticeTokenizer, with_user_entries
 
+    global _TOKENIZER
+    if user_dict:
+        # UserDictionary entries (nori dict/UserDictionary.java shape:
+        # surfaces or (surface, parts) compounds; a user entry wins its span)
+        return LatticeTokenizer(with_user_entries(_make_pack(), user_dict))
+    if _TOKENIZER is None:
         _TOKENIZER = LatticeTokenizer(_make_pack())
     return _TOKENIZER
 
@@ -145,10 +149,11 @@ def tokenize(
     text: str,
     decompound: bool = True,
     discard_punctuation: bool = True,
+    user_dict=None,
 ):
     """[(surface, start, end)]; DISCARD decompound mode by default (the
     KoreanAnalyzer default)."""
-    return _tokenizer().tokenize(
+    return _tokenizer(user_dict).tokenize(
         text, "normal", discard_punctuation, decompound=decompound
     )
 
@@ -158,13 +163,16 @@ class KoreanAnalyzer:
     punctuation discard, latin lowercase (analysis/ko/KoreanAnalyzer.java;
     no POS-stop filter or reading-form filter — see module docstring)."""
 
-    def __init__(self, decompound: bool = True, **_kw):
+    def __init__(self, decompound: bool = True, user_dict=None, **_kw):
         self.decompound = decompound
+        self._tok = _tokenizer(tuple(user_dict) if user_dict else None)
 
     def _doc_tokens(self, text: str) -> list[tuple[str, int, int, int]]:
         out = []
         for pos, (surf, s, e) in enumerate(
-            tokenize(text or "", decompound=self.decompound)
+            self._tok.tokenize(
+                text or "", "normal", True, decompound=self.decompound
+            )
         ):
             out.append((surf.lower(), pos, s, e))
         return out

@@ -71,6 +71,60 @@ class LanguagePack:
                 self._parts[surf] = tuple(row[3])
 
 
+USER_DICT_COST = 200  # user entries out-cost every built-in arc
+
+
+def with_user_entries(pack: LanguagePack, entries) -> LanguagePack:
+    """A NEW pack with user-dictionary entries added at a very low cost
+    (kuromoji/nori UserDictionary semantics: a user entry wins the
+    lattice over any built-in or unknown segmentation of its span).
+
+    ``entries``: iterable of surfaces, or (surface, parts) pairs — parts
+    mark a decompoundable compound (nori Morpheme style).  User surfaces
+    are EXEMPT from the search-mode length penalty (the user asked for
+    exactly this segmentation; kuromoji expresses custom splits through
+    the user entry itself, not the penalty)."""
+    extra = []
+    user_surfs = set()
+    for e in entries:
+        if isinstance(e, str):
+            extra.append((e, pack.unk_ctx[pack.char_class(e[0])], USER_DICT_COST))
+            user_surfs.add(e)
+        else:
+            surf, parts = e
+            extra.append(
+                (
+                    surf,
+                    pack.unk_ctx[pack.char_class(surf[0])],
+                    USER_DICT_COST,
+                    tuple(parts),
+                )
+            )
+            user_surfs.add(surf)
+    base_pen = pack.penalty
+
+    def penalty(surface, mode, _u=frozenset(user_surfs), _p=base_pen):
+        return 0 if surface in _u else _p(surface, mode)
+
+    return LanguagePack(
+        lexicon=list(pack.lexicon) + extra,
+        conn=pack.conn,
+        char_class=pack.char_class,
+        space_class=pack.space_class,
+        symbol_class=pack.symbol_class,
+        unk_cost=pack.unk_cost,
+        unk_ctx=pack.unk_ctx,
+        unk_group=pack.unk_group,
+        unk_pair_class=pack.unk_pair_class,
+        penalty=penalty,
+        unk_run_cost_per_char=pack.unk_run_cost_per_char,
+        unk_single_extra=pack.unk_single_extra,
+        unk_all=pack.unk_all,
+        unk_all_cap=pack.unk_all_cap,
+        unk_all_per_char=pack.unk_all_per_char,
+    )
+
+
 class LatticeTokenizer:
     """Viterbi best-path tokenizer over a LanguagePack."""
 

@@ -132,3 +132,32 @@ def test_lattice_invariants_random():
                 if i not in covered:
                     # uncovered alphanumerics would be dropped tokens — a bug
                     assert c.isspace() or not c.isalnum(), (s, i, c)
+
+
+def test_user_dictionary():
+    """kuromoji/nori dict/UserDictionary.java semantics: a user entry
+    wins the lattice over built-in and unknown segmentations of its span
+    (incl. search-mode penalty exemption), and a (surface, parts) entry
+    decompounds nori-style."""
+    from lucene_ray.analysis.chinese import SmartChineseAnalyzer
+    from lucene_ray.analysis.korean import KoreanAnalyzer
+
+    # without user dict: 関西国際空港 decompounds in SEARCH mode
+    base = JapaneseAnalyzer()
+    assert base.tokens("関西国際空港") == ["関西", "国際", "空港"]
+    # user entry forces the whole surface, penalty-exempt
+    ud = JapaneseAnalyzer(user_dict=["関西国際空港"])
+    assert ud.tokens("関西国際空港") == ["関西国際空港"]
+    # unknown katakana compound splits per user entry with parts
+    base_t = base.tokens("ニューラルネット")
+    assert base_t == ["ニューラルネット"]  # one unknown run
+    ud2 = JapaneseAnalyzer(user_dict=[("ニューラルネット", ("ニューラル", "ネット"))])
+    assert ud2.tokens("ニューラルネット") == ["ニューラル", "ネット"]
+
+    # Korean: user compound decompounds like a Morpheme entry
+    ko = KoreanAnalyzer(user_dict=[("블록체인", ("블록", "체인"))])
+    assert ko.tokens("블록체인을 공부하다.") == ["블록", "체인", "을", "공부", "하다"]
+
+    # Chinese: user word beats unknown pair composition
+    zh = SmartChineseAnalyzer(user_dict=["量子力学"])
+    assert zh.tokens("量子力学") == ["量子力学"]
