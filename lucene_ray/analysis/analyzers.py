@@ -1816,6 +1816,11 @@ def make_term_filter(name: str, **kw):
         from .icufold import icu_fold
 
         return lambda t: icu_fold(t) or None
+    if name == "greek_stem":
+        # el/GreekStemmer.java (expects greek_lowercase output)
+        from .greek import greek_stem
+
+        return greek_stem
     raise ValueError(f"unknown term filter: {name}")
 
 
