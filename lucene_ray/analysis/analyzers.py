@@ -1699,6 +1699,7 @@ def make_term_filter(name: str, **kw):
         "hindi",
         "czech",
         "polish",
+        "bengali",
         "bulgarian",
         "arabic_normalization",
         "sorani_normalization",
@@ -1708,6 +1709,7 @@ def make_term_filter(name: str, **kw):
         fn = {
             "czech": "czech_stem",
             "polish": "polish_stem",
+            "bengali": "bengali_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",

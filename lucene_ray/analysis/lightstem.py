@@ -1029,3 +1029,27 @@ def portuguese_light_stem(t: str) -> str:
         n -= 1
 
     return "".join(s[:n]).translate(_PT_FOLD)
+
+
+# bn/BengaliStemmer.java (Sengupta & Chaudhuri verb-phrase analysis +
+# Savoy's BengaliStemmerLight criteria): a pure longest-group suffix
+# ladder — (min_len_exclusive, strip, suffixes) rows extracted verbatim
+# from the reference, first matching group wins.
+_BN_LADDER = [
+    (9, 8, ("িয়াছিলাম", "িতেছিলাম", "িতেছিলেন", "ইতেছিলেন", "িয়াছিলেন", "ইয়াছিলেন")),
+    (8, 7, ("িতেছিলি", "িতেছিলে", "িয়াছিলা", "িয়াছিলে", "িতেছিলা", "িয়াছিলি", "য়েদেরকে")),
+    (7, 6, ("িতেছিস", "িতেছেন", "িয়াছিস", "িয়াছেন", "েছিলাম", "েছিলেন", "েদেরকে")),
+    (6, 5, ("িতেছি", "িতেছা", "িতেছে", "ছিলাম", "ছিলেন", "িয়াছি", "িয়াছা", "িয়াছে", "েছিলে", "েছিলা", "য়েদের", "দেরকে")),
+    (5, 4, ("িলাম", "িলেন", "িতাম", "িতেন", "িবেন", "ছিলি", "ছিলে", "ছিলা", "তেছে", "িতেছ", "খানা", "খানি", "গুলো", "গুলি", "য়েরা", "েদের")),
+    (4, 3, ("লাম", "িলি", "ইলি", "িলে", "ইলে", "লেন", "িলা", "ইলা", "তাম", "িতি", "ইতি", "িতে", "ইতে", "তেন", "িতা", "িবা", "ইবা", "িবি", "ইবি", "বেন", "িবে", "ইবে", "ছেন", "য়োন", "য়ের", "েরা", "দের")),
+    (3, 2, ("িস", "েন", "লি", "লে", "লা", "তি", "তে", "তা", "বি", "বে", "বা", "ছি", "ছা", "ছে", "ুন", "ুক", "টা", "টি", "নি", "ের", "তে", "রা", "কে")),
+    (2, 1, ("ি", "ী", "া", "ো", "ে", "ব", "ত")),
+]
+
+
+def bengali_stem(t: str) -> str:
+    n = len(t)
+    for guard, strip, sufs in _BN_LADDER:
+        if n > guard and t.endswith(sufs):
+            return t[: n - strip]
+    return t

@@ -288,3 +288,31 @@ def test_portuguese_light():
     for w, e in vectors:
         assert p(w) == e, (w, p(w), e)
     assert make_term_filter("portuguese_light")("doutores") == "doutor"
+
+
+def test_bengali_stemmer():
+    """bn/BengaliStemmer.java suffix ladder: every vector from the
+    reference's TestBengaliStemmer (strings kept as escaped codepoints —
+    the precomposed-vs-decomposed rra distinction must survive editors)."""
+    from lucene_ray.analysis.lightstem import bengali_stem
+
+    vectors = [
+    ('\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7', '\u0995\u09b0'),
+    ('\u0996\u09be\u0987\u09a4\u09be\u09ae', '\u0996\u09be\u0987'),
+    ('\u09af\u09be\u0987\u09ac\u09c7', '\u09af\u09be'),
+    ('\u0995\u09b0\u099b\u09bf\u09b2\u09be\u09ae', '\u0995\u09b0'),
+    ('\u0995\u09b0\u099b\u09bf\u09b2\u09c7', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09a4\u09be\u09ae', '\u0995\u09b0'),
+    ('\u09af\u09be\u09ac', '\u09af\u09be'),
+    ('\u09af\u09be\u09ac\u09c7', '\u09af\u09be'),
+    ('\u0995\u09b0\u09bf', '\u0995\u09b0'),
+    ('\u0995\u09b0\u09cb', '\u0995\u09b0'),
+    ('\u09ae\u09c7\u09df\u09c7\u09b0\u09be', '\u09ae\u09c7'),
+    ('\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7', '\u09ae\u09c7'),
+    ('\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0', '\u09ae\u09c7'),
+    ('\u098f\u0995\u099f\u09bf', '\u098f\u0995'),
+    ('\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf', '\u09ae\u09be\u09a8\u09c1\u09b7'),
+    ]
+    for inp, expected in vectors:
+        assert bengali_stem(inp) == expected, (ascii(inp), ascii(expected))
