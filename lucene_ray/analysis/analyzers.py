@@ -1700,6 +1700,8 @@ def make_term_filter(name: str, **kw):
         "czech",
         "polish",
         "bengali",
+        "telugu",
+        "telugu_normalization",
         "bulgarian",
         "arabic_normalization",
         "sorani_normalization",
@@ -1710,6 +1712,8 @@ def make_term_filter(name: str, **kw):
             "czech": "czech_stem",
             "polish": "polish_stem",
             "bengali": "bengali_stem",
+            "telugu": "telugu_stem",
+            "telugu_normalization": "telugu_normalize",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",

@@ -1053,3 +1053,72 @@ def bengali_stem(t: str) -> str:
         if n > guard and t.endswith(sufs):
             return t[: n - strip]
     return t
+
+
+def telugu_normalize(t: str) -> str:
+    """te/TeluguNormalizer.java: candrabindu -> bindu, visarga and
+    ZWJ/ZWNJ deleted, long -> short vowels (independent + matras), and
+    the decomposed diphthong/oo/au compositions — ONE in-place pass; a
+    replacement is not itself revisited (e.g. a long matra shortened to
+    0C46 does NOT then compose with a following 0C56, matching the
+    reference's switch-and-advance)."""
+    s = list(t)
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
+        if c in "ఀఁ":
+            s[i] = "ం"
+        elif c == "ః" or c in "‌‍":
+            del s[i]
+            n -= 1
+            continue
+        elif c == "ఔ":
+            s[i] = "ఓ"
+        elif c == "ఐ":
+            s[i] = "ఏ"
+        elif c == "ఆ":
+            s[i] = "అ"
+        elif c == "ఈ":
+            s[i] = "ఇ"
+        elif c == "ఊ":
+            s[i] = "ఉ"
+        elif c == "ీ":
+            s[i] = "ి"
+        elif c == "ూ":
+            s[i] = "ు"
+        elif c == "ే":
+            s[i] = "ె"
+        elif c == "ో":
+            s[i] = "ొ"
+        elif c == "ె" and i + 1 < n and s[i + 1] == "ౖ":
+            s[i] = "ై"
+            del s[i + 1]
+            n -= 1
+        elif c == "ఒ" and i + 1 < n and s[i + 1] == "ౕ":
+            s[i] = "ఓ"
+            del s[i + 1]
+            n -= 1
+        elif c == "ఒ" and i + 1 < n and s[i + 1] == "ౌ":
+            s[i] = "ఔ"
+            del s[i + 1]
+            n -= 1
+        i += 1
+    return "".join(s)
+
+
+# te/TeluguStemmer.java: plural/case suffix ladder
+_TE_LADDER = [
+    (5, 4, ("ళ్ళు", "డ్లు")),
+    (3, 2, ("డు", "ము", "వు", "లు", "ని", "ను", "చే", "కై", "లో", "ది",
+            "కి", "సు", "వై", "పై")),
+    (2, 1, ("ి", "ీ", "ు", "ూ", "ె", "ే", "ొ", "ో", "ా")),
+]
+
+
+def telugu_stem(t: str) -> str:
+    n = len(t)
+    for guard, strip, sufs in _TE_LADDER:
+        if n > guard and t.endswith(sufs):
+            return t[: n - strip]
+    return t

@@ -316,3 +316,34 @@ def test_bengali_stemmer():
     ]
     for inp, expected in vectors:
         assert bengali_stem(inp) == expected, (ascii(inp), ascii(expected))
+
+
+def test_telugu_normalizer():
+    """te/TeluguNormalizer.java: the reference's vectors (escaped
+    codepoints — matra forms must survive editors)."""
+    from lucene_ray.analysis.lightstem import telugu_normalize
+
+    for inp, expected in [
+        ('\u0c2a\u0c26\u0c3e\u0c32\u0c42', '\u0c2a\u0c26\u0c3e\u0c32\u0c41'),
+        ('\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c40', '\u0c05\u0c2c\u0c4d\u0c2c\u0c3e\u0c2f\u0c3f'),
+        ('\u0c03\u0c4c\u0c48\u0c3e\u0c3f\u0c41', '\u0c4c\u0c48\u0c3e\u0c3f\u0c41'),
+        ('\u0c14\u0c10\u0c06\u0c08\u0c0a', '\u0c13\u0c0f\u0c05\u0c07\u0c09'),
+    ]:
+        assert telugu_normalize(inp) == expected, (ascii(inp), ascii(expected))
+
+
+def test_telugu_stemmer():
+    from lucene_ray.analysis.lightstem import telugu_stem
+
+    for inp, expected in [
+        ('\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41\u0c32\u0c41', '\u0c35\u0c38\u0c4d\u0c24\u0c41\u0c35\u0c41'),
+        ('\u0c2a\u0c28\u0c4d\u0c28\u0c41\u0c32\u0c41', '\u0c2a\u0c28\u0c4d\u0c28\u0c41'),
+        ('\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c26\u0c3f', '\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28'),
+        ('\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28\u0c21\u0c41', '\u0c1a\u0c47\u0c2a\u0c3f\u0c38\u0c4d\u0c24\u0c41\u0c28\u0c4d\u0c28'),
+    ]:
+        assert telugu_stem(inp) == expected, (ascii(inp), ascii(expected))
+
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    assert callable(make_term_filter("telugu"))
+    assert callable(make_term_filter("telugu_normalization"))
