@@ -1705,6 +1705,7 @@ def make_term_filter(name: str, **kw):
         "bulgarian",
         "arabic_normalization",
         "sorani_normalization",
+        "sorani",
     ):
         from . import lightstem
 
@@ -1717,6 +1718,7 @@ def make_term_filter(name: str, **kw):
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",
+            "sorani": "sorani_stem",
             "latvian": "latvian_stem",
             "indonesian": "indonesian_stem",
             "hindi_normalization": "hindi_normalize",

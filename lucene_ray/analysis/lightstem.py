@@ -1122,3 +1122,58 @@ def telugu_stem(t: str) -> str:
         if n > guard and t.endswith(sufs):
             return t[: n - strip]
     return t
+
+
+def sorani_stem(t: str) -> str:
+    """ckb/SoraniStemmer.java: postposition strip, possessive pronoun
+    strip, then ONE of the ezafe/definite/plural/demonstrative endings
+    (the reference's else-if chain, early return on the first match)."""
+    n = len(t)
+    # postposition
+    if n > 5 and t.endswith("دا"):
+        n -= 2
+    elif n > 4 and t.endswith("نا"):
+        n -= 1
+    elif n > 6 and t.endswith("ەوە"):
+        n -= 3
+    t = t[:n]
+    # possessive pronoun
+    if n > 6 and t.endswith(("مان", "یان", "تان")):
+        n -= 3
+        t = t[:n]
+    # the else-if ladder (first match returns)
+    if n > 6 and t.endswith("ێکی"):
+        return t[: n - 3]
+    if n > 7 and t.endswith("یەکی"):
+        return t[: n - 4]
+    if n > 5 and t.endswith("ێک"):
+        return t[: n - 2]
+    if n > 6 and t.endswith("یەک"):
+        return t[: n - 3]
+    if n > 6 and t.endswith("ەکە"):
+        return t[: n - 3]
+    if n > 5 and t.endswith("کە"):
+        return t[: n - 2]
+    if n > 7 and t.endswith("ەکان"):
+        return t[: n - 4]
+    if n > 6 and t.endswith("کان"):
+        return t[: n - 3]
+    if n > 7 and t.endswith("یانی"):
+        return t[: n - 4]
+    if n > 6 and t.endswith("انی"):
+        return t[: n - 3]
+    if n > 6 and t.endswith("یان"):
+        return t[: n - 3]
+    if n > 5 and t.endswith("ان"):
+        return t[: n - 2]
+    if n > 7 and t.endswith("یانە"):
+        return t[: n - 4]
+    if n > 6 and t.endswith("انە"):
+        return t[: n - 3]
+    if n > 5 and t.endswith(("ایە", "ەیە")):
+        return t[: n - 2]
+    if n > 4 and t.endswith("ە"):
+        return t[: n - 1]
+    if n > 4 and t.endswith("ی"):
+        return t[: n - 1]
+    return t

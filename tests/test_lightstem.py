@@ -347,3 +347,38 @@ def test_telugu_stemmer():
 
     assert callable(make_term_filter("telugu"))
     assert callable(make_term_filter("telugu_normalization"))
+
+
+def test_sorani_stemmer():
+    """ckb/SoraniStemmer.java: all TestSoraniStemFilter vectors through
+    the SoraniAnalyzer chain order (normalize then stem)."""
+    from lucene_ray.analysis.lightstem import sorani_normalize, sorani_stem
+
+    for inp, expected in [
+        ('\u067e\u06cc\u0627\u0648\u06ce\u06a9', '\u067e\u06cc\u0627\u0648'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u06cc\u06d5\u06a9', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u067e\u06cc\u0627\u0648\u06d5\u0643\u06d5', '\u067e\u06cc\u0627\u0648'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u0643\u06d5', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u06a9\u062a\u0627\u0648\u06cc\u06d5', '\u06a9\u062a\u0627\u0648\u06cc'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u06cc\u06d5', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u067e\u06cc\u0627\u0648\u0627\u0646', '\u067e\u06cc\u0627\u0648'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u06cc\u0627\u0646', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u067e\u06cc\u0627\u0648\u06d5\u06a9\u0627\u0646', '\u067e\u06cc\u0627\u0648'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u06a9\u0627\u0646', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u067e\u06cc\u0627\u0648\u0627\u0646\u06d5', '\u067e\u06cc\u0627\u0648'),
+        ('\u062f\u06d5\u0631\u06af\u0627\u06cc\u0627\u0646\u06d5', '\u062f\u06d5\u0631\u06af\u0627'),
+        ('\u0647\u06c6\u062a\u06cc\u0644\u06cc', '\u0647\u06c6\u062a\u06cc\u0644'),
+        ('\u0647\u06c6\u062a\u06cc\u0644\u06ce\u06a9\u06cc', '\u0647\u06c6\u062a\u06cc\u0644'),
+        ('\u0647\u06c6\u062a\u06cc\u0644\u0627\u0646\u06cc', '\u0647\u06c6\u062a\u06cc\u0644'),
+        ('\u062f\u0648\u0648\u0631\u06d5\u0648\u06d5', '\u062f\u0648\u0648\u0631'),
+        ('\u0646\u06cc\u0648\u06d5\u0634\u06d5\u0648\u062f\u0627', '\u0646\u06cc\u0648\u06d5\u0634\u06d5\u0648'),
+        ('\u0633\u06c6\u0631\u0627\u0646\u0627', '\u0633\u06c6\u0631\u0627\u0646'),
+        ('\u067e\u0627\u0631\u06d5\u0645\u0627\u0646', '\u067e\u0627\u0631\u06d5'),
+        ('\u067e\u0627\u0631\u06d5\u062a\u0627\u0646', '\u067e\u0627\u0631\u06d5'),
+        ('\u067e\u0627\u0631\u06d5\u06cc\u0627\u0646', '\u067e\u0627\u0631\u06d5'),
+    ]:
+        assert sorani_stem(sorani_normalize(inp)) == expected, ascii(inp)
+
+    from lucene_ray.analysis.analyzers import make_term_filter
+
+    assert callable(make_term_filter("sorani"))
