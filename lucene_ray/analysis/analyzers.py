@@ -1688,6 +1688,9 @@ def make_term_filter(name: str, **kw):
         "german_light",
         "norwegian_minimal",
         "swedish_light",
+        "spanish_light",
+        "spanish_plural",
+        "french_light",
         "finnish_light",
         "hungarian_light",
         "portuguese_light",
@@ -1715,6 +1718,7 @@ def make_term_filter(name: str, **kw):
             "bengali": "bengali_stem",
             "telugu": "telugu_stem",
             "telugu_normalization": "telugu_normalize",
+            "spanish_plural": "spanish_plural_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "sorani_normalization": "sorani_normalize",
@@ -1824,6 +1828,16 @@ def make_term_filter(name: str, **kw):
         from .icufold import icu_fold
 
         return lambda t: icu_fold(t) or None
+    if name == "galician_minimal":
+        # gl/GalicianMinimalStemmer.java (RSLP Plural step)
+        from .rslp import galician_minimal_stem
+
+        return galician_minimal_stem
+    if name == "portuguese_minimal":
+        # pt/PortugueseMinimalStemmer.java (RSLP Plural step)
+        from .rslp import portuguese_minimal_stem
+
+        return portuguese_minimal_stem
     if name == "greek_stem":
         # el/GreekStemmer.java (expects greek_lowercase output)
         from .greek import greek_stem

@@ -342,34 +342,52 @@ def bulgarian_stem(t: str) -> str:
 
 
 def sorani_normalize(t: str) -> str:
-    """ckb/SoraniNormalizer.java: yeh variants -> farsi yeh, kaf ->
-    keheh, heh+ZWNJ / final heh / teh marbuta -> ae, heh doachashmee ->
-    heh, initial reh -> rreh, tatweel/harakat deleted."""
-    out: list[str] = []
-    for c in t:
+    """ckb/SoraniNormalizer.java, mirrored as the same single mutating
+    forward pass: yeh variants -> farsi yeh, kaf -> keheh, heh+ZWNJ ->
+    ae, heh FINAL IN THE CURRENT BUFFER -> ae (a heh followed by a
+    not-yet-deleted tatweel is NOT final and stays heh — the reference's
+    scan-order behavior), teh marbuta -> ae, heh doachashmee -> heh,
+    initial reh -> rreh, rreh-above -> rreh, tatweel/harakat AND every
+    Unicode FORMAT (Cf) character deleted."""
+    import unicodedata as _ud
+
+    s = list(t)
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
         if c in "يى":
-            out.append("ی")  # farsi yeh
+            s[i] = "ی"
         elif c == "ك":
-            out.append("ک")  # keheh
+            s[i] = "ک"
         elif c == "‌":  # ZWNJ
-            if out and out[-1] == "ه":
-                out[-1] = "ە"
-        elif c == "ة":
-            out.append("ە")
-        elif c == "ھ":
-            out.append("ه")
-        elif c == "ر" and not out:
-            out.append("ڕ")  # initial reh -> rreh
-        elif c == "ڒ":
-            out.append("ڕ")
-        elif c in "ـًٌٍَُِّْ":
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            n -= 1
             continue
-        else:
-            out.append(c)
-    # final heh -> ae
-    if out and out[-1] == "ه":
-        out[-1] = "ە"
-    return "".join(out)
+        elif c == "ه":
+            if i == n - 1:
+                s[i] = "ە"
+        elif c == "ة":
+            s[i] = "ە"
+        elif c == "ھ":
+            s[i] = "ه"
+        elif c == "ر":
+            if i == 0:
+                s[i] = "ڕ"
+        elif c == "ڒ":
+            s[i] = "ڕ"
+        elif c in "ـًٌٍَُِّْ":
+            del s[i]
+            n -= 1
+            continue
+        elif _ud.category(c) == "Cf":
+            del s[i]
+            n -= 1
+            continue
+        i += 1
+    return "".join(s[:n])
 
 
 _FI_VOWELS = frozenset("aeiouy")
@@ -1177,3 +1195,229 @@ def sorani_stem(t: str) -> str:
     if n > 4 and t.endswith("ی"):
         return t[: n - 1]
     return t
+
+
+_ES_LIGHT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def spanish_light_stem(t: str) -> str:
+    """es/SpanishLightStemmer.java: accent fold then the final o/a/e and
+    plural-s rules (eses -> es, ces -> z, vowel+s)."""
+    if len(t) < 5:
+        return t
+    s = list(t.translate(_ES_LIGHT_FOLD))
+    n = len(s)
+    last = s[n - 1]
+    if last in "oae":
+        return "".join(s[: n - 1])
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[: n - 2])
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[: n - 2])
+        if s[n - 2] in "oae":
+            return "".join(s[: n - 2])
+    return "".join(s)
+
+
+# es/SpanishPluralStemmer.java word lists (published data)
+_ES_PLURAL_INVARIANTS = frozenset(['abrebotellas', 'abrecartas', 'abrelatas', 'afueras', 'albatros', 'albricias', 'aledaños', 'alexis', 'alicates', 'analisis', 'andurriales', 'antitesis', 'añicos', 'apendicitis', 'apocalipsis', 'arcoiris', 'aries', 'bilis', 'boletus', 'boris', 'brindis', 'cactus', 'canutas', 'caries', 'cascanueces', 'cascarrabias', 'ciempies', 'cifosis', 'cortaplumas', 'corpus', 'cosmos', 'cosquillas', 'creces', 'crisis', 'cuatrocientas', 'cuatrocientos', 'cuelgacapas', 'cuentacuentos', 'cuentapasos', 'cumpleaños', 'doscientas', 'doscientos', 'dosis', 'enseres', 'entonces', 'esponsales', 'estatus', 'exequias', 'fauces', 'forceps', 'fotosintesis', 'gafas', 'gafotas', 'gargaras', 'gris', 'honorarios', 'ictus', 'jueves', 'lapsus', 'lavacoches', 'lavaplatos', 'limpiabotas', 'lunes', 'maitines', 'martes', 'mondadientes', 'novecientas', 'novecientos', 'nupcias', 'ochocientas', 'ochocientos', 'pais', 'paris', 'parabrisas', 'paracaidas', 'parachoques', 'paraguas', 'pararrayos', 'pisapapeles', 'piscis', 'portaaviones', 'portamaletas', 'portamantas', 'quinientas', 'quinientos', 'quitamanchas', 'recogepelotas', 'rictus', 'rompeolas', 'sacacorchos', 'sacapuntas', 'saltamontes', 'salvavidas', 'seis', 'seiscientas', 'seiscientos', 'setecientas', 'setecientos', 'sintesis', 'tenis', 'tifus', 'trabalenguas', 'vacaciones', 'venus', 'versus', 'viacrucis', 'virus', 'viveres', 'volandas'])
+_ES_PLURAL_SPECIAL = frozenset(['yoes', 'noes', 'sies', 'clubes', 'faralaes', 'albalaes', 'itemes', 'albumes', 'sandwiches', 'relojes', 'bojes', 'contrarreloj', 'carcajes'])
+_ES_PLURAL_VOWELS = set("aeiou")
+
+
+def spanish_plural_stem(t: str) -> str:
+    """es/SpanishPluralStemmer.java: accent fold, invariant/special word
+    lists, then the plural rules — preserving the reference's Java
+    precedence quirk in the qu/gu rule (the q test is NOT guarded by the
+    following u/ie conditions: ``q || (g && u && (i|e))``)."""
+    if len(t) < 4:
+        return t
+    s = list(t.translate(_ES_LIGHT_FOLD))
+    n = len(s)
+    w = "".join(s)
+    if w in _ES_PLURAL_INVARIANTS:
+        return w
+    if w in _ES_PLURAL_SPECIAL:
+        return w[: n - 2]
+    if s[n - 1] == "s":
+        if s[n - 2] not in _ES_PLURAL_VOWELS:
+            return w[: n - 1]
+        if s[n - 4] == "q" or (
+            s[n - 4] == "g" and s[n - 3] == "u" and s[n - 2] in "ie"
+        ):
+            return w[: n - 1]
+        if s[n - 4] in _ES_PLURAL_VOWELS and s[n - 3] == "r" and s[n - 2] == "e":
+            return w[: n - 2]
+        if (s[n - 4] in _ES_PLURAL_VOWELS and s[n - 3] in "dlnx"
+                and s[n - 2] == "e"):
+            return w[: n - 2]
+        if s[n - 3] in "yu" and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 4] in "ulrtn" and s[n - 3] == "i" and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 3] == "s" and s[n - 2] == "e":
+            return w[: n - 2]
+        if s[n - 3] in _ES_PLURAL_VOWELS and s[n - 2] == "i":
+            return w[: n - 2] + "y"
+        if s[n - 3] == "d" and s[n - 2] == "i":
+            return w[: n - 2] + "y"
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            return w[: n - 3] + "z"
+        if s[n - 2] in _ES_PLURAL_VOWELS:
+            return w[: n - 1]
+    return w
+
+
+_FR_LIGHT_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(s: list, n: int) -> str:
+    """FrenchLightStemmer.norm: accent fold, adjacent-duplicate-letter
+    collapse (whole word), -ie strip, then the final r/e/e/dup ladder."""
+    if n > 4:
+        for i in range(n):
+            s[i] = s[i].translate(_FR_LIGHT_FOLD)
+        # collapse adjacent duplicate letters across the whole word
+        i = 1
+        while i < n:
+            if s[i] == s[i - 1] and s[i - 1].isalpha():
+                del s[i]
+                n -= 1
+            else:
+                i += 1
+    if n > 4 and "".join(s[:n]).endswith("ie"):
+        n -= 2
+    if n > 4:
+        if s[n - 1] == "r":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == "e":
+            n -= 1
+        if s[n - 1] == s[n - 2] and s[n - 1].isalpha():
+            n -= 1
+    return "".join(s[:n])
+
+
+def french_light_stem(t: str) -> str:
+    """fr/FrenchLightStemmer.java (Savoy UniNE): plural x/s strips, the
+    derivational suffix ladder with its in-buffer rewrites (issement->ir,
+    cateur->quer, atrice->ateur->er, folle/molle->fou/mou, ...), then
+    norm (see _fr_norm)."""
+    s = list(t)
+    n = len(s)
+
+    def ends(k):
+        return "".join(s[:n]).endswith(k)
+
+    if n > 5 and s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u" and s[n - 4] != "e":
+            s[n - 2] = "l"
+        n -= 1
+    if n > 3 and s[n - 1] == "x":
+        n -= 1
+    if n > 3 and s[n - 1] == "s":
+        n -= 1
+    if n > 9 and ends("issement"):
+        n -= 6
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 8 and ends("issant"):
+        n -= 4
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 6 and ends("ement"):
+        n -= 4
+        if n > 3 and ends("ive"):
+            n -= 1
+            s[n - 1] = "f"
+        return _fr_norm(s, n)
+    if n > 11 and ends("ficatrice"):
+        n -= 5
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 10 and ends("ficateur"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 9 and ends("catrice"):
+        n -= 3
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        return _fr_norm(s, n)
+    if n > 8 and ends("cateur"):
+        n -= 2
+        s[n - 4] = "q"
+        s[n - 3] = "u"
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 8 and ends("atrice"):
+        n -= 4
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 7 and ends("ateur"):
+        n -= 3
+        s[n - 2] = "e"
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 6 and ends("trice"):
+        n -= 1
+        s[n - 3] = "e"
+        s[n - 2] = "u"
+        s[n - 1] = "r"
+    if n > 5 and ends("ième"):
+        return _fr_norm(s, n - 4)
+    if n > 7 and ends("teuse"):
+        n -= 2
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 6 and ends("teur"):
+        n -= 1
+        s[n - 1] = "r"
+        return _fr_norm(s, n)
+    if n > 5 and ends("euse"):
+        return _fr_norm(s, n - 2)
+    if n > 8 and ends("ère"):
+        n -= 1
+        s[n - 2] = "e"
+        return _fr_norm(s, n)
+    if n > 7 and ends("ive"):
+        n -= 1
+        s[n - 1] = "f"
+        return _fr_norm(s, n)
+    if n > 4 and (ends("folle") or ends("molle")):
+        n -= 2
+        s[n - 1] = "u"
+        return _fr_norm(s, n)
+    if n > 9 and ends("nnelle"):
+        return _fr_norm(s, n - 5)
+    if n > 9 and ends("nnel"):
+        return _fr_norm(s, n - 3)
+    if n > 4 and ends("ète"):
+        n -= 1
+        s[n - 2] = "e"
+    if n > 8 and ends("ique"):
+        n -= 4
+    if n > 8 and ends("esse"):
+        return _fr_norm(s, n - 3)
+    if n > 7 and ends("inage"):
+        return _fr_norm(s, n - 3)
+    if n > 9 and ends("isation"):
+        n -= 7
+        if n > 5 and ends("ual"):
+            s[n - 2] = "e"
+        return _fr_norm(s, n)
+    if n > 9 and ends("isateur"):
+        return _fr_norm(s, n - 7)
+    if n > 8 and ends("ation"):
+        return _fr_norm(s, n - 5)
+    if n > 8 and ends("ition"):
+        return _fr_norm(s, n - 5)
+    return _fr_norm(s, n)
