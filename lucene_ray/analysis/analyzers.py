@@ -1833,6 +1833,11 @@ def make_term_filter(name: str, **kw):
         from .rslp import galician_minimal_stem
 
         return galician_minimal_stem
+    if name == "galician":
+        # gl/GalicianStemmer.java (full RSLG step flow)
+        from .rslp import galician_stem
+
+        return galician_stem
     if name == "portuguese_minimal":
         # pt/PortugueseMinimalStemmer.java (RSLP Plural step)
         from .rslp import portuguese_minimal_stem

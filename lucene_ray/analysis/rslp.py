@@ -46,3 +46,41 @@ def galician_minimal_stem(t: str) -> str:
 def portuguese_minimal_stem(t: str) -> str:
     """pt/PortugueseMinimalStemmer.java: the portuguese.rslp Plural step."""
     return apply_step(t, PORTUGUESE_PLURAL)
+
+
+def _step_min(step: dict) -> int:
+    """Step.min semantics: a declared 0 means auto — the smallest
+    (rule.min + len(suffix)) over the step's rules."""
+    if step["min"]:
+        return step["min"]
+    return min(r[1] + len(r[0]) for r in step["rules"])
+
+
+def apply_step_auto(t: str, step: dict) -> str:
+    if len(t) < _step_min(step):
+        return t
+    return apply_step(t, {**step, "min": 0, "cond": step["cond"]})
+
+
+def galician_stem(t: str) -> str:
+    """gl/GalicianStemmer.java: the full RSLG flow over galician.rslp —
+    Plural, Unification, Adverb, Augmentative-to-fixpoint, Noun (Verb
+    only if Noun removed nothing), Vowel, then accent removal."""
+    from .rslp_data import GALICIAN_STEPS
+
+    t = apply_step_auto(t, GALICIAN_STEPS["Plural"])
+    t = apply_step_auto(t, GALICIAN_STEPS["Unification"])
+    t = apply_step_auto(t, GALICIAN_STEPS["Adverb"])
+    while True:
+        t2 = apply_step_auto(t, GALICIAN_STEPS["Augmentative"])
+        if t2 == t:
+            break
+        t = t2
+    t2 = apply_step_auto(t, GALICIAN_STEPS["Noun"])
+    if t2 == t:
+        t2 = apply_step_auto(t, GALICIAN_STEPS["Verb"])
+    t = apply_step_auto(t2, GALICIAN_STEPS["Vowel"])
+    return t.translate(_GL_ACCENTS)
+
+
+_GL_ACCENTS = str.maketrans("áéêíóú", "aeeiou")

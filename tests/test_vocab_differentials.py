@@ -29,6 +29,7 @@ def _cases():
         ("fi/filighttestdata.zip", ls.finnish_light_stem),
         ("fr/frlighttestdata.zip", ls.french_light_stem),
         ("fr/frminimaltestdata.zip", ls.french_minimal_stem),
+        ("gl/gltestdata.zip", __import__("lucene_ray.analysis.rslp", fromlist=["galician_stem"]).galician_stem),
         ("hu/hulighttestdata.zip", ls.hungarian_light_stem),
         ("it/itlighttestdata.zip", ls.italian_light_stem),
         ("pt/ptlighttestdata.zip", ls.portuguese_light_stem),

@@ -22,8 +22,13 @@ SOURCES = {
 }
 
 _HEADER = re.compile(r'^\{\s*"(\w+)",\s*(\d+),\s*(\d+),\s*\{(.*?)\}\s*,\s*$')
+# rule forms (RSLPStemmerBase parseRules): {"suf",N}, {"suf",N,"rep"},
+# {"suf",N,"rep",{...exceptions}} — trailing ",", ";" or the step's "}};"
 _RULE = re.compile(
-    r'^\{\s*"([^"]*)"\s*,\s*(\d+)\s*,\s*"([^"]*)"\s*(?:,\s*\{(.*?)\}\s*)?\}\s*[,;]\s*$'
+    r'^\{\s*"([^"]*)"\s*,\s*(\d+)\s*'
+    r'(?:,\s*"([^"]*)"\s*)?'
+    r'(?:,\s*\{(.*?)\}\s*)?'
+    r'\}\s*[,;]?\s*\}?\s*;?\s*$'
 )
 
 
@@ -59,10 +64,12 @@ def parse_step(path: str, step_name: str):
                     (
                         r.group(1),
                         int(r.group(2)),
-                        r.group(3),
+                        r.group(3) or "",
                         _parse_list(r.group(4) or ""),
                     )
                 )
+                if ln.rstrip().endswith("};"):
+                    in_step = False
             elif ln.startswith("};"):
                 in_step = False
     if out is None or not out["rules"]:
@@ -70,17 +77,32 @@ def parse_step(path: str, step_name: str):
     return out
 
 
+def parse_all_steps(path: str) -> dict:
+    import re as _re
+
+    headers = []
+    for ln in open(path, encoding="utf-8"):
+        m = _HEADER.match(ln.split("#", 1)[0].strip())
+        if m:
+            headers.append(m.group(1))
+    return {h: parse_step(path, h) for h in headers}
+
+
 def main() -> None:
     parts = [
-        '"""RSLP Plural-step rule data extracted from the reference\'s',
-        ".rslp resources by tools/extract_rslp.py — regenerate with that",
-        'tool; do not edit."""',
+        '"""RSLP rule data extracted from the reference\'s .rslp',
+        "resources by tools/extract_rslp.py — regenerate with that tool;",
+        'do not edit."""',
         "",
     ]
     for name, path in SOURCES.items():
         step = parse_step(path, "Plural")
         parts.append(f"{name} = {step!r}")
         parts.append("")
+    parts.append(
+        f"GALICIAN_STEPS = {parse_all_steps(SOURCES['GALICIAN_PLURAL'])!r}"
+    )
+    parts.append("")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "lucene_ray", "analysis", "rslp_data.py",
