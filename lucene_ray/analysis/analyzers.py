@@ -1833,6 +1833,11 @@ def make_term_filter(name: str, **kw):
         from .rslp import galician_minimal_stem
 
         return galician_minimal_stem
+    if name == "portuguese_rslp":
+        # pt/PortugueseStemmer.java (full RSLP step flow)
+        from .rslp import portuguese_rslp_stem
+
+        return portuguese_rslp_stem
     if name == "galician":
         # gl/GalicianStemmer.java (full RSLG step flow)
         from .rslp import galician_stem

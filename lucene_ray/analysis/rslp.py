@@ -84,3 +84,25 @@ def galician_stem(t: str) -> str:
 
 
 _GL_ACCENTS = str.maketrans("áéêíóú", "aeeiou")
+
+
+_PT_ACCENTS = str.maketrans("àáâãäåçèéêëìíîïñòóôõöùúûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+
+
+def portuguese_rslp_stem(t: str) -> str:
+    """pt/PortugueseStemmer.java: the full RSLP flow over
+    portuguese.rslp — Plural, Adverb, Feminine, Augmentative, then Noun
+    / Verb / Vowel where each later step runs only if the previous one
+    removed nothing, and accent removal."""
+    from .rslp_data import PORTUGUESE_STEPS
+
+    t = apply_step_auto(t, PORTUGUESE_STEPS["Plural"])
+    t = apply_step_auto(t, PORTUGUESE_STEPS["Adverb"])
+    t = apply_step_auto(t, PORTUGUESE_STEPS["Feminine"])
+    t = apply_step_auto(t, PORTUGUESE_STEPS["Augmentative"])
+    t2 = apply_step_auto(t, PORTUGUESE_STEPS["Noun"])
+    if t2 == t:
+        t2 = apply_step_auto(t, PORTUGUESE_STEPS["Verb"])
+        if t2 == t:
+            t2 = apply_step_auto(t, PORTUGUESE_STEPS["Vowel"])
+    return t2.translate(_PT_ACCENTS)

@@ -34,6 +34,7 @@ def _cases():
         ("it/itlighttestdata.zip", ls.italian_light_stem),
         ("pt/ptlighttestdata.zip", ls.portuguese_light_stem),
         ("pt/ptminimaltestdata.zip", portuguese_minimal_stem),
+        ("pt/ptrslptestdata.zip", __import__("lucene_ray.analysis.rslp", fromlist=["portuguese_rslp_stem"]).portuguese_rslp_stem),
         ("ru/rulighttestdata.zip", ls.russian_light_stem),
         ("sv/svlighttestdata.zip", ls.swedish_light_stem),
     ]

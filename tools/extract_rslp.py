@@ -103,6 +103,10 @@ def main() -> None:
         f"GALICIAN_STEPS = {parse_all_steps(SOURCES['GALICIAN_PLURAL'])!r}"
     )
     parts.append("")
+    parts.append(
+        f"PORTUGUESE_STEPS = {parse_all_steps(SOURCES['PORTUGUESE_PLURAL'])!r}"
+    )
+    parts.append("")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "lucene_ray", "analysis", "rslp_data.py",
