@@ -1707,6 +1707,7 @@ def make_term_filter(name: str, **kw):
         "telugu_normalization",
         "bulgarian",
         "arabic_normalization",
+        "arabic",
         "sorani_normalization",
         "sorani",
     ):
@@ -1721,6 +1722,7 @@ def make_term_filter(name: str, **kw):
             "spanish_plural": "spanish_plural_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
+            "arabic": "arabic_stem",
             "sorani_normalization": "sorani_normalize",
             "sorani": "sorani_stem",
             "latvian": "latvian_stem",

@@ -1421,3 +1421,31 @@ def french_light_stem(t: str) -> str:
     if n > 8 and ends("ition"):
         return _fr_norm(s, n - 5)
     return _fr_norm(s, n)
+
+
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(t: str) -> str:
+    """ar/ArabicStemmer.java: ONE prefix strip (first match in order;
+    the single-char و prefix needs len >= 4, the rest len >= prefix+2),
+    then EVERY suffix in list order strips once where it fits (each
+    requires >= 2 characters left after stemming) — the reference's
+    single forward pass over the suffix list, not a restart."""
+    n = len(t)
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if n < 4:
+                continue
+        elif n < len(p) + 2:
+            continue
+        if t.startswith(p):
+            t = t[len(p):]
+            n = len(t)
+            break
+    for suf in _AR_SUFFIXES:
+        if n >= len(suf) + 2 and t.endswith(suf):
+            t = t[: n - len(suf)]
+            n = len(t)
+    return t

@@ -43,6 +43,7 @@ def _cases():
         ("hi/TestHindiStemmer.java", ls.hindi_stem, 15),
         ("hi/TestHindiNormalizer.java", ls.hindi_normalize, 10),
         ("ar/TestArabicNormalizationFilter.java", ls.arabic_normalize, 10),
+        ("ar/TestArabicStemFilter.java", ls.arabic_stem, 15),
         ("bn/TestBengaliNormalizer.java", ls.bengali_normalize, 10),
         ("ckb/TestSoraniNormalizationFilter.java", ls.sorani_normalize, 10),
         ("te/TestTeluguNormalizer.java", ls.telugu_normalize, 3),
