@@ -1698,6 +1698,7 @@ def make_term_filter(name: str, **kw):
         "indonesian",
         "hindi_normalization",
         "persian_normalization",
+        "persian",
         "bengali_normalization",
         "hindi",
         "czech",
@@ -1729,6 +1730,7 @@ def make_term_filter(name: str, **kw):
             "indonesian": "indonesian_stem",
             "hindi_normalization": "hindi_normalize",
             "persian_normalization": "persian_normalize",
+            "persian": "persian_stem",
             "bengali_normalization": "bengali_normalize",
             "hindi": "hindi_stem",
         }.get(name) or name.replace("minimal", "minimal_stem").replace(

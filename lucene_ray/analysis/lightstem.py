@@ -1449,3 +1449,18 @@ def arabic_stem(t: str) -> str:
             t = t[: n - len(suf)]
             n = len(t)
     return t
+
+
+_FA_SUFFIXES = ("ات", "ان", "ترين", "تر", "يي", "ي", "ها", "‌")
+
+
+def persian_stem(t: str) -> str:
+    """fa/PersianStemmer.java: one forward pass over the suffix list
+    (plural/comparative/ezafe endings + trailing ZWNJ), each stripping
+    where >= 2 characters remain."""
+    n = len(t)
+    for suf in _FA_SUFFIXES:
+        if n >= len(suf) + 2 and t.endswith(suf):
+            t = t[: n - len(suf)]
+            n = len(t)
+    return t

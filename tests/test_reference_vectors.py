@@ -45,6 +45,9 @@ def _cases():
         ("ar/TestArabicNormalizationFilter.java", ls.arabic_normalize, 10),
         ("ar/TestArabicStemFilter.java", ls.arabic_stem, 15),
         ("bn/TestBengaliNormalizer.java", ls.bengali_normalize, 10),
+        # lowercase is the analyzer's job, not the stemmer's
+        ("fa/TestPersianStemFilter.java",
+         lambda t, _f=ls.persian_stem: _f(t.lower()), 8),
         ("ckb/TestSoraniNormalizationFilter.java", ls.sorani_normalize, 10),
         ("te/TestTeluguNormalizer.java", ls.telugu_normalize, 3),
         ("te/TestTeluguStemmer.java", ls.telugu_stem, 3),
