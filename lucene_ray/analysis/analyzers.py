@@ -1686,6 +1686,7 @@ def make_term_filter(name: str, **kw):
         "russian_light",
         "italian_light",
         "german_light",
+        "german",
         "norwegian_minimal",
         "swedish_light",
         "spanish_light",
@@ -1721,6 +1722,7 @@ def make_term_filter(name: str, **kw):
             "telugu": "telugu_stem",
             "telugu_normalization": "telugu_normalize",
             "spanish_plural": "spanish_plural_stem",
+            "german": "german_stem",
             "bulgarian": "bulgarian_stem",
             "arabic_normalization": "arabic_normalize",
             "arabic": "arabic_stem",

@@ -1464,3 +1464,114 @@ def persian_stem(t: str) -> str:
             t = t[: n - len(suf)]
             n = len(t)
     return t
+
+
+def german_stem(t: str) -> str:
+    """de/GermanStemmer.java (the classic discriminator stemmer):
+    substitute (umlaut fold, ß->ss, double-letter masking with '*',
+    sch/ch/ei/ie/ig/st masked to one-char tokens with substCount
+    tracking), the e/s/n/t/em/er/nd strip loop gated by
+    length+substCount, optimize (erin* + z->x), resubstitute, and the
+    'gege' particle-denotion removal — a faithful mutation-for-mutation
+    transcription of the StringBuilder passes."""
+    term = t.lower()
+    if not term or not all(c.isalpha() for c in term):
+        return term
+    s = list(term)
+    subst = 0
+
+    # substitute
+    c = 0
+    while c < len(s):
+        if c > 0 and s[c] == s[c - 1]:
+            s[c] = "*"
+        elif s[c] == "ä":
+            s[c] = "a"
+        elif s[c] == "ö":
+            s[c] = "o"
+        elif s[c] == "ü":
+            s[c] = "u"
+        elif s[c] == "ß":
+            s[c] = "s"
+            s.insert(c + 1, "s")
+            subst += 1
+        if c < len(s) - 1:
+            if c < len(s) - 2 and s[c] == "s" and s[c + 1] == "c" and s[c + 2] == "h":
+                s[c] = "$"
+                del s[c + 1 : c + 3]
+                subst += 2
+            elif s[c] == "c" and s[c + 1] == "h":
+                s[c] = "§"
+                del s[c + 1]
+                subst += 1
+            elif s[c] == "e" and s[c + 1] == "i":
+                s[c] = "%"
+                del s[c + 1]
+                subst += 1
+            elif s[c] == "i" and s[c + 1] == "e":
+                s[c] = "&"
+                del s[c + 1]
+                subst += 1
+            elif s[c] == "i" and s[c + 1] == "g":
+                s[c] = "#"
+                del s[c + 1]
+                subst += 1
+            elif s[c] == "s" and s[c + 1] == "t":
+                s[c] = "!"
+                del s[c + 1]
+                subst += 1
+        c += 1
+
+    def _strip():
+        while len(s) > 3:
+            n = len(s)
+            if n + subst > 5 and s[n - 2] == "n" and s[n - 1] == "d":
+                del s[n - 2 :]
+            elif n + subst > 4 and s[n - 2] == "e" and s[n - 1] == "m":
+                del s[n - 2 :]
+            elif n + subst > 4 and s[n - 2] == "e" and s[n - 1] == "r":
+                del s[n - 2 :]
+            elif s[n - 1] in "esnt":
+                del s[n - 1]
+            else:
+                break
+
+    _strip()
+    # optimize
+    if len(s) > 5 and "".join(s[-5:]) == "erin*":
+        del s[-1]
+        _strip()
+    if s and s[-1] == "z":
+        s[-1] = "x"
+    # resubstitute
+    c = 0
+    while c < len(s):
+        ch = s[c]
+        if ch == "*":
+            s[c] = s[c - 1]
+        elif ch == "$":
+            s[c] = "s"
+            s[c + 1 : c + 1] = ["c", "h"]
+        elif ch == "§":
+            s[c] = "c"
+            s.insert(c + 1, "h")
+        elif ch == "%":
+            s[c] = "e"
+            s.insert(c + 1, "i")
+        elif ch == "&":
+            s[c] = "i"
+            s.insert(c + 1, "e")
+        elif ch == "#":
+            s[c] = "i"
+            s.insert(c + 1, "g")
+        elif ch == "!":
+            s[c] = "s"
+            s.insert(c + 1, "t")
+        c += 1
+    # removeParticleDenotion
+    if len(s) > 4:
+        for c in range(len(s) - 3):
+            if "".join(s[c : c + 4]) == "gege":
+                del s[c : c + 2]
+                break
+    return "".join(s)

@@ -62,3 +62,23 @@ def test_reference_checkoneterm_vectors(rel, fn, min_n):
     assert len(vectors) >= min_n, (rel, len(vectors))
     for inp, expected in vectors:
         assert fn(inp) == expected, (rel, ascii(inp), ascii(fn(inp)), ascii(expected))
+
+
+def test_german_classic_stemmer_data_txt():
+    """de/GermanStemmer.java against the reference's de/data.txt
+    vocabulary (semicolon-separated word;stem pairs)."""
+    from lucene_ray.analysis.lightstem import german_stem
+
+    path = os.path.join(BASE, "de", "data.txt")
+    total = 0
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(";")
+        if len(parts) != 2:
+            continue
+        inp, expected = parts[0].strip(), parts[1].strip()
+        assert german_stem(inp) == expected, (inp, german_stem(inp), expected)
+        total += 1
+    assert total >= 25
