@@ -66,7 +66,7 @@ def test_reference_checkoneterm_vectors(rel, fn, min_n):
 
 def test_german_classic_stemmer_data_txt():
     """de/GermanStemmer.java against the reference's de/data.txt
-    vocabulary (semicolon-separated word;stem pairs)."""
+    vocabulary (tab-separated word/stem pairs)."""
     from lucene_ray.analysis.lightstem import german_stem
 
     path = os.path.join(BASE, "de", "data.txt")
@@ -75,7 +75,7 @@ def test_german_classic_stemmer_data_txt():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
-        parts = line.split(";")
+        parts = line.split("\t")
         if len(parts) != 2:
             continue
         inp, expected = parts[0].strip(), parts[1].strip()
