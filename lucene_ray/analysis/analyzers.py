@@ -1839,6 +1839,12 @@ def make_term_filter(name: str, **kw):
         from .rslp import galician_minimal_stem
 
         return galician_minimal_stem
+    if name == "brazilian":
+        # br/BrazilianStemmer.java (null -> keep the original token,
+        # the BrazilianStemFilter contract)
+        from .brazilian import brazilian_stem
+
+        return lambda t: brazilian_stem(t) or t
     if name == "portuguese_rslp":
         # pt/PortugueseStemmer.java (full RSLP step flow)
         from .rslp import portuguese_rslp_stem

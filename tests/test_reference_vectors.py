@@ -82,3 +82,23 @@ def test_german_classic_stemmer_data_txt():
         assert german_stem(inp) == expected, (inp, german_stem(inp), expected)
         total += 1
     assert total >= 25
+
+
+def test_brazilian_stemmer_vectors():
+    """br/BrazilianStemmer.java against every TestBrazilianAnalyzer
+    vector (minus the stem-exclusion-set case, which tests the filter's
+    KeywordMarker seam, not the stemmer)."""
+    from lucene_ray.analysis.brazilian import brazilian_stem
+
+    src = open(os.path.join(BASE, "br", "TestBrazilianAnalyzer.java"),
+               encoding="utf-8").read()
+    pairs = re.findall(
+        r'check(?:Reuse)?\(\s*(?:a\s*,\s*)?"([^"]+)"\s*,\s*"([^"]*)"\s*\)', src
+    )
+    pairs = [(a, b) for a, b in pairs if (a, b) != ("quintessência", "quintessência")]
+    assert len(pairs) >= 85
+    for inp, expected in pairs:
+        got = brazilian_stem(inp)
+        if got is None:
+            got = inp.lower()
+        assert got == expected, (inp, got, expected)
